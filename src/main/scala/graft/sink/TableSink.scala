@@ -1,0 +1,70 @@
+package graft.sink
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Three-level table reference (reference: box_ingest.py:125, :164 —
+  * `{catalog}.{schema}.{table}`; hardcoded 'development'.'eda_gc_raw'
+  * at box_ingest.py:182-183). Catalog/schema collapse to one Spark
+  * namespace: `<catalog>_<schema>` database in the session catalog
+  * (no external metastore in this environment).
+  */
+final case class TableRef(catalog: String, schema: String, name: String) {
+  def database: String = s"${catalog}_${schema}"
+  def qualified: String = s"$database.$name"
+  def errorSibling: TableRef = copy(name = s"${name}_error")
+}
+
+/** Append-only table sink (reference: box_ingest.py:124-129, O21/O22).
+  *
+  * The reference writes Delta; its only Delta usage is `mode("append")`
+  * `.saveAsTable` — with no MERGE/time-travel exercised, a parquet
+  * provider is semantically equivalent (SURVEY §7; no Delta jars in
+  * /opt/spark/jars). Every write stamps `process_dt` with the reference's
+  * exact expression `from_utc_timestamp(current_timestamp(),
+  * 'Asia/Shanghai')` (box_ingest.py:126).
+  */
+object TableSink {
+
+  val ProcessDtCol = "process_dt"
+
+  def processDt = from_utc_timestamp(current_timestamp(), "Asia/Shanghai")
+
+  /** Fixed error-table schema (box_ingest.py:116-119, :126). */
+  val ErrorSchema: StructType = StructType(Seq(
+    StructField("record", StringType),
+    StructField("error_type", StringType),
+    StructField(ProcessDtCol, TimestampType)))
+
+  def ensureDatabase(spark: SparkSession, ref: TableRef): Unit =
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ref.database}`")
+
+  /** O21: append with ingestion timestamp. */
+  def append(df: DataFrame, ref: TableRef): Unit = {
+    ensureDatabase(df.sparkSession, ref)
+    df.withColumn(ProcessDtCol, processDt)
+      .write.mode("append").format("parquet").saveAsTable(ref.qualified)
+  }
+
+  /** O22 copy mode: conform an arbitrary incoming frame to the target
+    * table's schema minus `process_dt`, casting through string exactly as
+    * the reference does (`astype(str)` then target types,
+    * box_ingest.py:163-168), then append.
+    */
+  def appendConformed(df: DataFrame, ref: TableRef): Unit = {
+    val spark = df.sparkSession
+    val target = spark.table(ref.qualified).schema
+      .filterNot(_.name.equalsIgnoreCase(ProcessDtCol))
+    val byLower = df.columns.reverse.map(c => c.toLowerCase -> c).toMap
+    val cols = target.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(in) =>
+          col(s"`${in.replace("`", "``")}`")
+            .cast(StringType).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    append(df.select(cols: _*), ref)
+  }
+}
