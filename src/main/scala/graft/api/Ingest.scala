@@ -1,0 +1,143 @@
+package graft.api
+
+import graft.io._
+import graft.schema.TableMeta
+import graft.sink.{AuditLog, TableSink, TableRef}
+import graft.validate.ValidateAndSplit
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.storage.StorageLevel
+import java.nio.file.{Files, Path}
+import scala.collection.mutable.ListBuffer
+import scala.util.control.NonFatal
+
+/** Typed mirror of the reference's `execute_ingest` kwargs
+  * (box_ingest.py:180-195). `folder` is an ObjectStore folder (local dir
+  * here, cloud folder behind another store impl).
+  */
+final case class IngestConfig(
+    taskOwner: String,
+    table: TableRef,
+    folder: String,
+    fileNameRegex: String,
+    sheetName: Option[String] = None,
+    metadata: Option[TableMeta] = None,
+    latest: Boolean = false,
+    justCopy: Boolean = true,
+    delete: Boolean = false,
+    skipRows: Int = 0)
+
+/** What actually happened — the reference only exposes this via audit-log
+  * rows (E1 swallows every exception, box_ingest.py:194-195); we keep the
+  * log-only failure mode AND return a typed report.
+  */
+final case class IngestReport(
+    processedFiles: Seq[String],
+    validRows: Long,
+    invalidRows: Long,
+    errors: Seq[String]) {
+  def ok: Boolean = errors.isEmpty
+}
+
+/** Ingest orchestration (reference O29 / E1):
+  * list → regex match → (latest?) → spool → per-file: unzip? → parse →
+  * copy-mode conform | validate+split → append main/_error tables →
+  * (delete?) → audit log at each step. Never throws.
+  */
+object Ingest {
+
+  def execute(conf: IngestConfig, store: ObjectStore = new LocalStore)(
+      implicit spark: SparkSession): IngestReport = {
+    val errors = ListBuffer.empty[String]
+    val processed = ListBuffer.empty[String]
+    var validRows = 0L
+    var invalidRows = 0L
+
+    def log(action: String, info: String): Unit =
+      try AuditLog.logTask(spark, conf.table, conf.taskOwner, action, info)
+      catch { case NonFatal(e) => errors += s"audit log failed: ${e.getMessage}" }
+
+    try {
+      val tmp = Files.createTempDirectory(s"graft_ingest_${conf.table.name}_")
+      log("Created temp directory", tmp.toString)
+
+      // O1-O3: list, anchored-regex match, optionally latest-only.
+      val matched0 = FileSelect.matching(store.list(conf.folder), conf.fileNameRegex)
+      val matched = if (conf.latest) FileSelect.latest(matched0).toSeq else matched0
+      if (matched.isEmpty)
+        log("No files found", s"regex ${conf.fileNameRegex} in ${conf.folder}")
+
+      // O4: spool (no-op cost for LocalStore; real download for remotes).
+      val spooled: Seq[Path] = matched.flatMap { st =>
+        try {
+          val dest = tmp.resolve(st.name)
+          val in = store.open(conf.folder, st.name)
+          try Files.copy(in, dest) finally in.close()
+          log("Downloaded file", st.name)
+          Some(dest)
+        } catch { case NonFatal(e) =>
+          errors += s"download ${st.name}: ${e.getMessage}"
+          log("Download failed", s"${st.name}: ${e.getMessage}")
+          None
+        }
+      }
+
+      def processFile(path: Path): Unit = {
+        val fname = path.getFileName.toString
+        try {
+          if (fname.toLowerCase.endsWith(".zip")) {
+            // O5: spool-extract and recurse into every extracted file.
+            val dest = Files.createTempDirectory(tmp, "unzipped_")
+            val in = Files.newInputStream(path)
+            val extracted = try Zip.extractAll(in, dest) finally in.close()
+            log("Unzipped file", s"$fname -> ${extracted.size} files")
+            extracted.foreach(processFile)
+            return
+          }
+          FormatReader.read(spark, path, conf.sheetName, conf.skipRows) match {
+            case FormatReader.Unsupported(reason) =>
+              log("Skipped file", s"$fname: $reason") // O9: log-and-skip
+            case FormatReader.Parsed(raw0) =>
+              // O10 happens inside ValidateAndSplit; for copy mode conform
+              // handles names. Cache: both split sides scan this frame.
+              val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+              try {
+                if (conf.justCopy) {
+                  // O22: conform to target schema minus process_dt.
+                  TableSink.appendConformed(raw, conf.table)
+                  validRows += raw.count()
+                } else {
+                  val meta = conf.metadata.getOrElse(throw new IllegalArgumentException(
+                    "metadata required when justCopy=false"))
+                  val split = ValidateAndSplit(raw, meta)
+                  TableSink.append(split.valid, conf.table)           // O21
+                  TableSink.append(split.invalid, conf.table.errorSibling)
+                  validRows += split.valid.count()
+                  invalidRows += split.invalid.count()
+                }
+              } finally raw.unpersist()
+              processed += fname
+              log("File processed", fname)
+          }
+        } catch { case NonFatal(e) =>
+          errors += s"process $fname: ${e.getMessage}"
+          log("File processing failed", s"$fname: ${e.getMessage}")
+        }
+      }
+
+      spooled.foreach(processFile)
+
+      // O24: optional post-ingest source cleanup of the matched names.
+      if (conf.delete) matched.foreach { st =>
+        try { store.delete(conf.folder, st.name); log("Deleted file", st.name) }
+        catch { case NonFatal(e) => errors += s"delete ${st.name}: ${e.getMessage}" }
+      }
+
+      log(if (errors.isEmpty) "Ingest completed" else "Ingest completed with errors",
+        s"${processed.size} files, $validRows valid, $invalidRows invalid rows")
+    } catch { case NonFatal(e) =>
+      errors += s"ingest failed: ${e.getMessage}"
+      log("Ingest failed", e.getMessage) // E1: failure is log-only
+    }
+    IngestReport(processed.toSeq, validRows, invalidRows, errors.toSeq)
+  }
+}

@@ -1,0 +1,265 @@
+package graft.io
+
+import java.io.{InputStream, OutputStream}
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path}
+import java.util.zip.{ZipEntry, ZipFile, ZipOutputStream}
+import javax.xml.stream.{XMLInputFactory, XMLStreamConstants, XMLStreamReader}
+import scala.collection.mutable.{ArrayBuffer, ListBuffer}
+
+/** Minimal xlsx reader/writer (reference O8 `pd.read_excel`
+  * box_ingest.py:152-156 and O27 `pdf.to_excel` box_export.py:42-46).
+  *
+  * No Excel library ships in /opt/spark/jars, and an xlsx file is just a
+  * zip of XML parts, so this implements the slice of SpreadsheetML the
+  * reference exercises with JDK-only zip + StAX:
+  *   reader: sheet selection by name or index, skiprows, shared strings,
+  *           inline strings, booleans, raw numeric text
+  *   writer: one sheet, header row + data rows, inline strings / numbers
+  * Everything else (styles, formulas, 1900-date serials) is out of scope
+  * and surfaces as the raw stored text.
+  */
+object Xlsx {
+
+  // ------------------------------------------------------------- reader
+
+  /** All cell values as strings (None = empty cell), row-major, after
+    * dropping `skipRows` leading rows. Sheet chosen by name, else the
+    * first sheet (pandas default sheet_name=0).
+    */
+  def read(path: Path, sheetName: Option[String], skipRows: Int): Seq[Seq[Option[String]]] = {
+    val zf = new ZipFile(path.toFile)
+    try {
+      val sheets = sheetTargets(zf) // (name, part path) in workbook order
+      val target = sheetName match {
+        case Some(n) => sheets.find(_._1 == n).getOrElse(
+          throw new IllegalArgumentException(
+            s"sheet '$n' not found; have ${sheets.map(_._1).mkString(", ")}"))._2
+        case None => sheets.head._2
+      }
+      val shared = readSharedStrings(zf)
+      val rows = readSheet(zf, target, shared)
+      rows.drop(skipRows)
+    } finally zf.close()
+  }
+
+  /** Sheet (name -> worksheet part) pairs in workbook order, resolving
+    * r:id through workbook.xml.rels. */
+  private def sheetTargets(zf: ZipFile): Seq[(String, String)] = {
+    val rels = withPart(zf, "xl/_rels/workbook.xml.rels") { r =>
+      val m = scala.collection.mutable.Map[String, String]()
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+            r.getLocalName == "Relationship") {
+          val id = r.getAttributeValue(null, "Id")
+          val t = r.getAttributeValue(null, "Target")
+          m(id) = if (t.startsWith("/")) t.drop(1)
+                  else if (t.startsWith("xl/")) t else s"xl/$t"
+        }
+      }
+      m.toMap
+    }
+    withPart(zf, "xl/workbook.xml") { r =>
+      val out = ListBuffer.empty[(String, String)]
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
+          val name = r.getAttributeValue(null, "name")
+          val rid = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == "id")
+            .map(r.getAttributeValue).getOrElse(
+              throw new IllegalStateException("sheet without r:id"))
+          out += name -> rels(rid)
+        }
+      }
+      out.toSeq
+    }
+  }
+
+  private def readSharedStrings(zf: ZipFile): IndexedSeq[String] = {
+    if (zf.getEntry("xl/sharedStrings.xml") == null) return Vector.empty
+    withPart(zf, "xl/sharedStrings.xml") { r =>
+      val out = ArrayBuffer.empty[String]
+      val sb = new StringBuilder
+      var inSi = false
+      var inT = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT =>
+          r.getLocalName match {
+            case "si" => inSi = true; sb.clear()
+            case "t" if inSi => inT = true
+            case _ =>
+          }
+        case XMLStreamConstants.CHARACTERS if inT => sb.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT =>
+          r.getLocalName match {
+            case "t" => inT = false
+            case "si" => inSi = false; out += sb.toString
+            case _ =>
+          }
+        case _ =>
+      }
+      out.toIndexedSeq
+    }
+  }
+
+  private def readSheet(zf: ZipFile, part: String,
+      shared: IndexedSeq[String]): Seq[Seq[Option[String]]] = {
+    withPart(zf, part) { r =>
+      val rows = ListBuffer.empty[ArrayBuffer[Option[String]]]
+      var cur: ArrayBuffer[Option[String]] = null
+      var cellCol = -1
+      var cellType = ""
+      var inV = false
+      var inIs = false
+      val text = new StringBuilder
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "row" => cur = ArrayBuffer.empty
+          case "c" =>
+            cellCol = Option(r.getAttributeValue(null, "r"))
+              .map(colIndex).getOrElse(cur.length)
+            cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            text.clear()
+          case "v" => inV = true
+          case "is" => inIs = true
+          case "t" if inIs => inV = true
+          case _ =>
+        }
+        case XMLStreamConstants.CHARACTERS if inV => text.append(r.getText)
+        case XMLStreamConstants.END_ELEMENT => r.getLocalName match {
+          case "v" => inV = false
+          case "t" if inIs => inV = false
+          case "is" => inIs = false
+          case "c" =>
+            val raw = text.toString
+            val value: Option[String] =
+              if (raw.isEmpty && cellType != "s") None
+              else cellType match {
+                case "s" => Some(shared(raw.trim.toInt))
+                case "b" => Some(if (raw.trim == "1") "True" else "False")
+                case _   => Some(raw) // n, str, inlineStr: stored text as-is
+              }
+            while (cur.length < cellCol) cur += None
+            if (value.isDefined || cur.length == cellCol) {
+              if (cur.length == cellCol) cur += value
+              else cur(cellCol) = value
+            }
+          case "row" => rows += cur; cur = null
+          case _ =>
+        }
+        case _ =>
+      }
+      rows.map(_.toSeq).toSeq
+    }
+  }
+
+  /** "BC7" -> 0-based column index 54. */
+  private[io] def colIndex(cellRef: String): Int = {
+    var i = 0
+    var acc = 0
+    while (i < cellRef.length && cellRef.charAt(i).isLetter) {
+      acc = acc * 26 + (cellRef.charAt(i).toUpper - 'A' + 1)
+      i += 1
+    }
+    acc - 1
+  }
+
+  private def withPart[A](zf: ZipFile, name: String)(f: XMLStreamReader => A): A = {
+    val entry = Option(zf.getEntry(name)).getOrElse(
+      throw new IllegalArgumentException(s"missing xlsx part: $name"))
+    val in = zf.getInputStream(entry)
+    val fac = XMLInputFactory.newInstance()
+    fac.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    fac.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    val r = fac.createXMLStreamReader(in, "UTF-8")
+    try f(r) finally { r.close(); in.close() }
+  }
+
+  // ------------------------------------------------------------- writer
+
+  /** Stream rows to a single-sheet xlsx. Strings become inline strings;
+    * numbers (Byte..Double, BigDecimal) become numeric cells; null =>
+    * empty cell; anything else (dates, timestamps) its toString — the
+    * export path renders query output, not typed spreadsheets
+    * (box_export.py:42-46 writes whatever pandas got back).
+    */
+  def write(out: OutputStream, sheetName: String, header: Seq[String],
+      rows: Iterator[Seq[Any]]): Unit = {
+    val z = new ZipOutputStream(out, StandardCharsets.UTF_8)
+    def part(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+         |<sheets><sheet name="${escape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
+         |</workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+
+    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
+    val w = new java.io.BufferedWriter(
+      new java.io.OutputStreamWriter(z, StandardCharsets.UTF_8))
+    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+    def writeRow(values: Seq[Any]): Unit = {
+      w.write("<row>")
+      values.foreach {
+        case null => w.write("<c/>")
+        case n: Byte => numCell(w, n.toString)
+        case n: Short => numCell(w, n.toString)
+        case n: Int => numCell(w, n.toString)
+        case n: Long => numCell(w, n.toString)
+        case n: Float => numCell(w, n.toString)
+        case n: Double => numCell(w, n.toString)
+        case n: java.math.BigDecimal => numCell(w, n.toPlainString)
+        case n: BigDecimal => numCell(w, n.bigDecimal.toPlainString)
+        case b: Boolean => w.write(s"""<c t="b"><v>${if (b) 1 else 0}</v></c>""")
+        case v => w.write(
+          s"""<c t="inlineStr"><is><t xml:space="preserve">${escape(v.toString)}</t></is></c>""")
+      }
+      w.write("</row>")
+    }
+    writeRow(header)
+    rows.foreach(writeRow)
+    w.write("</sheetData></worksheet>")
+    w.flush()
+    z.closeEntry()
+    z.finish()
+  }
+
+  private def numCell(w: java.io.Writer, v: String): Unit =
+    w.write(s"<c><v>$v</v></c>")
+
+  private def escape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case '&' => sb.append("&amp;")
+      case '"' => sb.append("&quot;")
+      case c if c < ' ' && c != '\t' && c != '\n' && c != '\r' =>
+        sb.append(' ') // control chars are invalid in XML 1.0
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}

@@ -1,0 +1,154 @@
+package graft.api
+
+import graft.TestSpark
+import graft.io.Xlsx
+import graft.schema.TableMeta
+import graft.sink.TableRef
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class IngestExportSpec extends AnyFunSuite {
+  implicit lazy val spark: org.apache.spark.sql.SparkSession = TestSpark.spark
+
+  private val meta = TableMeta.fromMetadata(
+    Seq("id" -> "int", "amount" -> "float", "note" -> "string"),
+    nonNullableFields = Seq("id"))
+
+  private def freshRef(name: String) = {
+    val ref = TableRef("t", "est", name)
+    Seq(ref.qualified, ref.errorSibling.qualified,
+        s"${ref.database}.box_ingestion_log").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    ref
+  }
+
+  test("ingest csv: validate path fills main, _error, and audit tables") {
+    val dir = Files.createTempDirectory("ing_")
+    Files.writeString(dir.resolve("data_1.csv"),
+      "id,amount,note\n1,2.5,ok\n,3.0,missing-id\n2,bad,bad-amount\n3,,null-amount-ok\n")
+    Files.writeString(dir.resolve("skipme.txt"), "nope")
+    val ref = freshRef("v1")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "data_.*\\.csv",
+      metadata = Some(meta), justCopy = false))
+    assert(report.ok, report.errors.mkString("; "))
+    assert(report.processedFiles === Seq("data_1.csv"))
+    assert(report.validRows === 2 && report.invalidRows === 2)
+
+    val main = spark.table(ref.qualified)
+    assert(main.columns.toSeq === Seq("id", "amount", "note", "process_dt"))
+    assert(main.count() === 2)
+    val errs = spark.table(ref.errorSibling.qualified)
+      .select("error_type").collect().map(_.getString(0)).sorted
+    assert(errs === Array(
+      "Null value in non-nullable column: id",
+      "Type mismatch for column: amount"))
+    val log = spark.table(s"${ref.database}.box_ingestion_log")
+    assert(log.count() >= 3) // temp dir + download + processed + completed
+  }
+
+  test("ingest zip: recursive extraction processes csv and json inside") {
+    val dir = Files.createTempDirectory("ingz_")
+    val zip = dir.resolve("bundle_1.zip")
+    val z = new ZipOutputStream(Files.newOutputStream(zip))
+    z.putNextEntry(new ZipEntry("a.csv"))
+    z.write("id,amount,note\n10,1.0,from-csv\n".getBytes); z.closeEntry()
+    z.putNextEntry(new ZipEntry("nested/b.json"))
+    z.write("""[{"id": 11, "amount": 2.0, "note": "from-json"}]""".getBytes)
+    z.closeEntry(); z.close()
+    val ref = freshRef("vzip")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "bundle_.*\\.zip",
+      metadata = Some(meta), justCopy = false))
+    assert(report.ok, report.errors.mkString("; "))
+    assert(report.validRows === 2)
+    val notes = spark.table(ref.qualified).select("note")
+      .collect().map(_.getString(0)).sorted
+    assert(notes === Array("from-csv", "from-json"))
+  }
+
+  test("ingest xlsx: sheet selection + skipRows through the real reader") {
+    val dir = Files.createTempDirectory("ingx_")
+    val out = Files.newOutputStream(dir.resolve("book_1.xlsx"))
+    Xlsx.write(out, "data", Seq("junk1"),
+      Iterator(Seq("junk2"), Seq("id"), Seq("junk-should-not-appear")))
+    out.close()
+    // two leading junk rows then header-only content: use a realistic one
+    val out2 = Files.newOutputStream(dir.resolve("book_2.xlsx"))
+    Xlsx.write(out2, "data", Seq("skip this", null),
+      Iterator(Seq("ID", "Amount"), Seq("5", "1.25"), Seq("6", "2.5")))
+    out2.close()
+    val ref = freshRef("vxlsx")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "book_2\\.xlsx",
+      sheetName = Some("data"), skipRows = 1,
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("id" -> "int", "amount" -> "float"), Seq("id"))),
+      justCopy = false))
+    assert(report.ok, report.errors.mkString("; "))
+    assert(report.validRows === 2 && report.invalidRows === 0)
+    assert(spark.table(ref.qualified).select("id")
+      .collect().map(_.getLong(0)).sorted === Array(5L, 6L))
+  }
+
+  test("ingest copy mode conforms to existing target schema") {
+    val ref = freshRef("vcopy")
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS ${ref.database}")
+    spark.sql(s"""CREATE TABLE ${ref.qualified}
+      (id BIGINT, amount DOUBLE, note STRING, process_dt TIMESTAMP)
+      USING parquet""")
+    val dir = Files.createTempDirectory("ingc_")
+    // extra column dropped, missing column -> NULL, case-insensitive match
+    Files.writeString(dir.resolve("copy_1.csv"),
+      "ID,extra,AMOUNT\n7,zzz,1.5\n8,zzz,2.5\n")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "copy_.*\\.csv", justCopy = true))
+    assert(report.ok, report.errors.mkString("; "))
+    val rows = spark.table(ref.qualified).orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(7L, 8L))
+    assert(rows.forall(_.isNullAt(2))) // note absent from file -> NULL
+  }
+
+  test("ingest latest=true picks newest matching file; delete removes source") {
+    val dir = Files.createTempDirectory("ingl_")
+    val f1 = dir.resolve("feed_1.csv"); Files.writeString(f1, "id,amount,note\n1,1.0,old\n")
+    val f2 = dir.resolve("feed_2.csv"); Files.writeString(f2, "id,amount,note\n2,2.0,new\n")
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(1000))
+    Files.setLastModifiedTime(f2, java.nio.file.attribute.FileTime.fromMillis(2000))
+    val ref = freshRef("vlatest")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "feed_.*\\.csv",
+      metadata = Some(meta), justCopy = false, latest = true, delete = true))
+    assert(report.ok, report.errors.mkString("; "))
+    assert(report.processedFiles === Seq("feed_2.csv"))
+    assert(Files.exists(f1) && !Files.exists(f2)) // only the ingested one deleted
+  }
+
+  test("export: sql -> xlsx -> reader roundtrip with rename and overwrite") {
+    spark.range(3).selectExpr("id", "id * 1.5 AS v", "concat('r', id) AS label")
+      .createOrReplaceTempView("exp_src")
+    val dir = Files.createTempDirectory("exp_")
+    val conf = ExportConfig(
+      "tester", "SELECT id, v, label FROM exp_src ORDER BY id",
+      dir.toString, "res.xlsx", sheetName = "out",
+      columnMapping = Map("LABEL" -> "name"), // case-insensitive key
+      logTable = TableRef("t", "est", "exp"))
+    val r1 = Export.execute(conf)
+    assert(r1.ok && r1.rows === 3)
+    val r2 = Export.execute(conf) // overwrite, not append
+    assert(r2.ok)
+    val rows = Xlsx.read(dir.resolve("res.xlsx"), Some("out"), 0)
+    assert(rows.head === Seq(Some("id"), Some("v"), Some("name")))
+    assert(rows.size === 4)
+    assert(rows(1) === Seq(Some("0"), Some("0.0"), Some("r0")))
+  }
+
+  test("export failure is swallowed into the report (E2 semantics)") {
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT * FROM table_that_does_not_exist",
+      Files.createTempDirectory("expf_").toString, "x.xlsx",
+      logTable = TableRef("t", "est", "expf")))
+    assert(!r.ok && r.errors.exists(_.contains("export failed")))
+  }
+}

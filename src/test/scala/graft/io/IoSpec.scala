@@ -1,0 +1,90 @@
+package graft.io
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.io.ByteArrayOutputStream
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+class IoSpec extends AnyFunSuite {
+
+  test("LocalStore: list / open / putOverwrite / delete") {
+    val dir = Files.createTempDirectory("store_").toString
+    val store = new LocalStore
+    assert(store.list(dir).isEmpty)
+    store.putOverwrite(dir, "a.txt", _.write("hello".getBytes))
+    store.putOverwrite(dir, "a.txt", _.write("world".getBytes)) // overwrite
+    assert(store.list(dir).map(_.name) === Seq("a.txt"))
+    val in = store.open(dir, "a.txt")
+    assert(new String(in.readAllBytes()) === "world"); in.close()
+    store.delete(dir, "a.txt")
+    assert(store.list(dir).isEmpty)
+  }
+
+  test("FileSelect: re.match anchoring and latest-by-mtime") {
+    val items = Seq(
+      ObjectStat("sales_2024.csv", 100, 1),
+      ObjectStat("old_sales_2023.csv", 300, 1),
+      ObjectStat("sales_2025.csv", 200, 1))
+    val m = FileSelect.matching(items, "sales_\\d+")
+    assert(m.map(_.name).sorted === Seq("sales_2024.csv", "sales_2025.csv"))
+    assert(FileSelect.latest(m).map(_.name) === Some("sales_2025.csv"))
+  }
+
+  test("Zip: nested extraction; zip-slip rejected") {
+    val bytes = {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      z.putNextEntry(new ZipEntry("a.csv")); z.write("x".getBytes); z.closeEntry()
+      z.putNextEntry(new ZipEntry("sub/b.json")); z.write("y".getBytes); z.closeEntry()
+      z.close(); bos.toByteArray
+    }
+    val dest = Files.createTempDirectory("unzip_")
+    val files = Zip.extractAll(new java.io.ByteArrayInputStream(bytes), dest)
+    assert(files.map(f => dest.relativize(f).toString).sorted === Seq("a.csv", "sub/b.json"))
+
+    val evil = {
+      val bos = new ByteArrayOutputStream()
+      val z = new ZipOutputStream(bos)
+      z.putNextEntry(new ZipEntry("../../evil.sh")); z.write("!".getBytes); z.closeEntry()
+      z.close(); bos.toByteArray
+    }
+    assertThrows[SecurityException] {
+      Zip.extractAll(new java.io.ByteArrayInputStream(evil),
+        Files.createTempDirectory("unzip2_"))
+    }
+  }
+
+  test("Xlsx: write -> read roundtrip with types, escapes, nulls") {
+    val f = Files.createTempFile("x", ".xlsx")
+    val out = Files.newOutputStream(f)
+    Xlsx.write(out, "data", Seq("name", "qty", "price", "flag"),
+      Iterator(
+        Seq("a<b&c\"d", 42L, 1.5, true),
+        Seq("Ünïcødé ok", null, -0.25, false),
+        Seq(null, 7, 99.0, null)))
+    out.close()
+    val rows = Xlsx.read(f, Some("data"), 0)
+    assert(rows.head === Seq(Some("name"), Some("qty"), Some("price"), Some("flag")))
+    assert(rows(1) === Seq(Some("a<b&c\"d"), Some("42"), Some("1.5"), Some("True")))
+    assert(rows(2)(0) === Some("Ünïcødé ok") && rows(2)(1) === None)
+    assert(rows(3) === Seq(None, Some("7"), Some("99.0"), None))
+  }
+
+  test("Xlsx: sheet selection by name, skipRows, missing sheet error") {
+    val f = Files.createTempFile("x2", ".xlsx")
+    val out = Files.newOutputStream(f)
+    Xlsx.write(out, "s1", Seq("h"), Iterator(Seq("junk"), Seq("v1")))
+    out.close()
+    assert(Xlsx.read(f, None, 0).size === 3)     // default = first sheet
+    assert(Xlsx.read(f, Some("s1"), 2) === Seq(Seq(Some("v1"))))
+    val e = intercept[IllegalArgumentException](Xlsx.read(f, Some("nope"), 0))
+    assert(e.getMessage.contains("not found"))
+  }
+
+  test("Xlsx: colIndex decodes multi-letter refs") {
+    assert(Xlsx.colIndex("A1") === 0)
+    assert(Xlsx.colIndex("Z9") === 25)
+    assert(Xlsx.colIndex("AA12") === 26)
+    assert(Xlsx.colIndex("BC7") === 54)
+  }
+}
