@@ -1,0 +1,221 @@
+package graft.ext
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication operators for a training-data pipeline, each built as a
+  * bounded-shuffle plan that survives 100 TB:
+  *
+  *  - exact: hash-groupBy on the dedup key (one shuffle).
+  *  - MinHash + LSH: per-row signature (narrow) → banding → one shuffle on
+  *    (band, bandHash) → candidate pairs → exact-Jaccard verify. Never
+  *    compares all N² pairs; cost is O(N·H) hashing + pairs-per-bucket.
+  *  - SimHash: per-row 64-bit signature (narrow) → 16-bit chunk banding
+  *    (Hamming ≤ 3 ⇒ some 16-bit quarter is equal, pigeonhole) → verify
+  *    with bit_count(xor).
+  *  - n-gram Jaccard: inverted index on token n-grams (explode + one
+  *    shuffle) → pair counting → Jaccard from carried set sizes.
+  *  - embedding cosine: random-hyperplane LSH bucket join → verify with
+  *    the codegen'd FloatCosine expression.
+  */
+object Dedup {
+
+  // ----------------------------------------------------------- exact
+
+  /** Exact dedup: first-seen row per key set (min id as representative). */
+  def exact(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.dropDuplicates(cols)
+
+  /** Exact-dup groups with the kept representative: (key cols, keep_id, n). */
+  def exactGroups(df: DataFrame, text: String, id: String): DataFrame =
+    df.groupBy(col(text))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Fingerprint-based exact dedup: groups by the 64-bit rolling hash
+    * instead of the full text — the shuffle carries 8 bytes per doc, not
+    * the document body. */
+  def byFingerprint(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), GraftFunctions.fingerprint(col(text)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  // ----------------------------------------------------------- minhash
+
+  final case class MinHashConfig(
+      shingleSize: Int = 5,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      threshold: Double = 0.8) {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Distinct character k-shingles of the lowercased text. */
+  private[ext] def shingleCol(text: Column, k: Int): Column = {
+    val t = lower(text)
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(t) - k, lit(0))),
+      i => t.substr(i + 1, lit(k))))
+  }
+
+  /** MinHash signature: element h = min over shingles of xxhash64(h, s). */
+  private def signatureCol(shingles: Column, numHashes: Int): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      h => array_min(transform(shingles, s => xxhash64(h, s))))
+
+  /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+    * `jaccard` is the exact shingle-set Jaccard, computed only for LSH
+    * candidates. */
+  def minHashPairs(df: DataFrame, text: String, id: String,
+      conf: MinHashConfig = MinHashConfig()): DataFrame = {
+    val r = conf.rowsPerBand
+    val base = df
+      .select(col(id).as("doc_id"), shingleCol(col(text), conf.shingleSize).as("sh"))
+      .where(size(col("sh")) > 0)
+    val sigs = base.withColumn("sig", signatureCol(col("sh"), conf.numHashes))
+    val bands = sigs.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(conf.bands - 1)),
+        b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      .withColumnRenamed("pos", "band")
+      .withColumnRenamed("col", "band_hash")
+
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") &&
+        col("a.band_hash") === col("b.band_hash") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+
+    val withSets = cand
+      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .withColumn("jaccard",
+        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+      .where(col("jaccard") >= conf.threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Greedy dedup from pairs: drop every doc that duplicates a lower id. */
+  def dropFromPairs(df: DataFrame, id: String, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as(id)).distinct(), Seq(id), "left_anti")
+
+  // ----------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
+    * token hashes, folded into one long. Pure expressions — stays narrow. */
+  private[ext] def simHashCol(text: Column): Column = {
+    val hashes = transform(
+      filter(split(lower(text), "\\s+"), t => length(t) > 0),
+      t => xxhash64(t))
+    val votes = aggregate(
+      hashes,
+      array_repeat(lit(0), 64),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
+        (a, k) => a + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
+    aggregate(reverse(votes), lit(0L),
+      (acc, v) => call_function("shiftleft", acc, lit(1))
+        .bitwiseOR(when(v > 0, 1L).otherwise(0L)))
+  }
+
+  /** Near-duplicate pairs by SimHash Hamming distance <= maxDist (default
+    * 3). LSH property: distance <= 3 over 64 bits ⇒ at least one of the
+    * four 16-bit chunks matches exactly, so candidates come from a chunk
+    * equi-join, not N². */
+  def simHashPairs(df: DataFrame, text: String, id: String,
+      maxDist: Int = 3): DataFrame = {
+    val sigs = df.select(col(id).as("doc_id"), simHashCol(col(text)).as("sig"))
+    val chunks = sigs.select(
+      col("doc_id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(0xFFFFL))))
+      .withColumnRenamed("pos", "chunk")
+      .withColumnRenamed("col", "chunk_val")
+    chunks.as("a")
+      .join(chunks.as("b"),
+        col("a.chunk") === col("b.chunk") &&
+        col("a.chunk_val") === col("b.chunk_val") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxDist)
+  }
+
+  // ------------------------------------------------------ ngram jaccard
+
+  /** Token n-gram Jaccard similarity join: pairs with jaccard >= threshold
+    * found via an inverted index (explode n-grams, equi-join on the gram).
+    * Set sizes ride along so Jaccard needs no second join. */
+  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val tokens = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val grams = df.select(
+      col(id).as("doc_id"),
+      array_distinct(transform(
+        sequence(lit(0), greatest(size(tokens) - n, lit(0))),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")))
+    val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
+    inv.as("a")
+      .join(inv.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
+      .agg(count(lit(1)).cast(DoubleType).as("shared"))
+      .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ----------------------------------------------- embedding near-dup
+
+  /** Deterministic random hyperplanes (seeded; no runtime randomness). */
+  private[ext] def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Sign-bit signature of an ARRAY<FLOAT> against literal hyperplanes,
+    * as an array of `bands` ints (8 planes per band). Cosine-similar
+    * vectors agree on most sign bits, so near-dups collide in some band. */
+  private def bandSigCol(vec: Column, dim: Int, bands: Int, seed: Long): Column = {
+    val ps = planes(dim, bands * 8, seed)
+    val bandVals = (0 until bands).map { b =>
+      (0 until 8).map { j =>
+        val plane = typedLit(ps(b * 8 + j).toSeq)
+        val dot = aggregate(
+          zip_with(vec, plane, (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v)
+        when(dot > 0, lit(1 << j)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }
+    array(bandVals: _*)
+  }
+
+  /** Near-duplicate embedding pairs (cosine >= threshold), LSH-bucketed:
+    * one shuffle on (band, 8-bit signature), verify with FloatCosine. */
+  def embeddingPairs(df: DataFrame, vec: String, id: String, dim: Int,
+      threshold: Double = 0.95, bands: Int = 8, seed: Long = 42L): DataFrame = {
+    val sigs = df.select(col(id).as("vid"), col(vec).as("v"))
+      .withColumn("bands", bandSigCol(col("v"), dim, bands, seed))
+    val buckets = sigs.select(col("vid"), col("v"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+        col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
+        col("a.v").as("va"), col("b.v").as("vb"))
+      .distinct()
+      .withColumn("cosine", GraftFunctions.cosine(col("va"), col("vb")))
+      .where(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video payloads ride as opaque
+  * BINARY columns with typed metadata, and per-record decode/feature
+  * extraction runs distributed in fixed-size batches via mapPartitions
+  * (the JVM analogue of a batched pandas UDF: amortize model/codec setup
+  * across a batch, bound peak memory by batch size).
+  *
+  * The actual byte decoding is a STUB — no image/audio codecs ship in
+  * this container (see `StubCodec`); it derives deterministic
+  * pseudo-features from the bytes so the Spark-side contract (schema,
+  * batching, partitioning, feature shape) is real and testable. A
+  * production deployment replaces StubCodec with a real decoder without
+  * touching any plan shape.
+  */
+object Multimodal {
+
+  /** One media record: payload + typed metadata. */
+  final case class MediaRecord(
+      media_id: Long,
+      media_type: String,           // "image" | "audio" | "video"
+      content: Array[Byte],
+      width: Int, height: Int,      // images/video
+      sample_rate: Int,             // audio
+      source: String)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      media_type: String,
+      n_bytes: Long,
+      feature: Array[Float])
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType),
+    StructField("content", BinaryType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("source", StringType)))
+
+  /** ??? in spirit: stands in for libjpeg/ffmpeg/librosa decode. Produces
+    * `dim` deterministic floats by folding the payload bytes through a
+    * per-dimension rolling hash — same bytes in, same features out. */
+  object StubCodec {
+    def decodeToFeatures(bytes: Array[Byte], dim: Int): Array[Float] = {
+      val out = new Array[Float](dim)
+      var d = 0
+      while (d < dim) {
+        var h = 1125899906842597L + d * 2654435761L
+        var i = 0
+        while (i < bytes.length) { h = h * 31L + bytes(i); i += 1 }
+        // murmur fmix64 finalizer: the rolling hash concentrates input
+        // entropy in the low bits; avalanche it before truncating to float
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL
+        h ^= h >>> 33; h *= 0xc4ceb9fe1a85ec53L
+        h ^= h >>> 33
+        // map to [-1, 1)
+        out(d) = ((h >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0).toFloat
+        d += 1
+      }
+      out
+    }
+
+    /** Frame sampling stub: `n` evenly-spaced byte-slices stand in for
+      * decoded video frames. */
+    def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
+      if (bytes.isEmpty || n <= 0) return Nil
+      val stride = math.max(1, bytes.length / n)
+      (0 until math.min(n, bytes.length)).map { i =>
+        bytes.slice(i * stride, math.min(bytes.length, i * stride + stride))
+      }
+    }
+  }
+
+  /** Batched distributed feature extraction. `batchSize` bounds the
+    * records decoded per inner batch (the mapInPandas batch-shape
+    * analogue); `dim` is the embedding dimensionality.
+    */
+  def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // A real codec would init once per batch here (model load, etc.).
+        batch.iterator.map { r =>
+          MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+            StubCodec.decodeToFeatures(r.content, dim))
+        }
+      }
+    }
+  }
+
+  /** Build a media table from any (id, string payload) source — used by
+    * tests and the gate query to exercise the plumbing with the documents
+    * table standing in for binary blobs. */
+  def fromText(df: DataFrame, id: String, text: String): DataFrame =
+    df.select(
+      col(id).cast(LongType).as("media_id"),
+      lit("image").as("media_type"),
+      encode(col(text), "UTF-8").cast(BinaryType).as("content"),
+      lit(64).as("width"), lit(64).as("height"),
+      lit(0).as("sample_rate"),
+      lit("synthetic").as("source"))
+
+  def toDataset(spark: SparkSession, df: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    df.as[MediaRecord]
+  }
+}

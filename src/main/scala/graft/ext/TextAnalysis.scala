@@ -1,0 +1,107 @@
+package graft.ext
+
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for a training-data pipeline (BASELINE.json
+  * north star): token/char/punct statistics, quality scoring, language
+  * identification, document fingerprinting. All are narrow per-row
+  * projections — no shuffle, full whole-stage codegen, so they stream at
+  * scan speed over any corpus size.
+  */
+object TextAnalysis {
+
+  /** Whitespace-delimited token count (a BPE-ish proxy also splits
+    * punctuation; see `bpeTokenCount`). */
+  def tokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[^\\s]+"), lit(0))).cast(LongType)
+
+  /** Count of word-ish subtokens under a BPE-flavored pre-tokenization:
+    * word pieces, numbers, and single punctuation marks each count. */
+  def bpeTokenCount(c: Column): Column =
+    size(regexp_extract_all(c, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
+      .cast(LongType)
+
+  def charCount(c: Column): Column = length(c).cast(LongType)
+
+  def punctCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[.,;:!?]", "")) cast LongType
+
+  def digitCount(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[0-9]", "")) cast LongType
+
+  /** Per-document statistics frame. */
+  def stats(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(
+      col(id),
+      charCount(col(text)).as("n_chars"),
+      tokenCount(col(text)).as("n_tokens"),
+      bpeTokenCount(col(text)).as("n_bpe_tokens"),
+      punctCount(col(text)).as("n_punct"),
+      digitCount(col(text)).as("n_digits"))
+
+  /** Quality gate in pure integer arithmetic (ratio thresholds expressed
+    * as cross-multiplications so no floating point is involved):
+    *   - length in [minChars, maxChars]
+    *   - at least minTokens tokens
+    *   - punctuation <= 10% of characters
+    *   - digits <= 30% of characters
+    *   - mean token length in [2, 15] chars
+    */
+  def qualityFlag(text: Column,
+      minChars: Int = 50, maxChars: Int = 100000, minTokens: Int = 5): Column = {
+    val chars = charCount(text)
+    val tokens = tokenCount(text)
+    val punct = punctCount(text)
+    val digits = digitCount(text)
+    chars.between(minChars, maxChars) &&
+      (tokens >= minTokens) &&
+      (punct * 10 <= chars) &&
+      (digits * 10 <= chars * 3) &&
+      (chars <= tokens * 16) && (chars >= tokens * 2)
+  }
+
+  def quality(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), qualityFlag(col(text)).as("is_quality"))
+
+  /** 64-bit rolling-hash document fingerprint (custom codegen'd Catalyst
+    * expression — graft.functions.RollingFingerprint). Equal fingerprints
+    * => byte-identical text (mod 2^64 collisions). */
+  def fingerprint(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), GraftFunctions.fingerprint(col(text)).as("fingerprint"))
+
+  // ------------------------------------------------------------ lang id
+
+  /** Tiny deterministic stopword profiles (public common-word lists). A
+    * real deployment swaps in character-n-gram models; the operator shape
+    * (broadcast profiles, one codegen'd projection, argmax) is what
+    * matters at 100 TB.
+    */
+  private[ext] val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une", "du", "est", "pour"),
+    "it" -> Seq("il", "di", "che", "la", "per", "un", "in", "del", "una", "con"))
+
+  /** Language-ID by stopword hit counting: score(lang) = #tokens that are
+    * in that language's stopword set; argmax wins, "und" (undetermined)
+    * when no profile scores. One pass: tokens array is computed once,
+    * each profile scores via a size(array_intersect-like filter).
+    */
+  def langIdCol(text: Column): Column = {
+    val tokens = split(lower(text), "\\s+")
+    val scored = StopwordProfiles.map { case (lang, words) =>
+      struct(
+        size(filter(tokens, t => t.isInCollection(words))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  def langId(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), langIdCol(col(text)).as("lang_pred"))
+}

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Gate queries for the LLM-pipeline extension operators. Where the
+  * semantics are ANSI-SQL-expressible the DuckDB oracle replays them
+  * (text stats, quality, exact dedup, sessionization, brute-force KNN
+  * ranks); LSH/stub-based operators are checked rows-only, over inputs
+  * with deterministically planted near-duplicates so a correct
+  * implementation provably returns rows.
+  */
+object ExtensionQueries {
+
+  // ------------------------------------------------------------- text
+
+  def textStats(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.stats(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  private val textStatsOracle =
+    """SELECT doc_id,
+      | CAST(length(text) AS BIGINT) AS n_chars,
+      | CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens,
+      | CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      | CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS n_punct,
+      | CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textQuality(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.quality(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  private val textQualityOracle =
+    """SELECT doc_id,
+      | (chars BETWEEN 50 AND 100000) AND tokens >= 5
+      |  AND punct * 10 <= chars AND digits * 10 <= chars * 3
+      |  AND chars <= tokens * 16 AND chars >= tokens * 2 AS is_quality
+      |FROM (
+      | SELECT doc_id, length(text) AS chars,
+      |  len(regexp_extract_all(text, '[^\s]+')) AS tokens,
+      |  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct,
+      |  length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits
+      | FROM documents) t ORDER BY doc_id""".stripMargin
+
+  def langId(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  def fingerprints(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  // ------------------------------------------------------------ dedup
+
+  /** documents ∪ near-identical copies of doc_id < 25 (id + 100000) — a
+    * deterministic corpus where near-dup detectors must fire. */
+  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val dups = docs.where(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    docs.union(dups)
+  }
+
+  private def plantedEmbeddings(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+    val dups = e.where(col("vec_id") < 25).select(
+      (col("vec_id") + 100000).as("vec_id"),
+      col("embedding"))
+    e.union(dups)
+  }
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactGroups(
+      plantedDocs(s, d).union(plantedDocs(s, d).where(col("doc_id") < 10)),
+      "text", "doc_id")
+      .orderBy("keep_id")
+
+  private val dedupExactOracle =
+    """WITH planted AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 25),
+      |corpus AS (
+      | SELECT * FROM planted
+      | UNION ALL
+      | SELECT * FROM planted WHERE doc_id < 10)
+      |SELECT text, CAST(min(doc_id) AS BIGINT) AS keep_id, count(*) AS n_copies
+      |FROM corpus GROUP BY text ORDER BY keep_id""".stripMargin
+
+  def dedupMinHash(s: SparkSession, d: String): DataFrame =
+    Dedup.minHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  def dedupSimHash(s: SparkSession, d: String): DataFrame =
+    Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  def dedupNgram(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingPairs(plantedEmbeddings(s, d), "embedding", "vec_id", dim = 64)
+      .orderBy("id_a", "id_b")
+
+  // ------------------------------------------------------- similarity
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  /** Rank-only output: cosine values are float-accumulation-sensitive
+    * across engines, the ordering is not (random embeddings, gaps ≫ ulp).
+    */
+  def knnBruteForce(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), k = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  private val knnOracle =
+    """SELECT query_id, rank, corpus_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+      | FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      | WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  def knnIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(corpus(s, d), queriesDf(s, d), k = 5, nlist = 20, nprobe = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  // ------------------------------------------------------- multimodal
+
+  def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")
+    Multimodal.extractFeatures(Multimodal.toDataset(s, media), dim = 8)
+      .toDF()
+      .select(col("media_id"), col("media_type"), col("n_bytes"),
+        round(element_at(col("feature"), 1), 6).as("f0"))
+      .orderBy("media_id")
+  }
+
+  // -------------------------------------------------------- streaming
+
+  def sessionizeBatch(s: SparkSession, d: String): DataFrame =
+    EventStream.sessionize(Tables.events(s, d))
+      .orderBy("user_id", "session_id")
+
+  private val sessionizeOracle =
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      | count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      |FROM (
+      | SELECT user_id, ts, event_id,
+      |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS UNBOUNDED PRECEDING) AS session_id
+      | FROM (
+      |  SELECT user_id, ts, event_id,
+      |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |    OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |   THEN 1 ELSE 0 END AS new_session
+      |  FROM events) t) t2
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("t1_text_stats", textStats, Some(textStatsOracle)),
+    QueryDef("t2_text_quality", textQuality, Some(textQualityOracle)),
+    QueryDef("t3_lang_id", langId, None),
+    QueryDef("t4_fingerprint", fingerprints, None),
+    QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
+    QueryDef("d2_dedup_minhash", dedupMinHash, None, bench = true),
+    QueryDef("d3_dedup_simhash", dedupSimHash, None),
+    QueryDef("d4_dedup_ngram", dedupNgram, None),
+    QueryDef("d5_dedup_embedding", dedupEmbedding, None),
+    QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
+    QueryDef("s2_knn_ivf", knnIvf, None),
+    QueryDef("m1_multimodal_features", multimodalFeatures, None),
+    QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle)))
+}

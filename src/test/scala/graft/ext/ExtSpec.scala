@@ -1,0 +1,158 @@
+package graft.ext
+
+import graft.TestSpark
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExtSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ------------------------------------------------------ expressions
+
+  test("RollingFingerprint: deterministic, order-sensitive, SQL-registered") {
+    GraftFunctions.register(spark)
+    val df = Seq("abc", "abc", "acb", "").toDF("t")
+      .select(GraftFunctions.fingerprint($"t").as("fp"))
+    val fps = df.collect().map(_.getLong(0))
+    assert(fps(0) === fps(1))
+    assert(fps(0) !== fps(2))
+    val viaSql = spark.sql("SELECT graft_fingerprint('abc')").collect()(0).getLong(0)
+    assert(viaSql === fps(0))
+  }
+
+  test("FloatCosine: parallel/orthogonal/zero vectors; codegen matches interpreted") {
+    val df = Seq(
+      (Array(1f, 0f), Array(2f, 0f)),   // parallel -> 1
+      (Array(1f, 0f), Array(0f, 3f)),   // orthogonal -> 0
+      (Array(0f, 0f), Array(1f, 1f)),   // zero norm -> 0
+      (Array(1f, 2f), Array(1f, 2f)))   // self -> 1
+      .toDF("a", "b")
+    val got = df.select(GraftFunctions.cosine($"a", $"b")).collect().map(_.getDouble(0))
+    assert(math.abs(got(0) - 1.0) < 1e-12 && got(1) === 0.0 && got(2) === 0.0)
+    assert(math.abs(got(3) - 1.0) < 1e-12)
+  }
+
+  // ------------------------------------------------------------ text
+
+  test("TextAnalysis.stats counts chars/tokens/punct/digits") {
+    val df = Seq((1L, "Hello, world! 42 times.")).toDF("doc_id", "text")
+    val r = TextAnalysis.stats(df, "text", "doc_id").collect()(0)
+    assert(r.getAs[Long]("n_chars") === 23L)
+    assert(r.getAs[Long]("n_tokens") === 4L)
+    assert(r.getAs[Long]("n_punct") === 3L)   // , ! .
+    assert(r.getAs[Long]("n_digits") === 2L)
+  }
+
+  test("TextAnalysis.langId picks the stopword-matching language") {
+    val df = Seq(
+      (1L, "the cat and the dog of it is that"),
+      (2L, "el perro y la casa de que en un los"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got === Array("en", "es", "und"))
+  }
+
+  // ----------------------------------------------------------- dedup
+
+  test("Dedup.byFingerprint groups byte-identical docs") {
+    val df = Seq((1L, "same text"), (2L, "same text"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.byFingerprint(df, "text", "doc_id")
+      .orderBy("keep_id").collect()
+    assert(groups.map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("n_copies"))).toSeq
+      === Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("Dedup.minHashPairs finds planted near-dups, not unrelated docs") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 3
+    val df = Seq(
+      (1L, base), (2L, base + " tail"),
+      (3L, "completely different content about spark catalyst optimizer internals and shuffles"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minHashPairs(df, "text", "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(pairs(0).getAs[Double]("jaccard") > 0.8)
+  }
+
+  test("Dedup.simHashPairs: hamming 0 for identical, pairs for near-dups") {
+    // many distinct tokens -> few zero-vote ties -> stable signature
+    // (simhash's design regime; tiny-vocab docs flip too many bits)
+    val base = (1 to 300).map(i => s"tok${i}word").mkString(" ")
+    val df = Seq((1L, base), (2L, base + " tail"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairs(df, "text", "doc_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+  }
+
+  test("Dedup.ngramJaccardPairs and dropFromPairs") {
+    val base = "one two three four five six seven eight nine ten eleven twelve"
+    val df = Seq((1L, base), (2L, base + " thirteen"), (3L, "a b c d e f g"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id")
+    assert(pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    val kept = Dedup.dropFromPairs(df, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).sorted
+    assert(kept === Array(1L, 3L))
+  }
+
+  test("Dedup.embeddingPairs finds identical embeddings via LSH buckets") {
+    val v1 = Array.tabulate(8)(i => (math.sin(i + 1) * 0.5).toFloat)
+    val v2 = v1.clone()
+    val v3 = Array.tabulate(8)(i => (math.cos(i * 2 + 1) * 0.5).toFloat)
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingPairs(df, "embedding", "vec_id", dim = 8)
+    val got = pairs.collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    assert(math.abs(got(0).getAs[Double]("cosine") - 1.0) < 1e-9)
+  }
+
+  // ------------------------------------------------------ similarity
+
+  test("Similarity.bruteForceTopK exact ranks on a tiny known corpus") {
+    val q = Seq((0L, Array(1f, 0f, 0f))).toDF("qid", "qvec")
+    val c = Seq(
+      (0L, Array(1f, 0f, 0f)),    // self, excluded
+      (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0.5f, 0.5f, 0f)),
+      (3L, Array(0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f))).toDF("cid", "cvec")
+    val top = Similarity.bruteForceTopK(c, q, k = 3).orderBy("rank").collect()
+    assert(top.map(_.getAs[Long]("corpus_id")).toSeq === Seq(1L, 2L, 3L))
+    assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+  }
+
+  test("Similarity.ivfTopK with full probing equals brute force") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(6)(j => (math.sin(i * 7 + j) * 0.3).toFloat)))
+    val c = vecs.toDF("cid", "cvec")
+    val q = vecs.take(3).map { case (i, v) => (i, v) }.toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(c, q, 4)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    val ivf = Similarity.ivfTopK(c, q, 4, nlist = 8, nprobe = 8)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    assert(ivf === bf) // nprobe = nlist -> exhaustive -> identical
+  }
+
+  // ------------------------------------------------------ multimodal
+
+  test("Multimodal: batched stub decode is deterministic with stable schema") {
+    val df = Seq((1L, "payload-one"), (2L, "payload-two"), (1000L, "payload-one"))
+      .toDF("doc_id", "text")
+    val media = Multimodal.fromText(df, "doc_id", "text")
+    assert(media.schema.map(f => (f.name, f.dataType)) ===
+      Multimodal.mediaSchema.map(f => (f.name, f.dataType)))
+    val feats = Multimodal.extractFeatures(
+      Multimodal.toDataset(spark, media), dim = 4, batchSize = 2)
+      .collect().sortBy(_.media_id)
+    assert(feats.map(_.feature.length).toSeq === Seq(4, 4, 4))
+    assert(feats(0).feature.toSeq === feats(2).feature.toSeq) // same bytes
+    assert(feats(0).feature.toSeq !== feats(1).feature.toSeq)
+    assert(feats(0).n_bytes === "payload-one".getBytes.length.toLong)
+    assert(Multimodal.StubCodec.sampleFrames("abcdefgh".getBytes, 4).size === 4)
+  }
+}

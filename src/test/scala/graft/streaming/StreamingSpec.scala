@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.TestSpark
+import graft.queries.Relational
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("streaming hourlyCounts over AvailableNow equals the batch q13 plan") {
+    val src = EventStream.source(spark, TestSpark.sf0001)
+    assert(src.isStreaming)
+    val q = EventStream.hourlyCounts(src)
+      .writeStream
+      .format("memory")
+      .queryName("hourly_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly_out")
+      .orderBy("hour", "event_type")
+      .collect().map(_.toSeq)
+    val batch = Relational.q13EventsHourly(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
+  test("sessionize: gaps over 30min split sessions per user") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "view", 1.0, "{}"),
+      (2L, ts(10), 7L, "click", 1.0, "{}"),   // same session (gap 10m)
+      (3L, ts(50), 7L, "view", 1.0, "{}"),    // new session (gap 40m)
+      (4L, ts(5), 8L, "view", 1.0, "{}"))     // other user
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventStream.sessionize(events)
+      .orderBy("user_id", "session_id")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events")))
+    assert(got.toSeq === Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+}
