@@ -22,7 +22,11 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val benchDefs = Registry.all.filter(_.bench)
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 restricts the set (dev iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").toSet)
+    val benchDefs = Registry.all.filter(q =>
+      only.map(_.contains(q.name)).getOrElse(q.bench))
     // One warm-up pass (JIT + codegen cache + file-footer cache), then timed.
     benchDefs.foreach { q =>
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()

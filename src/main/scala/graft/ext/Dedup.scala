@@ -43,10 +43,15 @@ object Dedup {
 
   // ----------------------------------------------------------- minhash
 
+  /** LSH tuning: the implied similarity threshold is ~(1/bands)^(1/r)
+    * with r = numHashes/bands rows per band. bands=8, r=8 puts it at
+    * ~0.77 — matched to the 0.8 default `threshold`. (bands=16, r=4
+    * would put it at 0.5 and flood the verify stage with J≈0.2
+    * candidates: ~2% of ALL pairs on a shared-vocabulary corpus.) */
   final case class MinHashConfig(
       shingleSize: Int = 5,
       numHashes: Int = 64,
-      bands: Int = 16,
+      bands: Int = 8,
       threshold: Double = 0.8) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
@@ -60,21 +65,19 @@ object Dedup {
       i => t.substr(i + 1, lit(k))))
   }
 
-  /** MinHash signature: element h = min over shingles of xxhash64(h, s). */
-  private def signatureCol(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      h => array_min(transform(shingles, s => xxhash64(h, s))))
-
   /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
-    * `jaccard` is the exact shingle-set Jaccard, computed only for LSH
-    * candidates. */
+    * Signatures come from the codegen'd MinHashSignature expression (one
+    * pass over the bytes per doc); the exact shingle-set Jaccard verify
+    * materializes shingle arrays only for LSH candidate rows — the full
+    * corpus never carries an exploded shingle column. */
   def minHashPairs(df: DataFrame, text: String, id: String,
       conf: MinHashConfig = MinHashConfig()): DataFrame = {
     val r = conf.rowsPerBand
-    val base = df
-      .select(col(id).as("doc_id"), shingleCol(col(text), conf.shingleSize).as("sh"))
-      .where(size(col("sh")) > 0)
-    val sigs = base.withColumn("sig", signatureCol(col("sh"), conf.numHashes))
+    val sigs = df
+      .select(col(id).as("doc_id"),
+        GraftFunctions.minhashSig(lower(col(text)), conf.shingleSize, conf.numHashes)
+          .as("sig"))
+      .where(col("sig").isNotNull)
     val bands = sigs.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(conf.bands - 1)),
@@ -90,9 +93,13 @@ object Dedup {
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
 
+    val texts = df.select(col(id).as("doc_id"), col(text).as("t"))
     val withSets = cand
-      .join(base.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(base.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(texts.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
+      .join(texts.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        shingleCol(col("t_a"), conf.shingleSize).as("sh_a"),
+        shingleCol(col("t_b"), conf.shingleSize).as("sh_b"))
     withSets
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jaccard",
@@ -108,20 +115,10 @@ object Dedup {
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
-    * token hashes, folded into one long. Pure expressions — stays narrow. */
-  private[ext] def simHashCol(text: Column): Column = {
-    val hashes = transform(
-      filter(split(lower(text), "\\s+"), t => length(t) > 0),
-      t => xxhash64(t))
-    val votes = aggregate(
-      hashes,
-      array_repeat(lit(0), 64),
-      (acc, h) => zip_with(acc, sequence(lit(0), lit(63)),
-        (a, k) => a + when(call_function("shiftright", h, k).bitwiseAND(1) === 1, 1).otherwise(-1)))
-    aggregate(reverse(votes), lit(0L),
-      (acc, v) => call_function("shiftleft", acc, lit(1))
-        .bitwiseOR(when(v > 0, 1L).otherwise(0L)))
-  }
+    * token hashes, folded into one long (codegen'd SimHashSignature —
+    * stays narrow AND inside whole-stage codegen). */
+  private[ext] def simHashCol(text: Column): Column =
+    GraftFunctions.simhashSig(lower(text))
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist (default
     * 3). LSH property: distance <= 3 over 64 bits ⇒ at least one of the

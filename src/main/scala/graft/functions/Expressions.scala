@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -119,12 +119,209 @@ case class FloatCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** MinHash signature in one codegen'd pass: slide a k-byte window over the
+  * string's UTF-8 bytes, XXH64 each window once, and derive the
+  * `numHashes` hash families from that single value via affine transforms
+  * (h·A_j + B_j, the universal-hashing MinHash construction) while
+  * min-tracking. Replaces a transform(sequence(...), h =>
+  * array_min(transform(shingles, ...))) plan whose interpreted
+  * higher-order functions cost ~µs per element — ~10^5 slower per doc and
+  * never inside whole-stage codegen. NULL for empty strings (no shingles).
+  */
+case class MinHashSignature(child: Expression, shingleK: Int, numHashes: Int)
+    extends UnaryExpression {
+  import MinHashSignature.{SEED, coeffA, coeffB}
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig expects STRING, got ${child.dataType.sql}")
+  }
+
+  private lazy val aArr: Array[Long] = coeffA(numHashes)
+  private lazy val bArr: Array[Long] = coeffB(numHashes)
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    if (n == 0) return null
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val nw = math.max(1, n - shingleK + 1)
+    var i = 0
+    while (i < nw) {
+      val len = math.min(shingleK, n - i)
+      val h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset + i, len, SEED)
+      var j = 0
+      while (j < numHashes) {
+        val v = h * aArr(j) + bArr(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("minhashA", aArr, "long[]")
+    val bRef = ctx.addReferenceObj("minhashB", bArr, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val n = ctx.freshName("mhN")
+      val nw = ctx.freshName("mhNw")
+      val mins = ctx.freshName("mhMins")
+      val i = ctx.freshName("mhI")
+      val j = ctx.freshName("mhJ")
+      val h = ctx.freshName("mhH")
+      val v = ctx.freshName("mhV")
+      val len = ctx.freshName("mhLen")
+      s"""
+         |int $n = $c.numBytes();
+         |if ($n == 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long[] $mins = new long[$numHashes];
+         |  java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |  int $nw = java.lang.Math.max(1, $n - $shingleK + 1);
+         |  for (int $i = 0; $i < $nw; $i++) {
+         |    int $len = java.lang.Math.min($shingleK, $n - $i);
+         |    long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |      $c.getBaseObject(), $c.getBaseOffset() + $i, $len, ${SEED}L);
+         |    for (int $j = 0; $j < $numHashes; $j++) {
+         |      long $v = $h * $aRef[$j] + $bRef[$j];
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($mins);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  val SEED = 42L
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  def coeffA(n: Int): Array[Long] = Array.tabulate(n)(j => splitmix64(2L * j + 1) | 1L)
+  def coeffB(n: Int): Array[Long] = Array.tabulate(n)(j => splitmix64(2L * j + 2))
+}
+
+/** 64-bit SimHash in one codegen'd pass: tokenize on ASCII whitespace,
+  * XXH64 each token (seed 42, matching `xxhash64`), per-bit ±1 vote,
+  * sign-fold into one long. Occurrence-weighted (duplicate tokens vote
+  * again). Empty/whitespace-only input → 0L, mirroring the HOF form it
+  * replaces (aggregate over an empty token array).
+  */
+case class SimHashSignature(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"simhash_sig expects STRING, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val bytes = s.getBytes
+    val votes = new Array[Int](64)
+    var i = 0
+    val n = bytes.length
+    while (i < n) {
+      while (i < n && SimHashSignature.isSpace(bytes(i))) i += 1
+      val start = i
+      while (i < n && !SimHashSignature.isSpace(bytes(i))) i += 1
+      if (i > start) {
+        val h = XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + start,
+          i - start, 42L)
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+    }
+    var sig = 0L
+    var k = 0
+    while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val bytes = ctx.freshName("shBytes")
+      val votes = ctx.freshName("shVotes")
+      val i = ctx.freshName("shI")
+      val k = ctx.freshName("shK")
+      val n = ctx.freshName("shN")
+      val start = ctx.freshName("shStart")
+      val h = ctx.freshName("shH")
+      val sig = ctx.freshName("shSig")
+      val b = ctx.freshName("shB")
+      s"""
+         |byte[] $bytes = $c.getBytes();
+         |int[] $votes = new int[64];
+         |int $n = $bytes.length;
+         |int $i = 0;
+         |while ($i < $n) {
+         |  byte $b = $bytes[$i];
+         |  if ($b == ' ' || ($b >= 9 && $b <= 13)) { $i++; continue; }
+         |  int $start = $i;
+         |  while ($i < $n) {
+         |    $b = $bytes[$i];
+         |    if ($b == ' ' || ($b >= 9 && $b <= 13)) break;
+         |    $i++;
+         |  }
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+         |    $bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + $start,
+         |    $i - $start, 42L);
+         |  for (int $k = 0; $k < 64; $k++) {
+         |    if ((($h >>> $k) & 1L) == 1L) $votes[$k]++; else $votes[$k]--;
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $k = 0; $k < 64; $k++) {
+         |  if ($votes[$k] > 0) $sig |= (1L << $k);
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SimHashSignature {
+  def isSpace(b: Byte): Boolean = b == ' ' || (b >= 9 && b <= 13)
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
 
   def fingerprint(c: Column): Column = column(RollingFingerprint(expr(c)))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
+  def minhashSig(c: Column, shingleK: Int, numHashes: Int): Column =
+    column(MinHashSignature(expr(c), shingleK, numHashes))
+  def simhashSig(c: Column): Column = column(SimHashSignature(expr(c)))
 
   /** Make the functions available to `spark.sql` as graft_fingerprint /
     * graft_cosine. */
@@ -134,5 +331,7 @@ object GraftFunctions {
       "graft_fingerprint", es => RollingFingerprint(es.head), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_cosine", es => FloatCosine(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash", es => SimHashSignature(es.head), "built-in")
   }
 }
