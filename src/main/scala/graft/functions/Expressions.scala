@@ -313,6 +313,35 @@ object SimHashSignature {
   def isSpace(b: Byte): Boolean = b == ' ' || (b >= 9 && b <= 13)
 }
 
+/** Build-time function injection for `spark.sql.extensions` deployments:
+  * `--conf spark.sql.extensions=graft.functions.GraftExtensions` makes
+  * every graft function available to pure-SQL users on session startup —
+  * no driver code required. (GraftFunctions.register covers the
+  * programmatic path on an already-running session.)
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+
+  private def info(name: String, usage: String) =
+    new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+      classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("graft_fingerprint"),
+      info("graft_fingerprint", "64-bit rolling hash of a string"),
+      (es: Seq[Expression]) => RollingFingerprint(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_cosine"),
+      info("graft_cosine", "cosine similarity of two ARRAY<FLOAT>"),
+      (es: Seq[Expression]) => FloatCosine(es(0), es(1))))
+    ext.injectFunction((FunctionIdentifier("graft_simhash"),
+      info("graft_simhash", "64-bit SimHash of a string"),
+      (es: Seq[Expression]) => SimHashSignature(es.head)))
+    ext.injectFunction((FunctionIdentifier("graft_minhash"),
+      info("graft_minhash", "MinHash signature (k=5 shingles, 64 hashes)"),
+      (es: Seq[Expression]) => MinHashSignature(es.head, 5, 64)))
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}

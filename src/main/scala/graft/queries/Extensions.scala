@@ -98,9 +98,56 @@ object ExtensionQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
+  /** The inverted-index n-gram join is EXACT (every pair sharing >=1 gram
+    * is scored with its true Jaccard), so DuckDB can replay it fully. The
+    * gram construction mirrors Spark's: index i over
+    * 0..max(n_tokens-3, 0), gram = space-join of tokens[i..i+2] clamped.
+    */
+  private val dedupNgramOracle =
+    """WITH planted AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 25),
+      |toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS ts
+      | FROM planted),
+      |grams AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(len(ts) - 3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS gs
+      | FROM toks),
+      |inv AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gram FROM grams),
+      |pairs AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+      |        CAST(count(*) AS DOUBLE) AS shared
+      | FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2, 3, 4)
+      |SELECT id_a, id_b, shared / (na + nb - shared) AS jaccard
+      |FROM pairs WHERE shared / (na + nb - shared) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** ids only: LSH recall is exactly 1.0 here (identical vectors agree on
+    * every sign bit, so every band collides; the max natural pairwise
+    * cosine in this corpus is ~0.51, far under the 0.95 threshold), which
+    * makes the exact all-pairs oracle replayable. The cosine VALUE is
+    * excluded: accumulation width (float vs double) differs per engine.
+    */
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingPairs(plantedEmbeddings(s, d), "embedding", "vec_id", dim = 64)
+      .select("id_a", "id_b")
       .orderBy("id_a", "id_b")
+
+  private val dedupEmbeddingOracle =
+    """WITH planted AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |FROM planted a JOIN planted b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
+      |ORDER BY id_a, id_b""".stripMargin
 
   // ------------------------------------------------------- similarity
 
@@ -175,8 +222,8 @@ object ExtensionQueries {
     QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, None, bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, None),
-    QueryDef("d4_dedup_ngram", dedupNgram, None),
-    QueryDef("d5_dedup_embedding", dedupEmbedding, None),
+    QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, None),
     QueryDef("m1_multimodal_features", multimodalFeatures, None),

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -46,6 +46,73 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
+
+  final case class SessionOut(
+      user_id: Long, session_id: Long, n_events: Long,
+      session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
+
+  /** Public: Catalyst's generated state (de)serializer needs accessor
+    * visibility. */
+  final case class OpenSession(
+      sessionId: Long, nEvents: Long, startMs: Long, endMs: Long)
+
+  /** Streaming sessionization with custom state: one open session per
+    * user in `flatMapGroupsWithState`, closed (and emitted, Append mode)
+    * either by an in-batch gap over `gapMinutes` or by the event-time
+    * timeout once the watermark passes session_end + gap. State per key
+    * is O(1) — a 4-field open-session record, never an event buffer — so
+    * total state is bounded by |active users|, not event volume.
+    * Session ids are 1-based per user in event-time order, matching the
+    * batch `sessionize` exactly for closed sessions.
+    */
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapMs = gapMinutes * 60000L
+
+    def toOut(u: Long, s: OpenSession) = SessionOut(
+      u, s.sessionId, s.nEvents,
+      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs))
+
+    def fn(user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
+        state: GroupState[OpenSession]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val closed = state.get
+        state.remove()
+        Iterator.single(toOut(user, closed))
+      } else {
+        val evs = it.toArray.sortInPlaceBy(e => (e._2.getTime, e._3))
+        var open = state.getOption
+        val out = Seq.newBuilder[SessionOut]
+        evs.foreach { case (_, ts, _) =>
+          val t = ts.getTime
+          open = open match {
+            case Some(s) if t - s.endMs > gapMs =>
+              out += toOut(user, s)
+              Some(OpenSession(s.sessionId + 1, 1L, t, t))
+            case Some(s) =>
+              Some(s.copy(nEvents = s.nEvents + 1, endMs = math.max(s.endMs, t)))
+            case None =>
+              Some(OpenSession(1L, 1L, t, t))
+          }
+        }
+        open.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(
+            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+        }
+        out.result().iterator
+      }
+    }
+
+    events
+      .withWatermark("ts", s"$gapMinutes minutes")
+      .select(col("user_id").as[Long], col("ts").as[java.sql.Timestamp],
+        col("event_id").as[Long])
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Batch sessionization (30-min inactivity gap): assigns a session id
     * per user and aggregates per session. One shuffle on user_id; the

@@ -28,6 +28,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("sessionizeStream: closed sessions match batch sessionize") {
+    val src = EventStream.source(spark, TestSpark.sf0001)
+    val q = EventStream.sessionizeStream(src)
+      .writeStream
+      .format("memory")
+      .queryName("sessions_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("sessions_out")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events"))).toSet
+    val batchRows = EventStream.sessionize(
+      graft.Tables.events(spark, TestSpark.sf0001))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
+        r.getAs[Long]("n_events")))
+    val batch = batchRows.toSet
+    // per-user final sessions may remain open (watermark never passes
+    // their end + gap on a finite input) — everything else must match
+    val lastPerUser = batchRows.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert(streamed.subsetOf(batch))
+    assert((batch -- lastPerUser).subsetOf(streamed))
+    assert(streamed.nonEmpty)
+  }
+
+  test("GraftExtensions: spark.sql.extensions injection path registers SQL functions") {
+    import org.apache.spark.sql.SparkSession
+    val old = spark // force init of the shared session first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s2 = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new graft.functions.GraftExtensions)
+        .getOrCreate()
+      val r = s2.sql(
+        """SELECT graft_fingerprint('abc') AS fp,
+          |       graft_cosine(array(CAST(1.0 AS FLOAT)), array(CAST(2.0 AS FLOAT))) AS cos,
+          |       graft_simhash('hello world') AS sh,
+          |       size(graft_minhash('hello world document')) AS mh_len""".stripMargin)
+        .collect()(0)
+      assert(r.getLong(0) != 0L)
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-12)
+      assert(r.getLong(2) != 0L)
+      assert(r.getInt(3) === 64)
+    } finally {
+      SparkSession.setDefaultSession(old)
+      SparkSession.setActiveSession(old)
+    }
+  }
+
   test("sessionize: gaps over 30min split sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
