@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties the queries claim
+  * in their Scaladoc (pushdown reaching the scan, dimension broadcasts,
+  * top-k instead of global sort, rank-limit pushdown into the window)
+  * asserted against the actual planner output, so a refactor that
+  * silently de-optimizes a plan fails CI rather than surfacing as a
+  * 100 TB regression.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val sf = TestSpark.sf0001
+
+  private def planOf(df: DataFrame): SparkPlan =
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+
+  private def planString(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q6 scan: range predicates are pushed to the parquet reader and columns pruned") {
+    val df = Relational.q6ForecastRevenue(spark, sf)
+    val s = planString(df)
+    assert(s.contains("PushedFilters: ["), s)
+    assert(s.contains("l_shipdate"), "filter on l_shipdate should push down")
+    // projection pruning: the scan must not read l_orderkey etc.
+    val readSchema = s.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey"), readSchema)
+    assert(readSchema.contains("l_extendedprice"), readSchema)
+  }
+
+  test("q3/q5 joins: dimension sides broadcast, fact join is the only shuffle join") {
+    val s5 = planString(Relational.q5LocalSupplier(spark, sf))
+    assert(s5.contains("BroadcastHashJoin"), s5)
+    // exactly one non-broadcast (shuffled) join: lineitem⋈orders
+    val shuffled = s5.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+    assert(shuffled <= 1, s"expected <=1 shuffled join, got $shuffled\n$s5")
+  }
+
+  test("q2 top-k: TakeOrderedAndProject, never a global sort") {
+    val s = planString(Relational.q2TopOrders(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s)
+  }
+
+  test("q7 ranking: WindowGroupLimit bounds per-key state before the filter") {
+    val s = planString(Relational.q7TopOrdersPerCustomer(spark, sf))
+    assert(s.contains("WindowGroupLimit"), s)
+  }
+
+  test("q1 aggregation: partial (map-side) aggregate before the exchange") {
+    val s = planString(Relational.q1PricingSummary(spark, sf))
+    val i = s.indexOf("HashAggregate")
+    val j = s.indexOf("Exchange")
+    assert(i >= 0 && j >= 0, s)
+    // final HashAggregate above Exchange above partial HashAggregate
+    assert(s.indexOf("HashAggregate", j) > j,
+      s"expected a partial aggregate below the exchange\n$s")
+  }
+
+  test("s1 knn: query side broadcast — corpus is never shuffled") {
+    val df = graft.queries.ExtensionQueries.knnBruteForce(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastNestedLoopJoin") || s.contains("BroadcastExchange"), s)
+  }
+
+  test("validate/split: one scan feeds both outputs, no shuffle on the ingest path") {
+    val meta = graft.schema.TableMeta.fromMetadata(
+      Seq("l_orderkey" -> "int", "l_quantity" -> "float"),
+      nonNullableFields = Seq("l_orderkey"))
+    val raw = graft.Tables.lineitem(spark, sf).selectExpr(
+      "CAST(l_orderkey AS STRING) AS l_orderkey",
+      "CAST(l_quantity AS STRING) AS l_quantity")
+    val split = graft.validate.ValidateAndSplit(raw, meta)
+    val sv = planString(split.valid)
+    assert(!sv.contains("Exchange"), s"validation must stay narrow\n$sv")
+  }
+
+  test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, sf).select(
+      graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"),
+      graft.functions.GraftFunctions.simhashSig(col("text")).as("sh"))
+    val s = planString(df)
+    // "*(n)" marks operators compiled into a WholeStageCodegen stage; the
+    // Project carrying the custom expressions must be inside one
+    val projLine = s.linesIterator.find(_.contains("rollingfingerprint")).getOrElse("")
+    assert(projLine.contains("*("), s)
+  }
+}
