@@ -1,0 +1,76 @@
+package graft.ext
+
+import graft.sink.{TableRef, TableSink}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale mechanics used when the default planner behavior isn't enough:
+  * salting for pathological key skew, and bucketed tables for repeated
+  * co-located joins.
+  *
+  * AQE's skew-join splitting (on by default in Spark 4) already handles
+  * most shuffle skew at runtime; explicit salting remains the tool when
+  * one key is so hot that even split partitions overwhelm a task (the
+  * classic null-key / power-law join) or when the skewed side feeds an
+  * aggregation rather than a join.
+  */
+object Scale {
+
+  /** Two-phase (partial + final) aggregation over a skewed group key done
+    * manually: group on (key, salt) first, then re-aggregate by key.
+    * Spark's hash aggregate already does map-side partial aggregation —
+    * this helps when the DISTINCT or collect-ish aggregate forces all
+    * rows of a key into one reducer. `merge` must be associative.
+    */
+  def saltedAgg(
+      df: DataFrame, key: Column, agg: Column, merge: Column => Column,
+      saltFactor: Int = 16): DataFrame = {
+    df.groupBy(key.as("k"), pmod(spark_partition_id(), lit(saltFactor)).as("salt"))
+      .agg(agg.as("partial"))
+      .groupBy(col("k"))
+      .agg(merge(col("partial")).as("value"))
+  }
+
+  /** Salted inner equi-join for a skewed LEFT side: left rows get a
+    * deterministic salt in [0, saltFactor), the (small-ish, but too big
+    * to broadcast) right side is replicated saltFactor ways, and the join
+    * key becomes (key, salt) — splitting each hot key's rows across
+    * saltFactor reducers. Row multiplicity is unchanged: each left row
+    * matches exactly one replica of each right match.
+    */
+  def saltedJoin(
+      left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      saltFactor: Int = 16): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
+    salted.join(replicated,
+        salted("__salt") === replicated("__salt") &&
+        col(leftKey) === col(rightKey))
+      .drop("__salt")
+  }
+
+  /** Write a bucketed + sorted managed table: repeated equi-joins or
+    * aggregations on `bucketCol` between tables bucketed the same way
+    * plan with ZERO exchanges — the co-location is free at read time.
+    * This is the 100 TB answer to "we join these two fact tables every
+    * hour": pay the shuffle once at write time.
+    */
+  def writeBucketed(
+      df: DataFrame, ref: TableRef, bucketCol: String, numBuckets: Int): Unit = {
+    TableSink.ensureDatabase(df.sparkSession, ref)
+    df.write
+      .mode("overwrite")
+      .format("parquet")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(ref.qualified)
+  }
+
+  /** Join two same-bucketed tables on the bucket column — exchange-free
+    * by construction (assert with PlanSpec-style checks in tests). */
+  def bucketedJoin(
+      spark: SparkSession, a: TableRef, b: TableRef, key: String): DataFrame =
+    spark.table(a.qualified).join(spark.table(b.qualified), Seq(key))
+}

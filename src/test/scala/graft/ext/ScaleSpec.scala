@@ -1,0 +1,56 @@
+package graft.ext
+
+import graft.TestSpark
+import graft.sink.TableRef
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class ScaleSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("saltedJoin: same result as plain join under heavy key skew") {
+    // 10k rows of one hot key + a tail, joined to a 100-row dim
+    val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
+      (1 to 500).map(i => ((i % 100).toLong, i.toLong)))
+      .toDF("k", "v")
+    val right = (0 until 100).map(i => (i.toLong, s"dim$i")).toDF("rk", "name")
+    val plain = left.join(right, $"k" === $"rk")
+      .groupBy("k").agg(count(lit(1)).as("n"), countDistinct("name").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    val salted = Scale.saltedJoin(left, right, "k", "rk", saltFactor = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), countDistinct("name").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(salted === plain)
+  }
+
+  test("saltedAgg: two-phase sum equals direct aggregation") {
+    val df = ((1 to 5000).map(_ => ("hot", 1L)) ++
+      (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")
+    val direct = df.groupBy("k").agg(sum("v").as("value"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    val salted = Scale.saltedAgg(df, col("k"), sum(col("v")), c => sum(c))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted
+    assert(salted === direct)
+  }
+
+  test("bucketed tables: equi-join on the bucket column plans with zero exchanges") {
+    val a = TableRef("dev", "bucketed", "orders_b")
+    val b = TableRef("dev", "bucketed", "lineitem_b")
+    Scale.writeBucketed(
+      graft.Tables.orders(spark, TestSpark.sf0001)
+        .select("o_orderkey", "o_totalprice"), a, "o_orderkey", 4)
+    Scale.writeBucketed(
+      graft.Tables.lineitem(spark, TestSpark.sf0001)
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")), b, "o_orderkey", 4)
+    // at 100 TB neither side broadcasts; force that condition here
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Scale.bucketedJoin(spark, a, b, "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must be exchange-free\n$plan")
+      assert(joined.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
