@@ -56,8 +56,12 @@ object Ingest {
       try AuditLog.logTask(spark, conf.table, conf.taskOwner, action, info)
       catch { case NonFatal(e) => errors += s"audit log failed: ${e.getMessage}" }
 
+    // Per-run spool dir, removed in finally (the reference rmtree's its
+    // /tmp/box/<table> dir per run, box_ingest.py:51-53; leaking it would
+    // accumulate a full copy of every ingested file on the driver).
+    var tmp: Path = null
     try {
-      val tmp = Files.createTempDirectory(s"graft_ingest_${conf.table.name}_")
+      tmp = Files.createTempDirectory(s"graft_ingest_${conf.table.name}_")
       log("Created temp directory", tmp.toString)
 
       // O1-O3: list, anchored-regex match, optionally latest-only.
@@ -137,6 +141,15 @@ object Ingest {
     } catch { case NonFatal(e) =>
       errors += s"ingest failed: ${e.getMessage}"
       log("Ingest failed", e.getMessage) // E1: failure is log-only
+    } finally {
+      if (tmp != null) try {
+        val walk = Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[Path]())
+          .forEach(p => Files.deleteIfExists(p))
+        finally walk.close()
+      } catch { case NonFatal(e) =>
+        errors += s"spool cleanup: ${e.getMessage}"
+      }
     }
     IngestReport(processed.toSeq, validRows, invalidRows, errors.toSeq)
   }

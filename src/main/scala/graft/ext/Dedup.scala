@@ -121,18 +121,26 @@ object Dedup {
     GraftFunctions.simhashSig(lower(text))
 
   /** Near-duplicate pairs by SimHash Hamming distance <= maxDist (default
-    * 3). LSH property: distance <= 3 over 64 bits ⇒ at least one of the
-    * four 16-bit chunks matches exactly, so candidates come from a chunk
-    * equi-join, not N². */
+    * 3). LSH property (pigeonhole): distance <= d over 64 bits ⇒ at least
+    * one of d+1 disjoint chunks matches exactly, so candidates come from a
+    * chunk equi-join, not N². Chunk count derives from maxDist — a caller
+    * asking for distance 6 gets 7 ~9-bit chunks, keeping recall exact
+    * (the fixed 4x16 layout would silently miss pairs past distance 3). */
   def simHashPairs(df: DataFrame, text: String, id: String,
       maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist <= 16,
+      s"maxDist=$maxDist: chunks below 4 bits make the candidate join quadratic")
+    val k = maxDist + 1
+    val bounds = (0 to k).map(i => i * 64 / k) // chunk i = bits [b(i), b(i+1))
+    val chunkExprs = (0 until k).map { i =>
+      val lo = bounds(i)
+      val w = bounds(i + 1) - lo
+      val mask = if (w >= 64) -1L else (1L << w) - 1
+      struct(lit(i).as("chunk"),
+        shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
+    }
     val sigs = df.select(col(id).as("doc_id"), simHashCol(col(text)).as("sig"))
-    val chunks = sigs.select(
-      col("doc_id"), col("sig"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        i => call_function("shiftrightunsigned", col("sig"), i * 16).bitwiseAND(0xFFFFL))))
-      .withColumnRenamed("pos", "chunk")
-      .withColumnRenamed("col", "chunk_val")
+    val chunks = sigs.select(col("doc_id"), col("sig"), inline(array(chunkExprs: _*)))
     chunks.as("a")
       .join(chunks.as("b"),
         col("a.chunk") === col("b.chunk") &&

@@ -133,9 +133,9 @@ object Xlsx {
           case "c" =>
             val raw = text.toString
             val value: Option[String] =
-              if (raw.isEmpty && cellType != "s") None
+              if (raw.isEmpty) None // incl. t="s" with absent/empty <v>
               else cellType match {
-                case "s" => Some(shared(raw.trim.toInt))
+                case "s" => raw.trim.toIntOption.flatMap(shared.lift)
                 case "b" => Some(if (raw.trim == "1") "True" else "False")
                 case _   => Some(raw) // n, str, inlineStr: stored text as-is
               }

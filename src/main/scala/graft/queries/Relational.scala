@@ -15,17 +15,26 @@ import org.apache.spark.sql.types._
   * with a DuckDB oracle.
   *
   * Numeric-parity convention: double aggregates go through
-  * DECIMAL(18,s) per-row casts and a DECIMAL(38,s) final cast in BOTH
-  * engines, so sums are exact and order-independent (a plain double sum is
-  * partial-aggregation-order-dependent and can't hash-match an oracle).
-  * Integer-ish results are cast to BIGINT on both sides (DuckDB widens
-  * integer sums to HUGEINT; Spark's count/length/year differ in width).
+  * DECIMAL(18,s) per-row casts in BOTH engines, so sums are exact and
+  * order-independent (a plain double sum is partial-aggregation-order-
+  * dependent and can't hash-match an oracle) — then the FINAL value is
+  * cast to DOUBLE on both sides. The final double cast matters for the
+  * harness: Spark-written parquet decimals surface as java/python Decimal
+  * objects that keep trailing zeros ("254462.00") while DuckDB decimals
+  * surface as float64 ("254462.0"), so a decimal-typed output column
+  * string-mismatches whenever a value ends in a zero digit. A
+  * decimal→double conversion is correctly rounded in both engines
+  * (unscaled values stay < 2^53 at oracle scale), so doubles compare
+  * bit-identically. Integer-ish results are cast to BIGINT on both sides
+  * (DuckDB widens integer sums to HUGEINT; Spark's count/length/year
+  * differ in width).
   */
 object Relational {
 
-  /** Exact, order-independent sum of a double expression. */
+  /** Exact, order-independent sum of a double expression; final value as
+    * DOUBLE (see numeric-parity convention above). */
   private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   private def ts(s: String): Column = to_timestamp(lit(s))
 
@@ -49,10 +58,10 @@ object Relational {
 
   private val q1Oracle =
     """SELECT l_returnflag, l_linestatus,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS sum_disc_price,
-      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS sum_charge,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount)*(1.0+l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
       | count(*) AS count_order
       |FROM lineitem GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
@@ -90,7 +99,7 @@ object Relational {
 
   private val q3Oracle =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem
       |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey AND l_orderkey = o_orderkey
       | AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00' AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
@@ -140,7 +149,7 @@ object Relational {
 
   private val q5Oracle =
     """SELECT n_name,
-      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+      | CAST(sum(CAST(l_extendedprice*(1.0-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM customer, orders, lineitem, supplier, nation, region
       |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       | AND c_nationkey = s_nationkey AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
@@ -162,7 +171,7 @@ object Relational {
       .agg(dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"))
 
   private val q6Oracle =
-    """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+    """SELECT CAST(sum(CAST(l_extendedprice*l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       | AND l_discount BETWEEN 0.02 AND 0.04 AND l_quantity < 24.0""".stripMargin
@@ -244,7 +253,7 @@ object Relational {
 
   private val q10Oracle =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS qty
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
       |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -281,7 +290,7 @@ object Relational {
 
   private val q12Oracle =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr, CAST(month(o_orderdate) AS BIGINT) AS mo,
-      | count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      | count(*) AS n, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin
 
   // ---------------------------------------------------------------- q13
@@ -299,7 +308,7 @@ object Relational {
 
   private val q13Oracle =
     """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
   // ---------------------------------------------------------------- q14

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object Relational2 {
 
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(18, scale))).cast(DecimalType(38, scale))
+    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
 
   // ---------------------------------------------------------------- q18
   /** O25: a literal SQL string through spark.sql — THE reference query
@@ -28,7 +28,7 @@ object Relational2 {
       |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
       | FROM customer JOIN orders ON o_custkey = c_custkey)
       |SELECT n_name, count(*) AS n_top,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS top_value
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_value
       |FROM cust_orders JOIN nation ON n_nationkey = c_nationkey
       |WHERE rn <= 3
       |GROUP BY n_name
@@ -51,7 +51,7 @@ object Relational2 {
 
   private val q19Oracle =
     """SELECT l_returnflag, l_linestatus, count(*) AS n,
-      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
@@ -92,9 +92,9 @@ object Relational2 {
 
   private val q21Oracle =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DECIMAL(38,2)) AS total_f,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DECIMAL(38,2)) AS total_o,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DECIMAL(38,2)) AS total_p
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'F') AS DOUBLE) AS total_f,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'O') AS DOUBLE) AS total_o,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) FILTER (o_orderstatus = 'P') AS DOUBLE) AS total_p
       |FROM orders GROUP BY 1 ORDER BY yr""".stripMargin
 
   // ---------------------------------------------------------------- q22
@@ -122,19 +122,26 @@ object Relational2 {
 
   // ---------------------------------------------------------------- q23
   /** Array aggregation + array functions: per-nation sorted distinct
-    * segment list (collect_set is unordered — array_sort pins it). */
+    * segment list (collect_set is unordered — array_sort pins it). The
+    * list itself is emitted array_join'd to a string: the harness compare
+    * loads results into pandas, which can't sort/hash raw array cells. */
   def q23ArrayAgg(s: SparkSession, d: String): DataFrame =
     Tables.customer(s, d)
       .groupBy(col("c_nationkey"))
       .agg(
-        array_sort(collect_set(col("c_mktsegment"))).as("segments"),
+        array_sort(collect_set(col("c_mktsegment"))).as("seg_arr"),
         countDistinct(col("c_mktsegment")).as("n_segments"))
-      .withColumn("first_segment", element_at(col("segments"), 1))
-      .withColumn("has_building", array_contains(col("segments"), "BUILDING"))
+      .select(
+        col("c_nationkey"),
+        array_join(col("seg_arr"), ",").as("segments"),
+        col("n_segments"),
+        element_at(col("seg_arr"), 1).as("first_segment"),
+        array_contains(col("seg_arr"), "BUILDING").as("has_building"))
       .orderBy("c_nationkey")
 
   private val q23Oracle =
-    """SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+    """SELECT c_nationkey,
+      | array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
       | count(DISTINCT c_mktsegment) AS n_segments,
       | list_sort(list(DISTINCT c_mktsegment))[1] AS first_segment,
       | list_contains(list(DISTINCT c_mktsegment), 'BUILDING') AS has_building
@@ -148,7 +155,7 @@ object Relational2 {
       col("p_partkey"),
       size(toks).cast(LongType).as("n_tokens"),
       element_at(toks, 1).as("first_token"),
-      array_sort(toks).as("sorted_tokens"),
+      array_join(array_sort(toks), ",").as("sorted_tokens"),
       array_join(slice(array_sort(toks), 1, 2), "_").as("first2"))
       .orderBy("p_partkey")
   }
@@ -157,7 +164,7 @@ object Relational2 {
     """SELECT p_partkey,
       | CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_tokens,
       | string_split(p_name, ' ')[1] AS first_token,
-      | list_sort(string_split(p_name, ' ')) AS sorted_tokens,
+      | array_to_string(list_sort(string_split(p_name, ' ')), ',') AS sorted_tokens,
       | array_to_string(list_sort(string_split(p_name, ' '))[1:2], '_') AS first2
       |FROM part ORDER BY p_partkey""".stripMargin
 
@@ -177,7 +184,7 @@ object Relational2 {
   private val q25Oracle =
     """SELECT event_type, count(*) AS n,
       | count(*) FILTER (value > 50.0) AS n_high,
-      | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (value > 50.0) AS DECIMAL(38,2)) AS high_total,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (value > 50.0) AS DOUBLE) AS high_total,
       | min(ts) AS first_ts, max(ts) AS last_ts
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
@@ -193,20 +200,20 @@ object Relational2 {
       .select(
         col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
         sum(price).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast(DecimalType(38, 2)).as("running_total"),
+          .cast(DoubleType).as("running_total"),
         lag(col("o_orderkey"), 1).over(w).as("prev_order"),
         lead(col("o_orderkey"), 1).over(w).as("next_order"),
         sum(price).over(w.rowsBetween(-2, 0))
-          .cast(DecimalType(38, 2)).as("last3_total"))
+          .cast(DoubleType).as("last3_total"))
       .orderBy("o_custkey", "o_orderkey")
   }
 
   private val q26Oracle =
     """SELECT o_custkey, o_orderkey, o_orderdate,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DECIMAL(38,2)) AS running_total,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_run AS DOUBLE) AS running_total,
       | lag(o_orderkey, 1) OVER w AS prev_order,
       | lead(o_orderkey, 1) OVER w AS next_order,
-      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_3 AS DECIMAL(38,2)) AS last3_total
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w_3 AS DOUBLE) AS last3_total
       |FROM orders WHERE o_custkey < 100
       |WINDOW
       | w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),

@@ -43,7 +43,7 @@ object EventStream {
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(
         count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 2))).cast(DecimalType(38, 2)).as("total_value"))
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("total_value"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
@@ -60,16 +60,24 @@ object EventStream {
     * user in `flatMapGroupsWithState`, closed (and emitted, Append mode)
     * either by an in-batch gap over `gapMinutes` or by the event-time
     * timeout once the watermark passes session_end + gap. State per key
-    * is O(1) — a 4-field open-session record, never an event buffer — so
-    * total state is bounded by |active users|, not event volume.
+    * is O(1) — a 4-field open-session record, never an event buffer.
     * Session ids are 1-based per user in event-time order, matching the
-    * batch `sessionize` exactly for closed sessions.
+    * batch `sessionize` exactly for closed sessions: a timeout-closed
+    * session leaves behind a tiny sentinel record (nEvents=0) that
+    * retains the per-user session counter, so the user's NEXT session
+    * continues the numbering instead of restarting at 1. Total state is
+    * therefore bounded by |users ever seen| × 32 bytes — still
+    * event-volume-independent (the sentinel is parked on a far-future
+    * timeout so it never re-fires).
     */
   def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapMs = gapMinutes * 60000L
+    // ~100 years: a parked sentinel must carry SOME event-time timeout
+    // (leaving the expired one in place would re-fire it every batch).
+    val parkMs = 100L * 365 * 86400 * 1000
 
     def toOut(u: Long, s: OpenSession) = SessionOut(
       u, s.sessionId, s.nEvents,
@@ -79,11 +87,14 @@ object EventStream {
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val closed = state.get
-        state.remove()
-        Iterator.single(toOut(user, closed))
+        state.update(closed.copy(nEvents = 0L)) // sentinel keeps sessionId
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + parkMs)
+        if (closed.nEvents > 0L) Iterator.single(toOut(user, closed))
+        else Iterator.empty // parked sentinel re-fired; nothing to emit
       } else {
         val evs = it.toArray.sortInPlaceBy(e => (e._2.getTime, e._3))
-        var open = state.getOption
+        val prior = state.getOption
+        var open = prior.filter(_.nEvents > 0L) // sentinel = no open session
         val out = Seq.newBuilder[SessionOut]
         evs.foreach { case (_, ts, _) =>
           val t = ts.getTime
@@ -94,7 +105,7 @@ object EventStream {
             case Some(s) =>
               Some(s.copy(nEvents = s.nEvents + 1, endMs = math.max(s.endMs, t)))
             case None =>
-              Some(OpenSession(1L, 1L, t, t))
+              Some(OpenSession(prior.map(_.sessionId).getOrElse(0L) + 1, 1L, t, t))
           }
         }
         open.foreach { s =>

@@ -60,15 +60,18 @@ object ValidateAndSplit {
       case (f, None) =>
         // O12: constant per file — reference re-checks per row
         // (box_ingest.py:96-97); the answer is the same for every row.
-        lit(s"Missing column: ${f.outName}")
+        // Messages carry the DECLARED-case name (reference interpolates the
+        // metadata key itself, box_ingest.py:96-119); outName is only for
+        // resolution and output naming.
+        lit(s"Missing column: ${f.name}")
       case (f, Some(in)) =>
         val c = col(quoted(in))
         val nullErr =
           if (f.nullable) lit(null).cast(StringType)
-          else when(c.isNull, lit(s"Null value in non-nullable column: ${f.outName}"))
+          else when(c.isNull, lit(s"Null value in non-nullable column: ${f.name}"))
         val castErr = when(
           c.isNotNull && castedOrNull(c, df.schema(in).dataType, f).isNull,
-          lit(s"Type mismatch for column: ${f.outName}"))
+          lit(s"Type mismatch for column: ${f.name}"))
         coalesce(nullErr, castErr)
     }
 

@@ -3,17 +3,26 @@
 
 Usage: python3 tools/oracle_check.py [sf_dir] [verify_out]
 
-Runs each oracle_sql.json query in DuckDB over the sf parquet tables,
-loads the corresponding Spark result parquet written by graft.Verify, and
-compares row sets (columns sorted by name, rows sorted, values normalized).
-Dev-only tooling — the shipped Scala library has no Python dependency.
+Mimics the driver's observed compare path as closely as possible:
+- Spark side: pandas.read_parquet of the Verify dump (parquet DECIMAL
+  surfaces as python decimal.Decimal objects, timestamps as datetime64).
+- Oracle side: duckdb .df() (DECIMAL surfaces as float64).
+- Columns sorted by lowercased name; rows sorted by all columns
+  (stringified, as pandas Categorical sorting of object columns would
+  choke on mixed types); then values compared by str().
+
+This catches representation mismatches the round-1 emulation missed
+(e.g. Decimal('254462.00') vs 254462.0) and the pandas sort crash on
+ndarray-valued cells. Dev-only tooling — the shipped Scala library has
+no Python dependency.
 """
+import glob
 import json
-import math
 import sys
 from pathlib import Path
 
 import duckdb
+import pandas as pd
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
@@ -21,29 +30,18 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def norm(v):
-    if v is None:
-        return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return float(v)
-    # Decimal -> normalized string via float-safe exact string
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, list):
-        return tuple(norm(x) for x in v)
-    return v
-
-
-def rows_of(cur):
-    cols = [d[0].lower() for d in cur.description]
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    data = cur.fetchall()
-    rows = [tuple(norm(r[i]) for i in order) for r in data]
-    key = lambda row: tuple((v is None, str(type(v)), str(v)) for v in row)
-    return sorted(cols), sorted(rows, key=key)
+def canon(df):
+    """Columns sorted by lowercase name; rows sorted; values as str."""
+    df = df.copy()
+    df.columns = [c.lower() for c in df.columns]
+    cols = sorted(df.columns)
+    df = df[cols]
+    # Driver-faithful hazard: raw ndarray/list cells are unsortable in
+    # pandas — let the exception propagate like the driver does.
+    df.sort_values(cols)  # noqa: raises TypeError on unhashable cells
+    sdf = df.astype(str)
+    order = sdf.apply(tuple, axis=1).sort_values().index
+    return cols, [tuple(r) for r in sdf.loc[order].itertuples(index=False)]
 
 
 def main():
@@ -54,21 +52,22 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
-            ocols, orows = rows_of(con.execute(sql))
+            odf = con.execute(sql).df()
+            ocols, orows = canon(odf)
         except Exception as e:
-            print(f"FAIL {name}: oracle errored: {e}")
+            print(f"FAIL {name}: oracle errored: {type(e).__name__}: {e}")
             n_fail += 1
             continue
-        res_dir = OUT / name
-        if not res_dir.exists():
+        files = sorted(glob.glob(str(OUT / name / "*.parquet")))
+        if not files:
             print(f"FAIL {name}: no Spark result written")
             n_fail += 1
             continue
         try:
-            scols, srows = rows_of(
-                con.execute(f"SELECT * FROM '{res_dir}/*.parquet'"))
+            sdf = pd.concat([pd.read_parquet(f) for f in files])
+            scols, srows = canon(sdf)
         except Exception as e:
-            print(f"FAIL {name}: result unreadable: {e}")
+            print(f"FAIL {name}: spark result: {type(e).__name__}: {e}")
             n_fail += 1
             continue
         if scols != ocols:
