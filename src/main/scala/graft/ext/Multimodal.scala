@@ -32,6 +32,7 @@ object Multimodal {
       media_id: Long,
       media_type: String,
       n_bytes: Long,
+      n_frames: Long, // frames the sampler yielded (stub: byte-slices)
       feature: Array[Float])
 
   val mediaSchema: StructType = StructType(Seq(
@@ -82,13 +83,14 @@ object Multimodal {
     * analogue); `dim` is the embedding dimensionality.
     */
   def extractFeatures(ds: Dataset[MediaRecord], dim: Int = 16,
-      batchSize: Int = 64): Dataset[MediaFeatures] = {
+      batchSize: Int = 64, frames: Int = 4): Dataset[MediaFeatures] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
       it.grouped(batchSize).flatMap { batch =>
         // A real codec would init once per batch here (model load, etc.).
         batch.iterator.map { r =>
           MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
+            StubCodec.sampleFrames(r.content, frames).size.toLong,
             StubCodec.decodeToFeatures(r.content, dim))
         }
       }

@@ -73,6 +73,50 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Sign-bit hyperplane LSH bucketed top-k: corpus vectors land in one of
+    * 2^bits buckets keyed by the sign pattern of their first `bits`
+    * components (each axis is a separating hyperplane — for isotropic
+    * embeddings this is exactly random-hyperplane LSH); queries probe
+    * their own bucket plus every Hamming-distance-1 neighbor (multi-probe,
+    * bits+1 buckets), then rank probed candidates by exact cosine.
+    *
+    * Scale shape: ONE shuffle of the corpus on bucket id, queries fan out
+    * ×(bits+1); candidate volume is ~N·(bits+1)/2^bits per query versus N
+    * for brute force. Unlike the IVF path there is no centroid table to
+    * learn or broadcast — the bucket function is a pure expression, so
+    * build cost is a narrow codegen'd projection.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+
+    def bucketOf(vec: org.apache.spark.sql.Column) =
+      (0 until bits).map(i =>
+        when(element_at(vec, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
+        .reduce(_ + _)
+
+    val bucketed = corpus.withColumn("bucket", bucketOf(col("cvec")))
+    val probes = queries
+      .withColumn("qbucket", bucketOf(col("qvec")))
+      .select(col("qid"), col("qvec"), explode(array(
+        col("qbucket") +: (0 until bits).map(i =>
+          col("qbucket").bitwiseXOR(lit(1 << i))): _*)).as("bucket"))
+
+    val candidates = probes.join(bucketed, "bucket")
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+    candidates
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
     * Centroids are a deterministic hash-ordered sample of the corpus
     * (k-means iterations would refine them; the bucketing/probing plan is

@@ -79,7 +79,7 @@ object TextAnalysis {
     * (broadcast profiles, one codegen'd projection, argmax) is what
     * matters at 100 TB.
     */
-  private[ext] val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
+  private[graft] val StopwordProfiles: Seq[(String, Seq[String])] = Seq(
     "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
     "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "por", "con"),
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),

@@ -48,8 +48,41 @@ object ExtensionQueries {
   def langId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** DuckDB replay of the stopword-argmax: same struct-lexicographic
+    * tie-break (max score, then max lang code) via list_sort of
+    * (score, lang) structs. */
+  private val langIdOracle: String = {
+    val structs = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'score': len(list_filter(ts, t -> t IN ($set))), 'lang': '$lang'}"
+    }.mkString(",\n      |   ")
+    s"""WITH toks AS (
+      | SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
+      |scored AS (SELECT doc_id, [$structs] AS ss FROM toks)
+      |SELECT doc_id,
+      | CASE WHEN list_sort(ss)[-1].score > 0 THEN list_sort(ss)[-1].lang
+      |  ELSE 'und' END AS lang_pred
+      |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
   def fingerprints(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  /** DuckDB replay of the 64-bit rolling hash (h = h*31 + byte over UTF-8
+    * bytes): HUGEINT accumulate mod 2^64, then two's-complement fold to
+    * signed BIGINT. Codepoint == byte holds because the corpus is ASCII
+    * (verified); a non-ASCII corpus would need a byte-level oracle. */
+  private val fingerprintOracle =
+    """SELECT doc_id,
+      | CAST(CASE WHEN m >= 9223372036854775808::HUGEINT
+      |   THEN m - 18446744073709551616::HUGEINT ELSE m END AS BIGINT) AS fingerprint
+      |FROM (
+      | SELECT doc_id,
+      |  list_reduce(
+      |    list_prepend(1125899906842597::HUGEINT,
+      |      list_transform(range(1, length(text)+1), i -> ord(text[i])::HUGEINT)),
+      |    (h, c) -> (h * 31 + c) % 18446744073709551616::HUGEINT) AS m
+      | FROM documents) ORDER BY doc_id""".stripMargin
 
   // ------------------------------------------------------------ dedup
 
@@ -91,6 +124,32 @@ object ExtensionQueries {
 
   def dedupMinHash(s: SparkSession, d: String): DataFrame =
     Dedup.minHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
+
+  /** Exact all-pairs char-5-shingle Jaccard >= 0.8 — the semantic contract
+    * of minHashPairs. Replayable because the LSH candidate stage has
+    * (verified) recall 1.0 on this gate corpus: every qualifying pair
+    * shares at least one of the 8 bands, so the exact-verify stage sees
+    * it and emits the same exact Jaccard the oracle computes. A recall
+    * miss would surface here as a row-count diff — that is the point. */
+  private val dedupMinHashOracle =
+    """WITH planted AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 25),
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM planted),
+      |pairs AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+      |  len(a.s) AS na, len(b.s) AS nb
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
+      |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
 
   def dedupSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
@@ -181,16 +240,58 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  def knnLsh(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, bits = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  /** Full replay: the sign-bit bucket function and Hamming-1 multi-probe
+    * are pure expressions, so DuckDB reproduces the exact candidate set;
+    * ranks (not cosines) are compared, as in s1. */
+  private val knnLshOracle =
+    """WITH c AS (
+      | SELECT vec_id AS cid, embedding AS v,
+      |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
+      |  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
+      |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
+      |  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
+      |  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) AS bucket
+      | FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv, bucket FROM c WHERE cid < 10),
+      |probes AS (
+      | SELECT qid, qv, unnest([bucket, xor(bucket, 1), xor(bucket, 2),
+      |   xor(bucket, 4), xor(bucket, 8), xor(bucket, 16)]) AS bucket
+      | FROM q),
+      |cand AS (
+      | SELECT qid, cid, list_cosine_similarity(qv, v) AS sim
+      | FROM probes JOIN c USING (bucket) WHERE cid <> qid)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT qid AS query_id, cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+      | FROM cand) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   // ------------------------------------------------------- multimodal
 
+  /** Feature VALUES are checked by ExtSpec (the stub codec's rolling-hash
+    * floats aren't ANSI-SQL-expressible); the gate hash-checks everything
+    * else — id/type/byte/frame counts and the feature shape — with the
+    * decode still in the plan (size(feature) forces it). */
   def multimodalFeatures(s: SparkSession, d: String): DataFrame = {
     val media = Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")
     Multimodal.extractFeatures(Multimodal.toDataset(s, media), dim = 8)
       .toDF()
       .select(col("media_id"), col("media_type"), col("n_bytes"),
-        round(element_at(col("feature"), 1), 6).as("f0"))
+        col("n_frames"), size(col("feature")).cast(LongType).as("feat_dim"))
       .orderBy("media_id")
   }
+
+  private val multimodalOracle =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
+      | CAST(strlen(text) AS BIGINT) AS n_bytes,
+      | CAST(least(4, strlen(text)) AS BIGINT) AS n_frames,
+      | CAST(8 AS BIGINT) AS feat_dim
+      |FROM documents ORDER BY media_id""".stripMargin
 
   // -------------------------------------------------------- streaming
 
@@ -217,15 +318,16 @@ object ExtensionQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t1_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("t2_text_quality", textQuality, Some(textQualityOracle)),
-    QueryDef("t3_lang_id", langId, None),
-    QueryDef("t4_fingerprint", fingerprints, None),
+    QueryDef("t3_lang_id", langId, Some(langIdOracle)),
+    QueryDef("t4_fingerprint", fingerprints, Some(fingerprintOracle)),
     QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
-    QueryDef("d2_dedup_minhash", dedupMinHash, None, bench = true),
-    QueryDef("d3_dedup_simhash", dedupSimHash, None),
+    QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
+    QueryDef("d3_dedup_simhash", dedupSimHash, None), // custom 64-bit hash family: not ANSI-expressible; ExtSpec checks recall vs brute force
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
-    QueryDef("s2_knn_ivf", knnIvf, None),
-    QueryDef("m1_multimodal_features", multimodalFeatures, None),
+    QueryDef("s2_knn_ivf", knnIvf, None), // centroid sample uses xxhash64 ordering: not ANSI-expressible; ExtSpec checks vs brute force
+    QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle)),
+    QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle)))
 }

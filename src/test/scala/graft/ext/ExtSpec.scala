@@ -87,6 +87,32 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("Dedup.simHashPairs recall equals brute-force Hamming join (maxDist 3 and 6)") {
+    // 60 docs over a moderate vocab: brute force over signatures is the
+    // ground truth; the chunk-banded join must return exactly the pairs
+    // with hamming <= maxDist — incl. maxDist > 3, where the chunk count
+    // derives from the distance (pigeonhole) instead of the fixed 4x16.
+    val docs = (0L until 60L).map { i =>
+      val toks = (0 until 40).map(j => s"w${(i * 31 + j * 7) % 97}")
+      (i, toks.mkString(" "))
+    }
+    val df = docs.toDF("doc_id", "text")
+    val sigs = df.select($"doc_id", GraftFunctions.simhashSig(lower($"text")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (maxDist <- Seq(3, 6)) {
+      val expected = (for {
+        a <- docs.map(_._1); b <- docs.map(_._1) if a < b
+        if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxDist
+      } yield (a, b)).toSet
+      val got = Dedup.simHashPairs(df, "text", "doc_id", maxDist).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === expected, s"maxDist=$maxDist")
+    }
+    assertThrows[IllegalArgumentException] {
+      Dedup.simHashPairs(df, "text", "doc_id", maxDist = 40)
+    }
+  }
+
   test("Dedup.ngramJaccardPairs and dropFromPairs") {
     val base = "one two three four five six seven eight nine ten eleven twelve"
     val df = Seq((1L, base), (2L, base + " thirteen"), (3L, "a b c d e f g"))
@@ -136,6 +162,40 @@ class ExtSpec extends AnyFunSuite {
     val ivf = Similarity.ivfTopK(c, q, 4, nlist = 8, nprobe = 8)
       .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
     assert(ivf === bf) // nprobe = nlist -> exhaustive -> identical
+  }
+
+  test("Similarity.lshTopK equals brute force when probing covers the corpus") {
+    val spark0 = spark
+    import spark0.implicits._
+    // First 5 dims all positive -> every vector lands in bucket 31 and
+    // every query probes it, so the approximate result must be exact.
+    val vecs = (0L until 30L).map(i =>
+      (i, Array.tabulate(8)(j =>
+        (if (j < 5) 0.1f + ((i * 13 + j * 5) % 7) * 0.1f
+         else (math.sin(i * 3 + j) * 0.5).toFloat))))
+    val c = vecs.toDF("cid", "cvec")
+    val q = vecs.take(4).toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(c, q, 3)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    val lsh = Similarity.lshTopK(c, q, 3, bits = 5)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    assert(lsh === bf)
+  }
+
+  test("Similarity.lshTopK multi-probe reaches Hamming-1 buckets") {
+    val spark0 = spark
+    import spark0.implicits._
+    // query in bucket 0 (all-negative signs); best neighbor differs only
+    // in dim 1's sign (bucket 1, Hamming distance 1) -> must be found.
+    val c = Seq(
+      (1L, Array(0.9f, -1f, -1f, -1f, -1f, 0f)),   // bucket 1
+      (2L, Array(-1f, -1f, -1f, -1f, -1f, 0.9f)))  // bucket 0
+      .toDF("cid", "cvec")
+    val q = Seq((10L, Array(1f, -1f, -1f, -1f, -1f, 0.1f)))
+      .toDF("qid", "qvec")
+    val got = Similarity.lshTopK(c, q, 2, bits = 5)
+      .orderBy("rank").collect().map(_.getAs[Long]("corpus_id")).toSeq
+    assert(got === Seq(1L, 2L))
   }
 
   // ------------------------------------------------------ multimodal
