@@ -52,7 +52,8 @@ object Dedup {
       shingleSize: Int = 5,
       numHashes: Int = 64,
       bands: Int = 8,
-      threshold: Double = 0.8) {
+      threshold: Double = 0.8,
+      maxBucketSize: Int = 4096) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
@@ -65,42 +66,79 @@ object Dedup {
       i => t.substr(i + 1, lit(k))))
   }
 
+  /** Sorted in-bucket pair expansion: (bucket key cols, ids ARRAY<BIGINT>)
+    * → one row per (id_a < id_b) pair. Grouping + expansion replaces the
+    * classic bucket SELF-JOIN: one scan and one shuffle instead of two
+    * scans (each recomputing signatures) and a join. Buckets larger than
+    * `maxBucket` are dropped — a bucket of B docs yields B²/2 pairs, so a
+    * flood of byte-identical docs would otherwise blow up any LSH plan;
+    * run exact dedup (`exactGroups`/`byFingerprint`) first, and count
+    * skipped buckets via the returned frame if auditing recall. */
+  private def bucketPairs(withBucket: DataFrame, keyCols: Seq[String],
+      idCol: String, maxBucket: Int): DataFrame = {
+    val ids = array_sort(col("ids"))
+    withBucket
+      .groupBy(keyCols.map(col): _*)
+      .agg(collect_list(col(idCol)).as("ids"))
+      .where(size(col("ids")).between(2, maxBucket))
+      .select(explode(flatten(transform(ids, (x, i) =>
+        transform(slice(ids, i + lit(2), size(ids)),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
+      .distinct()
+  }
+
   /** Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
     * Signatures come from the codegen'd MinHashSignature expression (one
-    * pass over the bytes per doc); the exact shingle-set Jaccard verify
-    * materializes shingle arrays only for LSH candidate rows — the full
-    * corpus never carries an exploded shingle column. */
+    * pass over the bytes per doc); candidates from in-bucket expansion
+    * (see bucketPairs — one shuffle, no self-join); the exact shingle-set
+    * Jaccard verify materializes shingle arrays only for LSH candidate
+    * rows — the full corpus never carries an exploded shingle column. */
   def minHashPairs(df: DataFrame, text: String, id: String,
       conf: MinHashConfig = MinHashConfig()): DataFrame = {
     val r = conf.rowsPerBand
     val sigs = df
+      // Empty-text precondition, NOT .where(sig.isNotNull): a filter on
+      // the signature itself gets pushed below the projection and the
+      // codegen'd MinHash pass runs twice per row (once in the scan
+      // filter, once in the project). length() is what the null case
+      // means anyway (no shingles).
+      .where(length(col(text)) > 0)
       .select(col(id).as("doc_id"),
         GraftFunctions.minhashSig(lower(col(text)), conf.shingleSize, conf.numHashes)
           .as("sig"))
-      .where(col("sig").isNotNull)
+    // Static per-band hash list (array of literal-indexed exprs, not
+    // transform(sequence(...))): the folded sequence literal defeats plan
+    // canonicalization, so the three consumers of the candidate pipeline
+    // below would each recompute it instead of hitting ReuseExchange.
     val bands = sigs.select(
       col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(conf.bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(r) + 1, lit(r))))))
+      posexplode(array((0 until conf.bands).map(b =>
+        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
 
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.band") === col("b.band") &&
-        col("a.band_hash") === col("b.band_hash") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .distinct()
+    val cand = bucketPairs(bands, Seq("band", "band_hash"), "doc_id",
+      conf.maxBucketSize)
 
+    // Verify stage, shaped so the expensive candidate pipeline above is
+    // referenced exactly ONCE in the plan (a cand/candIds/candSets
+    // formulation reads it three times, and exchange reuse does not
+    // reliably deduplicate the copies): explode each pair into its two
+    // member ids, join the text table once, shingle only the joined
+    // (candidate) rows, and regroup per pair. The Jaccard filter then
+    // only touches materialized arrays — nothing for Catalyst to push
+    // into a join condition and re-evaluate.
+    val side = cand.select(col("id_a"), col("id_b"),
+      explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     val texts = df.select(col(id).as("doc_id"), col(text).as("t"))
-    val withSets = cand
-      .join(texts.select(col("doc_id").as("id_a"), col("t").as("t_a")), "id_a")
-      .join(texts.select(col("doc_id").as("id_b"), col("t").as("t_b")), "id_b")
-      .select(col("id_a"), col("id_b"),
-        shingleCol(col("t_a"), conf.shingleSize).as("sh_a"),
-        shingleCol(col("t_b"), conf.shingleSize).as("sh_b"))
-    withSets
+    side.join(texts, "doc_id")
+      .select(col("id_a"), col("id_b"), col("doc_id"),
+        shingleCol(col("t"), conf.shingleSize).as("sh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(
+        first(when(col("doc_id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_a"),
+        first(when(col("doc_id") === col("id_b"), col("sh")), ignoreNulls = true).as("sh_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
       .withColumn("jaccard",
         col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
@@ -127,7 +165,7 @@ object Dedup {
     * asking for distance 6 gets 7 ~9-bit chunks, keeping recall exact
     * (the fixed 4x16 layout would silently miss pairs past distance 3). */
   def simHashPairs(df: DataFrame, text: String, id: String,
-      maxDist: Int = 3): DataFrame = {
+      maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
     require(maxDist >= 0 && maxDist <= 16,
       s"maxDist=$maxDist: chunks below 4 bits make the candidate join quadratic")
     val k = maxDist + 1
@@ -141,15 +179,23 @@ object Dedup {
     }
     val sigs = df.select(col(id).as("doc_id"), simHashCol(col(text)).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"), inline(array(chunkExprs: _*)))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") &&
-        col("a.chunk_val") === col("b.chunk_val") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+    // In-bucket expansion (one scan + one shuffle, cf. bucketPairs): the
+    // signature rides in the bucket struct, so the Hamming verify needs no
+    // join back. array_sort orders by doc_id (first struct field).
+    val es = array_sort(col("es"))
+    chunks
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("es"))
+      .where(size(col("es")).between(2, maxBucketSize))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+            .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .where(col("hamming") <= maxDist)
+      .distinct()
   }
 
   // ------------------------------------------------------ ngram jaccard
@@ -212,12 +258,20 @@ object Dedup {
       .withColumn("bands", bandSigCol(col("v"), dim, bands, seed))
     val buckets = sigs.select(col("vid"), col("v"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
-    buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-        col("a.vid") < col("b.vid"))
-      .select(col("a.vid").as("id_a"), col("b.vid").as("id_b"),
-        col("a.v").as("va"), col("b.v").as("vb"))
+    // In-bucket expansion (one scan + one shuffle, cf. bucketPairs); the
+    // vectors ride in the bucket struct so the cosine verify needs no join.
+    val es = array_sort(col("es")) // orders by vid (first struct field)
+    buckets
+      .groupBy(col("band"), col("sig"))
+      .agg(collect_list(struct(col("vid"), col("v"))).as("es"))
+      .where(size(col("es")) >= 2)
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("vid").as("id_a"),
+          y.getField("vid").as("id_b"),
+          x.getField("v").as("va"),
+          y.getField("v").as("vb")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.va"), col("p.vb"))
       .distinct()
       .withColumn("cosine", GraftFunctions.cosine(col("va"), col("vb")))
       .where(col("cosine") >= threshold)

@@ -32,9 +32,19 @@ import org.apache.spark.sql.types._
 object Relational {
 
   /** Exact, order-independent sum of a double expression; final value as
-    * DOUBLE (see numeric-parity convention above). */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    * DOUBLE (see numeric-parity convention above). Implementation: the
+    * per-row decimal quantization runs as the codegen'd DoubleScaled
+    * (round(c·10^s) → unscaled long, DuckDB-rounding — see its scaladoc),
+    * so the sum stays on Spark Decimal's compact long-backed fast path;
+    * summing CAST(c AS DECIMAL(18,s)) directly costs a Double.toString
+    * per value, ~10× this plan's CPU, for identical results on decimal
+    * inputs. The unscaled sum is re-scaled exactly in decimal, then cast
+    * to double. */
+  private[queries] def dsum(c: Column, scale: Int = 2): Column =
+    (sum(graft.functions.GraftFunctions.doubleScaled(c, scale)
+        .cast(DecimalType(18, 0)))
+      / lit(math.pow(10, scale).toLong))
+      .cast(DoubleType)
 
   private def ts(s: String): Column = to_timestamp(lit(s))
 

@@ -15,7 +15,7 @@ import org.apache.spark.sql.types._
 object Relational2 {
 
   private def dsum(c: org.apache.spark.sql.Column, scale: Int = 2) =
-    sum(c.cast(DecimalType(18, scale))).cast(DoubleType)
+    Relational.dsum(c, scale) // compact-decimal fast path; see Relational
 
   // ---------------------------------------------------------------- q18
   /** O25: a literal SQL string through spark.sql — THE reference query
