@@ -28,14 +28,29 @@ object FormatReader {
           .option("inferSchema", true)
           .csv(file.toString))
       case "json" =>
-        // pandas read_json parses an array-of-records document; Spark's
-        // multiLine mode handles that and JSON-lines both.
-        Parsed(spark.read.option("multiLine", true).json(file.toString))
+        // The reference's pd.read_json default parses a whole-document
+        // JSON array of records -> Spark multiLine mode. A JSON-lines
+        // file under multiLine would silently yield only its FIRST
+        // record, so sniff the document shape: '[' => array document,
+        // anything else => line-delimited records.
+        Parsed(spark.read
+          .option("multiLine", isJsonArrayDocument(file))
+          .json(file.toString))
       case "xlsx" | "xlsm" =>
         Parsed(fromXlsx(spark, file, sheetName, skipRows))
       case other =>
         Unsupported(s"Unsupported file type: .$other")
     }
+  }
+
+  /** First non-whitespace byte is '[' => whole-document JSON array. */
+  private def isJsonArrayDocument(file: Path): Boolean = {
+    val in = java.nio.file.Files.newInputStream(file)
+    try {
+      var b = in.read()
+      while (b != -1 && Character.isWhitespace(b)) b = in.read()
+      b == '['
+    } finally in.close()
   }
 
   /** Xlsx rows -> all-string DataFrame: header from the first (post-skip)

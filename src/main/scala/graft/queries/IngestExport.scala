@@ -90,7 +90,191 @@ object IngestExportQueries {
     """SELECT o_orderpriority AS prio, count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin
 
+  // ------------------------------------------------- json (O7) ingest
+
+  private val customerMeta = TableMeta.fromMetadata(
+    Seq(
+      "c_custkey"    -> "int",
+      "c_name"       -> "string",
+      "c_nationkey"  -> "int",
+      "c_acctbal"    -> "float",
+      "c_mktsegment" -> "string"),
+    nonNullableFields = Seq("c_custkey"))
+
+  /** Whole-document JSON array of records — the shape the reference's
+    * pd.read_json default accepts (box_ingest.py:150-151) — through the
+    * full validate path. */
+  def ingestJsonE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i2_")
+    val records = Tables.customer(s, d).orderBy("c_custkey")
+      .toJSON.collect() // driver-side render; the INGEST is distributed
+    Files.write(tmp.resolve("customers.json"),
+      records.mkString("[\n", ",\n", "\n]").getBytes("UTF-8"))
+
+    val ref = TableRef("graft", "verify", "i2_customer")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.json", metadata = Some(customerMeta),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+  }
+
+  private val ingestJsonOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      | CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------- zip spool (O5) + delete (O24) ingest
+
+  /** A zip holding two CSV member files: exercises spool-extract plus
+    * per-member recursion, then post-ingest source deletion. */
+  def ingestZipE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i3_")
+    val cust = Tables.customer(s, d)
+    val header = cust.columns.mkString(",")
+    def csvLines(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      header +: df.collect().toSeq.map(_.toSeq.map {
+        case null => ""
+        case v    => v.toString
+      }.mkString(","))
+    val lo = csvLines(cust.where(col("c_custkey") % 2 === 0))
+    val hi = csvLines(cust.where(col("c_custkey") % 2 === 1))
+    val zipPath = tmp.resolve("batch.zip")
+    val z = new java.util.zip.ZipOutputStream(Files.newOutputStream(zipPath))
+    try Seq("even.csv" -> lo, "odd.csv" -> hi).foreach { case (n, lines) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(n))
+      z.write(lines.mkString("\n").getBytes("UTF-8"))
+      z.closeEntry()
+    } finally z.close()
+
+    val ref = TableRef("graft", "verify", "i3_customer")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = "batch\\.zip", metadata = Some(customerMeta),
+      justCopy = false, delete = true))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    require(!Files.exists(zipPath), "O24: source zip should be deleted")
+    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+  }
+
+  // ------------------------- xlsx scan (O8: sheet + skiprows) ingest
+
+  /** The engine's own xlsx writer produces the fixture (title row, then
+    * header+data on a named sheet); ingest parses it back with
+    * sheetName + skipRows — the O8 knobs (box_ingest.py:152-156). */
+  def ingestXlsxE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i4_")
+    val nat = Tables.nation(s, d).orderBy("n_nationkey").collect()
+    val path = tmp.resolve("nations.xlsx")
+    val out = Files.newOutputStream(path)
+    try Xlsx.write(out, "raw_data",
+      // title row first => real header lands on row 2, so skipRows=1
+      Seq("quarterly nation refresh", "", ""),
+      (Seq(Seq[Any]("n_nationkey", "n_name", "n_regionkey")) ++
+        nat.toSeq.map(r => r.toSeq)).iterator)
+    finally out.close()
+
+    val ref = TableRef("graft", "verify", "i4_nation")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.xlsx", sheetName = Some("raw_data"),
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+        nonNullableFields = Seq("n_nationkey"))),
+      justCopy = false, skipRows = 1))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt").orderBy("n_nationkey")
+  }
+
+  private val ingestXlsxOracle =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      | CAST(n_regionkey AS BIGINT) AS n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  // --------------------------------------------- copy mode (O22) ingest
+
+  /** justCopy: no metadata/validation — incoming columns conform (via
+    * string, box_ingest.py:163-168) to the pre-existing target table's
+    * schema minus process_dt; extra source columns are dropped. */
+  def ingestCopyE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i5_")
+    val srcDir = tmp.resolve("src")
+    Tables.customer(s, d).coalesce(1).write
+      .option("header", true).mode("overwrite").csv(srcDir.toString)
+
+    val ref = TableRef("graft", "verify", "i5_customer")
+    dropAll(s, ref)
+    graft.sink.TableSink.ensureDatabase(s, ref)
+    s.sql(s"""CREATE TABLE ${ref.qualified}
+             | (c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE,
+             |  process_dt TIMESTAMP) USING parquet""".stripMargin)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = srcDir.toString,
+      fileNameRegex = "part-.*\\.csv", justCopy = true))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+  }
+
+  private val ingestCopyOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      | CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------ audit log (O23)
+
+  /** Every orchestration step logs one row (box_ingest.py:13-20); for a
+    * single-file ingest the action sequence is fully determined. */
+  def auditLogE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_a1_")
+    val srcDir = tmp.resolve("src")
+    Tables.region(s, d).coalesce(1).write
+      .option("header", true).mode("overwrite").csv(srcDir.toString)
+
+    val ref = TableRef("graft", "audit", "a1_region")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = srcDir.toString,
+      fileNameRegex = "part-.*\\.csv",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("r_regionkey" -> "int", "r_name" -> "string"),
+        nonNullableFields = Seq("r_regionkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(s"${ref.database}.${graft.sink.AuditLog.TableName}")
+      .select(col("task_owner"), col("job_action"))
+      .orderBy("job_action")
+  }
+
+  private val auditOracle =
+    """SELECT * FROM (VALUES
+      | ('verify', 'Created temp directory'),
+      | ('verify', 'Downloaded file'),
+      | ('verify', 'File processed'),
+      | ('verify', 'Ingest completed')) t(task_owner, job_action)
+      |ORDER BY job_action""".stripMargin
+
+  private def dropAll(s: SparkSession, ref: TableRef): Unit =
+    Seq(ref.qualified, ref.errorSibling.qualified,
+        s"${ref.database}.${graft.sink.AuditLog.TableName}").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i1_ingest_csv_e2e", ingestCsvE2e, Some(ingestOracle)),
+    QueryDef("i2_ingest_json_e2e", ingestJsonE2e, Some(ingestJsonOracle)),
+    QueryDef("i3_ingest_zip_e2e", ingestZipE2e, Some(ingestJsonOracle)),
+    QueryDef("i4_ingest_xlsx_e2e", ingestXlsxE2e, Some(ingestXlsxOracle)),
+    QueryDef("i5_ingest_copy_e2e", ingestCopyE2e, Some(ingestCopyOracle)),
+    QueryDef("a1_audit_log_e2e", auditLogE2e, Some(auditOracle)),
     QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)))
 }

@@ -54,6 +54,27 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("FormatReader: JSON array document AND json-lines both read fully") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("fr_json_")
+    val arr = dir.resolve("arr.json")
+    Files.write(arr,
+      """[
+        | {"id": 1, "name": "a"},
+        | {"id": 2, "name": "b"}
+        |]""".stripMargin.getBytes)
+    val lines = dir.resolve("lines.json")
+    Files.write(lines,
+      "{\"id\": 1, \"name\": \"a\"}\n{\"id\": 2, \"name\": \"b\"}\n".getBytes)
+    for (f <- Seq(arr, lines)) {
+      FormatReader.read(spark, f) match {
+        case FormatReader.Parsed(df) =>
+          assert(df.count() === 2, f) // json-lines under multiLine loses rows
+        case other => fail(s"$f: $other")
+      }
+    }
+  }
+
   test("Xlsx: write -> read roundtrip with types, escapes, nulls") {
     val f = Files.createTempFile("x", ".xlsx")
     val out = Files.newOutputStream(f)
