@@ -15,7 +15,8 @@ final case class QueryDef(
 object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Validation.defs ++
-      IngestExportQueries.defs ++ ExtensionQueries.defs
+      IngestExportQueries.defs ++ ExtensionQueries.defs ++
+      StreamingQueries.defs
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

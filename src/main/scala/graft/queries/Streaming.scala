@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.EventStream
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Structured-Streaming gate queries: each runs a real stream (file
+  * source, AvailableNow trigger) to a memory sink inside the query fn and
+  * returns the materialized result, so the DuckDB oracle checks STREAMING
+  * output against batch SQL semantics — watermarks, windows, and custom
+  * state included.
+  */
+object StreamingQueries {
+
+  private def runToTable(spark: SparkSession, name: String,
+      build: DataFrame => DataFrame, mode: String, dir: String): DataFrame = {
+    spark.catalog.dropTempView(name)
+    val q = build(EventStream.source(spark, dir))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    spark.table(name)
+  }
+
+  /** Tumbling 1-hour windowed aggregation with watermark — the streaming
+    * twin of q13; on a finite AvailableNow input, complete-mode output
+    * must equal the batch plan exactly. */
+  def hourlyStream(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "st2_hourly_out", EventStream.hourlyCounts, "complete", d)
+      .orderBy("hour", "event_type")
+
+  private val hourlyOracle =
+    """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+      | CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** flatMapGroupsWithState sessionization: every CLOSED session must
+    * match batch gaps-and-islands sessionize in ids, counts, and bounds.
+    * Each user's final session may legitimately stay open on a finite
+    * stream (the watermark never passes its end + gap), so both sides
+    * exclude the per-user maximum session id — the batch-side window
+    * filter in the oracle, a join against the batch plan here. Any
+    * missed, duplicated, or renumbered session still diverges (the
+    * round-1 counter-reset bug would fail this gate). */
+  def sessionizeStream(s: SparkSession, d: String): DataFrame = {
+    val streamed = runToTable(s, "st3_sessions_out",
+      df => EventStream.sessionizeStream(df).toDF(), "append", d)
+    val lastPerUser = EventStream.sessionize(Tables.events(s, d))
+      .groupBy(col("user_id").as("lu_user"))
+      .agg(max(col("session_id")).as("lu_last"))
+    streamed
+      .join(lastPerUser,
+        col("user_id") === col("lu_user") && col("session_id") === col("lu_last"),
+        "left_anti")
+      .orderBy("user_id", "session_id")
+  }
+
+  private val sessionizeStreamOracle =
+    """SELECT user_id, session_id, n_events, session_start, session_end
+      |FROM (
+      | SELECT *, max(session_id) OVER (PARTITION BY user_id) AS last_sid
+      | FROM (
+      |  SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |   count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end
+      |  FROM (
+      |   SELECT user_id, ts, event_id,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |   FROM (
+      |    SELECT user_id, ts, event_id,
+      |     CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+      |     THEN 1 ELSE 0 END AS new_session
+      |    FROM events) t) t2
+      |  GROUP BY user_id, session_id) agg) flagged
+      |WHERE session_id <> last_sid
+      |ORDER BY user_id, session_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
+    QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)))
+}

@@ -52,9 +52,11 @@ object EventStream {
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
 
   /** Public: Catalyst's generated state (de)serializer needs accessor
-    * visibility. */
+    * visibility. Bounds are MICROseconds since epoch — event time is
+    * micro-precision and a millisecond state would truncate the emitted
+    * session bounds away from the batch plan's min/max(ts). */
   final case class OpenSession(
-      sessionId: Long, nEvents: Long, startMs: Long, endMs: Long)
+      sessionId: Long, nEvents: Long, startUs: Long, endUs: Long)
 
   /** Streaming sessionization with custom state: one open session per
     * user in `flatMapGroupsWithState`, closed (and emitted, Append mode)
@@ -74,14 +76,22 @@ object EventStream {
       : Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     // ~100 years: a parked sentinel must carry SOME event-time timeout
     // (leaving the expired one in place would re-fire it every batch).
     val parkMs = 100L * 365 * 86400 * 1000
 
+    // Local (not object-level) helpers: the stateful closure must not
+    // capture the EventStream module, which is not serializable.
+    def tsToUs(t: java.sql.Timestamp): Long =
+      t.getTime / 1000 * 1000000L + t.getNanos / 1000
+    def usToTs(us: Long): java.sql.Timestamp = {
+      val t = new java.sql.Timestamp(us / 1000)
+      t.setNanos((us % 1000000L).toInt * 1000)
+      t
+    }
     def toOut(u: Long, s: OpenSession) = SessionOut(
-      u, s.sessionId, s.nEvents,
-      new java.sql.Timestamp(s.startMs), new java.sql.Timestamp(s.endMs))
+      u, s.sessionId, s.nEvents, usToTs(s.startUs), usToTs(s.endUs))
 
     def fn(user: Long, it: Iterator[(Long, java.sql.Timestamp, Long)],
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
@@ -92,18 +102,18 @@ object EventStream {
         if (closed.nEvents > 0L) Iterator.single(toOut(user, closed))
         else Iterator.empty // parked sentinel re-fired; nothing to emit
       } else {
-        val evs = it.toArray.sortInPlaceBy(e => (e._2.getTime, e._3))
+        val evs = it.map { case (u, ts, eid) => (u, tsToUs(ts), eid) }
+          .toArray.sortInPlaceBy(e => (e._2, e._3))
         val prior = state.getOption
         var open = prior.filter(_.nEvents > 0L) // sentinel = no open session
         val out = Seq.newBuilder[SessionOut]
-        evs.foreach { case (_, ts, _) =>
-          val t = ts.getTime
+        evs.foreach { case (_, t, _) =>
           open = open match {
-            case Some(s) if t - s.endMs > gapMs =>
+            case Some(s) if t - s.endUs > gapUs =>
               out += toOut(user, s)
               Some(OpenSession(s.sessionId + 1, 1L, t, t))
             case Some(s) =>
-              Some(s.copy(nEvents = s.nEvents + 1, endMs = math.max(s.endMs, t)))
+              Some(s.copy(nEvents = s.nEvents + 1, endUs = math.max(s.endUs, t)))
             case None =>
               Some(OpenSession(prior.map(_.sessionId).getOrElse(0L) + 1, 1L, t, t))
           }
@@ -111,7 +121,7 @@ object EventStream {
         open.foreach { s =>
           state.update(s)
           state.setTimeoutTimestamp(
-            math.max(s.endMs + gapMs, state.getCurrentWatermarkMs() + 1))
+            math.max(s.endUs / 1000 + gapUs / 1000, state.getCurrentWatermarkMs() + 1))
         }
         out.result().iterator
       }
