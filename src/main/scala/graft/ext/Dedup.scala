@@ -58,13 +58,17 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  /** Distinct character k-shingles of the lowercased text. */
-  private[ext] def shingleCol(text: Column, k: Int): Column = {
-    val t = lower(text)
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(t) - k, lit(0))),
-      i => t.substr(i + 1, lit(k))))
-  }
+  /** Distinct character k-shingles of the lowercased text. The lowered
+    * string is bound ONCE per row as the outer lambda variable: writing
+    * `lower(text)` directly inside the window lambda re-evaluates the
+    * (interpreted, collation-aware) lowercase per shingle — ~300x per
+    * document, which profiling showed dominating the whole verify stage. */
+  private[graft] def shingleCol(text: Column, k: Int): Column =
+    array_distinct(flatten(transform(
+      array(lower(text)),
+      t => transform(
+        sequence(lit(0), greatest(length(t) - k, lit(0))),
+        i => t.substr(i + 1, lit(k))))))
 
   /** Sorted in-bucket pair expansion: (bucket key cols, ids ARRAY<BIGINT>)
     * → one row per (id_a < id_b) pair. Grouping + expansion replaces the
@@ -74,13 +78,35 @@ object Dedup {
     * flood of byte-identical docs would otherwise blow up any LSH plan;
     * run exact dedup (`exactGroups`/`byFingerprint`) first, and count
     * skipped buckets via the returned frame if auditing recall. */
+  /** Keep only rows whose bucket holds 2..maxBucket members, via a
+    * codegen'd count window over the bucket key. In any LSH scheme the
+    * vast majority of buckets are singletons; dropping them BEFORE the
+    * collect_list aggregation matters because ObjectHashAggregate falls
+    * back to slow sort-based mode past ~128 groups per task (a corpus-
+    * sized group count), which measured ~8x the cost of the whole rest
+    * of the pipeline. The window shares the downstream groupBy's hash
+    * partitioning, so it adds no extra shuffle.
+    */
+  private def keepHotBuckets(withBucket: DataFrame, keyCols: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    withBucket
+      .withColumn("__bucket_n", count(lit(1)).over(w))
+      .where(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
+  }
+
   private def bucketPairs(withBucket: DataFrame, keyCols: Seq[String],
       idCol: String, maxBucket: Int): DataFrame = {
-    val ids = array_sort(col("ids"))
-    withBucket
+    // Sort INSIDE the agg projection and expand over the plain attribute:
+    // inlining the array_sort lambda tree at each of its three use sites
+    // multiplies the serialized task size (whole-plan interpreted HOF
+    // trees are large) and measurably slows task deserialization.
+    val ids = col("ids")
+    keepHotBuckets(withBucket, keyCols, maxBucket)
       .groupBy(keyCols.map(col): _*)
-      .agg(collect_list(col(idCol)).as("ids"))
-      .where(size(col("ids")).between(2, maxBucket))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .select(explode(flatten(transform(ids, (x, i) =>
         transform(slice(ids, i + lit(2), size(ids)),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -133,15 +159,12 @@ object Dedup {
       explode(array(col("id_a"), col("id_b"))).as("doc_id"))
     val texts = df.select(col(id).as("doc_id"), col(text).as("t"))
     side.join(texts, "doc_id")
-      .select(col("id_a"), col("id_b"), col("doc_id"),
-        shingleCol(col("t"), conf.shingleSize).as("sh"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(
-        first(when(col("doc_id") === col("id_a"), col("sh")), ignoreNulls = true).as("sh_a"),
-        first(when(col("doc_id") === col("id_b"), col("sh")), ignoreNulls = true).as("sh_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+        first(when(col("doc_id") === col("id_a"), col("t")), ignoreNulls = true).as("t_a"),
+        first(when(col("doc_id") === col("id_b"), col("t")), ignoreNulls = true).as("t_b"))
       .withColumn("jaccard",
-        col("inter") / (size(col("sh_a")) + size(col("sh_b")) - col("inter")))
+        GraftFunctions.shingleJaccard(col("t_a"), col("t_b"), conf.shingleSize))
       .where(col("jaccard") >= conf.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -182,11 +205,10 @@ object Dedup {
     // In-bucket expansion (one scan + one shuffle, cf. bucketPairs): the
     // signature rides in the bucket struct, so the Hamming verify needs no
     // join back. array_sort orders by doc_id (first struct field).
-    val es = array_sort(col("es"))
-    chunks
+    val es = col("es")
+    keepHotBuckets(chunks, Seq("chunk", "chunk_val"), maxBucketSize)
       .groupBy(col("chunk"), col("chunk_val"))
-      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("es"))
-      .where(size(col("es")).between(2, maxBucketSize))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("es"))
       .select(explode(flatten(transform(es, (x, i) =>
         transform(slice(es, i + lit(2), size(es)), y => struct(
           x.getField("doc_id").as("id_a"),
@@ -260,11 +282,10 @@ object Dedup {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "sig")
     // In-bucket expansion (one scan + one shuffle, cf. bucketPairs); the
     // vectors ride in the bucket struct so the cosine verify needs no join.
-    val es = array_sort(col("es")) // orders by vid (first struct field)
-    buckets
+    val es = col("es") // sorted by vid (first struct field)
+    keepHotBuckets(buckets, Seq("band", "sig"), Int.MaxValue)
       .groupBy(col("band"), col("sig"))
-      .agg(collect_list(struct(col("vid"), col("v"))).as("es"))
-      .where(size(col("es")) >= 2)
+      .agg(sort_array(collect_list(struct(col("vid"), col("v")))).as("es"))
       .select(explode(flatten(transform(es, (x, i) =>
         transform(slice(es, i + lit(2), size(es)), y => struct(
           x.getField("vid").as("id_a"),

@@ -180,6 +180,72 @@ case class FloatCosine(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Exact Jaccard similarity of the two strings' distinct lowercased
+  * k-CHARACTER shingle sets, fused into one pass: build a hash set of the
+  * left side's windows, probe with the right side's. Matches the
+  * composite array_distinct(transform(...substr...)) + array_intersect
+  * plan value-for-value (char windows, substr clamping for short
+  * strings), but allocates two string sets per PAIR instead of
+  * thousands of interpreted per-window Column evaluations — profiling
+  * showed the interpreted form's repeated substr/hash dominating the
+  * whole near-dup verify stage. Either side empty => 0.0.
+  */
+case class ShingleJaccard(left: Expression, right: Expression, shingleK: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes() = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"shingle_jaccard expects two STRING, got ${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    ShingleJaccard.jaccard(
+      l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String], shingleK)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ShingleJaccard.jaccard($a, $b, $shingleK);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleJaccard {
+  /** Static entry point shared by eval and generated code (the set loop
+    * is a plain JIT-compiled JVM method either way). */
+  def jaccard(a: UTF8String, b: UTF8String, k: Int): Double = {
+    val sa = shingles(a, k)
+    val sb = shingles(b, k)
+    if (sa.isEmpty || sb.isEmpty) return 0.0
+    var inter = 0
+    val it = sb.iterator()
+    while (it.hasNext) if (sa.contains(it.next())) inter += 1
+    inter.toDouble / (sa.size + sb.size - inter)
+  }
+
+  /** Distinct k-char windows of the lowercased string; one clamped window
+    * when the string is shorter than k — same semantics as
+    * transform(sequence(0, max(len-k, 0)), i -> substr(t, i+1, k)). */
+  private def shingles(s: UTF8String, k: Int): java.util.HashSet[String] = {
+    val t = s.toLowerCase.toString
+    val out = new java.util.HashSet[String](math.max(16, t.length * 2))
+    if (t.isEmpty) return out
+    val n = math.max(1, t.length - k + 1)
+    var i = 0
+    while (i < n) {
+      out.add(t.substring(i, math.min(t.length, i + k)))
+      i += 1
+    }
+    out
+  }
+}
+
 /** MinHash signature in one codegen'd pass: slide a k-byte window over the
   * string's UTF-8 bytes, XXH64 each window once, and derive the
   * `numHashes` hash families from that single value via affine transforms
@@ -410,6 +476,8 @@ object GraftFunctions {
   def fingerprint(c: Column): Column = column(RollingFingerprint(expr(c)))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
+  def shingleJaccard(a: Column, b: Column, k: Int): Column =
+    column(ShingleJaccard(expr(a), expr(b), k))
   def minhashSig(c: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSignature(expr(c), shingleK, numHashes))
   def simhashSig(c: Column): Column = column(SimHashSignature(expr(c)))

@@ -87,6 +87,29 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("ShingleJaccard equals the composite array_distinct/intersect plan") {
+    val docs = Seq(
+      ("the quick brown fox", "the quick brown fox"),      // identical -> 1.0
+      ("the quick brown fox", "the quick brown cat"),      // near
+      ("abc", "abc"),                                      // shorter than k, clamped window
+      ("abc", "xyz"),                                      // disjoint -> 0.0
+      ("MiXeD CaSe TeXt", "mixed case text"),              // lowercase folding
+      ("aaaaaaa", "aaaa"))                                 // distinct-window collapse
+    val df = docs.toDF("a", "b")
+    val composite = df.select(
+      Dedup.shingleCol($"a", 5).as("sa"), Dedup.shingleCol($"b", 5).as("sb"))
+      .select(
+        (size(array_intersect($"sa", $"sb")).cast("double") /
+          (size($"sa") + size($"sb") -
+            size(array_intersect($"sa", $"sb")))).as("j"))
+      .collect().map(_.getDouble(0))
+    val fused = df.select(
+      GraftFunctions.shingleJaccard($"a", $"b", 5).as("j"))
+      .collect().map(_.getDouble(0))
+    assert(fused.toSeq === composite.toSeq)
+    assert(fused(0) === 1.0 && fused(3) === 0.0)
+  }
+
   test("Dedup.simHashPairs recall equals brute-force Hamming join (maxDist 3 and 6)") {
     // 60 docs over a moderate vocab: brute force over signatures is the
     // ground truth; the chunk-banded join must return exactly the pairs
