@@ -228,11 +228,15 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
     val tokens = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
-    val grams = df.select(
-      col(id).as("doc_id"),
-      array_distinct(transform(
-        sequence(lit(0), greatest(size(tokens) - n, lit(0))),
-        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))).as("grams"))
+    // Token array bound once per row as the outer lambda variable —
+    // referencing `tokens` inside the index lambda would re-run
+    // split+lower+filter once per gram (cf. shingleCol).
+    val gramsExpr = array_distinct(flatten(transform(
+      array(tokens),
+      ts => transform(
+        sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))))
+    val grams = df.select(col(id).as("doc_id"), gramsExpr.as("grams"))
       .where(size(col("grams")) > 0)
       .withColumn("n_grams", size(col("grams")))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
