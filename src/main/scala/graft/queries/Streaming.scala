@@ -83,7 +83,46 @@ object StreamingQueries {
       |WHERE session_id <> last_sid
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** Streaming file-source ingest (the reference's poll-a-folder loop,
+    * native): render customer to CSV, stream it through ValidateAndSplit
+    * into a managed table with AvailableNow, read the table back. Same
+    * oracle as the batch i-path — streaming and batch ingest must agree.
+    */
+  def streamIngest(s: SparkSession, d: String): DataFrame = {
+    import graft.schema.TableMeta
+    import graft.sink.TableRef
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st4_")
+    val srcDir = tmp.resolve("src")
+    Tables.customer(s, d).coalesce(1).write
+      .option("header", true).mode("overwrite").csv(srcDir.toString)
+
+    val meta = TableMeta.fromMetadata(
+      Seq(
+        "c_custkey"    -> "int",
+        "c_name"       -> "string",
+        "c_nationkey"  -> "int",
+        "c_acctbal"    -> "float",
+        "c_mktsegment" -> "string"),
+      nonNullableFields = Seq("c_custkey"))
+    val ref = TableRef("graft", "verify", "st4_customer")
+    Seq(ref.qualified, ref.errorSibling.qualified).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    val q = graft.streaming.FileIngestStream.start(
+      s, srcDir.toString, meta, ref, pathGlob = "part-*.csv",
+      checkpoint = Some(tmp.resolve("ckpt").toString))
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+  }
+
+  private val streamIngestOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      | CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
-    QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)))
+    QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
+    QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle)))
 }

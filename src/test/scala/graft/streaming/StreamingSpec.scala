@@ -83,6 +83,33 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("FileIngestStream: streaming validate/split appends valid AND error tables") {
+    import graft.schema.TableMeta
+    import graft.sink.TableRef
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("fis_")
+    val src = tmp.resolve("in"); Files.createDirectories(src)
+    Files.write(src.resolve("batch1.csv"),
+      "id,name,score\n1,alice,3.5\n2,bob,not-a-number\n,carol,1.0\n".getBytes)
+    val meta = TableMeta.fromMetadata(
+      Seq("id" -> "int", "name" -> "string", "score" -> "float"),
+      nonNullableFields = Seq("id"))
+    val ref = TableRef("graft", "test", "fis_t")
+    Seq(ref.qualified, ref.errorSibling.qualified).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    val q = graft.streaming.FileIngestStream.start(
+      spark, src.toString, meta, ref,
+      checkpoint = Some(tmp.resolve("ckpt").toString))
+    q.awaitTermination(120000); q.stop()
+    val valid = spark.table(ref.qualified).orderBy("id").collect()
+    assert(valid.map(_.getAs[Long]("id")).toSeq === Seq(1L))
+    val errs = spark.table(ref.errorSibling.qualified)
+      .orderBy("error_type").collect().map(_.getAs[String]("error_type"))
+    assert(errs.length === 2)
+    assert(errs.exists(_.contains("Null value in non-nullable column: id")))
+    assert(errs.exists(_.contains("Type mismatch for column: score")))
+  }
+
   test("sessionize: gaps over 30min split sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
