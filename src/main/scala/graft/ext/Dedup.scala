@@ -261,20 +261,12 @@ object Dedup {
 
   /** Sign-bit signature of an ARRAY<FLOAT> against literal hyperplanes,
     * as an array of `bands` ints (8 planes per band). Cosine-similar
-    * vectors agree on most sign bits, so near-dups collide in some band. */
-  private def bandSigCol(vec: Column, dim: Int, bands: Int, seed: Long): Column = {
-    val ps = planes(dim, bands * 8, seed)
-    val bandVals = (0 until bands).map { b =>
-      (0 until 8).map { j =>
-        val plane = typedLit(ps(b * 8 + j).toSeq)
-        val dot = aggregate(
-          zip_with(vec, plane, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot > 0, lit(1 << j)).otherwise(lit(0))
-      }.reduce(_ + _)
-    }
-    array(bandVals: _*)
-  }
+    * vectors agree on most sign bits, so near-dups collide in some band.
+    * Codegen'd single pass (HyperplaneSig); the composite
+    * aggregate(zip_with(...)) form pays bands*8*dim interpreted lambda
+    * evaluations per row. */
+  private def bandSigCol(vec: Column, dim: Int, bands: Int, seed: Long): Column =
+    GraftFunctions.hyperplaneSig(vec, planes(dim, bands * 8, seed), bands)
 
   /** Near-duplicate embedding pairs (cosine >= threshold), LSH-bucketed:
     * one shuffle on (band, 8-bit signature), verify with FloatCosine. */

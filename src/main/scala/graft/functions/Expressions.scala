@@ -347,6 +347,71 @@ object MinHashSignature {
   def coeffB(n: Int): Array[Long] = Array.tabulate(n)(j => splitmix64(2L * j + 2))
 }
 
+/** Random-hyperplane LSH signature of an ARRAY<FLOAT> vector: one int
+  * per band, bit j of band b set iff dot(vec, plane[b*8+j]) > 0. Fused
+  * single pass over the planes; the composite per-plane
+  * aggregate(zip_with(...)) form evaluates interpreted higher-order
+  * lambdas per element per plane (bands*8*dim Column evaluations per
+  * row). Accumulation order matches that form exactly (sequential
+  * double adds), so bucket assignments are bit-identical.
+  */
+case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
+    bands: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == ArrayType(FloatType, containsNull = false) ||
+        child.dataType == ArrayType(FloatType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"hyperplane_sig expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    UnsafeArrayData.fromPrimitiveArray(
+      HyperplaneSig.sig(v, planes, bands))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.HyperplaneSig.sig($c, $pRef, $bands));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HyperplaneSig {
+  /** Shared by eval and generated code (JIT-compiled either way). */
+  def sig(vec: ArrayData, planes: Array[Array[Double]], bands: Int): Array[Int] = {
+    val out = new Array[Int](bands)
+    val nv = vec.numElements()
+    var b = 0
+    while (b < bands) {
+      var bits = 0
+      var j = 0
+      while (j < 8) {
+        val plane = planes(b * 8 + j)
+        val n = math.min(nv, plane.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += vec.getFloat(i) * plane(i); i += 1 }
+        if (dot > 0) bits |= (1 << j)
+        j += 1
+      }
+      out(b) = bits
+      b += 1
+    }
+    out
+  }
+}
+
 /** 64-bit SimHash in one codegen'd pass: tokenize on ASCII whitespace,
   * XXH64 each token (seed 42, matching `xxhash64`), per-bit ±1 vote,
   * sign-fold into one long. Occurrence-weighted (duplicate tokens vote
@@ -478,6 +543,8 @@ object GraftFunctions {
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccard(expr(a), expr(b), k))
+  def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int): Column =
+    column(HyperplaneSig(expr(c), planes, bands))
   def minhashSig(c: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSignature(expr(c), shingleK, numHashes))
   def simhashSig(c: Column): Column = column(SimHashSignature(expr(c)))
