@@ -84,6 +84,36 @@ class PlanSpec extends AnyFunSuite {
     assert(!sv.contains("Exchange"), s"validation must stay narrow\n$sv")
   }
 
+  test("d2 minhash: single signature scan — no bucket self-join, no recomputation") {
+    val df = graft.queries.ExtensionQueries.dedupMinHash(spark, sf)
+    val s = planString(df)
+    // the LSH candidate pipeline must appear exactly once: one minhash
+    // projection per union branch (2), never duplicated by a self-join
+    // or by multiple consumers of the candidate set
+    val sigCount = s.linesIterator.count(_.contains("minhashsignature"))
+    assert(sigCount == 2, s"expected 2 minhash projections (union branches), got $sigCount\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("s3 lsh knn: corpus bucketed once; probes join on the bucket key") {
+    val df = graft.queries.ExtensionQueries.knnLsh(spark, sf)
+    val s = planString(df)
+    // bucket equi-join (shuffled or broadcast), never an all-pairs join
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"LSH knn must not degenerate to all-pairs\n$s")
+  }
+
+  test("st4-shape streaming ingest plan: validation stays narrow on the stream") {
+    // the batch twin of the foreachBatch body — no Exchange anywhere
+    val meta = graft.schema.TableMeta.fromMetadata(
+      Seq("c_custkey" -> "int", "c_name" -> "string"),
+      nonNullableFields = Seq("c_custkey"))
+    val raw = graft.Tables.customer(spark, sf).selectExpr(
+      "CAST(c_custkey AS STRING) AS c_custkey", "c_name")
+    val split = graft.validate.ValidateAndSplit(raw, meta)
+    assert(!planString(split.invalid).contains("Exchange"))
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
