@@ -1,0 +1,94 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join operators Spark lacks as built-ins, shaped for scale.
+  *
+  * As-of (backward) join: for every left row, the single most recent
+  * right row with the same key and right.ts <= left.ts. The classic
+  * formulations — a range theta-join (O(n·m) per key) or a per-left-row
+  * subquery — do not survive large inputs; this plan is the
+  * union-and-carry-forward form: tag both sides, union them, and run one
+  * `last(_, ignoreNulls)` window per key over event order. ONE shuffle
+  * on the key, one sort, zero joins — the same shape a backfill over
+  * 100 TB of events wants. (DuckDB/Pandas expose this as ASOF JOIN /
+  * merge_asof; the oracle for q15 replays it with DuckDB's ASOF.)
+  */
+object Joins {
+
+  /** Backward as-of join.
+    *
+    * Output: every left row (left columns, unchanged names) plus the
+    * matched right row's non-key columns as a struct column `matchCol`
+    * (NULL when no right row precedes the left row) — a left outer
+    * as-of. Ties on right timestamp resolve to the row latest in
+    * `tiebreak` order (pass e.g. the right id column for determinism).
+    *
+    * @param keys     equi-join key columns (present in both sides)
+    * @param leftTs   left ordering column name
+    * @param rightTs  right ordering column name
+    * @param tolerance optional maximum allowed left.ts - right.ts, as a
+    *                  Catalyst interval/duration expression compared via
+    *                  `leftTs <= rightTs + tolerance`; matches farther
+    *                  back become NULL
+    */
+  def asofBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      matchCol: String = "asof_match",
+      tiebreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val rightPayloadFields = right.columns.filterNot(keys.contains)
+    val rightStruct = struct(rightPayloadFields.map(col): _*)
+    val rightStructType = StructType(
+      right.schema.fields.filterNot(f => keys.contains(f.name)))
+    val leftStruct = struct(left.columns.map(col): _*)
+    val leftStructType = StructType(left.schema.fields)
+    val rightTie: Column =
+      if (tiebreak.isEmpty) lit(0L) else struct(tiebreak.map(col): _*)
+    val leftTie: Column =
+      if (tiebreak.isEmpty) lit(0L)
+      else lit(null).cast(StructType(tiebreak.map(n => right.schema(n))))
+
+    // Right rows sort BEFORE left rows at equal ts => inclusive (<=)
+    // match; tiebreak columns order equal-ts right rows deterministically.
+    val tagged =
+      right.select(
+        keys.map(col) ++ Seq(
+          col(rightTs).as("__ts"),
+          lit(0).as("__side"),
+          rightTie.as("__tie"),
+          lit(null).cast(leftStructType).as("__l"),
+          rightStruct.as("__r")): _*)
+        .unionByName(left.select(
+          keys.map(col) ++ Seq(
+            col(leftTs).as("__ts"),
+            lit(1).as("__side"),
+            leftTie.as("__tie"),
+            leftStruct.as("__l"),
+            lit(null).cast(rightStructType).as("__r")): _*),
+          allowMissingColumns = false)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = tagged
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val withTol = tolerance match {
+      case Some(tol) =>
+        matched.withColumn("__match",
+          when(col("__ts") <= col(s"__match.$rightTs") + tol, col("__match")))
+      case None => matched
+    }
+
+    withTol.select(
+      left.columns.map(c => col(s"__l.`$c`").as(c)) :+
+        col("__match").as(matchCol): _*)
+  }
+}

@@ -293,6 +293,45 @@ object ExtensionQueries {
       | CAST(8 AS BIGINT) AS feat_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
+  // ------------------------------------------------ scale mechanics
+
+  /** Salted two-phase aggregation must be value-identical to the plain
+    * groupBy (the salt only splits hot keys across reducers). */
+  def saltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.ext.Scale.saltedAgg(
+      Tables.events(s, d), col("event_type"), count(lit(1)), c => sum(c))
+      .select(col("k").as("event_type"), col("value").cast(LongType).as("n"))
+      .orderBy("event_type")
+
+  private val saltedAggOracle =
+    """SELECT event_type, count(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Bucketed-table join: pay the shuffle at write time, join for free
+    * at read time (exchange-free plan asserted in ScaleSpec); results
+    * must match the direct join of the source parquet. */
+  def bucketedJoin(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.TableRef
+    val o = TableRef("graft", "verify", "sc2_orders")
+    val c = TableRef("graft", "verify", "sc2_customer")
+    Seq(o, c).foreach(r => s.sql(s"DROP TABLE IF EXISTS ${r.qualified}"))
+    graft.ext.Scale.writeBucketed(
+      Tables.orders(s, d).withColumn("custkey", col("o_custkey")), o, "custkey", 8)
+    graft.ext.Scale.writeBucketed(
+      Tables.customer(s, d).withColumn("custkey", col("c_custkey")), c, "custkey", 8)
+    graft.ext.Scale.bucketedJoin(s, o, c, "custkey")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  private val bucketedJoinOracle =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   // -------------------------------------------------------- streaming
 
   def sessionizeBatch(s: SparkSession, d: String): DataFrame =
@@ -329,5 +368,7 @@ object ExtensionQueries {
     QueryDef("s2_knn_ivf", knnIvf, None), // centroid sample uses xxhash64 ordering: not ANSI-expressible; ExtSpec checks vs brute force
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
+    QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
+    QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle)))
 }

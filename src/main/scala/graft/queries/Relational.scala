@@ -343,16 +343,16 @@ object Relational {
     */
   def q15AsofJoin(s: SparkSession, d: String): DataFrame = {
     val e = Tables.events(s, d)
-      .where(col("event_type").isin("signup", "purchase"))
       .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
-    val sideRank = when(col("event_type") === "signup", lit(0)).otherwise(lit(1))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").asc, sideRank.asc, col("event_id").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    e.withColumn("signup_ts", when(col("event_type") === "signup", col("ts")))
-      .withColumn("last_signup_ts", last(col("signup_ts"), ignoreNulls = true).over(w))
-      .where(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), col("ts"), col("last_signup_ts").as("signup_ts"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = e.where(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    graft.ext.Joins.asofBackward(
+      purchases, signups, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts", tiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_match.ts").as("signup_ts"))
       .orderBy("event_id")
   }
 

@@ -1,0 +1,55 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class JoinsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import java.sql.Timestamp
+
+  private def ts(min: Int) = new Timestamp(1700000000000L + min * 60000L)
+
+  test("asofBackward: latest preceding match per key, inclusive at equal ts") {
+    val quotes = Seq(
+      (7L, ts(0), 100.0), (7L, ts(10), 101.0), (7L, ts(30), 99.0),
+      (8L, ts(5), 50.0))
+      .toDF("uid", "qts", "px")
+    val trades = Seq(
+      (7L, ts(10), 1L),  // equal ts -> inclusive: px 101
+      (7L, ts(29), 2L),  // px 101 (ts(30) is after)
+      (7L, ts(31), 3L),  // px 99
+      (8L, ts(4), 4L),   // before any quote -> null
+      (9L, ts(1), 5L))   // key with no quotes -> null
+      .toDF("uid", "tts", "tid")
+    val got = Joins.asofBackward(
+      trades, quotes, keys = Seq("uid"), leftTs = "tts", rightTs = "qts")
+      .select($"tid", $"asof_match.px".as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(101.0), 2L -> Some(101.0), 3L -> Some(99.0),
+      4L -> None, 5L -> None))
+  }
+
+  test("asofBackward: tolerance nulls out matches farther back") {
+    val right = Seq((1L, ts(0), "old")).toDF("k", "rts", "tag")
+    val left = Seq((1L, ts(5), 10L), (1L, ts(90), 11L)).toDF("k", "lts", "id")
+    val got = Joins.asofBackward(
+      left, right, Seq("k"), "lts", "rts",
+      tolerance = Some(expr("INTERVAL 30 MINUTES")))
+      .select($"id", $"asof_match.tag".as("tag"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got === Map(10L -> Some("old"), 11L -> None))
+  }
+
+  test("asofBackward: equal-ts right rows resolve by tiebreak, latest wins") {
+    val right = Seq((1L, ts(0), 1L, "a"), (1L, ts(0), 2L, "b"))
+      .toDF("k", "rts", "rid", "tag")
+    val left = Seq((1L, ts(1), 10L)).toDF("k", "lts", "id")
+    val got = Joins.asofBackward(
+      left, right, Seq("k"), "lts", "rts", tiebreak = Seq("rid"))
+      .select($"asof_match.tag").collect()(0).getString(0)
+    assert(got === "b")
+  }
+}
