@@ -38,9 +38,62 @@ object Xlsx {
         case None => sheets.head._2
       }
       val shared = readSharedStrings(zf)
-      val rows = readSheet(zf, target, shared)
+      val rows = readSheet(zf, target, shared, readDateStyles(zf))
       rows.drop(skipRows)
     } finally zf.close()
+  }
+
+  /** Per-cellXf flag: is the style a date/time number format? Excel
+    * stores dates as serial NUMBERS; only the style says "date". The
+    * reference's pandas/openpyxl path converts such cells to datetimes
+    * (box_ingest.py:152-156), so a reader that surfaced the raw serial
+    * would flunk every date-typed validation cast downstream. Builtin
+    * date format ids plus custom formats containing y/m/d/h/s codes
+    * (outside quoted literals and [] sections) count as dates.
+    */
+  private def readDateStyles(zf: ZipFile): IndexedSeq[Boolean] = {
+    if (zf.getEntry("xl/styles.xml") == null) return Vector.empty
+    val builtinDate = (14 to 22).toSet ++ (27 to 36) ++ (45 to 47) ++ (50 to 58)
+    def isDateCode(code: String): Boolean = {
+      val cleaned = code
+        .replaceAll("\"[^\"]*\"", "") // quoted literals
+        .replaceAll("\\[[^\\]]*\\]", "") // color/locale sections
+      cleaned.exists(c => "ymdhsYMDHS".indexOf(c) >= 0)
+    }
+    withPart(zf, "xl/styles.xml") { r =>
+      val customDate = scala.collection.mutable.Set[Int]()
+      val xfs = ArrayBuffer.empty[Boolean]
+      var inCellXfs = false
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "numFmt" =>
+            val id = Option(r.getAttributeValue(null, "numFmtId"))
+              .flatMap(_.toIntOption)
+            val code = Option(r.getAttributeValue(null, "formatCode"))
+            if (id.isDefined && code.exists(isDateCode)) customDate += id.get
+          case "cellXfs" => inCellXfs = true
+          case "xf" if inCellXfs =>
+            val fmt = Option(r.getAttributeValue(null, "numFmtId"))
+              .flatMap(_.toIntOption).getOrElse(0)
+            xfs += (builtinDate.contains(fmt) || customDate.contains(fmt))
+          case _ =>
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "cellXfs" =>
+          inCellXfs = false
+        case _ =>
+      }
+      xfs.toIndexedSeq
+    }
+  }
+
+  /** Excel serial day number -> "yyyy-MM-dd HH:mm:ss" (1900 date system;
+    * epoch 1899-12-30 absorbs Excel's phantom 1900-02-29). Matches what
+    * str() of the pandas datetime feeds the reference's validators. */
+  private[io] def serialToDateTime(serial: Double): String = {
+    val epoch = java.time.LocalDate.of(1899, 12, 30).atStartOfDay()
+    val secs = math.round(serial * 86400.0)
+    epoch.plusSeconds(secs).format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
   /** Sheet (name -> worksheet part) pairs in workbook order, resolving
@@ -103,12 +156,14 @@ object Xlsx {
   }
 
   private def readSheet(zf: ZipFile, part: String,
-      shared: IndexedSeq[String]): Seq[Seq[Option[String]]] = {
+      shared: IndexedSeq[String],
+      dateStyle: IndexedSeq[Boolean]): Seq[Seq[Option[String]]] = {
     withPart(zf, part) { r =>
       val rows = ListBuffer.empty[ArrayBuffer[Option[String]]]
       var cur: ArrayBuffer[Option[String]] = null
       var cellCol = -1
       var cellType = ""
+      var cellDate = false
       var inV = false
       var inIs = false
       val text = new StringBuilder
@@ -119,6 +174,9 @@ object Xlsx {
             cellCol = Option(r.getAttributeValue(null, "r"))
               .map(colIndex).getOrElse(cur.length)
             cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
+            cellDate = Option(r.getAttributeValue(null, "s"))
+              .flatMap(_.toIntOption).exists(i =>
+                i >= 0 && i < dateStyle.length && dateStyle(i))
             text.clear()
           case "v" => inV = true
           case "is" => inIs = true
@@ -137,6 +195,10 @@ object Xlsx {
               else cellType match {
                 case "s" => raw.trim.toIntOption.flatMap(shared.lift)
                 case "b" => Some(if (raw.trim == "1") "True" else "False")
+                case "n" if cellDate =>
+                  // date-styled numeric: serial day -> datetime string
+                  raw.trim.toDoubleOption.map(serialToDateTime)
+                    .orElse(Some(raw))
                 case _   => Some(raw) // n, str, inlineStr: stored text as-is
               }
             while (cur.length < cellCol) cur += None
@@ -233,6 +295,12 @@ object Xlsx {
         case n: java.math.BigDecimal => numCell(w, n.toPlainString)
         case n: BigDecimal => numCell(w, n.bigDecimal.toPlainString)
         case b: Boolean => w.write(s"""<c t="b"><v>${if (b) 1 else 0}</v></c>""")
+        case t: java.sql.Timestamp => // ISO, no trailing ".0" nanos
+          val s = t.toLocalDateTime.format(
+            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
+        case d: java.sql.Date =>
+          w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
         case v => w.write(
           s"""<c t="inlineStr"><is><t xml:space="preserve">${escape(v.toString)}</t></is></c>""")
       }

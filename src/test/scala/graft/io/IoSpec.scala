@@ -91,6 +91,51 @@ class IoSpec extends AnyFunSuite {
     assert(rows(3) === Seq(None, Some("7"), Some("99.0"), None))
   }
 
+  test("Xlsx: date-styled numeric cells surface as datetime strings (1900 system)") {
+    // Handcrafted workbook: styles.xml declares cellXf 1 with builtin
+    // date numFmtId 14 and cellXf 2 with a custom date code; the sheet
+    // stores raw serials. An Excel-authored file looks exactly like this.
+    val f = Files.createTempFile("xd", ".xlsx")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    def part(n: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets><sheet name="d" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+        |<cellXfs count="3"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c r="A1" s="1"><v>45356</v></c><c r="B1" s="2"><v>45356.51039351852</v></c><c r="C1"><v>45356</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); z.close()
+    val rows = Xlsx.read(f, None, 0)
+    // 45356 = 2024-03-05; builtin and custom date styles convert,
+    // unstyled numeric stays a raw serial
+    assert(rows.head(0) === Some("2024-03-05 00:00:00"))
+    assert(rows.head(1) === Some("2024-03-05 12:14:58"))
+    assert(rows.head(2) === Some("45356"))
+  }
+
   test("Xlsx: sheet selection by name, skipRows, missing sheet error") {
     val f = Files.createTempFile("x2", ".xlsx")
     val out = Files.newOutputStream(f)
