@@ -123,4 +123,45 @@ class ValidateAndSplitSpec extends AnyFunSuite {
     assert(s.valid.select("id").collect().map(_.getLong(0)) === Array(3L))
     assert(s.invalid.count() === 1)
   }
+
+  test("property: any generated batch partitions exactly, with typed valid rows") {
+    import org.scalacheck.{Gen, Prop, Test => SC}
+    // Cells deliberately mix well-typed, mis-typed, null, and junk values
+    // across every accept-grammar class.
+    val cell: Gen[String] = Gen.oneOf(
+      Gen.const(null: String),
+      Gen.chooseNum(-1000000L, 1000000L).map(_.toString),
+      Gen.chooseNum(-1e6, 1e6).map(d => f"$d%.3f"),
+      Gen.const("3.5"), Gen.const("abc"), Gen.const(""),
+      Gen.const("2024-01-15"), Gen.const("2024-01-15 10:00:00"),
+      Gen.const("01/15/2024"), Gen.const("not-a-date"),
+      Gen.alphaNumStr.map(_.take(12)))
+    val row: Gen[Row] = Gen.listOfN(5, cell).map(cs => Row(cs: _*))
+    val batch: Gen[Seq[Row]] = Gen.choose(0, 25).flatMap(Gen.listOfN(_, row))
+
+    val prop = Prop.forAll(batch) { rows =>
+      val s = ValidateAndSplit(df(rows), meta)
+      val valid = s.valid.collect()
+      val nInvalid = s.invalid.collect()
+      // 1. exact partition of the input
+      val partitions = valid.length + nInvalid.length == rows.length
+      // 2. valid side: lowercased declared names and declared types
+      // (nullability flags come from the cast expressions, not the meta)
+      val schemaOk = s.valid.schema.map(f => (f.name, f.dataType)) ==
+        meta.fields.map(f => (f.outName, f.dataType))
+      // 3. non-nullable column never null on the valid side
+      val nonNullOk = valid.forall(r => !r.isNullAt(0))
+      // 4. every invalid row carries at least one recognized error class
+      val errOk = nInvalid.forall { r =>
+        val e = r.getAs[String]("error_type")
+        e != null && e.nonEmpty && e.split("; ").forall(m =>
+          m.startsWith("Missing column: ") ||
+          m.startsWith("Null value in non-nullable column: ") ||
+          m.startsWith("Type mismatch for column: "))
+      }
+      partitions && schemaOk && nonNullOk && errOk
+    }
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
