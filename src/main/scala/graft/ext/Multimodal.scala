@@ -67,6 +67,30 @@ object Multimodal {
       out
     }
 
+    /** Resize stub: nearest-neighbor resampling over the payload treated
+      * as a row-major srcW x srcH byte image — deterministic, output
+      * length exactly dstW*dstH, missing source bytes read as 0. Stands
+      * in for a real decoder+scaler; the Spark-side plumbing (batching,
+      * metadata update, schema) is what this exercises. */
+    def resize(bytes: Array[Byte], srcW: Int, srcH: Int,
+        dstW: Int, dstH: Int): Array[Byte] = {
+      val out = new Array[Byte](math.max(0, dstW * dstH))
+      if (bytes.isEmpty || srcW <= 0 || srcH <= 0) return out
+      var y = 0
+      while (y < dstH) {
+        val sy = y * srcH / dstH
+        var x = 0
+        while (x < dstW) {
+          val sx = x * srcW / dstW
+          val i = sy * srcW + sx
+          out(y * dstW + x) = if (i < bytes.length) bytes(i) else 0
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
     /** Frame sampling stub: `n` evenly-spaced byte-slices stand in for
       * decoded video frames. */
     def sampleFrames(bytes: Array[Byte], n: Int): Seq[Array[Byte]] = {
@@ -92,6 +116,23 @@ object Multimodal {
           MediaFeatures(r.media_id, r.media_type, r.content.length.toLong,
             StubCodec.sampleFrames(r.content, frames).size.toLong,
             StubCodec.decodeToFeatures(r.content, dim))
+        }
+      }
+    }
+  }
+
+  /** Batched distributed resize: every record's payload resampled to
+    * (w, h) with metadata updated — the decode/transform/rewrite shape
+    * of an image-normalization pass. */
+  def resize(ds: Dataset[MediaRecord], w: Int, h: Int,
+      batchSize: Int = 64): Dataset[MediaRecord] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.map { r =>
+          r.copy(
+            content = StubCodec.resize(r.content, r.width, r.height, w, h),
+            width = w, height = h)
         }
       }
     }

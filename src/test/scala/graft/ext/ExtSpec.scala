@@ -238,4 +238,20 @@ class ExtSpec extends AnyFunSuite {
     assert(feats(0).n_bytes === "payload-one".getBytes.length.toLong)
     assert(Multimodal.StubCodec.sampleFrames("abcdefgh".getBytes, 4).size === 4)
   }
+
+  test("Multimodal.resize: distributed resample updates payload and metadata") {
+    val df = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
+    val media = Multimodal.toDataset(spark,
+      Multimodal.fromText(df, "doc_id", "text")
+        .withColumn("width", lit(4)).withColumn("height", lit(4)))
+    val out = Multimodal.resize(media, 2, 2).collect()(0)
+    assert(out.width === 2 && out.height === 2)
+    assert(out.content.length === 4)
+    // nearest-neighbor picks cols {0,2} of rows {0,2} of the 4x4 grid:
+    // bytes 0, 2, 8, 10
+    assert(new String(out.content) === "028a")
+    // deterministic
+    val again = Multimodal.resize(media, 2, 2).collect()(0)
+    assert(again.content.toSeq === out.content.toSeq)
+  }
 }
