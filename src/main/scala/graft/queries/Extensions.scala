@@ -366,9 +366,9 @@ object ExtensionQueries {
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, None), // centroid sample uses xxhash64 ordering: not ANSI-expressible; ExtSpec checks vs brute force
-    QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle)),
+    QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
-    QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle)))
+    QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }
