@@ -223,8 +223,53 @@ object Relational2 {
       |         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  // ---------------------------------------------------------------- q27
+  /** Explicit GROUPING SETS (not derivable from cube/rollup) plus
+    * grouping() disambiguation of the super-aggregate NULLs, through the
+    * SQL-text surface. */
+  def q27GroupingSets(s: SparkSession, d: String): DataFrame = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q27")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+        | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+        | count(*) AS n
+        |FROM lineitem_q27
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_rf, g_ls
+        |""".stripMargin)
+  }
+
+  private val q27Oracle =
+    """SELECT l_returnflag, l_linestatus,
+      | CAST(grouping(l_returnflag) AS BIGINT) AS g_rf,
+      | CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+      | count(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, g_rf, g_ls""".stripMargin
+
+  // ---------------------------------------------------------------- q28
+  /** Left and right outer joins with unmatched-side handling (q20 covers
+    * full outer): orders per nation INCLUDING nations with no customers. */
+  def q28OuterJoins(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    n.join(c, col("c_nationkey") === col("n_nationkey"), "left")
+      .groupBy(col("n_name"))
+      .agg(count(col("c_custkey")).as("n_customers"))
+      .orderBy("n_name")
+  }
+
+  private val q28Oracle =
+    """SELECT n_name, count(c_custkey) AS n_customers
+      |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q18_sql_text", q18SqlText, Some(q18Sql)),
+    QueryDef("q27_grouping_sets", q27GroupingSets, Some(q27Oracle)),
+    QueryDef("q28_outer_join_agg", q28OuterJoins, Some(q28Oracle)),
     QueryDef("q19_cube", q19Cube, Some(q19Oracle)),
     QueryDef("q20_full_outer", q20FullOuter, Some(q20Oracle)),
     QueryDef("q21_pivot", q21Pivot, Some(q21Oracle)),
