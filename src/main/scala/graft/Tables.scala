@@ -5,8 +5,18 @@ import org.apache.spark.sql.functions._
 
 /** Loaders for the driver-generated test tables (TESTDATA.md). */
 object Tables {
+
+  /** Relation cache per (session, path): `spark.read.parquet` re-lists
+    * the path and re-reads footers for schema on every call, ~80ms per
+    * table reference that every query would otherwise pay again. The
+    * returned DataFrame is immutable plan state, safe to share; keyed on
+    * the session so a stopped session's relations are never reused. */
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
+      { case (s, p) => s.read.parquet(p) })
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
     * (microseconds) cannot represent; the vectorized reader refuses it
