@@ -271,7 +271,8 @@ object Dedup {
   /** Near-duplicate embedding pairs (cosine >= threshold), LSH-bucketed:
     * one shuffle on (band, 8-bit signature), verify with FloatCosine. */
   def embeddingPairs(df: DataFrame, vec: String, id: String, dim: Int,
-      threshold: Double = 0.95, bands: Int = 8, seed: Long = 42L): DataFrame = {
+      threshold: Double = 0.95, bands: Int = 8, seed: Long = 42L,
+      maxBucketSize: Int = 4096): DataFrame = {
     val sigs = df.select(col(id).as("vid"), col(vec).as("v"))
       .withColumn("bands", bandSigCol(col("v"), dim, bands, seed))
     val buckets = sigs.select(col("vid"), col("v"), posexplode(col("bands")))
@@ -279,7 +280,7 @@ object Dedup {
     // In-bucket expansion (one scan + one shuffle, cf. bucketPairs); the
     // vectors ride in the bucket struct so the cosine verify needs no join.
     val es = col("es") // sorted by vid (first struct field)
-    keepHotBuckets(buckets, Seq("band", "sig"), Int.MaxValue)
+    keepHotBuckets(buckets, Seq("band", "sig"), maxBucketSize)
       .groupBy(col("band"), col("sig"))
       .agg(sort_array(collect_list(struct(col("vid"), col("v")))).as("es"))
       .select(explode(flatten(transform(es, (x, i) =>
