@@ -92,14 +92,18 @@ object TextAnalysis {
     * each profile scores via a size(array_intersect-like filter).
     */
   def langIdCol(text: Column): Column = {
-    val tokens = split(lower(text), "\\s+")
-    val scored = StopwordProfiles.map { case (lang, words) =>
-      struct(
-        size(filter(tokens, t => t.isInCollection(words))).as("score"),
-        lit(lang).as("lang"))
+    // Token array bound once per row via the outer lambda (each profile's
+    // filter() would otherwise re-run split+lower — cf. Dedup.shingleCol).
+    def best(tokens: Column): Column = {
+      val scored = StopwordProfiles.map { case (lang, words) =>
+        struct(
+          size(filter(tokens, t => t.isInCollection(words))).as("score"),
+          lit(lang).as("lang"))
+      }
+      val b = greatest(scored: _*)
+      when(b.getField("score") > 0, b.getField("lang")).otherwise(lit("und"))
     }
-    val best = greatest(scored: _*)
-    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    element_at(transform(array(split(lower(text), "\\s+")), best(_)), 1)
   }
 
   def langId(df: DataFrame, text: String, id: String): DataFrame =
