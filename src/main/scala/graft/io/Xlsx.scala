@@ -301,6 +301,12 @@ object Xlsx {
           w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
         case d: java.sql.Date =>
           w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
+        case i: java.time.Instant => // java8API.enabled sessions
+          val s = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+          w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
+        case d: java.time.LocalDate =>
+          w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
         case v => w.write(
           s"""<c t="inlineStr"><is><t xml:space="preserve">${escape(v.toString)}</t></is></c>""")
       }
