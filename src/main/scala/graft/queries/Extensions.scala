@@ -151,6 +151,38 @@ object ExtensionQueries {
       |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** End-to-end corpus dedup: near-dup pairs feed the greedy keeper
+    * (drop every doc duplicating a lower id) — the actual "dedup my
+    * training corpus" operation, not just pair detection. */
+  def dedupPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = plantedDocs(s, d)
+    val pairs = Dedup.minHashPairs(docs, "text", "doc_id")
+    Dedup.dropFromPairs(docs, "doc_id", pairs)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupPipelineOracle =
+    """WITH planted AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text FROM documents WHERE doc_id < 25),
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM planted),
+      |pairs AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
+      |  len(a.s) AS na, len(b.s) AS nb
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |dropped AS (
+      | SELECT DISTINCT id_b FROM pairs WHERE inter / (na + nb - inter) >= 0.8)
+      |SELECT doc_id FROM planted WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+      |ORDER BY doc_id""".stripMargin
+
   def dedupSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
@@ -363,6 +395,7 @@ object ExtensionQueries {
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, None), // custom 64-bit hash family: not ANSI-expressible; ExtSpec checks recall vs brute force
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, None), // centroid sample uses xxhash64 ordering: not ANSI-expressible; ExtSpec checks vs brute force
