@@ -121,8 +121,26 @@ object StreamingQueries {
       | CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Stream-stream interval join (purchase attribution): both sides are
+    * real streams over the same file source; emitted matches on a finite
+    * AvailableNow input must equal the batch range join exactly. */
+  def streamStreamJoin(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "st5_attr_out",
+      df => EventStream.purchaseAttribution(df), "append", d)
+      .orderBy("p_id", "s_id")
+
+  private val streamStreamOracle =
+    """SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+      | s.event_id AS s_id, s.ts AS s_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      | ON p.user_id = s.user_id
+      | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 60 MINUTES
+      |ORDER BY p_id, s_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
+    QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
     QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle)))
 }

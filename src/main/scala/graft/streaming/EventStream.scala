@@ -47,6 +47,29 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-stream interval join: purchases matched to every signup by
+    * the same user within the preceding `windowMinutes` — the streaming
+    * attribution join. Both sides carry watermarks and the join
+    * condition carries the time range, so Spark bounds each side's state
+    * to the watermark horizon instead of buffering either stream forever;
+    * on a finite input the emitted matches equal the batch range join
+    * exactly (the watermark only bounds STATE, never drops matches). */
+  def purchaseAttribution(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
+    val delay = s"$windowMinutes minutes"
+    val p = events.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"))
+      .withWatermark("p_ts", delay)
+    val sg = events.where(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("s_ts"),
+        col("event_id").as("s_id"))
+      .withWatermark("s_ts", delay)
+    p.join(sg,
+      col("user_id") === col("s_user") &&
+      col("s_ts") <= col("p_ts") &&
+      col("s_ts") >= col("p_ts") - expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("s_id"), col("s_ts"))
+  }
+
   final case class SessionOut(
       user_id: Long, session_id: Long, n_events: Long,
       session_start: java.sql.Timestamp, session_end: java.sql.Timestamp)
