@@ -223,10 +223,23 @@ object Dedup {
   // ------------------------------------------------------ ngram jaccard
 
   /** Token n-gram Jaccard similarity join: pairs with jaccard >= threshold
-    * found via an inverted index (explode n-grams, equi-join on the gram).
-    * Set sizes ride along so Jaccard needs no second join. */
+    * found via an inverted index on the gram. Set sizes ride along so
+    * Jaccard needs no second join.
+    *
+    * Grams held by more than `maxDocsPerGram` documents are dropped from
+    * the index (keepHotBuckets, as in every other LSH path here): a
+    * corpus-common trigram with df = 10^6 would otherwise contribute
+    * ~10^12 candidate pairs on its own — the quadratic blowup that kills
+    * this plan at scale. Effect on results: exact below the cap; above
+    * it, a hot gram stops counting toward `shared`, so pairs whose
+    * overlap is mostly corpus-stopword grams score lower and may fall
+    * under the threshold (a recall trade documented here, acceptable
+    * because grams that common carry no near-dup signal). Singleton
+    * grams are pruned by the same window — they can never produce a
+    * pair. */
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
-      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 4096): DataFrame = {
     val tokens = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
     // Token array bound once per row as the outer lambda variable —
     // referencing `tokens` inside the index lambda would re-run
@@ -240,11 +253,23 @@ object Dedup {
       .where(size(col("grams")) > 0)
       .withColumn("n_grams", size(col("grams")))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    inv.as("a")
-      .join(inv.as("b"),
-        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.n_grams").as("na"), col("b.n_grams").as("nb"))
+    // In-bucket pair expansion instead of the classic inverted-index
+    // SELF-join: one scan and one shuffle on gram (the count window and
+    // the groupBy share the partitioning) versus two scans — each
+    // re-exploding every document — plus a join. Struct sort orders by
+    // doc_id (first field), so pairs come out id_a < id_b.
+    val es = col("es")
+    keepHotBuckets(inv, Seq("gram"), maxDocsPerGram)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          x.getField("n_grams").as("na"),
+          y.getField("n_grams").as("nb")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
       .agg(count(lit(1)).cast(DoubleType).as("shared"))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= threshold)

@@ -37,12 +37,22 @@ object Scale {
     * key becomes (key, salt) — splitting each hot key's rows across
     * saltFactor reducers. Row multiplicity is unchanged: each left row
     * matches exactly one replica of each right match.
+    *
+    * The salt is derived from the left row's CONTENT (all columns), not
+    * from monotonically_increasing_id(): id-based salts change when a
+    * task is recomputed after a shuffle-fetch failure, and a re-salted
+    * row lands on a different reducer than its first attempt — the
+    * classic duplicated/lost-row hazard, at exactly the scale where
+    * salting matters. Content hashing is retry-deterministic; its one
+    * limit is that byte-identical duplicate rows share a salt, so a key
+    * that is hot purely through exact duplicates still skews — dedup
+    * first (or add a stable row id upstream) in that case.
     */
   def saltedJoin(
       left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       saltFactor: Int = 16): DataFrame = {
     val salted = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltFactor)))
+      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
     salted.join(replicated,

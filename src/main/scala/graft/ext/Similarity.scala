@@ -120,15 +120,22 @@ object Similarity {
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
     * Centroids are a deterministic hash-ordered sample of the corpus
     * (k-means iterations would refine them; the bucketing/probing plan is
-    * identical). Returns the same schema as bruteForceTopK; recall < 1.0
-    * by construction.
+    * identical). The sample key is a Knuth multiplicative hash
+    * `pmod(cid * 2654435761, 2147483647)` with cid as tiebreak — chosen
+    * over xxhash64 because it is ANSI-SQL-expressible, so an independent
+    * engine can replay the whole IVF pipeline (the s2 gate oracle does).
+    * Caveat: for cid > ~3.4e9 the int64 product wraps on the JVM where
+    * strict engines overflow — ids that large should be pre-folded.
+    * Returns the same schema as bruteForceTopK; recall < 1.0 by
+    * construction.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
 
     val centroids = corpus
-      .orderBy(xxhash64(col("cid"))).limit(nlist)
+      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
+      .limit(nlist)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
 
     // Build: assign each corpus vector to its best centroid (narrow pass

@@ -272,6 +272,44 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  /** Full replay of the IVF pipeline — possible because the centroid
+    * sample key is the ANSI-expressible multiplicative hash (see
+    * Similarity.ivfTopK): DuckDB re-derives centroids, assignment
+    * (argmax cosine, centroid_id tiebreak), nprobe probing, and the
+    * final in-bucket top-k. Ranks (not cosines) are compared, as in s1.
+    */
+  private val knnIvfOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id FROM (
+      |  SELECT c.cid, c.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |cand AS (
+      | SELECT qid, cid, list_cosine_similarity(qv, v) AS sim
+      | FROM probes JOIN assigned USING (centroid_id)
+      | WHERE cid <> qid)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT qid AS query_id, cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
+      | FROM cand) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, bits = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -393,12 +431,12 @@ object ExtensionQueries {
     QueryDef("t4_fingerprint", fingerprints, Some(fingerprintOracle)),
     QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
-    QueryDef("d3_dedup_simhash", dedupSimHash, None), // custom 64-bit hash family: not ANSI-expressible; ExtSpec checks recall vs brute force
+    QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
-    QueryDef("s2_knn_ivf", knnIvf, None), // centroid sample uses xxhash64 ordering: not ANSI-expressible; ExtSpec checks vs brute force
+    QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),

@@ -147,6 +147,24 @@ class ExtSpec extends AnyFunSuite {
     assert(kept === Array(1L, 3L))
   }
 
+  test("Dedup.ngramJaccardPairs: hot-gram cap bounds the candidate set") {
+    // 60 byte-identical docs (every gram df=60, over the cap of 10) plus
+    // two near-dup docs with unique vocabulary (df=2, under the cap).
+    // Without the cap the flood contributes 60*59/2 = 1770 pairs; with it
+    // the flooded grams never enter the index and only the cold pair
+    // survives — the bounded-candidate guarantee at 100 TB, in miniature.
+    val flood = (1 to 60).map(i =>
+      (1000L + i, "the quick brown fox jumps over the lazy dog again and again"))
+    val nearDup = Seq(
+      (1L, "zebra quagga okapi tapir bongo kudu eland oryx addax saiga"),
+      (2L, "zebra quagga okapi tapir bongo kudu eland oryx addax saiga ibex"))
+    val df = (flood ++ nearDup).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        maxDocsPerGram = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(pairs === Seq((1L, 2L)))
+  }
+
   test("Dedup.embeddingPairs finds identical embeddings via LSH buckets") {
     val v1 = Array.tabulate(8)(i => (math.sin(i + 1) * 0.5).toFloat)
     val v2 = v1.clone()

@@ -9,6 +9,26 @@ class ScaleSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("saltedJoin: salt is retry-deterministic (content-derived)") {
+    // The salt must be a pure function of row content: an id-based salt
+    // (monotonically_increasing_id) changes when a map task is recomputed
+    // after a shuffle-fetch failure, re-routing rows between reducers
+    // mid-join — duplicated/lost rows at scale. Re-evaluating the salted
+    // frame must therefore yield identical (row, salt) assignments.
+    val left = (1 to 200).map(i => ((i % 7).toLong, i.toLong)).toDF("k", "v")
+    def saltsOf = Scale.saltedJoin(
+        left, Seq((0L, "x")).toDF("rk", "n"), "k", "rk", saltFactor = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(0))).toSet
+    assert(saltsOf === saltsOf)
+    val salts = left.repartition(13)
+      .withColumn("__salt", pmod(xxhash64(left.columns.map(col): _*), lit(8)))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    val saltsAgain = left.repartition(3)
+      .withColumn("__salt", pmod(xxhash64(left.columns.map(col): _*), lit(8)))
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(salts === saltsAgain, "salt must not depend on physical layout")
+  }
+
   test("saltedJoin: same result as plain join under heavy key skew") {
     // 10k rows of one hot key + a tail, joined to a 100-row dim
     val left = ((1 to 10000).map(i => (1L, i.toLong)) ++
