@@ -278,8 +278,9 @@ object Dedup {
 
   // ----------------------------------------------- embedding near-dup
 
-  /** Deterministic random hyperplanes (seeded; no runtime randomness). */
-  private[ext] def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
+  /** Deterministic random hyperplanes (seeded; no runtime randomness).
+    * Public so oracle builders can embed the exact plane constants. */
+  def planes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
     val rnd = new scala.util.Random(seed)
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }

@@ -73,12 +73,20 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
-  /** Sign-bit hyperplane LSH bucketed top-k: corpus vectors land in one of
-    * 2^bits buckets keyed by the sign pattern of their first `bits`
-    * components (each axis is a separating hyperplane — for isotropic
-    * embeddings this is exactly random-hyperplane LSH); queries probe
-    * their own bucket plus every Hamming-distance-1 neighbor (multi-probe,
-    * bits+1 buckets), then rank probed candidates by exact cosine.
+  /** Random-hyperplane LSH bucketed top-k: corpus vectors land in one of
+    * 2^bits buckets keyed by the sign pattern of `bits` seeded Gaussian
+    * hyperplane dot products (the codegen'd HyperplaneSig expression d5
+    * also uses — one fused pass per row); queries probe their own bucket
+    * plus every Hamming-distance-1 neighbor (multi-probe, bits+1
+    * buckets), then rank probed candidates by exact cosine.
+    *
+    * Random hyperplanes rather than raw component signs: real embedding
+    * spaces are anisotropic (mass concentrates along a few directions,
+    * components are correlated), and axis-aligned sign buckets then
+    * collapse most of the corpus into a handful of buckets — the skew
+    * defeats the whole point of bucketing. A seeded Gaussian projection
+    * is rotation-invariant, so bucket occupancy tracks the angular
+    * spread of the data regardless of which axes carry the mass.
     *
     * Scale shape: ONE shuffle of the corpus on bucket id, queries fan out
     * ×(bits+1); candidate volume is ~N·(bits+1)/2^bits per query versus N
@@ -86,15 +94,14 @@ object Similarity {
     * learn or broadcast — the bucket function is a pure expression, so
     * build cost is a narrow codegen'd projection.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      bits: Int = 5, excludeSelf: Boolean = true): DataFrame = {
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      bits: Int = 5, excludeSelf: Boolean = true, seed: Long = 42L): DataFrame = {
     require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
 
+    val ps = Dedup.planes(dim, bits, seed)
     def bucketOf(vec: org.apache.spark.sql.Column) =
-      (0 until bits).map(i =>
-        when(element_at(vec, i + 1) > 0f, lit(1 << i)).otherwise(lit(0)))
-        .reduce(_ + _)
+      element_at(GraftFunctions.hyperplaneSig(vec, ps, bands = 1, width = bits), 1)
 
     val bucketed = corpus.withColumn("bucket", bucketOf(col("cvec")))
     val probes = queries

@@ -348,15 +348,18 @@ object MinHashSignature {
 }
 
 /** Random-hyperplane LSH signature of an ARRAY<FLOAT> vector: one int
-  * per band, bit j of band b set iff dot(vec, plane[b*8+j]) > 0. Fused
-  * single pass over the planes; the composite per-plane
+  * per band, bit j of band b set iff dot(vec, plane[b*width+j]) > 0.
+  * Fused single pass over the planes; the composite per-plane
   * aggregate(zip_with(...)) form evaluates interpreted higher-order
-  * lambdas per element per plane (bands*8*dim Column evaluations per
-  * row). Accumulation order matches that form exactly (sequential
+  * lambdas per element per plane (bands*width*dim Column evaluations
+  * per row). Accumulation order matches that form exactly (sequential
   * double adds), so bucket assignments are bit-identical.
   */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
-    bands: Int) extends UnaryExpression {
+    bands: Int, width: Int = 8) extends UnaryExpression {
+  require(width >= 1 && width <= 30, s"width=$width out of range")
+  require(planes.length == bands * width,
+    s"need ${bands * width} planes, got ${planes.length}")
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -372,14 +375,14 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     UnsafeArrayData.fromPrimitiveArray(
-      HyperplaneSig.sig(v, planes, bands))
+      HyperplaneSig.sig(v, planes, bands, width))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val pRef = ctx.addReferenceObj("hpPlanes", planes, "double[][]")
     nullSafeCodeGen(ctx, ev, c =>
       s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-         |  .fromPrimitiveArray(graft.functions.HyperplaneSig.sig($c, $pRef, $bands));
+         |  .fromPrimitiveArray(graft.functions.HyperplaneSig.sig($c, $pRef, $bands, $width));
        """.stripMargin)
   }
 
@@ -389,15 +392,16 @@ case class HyperplaneSig(child: Expression, planes: Array[Array[Double]],
 
 object HyperplaneSig {
   /** Shared by eval and generated code (JIT-compiled either way). */
-  def sig(vec: ArrayData, planes: Array[Array[Double]], bands: Int): Array[Int] = {
+  def sig(vec: ArrayData, planes: Array[Array[Double]], bands: Int,
+      width: Int = 8): Array[Int] = {
     val out = new Array[Int](bands)
     val nv = vec.numElements()
     var b = 0
     while (b < bands) {
       var bits = 0
       var j = 0
-      while (j < 8) {
-        val plane = planes(b * 8 + j)
+      while (j < width) {
+        val plane = planes(b * width + j)
         val n = math.min(nv, plane.length)
         var dot = 0.0
         var i = 0
@@ -543,8 +547,9 @@ object GraftFunctions {
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccard(expr(a), expr(b), k))
-  def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int): Column =
-    column(HyperplaneSig(expr(c), planes, bands))
+  def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
+      width: Int = 8): Column =
+    column(HyperplaneSig(expr(c), planes, bands, width))
   def minhashSig(c: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSignature(expr(c), shingleK, numHashes))
   def simhashSig(c: Column): Column = column(SimHashSignature(expr(c)))

@@ -311,21 +311,26 @@ object ExtensionQueries {
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   def knnLsh(s: SparkSession, d: String): DataFrame =
-    Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, bits = 5)
+    Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
-  /** Full replay: the sign-bit bucket function and Hamming-1 multi-probe
-    * are pure expressions, so DuckDB reproduces the exact candidate set;
-    * ranks (not cosines) are compared, as in s1. */
-  private val knnLshOracle =
-    """WITH c AS (
+  /** Full replay: the Gaussian hyperplanes are deterministic seeded
+    * CONSTANTS of the algorithm (like the hash seed), embedded as
+    * double literals; DuckDB then computes the sign-pattern buckets,
+    * Hamming-1 multi-probe, and cosine ranks itself. Double literals
+    * round-trip exactly (shortest-repr parsing), and dot products are
+    * sequential double accumulation in both engines, so sign
+    * agreement is exact away from |dot| ~ ulp (Gaussian dots are O(1)).
+    * Ranks (not cosines) are compared, as in s1. */
+  private val knnLshOracle: String = {
+    val ps = Dedup.planes(64, 5, 42L)
+    val bucketExpr = (0 until 5).map(i =>
+      s"(CASE WHEN list_dot_product(v, ${ps(i).mkString("[", ",", "]")}) > 0" +
+        s" THEN ${1 << i} ELSE 0 END)").mkString("\n      |  + ")
+    s"""WITH c AS (
       | SELECT vec_id AS cid, embedding AS v,
-      |  (CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END)
-      |  + (CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END)
-      |  + (CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END)
-      |  + (CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)
-      |  + (CASE WHEN embedding[5] > 0 THEN 16 ELSE 0 END) AS bucket
+      |  $bucketExpr AS bucket
       | FROM embeddings),
       |q AS (SELECT cid AS qid, v AS qv, bucket FROM c WHERE cid < 10),
       |probes AS (
@@ -340,6 +345,7 @@ object ExtensionQueries {
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
       | FROM cand) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+  }
 
   // ------------------------------------------------------- multimodal
 

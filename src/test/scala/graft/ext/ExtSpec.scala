@@ -205,20 +205,29 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf === bf) // nprobe = nlist -> exhaustive -> identical
   }
 
-  test("Similarity.lshTopK equals brute force when probing covers the corpus") {
+  /** Plain-Scala replay of the hyperplane bucket function (same float ->
+    * double widening and sequential accumulation as HyperplaneSig). */
+  private def lshBucketOf(v: Array[Float], dim: Int, bits: Int): Int = {
+    val ps = Dedup.planes(dim, bits)
+    (0 until bits).map { i =>
+      var dot = 0.0; var j = 0
+      while (j < dim) { dot += v(j) * ps(i)(j); j += 1 }
+      if (dot > 0) 1 << i else 0
+    }.sum
+  }
+
+  test("Similarity.lshTopK equals brute force when probing covers all buckets") {
     val spark0 = spark
     import spark0.implicits._
-    // First 5 dims all positive -> every vector lands in bucket 31 and
-    // every query probes it, so the approximate result must be exact.
+    // bits = 1: two buckets; multi-probe is {b, b^1} = the whole corpus,
+    // so the approximate result must be exact.
     val vecs = (0L until 30L).map(i =>
-      (i, Array.tabulate(8)(j =>
-        (if (j < 5) 0.1f + ((i * 13 + j * 5) % 7) * 0.1f
-         else (math.sin(i * 3 + j) * 0.5).toFloat))))
+      (i, Array.tabulate(8)(j => (math.sin(i * 3 + j) * 0.5).toFloat)))
     val c = vecs.toDF("cid", "cvec")
     val q = vecs.take(4).toDF("qid", "qvec")
     val bf = Similarity.bruteForceTopK(c, q, 3)
       .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
-    val lsh = Similarity.lshTopK(c, q, 3, bits = 5)
+    val lsh = Similarity.lshTopK(c, q, 3, dim = 8, bits = 1)
       .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
     assert(lsh === bf)
   }
@@ -226,17 +235,51 @@ class ExtSpec extends AnyFunSuite {
   test("Similarity.lshTopK multi-probe reaches Hamming-1 buckets") {
     val spark0 = spark
     import spark0.implicits._
-    // query in bucket 0 (all-negative signs); best neighbor differs only
-    // in dim 1's sign (bucket 1, Hamming distance 1) -> must be found.
-    val c = Seq(
-      (1L, Array(0.9f, -1f, -1f, -1f, -1f, 0f)),   // bucket 1
-      (2L, Array(-1f, -1f, -1f, -1f, -1f, 0.9f)))  // bucket 0
-      .toDF("cid", "cvec")
-    val q = Seq((10L, Array(1f, -1f, -1f, -1f, -1f, 0.1f)))
-      .toDF("qid", "qvec")
-    val got = Similarity.lshTopK(c, q, 2, bits = 5)
+    // Deterministically search (seeded) for a query and a near-identical
+    // neighbor whose buckets differ in exactly one bit: the neighbor is
+    // only reachable through multi-probe. The opposite-direction vector
+    // lands in the complement bucket (Hamming 5) and must NOT surface.
+    val dim = 8; val bits = 5
+    val rnd = new scala.util.Random(7)
+    val found = Iterator.continually {
+      val q = Array.fill(dim)((rnd.nextGaussian() * 0.5).toFloat)
+      val c1 = q.map(x => x + (rnd.nextGaussian() * 0.05).toFloat)
+      (q, c1)
+    }.take(10000).find { case (q, c1) =>
+      java.lang.Integer.bitCount(
+        lshBucketOf(q, dim, bits) ^ lshBucketOf(c1, dim, bits)) == 1
+    }
+    assert(found.isDefined, "no Hamming-1 pair found in 10k seeded draws")
+    val (qv, c1) = found.get
+    val c = Seq((1L, c1), (2L, qv.map(x => -x))).toDF("cid", "cvec")
+    val q = Seq((10L, qv)).toDF("qid", "qvec")
+    val got = Similarity.lshTopK(c, q, 2, dim = dim, bits = bits)
       .orderBy("rank").collect().map(_.getAs[Long]("corpus_id")).toSeq
-    assert(got === Seq(1L, 2L))
+    assert(got === Seq(1L))
+  }
+
+  test("Similarity.lshTopK spreads an anisotropic corpus across buckets") {
+    val spark0 = spark
+    import spark0.implicits._
+    // Every vector has a dominant positive first component: axis-aligned
+    // sign buckets (the old scheme) would collapse the whole corpus into
+    // bucket 2^bits - 1. Seeded Gaussian hyperplanes are rotation-
+    // invariant, so occupancy must stay spread; and a planted duplicate
+    // (same direction => same bucket) must come back at rank 1.
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 40L).map(i => (i, Array.tabulate(8)(j =>
+      if (j == 0) 3f + rnd.nextFloat() else rnd.nextGaussian().toFloat)))
+    val axisBuckets = vecs.map { case (_, v) =>
+      (0 until 5).map(b => if (v(b) > 0) 1 << b else 0).sum
+    }.toSet
+    val hpBuckets = vecs.map(v => lshBucketOf(v._2, 8, 5)).toSet
+    assert(axisBuckets.size <= 4, s"fixture not anisotropic: $axisBuckets")
+    assert(hpBuckets.size > axisBuckets.size,
+      s"hyperplane buckets must spread: $hpBuckets vs axis $axisBuckets")
+    val c = (vecs :+ ((100L, vecs(5)._2.map(x => x * 1.001f)))).toDF("cid", "cvec")
+    val q = Seq((5L, vecs(5)._2)).toDF("qid", "qvec")
+    val top = Similarity.lshTopK(c, q, 1, dim = 8, bits = 5).collect()
+    assert(top.head.getAs[Long]("corpus_id") === 100L)
   }
 
   // ------------------------------------------------------ multimodal
