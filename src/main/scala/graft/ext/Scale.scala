@@ -21,11 +21,21 @@ object Scale {
     * Spark's hash aggregate already does map-side partial aggregation —
     * this helps when the DISTINCT or collect-ish aggregate forces all
     * rows of a key into one reducer. `merge` must be associative.
+    *
+    * The salt is derived from row CONTENT (all columns), like
+    * [[saltedJoin]]: a `spark_partition_id()` salt degrades to a single
+    * partial per key when the hot key is concentrated in few input
+    * partitions (e.g. the input was just shuffled on that very key),
+    * while a content hash splits unconditionally and is deterministic
+    * under task retry. As with saltedJoin, byte-identical duplicate rows
+    * share a salt — a key hot purely through exact duplicates still
+    * skews; dedup first or add a stable row id upstream in that case.
     */
   def saltedAgg(
       df: DataFrame, key: Column, agg: Column, merge: Column => Column,
       saltFactor: Int = 16): DataFrame = {
-    df.groupBy(key.as("k"), pmod(spark_partition_id(), lit(saltFactor)).as("salt"))
+    df.groupBy(key.as("k"),
+        pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).as("salt"))
       .agg(agg.as("partial"))
       .groupBy(col("k"))
       .agg(merge(col("partial")).as("value"))

@@ -1,7 +1,8 @@
 package graft.io
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import java.nio.file.Path
 import scala.jdk.CollectionConverters._
 
@@ -28,14 +29,22 @@ object FormatReader {
           .option("inferSchema", true)
           .csv(file.toString))
       case "json" =>
-        // The reference's pd.read_json default parses a whole-document
-        // JSON array of records -> Spark multiLine mode. A JSON-lines
+        // The reference's pd.read_json (box_ingest.py:150-151) accepts
+        // three shapes: a whole-document array of records (its default
+        // orientation), line-delimited records, and a column-oriented
+        // single object {"col": {"label": value, ...}, ...}. A JSON-lines
         // file under multiLine would silently yield only its FIRST
-        // record, so sniff the document shape: '[' => array document,
-        // anything else => line-delimited records.
-        Parsed(spark.read
-          .option("multiLine", isJsonArrayDocument(file))
-          .json(file.toString))
+        // record, and a column-oriented document under the lines reader
+        // mis-parses as one struct-valued record — so sniff the document
+        // shape byte-wise before choosing the reader.
+        sniffJson(file) match {
+          case JsonShape.ArrayDoc =>
+            Parsed(spark.read.option("multiLine", true).json(file.toString))
+          case JsonShape.Lines =>
+            Parsed(spark.read.json(file.toString))
+          case JsonShape.Columns =>
+            Parsed(fromColumnOrientedJson(spark, file))
+        }
       case "xlsx" | "xlsm" =>
         Parsed(fromXlsx(spark, file, sheetName, skipRows))
       case other =>
@@ -43,14 +52,105 @@ object FormatReader {
     }
   }
 
-  /** First non-whitespace byte is '[' => whole-document JSON array. */
-  private def isJsonArrayDocument(file: Path): Boolean = {
-    val in = java.nio.file.Files.newInputStream(file)
+  private[io] object JsonShape extends Enumeration {
+    val ArrayDoc, Lines, Columns = Value
+  }
+  private type JsonShape = JsonShape.Value
+
+  /** Byte-level shape sniff. '[' first => whole-document array. '{' first:
+    * scan the first top-level value (tracking string/escape state and
+    * brace depth); if the document holds exactly ONE top-level value whose
+    * first member value is itself an object, that is pandas' "columns"
+    * orientation; otherwise treat as line-delimited records. The scan is a
+    * single streaming pass with O(1) state — no materialization — and for
+    * the common json-lines case it stops at the end of the first line.
+    */
+  private[io] def sniffJson(file: Path): JsonShape = {
+    val in = new java.io.BufferedInputStream(
+      java.nio.file.Files.newInputStream(file))
     try {
       var b = in.read()
       while (b != -1 && Character.isWhitespace(b)) b = in.read()
-      b == '['
+      if (b == '[') return JsonShape.ArrayDoc
+      if (b != '{') return JsonShape.Lines
+      // inside the first top-level object
+      var depth = 1
+      var inString = false
+      var escaped = false
+      var firstValueIsObject = false
+      var firstValueSeen = false
+      b = in.read()
+      while (b != -1 && depth > 0) {
+        if (inString) {
+          if (escaped) escaped = false
+          else if (b == '\\') escaped = true
+          else if (b == '"') inString = false
+        } else b match {
+          case '"'       => inString = true
+          case '{' | '[' => depth += 1
+          case '}' | ']' => depth -= 1
+          case ':' =>
+            if (depth == 1 && !firstValueSeen) {
+              // peek the first non-ws byte of the first member value
+              var v = in.read()
+              while (v != -1 && Character.isWhitespace(v)) v = in.read()
+              if (v == -1) return JsonShape.Lines
+              firstValueIsObject = v == '{'
+              firstValueSeen = true
+              if (v == '{' || v == '[') depth += 1
+              else if (v == '"') inString = true
+            }
+          case _ => ()
+        }
+        b = in.read()
+      }
+      // single top-level value => nothing but whitespace may remain
+      var t = in.read()
+      while (t != -1 && Character.isWhitespace(t)) t = in.read()
+      if (t == -1 && firstValueIsObject) JsonShape.Columns else JsonShape.Lines
     } finally in.close()
+  }
+
+  /** Column-oriented JSON (`pd.read_json` "columns" orientation,
+    * box_ingest.py:150-151): a single object whose members are columns,
+    * each keyed by row label. Read the whole document with the multiLine
+    * reader (one row, one struct per column), then pivot distributively:
+    * explode one struct per row label. Row labels are the union across
+    * columns (pandas semantics — absent labels become null), ordered
+    * numerically when all-numeric. Per-column output type is the tightest
+    * common type of that column's label fields (all-equal wins, numeric
+    * mix widens to double, anything else strings — pandas object dtype).
+    */
+  private def fromColumnOrientedJson(spark: SparkSession, file: Path): DataFrame = {
+    val raw = spark.read.option("multiLine", true).json(file.toString)
+    val cols: Seq[(String, StructType)] = raw.schema.fields.toSeq.map {
+      case StructField(n, st: StructType, _, _) => (n, st)
+      case f => throw new IllegalArgumentException(
+        s"column-oriented JSON: member '${f.name}' is not an object")
+    }
+    val labels: Seq[String] = {
+      val all = cols.flatMap(_._2.fieldNames).distinct
+      if (all.nonEmpty && all.forall(_.matches("-?\\d+")))
+        all.sortBy(_.toLong)
+      else all.sorted
+    }
+    def common(ts: Seq[DataType]): DataType =
+      if (ts.distinct.lengthCompare(1) == 0) ts.head
+      else if (ts.forall(_.isInstanceOf[NumericType])) DoubleType
+      else StringType
+    val outType: Map[String, DataType] = cols.map { case (n, st) =>
+      n -> common(labels.flatMap(l =>
+        st.fields.find(_.name == l).map(_.dataType)))
+    }.toMap
+    val rowStructs: Seq[Column] = labels.map { l =>
+      struct(cols.map { case (n, st) =>
+        val v = if (st.fieldNames.contains(l)) col(n).getField(l)
+                else lit(null)
+        v.cast(outType(n)).as(n)
+      }: _*)
+    }
+    raw.select(explode(array(rowStructs: _*)).as("__row"))
+      .select(col("__row.*"))
   }
 
   /** Xlsx rows -> all-string DataFrame: header from the first (post-skip)

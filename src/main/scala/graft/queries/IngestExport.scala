@@ -199,6 +199,44 @@ object IngestExportQueries {
       | CAST(n_regionkey AS BIGINT) AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  // --------------------- column-oriented JSON (O7 dict orientation) ingest
+
+  /** pd.read_json also accepts a column-oriented document
+    * {"col": {"label": value, ...}, ...} (box_ingest.py:150-151 — pandas
+    * "columns" orientation). Render nation that way, ingest through the
+    * full validate path; FormatReader's shape sniff must pick the pivot
+    * reader, not json-lines. */
+  def ingestJsonColumnsE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i6_")
+    val nat = Tables.nation(s, d).orderBy("n_nationkey").collect()
+    def esc(v: Any): String = v match {
+      case null      => "null"
+      case s: String => "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      case x         => x.toString
+    }
+    val colNames = Seq("n_nationkey", "n_name", "n_regionkey")
+    val doc = colNames.map { c =>
+      val cells = nat.zipWithIndex.map { case (r, i) =>
+        s""""$i": ${esc(r.getAs[Any](c))}"""
+      }
+      s""""$c": {${cells.mkString(", ")}}"""
+    }.mkString("{\n", ",\n", "\n}")
+    Files.write(tmp.resolve("nations.json"), doc.getBytes("UTF-8"))
+
+    val ref = TableRef("graft", "verify", "i6_nation")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.json",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("n_nationkey" -> "int", "n_name" -> "string", "n_regionkey" -> "int"),
+        nonNullableFields = Seq("n_nationkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt").orderBy("n_nationkey")
+  }
+
   // --------------------------------------------- copy mode (O22) ingest
 
   /** justCopy: no metadata/validation — incoming columns conform (via
@@ -275,6 +313,7 @@ object IngestExportQueries {
     QueryDef("i3_ingest_zip_e2e", ingestZipE2e, Some(ingestJsonOracle)),
     QueryDef("i4_ingest_xlsx_e2e", ingestXlsxE2e, Some(ingestXlsxOracle)),
     QueryDef("i5_ingest_copy_e2e", ingestCopyE2e, Some(ingestCopyOracle)),
+    QueryDef("i6_ingest_json_columns_e2e", ingestJsonColumnsE2e, Some(ingestXlsxOracle)),
     QueryDef("a1_audit_log_e2e", auditLogE2e, Some(auditOracle)),
     QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)))
 }

@@ -261,14 +261,15 @@ class ExtSpec extends AnyFunSuite {
   test("Similarity.lshTopK spreads an anisotropic corpus across buckets") {
     val spark0 = spark
     import spark0.implicits._
-    // Every vector has a dominant positive first component: axis-aligned
-    // sign buckets (the old scheme) would collapse the whole corpus into
-    // bucket 2^bits - 1. Seeded Gaussian hyperplanes are rotation-
-    // invariant, so occupancy must stay spread; and a planted duplicate
-    // (same direction => same bucket) must come back at rank 1.
+    // Every vector has dominant positive components 0-4 (the components the
+    // axis-aligned baseline below reads): axis-aligned sign buckets (the old
+    // scheme) collapse the whole corpus into bucket 2^bits - 1. Seeded
+    // Gaussian hyperplanes are rotation-invariant, so occupancy must stay
+    // spread; and a planted duplicate (same direction => same bucket) must
+    // come back at rank 1.
     val rnd = new scala.util.Random(3)
     val vecs = (0L until 40L).map(i => (i, Array.tabulate(8)(j =>
-      if (j == 0) 3f + rnd.nextFloat() else rnd.nextGaussian().toFloat)))
+      if (j < 5) 3f + rnd.nextFloat() else rnd.nextGaussian().toFloat)))
     val axisBuckets = vecs.map { case (_, v) =>
       (0 until 5).map(b => if (v(b) > 0) 1 << b else 0).sum
     }.toSet

@@ -54,6 +54,23 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === direct)
   }
 
+  test("saltedAgg: content salt splits a hot key even from ONE input partition") {
+    // A spark_partition_id() salt degrades to a single partial when the
+    // hot key's rows all sit in one input partition (e.g. the input was
+    // just shuffled on that key). The content-derived salt must still
+    // fan the key out across salts — and stay correct.
+    val df = (1 to 4000).map(i => ("hot", i.toLong)).toDF("k", "v")
+      .repartition(1)
+    val partials = df.groupBy(col("k").as("k0"),
+        pmod(xxhash64(df.columns.map(col): _*), lit(16)).as("salt"))
+      .count().collect()
+    assert(partials.length > 8,
+      s"content salt must spread a single-partition hot key, got ${partials.length} partials")
+    val got = Scale.saltedAgg(df, col("k"), sum(col("v")), c => sum(c))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === Seq(("hot", (1 to 4000).map(_.toLong).sum)))
+  }
+
   test("bucketed tables: equi-join on the bucket column plans with zero exchanges") {
     val a = TableRef("dev", "bucketed", "orders_b")
     val b = TableRef("dev", "bucketed", "lineitem_b")

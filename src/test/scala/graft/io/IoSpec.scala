@@ -75,6 +75,51 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("FormatReader.sniffJson: array / lines / columns shapes") {
+    val dir = Files.createTempDirectory("fr_sniff_")
+    def w(n: String, body: String) = {
+      val p = dir.resolve(n); Files.write(p, body.getBytes("UTF-8")); p
+    }
+    import FormatReader.JsonShape
+    assert(FormatReader.sniffJson(w("a.json", " [ {\"x\":1} ] ")) === JsonShape.ArrayDoc)
+    assert(FormatReader.sniffJson(w("l.json", "{\"x\":1}\n{\"x\":2}\n")) === JsonShape.Lines)
+    // single record, scalar values => lines (pandas would reject it too)
+    assert(FormatReader.sniffJson(w("s.json", "{\"x\":1, \"y\":\"a\"}\n")) === JsonShape.Lines)
+    // single doc, object values => columns orientation
+    assert(FormatReader.sniffJson(w("c.json",
+      "{\n \"x\": {\"0\": 1, \"1\": 2},\n \"y\": {\"0\": \"a\", \"1\": \"b\"}\n}\n"))
+      === JsonShape.Columns)
+    // json-lines of STRUCT records must stay lines (multiple top-level docs)
+    assert(FormatReader.sniffJson(w("ls.json",
+      "{\"x\": {\"a\": 1}}\n{\"x\": {\"a\": 2}}\n")) === JsonShape.Lines)
+    // braces/colons inside strings must not confuse the depth tracking
+    assert(FormatReader.sniffJson(w("tricky.json",
+      "{\"x\": {\"0\": \"}:{\\\"\", \"1\": \"[\"}}")) === JsonShape.Columns)
+  }
+
+  test("FormatReader: column-oriented JSON pivots to rows (pandas columns orient)") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("fr_cols_")
+    val f = dir.resolve("cols.json")
+    // label 10 tests numeric ordering (not lexical); y is missing label 2
+    // (union semantics -> null); z mixes long and double -> widens
+    Files.write(f,
+      """{
+        | "id": {"0": 1, "1": 2, "2": 3, "10": 4},
+        | "y":  {"0": "a", "1": "b", "10": "d"},
+        | "z":  {"0": 5, "1": 2.5, "2": 7, "10": 8}
+        |}""".stripMargin.getBytes("UTF-8"))
+    val df = FormatReader.read(spark, f) match {
+      case FormatReader.Parsed(d) => d
+      case other                  => fail(s"$other")
+    }
+    assert(df.columns.toSeq === Seq("id", "y", "z"))
+    val rows = df.collect().map(r =>
+      (r.getAs[Long]("id"), r.getAs[String]("y"), r.getAs[Double]("z")))
+    assert(rows.toSeq === Seq(
+      (1L, "a", 5.0), (2L, "b", 2.5), (3L, null, 7.0), (4L, "d", 8.0)))
+  }
+
   test("Xlsx: write -> read roundtrip with types, escapes, nulls") {
     val f = Files.createTempFile("x", ".xlsx")
     val out = Files.newOutputStream(f)
