@@ -10,13 +10,30 @@ object Tables {
     * the path and re-reads footers for schema on every call, ~80ms per
     * table reference that every query would otherwise pay again. The
     * returned DataFrame is immutable plan state, safe to share; keyed on
-    * the session so a stopped session's relations are never reused. */
+    * the session so a stopped session's relations are never reused.
+    *
+    * Semantics and lifetime:
+    *  - The cached relation SNAPSHOTS the file listing at first read: a
+    *    path whose files change mid-session keeps serving the old
+    *    listing. These are driver-generated, write-once test dirs, which
+    *    is why that trade is safe here; call [[invalidate]] after any
+    *    external change.
+    *  - Entries of stopped sessions are swept on every access (the sweep
+    *    walks a map of at most #tables × #live-sessions entries, i.e.
+    *    tens), so neither the session nor its plans are pinned once
+    *    stopped. */
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+  /** Drop every cached relation (e.g. after rewriting a test dir). */
+  def invalidate(): Unit = cache.clear()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val it = cache.keySet.iterator
+    while (it.hasNext) if (it.next()._1.sparkContext.isStopped) it.remove()
     cache.computeIfAbsent((spark, s"$dir/$name.parquet"),
       { case (s, p) => s.read.parquet(p) })
+  }
 
   /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
     * (microseconds) cannot represent; the vectorized reader refuses it

@@ -93,6 +93,17 @@ object Similarity {
     * for brute force. Unlike the IVF path there is no centroid table to
     * learn or broadcast — the bucket function is a pure expression, so
     * build cost is a narrow codegen'd projection.
+    *
+    * Choosing `bits` at scale: the shuffle key has only 2^bits distinct
+    * values, so 2^bits must be ≫ the shuffle parallelism or most reducers
+    * sit idle and each bucket is huge (the default bits=5 → 32 buckets
+    * suits tests, NOT a 1000-executor cluster). Size it from the corpus:
+    * 2^bits ≈ N / desired-candidates-per-query, e.g. bits≈20 for 10^9
+    * vectors at ~1k candidates — candidate work per query shrinks by
+    * 2^bits while probe fan-out grows only linearly (bits+1), and AQE
+    * coalesces any small buckets. Recall at high bits relies on the
+    * Hamming-1 multi-probe; raise k-side probing (or union multiple
+    * independent plane sets) before dropping bits if recall is short.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
       bits: Int = 5, excludeSelf: Boolean = true, seed: Long = 42L): DataFrame = {

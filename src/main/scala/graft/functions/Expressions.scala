@@ -231,16 +231,35 @@ object ShingleJaccard {
 
   /** Distinct k-char windows of the lowercased string; one clamped window
     * when the string is shorter than k — same semantics as
-    * transform(sequence(0, max(len-k, 0)), i -> substr(t, i+1, k)). */
+    * transform(sequence(0, max(len-k, 0)), i -> substr(t, i+1, k)).
+    * "Char" means Unicode CODE POINT, matching Spark's substr/length over
+    * UTF8String: windows step by code point (surrogate pairs — emoji, CJK
+    * extensions — count once), not by UTF-16 unit, so the equivalence
+    * with the composite plan holds beyond the BMP. ASCII/BMP input takes
+    * the branch with no surrogate bookkeeping. */
   private def shingles(s: UTF8String, k: Int): java.util.HashSet[String] = {
     val t = s.toLowerCase.toString
     val out = new java.util.HashSet[String](math.max(16, t.length * 2))
     if (t.isEmpty) return out
-    val n = math.max(1, t.length - k + 1)
-    var i = 0
-    while (i < n) {
-      out.add(t.substring(i, math.min(t.length, i + k)))
-      i += 1
+    val cpCount = t.codePointCount(0, t.length)
+    if (cpCount == t.length) {
+      // no surrogate pairs: UTF-16 index == code-point index
+      val n = math.max(1, t.length - k + 1)
+      var i = 0
+      while (i < n) {
+        out.add(t.substring(i, math.min(t.length, i + k)))
+        i += 1
+      }
+    } else {
+      val n = math.max(1, cpCount - k + 1)
+      var i = 0
+      var start = 0 // UTF-16 offset of code point i
+      while (i < n) {
+        val end = t.offsetByCodePoints(start, math.min(k, cpCount - i))
+        out.add(t.substring(start, end))
+        if (i + 1 < n) start = t.offsetByCodePoints(start, 1)
+        i += 1
+      }
     }
     out
   }

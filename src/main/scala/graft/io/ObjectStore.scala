@@ -59,6 +59,58 @@ final class LocalStore extends ObjectStore {
     Files.deleteIfExists(p(folder, name))
 }
 
+/** ObjectStore over the Hadoop `FileSystem` API — the same abstraction a
+  * real cluster uses for s3a:// / abfs:// / hdfs:// (the reference's
+  * remote-source semantics, box_ingest.py:37-83: its Box folder is exactly
+  * a list/open/put/delete surface). `folder` may be any Hadoop URI; a bare
+  * path resolves through `fs.defaultFS` (file:// in tests). This proves
+  * the trait isn't shaped around java.nio.file — the orchestration in
+  * [[graft.api.Ingest]] runs unchanged against either impl.
+  */
+final class HadoopStore(conf: org.apache.hadoop.conf.Configuration)
+    extends ObjectStore {
+  import org.apache.hadoop.fs.{FileContext, Options, Path => HPath}
+
+  def this() = this(new org.apache.hadoop.conf.Configuration())
+
+  private def fsOf(p: HPath) = p.getFileSystem(conf)
+
+  override def list(folder: String): Seq[ObjectStat] = {
+    val dir = new HPath(folder)
+    val fs = fsOf(dir)
+    if (!fs.exists(dir)) return Nil
+    fs.listStatus(dir).toSeq
+      .filter(_.isFile)
+      .map(s => ObjectStat(s.getPath.getName, s.getModificationTime, s.getLen))
+      .sortBy(_.name)
+  }
+
+  override def open(folder: String, name: String): InputStream =
+    fsOf(new HPath(folder)).open(new HPath(folder, name))
+
+  override def putOverwrite(folder: String, name: String,
+      write: OutputStream => Unit): Unit = {
+    val dir = new HPath(folder)
+    val fs = fsOf(dir)
+    fs.mkdirs(dir)
+    // Spool to a dot-prefixed temp sibling (ignored by list: isFile holds
+    // but the final rename happens before any reader sees `name`), then
+    // overwrite-rename — the same create-or-replace-by-name contract as
+    // the reference's update_contents-or-upload (box_export.py:58-62).
+    val tmp = new HPath(dir, s".$name.${java.util.UUID.randomUUID()}.tmp")
+    try {
+      val out = fs.create(tmp, true)
+      try write(out) finally out.close()
+      FileContext.getFileContext(fs.getUri, conf)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(new HPath(dir, name)),
+          Options.Rename.OVERWRITE)
+    } finally fs.delete(tmp, false)
+  }
+
+  override def delete(folder: String, name: String): Unit =
+    fsOf(new HPath(folder)).delete(new HPath(folder, name), false)
+}
+
 object FileSelect {
   /** O2: anchored name-prefix regex match — Python `re.match` semantics
     * (box_ingest.py:40) match at the START of the name, not fullmatch. */

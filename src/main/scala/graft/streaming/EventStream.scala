@@ -51,9 +51,14 @@ object EventStream {
     * the same user within the preceding `windowMinutes` — the streaming
     * attribution join. Both sides carry watermarks and the join
     * condition carries the time range, so Spark bounds each side's state
-    * to the watermark horizon instead of buffering either stream forever;
-    * on a finite input the emitted matches equal the batch range join
-    * exactly (the watermark only bounds STATE, never drops matches). */
+    * to the watermark horizon instead of buffering either stream forever.
+    * Caveat on completeness: once the watermark advances across
+    * micro-batches, rows arriving LATER than it are dropped before
+    * joining, so matches can be lost in multi-batch/continuous execution.
+    * Batch-equality holds when input arrives within the watermark delay —
+    * in particular under AvailableNow on a finite input, where the whole
+    * input lands in one micro-batch and the watermark is still at its
+    * initial value while every row is joined (the st5 gate's condition). */
   def purchaseAttribution(events: DataFrame, windowMinutes: Int = 60): DataFrame = {
     val delay = s"$windowMinutes minutes"
     val p = events.where(col("event_type") === "purchase")
@@ -91,18 +96,27 @@ object EventStream {
     * session leaves behind a tiny sentinel record (nEvents=0) that
     * retains the per-user session counter, so the user's NEXT session
     * continues the numbering instead of restarting at 1. Total state is
-    * therefore bounded by |users ever seen| × 32 bytes — still
-    * event-volume-independent (the sentinel is parked on a far-future
-    * timeout so it never re-fires).
+    * therefore bounded by |users ever seen| × 32 bytes — event-volume-
+    * independent, but a RETENTION choice on a long-running stream with
+    * unbounded user cardinality. `sentinelTtlGaps` is the knob: when set,
+    * a sentinel is dropped once the watermark passes session end by
+    * ttl × gap — state becomes O(users active within the TTL horizon),
+    * at the cost that a user dormant longer than the TTL restarts their
+    * session numbering at 1. Default (None) keeps counters forever
+    * (exact numbering, state grows with |users ever seen|; the sentinel
+    * is parked ~100 years out, so re-fires are not a practical concern).
     */
-  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30)
-      : Dataset[SessionOut] = {
+  def sessionizeStream(events: DataFrame, gapMinutes: Int = 30,
+      sentinelTtlGaps: Option[Int] = None): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val gapUs = gapMinutes * 60000000L
     // ~100 years: a parked sentinel must carry SOME event-time timeout
     // (leaving the expired one in place would re-fire it every batch).
     val parkMs = 100L * 365 * 86400 * 1000
+    // With a TTL, the sentinel's timeout IS the expiry: when it fires,
+    // the state (and the user's session counter) is removed.
+    val ttlMs: Long = sentinelTtlGaps.map(_ * gapMinutes * 60000L).getOrElse(0L)
 
     // Local (not object-level) helpers: the stateful closure must not
     // capture the EventStream module, which is not serializable.
@@ -120,10 +134,16 @@ object EventStream {
         state: GroupState[OpenSession]): Iterator[SessionOut] = {
       if (state.hasTimedOut) {
         val closed = state.get
-        state.update(closed.copy(nEvents = 0L)) // sentinel keeps sessionId
-        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + parkMs)
-        if (closed.nEvents > 0L) Iterator.single(toOut(user, closed))
-        else Iterator.empty // parked sentinel re-fired; nothing to emit
+        if (closed.nEvents == 0L && ttlMs > 0L) {
+          state.remove() // sentinel TTL expired: drop the session counter
+          Iterator.empty
+        } else {
+          state.update(closed.copy(nEvents = 0L)) // sentinel keeps sessionId
+          state.setTimeoutTimestamp(state.getCurrentWatermarkMs() +
+            (if (ttlMs > 0L) ttlMs else parkMs))
+          if (closed.nEvents > 0L) Iterator.single(toOut(user, closed))
+          else Iterator.empty // parked sentinel re-fired; nothing to emit
+        }
       } else {
         val evs = it.map { case (u, ts, eid) => (u, tsToUs(ts), eid) }
           .toArray.sortInPlaceBy(e => (e._2, e._3))

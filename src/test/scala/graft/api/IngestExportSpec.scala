@@ -125,6 +125,30 @@ class IngestExportSpec extends AnyFunSuite {
     assert(Files.exists(f1) && !Files.exists(f2)) // only the ingested one deleted
   }
 
+  test("ingest via HadoopStore: same pipeline, Hadoop FileSystem source") {
+    // The reference's source is a REMOTE object folder (box_ingest.py:37-83);
+    // HadoopStore is the cluster-real second impl (s3a/abfs/hdfs URIs all
+    // resolve through the same API). The whole validate path plus latest
+    // selection and post-ingest delete must run unchanged against it.
+    val dir = Files.createTempDirectory("ingh_")
+    val f1 = dir.resolve("h_1.csv"); Files.writeString(f1, "id,amount,note\n1,1.0,old\n")
+    val f2 = dir.resolve("h_2.csv")
+    Files.writeString(f2, "id,amount,note\n2,2.0,new\n,9.9,bad-row\n")
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(1000))
+    Files.setLastModifiedTime(f2, java.nio.file.attribute.FileTime.fromMillis(2000))
+    val ref = freshRef("vhadoop")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, "h_.*\\.csv",
+      metadata = Some(meta), justCopy = false, latest = true, delete = true),
+      store = new graft.io.HadoopStore)
+    assert(report.ok, report.errors.mkString("; "))
+    assert(report.processedFiles === Seq("h_2.csv"))
+    assert(report.validRows === 1 && report.invalidRows === 1)
+    assert(Files.exists(f1) && !Files.exists(f2))
+    assert(spark.table(ref.qualified).select("note")
+      .collect().map(_.getString(0)).toSeq === Seq("new"))
+  }
+
   test("export: sql -> xlsx -> reader roundtrip with rename and overwrite") {
     spark.range(3).selectExpr("id", "id * 1.5 AS v", "concat('r', id) AS label")
       .createOrReplaceTempView("exp_src")

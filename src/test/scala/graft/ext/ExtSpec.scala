@@ -94,7 +94,12 @@ class ExtSpec extends AnyFunSuite {
       ("abc", "abc"),                                      // shorter than k, clamped window
       ("abc", "xyz"),                                      // disjoint -> 0.0
       ("MiXeD CaSe TeXt", "mixed case text"),              // lowercase folding
-      ("aaaaaaa", "aaaa"))                                 // distinct-window collapse
+      ("aaaaaaa", "aaaa"),                                 // distinct-window collapse
+      // non-BMP: surrogate pairs must shingle by CODE POINT like Spark's
+      // substr, or the fused expression diverges from the composite plan
+      ("café 😀😀 naïve 🎉 text",
+       "café 😀😀 naïve 🎉 test"),
+      ("😀😁😂", "😀😁😂")) // all non-BMP, shorter than k
     val df = docs.toDF("a", "b")
     val composite = df.select(
       Dedup.shingleCol($"a", 5).as("sa"), Dedup.shingleCol($"b", 5).as("sb"))

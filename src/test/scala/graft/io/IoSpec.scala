@@ -7,17 +7,27 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
 
 class IoSpec extends AnyFunSuite {
 
-  test("LocalStore: list / open / putOverwrite / delete") {
-    val dir = Files.createTempDirectory("store_").toString
-    val store = new LocalStore
-    assert(store.list(dir).isEmpty)
-    store.putOverwrite(dir, "a.txt", _.write("hello".getBytes))
-    store.putOverwrite(dir, "a.txt", _.write("world".getBytes)) // overwrite
-    assert(store.list(dir).map(_.name) === Seq("a.txt"))
-    val in = store.open(dir, "a.txt")
-    assert(new String(in.readAllBytes()) === "world"); in.close()
-    store.delete(dir, "a.txt")
-    assert(store.list(dir).isEmpty)
+  // Both impls must satisfy the same contract: the orchestration layer
+  // (graft.api.Ingest/Export) is store-agnostic by design.
+  for ((label, store) <- Seq(
+      "LocalStore" -> new LocalStore,
+      "HadoopStore" -> new HadoopStore)) {
+    test(s"$label: list / open / putOverwrite / delete") {
+      val dir = Files.createTempDirectory("store_").toString
+      assert(store.list(dir + "_nonexistent").isEmpty)
+      assert(store.list(dir).isEmpty)
+      store.putOverwrite(dir, "a.txt", _.write("hello".getBytes))
+      store.putOverwrite(dir, "a.txt", _.write("world".getBytes)) // overwrite
+      store.putOverwrite(dir, "b.txt", _.write("!".getBytes))
+      val listed = store.list(dir)
+      assert(listed.map(_.name) === Seq("a.txt", "b.txt"))
+      assert(listed.head.size === 5L)
+      assert(listed.head.modifiedAt > 0L)
+      val in = store.open(dir, "a.txt")
+      assert(new String(in.readAllBytes()) === "world"); in.close()
+      store.delete(dir, "a.txt")
+      assert(store.list(dir).map(_.name) === Seq("b.txt"))
+    }
   }
 
   test("FileSelect: re.match anchoring and latest-by-mtime") {

@@ -110,6 +110,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(errs.exists(_.contains("Type mismatch for column: score")))
   }
 
+  test("FileIngestStream: batchId high-water-mark makes replayed batches no-ops") {
+    import graft.schema.TableMeta
+    import graft.sink.TableRef
+    import java.nio.file.Files
+    // marker roundtrip
+    val ckDir = Files.createTempDirectory("fis_ck_")
+    assert(FileIngestStream.committedBatch(Some(ckDir.toString)) === -1L)
+    FileIngestStream.commitBatch(Some(ckDir.toString), 3L)
+    assert(FileIngestStream.committedBatch(Some(ckDir.toString)) === 3L)
+    assert(FileIngestStream.committedBatch(None) === -1L)
+
+    val tmp = Files.createTempDirectory("fis_replay_")
+    val src = tmp.resolve("in"); Files.createDirectories(src)
+    val ck = tmp.resolve("ckpt").toString
+    Files.write(src.resolve("b0.csv"), "id,name,score\n1,a,1.0\n".getBytes)
+    val meta = TableMeta.fromMetadata(
+      Seq("id" -> "int", "name" -> "string", "score" -> "float"),
+      nonNullableFields = Seq("id"))
+    val ref = TableRef("graft", "test", "fis_replay")
+    Seq(ref.qualified, ref.errorSibling.qualified).foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    def run(): Unit = {
+      val q = FileIngestStream.start(
+        spark, src.toString, meta, ref, checkpoint = Some(ck))
+      q.awaitTermination(120000); q.stop()
+    }
+    run()
+    assert(spark.table(ref.qualified).count() === 1)
+    assert(FileIngestStream.committedBatch(Some(ck)) === 0L)
+
+    // Emulate "appends landed but the stream died before the checkpoint
+    // commit": the restart will re-run the next file as batch 1, and the
+    // marker already says 1 committed — the replay must append NOTHING.
+    Files.write(src.resolve("b1.csv"), "id,name,score\n2,b,2.0\n".getBytes)
+    FileIngestStream.commitBatch(Some(ck), 1L)
+    run()
+    assert(spark.table(ref.qualified).count() === 1, "replayed batch must be a no-op")
+
+    // ...and a genuinely new batch after the replayed one still processes.
+    Files.write(src.resolve("b2.csv"), "id,name,score\n3,c,3.0\n".getBytes)
+    run()
+    assert(spark.table(ref.qualified).orderBy("id").collect()
+      .map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L))
+  }
+
   test("sessionize: gaps over 30min split sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
