@@ -1,0 +1,86 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.CountMinSketch
+
+/** Approximate sketches as first-class operators (SURVEY §8 backlog).
+  * At 100 TB exact DISTINCT/percentile answers force full shuffles of the
+  * key space; sketches cap the state at kilobytes per group AND — the real
+  * scale win — are MERGEABLE: pre-aggregate per partition/day/hour once,
+  * then answer any rollup by unioning sketch state without rescanning
+  * source data. All three families below ride Spark's built-in codegen'd
+  * sketch aggregates (Apache DataSketches HLL, space-saving KLL-style
+  * percentile digest, CountMinSketch).
+  *
+  * Reference scope note: the reference (297-LoC ETL tool) has no
+  * aggregate surface of its own — these extend the inherited relational
+  * surface per the north-star extension mandate.
+  */
+object Sketches {
+
+  /** Per-group HLL sketch of `key`'s distinct count. lgConfigK=12 ⇒
+    * 4096-bucket sketch, ~2.5 KB serialized, relative standard error
+    * ≈ 1.04/√4096 ≈ 1.6% — so ±5% is a ≥3σ bound. The aggregation is
+    * partial+final like any hash aggregate: each map task sketches its
+    * partition, the exchange carries sketch bytes (KBs), never keys.
+    */
+  def distinctSketches(df: DataFrame, groups: Seq[Column], key: Column,
+      lgConfigK: Int = 12): DataFrame =
+    df.groupBy(groups: _*)
+      .agg(hll_sketch_agg(key, lit(lgConfigK)).as("nd_sketch"))
+
+  /** Roll sketches up to a coarser grouping WITHOUT touching source rows:
+    * HLL union is lossless re-aggregation (union of sketch registers), so
+    * estimate(merge(hourly)) is the same state as sketching the group
+    * directly. This is the pattern that answers "distinct users per
+    * <any rollup>" from per-hour sketch tables at 100 TB. */
+  def mergeSketches(df: DataFrame, groups: Seq[Column],
+      sketch: Column = col("nd_sketch")): DataFrame =
+    df.groupBy(groups: _*)
+      .agg(hll_union_agg(sketch, lit(false)).as("nd_sketch"))
+
+  def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Approximate quantiles of `value` at `probabilities`: one output row
+    * per probability, `(p, approx_value)`. `accuracy` bounds the RANK
+    * error at 1/accuracy of the row count (Spark's percentile digest
+    * guarantee) — the returned value's rank is within N/accuracy of p·N.
+    */
+  def approxQuantiles(df: DataFrame, value: Column, probabilities: Seq[Double],
+      accuracy: Int = 10000): DataFrame = {
+    val pArr = array(probabilities.map(lit(_)): _*)
+    df.agg(percentile_approx(value, pArr, lit(accuracy)).as("qs"))
+      .select(explode(arrays_zip(pArr.as("p"), col("qs").as("q"))).as("z"))
+      .select(col("z.p").as("p"), col("z.q").as("approx_value"))
+  }
+
+  /** CountMinSketch estimator whose deserialized sketch is built lazily
+    * once per closure instance (NOT per row — the readFrom cost is paid
+    * at most once per task). */
+  private final class CmsEstimator(bytes: Array[Byte]) extends Serializable {
+    @transient private lazy val cms =
+      CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    def estimate(k: String): Long = cms.estimateCount(k)
+  }
+
+  /** Frequency estimates for `keys` (a small candidate/heavy-hitter
+    * relation with a string column `key`) against a CountMinSketch of
+    * `df`'s `key` column. CMS guarantees estimate ≥ true count, and
+    * estimate ≤ true + eps·N with probability `confidence`. The sketch
+    * aggregates distributively to ONE small binary (width ⌈e/eps⌉ ×
+    * depth ⌈ln(1/(1−confidence))⌉ longs); candidates are then scored by
+    * a udf that shares the deserialized sketch per task. Candidate
+    * discovery at scale should itself be approximate (e.g. per-partition
+    * top-k union) — this scores a given candidate set, it does not scan
+    * for one. */
+  def cmsEstimates(df: DataFrame, key: Column, candidates: DataFrame,
+      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+    val bytes = df
+      .agg(count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
+      .head.getAs[Array[Byte]]("s")
+    val est = new CmsEstimator(bytes)
+    val estimateUdf = udf((k: String) => est.estimate(k))
+    candidates.withColumn("approx_count", estimateUdf(col("key")))
+  }
+}
