@@ -52,7 +52,7 @@ object IngestExportQueries {
       metadata = Some(ordersMeta),
       justCopy = false))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
-    s.table(ref.qualified).drop("process_dt").orderBy("o_orderkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("o_orderkey")
   }
 
   private val ingestOracle =
@@ -119,7 +119,7 @@ object IngestExportQueries {
       fileNameRegex = ".*\\.json", metadata = Some(customerMeta),
       justCopy = false))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
-    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
 
   private val ingestJsonOracle =
@@ -160,7 +160,7 @@ object IngestExportQueries {
       justCopy = false, delete = true))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
     require(!Files.exists(zipPath), "O24: source zip should be deleted")
-    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
 
   // ------------------------- xlsx scan (O8: sheet + skiprows) ingest
@@ -191,7 +191,7 @@ object IngestExportQueries {
         nonNullableFields = Seq("n_nationkey"))),
       justCopy = false, skipRows = 1))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
-    s.table(ref.qualified).drop("process_dt").orderBy("n_nationkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("n_nationkey")
   }
 
   private val ingestXlsxOracle =
@@ -234,7 +234,7 @@ object IngestExportQueries {
         nonNullableFields = Seq("n_nationkey"))),
       justCopy = false))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
-    s.table(ref.qualified).drop("process_dt").orderBy("n_nationkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("n_nationkey")
   }
 
   // --------------------------------------------- copy mode (O22) ingest
@@ -259,7 +259,7 @@ object IngestExportQueries {
       taskOwner = "verify", table = ref, folder = srcDir.toString,
       fileNameRegex = "part-.*\\.csv", justCopy = true))
     require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
-    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
 
   private val ingestCopyOracle =

@@ -112,7 +112,7 @@ object StreamingQueries {
       checkpoint = Some(tmp.resolve("ckpt").toString))
     q.awaitTermination(300000)
     q.stop()
-    s.table(ref.qualified).drop("process_dt").orderBy("c_custkey")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
 
   private val streamIngestOracle =

@@ -29,6 +29,17 @@ object TableSink {
 
   val ProcessDtCol = "process_dt"
 
+  /** Partition column: the DATE of `process_dt`. Ingested tables are
+    * hive-partitioned by ingestion day, so date-bounded reads (the
+    * dominant access pattern for append-only raw tables — "yesterday's
+    * load", backfill windows, retention sweeps) prune to the matching
+    * directories at PLANNING time instead of scanning all history; joins
+    * against a filtered date dimension prune dynamically (DPP). Daily
+    * granularity keeps partition counts sane at scale (365/year, each
+    * holding that day's appends) — never partition by the raw timestamp,
+    * which would create one directory per write. */
+  val DateCol = "process_date"
+
   def processDt = from_utc_timestamp(current_timestamp(), "Asia/Shanghai")
 
   /** Fixed error-table schema (box_ingest.py:116-119, :126). */
@@ -40,11 +51,23 @@ object TableSink {
   def ensureDatabase(spark: SparkSession, ref: TableRef): Unit =
     spark.sql(s"CREATE DATABASE IF NOT EXISTS `${ref.database}`")
 
-  /** O21: append with ingestion timestamp. */
+  /** O21: append with ingestion timestamp, partitioned by its date.
+    * A table we create is partitioned by [[DateCol]]; appends to a
+    * pre-existing table conform to ITS layout (the copy-mode contract
+    * lets callers create unpartitioned targets up front — O22). */
   def append(df: DataFrame, ref: TableRef): Unit = {
-    ensureDatabase(df.sparkSession, ref)
-    df.withColumn(ProcessDtCol, processDt)
-      .write.mode("append").format("parquet").saveAsTable(ref.qualified)
+    val spark = df.sparkSession
+    ensureDatabase(spark, ref)
+    val stamped = df.withColumn(ProcessDtCol, processDt)
+    val partitioned =
+      !spark.catalog.tableExists(ref.qualified) ||
+        spark.table(ref.qualified).columns.contains(DateCol)
+    if (partitioned)
+      stamped.withColumn(DateCol, to_date(col(ProcessDtCol)))
+        .write.mode("append").format("parquet")
+        .partitionBy(DateCol).saveAsTable(ref.qualified)
+    else // pre-created unpartitioned target (copy-mode contract): match it
+      stamped.write.mode("append").format("parquet").saveAsTable(ref.qualified)
   }
 
   /** O22 copy mode: conform an arbitrary incoming frame to the target
@@ -55,7 +78,8 @@ object TableSink {
   def appendConformed(df: DataFrame, ref: TableRef): Unit = {
     val spark = df.sparkSession
     val target = spark.table(ref.qualified).schema
-      .filterNot(_.name.equalsIgnoreCase(ProcessDtCol))
+      .filterNot(f => f.name.equalsIgnoreCase(ProcessDtCol) ||
+        f.name.equalsIgnoreCase(DateCol))
     val byLower = df.columns.reverse.map(c => c.toLowerCase -> c).toMap
     val cols = target.map { f =>
       byLower.get(f.name.toLowerCase) match {

@@ -37,7 +37,7 @@ class IngestExportSpec extends AnyFunSuite {
     assert(report.validRows === 2 && report.invalidRows === 2)
 
     val main = spark.table(ref.qualified)
-    assert(main.columns.toSeq === Seq("id", "amount", "note", "process_dt"))
+    assert(main.columns.toSeq === Seq("id", "amount", "note", "process_dt", "process_date"))
     assert(main.count() === 2)
     val errs = spark.table(ref.errorSibling.qualified)
       .select("error_type").collect().map(_.getString(0)).sorted

@@ -114,6 +114,39 @@ class PlanSpec extends AnyFunSuite {
     assert(!planString(split.invalid).contains("Exchange"))
   }
 
+  test("process_date partitioning: static pruning and DPP reach the scan") {
+    import org.apache.spark.sql.functions._
+    val spark0 = spark
+    import spark0.implicits._
+    val ref = graft.sink.TableRef("plan", "part", "orders_p")
+    spark.sql(s"DROP TABLE IF EXISTS ${ref.qualified}")
+    graft.sink.TableSink.append(
+      graft.Tables.orders(spark, sf).select("o_orderkey", "o_totalprice"), ref)
+    // the table is hive-partitioned by ingestion date
+    assert(spark.sql(s"SHOW PARTITIONS ${ref.qualified}").count() >= 1)
+    val t = spark.table(ref.qualified)
+    // static: a date-bounded read prunes directories at PLANNING time —
+    // the predicate lands in PartitionFilters, not the data filter
+    val s1 = planString(t.where(col("process_date") === current_date()))
+    assert(s1.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("process_date")), s1)
+    // dynamic: joining against a filtered date dimension must plant a
+    // dynamicpruning subquery on the partitioned scan (DPP), so only the
+    // dimension-selected dates' directories are read at 100 TB. The dim
+    // must be file-backed: a filtered LocalRelation is constant-folded
+    // away before the PartitionPruning rule looks for a selective filter.
+    val dimPath = java.nio.file.Files.createTempDirectory("dpp_dim_").toString
+    Seq(("keep", java.time.LocalDate.now()),
+      ("old", java.time.LocalDate.now().minusDays(7))).toDF("tag", "d")
+      .write.mode("overwrite").parquet(dimPath)
+    val dim = spark.read.parquet(dimPath)
+    val joined = t.join(dim.where(col("tag") === "keep"),
+      col("process_date") === col("d"))
+    val s2 = joined.queryExecution.executedPlan.toString
+    assert(s2.toLowerCase.contains("dynamicpruning"),
+      s"expected a DPP filter on the partitioned scan\n$s2")
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
