@@ -1,0 +1,85 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-keyed sampling for training-data pipelines.
+  *
+  * `df.sample()` draws from a per-partition RNG: the selected rows change
+  * whenever the partition layout changes (repartition, AQE coalescing,
+  * task retry at the source level) — unacceptable where a sample defines
+  * a training set or an eval holdout that must be reproducible. These
+  * operators decide membership from a HASH OF THE ROW'S KEY instead:
+  *  - reproducible across runs, layouts, and engines (the hash is
+  *    ANSI-SQL-expressible — the DuckDB gate oracles replay it exactly);
+  *  - a pure narrow filter — zero shuffles at any scale;
+  *  - monotone in `fraction`: the 1% sample is a subset of the 10%
+  *    sample at the same seed (hash thresholds nest), which makes
+  *    scaling-law subset chains consistent for free.
+  *
+  * Hash family: Knuth multiplicative on the key folded into the Mersenne
+  * prime M = 2^31-1, `h = (pmod(key, M) · Ks + seed) mod M` with the
+  * MULTIPLIER seed-scaled, `Ks = 2654435761 · (seed+1) mod M`; compared
+  * against `floor(fraction · M)` as an INTEGER (no float equality edge
+  * between engines). The seed must rescale the multiplier, not just
+  * offset the hash: an additive seed (on the hash OR on the multiplier)
+  * perturbs h by only `key·Δseed mod M`, so small-keyed corpora would
+  * draw near-identical samples under different seeds. Rescaling makes
+  * the per-key difference `key·K·Δ mod M` — fully scrambled. Because M
+  * is prime, ANY nonzero Ks is a bijection of Z_M — every seed yields a
+  * full, uniform permutation (only seed ≡ −1 mod M is degenerate and
+  * rejected). The inner pmod bounds the product at < 2^62 < Long.Max, so
+  * any long key is safe (base hash shared with Similarity.ivfTopK's
+  * centroid sample, Similarity.scala:141-146). String keys: fingerprint
+  * first (`GraftFunctions.fingerprint`, whose DuckDB replay is the t4
+  * oracle) and pass the long through.
+  */
+object Sampling {
+
+  val M: Long = 2147483647L // 2^31 - 1
+  val K: Long = 2654435761L
+
+  /** The sampling hash in [0, M): deterministic in (key value, seed). */
+  def bucketOf(key: Column, seed: Long): Column = {
+    val ks = (((BigInt(K) * (BigInt(seed) + 1)) mod BigInt(M)) + M).toLong % M
+    require(ks != 0L, s"degenerate seed $seed (multiplier collapses to 0)")
+    pmod(pmod(key, lit(M)) * lit(ks) + lit(seed), lit(M))
+  }
+
+  private def threshold(fraction: Double): Long = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction=$fraction")
+    math.floor(fraction * M).toLong
+  }
+
+  /** Keep rows whose key hashes under `fraction`: a reproducible,
+    * layout-independent Bernoulli-style sample (exact membership, not
+    * exact cardinality — like Bernoulli, the kept count concentrates
+    * around fraction·N). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double,
+      seed: Long = 0L): DataFrame =
+    df.where(bucketOf(key, seed) < lit(threshold(fraction)))
+
+  /** Per-stratum fractions (e.g. downweight boilerplate-heavy sources,
+    * upweight rare languages — the data-mixing primitive). Strata absent
+    * from `fractions` default to `defaultFraction`. Still a narrow
+    * filter: the per-stratum threshold is a small when-chain, no join. */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+      fractions: Map[String, Double], defaultFraction: Double = 0.0,
+      seed: Long = 0L): DataFrame = {
+    val thr = fractions.foldLeft(lit(threshold(defaultFraction))) {
+      case (acc, (s, f)) => when(stratum === lit(s), lit(threshold(f))).otherwise(acc)
+    }
+    df.where(bucketOf(key, seed) < thr)
+  }
+
+  /** Label every row `train` or `test` by the hash of `groupKey` — all
+    * rows sharing a group land in the SAME split. Key the group by a
+    * dedup cluster id / document fingerprint and near-duplicates can
+    * never straddle the boundary (the train→test leakage that inflates
+    * eval numbers). A plain row-id key degrades to an ordinary split. */
+  def trainTestSplit(df: DataFrame, groupKey: Column, testFraction: Double,
+      seed: Long = 0L): DataFrame =
+    df.withColumn("split",
+      when(bucketOf(groupKey, seed) < lit(threshold(testFraction)), lit("test"))
+        .otherwise(lit("train")))
+}

@@ -16,7 +16,7 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Validation.defs ++
       IngestExportQueries.defs ++ ExtensionQueries.defs ++
-      StreamingQueries.defs ++ SketchQueries.defs
+      StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

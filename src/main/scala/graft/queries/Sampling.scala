@@ -1,0 +1,64 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.Sampling
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the deterministic sampling operators. Membership is a
+  * pure function of (key, seed) in an ANSI-expressible hash family, so —
+  * unlike RNG sampling — the DuckDB oracle replays EXACT row membership,
+  * not just cardinality bounds.
+  */
+object SamplingQueries {
+
+  /** 20% reproducible sample of documents by doc_id. */
+  def hashSample(s: SparkSession, d: String): DataFrame =
+    Sampling.hashSample(Tables.documents(s, d), col("doc_id"), 0.2)
+      .select(col("doc_id")).orderBy("doc_id")
+
+  private val hashSampleOracle =
+    """SELECT doc_id FROM documents
+      |WHERE ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |      % 2147483647 < CAST(floor(0.2 * 2147483647) AS BIGINT)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Leakage-safe 25% holdout labeling over documents (group key =
+    * doc_id here; production callers key by dedup cluster/fingerprint so
+    * near-duplicates cannot straddle train/test). */
+  def trainTestSplit(s: SparkSession, d: String): DataFrame =
+    Sampling.trainTestSplit(Tables.documents(s, d), col("doc_id"), 0.25, seed = 7L)
+      .select(col("doc_id"), col("split")).orderBy("doc_id")
+
+  private val trainTestOracle =
+    """SELECT doc_id,
+      | CASE WHEN ((doc_id % 2147483647) * ((2654435761 * 8) % 2147483647) + 7)
+      |           % 2147483647 < CAST(floor(0.25 * 2147483647) AS BIGINT)
+      |      THEN 'test' ELSE 'train' END AS split
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Per-stratum mixing rates over events: downweight the common types,
+    * keep every purchase. Emits per-type sampled counts. */
+  def stratifiedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.stratifiedSample(Tables.events(s, d),
+        col("event_type"), col("event_id"),
+        fractions = Map("view" -> 0.05, "click" -> 0.2, "purchase" -> 1.0),
+        defaultFraction = 0.1)
+      .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("event_type")
+
+  private val stratifiedOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+      |FROM events
+      |WHERE ((event_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      | % 2147483647 <
+      | CAST(floor(2147483647 * (CASE event_type
+      |   WHEN 'view' THEN 0.05 WHEN 'click' THEN 0.2
+      |   WHEN 'purchase' THEN 1.0 ELSE 0.1 END)) AS BIGINT)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
+    QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),
+    QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)))
+}

@@ -1,0 +1,69 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SamplingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hashSample: layout-independent, plan stays a narrow filter") {
+    val df = (1L to 20000L).toDF("id")
+    def ids(part: Int) = Sampling.hashSample(df.repartition(part), col("id"), 0.1)
+      .collect().map(_.getLong(0)).toSet
+    val a = ids(3); val b = ids(17)
+    assert(a === b, "membership must not depend on partition layout")
+    // Bernoulli-style concentration around fraction*N
+    assert(math.abs(a.size - 2000) < 200, s"got ${a.size} of expected ~2000")
+    val plan = Sampling.hashSample(df, col("id"), 0.1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must be shuffle-free\n$plan")
+  }
+
+  test("hashSample: thresholds nest — the 1% sample is a subset of the 10%") {
+    val df = (1L to 20000L).toDF("id")
+    val small = Sampling.hashSample(df, col("id"), 0.01)
+      .collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(df, col("id"), 0.10)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.nonEmpty && small.subsetOf(big))
+  }
+
+  test("hashSample: different seeds draw different (deterministic) samples") {
+    val df = (1L to 5000L).toDF("id")
+    def ids(seed: Long) = Sampling.hashSample(df, col("id"), 0.2, seed)
+      .collect().map(_.getLong(0)).toSet
+    assert(ids(1L) === ids(1L))
+    assert(ids(1L) !== ids(2L))
+  }
+
+  test("trainTestSplit: groups never straddle the boundary") {
+    // 500 groups × 4 rows: every row of a group must carry the same label
+    val df = (0L until 2000L).map(i => (i, i % 500)).toDF("row_id", "grp")
+    val got = Sampling.trainTestSplit(df, col("grp"), 0.3, seed = 11L)
+    val perGroup = got.groupBy("grp")
+      .agg(countDistinct(col("split")).as("nsplits"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(perGroup.forall(_.getAs[Long]("nsplits") === 1L),
+      "a group appeared in both train and test")
+    assert(perGroup.forall(_.getAs[Long]("n") === 4L))
+    val testGroups = got.where(col("split") === "test")
+      .select("grp").distinct().count()
+    assert(math.abs(testGroups - 150L) < 40, s"got $testGroups of ~150 test groups")
+  }
+
+  test("stratifiedSample: per-stratum rates hold; absent strata use the default") {
+    val df = (1L to 30000L).map(i =>
+      (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))
+      .toDF("id", "s")
+    val got = Sampling.stratifiedSample(df, col("s"), col("id"),
+        fractions = Map("a" -> 0.5, "b" -> 0.05), defaultFraction = 0.0)
+      .groupBy("s").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(got.getOrElse("a", 0L) - 5000L) < 500)
+    assert(math.abs(got.getOrElse("b", 0L) - 500L) < 150)
+    assert(!got.contains("c"), "default fraction 0 must drop the stratum")
+  }
+}
