@@ -91,4 +91,38 @@ object Joins {
       left.columns.map(c => col(s"__l.`$c`").as(c)) :+
         col("__match").as(matchCol): _*)
   }
+
+  /** Bucketed points-in-intervals range join: pairs every point row with
+    * every interval row of the same `keys` whose `[loCol, hiCol]`
+    * (inclusive) contains `pointCol`. All three bound columns must be
+    * numeric in the same unit (timestamps: `unix_micros` them first).
+    *
+    * Spark plans a bare range predicate as BroadcastNestedLoopJoin — or
+    * CartesianProduct once neither side broadcasts — i.e. O(n·m) row
+    * comparisons per key. This form coarsens the range dimension into
+    * buckets of `bucketWidth`: points take their containing bucket,
+    * intervals EXPLODE across every bucket they touch, and the join
+    * becomes an EQUI join on (bucket, keys) refined by the exact
+    * predicate — shuffled hash/merge machinery, AQE skew handling, the
+    * works. Interval fan-out is span/bucketWidth + 1 rows, so pick
+    * bucketWidth near the TYPICAL interval span: ~2× row fan-out on the
+    * interval side buys candidate sets ~span/width of the range instead
+    * of everything sharing the key. Intervals with hi < lo are dropped
+    * (they can contain no point; `sequence` would also walk backwards).
+    */
+  def rangeJoin(
+      points: DataFrame, intervals: DataFrame,
+      pointCol: String, loCol: String, hiCol: String,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    val w = lit(bucketWidth)
+    val p = points.withColumn("__bucket", floor(col(pointCol) / w))
+    val iv = intervals
+      .where(col(hiCol) >= col(loCol))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(loCol) / w), floor(col(hiCol) / w))))
+    p.join(iv, ("__bucket" +: keys).toSeq)
+      .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
+      .drop("__bucket")
+  }
 }

@@ -266,8 +266,42 @@ object Relational2 {
       |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  // ---------------------------------------------------------------- q29
+  /** Bucketed range join (purchase attribution, batch): every purchase
+    * paired with every signup by the same user in the preceding hour.
+    * A bare range predicate plans as a nested-loop join — O(n·m) per
+    * user; ext.Joins.rangeJoin coarsens time into interval-width buckets
+    * so the planner sees an EQUI join on (bucket, user) refined by the
+    * exact predicate (PlanSpec asserts no BNLJ/cartesian). Same output
+    * as the st5 stream-stream twin, via the batch operator. */
+  def q29RangeJoin(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000L
+    val e = Tables.events(s, d)
+    val p = e.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("p_id"), col("ts").as("p_ts"),
+        unix_micros(col("ts")).as("p_t"))
+    val iv = e.where(col("event_type") === "signup")
+      .select(col("user_id"), col("event_id").as("s_id"), col("ts").as("s_ts"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + hourUs).as("hi"))
+    graft.ext.Joins.rangeJoin(p, iv, "p_t", "lo", "hi",
+        bucketWidth = hourUs, keys = Seq("user_id"))
+      .select(col("user_id"), col("p_id"), col("p_ts"), col("s_id"), col("s_ts"))
+      .orderBy("p_id", "s_id")
+  }
+
+  private val q29Oracle =
+    """SELECT p.user_id, p.event_id AS p_id, p.ts AS p_ts,
+      | s.event_id AS s_id, s.ts AS s_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      | ON p.user_id = s.user_id
+      | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 60 MINUTES
+      |ORDER BY p_id, s_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q18_sql_text", q18SqlText, Some(q18Sql)),
+    QueryDef("q29_range_join", q29RangeJoin, Some(q29Oracle)),
     QueryDef("q27_grouping_sets", q27GroupingSets, Some(q27Oracle)),
     QueryDef("q28_outer_join_agg", q28OuterJoins, Some(q28Oracle)),
     QueryDef("q19_cube", q19Cube, Some(q19Oracle)),

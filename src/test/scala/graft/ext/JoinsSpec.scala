@@ -52,4 +52,33 @@ class JoinsSpec extends AnyFunSuite {
       .select($"asof_match.tag").collect()(0).getString(0)
     assert(got === "b")
   }
+
+  test("rangeJoin: equals the naive theta join, inclusive at both bounds") {
+    val rnd = new scala.util.Random(5)
+    val points = (1L to 400L).map(i => (i % 7, i, rnd.nextInt(10000).toLong))
+      .toDF("k", "pid", "t")
+    val ivs = (1L to 120L).map { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (i % 7, i, lo, lo + 200L + rnd.nextInt(400))
+    }.toDF("k", "iid", "lo", "hi")
+    // planted exact-boundary hits: point AT lo and AT hi must match
+    val p2 = points.union(Seq((6L, 9001L, 500L), (6L, 9002L, 700L)).toDF("k", "pid", "t"))
+    val iv2 = ivs.union(Seq((6L, 8001L, 500L, 700L)).toDF("k", "iid", "lo", "hi"))
+    val naive = p2.as("p").join(iv2.as("i"),
+        col("p.k") === col("i.k") && col("t") >= col("lo") && col("t") <= col("hi"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Joins.rangeJoin(p2, iv2, "t", "lo", "hi",
+        bucketWidth = 256L, keys = Seq("k"))
+      .select(col("pid"), col("iid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed === naive)
+    assert(bucketed.contains((9001L, 8001L)) && bucketed.contains((9002L, 8001L)))
+  }
+
+  test("rangeJoin: malformed intervals (hi < lo) are dropped, not exploded") {
+    val p = Seq((1L, 10L)).toDF("pid", "t")
+    val iv = Seq((1L, 100L, 0L)).toDF("iid", "lo", "hi") // hi < lo
+    assert(Joins.rangeJoin(p, iv, "t", "lo", "hi", bucketWidth = 10L).count() === 0)
+  }
 }

@@ -114,6 +114,13 @@ class PlanSpec extends AnyFunSuite {
     assert(!planString(split.invalid).contains("Exchange"))
   }
 
+  test("q29 range join: bucketed equi join, never nested-loop/cartesian") {
+    val s = planString(Relational2.q29RangeJoin(spark, sf))
+    assert(!s.contains("BroadcastNestedLoopJoin") && !s.contains("CartesianProduct"),
+      s"range join must ride the bucketed equi path\n$s")
+    assert(s.contains("Join"), s)
+  }
+
   test("process_date partitioning: static pruning and DPP reach the scan") {
     import org.apache.spark.sql.functions._
     val spark0 = spark
