@@ -108,4 +108,60 @@ object TextAnalysis {
 
   def langId(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), langIdCol(col(text)).as("lang_pred"))
+
+  // ------------------------------------------------------- normalization
+
+  /** Training-corpus text normalization: lowercase, mask URLs and email
+    * addresses with placeholder tokens, collapse whitespace runs, trim.
+    * Pure regexp projection — narrow, codegen'd, scan-speed. The regexes
+    * avoid lookarounds/backreferences so RE2-based engines (the DuckDB
+    * oracle) replay them byte-identically. */
+  private val UrlRe = "https?://\\S+"
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  def normalizeCol(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        regexp_replace(lower(text), UrlRe, "<url>"),
+        EmailRe, "<email>"),
+      "\\s+", " "))
+
+  def normalize(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), normalizeCol(col(text)).as("norm_text"))
+
+  // --------------------------------------------------------- repetition
+
+  /** Within-document repetition metrics (the published Gopher/RefinedWeb
+    * rule family): duplicate-line fraction and most-frequent-word-2-gram
+    * share, with the flag in integer cross-multiplication (no floats).
+    * Line metrics are a narrow array projection; the 2-gram mode is an
+    * explode + count + max — ONE shuffle on (doc, gram) with map-side
+    * combine, which is also the exact-count plan you'd run at 100 TB
+    * (the in-row HOF alternative is O(tokens²) interpreted per doc).
+    * Flag: >30% duplicate lines OR top 2-gram covering >20% of 2-grams.
+    */
+  def repetition(df: DataFrame, text: String, id: String): DataFrame = {
+    val lines = filter(split(col(text), "\n"), l => trim(l) =!= "")
+    val lineMetrics = df.select(
+      col(id),
+      size(lines).cast(LongType).as("n_lines"),
+      (size(lines) - size(array_distinct(lines))).cast(LongType).as("n_dup_lines"))
+    val toks = regexp_extract_all(col(text), lit("[^\\s]+"), lit(0))
+    val grams = df.select(col(id), toks.as("__t"))
+      .select(col(id), explode(zip_with(
+        slice(col("__t"), lit(1), greatest(size(col("__t")) - 1, lit(0))),
+        slice(col("__t"), lit(2), greatest(size(col("__t")) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+    val gramTop = grams.groupBy(col(id), col("g")).count()
+      .groupBy(col(id))
+      .agg(max(col("count")).as("top_2gram_n"), sum(col("count")).as("n_2grams"))
+    lineMetrics.join(gramTop, Seq(id), "left")
+      .select(col(id), col("n_lines"), col("n_dup_lines"),
+        coalesce(col("n_2grams"), lit(0L)).as("n_2grams"),
+        coalesce(col("top_2gram_n"), lit(0L)).as("top_2gram_n"),
+        ((col("n_dup_lines") * 10 > col("n_lines") * 3) ||
+          (coalesce(col("n_2grams"), lit(0L)) > 0 &&
+            coalesce(col("top_2gram_n"), lit(0L)) * 5 > col("n_2grams")))
+          .as("is_repetitive"))
+  }
 }

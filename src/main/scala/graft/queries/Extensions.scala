@@ -430,11 +430,49 @@ object ExtensionQueries {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  // --------------------------------------- normalization + repetition
+
+  def textNormalize(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.normalize(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  private val textNormalizeOracle =
+    """SELECT doc_id,
+      | trim(regexp_replace(regexp_replace(regexp_replace(lower(text),
+      |   'https?://\S+', '<url>', 'g'),
+      |   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+      |   '\s+', ' ', 'g')) AS norm_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  def textRepetition(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.repetition(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
+
+  private val textRepetitionOracle =
+    """WITH lines AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\n'),
+      |   l -> trim(l) <> '') AS ls FROM documents),
+      |lm AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(ls) - len(list_distinct(ls)) AS BIGINT) AS n_dup_lines FROM lines),
+      |toks AS (SELECT doc_id, regexp_extract_all(text, '[^\s]+') AS ts FROM documents),
+      |grams AS (SELECT doc_id,
+      |  unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS g
+      | FROM toks),
+      |gc AS (SELECT doc_id, g, count(*) AS c FROM grams GROUP BY 1, 2),
+      |gt AS (SELECT doc_id, max(c) AS top_n, sum(c) AS n_g FROM gc GROUP BY 1)
+      |SELECT lm.doc_id, n_lines, n_dup_lines,
+      | CAST(coalesce(n_g, 0) AS BIGINT) AS n_2grams,
+      | CAST(coalesce(top_n, 0) AS BIGINT) AS top_2gram_n,
+      | (n_dup_lines * 10 > n_lines * 3) OR
+      |  (coalesce(n_g, 0) > 0 AND coalesce(top_n, 0) * 5 > n_g) AS is_repetitive
+      |FROM lm LEFT JOIN gt ON lm.doc_id = gt.doc_id
+      |ORDER BY lm.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("t1_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("t2_text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("t3_lang_id", langId, Some(langIdOracle)),
     QueryDef("t4_fingerprint", fingerprints, Some(fingerprintOracle)),
+    QueryDef("t5_text_normalize", textNormalize, Some(textNormalizeOracle)),
+    QueryDef("t6_text_repetition", textRepetition, Some(textRepetitionOracle)),
     QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),

@@ -288,6 +288,32 @@ class ExtSpec extends AnyFunSuite {
     assert(top.head.getAs[Long]("corpus_id") === 100L)
   }
 
+  test("TextAnalysis.normalize masks urls/emails and collapses whitespace") {
+    val df = Seq(
+      (1L, "Visit https://example.com/x?q=1 NOW"),
+      (2L, "mail Bob.Smith+tag@corp.example.org   please"),
+      (3L, "  Tabs\tand\nnewlines  collapse  ")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalize(df, "text", "doc_id")
+      .orderBy("doc_id").collect().map(_.getString(1))
+    assert(got(0) === "visit <url> now")
+    assert(got(1) === "mail <email> please")
+    assert(got(2) === "tabs and newlines collapse")
+  }
+
+  test("TextAnalysis.repetition flags duplicate lines and dominant 2-grams") {
+    val dupLines = (Seq.fill(7)("same line here") ++ Seq("one", "two")).mkString("\n")
+    val dupGrams = Seq.fill(20)("buy now").mkString(" ") + " other text"
+    val clean = "a perfectly ordinary sentence with no repeated content at all"
+    val df = Seq((1L, dupLines), (2L, dupGrams), (3L, clean)).toDF("doc_id", "text")
+    val got = TextAnalysis.repetition(df, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_dup_lines"),
+        r.getAs[Long]("top_2gram_n"), r.getAs[Boolean]("is_repetitive"))).toMap
+    assert(got(1L)._1 === 6L && got(1L)._3 === true)  // 7 copies -> 6 dups
+    assert(got(2L)._2 >= 19L && got(2L)._3 === true)  // "now buy"/"buy now" dominate
+    assert(got(3L) === ((0L, 1L, false)))
+  }
+
   // ------------------------------------------------------ multimodal
 
   test("Multimodal: batched stub decode is deterministic with stable schema") {
