@@ -76,10 +76,16 @@ object Sampling {
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can
     * never straddle the boundary (the train→test leakage that inflates
-    * eval numbers). A plain row-id key degrades to an ordinary split. */
+    * eval numbers). A plain row-id key degrades to an ordinary split.
+    *
+    * The label lands in `outCol` (default "split"); an input that already
+    * has that column is rejected rather than silently overwritten. */
   def trainTestSplit(df: DataFrame, groupKey: Column, testFraction: Double,
-      seed: Long = 0L): DataFrame =
-    df.withColumn("split",
+      seed: Long = 0L, outCol: String = "split"): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input already has a column named '$outCol'; pass outCol to rename the split label")
+    df.withColumn(outCol,
       when(bucketOf(groupKey, seed) < lit(threshold(testFraction)), lit("test"))
         .otherwise(lit("train")))
+  }
 }

@@ -16,13 +16,39 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** xxhash64 rejects map-typed inputs at analysis time (maps have no
+    * canonical element order); nested arrays/structs are hashable only if
+    * their element types are. */
+  private def hashSafe(dt: DataType): Boolean = dt match {
+    case _: MapType     => false
+    case s: StructType  => s.fields.forall(f => hashSafe(f.dataType))
+    case a: ArrayType   => hashSafe(a.elementType)
+    case _              => true
+  }
+
+  /** Content-derived salt in [0, saltFactor) over every HASHABLE column —
+    * schemas with map columns salt on the remaining columns instead of
+    * failing analysis. Only when no column at all is hashable does this
+    * fall back to a `spark_partition_id()` salt (stable under task retry,
+    * but it degrades to one partial per key when a hot key sits in few
+    * input partitions — acceptable for the pathological all-map schema). */
+  private def contentSalt(df: DataFrame, saltFactor: Int): Column = {
+    val hashable = df.schema.fields.filter(f => hashSafe(f.dataType))
+    val h =
+      if (hashable.nonEmpty) xxhash64(hashable.map(f => df(f.name)): _*)
+      else spark_partition_id().cast("long")
+    pmod(h, lit(saltFactor))
+  }
+
   /** Two-phase (partial + final) aggregation over a skewed group key done
     * manually: group on (key, salt) first, then re-aggregate by key.
     * Spark's hash aggregate already does map-side partial aggregation —
     * this helps when the DISTINCT or collect-ish aggregate forces all
     * rows of a key into one reducer. `merge` must be associative.
     *
-    * The salt is derived from row CONTENT (all columns), like
+    * The salt is derived from row CONTENT (all hashable columns), like
     * [[saltedJoin]]: a `spark_partition_id()` salt degrades to a single
     * partial per key when the hot key is concentrated in few input
     * partitions (e.g. the input was just shuffled on that very key),
@@ -34,8 +60,7 @@ object Scale {
   def saltedAgg(
       df: DataFrame, key: Column, agg: Column, merge: Column => Column,
       saltFactor: Int = 16): DataFrame = {
-    df.groupBy(key.as("k"),
-        pmod(xxhash64(df.columns.map(col): _*), lit(saltFactor)).as("salt"))
+    df.groupBy(key.as("k"), contentSalt(df, saltFactor).as("salt"))
       .agg(agg.as("partial"))
       .groupBy(col("k"))
       .agg(merge(col("partial")).as("value"))
@@ -48,7 +73,8 @@ object Scale {
     * saltFactor reducers. Row multiplicity is unchanged: each left row
     * matches exactly one replica of each right match.
     *
-    * The salt is derived from the left row's CONTENT (all columns), not
+    * The salt is derived from the left row's CONTENT (all hashable
+    * columns), not
     * from monotonically_increasing_id(): id-based salts change when a
     * task is recomputed after a shuffle-fetch failure, and a re-salted
     * row lands on a different reducer than its first attempt — the
@@ -61,8 +87,7 @@ object Scale {
   def saltedJoin(
       left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
       saltFactor: Int = 16): DataFrame = {
-    val salted = left.withColumn("__salt",
-      pmod(xxhash64(left.columns.map(col): _*), lit(saltFactor)))
+    val salted = left.withColumn("__salt", contentSalt(left, saltFactor))
     val replicated = right.withColumn("__salt",
       explode(sequence(lit(0), lit(saltFactor - 1)).cast("array<long>")))
     salted.join(replicated,

@@ -64,23 +64,26 @@ object Sketches {
     def estimate(k: String): Long = cms.estimateCount(k)
   }
 
-  /** Frequency estimates for `keys` (a small candidate/heavy-hitter
-    * relation with a string column `key`) against a CountMinSketch of
-    * `df`'s `key` column. CMS guarantees estimate ≥ true count, and
+  /** Frequency estimates for a small candidate/heavy-hitter relation
+    * against a CountMinSketch of `df`'s `key` column. `candidateKey`
+    * names the candidates' string key column (default `col("key")`).
+    * CMS guarantees estimate ≥ true count, and
     * estimate ≤ true + eps·N with probability `confidence`. The sketch
     * aggregates distributively to ONE small binary (width ⌈e/eps⌉ ×
     * depth ⌈ln(1/(1−confidence))⌉ longs); candidates are then scored by
-    * a udf that shares the deserialized sketch per task. Candidate
+    * a udf that shares the deserialized sketch per task. A null candidate
+    * key estimates to null (CMS sketches non-null keys only). Candidate
     * discovery at scale should itself be approximate (e.g. per-partition
     * top-k union) — this scores a given candidate set, it does not scan
     * for one. */
   def cmsEstimates(df: DataFrame, key: Column, candidates: DataFrame,
-      eps: Double = 0.001, confidence: Double = 0.99, seed: Int = 42): DataFrame = {
+      candidateKey: Column = col("key"), eps: Double = 0.001,
+      confidence: Double = 0.99, seed: Int = 42): DataFrame = {
     val bytes = df
       .agg(count_min_sketch(key, lit(eps), lit(confidence), lit(seed)).as("s"))
       .head.getAs[Array[Byte]]("s")
     val est = new CmsEstimator(bytes)
-    val estimateUdf = udf((k: String) => est.estimate(k))
-    candidates.withColumn("approx_count", estimateUdf(col("key")))
+    val estimateUdf = udf((k: String) => Option(k).map(est.estimate))
+    candidates.withColumn("approx_count", estimateUdf(candidateKey))
   }
 }

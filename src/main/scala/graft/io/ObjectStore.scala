@@ -24,6 +24,14 @@ trait ObjectStore {
   def delete(folder: String, name: String): Unit
 }
 
+object ObjectStore {
+  /** Dot-prefixed names are in-flight spool temps (see [[LocalStore]] /
+    * [[HadoopStore]] `putOverwrite`) — both `list` impls hide them so a
+    * concurrent lister can never select a partial file, matching Hadoop's
+    * own hidden-file convention ("." / "_" prefixes skipped by FileInputFormat). */
+  def isHidden(name: String): Boolean = name.startsWith(".")
+}
+
 final case class ObjectStat(name: String, modifiedAt: Long, size: Long)
 
 /** Local-filesystem ObjectStore. */
@@ -37,6 +45,7 @@ final class LocalStore extends ObjectStore {
       .filter(Files.isRegularFile(_))
       .map(f => ObjectStat(f.getFileName.toString,
         Files.getLastModifiedTime(f).toMillis, Files.size(f)))
+      .filterNot(s => ObjectStore.isHidden(s.name))
       .toSeq.sortBy(_.name)
   }
 
@@ -82,6 +91,7 @@ final class HadoopStore(conf: org.apache.hadoop.conf.Configuration)
     fs.listStatus(dir).toSeq
       .filter(_.isFile)
       .map(s => ObjectStat(s.getPath.getName, s.getModificationTime, s.getLen))
+      .filterNot(s => ObjectStore.isHidden(s.name))
       .sortBy(_.name)
   }
 
@@ -93,10 +103,11 @@ final class HadoopStore(conf: org.apache.hadoop.conf.Configuration)
     val dir = new HPath(folder)
     val fs = fsOf(dir)
     fs.mkdirs(dir)
-    // Spool to a dot-prefixed temp sibling (ignored by list: isFile holds
-    // but the final rename happens before any reader sees `name`), then
-    // overwrite-rename — the same create-or-replace-by-name contract as
-    // the reference's update_contents-or-upload (box_export.py:58-62).
+    // Spool to a dot-prefixed temp sibling (hidden from list() by the
+    // ObjectStore.isHidden filter, so a concurrent lister can't observe
+    // the partial file), then overwrite-rename — the same
+    // create-or-replace-by-name contract as the reference's
+    // update_contents-or-upload (box_export.py:58-62).
     val tmp = new HPath(dir, s".$name.${java.util.UUID.randomUUID()}.tmp")
     try {
       val out = fs.create(tmp, true)

@@ -54,6 +54,17 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(testGroups - 150L) < 40, s"got $testGroups of ~150 test groups")
   }
 
+  test("trainTestSplit: rejects an input that already has the output column") {
+    val df = Seq((1L, "x")).toDF("id", "split")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.trainTestSplit(df, col("id"), 0.3)
+    }
+    assert(e.getMessage.contains("split"))
+    // renaming the output column sidesteps the clash
+    val ok = Sampling.trainTestSplit(df, col("id"), 0.3, outCol = "holdout")
+    assert(ok.columns.toSeq === Seq("id", "split", "holdout"))
+  }
+
   test("stratifiedSample: per-stratum rates hold; absent strata use the default") {
     val df = (1L to 30000L).map(i =>
       (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))

@@ -44,6 +44,17 @@ class ScaleSpec extends AnyFunSuite {
     assert(salted === plain)
   }
 
+  test("saltedAgg: map-typed columns are skipped by the content salt, not fatal") {
+    // xxhash64 rejects MapType at analysis time; the salt must hash the
+    // remaining columns instead of failing the whole aggregation.
+    val df = Seq((1L, 10L, Map("a" -> 1)), (1L, 20L, Map("b" -> 2)),
+        (2L, 5L, Map("c" -> 3)))
+      .toDF("k", "v", "m")
+    val got = Scale.saltedAgg(df, col("k"), sum(col("v")), c => sum(c))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 30L, 2L -> 5L))
+  }
+
   test("saltedAgg: two-phase sum equals direct aggregation") {
     val df = ((1 to 5000).map(_ => ("hot", 1L)) ++
       (1 to 100).map(i => (s"k$i", i.toLong))).toDF("k", "v")

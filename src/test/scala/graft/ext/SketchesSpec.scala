@@ -57,4 +57,13 @@ class SketchesSpec extends AnyFunSuite {
       assert(ap <= ex + (0.005 * n).toLong + 1, s"overcount: $ap vs $ex")
     }
   }
+
+  test("cmsEstimates: null candidate keys estimate to null; key column is a param") {
+    val df = Seq("a", "a", "b").toDF("key")
+    val cands = Seq(Some("a"), None).toDF("term")
+    val got = Sketches.cmsEstimates(df, col("key"), cands, candidateKey = col("term"))
+      .collect().map(r => Option(r.getString(0)) -> Option(r.get(1))).toMap
+    assert(got(Some("a")) === Some(2L))
+    assert(got(None) === None, "null key must not NPE and must score null")
+  }
 }

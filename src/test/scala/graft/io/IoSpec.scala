@@ -28,6 +28,16 @@ class IoSpec extends AnyFunSuite {
       store.delete(dir, "a.txt")
       assert(store.list(dir).map(_.name) === Seq("b.txt"))
     }
+
+    test(s"$label: list hides dot-prefixed in-flight temps") {
+      val dir = Files.createTempDirectory("store_hidden_").toString
+      store.putOverwrite(dir, "real.csv", _.write("x".getBytes))
+      // a stranded spool temp (e.g. writer crashed mid-putOverwrite) must
+      // never be selectable by FileSelect patterns like ".*\.csv"
+      Files.write(java.nio.file.Paths.get(dir, ".real.csv.deadbeef.tmp"),
+        "partial".getBytes)
+      assert(store.list(dir).map(_.name) === Seq("real.csv"))
+    }
   }
 
   test("FileSelect: re.match anchoring and latest-by-mtime") {
