@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find (and drop) training documents that
+  * overlap an evaluation/benchmark set, by token n-gram collision — the
+  * standard hygiene pass run before LLM training so eval numbers measure
+  * generalization rather than memorization.
+  *
+  * Scale shape (the reason this is its own operator and not "a join"):
+  * the benchmark side is SMALL by construction (eval sets are MBs, the
+  * corpus is TBs), so its distinct gram set is collected into a broadcast
+  * — the 100-TB corpus is scanned ONCE, its grams are generated as a
+  * narrow projection, and the probe is a broadcast hash semi-join with
+  * ZERO corpus shuffle. Only the matching (doc_id, gram) rows — a tiny
+  * fraction of the corpus — reach the per-document count aggregation.
+  *
+  * Gram construction mirrors [[Dedup.ngramJaccardPairs]]: lowercase,
+  * whitespace tokens, distinct n-grams; a document shorter than n tokens
+  * contributes its whole token sequence as one gram (the slice clamps),
+  * so short benchmark entries remain matchable.
+  */
+object Decontam {
+
+  /** Distinct token n-grams of the lowercased text. Token array bound
+    * once per row as the outer lambda variable — referencing a
+    * `split(...)` expression inside the index lambda would re-run
+    * split+lower+filter once per gram (cf. Dedup.shingleCol). */
+  private[ext] def gramsCol(text: Column, n: Int): Column = {
+    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    array_distinct(flatten(transform(
+      array(tokens),
+      ts => transform(
+        sequence(lit(0), greatest(size(ts) - n, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))))
+  }
+
+  /** The benchmark's distinct gram relation — one small DataFrame, built
+    * once and broadcast into every probe. */
+  def benchmarkGrams(benchmark: DataFrame, textCol: String, n: Int): DataFrame =
+    benchmark.select(explode(gramsCol(col(textCol), n)).as("gram")).distinct()
+
+  /** Per-document hit counts: (idCol, n_hits) for every corpus document
+    * sharing at least one n-gram with the benchmark. n_hits = number of
+    * DISTINCT shared grams (corpus grams are distinct per document by
+    * construction). The aggregation shuffles only matched rows. */
+  def hits(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    corpus
+      .select(col(idCol), explode(gramsCol(col(textCol), n)).as("gram"))
+      .join(broadcast(benchmarkGrams(benchmark, benchTextCol, n)), Seq("gram"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
+
+  /** Corpus with `n_hits` (0 when clean) and a `contaminated` flag. The
+    * join back is on the id against the hit relation, which is ≪ corpus
+    * (bounded by the contaminated fraction) — AQE plans it as a broadcast
+    * join in the common case, so the corpus still avoids a shuffle. */
+  def flag(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val h = hits(corpus, textCol, idCol, benchmark, benchTextCol, n)
+      .withColumn("contaminated", lit(true))
+    corpus.join(h, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /** Corpus minus every contaminated document (anti-join on the hit ids). */
+  def clean(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    corpus.join(
+      hits(corpus, textCol, idCol, benchmark, benchTextCol, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+}

@@ -129,6 +129,55 @@ object TextAnalysis {
   def normalize(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), normalizeCol(col(text)).as("norm_text"))
 
+  // ---------------------------------------------------------------- pii
+
+  /** PII patterns, chosen to be regex-dialect-portable: greedy character
+    * classes only, no alternation (Java regex is leftmost-FIRST, RE2 is
+    * leftmost-LONGEST — alternation is where they diverge), no
+    * lookarounds/backreferences. The DuckDB oracle replays these
+    * byte-identically. IPv4 deliberately accepts >255 octets (range
+    * checks need alternation); phone-shaped runs also match long digit
+    * IDs — both standard over-matching for a redaction pass, where a
+    * false positive costs a masked token and a false negative leaks PII. */
+  private val Ipv4Re = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  private val DigitRunRe = "[0-9]{9,}"
+  private val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  private def countRe(c: Column, re: String): Column =
+    size(regexp_extract_all(c, lit(re), lit(0))).cast(LongType)
+
+  /** Redaction with masks applied in precedence order (email → ipv4 →
+    * long digit runs → phone), each step seeing the previous step's
+    * output; the placeholders contain no digits, so later patterns can
+    * never re-match inside an earlier mask. */
+  def redactCol(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailRe, "<email>"),
+          Ipv4Re, "<ip>"),
+        DigitRunRe, "<digits>"),
+      PhoneRe, "<phone>")
+
+  /** Per-document PII scan + redaction: match counts per pattern family
+    * (each an independent scan of the RAW text — families may overlap,
+    * e.g. a 16-digit card number counts as both a digit run and a
+    * phone-shaped run), an aggregate flag, and the redacted text. A
+    * narrow codegen'd projection — streams at scan speed. */
+  def piiScan(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(
+        col(id),
+        countRe(col(text), EmailRe).as("n_emails"),
+        countRe(col(text), Ipv4Re).as("n_ipv4"),
+        countRe(col(text), DigitRunRe).as("n_digit_runs"),
+        countRe(col(text), PhoneRe).as("n_phones"),
+        redactCol(col(text)).as("redacted_text"))
+      .select(col(id), col("n_emails"), col("n_ipv4"), col("n_digit_runs"),
+        col("n_phones"),
+        (col("n_emails") + col("n_ipv4") + col("n_digit_runs") +
+          col("n_phones") > 0).as("has_pii"),
+        col("redacted_text"))
+
   // --------------------------------------------------------- repetition
 
   /** Within-document repetition metrics (the published Gopher/RefinedWeb

@@ -1,0 +1,173 @@
+package graft.queries
+
+import graft.Tables
+import graft.ext.{Decontam, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Gate queries for the corpus-hygiene operators: benchmark
+  * decontamination (n-gram overlap against an eval set) and PII
+  * scan/redaction. Both are fully ANSI/RE2-replayable, so the DuckDB
+  * oracle hash-checks exact values. PII is PLANTED deterministically
+  * (the synthetic corpus contains none), mirroring the planted-dup
+  * pattern of the dedup gates.
+  */
+object HygieneQueries {
+
+  // ---------------------------------------------------- decontamination
+
+  /** Corpus = documents ∪ planted contaminated copies: every 20th doc
+    * reappears (id + 200000) wrapped in novel filler, so it shares all
+    * its interior 8-grams with the benchmark without being byte-equal. */
+  private def decontamCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    docs.union(docs.where(col("doc_id") % 20 === 0).select(
+      (col("doc_id") + 200000).as("doc_id"),
+      concat(lit("novel preamble "), col("text"), lit(" novel epilogue"))
+        .as("text")))
+  }
+
+  /** Benchmark = the texts of every 20th document (stands in for an eval
+    * set); flag every corpus doc sharing an 8-gram with it. The benchmark
+    * docs flag themselves (full self-overlap) and the planted wrapped
+    * copies flag through their interior grams — both exact-replayed. */
+  def decontamFlag(s: SparkSession, d: String): DataFrame =
+    Decontam.flag(
+        decontamCorpus(s, d), "text", "doc_id",
+        Tables.documents(s, d).where(col("doc_id") % 20 === 0).select(col("text")),
+        "text", n = 8)
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+
+  private val decontamOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        'novel preamble ' || text || ' novel epilogue' AS text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bench AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM bench),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks),
+      |hits AS (
+      | SELECT doc_id, count(*) AS n_hits
+      | FROM cgrams JOIN bgrams USING (gram) GROUP BY doc_id)
+      |SELECT c.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      | h.doc_id IS NOT NULL AS contaminated
+      |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
+  /** The end-to-end decontaminated corpus (anti-join of the same hits). */
+  def decontamClean(s: SparkSession, d: String): DataFrame =
+    Decontam.clean(
+        decontamCorpus(s, d), "text", "doc_id",
+        Tables.documents(s, d).where(col("doc_id") % 20 === 0).select(col("text")),
+        "text", n = 8)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+
+  private val decontamCleanOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        'novel preamble ' || text || ' novel epilogue' AS text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bench AS (SELECT text FROM documents WHERE doc_id % 20 = 0),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM bench),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks)
+      |SELECT doc_id FROM corpus
+      |WHERE doc_id NOT IN (
+      | SELECT DISTINCT doc_id FROM cgrams JOIN bgrams USING (gram))
+      |ORDER BY doc_id""".stripMargin
+
+  // ------------------------------------------------------------- pii
+
+  /** Documents with deterministically planted PII: every 7th doc gains
+    * emails, every 11th IPv4s, every 13th a phone, every 17th a 16-digit
+    * card-like run (docs hit by several rules gain several suffixes). */
+  private def piiCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" contact alice.smith@example.com or bob@test.org")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit(" server at 192.168.1.77 and 10.0.0.3")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit(" call +1 555 867 5309 x9")).otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit(" card 4111111111111111 end")).otherwise(lit(""))).as("text"))
+
+  def piiScan(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.piiScan(piiCorpus(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val piiOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text
+      |  || CASE WHEN doc_id % 7 = 0
+      |     THEN ' contact alice.smith@example.com or bob@test.org' ELSE '' END
+      |  || CASE WHEN doc_id % 11 = 0
+      |     THEN ' server at 192.168.1.77 and 10.0.0.3' ELSE '' END
+      |  || CASE WHEN doc_id % 13 = 0
+      |     THEN ' call +1 555 867 5309 x9' ELSE '' END
+      |  || CASE WHEN doc_id % 17 = 0
+      |     THEN ' card 4111111111111111 end' ELSE '' END AS text
+      | FROM documents),
+      |counted AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text,
+      |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+      |  CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_digit_runs,
+      |  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9() -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+      |  regexp_replace(
+      |   regexp_replace(
+      |    regexp_replace(
+      |     regexp_replace(text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<email>', 'g'),
+      |     '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<ip>', 'g'),
+      |    '[0-9]{9,}', '<digits>', 'g'),
+      |   '\+?[0-9][0-9() -]{6,}[0-9]', '<phone>', 'g') AS redacted_text
+      | FROM corpus)
+      |SELECT doc_id, n_emails, n_ipv4, n_digit_runs, n_phones,
+      | n_emails + n_ipv4 + n_digit_runs + n_phones > 0 AS has_pii,
+      | redacted_text
+      |FROM counted ORDER BY doc_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
+    QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
+    QueryDef("t7_pii_scan", piiScan, Some(piiOracle)))
+}

@@ -16,7 +16,8 @@ object Registry {
   def all: Seq[QueryDef] =
     Relational.defs ++ Relational2.defs ++ Validation.defs ++
       IngestExportQueries.defs ++ ExtensionQueries.defs ++
-      StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs
+      StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs ++
+      HygieneQueries.defs
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap

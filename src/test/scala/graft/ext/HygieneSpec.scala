@@ -1,0 +1,77 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HygieneSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val bench = Seq(
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa", // 10 tokens
+    "short eval answer" // < n tokens: whole text is its one gram
+  ).toDF("text")
+
+  private val corpus = Seq(
+    // = benchmark doc: all 3 of its 8-grams shared
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    // wrapped copy: interior 8-grams of the benchmark text survive
+    (2L, "xx yy alpha beta gamma delta epsilon zeta eta theta iota kappa zz"),
+    // shares only 7 consecutive benchmark tokens -> no shared 8-gram
+    (3L, "alpha beta gamma delta epsilon zeta eta novel words here today"),
+    // exactly the short benchmark entry (clamped whole-doc gram matches)
+    (4L, "short eval answer"),
+    // contains the short benchmark text but is long: no whole-doc gram
+    (5L, "short eval answer plus many more tokens beyond the gram window"),
+    (6L, "completely unrelated content with no overlap whatsoever at all")
+  ).toDF("doc_id", "text")
+
+  test("Decontam.flag: exact, wrapped, and short-exact docs flag; partial overlap does not") {
+    val got = Decontam.flag(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got(1L) === ((3L, true)), "benchmark member: all 3 grams hit")
+    assert(got(2L)._1 >= 1L && got(2L)._2, "wrapped copy must flag via interior grams")
+    assert(got(3L) === ((0L, false)), "7-token overlap is below the 8-gram bar")
+    assert(got(4L) === ((1L, true)), "short benchmark entry caught by clamped gram")
+    assert(got(5L) === ((0L, false)), "long doc has no whole-doc gram")
+    assert(got(6L) === ((0L, false)))
+  }
+
+  test("Decontam.clean: anti-join keeps exactly the unflagged docs") {
+    val kept = Decontam.clean(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L, 6L))
+  }
+
+  test("Decontam: gram probe is a broadcast join — the corpus side never shuffles") {
+    val plan = Decontam.hits(corpus, "text", "doc_id", bench, "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe\n$plan")
+  }
+
+  test("piiScan: planted PII counted per family and redacted in precedence order") {
+    val df = Seq(
+      (1L, "email me at a.b@c.org now"),
+      (2L, "ip 10.0.0.1 card 1234567890123456 call +44 20 7946 0958 ok"),
+      (3L, "clean text no pii")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.piiScan(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r).toMap
+
+    assert(got(1L).getAs[Long]("n_emails") === 1L)
+    assert(got(1L).getAs[Boolean]("has_pii"))
+    assert(got(1L).getAs[String]("redacted_text") === "email me at <email> now")
+
+    assert(got(2L).getAs[Long]("n_ipv4") === 1L)
+    assert(got(2L).getAs[Long]("n_digit_runs") === 1L)
+    // the 16-digit run is ALSO phone-shaped: families scan independently
+    assert(got(2L).getAs[Long]("n_phones") === 2L)
+    assert(got(2L).getAs[String]("redacted_text") ===
+      "ip <ip> card <digits> call <phone> ok")
+
+    assert(got(3L).getAs[Boolean]("has_pii") === false)
+    assert(got(3L).getAs[String]("redacted_text") === "clean text no pii")
+  }
+}
