@@ -10,7 +10,9 @@ import scala.jdk.CollectionConverters._
   * xlsx|xlsm are parsed, anything else is rejected with a reason. CSV and
   * JSON go through Spark's distributed readers with schema inference
   * (mirroring pandas inference); xlsx is materialized driver-side exactly
-  * like the reference (openpyxl is also driver-side).
+  * like the reference (openpyxl is also driver-side). parquet / orc are
+  * an extension beyond the reference surface (native vectorized readers,
+  * schema carried in the file).
   */
 object FormatReader {
 
@@ -47,6 +49,14 @@ object FormatReader {
         }
       case "xlsx" | "xlsm" =>
         Parsed(fromXlsx(spark, file, sheetName, skipRows))
+      // Columnar formats — an extension beyond the reference's csv/json/
+      // excel surface (box_ingest.py:148-159): batches landed by other
+      // pipelines arrive as parquet/orc, and both ride Spark's native
+      // vectorized readers with the schema carried in the file.
+      case "parquet" =>
+        Parsed(spark.read.parquet(file.toString))
+      case "orc" =>
+        Parsed(spark.read.orc(file.toString))
       case other =>
         Unsupported(s"Unsupported file type: .$other")
     }

@@ -237,6 +237,67 @@ object IngestExportQueries {
     s.table(ref.qualified).drop("process_dt", "process_date").orderBy("n_nationkey")
   }
 
+  // ----------------------- columnar formats (parquet/orc) ingest
+
+  /** Parquet batch through the full validate path — the format extension
+    * beyond the reference's csv/json/excel: other pipelines land batches
+    * as parquet, and the typed columns flow into the same cast/split
+    * machinery the text formats use. */
+  def ingestParquetE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i7_")
+    val srcDir = tmp.resolve("src")
+    Tables.supplier(s, d).coalesce(1).write
+      .mode("overwrite").parquet(srcDir.toString)
+
+    val ref = TableRef("graft", "verify", "i7_supplier")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = srcDir.toString,
+      fileNameRegex = "part-.*\\.parquet",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("s_suppkey" -> "int", "s_name" -> "string",
+          "s_nationkey" -> "int", "s_acctbal" -> "float"),
+        nonNullableFields = Seq("s_suppkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("s_suppkey")
+  }
+
+  private val ingestParquetOracle =
+    """SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+      | CAST(s_nationkey AS BIGINT) AS s_nationkey,
+      | CAST(s_acctbal AS DOUBLE) AS s_acctbal
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+
+  /** ORC batch through the same path (Spark's native orc reader). */
+  def ingestOrcE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i8_")
+    val srcDir = tmp.resolve("src")
+    Tables.part(s, d).coalesce(1).write
+      .mode("overwrite").orc(srcDir.toString)
+
+    val ref = TableRef("graft", "verify", "i8_part")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = srcDir.toString,
+      fileNameRegex = "part-.*\\.orc",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("p_partkey" -> "int", "p_name" -> "string", "p_brand" -> "string",
+          "p_type" -> "string", "p_size" -> "int", "p_retailprice" -> "float"),
+        nonNullableFields = Seq("p_partkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("p_partkey")
+  }
+
+  private val ingestOrcOracle =
+    """SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name, p_brand,
+      | p_type, CAST(p_size AS BIGINT) AS p_size,
+      | CAST(p_retailprice AS DOUBLE) AS p_retailprice
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // --------------------------------------------- copy mode (O22) ingest
 
   /** justCopy: no metadata/validation — incoming columns conform (via
@@ -314,6 +375,8 @@ object IngestExportQueries {
     QueryDef("i4_ingest_xlsx_e2e", ingestXlsxE2e, Some(ingestXlsxOracle)),
     QueryDef("i5_ingest_copy_e2e", ingestCopyE2e, Some(ingestCopyOracle)),
     QueryDef("i6_ingest_json_columns_e2e", ingestJsonColumnsE2e, Some(ingestXlsxOracle)),
+    QueryDef("i7_ingest_parquet_e2e", ingestParquetE2e, Some(ingestParquetOracle)),
+    QueryDef("i8_ingest_orc_e2e", ingestOrcE2e, Some(ingestOrcOracle)),
     QueryDef("a1_audit_log_e2e", auditLogE2e, Some(auditOracle)),
     QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)))
 }

@@ -1,0 +1,98 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Third tranche of the inherited relational surface: correlated
+  * subqueries (scalar + EXISTS/NOT EXISTS — Catalyst's decorrelation
+  * rewrites them to aggregated outer joins and semi/anti joins, the plan
+  * a user of the reference's raw-SQL path, box_export.py:36, gets for
+  * free) and the lateral/generator surface (posexplode, explode +
+  * aggregate). Counts are used for every correlated comparison so no
+  * cross-engine floating-point boundary exists.
+  */
+object Relational3 {
+
+  // ---------------------------------------------------------------- q30
+  /** Correlated scalar COUNT subqueries + EXISTS + NOT EXISTS in one SQL
+    * text (the reference's O25 path). Catalyst decorrelates: the scalar
+    * counts become left outer joins onto per-key aggregates, EXISTS a
+    * left semi join, NOT EXISTS a left anti join — all equi-joins on
+    * o_custkey, shuffle-partitioned once and reused. Integer-only
+    * comparisons: no float threshold can diverge between engines. */
+  private val q30Sql =
+    """SELECT c_custkey,
+      | (SELECT count(*) FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE (SELECT count(*) FROM orders o
+      |       WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 200000) >= 2
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_orderpriority = '1-URGENT')
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'P')
+      |ORDER BY c_custkey""".stripMargin
+
+  def q30CorrelatedSubqueries(s: SparkSession, d: String): DataFrame = {
+    Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    s.sql(q30Sql)
+  }
+
+  // ---------------------------------------------------------------- q31
+  /** Lateral position-aware explode: first five tokens of each document
+    * with their positions (posexplode — Spark's Generate operator). */
+  def q31LateralPosexplode(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.documents(s, d)
+      .where(col("doc_id") < 10)
+      .select(col("doc_id"), posexplode(slice(toks, 1, 5)))
+      .select(col("doc_id"), col("pos").cast(LongType).as("pos"),
+        col("col").as("tok"))
+      .orderBy("doc_id", "pos")
+  }
+
+  private val q31Oracle =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS ts
+      | FROM documents WHERE doc_id < 10),
+      |px AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(1, least(len(ts), 5) + 1),
+      |   i -> {'pos': i - 1, 'tok': ts[i]})) AS u
+      | FROM toks)
+      |SELECT doc_id, CAST(u.pos AS BIGINT) AS pos, u.tok AS tok
+      |FROM px ORDER BY doc_id, pos""".stripMargin
+
+  // ---------------------------------------------------------------- q32
+  /** Explode + aggregate + top-k: corpus-wide token frequencies. The
+    * explode is a narrow Generate; the count aggregates partially before
+    * its one shuffle; the top-20 plans as TakeOrderedAndProject (never a
+    * global sort). Ties broken by token for determinism. */
+  def q32TokenFrequencies(s: SparkSession, d: String): DataFrame = {
+    val toks = filter(split(lower(col("text")), "\\s+"), t => length(t) > 0)
+    Tables.documents(s, d)
+      .select(explode(toks).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok"))
+      .limit(20)
+  }
+
+  private val q32Oracle =
+    """SELECT tok, count(*) AS n FROM (
+      | SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0)) AS tok
+      | FROM documents) t
+      |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_correlated_subqueries", q30CorrelatedSubqueries, Some(q30Sql)),
+    QueryDef("q31_lateral_posexplode", q31LateralPosexplode, Some(q31Oracle)),
+    QueryDef("q32_token_frequencies", q32TokenFrequencies, Some(q32Oracle)))
+}

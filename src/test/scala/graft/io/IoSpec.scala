@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import java.io.ByteArrayOutputStream
 import java.nio.file.Files
 import java.util.zip.{ZipEntry, ZipOutputStream}
+import scala.jdk.CollectionConverters._
 
 class IoSpec extends AnyFunSuite {
 
@@ -90,6 +91,27 @@ class IoSpec extends AnyFunSuite {
       FormatReader.read(spark, f) match {
         case FormatReader.Parsed(df) =>
           assert(df.count() === 2, f) // json-lines under multiLine loses rows
+        case other => fail(s"$f: $other")
+      }
+    }
+  }
+
+  test("FormatReader: parquet and orc dispatch to the native typed readers") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = Files.createTempDirectory("fr_columnar_")
+    val src = Seq((1L, "a", 2.5), (2L, "b", -1.0)).toDF("id", "name", "v")
+    src.coalesce(1).write.parquet(dir.resolve("p").toString)
+    src.coalesce(1).write.orc(dir.resolve("o").toString)
+    for (sub <- Seq("p", "o")) {
+      val f = Files.list(dir.resolve(sub)).iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-")).get
+      FormatReader.read(spark, f) match {
+        case FormatReader.Parsed(df) =>
+          // schema rides in the file (readers mark everything nullable)
+          assert(df.schema.map(f => (f.name, f.dataType)) ===
+            src.schema.map(f => (f.name, f.dataType)), f)
+          assert(df.orderBy("id").collect().toSeq === src.orderBy("id").collect().toSeq)
         case other => fail(s"$f: $other")
       }
     }
