@@ -276,6 +276,65 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  // ------------------------------------------ semantic (cluster) dedup
+
+  /** Cluster assignment for semantic dedup: each vector goes to the
+    * nearest (max cosine, centroid-id tiebreak) of `nlist` centroids
+    * drawn as a deterministic hash-ordered sample of the corpus — the
+    * same ANSI-replayable multiplicative-hash key as
+    * [[Similarity.ivfTopK]], so an independent engine can replay the
+    * whole assignment (the d9 gate oracle does). Output:
+    * (cid, cluster_id, cvec). One broadcast of the centroid table, one
+    * narrow pass over the corpus, one aggregation. */
+  def clusterAssign(df: DataFrame, vec: String, id: String,
+      nlist: Int): DataFrame = {
+    val c = df.select(col(id).as("cid"), col(vec).as("cvec"))
+    val centroids = c
+      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
+      .limit(nlist)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    c.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
+      .groupBy(col("cid"))
+      .agg(
+        max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id")))
+          .as("cluster_id"),
+        first(col("cvec")).as("cvec"))
+  }
+
+  /** SemDedup-style semantic dedup: cluster the embedding space, compare
+    * pairs only WITHIN a cluster, and greedily drop every vector that
+    * near-duplicates (cosine >= threshold) a lower id in its cluster.
+    * Versus [[embeddingPairs]] (hyperplane LSH), the cluster route
+    * matches the published SemDedup recipe and gives tunable bucket
+    * sizes: pick `nlist ≈ N / targetClusterSize` so the in-cluster pair
+    * expansion stays ~targetClusterSize² per cluster. Recall is scoped
+    * to clusters by design — near-dups straddling a cluster boundary are
+    * missed (the published trade; raise nlist recall via LSH instead).
+    * Clusters above `maxClusterSize` are skipped like every other capped
+    * bucket here. Output: kept (cid, cluster_id) rows. */
+  def semDedup(df: DataFrame, vec: String, id: String, nlist: Int,
+      threshold: Double = 0.95, maxClusterSize: Int = 4096): DataFrame = {
+    val assigned = clusterAssign(df, vec, id, nlist)
+    val es = col("es") // sorted by cid (first struct field)
+    val pairs = keepHotBuckets(assigned, Seq("cluster_id"), maxClusterSize)
+      .groupBy(col("cluster_id"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cvec")))).as("es"))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("cid").as("id_a"),
+          y.getField("cid").as("id_b"),
+          x.getField("cvec").as("va"),
+          y.getField("cvec").as("vb")))))).as("p"))
+      .select(col("p.id_b").as("id_b"),
+        GraftFunctions.cosine(col("p.va"), col("p.vb")).as("cosine"))
+      .where(col("cosine") >= threshold)
+    assigned
+      .join(pairs.select(col("id_b").as("cid")).distinct(), Seq("cid"), "left_anti")
+      .select(col("cid"), col("cluster_id"))
+  }
+
   // ----------------------------------------------- embedding near-dup
 
   /** Deterministic random hyperplanes (seeded; no runtime randomness).

@@ -240,6 +240,46 @@ object ExtensionQueries {
       |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.95
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** SemDedup-style cluster dedup over planted embeddings: identical
+    * vectors land in the same cluster deterministically (same cosine to
+    * every centroid, same id tiebreak), so every planted copy drops and
+    * every natural vector survives (max natural pairwise cosine ~0.51,
+    * far under 0.95). The oracle replays the ENTIRE pipeline — hash-
+    * sampled centroids, argmax assignment, in-cluster pairs, greedy
+    * drop — because the centroid sample key is ANSI-expressible (as s2).
+    */
+  def semDedup(s: SparkSession, d: String): DataFrame =
+    Dedup.semDedup(plantedEmbeddings(s, d), "embedding", "vec_id", nlist = 20)
+      .select(col("cid").as("vec_id"), col("cluster_id"))
+      .orderBy("vec_id")
+
+  private val semDedupOracle =
+    """WITH planted AS (
+      | SELECT vec_id, embedding FROM embeddings
+      | UNION ALL
+      | SELECT vec_id + 100000 AS vec_id, embedding FROM embeddings WHERE vec_id < 25),
+      |c AS (SELECT vec_id AS cid, embedding AS v FROM planted),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id AS cluster_id FROM (
+      |  SELECT c.cid, c.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |dropped AS (
+      | SELECT DISTINCT b.cid AS id_b
+      | FROM assigned a JOIN assigned b
+      |   ON a.cluster_id = b.cluster_id AND a.cid < b.cid
+      | WHERE list_cosine_similarity(a.v, b.v) >= 0.95)
+      |SELECT cid AS vec_id, cluster_id
+      |FROM assigned WHERE cid NOT IN (SELECT id_b FROM dropped)
+      |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------- similarity
 
   private def corpus(s: SparkSession, d: String): DataFrame =
@@ -479,6 +519,7 @@ object ExtensionQueries {
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
+    QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),

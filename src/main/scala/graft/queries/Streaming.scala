@@ -138,8 +138,23 @@ object StreamingQueries {
       | AND s.ts <= p.ts AND s.ts >= p.ts - INTERVAL 60 MINUTES
       |ORDER BY p_id, s_id""".stripMargin
 
+  /** Streaming exact dedup on (user_id, event_type): the emitted key set
+    * from the state-store dedup must equal batch DISTINCT (the key-only
+    * projection makes the set arrival-order-independent — see
+    * EventStream.dedupStream). */
+  def dedupStream(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "st6_dedup_out",
+      df => EventStream.dedupStream(df, Seq("user_id", "event_type")),
+      "append", d)
+      .orderBy("user_id", "event_type")
+
+  private val dedupStreamOracle =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
+    QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
     QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle)))

@@ -47,6 +47,30 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Streaming exact dedup — the streaming twin of
+    * [[graft.ext.Dedup.exact]]: emit each key's first occurrence. The
+    * projection keeps ONLY the key columns, so the emitted SET equals
+    * batch DISTINCT no matter which file split a parallel source reads
+    * first (emitting non-key columns would make "first seen" racy).
+    * State is one state-store entry per distinct live key and never
+    * expires on an unbounded stream — at real scale use
+    * [[dedupStreamBounded]]. */
+  def dedupStream(events: DataFrame, keys: Seq[String]): DataFrame =
+    events.select(keys.map(col): _*).dropDuplicates(keys)
+
+  /** Watermark-bounded streaming dedup: per-key state is dropped once
+    * the watermark passes its event time plus `delay`, so state is
+    * bounded by the key arrival rate × horizon instead of all-time
+    * distinct keys — the form that survives an unbounded 100-TB/day
+    * stream. The trade is scoped recall: a duplicate arriving more than
+    * `delay` after the original re-emits (exactly-once dedup within the
+    * horizon, at-least-once beyond it). */
+  def dedupStreamBounded(events: DataFrame, keys: Seq[String],
+      delay: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", delay)
+      .select(keys.map(col) :+ col("ts"): _*)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-stream interval join: purchases matched to every signup by
     * the same user within the preceding `windowMinutes` — the streaming
     * attribution join. Both sides carry watermarks and the join

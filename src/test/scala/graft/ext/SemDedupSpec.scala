@@ -1,0 +1,37 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+class SemDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** 40 seeded Gaussian 16-dim vectors (pairwise cosines concentrate near
+    * 0, far below 0.95) plus exact copies of three of them at high ids. */
+  private def vecs: DataFrame = {
+    val rnd = new scala.util.Random(7)
+    val base = (0L until 40L).map(i => (i, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = Seq(0L, 5L, 9L).map(i => (i + 1000L, base(i.toInt)._2))
+    (base ++ dups).toDF("vid", "vec")
+  }
+
+  test("semDedup: exact copies drop, originals survive, cluster count bounded by nlist") {
+    val kept = Dedup.semDedup(vecs, "vec", "vid", nlist = 8)
+    val keptIds = kept.select("cid").collect().map(_.getLong(0)).toSet
+    assert((0L until 40L).forall(keptIds.contains),
+      "independent Gaussians are not near-dups and must all survive")
+    assert(Seq(1000L, 1005L, 1009L).forall(id => !keptIds.contains(id)),
+      "exact copies must drop (higher id loses)")
+    assert(kept.select("cluster_id").distinct().count() <= 8L)
+  }
+
+  test("clusterAssign: identical vectors always share a cluster") {
+    val a = Dedup.clusterAssign(vecs, "vec", "vid", nlist = 8)
+      .select("cid", "cluster_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((orig, dup) <- Seq(0L -> 1000L, 5L -> 1005L, 9L -> 1009L))
+      assert(a(orig) === a(dup), s"copy $dup strayed from $orig's cluster")
+  }
+}

@@ -155,6 +155,56 @@ class StreamingSpec extends AnyFunSuite {
       .map(_.getAs[Long]("id")).toSeq === Seq(1L, 3L))
   }
 
+  test("dedupStream: emitted key set equals batch DISTINCT") {
+    val src = EventStream.source(spark, TestSpark.sf0001)
+    val q = EventStream.dedupStream(src, Seq("user_id", "event_type"))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    val batch = graft.Tables.events(spark, TestSpark.sf0001)
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"))).toSet
+    assert(streamed === batch)
+    assert(streamed.size === spark.table("dedup_out").count(),
+      "each key must emit exactly once")
+  }
+
+  test("dedupStreamBounded: dups inside the horizon suppress, beyond it re-emit") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val ms = MemoryStream[(Long, java.sql.Timestamp)]
+    val q = EventStream.dedupStreamBounded(
+        ms.toDF().toDF("k", "ts"), Seq("k"), delay = "10 minutes")
+      .writeStream
+      .format("memory")
+      .queryName("dedup_wm_out")
+      .outputMode("append")
+      .start()
+    def emittedFor(k: Long): Long =
+      spark.table("dedup_wm_out").where(s"k = $k").count()
+    try {
+      ms.addData((1L, ts(0)), (1L, ts(1)), (2L, ts(0)))
+      q.processAllAvailable()
+      assert(emittedFor(1L) === 1L, "in-batch duplicate suppressed")
+      ms.addData((2L, ts(2))) // watermark still before ts(0)+10m: state alive
+      q.processAllAvailable()
+      assert(emittedFor(2L) === 1L, "cross-batch dup inside horizon suppressed")
+      ms.addData((99L, ts(60))) // advances the watermark far past k=1's state
+      q.processAllAvailable()
+      ms.addData((1L, ts(55))) // k=1 state expired: re-emits (the scoped trade)
+      q.processAllAvailable()
+      assert(emittedFor(1L) === 2L, "duplicate beyond the horizon re-emits")
+    } finally q.stop()
+  }
+
   test("sessionize: gaps over 30min split sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
