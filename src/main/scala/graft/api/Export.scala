@@ -7,6 +7,22 @@ import org.apache.spark.sql.functions.col
 import scala.collection.mutable.ListBuffer
 import scala.util.control.NonFatal
 
+/** Export artifact format. The reference writes xlsx only
+  * (box_export.py:42-46); csv / json-lines / parquet extend the surface
+  * for consumers that are pipelines rather than spreadsheets. The text
+  * formats stream row-at-a-time from `toLocalIterator` (the product is
+  * ONE shareable named file, so a single writer is the contract, and the
+  * driver holds one partition at a time); parquet rides Spark's own
+  * writer — a single write task — and the resulting part file is then
+  * uploaded by name. */
+sealed trait ExportFormat
+object ExportFormat {
+  case object Xlsx extends ExportFormat
+  case object Csv extends ExportFormat
+  case object JsonLines extends ExportFormat
+  case object Parquet extends ExportFormat
+}
+
 /** Typed mirror of the reference's `execute_export` kwargs
   * (box_export.py:71-82). `logTable` carries the catalog/schema the audit
   * rows land in (the reference hardcodes development.eda_gc_raw at
@@ -19,7 +35,8 @@ final case class ExportConfig(
     fileName: String,
     sheetName: String = "Sheet1",
     columnMapping: Map[String, String] = Map.empty,
-    logTable: TableRef = TableRef("development", "eda_gc_raw", "export"))
+    logTable: TableRef = TableRef("development", "eda_gc_raw", "export"),
+    format: ExportFormat = ExportFormat.Xlsx)
 
 final case class ExportReport(rows: Long, errors: Seq[String]) {
   def ok: Boolean = errors.isEmpty
@@ -53,14 +70,68 @@ object Export {
           .as(mapping.getOrElse(c.toLowerCase, c))
       }: _*)
       val header = renamed.columns.toSeq
-      store.putOverwrite(conf.folder, conf.fileName, out => {
-        val it = renamed.toLocalIterator()
-        val rowsIt = new Iterator[Seq[Any]] {
-          def hasNext = it.hasNext
-          def next() = { rows += 1; it.next().toSeq }
-        }
-        Xlsx.write(out, conf.sheetName, header, rowsIt) // O27
-      }) // O28: upsert-by-name
+      conf.format match {
+        case ExportFormat.Xlsx =>
+          store.putOverwrite(conf.folder, conf.fileName, out => {
+            val it = renamed.toLocalIterator()
+            val rowsIt = new Iterator[Seq[Any]] {
+              def hasNext = it.hasNext
+              def next() = { rows += 1; it.next().toSeq }
+            }
+            Xlsx.write(out, conf.sheetName, header, rowsIt) // O27
+          }) // O28: upsert-by-name
+
+        case ExportFormat.Csv =>
+          store.putOverwrite(conf.folder, conf.fileName, out => {
+            val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              out, java.nio.charset.StandardCharsets.UTF_8))
+            w.write(header.map(csvField).mkString(",")); w.write("\n")
+            val it = renamed.toLocalIterator()
+            while (it.hasNext) {
+              rows += 1
+              w.write(it.next().toSeq.map {
+                case null => ""
+                case v    => csvField(v.toString)
+              }.mkString(","))
+              w.write("\n")
+            }
+            w.flush()
+          })
+
+        case ExportFormat.JsonLines =>
+          store.putOverwrite(conf.folder, conf.fileName, out => {
+            val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+              out, java.nio.charset.StandardCharsets.UTF_8))
+            val it = renamed.toJSON.toLocalIterator()
+            while (it.hasNext) { rows += 1; w.write(it.next()); w.write("\n") }
+            w.flush()
+          })
+
+        case ExportFormat.Parquet =>
+          // Spark's writer produces the bytes (a single write task via
+          // coalesce(1)); the Observation counts rows in the SAME pass, and
+          // the part file is uploaded under the configured name.
+          import java.nio.file.Files
+          import scala.jdk.CollectionConverters._
+          val obs = org.apache.spark.sql.Observation()
+          val tmp = Files.createTempDirectory("graft_export_pq_")
+          try {
+            renamed
+              .observe(obs, org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("n"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(tmp.toString)
+            val part = Files.list(tmp).iterator().asScala
+              .find(_.getFileName.toString.startsWith("part-"))
+              .getOrElse(throw new IllegalStateException("no parquet part written"))
+            store.putOverwrite(conf.folder, conf.fileName,
+              out => Files.copy(part, out))
+            rows = obs.get("n").asInstanceOf[Long]
+          } finally {
+            Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
+            Files.deleteIfExists(tmp)
+          }
+      }
       log("Exported file", s"${conf.fileName}: $rows rows")
     } catch { case NonFatal(e) =>
       errors += s"export failed: ${e.getMessage}"
@@ -68,4 +139,11 @@ object Export {
     }
     ExportReport(rows, errors.toSeq)
   }
+
+  /** RFC-4180 field escaping: quote when the value holds a comma, quote,
+    * or line break; quotes double inside. */
+  private def csvField(s: String): String =
+    if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
+      "\"" + s.replace("\"", "\"\"") + "\""
+    else s
 }

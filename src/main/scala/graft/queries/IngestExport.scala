@@ -90,6 +90,91 @@ object IngestExportQueries {
     """SELECT o_orderpriority AS prio, count(*) AS n
       |FROM orders GROUP BY o_orderpriority ORDER BY prio""".stripMargin
 
+  // ----------------------- export format extensions (csv/jsonl/parquet)
+
+  /** CSV export through the same orchestration (O25-O30 with
+    * format=Csv), read back by the engine's own CSV ingest reader. */
+  def exportCsvE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    import graft.io.FormatReader
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    val outDir = Files.createTempDirectory("graft_e2_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT c_mktsegment, count(*) AS n,
+                |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM customer_v GROUP BY c_mktsegment""".stripMargin,
+      folder = outDir.toString, fileName = "out.csv",
+      format = ExportFormat.Csv,
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok, s"export errors: ${report.errors.mkString("; ")}")
+    FormatReader.read(s, outDir.resolve("out.csv")) match {
+      case FormatReader.Parsed(df) =>
+        df.select(col("c_mktsegment"), col("n").cast(LongType).as("n"), col("total"))
+          .orderBy("c_mktsegment")
+      case other => throw new IllegalStateException(s"csv read-back: $other")
+    }
+  }
+
+  private val exportCsvOracle =
+    """SELECT c_mktsegment, count(*) AS n,
+      | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Parquet export: Spark's writer produces the artifact (typed columns
+    * survive exactly — no text round-trip), uploaded by name. */
+  def exportParquetE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    Tables.orders(s, d).createOrReplaceTempView("orders_v")
+    val outDir = Files.createTempDirectory("graft_e3_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT o_orderstatus, count(*) AS n,
+                |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders_v GROUP BY o_orderstatus""".stripMargin,
+      folder = outDir.toString, fileName = "out.parquet",
+      format = ExportFormat.Parquet,
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok && report.rows == 3,
+      s"export errors: ${report.errors.mkString("; ")} rows=${report.rows}")
+    s.read.parquet(outDir.resolve("out.parquet").toString).orderBy("o_orderstatus")
+  }
+
+  private val exportParquetOracle =
+    """SELECT o_orderstatus, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** JSON-lines export, read back by the engine's JSON shape-sniffing
+    * reader (must sniff Lines, not ArrayDoc/Columns). */
+  def exportJsonlE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    import graft.io.FormatReader
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    val outDir = Files.createTempDirectory("graft_e4_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT n_regionkey, count(*) AS n
+                |FROM nation_v GROUP BY n_regionkey""".stripMargin,
+      folder = outDir.toString, fileName = "out.json",
+      format = ExportFormat.JsonLines,
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok, s"export errors: ${report.errors.mkString("; ")}")
+    FormatReader.read(s, outDir.resolve("out.json")) match {
+      case FormatReader.Parsed(df) =>
+        df.select(col("n_regionkey").cast(LongType).as("n_regionkey"),
+          col("n").cast(LongType).as("n")).orderBy("n_regionkey")
+      case other => throw new IllegalStateException(s"jsonl read-back: $other")
+    }
+  }
+
+  private val exportJsonlOracle =
+    """SELECT CAST(n_regionkey AS BIGINT) AS n_regionkey, count(*) AS n
+      |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin
+
   // ------------------------------------------------- json (O7) ingest
 
   private val customerMeta = TableMeta.fromMetadata(
@@ -378,5 +463,8 @@ object IngestExportQueries {
     QueryDef("i7_ingest_parquet_e2e", ingestParquetE2e, Some(ingestParquetOracle)),
     QueryDef("i8_ingest_orc_e2e", ingestOrcE2e, Some(ingestOrcOracle)),
     QueryDef("a1_audit_log_e2e", auditLogE2e, Some(auditOracle)),
-    QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)))
+    QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)),
+    QueryDef("e2_export_csv_e2e", exportCsvE2e, Some(exportCsvOracle)),
+    QueryDef("e3_export_parquet_e2e", exportParquetE2e, Some(exportParquetOracle)),
+    QueryDef("e4_export_jsonl_e2e", exportJsonlE2e, Some(exportJsonlOracle)))
 }

@@ -168,6 +168,27 @@ class IngestExportSpec extends AnyFunSuite {
     assert(rows(1) === Seq(Some("0"), Some("0.0"), Some("r0")))
   }
 
+  test("export csv: RFC-4180 escaping survives a Spark-reader roundtrip") {
+    import spark.implicits._
+    Seq((1L, Some("plain"), "a"), (2L, Some("has,comma"), "b"),
+        (3L, Some("has \"quote\""), "c"), (4L, Some("multi\nline"), "d"),
+        (5L, None, "e"))
+      .toDF("id", "tricky", "tag")
+      .createOrReplaceTempView("csv_src")
+    val dir = Files.createTempDirectory("exp_csv_")
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT id, tricky, tag FROM csv_src ORDER BY id",
+      dir.toString, "res.csv", format = ExportFormat.Csv,
+      logTable = TableRef("t", "est", "expcsv")))
+    assert(r.ok && r.rows === 5)
+    val back = spark.read
+      .option("header", true).option("multiLine", true).option("escape", "\"")
+      .csv(dir.resolve("res.csv").toString)
+      .orderBy("id").collect()
+    assert(back.map(_.getString(1)).toSeq ===
+      Seq("plain", "has,comma", "has \"quote\"", "multi\nline", null))
+  }
+
   test("export failure is swallowed into the report (E2 semantics)") {
     val r = Export.execute(ExportConfig(
       "tester", "SELECT * FROM table_that_does_not_exist",

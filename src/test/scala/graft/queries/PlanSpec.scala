@@ -154,6 +154,34 @@ class PlanSpec extends AnyFunSuite {
       s"expected a DPP filter on the partitioned scan\n$s2")
   }
 
+  test("q30 correlated subqueries: fully decorrelated to joins — no per-row subplans") {
+    val s = planString(Relational3.q30CorrelatedSubqueries(spark, sf))
+    // scalar-count subqueries become aggregated outer joins; EXISTS /
+    // NOT EXISTS become semi / anti joins. Nothing may survive as an
+    // uncorrelated-per-row InSubquery/ScalarSubquery execution node.
+    assert(!s.contains("ScalarSubquery"), s"subquery not decorrelated\n$s")
+    val t = s.toLowerCase
+    assert(t.contains("leftsemi") || t.contains("left semi"), s)
+    assert(t.contains("leftanti") || t.contains("left anti"), s)
+  }
+
+  test("q32 explode + top-k: TakeOrderedAndProject with partial aggregation") {
+    val s = planString(Relational3.q32TokenFrequencies(spark, sf))
+    assert(s.contains("TakeOrderedAndProject"), s"top-20 must not global-sort\n$s")
+    assert(s.contains("Generate"), s)
+    val j = s.indexOf("Exchange")
+    assert(j >= 0 && s.indexOf("HashAggregate", j) > j,
+      s"expected map-side partial aggregate below the exchange\n$s")
+  }
+
+  test("d9 semantic dedup: centroid table broadcast; corpus shuffled only for assignment/clusters") {
+    val df = graft.queries.ExtensionQueries.semDedup(spark, sf)
+    val s = planString(df)
+    assert(s.contains("BroadcastExchange") || s.contains("BroadcastNestedLoopJoin"),
+      s"centroids must broadcast\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
