@@ -1,0 +1,81 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing for LLM training: lay every document end-to-end in a
+  * deterministic global order and cut the concatenated token stream every
+  * `seqLen` tokens (the standard concat-and-chunk layout). The output
+  * maps each document to its global token offset and the range of
+  * training sequences it lands in — the bookkeeping a downstream
+  * tokenizer shard needs to emit its sequences independently.
+  *
+  * The core is a GLOBAL prefix sum over token counts. The naive form —
+  * `sum().over(Window.orderBy(id))` with no partition key — collapses
+  * the whole corpus into ONE window task, the textbook scale-killer, so
+  * this implements the classic two-phase distributed prefix sum instead:
+  *
+  *  1. range-repartition + sort by `id` (Spark's orderBy machinery — a
+  *     real distributed sort);
+  *  2. per-partition token totals to the driver (one row PER PARTITION —
+  *     metadata-sized, like a range sampler, not a data collect);
+  *  3. each partition's base offset (the exclusive prefix over partition
+  *     totals) rejoins via a literal map keyed by partition id, and a
+  *     per-partition window finishes the sum locally.
+  *
+  * Offsets depend only on the global (id, tokens) order, which is total
+  * for unique ids — the partition layout cannot change the answer, and
+  * the whole computation is replayable as a single-node window sum (the
+  * pk1 gate oracle).
+  */
+object Packing {
+
+  /** Per-document packing positions.
+    * Output: (id, n_tokens, start_offset, seq_first, seq_last) — a doc
+    * spans sequences seq_first..seq_last (inclusive); docs straddle cuts
+    * by design in concat-and-chunk. Zero-token documents are dropped
+    * (they occupy no stream positions). */
+  def packConcat(df: DataFrame, id: String, tokenCount: Column,
+      seqLen: Int, numPartitions: Int = 0): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val counted = df
+      .select(col(id), tokenCount.cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .repartitionByRange(nPart, col(id))
+      .sortWithinPartitions(col(id))
+      .withColumn("__pid", spark_partition_id())
+    counted.persist()
+    try {
+      // Phase 2: one row per partition — metadata, not data.
+      val totals = counted.groupBy(col("__pid"))
+        .agg(sum(col("n_tokens")).as("t"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val bases = (0 until nPart).scanLeft(0L) {
+        case (acc, p) => acc + totals.getOrElse(p, 0L)
+      }
+      // Phase 3: base(pid) as a literal lookup + local window.
+      val baseExpr = element_at(
+        map((0 until nPart).flatMap(p =>
+          Seq(lit(p), lit(bases(p)))): _*), col("__pid"))
+      val w = Window.partitionBy(col("__pid")).orderBy(col(id))
+      counted
+        .withColumn("end_offset", baseExpr + sum(col("n_tokens")).over(w))
+        .select(col(id), col("n_tokens"),
+          (col("end_offset") - col("n_tokens")).as("start_offset"),
+          floor((col("end_offset") - col("n_tokens")) / seqLen).as("seq_first"),
+          floor((col("end_offset") - 1) / seqLen).as("seq_last"))
+    } finally counted.unpersist()
+  }
+
+  /** Total number of full-or-partial sequences the packed stream cuts
+    * into (ceil of total tokens / seqLen). */
+  def sequenceCount(packed: DataFrame, seqLen: Int): Long = {
+    val total = packed.agg(sum(col("n_tokens"))).head.getLong(0)
+    (total + seqLen - 1) / seqLen
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One-pass column profiling for data-quality triage: per column, row
+  * count, null count, distinct count, and min/max. Everything is
+  * computed in a SINGLE aggregation over one scan (the per-column
+  * aggregates all ride the same partial+final hash aggregate), then the
+  * one result row pivots into a row per column — so profiling a 100 TB
+  * table costs exactly one pass, not one pass per column.
+  *
+  * Numeric min/max surface as DOUBLE and string min/max as STRING in
+  * separate columns: casting numerics to display strings is engine-
+  * dependent formatting (Java prints 1.0E7 where SQL engines print
+  * 10000000.0) and has no place in a comparable profile.
+  *
+  * `exact = false` swaps COUNT(DISTINCT) for approx_count_distinct —
+  * at scale the exact form costs a per-column distinct expansion, the
+  * approximate one a constant-size HLL sketch per column (±5%); the
+  * plan shape is otherwise identical.
+  */
+object Profile {
+
+  def describe(df: DataFrame, exact: Boolean = true): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    def distinctOf(c: String) =
+      if (exact) count_distinct(col(c)) else approx_count_distinct(col(c))
+    val aggs = fields.flatMap { f =>
+      val c = f.name
+      val isNum = f.dataType.isInstanceOf[NumericType]
+      Seq(
+        count(col(c)).as(s"__cnt_$c"), // non-null count
+        distinctOf(c).as(s"__nd_$c"),
+        (if (isNum) min(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__minn_$c"),
+        (if (isNum) max(col(c)).cast(DoubleType) else lit(null).cast(DoubleType))
+          .as(s"__maxn_$c"),
+        (if (isNum) lit(null).cast(StringType) else min(col(c)).cast(StringType))
+          .as(s"__mins_$c"),
+        (if (isNum) lit(null).cast(StringType) else max(col(c)).cast(StringType))
+          .as(s"__maxs_$c"))
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val perCol = fields.map { f =>
+      val c = f.name
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__minn_$c").as("min_num"),
+        col(s"__maxn_$c").as("max_num"),
+        col(s"__mins_$c").as("min_str"),
+        col(s"__maxs_$c").as("max_str"))
+    }
+    one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+}

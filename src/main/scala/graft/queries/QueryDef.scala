@@ -17,7 +17,7 @@ object Registry {
     Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Validation.defs ++
       IngestExportQueries.defs ++ ExtensionQueries.defs ++
       StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs ++
-      HygieneQueries.defs
+      HygieneQueries.defs ++ PipelineQueries.defs
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
