@@ -129,6 +129,46 @@ object TextAnalysis {
   def normalize(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), normalizeCol(col(text)).as("norm_text"))
 
+  // ------------------------------------------------- boilerplate removal
+
+  /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate
+    * pass): a line occurring at least `minCount` times across the WHOLE
+    * corpus (cookie banners, nav menus, "subscribe" calls) is removed
+    * from every document; surviving lines are reassembled in their
+    * original order. Frequency counts every occurrence (a doc repeating
+    * its own line contributes each copy) — this keeps the count a single
+    * window aggregate; per-distinct-document counting would force a
+    * distinct aggregation plus a join back.
+    *
+    * Plan shape: explode lines (narrow) → count(*) window over the line
+    * value (shuffle #1, hash-partitioned by line — the same partitioning
+    * a groupBy would use, but with no join back) → regroup per document
+    * (shuffle #2) and reassemble via sorted collect. Both shuffles carry
+    * each line exactly once: linear in corpus size at any scale.
+    *
+    * Output: (id, clean_text, n_lines_kept, n_lines_removed). A document
+    * whose every line is boilerplate keeps an empty clean_text.
+    */
+  def removeBoilerplate(df: DataFrame, text: String, id: String,
+      minCount: Int = 3): DataFrame = {
+    val lines = df.select(col(id), posexplode(split(col(text), "\n")))
+      .withColumnRenamed("col", "line")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("line"))
+    lines
+      .withColumn("cnt", count(lit(1)).over(w))
+      .groupBy(col(id))
+      .agg(
+        array_sort(collect_list(
+          when(col("cnt") < minCount, struct(col("pos"), col("line")))))
+          .as("kept"),
+        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("n_lines_removed"))
+      .select(col(id),
+        array_join(transform(col("kept"), k => k.getField("line")), "\n")
+          .as("clean_text"),
+        size(col("kept")).cast(LongType).as("n_lines_kept"),
+        col("n_lines_removed"))
+  }
+
   // ---------------------------------------------------------------- pii
 
   /** PII patterns, chosen to be regex-dialect-portable: greedy character

@@ -166,8 +166,51 @@ object HygieneQueries {
       | redacted_text
       |FROM counted ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ boilerplate removal
+
+  /** Every 5th document gains two planted boilerplate lines (~100
+    * corpus-wide occurrences each — far over minCount=3); the line pass
+    * must strip exactly those from every carrier while leaving natural
+    * lines (corpus-unique) alone. Exact DuckDB replay. */
+  def lineDedup(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0,
+          lit("\nsubscribe to our newsletter today\nall rights reserved"))
+          .otherwise(lit(""))).as("text"))
+    TextAnalysis.removeBoilerplate(corpus, "text", "doc_id", minCount = 3)
+      .orderBy("doc_id")
+  }
+
+  private val lineDedupOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 5 = 0
+      |   THEN chr(10) || 'subscribe to our newsletter today'
+      |     || chr(10) || 'all rights reserved'
+      |   ELSE '' END AS text
+      | FROM documents),
+      |lx AS (
+      | SELECT doc_id, unnest(list_transform(range(1, len(ls) + 1),
+      |   i -> {'pos': i, 'line': ls[i]})) AS u
+      | FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus)),
+      |cnt AS (
+      | SELECT doc_id, u.pos AS pos, u.line AS line,
+      |  count(*) OVER (PARTITION BY u.line) AS c
+      | FROM lx)
+      |SELECT doc_id,
+      | array_to_string(list_transform(
+      |   list_sort(coalesce(list({'pos': pos, 'line': line})
+      |     FILTER (WHERE c < 3), [])),
+      |   x -> x.line), chr(10)) AS clean_text,
+      | CAST(count(*) FILTER (WHERE c < 3) AS BIGINT) AS n_lines_kept,
+      | CAST(count(*) FILTER (WHERE c >= 3) AS BIGINT) AS n_lines_removed
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
-    QueryDef("t7_pii_scan", piiScan, Some(piiOracle)))
+    QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
+    QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)))
 }

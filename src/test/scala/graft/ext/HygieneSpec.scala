@@ -51,6 +51,23 @@ class HygieneSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast probe\n$plan")
   }
 
+  test("removeBoilerplate: corpus-frequent lines strip everywhere, unique lines stay in order") {
+    val df = Seq(
+      (1L, "unique opening\nCLICK HERE\nreal content one\nCLICK HERE"),
+      (2L, "CLICK HERE\nreal content two"),
+      (3L, "real content three"),
+      (4L, "CLICK HERE\nCLICK HERE") // all boilerplate -> empty text
+    ).toDF("doc_id", "text")
+    // "CLICK HERE" occurs 5 times corpus-wide (within-doc repeats count)
+    val got = TextAnalysis.removeBoilerplate(df, "text", "doc_id", minCount = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) === (("unique opening\nreal content one", 2L, 2L)))
+    assert(got(2L) === (("real content two", 1L, 1L)))
+    assert(got(3L) === (("real content three", 1L, 0L)))
+    assert(got(4L) === (("", 0L, 2L)))
+  }
+
   test("piiScan: planted PII counted per family and redacted in precedence order") {
     val df = Seq(
       (1L, "email me at a.b@c.org now"),
