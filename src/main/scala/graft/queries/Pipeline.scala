@@ -57,7 +57,55 @@ object PipelineQueries {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY \"column\"")
   }
 
+  // ------------------------------------------------- table maintenance
+
+  /** Small-file compaction: a deliberately fragmented table (12-way
+    * repartitioned append) compacts to fewer files with byte-identical
+    * content — the require asserts the file count actually dropped, the
+    * oracle hash-checks the rows. */
+  def compaction(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.{TableRef, TableSink}
+    val ref = TableRef("graft", "verify", "c1_orders")
+    s.sql(s"DROP TABLE IF EXISTS ${ref.qualified}")
+    s.sql(s"DROP TABLE IF EXISTS ${ref.qualified}__compact_tmp")
+    TableSink.append(Tables.orders(s, d).repartition(12), ref)
+    val before = s.table(ref.qualified).inputFiles.length
+    TableSink.compact(s, ref)
+    val after = s.table(ref.qualified).inputFiles.length
+    require(after < before, s"compaction must shrink files: $before -> $after")
+    s.table(ref.qualified).drop("process_dt", "process_date")
+      .orderBy("o_orderkey")
+  }
+
+  private val compactionOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Schema evolution: the second batch brings a column the table has
+    * never seen; old rows must read it as NULL, new rows carry it. */
+  def schemaEvolution(s: SparkSession, d: String): DataFrame = {
+    import graft.sink.{TableRef, TableSink}
+    val ref = TableRef("graft", "verify", "c2_orders")
+    s.sql(s"DROP TABLE IF EXISTS ${ref.qualified}")
+    val o = Tables.orders(s, d)
+    TableSink.append(o.where(col("o_orderkey") % 2 === 0), ref)
+    TableSink.appendEvolved(
+      o.where(col("o_orderkey") % 2 === 1)
+        .withColumn("batch_tag", lit("b2")), ref)
+    s.table(ref.qualified).drop("process_dt", "process_date")
+      .orderBy("o_orderkey")
+  }
+
+  private val schemaEvolutionOracle =
+    """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority,
+      | CASE WHEN o_orderkey % 2 = 1 THEN 'b2' END AS batch_tag
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
-    QueryDef("pr1_profile", profile, Some(profileOracle)))
+    QueryDef("pr1_profile", profile, Some(profileOracle)),
+    QueryDef("c1_compaction", compaction, Some(compactionOracle)),
+    QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
 }

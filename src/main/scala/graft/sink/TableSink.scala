@@ -70,6 +70,82 @@ object TableSink {
       stamped.write.mode("append").format("parquet").saveAsTable(ref.qualified)
   }
 
+  /** Append with SCHEMA EVOLUTION — the contract long-lived raw tables
+    * need: batch columns the table has never seen are added via
+    * `ALTER TABLE ADD COLUMNS` (existing parquet files simply read them
+    * as NULL — no rewrite), and table columns the batch lacks null-fill.
+    * Same-name columns cast to the table's type (a genuine type conflict
+    * surfaces as a cast-analysis error rather than corrupting files).
+    * Metadata-only on the table side: no data file is ever rewritten. */
+  def appendEvolved(df: DataFrame, ref: TableRef): Unit = {
+    val spark = df.sparkSession
+    ensureDatabase(spark, ref)
+    if (!spark.catalog.tableExists(ref.qualified)) { append(df, ref); return }
+    val existing = spark.table(ref.qualified).schema
+      .map(_.name.toLowerCase).toSet
+    val newCols = df.schema.filterNot(f => existing.contains(f.name.toLowerCase))
+    if (newCols.nonEmpty) {
+      val ddl = newCols
+        .map(f => s"`${f.name.replace("`", "``")}` ${f.dataType.sql}")
+        .mkString(", ")
+      spark.sql(s"ALTER TABLE ${ref.qualified} ADD COLUMNS ($ddl)")
+    }
+    val after = spark.table(ref.qualified).schema
+      .filterNot(f => f.name.equalsIgnoreCase(ProcessDtCol) ||
+        f.name.equalsIgnoreCase(DateCol))
+    val byLower = df.columns.map(c => c.toLowerCase -> c).toMap
+    val conformed = after.map { f =>
+      byLower.get(f.name.toLowerCase) match {
+        case Some(in) =>
+          col(s"`${in.replace("`", "``")}`").cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
+    }
+    append(df.select(conformed: _*), ref)
+  }
+
+  /** Compact a managed parquet table's files — the operational answer to
+    * the small-file problem every append-heavy sink develops (each
+    * micro-batch/ingest run lands its own part files; scans then pay a
+    * task per tiny file). Rewrites the table into ceil(bytes/targetBytes)
+    * files: partitioned tables repartition on the partition column so
+    * each date's rows land contiguously (one file per date per task),
+    * unpartitioned tables repartition evenly. The rewrite stages into a
+    * sibling table then drop+renames — readers mid-swap see the old or
+    * the new table, never a half-written directory; content is
+    * byte-for-byte the same rows (the c1 gate hash-checks this).
+    * Caveat: the drop+rename pair is not atomic in the session catalog —
+    * run compaction in the ingest maintenance window, as fleets do. */
+  def compact(spark: SparkSession, ref: TableRef,
+      targetBytes: Long = 128L << 20): Unit = {
+    import org.apache.hadoop.fs.Path
+    val src = spark.table(ref.qualified)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val totalBytes = src.inputFiles.map { f =>
+      val p = new Path(new java.net.URI(f))
+      p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val n = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val tmp = ref.copy(name = ref.name + "__compact_tmp")
+    spark.sql(s"DROP TABLE IF EXISTS ${tmp.qualified}")
+    val hasDate = src.columns.contains(DateCol)
+    val redistributed =
+      if (hasDate) src.repartition(n, col(DateCol)) else src.repartition(n)
+    val writer = redistributed.write.mode("overwrite").format("parquet")
+    (if (hasDate) writer.partitionBy(DateCol) else writer)
+      .saveAsTable(tmp.qualified)
+    spark.sql(s"DROP TABLE ${ref.qualified}")
+    spark.sql(s"ALTER TABLE ${tmp.qualified} RENAME TO ${ref.qualified}")
+    // Two post-swap metadata repairs: (1) catalog partition entries can
+    // keep their pre-rename absolute locations (the moved-away tmp dir),
+    // so re-sync them from the table's directory; (2) the pre-swap reads
+    // populated the session file-status cache for the table's path with
+    // the now-deleted old files — refresh it.
+    if (hasDate)
+      spark.sql(s"MSCK REPAIR TABLE ${ref.qualified} SYNC PARTITIONS")
+    spark.catalog.refreshTable(ref.qualified)
+  }
+
   /** O22 copy mode: conform an arbitrary incoming frame to the target
     * table's schema minus `process_dt`, casting through string exactly as
     * the reference does (`astype(str)` then target types,
