@@ -35,12 +35,13 @@ object Joins {
     *                  `leftTs <= rightTs + tolerance`; matches farther
     *                  back become NULL
     */
-  def asofBackward(
+  /** Both sides tagged and unioned for the carry windows: right rows sort
+    * BEFORE left rows at equal ts (=> inclusive matches in either
+    * direction); tiebreak columns order equal-ts right rows
+    * deterministically. */
+  private def taggedUnion(
       left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String,
-      matchCol: String = "asof_match",
-      tiebreak: Seq[String] = Nil,
-      tolerance: Option[Column] = None): DataFrame = {
+      leftTs: String, rightTs: String, tiebreak: Seq[String]): DataFrame = {
     val rightPayloadFields = right.columns.filterNot(keys.contains)
     val rightStruct = struct(rightPayloadFields.map(col): _*)
     val rightStructType = StructType(
@@ -53,25 +54,36 @@ object Joins {
       if (tiebreak.isEmpty) lit(0L)
       else lit(null).cast(StructType(tiebreak.map(n => right.schema(n))))
 
-    // Right rows sort BEFORE left rows at equal ts => inclusive (<=)
-    // match; tiebreak columns order equal-ts right rows deterministically.
-    val tagged =
-      right.select(
+    right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(0).as("__side"),
+        rightTie.as("__tie"),
+        lit(null).cast(leftStructType).as("__l"),
+        rightStruct.as("__r")): _*)
+      .unionByName(left.select(
         keys.map(col) ++ Seq(
-          col(rightTs).as("__ts"),
-          lit(0).as("__side"),
-          rightTie.as("__tie"),
-          lit(null).cast(leftStructType).as("__l"),
-          rightStruct.as("__r")): _*)
-        .unionByName(left.select(
-          keys.map(col) ++ Seq(
-            col(leftTs).as("__ts"),
-            lit(1).as("__side"),
-            leftTie.as("__tie"),
-            leftStruct.as("__l"),
-            lit(null).cast(rightStructType).as("__r")): _*),
-          allowMissingColumns = false)
+          col(leftTs).as("__ts"),
+          lit(1).as("__side"),
+          leftTie.as("__tie"),
+          leftStruct.as("__l"),
+          lit(null).cast(rightStructType).as("__r")): _*),
+        allowMissingColumns = false)
+  }
 
+  private def selectOut(matched: DataFrame, left: DataFrame,
+      matchCol: String): DataFrame =
+    matched.select(
+      left.columns.map(c => col(s"__l.`$c`").as(c)) :+
+        col("__match").as(matchCol): _*)
+
+  def asofBackward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      matchCol: String = "asof_match",
+      tiebreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val tagged = taggedUnion(left, right, keys, leftTs, rightTs, tiebreak)
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -86,10 +98,82 @@ object Joins {
           when(col("__ts") <= col(s"__match.$rightTs") + tol, col("__match")))
       case None => matched
     }
+    selectOut(withTol, left, matchCol)
+  }
 
-    withTol.select(
-      left.columns.map(c => col(s"__l.`$c`").as(c)) :+
-        col("__match").as(matchCol): _*)
+  /** Forward as-of join: for every left row, the single EARLIEST right
+    * row with the same key and right.ts >= left.ts (the mirror of
+    * [[asofBackward]], same one-shuffle/one-sort/zero-join plan — the
+    * carry window just runs in descending event order). `tolerance`
+    * bounds how far ahead: matches with right.ts > left.ts + tolerance
+    * become NULL. Ties on right ts resolve like asofBackward (the row
+    * latest in `tiebreak` order). */
+  def asofForward(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      matchCol: String = "asof_match",
+      tiebreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val tagged = taggedUnion(left, right, keys, leftTs, rightTs, tiebreak)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = tagged
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+
+    val withTol = tolerance match {
+      case Some(tol) =>
+        matched.withColumn("__match",
+          when(col("__ts") >= col(s"__match.$rightTs") - tol, col("__match")))
+      case None => matched
+    }
+    selectOut(withTol, left, matchCol)
+  }
+
+  /** Nearest as-of join: the right row minimizing |right.ts − left.ts|
+    * within the key; the backward candidate wins exact distance ties
+    * (pandas merge_asof direction='nearest' semantics). Both direction
+    * candidates come from TWO windows over the SAME tagged union — same
+    * partitioning, so the plan pays ONE shuffle and two in-partition
+    * sorts, still zero joins. `tolerance` bounds the distance on both
+    * sides. */
+  def asofNearest(
+      left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String,
+      matchCol: String = "asof_match",
+      tiebreak: Seq[String] = Nil,
+      tolerance: Option[Column] = None): DataFrame = {
+    val tagged = taggedUnion(left, right, keys, leftTs, rightTs, tiebreak)
+    val wb = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").desc, col("__side").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val matched = tagged
+      .withColumn("__back", last(col("__r"), ignoreNulls = true).over(wb))
+      .withColumn("__fwd", last(col("__r"), ignoreNulls = true).over(wf))
+      .where(col("__side") === 1)
+
+    val bounded = tolerance match {
+      case Some(tol) => matched
+        .withColumn("__back",
+          when(col("__ts") <= col(s"__back.$rightTs") + tol, col("__back")))
+        .withColumn("__fwd",
+          when(col("__ts") >= col(s"__fwd.$rightTs") - tol, col("__fwd")))
+      case None => matched
+    }
+    val backDist = col("__ts") - col(s"__back.$rightTs")
+    val fwdDist = col(s"__fwd.$rightTs") - col("__ts")
+    val nearest = bounded.withColumn("__match",
+      when(col("__back").isNull, col("__fwd"))
+        .when(col("__fwd").isNull, col("__back"))
+        .when(backDist <= fwdDist, col("__back"))
+        .otherwise(col("__fwd")))
+    selectOut(nearest, left, matchCol)
   }
 
   /** Bucketed points-in-intervals range join: pairs every point row with

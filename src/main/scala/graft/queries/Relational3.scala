@@ -91,8 +91,65 @@ object Relational3 {
       | FROM documents) t
       |GROUP BY tok ORDER BY n DESC, tok LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q33
+  private def purchases(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+
+  private def signups(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).where(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+
+  /** Forward as-of: earliest signup at-or-after each purchase (the
+    * mirror of q15; same one-shuffle union-and-carry plan, descending). */
+  def q33AsofForward(s: SparkSession, d: String): DataFrame =
+    graft.ext.Joins.asofForward(
+        purchases(s, d), signups(s, d), keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", tiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_match.ts").as("next_signup_ts"))
+      .orderBy("event_id")
+
+  private val q33Oracle =
+    """SELECT p.event_id, p.user_id, p.ts, s.ts AS next_signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      | ON p.user_id = s.user_id AND p.ts <= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  // ---------------------------------------------------------------- q34
+  /** Nearest as-of: the signup closest in time to each purchase in
+    * either direction, backward winning distance ties (pandas
+    * merge_asof direction='nearest'). One shuffle, two in-partition
+    * window sorts, zero joins; the oracle composes DuckDB's two
+    * directional ASOF joins with the same tie rule. */
+  def q34AsofNearest(s: SparkSession, d: String): DataFrame =
+    graft.ext.Joins.asofNearest(
+        purchases(s, d), signups(s, d), keys = Seq("user_id"),
+        leftTs = "ts", rightTs = "ts", tiebreak = Seq("event_id"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_match.ts").as("nearest_signup_ts"))
+      .orderBy("event_id")
+
+  private val q34Oracle =
+    """WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT * FROM events WHERE event_type = 'signup'),
+      |b AS (SELECT p.event_id, s.ts AS b_ts FROM p
+      |      ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts >= s.ts),
+      |f AS (SELECT p.event_id, s.ts AS f_ts FROM p
+      |      ASOF LEFT JOIN s ON p.user_id = s.user_id AND p.ts <= s.ts)
+      |SELECT p.event_id, p.user_id, p.ts,
+      | CASE WHEN b_ts IS NULL THEN f_ts
+      |      WHEN f_ts IS NULL THEN b_ts
+      |      WHEN p.ts - b_ts <= f_ts - p.ts THEN b_ts ELSE f_ts END
+      |   AS nearest_signup_ts
+      |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
+      |ORDER BY p.event_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q30_correlated_subqueries", q30CorrelatedSubqueries, Some(q30Sql)),
     QueryDef("q31_lateral_posexplode", q31LateralPosexplode, Some(q31Oracle)),
-    QueryDef("q32_token_frequencies", q32TokenFrequencies, Some(q32Oracle)))
+    QueryDef("q32_token_frequencies", q32TokenFrequencies, Some(q32Oracle)),
+    QueryDef("q33_asof_forward", q33AsofForward, Some(q33Oracle)),
+    QueryDef("q34_asof_nearest", q34AsofNearest, Some(q34Oracle)))
 }

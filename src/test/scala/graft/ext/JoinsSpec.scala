@@ -53,6 +53,55 @@ class JoinsSpec extends AnyFunSuite {
     assert(got === "b")
   }
 
+  test("asofForward: earliest following match per key, inclusive at equal ts, tolerance bounds ahead") {
+    val quotes = Seq(
+      (7L, ts(0), 100.0), (7L, ts(10), 101.0), (7L, ts(30), 99.0),
+      (8L, ts(5), 50.0))
+      .toDF("uid", "qts", "px")
+    val trades = Seq(
+      (7L, ts(10), 1L),  // equal ts -> inclusive: px 101
+      (7L, ts(11), 2L),  // next ahead is ts(30): px 99
+      (7L, ts(31), 3L),  // nothing ahead -> null
+      (8L, ts(4), 4L),   // px 50 at ts(5)
+      (9L, ts(1), 5L))   // key with no quotes -> null
+      .toDF("uid", "tts", "tid")
+    val got = Joins.asofForward(
+      trades, quotes, keys = Seq("uid"), leftTs = "tts", rightTs = "qts")
+      .select($"tid", $"asof_match.px".as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(101.0), 2L -> Some(99.0), 3L -> None,
+      4L -> Some(50.0), 5L -> None))
+
+    val bounded = Joins.asofForward(
+      trades, quotes, Seq("uid"), "tts", "qts",
+      tolerance = Some(expr("INTERVAL 5 MINUTES")))
+      .select($"tid", $"asof_match.px".as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(bounded(2L) === None, "ts(30) is 19min ahead of ts(11): over tolerance")
+    assert(bounded(4L) === Some(50.0), "1min ahead: within tolerance")
+  }
+
+  test("asofNearest: closest match either side; backward wins exact ties") {
+    val quotes = Seq(
+      (7L, ts(0), 100.0), (7L, ts(20), 101.0), (8L, ts(50), 50.0))
+      .toDF("uid", "qts", "px")
+    val trades = Seq(
+      (7L, ts(4), 1L),   // 4min back vs 16min fwd -> 100
+      (7L, ts(15), 2L),  // 15min back vs 5min fwd -> 101
+      (7L, ts(10), 3L),  // exact tie 10min both ways -> backward: 100
+      (8L, ts(1), 4L),   // only forward exists -> 50
+      (7L, ts(40), 5L))  // only backward in range -> 101
+      .toDF("uid", "tts", "tid")
+    val got = Joins.asofNearest(
+      trades, quotes, keys = Seq("uid"), leftTs = "tts", rightTs = "qts")
+      .select($"tid", $"asof_match.px".as("px"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got === Map(
+      1L -> Some(100.0), 2L -> Some(101.0), 3L -> Some(100.0),
+      4L -> Some(50.0), 5L -> Some(101.0)))
+  }
+
   test("rangeJoin: equals the naive theta join, inclusive at both bounds") {
     val rnd = new scala.util.Random(5)
     val points = (1L to 400L).map(i => (i % 7, i, rnd.nextInt(10000).toLong))
