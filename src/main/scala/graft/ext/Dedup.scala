@@ -33,6 +33,24 @@ object Dedup {
     df.groupBy(col(text))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Latest record per key — upsert-compaction over an append-only
+    * table (the "current state" view of a changelog). One aggregation
+    * with `max_by` over an order struct: partial aggregates keep a
+    * single candidate row per key per partition, so the shuffle carries
+    * one row per (key, partition) — versus the window/row_number
+    * formulation, which shuffles EVERY row and sorts each key group.
+    * `order` columns break ties in sequence (pass a monotonic id last
+    * for full determinism). */
+  def latestByKey(df: DataFrame, keys: Seq[String],
+      order: Seq[String]): DataFrame = {
+    require(order.nonEmpty, "latestByKey needs at least one ordering column")
+    val payload = df.columns.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(payload.map(col): _*),
+        struct(order.map(col): _*)).as("__latest"))
+      .select(keys.map(col) ++ payload.map(c => col(s"__latest.`$c`").as(c)): _*)
+  }
+
   /** Fingerprint-based exact dedup: groups by the 64-bit rolling hash
     * instead of the full text — the shuffle carries 8 bytes per doc, not
     * the document body. */
@@ -169,9 +187,72 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Greedy dedup from pairs: drop every doc that duplicates a lower id. */
+  /** Greedy dedup from pairs: drop every doc that duplicates a lower id.
+    * NOT transitive: in a chain A~B~C with A̸~C, B drops (pairs with A)
+    * and C drops (pairs with B) — but a chain A~B, B~C where only the
+    * MIDDLE element was detected against each end still keeps both ends.
+    * Use [[dropFromPairsTransitive]] when chains must collapse to one
+    * representative per connected component. */
   def dropFromPairs(df: DataFrame, id: String, pairs: DataFrame): DataFrame =
     df.join(pairs.select(col("id_b").as(id)).distinct(), Seq(id), "left_anti")
+
+  /** Connected components of the near-dup pair graph by min-label
+    * propagation: every node starts labeled with its own id; each round
+    * every node takes the minimum label among itself and its neighbors;
+    * convergence (no label changed) is reached within graph-diameter
+    * rounds. Near-dup graphs are piles of small dense clusters, so the
+    * diameter — and the round count — is small; `maxIter` bounds the
+    * pathological long-chain case (the production upgrade for
+    * high-diameter graphs is the large-star/small-star algorithm, which
+    * squares the graph each round for O(log n) convergence at the cost
+    * of edge duplication).
+    *
+    * Each round is one join + one aggregate (two shuffles on id-shaped
+    * keys); `localCheckpoint` truncates the plan each round so iteration
+    * N doesn't replan rounds 1..N-1 — the classic iterative-DataFrame
+    * trap. Output: (id, component) for every id appearing in `pairs`,
+    * component = min id reachable. */
+  def connectedComponents(pairs: DataFrame, a: String = "id_a",
+      b: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(a).as("src"), col(b).as("dst"))
+      .union(pairs.select(col(b).as("src"), col(a).as("dst")))
+      .distinct()
+      .persist()
+    try {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .withColumn("label", col("id"))
+        .localCheckpoint(true)
+      var converged = false
+      var i = 0
+      while (!converged && i < maxIter) {
+        val msgs = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"), col("label"))
+        val next = labels.union(msgs)
+          .groupBy(col("id")).agg(min(col("label")).as("label"))
+          .localCheckpoint(true)
+        converged = next.as("n")
+          .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
+          .where(col("label") =!= col("old"))
+          .isEmpty
+        labels = next
+        i += 1
+      }
+      require(converged, s"connectedComponents: no fixpoint within $maxIter rounds")
+      labels.select(col("id"), col("label").as("component"))
+    } finally edges.unpersist()
+  }
+
+  /** Transitive dedup: collapse every connected component of the pair
+    * graph to its minimum id. Rows not appearing in any pair keep
+    * themselves. */
+  def dropFromPairsTransitive(df: DataFrame, id: String,
+      pairs: DataFrame): DataFrame = {
+    val drop = connectedComponents(pairs)
+      .where(col("id") =!= col("component"))
+      .select(col("id").as(id))
+    df.join(drop, Seq(id), "left_anti")
+  }
 
   // ----------------------------------------------------------- simhash
 

@@ -72,6 +72,28 @@ object Sampling {
     df.where(bucketOf(key, seed) < thr)
   }
 
+  /** Per-row WEIGHTED sampling: keep each row with probability
+    * `weight` (a column in [0,1], clamped), decided by the same
+    * content-keyed hash — reproducible importance sampling (e.g. keep
+    * high-quality documents with p=1.0, boilerplate-heavy with p=0.05,
+    * where the weight comes from a quality score). Still a pure narrow
+    * filter. */
+  def weightedSample(df: DataFrame, key: Column, weight: Column,
+      seed: Long = 0L): DataFrame = {
+    val w = least(greatest(weight, lit(0.0)), lit(1.0))
+    df.where(bucketOf(key, seed) < floor(w * M).cast("long"))
+  }
+
+  /** EXACT-size uniform sample: the k smallest hash values (ties broken
+    * by key). Unlike Bernoulli sampling the output cardinality is
+    * exactly min(k, N), and it plans as TakeOrderedAndProject — each
+    * partition keeps its local top-k, the driver merges k·partitions
+    * candidates, no global sort ever materializes. Nested subsets come
+    * from nested k at the same seed. */
+  def exactKSample(df: DataFrame, key: Column, k: Int,
+      seed: Long = 0L): DataFrame =
+    df.orderBy(bucketOf(key, seed).asc, key.asc).limit(k)
+
   /** Label every row `train` or `test` by the hash of `groupKey` — all
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can

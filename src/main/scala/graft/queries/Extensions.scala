@@ -280,6 +280,44 @@ object ExtensionQueries {
       |FROM assigned WHERE cid NOT IN (SELECT id_b FROM dropped)
       |ORDER BY vec_id""".stripMargin
 
+  /** Latest order per customer — upsert-compaction via max_by partial
+    * aggregation (one candidate per key per partition crosses the
+    * shuffle, versus the row_number window the oracle uses, which
+    * shuffles every row — same answer, different scale shape). */
+  def latestByKey(s: SparkSession, d: String): DataFrame =
+    Dedup.latestByKey(Tables.orders(s, d),
+        keys = Seq("o_custkey"), order = Seq("o_orderdate", "o_orderkey"))
+      .orderBy("o_custkey")
+
+  private val latestByKeyOracle =
+    """SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+      |       ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn FROM orders) t
+      |WHERE rn = 1 ORDER BY o_custkey""".stripMargin
+
+  /** Connected components over a deterministic chain graph (edges
+    * vec_id→vec_id+1 wherever vec_id%10<3 ⇒ 4-node chains {10k..10k+3}):
+    * min-label propagation must converge to the chain head. The oracle
+    * replays reachability with a recursive CTE — transitivity itself is
+    * what's checked, which the greedy pair-drop cannot express. */
+  def dedupComponents(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val pairs = ids.where(col("vec_id") % 10 < 3)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+    Dedup.connectedComponents(pairs).orderBy("id")
+  }
+
+  private val dedupComponentsOracle =
+    """WITH RECURSIVE pairs AS (
+      | SELECT vec_id AS a, vec_id + 1 AS b FROM embeddings WHERE vec_id % 10 < 3),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ------------------------------------------------------- similarity
 
   private def corpus(s: SparkSession, d: String): DataFrame =
@@ -520,6 +558,8 @@ object ExtensionQueries {
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
+    QueryDef("d10_dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),

@@ -57,8 +57,42 @@ object SamplingQueries {
       |   WHEN 'purchase' THEN 1.0 ELSE 0.1 END)) AS BIGINT)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Per-row weighted sampling: keep probability rises with
+    * event_id % 100 (a stand-in for a per-row quality score). Counts per
+    * type; membership replayed exactly. */
+  def weightedSample(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedSample(Tables.events(s, d), col("event_id"),
+        (col("event_id") % 100) / 100.0)
+      .groupBy("event_type").agg(count(lit(1)).as("n_sampled"))
+      .orderBy("event_type")
+
+  private val weightedOracle =
+    """SELECT event_type, CAST(count(*) AS BIGINT) AS n_sampled
+      |FROM events
+      |WHERE ((event_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      | % 2147483647 <
+      | CAST(floor(least(greatest((event_id % 100) / 100.0, 0.0), 1.0)
+      |   * 2147483647) AS BIGINT)
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Exact-50 uniform document sample (k smallest hashes, key tiebreak);
+    * plans as TakeOrderedAndProject — no global sort. */
+  def exactKSample(s: SparkSession, d: String): DataFrame =
+    Sampling.exactKSample(
+        Tables.documents(s, d).select(col("doc_id")), col("doc_id"), 50)
+      .orderBy("doc_id")
+
+  private val exactKOracle =
+    """SELECT doc_id FROM (
+      | SELECT doc_id FROM documents
+      | ORDER BY ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |   % 2147483647, doc_id
+      | LIMIT 50) t ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
     QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),
-    QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)))
+    QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
+    QueryDef("sm4_weighted_sample", weightedSample, Some(weightedOracle)),
+    QueryDef("sm5_exact_k_sample", exactKSample, Some(exactKOracle)))
 }

@@ -65,6 +65,31 @@ class SamplingSpec extends AnyFunSuite {
     assert(ok.columns.toSeq === Seq("id", "split", "holdout"))
   }
 
+  test("weightedSample: keep rate tracks the weight column; weights clamp to [0,1]") {
+    val df = (1L to 30000L).map(i =>
+      (i, if (i % 3 == 0) 0.0 else if (i % 3 == 1) 0.5 else 5.0)) // 5.0 clamps to 1.0
+      .toDF("id", "w")
+    val got = Sampling.weightedSample(df, col("id"), col("w"))
+      .groupBy("w").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(!got.contains(0.0), "zero weight keeps nothing")
+    assert(math.abs(got(0.5) - 5000L) < 500, s"got ${got.get(0.5)} of ~5000")
+    assert(got(5.0) === 10000L, "clamped weight 1.0 keeps everything")
+  }
+
+  test("exactKSample: exact cardinality, deterministic, nested in larger k, top-k plan") {
+    val df = (1L to 5000L).toDF("id")
+    def ids(k: Int) = Sampling.exactKSample(df, col("id"), k)
+      .collect().map(_.getLong(0)).toSet
+    val s100 = ids(100)
+    assert(s100.size === 100)
+    assert(ids(100) === s100, "deterministic")
+    assert(s100.subsetOf(ids(200)), "nested k at same seed")
+    val plan = Sampling.exactKSample(df, col("id"), 100)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"must not global-sort\n$plan")
+  }
+
   test("stratifiedSample: per-stratum rates hold; absent strata use the default") {
     val df = (1L to 30000L).map(i =>
       (i, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c"))

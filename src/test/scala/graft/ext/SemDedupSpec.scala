@@ -27,6 +27,36 @@ class SemDedupSpec extends AnyFunSuite {
     assert(kept.select("cluster_id").distinct().count() <= 8L)
   }
 
+  test("connectedComponents: chains collapse transitively; greedy drop does not") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain 1-2-3-4
+      (10L, 11L), (11L, 10L),       // duplicate edge both ways
+      (20L, 21L), (21L, 22L), (20L, 22L)) // triangle
+      .toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+
+    val docs = (1L to 4L).map(i => (i, s"d$i")).toDF("id", "t")
+    val keptTransitive = Dedup.dropFromPairsTransitive(docs, "id",
+        pairs.where($"id_a" < 5))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(keptTransitive === Set(1L), "whole chain collapses to its head")
+  }
+
+  test("latestByKey: one row per key, max order wins, ties broken by the next column") {
+    val df = Seq(
+      (1L, 10L, "old"), (1L, 20L, "new"),
+      (2L, 5L, "only"),
+      (3L, 7L, "a"), (3L, 7L, "b") // equal ts: tiebreak col decides
+    ).toDF("k", "ts", "v")
+    val got = Dedup.latestByKey(df, keys = Seq("k"), order = Seq("ts", "v"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got === Map(1L -> ((20L, "new")), 2L -> ((5L, "only")),
+      3L -> ((7L, "b"))))
+  }
+
   test("clusterAssign: identical vectors always share a cluster") {
     val a = Dedup.clusterAssign(vecs, "vec", "vid", nlist = 8)
       .select("cid", "cluster_id")
