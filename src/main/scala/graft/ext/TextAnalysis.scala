@@ -129,6 +129,70 @@ object TextAnalysis {
   def normalize(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), normalizeCol(col(text)).as("norm_text"))
 
+  // ------------------------------------------------------------ chunking
+
+  /** Overlapping token-window chunking — the RAG/context-window prep
+    * pass: each document yields windows of `size` tokens starting every
+    * `stride` tokens (stride < size ⇒ overlap). A pure narrow
+    * projection (token array bound once per row, windows sliced from
+    * it), so it streams at scan speed; the last window clamps at the
+    * document end, and documents shorter than `size` yield one chunk.
+    * Output: (id, chunk_id, chunk_text, n_chunk_tokens). */
+  def chunk(df: DataFrame, text: String, id: String,
+      chunkSize: Int = 256, stride: Int = 128): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"chunkSize=$chunkSize stride=$stride (stride must be in 1..chunkSize)")
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val chunksExpr = flatten(transform(
+      array(toks), // bind the token array once (cf. Dedup.shingleCol)
+      ts => transform(
+        sequence(lit(0),
+          floor((greatest(size(ts) - chunkSize, lit(0)) + stride - 1)
+            .cast(DoubleType) / stride).cast(IntegerType)),
+        i => struct(
+          concat_ws(" ", slice(ts, i * stride + 1, lit(chunkSize)))
+            .as("chunk_text"),
+          least(size(ts) - i * stride, lit(chunkSize)).as("n_chunk_tokens")))))
+    df.where(size(toks) > 0)
+      .select(col(id), posexplode(chunksExpr))
+      .select(col(id), col("pos").cast(LongType).as("chunk_id"),
+        col("col.chunk_text"), col("col.n_chunk_tokens").cast(LongType)
+          .as("n_chunk_tokens"))
+  }
+
+  // --------------------------------------------------------------- tfidf
+
+  /** Top distinctive terms per document by tf-idf. Scoring uses the
+    * linear inverse-frequency form score = tf/df, computed as the EXACT
+    * integer `tf * 10^12 div df` — floating-point log-idf scores differ
+    * at the ulp between engines, which would make cross-engine ranks
+    * unverifiable; tf/df orders by the same "frequent here, rare
+    * elsewhere" signal. df counts documents (each (doc, term) pair once).
+    *
+    * Plan: tokenize+explode (narrow) → (doc, term, tf) hash aggregate
+    * (shuffle 1) → df per term as a count window over the term — the
+    * (doc, term) rows are already distinct, so count(*) IS the distinct
+    * document count, with no second aggregate and no join back
+    * (shuffle 2) → per-doc top-k via rank window (shuffle 3, bounded by
+    * WindowGroupLimit). */
+  def tfidfTopTerms(df: DataFrame, text: String, id: String,
+      k: Int = 3): DataFrame = {
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val tf = df.select(col(id), explode(toks).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+      .orderBy(col("score").desc, col("term").asc)
+    tf
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .withColumn("score", expr("tf * 1000000000000L div df"))
+      .withColumn("rank", row_number().over(wDoc))
+      .where(col("rank") <= k)
+      .select(col(id), col("rank").cast(LongType).as("rank"),
+        col("term"), col("tf"), col("df"), col("score"))
+  }
+
   // ------------------------------------------------- boilerplate removal
 
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate

@@ -208,9 +208,62 @@ object HygieneQueries {
       | CAST(count(*) FILTER (WHERE c >= 3) AS BIGINT) AS n_lines_removed
       |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------------------ chunking
+
+  /** 32-token windows, stride 16 (50% overlap), over every document. */
+  def chunking(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.chunk(Tables.documents(s, d), "text", "doc_id",
+        chunkSize = 32, stride = 16)
+      .orderBy("doc_id", "chunk_id")
+
+  private val chunkingOracle =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS ts
+      | FROM documents),
+      |cx AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(0, CAST(floor((greatest(len(ts) - 32, 0) + 15) / 16.0) AS BIGINT) + 1),
+      |   i -> {'cid': i,
+      |         'txt': array_to_string(ts[i*16+1 : i*16+32], ' '),
+      |         'n': least(len(ts) - i*16, 32)})) AS u
+      | FROM toks WHERE len(ts) > 0)
+      |SELECT doc_id, CAST(u.cid AS BIGINT) AS chunk_id, u.txt AS chunk_text,
+      | CAST(u.n AS BIGINT) AS n_chunk_tokens
+      |FROM cx ORDER BY doc_id, chunk_id""".stripMargin
+
+  // --------------------------------------------------------------- tfidf
+
+  /** Top-3 distinctive terms per document (exact integer tf/df score —
+    * see TextAnalysis.tfidfTopTerms for why not float log-idf). */
+  def tfidf(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.tfidfTopTerms(Tables.documents(s, d), "text", "doc_id", k = 3)
+      .orderBy("doc_id", "rank")
+
+  private val tfidfOracle =
+    """WITH tf AS (
+      | SELECT doc_id, tok AS term, count(*) AS tf FROM (
+      |  SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS tok
+      |  FROM documents) t GROUP BY doc_id, tok),
+      |x AS (
+      | SELECT doc_id, term, tf, count(*) OVER (PARTITION BY term) AS df
+      | FROM tf),
+      |r AS (
+      | SELECT doc_id, term, tf, df, tf * 1000000000000 // df AS score,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY tf * 1000000000000 // df DESC, term) AS rank
+      | FROM x)
+      |SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+      | CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+      | CAST(score AS BIGINT) AS score
+      |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
-    QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)))
+    QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
+    QueryDef("t9_chunking", chunking, Some(chunkingOracle)),
+    QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)))
 }

@@ -68,6 +68,37 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(4L) === (("", 0L, 2L)))
   }
 
+  test("chunk: windows overlap by stride, clamp at the end, short docs yield one chunk") {
+    val df = Seq(
+      (1L, "a b c d e f g"), // 7 tokens, size 4 stride 2 -> starts 0,2,4(clamped? extra=3 -> chunks ceil(3/2)+1=3)
+      (2L, "x y"),           // shorter than size -> one chunk
+      (3L, " ")              // no tokens -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.chunk(df, "text", "doc_id", chunkSize = 4, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    assert(got === Map(
+      (1L, 0L) -> (("a b c d", 4L)),
+      (1L, 1L) -> (("c d e f", 4L)),
+      (1L, 2L) -> (("e f g", 3L)), // clamped final window
+      (2L, 0L) -> (("x y", 2L))))
+  }
+
+  test("tfidfTopTerms: frequent-here-rare-elsewhere wins; ranks deterministic") {
+    val df = Seq(
+      (1L, "zebra zebra zebra common common"),
+      (2L, "common other other"),
+      (3L, "common plain")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidfTopTerms(df, "text", "doc_id", k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // zebra: tf 3, df 1 -> dominates doc 1 over common (tf 2, df 3)
+    assert(got(1L) === "zebra")
+    assert(got(2L) === "other")
+    // doc 3: common (tf 1, df 3) vs plain (tf 1, df 1) -> plain
+    assert(got(3L) === "plain")
+  }
+
   test("piiScan: planted PII counted per family and redacted in precedence order") {
     val df = Seq(
       (1L, "email me at a.b@c.org now"),
