@@ -146,7 +146,41 @@ object Relational3 {
       |FROM p JOIN b USING (event_id) JOIN f USING (event_id)
       |ORDER BY p.event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q35
+  /** The remaining analytic-window family in one gate: lead/lag (offset
+    * functions), ntile (bucketing), percent_rank and cume_dist (both are
+    * single divisions of small integers — exactly rounded IEEE in any
+    * engine, so the doubles hash-match). Partitioned by customer over
+    * order history. */
+  def q35WindowSuite(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .where(col("o_custkey") % 100 === 0)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        ntile(4).over(w).cast(LongType).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  private val q35Oracle =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      | lag(o_totalprice, 1) OVER w AS prev_price,
+      | lead(o_totalprice, 1) OVER w AS next_price,
+      | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      | percent_rank() OVER w AS pr,
+      | cume_dist() OVER w AS cd
+      |FROM orders WHERE o_custkey % 100 = 0
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q35_window_suite", q35WindowSuite, Some(q35Oracle)),
     QueryDef("q30_correlated_subqueries", q30CorrelatedSubqueries, Some(q30Sql)),
     QueryDef("q31_lateral_posexplode", q31LateralPosexplode, Some(q31Oracle)),
     QueryDef("q32_token_frequencies", q32TokenFrequencies, Some(q32Oracle)),
