@@ -55,6 +55,24 @@ object Sketches {
       .select(col("z.p").as("p"), col("z.q").as("approx_value"))
   }
 
+  /** Approximate top-k heavy hitters via Spark's DataSketches
+    * frequent-items aggregate — the CANDIDATE DISCOVERY stage whose
+    * absence [[cmsEstimates]] documents (it scores a given candidate
+    * set; this finds one). One aggregation pass: each task sketches its
+    * partition, the exchange carries sketch state, the merged sketch
+    * yields the top items. When the column's distinct count stays within
+    * `maxItemsTracked` the sketch never evicts and counts are EXACT
+    * (the k4 gate exploits this); past it, counts carry the standard
+    * frequent-items over/under bounds but true heavy hitters are never
+    * lost. Output: (item, n) re-sorted (n desc, item) so tie order is
+    * deterministic regardless of sketch-internal ordering. */
+  def approxTopK(df: DataFrame, key: String, k: Int,
+      maxItemsTracked: Int = 10000): DataFrame =
+    df.agg(expr(s"approx_top_k(`$key`, $k, $maxItemsTracked)").as("top"))
+      .select(explode(col("top")).as("e"))
+      .select(col("e.item").as("item"), col("e.count").as("n"))
+      .orderBy(col("n").desc, col("item").asc)
+
   /** CountMinSketch estimator whose deserialized sketch is built lazily
     * once per closure instance (NOT per row — the readFrom cost is paid
     * at most once per task). */

@@ -102,8 +102,23 @@ object SketchQueries {
       | TRUE AS ok_no_undercount, TRUE AS ok_overcount_bound
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  // ------------------------------------ k4: heavy-hitter discovery
+
+  /** Top-3 event types by frequency via the frequent-items sketch. The
+    * column has 5 distinct values ≪ maxItemsTracked, so the sketch never
+    * evicts and its counts are EXACT — the oracle is a plain
+    * count/order/limit. (At real cardinality the counts carry the
+    * standard frequent-items bounds; the gate pins the exact regime.) */
+  def approxTopK(s: SparkSession, d: String): DataFrame =
+    Sketches.approxTopK(Tables.events(s, d), "event_type", 3)
+
+  private val approxTopKOracle =
+    """SELECT event_type AS item, count(*) AS n FROM events
+      |GROUP BY event_type ORDER BY n DESC, item LIMIT 3""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("k1_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
     QueryDef("k2_approx_quantiles", approxQuantiles, Some(approxQuantilesOracle)),
-    QueryDef("k3_cms_frequencies", cmsFrequencies, Some(cmsOracle)))
+    QueryDef("k3_cms_frequencies", cmsFrequencies, Some(cmsOracle)),
+    QueryDef("k4_approx_topk", approxTopK, Some(approxTopKOracle)))
 }

@@ -152,9 +152,28 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Stream-static enrichment: the streaming events join a broadcast
+    * static user→segment dimension per micro-batch (stateless — nothing
+    * buffered, unlike the stream-stream join), then a complete-mode
+    * per-segment count must equal the batch aggregate. */
+  def streamStaticJoin(s: SparkSession, d: String): DataFrame = {
+    val dim = Tables.events(s, d).select(col("user_id")).distinct()
+      .withColumn("segment", pmod(col("user_id"), lit(5)))
+    runToTable(s, "st7_enrich_out",
+      df => EventStream.enrich(df, dim, Seq("user_id"))
+        .groupBy("segment").agg(count(lit(1)).as("n")),
+      "complete", d)
+      .orderBy("segment")
+  }
+
+  private val streamStaticOracle =
+    """SELECT user_id % 5 AS segment, count(*) AS n
+      |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
+    QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
     QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle)))

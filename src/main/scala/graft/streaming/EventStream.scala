@@ -47,6 +47,15 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-static enrichment join: a streaming fact joined against a
+    * (broadcast-small) static dimension. The static side is re-resolved
+    * per micro-batch — a dimension table updated between batches is
+    * picked up without restarting the query — and the broadcast keeps
+    * the stream side shuffle-free and STATELESS (unlike stream-stream
+    * joins, nothing is buffered against the watermark). */
+  def enrich(events: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    events.join(broadcast(dim), keys, "left")
+
   /** Streaming exact dedup — the streaming twin of
     * [[graft.ext.Dedup.exact]]: emit each key's first occurrence. The
     * projection keeps ONLY the key columns, so the emitted SET equals

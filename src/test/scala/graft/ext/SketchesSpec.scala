@@ -58,6 +58,18 @@ class SketchesSpec extends AnyFunSuite {
     }
   }
 
+  test("approxTopK: exact when distinct <= maxItemsTracked; true heavy hitter survives eviction") {
+    val df = (Seq.fill(900)("hot") ++ (1 to 300).map(i => s"k${i % 100}")).toDF("key")
+    val got = Sketches.approxTopK(df, "key", 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.head === (("hot", 900L)))
+    // tracked capacity far below distinct count: the dominant item must
+    // still surface first (the frequent-items guarantee)
+    val evicted = Sketches.approxTopK(df, "key", 1, maxItemsTracked = 8)
+      .collect().map(_.getString(0))
+    assert(evicted.head === "hot")
+  }
+
   test("cmsEstimates: null candidate keys estimate to null; key column is a param") {
     val df = Seq("a", "a", "b").toDF("key")
     val cands = Seq(Some("a"), None).toDF("term")
