@@ -209,4 +209,36 @@ object Joins {
       .where(col(pointCol) >= col(loCol) && col(pointCol) <= col(hiCol))
       .drop("__bucket")
   }
+
+  /** Threshold fuzzy join (entity resolution): pairs whose `leftText` /
+    * `rightText` edit distance is <= `maxDist`, restricted to equal
+    * `blockKeys`.
+    *
+    * Scale shape: levenshtein is O(len²) per comparison, so the plan
+    * must bound COMPARISONS, not speed them up. Blocking keys turn the
+    * cross product into an equi-join (one shuffle, AQE-skew-splittable);
+    * within a block, the length-band prefilter
+    * `abs(len(l) - len(r)) <= maxDist` — a NECESSARY condition for edit
+    * distance, since each edit changes length by at most 1 — discards
+    * most candidates before the quadratic distance runs. Both the
+    * band predicate and `levenshtein` are codegen'd built-ins. At 100 TB
+    * add a second blocking pass (first-k-chars or phonetic key) exactly
+    * like any ER blocking scheme; the operator composes — pass the
+    * extra key through `blockKeys`.
+    */
+  def fuzzyJoin(
+      left: DataFrame, right: DataFrame,
+      leftText: String, rightText: String, maxDist: Int,
+      blockKeys: Seq[(String, String)]): DataFrame = {
+    require(maxDist >= 0, s"maxDist=$maxDist")
+    val blockCond = blockKeys
+      .map { case (l, r) => left(l) === right(r) }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val band =
+      abs(length(left(leftText)) - length(right(rightText))) <= maxDist
+    left.join(right, blockCond && band)
+      .withColumn("edit_dist",
+        levenshtein(left(leftText), right(rightText)).cast("long"))
+      .where(col("edit_dist") <= maxDist)
+  }
 }

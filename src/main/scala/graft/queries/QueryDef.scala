@@ -14,7 +14,8 @@ final case class QueryDef(
 
 object Registry {
   def all: Seq[QueryDef] =
-    Relational.defs ++ Relational2.defs ++ Relational3.defs ++ Validation.defs ++
+    Relational.defs ++ Relational2.defs ++ Relational3.defs ++
+      Relational4.defs ++ Validation.defs ++
       IngestExportQueries.defs ++ ExtensionQueries.defs ++
       StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs ++
       HygieneQueries.defs ++ PipelineQueries.defs

@@ -1,0 +1,192 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fourth tranche of the inherited relational surface: the statistical
+  * aggregate family (corr / covariance / variance / stddev / linear
+  * regression), time-series resampling with gap fill, threshold fuzzy
+  * joins, and trailing time-range window aggregation — the analytics a
+  * user of the reference's raw-SQL path (box_export.py:36) reaches for
+  * next after the plain aggregate/window families.
+  */
+object Relational4 {
+
+  // ---------------------------------------------------------------- q36
+  /** Statistical aggregates via EXACT integer moments.
+    *
+    * Spark's built-in `corr`/`stddev_samp`/`covar_samp` stream doubles
+    * through a merge formula whose result depends on partition order —
+    * correct to ~1 ulp but not bit-stable across engines, so they can
+    * never hash-match an oracle. Instead: quantities and prices are
+    * scaled to exact integers (cents), the five moments (n, Σx, Σy, Σxy,
+    * Σx², Σy²) are summed in DecimalType(38,0) — exact, order-independent,
+    * and still exact at 100 TB (Σy² ≈ 1e14/row → 1e38 capacity ≈ 1e24
+    * rows of headroom) — and each statistic is derived in the final
+    * projection as a SINGLE double division (or sqrt/mul/div chain of
+    * individually-rounded IEEE ops) over double-cast exact numerators:
+    *   var_samp  = (nΣx² − (Σx)²) / (n(n−1))
+    *   covar     = (nΣxy − ΣxΣy) / (n(n−1))
+    *   corr      = (nΣxy − ΣxΣy) / (√(nΣx²−(Σx)²)·√(nΣy²−(Σy)²))
+    *   slope     = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)
+    *   intercept = (ΣyΣx² − ΣxΣxy) / (nΣx² − (Σx)²)
+    * The numerator/denominator arithmetic is exact (decimal in Spark,
+    * HUGEINT in the DuckDB oracle); the double ops are identical
+    * expression trees in both engines, hence bit-identical results.
+    * One partial-aggregated shuffle, integer math in codegen — this is
+    * also FASTER than the built-ins' double merge path at scale.
+    */
+  def q36StatSuite(s: SparkSession, d: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val x = col("l_quantity").cast(LongType).cast(dec)
+    val y = round(col("l_extendedprice") * 100).cast(LongType).cast(dec)
+    val g = Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * y).as("sxy"), sum(x * x).as("sxx"), sum(y * y).as("syy"))
+    val n   = col("n").cast(dec)
+    val d1  = (n * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val d2  = (n * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val num = (n * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val nn1 = (n * (n - 1)).cast(DoubleType) // decimal: no n² long overflow
+    val inum = (col("sy") * col("sxx") - col("sx") * col("sxy"))
+      .cast(DoubleType)
+    g.select(
+        col("l_returnflag"), col("n"),
+        (d1 / nn1).as("var_qty"),
+        sqrt(d1 / nn1).as("stddev_qty"),
+        (num / nn1).as("covar_qty_cents"),
+        (num / (sqrt(d1) * sqrt(d2))).as("corr_qty_price"),
+        (num / d1).as("slope_cents_per_qty"),
+        (inum / d1).as("intercept_cents"))
+      .orderBy("l_returnflag")
+  }
+
+  private val q36Oracle =
+    """WITH m AS (
+      | SELECT l_returnflag, count(*) AS n,
+      |  sum(x) AS sx, sum(y) AS sy,
+      |  sum(x*y) AS sxy, sum(x*x) AS sxx, sum(y*y) AS syy
+      | FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+      |        CAST(round(l_extendedprice * 100) AS BIGINT) AS y
+      |       FROM lineitem)
+      | GROUP BY l_returnflag)
+      |SELECT l_returnflag, n,
+      | CAST(n*sxx - sx*sx AS DOUBLE) / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)
+      |   AS var_qty,
+      | sqrt(CAST(n*sxx - sx*sx AS DOUBLE)
+      |      / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)) AS stddev_qty,
+      | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)
+      |   AS covar_qty_cents,
+      | CAST(n*sxy - sx*sy AS DOUBLE)
+      |   / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+      |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr_qty_price,
+      | CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |   AS slope_cents_per_qty,
+      | CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+      |   AS intercept_cents
+      |FROM m ORDER BY l_returnflag""".stripMargin
+
+  // ---------------------------------------------------------------- q37
+  /** Hourly resample + forward fill over the event stream (ext
+    * TimeSeries.resampleFill — see its scaladoc for the plan audit:
+    * distributed grid explode, co-partitioned grid⋈obs join, one carry
+    * window per key). Gate slice: users 0-9, one month of hourly grid. */
+  def q37ResampleGapfill(s: SparkSession, d: String): DataFrame =
+    graft.ext.TimeSeries.resampleFill(
+        Tables.events(s, d).where(col("user_id") < 10),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        unit = "hour", step = expr("INTERVAL 1 HOUR"),
+        tiebreak = Seq("event_id"))
+      .orderBy("user_id", "bucket")
+
+  private val q37Oracle =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+      |hourly AS (
+      | SELECT user_id, bucket, n_obs, v FROM (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket, value AS v,
+      |   count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+      |     AS n_obs,
+      |   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |     ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev) WHERE rn = 1),
+      |grid AS (
+      | SELECT user_id,
+      |   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      | FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      |       FROM hourly GROUP BY user_id))
+      |SELECT g.user_id, g.bucket, coalesce(h.n_obs, 0) AS n_obs,
+      | last_value(h.v IGNORE NULLS) OVER (PARTITION BY g.user_id
+      |   ORDER BY g.bucket
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+      |FROM grid g LEFT JOIN hourly h USING (user_id, bucket)
+      |ORDER BY user_id, bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q38
+  /** Entity-resolution fuzzy join (ext Joins.fuzzyJoin): customer ↔
+    * supplier names within a nation at edit distance <= 5 — the
+    * "Customer#NNN"/"Supplier#NNN" prefixes are exactly 5 edits apart,
+    * so this finds same-number pairs and any closer digit typos.
+    * Blocking on nationkey keeps the candidate set an equi-join. */
+  def q38FuzzyJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select("c_custkey", "c_name", "c_nationkey")
+    val p = Tables.supplier(s, d)
+      .select("s_suppkey", "s_name", "s_nationkey")
+    graft.ext.Joins.fuzzyJoin(c, p, "c_name", "s_name", maxDist = 5,
+        blockKeys = Seq("c_nationkey" -> "s_nationkey"))
+      .select("c_custkey", "s_suppkey", "c_name", "s_name", "edit_dist")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  private val q38Oracle =
+    """SELECT c_custkey, s_suppkey, c_name, s_name,
+      | CAST(levenshtein(c_name, s_name) AS BIGINT) AS edit_dist
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |WHERE levenshtein(c_name, s_name) <= 5
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
+  // ---------------------------------------------------------------- q39
+  /** Trailing one-hour per-user activity via a TIME-RANGE window frame
+    * (rangeBetween over epoch micros) — count and exact integer-cents
+    * sum of the last hour's events at every event. Range frames keep
+    * the computation one sort per key with a sliding frame pointer (no
+    * self-join, no per-row subquery — the forms that die at scale).
+    * Cents stay integral end-to-end: double sums would be
+    * association-order-dependent and could never cross-engine match. */
+  def q39RollingHour(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d).where(col("user_id") < 50)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        round(col("value") * 100).cast(LongType).as("cents"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3599999999L, 0L) // (t-1h, t] in micros, inclusive
+    ev.select(
+        col("event_id"), col("user_id"), col("ts"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(col("cents")).over(w).as("cents_1h"))
+      .orderBy("event_id")
+  }
+
+  private val q39Oracle =
+    """SELECT event_id, user_id, ts,
+      | count(*) OVER w AS n_1h,
+      | CAST(sum(cents) OVER w AS BIGINT) AS cents_1h
+      |FROM (SELECT event_id, user_id, ts,
+      |       CAST(round(value * 100) AS BIGINT) AS cents
+      |      FROM events WHERE user_id < 50)
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      | RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
+    QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
+    QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),
+    QueryDef("q39_rolling_hour", q39RollingHour, Some(q39Oracle)))
+}
