@@ -1,0 +1,46 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Incremental aggregate maintenance: keep a materialized aggregate
+  * fresh by merging each new batch's PARTIAL aggregates into a compact
+  * state table instead of recomputing over all history — the pattern
+  * that turns a daily 100 TB full scan into a scan of the new day
+  * plus a merge of two small state tables.
+  *
+  * Works because the tracked moments (count, sum) are commutative
+  * monoids: state ⊕ partial(batch) == partial(all data). Sums are
+  * carried as exact integers (cents in DecimalType(38,0)) so the merge
+  * is bit-deterministic regardless of batch split or partition order —
+  * the invariant the gate (c4) proves by comparing an
+  * incrementally-maintained state against a from-scratch recompute in
+  * another engine. Derived metrics (avg) are NOT stored — they are
+  * finalized at read time as one double division from exact moments
+  * (non-decomposable forms like avg-of-avg would drift; avg from
+  * merged sums cannot).
+  */
+object Incremental {
+
+  /** Per-(keys) partial aggregate of one batch: n + exact cents sum. */
+  def partials(batch: DataFrame, keys: Seq[String], valCents: Column)
+      : DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(valCents.cast(DecimalType(38, 0))).as("sum_cents"))
+
+  /** Merge any number of state/partial tables (same schema) into one. */
+  def merge(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
+
+  /** Finalize read-time metrics from exact state moments. */
+  def finalizeAvg(state: DataFrame, keys: Seq[String]): DataFrame =
+    state.select(keys.map(col) ++ Seq(
+      col("n"),
+      col("sum_cents").cast(LongType).as("sum_cents"),
+      (col("sum_cents").cast(DoubleType) / col("n").cast(DoubleType))
+        .as("avg_cents")): _*)
+}

@@ -1,0 +1,93 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality constraint checking (the dbt-test /
+  * Deequ-style gate an ingestion pipeline runs before publishing a
+  * table): each constraint evaluates to a violation count, and the
+  * report is one small DataFrame of (constraint, violations, pass).
+  *
+  * Plan shape (scale audit): all ROW-LOCAL constraints (not-null,
+  * accepted-values, null-rate, custom predicate) FUSE into a single
+  * aggregate pass over one scan — conditional sums, map-side partial,
+  * one 1-row result. Each uniqueness check costs one hash aggregate on
+  * its key (the unavoidable shuffle), and each referential-integrity
+  * check one anti join (broadcast when the referenced key side is a
+  * dimension). Nothing collects raw rows; violation EXAMPLES are a
+  * separate bounded query, not part of the pass/fail scan.
+  */
+object Quality {
+
+  sealed trait Constraint { def name: String }
+  /** No two rows share a value tuple of `cols`. */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    def name = s"unique(${cols.mkString(",")})"
+  }
+  /** `col` is never null. */
+  final case class NotNull(col: String) extends Constraint {
+    def name = s"not_null($col)"
+  }
+  /** Non-null values of `col` are all in `values`. */
+  final case class AcceptedValues(col: String, values: Seq[Any])
+      extends Constraint {
+    def name = s"accepted_values($col)"
+  }
+  /** Null fraction of `col` is <= `maxRate`. Violations = excess null
+    * count over the allowance (0 when within budget). */
+  final case class NullRateBelow(col: String, maxRate: Double)
+      extends Constraint {
+    def name = s"null_rate($col<=$maxRate)"
+  }
+  /** Every non-null `col` value exists in `ref`'s `refCol` (FK). */
+  final case class RefIntegrity(col: String, ref: DataFrame, refCol: String)
+      extends Constraint {
+    def name = s"ref_integrity($col)"
+  }
+
+  /** Evaluate all constraints; returns (constraint, violations, pass)
+    * ordered by constraint name. */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val rowLocal = constraints.collect {
+      case c: NotNull       => c.name ->
+        sum(when(col(c.col).isNull, 1L).otherwise(0L))
+      case c: AcceptedValues => c.name ->
+        sum(when(col(c.col).isNotNull &&
+          !col(c.col).isin(c.values: _*), 1L).otherwise(0L))
+      case c: NullRateBelow => c.name ->
+        greatest(lit(0L),
+          (sum(when(col(c.col).isNull, 1L).otherwise(0L)) -
+            floor(count(lit(1)) * c.maxRate)).cast("long"))
+    }
+    val fused: Seq[DataFrame] =
+      if (rowLocal.isEmpty) Nil
+      else {
+        val aggs = rowLocal.map { case (n, e) => e.as(n) }
+        val row = df.agg(aggs.head, aggs.tail: _*)
+        // Backtick-quote: constraint names contain dots (e.g. rate 0.1)
+        // that a bare col() would parse as nested-field access.
+        Seq(row.select(explode(map(
+          rowLocal.flatMap { case (n, _) =>
+            Seq(lit(n), col(s"`$n`")) }: _*)).as(Seq("constraint", "violations"))))
+      }
+    val heavy: Seq[DataFrame] = constraints.collect {
+      case c: Unique =>
+        df.groupBy(c.cols.map(col): _*).agg(count(lit(1)).as("__n"))
+          .where(col("__n") > 1)
+          .agg(coalesce(sum(col("__n") - 1), lit(0L)).as("violations"))
+          .select(lit(c.name).as("constraint"), col("violations"))
+      case c: RefIntegrity =>
+        df.select(col(c.col)).where(col(c.col).isNotNull)
+          .join(c.ref.select(col(c.refCol).as(c.col)).distinct(),
+            Seq(c.col), "left_anti")
+          .agg(count(lit(1)).as("violations"))
+          .select(lit(c.name).as("constraint"), col("violations"))
+    }
+    (fused ++ heavy).reduce(_ unionByName _)
+      .withColumn("pass", col("violations") === 0L)
+      .orderBy("constraint")
+  }
+}

@@ -103,9 +103,128 @@ object PipelineQueries {
       | CASE WHEN o_orderkey % 2 = 1 THEN 'b2' END AS batch_tag
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  // ---------------------------------------------------- quality / CDC
+
+  /** Data-quality constraint report over orders (ext Quality.check):
+    * row-local checks fuse into one scan; uniqueness adds one keyed
+    * aggregate; the FK check one broadcast anti join. One constraint
+    * (the narrowed priority whitelist) intentionally FAILS so the gate
+    * proves violation counting, not just all-zeroes. */
+  def qualityCheck(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Quality._
+    check(Tables.orders(s, d), Seq(
+      Unique(Seq("o_orderkey")),
+      NotNull("o_custkey"),
+      AcceptedValues("o_orderstatus", Seq("O", "F", "P")),
+      AcceptedValues("o_orderpriority",
+        Seq("1-URGENT", "2-HIGH", "3-MEDIUM")),
+      NullRateBelow("o_totalprice", 0.1),
+      RefIntegrity("o_custkey", Tables.customer(s, d), "c_custkey")))
+  }
+
+  private val qualityOracle =
+    """SELECT "constraint", CAST(violations AS BIGINT) AS violations,
+      | violations = 0 AS pass
+      |FROM (
+      | SELECT 'unique(o_orderkey)' AS "constraint",
+      |  (SELECT coalesce(sum(n - 1), 0) FROM (
+      |    SELECT count(*) AS n FROM orders GROUP BY o_orderkey
+      |    HAVING count(*) > 1)) AS violations
+      | UNION ALL SELECT 'not_null(o_custkey)',
+      |  (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+      | UNION ALL SELECT 'accepted_values(o_orderstatus)',
+      |  (SELECT count(*) FROM orders WHERE o_orderstatus IS NOT NULL
+      |   AND o_orderstatus NOT IN ('O','F','P'))
+      | UNION ALL SELECT 'accepted_values(o_orderpriority)',
+      |  (SELECT count(*) FROM orders WHERE o_orderpriority IS NOT NULL
+      |   AND o_orderpriority NOT IN ('1-URGENT','2-HIGH','3-MEDIUM'))
+      | UNION ALL SELECT 'null_rate(o_totalprice<=0.1)',
+      |  (SELECT greatest(0, count(*) FILTER (o_totalprice IS NULL)
+      |    - CAST(floor(count(*) * 0.1) AS BIGINT)) FROM orders)
+      | UNION ALL SELECT 'ref_integrity(o_custkey)',
+      |  (SELECT count(*) FROM orders o WHERE o_custkey IS NOT NULL
+      |   AND NOT EXISTS (SELECT 1 FROM customer c
+      |                   WHERE c.c_custkey = o.o_custkey))
+      |) t ORDER BY "constraint"""".stripMargin
+
+  /** MERGE (upsert/delete) application (ext Cdc.mergeUpsert): a change
+    * batch derived deterministically from orders — full-row updates
+    * (+1 price on keys %100=0), inserts (shifted keys for %1000=0),
+    * deletes (%170=0) — applied in one full-outer join. */
+  def mergeUpsert(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val upd = base.where(k % 100 === 0 && k % 170 =!= 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1)
+      .withColumn("is_delete", lit(false))
+    val ins = base.where(k % 1000 === 0)
+      .withColumn("o_orderkey", k + 100000000L)
+      .withColumn("is_delete", lit(false))
+    val del = base.where(k % 170 === 0)
+      .withColumn("is_delete", lit(true))
+    graft.ext.Cdc.mergeUpsert(base,
+        upd.unionByName(ins).unionByName(del),
+        keys = Seq("o_orderkey"), deleteCol = Some("is_delete"))
+      .orderBy("o_orderkey")
+  }
+
+  private val mergeOracle =
+    """WITH ch AS (
+      | SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 1 AS o_totalprice, o_orderdate, o_orderpriority,
+      |  FALSE AS is_delete
+      | FROM orders WHERE o_orderkey % 100 = 0 AND o_orderkey % 170 <> 0
+      | UNION ALL
+      | SELECT o_orderkey + 100000000, o_custkey, o_orderstatus,
+      |  o_totalprice, o_orderdate, o_orderpriority, FALSE
+      | FROM orders WHERE o_orderkey % 1000 = 0
+      | UNION ALL
+      | SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      |  o_orderdate, o_orderpriority, TRUE
+      | FROM orders WHERE o_orderkey % 170 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM orders b
+      |WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey)
+      |UNION ALL
+      |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM ch WHERE NOT is_delete
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Incremental aggregate maintenance (ext Incremental): history
+    * partials merged with a new-batch partial must equal a full
+    * recompute — the oracle IS that full recompute in another engine. */
+  def incrementalAgg(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Incremental
+    val o = Tables.orders(s, d)
+    val cents = round(col("o_totalprice") * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val cutoff = lit("2001-01-01").cast("timestamp")
+    val keys = Seq("o_orderpriority")
+    val state = Incremental.partials(
+      o.where(col("o_orderdate") < cutoff), keys, cents)
+    val batch = Incremental.partials(
+      o.where(col("o_orderdate") >= cutoff), keys, cents)
+    Incremental.finalizeAvg(Incremental.merge(Seq(state, batch), keys), keys)
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrementalOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(cents) AS BIGINT) AS sum_cents,
+      | CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents
+      |FROM (SELECT o_orderpriority,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
     QueryDef("c1_compaction", compaction, Some(compactionOracle)),
-    QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)))
+    QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
+    QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
+    QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
+    QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }

@@ -1,0 +1,94 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("Quality.check: each constraint type counts its violations exactly") {
+    val df = Seq(
+      (1L, Some("a"), Some(10.0)),
+      (1L, Some("a"), None),         // dup key; null rate
+      (2L, Some("zz"), Some(30.0)),  // bad accepted value
+      (3L, None, Some(40.0)),        // null label
+      (9L, Some("b"), Some(50.0))    // key 9 missing from ref
+    ).toDF("k", "label", "v")
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val out = Quality.check(df, Seq(
+        Quality.Unique(Seq("k")),
+        Quality.NotNull("label"),
+        Quality.AcceptedValues("label", Seq("a", "b")),
+        Quality.NullRateBelow("v", 0.1),
+        Quality.RefIntegrity("k", ref, "rk")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("unique(k)") == 1L)          // one extra row beyond first
+    assert(out("not_null(label)") == 1L)
+    assert(out("accepted_values(label)") == 1L) // nulls NOT double-counted
+    assert(out("null_rate(v<=0.1)") == 1L)  // 1 null, allowance floor(0.5)=0
+    assert(out("ref_integrity(k)") == 1L)   // key 9
+  }
+
+  test("Quality.check: all-green report and pass flags") {
+    val df = Seq((1L, "a"), (2L, "b")).toDF("k", "label")
+    val out = Quality.check(df, Seq(
+      Quality.Unique(Seq("k")), Quality.NotNull("label")))
+      .collect()
+    assert(out.forall(_.getBoolean(2)))
+    assert(out.forall(_.getLong(1) == 0L))
+  }
+
+  test("Cdc.mergeUpsert: update, insert, delete, and untouched rows") {
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "s", "v")
+    val changes = Seq(
+      (2L, "B", 99.0, false), // update
+      (4L, "d", 40.0, false), // insert
+      (3L, "x", 0.0, true)    // delete (payload ignored)
+    ).toDF("k", "s", "v", "del")
+    val out = Cdc.mergeUpsert(base, changes, Seq("k"), Some("del"))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out === Seq((1L, "a", 10.0), (2L, "B", 99.0), (4L, "d", 40.0)))
+  }
+
+  test("Cdc.mergeUpsert: an update carrying NULL payload fields still " +
+      "overwrites (struct-wrap distinguishes no-match from null fields)") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val changes = Seq((1L, Option.empty[String])).toDF("k", "s")
+    val out = Cdc.mergeUpsert(base, changes, Seq("k")).collect()
+    assert(out.length == 1 && out(0).isNullAt(1))
+  }
+
+  test("Cdc.mergeUpsert: pure upsert without delete column") {
+    val base = Seq((1L, "a")).toDF("k", "s")
+    val changes = Seq((1L, "A"), (2L, "b")).toDF("k", "s")
+    val out = Cdc.mergeUpsert(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out === Seq((1L, "A"), (2L, "b")))
+  }
+
+  test("Incremental: merged partials equal a direct recompute, " +
+      "independent of how history is split into batches") {
+    val o = graft.Tables.orders(spark, TestSpark.sf0001)
+    val cents = round(col("o_totalprice") * 100).cast("long")
+    val keys = Seq("o_orderpriority")
+    def stateOf(splits: Seq[org.apache.spark.sql.DataFrame]) =
+      Incremental.finalizeAvg(
+          Incremental.merge(splits.map(Incremental.partials(_, keys, cents)),
+            keys), keys)
+        .orderBy("o_orderpriority").collect().toSeq
+    val direct = stateOf(Seq(o))
+    val byParity = stateOf(Seq(
+      o.where(col("o_orderkey") % 2 === 0),
+      o.where(col("o_orderkey") % 2 === 1)))
+    val byThree = stateOf(Seq(
+      o.where(col("o_orderkey") % 3 === 0),
+      o.where(col("o_orderkey") % 3 === 1),
+      o.where(col("o_orderkey") % 3 === 2)))
+    assert(direct === byParity)
+    assert(direct === byThree)
+  }
+}
