@@ -94,6 +94,35 @@ object Sampling {
       seed: Long = 0L): DataFrame =
     df.orderBy(bucketOf(key, seed).asc, key.asc).limit(k)
 
+  /** EXACT per-stratum quotas (language/source-balanced mixing): keep the
+    * `quota(stratum)` rows with the smallest key hashes inside each
+    * stratum — deterministic membership AND deterministic cardinality
+    * per stratum (min(quota, stratum size)), unlike fraction-based
+    * stratified sampling whose per-stratum counts fluctuate.
+    *
+    * Plan shape: one shuffle on the stratum plus a rank filter. The
+    * filter is split into a LITERAL `rn <= maxQuota` conjunct and the
+    * per-stratum when-chain: the literal bound lets Spark's
+    * InferWindowGroupLimit insert a WindowGroupLimit below the exchange,
+    * so each map task forwards at most maxQuota candidate rows per
+    * stratum instead of the whole stratum — the same partial top-k
+    * shape as TakeOrderedAndProject, which is what makes a skewed
+    * dominant stratum (80% English) survivable at corpus scale. */
+  def quotaSample(df: DataFrame, stratum: Column, key: Column,
+      quotas: Map[String, Int], defaultQuota: Int = 0,
+      seed: Long = 0L): DataFrame = {
+    require(defaultQuota >= 0 && quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    val maxQuota = (quotas.values.toSeq :+ defaultQuota).max
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(bucketOf(key, seed).asc, key.asc)
+    val q = quotas.foldLeft(lit(defaultQuota)) {
+      case (acc, (s, k)) => when(stratum === lit(s), lit(k)).otherwise(acc)
+    }
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= lit(maxQuota) && col("__rn") <= q)
+      .drop("__rn")
+  }
+
   /** Label every row `train` or `test` by the hash of `groupKey` — all
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can

@@ -345,6 +345,27 @@ object ExtensionQueries {
       | WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Per-label mean embedding (class prototypes): exact scaled-integer
+    * sums make the doubles bit-identical to the DuckDB replay — see
+    * Vectors.groupCentroids' scaladoc for the shuffle audit. */
+  def groupCentroids(s: SparkSession, d: String): DataFrame =
+    graft.ext.Vectors.groupCentroids(
+        Tables.embeddings(s, d), "label", "embedding")
+      .orderBy("label", "dim")
+
+  private val groupCentroidsOracle =
+    """WITH e AS (
+      | SELECT label, unnest(range(0, len(embedding))) AS dim, embedding
+      | FROM embeddings),
+      |s AS (
+      | SELECT label, dim, count(*) AS n,
+      |  sum(CAST(round(CAST(embedding[dim + 1] AS DOUBLE) * 1000000.0)
+      |      AS HUGEINT)) AS ssum
+      | FROM e GROUP BY label, dim)
+      |SELECT label, dim, n,
+      | CAST(ssum AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS mean
+      |FROM s ORDER BY label, dim""".stripMargin
+
   def knnIvf(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(corpus(s, d), queriesDf(s, d), k = 5, nlist = 20, nprobe = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -563,6 +584,7 @@ object ExtensionQueries {
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
+    QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),

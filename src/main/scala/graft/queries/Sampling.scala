@@ -89,10 +89,31 @@ object SamplingQueries {
       |   % 2147483647, doc_id
       | LIMIT 50) t ORDER BY doc_id""".stripMargin
 
+  /** Language-balanced quota sample over documents: exact per-language
+    * counts (en 40 / de 25 / fr 15, 10 otherwise), membership = smallest
+    * key hashes per stratum — the oracle replays exact rows. */
+  def quotaSample(s: SparkSession, d: String): DataFrame =
+    Sampling.quotaSample(Tables.documents(s, d),
+        col("lang"), col("doc_id"),
+        quotas = Map("en" -> 40, "de" -> 25, "fr" -> 15),
+        defaultQuota = 10, seed = 3L)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+
+  private val quotaOracle =
+    """SELECT doc_id, lang FROM (
+      | SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |  ORDER BY ((doc_id % 2147483647) * ((2654435761 * 4) % 2147483647)
+      |            + 3) % 2147483647, doc_id) AS rn
+      | FROM documents) t
+      |WHERE rn <= (CASE lang WHEN 'en' THEN 40 WHEN 'de' THEN 25
+      |             WHEN 'fr' THEN 15 ELSE 10 END)
+      |ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
     QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),
     QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     QueryDef("sm4_weighted_sample", weightedSample, Some(weightedOracle)),
-    QueryDef("sm5_exact_k_sample", exactKSample, Some(exactKOracle)))
+    QueryDef("sm5_exact_k_sample", exactKSample, Some(exactKOracle)),
+    QueryDef("sm6_quota_sample", quotaSample, Some(quotaOracle)))
 }
