@@ -23,16 +23,29 @@ object Cdc {
     * columns (full-row update), unmatched change rows insert, and
     * change rows with `deleteCol` true delete. Change keys must be
     * unique (dedupe upstream with [[Dedup.latestByKey]]); base keys are
-    * assumed unique (it's a keyed table).
+    * assumed unique (it's a keyed table). A duplicate key on either side
+    * silently fans out the full-outer join — pass
+    * `assertUniqueKeys = true` (debug mode: one extra keyed aggregate
+    * per side, via [[Quality.Unique]]) to fail fast instead.
     *
     * @param deleteCol optional boolean column on `changes` marking
     *                  deletions; absent => pure upsert
+    * @param assertUniqueKeys eagerly verify both sides' keys are unique
+    *                  before merging (costs one aggregate pass per side)
     */
   def mergeUpsert(
       base: DataFrame, changes: DataFrame, keys: Seq[String],
-      deleteCol: Option[String] = None): DataFrame = {
+      deleteCol: Option[String] = None,
+      assertUniqueKeys: Boolean = false): DataFrame = {
     val payload = base.columns.filterNot(keys.contains)
     require(payload.nonEmpty, "base must have non-key columns")
+    if (assertUniqueKeys)
+      Seq("base" -> base, "changes" -> changes).foreach { case (nm, df) =>
+        val bad = Quality.check(df, Seq(Quality.Unique(keys)))
+          .where(!col("pass")).collect()
+        require(bad.isEmpty, s"mergeUpsert: $nm has ${bad.head.getLong(1)} " +
+          s"duplicate-key row(s) on (${keys.mkString(", ")})")
+      }
     val ch = deleteCol.fold(changes.withColumn("__del", lit(false)))(c =>
       changes.withColumn("__del", coalesce(col(c), lit(false))).drop(c))
     // Struct-wrap each side so a full outer join can distinguish "no

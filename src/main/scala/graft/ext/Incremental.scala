@@ -36,11 +36,24 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
 
-  /** Finalize read-time metrics from exact state moments. */
-  def finalizeAvg(state: DataFrame, keys: Seq[String]): DataFrame =
+  /** Finalize read-time metrics from exact state moments. The BIGINT
+    * projection of sum_cents guards the narrowing: the decimal(38,0)
+    * state stays exact far past Long range, and the non-ANSI cast would
+    * otherwise WRAP silently past ±9.2e18 cents — so out-of-range states
+    * raise here instead of publishing a corrupted sum. */
+  def finalizeAvg(state: DataFrame, keys: Seq[String]): DataFrame = {
+    val longMax = lit(Long.MaxValue).cast(DecimalType(38, 0))
+    val longMin = lit(Long.MinValue).cast(DecimalType(38, 0))
+    val sumAsLong =
+      when(col("sum_cents").between(longMin, longMax),
+        col("sum_cents").cast(LongType))
+      .otherwise(raise_error(concat(
+        lit("finalizeAvg: sum_cents overflows BIGINT: "),
+        col("sum_cents").cast(StringType))))
     state.select(keys.map(col) ++ Seq(
       col("n"),
-      col("sum_cents").cast(LongType).as("sum_cents"),
+      sumAsLong.as("sum_cents"),
       (col("sum_cents").cast(DoubleType) / col("n").cast(DoubleType))
         .as("avg_cents")): _*)
+  }
 }

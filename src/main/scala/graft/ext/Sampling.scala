@@ -112,6 +112,8 @@ object Sampling {
       quotas: Map[String, Int], defaultQuota: Int = 0,
       seed: Long = 0L): DataFrame = {
     require(defaultQuota >= 0 && quotas.values.forall(_ >= 0), "quotas must be >= 0")
+    require(!df.columns.contains("__rn"),
+      "quotaSample: input already has a column named '__rn' (scratch name); rename it first")
     val maxQuota = (quotas.values.toSeq :+ defaultQuota).max
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(stratum).orderBy(bucketOf(key, seed).asc, key.asc)

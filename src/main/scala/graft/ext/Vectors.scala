@@ -31,33 +31,54 @@ import org.apache.spark.sql.types._
 object Vectors {
 
   /** Scaled-integer term for one vector cell: round(v · 1e6) as
-    * decimal(38,0). Kept private-but-stable so gate oracles replay it. */
-  private def cell(v: Column): Column =
-    round(v.cast(DoubleType) * lit(1000000.0))
-      .cast(LongType).cast(DecimalType(38, 0))
+    * decimal(38,0). Kept private-but-stable so gate oracles replay it.
+    * Non-finite values raise: the plain double→long cast is non-ANSI
+    * (NaN → 0, ±Inf → Long.Min/Max), which would corrupt sums silently
+    * where a strict engine (the DuckDB oracle's HUGEINT cast) errors. */
+  private def cell(v: Column): Column = {
+    val d = v.cast(DoubleType)
+    val finite = when(d.isNull || (!isnan(d) && abs(d) <= lit(Double.MaxValue)), d)
+      .otherwise(raise_error(concat(
+        lit("Vectors: non-finite embedding value "), d.cast(StringType))))
+    round(finite * lit(1000000.0)).cast(LongType).cast(DecimalType(38, 0))
+  }
+
+  /** Output columns of [[groupCentroids]] plus its internal scratch
+    * names — a groupCol colliding with any of these is rejected. */
+  private val centroidReserved = Set("dim", "n", "mean", "__dim", "__v", "__n", "__s")
 
   /** Per-group mean vector in long form: one row per (group, dim) with
     * the member count and the exact-derived mean. `dim` is 0-based.
     * Output: groupCol, dim, n, mean — sorted by caller if needed.
     */
   def groupCentroids(df: DataFrame, groupCol: String, vecCol: String)
-      : DataFrame =
-    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("dim", "v")))
-      .groupBy(col(groupCol), col("dim").cast(LongType).as("dim"))
-      .agg(count(lit(1)).as("n"), sum(cell(col("v"))).as("s"))
-      .select(col(groupCol), col("dim"), col("n"),
-        (col("s").cast(DoubleType) / lit(1000000.0) / col("n").cast(DoubleType))
+      : DataFrame = {
+    require(!centroidReserved.contains(groupCol),
+      s"groupCol '$groupCol' collides with a groupCentroids output/scratch column")
+    df.select(col(groupCol), posexplode(col(vecCol)).as(Seq("__dim", "__v")))
+      .groupBy(col(groupCol), col("__dim").cast(LongType).as("__dim"))
+      .agg(count(lit(1)).as("__n"), sum(cell(col("__v"))).as("__s"))
+      .select(col(groupCol), col("__dim").as("dim"), col("__n").as("n"),
+        (col("__s").cast(DoubleType) / lit(1000000.0) / col("__n").cast(DoubleType))
           .as("mean"))
+  }
 
   /** L2-normalize a vector column in place: v / ||v||, null-safe on the
     * vector itself; an all-zero vector normalizes to zeros (no NaNs).
-    * A narrow per-row projection — `aggregate` folds the squared norm
-    * inside codegen, no explode and no shuffle. */
+    * A narrow per-row projection, no explode and no shuffle. The norm is
+    * folded ONCE per row — bound as a single-element-array lambda
+    * variable (cf. Dedup.shingleCol) — because referencing the aggregate
+    * expression directly inside the output transform would re-evaluate
+    * the whole O(D) fold per element: O(D²) per row. Higher-order
+    * functions evaluate interpreted (outside codegen); fine for a
+    * projection this shape, but keep it off the per-candidate hot paths
+    * (those use the codegen'd FloatCosine / HyperplaneSig expressions). */
   def l2Normalize(vec: Column): Column = {
-    val norm = sqrt(aggregate(vec, lit(0.0d),
+    val normExpr = sqrt(aggregate(vec, lit(0.0d),
       (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
-    transform(vec, x =>
-      when(norm > 0.0d, (x.cast(DoubleType) / norm).cast(FloatType))
-        .otherwise(x))
+    element_at(transform(array(normExpr), norm =>
+      transform(vec, x =>
+        when(norm > 0.0d, (x.cast(DoubleType) / norm).cast(FloatType))
+          .otherwise(x))), 1)
   }
 }

@@ -70,6 +70,38 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(out === Seq((1L, "A"), (2L, "b")))
   }
 
+  test("Cdc.mergeUpsert: assertUniqueKeys fails fast on duplicate keys, " +
+      "passes through on unique ones") {
+    val base = Seq((1L, "a"), (1L, "a2"), (2L, "b")).toDF("k", "s")
+    val changes = Seq((2L, "B")).toDF("k", "s")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.mergeUpsert(base, changes, Seq("k"), assertUniqueKeys = true)
+    }
+    assert(e.getMessage.contains("base") && e.getMessage.contains("duplicate"))
+    val ok = Cdc.mergeUpsert(base.where(col("s") =!= "a2"), changes, Seq("k"),
+        assertUniqueKeys = true)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(ok === Seq((1L, "a"), (2L, "B")))
+  }
+
+  test("Incremental.finalizeAvg: a sum_cents past BIGINT range raises " +
+      "instead of wrapping silently") {
+    val state = Seq(("k1", 2L)).toDF("g", "n")
+      .withColumn("sum_cents",
+        lit("12345678901234567890").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+    val e = intercept[Exception] {
+      Incremental.finalizeAvg(state, Seq("g")).collect()
+    }
+    def msg(t: Throwable): String =
+      Option(t).map(x => x.getMessage + msg(x.getCause)).getOrElse("")
+    assert(msg(e).contains("overflows BIGINT"))
+    // in-range states are untouched
+    val ok = Incremental.finalizeAvg(
+        Seq(("k1", 2L, BigDecimal(500))).toDF("g", "n", "sum_cents"), Seq("g"))
+      .collect()(0)
+    assert(ok.getLong(2) == 500L && ok.getDouble(3) == 250.0)
+  }
+
   test("Incremental: merged partials equal a direct recompute, " +
       "independent of how history is split into batches") {
     val o = graft.Tables.orders(spark, TestSpark.sf0001)

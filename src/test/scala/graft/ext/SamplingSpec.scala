@@ -102,4 +102,12 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(got.getOrElse("b", 0L) - 500L) < 150)
     assert(!got.contains("c"), "default fraction 0 must drop the stratum")
   }
+
+  test("quotaSample: rejects an input that already has the __rn scratch column") {
+    val df = Seq((1L, "a", 7)).toDF("id", "s", "__rn")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.quotaSample(df, col("s"), col("id"), Map("a" -> 1))
+    }
+    assert(e.getMessage.contains("__rn"))
+  }
 }
