@@ -202,10 +202,10 @@ object Dedup {
     * convergence (no label changed) is reached within graph-diameter
     * rounds. Near-dup graphs are piles of small dense clusters, so the
     * diameter — and the round count — is small; `maxIter` bounds the
-    * pathological long-chain case (the production upgrade for
-    * high-diameter graphs is the large-star/small-star algorithm, which
-    * squares the graph each round for O(log n) convergence at the cost
-    * of edge duplication).
+    * pathological long-chain case. For high-diameter graphs use
+    * [[connectedComponentsStar]], which converges in O(log n)-ish rounds
+    * regardless of diameter (it is also the default inside
+    * [[dropFromPairsTransitive]]).
     *
     * Each round is one join + one aggregate (two shuffles on id-shaped
     * keys); `localCheckpoint` truncates the plan each round so iteration
@@ -243,12 +243,87 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC 2014): the production-scale algorithm whose round count is
+    * O(log n)-ish in the component size, NOT the graph diameter — a
+    * 10^6-node chain converges in ~20 rounds where min-label propagation
+    * ([[connectedComponents]]) needs 10^6.
+    *
+    * Invariant: the edge set is kept oriented large→small and evolves
+    * toward a star forest where every node points at its component
+    * minimum. Each round:
+    *  - large-star: for every node x (seen from both edge orientations),
+    *    every STRICTLY LARGER neighbor y is re-pointed at
+    *    m = min(Γ(x) ∪ x) — hooks whole subtrees under low ids;
+    *  - small-star: for every node u over its SMALLER neighbors v,
+    *    all of {u} ∪ Γ(v) re-point at min(Γ(u)) — flattens local chains.
+    * Both steps preserve connectivity (each replaced edge stays in the
+    * same component) and never create an edge outside the component, so
+    * the fixed point is exactly the min-rooted star forest.
+    *
+    * Plan shape per round: each step is ONE count-window over a node key
+    * (same hash partitioning as the shuffle it rides) + a narrow
+    * projection — no join-back; `localCheckpoint` truncates lineage per
+    * round. The convergence probe (set equality against the previous
+    * round) is two id-keyed jobs on the star-forest-sized edge set.
+    *
+    * Output: (id, component) for every id appearing in `pairs`,
+    * component = min id reachable — identical contract (and results) to
+    * [[connectedComponents]]. */
+  def connectedComponentsStar(pairs: DataFrame, a: String = "id_a",
+      b: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val allIds = pairs.select(col(a).as("id"))
+      .union(pairs.select(col(b).as("id")))
+      .distinct()
+      .localCheckpoint(true)
+    var edges = pairs
+      .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = edges.isEmpty
+    var i = 0
+    while (!converged && i < maxIter) {
+      // Large-star: x's neighborhood from both orientations; every
+      // neighbor above x re-points at the neighborhood minimum.
+      val nbrs = edges.select(col("u").as("x"), col("v").as("y"))
+        .union(edges.select(col("v").as("x"), col("u").as("y")))
+      val ls = nbrs
+        .withColumn("m", least(min(col("y")).over(w.partitionBy("x")), col("x")))
+        .where(col("y") > col("x"))
+        .select(col("y").as("u"), col("m").as("v"))
+        .distinct()
+      // Small-star: u's smaller neighbors (all of them, in the oriented
+      // set) plus u itself re-point at the minimum neighbor.
+      val withM = ls.withColumn("m", min(col("v")).over(w.partitionBy("u")))
+      val next = withM.select(col("v").as("nu"), col("m").as("nv"))
+        .union(withM.select(col("u").as("nu"), col("m").as("nv")))
+        .where(col("nu") =!= col("nv"))
+        .select(col("nu").as("u"), col("nv").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      converged = next.count() == edges.count() && next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    require(converged, s"connectedComponentsStar: no fixpoint within $maxIter rounds")
+    // Fixed point is a star forest: members point at the root; roots
+    // (and nodes seen only in self-loop pairs) label themselves.
+    val labels = edges.select(col("u").as("id"), col("v").as("component"))
+      .union(edges.select(col("v").as("id"), col("v").as("component")))
+      .distinct()
+    allIds.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
   /** Transitive dedup: collapse every connected component of the pair
-    * graph to its minimum id. Rows not appearing in any pair keep
-    * themselves. */
+    * graph to its minimum id (components via [[connectedComponentsStar]]
+    * — diameter-safe). Rows not appearing in any pair keep themselves. */
   def dropFromPairsTransitive(df: DataFrame, id: String,
       pairs: DataFrame): DataFrame = {
-    val drop = connectedComponents(pairs)
+    val drop = connectedComponentsStar(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as(id))
     df.join(drop, Seq(id), "left_anti")
@@ -364,16 +439,22 @@ object Dedup {
     * drawn as a deterministic hash-ordered sample of the corpus — the
     * same ANSI-replayable multiplicative-hash key as
     * [[Similarity.ivfTopK]], so an independent engine can replay the
-    * whole assignment (the d9 gate oracle does). Output:
+    * whole assignment (the d9 gate oracle does; it replays
+    * refineIters = 0). `refineIters` Lloyd rounds
+    * ([[Similarity.refineCentroids]]) tighten the clusters — fewer
+    * boundary-straddling near-dup pairs missed per nlist. Output:
     * (cid, cluster_id, cvec). One broadcast of the centroid table, one
     * narrow pass over the corpus, one aggregation. */
   def clusterAssign(df: DataFrame, vec: String, id: String,
-      nlist: Int): DataFrame = {
+      nlist: Int, refineIters: Int = 0): DataFrame = {
     val c = df.select(col(id).as("cid"), col(vec).as("cvec"))
-    val centroids = c
+    val sampled = c
       .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
       .limit(nlist)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val centroids =
+      if (refineIters > 0) Similarity.refineCentroids(c, sampled, refineIters)
+      else sampled
     c.crossJoin(broadcast(centroids))
       .select(col("cid"), col("cvec"), col("centroid_id"),
         GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
@@ -396,8 +477,9 @@ object Dedup {
     * Clusters above `maxClusterSize` are skipped like every other capped
     * bucket here. Output: kept (cid, cluster_id) rows. */
   def semDedup(df: DataFrame, vec: String, id: String, nlist: Int,
-      threshold: Double = 0.95, maxClusterSize: Int = 4096): DataFrame = {
-    val assigned = clusterAssign(df, vec, id, nlist)
+      threshold: Double = 0.95, maxClusterSize: Int = 4096,
+      refineIters: Int = 0): DataFrame = {
+    val assigned = clusterAssign(df, vec, id, nlist, refineIters)
     val es = col("es") // sorted by cid (first struct field)
     val pairs = keepHotBuckets(assigned, Seq("cluster_id"), maxClusterSize)
       .groupBy(col("cluster_id"))

@@ -135,10 +135,56 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Lloyd (k-means) refinement of a centroid table over a corpus:
+    * `iters` rounds of assign-to-nearest-cosine (broadcast centroids +
+    * max_by — the exact plan the IVF build pass uses) followed by an
+    * exact-mean update ([[Vectors.groupCentroids]]' scaled-integer
+    * decimal sums, so the means — and therefore the refined centroids —
+    * are bit-deterministic across partitionings and runs). Clusters that
+    * lose all members keep their previous centroid. A FIXED iteration
+    * count, not a convergence probe: determinism and a bounded number of
+    * corpus passes matter more than squeezing the last Lloyd step.
+    *
+    * Scale shape per round: one narrow corpus pass against a broadcast
+    * centroid table, one partial-aggregated shuffle of
+    * O(nlist × D × partitions) mean cells, one broadcast-sized join.
+    * The corpus is never shuffled. `localCheckpoint` truncates the
+    * per-round lineage (iterative-DataFrame trap).
+    *
+    * Why bother at 100 TB: hash-sampled centroids are valid but
+    * unrefined — recall-per-nprobe is materially worse than after a few
+    * Lloyd rounds, which is the difference between nprobe=8 and
+    * nprobe=64 doing the same job over a petabyte-scale index.
+    */
+  def refineCentroids(corpus: DataFrame, centroids: DataFrame,
+      iters: Int): DataFrame = {
+    var cent = centroids
+    for (_ <- 0 until iters) {
+      val assigned = corpus.crossJoin(broadcast(cent))
+        .select(col("cid"), col("cvec"), col("centroid_id"),
+          GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
+        .groupBy(col("cid"))
+        .agg(max_by(col("centroid_id"),
+            struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+          first(col("cvec")).as("cvec"))
+      val means = Vectors.groupCentroids(assigned, "centroid_id", "cvec")
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("mean")))),
+          s => s.getField("mean").cast(FloatType)).as("new_vec"))
+      cent = cent.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"),
+          coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
+        .localCheckpoint(true)
+    }
+    cent
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
-    * Centroids are a deterministic hash-ordered sample of the corpus
-    * (k-means iterations would refine them; the bucketing/probing plan is
-    * identical). The sample key is a Knuth multiplicative hash
+    * Centroids are a deterministic hash-ordered sample of the corpus,
+    * optionally refined with `refineIters` Lloyd rounds
+    * ([[refineCentroids]] — better recall-per-nprobe; 0 keeps the raw
+    * sample, which is what the s2 gate oracle replays). The sample key
+    * is a Knuth multiplicative hash
     * `pmod(cid * 2654435761, 2147483647)` with cid as tiebreak — chosen
     * over xxhash64 because it is ANSI-SQL-expressible, so an independent
     * engine can replay the whole IVF pipeline (the s2 gate oracle does).
@@ -148,13 +194,17 @@ object Similarity {
     * construction.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int, nprobe: Int, excludeSelf: Boolean = true): DataFrame = {
+      nlist: Int, nprobe: Int, excludeSelf: Boolean = true,
+      refineIters: Int = 0): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
 
-    val centroids = corpus
+    val sampled = corpus
       .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
       .limit(nlist)
       .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val centroids =
+      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters)
+      else sampled
 
     // Build: assign each corpus vector to its best centroid (narrow pass
     // over a broadcast centroid table; max_by keeps it one aggregation).

@@ -318,6 +318,29 @@ object ExtensionQueries {
       | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Connected components over LONG chains (edges vec_id→vec_id+1 within
+    * each block of 50 ⇒ 50-node chains, diameter 49): the large-star/
+    * small-star alternation must converge in O(log n) rounds where plain
+    * min-label propagation would need one round per hop. Same
+    * recursive-CTE reachability oracle as d10 — the semantics don't
+    * change with the algorithm, only the round complexity does. */
+  def dedupComponentsChain(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val pairs = ids.where(col("vec_id") % 50 < 49)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+    Dedup.connectedComponentsStar(pairs, maxIter = 20).orderBy("id")
+  }
+
+  private val dedupComponentsChainOracle =
+    """WITH RECURSIVE pairs AS (
+      | SELECT vec_id AS a, vec_id + 1 AS b FROM embeddings WHERE vec_id % 50 < 49),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
+      |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ------------------------------------------------------- similarity
 
   private def corpus(s: SparkSession, d: String): DataFrame =
@@ -408,6 +431,19 @@ object ExtensionQueries {
       |  CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS BIGINT) AS rank
       | FROM cand) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** Lloyd-refined IVF under FULL probing: refinement moves centroids
+    * (not ANSI-replayable cheaply), but with nprobe = nlist every bucket
+    * is searched, so the result must equal exact KNN whatever the
+    * centroids are — the whole refined pipeline (Lloyd rounds, exact
+    * decimal means, assignment, probing) runs inside the plan and the
+    * brute-force oracle checks the end result hash-exactly. Recall
+    * improvement per nprobe is covered by KMeansRefineSpec. */
+  def knnIvfRefined(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(corpus(s, d), queriesDf(s, d), k = 5, nlist = 20,
+        nprobe = 20, refineIters = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
 
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
@@ -580,9 +616,11 @@ object ExtensionQueries {
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
     QueryDef("d10_dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    QueryDef("d12_components_chain", dedupComponentsChain, Some(dedupComponentsChainOracle)),
     QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
+    QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),

@@ -45,6 +45,35 @@ class SemDedupSpec extends AnyFunSuite {
     assert(keptTransitive === Set(1L), "whole chain collapses to its head")
   }
 
+  test("connectedComponentsStar: same labels as propagation on mixed shapes") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), // chain
+      (10L, 11L), (11L, 10L),       // duplicate edge both ways
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle
+      (30L, 30L))                   // self-loop-only node
+      .toDF("id_a", "id_b")
+    val star = Dedup.connectedComponentsStar(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L,
+      30L -> 30L))
+  }
+
+  test("connectedComponentsStar: a chain whose diameter exceeds the " +
+      "propagation round budget still converges (O(log n) rounds)") {
+    // 0-1-2-...-120: diameter 120. Min-label propagation moves the zero
+    // label one hop per round, so maxIter=20 provably cannot finish —
+    // while the star alternation collapses it in ~log rounds.
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    assertThrows[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, maxIter = 20).collect()
+    }
+    val star = Dedup.connectedComponentsStar(chain, maxIter = 20)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(star.length == 121 && star.forall(_._2 == 0L),
+      "every chain node must label to the head")
+  }
+
   test("latestByKey: one row per key, max order wins, ties broken by the next column") {
     val df = Seq(
       (1L, 10L, "old"), (1L, 20L, "new"),
