@@ -27,6 +27,14 @@ object ExportFormat {
   * (box_export.py:71-82). `logTable` carries the catalog/schema the audit
   * rows land in (the reference hardcodes development.eda_gc_raw at
   * box_export.py:73-74).
+  *
+  * Extensions beyond the reference surface:
+  *  - `codec`: "gzip" | "deflate" compresses Csv/JsonLines output
+  *    streams (JDK codecs; name the file *.gz / *.zz yourself). Ignored
+  *    for Parquet (internally compressed) and Xlsx (a zip already).
+  *  - `extraSheets`: additional (sheetName -> SQL) pairs for Xlsx —
+  *    each query streams into its own worksheet after the main one
+  *    (the reference's sheet_name kwarg writes exactly one sheet).
   */
 final case class ExportConfig(
     taskOwner: String,
@@ -36,7 +44,9 @@ final case class ExportConfig(
     sheetName: String = "Sheet1",
     columnMapping: Map[String, String] = Map.empty,
     logTable: TableRef = TableRef("development", "eda_gc_raw", "export"),
-    format: ExportFormat = ExportFormat.Xlsx)
+    format: ExportFormat = ExportFormat.Xlsx,
+    codec: Option[String] = None,
+    extraSheets: Seq[(String, String)] = Nil)
 
 final case class ExportReport(rows: Long, errors: Seq[String]) {
   def ok: Boolean = errors.isEmpty
@@ -72,19 +82,28 @@ object Export {
       val header = renamed.columns.toSeq
       conf.format match {
         case ExportFormat.Xlsx =>
-          store.putOverwrite(conf.folder, conf.fileName, out => {
-            val it = renamed.toLocalIterator()
-            val rowsIt = new Iterator[Seq[Any]] {
+          // Main sheet streams the renamed query; extraSheets each run
+          // their own SQL, lazily per sheet (one partition at a time).
+          def counting(it: java.util.Iterator[org.apache.spark.sql.Row]) =
+            new Iterator[Seq[Any]] {
               def hasNext = it.hasNext
               def next() = { rows += 1; it.next().toSeq }
             }
-            Xlsx.write(out, conf.sheetName, header, rowsIt) // O27
+          val extra = conf.extraSheets.map { case (name, sql) =>
+            Xlsx.SheetSource(name, spark.sql(sql).columns.toSeq,
+              () => counting(spark.sql(sql).toLocalIterator()))
+          }
+          store.putOverwrite(conf.folder, conf.fileName, out => {
+            Xlsx.writeSheets(out, // O27 (+ multi-sheet extension)
+              Xlsx.SheetSource(conf.sheetName, header,
+                () => counting(renamed.toLocalIterator())) +: extra)
           }) // O28: upsert-by-name
 
         case ExportFormat.Csv =>
           store.putOverwrite(conf.folder, conf.fileName, out => {
+            val cOut = wrapCodec(out, conf.codec)
             val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-              out, java.nio.charset.StandardCharsets.UTF_8))
+              cOut, java.nio.charset.StandardCharsets.UTF_8))
             w.write(header.map(csvField).mkString(",")); w.write("\n")
             val it = renamed.toLocalIterator()
             while (it.hasNext) {
@@ -96,15 +115,18 @@ object Export {
               w.write("\n")
             }
             w.flush()
+            finishCodec(cOut)
           })
 
         case ExportFormat.JsonLines =>
           store.putOverwrite(conf.folder, conf.fileName, out => {
+            val cOut = wrapCodec(out, conf.codec)
             val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
-              out, java.nio.charset.StandardCharsets.UTF_8))
+              cOut, java.nio.charset.StandardCharsets.UTF_8))
             val it = renamed.toJSON.toLocalIterator()
             while (it.hasNext) { rows += 1; w.write(it.next()); w.write("\n") }
             w.flush()
+            finishCodec(cOut)
           })
 
         case ExportFormat.Parquet =>
@@ -138,6 +160,24 @@ object Export {
       log("Export failed", e.getMessage)
     }
     ExportReport(rows, errors.toSeq)
+  }
+
+  /** JDK stream codecs for the driver-streamed text formats. The upload
+    * byte stream is wrapped, not a temp file — compression is in-flight. */
+  private def wrapCodec(out: java.io.OutputStream,
+      codec: Option[String]): java.io.OutputStream = codec match {
+    case None => out
+    case Some("gzip") => new java.util.zip.GZIPOutputStream(out)
+    case Some("deflate") => new java.util.zip.DeflaterOutputStream(out)
+    case Some(other) => throw new IllegalArgumentException(
+      s"unsupported export codec '$other' (gzip, deflate)")
+  }
+
+  /** Deflater streams buffer internally; finish() flushes the trailer
+    * without closing the underlying store stream. */
+  private def finishCodec(out: java.io.OutputStream): Unit = out match {
+    case d: java.util.zip.DeflaterOutputStream => d.finish()
+    case _ => ()
   }
 
   /** RFC-4180 field escaping: quote when the value holds a comma, quote,

@@ -24,7 +24,8 @@ final case class IngestConfig(
     latest: Boolean = false,
     justCopy: Boolean = true,
     delete: Boolean = false,
-    skipRows: Int = 0)
+    skipRows: Int = 0,
+    encoding: Option[String] = None)
 
 /** What actually happened — the reference only exposes this via audit-log
   * rows (E1 swallows every exception, box_ingest.py:194-195); we keep the
@@ -97,7 +98,8 @@ object Ingest {
             extracted.foreach(processFile)
             return
           }
-          FormatReader.read(spark, path, conf.sheetName, conf.skipRows) match {
+          FormatReader.read(spark, path, conf.sheetName, conf.skipRows,
+              conf.encoding) match {
             case FormatReader.Unsupported(reason) =>
               log("Skipped file", s"$fname: $reason") // O9: log-and-skip
             case FormatReader.Parsed(raw0) =>

@@ -20,8 +20,15 @@ object FormatReader {
   final case class Parsed(df: DataFrame) extends ReadResult
   final case class Unsupported(reason: String) extends ReadResult
 
+  /** @param encoding charset for CSV sources (e.g. "ISO-8859-1" for a
+    *   latin-1 extract). Default UTF-8 — a DEVIATION from the reference,
+    *   whose pd.read_csv sniffs encodings heuristically; an explicit
+    *   charset beats a guess that silently mojibakes (FIXTURES.md). Other
+    *   formats carry their own encoding (JSON is UTF-8 by spec, xlsx XML
+    *   declares it, parquet/orc are binary). */
   def read(spark: SparkSession, file: Path,
-      sheetName: Option[String] = None, skipRows: Int = 0): ReadResult = {
+      sheetName: Option[String] = None, skipRows: Int = 0,
+      encoding: Option[String] = None): ReadResult = {
     val name = file.getFileName.toString.toLowerCase
     val ext = name.drop(name.lastIndexOf('.') + 1)
     ext match {
@@ -29,6 +36,7 @@ object FormatReader {
         Parsed(spark.read
           .option("header", true)
           .option("inferSchema", true)
+          .option("encoding", encoding.getOrElse("UTF-8"))
           .csv(file.toString))
       case "json" =>
         // The reference's pd.read_json (box_ingest.py:150-151) accepts

@@ -239,28 +239,47 @@ object Xlsx {
 
   // ------------------------------------------------------------- writer
 
-  /** Stream rows to a single-sheet xlsx. Strings become inline strings;
-    * numbers (Byte..Double, BigDecimal) become numeric cells; null =>
-    * empty cell; anything else (dates, timestamps) its toString — the
-    * export path renders query output, not typed spreadsheets
-    * (box_export.py:42-46 writes whatever pandas got back).
-    */
+  /** One sheet's content for [[writeSheets]]: name, header row, and a
+    * LAZY row source — materialized only when that sheet streams out, so
+    * a multi-sheet workbook holds one partition of one query at a time. */
+  final case class SheetSource(name: String, header: Seq[String],
+      rows: () => Iterator[Seq[Any]])
+
+  /** Stream rows to a single-sheet xlsx (the reference's surface —
+    * box_export.py:42-46 writes one sheet). See [[writeSheets]]. */
   def write(out: OutputStream, sheetName: String, header: Seq[String],
-      rows: Iterator[Seq[Any]]): Unit = {
+      rows: Iterator[Seq[Any]]): Unit =
+    writeSheets(out, Seq(SheetSource(sheetName, header, () => rows)))
+
+  /** Stream a MULTI-SHEET xlsx. Strings become inline strings; numbers
+    * (Byte..Double, BigDecimal) become numeric cells; null => empty
+    * cell; anything else (dates, timestamps) its toString — the export
+    * path renders query output, not typed spreadsheets. Sheets are
+    * written in order, each row source opened lazily as its sheet
+    * begins (driver memory stays one-partition-sized per sheet).
+    */
+  def writeSheets(out: OutputStream, sheets: Seq[SheetSource]): Unit = {
+    require(sheets.nonEmpty, "xlsx needs at least one sheet")
+    require(sheets.map(_.name).distinct.length == sheets.length,
+      s"duplicate sheet names: ${sheets.map(_.name).mkString(", ")}")
     val z = new ZipOutputStream(out, StandardCharsets.UTF_8)
     def part(name: String, body: String): Unit = {
       z.putNextEntry(new ZipEntry(name))
       z.write(body.getBytes(StandardCharsets.UTF_8))
       z.closeEntry()
     }
+    val idx = sheets.indices.map(_ + 1) // 1-based sheet/rel ids
     part("[Content_Types].xml",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
         |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
         |<Default Extension="xml" ContentType="application/xml"/>
         |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
-        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
-        |</Types>""".stripMargin)
+        |""".stripMargin +
+      idx.map(i =>
+        s"""<Override PartName="/xl/worksheets/sheet$i.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""")
+        .mkString("\n") +
+      "\n</Types>")
     part("_rels/.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
@@ -269,54 +288,62 @@ object Xlsx {
     part("xl/workbook.xml",
       s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
          |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
-         |<sheets><sheet name="${escape(sheetName)}" sheetId="1" r:id="rId1"/></sheets>
-         |</workbook>""".stripMargin)
+         |<sheets>""".stripMargin +
+      sheets.zip(idx).map { case (s, i) =>
+        s"""<sheet name="${escape(s.name)}" sheetId="$i" r:id="rId$i"/>""" }
+        .mkString +
+      "</sheets>\n</workbook>")
     part("xl/_rels/workbook.xml.rels",
       """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
         |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
-        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
-        |</Relationships>""".stripMargin)
+        |""".stripMargin +
+      idx.map(i =>
+        s"""<Relationship Id="rId$i" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$i.xml"/>""")
+        .mkString("\n") +
+      "\n</Relationships>")
 
-    z.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-    val w = new java.io.BufferedWriter(
-      new java.io.OutputStreamWriter(z, StandardCharsets.UTF_8))
-    w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
-    w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
-    def writeRow(values: Seq[Any]): Unit = {
-      w.write("<row>")
-      values.foreach {
-        case null => w.write("<c/>")
-        case n: Byte => numCell(w, n.toString)
-        case n: Short => numCell(w, n.toString)
-        case n: Int => numCell(w, n.toString)
-        case n: Long => numCell(w, n.toString)
-        case n: Float => numCell(w, n.toString)
-        case n: Double => numCell(w, n.toString)
-        case n: java.math.BigDecimal => numCell(w, n.toPlainString)
-        case n: BigDecimal => numCell(w, n.bigDecimal.toPlainString)
-        case b: Boolean => w.write(s"""<c t="b"><v>${if (b) 1 else 0}</v></c>""")
-        case t: java.sql.Timestamp => // ISO, no trailing ".0" nanos
-          val s = t.toLocalDateTime.format(
-            java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-          w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
-        case d: java.sql.Date =>
-          w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
-        case i: java.time.Instant => // java8API.enabled sessions
-          val s = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
-            .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
-          w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
-        case d: java.time.LocalDate =>
-          w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
-        case v => w.write(
-          s"""<c t="inlineStr"><is><t xml:space="preserve">${escape(v.toString)}</t></is></c>""")
+    sheets.zip(idx).foreach { case (sheet, i) =>
+      z.putNextEntry(new ZipEntry(s"xl/worksheets/sheet$i.xml"))
+      val w = new java.io.BufferedWriter(
+        new java.io.OutputStreamWriter(z, StandardCharsets.UTF_8))
+      w.write("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
+      w.write("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      def writeRow(values: Seq[Any]): Unit = {
+        w.write("<row>")
+        values.foreach {
+          case null => w.write("<c/>")
+          case n: Byte => numCell(w, n.toString)
+          case n: Short => numCell(w, n.toString)
+          case n: Int => numCell(w, n.toString)
+          case n: Long => numCell(w, n.toString)
+          case n: Float => numCell(w, n.toString)
+          case n: Double => numCell(w, n.toString)
+          case n: java.math.BigDecimal => numCell(w, n.toPlainString)
+          case n: BigDecimal => numCell(w, n.bigDecimal.toPlainString)
+          case b: Boolean => w.write(s"""<c t="b"><v>${if (b) 1 else 0}</v></c>""")
+          case t: java.sql.Timestamp => // ISO, no trailing ".0" nanos
+            val s = t.toLocalDateTime.format(
+              java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+            w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
+          case d: java.sql.Date =>
+            w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
+          case i: java.time.Instant => // java8API.enabled sessions
+            val s = java.time.LocalDateTime.ofInstant(i, java.time.ZoneOffset.UTC)
+              .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+            w.write(s"""<c t="inlineStr"><is><t>$s</t></is></c>""")
+          case d: java.time.LocalDate =>
+            w.write(s"""<c t="inlineStr"><is><t>$d</t></is></c>""")
+          case v => w.write(
+            s"""<c t="inlineStr"><is><t xml:space="preserve">${escape(v.toString)}</t></is></c>""")
+        }
+        w.write("</row>")
       }
-      w.write("</row>")
+      writeRow(sheet.header)
+      sheet.rows().foreach(writeRow)
+      w.write("</sheetData></worksheet>")
+      w.flush()
+      z.closeEntry()
     }
-    writeRow(header)
-    rows.foreach(writeRow)
-    w.write("</sheetData></worksheet>")
-    w.flush()
-    z.closeEntry()
     z.finish()
   }
 

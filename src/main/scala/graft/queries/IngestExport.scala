@@ -122,6 +122,65 @@ object IngestExportQueries {
       | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Gzip-compressed CSV export: the codec wraps the upload stream
+    * in-flight; Spark's CSV scan decompresses *.gz transparently on the
+    * read-back, so the whole compressed round trip is inside the gate. */
+  def exportCsvGzipE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    Tables.customer(s, d).createOrReplaceTempView("customer_v")
+    val outDir = Files.createTempDirectory("graft_e5_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT c_mktsegment, count(*) AS n,
+                |CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM customer_v GROUP BY c_mktsegment""".stripMargin,
+      folder = outDir.toString, fileName = "out.csv.gz",
+      format = ExportFormat.Csv, codec = Some("gzip"),
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok, s"export errors: ${report.errors.mkString("; ")}")
+    val bytes = Files.readAllBytes(outDir.resolve("out.csv.gz"))
+    require(bytes.length >= 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte,
+      "artifact is not gzip")
+    s.read.option("header", true).option("inferSchema", true)
+      .csv(outDir.resolve("out.csv.gz").toString)
+      .select(col("c_mktsegment"), col("n").cast(LongType).as("n"), col("total"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Multi-sheet xlsx export: main sheet + an extraSheets query, each
+    * read back by name through the engine's own xlsx reader. The gate
+    * result unions both sheets (tagged) so either sheet regressing
+    * breaks the hash. */
+  def exportXlsxSheetsE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    Tables.nation(s, d).createOrReplaceTempView("nation_v")
+    Tables.region(s, d).createOrReplaceTempView("region_v")
+    val outDir = Files.createTempDirectory("graft_e6_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = "SELECT n_name AS name FROM nation_v",
+      folder = outDir.toString, fileName = "out.xlsx", sheetName = "nations",
+      extraSheets = Seq("regions" -> "SELECT r_name AS name FROM region_v"),
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok, s"export errors: ${report.errors.mkString("; ")}")
+    def sheet(nm: String): DataFrame = {
+      val rows = Xlsx.read(outDir.resolve("out.xlsx"), Some(nm), 0)
+      val header = rows.head.map(_.getOrElse(""))
+      val data = rows.tail.map(r => Row.fromSeq(r.map(_.orNull)))
+      s.createDataFrame(data.asJava,
+        StructType(header.map(h => StructField(h, StringType))))
+        .select(lit(nm).as("sheet"), col("name"))
+    }
+    sheet("nations").union(sheet("regions")).orderBy("sheet", "name")
+  }
+
+  private val exportXlsxSheetsOracle =
+    """SELECT 'nations' AS sheet, n_name AS name FROM nation
+      |UNION ALL
+      |SELECT 'regions' AS sheet, r_name AS name FROM region
+      |ORDER BY sheet, name""".stripMargin
+
   /** Parquet export: Spark's writer produces the artifact (typed columns
     * survive exactly — no text round-trip), uploaded by name. */
   def exportParquetE2e(s: SparkSession, d: String): DataFrame = {
@@ -247,6 +306,38 @@ object IngestExportQueries {
     require(!Files.exists(zipPath), "O24: source zip should be deleted")
     s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
+
+  /** Latin-1 CSV ingest with an explicit encoding (the FIXTURES.md
+    * deviation from pandas' sniffing): names carry an 'é' (0xE9 in
+    * ISO-8859-1, NOT valid UTF-8), written as latin-1 bytes and ingested
+    * with encoding=ISO-8859-1. The oracle regenerates the same strings
+    * from the nation table — a mojibaked ingest hash-mismatches. */
+  def ingestLatin1E2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i9_")
+    val nat = Tables.nation(s, d).orderBy("n_nationkey").collect()
+    val lines = "n_nationkey,n_name" +:
+      nat.toSeq.map(r => s"${r.get(0)},${r.get(1)}é")
+    Files.write(tmp.resolve("nations_latin1.csv"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+
+    val ref = TableRef("graft", "verify", "i9_nation")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.csv",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("n_nationkey" -> "int", "n_name" -> "string"),
+        nonNullableFields = Seq("n_nationkey"))),
+      justCopy = false, encoding = Some("ISO-8859-1")))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("n_nationkey")
+  }
+
+  private val ingestLatin1Oracle =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+      | n_name || 'é' AS n_name
+      |FROM nation ORDER BY n_nationkey""".stripMargin
 
   // ------------------------- xlsx scan (O8: sheet + skiprows) ingest
 
@@ -462,9 +553,12 @@ object IngestExportQueries {
     QueryDef("i6_ingest_json_columns_e2e", ingestJsonColumnsE2e, Some(ingestXlsxOracle)),
     QueryDef("i7_ingest_parquet_e2e", ingestParquetE2e, Some(ingestParquetOracle)),
     QueryDef("i8_ingest_orc_e2e", ingestOrcE2e, Some(ingestOrcOracle)),
+    QueryDef("i9_ingest_latin1_e2e", ingestLatin1E2e, Some(ingestLatin1Oracle)),
     QueryDef("a1_audit_log_e2e", auditLogE2e, Some(auditOracle)),
     QueryDef("e1_export_xlsx_e2e", exportXlsxE2e, Some(exportOracle)),
     QueryDef("e2_export_csv_e2e", exportCsvE2e, Some(exportCsvOracle)),
     QueryDef("e3_export_parquet_e2e", exportParquetE2e, Some(exportParquetOracle)),
-    QueryDef("e4_export_jsonl_e2e", exportJsonlE2e, Some(exportJsonlOracle)))
+    QueryDef("e4_export_jsonl_e2e", exportJsonlE2e, Some(exportJsonlOracle)),
+    QueryDef("e5_export_csv_gzip_e2e", exportCsvGzipE2e, Some(exportCsvOracle)),
+    QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)))
 }

@@ -189,6 +189,63 @@ class IngestExportSpec extends AnyFunSuite {
       Seq("plain", "has,comma", "has \"quote\"", "multi\nline", null))
   }
 
+  test("export csv/jsonl with gzip codec: compressed bytes, Spark reads them back") {
+    import spark.implicits._
+    Seq((1L, "alpha"), (2L, "has,comma"), (3L, "plain"))
+      .toDF("id", "s").createOrReplaceTempView("gz_src")
+    val dir = Files.createTempDirectory("exp_gz_")
+    val rc = Export.execute(ExportConfig(
+      "tester", "SELECT id, s FROM gz_src ORDER BY id",
+      dir.toString, "res.csv.gz", format = ExportFormat.Csv,
+      codec = Some("gzip"), logTable = TableRef("t", "est", "expgz")))
+    assert(rc.ok && rc.rows === 3)
+    val magic = Files.readAllBytes(dir.resolve("res.csv.gz")).take(2)
+    assert(magic(0) == 0x1f.toByte && magic(1) == 0x8b.toByte, "gzip magic bytes")
+    // Spark's csv reader decompresses .gz transparently
+    val backCsv = spark.read.option("header", true).option("escape", "\"")
+      .csv(dir.resolve("res.csv.gz").toString).orderBy("id").collect()
+    assert(backCsv.map(_.getString(1)).toSeq === Seq("alpha", "has,comma", "plain"))
+
+    val rj = Export.execute(ExportConfig(
+      "tester", "SELECT id, s FROM gz_src ORDER BY id",
+      dir.toString, "res.jsonl.gz", format = ExportFormat.JsonLines,
+      codec = Some("gzip"), logTable = TableRef("t", "est", "expgz")))
+    assert(rj.ok && rj.rows === 3)
+    val backJson = spark.read.json(dir.resolve("res.jsonl.gz").toString)
+      .orderBy("id").collect()
+    assert(backJson.map(_.getString(1)).toSeq === Seq("alpha", "has,comma", "plain"))
+  }
+
+  test("export xlsx with extra sheets: two-sheet roundtrip via the reader") {
+    spark.range(3).selectExpr("id", "concat('a', id) AS s")
+      .createOrReplaceTempView("ms_main")
+    spark.range(2).selectExpr("id * 10 AS k").createOrReplaceTempView("ms_extra")
+    val dir = Files.createTempDirectory("exp_ms_")
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT id, s FROM ms_main ORDER BY id",
+      dir.toString, "res.xlsx", sheetName = "main",
+      extraSheets = Seq("extra" -> "SELECT k FROM ms_extra ORDER BY k"),
+      logTable = TableRef("t", "est", "expms")))
+    assert(r.ok && r.rows === 5, r.errors.mkString("; "))
+    val main = Xlsx.read(dir.resolve("res.xlsx"), Some("main"), 0)
+    assert(main.head === Seq(Some("id"), Some("s")) && main.size === 4)
+    assert(main(2) === Seq(Some("1"), Some("a1")))
+    val extra = Xlsx.read(dir.resolve("res.xlsx"), Some("extra"), 0)
+    assert(extra === Seq(Seq(Some("k")), Seq(Some("0")), Seq(Some("10"))))
+    // default sheet pick (first in workbook order) is the main sheet
+    assert(Xlsx.read(dir.resolve("res.xlsx"), None, 0).head ===
+      Seq(Some("id"), Some("s")))
+  }
+
+  test("export xlsx rejects duplicate sheet names (report, not throw)") {
+    spark.range(1).createOrReplaceTempView("dup_src")
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT * FROM dup_src", Files.createTempDirectory("expd_").toString,
+      "x.xlsx", sheetName = "s1", extraSheets = Seq("s1" -> "SELECT * FROM dup_src"),
+      logTable = TableRef("t", "est", "expd")))
+    assert(!r.ok && r.errors.exists(_.contains("duplicate sheet")))
+  }
+
   test("export failure is swallowed into the report (E2 semantics)") {
     val r = Export.execute(ExportConfig(
       "tester", "SELECT * FROM table_that_does_not_exist",

@@ -117,6 +117,28 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("FormatReader: latin-1 CSV ingests byte-correct with an explicit encoding") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("fr_enc_")
+    val f = dir.resolve("latin1.csv")
+    // café / Müller in ISO-8859-1: 0xE9 and 0xFC are NOT valid UTF-8
+    Files.write(f, "id,name\n1,café\n2,Müller\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val explicit = FormatReader.read(spark, f, encoding = Some("ISO-8859-1")) match {
+      case FormatReader.Parsed(df) =>
+        df.orderBy("id").collect().map(_.getString(1)).toSeq
+      case other => fail(s"$other")
+    }
+    assert(explicit === Seq("café", "Müller"))
+    // the UTF-8 default mangles the high bytes — the documented deviation
+    val default = FormatReader.read(spark, f) match {
+      case FormatReader.Parsed(df) =>
+        df.orderBy("id").collect().map(_.getString(1)).toSeq
+      case other => fail(s"$other")
+    }
+    assert(default !== explicit, "UTF-8 default cannot decode latin-1 high bytes")
+  }
+
   test("FormatReader.sniffJson: array / lines / columns shapes") {
     val dir = Files.createTempDirectory("fr_sniff_")
     def w(n: String, body: String) = {
