@@ -28,15 +28,17 @@ object Bench {
     val benchDefs = Registry.all.filter(q =>
       only.map(_.contains(q.name)).getOrElse(q.bench))
     // One warm-up pass (JIT + codegen cache + file-footer cache), then the
-    // minimum of two timed runs per query: single-shot timings on a shared
-    // box swing ±25% from GC/JIT noise; min-of-N is the standard estimator
-    // of a query's achievable latency.
+    // minimum of three timed runs per query: single-shot timings on a
+    // shared box swing ±25% from GC/JIT noise — and the round-5 official
+    // record was 63% inflated by CONCURRENT test load — so min-of-N is
+    // the estimator of achievable latency, and the bench must run with
+    // nothing else executing on the box (SURVEY "Bench protocol").
     benchDefs.foreach { q =>
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
     val results = benchDefs.map { q =>
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable =>
