@@ -118,4 +118,60 @@ object Scale {
   def bucketedJoin(
       spark: SparkSession, a: TableRef, b: TableRef, key: String): DataFrame =
     spark.table(a.qualified).join(spark.table(b.qualified), Seq(key))
+
+  // ------------------------------------------------ bloom join pruning
+
+  import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+  import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+  import org.apache.spark.sql.types.BinaryType
+
+  /** Serialized bloom filter over `xxhash64(key)`, built DISTRIBUTED with
+    * Spark's native `BloomFilterAggregate` (the same sketch the planner's
+    * runtime row-level filtering uses): each task folds its rows into a
+    * local filter, partials merge by bitwise OR, and only the final
+    * KB–MB-sized bitset reaches the driver — never data rows.
+    *
+    * Sizing: ~0.72·bits/item per 10^-k fpp decade (3% fpp ≈ 7.3
+    * bits/item), capped at `maxBits` (default 2^26 = 8 MiB serialized,
+    * matching Spark's own runtime-filter creation cap) because the blob
+    * rides into every probe task closure; past ~50M build keys the fpp
+    * degrades gracefully rather than the filter growing unbounded. */
+  def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double = 0.03, maxBits: Long = 1L << 26): Array[Byte] = {
+    require(expectedItems > 0, s"expectedItems=$expectedItems must be > 0")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of (0,1)")
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp),
+      maxBits)
+    val agg = new BloomFilterAggregate(
+      expression(xxhash64(key)), Literal(expectedItems), Literal(numBits))
+    df.select(column(agg.toAggregateExpression())).head().getAs[Array[Byte]](0)
+  }
+
+  /** Codegen'd membership probe against a [[keyBloom]] blob: true or a
+    * false positive at the filter's fpp, never a false negative. NULL
+    * keys probe to NULL (dropped by a WHERE — the inner-join semantics). */
+  def mightContainKey(bloom: Array[Byte], key: Column): Column =
+    column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), expression(xxhash64(key))))
+
+  /** Inner equi-join where the BIG side is pre-pruned by a bloom filter
+    * of the small side's keys — the 100 TB join pattern for a selective
+    * build side that is too large to broadcast (so the planner can't BHJ
+    * and semi-join pushdown doesn't apply). Probe-side rows that cannot
+    * match are dropped BEFORE the shuffle at scan speed; the join then
+    * removes the fpp false positives, so the result is EXACTLY the plain
+    * join at any fpp (the gate oracle replays the plain join).
+    *
+    * Inner/semi only: pruning the preserved side of an outer join would
+    * drop its unmatched rows. Build cost is one narrow aggregate over
+    * `small`; probe cost is a codegen'd hash per row. */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame,
+      bigKey: String, smallKey: String, expectedItems: Long,
+      fpp: Double = 0.03): DataFrame = {
+    val bloom = keyBloom(small, small(smallKey), expectedItems, fpp)
+    big.where(mightContainKey(bloom, big(bigKey)))
+      .join(small, big(bigKey) === small(smallKey))
+  }
 }

@@ -543,6 +543,31 @@ object ExtensionQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Bloom-pruned join: lineitem (big probe side) against the ~2% of
+    * orders over 400k total price (selective build side, "too big to
+    * broadcast" stand-in). The bloom prefilter drops non-matching
+    * lineitems before the shuffle; the join then removes the false
+    * positives, so the result replays the PLAIN join exactly — the
+    * oracle knows nothing about the filter. */
+  def bloomJoin(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+    val small = Tables.orders(s, d).where(col("o_totalprice") > 400000)
+    graft.ext.Scale.bloomPrunedJoin(
+        big, small, "l_orderkey", "o_orderkey", expectedItems = 10000)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+          .cast(DoubleType).as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val bloomJoinOracle =
+    """SELECT o_orderpriority, count(*) AS n_items,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_totalprice > 400000
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   // -------------------------------------------------------- streaming
 
   def sessionizeBatch(s: SparkSession, d: String): DataFrame =
@@ -626,5 +651,6 @@ object ExtensionQueries {
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
+    QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

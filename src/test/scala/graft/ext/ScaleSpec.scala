@@ -101,4 +101,39 @@ class ScaleSpec extends AnyFunSuite {
       assert(joined.count() > 0)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("bloomPrunedJoin: exact plain-join result, real pruning, codegen'd probe") {
+    import spark.implicits._
+    // 20k probe rows over 2k keys; build side keeps 50 keys — a selective
+    // join where ~97.5% of probe rows can be dropped before the shuffle.
+    // spark.range, not toDF: a LocalRelation would have the filter folded
+    // away eagerly by ConvertToLocalRelation and the plan assert below
+    // would see nothing
+    val big = spark.range(1, 20001)
+      .select((col("id") % 2000).as("bk"), col("id").as("v"))
+    val small = (0 until 2000 by 40).map(i => (i.toLong, s"dim$i")).toDF("sk", "name")
+    val plain = big.join(small, $"bk" === $"sk")
+      .select("bk", "v", "name").collect().map(_.toString).sorted
+    val pruned = Scale.bloomPrunedJoin(big, small, "bk", "sk", expectedItems = 50)
+      .select("bk", "v", "name")
+    assert(pruned.collect().map(_.toString).sorted === plain.toSeq,
+      "bloom pruning must never change the join result (fp rows die in the join)")
+    // the probe is Spark's native might_contain — codegen'd, no UDF
+    assert(pruned.queryExecution.executedPlan.toString.contains("might_contain"))
+    // effectiveness: the prefilter alone keeps close to the true 1/40
+    // match fraction (plus fpp), far below the full 20k
+    val bloom = Scale.keyBloom(small, small("sk"), expectedItems = 50)
+    val kept = big.where(Scale.mightContainKey(bloom, big("bk"))).count()
+    assert(kept >= 500 && kept < 3000, s"expected ~500 rows past the filter, got $kept")
+  }
+
+  test("bloomPrunedJoin: null probe keys are dropped, like the inner join") {
+    import spark.implicits._
+    val big = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b"))
+      .toDF("bk", "v")
+    val small = Seq((1L, "x"), (2L, "y")).toDF("sk", "name")
+    val got = Scale.bloomPrunedJoin(big, small, "bk", "sk", expectedItems = 10)
+      .select("v", "name").as[(String, String)].collect().sorted
+    assert(got.toSeq === Seq(("a", "x"), ("b", "y")))
+  }
 }
