@@ -125,6 +125,80 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** Deterministic weighted INTERLEAVE — the training-order mixing
+    * primitive: given integer mixing weights per source (e.g. web=3,
+    * code=2, books=1), assign every row an exact integer `mix_key` such
+    * that reading rows in `(mix_key, source, key)` order yields the
+    * sources interleaved in weight proportion (stride scheduling: source
+    * s occupies positions (2r−1)·L/w_s for r = 1,2,…, L = lcm of the
+    * weights — after any prefix of length t, each source has appeared
+    * w_s·t/W ± 1 times). Sources absent from `weights` are dropped.
+    *
+    * Within a source the order is the seeded content hash ([[bucketOf]])
+    * — a reproducible shuffle, so the interleave is also the corpus
+    * shuffle pass. Everything is exact integer arithmetic: the DuckDB
+    * gate oracle replays the full order.
+    *
+    * Scale shape: one shuffle+sort per source for the rank window; the
+    * consumer materializes the order with `orderBy(mix_key, …)`, which
+    * Spark executes as a range-partitioned sort (sampled boundaries, all
+    * partitions sort in parallel — no single-task global window
+    * anywhere). `mix_key` magnitude is bounded by 2·N·L: with L capped
+    * at 10^6 that leaves room for N up to ~4.6×10^12 rows in a Long. */
+  def weightedInterleave(df: DataFrame, source: Column, key: Column,
+      weights: Map[String, Int], seed: Long = 0L): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "weightedInterleave: weights must be positive (omit a source to drop it)")
+    Seq("src_rank", "mix_key").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"weightedInterleave: input already has a column named '$c'"))
+    val lcmAll = weights.values.map(BigInt(_)).reduce((a, b) => a * b / a.gcd(b))
+    require(lcmAll <= 1000000L,
+      s"weightedInterleave: lcm of weights is $lcmAll (> 1e6); use smaller coprime weights")
+    val strides = weights.map { case (s, wt) => s -> (lcmAll.toLong / wt) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(source).orderBy(bucketOf(key, seed).asc, key.asc)
+    val stride = strides.tail.foldLeft(lit(strides.head._2)) {
+      case (acc, (s, st)) => when(source === lit(s), lit(st)).otherwise(acc)
+    }
+    df.where(source.isin(weights.keys.toSeq.map(x => x: Any): _*))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_key", (lit(2L) * col("src_rank") - lit(1L)) * stride)
+  }
+
+  /** Per-stratum TOKEN-BUDGET sampling — corpora are budgeted in tokens,
+    * not documents: within each stratum, rows are taken in seeded-hash
+    * order ([[bucketOf]], reproducible) while the running `tokens` total
+    * stays within the stratum's budget (inclusive: a row is kept iff the
+    * cumulative sum THROUGH it is ≤ budget). Deterministic membership,
+    * exact-replayable by the gate oracle's cumulative-sum window.
+    *
+    * Scale shape: one shuffle on the stratum + an in-partition running
+    * sum. Unlike [[quotaSample]] there is no WindowGroupLimit pushdown —
+    * a prefix sum must see every row of the stratum — so a dominant
+    * stratum costs a full sort of its rows; when budgets are far below
+    * stratum size, pre-thin with [[quotaSample]] at quota ≈
+    * budget/min_tokens_per_row first (same hash order, so the prefix is
+    * identical), then budget-cut the survivors. */
+  def tokenBudgetSample(df: DataFrame, stratum: Column, key: Column,
+      tokens: Column, budgets: Map[String, Long], defaultBudget: Long = 0L,
+      seed: Long = 0L): DataFrame = {
+    require(defaultBudget >= 0 && budgets.values.forall(_ >= 0),
+      "tokenBudgetSample: budgets must be >= 0")
+    require(!df.columns.contains("__cum"),
+      "tokenBudgetSample: input already has a column named '__cum' (scratch name); rename it first")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(stratum).orderBy(bucketOf(key, seed).asc, key.asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val b = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (s, v)) => when(stratum === lit(s), lit(v)).otherwise(acc)
+    }
+    df.withColumn("__cum", sum(tokens).over(w))
+      .where(col("__cum") <= b)
+      .drop("__cum")
+  }
+
   /** Label every row `train` or `test` by the hash of `groupKey` — all
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can

@@ -193,6 +193,63 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** BM25 top-k document retrieval for a bag-of-terms query (k1 = 1.2,
+    * b = 0.75 — the Robertson/Okapi defaults). Scoring is EXACT rational
+    * arithmetic scaled to an integer, for the same reason as
+    * [[tfidfTopTerms]]: float BM25 differs at the ulp between engines.
+    * With k1 = 6/5 and b = 3/4, per matched (doc, term):
+    *
+    *   tfPart = (11/5·tf) / (tf + 3/10 + 9/10·dl·N/T)
+    *          = 22·tf·T / (10·T·tf + 3·T + 9·dl·N)   (×10T throughout)
+    *   idf    = (N − df + 1/2) / (df + 1/2)          (linear: the LOG of
+    *            the classic idf is float-unstable cross-engine; the
+    *            linear form keeps the same "rarer ⇒ bigger" signal)
+    *          = (2·(N − df) + 1) / (2·df + 1)        (×2 throughout)
+    *   score  = 10^6 · tfPart · idf, floor-divided as DECIMAL(38,0)
+    *
+    * where dl = doc token count, N = docs with ≥1 token, T = corpus
+    * token count. Doc score = integer sum over matched query terms.
+    *
+    * Plan: tokenize+explode → (doc, term, tf) agg (shuffle 1) → dl as a
+    * sum window per doc (shuffle 2) → FILTER to query terms (everything
+    * after is query-sized) → df count window per term → corpus scalars
+    * via broadcast cross join → per-doc sum + top-k, which plans as
+    * TakeOrderedAndProject — no global sort. */
+  def bm25Search(df: DataFrame, text: String, id: String,
+      query: Seq[String], k: Int = 10): DataFrame = {
+    require(query.nonEmpty, "bm25Search: query must be non-empty")
+    val dec = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    val tf = df.select(col(id), explode(toks).as("term"))
+      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
+    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val corpus = tf.groupBy().agg(
+      countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
+    val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
+    tf
+      .withColumn("dl", sum(col("tf")).over(wDoc))
+      .where(col("term").isin(qs: _*))
+      .withColumn("df", count(lit(1)).over(wTerm))
+      .crossJoin(broadcast(corpus))
+      .withColumn("num",
+        d(lit(22000000L)) * d(col("tf")) * d(col("n_toks")) *
+          (d(lit(2)) * (d(col("n_docs")) - d(col("df"))) + d(lit(1))))
+      .withColumn("den",
+        (d(lit(10)) * d(col("n_toks")) * d(col("tf")) +
+          d(lit(3)) * d(col("n_toks")) +
+          d(lit(9)) * d(col("dl")) * d(col("n_docs"))) *
+          (d(lit(2)) * d(col("df")) + d(lit(1))))
+      .withColumn("term_score", expr("num div den"))
+      .groupBy(col(id))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .orderBy(col("score").desc, col(id).asc)
+      .limit(k)
+      .select(col(id), col("score").cast(LongType).as("score"), col("n_terms"))
+  }
+
   // ------------------------------------------------- boilerplate removal
 
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate

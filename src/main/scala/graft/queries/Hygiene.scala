@@ -259,11 +259,47 @@ object HygieneQueries {
       | CAST(score AS BIGINT) AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ---------------------------------------------------------------- bm25
+
+  /** BM25 top-10 documents for the query {spark, hash, join} (exact
+    * rational scoring — see TextAnalysis.bm25Search). */
+  def bm25(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
+      query = Seq("spark", "hash", "join"), k = 10)
+
+  private val bm25Oracle =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
+      | FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dld AS (
+      | SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+      | FROM tf),
+      |c AS (
+      | SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n,
+      |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+      |q AS (
+      | SELECT doc_id, term, CAST(tf AS HUGEINT) AS tf,
+      |        CAST(dl AS HUGEINT) AS dl,
+      |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+      | FROM dld WHERE term IN ('spark', 'hash', 'join')),
+      |s AS (
+      | SELECT doc_id,
+      |  (22000000 * tf * t * (2 * (n - df) + 1))
+      |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+      | FROM q, c)
+      |SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,
+      | count(*) AS n_terms
+      |FROM s GROUP BY doc_id
+      |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),
-    QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)))
+    QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
+    QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)))
 }

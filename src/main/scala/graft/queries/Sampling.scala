@@ -109,11 +109,62 @@ object SamplingQueries {
       |             WHEN 'fr' THEN 15 ELSE 10 END)
       |ORDER BY doc_id""".stripMargin
 
+  /** Weighted training-order interleave over documents: en:de:fr = 3:2:1
+    * (other languages dropped). First 120 positions of the global mix
+    * order — the full (mix_key, lang, doc_id) order is replayed. */
+  def weightedInterleave(s: SparkSession, d: String): DataFrame =
+    Sampling.weightedInterleave(Tables.documents(s, d),
+        col("lang"), col("doc_id"), weights = Map("en" -> 3, "de" -> 2, "fr" -> 1))
+      .select(col("doc_id"), col("lang"), col("src_rank"), col("mix_key"))
+      .orderBy(col("mix_key"), col("lang"), col("doc_id"))
+      .limit(120)
+
+  private val interleaveOracle =
+    """WITH r AS (
+      | SELECT doc_id, lang,
+      |  row_number() OVER (PARTITION BY lang
+      |   ORDER BY ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647)
+      |             + 0) % 2147483647, doc_id) AS src_rank
+      | FROM documents WHERE lang IN ('en', 'de', 'fr'))
+      |SELECT doc_id, lang, CAST(src_rank AS BIGINT) AS src_rank,
+      | CAST((2 * src_rank - 1) * (CASE lang WHEN 'en' THEN 2
+      |   WHEN 'de' THEN 3 WHEN 'fr' THEN 6 END) AS BIGINT) AS mix_key
+      |FROM r ORDER BY mix_key, lang, doc_id LIMIT 120""".stripMargin
+
+  /** Per-language character budgets over documents (n_chars as the token
+    * stand-in): rows taken in seeded-hash order until the running total
+    * would exceed the budget. Exact membership replay. */
+  def tokenBudget(s: SparkSession, d: String): DataFrame =
+    Sampling.tokenBudgetSample(Tables.documents(s, d),
+        col("lang"), col("doc_id"), col("n_chars"),
+        budgets = Map("en" -> 50000L, "de" -> 20000L, "fr" -> 10000L),
+        defaultBudget = 5000L, seed = 5L)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars_kept"))
+      .orderBy("lang")
+
+  private val tokenBudgetOracle =
+    """WITH c AS (
+      | SELECT lang, doc_id, n_chars,
+      |  sum(n_chars) OVER (PARTITION BY lang
+      |   ORDER BY ((doc_id % 2147483647) * ((2654435761 * 6) % 2147483647)
+      |             + 5) % 2147483647, doc_id
+      |   ROWS UNBOUNDED PRECEDING) AS cum
+      | FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS n_chars_kept
+      |FROM c
+      |WHERE cum <= (CASE lang WHEN 'en' THEN 50000 WHEN 'de' THEN 20000
+      |              WHEN 'fr' THEN 10000 ELSE 5000 END)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
     QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),
     QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)),
     QueryDef("sm4_weighted_sample", weightedSample, Some(weightedOracle)),
     QueryDef("sm5_exact_k_sample", exactKSample, Some(exactKOracle)),
-    QueryDef("sm6_quota_sample", quotaSample, Some(quotaOracle)))
+    QueryDef("sm6_quota_sample", quotaSample, Some(quotaOracle)),
+    QueryDef("sm7_weighted_interleave", weightedInterleave, Some(interleaveOracle)),
+    QueryDef("sm8_token_budget", tokenBudget, Some(tokenBudgetOracle)))
 }

@@ -122,4 +122,23 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(3L).getAs[Boolean]("has_pii") === false)
     assert(got(3L).getAs[String]("redacted_text") === "clean text no pii")
   }
+
+  test("bm25Search: hand-computed exact rational scores") {
+    // doc 1 = "a a b" (tf_a=2, dl=3), doc 2 = "a c" (tf_a=1, dl=2);
+    // N=2, T=5, query {a} with df=2:
+    //   doc1: 22e6*2*5*1 // ((10*5*2 + 3*5 + 9*3*2) * 5) = 2.2e8 // 845  = 260355
+    //   doc2: 22e6*1*5*1 // ((10*5*1 + 3*5 + 9*2*2) * 5) = 1.1e8 // 505  = 217821
+    val df = Seq((1L, "a A b"), (2L, "a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25Search(df, "text", "doc_id", Seq("a"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 260355L, 1L), (2L, 217821L, 1L)))
+  }
+
+  test("bm25Search: top-k plans as TakeOrderedAndProject, no global sort") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+    val plan = TextAnalysis.bm25Search(docs, "text", "doc_id",
+        Seq("spark", "join"), k = 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }

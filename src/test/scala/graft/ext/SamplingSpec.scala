@@ -110,4 +110,70 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("__rn"))
   }
+
+  test("weightedInterleave: every prefix holds weight proportions within ±1 per source") {
+    // stride scheduling's guarantee: after t positions, source s has
+    // appeared floor/ceil of w_s*t/W — never drifts further
+    val df = ((1 to 300).map(i => ("a", i.toLong)) ++
+      (1 to 300).map(i => ("b", 1000L + i)) ++
+      (1 to 300).map(i => ("c", 2000L + i))).toDF("src", "id")
+    val weights = Map("a" -> 3, "b" -> 2, "c" -> 1)
+    val ordered = Sampling.weightedInterleave(df, col("src"), col("id"), weights)
+      .orderBy(col("mix_key"), col("src"), col("id"))
+      .select("src").collect().map(_.getString(0))
+    val wTot = weights.values.sum
+    for (t <- Seq(6, 12, 60, 120, 300)) {
+      val counts = ordered.take(t).groupBy(identity).view.mapValues(_.length)
+      weights.foreach { case (s, w) =>
+        val expect = w.toDouble * t / wTot
+        val got = counts.getOrElse(s, 0)
+        assert(math.abs(got - expect) <= 1.0,
+          s"prefix $t: source $s appeared $got times, expected ~$expect")
+      }
+    }
+  }
+
+  test("weightedInterleave: order is layout-independent and drops unlisted sources") {
+    val df = ((1 to 100).map(i => ("a", i.toLong)) ++
+      (1 to 50).map(i => ("b", 500L + i)) ++
+      (1 to 30).map(i => ("z", 900L + i))).toDF("src", "id")
+    def orderOf(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedInterleave(d, col("src"), col("id"), Map("a" -> 2, "b" -> 1))
+        .orderBy("mix_key", "src", "id").select("src", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val o1 = orderOf(df.repartition(13))
+    val o2 = orderOf(df.repartition(3))
+    assert(o1 === o2, "mix order must not depend on physical layout")
+    assert(!o1.exists(_._1 == "z"), "sources without a weight are dropped")
+  }
+
+  test("tokenBudgetSample: inclusive running-total cut, deterministic order") {
+    // stratum x: rows in hash order with sizes; budget cuts where the
+    // cumulative sum first exceeds it
+    val df = (1 to 20).map(i => ("x", i.toLong, 10L)).toDF("s", "id", "toks")
+    val kept = Sampling.tokenBudgetSample(df, col("s"), col("id"), col("toks"),
+        budgets = Map("x" -> 55L))
+      .collect()
+    // every row is 10 tokens: cum 10,20,30,40,50,60... → exactly 5 rows ≤ 55
+    assert(kept.length === 5)
+    // and the KEPT rows are the first 5 in the seeded hash order
+    val order = df.select(col("id"))
+      .withColumn("h", Sampling.bucketOf(col("id"), 0L))
+      .orderBy("h", "id").limit(5).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(kept.map(_.getLong(1)).toSet === order)
+  }
+
+  test("tokenBudgetSample: zero default budget drops unlisted strata; scratch guard") {
+    val df = Seq(("x", 1L, 5L), ("y", 2L, 5L)).toDF("s", "id", "toks")
+    val got = Sampling.tokenBudgetSample(df, col("s"), col("id"), col("toks"),
+        budgets = Map("x" -> 100L))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === Seq("x"))
+    val bad = Seq(("x", 1L, 5L, 0L)).toDF("s", "id", "toks", "__cum")
+    val e = intercept[IllegalArgumentException] {
+      Sampling.tokenBudgetSample(bad, col("s"), col("id"), col("toks"), Map("x" -> 1L))
+    }
+    assert(e.getMessage.contains("__cum"))
+  }
 }
