@@ -156,6 +156,67 @@ object Scale {
     column(BloomFilterMightContain(
       Literal(bloom, BinaryType), expression(xxhash64(key))))
 
+  // ------------------------------------------------ z-order clustering
+
+  /** Morton (Z-order) value over integer dimensions: each value is
+    * linearly bucketed into [0, 2^bits) against its column's [min, max],
+    * and the bucket bits are interleaved (dimension j contributes bit i
+    * at position i·c + (c−1−j)). Pure integer arithmetic — deterministic
+    * and exactly replayable in ANSI SQL bit operators; built from
+    * shiftright/AND/shiftleft Column primitives so it stays inside
+    * whole-stage codegen. NULLs bucket to 0 (sort first). */
+  def zValueOf(cols: Seq[Column], mins: Seq[Long], maxs: Seq[Long],
+      bits: Int): Column = {
+    val c = cols.length
+    require(c >= 2, "zValueOf: need at least 2 dimensions")
+    require(mins.length == c && maxs.length == c, "zValueOf: mins/maxs arity")
+    require(bits >= 1 && bits * c <= 62, s"zValueOf: bits*cols = ${bits * c} > 62")
+    mins.zip(maxs).foreach { case (m, x) => require(m <= x, s"zValueOf: min $m > max $x") }
+    val buckets = cols.zipWithIndex.map { case (col0, j) =>
+      val range = maxs(j) - mins(j) + 1
+      require(range <= (Long.MaxValue >> bits),
+        s"zValueOf: range $range of dim $j overflows at $bits bits")
+      // floor((v - min) * 2^bits / range), clamped via coalesce for nulls
+      (coalesce(col0.cast("long"), lit(mins(j))) - lit(mins(j))) *
+        lit(1L << bits) / lit(range)
+    }
+    val terms = for {
+      j <- 0 until c
+      i <- 0 until bits
+    } yield shiftleft(shiftright(buckets(j), i).bitwiseAND(lit(1L)), i * c + (c - 1 - j))
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Z-order clustering for multi-dimensional range pruning — the data
+    * LAYOUT operator: sorting 100 TB by (a, b) lexicographically makes
+    * predicates on `b` alone touch every file; sorting by the Morton
+    * value keeps both dimensions locally clustered, so a range predicate
+    * on EITHER column prunes ~sqrt-fraction of the files via parquet
+    * min/max stats.
+    *
+    * Plan shape: one metadata-sized min/max aggregate to the driver
+    * (scalars only, never rows), a narrow codegen'd z-value projection,
+    * then `repartitionByRange` + in-partition sort on it — Spark samples
+    * the range boundaries distributed; no global single-task sort. Write
+    * the result with the parquet sink to materialize the layout. */
+  def zOrderBy(df: DataFrame, zCols: Seq[String], bits: Int = 16,
+      numPartitions: Option[Int] = None): DataFrame = {
+    require(zCols.nonEmpty, "zOrderBy: no columns")
+    require(!df.columns.exists(_.equalsIgnoreCase("z_value")),
+      "zOrderBy: input already has a column named 'z_value'")
+    val aggs = zCols.flatMap(n =>
+      Seq(min(col(n).cast("long")).as(s"mn_$n"), max(col(n).cast("long")).as(s"mx_$n")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val mins = zCols.indices.map(i => row.getLong(2 * i)).toSeq
+    val maxs = zCols.indices.map(i => row.getLong(2 * i + 1)).toSeq
+    val withZ = df.withColumn("z_value",
+      zValueOf(zCols.map(col), mins, maxs, bits))
+    val parted = numPartitions
+      .map(n => withZ.repartitionByRange(n, col("z_value")))
+      .getOrElse(withZ.repartitionByRange(col("z_value")))
+    parted.sortWithinPartitions("z_value")
+  }
+
   /** Inner equi-join where the BIG side is pre-pruned by a bloom filter
     * of the small side's keys — the 100 TB join pattern for a selective
     * build side that is too large to broadcast (so the planner can't BHJ

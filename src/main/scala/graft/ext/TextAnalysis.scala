@@ -250,6 +250,29 @@ object TextAnalysis {
       .select(col(id), col("score").cast(LongType).as("score"), col("n_terms"))
   }
 
+  /** Strip HTML/markup down to visible text (the C4/CommonCrawl-style
+    * pre-clean): drop <script>/<style> blocks wholesale, remove all
+    * remaining tags, single-decode the six ubiquitous entities (&amp;
+    * LAST, so "&amp;lt;" correctly yields "&lt;" and never
+    * double-decodes), then collapse whitespace. Every pattern is
+    * RE2-compatible (no backreferences) so the DuckDB oracle replays the
+    * transform byte-for-byte; all steps are codegen'd regexp_replace —
+    * narrow, shuffle-free, scan-speed at any corpus size. */
+  def htmlCleanCol(text: Column): Column = {
+    val noBlocks = regexp_replace(
+      regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " "),
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    val decoded = regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(regexp_replace(regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""),
+        "&#39;", "'"), "&nbsp;", " "), "&amp;", "&")
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  def htmlClean(df: DataFrame, text: String, id: String): DataFrame =
+    df.select(col(id), htmlCleanCol(col(text)).as("clean_text"))
+
   // ------------------------------------------------- boilerplate removal
 
   /** Cross-document line-level dedup (the C4/RefinedWeb boilerplate

@@ -543,6 +543,35 @@ object ExtensionQueries {
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Z-order clustering of orders on (o_custkey, o_orderkey): the gate
+    * replays the exact 16-bit-per-dim Morton value (data-derived
+    * min/max, integer bucketing, bit interleave) for the 100 smallest
+    * z-values. The SQL interleave terms are generated to mirror
+    * Scale.zValueOf's positions: dim 0 at odd bits, dim 1 at even. */
+  def zOrder(s: SparkSession, d: String): DataFrame =
+    graft.ext.Scale.zOrderBy(
+        Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey")),
+        Seq("o_custkey", "o_orderkey"), bits = 16, numPartitions = Some(8))
+      .orderBy(col("z_value"), col("o_orderkey"))
+      .limit(100)
+
+  private val zOrderOracle = {
+    val terms = (for {
+      (bcol, off) <- Seq(("b1", 1), ("b2", 0))
+      i <- 0 until 16
+    } yield s"((($bcol >> $i) & 1) << ${2 * i + off})").mkString(" | ")
+    s"""WITH mm AS (
+       | SELECT min(o_custkey) AS mn1, max(o_custkey) AS mx1,
+       |        min(o_orderkey) AS mn2, max(o_orderkey) AS mx2 FROM orders),
+       |b AS (
+       | SELECT o_orderkey, o_custkey,
+       |  CAST(o_custkey - mn1 AS BIGINT) * 65536 // (mx1 - mn1 + 1) AS b1,
+       |  CAST(o_orderkey - mn2 AS BIGINT) * 65536 // (mx2 - mn2 + 1) AS b2
+       | FROM orders, mm)
+       |SELECT o_orderkey, o_custkey, CAST($terms AS BIGINT) AS z_value
+       |FROM b ORDER BY z_value, o_orderkey LIMIT 100""".stripMargin
+  }
+
   /** Bloom-pruned join: lineitem (big probe side) against the ~2% of
     * orders over 400k total price (selective build side, "too big to
     * broadcast" stand-in). The bloom prefilter drops non-matching
@@ -652,5 +681,6 @@ object ExtensionQueries {
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
+    QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

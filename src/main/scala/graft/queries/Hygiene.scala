@@ -259,6 +259,48 @@ object HygieneQueries {
       | CAST(score AS BIGINT) AS score
       |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // ----------------------------------------------------------- html clean
+
+  /** Documents wrapped in deterministic markup (tags on all, a script
+    * block on every 3rd, entities on every 4th): the cleaner must
+    * recover the visible text byte-for-byte vs the DuckDB replay. */
+  def htmlClean(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(
+        lit("<html><BODY class=\"main\"><p>"), col("text"), lit("</p>"),
+        when(col("doc_id") % 3 === 0,
+          lit("<script type=\"text/javascript\">var x = 1 < 2;</script>"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0,
+          lit("<p>Tom &amp; Jerry say &quot;hi&quot; &#39;n&#39; wave &lt;here&gt;&nbsp;twice</p>"))
+          .otherwise(lit("")),
+        lit("</body></html>")).as("text"))
+    TextAnalysis.htmlClean(corpus, "text", "doc_id").orderBy("doc_id")
+  }
+
+  private val htmlCleanOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, '<html><BODY class="main"><p>' || text || '</p>'
+      |  || CASE WHEN doc_id % 3 = 0
+      |     THEN '<script type="text/javascript">var x = 1 < 2;</script>' ELSE '' END
+      |  || CASE WHEN doc_id % 4 = 0
+      |     THEN '<p>Tom &amp; Jerry say &quot;hi&quot; &#39;n&#39; wave &lt;here&gt;&nbsp;twice</p>'
+      |     ELSE '' END
+      |  || '</body></html>' AS text
+      | FROM documents)
+      |SELECT doc_id, trim(regexp_replace(
+      | regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |  regexp_replace(regexp_replace(regexp_replace(
+      |   regexp_replace(regexp_replace(text,
+      |    '(?is)<script[^>]*>.*?</script>', ' ', 'g'),
+      |    '(?is)<style[^>]*>.*?</style>', ' ', 'g'),
+      |   '(?s)<[^>]*>', ' ', 'g'),
+      |  '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'),
+      |  '&#39;', chr(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g'),
+      | '\s+', ' ', 'g')) AS clean_text
+      |FROM corpus ORDER BY doc_id""".stripMargin
+
   // ---------------------------------------------------------------- bm25
 
   /** BM25 top-10 documents for the query {spark, hash, join} (exact
@@ -301,5 +343,6 @@ object HygieneQueries {
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
-    QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)))
+    QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
+    QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)))
 }

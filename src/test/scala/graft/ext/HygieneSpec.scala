@@ -123,6 +123,23 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(3L).getAs[String]("redacted_text") === "clean text no pii")
   }
 
+  test("htmlClean: blocks die whole, tags strip, entities single-decode") {
+    val df = Seq(
+      (1L, "<p>Hello <b>world</b></p><script>if (a < b) alert('x');</script> bye"),
+      (2L, "Tom &amp; Jerry &amp;lt; &quot;quoted&quot;&nbsp;end"),
+      (3L, "<STYLE media=\"all\">p { color: red }</STYLE>plain"),
+      (4L, "no markup at all")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.htmlClean(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "Hello world bye",
+      "script block must vanish even though it contains an unescaped '<'")
+    // &amp;lt; decodes ONCE to &lt; — never twice to '<'
+    assert(got(2L) === "Tom & Jerry &lt; \"quoted\" end")
+    assert(got(3L) === "plain", "style block dies case-insensitively")
+    assert(got(4L) === "no markup at all")
+  }
+
   test("bm25Search: hand-computed exact rational scores") {
     // doc 1 = "a a b" (tf_a=2, dl=3), doc 2 = "a c" (tf_a=1, dl=2);
     // N=2, T=5, query {a} with df=2:

@@ -127,6 +127,47 @@ class ScaleSpec extends AnyFunSuite {
     assert(kept >= 500 && kept < 3000, s"expected ~500 rows past the filter, got $kept")
   }
 
+  test("zValueOf: hand-computed Morton codes at 2 bits") {
+    import spark.implicits._
+    // range [0,3] at 2 bits → bucket == value; dim 0 at odd bit
+    // positions, dim 1 at even: (x=3,y=1) → 0b1011 = 11; (x=1,y=3) → 0b0111 = 7
+    val df = Seq((3L, 1L), (1L, 3L), (0L, 0L), (3L, 3L)).toDF("x", "y")
+    val got = df.select(col("x"), col("y"),
+        Scale.zValueOf(Seq(col("x"), col("y")), Seq(0L, 0L), Seq(3L, 3L), bits = 2)
+          .as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got((3L, 1L)) === 11L)
+    assert(got((1L, 3L)) === 7L)
+    assert(got((0L, 0L)) === 0L)
+    assert(got((3L, 3L)) === 15L)
+  }
+
+  test("zOrderBy: a narrow band on EITHER dimension touches few partitions") {
+    import spark.implicits._
+    // 64x64 grid → 16 range partitions on the z-value. Lexicographic
+    // (x, y) sort would spread any narrow y-band across ALL partitions;
+    // z-order keeps both dimensions clustered (~sqrt scaling).
+    val grid = (for { x <- 0 until 64; y <- 0 until 64 } yield (x.toLong, y.toLong))
+      .toDF("x", "y")
+    val z = Scale.zOrderBy(grid, Seq("x", "y"), bits = 6, numPartitions = Some(16))
+      .withColumn("pid", spark_partition_id())
+      .cache()
+    try {
+      def partsTouched(c: String) =
+        z.where(col(c).between(30, 33)).select("pid").distinct().count()
+      assert(partsTouched("x") <= 8, s"x-band touched ${partsTouched("x")}/16 partitions")
+      assert(partsTouched("y") <= 8, s"y-band touched ${partsTouched("y")}/16 partitions")
+      // and the z_value is what zValueOf says (spot check one row)
+      val one = z.where(col("x") === 3 && col("y") === 1).select("z_value")
+        .head().getLong(0)
+      val direct = grid.where(col("x") === 3 && col("y") === 1)
+        .select(Scale.zValueOf(Seq(col("x"), col("y")), Seq(0L, 0L),
+          Seq(63L, 63L), bits = 6))
+        .head().getLong(0)
+      assert(one === direct)
+    } finally z.unpersist()
+  }
+
   test("bloomPrunedJoin: null probe keys are dropped, like the inner join") {
     import spark.implicits._
     val big = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b"))
