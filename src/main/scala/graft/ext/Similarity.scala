@@ -179,6 +179,79 @@ object Similarity {
     cent
   }
 
+  /** Product-quantization (PQ) top-k with exact re-rank — the
+    * memory-compression ANN path: at 100 TB the full float corpus cannot
+    * sit hot, but m single-byte codes per vector (a 32× shrink at
+    * dim=64, m=8) can.
+    *
+    * Pipeline:
+    *  1. Codebook = `codes` corpus vectors chosen by the deterministic
+    *     ANSI-replayable multiplicative hash (same key as [[ivfTopK]]'s
+    *     centroid sample), each split into m subspace slices. Collected
+    *     once to the driver: codes × dim doubles, an LSH-plane-sized
+    *     algorithm constant, never data-scale.
+    *  2. Encode (the only stage touching every row): codegen'd
+    *     [[graft.functions.PqEncode]] maps each vector to its m nearest
+    *     sub-codebook entries (L2, first-minimum tiebreak) in one narrow
+    *     pass — no shuffle, scan speed.
+    *  3. Queries precompute a flat ADC lookup table (codegen'd
+    *     [[graft.functions.PqLut]], once per broadcast query row), so
+    *     scoring a pair ([[graft.functions.PqAdc]]) costs m table adds
+    *     instead of a dim-wide dot — the asymmetric-distance trick that
+    *     makes PQ candidate generation ~dim/m× cheaper than brute force.
+    *  4. Top-`rerank` ADC candidates per query (capacity-bounded
+    *     aggregator — Q·rerank·partitions rows cross the shuffle), then
+    *     exact float cosine re-ranks the candidates via broadcast joins
+    *     (the corpus is never shuffled) and keeps the final k.
+    *
+    * Recall < 1 by construction (quantization error can push a true
+    * neighbor below the rerank cut); raise `rerank` or `codes` before m.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      m: Int = 8, codes: Int = 16, rerank: Int = 20,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(dim % m == 0, s"pqTopK: dim=$dim not divisible by m=$m")
+    require(rerank >= k, s"pqTopK: rerank=$rerank < k=$k")
+    val subDim = dim / m
+
+    val sampled = corpus
+      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
+      .limit(codes)
+      .select(col("cvec")).collect()
+    require(sampled.length == codes, s"pqTopK: corpus smaller than codes=$codes")
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      sampled.map(_.getSeq[Float](0)
+        .slice(mi * subDim, (mi + 1) * subDim).map(_.toDouble).toArray)
+    }
+
+    val encoded = corpus.select(col("cid"),
+      GraftFunctions.pqEncode(col("cvec"), codebook).as("codes"))
+    val luts = queries.select(col("qid"),
+      GraftFunctions.pqLut(col("qvec"), codebook).as("lut"))
+
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encoded.crossJoin(broadcast(luts))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), codes).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    corpus.join(broadcast(candidates), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
     * Centroids are a deterministic hash-ordered sample of the corpus,
     * optionally refined with `refineIters` Lloyd rounds

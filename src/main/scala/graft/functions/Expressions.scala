@@ -557,6 +557,182 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   }
 }
 
+/** Product-quantization encode: split the vector into `m` subspaces of
+  * `subDim` dims and emit, per subspace, the index of the L2-nearest
+  * codebook entry (first minimum wins — deterministic, matching a
+  * row_number-over-distance replay with code-id tiebreak). The codebook
+  * is a driver-side constant (codes × dim doubles, LSH-plane-sized), so
+  * the encode is a NARROW codegen'd projection — the only PQ stage that
+  * touches every corpus row scales at full scan speed with no shuffle.
+  * codebook(mi)(code)(j): subspace mi, entry code, component j.
+  */
+case class PqEncode(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  require(codebook.nonEmpty && codebook.forall(_.length == codebook.head.length),
+    "pq_encode: ragged codebook")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == ArrayType(FloatType, containsNull = false) ||
+        child.dataType == ArrayType(FloatType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      PqEncode.encode(input.asInstanceOf[ArrayData], codebook))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.PqEncode.encode($c, $cbRef));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqEncode {
+  /** Shared by eval and generated code. */
+  def encode(vec: ArrayData, codebook: Array[Array[Array[Double]]]): Array[Int] = {
+    val m = codebook.length
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      val entries = codebook(mi)
+      val subDim = entries(0).length
+      val off = mi * subDim
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < entries.length) {
+        val e = entries(c)
+        var d = 0.0
+        var j = 0
+        while (j < subDim) {
+          val diff = vec.getFloat(off + j).toDouble - e(j)
+          d += diff * diff
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    out
+  }
+}
+
+/** Per-query ADC lookup table, flattened: lut(mi·codes + c) = dot of the
+  * query's subspace-mi slice with codebook entry c. Computed ONCE per
+  * query row (queries are broadcast-small); pair scoring then costs m
+  * table adds instead of a full dim-wide dot — the whole point of PQ.
+  */
+case class PqLut(child: Expression, codebook: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == ArrayType(FloatType, containsNull = false) ||
+        child.dataType == ArrayType(FloatType, containsNull = true))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_lut expects ARRAY<FLOAT>, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnsafeArrayData.fromPrimitiveArray(
+      PqLut.lut(input.asInstanceOf[ArrayData], codebook))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", codebook, "double[][][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+         |  .fromPrimitiveArray(graft.functions.PqLut.lut($c, $cbRef));
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PqLut {
+  def lut(vec: ArrayData, codebook: Array[Array[Array[Double]]]): Array[Double] = {
+    val m = codebook.length
+    val codes = codebook(0).length
+    val out = new Array[Double](m * codes)
+    var mi = 0
+    while (mi < m) {
+      val entries = codebook(mi)
+      val subDim = entries(0).length
+      val off = mi * subDim
+      var c = 0
+      while (c < codes) {
+        val e = entries(c)
+        var dot = 0.0
+        var j = 0
+        while (j < subDim) { dot += vec.getFloat(off + j).toDouble * e(j); j += 1 }
+        out(mi * codes + c) = dot
+        c += 1
+      }
+      mi += 1
+    }
+    out
+  }
+}
+
+/** ADC pair score: sum of m LUT entries selected by the corpus row's PQ
+  * codes — the hot N×Q loop of PQ search, codegen'd, m adds per pair.
+  * Summation runs in ascending subspace order (deterministic). */
+case class PqAdc(left: Expression, right: Expression, codes: Int)
+    extends BinaryExpression {
+  require(codes > 0, "pq_adc: codes must be positive")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes() = {
+    if (left.dataType.isInstanceOf[ArrayType] &&
+        left.dataType.asInstanceOf[ArrayType].elementType == IntegerType &&
+        right.dataType.isInstanceOf[ArrayType] &&
+        right.dataType.asInstanceOf[ArrayType].elementType == DoubleType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (ARRAY<INT>, ARRAY<DOUBLE>), got " +
+          s"${left.dataType.sql}, ${right.dataType.sql}")
+  }
+
+  override def nullSafeEval(cs: Any, lt: Any): Any =
+    PqAdc.score(cs.asInstanceOf[ArrayData], lt.asInstanceOf[ArrayData], codes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (cs, lt) =>
+      s"${ev.value} = graft.functions.PqAdc.score($cs, $lt, $codes);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object PqAdc {
+  def score(codesArr: ArrayData, lut: ArrayData, codes: Int): Double = {
+    val m = codesArr.numElements()
+    var s = 0.0
+    var mi = 0
+    while (mi < m) { s += lut.getDouble(mi * codes + codesArr.getInt(mi)); mi += 1 }
+    s
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -572,6 +748,12 @@ object GraftFunctions {
   def minhashSig(c: Column, shingleK: Int, numHashes: Int): Column =
     column(MinHashSignature(expr(c), shingleK, numHashes))
   def simhashSig(c: Column): Column = column(SimHashSignature(expr(c)))
+  def pqEncode(c: Column, codebook: Array[Array[Array[Double]]]): Column =
+    column(PqEncode(expr(c), codebook))
+  def pqLut(c: Column, codebook: Array[Array[Array[Double]]]): Column =
+    column(PqLut(expr(c), codebook))
+  def pqAdc(codes: Column, lut: Column, codebookSize: Int): Column =
+    column(PqAdc(expr(codes), expr(lut), codebookSize))
 
   /** Make the functions available to `spark.sql` as graft_fingerprint /
     * graft_cosine. */

@@ -445,6 +445,56 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  def knnPq(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64,
+        m = 8, codes = 16, rerank = 20)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  /** Full replay of the PQ pipeline: DuckDB re-derives the hash-sampled
+    * codebook, the per-subspace L2 encode (first-minimum code), the ADC
+    * scores (double dots in ascending-j order), the rerank-candidate
+    * cut, and the exact-cosine re-rank. Ranks (not scores) are compared,
+    * as in s1 — float gaps ≫ ulp on random embeddings. */
+  private val knnPqOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cb AS (
+      | SELECT rn - 1 AS code, v FROM (
+      |  SELECT v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 16),
+      |ms AS (SELECT unnest(range(0, 8)) AS mi),
+      |enc AS (
+      | SELECT cid, mi, code FROM (
+      |  SELECT c.cid, ms.mi, cb.code, row_number() OVER (
+      |    PARTITION BY c.cid, ms.mi
+      |    ORDER BY list_aggregate(list_transform(range(1, 9), j ->
+      |      (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))
+      |      * (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))),
+      |      'sum'), cb.code) AS rn
+      |  FROM c CROSS JOIN ms CROSS JOIN cb) t
+      | WHERE rn = 1),
+      |adc AS (
+      | SELECT e.cid, q.qid,
+      |  sum(list_aggregate(list_transform(range(1, 9), j ->
+      |    CAST(q.qv[e.mi * 8 + j] AS DOUBLE) * CAST(cb.v[e.mi * 8 + j] AS DOUBLE)),
+      |    'sum')) AS score
+      | FROM enc e JOIN cb USING (code) CROSS JOIN q
+      | WHERE e.cid <> q.qid
+      | GROUP BY e.cid, q.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= 20)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -676,6 +726,7 @@ object ExtensionQueries {
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
+    QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),

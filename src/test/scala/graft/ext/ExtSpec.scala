@@ -210,6 +210,43 @@ class ExtSpec extends AnyFunSuite {
     assert(ivf === bf) // nprobe = nlist -> exhaustive -> identical
   }
 
+  test("Similarity.pqTopK with rerank covering the corpus equals brute force") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (0L until 40L).map(i =>
+      (i, Array.tabulate(8)(j => (math.sin(i * 7 + j) * 0.3).toFloat)))
+    val c = vecs.toDF("cid", "cvec")
+    val q = vecs.take(3).toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(c, q, 4)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    // rerank >= corpus size -> every vector reaches the exact re-rank
+    val pq = Similarity.pqTopK(c, q, 4, dim = 8, m = 4, codes = 8, rerank = 40)
+      .select("query_id", "rank", "corpus_id").collect().map(_.toSeq).toSet
+    assert(pq === bf)
+  }
+
+  test("Similarity.pqTopK: codes are in range and the ADC cut keeps recall high") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (0L until 60L).map(i =>
+      (i, Array.tabulate(8)(j => (math.cos(i * 13 + j * 3) * 0.5).toFloat)))
+    val c = vecs.toDF("cid", "cvec")
+    val codebook = Array.tabulate(4)(mi => vecs.take(8).map(_._2
+      .slice(mi * 2, mi * 2 + 2).map(_.toDouble)).toArray)
+    val enc = c.select(graft.functions.GraftFunctions
+        .pqEncode(col("cvec"), codebook).as("codes"))
+      .collect().map(_.getSeq[Int](0))
+    assert(enc.forall(cs => cs.length == 4 && cs.forall(x => x >= 0 && x < 8)))
+    // with a modest rerank cut, most true top-4 neighbors still surface
+    val q = vecs.take(5).toDF("qid", "qvec")
+    val bf = Similarity.bruteForceTopK(c, q, 4)
+      .select("query_id", "corpus_id").collect().map(_.toSeq).toSet
+    val pq = Similarity.pqTopK(c, q, 4, dim = 8, m = 4, codes = 16, rerank = 12)
+      .select("query_id", "corpus_id").collect().map(_.toSeq).toSet
+    val recall = (bf intersect pq).size.toDouble / bf.size
+    assert(recall >= 0.7, s"PQ recall@rerank=12 was $recall")
+  }
+
   /** Plain-Scala replay of the hyperplane bucket function (same float ->
     * double widening and sequential accumulation as HyperplaneSig). */
   private def lshBucketOf(v: Array[Float], dim: Int, bits: Int): Int = {
