@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.ext.{Decontam, TextAnalysis}
+import graft.ext.{Decontam, SubstringDedup, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -336,6 +336,90 @@ object HygieneQueries {
       |FROM s GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  // ------------------------------------------------- substring dedup
+
+  /** Corpus for the exact-substring dedup gates: every 10th document
+    * gains the same 12-token trailing passage, so those 50 documents
+    * share a long duplicated run (plus whatever 6-grams the synthetic
+    * texts naturally repeat across documents — also deterministic). */
+  private def dupSpanCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 10 === 0,
+        concat(col("text"), lit(
+          " lorem shared passage alpha beta gamma delta epsilon zeta eta theta iota")))
+        .otherwise(col("text")).as("text"))
+
+  /** Maximal cross-document duplicated token spans, k = 6. hashed=false
+    * so the DuckDB oracle replays the gram text exactly; SubstringSpec
+    * asserts the hashed fingerprint path is span-identical. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    SubstringDedup.duplicateSpans(dupSpanCorpus(s, d), "text", "doc_id",
+        k = 6, hashed = false)
+      .orderBy("doc_id", "span_start")
+
+  private val dupSpanGramsCte =
+    """WITH corpus AS (
+      | SELECT doc_id, CASE WHEN doc_id % 10 = 0 THEN text ||
+      |   ' lorem shared passage alpha beta gamma delta epsilon zeta eta theta iota'
+      |  ELSE text END AS text FROM documents),
+      |toksl AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |rawg AS (
+      | SELECT doc_id, len(ts) AS n, unnest(list_transform(
+      |   range(1, greatest(len(ts) - 6, 0) + 2),
+      |   i -> struct_pack(pos := i, gram := array_to_string(ts[i:i+5], ' ')))) AS g
+      | FROM toksl),
+      |starts AS (
+      | SELECT doc_id, g.pos AS pos, least(g.pos + 5, n) AS e, g.gram AS gram
+      | FROM rawg),
+      |dup AS (
+      | SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM starts)
+      | GROUP BY gram HAVING count(*) >= 2),
+      |ds AS (SELECT s.doc_id, s.pos, s.e FROM starts s JOIN dup USING (gram))""".stripMargin
+
+  private val dupSpansOracle = dupSpanGramsCte +
+    """,
+      |isl AS (
+      | SELECT doc_id, pos, e,
+      |  CASE WHEN pos <= coalesce(max(e) OVER (
+      |     PARTITION BY doc_id ORDER BY pos
+      |     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |   THEN 0 ELSE 1 END AS nw
+      | FROM ds),
+      |isl2 AS (
+      | SELECT doc_id, pos, e, sum(nw) OVER (
+      |   PARTITION BY doc_id ORDER BY pos
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      | FROM isl)
+      |SELECT doc_id, min(pos) AS span_start, max(e) AS span_end
+      |FROM isl2 GROUP BY doc_id, island ORDER BY doc_id, span_start""".stripMargin
+
+  /** The corpus with every duplicated span removed (whitespace-normalized
+    * rebuild; "" when a document was entirely duplicated). */
+  def dupSpanClean(s: SparkSession, d: String): DataFrame =
+    SubstringDedup.removeDuplicateSpans(dupSpanCorpus(s, d), "text", "doc_id",
+        k = 6, hashed = false)
+      .orderBy("doc_id")
+
+  private val dupSpanCleanOracle = dupSpanGramsCte +
+    """,
+      |toks AS (
+      | SELECT doc_id, unnest(list_transform(ts,
+      |   (t, i) -> struct_pack(pos := i, tok := t))) AS tk
+      | FROM toksl),
+      |kept AS (
+      | SELECT t.doc_id, t.tk.pos AS pos, t.tk.tok AS tok FROM toks t
+      | WHERE NOT EXISTS (SELECT 1 FROM ds
+      |   WHERE ds.doc_id = t.doc_id AND t.tk.pos BETWEEN ds.pos AND ds.e)),
+      |agg AS (
+      | SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      | FROM kept GROUP BY doc_id)
+      |SELECT c.doc_id, coalesce(a.clean_text, '') AS clean_text
+      |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
+      |ORDER BY c.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -344,5 +428,7 @@ object HygieneQueries {
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
-    QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)))
+    QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
+    QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle)),
+    QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)))
 }
