@@ -61,4 +61,72 @@ object TimeSeries {
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         last(col("__v"), ignoreNulls = true).over(w).as("v"))): _*)
   }
+
+  /** Resample onto a `step` grid per `keys`, LINEARLY INTERPOLATING gap
+    * buckets between the surrounding observations (vs resampleFill's
+    * step-function carry-forward) — `pandas.resample(...).interpolate(
+    * 'linear')`. Emits keys..., `bucket`, `n_obs`, and `v_e6`: the value
+    * in fixed-point 10^-scale units (floor(value·10^scale) at the
+    * anchors). Fixed-point because the interpolated value is computed
+    * EXACTLY in integer arithmetic — a double formula's rounding would
+    * be engine- and association-order-dependent, the same reason
+    * tfidfTopTerms scores in exact integers. Caller divides by 10^scale
+    * at the boundary if a double is wanted.
+    *
+    * Interpolation weight is the GRID INDEX between anchors (j of m
+    * steps), not raw epoch deltas, keeping every product under ~2^50 for
+    * realistic gaps so the (a - a % b) / b truncating division stays
+    * bit-exact. Anchored rows fall out naturally: their previous anchor
+    * is themselves (j = 0), so no special case.
+    *
+    * Plan shape: identical to resampleFill (one partial-agg shuffle,
+    * distributed grid explode, co-partitioned join) plus ONE extra
+    * window pass — the forward and backward anchor scans share the same
+    * partitioning and ordering, so the second pass reuses the sort.
+    *
+    * @param stepSeconds exact length of `step` in seconds (grid is
+    *                    date_trunc-aligned so every bucket delta is a
+    *                    multiple of it)
+    */
+  def resampleInterpolate(
+      df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+      unit: String, step: Column, stepSeconds: Long,
+      scale: Int = 6, tiebreak: Seq[String] = Nil): DataFrame = {
+    val k = keys.map(col)
+    val bucket = date_trunc(unit, col(tsCol)).as("bucket")
+    val tie = struct((col(tsCol) +: tiebreak.map(col)): _*)
+    val ve = floor(col(valCol) * lit(math.pow(10, scale))).cast("long")
+    val hourly = df
+      .groupBy((k :+ bucket): _*)
+      .agg(max_by(ve, tie).as("__v"), count(lit(1)).as("n_obs"))
+    val grid = hourly
+      .groupBy(k: _*)
+      .agg(min(col("bucket")).as("__lo"), max(col("bucket")).as("__hi"))
+      .select((k :+ explode(sequence(col("__lo"), col("__hi"), step))
+        .as("bucket")): _*)
+    val joined = grid.join(hourly, keys :+ "bucket", "left")
+      .withColumn("__bs", col("bucket").cast("long"))
+    val wb = Window.partitionBy(k: _*).orderBy(col("bucket"))
+    val wPrev = wb.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = wb.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val anchorTs = when(col("__v").isNotNull, col("__bs"))
+    val anchored = joined.select(
+      (k ++ Seq(
+        col("bucket"), col("__bs"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last(col("__v"), ignoreNulls = true).over(wPrev).as("__pv"),
+        last(anchorTs, ignoreNulls = true).over(wPrev).as("__pt"),
+        first(col("__v"), ignoreNulls = true).over(wNext).as("__nv"),
+        first(anchorTs, ignoreNulls = true).over(wNext).as("__nt"))): _*)
+    // j of m grid steps between anchors; truncating integer division
+    // replicated as (a - a % b) / b — remainder semantics (trunc, sign
+    // of dividend) are portable where `div`/`//` floor-vs-trunc is not.
+    val j = ((col("__bs") - col("__pt")) / stepSeconds).cast("long")
+    val m = ((col("__nt") - col("__pt")) / stepSeconds).cast("long")
+    val num = (col("__nv") - col("__pv")) * j
+    val interp = when(col("__nt") === col("__pt"), col("__pv"))
+      .otherwise(col("__pv") + ((num - num % m) / m).cast("long"))
+    anchored.select(
+      (k ++ Seq(col("bucket"), col("n_obs"), interp.as("v_e6"))): _*)
+  }
 }

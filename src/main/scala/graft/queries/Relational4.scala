@@ -184,9 +184,63 @@ object Relational4 {
       | RANGE BETWEEN 3599999999 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  // ---------------------------------------------------------------- q40
+  /** Hourly resample + LINEAR interpolation over the event stream (ext
+    * TimeSeries.resampleInterpolate — same grid/join plan as q37, one
+    * extra shared-sort window pass; values in exact fixed-point e6 so
+    * the interpolation arithmetic replays bit-identically). */
+  def q40Interpolate(s: SparkSession, d: String): DataFrame =
+    graft.ext.TimeSeries.resampleInterpolate(
+        Tables.events(s, d).where(col("user_id") < 10),
+        keys = Seq("user_id"), tsCol = "ts", valCol = "value",
+        unit = "hour", step = expr("INTERVAL 1 HOUR"), stepSeconds = 3600L,
+        scale = 6, tiebreak = Seq("event_id"))
+      .orderBy("user_id", "bucket")
+
+  private val q40Oracle =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+      |hourly AS (
+      | SELECT user_id, bucket, n_obs, v FROM (
+      |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+      |   CAST(floor(value * 1000000) AS BIGINT) AS v,
+      |   count(*) OVER (PARTITION BY user_id, date_trunc('hour', ts))
+      |     AS n_obs,
+      |   row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+      |     ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev) WHERE rn = 1),
+      |grid AS (
+      | SELECT user_id,
+      |   unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+      | FROM (SELECT user_id, min(bucket) AS lo, max(bucket) AS hi
+      |       FROM hourly GROUP BY user_id)),
+      |j AS (
+      | SELECT g.user_id, g.bucket, CAST(epoch(g.bucket) AS BIGINT) AS bs,
+      |        h.n_obs, h.v
+      | FROM grid g LEFT JOIN hourly h USING (user_id, bucket)),
+      |a AS (
+      | SELECT user_id, bucket, bs, coalesce(n_obs, 0) AS n_obs,
+      |  last_value(v IGNORE NULLS) OVER wp AS pv,
+      |  last_value(CASE WHEN v IS NOT NULL THEN bs END IGNORE NULLS)
+      |    OVER wp AS pt,
+      |  first_value(v IGNORE NULLS) OVER wn AS nv,
+      |  first_value(CASE WHEN v IS NOT NULL THEN bs END IGNORE NULLS)
+      |    OVER wn AS nt
+      | FROM j
+      | WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+      |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |  wn AS (PARTITION BY user_id ORDER BY bucket
+      |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT user_id, bucket, n_obs,
+      | CASE WHEN nt = pt THEN pv ELSE pv + CAST(
+      |  ((nv - pv) * ((bs - pt) // 3600)
+      |    - ((nv - pv) * ((bs - pt) // 3600)) % ((nt - pt) // 3600))
+      |   / ((nt - pt) // 3600) AS BIGINT) END AS v_e6
+      |FROM a ORDER BY user_id, bucket""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
     QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
     QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),
-    QueryDef("q39_rolling_hour", q39RollingHour, Some(q39Oracle)))
+    QueryDef("q39_rolling_hour", q39RollingHour, Some(q39Oracle)),
+    QueryDef("q40_interpolate", q40Interpolate, Some(q40Oracle)))
 }

@@ -122,4 +122,46 @@ class TimeSeriesSpec extends AnyFunSuite {
       assert(r.getLong(3) == expect, s"event ${r.getLong(0)}")
     }
   }
+
+  test("resampleInterpolate: gap buckets linearly interpolated in exact e6 units") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 10.0, 1L),
+      (1L, ts("2024-01-01 04:00:00"), 20.0, 2L), // 3 gap hours: 12.5/15/17.5
+      (1L, ts("2024-01-01 06:00:00"), 14.0, 3L), // downhill: 17.0 at 05
+      (2L, ts("2024-01-01 00:00:00"), -1.5, 4L),
+      (2L, ts("2024-01-01 02:00:00"), -4.5, 5L)  // negative slope midpoint -3.0
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.resampleInterpolate(df, Seq("user_id"), "ts", "value",
+        "hour", expr("INTERVAL 1 HOUR"), stepSeconds = 3600L,
+        tiebreak = Seq("event_id"))
+      .orderBy("user_id", "bucket")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).toString, r.getLong(2),
+        r.getLong(3)))
+    assert(out === Seq(
+      (1L, "2024-01-01 00:00:00.0", 1L, 10000000L),
+      (1L, "2024-01-01 01:00:00.0", 0L, 12500000L),
+      (1L, "2024-01-01 02:00:00.0", 0L, 15000000L),
+      (1L, "2024-01-01 03:00:00.0", 0L, 17500000L),
+      (1L, "2024-01-01 04:00:00.0", 1L, 20000000L),
+      (1L, "2024-01-01 05:00:00.0", 0L, 17000000L),
+      (1L, "2024-01-01 06:00:00.0", 1L, 14000000L),
+      (2L, "2024-01-01 00:00:00.0", 1L, -1500000L),
+      (2L, "2024-01-01 01:00:00.0", 0L, -3000000L),
+      (2L, "2024-01-01 02:00:00.0", 1L, -4500000L)))
+  }
+
+  test("resampleInterpolate: anchor rows keep their exact observed value") {
+    val df = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 1.25, 1L),
+      (1L, ts("2024-01-01 00:45:00"), 3.75, 2L), // later obs wins the bucket
+      (1L, ts("2024-01-01 01:10:00"), 7.125, 3L)
+    ).toDF("user_id", "ts", "value", "event_id")
+    val out = TimeSeries.resampleInterpolate(df, Seq("user_id"), "ts", "value",
+        "hour", expr("INTERVAL 1 HOUR"), stepSeconds = 3600L,
+        tiebreak = Seq("event_id"))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out === Seq((2L, 3750000L), (1L, 7125000L)))
+  }
 }
