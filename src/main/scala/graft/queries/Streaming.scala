@@ -170,7 +170,55 @@ object StreamingQueries {
     """SELECT user_id % 5 AS segment, count(*) AS n
       |FROM events GROUP BY 1 ORDER BY segment""".stripMargin
 
+  /** Streaming materialized upsert view (EventStream.upsertLatestStream):
+    * a pre-seeded keyed table absorbs the event stream via
+    * latestByKey-compact + newer-wins MERGE per micro-batch. The seed
+    * plants all three merge paths: stale rows for users 0-2 (must be
+    * OVERWRITTEN by newer stream rows), absent users 3-9 (must INSERT),
+    * and key 9999 never touched by the stream (must SURVIVE). */
+  def streamUpsert(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val tbl = "st8_upsert_tbl"
+    Seq(tbl, tbl + "__upsert_tmp").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    val stale = java.sql.Timestamp.valueOf("1990-01-01 00:00:00")
+    val seed = Seq(
+      (0L, -1L, stale, "seed", -99.0),
+      (1L, -1L, stale, "seed", -99.0),
+      (2L, -1L, stale, "seed", -99.0),
+      (9999L, -1L, stale, "keeper", -99.0))
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    seed.write.mode("overwrite").format("parquet").saveAsTable(tbl)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_st8_")
+      .resolve("ckpt")
+    val q = EventStream.upsertLatestStream(
+        EventStream.source(s, d).where(col("user_id") < 10)
+          .select("user_id", "event_id", "ts", "event_type", "value"),
+        tbl, keys = Seq("user_id"), order = Seq("ts", "event_id"))
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(tbl).select("user_id", "event_id", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  private val streamUpsertOracle =
+    """WITH ev AS (SELECT * FROM events WHERE user_id < 10),
+      |latest AS (
+      | SELECT user_id, event_id, event_type, value FROM (
+      |  SELECT user_id, event_id, event_type, value,
+      |   row_number() OVER (PARTITION BY user_id
+      |     ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM ev) WHERE rn = 1)
+      |SELECT user_id, event_id, event_type, value FROM latest
+      |UNION ALL
+      |SELECT 9999, -1, 'keeper', -99.0
+      |ORDER BY user_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),

@@ -236,4 +236,58 @@ object EventStream {
         min(col("ts")).as("session_start"),
         max(col("ts")).as("session_end"))
   }
+
+  /** Streaming materialized upsert view: maintain a latest-record-per-key
+    * TABLE from a change stream — the streaming twin of
+    * [[graft.ext.Dedup.latestByKey]] composed with
+    * [[graft.ext.Cdc.mergeUpsert]] in a `foreachBatch` loop. After every
+    * micro-batch the target table equals batch `latestByKey` over
+    * everything ingested so far, so downstream batch readers always see
+    * a consistent keyed snapshot (the CDC "table view of a stream").
+    *
+    * Per batch: (1) the micro-batch is compacted to one candidate per
+    * key (max_by partial agg — one row per key per partition crosses the
+    * shuffle); (2) candidates not strictly newer than the base row (by
+    * `order` struct comparison) are dropped, so replayed or reordered
+    * batches can never regress a key (idempotent under at-least-once
+    * delivery); (3) the survivors MERGE via one full-outer join —
+    * broadcast when the batch is small, the normal CDC case; (4) the
+    * result is staged into a sibling table and swapped in with
+    * DROP + RENAME (cf. TableSink.compact) because a table cannot be
+    * overwritten while it is being read. At 100 TB the same loop holds
+    * with a partition-pruned rewrite (see Cdc scaladoc); the swap stays
+    * metadata-only.
+    *
+    * Caller sets `.option("checkpointLocation", ...)` and a trigger on
+    * the returned writer.
+    */
+  def upsertLatestStream(
+      changes: DataFrame, targetTable: String,
+      keys: Seq[String], order: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val sp = batch.sparkSession
+        val compact = graft.ext.Dedup.latestByKey(batch.toDF(), keys, order)
+        if (!sp.catalog.tableExists(targetTable)) {
+          compact.write.mode("overwrite").format("parquet")
+            .saveAsTable(targetTable)
+        } else {
+          val base = sp.table(targetTable)
+          val bo = base.select(
+            keys.map(col) :+ struct(order.map(col): _*).as("__bo"): _*)
+          val fresh = compact.join(bo, keys, "left")
+            .where(col("__bo").isNull ||
+              struct(order.map(col): _*) > col("__bo"))
+            .drop("__bo")
+          val merged = graft.ext.Cdc.mergeUpsert(base, fresh, keys)
+            .select(base.columns.map(col): _*)
+          val tmp = targetTable + "__upsert_tmp"
+          sp.sql(s"DROP TABLE IF EXISTS $tmp")
+          merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+          sp.sql(s"DROP TABLE $targetTable")
+          sp.sql(s"ALTER TABLE $tmp RENAME TO $targetTable")
+          sp.catalog.refreshTable(targetTable)
+        }
+    }
 }

@@ -4,6 +4,8 @@ import graft.TestSpark
 import graft.queries.Relational
 import org.scalatest.funsuite.AnyFunSuite
 
+import scala.jdk.CollectionConverters._
+
 class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
 
@@ -221,5 +223,57 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_id"),
         r.getAs[Long]("n_events")))
     assert(got.toSeq === Seq((7L, 1L, 2L), (7L, 2L, 1L), (8L, 1L, 1L)))
+  }
+
+  test("upsertLatestStream: out-of-order micro-batches never regress a key") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert_spec_")
+    val src = tmp.resolve("src")
+    // Two source files processed one per micro-batch: file "a" carries
+    // the NEWER rows, file "b" (second batch) the older ones — the
+    // newer-wins guard must ignore every row of batch 2 for key 1 and
+    // still insert the unseen key 3.
+    java.nio.file.Files.createDirectories(src)
+    def writeFlat(df: org.apache.spark.sql.DataFrame, name: String,
+        mtimeMs: Long): Unit = {
+      val stage = tmp.resolve(name + "_stage")
+      df.coalesce(1).write.parquet(stage.toString)
+      val part = java.nio.file.Files.list(stage).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      val dest = src.resolve(name)
+      java.nio.file.Files.move(part, dest)
+      java.nio.file.Files.setLastModifiedTime(dest,
+        java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+    }
+    writeFlat(Seq((1L, ts(60), "new", 10.0))
+      .toDF("k", "ts", "tag", "v"), "a.parquet", 1700000000000L)
+    writeFlat(Seq((1L, ts(10), "old", -1.0), (3L, ts(5), "late-insert", 7.0))
+      .toDF("k", "ts", "tag", "v"), "b.parquet", 1700000060000L)
+    val tbl = "upsert_spec_tbl"
+    Seq(tbl, tbl + "__upsert_tmp").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((2L, ts(0), "seed", 0.0)).toDF("k", "ts", "tag", "v")
+      .write.format("parquet").saveAsTable(tbl)
+    val stream = spark.readStream
+      .schema("k LONG, ts TIMESTAMP, tag STRING, v DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .parquet(src.toString)
+    val q = EventStream.upsertLatestStream(stream, tbl,
+        keys = Seq("k"), order = Seq("ts"))
+      .option("checkpointLocation", tmp.resolve("ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    q.stop()
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("tag"),
+        r.getAs[Double]("v")))
+    assert(got.toSeq === Seq(
+      (1L, "new", 10.0),        // older batch-2 row must NOT regress it
+      (2L, "seed", 0.0),        // untouched key survives the swaps
+      (3L, "late-insert", 7.0)) // unseen key inserts even from an old row
+    )
   }
 }
