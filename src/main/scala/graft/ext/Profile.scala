@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -56,5 +56,35 @@ object Profile {
         col(s"__maxs_$c").as("max_str"))
     }
     one.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+  }
+
+  /** Exact equi-width histogram of an INTEGER-VALUED column (pass cents
+    * / fixed-point for decimals): `nbins` bins over [min, max], emitting
+    * one row per NON-EMPTY bin with its count and the observed in-bin
+    * lo/hi. Bin index is computed in exact integer arithmetic —
+    * ((x-min)·nbins) truncating-div (max-min+1) — so bucket boundaries
+    * are engine-portable where a double `width_bucket` would round-tie;
+    * the index lands in [0, nbins-1] with no clamp by construction.
+    *
+    * Plan shape: one min/max aggregate (1 row, broadcast back via
+    * crossJoin), one narrow bin projection, one linear groupBy — two
+    * passes over the column, no sort, no driver data. Empty bins are
+    * simply absent (join a `sequence(0, nbins-1)` grid downstream if a
+    * dense histogram is wanted — same explode pattern as
+    * TimeSeries.resampleFill's grid).
+    */
+  def histogram(df: DataFrame, c: Column, nbins: Int): DataFrame = {
+    require(nbins > 0, "nbins must be positive")
+    val mm = df.agg(min(c).cast("long").as("__mn"), max(c).cast("long").as("__mx"))
+    val num = (col("__x") - col("__mn")) * nbins
+    df.select(c.cast("long").as("__x"))
+      .where(col("__x").isNotNull)
+      .crossJoin(broadcast(mm))
+      .withColumn("__span", col("__mx") - col("__mn") + 1)
+      .withColumn("bin",
+        ((num - num % col("__span")) / col("__span")).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("__x")).as("lo"),
+        max(col("__x")).as("hi"))
   }
 }

@@ -397,4 +397,43 @@ object TextAnalysis {
             coalesce(col("top_2gram_n"), lit(0L)) * 5 > col("n_2grams")))
           .as("is_repetitive"))
   }
+
+  // ----------------------------------------------- pseudonymization
+
+  /** Deterministic keyed pseudonymization of identifier columns: each
+    * listed column is replaced in place by the lowercase-hex SHA-256 of
+    * salt || value (NULL stays NULL). Same value + same salt => same
+    * token, so joins and group-bys on the pseudonym still line up
+    * across tables pseudonymized with the same salt, while the raw
+    * identifier never leaves the cluster — the GDPR-style complement to
+    * [[redactCol]]'s in-text masking. Narrow codegen'd projection (one
+    * hash per cell, no shuffle); rotate the salt between releases to
+    * break cross-release linkability.
+    */
+  def pseudonymize(df: DataFrame, cols: Seq[String], salt: String): DataFrame =
+    cols.foldLeft(df)((d, c) =>
+      d.withColumn(c,
+        when(col(c).isNull, lit(null).cast(StringType))
+          .otherwise(sha2(concat(lit(salt), col(c).cast(StringType)), 256))))
+
+  // --------------------------------------------------- url parsing
+
+  /** URL structure columns for per-domain corpus curation (domain
+    * mixing weights, per-site caps, blocklists): adds `scheme`, `host`
+    * (lowercased authority), `domain` (host minus one leading "www."),
+    * and `path`. Dialect-portable regexes — character classes only, no
+    * alternation-with-lookaround — same Java==RE2 discipline as the PII
+    * scanners; a malformed URL yields empty strings, never an error.
+    * Narrow codegen'd projection. */
+  def urlParse(df: DataFrame, urlCol: String): DataFrame = {
+    val u = col(urlCol)
+    val host = lower(regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    df
+      .withColumn("scheme",
+        lower(regexp_extract(u, "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)))
+      .withColumn("host", host)
+      .withColumn("domain", regexp_replace(host, "^www\\.", ""))
+      .withColumn("path",
+        regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
+  }
 }

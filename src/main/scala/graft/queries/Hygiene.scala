@@ -420,6 +420,53 @@ object HygieneQueries {
       |FROM corpus c LEFT JOIN agg a ON c.doc_id = a.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  // ------------------------------------------------- pseudonymization
+
+  /** Keyed SHA-256 pseudonymization of customer identifier columns
+    * (TextAnalysis.pseudonymize): deterministic tokens, exact replay. */
+  def pseudonymizeGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pseudonymize(Tables.customer(s, d),
+        Seq("c_name", "c_mktsegment"), salt = "graft-salt")
+      .select("c_custkey", "c_name", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  private val pseudonymizeOracle =
+    """SELECT c_custkey,
+      | sha256('graft-salt' || c_name) AS c_name,
+      | sha256('graft-salt' || c_mktsegment) AS c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
+  // ------------------------------------------------------ url parsing
+
+  /** Documents with deterministically planted URLs (7 rotating hosts,
+    * uppercase WWW to exercise case-folding + www-strip, query strings
+    * to exercise path truncation); urlParse must recover every
+    * component vs the same regexes replayed in DuckDB. */
+  def urlStats(s: SparkSession, d: String): DataFrame = {
+    val corpus = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(lit("https://WWW.site"), col("doc_id") % 7,
+        lit(".example.com/p/"), col("doc_id"), lit("?ref=x&y=2")).as("url"))
+    TextAnalysis.urlParse(corpus, "url")
+      .select("doc_id", "scheme", "host", "domain", "path")
+      .orderBy("doc_id")
+  }
+
+  private val urlStatsOracle =
+    """WITH c AS (SELECT doc_id,
+      |  'https://WWW.site' || (doc_id % 7) || '.example.com/p/'
+      |   || doc_id || '?ref=x&y=2' AS url
+      | FROM documents)
+      |SELECT doc_id,
+      | lower(regexp_extract(url, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      | lower(regexp_extract(url,
+      |   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS host,
+      | regexp_replace(lower(regexp_extract(url,
+      |   '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)), '^www\.', '') AS domain,
+      | regexp_extract(url,
+      |   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
+      |FROM c ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -430,5 +477,7 @@ object HygieneQueries {
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle)),
-    QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)))
+    QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),
+    QueryDef("t15_pseudonymize", pseudonymizeGate, Some(pseudonymizeOracle)),
+    QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)))
 }

@@ -57,6 +57,24 @@ object PipelineQueries {
       .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) t ORDER BY \"column\"")
   }
 
+  /** Exact 16-bin equi-width histogram of order totals in integer cents
+    * (Profile.histogram — exact integer bin arithmetic, two passes, no
+    * sort; empty bins absent by contract). */
+  def histogram(s: SparkSession, d: String): DataFrame =
+    // floor, not cast: o_totalprice is DOUBLE and double->long casts
+    // truncate in Spark but round in DuckDB; floor is portable.
+    Profile.histogram(Tables.orders(s, d), floor(col("o_totalprice") * 100), 16)
+      .orderBy("bin")
+
+  private val histogramOracle =
+    """WITH x AS (
+      | SELECT CAST(floor(o_totalprice * 100) AS BIGINT) AS x FROM orders),
+      |mm AS (SELECT min(x) AS mn, max(x) AS mx FROM x),
+      |b AS (SELECT x, (x - mn) * 16 AS num, mx - mn + 1 AS span FROM x, mm)
+      |SELECT (num - num % span) // span AS bin, count(*) AS n,
+      | min(x) AS lo, max(x) AS hi
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   // ------------------------------------------------- table maintenance
 
   /** Small-file compaction: a deliberately fragmented table (12-way
@@ -222,6 +240,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
+    QueryDef("pr2_histogram", histogram, Some(histogramOracle)),
     QueryDef("c1_compaction", compaction, Some(compactionOracle)),
     QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),

@@ -158,4 +158,36 @@ class HygieneSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("pseudonymize: deterministic keyed tokens, null passthrough, salt rotation") {
+    import spark.implicits._
+    val df = Seq((1L, Some("alice")), (2L, Some("bob")), (3L, None),
+      (4L, Some("alice"))).toDF("id", "name")
+    def run(salt: String) =
+      TextAnalysis.pseudonymize(df, Seq("name"), salt)
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    val a = run("s1")
+    assert(a(1L) === a(4L), "same value + salt => same token")
+    assert(a(1L) !== a(2L))
+    assert(a(3L).isEmpty, "null stays null")
+    assert(a(1L).get.matches("[0-9a-f]{64}"))
+    assert(run("s2")(1L) !== a(1L), "salt rotation breaks linkability")
+  }
+
+  test("urlParse: components extracted; www stripped once; malformed -> empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://WWW.Example.COM/a/b?q=1#frag"),
+      (2L, "http://plain.org"),
+      (3L, "ftp://www.www.deep.net/x"),
+      (4L, "not a url at all")).toDF("id", "url")
+    val got = TextAnalysis.urlParse(df, "url")
+      .select("id", "scheme", "host", "domain", "path")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2), r.getString(3), r.getString(4)))).toMap
+    assert(got(1L) === (("https", "www.example.com", "example.com", "/a/b")))
+    assert(got(2L) === (("http", "plain.org", "plain.org", "")))
+    assert(got(3L) === (("ftp", "www.www.deep.net", "www.deep.net", "/x")))
+    assert(got(4L) === (("", "", "", "")))
+  }
 }

@@ -123,4 +123,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(direct === byParity)
     assert(direct === byThree)
   }
+
+  test("Profile.histogram: exact integer bins, observed lo/hi, empty bins absent") {
+    import spark.implicits._
+    val df = (0L to 9L).toDF("x") // span 10, 2 bins: [0,4] and [5,9]
+    val two = Profile.histogram(df, col("x"), 2).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(two.toSeq === Seq((0L, 5L, 0L, 4L), (1L, 5L, 5L, 9L)))
+    // max lands in the LAST bin (no overflow bin), negatives fine
+    val neg = Seq(-10L, -1L, 0L, 10L).toDF("x")
+    val bins = Profile.histogram(neg, col("x"), 4).orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(bins.map(_._1).distinct.forall(b => b >= 0 && b <= 3))
+    assert(bins.map(_._2).sum === 4)
+    // single distinct value: span 1, everything in bin 0
+    val one = Profile.histogram(Seq(7L, 7L, 7L).toDF("x"), col("x"), 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(one.toSeq === Seq((0L, 3L)))
+  }
 }
