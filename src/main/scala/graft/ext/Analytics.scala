@@ -1,0 +1,108 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics: funnel conversion and cohort retention —
+  * the two aggregate shapes every product/metrics pipeline runs over an
+  * event stream (reference analogue: none; its export path just hands
+  * SQL text to Spark, box_export.py:36 — these are the canned plans a
+  * user of that surface would otherwise hand-write).
+  *
+  * Scale shape: both operators reduce each user's event history to a
+  * fixed-width row of per-step/per-period firsts BEFORE the final small
+  * aggregate. Nothing is quadratic in events, there is no self-join of
+  * the raw event table against itself, and no window runs over the raw
+  * stream.
+  */
+object Analytics {
+
+  /** Ordered-funnel conversion: n_users who reached step 1, then step 2
+    * at-or-after their step-1 time, then step 3 after that, …, each
+    * within `windowSeconds` of the step-1 entry (0 = unbounded). A
+    * user's step-k time is the EARLIEST `steps(k)` event >= their
+    * step-(k-1) time. Emits one row per step: (step, event_type,
+    * n_users), step 1-based.
+    *
+    * Plan: the event table is hash-partitioned ONCE on the user; each
+    * step then runs one probe pass — filter to that step's type, join
+    * the (one row per user) chain frame on the user key (co-partitioned
+    * with the events, so no re-shuffle of either side), min-aggregate
+    * the qualifying times. Funnels are 3-7 steps deep, so this is a
+    * handful of linear, join-key-aligned passes; per-user state is one
+    * fixed-width row throughout (never a collected event list, which is
+    * the unbounded-skew form). The final count is a single global
+    * aggregate over one row per step-1 user.
+    */
+  def funnel(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      steps: Seq[String], windowSeconds: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val u = col(userCol)
+    val ev = events
+      .select(u, col(typeCol).as("__t"), col(tsCol).as("__ts"))
+      .repartition(u)
+    var acc = ev.where(col("__t") === steps.head)
+      .groupBy(u).agg(min(col("__ts")).as("__s1"))
+    steps.zipWithIndex.drop(1).foreach { case (st, i) =>
+      val prev = col(s"__s$i")
+      val inWindow =
+        if (windowSeconds > 0)
+          col("__ts") <= col("__s1") + expr(s"INTERVAL $windowSeconds SECONDS")
+        else lit(true)
+      val cand = ev.where(col("__t") === st)
+        .join(acc.select(u, col("__s1"), prev), Seq(userCol))
+        .where(col("__ts") >= prev && inWindow)
+        .groupBy(u).agg(min(col("__ts")).as(s"__s${i + 1}"))
+      acc = acc.join(cand, Seq(userCol), "left")
+    }
+    val counts = acc.agg(
+      count(col("__s1")).as("__n1"),
+      steps.indices.drop(1)
+        .map(i => count(col(s"__s${i + 1}")).as(s"__n${i + 1}")): _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (st, i) =>
+      struct(lit(i + 1).as("step"), lit(st).as("event_type"),
+        col(s"__n${i + 1}").as("n_users"))
+    }: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Cohort retention: users grouped by the period of their FIRST event
+    * (their cohort), counted as active in each later period offset.
+    * Emits (cohort, period_offset, n_active, cohort_size); offset 0 is
+    * the cohort itself, so n_active = cohort_size there.
+    *
+    * @param unit date_trunc unit for the period grid ("week", "day", …)
+    * @param periodSeconds exact period length in seconds for the
+    *        integer offset ((period - cohort) / periodSeconds) — exact
+    *        for fixed-length units (hour/day/week), which is what
+    *        retention grids use
+    *
+    * Plan: distinct (user, period) — one linear shuffle with partial
+    * agg; the per-user min-period window reuses that hash partitioning;
+    * the final groupBy runs over one row per user-period. cohort_size
+    * joins back from the offset-0 slice, one row per cohort
+    * (broadcast-small).
+    */
+  def retention(
+      events: DataFrame, userCol: String, tsCol: String,
+      unit: String, periodSeconds: Long): DataFrame = {
+    val u = col(userCol)
+    val up = events
+      .select(u, date_trunc(unit, col(tsCol)).as("__p"))
+      .distinct()
+    val withCohort = up
+      .withColumn("cohort", min(col("__p")).over(Window.partitionBy(u)))
+      .withColumn("period_offset",
+        ((col("__p").cast("long") - col("cohort").cast("long")) /
+          periodSeconds).cast("long"))
+    val active = withCohort
+      .groupBy(col("cohort"), col("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = active.where(col("period_offset") === 0)
+      .select(col("cohort"), col("n_active").as("cohort_size"))
+    active.join(broadcast(sizes), Seq("cohort"))
+      .select(col("cohort"), col("period_offset"), col("n_active"),
+        col("cohort_size"))
+  }
+}

@@ -18,7 +18,7 @@ object Registry {
       Relational4.defs ++ Validation.defs ++
       IngestExportQueries.defs ++ ExtensionQueries.defs ++
       StreamingQueries.defs ++ SketchQueries.defs ++ SamplingQueries.defs ++
-      HygieneQueries.defs ++ PipelineQueries.defs
+      HygieneQueries.defs ++ PipelineQueries.defs ++ AnalyticsQueries.defs
 
   def byName: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.fn).toMap
