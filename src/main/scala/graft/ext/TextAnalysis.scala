@@ -398,6 +398,43 @@ object TextAnalysis {
           .as("is_repetitive"))
   }
 
+  // ------------------------------------------------ script detection
+
+  /** Unicode-script profile for corpus language routing: per document,
+    * character counts for Latin / Cyrillic / Greek / CJK / digits and
+    * the dominant script. Complements [[langIdCol]] (token-frequency
+    * heuristic, Latin-alphabet languages) with the codepoint-range
+    * signal that separates writing SYSTEMS — the first split a
+    * multilingual 100 TB corpus makes before any per-language model.
+    *
+    * Ranges are written as literal codepoint classes, not named
+    * \p{script} classes, because the names differ between regex
+    * dialects (Java `\p{IsCyrillic}` vs RE2 `\p{Cyrillic}`) while
+    * explicit ranges behave identically — same portability discipline
+    * as the PII regexes. CJK here = the unified-ideograph block plus
+    * kana; coverage is the common blocks, not exhaustive Unicode.
+    * Narrow codegen'd projection, no shuffle.
+    */
+  def scriptProfile(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    val lat = countRe(t, "[A-Za-z]")
+    val cyr = countRe(t, "[Ѐ-ӿ]")
+    val grk = countRe(t, "[Ͱ-Ͽ]")
+    val cjk = countRe(t, "[぀-ヿ一-鿿]")
+    df.select(
+        col(id),
+        lat.as("n_latin"), cyr.as("n_cyrillic"), grk.as("n_greek"),
+        cjk.as("n_cjk"), countRe(t, "[0-9]").as("n_digit"))
+      .withColumn("main_script",
+        when(col("n_latin") >= col("n_cyrillic") &&
+            col("n_latin") >= col("n_greek") && col("n_latin") >= col("n_cjk"),
+            lit("latin"))
+          .when(col("n_cyrillic") >= col("n_greek") &&
+            col("n_cyrillic") >= col("n_cjk"), lit("cyrillic"))
+          .when(col("n_greek") >= col("n_cjk"), lit("greek"))
+          .otherwise(lit("cjk")))
+  }
+
   // ----------------------------------------------- pseudonymization
 
   /** Deterministic keyed pseudonymization of identifier columns: each

@@ -129,4 +129,53 @@ object TimeSeries {
     anchored.select(
       (k ++ Seq(col("bucket"), col("n_obs"), interp.as("v_e6"))): _*)
   }
+
+  /** Rolling z-score anomaly flags: each observation is compared against
+    * the mean/stddev of its `nPrior` PRECEDING observations per key
+    * (trailing frame excludes the current row, so an outlier never
+    * dilutes its own baseline) and flagged when |x - mean| > k·stddev.
+    *
+    * The test is evaluated in EXACT integer algebra — the inequality
+    * (c·x - s)² > k²·(c·q - s²) with s = Σx, q = Σx², c = count over
+    * the frame, all in fixed-point 10^-scale units held as decimal(38,0)
+    * — because a floating mean/stddev comparison flips on rounding at
+    * the boundary and can never replay across engines. Headroom: with
+    * e6 values ≤ 10^9 and frames ≤ 10^3 rows the largest term is ~10^24,
+    * far under decimal(38)'s 10^38.
+    *
+    * Plan shape: one shuffle on the keys, one sort, three frame
+    * aggregates riding the same window — identical cost to a plain
+    * moving average; no self-join, no per-row subquery.
+    *
+    * Emits keys..., tsCol, tiebreak..., `x_e6`, `n_prior` (frame count),
+    * `is_anomaly` (false until `minObs` observations precede).
+    */
+  def rollingAnomaly(
+      df: DataFrame, keys: Seq[String], tsCol: String, valCol: String,
+      nPrior: Int, k: Int, minObs: Int = 8, scale: Int = 6,
+      tiebreak: Seq[String] = Nil): DataFrame = {
+    require(nPrior >= minObs && minObs >= 2, "need nPrior >= minObs >= 2")
+    val kc = keys.map(col)
+    val ord = col(tsCol) +: tiebreak.map(col)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val base = df.select(
+      (kc ++ ord :+ floor(col(valCol) * lit(math.pow(10, scale)))
+        .cast("long").as("x_e6")): _*)
+    val w = Window.partitionBy(kc: _*).orderBy(ord: _*)
+      .rowsBetween(-nPrior, -1)
+    val xd = col("x_e6").cast(dec)
+    val s = sum(xd).over(w)
+    val q = sum(xd * xd).over(w)
+    val c = count(col("x_e6")).over(w)
+    val stats = base
+      .withColumn("__s", s).withColumn("__q", q).withColumn("n_prior", c)
+    val cd = col("n_prior").cast(dec)
+    val lhs = cd * xd - col("__s")
+    val rhs = lit(k.toLong * k).cast(dec) *
+      (cd * col("__q") - col("__s") * col("__s"))
+    stats
+      .withColumn("is_anomaly",
+        when(col("n_prior") >= minObs, lhs * lhs > rhs).otherwise(lit(false)))
+      .drop("__s", "__q")
+  }
 }

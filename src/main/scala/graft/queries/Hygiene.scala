@@ -467,6 +467,53 @@ object HygieneQueries {
       |   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
       |FROM c ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- script profile
+
+  /** Documents with planted non-Latin passages: every 13th doc becomes
+    * pure Cyrillic (dominant-script flip), every 5th/7th/11th gains a
+    * Cyrillic/CJK/Greek suffix (mixed-script counts). */
+  private def scriptCorpus(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      when(col("doc_id") % 13 === 0,
+        lit(" привет мир это тест привет мир это тест привет мир"))
+        .otherwise(concat(col("text"),
+          when(col("doc_id") % 5 === 0, lit(" привет мир")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" 你好 世界 こんにちは"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" γειά σου κόσμε"))
+            .otherwise(lit("")))).as("text"))
+
+  def scriptProfileGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.scriptProfile(scriptCorpus(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val scriptOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, CASE WHEN doc_id % 13 = 0
+      |  THEN ' привет мир это тест привет мир это тест привет мир'
+      |  ELSE text
+      |   || CASE WHEN doc_id % 5 = 0 THEN ' привет мир' ELSE '' END
+      |   || CASE WHEN doc_id % 7 = 0 THEN ' 你好 世界 こんにちは' ELSE '' END
+      |   || CASE WHEN doc_id % 11 = 0 THEN ' γειά σου κόσμε' ELSE '' END
+      |  END AS text FROM documents),
+      |counts AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_latin,
+      |  CAST(len(regexp_extract_all(text, '[Ѐ-ӿ]')) AS BIGINT) AS n_cyrillic,
+      |  CAST(len(regexp_extract_all(text, '[Ͱ-Ͽ]')) AS BIGINT) AS n_greek,
+      |  CAST(len(regexp_extract_all(text, '[぀-ヿ一-鿿]')) AS BIGINT) AS n_cjk,
+      |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) AS n_digit
+      | FROM corpus)
+      |SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk, n_digit,
+      | CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+      |        AND n_latin >= n_cjk THEN 'latin'
+      |      WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk
+      |        THEN 'cyrillic'
+      |      WHEN n_greek >= n_cjk THEN 'greek'
+      |      ELSE 'cjk' END AS main_script
+      |FROM counts ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -479,5 +526,6 @@ object HygieneQueries {
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle)),
     QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),
     QueryDef("t15_pseudonymize", pseudonymizeGate, Some(pseudonymizeOracle)),
-    QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)))
+    QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)),
+    QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)))
 }
