@@ -25,7 +25,14 @@ final case class IngestConfig(
     justCopy: Boolean = true,
     delete: Boolean = false,
     skipRows: Int = 0,
-    encoding: Option[String] = None)
+    encoding: Option[String] = None,
+    /** When set, every ingested row gains this column carrying the name
+      * of the file it came from (for zip members, the extracted inner
+      * name) — distributed-native lineage replacing grep-the-audit-log.
+      * Applied to the valid AND `_error` sides post-validation; in copy
+      * mode the target table must already carry the column or the
+      * conform projection drops it (documented O22 semantics). */
+    sourceFileCol: Option[String] = None)
 
 /** What actually happened — the reference only exposes this via audit-log
   * rows (E1 swallows every exception, box_ingest.py:194-195); we keep the
@@ -106,17 +113,20 @@ object Ingest {
               // O10 happens inside ValidateAndSplit; for copy mode conform
               // handles names. Cache: both split sides scan this frame.
               val raw = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+              def prov(df: org.apache.spark.sql.DataFrame) =
+                conf.sourceFileCol.fold(df)(c =>
+                  df.withColumn(c, org.apache.spark.sql.functions.lit(fname)))
               try {
                 if (conf.justCopy) {
                   // O22: conform to target schema minus process_dt.
-                  TableSink.appendConformed(raw, conf.table)
+                  TableSink.appendConformed(prov(raw), conf.table)
                   validRows += raw.count()
                 } else {
                   val meta = conf.metadata.getOrElse(throw new IllegalArgumentException(
                     "metadata required when justCopy=false"))
                   val split = ValidateAndSplit(raw, meta)
-                  TableSink.append(split.valid, conf.table)           // O21
-                  TableSink.append(split.invalid, conf.table.errorSibling)
+                  TableSink.append(prov(split.valid), conf.table)     // O21
+                  TableSink.append(prov(split.invalid), conf.table.errorSibling)
                   validRows += split.valid.count()
                   invalidRows += split.invalid.count()
                 }

@@ -544,7 +544,57 @@ object IngestExportQueries {
       s.sql(s"DROP TABLE IF EXISTS $t")
     }
 
+  /** Provenance lineage: two CSV files with controlled names (even/odd
+    * custkeys), ingested with `sourceFileCol` — every row of the target
+    * table must carry the name of the file it came from. */
+  def ingestProvenanceE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i10_")
+    val srcDir = tmp.resolve("src")
+    Files.createDirectories(srcDir)
+    def writeNamed(df: DataFrame, name: String): Unit = {
+      val stage = tmp.resolve(name + "_stage")
+      df.coalesce(1).write.option("header", true)
+        .mode("overwrite").csv(stage.toString)
+      val listing = Files.list(stage)
+      val found =
+        try {
+          import scala.jdk.CollectionConverters._
+          listing.iterator().asScala
+            .find(_.getFileName.toString.endsWith(".csv")).get
+        } finally listing.close()
+      Files.move(found, srcDir.resolve(name))
+    }
+    val c = Tables.customer(s, d)
+    writeNamed(c.where(col("c_custkey") % 2 === 0), "even.csv")
+    writeNamed(c.where(col("c_custkey") % 2 === 1), "odd.csv")
+    val ref = TableRef("graft", "verify", "i10_customer")
+    Seq(ref.qualified, ref.errorSibling.qualified).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify",
+      table = ref,
+      folder = srcDir.toString,
+      fileNameRegex = ".*\\.csv",
+      metadata = Some(customerMeta),
+      justCopy = false,
+      sourceFileCol = Some("_src_file")))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date")
+      .orderBy("c_custkey")
+  }
+
+  private val ingestProvenanceOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      | CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment,
+      | CASE WHEN c_custkey % 2 = 0 THEN 'even.csv' ELSE 'odd.csv' END
+      |   AS _src_file
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
+      Some(ingestProvenanceOracle)),
     QueryDef("i1_ingest_csv_e2e", ingestCsvE2e, Some(ingestOracle)),
     QueryDef("i2_ingest_json_e2e", ingestJsonE2e, Some(ingestJsonOracle)),
     QueryDef("i3_ingest_zip_e2e", ingestZipE2e, Some(ingestJsonOracle)),

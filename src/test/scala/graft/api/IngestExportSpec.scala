@@ -48,6 +48,35 @@ class IngestExportSpec extends AnyFunSuite {
     assert(log.count() >= 3) // temp dir + download + processed + completed
   }
 
+  test("ingest provenance: rows carry their source file; zip members use inner names") {
+    val dir = Files.createTempDirectory("ing_prov_")
+    Files.writeString(dir.resolve("plain.csv"), "id,amount,note\n1,1.0,a\n")
+    val zipPath = dir.resolve("batch.zip")
+    val zos = new ZipOutputStream(Files.newOutputStream(zipPath))
+    zos.putNextEntry(new ZipEntry("inner_a.csv"))
+    zos.write("id,amount,note\n2,2.0,b\n,9.9,bad-row\n".getBytes)
+    zos.closeEntry()
+    zos.putNextEntry(new ZipEntry("inner_b.csv"))
+    zos.write("id,amount,note\n3,3.0,c\n".getBytes)
+    zos.closeEntry()
+    zos.close()
+    val ref = freshRef("prov1")
+    val report = Ingest.execute(IngestConfig(
+      "tester", ref, dir.toString, ".*\\.(csv|zip)",
+      metadata = Some(meta), justCopy = false,
+      sourceFileCol = Some("_src_file")))
+    assert(report.ok, report.errors.mkString("; "))
+    val got = spark.table(ref.qualified)
+      .select("id", "_src_file").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "plain.csv", 2L -> "inner_a.csv", 3L -> "inner_b.csv"))
+    // the _error sibling carries lineage too
+    val errSrc = spark.table(ref.errorSibling.qualified)
+      .select("_src_file").collect().map(_.getString(0)).toSeq
+    assert(errSrc === Seq("inner_a.csv"))
+  }
+
   test("ingest zip: recursive extraction processes csv and json inside") {
     val dir = Files.createTempDirectory("ingz_")
     val zip = dir.resolve("bundle_1.zip")
