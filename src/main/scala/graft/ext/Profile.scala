@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -86,5 +87,48 @@ object Profile {
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), min(col("__x")).as("lo"),
         max(col("__x")).as("hi"))
+  }
+
+  /** Per-group winsorization: clip an INTEGER-VALUED column (cents /
+    * fixed-point) to its group's [pLoPct, pHiPct] percentile values —
+    * the robust-outlier clamp run before feature scaling or reward
+    * normalization. Percentiles are EXACT discrete order statistics
+    * (value at rank ceil(n·p/100), lower-value method), computed with
+    * pure integer arithmetic so boundary rows replay identically across
+    * engines — interpolated `percentile_cont` in doubles cannot.
+    *
+    * Adds `x_e` (the cast input), `win_lo`, `win_hi`, and `out`
+    * (clipped value). Ties are value-stable: equal inputs yield the
+    * same order statistic whatever their internal rank order.
+    *
+    * Plan shape: one shuffle on the group keys; the row_number sort and
+    * the three unordered partition aggregates share that partitioning
+    * (one sort total). No joins, no per-group collect — group
+    * cardinality is unbounded, per-row state is constant.
+    */
+  def winsorize(
+      df: DataFrame, keys: Seq[String], x: Column,
+      pLoPct: Int, pHiPct: Int, out: String = "clipped"): DataFrame = {
+    require(0 <= pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      "need 0 <= pLoPct <= pHiPct <= 100")
+    val kc = keys.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    val wOrd = wAll.orderBy(col("x_e"))
+    val base = df.withColumn("x_e", x.cast("long"))
+      .withColumn("__n", count(col("x_e")).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+    // ceil(n*pct/100) in portable integer arithmetic, clamped to rank 1
+    def kAt(pct: Int): Column = {
+      val num = col("__n") * pct + 99
+      greatest(((num - num % 100) / 100).cast("long"), lit(1L))
+    }
+    base
+      .withColumn("win_lo",
+        max(when(col("__rn") === kAt(pLoPct), col("x_e"))).over(wAll))
+      .withColumn("win_hi",
+        max(when(col("__rn") === kAt(pHiPct), col("x_e"))).over(wAll))
+      .withColumn(out,
+        least(greatest(col("x_e"), col("win_lo")), col("win_hi")))
+      .drop("__n", "__rn")
   }
 }

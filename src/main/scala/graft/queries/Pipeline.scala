@@ -75,6 +75,39 @@ object PipelineQueries {
       | min(x) AS lo, max(x) AS hi
       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Per-segment winsorization of customer balances in cents, 5th/95th
+    * exact discrete percentiles (Profile.winsorize). */
+  def winsorize(s: SparkSession, d: String): DataFrame =
+    Profile.winsorize(Tables.customer(s, d), Seq("c_mktsegment"),
+        floor(col("c_acctbal") * 100), pLoPct = 5, pHiPct = 95)
+      .select("c_custkey", "c_mktsegment", "x_e", "win_lo", "win_hi",
+        "clipped")
+      .orderBy("c_custkey")
+
+  private val winsorizeOracle =
+    """WITH x AS (
+      | SELECT c_custkey, c_mktsegment,
+      |  CAST(floor(c_acctbal * 100) AS BIGINT) AS x_e FROM customer),
+      |r AS (
+      | SELECT *, count(*) OVER (PARTITION BY c_mktsegment) AS n,
+      |  row_number() OVER (PARTITION BY c_mktsegment ORDER BY x_e) AS rn
+      | FROM x),
+      |k AS (
+      | SELECT *,
+      |  greatest((n*5 + 99 - (n*5 + 99) % 100) // 100, 1) AS klo,
+      |  greatest((n*95 + 99 - (n*95 + 99) % 100) // 100, 1) AS khi
+      | FROM r),
+      |v AS (
+      | SELECT *,
+      |  max(CASE WHEN rn = klo THEN x_e END)
+      |    OVER (PARTITION BY c_mktsegment) AS win_lo,
+      |  max(CASE WHEN rn = khi THEN x_e END)
+      |    OVER (PARTITION BY c_mktsegment) AS win_hi
+      | FROM k)
+      |SELECT c_custkey, c_mktsegment, x_e, win_lo, win_hi,
+      | least(greatest(x_e, win_lo), win_hi) AS clipped
+      |FROM v ORDER BY c_custkey""".stripMargin
+
   // ------------------------------------------------- table maintenance
 
   /** Small-file compaction: a deliberately fragmented table (12-way
@@ -241,6 +274,7 @@ object PipelineQueries {
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
     QueryDef("pr2_histogram", histogram, Some(histogramOracle)),
+    QueryDef("pr3_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("c1_compaction", compaction, Some(compactionOracle)),
     QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),

@@ -141,4 +141,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(one.toSeq === Seq((0L, 3L)))
   }
+
+  test("Profile.winsorize: exact discrete percentile clip per group") {
+    import spark.implicits._
+    val a = (1L to 100L).map(v => ("a", v))
+    val b = Seq(("b", 42L)) // singleton group: klo = khi = 1
+    val df = (a ++ b).toDF("g", "x")
+    val got = Profile.winsorize(df, Seq("g"), col("x"), 5, 95)
+      .select("g", "x_e", "win_lo", "win_hi", "clipped")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    val ga = got.filter(_._1 == "a")
+    assert(ga.forall(r => r._3 === 5L && r._4 === 95L),
+      "rank ceil(100*5/100)=5 and ceil(95)=95")
+    assert(ga.find(_._2 == 1L).get._5 === 5L, "below lo clips up")
+    assert(ga.find(_._2 == 100L).get._5 === 95L, "above hi clips down")
+    assert(ga.find(_._2 == 50L).get._5 === 50L, "interior untouched")
+    val gb = got.filter(_._1 == "b").head
+    assert(gb._3 === 42L && gb._4 === 42L && gb._5 === 42L,
+      "singleton group clips to itself")
+  }
 }
