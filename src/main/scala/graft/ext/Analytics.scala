@@ -105,4 +105,35 @@ object Analytics {
       .select(col("cohort"), col("period_offset"), col("n_active"),
         col("cohort_size"))
   }
+
+  /** Pairwise co-occurrence mining (market-basket): the `topK` item
+    * pairs appearing together in the most groups. Emits (item_a,
+    * item_b, n_groups) with item_a < item_b, ordered by count desc then
+    * pair (fully deterministic through the limit).
+    *
+    * Scale guard: the within-group self-join is O(m²) per group, so
+    * groups larger than `maxItemsPerGroup` are EXCLUDED before pairing
+    * (same df-cap discipline as Dedup's maxDocsPerGram — one
+    * pathological basket must not produce a cross-join). The join is
+    * co-partitioned on the group key; the pair count is one linear
+    * groupBy; the top-k is TakeOrderedAndProject, never a global sort.
+    */
+  def cooccurrence(
+      df: DataFrame, groupCol: String, itemCol: String, topK: Int,
+      maxItemsPerGroup: Int = 1000): DataFrame = {
+    val gi = df.select(col(groupCol).as("__g"), col(itemCol).as("__i"))
+      .distinct()
+    val sized = gi
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("__g"))))
+      .where(col("__n") <= maxItemsPerGroup)
+      .drop("__n")
+    val a = sized.select(col("__g"), col("__i").as("item_a"))
+    val b = sized.select(col("__g"), col("__i").as("item_b"))
+    a.join(b, Seq("__g"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(desc("n_groups"), col("item_a"), col("item_b"))
+      .limit(topK)
+  }
 }

@@ -97,8 +97,28 @@ object AnalyticsQueries {
       | ELSE FALSE END AS is_anomaly
       |FROM w ORDER BY event_type, ts, event_id""".stripMargin
 
+  /** Top part pairs co-ordered in the same order (ext
+    * Analytics.cooccurrence over lineitem baskets). */
+  def cooccur(s: SparkSession, d: String): DataFrame =
+    Analytics.cooccurrence(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+      topK = 25)
+
+  private val cooccurOracle =
+    """WITH gi AS (
+      | SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |sized AS (
+      | SELECT g, i FROM (
+      |  SELECT g, i, count(*) OVER (PARTITION BY g) AS n FROM gi)
+      | WHERE n <= 1000),
+      |p AS (
+      | SELECT a.i AS item_a, b.i AS item_b
+      | FROM sized a JOIN sized b USING (g) WHERE a.i < b.i)
+      |SELECT item_a, item_b, count(*) AS n_groups FROM p GROUP BY 1, 2
+      |ORDER BY n_groups DESC, item_a, item_b LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q41_funnel", funnel, Some(funnelOracle)),
     QueryDef("q42_retention", retention, Some(retentionOracle)),
-    QueryDef("q43_anomaly", anomaly, Some(anomalyOracle)))
+    QueryDef("q43_anomaly", anomaly, Some(anomalyOracle)),
+    QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)))
 }

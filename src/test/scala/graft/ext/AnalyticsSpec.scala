@@ -74,6 +74,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got(14)._2, "spike over a zero-variance baseline flags")
   }
 
+  test("cooccurrence: pair counts, dedup within group, oversized baskets excluded") {
+    val df = Seq(
+      (1L, "x"), (1L, "y"), (1L, "z"),
+      (2L, "x"), (2L, "y"), (2L, "y"), // duplicate item collapses
+      (3L, "x"), (3L, "z")
+    ).toDF("g", "i")
+    val got = Analytics.cooccurrence(df, "g", "i", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq === Seq(
+      ("x", "y", 2L), ("x", "z", 2L), ("y", "z", 1L)))
+    // a basket over the cap contributes NO pairs
+    val withBig = df.union(
+      (1 to 50).map(i => (9L, s"item_$i")).toDF("g", "i"))
+    val capped = Analytics.cooccurrence(withBig, "g", "i", topK = 1000,
+        maxItemsPerGroup = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(!capped.exists(p => p._1.startsWith("item_")),
+      "oversized basket must be excluded, not exploded")
+  }
+
   test("scriptProfile: counts per range and dominant script") {
     val df = Seq(
       (1L, "hello world 123"),
