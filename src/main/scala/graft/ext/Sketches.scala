@@ -104,4 +104,31 @@ object Sketches {
     val estimateUdf = udf((k: String) => Option(k).map(est.estimate))
     candidates.withColumn("approx_count", estimateUdf(candidateKey))
   }
+
+  /** Distinct-set INTERSECTION estimate by inclusion-exclusion over HLL
+    * sketches: |A∩B| ≈ est(A) + est(B) − est(A∪B), where the union
+    * sketch is the lossless register union — the audience-overlap /
+    * retargeting-reach query answered without ever co-shuffling the two
+    * key sets. One row out: est_a, est_b, est_union, est_intersection.
+    *
+    * Each side is one sketch aggregation (KB exchange); the final
+    * combine is a 1×1 crossJoin. Error compounds across the three
+    * estimates, so the practical bound is ~3× a single sketch's σ
+    * RELATIVE TO THE UNION size — small intersections of huge sets need
+    * a bigger lgConfigK or an exact semi-join instead (documented
+    * trade; inclusion-exclusion is the right tool when the overlap is a
+    * material fraction of the union). */
+  def distinctIntersection(
+      dfA: DataFrame, keyA: Column, dfB: DataFrame, keyB: Column,
+      lgConfigK: Int = 12): DataFrame = {
+    val a = dfA.agg(hll_sketch_agg(keyA, lit(lgConfigK)).as("__sa"))
+    val b = dfB.agg(hll_sketch_agg(keyB, lit(lgConfigK)).as("__sb"))
+    a.crossJoin(b).select(
+      hll_sketch_estimate(col("__sa")).as("est_a"),
+      hll_sketch_estimate(col("__sb")).as("est_b"),
+      hll_sketch_estimate(hll_union(col("__sa"), col("__sb")))
+        .as("est_union"))
+      .withColumn("est_intersection",
+        col("est_a") + col("est_b") - col("est_union"))
+  }
 }

@@ -116,7 +116,42 @@ object SketchQueries {
     """SELECT event_type AS item, count(*) AS n FROM events
       |GROUP BY event_type ORDER BY n DESC, item LIMIT 3""".stripMargin
 
+  // ----------------------------------- k5: HLL intersection estimate
+
+  /** Audience overlap: distinct viewers ∩ distinct purchasers via
+    * inclusion-exclusion over HLL sketches (Sketches
+    * .distinctIntersection). The bound is 5% of the UNION size —
+    * inclusion-exclusion compounds three ±1.6%σ estimates, and here the
+    * overlap is a material fraction of the union (the operator's
+    * documented applicability condition). */
+  def approxIntersection(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val a = ev.where(col("event_type") === "view").select(col("user_id"))
+    val b = ev.where(col("event_type") === "purchase").select(col("user_id"))
+    val est = Sketches.distinctIntersection(a, col("user_id"), b, col("user_id"))
+    val exactI = a.intersect(b).agg(count(lit(1)).as("n_exact_inter"))
+    val exactU = a.union(b).distinct().agg(count(lit(1)).as("n_exact_union"))
+    est.crossJoin(exactI).crossJoin(exactU).select(
+      col("n_exact_inter"), col("n_exact_union"),
+      (abs(col("est_intersection") - col("n_exact_inter")) <=
+        col("n_exact_union").cast("double") * 0.05).as("ok_inter"))
+  }
+
+  private val approxIntersectionOracle =
+    """WITH a AS (
+      | SELECT DISTINCT user_id FROM events WHERE event_type = 'view'),
+      |b AS (
+      | SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT
+      | (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b))
+      |   AS n_exact_inter,
+      | (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))
+      |   AS n_exact_union,
+      | TRUE AS ok_inter""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("k5_approx_intersection", approxIntersection,
+      Some(approxIntersectionOracle)),
     QueryDef("k1_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
     QueryDef("k2_approx_quantiles", approxQuantiles, Some(approxQuantilesOracle)),
     QueryDef("k3_cms_frequencies", cmsFrequencies, Some(cmsOracle)),

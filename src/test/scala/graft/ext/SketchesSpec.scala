@@ -78,4 +78,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(Some("a")) === Some(2L))
     assert(got(None) === None, "null key must not NPE and must score null")
   }
+
+  test("distinctIntersection: inclusion-exclusion tracks exact overlap") {
+    import spark.implicits._
+    // A = 1..1000, B = 501..1500 -> exact intersection 500, union 1500
+    val a = (1L to 1000L).toDF("k")
+    val b = (501L to 1500L).toDF("k")
+    val r = Sketches.distinctIntersection(a, col("k"), b, col("k"))
+      .collect().head
+    val est = r.getAs[Long]("est_intersection").toDouble
+    assert(math.abs(est - 500.0) <= 1500 * 0.05,
+      s"est $est outside 5%-of-union of exact 500")
+    // disjoint sets: estimate collapses toward zero
+    val d = Sketches.distinctIntersection(
+        (1L to 500L).toDF("k"), col("k"),
+        (10001L to 10500L).toDF("k"), col("k"))
+      .collect().head.getAs[Long]("est_intersection").toDouble
+    assert(math.abs(d) <= 1000 * 0.05, s"disjoint estimate $d not near zero")
+  }
 }
