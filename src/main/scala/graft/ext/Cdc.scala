@@ -62,4 +62,78 @@ object Cdc {
         when(col("__c").isNotNull, col(s"__c.$f"))
           .otherwise(col(s"__b.$f")).as(f)): _*)
   }
+
+  /** The 100 TB refinement promised in this file's header: MERGE into a
+    * PARTITIONED table rewriting only the partitions the change batch
+    * touches. A full-table merge rewrites 100 TB to apply a 100 MB
+    * batch; this rewrites (changed partitions) only:
+    *
+    *  1. affected = partitions holding a matched key (semi-join of base
+    *     against the change keys, reading only the partition column)
+    *     ∪ the change rows' own partitions (where inserts land). This
+    *     is a partition-VALUE list — bounded by the partition count,
+    *     never row data — collected to the driver for pruning.
+    *  2. [[mergeUpsert]] runs over ONLY the affected base partitions
+    *     (partition-pruned scan) and the full change batch.
+    *  3. The merged slice is staged to a temp table (a table cannot be
+    *     overwritten while being read), then written back with DYNAMIC
+    *     partition overwrite — untouched partitions' files are never
+    *     rewritten, moved, or read.
+    *
+    * `changes` must carry `partCol` (the partition a row lives in /
+    * should insert into); a matched row whose partCol differs from its
+    * base partition MOVES (old partition rewritten without it, new one
+    * with it) because both partitions are affected by construction.
+    */
+  def mergeUpsertPruned(
+      table: String, changes: DataFrame, keys: Seq[String], partCol: String,
+      deleteCol: Option[String] = None,
+      assertUniqueKeys: Boolean = false): Unit = {
+    val spark = changes.sparkSession
+    val base = spark.table(table)
+    val affectedRows =
+      base.join(changes.select(keys.map(col): _*).distinct(), keys, "left_semi")
+        .select(col(partCol)).distinct()
+        .union(changes.select(col(partCol)).distinct())
+        .distinct().collect().map(_.get(0))
+    if (affectedRows.nonEmpty) {
+      val pruned = base.where(col(partCol).isin(affectedRows: _*))
+      val merged = mergeUpsert(pruned, changes, keys, deleteCol,
+        assertUniqueKeys)
+      // Stage then dynamic-overwrite: only partitions present in the
+      // merged slice (= the affected ones) are replaced.
+      val tmp = table + "__merge_stage"
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      merged.write.mode("overwrite").format("parquet").saveAsTable(tmp)
+      val prevMode =
+        spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        // insertInto matches by POSITION with the partition column last.
+        val cols = base.columns.filterNot(_ == partCol) :+ partCol
+        spark.table(tmp).select(cols.map(col): _*)
+          .write.mode("overwrite").insertInto(table)
+        // Dynamic overwrite only replaces partitions PRESENT in the
+        // written slice: an affected partition the merge left EMPTY
+        // (every row deleted or moved out) would otherwise keep its
+        // stale files. Drop those explicitly.
+        val present = spark.table(tmp).select(col(partCol)).distinct()
+          .collect().map(_.get(0)).toSet
+        affectedRows.filterNot(present).foreach { v =>
+          val lit = String.valueOf(v).replace("'", "''")
+          spark.sql(
+            s"ALTER TABLE $table DROP IF EXISTS PARTITION ($partCol = '$lit')")
+        }
+      } finally {
+        prevMode match {
+          case Some(m) =>
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+          case None =>
+            spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+        }
+        spark.sql(s"DROP TABLE IF EXISTS $tmp")
+      }
+      spark.catalog.refreshTable(table)
+    }
+  }
 }

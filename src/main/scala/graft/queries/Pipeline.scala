@@ -202,6 +202,54 @@ object PipelineQueries {
     * batch derived deterministically from orders — full-row updates
     * (+1 price on keys %100=0), inserts (shifted keys for %1000=0),
     * deletes (%170=0) — applied in one full-outer join. */
+  /** Partition-pruned MERGE (Cdc.mergeUpsertPruned): orders staged into
+    * a table partitioned by priority; a change batch of updates +
+    * inserts merges with only the touched partitions rewritten. The
+    * final table must equal a plain full merge — replayed in DuckDB.
+    * PipelineOpsSpec additionally asserts untouched partitions' files
+    * are byte-identical after the merge. */
+  def mergePruned(s: SparkSession, d: String): DataFrame = {
+    val tbl = "graft_verify.c5_orders"
+    s.sql("CREATE DATABASE IF NOT EXISTS graft_verify")
+    Seq(tbl, tbl + "__merge_stage").foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    val base = Tables.orders(s, d)
+    base.write.partitionBy("o_orderpriority").format("parquet")
+      .saveAsTable(tbl)
+    val k = col("o_orderkey")
+    val upd = base.where(k % 100 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000)
+    val ins = base.where(k % 500 === 0)
+      .withColumn("o_orderkey", k + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_totalprice", lit(1.5))
+    graft.ext.Cdc.mergeUpsertPruned(tbl, upd.unionByName(ins),
+      keys = Seq("o_orderkey"), partCol = "o_orderpriority")
+    s.table(tbl)
+      .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .orderBy("o_orderkey")
+  }
+
+  private val mergePrunedOracle =
+    """WITH ch AS (
+      | SELECT o_orderkey, o_custkey, o_orderstatus,
+      |  o_totalprice + 1000 AS o_totalprice, o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 100 = 0
+      | UNION ALL
+      | SELECT o_orderkey + 10000000, o_custkey, 'N', 1.5,
+      |  o_orderdate, o_orderpriority
+      | FROM orders WHERE o_orderkey % 500 = 0)
+      |SELECT o_orderkey, o_custkey, o_orderstatus,
+      | CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+      | o_orderdate, o_orderpriority
+      |FROM (
+      | SELECT * FROM ch
+      | UNION ALL
+      | SELECT * FROM orders b
+      | WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.o_orderkey = b.o_orderkey))
+      |ORDER BY o_orderkey""".stripMargin
+
   def mergeUpsert(s: SparkSession, d: String): DataFrame = {
     val base = Tables.orders(s, d)
     val k = col("o_orderkey")
@@ -279,5 +327,6 @@ object PipelineQueries {
     QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
     QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
+    QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }

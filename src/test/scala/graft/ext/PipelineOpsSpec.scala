@@ -142,6 +142,51 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(one.toSeq === Seq((0L, 3L)))
   }
 
+  test("mergeUpsertPruned: untouched partitions byte-identical, result == full merge") {
+    import spark.implicits._
+    val tbl = "pruned_spec_tbl"
+    Seq(tbl, tbl + "__merge_stage").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "v1", "A"), (2L, "v2", "A"), (3L, "v3", "B"), (4L, "v4", "C"))
+      .toDF("k", "v", "p")
+      .write.partitionBy("p").format("parquet").saveAsTable(tbl)
+    def files(part: String) = spark.table(tbl).inputFiles
+      .filter(_.contains(s"p=$part")).sorted.toSeq
+      .map { f =>
+        val path = java.nio.file.Paths.get(new java.net.URI(f))
+        (f, java.nio.file.Files.getLastModifiedTime(path).toMillis)
+      }
+    val bBefore = files("B")
+    assert(bBefore.nonEmpty)
+    // update in A, insert into C, B untouched
+    val changes = Seq((1L, "v1-new", "A"), (9L, "v9", "C")).toDF("k", "v", "p")
+    Cdc.mergeUpsertPruned(tbl, changes, keys = Seq("k"), partCol = "p")
+    assert(files("B") === bBefore, "partition B files must not be rewritten")
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq(
+      (1L, "v1-new", "A"), (2L, "v2", "A"), (3L, "v3", "B"),
+      (4L, "v4", "C"), (9L, "v9", "C")))
+  }
+
+  test("mergeUpsertPruned: delete rows and cross-partition moves resolve") {
+    import spark.implicits._
+    val tbl = "pruned_spec_tbl2"
+    Seq(tbl, tbl + "__merge_stage").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    Seq((1L, "x", "A"), (2L, "y", "B"), (3L, "z", "B"))
+      .toDF("k", "v", "p")
+      .write.partitionBy("p").format("parquet").saveAsTable(tbl)
+    // delete k=2; move k=1 from A to B
+    val changes = Seq((2L, "y", "B", true), (1L, "x2", "B", false))
+      .toDF("k", "v", "p", "del")
+    Cdc.mergeUpsertPruned(tbl, changes, keys = Seq("k"), partCol = "p",
+      deleteCol = Some("del"))
+    val got = spark.table(tbl).orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(got.toSeq === Seq((1L, "x2", "B"), (3L, "z", "B")))
+  }
+
   test("Profile.winsorize: exact discrete percentile clip per group") {
     import spark.implicits._
     val a = (1L to 100L).map(v => ("a", v))
