@@ -241,4 +241,36 @@ object Joins {
         levenshtein(left(leftText), right(rightText)).cast("long"))
       .where(col("edit_dist") <= maxDist)
   }
+
+  /** Numeric band join: pairs with |leftVal − rightVal| <= tol, as an
+    * EQUI-join — the tolerance-matching join (price reconciliation,
+    * sensor alignment, entity resolution on amounts) that a naive
+    * `abs(a-b) <= tol` condition plans as a broadcast-nested-loop /
+    * cartesian and dies at scale.
+    *
+    * Values must be INTEGER-VALUED (cents / fixed-point). Each side
+    * buckets by floor-division tol; a pair within tol is at most one
+    * bucket apart, so the right side expands to its bucket ±1 (3 rows)
+    * and the join runs on the bucket key, then the exact |Δ| <= tol
+    * filter prunes the corner cases. Shuffle carries 3× the right side
+    * and 1× the left — linear, skew-safe when values spread across
+    * buckets; a single hot bucket means tol spans a value spike and
+    * wants a smaller tol or salting (same discipline as saltedJoin).
+    */
+  def bandJoin(
+      left: DataFrame, right: DataFrame,
+      leftVal: String, rightVal: String, tol: Long): DataFrame = {
+    require(tol > 0, "tol must be positive")
+    // floor division portable for negatives: (x - pmod(x, tol)) / tol
+    def bucketOf(c: Column): Column =
+      ((c - pmod(c, lit(tol))) / tol).cast("long")
+    val l = left.withColumn("__bk", bucketOf(col(leftVal)))
+    val r = right.withColumn("__bk0", bucketOf(col(rightVal)))
+      .withColumn("__bk", explode(array(
+        col("__bk0") - 1, col("__bk0"), col("__bk0") + 1)))
+      .drop("__bk0")
+    l.join(r, Seq("__bk"))
+      .where(abs(col(leftVal) - col(rightVal)) <= tol)
+      .drop("__bk")
+  }
 }

@@ -237,7 +237,31 @@ object Relational4 {
       |   / ((nt - pt) // 3600) AS BIGINT) END AS v_e6
       |FROM a ORDER BY user_id, bucket""".stripMargin
 
+  // ---------------------------------------------------------------- q47
+  /** Numeric band join (ext Joins.bandJoin): customer and supplier
+    * account balances within 50 cents of each other, planned as a
+    * bucket ±1 EQUI-join instead of the BNLJ a theta |a-b| condition
+    * produces (JoinsSpec asserts the plan). */
+  def q47BandJoin(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d).select(col("c_custkey"),
+      floor(col("c_acctbal") * 100).cast("long").as("c_cents"))
+    val sup = Tables.supplier(s, d).select(col("s_suppkey"),
+      floor(col("s_acctbal") * 100).cast("long").as("s_cents"))
+    graft.ext.Joins.bandJoin(c, sup, "c_cents", "s_cents", tol = 50L)
+      .select("c_custkey", "s_suppkey", "c_cents", "s_cents")
+      .orderBy("c_custkey", "s_suppkey")
+  }
+
+  private val q47Oracle =
+    """SELECT c_custkey, s_suppkey,
+      | CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents,
+      | CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents
+      |FROM customer, supplier
+      |WHERE abs(floor(c_acctbal * 100) - floor(s_acctbal * 100)) <= 50
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("q47_band_join", q47BandJoin, Some(q47Oracle)),
     QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
     QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
     QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),

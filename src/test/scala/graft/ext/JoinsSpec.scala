@@ -130,4 +130,29 @@ class JoinsSpec extends AnyFunSuite {
     val iv = Seq((1L, 100L, 0L)).toDF("iid", "lo", "hi") // hi < lo
     assert(Joins.rangeJoin(p, iv, "t", "lo", "hi", bucketWidth = 10L).count() === 0)
   }
+
+  test("bandJoin: equals the brute-force theta join incl. bucket edges and negatives") {
+    val l = Seq((1L, 0L), (2L, 49L), (3L, 50L), (4L, 51L), (5L, -75L), (6L, 1000L))
+      .toDF("lid", "lv")
+    val r = Seq((10L, 50L), (11L, -25L), (12L, 99L), (13L, 2000L))
+      .toDF("rid", "rv")
+    val got = Joins.bandJoin(l, r, "lv", "rv", tol = 50L)
+      .select("lid", "rid").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1))).toSet
+    val brute = (for {
+      (lid, lv) <- Seq((1L, 0L), (2L, 49L), (3L, 50L), (4L, 51L), (5L, -75L), (6L, 1000L))
+      (rid, rv) <- Seq((10L, 50L), (11L, -25L), (12L, 99L), (13L, 2000L))
+      if math.abs(lv - rv) <= 50
+    } yield (lid, rid)).toSet
+    assert(got === brute)
+  }
+
+  test("bandJoin plan: bucket equi-join, never a nested-loop/cartesian") {
+    val l = Seq((1L, 0L)).toDF("lid", "lv")
+    val r = Seq((10L, 50L)).toDF("rid", "rv")
+    val plan = Joins.bandJoin(l, r, "lv", "rv", tol = 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
