@@ -143,4 +143,30 @@ object SubstringDedup {
     df.select(col(id)).join(rebuilt, Seq(id), "left")
       .withColumn("clean_text", coalesce(col("clean_text"), lit("")))
   }
+
+  /** Novelty scoring — the inverse view of duplication: per document,
+    * how many of its distinct k-grams appear in NO other document
+    * (corpus document-frequency 1). High-novelty documents carry
+    * information the corpus doesn't already have; low scores mark
+    * near-boilerplate. Emits (id, n_grams, n_novel) in exact integers
+    * (the caller forms the ratio at display time — a double ratio would
+    * be the only non-replayable bit).
+    *
+    * Plan: the same distinct-gram → df-count shape as [[dupStarts]]
+    * minus positions — two linear shuffles (distinct, per-gram count)
+    * and one join back on the gram key, then a per-doc count. With
+    * `hashed = true` the shuffled key is 8 bytes/gram. */
+  def noveltyScore(
+      df: DataFrame, text: String, id: String, k: Int,
+      hashed: Boolean = true): DataFrame = {
+    val docGrams = gramStarts(df, text, id, k, hashed)
+      .select(col(id), col("gram")).distinct()
+    val dfCounts = docGrams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("__df"))
+    docGrams.join(dfCounts, Seq("gram"))
+      .groupBy(col(id))
+      .agg(
+        count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+  }
 }

@@ -514,6 +514,30 @@ object HygieneQueries {
       |      ELSE 'cjk' END AS main_script
       |FROM counts ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------- novelty scoring
+
+  /** Rare-gram novelty per document: distinct 3-grams with corpus
+    * df = 1 (SubstringDedup.noveltyScore, exact integer counts;
+    * hashed=false for the text replay, SubstringSpec covers hashed). */
+  def novelty(s: SparkSession, d: String): DataFrame =
+    SubstringDedup.noveltyScore(Tables.documents(s, d), "text", "doc_id",
+        k = 3, hashed = false)
+      .orderBy("doc_id")
+
+  private val noveltyOracle =
+    """WITH toksl AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |   t -> len(t) > 0) AS ts FROM documents),
+      |g AS (SELECT DISTINCT doc_id, gram FROM (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(1, greatest(len(ts) - 3, 0) + 2),
+      |   i -> array_to_string(ts[i:i+2], ' '))) AS gram FROM toksl)),
+      |dfc AS (SELECT gram, count(*) AS df FROM g GROUP BY 1)
+      |SELECT doc_id, count(*) AS n_grams,
+      | CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+      |FROM g JOIN dfc USING (gram)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -527,5 +551,6 @@ object HygieneQueries {
     QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),
     QueryDef("t15_pseudonymize", pseudonymizeGate, Some(pseudonymizeOracle)),
     QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)),
-    QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)))
+    QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
+    QueryDef("t18_novelty", novelty, Some(noveltyOracle)))
 }

@@ -63,6 +63,23 @@ class SubstringSpec extends AnyFunSuite {
     assert(got(1L) === "Mixed CASE tokens")
   }
 
+  test("noveltyScore: df=1 grams count as novel; hashed path identical") {
+    val df = Seq(
+      (1L, "aa bb cc dd"),      // shares "aa bb cc" 3-gram run with doc 2
+      (2L, "aa bb cc zz"),
+      (3L, "qq ww ee rr")       // all grams unique to doc 3
+    ).toDF("doc_id", "text")
+    def run(h: Boolean) =
+      SubstringDedup.noveltyScore(df, "text", "doc_id", k = 3, hashed = h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val got = run(false)
+    // doc 1 grams: "aa bb cc"(shared), "bb cc dd"(novel) -> 2 grams, 1 novel
+    assert(got.contains((1L, 2L, 1L)))
+    assert(got.contains((2L, 2L, 1L)))
+    assert(got.contains((3L, 2L, 2L)), "fully unique doc is all-novel")
+    assert(run(true) === got)
+  }
+
   test("minDocs raises the cross-document bar") {
     // run shared by only 2 docs disappears at minDocs = 3
     val got = SubstringDedup
