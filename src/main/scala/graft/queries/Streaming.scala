@@ -217,7 +217,31 @@ object StreamingQueries {
       |SELECT 9999, -1, 'keeper', -99.0
       |ORDER BY user_id""".stripMargin
 
+  /** Streaming hourly distinct users (EventStream.hourlyDistinctUsers):
+    * per-hour user cardinalities are in HLL++ sparse range at gate
+    * scale, so the streamed estimate must land within 5% of the exact
+    * batch count (k1-style bounds gate over a real stream). */
+  def streamDistinct(s: SparkSession, d: String): DataFrame = {
+    val streamed = runToTable(s, "st9_distinct_out",
+      df => EventStream.hourlyDistinctUsers(df), "complete", d)
+    val exact = Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(streamed, Seq("hour"))
+      .select(col("hour"), col("n_exact"),
+        (abs(col("nd_est") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("ok_est"))
+      .orderBy("hour")
+  }
+
+  private val streamDistinctOracle =
+    """SELECT date_trunc('hour', ts) AS hour,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | TRUE AS ok_est
+      |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),

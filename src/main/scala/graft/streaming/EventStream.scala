@@ -237,6 +237,22 @@ object EventStream {
         max(col("ts")).as("session_end"))
   }
 
+  /** Streaming hourly distinct-user estimates: watermark-windowed
+    * approx_count_distinct (HLL++) — the streaming twin of the k1
+    * sketch gate. The sketch state per open window is constant-size
+    * (registers, not keys), so cardinality tracking survives unbounded
+    * key churn where an exact streaming distinct would grow state per
+    * key. Spark's HLL++ has no sparse mode, so small-range accuracy
+    * comes from register count: at `rsd` = 0.01 (2^14 registers) the
+    * linear-counting estimate rounds to the exact value while n² ≪ 2m —
+    * comfortably through thousands of distinct keys per window. */
+  def hourlyDistinctUsers(events: DataFrame, rsd: Double = 0.01): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("nd_est"))
+      .select(col("window.start").as("hour"), col("nd_est"))
+
   /** Streaming materialized upsert view: maintain a latest-record-per-key
     * TABLE from a change stream — the streaming twin of
     * [[graft.ext.Dedup.latestByKey]] composed with
