@@ -46,7 +46,12 @@ final case class ExportConfig(
     logTable: TableRef = TableRef("development", "eda_gc_raw", "export"),
     format: ExportFormat = ExportFormat.Xlsx,
     codec: Option[String] = None,
-    extraSheets: Seq[(String, String)] = Nil)
+    extraSheets: Seq[(String, String)] = Nil,
+    /** When true, a `<fileName>.manifest.json` sidecar uploads after the
+      * artifact: row count, output columns, format, codec — the
+      * machine-readable completeness handshake a downstream consumer
+      * checks instead of re-counting the artifact. */
+    manifest: Boolean = false)
 
 final case class ExportReport(rows: Long, errors: Seq[String]) {
   def ok: Boolean = errors.isEmpty
@@ -153,6 +158,20 @@ object Export {
             Files.list(tmp).iterator().asScala.foreach(Files.deleteIfExists(_))
             Files.deleteIfExists(tmp)
           }
+      }
+      if (conf.manifest) {
+        def js(s: String) = "\"" + s.flatMap {
+          case '"' => "\\\""; case '\\' => "\\\\"
+          case c if c < ' ' => f"\\u${c.toInt}%04x"
+          case c => c.toString
+        } + "\""
+        val body =
+          s"""{"file": ${js(conf.fileName)}, "format": ${js(conf.format.toString)}, """ +
+            s""""codec": ${conf.codec.fold("null")(js)}, "rows": $rows, """ +
+            s""""columns": [${header.map(js).mkString(", ")}]}"""
+        store.putOverwrite(conf.folder, conf.fileName + ".manifest.json",
+          out => out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        log("Exported manifest", s"${conf.fileName}.manifest.json")
       }
       log("Exported file", s"${conf.fileName}: $rows rows")
     } catch { case NonFatal(e) =>

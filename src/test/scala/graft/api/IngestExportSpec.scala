@@ -218,6 +218,29 @@ class IngestExportSpec extends AnyFunSuite {
       Seq("plain", "has,comma", "has \"quote\"", "multi\nline", null))
   }
 
+  test("export manifest sidecar: rows, columns, format recorded next to the artifact") {
+    import spark.implicits._
+    Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "val")
+      .createOrReplaceTempView("mani_src")
+    val dir = Files.createTempDirectory("exp_mani_")
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT id, val AS renamed FROM mani_src ORDER BY id",
+      dir.toString, "res.csv", format = ExportFormat.Csv,
+      manifest = true,
+      logTable = TableRef("t", "est", "expmani")))
+    assert(r.ok && r.rows === 3)
+    val body = Files.readString(dir.resolve("res.csv.manifest.json"))
+    assert(body.contains("\"rows\": 3"), body)
+    assert(body.contains("\"file\": \"res.csv\""), body)
+    assert(body.contains("\"renamed\""), body)
+    assert(body.contains("\"codec\": null"), body)
+    // valid JSON by the same parser the driver uses downstream
+    val parsed = spark.read.json(
+      Seq(body).toDS()).collect().head
+    assert(parsed.getAs[Long]("rows") === 3L)
+    assert(parsed.getAs[Seq[String]]("columns") === Seq("id", "renamed"))
+  }
+
   test("export csv/jsonl with gzip codec: compressed bytes, Spark reads them back") {
     import spark.implicits._
     Seq((1L, "alpha"), (2L, "has,comma"), (3L, "plain"))
