@@ -71,7 +71,54 @@ object Validation {
       |WHERE error_type IS NOT NULL
       |GROUP BY error_type ORDER BY error_type""".stripMargin
 
+  /** Corruption for the rule gate: negative price (casts fine, fails
+    * the range rule) on %83 rows, bad status on %79 rows, plus the
+    * %97/%89 corruptions above — overlapping rows accumulate multiple
+    * error strings in field-then-rule order. */
+  private def rawOrdersForRules(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d).select(
+      col("o_orderkey").cast("string").as("order_key"),
+      when(col("o_orderkey") % 97 === 0, lit(null))
+        .otherwise(col("o_custkey")).cast("string").as("cust_key"),
+      when(col("o_orderkey") % 89 === 0, lit("not-a-number"))
+        .when(col("o_orderkey") % 83 === 0, lit("-5.5"))
+        .otherwise(col("o_totalprice").cast("string")).as("total_price"),
+      date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("order_ts"),
+      when(col("o_orderkey") % 79 === 0, lit("X"))
+        .otherwise(col("o_orderstatus")).as("status"))
+
+  /** User-defined row rules on TYPED values (ValidateAndSplit.RowRule):
+    * a null-guarded range rule and an enum rule, accumulated into the
+    * same error strings as the built-in checks. */
+  def rulesSplit(s: SparkSession, d: String): DataFrame =
+    ValidateAndSplit(rawOrdersForRules(s, d), meta, Seq(
+        ValidateAndSplit.RowRule("nonnegative_price",
+          p => p("total_price").isNull || p("total_price") >= 0),
+        ValidateAndSplit.RowRule("status_enum",
+          p => p("status").isin("O", "F", "P"))))
+      .invalid
+      .groupBy(col("error_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("error_type")
+
+  private val rulesOracle =
+    """SELECT error_type, count(*) AS n FROM (
+      | SELECT array_to_string(list_filter([
+      |   CASE WHEN o_orderkey % 97 = 0
+      |     THEN 'Null value in non-nullable column: cust_key' END,
+      |   CASE WHEN o_orderkey % 89 = 0
+      |     THEN 'Type mismatch for column: total_price' END,
+      |   CASE WHEN o_orderkey % 89 <> 0 AND o_orderkey % 83 = 0
+      |     THEN 'Rule violated: nonnegative_price' END,
+      |   CASE WHEN o_orderkey % 79 = 0
+      |     THEN 'Rule violated: status_enum' END
+      |  ], x -> x IS NOT NULL), '; ') AS error_type
+      | FROM orders) t
+      |WHERE error_type <> ''
+      |GROUP BY error_type ORDER BY error_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("v1_validate_valid", validSplit, Some(validOracle)),
-    QueryDef("v2_validate_invalid", invalidSplit, Some(invalidOracle)))
+    QueryDef("v2_validate_invalid", invalidSplit, Some(invalidOracle)),
+    QueryDef("v3_validate_rules", rulesSplit, Some(rulesOracle)))
 }

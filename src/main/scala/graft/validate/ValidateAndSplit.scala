@@ -42,10 +42,24 @@ object ValidateAndSplit {
 
   final case class Split(valid: DataFrame, invalid: DataFrame)
 
+  /** A user-defined row-level constraint evaluated on the TYPED values
+    * (post-cast), extending the reference's fixed three error classes
+    * with domain rules (ranges, enums, cross-column relations). The
+    * predicate receives a resolver from declared (lowercased) field
+    * name to its typed column and must evaluate TRUE for the row to
+    * pass; a NULL result counts as a violation, so predicates over
+    * nullable fields should null-guard explicitly (`c.isNull || c >= 0`
+    * to accept nulls). Violations append "Rule violated: <name>" to the
+    * same error accumulator — still one narrow codegen'd projection,
+    * still zero shuffles. */
+  final case class RowRule(name: String, predicate: (String => Column) => Column)
+
   /** Errors column name used internally; never escapes the operator. */
   private val ErrCol = "__graft_errs"
 
-  def apply(raw: DataFrame, meta: TableMeta): Split = {
+  def apply(raw: DataFrame, meta: TableMeta): Split = apply(raw, meta, Nil)
+
+  def apply(raw: DataFrame, meta: TableMeta, rules: Seq[RowRule]): Split = {
     // O10: strip whitespace from header names (box_ingest.py:160).
     val df = raw.toDF(raw.columns.map(_.trim): _*)
     // O11: case-insensitive column resolution (box_ingest.py:89-90).
@@ -75,9 +89,24 @@ object ValidateAndSplit {
         coalesce(nullErr, castErr)
     }
 
+    // Typed view of every declared field, for rule predicates.
+    val typedByName: Map[String, Column] = perField.map {
+      case (f, None)     => f.outName -> lit(null).cast(f.dataType)
+      case (f, Some(in)) =>
+        f.outName -> castedOrNull(col(quoted(in)), df.schema(in).dataType, f)
+    }.toMap
+    def resolve(name: String): Column =
+      typedByName.getOrElse(name.toLowerCase,
+        throw new IllegalArgumentException(
+          s"RowRule references undeclared field: $name"))
+    val ruleErrs: Seq[Column] = rules.map { r =>
+      when(!coalesce(r.predicate(resolve), lit(false)),
+        lit(s"Rule violated: ${r.name}"))
+    }
+
     val withErrs = df.withColumn(
       ErrCol,
-      filter(array(errExprs: _*), e => e.isNotNull))
+      filter(array(errExprs ++ ruleErrs: _*), e => e.isNotNull))
 
     val validCols: Seq[Column] = perField.map {
       case (f, None)     => lit(null).cast(f.dataType).as(f.outName)

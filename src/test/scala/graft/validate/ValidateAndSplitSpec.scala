@@ -164,4 +164,37 @@ class ValidateAndSplitSpec extends AnyFunSuite {
     val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(15), prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("RowRule: typed-value rules accumulate after field errors; null result = violation") {
+    val s = ValidateAndSplit(
+      df(Seq(
+        Row("1", "5.0", null, null, "ok"),        // passes all
+        Row("2", "-3.5", null, null, "ok"),       // fails range rule
+        Row("3", "bad", null, null, "ok"),        // cast error; guard skips rule
+        Row(null, "-1.0", null, null, "ok"),      // null id + rule violation
+        Row("5", "2.0", null, null, null)         // unguarded note rule: null -> violation
+      )),
+      meta,
+      Seq(
+        ValidateAndSplit.RowRule("nonnegative_amount",
+          p => p("amount").isNull || p("amount") >= 0),
+        ValidateAndSplit.RowRule("note_short", p => org.apache.spark.sql
+          .functions.length(p("note")) <= 10)))
+    val valid = s.valid.collect().map(_.getAs[Long]("id")).toSet
+    assert(valid === Set(1L))
+    val errs = s.invalid.collect().map(_.getAs[String]("error_type")).sorted
+    assert(errs === Array(
+      "Null value in non-nullable column: id; Rule violated: nonnegative_amount",
+      "Rule violated: nonnegative_amount",
+      "Rule violated: note_short", // row 5: null note, unguarded rule
+      "Type mismatch for column: amount"))
+  }
+
+  test("RowRule: referencing an undeclared field fails fast") {
+    val e = intercept[IllegalArgumentException] {
+      ValidateAndSplit(df(Seq(Row("1", "1.0", null, null, "x"))), meta,
+        Seq(ValidateAndSplit.RowRule("bad", p => p("nope") >= 0)))
+    }
+    assert(e.getMessage.contains("undeclared field: nope"))
+  }
 }
