@@ -182,6 +182,42 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("CartesianProduct"), s)
   }
 
+  test("substring dedup removal: every join is an equi-join — no range/nested-loop") {
+    val df = graft.ext.SubstringDedup.removeDuplicateSpans(
+      graft.Tables.documents(spark, sf), "text", "doc_id", k = 6)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("funnel: probe joins stay on the user key — no cartesian anywhere") {
+    val df = graft.ext.Analytics.funnel(graft.Tables.events(spark, sf),
+      "user_id", "event_type", "ts", Seq("signup", "view", "purchase"),
+      windowSeconds = 3600)
+    val s = planString(df)
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("winsorize: one exchange on the group keys feeds sort, windows, and output") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ext.Profile.winsorize(graft.Tables.customer(spark, sf),
+      Seq("c_mktsegment"), floor(col("c_acctbal") * 100), 5, 95)
+    val s = planString(df)
+    val nExchanges = s.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      s.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nExchanges <= 1, s"expected a single shuffle, got $nExchanges:\n$s")
+    assert(!s.contains("CartesianProduct"), s)
+  }
+
+  test("rolling anomaly: single window pipeline, no join-back of the event table") {
+    val df = graft.ext.TimeSeries.rollingAnomaly(graft.Tables.events(spark, sf),
+      Seq("event_type"), "ts", "value", nPrior = 24, k = 3, minObs = 12,
+      tiebreak = Seq("event_id"))
+    val s = planString(df)
+    assert(!s.contains("Join"), s"anomaly plan must not join:\n$s")
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
