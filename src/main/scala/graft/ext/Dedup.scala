@@ -59,6 +59,35 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col(id)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: filter a NEW batch against an existing
+    * corpus WITHOUT reprocessing the corpus — the shape of daily ingest
+    * into an already-deduplicated 100 TB collection. The corpus is
+    * represented solely by its 8-byte fingerprint relation (`fp`
+    * column, maintained across runs); the batch (1) dedups internally
+    * by fingerprint (first id wins), then (2) anti-joins the corpus
+    * fingerprints. Returns the surviving batch rows with their `fp`
+    * appended — union that projection onto the fingerprint table to
+    * complete the increment.
+    *
+    * Cost: one fingerprint scan of the BATCH, one batch-sized groupBy,
+    * one anti-join against the fingerprint relation — the corpus text
+    * is never read. At 100 TB the fingerprint table is ~0.1% of corpus
+    * bytes; bucket it on `fp` to make the recurring anti-join
+    * exchange-free on the corpus side (Scale.writeBucketed).
+    */
+  def incrementalExact(
+      corpusFps: DataFrame, batch: DataFrame, text: String, id: String)
+      : DataFrame = {
+    val withFp = batch.withColumn("fp", GraftFunctions.fingerprint(col(text)))
+    val firstPerFp = withFp
+      .groupBy(col("fp")).agg(min(col(id)).as("__keep"))
+    withFp
+      .join(firstPerFp,
+        withFp("fp") === firstPerFp("fp") && col(id) === col("__keep"))
+      .drop("__keep").drop(firstPerFp("fp"))
+      .join(corpusFps.select(col("fp")), Seq("fp"), "left_anti")
+  }
+
   // ----------------------------------------------------------- minhash
 
   /** LSH tuning: the implied similarity threshold is ~(1/bands)^(1/r)

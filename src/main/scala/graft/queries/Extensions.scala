@@ -104,6 +104,39 @@ object ExtensionQueries {
     e.union(dups)
   }
 
+  /** Incremental dedup of a new batch against an existing corpus'
+    * fingerprint relation (Dedup.incrementalExact — the corpus text is
+    * never re-read). Corpus = docs < 400; batch = docs >= 300 (the
+    * 300-399 overlap must drop) plus re-keyed copies of docs >= 450
+    * (within-batch dups, first id wins). Oracle replays with raw text
+    * equality — identical because the 64-bit fingerprint is injective
+    * on the gate corpus (collisions would hash-mismatch loudly). */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpusFps = docs.where(col("doc_id") < 400)
+      .select(graft.functions.GraftFunctions.fingerprint(col("text")).as("fp"))
+    val batch = docs.where(col("doc_id") >= 300)
+      .union(docs.where(col("doc_id") >= 450)
+        .select((col("doc_id") + 1000).as("doc_id"), col("text")))
+    Dedup.incrementalExact(corpusFps, batch, "text", "doc_id")
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  private val dedupIncrementalOracle =
+    """WITH corpus AS (SELECT text FROM documents WHERE doc_id < 400),
+      |batch AS (
+      | SELECT doc_id, text FROM documents WHERE doc_id >= 300
+      | UNION ALL
+      | SELECT doc_id + 1000 AS doc_id, text FROM documents
+      | WHERE doc_id >= 450),
+      |firsts AS (
+      | SELECT doc_id FROM (
+      |  SELECT doc_id, text, min(doc_id) OVER (PARTITION BY text) AS k
+      |  FROM batch) t
+      | WHERE doc_id = k AND text NOT IN (SELECT text FROM corpus))
+      |SELECT doc_id FROM firsts ORDER BY doc_id""".stripMargin
+
   def dedupExact(s: SparkSession, d: String): DataFrame =
     Dedup.exactGroups(
       plantedDocs(s, d).union(plantedDocs(s, d).where(col("doc_id") < 10)),
@@ -713,6 +746,8 @@ object ExtensionQueries {
     QueryDef("t5_text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("t6_text_repetition", textRepetition, Some(textRepetitionOracle)),
     QueryDef("d1_dedup_exact", dedupExact, Some(dedupExactOracle)),
+    QueryDef("d15_dedup_incremental", dedupIncremental,
+      Some(dedupIncrementalOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),

@@ -384,4 +384,22 @@ class ExtSpec extends AnyFunSuite {
     val again = Multimodal.resize(media, 2, 2).collect()(0)
     assert(again.content.toSeq === out.content.toSeq)
   }
+
+  test("incrementalExact: corpus hits drop, within-batch dups keep first id, fp appended") {
+    val corpusFps = Seq("known doc text").toDF("t")
+      .select(GraftFunctions.fingerprint(col("t")).as("fp"))
+    val batch = Seq(
+      (1L, "known doc text"),   // already in corpus -> dropped
+      (2L, "fresh text one"),   // kept
+      (3L, "fresh text one"),   // within-batch dup of 2 -> dropped
+      (4L, "fresh text two")    // kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.incrementalExact(corpusFps, batch, "text", "doc_id")
+    assert(got.columns.contains("fp"), "surviving rows must carry fp for the table update")
+    val ids = got.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(2L, 4L))
+    // second run with the updated fingerprint table: everything drops
+    val updated = corpusFps.union(got.select(col("fp")))
+    assert(Dedup.incrementalExact(updated, batch, "text", "doc_id").count() === 0)
+  }
 }
