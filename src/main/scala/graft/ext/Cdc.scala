@@ -63,6 +63,37 @@ object Cdc {
           .otherwise(col(s"__b.$f")).as(f)): _*)
   }
 
+  /** Keyed table diff — the inverse of MERGE: given two snapshots of a
+    * keyed table, emit what changed: (keys..., change_type ∈
+    * added | removed | changed). Unchanged rows are filtered BEFORE the
+    * output (the overwhelming majority between daily snapshots), so
+    * downstream work scales with the delta, not the table. The payload
+    * comparison is a null-safe struct equality — one expression per
+    * row, no column enumeration in the plan.
+    *
+    * Plan: ONE full-outer join on the key (both sides hash once;
+    * broadcast when one snapshot is small). This is the
+    * drift-detection / reconciliation primitive: run it between a
+    * replica and its source, or between yesterday's and today's
+    * snapshot to regenerate a change feed that was never captured.
+    */
+  def diff(before: DataFrame, after: DataFrame, keys: Seq[String]): DataFrame = {
+    val payload = before.columns.filterNot(keys.contains)
+    require(payload.sameElements(after.columns.filterNot(keys.contains)),
+      "diff requires identical non-key columns on both sides")
+    val b = before.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__b"): _*)
+    val a = after.select(
+      keys.map(col) :+ struct(payload.map(col): _*).as("__a"): _*)
+    b.join(a, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("__b").isNull, lit("added"))
+          .when(col("__a").isNull, lit("removed"))
+          .when(!(col("__a") <=> col("__b")), lit("changed")))
+      .where(col("change_type").isNotNull)
+      .select(keys.map(col) :+ col("change_type"): _*)
+  }
+
   /** The 100 TB refinement promised in this file's header: MERGE into a
     * PARTITIONED table rewriting only the partitions the change batch
     * touches. A full-table merge rewrites 100 TB to apply a 100 MB

@@ -108,6 +108,35 @@ object PipelineQueries {
       | least(greatest(x_e, win_lo), win_hi) AS clipped
       |FROM v ORDER BY c_custkey""".stripMargin
 
+  /** Keyed snapshot diff (Cdc.diff): before = orders; after drops %170
+    * keys, bumps %100 prices, inserts re-keyed %500 rows. Emits only
+    * the delta rows with their change_type. */
+  def tableDiff(s: SparkSession, d: String): DataFrame = {
+    val before = Tables.orders(s, d)
+    val k = col("o_orderkey")
+    val after = before.where(k % 170 =!= 0)
+      .withColumn("o_totalprice",
+        when(k % 100 === 0, col("o_totalprice") + 1)
+          .otherwise(col("o_totalprice")))
+      .unionByName(before.where(k % 500 === 0)
+        .withColumn("o_orderkey", k + 10000000L))
+    graft.ext.Cdc.diff(before, after, Seq("o_orderkey"))
+      .orderBy("o_orderkey")
+  }
+
+  private val tableDiffOracle =
+    """WITH ch AS (
+      | SELECT o_orderkey, CASE
+      |   WHEN o_orderkey % 170 = 0 THEN 'removed'
+      |   WHEN o_orderkey % 100 = 0 THEN 'changed' END AS change_type
+      | FROM orders
+      | UNION ALL
+      | SELECT o_orderkey + 10000000, 'added' FROM orders
+      | WHERE o_orderkey % 500 = 0)
+      |SELECT o_orderkey, change_type FROM ch
+      |WHERE change_type IS NOT NULL
+      |ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------- table maintenance
 
   /** Small-file compaction: a deliberately fragmented table (12-way
@@ -328,5 +357,6 @@ object PipelineQueries {
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
     QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
     QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
+    QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }

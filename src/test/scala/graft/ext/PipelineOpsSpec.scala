@@ -187,6 +187,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "x2", "B"), (3L, "z", "B")))
   }
 
+  test("Cdc.diff: added/removed/changed only; null payloads compare null-safe") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a")), (2L, Some("b")), (3L, None), (4L, Some("d")))
+      .toDF("k", "v")
+    val after = Seq(
+      (1L, Some("a")),   // unchanged -> absent from output
+      (2L, Some("B")),   // changed
+      (3L, None),        // null == null under <=> -> unchanged
+      (5L, Some("e")))   // added; 4 removed
+      .toDF("k", "v")
+    val got = Cdc.diff(before, after, Seq("k"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
   test("Profile.winsorize: exact discrete percentile clip per group") {
     import spark.implicits._
     val a = (1L to 100L).map(v => ("a", v))
