@@ -435,6 +435,42 @@ object TextAnalysis {
           .otherwise(lit("cjk")))
   }
 
+  // ------------------------------------------------- span corruption
+
+  /** Deterministic token masking for denoising/MLM-style training-data
+    * prep: each whitespace token is replaced by `maskTok` when its
+    * pseudo-random draw falls under `pct` percent. The draw is pure
+    * integer arithmetic over (doc id, 1-based token position) —
+    * (id·2654435761 + pos·40503) mod 100 — so the corruption is (a)
+    * reproducible run-over-run with no RNG state, (b) independent of
+    * partitioning, and (c) replayable by any engine; a seeded `rand()`
+    * is none of those. Narrow HOF projection, no explode, no shuffle.
+    * Emits (id, masked_text, n_tokens, n_masked). */
+  def maskTokens(
+      df: DataFrame, text: String, id: String, pct: Int,
+      maskTok: String = "<mask>"): DataFrame = {
+    require(pct >= 0 && pct <= 100, "pct in [0, 100]")
+    val ts = filter(split(col(text), "\\s+"), t => length(t) > 0)
+    def draw(pos: Column): Column =
+      (col(id) * 2654435761L + pos * 40503L) % 100
+    val base = df.select(col(id), ts.as("__ts"))
+    val masked = array_join(
+      zip_with(col("__ts"),
+        sequence(lit(1), greatest(size(col("__ts")), lit(1))),
+        (t, i) => when(draw(i) < pct, lit(maskTok)).otherwise(t)),
+      " ")
+    val nMasked = size(filter(
+      sequence(lit(1), greatest(size(col("__ts")), lit(1))),
+      i => draw(i) < pct))
+    base.select(
+      col(id),
+      when(size(col("__ts")) === 0, lit("")).otherwise(masked)
+        .as("masked_text"),
+      size(col("__ts")).cast("long").as("n_tokens"),
+      when(size(col("__ts")) === 0, lit(0L))
+        .otherwise(nMasked.cast("long")).as("n_masked"))
+  }
+
   // ----------------------------------------------- pseudonymization
 
   /** Deterministic keyed pseudonymization of identifier columns: each

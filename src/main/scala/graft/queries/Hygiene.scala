@@ -538,6 +538,30 @@ object HygieneQueries {
       |FROM g JOIN dfc USING (gram)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // --------------------------------------------------- token masking
+
+  /** Deterministic 15% token masking (TextAnalysis.maskTokens) — the
+    * integer-arithmetic draw replays exactly in DuckDB. */
+  def maskGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.maskTokens(Tables.documents(s, d), "text", "doc_id",
+        pct = 15)
+      .orderBy("doc_id")
+
+  private val maskOracle =
+    """WITH toksl AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |   t -> len(t) > 0) AS ts FROM documents)
+      |SELECT doc_id,
+      | CASE WHEN len(ts) = 0 THEN '' ELSE array_to_string(
+      |   list_transform(ts, (t, i) ->
+      |     CASE WHEN (doc_id * 2654435761 + i * 40503) % 100 < 15
+      |       THEN '<mask>' ELSE t END), ' ') END AS masked_text,
+      | CAST(len(ts) AS BIGINT) AS n_tokens,
+      | CAST(len(list_filter(range(1, len(ts) + 1),
+      |   i -> (doc_id * 2654435761 + i * 40503) % 100 < 15)) AS BIGINT)
+      |   AS n_masked
+      |FROM toksl ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -552,5 +576,6 @@ object HygieneQueries {
     QueryDef("t15_pseudonymize", pseudonymizeGate, Some(pseudonymizeOracle)),
     QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)),
     QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
-    QueryDef("t18_novelty", novelty, Some(noveltyOracle)))
+    QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
+    QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)))
 }

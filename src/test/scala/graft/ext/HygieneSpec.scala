@@ -174,6 +174,27 @@ class HygieneSpec extends AnyFunSuite {
     assert(run("s2")(1L) !== a(1L), "salt rotation breaks linkability")
   }
 
+  test("maskTokens: deterministic, pct bounds exact, empty doc safe") {
+    import spark.implicits._
+    val df = Seq((7L, "one two three four five"), (8L, "   "), (9L, "solo"))
+      .toDF("doc_id", "text")
+    def run(pct: Int) = TextAnalysis.maskTokens(df, "text", "doc_id", pct)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val none = run(0)
+    assert(none(7L) === (("one two three four five", 5L, 0L)))
+    assert(none(8L) === (("", 0L, 0L)), "whitespace-only doc yields empty")
+    val all = run(100)
+    assert(all(7L) === (("<mask> <mask> <mask> <mask> <mask>", 5L, 5L)))
+    assert(all(9L) === (("<mask>", 1L, 1L)))
+    val some = run(15)
+    assert(some === run(15), "same inputs, same masks — no RNG state")
+    val (txt, n, m) = some(7L)
+    assert(m === txt.split(" ").count(_ == "<mask>"),
+      "n_masked must agree with the rebuilt text")
+    assert(n === 5L)
+  }
+
   test("urlParse: components extracted; www stripped once; malformed -> empty") {
     import spark.implicits._
     val df = Seq(
