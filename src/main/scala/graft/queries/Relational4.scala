@@ -239,7 +239,7 @@ object Relational4 {
 
   // ---------------------------------------------------------------- q47
   /** Numeric band join (ext Joins.bandJoin): customer and supplier
-    * account balances within 50 cents of each other, planned as a
+    * account balances within 10 dollars of each other, planned as a
     * bucket ±1 EQUI-join instead of the BNLJ a theta |a-b| condition
     * produces (JoinsSpec asserts the plan). */
   def q47BandJoin(s: SparkSession, d: String): DataFrame = {
@@ -247,7 +247,7 @@ object Relational4 {
       floor(col("c_acctbal") * 100).cast("long").as("c_cents"))
     val sup = Tables.supplier(s, d).select(col("s_suppkey"),
       floor(col("s_acctbal") * 100).cast("long").as("s_cents"))
-    graft.ext.Joins.bandJoin(c, sup, "c_cents", "s_cents", tol = 50L)
+    graft.ext.Joins.bandJoin(c, sup, "c_cents", "s_cents", tol = 1000L)
       .select("c_custkey", "s_suppkey", "c_cents", "s_cents")
       .orderBy("c_custkey", "s_suppkey")
   }
@@ -257,7 +257,7 @@ object Relational4 {
       | CAST(floor(c_acctbal * 100) AS BIGINT) AS c_cents,
       | CAST(floor(s_acctbal * 100) AS BIGINT) AS s_cents
       |FROM customer, supplier
-      |WHERE abs(floor(c_acctbal * 100) - floor(s_acctbal * 100)) <= 50
+      |WHERE abs(floor(c_acctbal * 100) - floor(s_acctbal * 100)) <= 1000
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
   def defs: Seq[QueryDef] = Seq(
