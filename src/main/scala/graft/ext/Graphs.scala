@@ -1,0 +1,135 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics over plain edge DataFrames — triangle
+  * counting and PageRank, the two relationship-structure primitives a
+  * training-data pipeline reaches for once near-dup PAIRS become a
+  * GRAPH (dedup clusters, citation/link graphs for quality signals,
+  * co-occurrence networks). Reference analogue: none — its surface
+  * hands SQL text to Spark (box_export.py:36); these are the canned
+  * iterative/structural plans that SQL surface cannot express in one
+  * statement.
+  *
+  * Both operators take edges as (src, dst) rows — compose with
+  * [[Dedup.minHashPairs]] / [[Analytics.cooccurrence]] output or any
+  * relational edge construction.
+  */
+object Graphs {
+
+  /** Per-node triangle counts via degree-ordered orientation (the
+    * classical O(m^1.5) bound): each undirected edge is stored ONCE,
+    * directed from its lower-(degree, id) endpoint to its higher one.
+    * Every triangle {x, y, z} (in orientation order) is then found
+    * exactly once, as the wedge (x→y, x→z) closed by the edge y→z.
+    *
+    * Scale shape: wedge expansion is the only superlinear step and the
+    * orientation bounds it — a node generates wedges only from its
+    * OUT-edges, and the degree orientation caps out-degree at O(√m)
+    * (a celebrity node with 10^6 neighbours points INTO itself from
+    * ~all of them and fans out to almost none, so the 10^12-wedge
+    * blowup of the naive per-node expansion never materializes). The
+    * closing check is one equi-join against the oriented edge list —
+    * no 3-way self-join of the raw edges. Input direction and
+    * duplicate/self edges are normalized away first.
+    *
+    * Output: (node, n_triangles), the `topK` nodes by
+    * (n_triangles desc, node) — or all nodes when topK = 0.
+    */
+  def triangleCounts(edges: DataFrame, src: String, dst: String,
+      topK: Int = 0): DataFrame = {
+    val e = edges.select(
+        least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // Orientation rank rides along as a (degree, id) struct; struct
+    // comparison is lexicographic, giving the total order directly.
+    val ranked = e
+      .join(deg.select(col("node").as("u"), struct(col("d"), col("node")).as("ru")), "u")
+      .join(deg.select(col("node").as("v"), struct(col("d"), col("node")).as("rv")), "v")
+    val oriented = ranked.select(
+      when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+      when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
+    val wedges = oriented.select(col("a"), col("b").as("y"), col("rb").as("ry"))
+      .join(oriented.select(col("a"), col("b").as("z"), col("rb").as("rz")), "a")
+      .where(col("ry") < col("rz"))
+      .select(col("a").as("x"), col("y"), col("z"))
+    val triangles = wedges.join(
+      oriented.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
+    val counts = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+    if (topK > 0) counts.orderBy(desc("n_triangles"), col("node")).limit(topK)
+    else counts
+  }
+
+  /** PageRank with EXACT fixed-point integer arithmetic: ranks live as
+    * BIGINT multiples of 1/SCALE (SCALE = 10^12) and every division is
+    * a truncating integer `div`, so the result is bit-identical across
+    * engines, partitionings, and replays — no float accumulation order
+    * to disagree on. Per iteration, with d = dampingPct/100:
+    *
+    *   contrib(u) = rank(u) div outdeg(u)
+    *   rank'(v)   = (100-dampingPct)·SCALE div (100·N)
+    *                + dampingPct·Σ_{u→v} contrib(u) div 100
+    *
+    * Dangling nodes (outdeg 0) simply leak their mass — ranks no longer
+    * sum to SCALE, which is fine for the RANKING use and keeps the
+    * recurrence local (the mass-redistribution variant needs a global
+    * scalar per round). Truncation loses < outdeg(u) units per node per
+    * round — at SCALE = 10^12 that is noise, and it is the SAME noise
+    * everywhere.
+    *
+    * Scale shape: each iteration is ONE join of the edge list against
+    * the (one row per node) rank frame on the source key — both sides
+    * hash-partitioned on that key, the edge side once up front and
+    * reused every round — plus one partial-aggregated groupBy on dst.
+    * State per node is a single long; `localCheckpoint` per round
+    * truncates the growing lineage exactly as
+    * [[Dedup.connectedComponents]] does. Total work: O(iters · m).
+    *
+    * Output: (node, rank_e12), top `topK` by (rank_e12 desc, node) —
+    * or all nodes when topK = 0.
+    */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+      iters: Int = 5, dampingPct: Int = 85, topK: Int = 0): DataFrame = {
+    require(iters >= 1 && iters <= 100, s"iters out of range: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"dampingPct out of range: $dampingPct")
+    val Scale = 1000000000000L
+    val e = edges.select(col(src).as("__s"), col(dst).as("__d"))
+      .where(col("__s").isNotNull && col("__d").isNotNull)
+      .distinct()
+      .repartition(col("__s"))
+      .cache()
+    val nodes = e.select(col("__s").as("node"))
+      .unionAll(e.select(col("__d").as("node")))
+      .distinct()
+      .cache()
+    val n = nodes.count()
+    require(n > 0, "pageRank: empty graph")
+    val base = (100L - dampingPct) * Scale / (100L * n)
+    val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+    var ranks = nodes.withColumn("__r", lit(Scale / n))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("__s"), col("__r")), "__s")
+        .join(outdeg, "__s")
+        .select(col("__d").as("node"), expr("__r div __od").as("__c"))
+        .groupBy("node").agg(sum(col("__c")).as("__in"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(base) +
+            expr(s"($dampingPct * coalesce(__in, 0L)) div 100")).as("__r"))
+        .localCheckpoint()
+    }
+    val out = ranks.select(col("node"), col("__r").as("rank_e12"))
+    if (topK > 0) out.orderBy(desc("rank_e12"), col("node")).limit(topK)
+    else out
+  }
+}

@@ -116,9 +116,125 @@ object AnalyticsQueries {
       |SELECT item_a, item_b, count(*) AS n_groups FROM p GROUP BY 1, 2
       |ORDER BY n_groups DESC, item_a, item_b LIMIT 25""".stripMargin
 
+  /** Top-25 nodes by triangle count on the part co-order graph (ext
+    * Graphs.triangleCounts, degree-ordered orientation). The oracle
+    * replays the SEMANTICS — each triangle once as a < b < c via a
+    * 3-way edge join — not the orientation plan. */
+  def triangles(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val gi = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
+      .distinct()
+    val edges = gi.select(col("g"), col("i").as("src"))
+      .join(gi.select(col("g"), col("i").as("dst")), "g")
+      .where(col("src") < col("dst"))
+      .select("src", "dst")
+    graft.ext.Graphs.triangleCounts(edges, "src", "dst", topK = 25)
+  }
+
+  private val trianglesOracle =
+    """WITH gi AS (
+      | SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
+      |e AS (
+      | SELECT DISTINCT a.i AS u, b.i AS v
+      | FROM gi a JOIN gi b USING (g) WHERE a.i < b.i),
+      |tri AS (
+      | SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      | FROM e e1
+      | JOIN e e2 ON e2.u = e1.v
+      | JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+      |n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+      |SELECT node, count(*) AS n_triangles FROM n GROUP BY 1
+      |ORDER BY n_triangles DESC, node LIMIT 25""".stripMargin
+
+  /** Top-25 parts by PageRank over the consecutive-line transition
+    * graph (ext Graphs.pageRank, 5 iterations, exact fixed-point
+    * integers — the oracle replays all 5 rounds in DuckDB with the
+    * same truncating divisions). */
+  def pagerank(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // (l_orderkey, l_linenumber) is NOT unique in the synthetic data —
+    // l_partkey joins the sort so lead() is a deterministic sequence.
+    val w = Window.partitionBy("l_orderkey")
+      .orderBy("l_linenumber", "l_partkey")
+    val edges = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_partkey"))
+      .withColumn("nxt", lead("l_partkey", 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("l_partkey"))
+      .select(col("l_partkey").as("src"), col("nxt").as("dst"))
+    graft.ext.Graphs.pageRank(edges, "src", "dst", iters = 5, topK = 25)
+  }
+
+  /** The 5 PageRank rounds unrolled as chained CTEs; BIGINT casts pin
+    * DuckDB's HUGEINT sum back to the engine's long algebra (values are
+    * bounded by SCALE = 10^12, so the cast is lossless). */
+  private val pagerankOracle: String = {
+    val prelude =
+      """WITH le AS (
+        | SELECT l_partkey, lead(l_partkey) OVER
+        |   (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS nxt
+        | FROM lineitem),
+        |e AS (
+        | SELECT DISTINCT l_partkey AS src, nxt AS dst FROM le
+        | WHERE nxt IS NOT NULL AND nxt <> l_partkey),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |od AS (SELECT src, count(*) AS od FROM e GROUP BY 1),
+        |p AS (SELECT count(*) AS n FROM nodes),
+        |r0 AS (SELECT node, 1000000000000 // p.n AS r FROM nodes, p)""".stripMargin
+    val iters = (1 to 5).map { i =>
+      s"""r$i AS (
+         | SELECT n.node,
+         |  (SELECT (15 * 1000000000000) // (100 * n) FROM p)
+         |   + (85 * coalesce(inc.s, 0)) // 100 AS r
+         | FROM nodes n LEFT JOIN (
+         |  SELECT e.dst AS node, CAST(sum(rp.r // od.od) AS BIGINT) AS s
+         |  FROM e JOIN r${i - 1} rp ON rp.node = e.src
+         |  JOIN od ON od.src = e.src
+         |  GROUP BY e.dst) inc USING (node))""".stripMargin
+    }
+    (prelude +: iters).mkString(",\n") +
+      "\nSELECT node, CAST(r AS BIGINT) AS rank_e12 FROM r5" +
+      "\nORDER BY rank_e12 DESC, node LIMIT 25"
+  }
+
+  /** Top-25 part pairs by squared-cosine CF similarity over the
+    * customer-part interaction matrix (ext Analytics.itemSimilarity,
+    * exact integer score in millionths). */
+  def itemCf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val ui = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("user_id"), col("l_partkey").as("item"))
+    Analytics.itemSimilarity(ui, "user_id", "item", minCo = 3L, topK = 25)
+  }
+
+  private val itemCfOracle =
+    """WITH ui AS (
+      | SELECT DISTINCT o_custkey AS u, l_partkey AS i
+      | FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |ni AS (
+      | SELECT u, i, count(*) OVER (PARTITION BY i) AS cnt_i FROM ui),
+      |sized AS (
+      | SELECT u, i, cnt_i FROM (
+      |  SELECT u, i, cnt_i, count(*) OVER (PARTITION BY u) AS nb FROM ni)
+      | WHERE nb <= 1000),
+      |p AS (
+      | SELECT a.i AS item_a, b.i AS item_b, a.cnt_i AS na, b.cnt_i AS nb,
+      |  count(*) AS co
+      | FROM sized a JOIN sized b USING (u) WHERE a.i < b.i
+      | GROUP BY 1, 2, 3, 4)
+      |SELECT item_a, item_b, co, na, nb,
+      | CAST(co * co * 1000000 // (na * nb) AS BIGINT) AS score_e6
+      |FROM p WHERE co >= 3
+      |ORDER BY score_e6 DESC, item_a, item_b LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q41_funnel", funnel, Some(funnelOracle)),
     QueryDef("q42_retention", retention, Some(retentionOracle)),
     QueryDef("q43_anomaly", anomaly, Some(anomalyOracle)),
-    QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)))
+    QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)),
+    QueryDef("g1_triangles", triangles, Some(trianglesOracle)),
+    QueryDef("g2_pagerank", pagerank, Some(pagerankOracle)),
+    QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)))
 }
