@@ -136,4 +136,50 @@ object Analytics {
       .orderBy(desc("n_groups"), col("item_a"), col("item_b"))
       .limit(topK)
   }
+
+  /** Item-item collaborative-filtering similarity over binary
+    * interactions: for item pairs sharing >= `minCo` users, the squared
+    * cosine of their user-incidence vectors — co² / (na·nb) — as an
+    * EXACT integer in millionths (`score_e6`). Squaring keeps the score
+    * rational: cosine itself needs a square root, whose floating-point
+    * value is not replayable across engines; the squared form preserves
+    * the ranking exactly (x² is monotone on [0,1]).
+    *
+    * Scale shape (the same discipline as [[cooccurrence]]): one
+    * distinct pass, a count window for per-item user counts sharing the
+    * item partitioning, pair expansion via ONE equi-join on the user
+    * key with baskets capped at `maxItemsPerUser` (a user interacting
+    * with everything contributes B²/2 pairs — cap and move on; such
+    * baskets carry no similarity signal), then one pair aggregate. The
+    * `minCo` floor prunes the long tail of coincidental pairs BEFORE
+    * the score projection. Overflow bound: co²·10^6 needs co <= 3·10^6
+    * in BIGINT — beyond that, shard users or raise minCo.
+    *
+    * Output: (item_a, item_b, co, na, nb, score_e6), top `topK` by
+    * (score_e6 desc, item_a, item_b) — or all pairs when topK = 0.
+    */
+  def itemSimilarity(
+      df: DataFrame, userCol: String, itemCol: String,
+      minCo: Long = 2L, topK: Int = 0,
+      maxItemsPerUser: Int = 1000): DataFrame = {
+    val ui = df.select(col(userCol).as("__u"), col(itemCol).as("__i"))
+      .distinct()
+      .withColumn("__ni", count(lit(1)).over(Window.partitionBy(col("__i"))))
+    val sized = ui
+      .withColumn("__nb", count(lit(1)).over(Window.partitionBy(col("__u"))))
+      .where(col("__nb") <= maxItemsPerUser)
+      .drop("__nb")
+    val a = sized.select(col("__u"), col("__i").as("item_a"), col("__ni").as("na"))
+    val b = sized.select(col("__u"), col("__i").as("item_b"), col("__ni").as("nb"))
+    val scored = a.join(b, Seq("__u"))
+      .where(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+      .select(col("item_a"), col("item_b"), col("co"), col("na"), col("nb"),
+        expr("(co * co * 1000000L) div (na * nb)").as("score_e6"))
+    if (topK > 0)
+      scored.orderBy(desc("score_e6"), col("item_a"), col("item_b")).limit(topK)
+    else scored
+  }
 }

@@ -94,6 +94,34 @@ class AnalyticsSpec extends AnyFunSuite {
       "oversized basket must be excluded, not exploded")
   }
 
+  test("itemSimilarity: exact integer cosine², minCo floor, full-count " +
+      "denominators") {
+    // Items A,B share users 1,2 (co=2); A has 3 users, B has 2.
+    // score = 2²·10⁶ div (3·2) = 666666. C co-occurs once with A -> cut
+    // by minCo=2.
+    val df = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (3L, "C"),
+      (3L, "A") // duplicate interaction must not inflate counts
+    ).toDF("u", "i")
+    val got = Analytics.itemSimilarity(df, "u", "i", minCo = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(("A", "B", 2L, 3L, 2L, 666666L)))
+  }
+
+  test("itemSimilarity: oversized baskets cut pairs but not denominators") {
+    // User 99 interacts with everything (over the cap of 3): its pairs
+    // vanish, but item user-counts still include it.
+    val small = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"))
+    val big = Seq("A", "B", "C", "D").map(i => (99L, i))
+    val got = Analytics.itemSimilarity((small ++ big).toDF("u", "i"),
+        "u", "i", minCo = 2L, maxItemsPerUser = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    // co=2 from users 1,2; na=nb=3 including user 99.
+    assert(got.toSeq === Seq(("A", "B", 2L, 3L, 3L, 444444L)))
+  }
+
   test("scriptProfile: counts per range and dominant script") {
     val df = Seq(
       (1L, "hello world 123"),
