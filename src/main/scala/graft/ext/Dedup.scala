@@ -422,19 +422,23 @@ object Dedup {
     * because grams that common carry no near-dup signal). Singleton
     * grams are pruned by the same window — they can never produce a
     * pair. */
-  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
-      n: Int = 3, threshold: Double = 0.5,
-      maxDocsPerGram: Int = 4096): DataFrame = {
-    val tokens = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
-    // Token array bound once per row as the outer lambda variable —
-    // referencing `tokens` inside the index lambda would re-run
-    // split+lower+filter once per gram (cf. shingleCol).
-    val gramsExpr = array_distinct(flatten(transform(
+  /** Distinct token n-grams of the lowercased text. The token array is
+    * bound once per row as the outer lambda variable — referencing it
+    * inside the index lambda would re-run split+lower+filter once per
+    * gram (cf. shingleCol). */
+  private[ext] def tokenGramsCol(text: Column, n: Int): Column = {
+    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
+    array_distinct(flatten(transform(
       array(tokens),
       ts => transform(
         sequence(lit(0), greatest(size(ts) - n, lit(0))),
         i => concat_ws(" ", slice(ts, i + 1, lit(n)))))))
-    val grams = df.select(col(id).as("doc_id"), gramsExpr.as("grams"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 4096): DataFrame = {
+    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
       .where(size(col("grams")) > 0)
       .withColumn("n_grams", size(col("grams")))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
@@ -459,6 +463,67 @@ object Dedup {
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Prefix-filtered token n-gram Jaccard join (PPJoin family, Xiao et
+    * al. WWW'08): EXACT pairs with jaccard >= thresholdPct/100, but the
+    * inverted index holds only each document's PREFIX — its
+    * (ng − ⌈t·ng⌉ + 1) rarest grams under a global (df, gram) order —
+    * instead of all ng grams. The prefix theorem guarantees any pair
+    * meeting the threshold shares at least one prefix gram, so unlike
+    * [[ngramJaccardPairs]]' df-cap this loses NO recall; corpus-common
+    * grams sort LAST and fall outside almost every prefix, which is
+    * exactly where the classic plan's quadratic hot buckets live. At
+    * t = 0.8 the index (and the candidate surface that drives the
+    * join cost) shrinks ~5x; stopword-gram floods cost nothing.
+    *
+    * Plan: one gram shuffle for the df count window, one doc-keyed
+    * shuffle rebuilding the ordered gram array, in-bucket candidate
+    * expansion over the exploded prefix (no self-join), then the exact
+    * verify joins the candidate pairs back against the (doc, grams)
+    * frame — candidates only; the corpus never carries an exploded
+    * gram column into a join. The threshold test is cross-multiplied
+    * integer arithmetic; the reported jaccard is the exact ratio.
+    *
+    * `maxDocsPerGram` > 0 additionally caps candidate buckets (belt and
+    * braces for adversarial corpora at low thresholds; unlike the d4
+    * cap it only ever drops CANDIDATES that other prefix grams usually
+    * re-find). 0 = exact, the default.
+    */
+  def prefixJaccardPairs(df: DataFrame, text: String, id: String,
+      n: Int = 3, thresholdPct: Int = 50,
+      maxDocsPerGram: Int = 0): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct out of range: $thresholdPct")
+    val grams = df
+      .select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("ng", size(col("grams")))
+    val inv = grams
+      .select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+    // Rarest-first global order, rebuilt per doc; ⌈t·ng⌉ in integers.
+    val ordered = inv.groupBy(col("doc_id"), col("ng"))
+      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+      .withColumn("plen",
+        col("ng") - expr(s"(($thresholdPct * ng + 99) div 100)") + 1)
+    val prefix = ordered
+      .select(col("doc_id"),
+        explode(slice(col("gs.gram"), lit(1), col("plen"))).as("gram"))
+    val cap = if (maxDocsPerGram > 0) maxDocsPerGram else Int.MaxValue
+    val cand = bucketPairs(prefix, Seq("gram"), "doc_id", cap)
+    cand
+      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("ga"),
+        col("ng").as("na")), "id_a")
+      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("gb"),
+        col("ng").as("nb")), "id_b")
+      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))))
+      .where(col("shared") * 100 >=
+        lit(thresholdPct) * (col("na") + col("nb") - col("shared")))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) /
+          (col("na") + col("nb") - col("shared"))).as("jaccard"))
   }
 
   // ------------------------------------------ semantic (cluster) dedup

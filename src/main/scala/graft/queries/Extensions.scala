@@ -222,6 +222,15 @@ object ExtensionQueries {
   def dedupNgram(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccardPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
+  /** Prefix-filtered variant: the SEMANTIC contract is identical to d4
+    * (exact pairs with jaccard >= 0.5), so it replays against the same
+    * brute-force oracle — what changes is the plan (only each doc's
+    * rarest (ng − ⌈t·ng⌉ + 1) grams are indexed; see
+    * Dedup.prefixJaccardPairs). */
+  def dedupPrefix(s: SparkSession, d: String): DataFrame =
+    Dedup.prefixJaccardPairs(plantedDocs(s, d), "text", "doc_id")
+      .orderBy("id_a", "id_b")
+
   /** The inverted-index n-gram join is EXACT (every pair sharing >=1 gram
     * is scored with its true Jaccard), so DuckDB can replay it fully. The
     * gram construction mirrors Spark's: index i over
@@ -751,6 +760,7 @@ object ExtensionQueries {
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    QueryDef("d16_dedup_prefix", dedupPrefix, Some(dedupNgramOracle)),
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),

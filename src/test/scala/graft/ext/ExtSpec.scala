@@ -170,6 +170,38 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("Dedup.prefixJaccardPairs == ngramJaccardPairs (exact, no recall loss)") {
+    // Same planted corpus shape as the gates: real docs + near-dup copies.
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).limit(60)
+    val planted = docs.unionByName(docs.limit(10)
+      .withColumn("doc_id", col("doc_id") + 100000L)
+      .withColumn("text", concat(col("text"), lit(" zz"))))
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.round(r.getDouble(2) * 1e9))).toSet
+    val full = key(Dedup.ngramJaccardPairs(planted, "text", "doc_id",
+      maxDocsPerGram = Int.MaxValue))
+    val pref = key(Dedup.prefixJaccardPairs(planted, "text", "doc_id"))
+    assert(pref === full)
+    assert(full.nonEmpty)
+  }
+
+  test("Dedup.prefixJaccardPairs: prefix index is strictly smaller than " +
+      "the full inverted index") {
+    val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
+      .select(col("doc_id"), col("text")).limit(40)
+    val grams = docs.select(col("doc_id"),
+      Dedup.tokenGramsCol(col("text"), 3).as("gs"))
+    val fullRows = grams.select(explode(col("gs"))).count()
+    // At t=0.5 each doc indexes ng - ceil(ng/2) + 1 ≈ half its grams.
+    val ng = col("ng")
+    val prefRows = grams.withColumn("ng", size(col("gs")))
+      .select(sum(ng - expr("(50 * ng + 99) div 100") + 1)).collect()(0).getLong(0)
+    assert(prefRows * 2 <= fullRows + docs.count() * 2)
+    assert(prefRows < fullRows)
+  }
+
   test("Dedup.embeddingPairs finds identical embeddings via LSH buckets") {
     val v1 = Array.tabulate(8)(i => (math.sin(i + 1) * 0.5).toFloat)
     val v2 = v1.clone()
