@@ -94,6 +94,76 @@ object Cdc {
       .select(keys.map(col) :+ col("change_type"): _*)
   }
 
+  /** Slowly-changing-dimension Type 2 maintenance: apply a batch of
+    * attribute updates to a versioned dimension, KEEPING history. The
+    * dimension carries (`validFromCol`, `validToCol`) timestamps per
+    * version; the open (current) version has a null `validToCol`.
+    * `updates` carries the key + the same attribute columns + `tsCol`,
+    * the effective time of the new version. Semantics per key:
+    *
+    *  - matched, attributes differ, ts newer than the open version's
+    *    valid_from → the open version CLOSES at ts and a new open
+    *    version starts at ts;
+    *  - matched, attributes equal (null-safe) → no-op (no empty
+    *    versions from redundant feeds);
+    *  - matched, ts <= open version's valid_from → stale out-of-order
+    *    update, dropped (apply batches in order for full history);
+    *  - unmatched key → brand-new open version at ts.
+    *
+    * Multiple updates per key in one batch are pre-compacted to the
+    * latest ts (ties broken by the largest attribute struct) — the
+    * intermediate versions of a single batch are below the batch
+    * boundary's resolution. Closed history rows pass through untouched.
+    *
+    * Plan (scale audit): closed versions are filtered out BEFORE the
+    * join and unioned back — the historical bulk of a dimension never
+    * enters the shuffle. What remains is ONE left-outer equi-join of
+    * the (one row per key) current slice against the compacted batch,
+    * broadcast when the batch is small, plus the batch's own anti-join
+    * for inserts on the same partitioning. Nothing is row-at-a-time.
+    */
+  def scdType2(
+      dim: DataFrame, updates: DataFrame, keys: Seq[String], tsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): DataFrame = {
+    val attrs = dim.columns
+      .filterNot(c => keys.contains(c) || c == validFromCol || c == validToCol)
+    require(attrs.nonEmpty, "scdType2: dimension has no attribute columns")
+    require(updates.columns.toSet == (keys ++ attrs :+ tsCol).toSet,
+      s"scdType2: updates must carry exactly keys + attributes + $tsCol")
+    val outCols = (keys ++ attrs :+ validFromCol :+ validToCol).map(col)
+    // Latest update per key: max_by on (ts, attr-struct) — one partial
+    // aggregate, one candidate row per key per partition (cf.
+    // Dedup.latestByKey).
+    val u = updates.groupBy(keys.map(col): _*)
+      .agg(max(struct((col(tsCol) +: attrs.map(col)): _*)).as("__u"))
+      .select(keys.map(col) :+ col("__u"): _*)
+    val closed = dim.where(col(validToCol).isNotNull).select(outCols: _*)
+    val open = dim.where(col(validToCol).isNull)
+    val joined = open.join(u, keys, "left")
+    val changed = col("__u").isNotNull &&
+      col(s"__u.$tsCol") > col(validFromCol) &&
+      !(struct(attrs.map(c => col(s"__u.$c").as(c)): _*) <=>
+        struct(attrs.map(col): _*))
+    // Open rows: closed-out predecessor where a real change lands,
+    // otherwise carried through; the new version takes the update's row.
+    val closedOut = joined.where(changed)
+      .select(keys.map(col) ++ attrs.map(col) :+ col(validFromCol) :+
+        col(s"__u.$tsCol").as(validToCol): _*)
+    val newOpen = joined.where(changed)
+      .select(keys.map(col) ++ attrs.map(c => col(s"__u.$c").as(c)) :+
+        col(s"__u.$tsCol").as(validFromCol) :+
+        lit(null).cast(dim.schema(validToCol).dataType).as(validToCol): _*)
+    val carried = joined.where(!changed)
+      .select(outCols: _*)
+    val inserted = u.join(open, keys, "left_anti")
+      .select(keys.map(col) ++ attrs.map(c => col(s"__u.$c").as(c)) :+
+        col(s"__u.$tsCol").as(validFromCol) :+
+        lit(null).cast(dim.schema(validToCol).dataType).as(validToCol): _*)
+    closed.unionAll(closedOut).unionAll(newOpen).unionAll(carried)
+      .unionAll(inserted)
+  }
+
   /** The 100 TB refinement promised in this file's header: MERGE into a
     * PARTITIONED table rewriting only the partitions the change batch
     * touches. A full-table merge rewrites 100 TB to apply a 100 MB

@@ -106,6 +106,36 @@ object Profile {
     * (one sort total). No joins, no per-group collect — group
     * cardinality is unbounded, per-row state is constant.
     */
+  /** Per-group equi-DEPTH bucketing (quantile binning): each row gets a
+    * bucket in [0, k-1] holding ~n/k rows — the feature-binning /
+    * percentile-cohort transform ([[histogram]] is the equi-WIDTH
+    * sibling). The assignment is the pinned integer formula
+    * `bucket = (rn − 1)·k div n` over `rn = row_number` ordered by
+    * (x, tiebreak...) — NOT `ntile`, whose tie placement follows
+    * physical row order and is therefore not replayable across engines.
+    * `tiebreak` must make the sort total (a key column); with it the
+    * bucket of every row, including value ties straddling a boundary,
+    * is bit-deterministic under any partitioning.
+    *
+    * Plan shape: one shuffle on the group keys; row_number and the
+    * count window share the sort (cf. [[winsorize]]). No joins, no
+    * per-group collect.
+    */
+  def equiDepthBuckets(
+      df: DataFrame, keys: Seq[String], x: Column, k: Int,
+      tiebreak: Seq[String], out: String = "bucket"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(tiebreak.nonEmpty, "need a tiebreak column for a total order")
+    val kc = keys.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    val wOrd = wAll.orderBy(x +: tiebreak.map(col): _*)
+    df.withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn(out,
+        expr(s"((cast(__rn AS BIGINT) - 1) * $k) div __n").cast("int"))
+      .drop("__n", "__rn")
+  }
+
   def winsorize(
       df: DataFrame, keys: Seq[String], x: Column,
       pLoPct: Int, pHiPct: Int, out: String = "clipped"): DataFrame = {

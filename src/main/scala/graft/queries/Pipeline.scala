@@ -320,6 +320,100 @@ object PipelineQueries {
       |FROM ch WHERE NOT is_delete
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Equi-depth bucketing (ext Profile.equiDepthBuckets): order totals
+    * in cents into 10 per-priority quantile buckets via the pinned
+    * (rn−1)·k div n formula (NOT ntile — its tie placement is not
+    * replayable), summarized per bucket. */
+  def equidepth(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("cents",
+      round(col("o_totalprice") * 100).cast("long"))
+    graft.ext.Profile.equiDepthBuckets(o, Seq("o_orderpriority"),
+        col("cents"), k = 10, tiebreak = Seq("o_orderkey"))
+      .groupBy(col("o_orderpriority"), col("bucket"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo"),
+        max(col("cents")).as("hi"))
+      .orderBy("o_orderpriority", "bucket")
+  }
+
+  private val equidepthOracle =
+    """WITH x AS (
+      | SELECT o_orderpriority, o_orderkey,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      | FROM orders),
+      |r AS (
+      | SELECT o_orderpriority, cents,
+      |  row_number() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY cents, o_orderkey) AS rn,
+      |  count(*) OVER (PARTITION BY o_orderpriority) AS n
+      | FROM x)
+      |SELECT o_orderpriority,
+      | CAST((rn - 1) * 10 // n AS INT) AS bucket,
+      | count(*) AS n, min(cents) AS lo, max(cents) AS hi
+      |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** SCD Type 2 dimension maintenance (ext Cdc.scdType2) over a
+    * customer dimension: one batch carrying changed attributes (%7),
+    * redundant no-op rows (%11), stale out-of-order rows (%13, dropped),
+    * and brand-new keys — plus pre-existing CLOSED history rows that
+    * must pass through untouched. The oracle constructs the expected
+    * post-batch history branch by branch. */
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val k = col("c_custkey")
+    val bal = col("c_acctbal")
+    def ts(v: String) = lit(v).cast("timestamp")
+    val dim = c.where(k < 100)
+      .select(k, col("c_mktsegment"),
+        (bal - 50).cast("decimal(15,2)").as("c_acctbal"),
+        ts("2019-01-01").as("valid_from"), ts("2020-01-01").as("valid_to"))
+      .unionByName(c.select(k, col("c_mktsegment"), bal,
+        ts("2020-01-01").as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to")))
+    val updates = c.where(k % 7 === 0)
+      .select(k, col("c_mktsegment"),
+        (bal + 100).cast("decimal(15,2)").as("c_acctbal"),
+        ts("2021-06-01").as("ts"))
+      .unionByName(c.where(k % 7 =!= 0 && k % 11 === 0)
+        .select(k, col("c_mktsegment"), bal, ts("2021-06-01").as("ts")))
+      .unionByName(c.where(k % 7 =!= 0 && k % 11 =!= 0 && k % 13 === 0)
+        .select(k, col("c_mktsegment"),
+          (bal - 999).cast("decimal(15,2)").as("c_acctbal"),
+          ts("2019-06-01").as("ts")))
+      .unionByName(c.where(k <= 50)
+        .select((k + 1000000L).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), bal, ts("2021-06-01").as("ts")))
+    graft.ext.Cdc.scdType2(dim, updates, keys = Seq("c_custkey"), tsCol = "ts")
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  private val scd2Oracle =
+    """WITH cust AS (
+      | SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+      |SELECT c_custkey, c_mktsegment,
+      | CAST(c_acctbal - 50 AS DECIMAL(15,2)) AS c_acctbal,
+      | TIMESTAMP '2019-01-01' AS valid_from,
+      | TIMESTAMP '2020-01-01' AS valid_to
+      |FROM cust WHERE c_custkey < 100
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_acctbal,
+      | TIMESTAMP '2020-01-01', TIMESTAMP '2021-06-01'
+      |FROM cust WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment,
+      | CAST(c_acctbal + 100 AS DECIMAL(15,2)),
+      | TIMESTAMP '2021-06-01', NULL
+      |FROM cust WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT c_custkey, c_mktsegment, c_acctbal,
+      | TIMESTAMP '2020-01-01', NULL
+      |FROM cust WHERE c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT c_custkey + 1000000, 'NEWSEG', c_acctbal,
+      | TIMESTAMP '2021-06-01', NULL
+      |FROM cust WHERE c_custkey <= 50
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   /** Incremental aggregate maintenance (ext Incremental): history
     * partials merged with a new-batch partial must equal a full
     * recompute — the oracle IS that full recompute in another engine. */
@@ -358,5 +452,7 @@ object PipelineQueries {
     QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
     QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
+    QueryDef("c7_scd2", scd2, Some(scd2Oracle)),
+    QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }

@@ -187,6 +187,54 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, "x2", "B"), (3L, "z", "B")))
   }
 
+  test("Cdc.scdType2: change closes + reopens, no-op and stale carry, " +
+      "new key inserts, closed history passes through") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq(
+      // key 1: one closed version + one open version
+      (1L, "a", t("2019-01-01"), Option(t("2020-01-01"))),
+      (1L, "b", t("2020-01-01"), None),
+      // key 2: open, will receive a no-op update
+      (2L, "c", t("2020-01-01"), None),
+      // key 3: open, will receive a stale (older-ts) update
+      (3L, "d", t("2020-01-01"), None)
+    ).toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq(
+      (1L, "B", t("2021-06-01")), // real change
+      (2L, "c", t("2021-06-01")), // attrs identical -> no-op
+      (3L, "x", t("2019-06-01")), // stale -> dropped
+      (4L, "new", t("2021-06-01")) // brand-new key
+    ).toDF("k", "attr", "ts")
+    val out = Cdc.scdType2(dim, upd, Seq("k"), "ts")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getTimestamp(2).toString.take(10),
+        Option(r.getTimestamp(3)).map(_.toString.take(10)).orNull))
+    assert(out.toSeq === Seq(
+      (1L, "a", "2019-01-01", "2020-01-01"),
+      (1L, "b", "2020-01-01", "2021-06-01"),
+      (1L, "B", "2021-06-01", null),
+      (2L, "c", "2020-01-01", null),
+      (3L, "d", "2020-01-01", null),
+      (4L, "new", "2021-06-01", null)))
+  }
+
+  test("Cdc.scdType2: batch with several updates per key compacts to the " +
+      "latest ts before applying") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq((1L, "a", t("2020-01-01"), None: Option[java.sql.Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val upd = Seq(
+      (1L, "mid", t("2021-01-01")),
+      (1L, "late", t("2021-06-01"))
+    ).toDF("k", "attr", "ts")
+    val out = Cdc.scdType2(dim, upd, Seq("k"), "ts")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(1), Option(r.getTimestamp(3)).isEmpty))
+    // Only the 2021-06-01 version lands; "mid" is below batch resolution.
+    assert(out.toSeq === Seq(("a", false), ("late", true)))
+  }
+
   test("Cdc.diff: added/removed/changed only; null payloads compare null-safe") {
     import spark.implicits._
     val before = Seq(
@@ -201,6 +249,25 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Cdc.diff(before, after, Seq("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("Profile.equiDepthBuckets: pinned formula, boundary ties follow " +
+      "the tiebreak, partitioning-independent") {
+    // 10 rows, k=4: rn 1..10 -> bucket (rn-1)*4 div 10 = 0,0,0,1,1,2,2,2,3,3.
+    // Three rows tie at value 5 (ids 4,5,6) straddling the 0/1 boundary:
+    // id order decides deterministically.
+    val df = Seq(
+      (1L, 1), (2L, 2), (3L, 3), (4L, 5), (5L, 5),
+      (6L, 5), (7L, 7), (8L, 8), (9L, 9), (10L, 10)
+    ).toDF("id", "v").withColumn("g", lit("a"))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Profile.equiDepthBuckets(d, Seq("g"), col("v"), 4, Seq("id"))
+        .orderBy("id").select("id", "bucket")
+        .as[(Long, Int)].collect().toSeq
+    val got = run(df)
+    assert(got === Seq(1L -> 0, 2L -> 0, 3L -> 0, 4L -> 1, 5L -> 1,
+      6L -> 2, 7L -> 2, 8L -> 2, 9L -> 3, 10L -> 3))
+    assert(got === run(df.repartition(7)))
   }
 
   test("Profile.winsorize: exact discrete percentile clip per group") {
