@@ -210,6 +210,41 @@ object Joins {
       .drop("__bucket")
   }
 
+  /** Interval OVERLAP join — the interval-interval sibling of
+    * [[rangeJoin]]: all pairs whose closed intervals `[lStart, lEnd]`
+    * and `[rStart, rEnd]` intersect (sessions × campaigns, genomic
+    * ranges, outage windows × SLAs). Bound columns must be
+    * integer-valued in the same unit.
+    *
+    * Both sides explode across the `bucketWidth`-sized buckets their
+    * interval touches and the join is an EQUI join on (bucket, keys)
+    * refined by the exact `l.s <= r.e && r.s <= l.e` predicate. An
+    * overlapping pair shares every bucket in its intersection — to emit
+    * it ONCE without a distinct (which would re-shuffle the whole
+    * output), a pair counts only in the bucket containing the
+    * intersection's left edge, `greatest(lStart, rStart)` — a bucket
+    * both sides provably cover. Fan-out is span/bucketWidth + 1 per
+    * row: pick bucketWidth near the typical span (the [[rangeJoin]]
+    * discipline); degenerate hi < lo intervals are dropped.
+    */
+  def intervalJoin(
+      left: DataFrame, right: DataFrame,
+      lStart: String, lEnd: String, rStart: String, rEnd: String,
+      bucketWidth: Long, keys: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth")
+    val w = lit(bucketWidth)
+    def exploded(df: DataFrame, s: String, e: String) = df
+      .where(col(e) >= col(s))
+      .withColumn("__bucket",
+        explode(sequence(floor(col(s) / w), floor(col(e) / w))))
+    val l = exploded(left, lStart, lEnd)
+    val r = exploded(right, rStart, rEnd)
+    l.join(r, ("__bucket" +: keys).toSeq)
+      .where(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd) &&
+        col("__bucket") === floor(greatest(col(lStart), col(rStart)) / w))
+      .drop("__bucket")
+  }
+
   /** Threshold fuzzy join (entity resolution): pairs whose `leftText` /
     * `rightText` edit distance is <= `maxDist`, restricted to equal
     * `blockKeys`.

@@ -260,8 +260,48 @@ object Relational4 {
       |WHERE abs(floor(c_acctbal * 100) - floor(s_acctbal * 100)) <= 1000
       |ORDER BY c_custkey, s_suppkey""".stripMargin
 
+  // ---------------------------------------------------------------- q48
+  /** Interval OVERLAP join (ext Joins.intervalJoin): order fulfilment
+    * windows × customer campaign windows, in epoch days — planned as a
+    * bucket equi-join with single-emission at the intersection's left
+    * edge (no distinct), not the BNLJ a bare overlap predicate gets. */
+  def q48IntervalJoin(s: SparkSession, d: String): DataFrame = {
+    val epoch = lit("1970-01-01").cast("date")
+    val l = Tables.orders(s, d).where(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey"),
+        datediff(col("o_orderdate"), epoch).cast("long").as("l_s"))
+      .withColumn("l_e", col("l_s") + col("o_orderkey") % 7)
+    val base = datediff(lit("1995-01-01").cast("date"), epoch).cast("long")
+    val r = Tables.customer(s, d)
+      .select(col("c_custkey"), (base + col("c_custkey") % 365).as("c_s"))
+      .withColumn("c_e", col("c_s") + 30)
+    graft.ext.Joins.intervalJoin(l, r, "l_s", "l_e", "c_s", "c_e",
+        bucketWidth = 30L)
+      .select("o_orderkey", "c_custkey", "l_s", "l_e", "c_s", "c_e")
+      .orderBy("o_orderkey", "c_custkey")
+  }
+
+  private val q48Oracle =
+    """WITH l AS (
+      | SELECT o_orderkey,
+      |  datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT AS l_s,
+      |  datediff('day', DATE '1970-01-01', o_orderdate)::BIGINT
+      |   + o_orderkey % 7 AS l_e
+      | FROM orders WHERE o_orderkey % 100 = 0),
+      |r AS (
+      | SELECT c_custkey,
+      |  datediff('day', DATE '1970-01-01', DATE '1995-01-01')::BIGINT
+      |   + c_custkey % 365 AS c_s,
+      |  datediff('day', DATE '1970-01-01', DATE '1995-01-01')::BIGINT
+      |   + c_custkey % 365 + 30 AS c_e
+      | FROM customer)
+      |SELECT o_orderkey, c_custkey, l_s, l_e, c_s, c_e
+      |FROM l, r WHERE l_s <= c_e AND c_s <= l_e
+      |ORDER BY o_orderkey, c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_band_join", q47BandJoin, Some(q47Oracle)),
+    QueryDef("q48_interval_join", q48IntervalJoin, Some(q48Oracle)),
     QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
     QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
     QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),

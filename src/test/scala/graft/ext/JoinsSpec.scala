@@ -155,4 +155,36 @@ class JoinsSpec extends AnyFunSuite {
     assert(!plan.contains("CartesianProduct"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
+
+  test("intervalJoin: equals the brute-force overlap join, each pair " +
+      "emitted exactly once across shared buckets") {
+    // Spans straddle bucket boundaries (width 10), nest, touch at a
+    // single point, and miss by one; a long interval covers many buckets.
+    val li = Seq((1L, 0L, 9L), (2L, 5L, 25L), (3L, 30L, 30L),
+      (4L, 100L, 160L), (5L, 41L, 40L)) // 5: degenerate, dropped
+    val ri = Seq((10L, 9L, 12L), (11L, 26L, 30L), (12L, 0L, 200L),
+      (13L, 31L, 35L))
+    val l = li.toDF("lid", "ls", "le")
+    val r = ri.toDF("rid", "rs", "re")
+    val got = Joins.intervalJoin(l, r, "ls", "le", "rs", "re",
+        bucketWidth = 10L)
+      .select("lid", "rid").collect()
+      .map(rr => (rr.getLong(0), rr.getLong(1)))
+    val brute = (for {
+      (lid, ls, le) <- li if le >= ls
+      (rid, rs, re) <- ri
+      if ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    assert(got.toSet === brute)
+    assert(got.length === brute.size, "a pair was emitted more than once")
+  }
+
+  test("intervalJoin plan: bucket equi-join, never a nested-loop/cartesian") {
+    val l = Seq((1L, 0L, 9L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, 5L, 12L)).toDF("rid", "rs", "re")
+    val plan = Joins.intervalJoin(l, r, "ls", "le", "rs", "re", 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
 }
