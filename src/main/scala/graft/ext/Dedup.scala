@@ -105,6 +105,23 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
+  /** Pick the band count whose implied LSH threshold (1/b)^(1/r) sits
+    * closest to the target similarity — the tuning the MinHashConfig
+    * scaladoc walks through, as a function. Scans the divisors of
+    * `numHashes` (there are O(log n) of them; this is driver-side
+    * arithmetic, no data involved). More bands = lower implied
+    * threshold = more candidates: when two divisors tie, the SMALLER
+    * band count wins, keeping the verify stage lean. */
+  def planBands(numHashes: Int, threshold: Double): Int = {
+    require(numHashes >= 1, s"numHashes=$numHashes")
+    require(threshold > 0 && threshold < 1, s"threshold=$threshold")
+    (1 to numHashes).filter(numHashes % _ == 0)
+      .minBy { b =>
+        val implied = math.pow(1.0 / b, b.toDouble / numHashes)
+        (math.abs(implied - threshold), b)
+      }
+  }
+
   /** Distinct character k-shingles of the lowercased text. The lowered
     * string is bound ONCE per row as the outer lambda variable: writing
     * `lower(text)` directly inside the window lambda re-evaluates the

@@ -137,6 +137,33 @@ object Scale {
     * matching Spark's own runtime-filter creation cap) because the blob
     * rides into every probe task closure; past ~50M build keys the fpp
     * degrades gracefully rather than the filter growing unbounded. */
+  /** Skew report: the measurement that decides WHETHER to reach for
+    * [[saltedAgg]]/[[saltedJoin]] and with what factor. Emits the topK
+    * hottest keys with exact counts, their share in millionths
+    * (n·10⁶ div total — integer, replayable), and the pinned salt
+    * recommendation ⌈n·parts/total⌉: the number of ways the key must
+    * split so each shard is at most an average partition's share. Keys
+    * with salt 1 don't skew; a key recommending parts-many shards is
+    * the degenerate single-key table.
+    *
+    * Plan: one partial-aggregated groupBy on the keys, a broadcast of
+    * the single total row, TakeOrderedAndProject for the top-k. Cost is
+    * one linear pass — run it on the join key BEFORE the join, not
+    * after the 4-hour stage straggles.
+    */
+  def skewReport(df: DataFrame, keys: Seq[String], parts: Int,
+      topK: Int = 20): DataFrame = {
+    require(parts > 0 && topK > 0, s"parts=$parts topK=$topK")
+    val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+    val total = df.agg(count(lit(1)).as("total"))
+    counts.crossJoin(broadcast(total))
+      .select(keys.map(col) :+ col("n") :+ col("total") :+
+        expr("n * 1000000L div total").as("share_e6") :+
+        expr(s"(n * $parts + total - 1) div total").as("salt"): _*)
+      .orderBy(desc("n") +: keys.map(col): _*)
+      .limit(topK)
+  }
+
   def keyBloom(df: DataFrame, key: Column, expectedItems: Long,
       fpp: Double = 0.03, maxBits: Long = 1L << 26): Array[Byte] = {
     require(expectedItems > 0, s"expectedItems=$expectedItems must be > 0")

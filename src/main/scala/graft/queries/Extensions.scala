@@ -610,6 +610,21 @@ object ExtensionQueries {
     """SELECT event_type, count(*) AS n
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Skew report (ext Scale.skewReport): exact hot-key counts, integer
+    * share in millionths, and the pinned ⌈n·parts/total⌉ salt
+    * recommendation. */
+  def skewReport(s: SparkSession, d: String): DataFrame =
+    graft.ext.Scale.skewReport(Tables.events(s, d), Seq("event_type"),
+      parts = 32, topK = 5)
+
+  private val skewReportOracle =
+    """WITH c AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+      |t AS (SELECT count(*) AS total FROM events)
+      |SELECT event_type, n, total,
+      | n * 1000000 // total AS share_e6,
+      | (n * 32 + total - 1) // total AS salt
+      |FROM c, t ORDER BY n DESC, event_type LIMIT 5""".stripMargin
+
   /** Bucketed-table join: pay the shuffle at write time, join for free
     * at read time (exchange-free plan asserted in ScaleSpec); results
     * must match the direct join of the source parquet. */
@@ -778,5 +793,6 @@ object ExtensionQueries {
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
+    QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

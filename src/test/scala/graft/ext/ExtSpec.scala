@@ -170,6 +170,16 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("Dedup.planBands: picks the divisor whose implied threshold is " +
+      "nearest the target, smaller band count on ties") {
+    assert(Dedup.planBands(64, 0.8) === 8)  // (1/8)^(1/8) ≈ 0.77
+    assert(Dedup.planBands(64, 0.5) === 16) // (1/16)^(1/4) = 0.5 exactly
+    assert(Dedup.planBands(128, 0.9) === 8) // (1/8)^(1/16) ≈ 0.878 vs 4: 0.958
+    val b = Dedup.planBands(60, 0.75)
+    assert(60 % b === 0)
+    intercept[IllegalArgumentException](Dedup.planBands(64, 1.0))
+  }
+
   test("Dedup.prefixJaccardPairs == ngramJaccardPairs (exact, no recall loss)") {
     // Same planted corpus shape as the gates: real docs + near-dup copies.
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)

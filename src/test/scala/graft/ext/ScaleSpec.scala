@@ -168,6 +168,20 @@ class ScaleSpec extends AnyFunSuite {
     } finally z.unpersist()
   }
 
+  test("skewReport: exact counts, integer share, pinned salt formula") {
+    import spark.implicits._
+    // 60 rows of "hot", 30 of "warm", 10 of "cold"; parts=10.
+    val df = (Seq.fill(60)("hot") ++ Seq.fill(30)("warm") ++
+      Seq.fill(10)("cold")).toDF("k")
+    val got = Scale.skewReport(df, Seq("k"), parts = 10, topK = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    // hot: share 600000, salt ceil(60*10/100)=6; warm: 300000, salt 3.
+    assert(got.toSeq === Seq(
+      ("hot", 60L, 100L, 600000L, 6L),
+      ("warm", 30L, 100L, 300000L, 3L)))
+  }
+
   test("bloomPrunedJoin: null probe keys are dropped, like the inner join") {
     import spark.implicits._
     val big = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "b"))
