@@ -90,4 +90,33 @@ object Quality {
       .withColumn("pass", col("violations") === 0L)
       .orderBy("constraint")
   }
+
+  /** Schema drift between two batches of "the same" feed — the check an
+    * ingestion pipeline runs BEFORE row-level validation, because a
+    * silently added/retyped column corrupts downstream without a single
+    * row failing. Pure metadata (no data is scanned; the result frame is
+    * built from the two schemas on the driver): one row per drifted
+    * column, change ∈ added | removed | type_changed, with the type on
+    * each side (null where absent). Matching is case-insensitive like
+    * the validate path's projection; nullability changes are NOT drift
+    * (parquet nullability flips with writer settings).
+    */
+  def schemaDiff(before: DataFrame, after: DataFrame): DataFrame = {
+    def types(df: DataFrame): Map[String, (String, String)] =
+      df.schema.fields.map(f =>
+        f.name.toLowerCase -> (f.name, f.dataType.simpleString)).toMap
+    val b = types(before)
+    val a = types(after)
+    val rows = (b.keySet ++ a.keySet).toSeq.sorted.flatMap { k =>
+      (b.get(k), a.get(k)) match {
+        case (Some((n, bt)), None) => Some((n, bt, null, "removed"))
+        case (None, Some((n, at))) => Some((n, null, at, "added"))
+        case (Some((n, bt)), Some((_, at))) if bt != at =>
+          Some((n, bt, at, "type_changed"))
+        case _ => None
+      }
+    }
+    import before.sparkSession.implicits._
+    rows.toDF("column", "before_type", "after_type", "change")
+  }
 }

@@ -414,6 +414,67 @@ object PipelineQueries {
       |FROM cust WHERE c_custkey <= 50
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Versioned-table time travel (sink VersionedTable): v1 is the raw
+    * nation table, v2 the same table after a MERGE that rewrites half
+    * the comments. Reading v1 AFTER v2 was committed must still return
+    * the original rows — snapshot isolation — and the latest read must
+    * equal v2. The gate emits all three reads tagged, so the oracle
+    * replays time travel from the source parquet alone. */
+  def timeTravel(s: SparkSession, d: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_c8_" +
+      java.util.UUID.randomUUID().toString
+    import graft.sink.VersionedTable
+    val v1 = Tables.nation(s, d)
+    VersionedTable.write(v1, root)
+    val changes = v1.where(col("n_nationkey") % 2 === 0)
+      .withColumn("n_name", concat(lit("UPD_"), col("n_name")))
+    val v2 = graft.ext.Cdc.mergeUpsert(
+      VersionedTable.read(s, root), changes, keys = Seq("n_nationkey"))
+    VersionedTable.write(v2, root)
+    def tagged(v: Int, tag: String) =
+      VersionedTable.read(s, root, v).withColumn("snap", lit(tag))
+    tagged(1, "v1")
+      .unionByName(tagged(2, "v2"))
+      .unionByName(VersionedTable.read(s, root).withColumn("snap", lit("latest")))
+      .orderBy("snap", "n_nationkey")
+  }
+
+  private val timeTravelOracle =
+    """WITH v2 AS (
+      | SELECT n_nationkey,
+      |  CASE WHEN n_nationkey % 2 = 0 THEN 'UPD_' || n_name
+      |       ELSE n_name END AS n_name,
+      |  n_regionkey
+      | FROM nation)
+      |SELECT n_nationkey, n_name, n_regionkey, 'v1' AS snap FROM nation
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'v2' FROM v2
+      |UNION ALL
+      |SELECT n_nationkey, n_name, n_regionkey, 'latest' FROM v2
+      |ORDER BY snap, n_nationkey""".stripMargin
+
+  /** Schema drift between two batches of the customer feed (ext
+    * Quality.schemaDiff — metadata only, no rows scanned): the new
+    * batch drops c_mktsegment, adds c_tier, and retypes c_acctbal to
+    * string. The oracle pins the expected drift rows; unchanged and
+    * nullability-only columns must NOT appear. */
+  def schemaDrift(s: SparkSession, d: String): DataFrame = {
+    val before = Tables.customer(s, d)
+    val after = before
+      .drop("c_mktsegment")
+      .withColumn("c_tier", lit(1))
+      .withColumn("c_acctbal", col("c_acctbal").cast("string"))
+    graft.ext.Quality.schemaDiff(before, after).orderBy("column")
+  }
+
+  private val schemaDriftOracle =
+    """SELECT * FROM (VALUES
+      | ('c_acctbal', 'double', 'string', 'type_changed'),
+      | ('c_mktsegment', 'string', NULL, 'removed'),
+      | ('c_tier', NULL, 'int', 'added'))
+      | AS t("column", before_type, after_type, change)
+      |ORDER BY "column"""".stripMargin
+
   /** Incremental aggregate maintenance (ext Incremental): history
     * partials merged with a new-batch partial must equal a full
     * recompute — the oracle IS that full recompute in another engine. */
@@ -449,6 +510,8 @@ object PipelineQueries {
     QueryDef("c1_compaction", compaction, Some(compactionOracle)),
     QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
+    QueryDef("dq2_schema_drift", schemaDrift, Some(schemaDriftOracle)),
+    QueryDef("c8_time_travel", timeTravel, Some(timeTravelOracle)),
     QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
     QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),

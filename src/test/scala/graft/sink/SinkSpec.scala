@@ -53,4 +53,40 @@ class SinkSpec extends AnyFunSuite {
       .select("id", "v").collect().map(_.toSeq).toSeq ===
       Seq(Seq(1L, "x"), Seq(2L, "y")))
   }
+
+  private def vroot(tag: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft_vt_${tag}_${System.nanoTime()}"
+
+  test("VersionedTable: snapshot isolation — old versions immutable, " +
+      "latest follows the newest commit") {
+    val root = vroot("iso")
+    assert(VersionedTable.versions(spark, root).isEmpty)
+    assert(VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root) === 1)
+    assert(VersionedTable.write(Seq((1L, "b"), (2L, "c")).toDF("k", "v"),
+      root) === 2)
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2))
+    assert(VersionedTable.read(spark, root, 1).collect().map(_.getString(1))
+      .toSeq === Seq("a"))
+    assert(VersionedTable.read(spark, root).count() === 2)
+    intercept[IllegalArgumentException](VersionedTable.read(spark, root, 7))
+  }
+
+  test("VersionedTable: uncommitted directories (no _SUCCESS) are " +
+      "invisible; retain expires the oldest") {
+    val root = vroot("commit")
+    VersionedTable.write(Seq((1L, "a")).toDF("k", "v"), root)
+    VersionedTable.write(Seq((2L, "b")).toDF("k", "v"), root)
+    VersionedTable.write(Seq((3L, "c")).toDF("k", "v"), root)
+    // Fake a crashed writer: a v4 directory without the marker.
+    val crashed = new java.io.File(s"$root/v4")
+    assert(crashed.mkdirs())
+    assert(VersionedTable.versions(spark, root) === Seq(1, 2, 3))
+    assert(VersionedTable.latestVersion(spark, root) === Some(3))
+    // The crashed claim is skipped, never reused: the next write is v5.
+    assert(VersionedTable.write(Seq((4L, "d")).toDF("k", "v"), root) === 5)
+    assert(VersionedTable.retain(spark, root, 2) === Seq(1, 2))
+    assert(VersionedTable.versions(spark, root) === Seq(3, 5))
+    assert(VersionedTable.read(spark, root).collect()
+      .map(_.getString(1)).toSeq === Seq("d"))
+  }
 }
