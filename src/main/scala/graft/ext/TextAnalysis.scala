@@ -193,6 +193,56 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Bigram collocation mining by PMI order: adjacent token pairs
+    * scored by co·T / (na·nb) — the EXPONENTIAL of pointwise mutual
+    * information, which orders identically (log is monotone) while
+    * staying exact-integer: `score_e6 = co·T·10⁶ div (na·nb)` with T
+    * the corpus token count and na/nb unigram counts WITH multiplicity.
+    * Float log-PMI differs at the ulp between engines (same reasoning
+    * as [[tfidfTopTerms]]). A score over 10⁶ means the pair co-occurs
+    * more than independence predicts — a collocation ("new york"), not
+    * a coincidence. The `minCo` floor kills the hapax pairs whose PMI
+    * is spuriously maximal (the classic PMI failure mode).
+    *
+    * Plan: tokenize once, explode bigrams (narrow) → one bigram
+    * aggregate; unigram counts via a second linear aggregate joined
+    * co-partitioned on each word; T broadcast as a one-row frame.
+    * Overflow bound: co·T·10⁶ needs co·T < 9.2·10¹² in BIGINT — at a
+    * larger corpus, raise minCo and drop the 10⁶ scale first.
+    *
+    * Output: (w1, w2, co, n1, n2, score_e6), top `topK` by
+    * (score_e6 desc, w1, w2) — or all pairs when topK = 0. */
+  def pmiBigrams(df: DataFrame, text: String,
+      minCo: Long = 5L, topK: Int = 0): DataFrame = {
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    // Bigrams keep multiplicity (counts, not sets) — tokenGramsCol-style
+    // outer binding so the split runs once per row.
+    // A <2-token doc must yield [] — sequence(1, 0) would walk BACKWARDS
+    // and element_at(ts, 0) throws, hence the explicit size guard.
+    val bigrams = flatten(transform(array(toks), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("w1"),
+            element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val total = uni.agg(sum(col("n")).as("t"))
+    val co = df.select(explode(bigrams).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val scored = co
+      .join(uni.select(col("w").as("w1"), col("n").as("n1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("w1"), col("w2"), col("co"), col("n1"), col("n2"),
+        expr("co * t * 1000000L div (n1 * n2)").as("score_e6"))
+    if (topK > 0)
+      scored.orderBy(desc("score_e6"), col("w1"), col("w2")).limit(topK)
+    else scored
+  }
+
   /** BM25 top-k document retrieval for a bag-of-terms query (k1 = 1.2,
     * b = 0.75 — the Robertson/Okapi defaults). Scoring is EXACT rational
     * arithmetic scaled to an integer, for the same reason as

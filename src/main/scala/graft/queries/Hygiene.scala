@@ -562,6 +562,36 @@ object HygieneQueries {
       |   AS n_masked
       |FROM toksl ORDER BY doc_id""".stripMargin
 
+  /** Top-25 bigram collocations by exact-integer PMI order (ext
+    * TextAnalysis.pmiBigrams — score co·T·10⁶ div (n1·n2), the
+    * exponential of PMI, float-free). */
+  def pmi(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.pmiBigrams(Tables.documents(s, d), "text",
+      minCo = 5L, topK = 25)
+
+  private val pmiOracle =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS ts
+      | FROM documents),
+      |uni AS (
+      | SELECT w, count(*) AS n
+      | FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+      |tot AS (SELECT sum(n) AS t FROM uni),
+      |big AS (
+      | SELECT unnest(ts[1:len(ts) - 1]) AS w1,
+      |        unnest(ts[2:len(ts)]) AS w2
+      | FROM toks WHERE len(ts) >= 2),
+      |co AS (
+      | SELECT w1, w2, count(*) AS co FROM big GROUP BY 1, 2
+      | HAVING count(*) >= 5)
+      |SELECT co.w1, co.w2, co.co, a.n AS n1, b.n AS n2,
+      | CAST(co.co * tot.t * 1000000 // (a.n * b.n) AS BIGINT) AS score_e6
+      |FROM co JOIN uni a ON a.w = co.w1 JOIN uni b ON b.w = co.w2
+      |CROSS JOIN tot
+      |ORDER BY score_e6 DESC, co.w1, co.w2 LIMIT 25""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -577,5 +607,6 @@ object HygieneQueries {
     QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)),
     QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
     QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
-    QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)))
+    QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
+    QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)))
 }

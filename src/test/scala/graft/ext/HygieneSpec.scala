@@ -211,4 +211,27 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(3L) === (("ftp", "www.www.deep.net", "www.deep.net", "/x")))
     assert(got(4L) === (("", "", "", "")))
   }
+
+  test("pmiBigrams: exact integer score, collocation beats frequent-but-" +
+      "independent pair, multiplicity counted, short docs safe") {
+    import graft.ext.TextAnalysis
+    // "new york" always adjacent (collocation); "the cat" adjacent but
+    // 'the' is everywhere, diluting its score. One-token doc must not
+    // blow up the bigram expression.
+    val df = Seq(
+      (1L, "new york new york new york"),
+      (2L, "the cat the dog the cat the bird"),
+      (3L, "x")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.pmiBigrams(df, "text", minCo = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // Corpus: T = 15 tokens. new:3 york:3, co(new,york)=3 (adjacent runs),
+    // score = 3*15*1e6 div 9 = 5_000_000. the:4 cat:2, co(the,cat)=2,
+    // score = 2*15*1e6 div 8 = 3_750_000.
+    assert(got(("new", "york")) === ((3L, 3L, 3L, 5000000L)))
+    assert(got(("the", "cat")) === ((2L, 4L, 2L, 3750000L)))
+    // york->new bridges repetitions: co=2 ("york new" twice).
+    assert(got(("york", "new"))._1 === 2L)
+  }
 }
