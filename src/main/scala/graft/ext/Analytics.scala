@@ -137,6 +137,39 @@ object Analytics {
       .limit(topK)
   }
 
+  /** First-order Markov transition matrix over per-user event
+    * sequences: for each (from, to) adjacent pair in a user's
+    * time-ordered history, the count and the row-normalized probability
+    * as an exact integer in millionths (n·10⁶ div n_from) — where a
+    * user goes NEXT, the input to session-flow analysis, prefetching,
+    * and anomalous-path detection. `tiebreak` columns must make the
+    * per-user order total (same discipline as
+    * [[Profile.equiDepthBuckets]]: a lead() over a non-total sort is
+    * not replayable across engines).
+    *
+    * Plan: ONE shuffle on the user key; lead() shares that partitioning
+    * and one sort; the pair aggregate is partial-aggregated and the
+    * from-totals ride a count window over the (already small)
+    * transition matrix, not the event stream. Nothing is quadratic in
+    * events and no event list is ever collected per user.
+    */
+  def transitions(
+      events: DataFrame, userCol: String, typeCol: String, tsCol: String,
+      tiebreak: Seq[String]): DataFrame = {
+    require(tiebreak.nonEmpty, "need a tiebreak column for a total order")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy((col(tsCol) +: tiebreak.map(col)): _*)
+    val pairs = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("p_e6", expr("n * 1000000L div n_from"))
+  }
+
   /** Item-item collaborative-filtering similarity over binary
     * interactions: for item pairs sharing >= `minCo` users, the squared
     * cosine of their user-incidence vectors — co² / (na·nb) — as an

@@ -116,6 +116,32 @@ object AnalyticsQueries {
       |SELECT item_a, item_b, count(*) AS n_groups FROM p GROUP BY 1, 2
       |ORDER BY n_groups DESC, item_a, item_b LIMIT 25""".stripMargin
 
+  /** Event-type transition matrix with exact integer probabilities (ext
+    * Analytics.transitions; lead() ordered by (ts, event_id) — the
+    * total-order tiebreak the synthetic events need). */
+  def transitions(s: SparkSession, d: String): DataFrame =
+    Analytics.transitions(Tables.events(s, d), "user_id", "event_type",
+        "ts", tiebreak = Seq("event_id"))
+      .orderBy("from_type", "to_type")
+
+  private val transitionsOracle =
+    """WITH seq AS (
+      | SELECT event_type AS from_type,
+      |  lead(event_type) OVER (PARTITION BY user_id
+      |    ORDER BY ts, event_id) AS to_type
+      | FROM events),
+      |m AS (
+      | SELECT from_type, to_type, count(*) AS n FROM seq
+      | WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (
+      | SELECT from_type, to_type, n,
+      |  sum(n) OVER (PARTITION BY from_type) AS n_from
+      | FROM m)
+      |SELECT from_type, to_type, n,
+      | CAST(n_from AS BIGINT) AS n_from,
+      | CAST(n * 1000000 // n_from AS BIGINT) AS p_e6
+      |FROM t ORDER BY from_type, to_type""".stripMargin
+
   /** Top-25 nodes by triangle count on the part co-order graph (ext
     * Graphs.triangleCounts, degree-ordered orientation). The oracle
     * replays the SEMANTICS — each triangle once as a < b < c via a
@@ -236,5 +262,6 @@ object AnalyticsQueries {
     QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)),
     QueryDef("g1_triangles", triangles, Some(trianglesOracle)),
     QueryDef("g2_pagerank", pagerank, Some(pagerankOracle)),
-    QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)))
+    QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)),
+    QueryDef("q49_transitions", transitions, Some(transitionsOracle)))
 }

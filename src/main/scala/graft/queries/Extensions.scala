@@ -596,6 +596,27 @@ object ExtensionQueries {
       | CAST(8 AS BIGINT) AS feat_dim
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Batched distributed resize (ext Multimodal.resize): every payload
+    * resampled to 8x8 with metadata updated — the normalize-all-images
+    * pass. Metadata replays in SQL; the pixel math itself is pinned
+    * byte-exact in ExtSpec (the stub codec is deterministic). */
+  def multimodalResize(s: SparkSession, d: String): DataFrame = {
+    val media = Multimodal.fromText(Tables.documents(s, d), "doc_id", "text")
+    Multimodal.resize(Multimodal.toDataset(s, media), w = 8, h = 8)
+      .toDF()
+      .select(col("media_id"), col("media_type"),
+        col("width").cast(LongType).as("width"),
+        col("height").cast(LongType).as("height"),
+        length(col("content")).cast(LongType).as("n_bytes"))
+      .orderBy("media_id")
+  }
+
+  private val multimodalResizeOracle =
+    """SELECT CAST(doc_id AS BIGINT) AS media_id, 'image' AS media_type,
+      | CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+      | CAST(64 AS BIGINT) AS n_bytes
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------ scale mechanics
 
   /** Salted two-phase aggregation must be value-identical to the plain
@@ -789,6 +810,7 @@ object ExtensionQueries {
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
+    QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

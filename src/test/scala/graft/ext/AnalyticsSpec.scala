@@ -94,6 +94,29 @@ class AnalyticsSpec extends AnyFunSuite {
       "oversized basket must be excluded, not exploded")
   }
 
+  test("transitions: per-user adjacency, row-normalized integer " +
+      "probabilities, cross-user pairs never counted") {
+    val ev = Seq(
+      (1L, "a", ts(0), 1L), (1L, "b", ts(1), 2L), (1L, "a", ts(2), 3L),
+      (1L, "c", ts(3), 4L),
+      (2L, "a", ts(0), 5L), (2L, "b", ts(1), 6L),
+      // user 3 has one event: contributes nothing
+      (3L, "c", ts(9), 7L),
+      // tie on ts within user 4: event_id orders it -> a then b
+      (4L, "b", ts(5), 9L), (4L, "a", ts(5), 8L)
+    ).toDF("user_id", "event_type", "ts", "event_id")
+    val got = Analytics.transitions(ev, "user_id", "event_type", "ts",
+        tiebreak = Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // from 'a': a->b x3 (u1, u2, u4), a->c x1 (u1) => n_from 4.
+    assert(got(("a", "b")) === ((3L, 4L, 750000L)))
+    assert(got(("a", "c")) === ((1L, 4L, 250000L)))
+    // from 'b': b->a x1 (u1) only; u2's and u4's 'b' are terminal.
+    assert(got(("b", "a")) === ((1L, 1L, 1000000L)))
+    assert(got.size === 3)
+  }
+
   test("itemSimilarity: exact integer cosine², minCo floor, full-count " +
       "denominators") {
     // Items A,B share users 1,2 (co=2); A has 3 users, B has 2.
