@@ -218,6 +218,57 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("Join"), s"anomaly plan must not join:\n$s")
   }
 
+  test("triangles: wedge expansion and closure are equi-joins — no " +
+      "cartesian, no nested loop") {
+    val s = planString(AnalyticsQueries.triangles(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("item CF: pair expansion joins on the user key only; partial " +
+      "aggregation below the pair exchange") {
+    val s = planString(AnalyticsQueries.itemCf(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("partial_count") || s.contains("partial count"),
+      s"pair counts must partial-aggregate before the exchange:\n$s")
+  }
+
+  test("transitions: one exchange on the user key; totals ride a window " +
+      "over the matrix, no join-back of the event stream") {
+    val df = graft.ext.Analytics.transitions(graft.Tables.events(spark, sf),
+      "user_id", "event_type", "ts", tiebreak = Seq("event_id"))
+    val s = planString(df)
+    assert(!s.contains("Join"), s"transition matrix must not join:\n$s")
+  }
+
+  test("equi-depth buckets: one exchange on the group keys, no join") {
+    import org.apache.spark.sql.functions._
+    val df = graft.ext.Profile.equiDepthBuckets(
+      graft.Tables.orders(spark, sf), Seq("o_orderpriority"),
+      col("o_totalprice"), 10, Seq("o_orderkey"))
+    val s = planString(df)
+    val nExchanges = s.linesIterator.count(_.trim.startsWith("+- Exchange")) +
+      s.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(nExchanges <= 1, s"expected a single shuffle, got $nExchanges:\n$s")
+    assert(!s.contains("Join"), s)
+  }
+
+  test("scd2: closed history bypasses the join (union above it); the " +
+      "current-slice join is an equi-join") {
+    val s = planString(PipelineQueries.scd2(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    assert(s.contains("Union"), s"closed rows must union back:\n$s")
+  }
+
+  test("prefix jaccard: candidate verify joins on doc ids — no " +
+      "cartesian, no nested loop; df window shares the gram shuffle") {
+    val s = planString(ExtensionQueries.dedupPrefix(spark, sf))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
