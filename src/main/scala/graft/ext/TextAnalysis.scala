@@ -66,6 +66,58 @@ object TextAnalysis {
   def quality(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), qualityFlag(col(text)).as("is_quality"))
 
+  /** The Gopher quality rules (Rae et al. 2021, "Scaling Language
+    * Models", table A1 — the published heuristics most 100 TB corpus
+    * filters start from), in pure integer arithmetic so the verdict
+    * replays bit-identically: every ratio threshold is a
+    * cross-multiplication, never a float division.
+    *
+    *   - word count in [50, 100000]
+    *   - mean word length in [3, 10] chars (3·n ≤ Σlen ≤ 10·n)
+    *   - symbol-to-word ratio: (# '#' + # '...') ≤ 0.1·words
+    *   - ≤ 90% of lines start with a bullet ('-', '*', '•')
+    *   - ≤ 30% of lines end with an ellipsis
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - contains at least 2 of the 8 Gopher stop words
+    *
+    * Output: one row per doc with every rule's inputs (so a failing doc
+    * is diagnosable) plus the `is_quality` verdict. One narrow
+    * projection — no shuffle, no join; run it BEFORE dedup so junk
+    * never enters the signature passes. */
+  def gopherQuality(df: DataFrame, text: String, id: String): DataFrame = {
+    val t = col(text)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val lines = filter(split(t, "\n"), l => length(ltrim(l)) > 0)
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val out = df.select(
+      col(id),
+      size(words).cast(LongType).as("n_words"),
+      length(regexp_replace(t, "\\s", "")).cast(LongType).as("sum_word_len"),
+      ((length(t) - length(regexp_replace(t, "#", ""))) +
+        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+        .cast(LongType).as("n_symbols"),
+      size(lines).cast(LongType).as("n_lines"),
+      size(filter(lines, l =>
+        ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
+          ltrim(l).startsWith("•"))).cast(LongType).as("n_bullet_lines"),
+      size(filter(lines, l => rtrim(l).endsWith("...")))
+        .cast(LongType).as("n_ellipsis_lines"),
+      size(filter(words, w => w.rlike("[A-Za-z]")))
+        .cast(LongType).as("n_alpha_words"),
+      size(array_intersect(
+        transform(words, lower _), lit(stops.toArray)))
+        .cast(LongType).as("n_stop_hits"))
+    out.withColumn("is_quality",
+      col("n_words").between(50, 100000) &&
+        col("sum_word_len") >= col("n_words") * 3 &&
+        col("sum_word_len") <= col("n_words") * 10 &&
+        col("n_symbols") * 10 <= col("n_words") &&
+        col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+        col("n_alpha_words") * 10 >= col("n_words") * 8 &&
+        col("n_stop_hits") >= 2)
+  }
+
   /** 64-bit rolling-hash document fingerprint (custom codegen'd Catalyst
     * expression — graft.functions.RollingFingerprint). Equal fingerprints
     * => byte-identical text (mod 2^64 collisions). */

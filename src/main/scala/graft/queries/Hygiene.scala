@@ -592,6 +592,51 @@ object HygieneQueries {
       |CROSS JOIN tot
       |ORDER BY score_e6 DESC, co.w1, co.w2 LIMIT 25""".stripMargin
 
+  /** Gopher quality rules (ext TextAnalysis.gopherQuality) — every rule
+    * input and the verdict, all exact-integer. */
+  def gopher(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.gopherQuality(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val gopherOracle =
+    """WITH w AS (
+      | SELECT doc_id, text AS t,
+      |  list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(text, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM documents),
+      |m AS (
+      | SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+      |    AS sum_word_len,
+      |  CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+      |   AS BIGINT) AS n_symbols,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT)
+      |    AS n_bullet_lines,
+      |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT)
+      |    AS n_ellipsis_lines,
+      |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      |    AS n_stop_hits
+      | FROM w)
+      |SELECT *,
+      | n_words BETWEEN 50 AND 100000
+      |  AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      |  AND n_symbols * 10 <= n_words
+      |  AND n_bullet_lines * 10 <= n_lines * 9
+      |  AND n_ellipsis_lines * 10 <= n_lines * 3
+      |  AND n_alpha_words * 10 >= n_words * 8
+      |  AND n_stop_hits >= 2 AS is_quality
+      |FROM m ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -608,5 +653,6 @@ object HygieneQueries {
     QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
     QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
     QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
-    QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)))
+    QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
+    QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)))
 }

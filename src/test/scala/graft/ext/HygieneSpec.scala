@@ -212,6 +212,32 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(4L) === (("", "", "", "")))
   }
 
+  test("gopherQuality: each rule rejects its own violation, a normal doc " +
+      "passes, metrics are exact") {
+    import graft.ext.TextAnalysis
+    val goodWords = (1 to 60).map(i => s"word$i").mkString(" ")
+    val good = s"the cat sat of that mat and $goodWords"
+    val df = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "the of " + (1 to 10).map(_ => "word").mkString(" ")), // <50 words
+      (3L, good + " " + Seq.fill(60)("#").mkString(" ")), // symbol flood + short words
+      (4L, good.split(" ").map(w => s"- $w\n").mkString), // all bullet lines
+      (5L, good + " " + (1 to 70).map(_ => "12345").mkString(" ")) // <80% alpha
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(df, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(9)).toMap
+    assert(got(1L), "baseline doc must pass")
+    assert(!got(2L), "word-count floor")
+    assert(!got(3L), "symbol-to-word ratio")
+    assert(!got(4L), "bullet-line ratio")
+    assert(!got(5L), "alpha-word ratio")
+    // metric spot-check on doc 1: 67 words, 2 distinct stop hits... more.
+    val m = TextAnalysis.gopherQuality(df, "text", "doc_id")
+      .where(col("doc_id") === 1L).collect()(0)
+    assert(m.getLong(1) === 67L)       // n_words
+    assert(m.getLong(8) >= 2L)         // n_stop_hits (the, of, that, and)
+  }
+
   test("pmiBigrams: exact integer score, collocation beats frequent-but-" +
       "independent pair, multiplicity counted, short docs safe") {
     import graft.ext.TextAnalysis
