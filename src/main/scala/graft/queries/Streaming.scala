@@ -240,7 +240,42 @@ object StreamingQueries {
       | TRUE AS ok_est
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** Streaming per-window quantile sketches (EventStream.hourlyQuantiles):
+    * each streamed estimate must sit at a plausible DISCRETE rank in
+    * the exact batch distribution — p50 within ranks [0.4n, 0.6n], p90
+    * within [0.8n, 0.97n] — tested by counting values <= / < the
+    * estimate and cross-multiplying. No interpolated value bands:
+    * sparse hours here have single-digit n, where an interpolated band
+    * is narrower than one rank step and flaps (st9's bounds pattern,
+    * for the KLL-style sketch instead of HLL). */
+  def streamQuantiles(s: SparkSession, d: String): DataFrame = {
+    val streamed = runToTable(s, "st10_quant_out",
+      df => EventStream.hourlyQuantiles(df), "complete", d)
+    val ev = Tables.events(s, d)
+      .select(date_trunc("hour", col("ts")).as("hour"), col("value"))
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    ev.join(streamed, Seq("hour"))
+      .groupBy("hour")
+      .agg(count(lit(1)).as("n"),
+        cnt(col("value") <= col("p50_est")).as("le50"),
+        cnt(col("value") < col("p50_est")).as("lt50"),
+        cnt(col("value") <= col("p90_est")).as("le90"),
+        cnt(col("value") < col("p90_est")).as("lt90"))
+      .select(col("hour"),
+        (col("le50") * 10 >= col("n") * 4 &&
+          col("lt50") * 10 <= col("n") * 6).as("ok_p50"),
+        (col("le90") * 10 >= col("n") * 8 &&
+          col("lt90") * 100 <= col("n") * 97).as("ok_p90"))
+      .orderBy("hour")
+  }
+
+  private val streamQuantilesOracle =
+    """SELECT date_trunc('hour', ts) AS hour, TRUE AS ok_p50,
+      | TRUE AS ok_p90
+      |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("st10_stream_quantiles", streamQuantiles, Some(streamQuantilesOracle)),
     QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),

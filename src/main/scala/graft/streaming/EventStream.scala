@@ -253,6 +253,23 @@ object EventStream {
       .agg(approx_count_distinct(col("user_id"), rsd).as("nd_est"))
       .select(col("window.start").as("hour"), col("nd_est"))
 
+  /** Streaming per-window quantiles via the KLL-style mergeable sketch
+    * behind `approx_percentile` — the streaming twin of the k2 batch
+    * gate. Like [[hourlyDistinctUsers]], the per-window state is one
+    * constant-size sketch (never the value list), so the window's
+    * distribution is trackable at any event rate; `accuracy` = 1/eps
+    * controls the rank-error bound (10000 → 0.01% of ranks). */
+  def hourlyQuantiles(events: DataFrame, valCol: String = "value",
+      accuracy: Int = 10000): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(expr(
+        s"approx_percentile($valCol, array(0.5, 0.9), $accuracy)").as("qs"))
+      .select(col("window.start").as("hour"),
+        col("qs").getItem(0).as("p50_est"),
+        col("qs").getItem(1).as("p90_est"))
+
   /** Streaming materialized upsert view: maintain a latest-record-per-key
     * TABLE from a change stream — the streaming twin of
     * [[graft.ext.Dedup.latestByKey]] composed with
