@@ -375,6 +375,32 @@ object Dedup {
     df.join(drop, Seq(id), "left_anti")
   }
 
+  /** Transitive dedup keeping the BEST row per duplicate cluster — the
+    * production form of [[dropFromPairsTransitive]]: min-id keep is
+    * arbitrary, but a corpus pipeline wants the longest / highest-
+    * quality / most-recent copy to survive (pass that as `score`; ties
+    * break to the smallest id so the choice replays). Rows in no pair
+    * keep themselves, untouched.
+    *
+    * Plan: components from the same large-star/small-star rounds, then
+    * ONE keyed aggregate picks each component's champion via `max_by`
+    * partial aggregation — one candidate per component per partition
+    * crosses the shuffle (the [[latestByKey]] shape), never a
+    * collected cluster. The final membership check is an id-keyed semi
+    * join. Everything is linear in the pair set + corpus. */
+  def dropFromPairsKeepBest(df: DataFrame, id: String,
+      pairs: DataFrame, score: Column): DataFrame = {
+    val comp = connectedComponentsStar(pairs)
+      .select(col("id").as(id), col("component"))
+    val member = df.join(comp, Seq(id))
+    val champions = member
+      .groupBy(col("component"))
+      .agg(max_by(col(id), struct(score, col(id) * -1)).as(id))
+      .select(col(id))
+    val loners = df.join(comp.select(col(id)), Seq(id), "left_anti")
+    loners.unionByName(df.join(champions, Seq(id), "left_semi"))
+  }
+
   // ----------------------------------------------------------- simhash
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the

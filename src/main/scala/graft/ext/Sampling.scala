@@ -199,6 +199,35 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Mixture re-weighting by row replication — "2.3 epochs of wiki,
+    * 0.4 of crawl": each row appears ⌊w⌋ + Bernoulli(frac(w)) times,
+    * with `weightE6` the weight in MILLIONTHS as an integer column
+    * (float weights don't replay) and the Bernoulli drawn from the same
+    * ANSI-replayable multiplicative hash as [[hashSample]] — so the
+    * exact copy multiset is reproducible across engines, runs, and
+    * partitionings. Weights under 1 downsample (k = 0 rows drop);
+    * `outCol` numbers the copies 1..k so downstream exact dedup can
+    * still distinguish replication from accidental duplication.
+    *
+    * Plan: a narrow filter + explode(sequence) — no shuffle; output
+    * size is Σ k(row), exactly the mixture the weights prescribe.
+    * (Uniformity note: folding the [0,M) hash into [0,10⁶) buckets
+    * carries a ≤ M%10⁶/M ≈ 0.05% relative bias — irrelevant next to
+    * the sampling variance, and deterministic.) */
+  def replicate(df: DataFrame, weightE6: Column, key: Column,
+      seed: Long = 0L, outCol: String = "copy_id"): DataFrame = {
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input already has a column named '$outCol'; pass outCol to rename")
+    val whole = floor(weightE6 / lit(1000000L)).cast("long")
+    val frac = pmod(weightE6, lit(1000000L))
+    val k = whole +
+      when(pmod(bucketOf(key, seed), lit(1000000L)) < frac, 1L).otherwise(0L)
+    df.withColumn("__k", k)
+      .where(col("__k") >= 1L)
+      .withColumn(outCol, explode(sequence(lit(1L), col("__k"))))
+      .drop("__k")
+  }
+
   /** Label every row `train` or `test` by the hash of `groupKey` — all
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can

@@ -383,6 +383,43 @@ object ExtensionQueries {
       | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Keep-BEST transitive dedup (Dedup.dropFromPairsKeepBest): 10-node
+    * chains where the champion is the max pseudo-quality (vec_id·37 mod
+    * 101), min-id on ties — deliberately NOT the min-id the plain drop
+    * would keep. Oracle: recursive-CTE components + per-component
+    * ranking. */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val df = Tables.embeddings(s, d)
+      .select(col("vec_id"), pmod(col("vec_id") * 37, lit(101)).as("q"))
+    val pairs = df.where(col("vec_id") % 10 < 9)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+    Dedup.dropFromPairsKeepBest(df, "vec_id", pairs, col("q"))
+      .orderBy("vec_id")
+  }
+
+  private val dedupKeepBestOracle =
+    """WITH RECURSIVE qv AS (
+      | SELECT vec_id, (vec_id * 37) % 101 AS q FROM embeddings),
+      |pairs AS (
+      | SELECT vec_id AS a, vec_id + 1 AS b FROM embeddings
+      | WHERE vec_id % 10 < 9),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |champ AS (
+      | SELECT id FROM (
+      |  SELECT comp.id, row_number() OVER (PARTITION BY component
+      |    ORDER BY qv.q DESC, comp.id) AS rn
+      |  FROM comp JOIN qv ON qv.vec_id = comp.id) WHERE rn = 1)
+      |SELECT vec_id, q FROM qv
+      |WHERE vec_id NOT IN (SELECT id FROM comp)
+      |UNION ALL
+      |SELECT qv.vec_id, qv.q FROM qv JOIN champ ON champ.id = qv.vec_id
+      |ORDER BY vec_id""".stripMargin
+
   // ------------------------------------------------------- similarity
 
   private def corpus(s: SparkSession, d: String): DataFrame =
@@ -801,6 +838,7 @@ object ExtensionQueries {
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
     QueryDef("d10_dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    QueryDef("d17_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     QueryDef("d12_components_chain", dedupComponentsChain, Some(dedupComponentsChainOracle)),
     QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),

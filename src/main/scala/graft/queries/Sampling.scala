@@ -158,7 +158,38 @@ object SamplingQueries {
       |              WHEN 'fr' THEN 10000 ELSE 5000 END)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Epoch-style mixture replication (ext Sampling.replicate): sources
+    * get 2.5 / 1.0 / 0.4 / 0 effective epochs by source-id mod 4; the
+    * copy multiset must replay exactly (integer weights, multiplicative
+    * hash Bernoulli). */
+  def replicate(s: SparkSession, d: String): DataFrame =
+    Sampling.replicate(Tables.documents(s, d),
+        expr("CASE cast(substring(source, 4) AS INT) % 4 " +
+          "WHEN 0 THEN 2500000 WHEN 1 THEN 1000000 " +
+          "WHEN 2 THEN 400000 ELSE 0 END"),
+        col("doc_id"))
+      .select(col("doc_id"), col("copy_id"))
+      .orderBy("doc_id", "copy_id")
+
+  private val replicateOracle =
+    """WITH w AS (
+      | SELECT doc_id,
+      |  CASE CAST(substr(source, 4) AS INT) % 4
+      |   WHEN 0 THEN 2500000 WHEN 1 THEN 1000000
+      |   WHEN 2 THEN 400000 ELSE 0 END AS w
+      | FROM documents),
+      |k AS (
+      | SELECT doc_id, w // 1000000 +
+      |  CASE WHEN ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647)
+      |        + 0) % 2147483647 % 1000000 < w % 1000000
+      |   THEN 1 ELSE 0 END AS k
+      | FROM w)
+      |SELECT doc_id, CAST(unnest(range(1, k + 1)) AS BIGINT) AS copy_id
+      |FROM k WHERE k >= 1
+      |ORDER BY doc_id, copy_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sm9_replicate", replicate, Some(replicateOracle)),
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
     QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),
     QueryDef("sm3_stratified_sample", stratifiedSample, Some(stratifiedOracle)),

@@ -170,6 +170,20 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("Dedup.dropFromPairsKeepBest: champion by (score desc, id asc), " +
+      "loners untouched, one survivor per cluster") {
+    // Cluster {1,2,3} (chain), cluster {10,11}, loner 20.
+    val df = Seq(
+      (1L, 5L), (2L, 9L), (3L, 9L),   // champion: 2 (max score, min id)
+      (10L, 1L), (11L, 7L),           // champion: 11
+      (20L, 0L)                       // loner: kept regardless of score
+    ).toDF("id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropFromPairsKeepBest(df, "id", pairs, col("q"))
+      .select("id").collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(2L, 11L, 20L))
+  }
+
   test("Dedup.planBands: picks the divisor whose implied threshold is " +
       "nearest the target, smaller band count on ties") {
     assert(Dedup.planBands(64, 0.8) === 8)  // (1/8)^(1/8) ≈ 0.77

@@ -176,4 +176,34 @@ class SamplingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("__cum"))
   }
+
+  test("replicate: floor copies + deterministic fractional Bernoulli, " +
+      "zero-weight drops, copy ids 1..k, layout-independent") {
+    val df = (1L to 400L).map(i => (i, s"row$i")).toDF("id", "v")
+    // weight 2.5M: every row gets 2 or 3 copies; expect ~50% threes.
+    val out = Sampling.replicate(df, lit(2500000L), col("id"))
+    val perRow = out.groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(perRow.size === 400)
+    assert(perRow.values.forall(k => k == 2L || k == 3L))
+    val threes = perRow.values.count(_ == 3L)
+    assert(threes > 120 && threes < 280, s"fraction draw looks biased: $threes")
+    // copy ids are exactly 1..k
+    val copies = out.where(col("id") === 1L)
+      .select("copy_id").collect().map(_.getLong(0)).sorted
+    assert(copies.toSeq === (1L to perRow(1L)).toSeq)
+    // zero weight drops everything; determinism across partitionings
+    assert(Sampling.replicate(df, lit(0L), col("id")).count() === 0)
+    val again = Sampling.replicate(df.repartition(13), lit(2500000L), col("id"))
+      .groupBy("id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === perRow)
+  }
+
+  test("replicate: rejects an existing copy_id column") {
+    val df = Seq((1L, 9L)).toDF("id", "copy_id")
+    intercept[IllegalArgumentException] {
+      Sampling.replicate(df, lit(1000000L), col("id"))
+    }
+  }
 }
