@@ -36,6 +36,27 @@ object Incremental {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"))
 
+  /** Partials carrying the extremes as well — min/max are monoids too
+    * (merge = min of mins / max of maxes), so watermark-style "highest
+    * value seen per key" dashboards maintain incrementally like sums.
+    * Extremes stay LongType: unlike the sum they never accumulate, so
+    * a cents value that fits a long in the batch fits forever. */
+  def partialsMinMax(batch: DataFrame, keys: Seq[String], valCents: Column)
+      : DataFrame =
+    batch.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(valCents.cast(DecimalType(38, 0))).as("sum_cents"),
+        min(valCents.cast(LongType)).as("min_cents"),
+        max(valCents.cast(LongType)).as("max_cents"))
+
+  /** Merge partialsMinMax states: sums add, extremes fold. */
+  def mergeMinMax(states: Seq[DataFrame], keys: Seq[String]): DataFrame =
+    states.reduce(_ unionByName _)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+        min(col("min_cents")).as("min_cents"),
+        max(col("max_cents")).as("max_cents"))
+
   /** Finalize read-time metrics from exact state moments. The BIGINT
     * projection of sum_cents guards the narrowing: the decimal(38,0)
     * state stays exact far past Long range, and the non-ANSI cast would

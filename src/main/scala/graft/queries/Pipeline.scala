@@ -414,6 +414,38 @@ object PipelineQueries {
       |FROM cust WHERE c_custkey <= 50
       |ORDER BY c_custkey, valid_from""".stripMargin
 
+  /** Incremental min/max maintenance (ext Incremental.partialsMinMax):
+    * extremes merged across three arbitrary batch splits must equal the
+    * full recompute — the same monoid invariant as c4, extended to the
+    * order statistics a watermark dashboard tracks. */
+  def incrementalMinMax(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.Incremental
+    val o = Tables.orders(s, d)
+    val cents = round(col("o_totalprice") * 100)
+      .cast(org.apache.spark.sql.types.LongType)
+    val keys = Seq("o_orderpriority")
+    val batches = Seq(
+      o.where(col("o_orderkey") % 3 === 0),
+      o.where(col("o_orderkey") % 3 === 1),
+      o.where(col("o_orderkey") % 3 === 2))
+      .map(b => Incremental.partialsMinMax(b, keys, cents))
+    val merged = Incremental.mergeMinMax(batches, keys)
+    Incremental.finalizeAvg(merged, keys)
+      .join(merged.select(col("o_orderpriority"),
+        col("min_cents"), col("max_cents")), keys)
+      .orderBy("o_orderpriority")
+  }
+
+  private val incrementalMinMaxOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(cents) AS BIGINT) AS sum_cents,
+      | CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents,
+      | min(cents) AS min_cents, max(cents) AS max_cents
+      |FROM (SELECT o_orderpriority,
+      |       CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+      |      FROM orders)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Versioned-table time travel (sink VersionedTable): v1 is the raw
     * nation table, v2 the same table after a MERGE that rewrites half
     * the comments. Reading v1 AFTER v2 was committed must still return
@@ -512,6 +544,8 @@ object PipelineQueries {
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
     QueryDef("dq2_schema_drift", schemaDrift, Some(schemaDriftOracle)),
     QueryDef("c8_time_travel", timeTravel, Some(timeTravelOracle)),
+    QueryDef("c9_incremental_minmax", incrementalMinMax,
+      Some(incrementalMinMaxOracle)),
     QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
     QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),

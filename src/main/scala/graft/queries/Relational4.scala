@@ -299,9 +299,44 @@ object Relational4 {
       |FROM l, r WHERE l_s <= c_e AND c_s <= l_e
       |ORDER BY o_orderkey, c_custkey""".stripMargin
 
+  // ---------------------------------------------------------------- q50
+  /** TPC-H Q19 shape: a disjunction of brand/size/quantity conjunctions
+    * over the part⋈lineitem join — the predicate form that exercises
+    * OR-tree pushdown and constraint propagation (each disjunct's part
+    * filters still prune the build side; the revenue sum is the exact
+    * decimal-cents pattern from q1/q6). */
+  def q50DisjunctiveJoin(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val p = Tables.part(s, d)
+    val j = li.join(p, col("l_partkey") === col("p_partkey"))
+    val arm = (brand: String, sizeHi: Int, qLo: Int, qHi: Int) =>
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    j.where(arm("Brand#12", 20, 1, 15) || arm("Brand#23", 25, 10, 25) ||
+        arm("Brand#34", 30, 20, 35))
+      .agg(
+        Relational.dsum(
+          col("l_extendedprice") * (lit(1) - col("l_discount")), 4)
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  private val q50Oracle =
+    """SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+      |  AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      | count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 20
+      |        AND l_quantity BETWEEN 1 AND 15)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+      |        AND l_quantity BETWEEN 10 AND 25)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
+      |        AND l_quantity BETWEEN 20 AND 35)""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_band_join", q47BandJoin, Some(q47Oracle)),
     QueryDef("q48_interval_join", q48IntervalJoin, Some(q48Oracle)),
+    QueryDef("q50_disjunctive_join", q50DisjunctiveJoin, Some(q50Oracle)),
     QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
     QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
     QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),

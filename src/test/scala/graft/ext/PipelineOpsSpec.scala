@@ -124,6 +124,28 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(direct === byThree)
   }
 
+  test("Incremental.partialsMinMax: extremes merge to the recompute " +
+      "regardless of batch split") {
+    val rows = Seq((1L, "a", 500L), (2L, "a", -20L), (3L, "b", 7L),
+      (4L, "a", 120L), (5L, "b", 7L), (6L, "b", 900L))
+    val df = rows.toDF("id", "k", "cents")
+    def partial(p: org.apache.spark.sql.DataFrame) =
+      Incremental.partialsMinMax(p, Seq("k"), col("cents"))
+    val merged = Incremental.mergeMinMax(Seq(
+      partial(df.where(col("id") <= 2)),
+      partial(df.where(col("id") === 3)),
+      partial(df.where(col("id") >= 4))), Seq("k"))
+    val direct = partial(df)
+    val key = (d: org.apache.spark.sql.DataFrame) => d
+      .select("k", "n", "sum_cents", "min_cents", "max_cents")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getDecimal(2).longValue, r.getLong(3),
+          r.getLong(4)))).toMap
+    assert(key(merged) === key(direct))
+    assert(key(merged)("a") === ((3L, 600L, -20L, 500L)))
+    assert(key(merged)("b") === ((3L, 914L, 7L, 900L)))
+  }
+
   test("Profile.histogram: exact integer bins, observed lo/hi, empty bins absent") {
     import spark.implicits._
     val df = (0L to 9L).toDF("x") // span 10, 2 bins: [0,4] and [5,9]
@@ -249,6 +271,20 @@ class PipelineOpsSpec extends AnyFunSuite {
     val got = Cdc.diff(before, after, Seq("k"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(2L -> "changed", 4L -> "removed", 5L -> "added"))
+  }
+
+  test("Quality.schemaDiff: added/removed/retyped only; case-insensitive " +
+      "match, no-drift is empty") {
+    val before = Seq((1L, "a", 2.0)).toDF("id", "name", "score")
+    val after = Seq((1, "a", true)).toDF("ID", "name", "flag")
+    val got = Quality.schemaDiff(before, after)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got === Set(
+      ("id", "bigint", "int", "type_changed"),
+      ("score", "double", null, "removed"),
+      ("flag", null, "boolean", "added")))
+    assert(Quality.schemaDiff(before, before).count() === 0)
   }
 
   test("Profile.equiDepthBuckets: pinned formula, boundary ties follow " +
