@@ -3,7 +3,7 @@ package graft.api
 import graft.io.{LocalStore, ObjectStore, Xlsx}
 import graft.sink.{AuditLog, TableRef}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit}
 import scala.collection.mutable.ListBuffer
 import scala.util.control.NonFatal
 
@@ -205,4 +205,27 @@ object Export {
     if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
       "\"" + s.replace("\"", "\"\"") + "\""
     else s
+
+  /** Distributed partitioned export — the scale path the single-named-
+    * file contract above deliberately is not: every executor writes its
+    * own files under `dir/<col>=<value>/...` via Spark's writer
+    * (`partitionBy` + csv/json/parquet), so the export is as parallel
+    * as the final stage and the driver never sees a row. Use for bulk
+    * hand-offs (downstream Spark/DuckDB/warehouse loaders all read
+    * hive-partitioned layouts); use [[execute]] when the consumer wants
+    * ONE named artifact (xlsx/csv attachment). Returns the exact row
+    * count, observed on the write itself (no second scan). */
+  def exportPartitioned(
+      df: org.apache.spark.sql.DataFrame, dir: String, format: String,
+      partitionCols: Seq[String], codec: Option[String] = None): Long = {
+    require(Seq("csv", "json", "parquet").contains(format),
+      s"unsupported format: $format")
+    val obs = org.apache.spark.sql.Observation()
+    var w = df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode("overwrite").partitionBy(partitionCols: _*)
+    if (format == "csv") w = w.option("header", true)
+    codec.foreach(c => w = w.option("compression", c))
+    w.format(format).save(dir)
+    obs.get("rows").asInstanceOf[Long]
+  }
 }

@@ -122,6 +122,27 @@ object IngestExportQueries {
       | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Distributed partitioned export (Export.exportPartitioned): orders
+    * written hive-partitioned by priority as headered CSV, read back by
+    * Spark's csv reader off the partitioned layout. The observed row
+    * count must equal the input. */
+  def exportPartitionedE2e(s: SparkSession, d: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_e7_").toString
+    val src = Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"))
+    val n = Export.exportPartitioned(src, outDir, "csv",
+      partitionCols = Seq("o_orderpriority"))
+    require(n == src.count(), s"observed $n rows")
+    s.read.option("header", true).option("inferSchema", true).csv(outDir)
+      .select(col("o_orderkey").cast(LongType),
+        col("o_custkey").cast(LongType), col("o_orderpriority"))
+      .orderBy("o_orderkey")
+  }
+
+  private val exportPartitionedOracle =
+    """SELECT o_orderkey, o_custkey, o_orderpriority
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
   /** Gzip-compressed CSV export: the codec wraps the upload stream
     * in-flight; Spark's CSV scan decompresses *.gz transparently on the
     * read-back, so the whole compressed round trip is inside the gate. */
@@ -610,5 +631,7 @@ object IngestExportQueries {
     QueryDef("e3_export_parquet_e2e", exportParquetE2e, Some(exportParquetOracle)),
     QueryDef("e4_export_jsonl_e2e", exportJsonlE2e, Some(exportJsonlOracle)),
     QueryDef("e5_export_csv_gzip_e2e", exportCsvGzipE2e, Some(exportCsvOracle)),
-    QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)))
+    QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)),
+    QueryDef("e7_export_partitioned_e2e", exportPartitionedE2e,
+      Some(exportPartitionedOracle)))
 }

@@ -363,6 +363,34 @@ object Relational {
       | ON p.user_id = s.user_id AND p.ts >= s.ts
       |ORDER BY p.event_id""".stripMargin
 
+  /** q15 with a merge_asof-style tolerance: a signup more than 7 days
+    * before the purchase no longer attributes (the match nulls out).
+    * DuckDB's ASOF has no tolerance knob, so the oracle post-filters the
+    * matched timestamp with the same inequality. */
+  def q51AsofTolerance(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+    val purchases = e.where(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val signups = e.where(col("event_type") === "signup")
+      .select("user_id", "ts", "event_id")
+    graft.ext.Joins.asofBackward(
+      purchases, signups, keys = Seq("user_id"),
+      leftTs = "ts", rightTs = "ts", tiebreak = Seq("event_id"),
+      tolerance = Some(expr("INTERVAL 7 DAYS")))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("asof_match.ts").as("signup_ts"))
+      .orderBy("event_id")
+  }
+
+  private val q51Oracle =
+    """SELECT p.event_id, p.user_id, p.ts,
+      | CASE WHEN p.ts <= s.ts + INTERVAL 7 DAYS THEN s.ts END AS signup_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+      | ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.event_id""".stripMargin
+
   // ---------------------------------------------------------------- q16
   /** Distinct aggregation (expands to two-phase distinct agg). */
   def q16DistinctCounts(s: SparkSession, d: String): DataFrame =
@@ -426,6 +454,7 @@ object Relational {
     QueryDef("q13_events_hourly", q13EventsHourly, Some(q13Oracle), bench = true),
     QueryDef("q14_json_extract", q14JsonExtract, Some(q14Oracle)),
     QueryDef("q15_asof_join", q15AsofJoin, Some(q15Oracle), bench = true),
+    QueryDef("q51_asof_tolerance", q51AsofTolerance, Some(q51Oracle)),
     QueryDef("q16_distinct_counts", q16DistinctCounts, Some(q16Oracle)),
     QueryDef("q17_above_customer_avg", q17AboveCustomerAvg, Some(q17Oracle)))
 }
