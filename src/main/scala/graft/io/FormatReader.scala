@@ -65,6 +65,12 @@ object FormatReader {
         Parsed(spark.read.parquet(file.toString))
       case "orc" =>
         Parsed(spark.read.orc(file.toString))
+      // Fixed-width text (pandas read_fwf's default mode): column
+      // boundaries inferred from the character positions that are blank
+      // in every sampled line. Mainframe/ERP extracts still arrive in
+      // this shape; see fromFwf for the inference contract.
+      case "fwf" =>
+        Parsed(fromFwf(spark, file))
       case other =>
         Unsupported(s"Unsupported file type: .$other")
     }
@@ -193,5 +199,58 @@ object FormatReader {
     }
     spark.createDataFrame(rows.asJava,
       StructType(header.map(h => StructField(h, StringType, nullable = true))))
+  }
+
+  /** Fixed-width reader, pandas-read_fwf-style inference: a character
+    * position is a SEPARATOR iff it is blank (or past end-of-line) in
+    * every one of the first `inferLines` lines; fields are the maximal
+    * runs between separator columns, named from the header line. The
+    * INFERENCE reads only the bounded sample on the driver (the file is
+    * already staged locally, like xlsx); the PARSE is distributed —
+    * Spark's csv reader with an unlikely delimiter yields one
+    * whole-line column per row with the header consumed, and each field
+    * is a codegen'd substring+trim. All columns come out as nullable
+    * strings (blank → NULL): the validate path owns typing, exactly as
+    * for csv ingest. Lines shorter than a field's start simply yield
+    * NULL for it. */
+  private[io] def fromFwf(spark: SparkSession, file: Path,
+      inferLines: Int = 100): DataFrame = {
+    val src = scala.io.Source.fromFile(file.toFile, "UTF-8")
+    val sample = try src.getLines().take(inferLines).toVector
+      finally src.close()
+    require(sample.nonEmpty && sample.head.trim.nonEmpty,
+      s"fwf: empty file or blank header: $file")
+    val width = sample.map(_.length).max
+    val isSep = (0 until width).map(p =>
+      sample.forall(l => p >= l.length || l.charAt(p) == ' '))
+    val specs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var p = 0
+    while (p < width) {
+      if (!isSep(p)) {
+        val start = p
+        while (p < width && !isSep(p)) p += 1
+        specs += ((start, p))
+      } else p += 1
+    }
+    require(specs.nonEmpty, s"fwf: no data columns inferred: $file")
+    val names = specs.map { case (s, e) =>
+      sample.head.slice(s, math.min(e, sample.head.length)).trim
+    }
+    require(names.forall(_.nonEmpty),
+      s"fwf: header slice empty for a column: $file")
+    import org.apache.spark.sql.functions.{col => c, length => len,
+      substring, trim, when}
+    // U+0001 never occurs in text extracts, so each row surfaces as one
+    // whole-line column; quoting is disabled so a '"' at line start
+    // stays verbatim.
+    val one = spark.read
+      .option("header", true).option("delimiter", "\u0001")
+      .option("quote", "\u0000")
+      .csv(file.toString)
+    val line = c(s"`${one.columns.head}`")
+    one.select(specs.zip(names).map { case ((s, e), n) =>
+      val raw = trim(substring(line, s + 1, e - s))
+      when(len(raw) > 0, raw).as(n)
+    }.toSeq: _*)
   }
 }

@@ -122,6 +122,51 @@ object IngestExportQueries {
       | CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Fixed-width ingest e2e (FormatReader.fromFwf): customer rendered
+    * as a padded fixed-width extract (the mainframe/ERP shape), column
+    * boundaries INFERRED pandas-read_fwf-style from blank columns, then
+    * through the same validate path as every other format. */
+  def ingestFwfE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i11_")
+    val srcDir = Files.createDirectory(tmp.resolve("src"))
+    def pad(v: String, w: Int) = v.padTo(w, ' ')
+    val sb = new StringBuilder
+    sb.append(pad("c_custkey", 12)).append(pad("c_name", 26))
+      .append("c_nationkey").append('\n')
+    // Gate fixture builder (driver-side, like the xlsx fixtures).
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      .collect().foreach { r =>
+        sb.append(pad(r.getLong(0).toString, 12))
+          .append(pad(r.getString(1), 26))
+          .append(r.getInt(2).toString).append('\n')
+      }
+    Files.write(srcDir.resolve("customer.fwf"),
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val ref = TableRef("graft", "verify", "i11_customer")
+    Seq(ref.qualified, ref.errorSibling.qualified).foreach(t =>
+      s.sql(s"DROP TABLE IF EXISTS $t"))
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify",
+      table = ref,
+      folder = srcDir.toString,
+      fileNameRegex = ".*\\.fwf",
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("c_custkey" -> "int", "c_name" -> "string",
+          "c_nationkey" -> "int"),
+        nonNullableFields = Seq("c_custkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date")
+      .orderBy("c_custkey")
+  }
+
+  private val ingestFwfOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey, c_name,
+      | CAST(c_nationkey AS BIGINT) AS c_nationkey
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Distributed partitioned export (Export.exportPartitioned): orders
     * written hive-partitioned by priority as headered CSV, read back by
     * Spark's csv reader off the partitioned layout. The observed row
@@ -633,5 +678,6 @@ object IngestExportQueries {
     QueryDef("e5_export_csv_gzip_e2e", exportCsvGzipE2e, Some(exportCsvOracle)),
     QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)),
     QueryDef("e7_export_partitioned_e2e", exportPartitionedE2e,
-      Some(exportPartitionedOracle)))
+      Some(exportPartitionedOracle)),
+    QueryDef("i11_ingest_fwf_e2e", ingestFwfE2e, Some(ingestFwfOracle)))
 }

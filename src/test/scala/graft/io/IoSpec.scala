@@ -262,4 +262,46 @@ class IoSpec extends AnyFunSuite {
     assert(Xlsx.colIndex("AA12") === 26)
     assert(Xlsx.colIndex("BC7") === 54)
   }
+
+  test("FormatReader.fromFwf: boundary inference, short lines and blank " +
+      "fields read NULL, values with inner spaces survive") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("graft_fwf_")
+    val f = dir.resolve("t.fwf")
+    // col widths: id (0-3), full name (5-18, holds a space), qty (20-22).
+    // Row 3 is short (no qty); row 4 has a blank name field.
+    val text =
+      "id   full_name      qty\n" +
+      "1    Ada Lovelace   10\n" +
+      "22   Grace Hopper   7\n" +
+      "333  Alan Turing\n" +
+      "4                   55\n"
+    Files.write(f, text.getBytes("UTF-8"))
+    val df = FormatReader.fromFwf(spark, f)
+    assert(df.columns.toSeq === Seq("id", "full_name", "qty"))
+    val got = df.collect().map(r =>
+      (r.getString(0), Option(r.getString(1)).orNull,
+        Option(r.getString(2)).orNull))
+    assert(got.toSeq === Seq(
+      ("1", "Ada Lovelace", "10"),
+      ("22", "Grace Hopper", "7"),
+      ("333", "Alan Turing", null),
+      ("4", null, "55")))
+  }
+
+  test("FormatReader: .fwf dispatches through read(), empty file rejected") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("graft_fwf2_")
+    val f = dir.resolve("x.fwf")
+    Files.write(f, "a  b\n1  2\n".getBytes("UTF-8"))
+    FormatReader.read(spark, f) match {
+      case FormatReader.Parsed(df) =>
+        assert(df.columns.toSeq === Seq("a", "b"))
+        assert(df.count() === 1)
+      case other => fail(s"expected Parsed, got $other")
+    }
+    val empty = dir.resolve("e.fwf")
+    Files.write(empty, Array.emptyByteArray)
+    intercept[IllegalArgumentException](FormatReader.fromFwf(spark, empty))
+  }
 }
