@@ -136,6 +136,41 @@ object Profile {
       .drop("__n", "__rn")
   }
 
+  /** Per-group median absolute deviation — the robust spread measure
+    * ([[winsorize]]'s diagnostic sibling: MAD tells you WHETHER a
+    * column needs clipping; winsorize does it). Both the median and the
+    * MAD are EXACT discrete order statistics (value at rank ⌈n/2⌉,
+    * lower-median) over an INTEGER-VALUED column, so the result replays
+    * bit-identically across engines — interpolated medians in doubles
+    * cannot, and MAD's inner subtraction amplifies any drift.
+    *
+    * Plan shape: one shuffle on the group keys; two sorts under the
+    * same partitioning (by value, then by deviation — MAD's nested
+    * order statistic needs both), each the winsorize rank-pick pattern;
+    * final one-row-per-group aggregate. No joins, no per-group collect.
+    */
+  def mad(df: DataFrame, keys: Seq[String], x: Column): DataFrame = {
+    val kc = keys.map(col)
+    val wAll = Window.partitionBy(kc: _*)
+    def rankAt50(n: Column): Column = {
+      val num = n * 50 + 99
+      greatest(((num - num % 100) / 100).cast("long"), lit(1L))
+    }
+    val base = df.withColumn("__x", x.cast("long"))
+      .withColumn("__n", count(col("__x")).over(wAll))
+      .withColumn("__rn", row_number().over(wAll.orderBy(col("__x"))))
+      .withColumn("__med",
+        max(when(col("__rn") === rankAt50(col("__n")), col("__x"))).over(wAll))
+      .withColumn("__dev", abs(col("__x") - col("__med")))
+    val withMad = base
+      .withColumn("__rn2", row_number().over(wAll.orderBy(col("__dev"))))
+      .withColumn("__mad",
+        max(when(col("__rn2") === rankAt50(col("__n")), col("__dev"))).over(wAll))
+    withMad.groupBy(kc: _*)
+      .agg(max(col("__n")).as("n"), max(col("__med")).as("median"),
+        max(col("__mad")).as("mad"))
+  }
+
   def winsorize(
       df: DataFrame, keys: Seq[String], x: Column,
       pLoPct: Int, pHiPct: Int, out: String = "clipped"): DataFrame = {

@@ -228,6 +228,20 @@ object Sampling {
       .drop("__k")
   }
 
+  /** Deterministic k-fold assignment: fold i ∈ [0, k) from the same
+    * multiplicative hash as [[trainTestSplit]], keyed by `groupKey` so
+    * rows sharing a group (dedup cluster, document fingerprint) land in
+    * the SAME fold — the leakage discipline of trainTestSplit, for
+    * cross-validation. (The [0,M) hash folds into k buckets with a
+    * ≤ k/M relative bias — deterministic and negligible.) */
+  def kFold(df: DataFrame, groupKey: Column, k: Int,
+      seed: Long = 0L, outCol: String = "fold"): DataFrame = {
+    require(k >= 2, s"k=$k")
+    require(!df.columns.exists(_.equalsIgnoreCase(outCol)),
+      s"input already has a column named '$outCol'; pass outCol to rename")
+    df.withColumn(outCol, pmod(bucketOf(groupKey, seed), lit(k.toLong)))
+  }
+
   /** Label every row `train` or `test` by the hash of `groupKey` — all
     * rows sharing a group land in the SAME split. Key the group by a
     * dedup cluster id / document fingerprint and near-duplicates can

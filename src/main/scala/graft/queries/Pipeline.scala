@@ -351,6 +351,38 @@ object PipelineQueries {
       | count(*) AS n, min(cents) AS lo, max(cents) AS hi
       |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Median absolute deviation per priority (ext Profile.mad): exact
+    * discrete lower-median of cents and of |cents − median|, replayed
+    * with the same rank arithmetic in DuckDB. */
+  def madGate(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d).withColumn("cents",
+      round(col("o_totalprice") * 100).cast("long"))
+    graft.ext.Profile.mad(o, Seq("o_orderpriority"), col("cents"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val madOracle =
+    """WITH x AS (
+      | SELECT o_orderpriority AS k,
+      |  CAST(round(o_totalprice * 100) AS BIGINT) AS v
+      | FROM orders),
+      |m AS (
+      | SELECT k, v, n,
+      |  max(CASE WHEN rn = greatest((n * 50 + 99) // 100, 1)
+      |      THEN v END) OVER (PARTITION BY k) AS med
+      | FROM (
+      |  SELECT k, v, count(*) OVER (PARTITION BY k) AS n,
+      |   row_number() OVER (PARTITION BY k ORDER BY v) AS rn
+      |  FROM x)),
+      |d AS (
+      | SELECT k, n, med, abs(v - med) AS dev,
+      |  row_number() OVER (PARTITION BY k ORDER BY abs(v - med)) AS rn2
+      | FROM m)
+      |SELECT k AS o_orderpriority, max(n) AS n, max(med) AS median,
+      | max(CASE WHEN rn2 = greatest((n * 50 + 99) // 100, 1)
+      |     THEN dev END) AS mad
+      |FROM d GROUP BY k ORDER BY k""".stripMargin
+
   /** SCD Type 2 dimension maintenance (ext Cdc.scdType2) over a
     * customer dimension: one batch carrying changed attributes (%7),
     * redundant no-op rows (%11), stale out-of-order rows (%13, dropped),
@@ -551,5 +583,6 @@ object PipelineQueries {
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
     QueryDef("c7_scd2", scd2, Some(scd2Oracle)),
     QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle)),
+    QueryDef("pr5_mad", madGate, Some(madOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }

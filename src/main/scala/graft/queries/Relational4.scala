@@ -333,10 +333,33 @@ object Relational4 {
       |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 30
       |        AND l_quantity BETWEEN 20 AND 35)""".stripMargin
 
+  // ---------------------------------------------------------------- q53
+  /** UNPIVOT (melt): the inverse of q21's pivot — a wide
+    * status-per-column frame stacks back to (priority, status, n) long
+    * form via the codegen'd `stack` generator; absent combinations
+    * (null cells) drop, so the round trip equals the plain group-by the
+    * oracle runs. The pandas melt / SQL UNPIVOT surface. */
+  def q53Unpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    wide.select(col("o_orderpriority"),
+        expr("stack(3, 'F', `F`, 'O', `O`, 'P', `P`) " +
+          "AS (o_orderstatus, n)"))
+      .where(col("n").isNotNull)
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  private val q53Oracle =
+    """SELECT o_orderpriority, o_orderstatus, count(*) AS n
+      |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q47_band_join", q47BandJoin, Some(q47Oracle)),
     QueryDef("q48_interval_join", q48IntervalJoin, Some(q48Oracle)),
     QueryDef("q50_disjunctive_join", q50DisjunctiveJoin, Some(q50Oracle)),
+    QueryDef("q53_unpivot", q53Unpivot, Some(q53Oracle)),
     QueryDef("q36_stat_suite", q36StatSuite, Some(q36Oracle)),
     QueryDef("q37_resample_gapfill", q37ResampleGapfill, Some(q37Oracle)),
     QueryDef("q38_fuzzy_join", q38FuzzyJoin, Some(q38Oracle)),

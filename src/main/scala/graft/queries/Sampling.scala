@@ -188,7 +188,20 @@ object SamplingQueries {
       |FROM k WHERE k >= 1
       |ORDER BY doc_id, copy_id""".stripMargin
 
+  /** Deterministic 5-fold assignment over documents (ext
+    * Sampling.kFold — same replayable multiplicative hash). */
+  def kfold(s: SparkSession, d: String): DataFrame =
+    Sampling.kFold(Tables.documents(s, d), col("doc_id"), k = 5)
+      .select(col("doc_id"), col("fold")).orderBy("doc_id")
+
+  private val kfoldOracle =
+    """SELECT doc_id,
+      | ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |   % 2147483647 % 5 AS fold
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sm10_kfold", kfold, Some(kfoldOracle)),
     QueryDef("sm9_replicate", replicate, Some(replicateOracle)),
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),
     QueryDef("sm2_train_test_split", trainTestSplit, Some(trainTestOracle)),

@@ -306,6 +306,21 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got === run(df.repartition(7)))
   }
 
+  test("Profile.mad: exact lower-median and MAD per group, even and odd n") {
+    val df = Seq(
+      // group a: {1, 3, 7, 100} -> n=4, rank ceil(4*50/100)=2 -> median 3;
+      // devs {2, 0, 4, 97} sorted {0,2,4,97} -> mad at rank 2 = 2.
+      ("a", 1L), ("a", 3L), ("a", 7L), ("a", 100L),
+      // group b: {5, 6, 10} -> rank 2 -> median 6; devs {1,0,4} -> mad 1.
+      ("b", 5L), ("b", 6L), ("b", 10L)
+    ).toDF("k", "v")
+    val got = Profile.mad(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((4L, 3L, 2L)))
+    assert(got("b") === ((3L, 6L, 1L)))
+  }
+
   test("Profile.winsorize: exact discrete percentile clip per group") {
     import spark.implicits._
     val a = (1L to 100L).map(v => ("a", v))

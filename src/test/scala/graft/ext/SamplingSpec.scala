@@ -200,6 +200,24 @@ class SamplingSpec extends AnyFunSuite {
     assert(again === perRow)
   }
 
+  test("kFold: folds in [0,k), group-stable, deterministic across " +
+      "partitionings, k<2 rejected") {
+    val df = (1L to 300L).map(i => (i, i % 30)).toDF("id", "grp")
+    val got = Sampling.kFold(df, col("grp"), k = 5)
+      .select("id", "grp", "fold").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(t => t._3 >= 0 && t._3 < 5))
+    // same group => same fold (the leakage discipline)
+    val byGrp = got.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byGrp.values.forall(_.size == 1))
+    // all folds populated at this size
+    assert(got.map(_._3).toSet.size === 5)
+    val again = Sampling.kFold(df.repartition(7), col("grp"), k = 5)
+      .select("id", "fold").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.forall(t => again(t._1) == t._3))
+    intercept[IllegalArgumentException](Sampling.kFold(df, col("grp"), 1))
+  }
+
   test("replicate: rejects an existing copy_id column") {
     val df = Seq((1L, 9L)).toDF("id", "copy_id")
     intercept[IllegalArgumentException] {
