@@ -508,6 +508,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Directed CONTAINMENT pairs — the asymmetric near-dup relation
+    * Jaccard misses: C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)|. A
+    * short document quoted wholesale inside a long one scores ~1.0 here
+    * while its Jaccard is tiny (the denominators differ), so this is
+    * the quote/subset detector that complements [[ngramJaccardPairs]];
+    * [[graft.ext.SubstringDedup]] finds the exact spans, this finds the
+    * RELATION cheaply at corpus scale. Emits (id_a, id_b, containment)
+    * with id_a the CONTAINED side, both directions evaluated per
+    * candidate pair, threshold in integer percent (cross-multiplied —
+    * no float compare).
+    *
+    * Plan: identical to the d4 inverted-index path (one gram shuffle,
+    * in-bucket expansion, df-capped hot grams) — only the final
+    * projection differs: each undirected candidate splits into its two
+    * directed scores. Same quadratic-blowup guard, same exactness
+    * below the cap. */
+  def containmentPairs(df: DataFrame, text: String, id: String,
+      n: Int = 3, thresholdPct: Int = 80,
+      maxDocsPerGram: Int = 4096): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"thresholdPct out of range: $thresholdPct")
+    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")))
+    val inv = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val es = col("es")
+    val undirected = keepHotBuckets(inv, Seq("gram"), maxDocsPerGram)
+      .groupBy(col("gram"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          x.getField("n_grams").as("na"),
+          y.getField("n_grams").as("nb")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+        col("p.na").as("na"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("shared"))
+    undirected
+      .select(col("id_a"), col("id_b"), col("na").as("n_contained"),
+        col("shared"))
+      .unionAll(undirected.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b"), col("nb").as("n_contained"), col("shared")))
+      .where(col("shared") * 100 >= lit(thresholdPct) * col("n_contained"))
+      .select(col("id_a"), col("id_b"),
+        (col("shared").cast(DoubleType) / col("n_contained"))
+          .as("containment"))
+  }
+
   /** Prefix-filtered token n-gram Jaccard join (PPJoin family, Xiao et
     * al. WWW'08): EXACT pairs with jaccard >= thresholdPct/100, but the
     * inverted index holds only each document's PREFIX — its

@@ -383,6 +383,46 @@ object ExtensionQueries {
       | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** Directed containment pairs at 95% (Dedup.containmentPairs): every
+    * planted copy CONTAINS its original exactly (C = 1.0 — all the
+    * original's grams survive the append), while Jaccard-style symmetric
+    * scores dilute; long docs also contain their own planted variant.
+    * Full inverted-index replay, both directions. */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(plantedDocs(s, d), "text", "doc_id",
+        thresholdPct = 95)
+      .orderBy("id_a", "id_b")
+
+  private val dedupContainmentOracle =
+    """WITH planted AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+      | FROM documents WHERE doc_id < 25),
+      |toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS ts
+      | FROM planted),
+      |grams AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(len(ts) - 3, 0) + 2),
+      |    i -> array_to_string(ts[i:i+2], ' '))) AS gs
+      | FROM toks),
+      |inv AS (SELECT doc_id, len(gs) AS ng, unnest(gs) AS gram FROM grams),
+      |pairs AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.ng AS na, b.ng AS nb,
+      |        count(*) AS shared
+      | FROM inv a JOIN inv b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2, 3, 4),
+      |dir AS (
+      | SELECT id_a, id_b, na AS nc, shared FROM pairs
+      | UNION ALL
+      | SELECT id_b, id_a, nb, shared FROM pairs)
+      |SELECT id_a, id_b, CAST(shared AS DOUBLE) / nc AS containment
+      |FROM dir WHERE shared * 100 >= 95 * nc
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Keep-BEST transitive dedup (Dedup.dropFromPairsKeepBest): 10-node
     * chains where the champion is the max pseudo-quality (vec_id·37 mod
     * 101), min-id on ties — deliberately NOT the min-id the plain drop
@@ -839,6 +879,7 @@ object ExtensionQueries {
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
     QueryDef("d10_dedup_components", dedupComponents, Some(dedupComponentsOracle)),
     QueryDef("d17_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
+    QueryDef("d18_containment", dedupContainment, Some(dedupContainmentOracle)),
     QueryDef("d12_components_chain", dedupComponentsChain, Some(dedupComponentsChainOracle)),
     QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),

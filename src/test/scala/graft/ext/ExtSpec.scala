@@ -170,6 +170,20 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs === Seq((1L, 2L)))
   }
 
+  test("Dedup.containmentPairs: asymmetric — the quote scores 1.0 " +
+      "inside the long doc, the reverse direction stays under threshold") {
+    val quote = "alpha beta gamma delta epsilon zeta"
+    val long = "intro words here " + quote + " and a very long tail " +
+      "with many more unrelated tokens stretching the document onward " +
+      "further and further beyond any overlap"
+    val df = Seq((1L, quote), (2L, long), (3L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(df, "text", "doc_id",
+        thresholdPct = 90)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
   test("Dedup.dropFromPairsKeepBest: champion by (score desc, id asc), " +
       "loners untouched, one survivor per cluster") {
     // Cluster {1,2,3} (chain), cluster {10,11}, loner 20.
