@@ -245,6 +245,24 @@ object TextAnalysis {
         col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** Sentence segmentation: split on terminal-punctuation runs followed
+    * by whitespace (`[.!?]+\s+` — dialect-portable: no lookbehind, so
+    * Java regex and RE2/DuckDB agree; the terminator itself is consumed,
+    * the standard trade of the regex splitter). Emits one row per
+    * non-blank sentence with its 1-based index and exact char/token
+    * counts — the unit the per-sentence dedup, quality, and chunking
+    * passes want. One narrow explode; no shuffle. */
+  def sentences(df: DataFrame, text: String, id: String): DataFrame = {
+    val parts = filter(split(col(text), "[.!?]+\\s+"),
+      s => length(trim(s)) > 0)
+    df.select(col(id),
+        posexplode(parts).as(Seq("__i", "sentence")))
+      .select(col(id), (col("__i") + 1).cast(LongType).as("sent_idx"),
+        trim(col("sentence")).as("sentence"))
+      .withColumn("n_chars", length(col("sentence")).cast(LongType))
+      .withColumn("n_tokens", tokenCount(col("sentence")))
+  }
+
   /** Bigram collocation mining by PMI order: adjacent token pairs
     * scored by co·T / (na·nb) — the EXPONENTIAL of pointwise mutual
     * information, which orders identically (log is monotone) while

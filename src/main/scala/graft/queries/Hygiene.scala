@@ -637,6 +637,31 @@ object HygieneQueries {
       |  AND n_stop_hits >= 2 AS is_quality
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Sentence segmentation (ext TextAnalysis.sentences): one row per
+    * non-blank sentence with index and exact counts. */
+  def sentencesGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.sentences(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id", "sent_idx")
+
+  private val sentencesOracle =
+    """WITH f AS (
+      | SELECT doc_id,
+      |  list_transform(
+      |    list_filter(string_split_regex(text, '[.!?]+\s+'),
+      |      x -> len(trim(x)) > 0),
+      |    x -> trim(x)) AS ss
+      | FROM documents),
+      |u AS (
+      | SELECT doc_id,
+      |  CAST(unnest(range(1, len(ss) + 1)) AS BIGINT) AS sent_idx,
+      |  unnest(ss) AS sentence
+      | FROM f)
+      |SELECT doc_id, sent_idx, sentence,
+      | CAST(length(sentence) AS BIGINT) AS n_chars,
+      | CAST(len(regexp_extract_all(sentence, '[^\s]+')) AS BIGINT)
+      |   AS n_tokens
+      |FROM u ORDER BY doc_id, sent_idx""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -654,5 +679,6 @@ object HygieneQueries {
     QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
     QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
-    QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)))
+    QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
+    QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)))
 }

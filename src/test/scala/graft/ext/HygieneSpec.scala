@@ -212,6 +212,26 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(4L) === (("", "", "", "")))
   }
 
+  test("sentences: terminal-run split, blank parts dropped, indices " +
+      "renumber survivors, exact counts") {
+    import graft.ext.TextAnalysis
+    val df = Seq(
+      (1L, "One two. Three!  Four five?went on"),
+      (2L, "No terminator here"),
+      (3L, "Ends hard. ! .  ")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.sentences(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq === Seq(
+      // "Four five?went on": '?' not followed by space -> no split there.
+      (1L, 1L, "One two", 7L, 2L),
+      (1L, 2L, "Three", 5L, 1L),
+      (1L, 3L, "Four five?went on", 17L, 3L),
+      (2L, 1L, "No terminator here", 18L, 3L),
+      (3L, 1L, "Ends hard", 9L, 2L)))
+  }
+
   test("gopherQuality: each rule rejects its own violation, a normal doc " +
       "passes, metrics are exact") {
     import graft.ext.TextAnalysis
