@@ -252,6 +252,124 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Composed IVF-PQ top-k — the 100 TB ANN architecture: IVF pruning
+    * decides WHICH vectors are scored, PQ compression decides HOW CHEAPLY,
+    * and an exact float re-rank repairs quantization error on the
+    * survivors. Neither half alone scales: flat PQ ([[pqTopK]]) still
+    * ADC-scans the whole corpus per query batch, and raw IVF ([[ivfTopK]])
+    * reranks full float vectors inside every probed bucket.
+    *
+    * Index build — ONE narrow codegen'd pass, the corpus is NEVER
+    * shuffled:
+    *  1. Centroids: `nlist` corpus rows by the deterministic
+    *     ANSI-replayable multiplicative hash (same key as [[ivfTopK]]),
+    *     optionally polished with `refineIters` Lloyd rounds
+    *     ([[refineCentroids]] — better recall-per-nprobe at scale).
+    *     Collected to the driver: nlist × dim doubles, an
+    *     algorithm-sized constant like the PQ codebook.
+    *  2. Codebook: `codes` hash-sampled rows split into `m` subspaces
+    *     (exactly [[pqTopK]]'s — the s6/s8 oracles replay it).
+    *  3. `corpus.select(cid, nearest_centroid(cvec), pq_encode(cvec))` —
+    *     both [[graft.functions.NearestCentroid]] and
+    *     [[graft.functions.PqEncode]] are codegen'd scalar expressions,
+    *     so the build is scan-speed with zero exchanges. In a real
+    *     deployment this frame is what you persist, partitioned by
+    *     `centroid_id`: probing then becomes partition pruning and the
+    *     hot index is m bytes/vector instead of 4·dim.
+    *
+    * Query — per broadcast-small query batch:
+    *  4. Probe the `nprobe` best centroids per query and precompute the
+    *     flat ADC LUT ([[graft.functions.PqLut]], once per query row).
+    *  5. Join the PROBES (Q·nprobe rows) broadcast against the encoded
+    *     corpus — the big side again stays un-shuffled — and ADC-score
+    *     only rows inside probed buckets ([[graft.functions.PqAdc]],
+    *     m table adds per pair, ~nlist/nprobe fewer pairs than flat PQ).
+    *  6. Capacity-`rerank` aggregator cuts candidates (Q·rerank·partitions
+    *     rows cross the only data-bearing shuffle), then exact cosine over
+    *     the raw floats of survivors (broadcast id join) keeps the top k.
+    *
+    * Recall < 1 by construction (a true neighbor can sit in an unprobed
+    * bucket, or quantization error can push it below the rerank cut);
+    * raise nprobe first, then rerank. With nprobe = nlist AND
+    * rerank ≥ corpus size the result equals [[bruteForceTopK]] exactly —
+    * the s7 gate pins that, while the s8 gate replays the whole composed
+    * pipeline (assignment, probing, encode, ADC cut, re-rank) in an
+    * independent engine at realistic nprobe/rerank.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+      nlist: Int, nprobe: Int, m: Int = 8, codes: Int = 16, rerank: Int = 20,
+      excludeSelf: Boolean = true, refineIters: Int = 0): DataFrame = {
+    require(dim % m == 0, s"ivfPqTopK: dim=$dim not divisible by m=$m")
+    require(rerank >= k, s"ivfPqTopK: rerank=$rerank < k=$k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"ivfPqTopK: nprobe=$nprobe out of range [1, $nlist]")
+    val subDim = dim / m
+    val hashKey = pmod(col("cid") * lit(2654435761L), lit(2147483647L))
+
+    val sampled = corpus.orderBy(hashKey, col("cid"))
+      .limit(nlist)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val centroidsDf =
+      if (refineIters > 0) refineCentroids(corpus, sampled, refineIters)
+      else sampled
+    val centRows = centroidsDf.orderBy("centroid_id").collect()
+    require(centRows.length == nlist,
+      s"ivfPqTopK: corpus smaller than nlist=$nlist")
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    val sampledCb = corpus.orderBy(hashKey, col("cid"))
+      .limit(codes).select(col("cvec")).collect()
+    require(sampledCb.length == codes,
+      s"ivfPqTopK: corpus smaller than codes=$codes")
+    val codebook: Array[Array[Array[Double]]] = Array.tabulate(m) { mi =>
+      sampledCb.map(_.getSeq[Float](0)
+        .slice(mi * subDim, (mi + 1) * subDim).map(_.toDouble).toArray)
+    }
+
+    // Index build: one narrow pass, no exchange.
+    val encoded = corpus.select(col("cid"),
+      GraftFunctions.nearestCentroid(col("cvec"), centIds, centVecs)
+        .as("centroid_id"),
+      GraftFunctions.pqEncode(col("cvec"), codebook).as("codes"))
+
+    // Probe: nprobe best centroids per query, LUT computed once per query.
+    val probeAgg = udaf(new TopKAggregator(nprobe), Encoders.product[Scored])
+    val probes = queries.crossJoin(broadcast(centroidsDf))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
+      .groupBy(col("qid"))
+      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
+        first(col("qvec")).as("qvec"))
+      .select(col("qid"),
+        GraftFunctions.pqLut(col("qvec"), codebook).as("lut"),
+        explode(col("top.id")).as("centroid_id"))
+
+    // ADC scan restricted to probed buckets; probes broadcast, corpus narrow.
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encoded.join(broadcast(probes), Seq("centroid_id"))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), codes).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    // Exact re-rank of survivors over raw floats; corpus side stays narrow.
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    corpus.join(broadcast(candidates), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
     * Centroids are a deterministic hash-ordered sample of the corpus,
     * optionally refined with `refineIters` Lloyd rounds

@@ -733,6 +733,76 @@ object PqAdc {
   }
 }
 
+/** IVF index-build assignment: id of the centroid with the highest cosine
+  * to the input vector (same double-accumulated cosine as [[FloatCosine]],
+  * zero norms score 0.0). The centroid table is a driver-side constant
+  * (nlist × dim doubles — algorithm-sized like the PQ codebook, never
+  * data-sized), so assignment is a NARROW codegen'd projection: the
+  * corpus is never shuffled, unlike a crossJoin+max_by build pass.
+  *
+  * `ids` must be in ascending order; ties keep the FIRST (= smallest) id,
+  * matching `max_by(struct(cosine, -id))` and a
+  * `row_number() OVER (ORDER BY cosine DESC, id) = 1` oracle replay.
+  */
+case class NearestCentroid(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]]) extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == centroids.length,
+    "nearest_centroid: ids/centroids size mismatch or empty")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "nearest_centroid: ids must be strictly ascending")
+
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"nearest_centroid expects ARRAY<FLOAT>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NearestCentroid.assign(input.asInstanceOf[ArrayData], ids, centroids)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroidVecs", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NearestCentroid.assign($c, $idsRef, $centsRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NearestCentroid {
+  /** Shared by eval and generated code. */
+  def assign(vec: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]]): Long = {
+    var best = 0
+    var bestS = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val e = cents(ci)
+      val n = math.min(vec.numElements(), e.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = vec.getFloat(j).toDouble
+        val y = e(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      if (s > bestS) { bestS = s; best = ci }
+      ci += 1
+    }
+    ids(best)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -754,6 +824,9 @@ object GraftFunctions {
     column(PqLut(expr(c), codebook))
   def pqAdc(codes: Column, lut: Column, codebookSize: Int): Column =
     column(PqAdc(expr(codes), expr(lut), codebookSize))
+  def nearestCentroid(c: Column, ids: Array[Long],
+      centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expr(c), ids, centroids))
 
   /** Make the functions available to `spark.sql` as graft_fingerprint /
     * graft_cosine. */

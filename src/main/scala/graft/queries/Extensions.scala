@@ -614,6 +614,95 @@ object ExtensionQueries {
       | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Composed IVF-PQ under FULL probing with a rerank cut wider than the
+    * corpus: every bucket is probed and every ADC candidate survives to
+    * the exact float re-rank, so the whole composed pipeline
+    * (Lloyd-refined centroids, NearestCentroid assignment, probing, PQ
+    * encode, ADC, re-rank) must equal exact KNN whatever the centroids
+    * and codebook quantize to — the brute-force oracle checks the end
+    * result hash-exactly (the s5 pattern, now through the PQ path too).
+    * Realistic pruning is hash-verified by s8's full replay. */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64,
+        nlist = 20, nprobe = 20, m = 8, codes = 16, rerank = 2100,
+        refineIters = 2)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  def knnIvfPqReplay(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64,
+        nlist = 20, nprobe = 5, m = 8, codes = 16, rerank = 20)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  /** Full replay of the composed IVF-PQ pipeline at REALISTIC pruning
+    * (nprobe=5 of nlist=20, rerank=20): DuckDB re-derives the
+    * hash-sampled centroids, the argmax-cosine assignment (s2's CTEs),
+    * the hash-sampled codebook and per-subspace L2 encode (s6's CTEs),
+    * then ADC-scores ONLY pairs whose assigned centroid is probed by the
+    * query, applies the rerank cut, and exact-cosine re-ranks the
+    * survivors. Ranks (not scores) are compared, as in s1/s2/s6. */
+  private val knnIvfPqOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, centroid_id FROM (
+      |  SELECT c.cid, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |cb AS (
+      | SELECT rn - 1 AS code, v FROM (
+      |  SELECT v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 16),
+      |ms AS (SELECT unnest(range(0, 8)) AS mi),
+      |enc AS (
+      | SELECT cid, mi, code FROM (
+      |  SELECT c.cid, ms.mi, cb.code, row_number() OVER (
+      |    PARTITION BY c.cid, ms.mi
+      |    ORDER BY list_aggregate(list_transform(range(1, 9), j ->
+      |      (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))
+      |      * (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))),
+      |      'sum'), cb.code) AS rn
+      |  FROM c CROSS JOIN ms CROSS JOIN cb) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |adc AS (
+      | SELECT e.cid, p.qid,
+      |  sum(list_aggregate(list_transform(range(1, 9), j ->
+      |    CAST(p.qv[e.mi * 8 + j] AS DOUBLE) * CAST(cb.v[e.mi * 8 + j] AS DOUBLE)),
+      |    'sum')) AS score
+      | FROM probes p
+      | JOIN assigned a USING (centroid_id)
+      | JOIN enc e ON e.cid = a.cid
+      | JOIN cb USING (code)
+      | WHERE e.cid <> p.qid
+      | GROUP BY e.cid, p.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= 20)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -887,6 +976,8 @@ object ExtensionQueries {
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
+    QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle)),
+    QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
