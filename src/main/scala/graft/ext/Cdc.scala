@@ -129,8 +129,22 @@ object Cdc {
     val attrs = dim.columns
       .filterNot(c => keys.contains(c) || c == validFromCol || c == validToCol)
     require(attrs.nonEmpty, "scdType2: dimension has no attribute columns")
-    require(updates.columns.toSet == (keys ++ attrs :+ tsCol).toSet,
+    // Case-insensitive name match (like the validate path's projection)
+    // AND per-attribute type agreement: the union below is positional,
+    // so a type mismatch between an update attribute and the dimension's
+    // would otherwise coerce silently or fail late with a cryptic error.
+    val updFields = updates.schema.fields
+      .map(f => f.name.toLowerCase -> f.dataType).toMap
+    val expected = (keys ++ attrs :+ tsCol)
+    require(updFields.size == expected.size &&
+        expected.forall(c => updFields.contains(c.toLowerCase)),
       s"scdType2: updates must carry exactly keys + attributes + $tsCol")
+    (keys ++ attrs).foreach { c =>
+      val dt = dim.schema(c).dataType
+      val ut = updFields(c.toLowerCase)
+      require(ut == dt,
+        s"scdType2: updates.$c is ${ut.sql} but dimension expects ${dt.sql}")
+    }
     val outCols = (keys ++ attrs :+ validFromCol :+ validToCol).map(col)
     // Latest update per key: max_by on (ts, attr-struct) — one partial
     // aggregate, one candidate row per key per partition (cf.

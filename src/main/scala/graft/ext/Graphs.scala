@@ -111,25 +111,34 @@ object Graphs {
       .unionAll(e.select(col("__d").as("node")))
       .distinct()
       .cache()
-    val n = nodes.count()
-    require(n > 0, "pageRank: empty graph")
-    val base = (100L - dampingPct) * Scale / (100L * n)
-    val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
-    var ranks = nodes.withColumn("__r", lit(Scale / n))
-    for (_ <- 1 to iters) {
-      val contrib = e
-        .join(ranks.select(col("node").as("__s"), col("__r")), "__s")
-        .join(outdeg, "__s")
-        .select(col("__d").as("node"), expr("__r div __od").as("__c"))
-        .groupBy("node").agg(sum(col("__c")).as("__in"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) +
-            expr(s"($dampingPct * coalesce(__in, 0L)) div 100")).as("__r"))
-        .localCheckpoint()
+    try {
+      val n = nodes.count()
+      require(n > 0, "pageRank: empty graph")
+      val base = (100L - dampingPct) * Scale / (100L * n)
+      val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+      var ranks = nodes.withColumn("__r", lit(Scale / n))
+      for (_ <- 1 to iters) {
+        val contrib = e
+          .join(ranks.select(col("node").as("__s"), col("__r")), "__s")
+          .join(outdeg, "__s")
+          .select(col("__d").as("node"), expr("__r div __od").as("__c"))
+          .groupBy("node").agg(sum(col("__c")).as("__in"))
+        ranks = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) +
+              expr(s"($dampingPct * coalesce(__in, 0L)) div 100")).as("__r"))
+          .localCheckpoint()
+      }
+      val out = ranks.select(col("node"), col("__r").as("rank_e12"))
+      if (topK > 0) out.orderBy(desc("rank_e12"), col("node")).limit(topK)
+      else out
+    } finally {
+      // the eager localCheckpoint makes the final ranks independent of
+      // both caches, so dropping them here leaks nothing to the caller —
+      // without this, repeated invocations accumulate cached blocks for
+      // the life of the session.
+      e.unpersist()
+      nodes.unpersist()
     }
-    val out = ranks.select(col("node"), col("__r").as("rank_e12"))
-    if (topK > 0) out.orderBy(desc("rank_e12"), col("node")).limit(topK)
-    else out
   }
 }

@@ -148,6 +148,8 @@ object Profile {
     * same partitioning (by value, then by deviation — MAD's nested
     * order statistic needs both), each the winsorize rank-pick pattern;
     * final one-row-per-group aggregate. No joins, no per-group collect.
+    * NULL values of `x` are excluded: `n`, the median and the MAD are
+    * statistics of the non-null rows only.
     */
   def mad(df: DataFrame, keys: Seq[String], x: Column): DataFrame = {
     val kc = keys.map(col)
@@ -157,6 +159,10 @@ object Profile {
       greatest(((num - num % 100) / 100).cast("long"), lit(1L))
     }
     val base = df.withColumn("__x", x.cast("long"))
+      // NULLs would sort first under row_number yet be skipped by
+      // count(__x), shifting the rank pick — drop them so both the
+      // count and the ranks see the same non-null rows.
+      .where(col("__x").isNotNull)
       .withColumn("__n", count(col("__x")).over(wAll))
       .withColumn("__rn", row_number().over(wAll.orderBy(col("__x"))))
       .withColumn("__med",

@@ -155,7 +155,9 @@ object Scale {
       topK: Int = 20): DataFrame = {
     require(parts > 0 && topK > 0, s"parts=$parts topK=$topK")
     val counts = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
-    val total = df.agg(count(lit(1)).as("total"))
+    // total derived from the counts frame, not a second df scan — the
+    // report really is one linear pass over the input.
+    val total = counts.agg(sum(col("n")).as("total"))
     counts.crossJoin(broadcast(total))
       .select(keys.map(col) :+ col("n") :+ col("total") :+
         expr("n * 1000000L div total").as("share_e6") :+

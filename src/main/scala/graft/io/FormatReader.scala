@@ -28,7 +28,8 @@ object FormatReader {
     *   declares it, parquet/orc are binary). */
   def read(spark: SparkSession, file: Path,
       sheetName: Option[String] = None, skipRows: Int = 0,
-      encoding: Option[String] = None): ReadResult = {
+      encoding: Option[String] = None,
+      fwfInferLines: Int = 100): ReadResult = {
     val name = file.getFileName.toString.toLowerCase
     val ext = name.drop(name.lastIndexOf('.') + 1)
     ext match {
@@ -70,7 +71,7 @@ object FormatReader {
       // in every sampled line. Mainframe/ERP extracts still arrive in
       // this shape; see fromFwf for the inference contract.
       case "fwf" =>
-        Parsed(fromFwf(spark, file))
+        Parsed(fromFwf(spark, file, fwfInferLines))
       case other =>
         Unsupported(s"Unsupported file type: .$other")
     }
@@ -212,7 +213,16 @@ object FormatReader {
     * is a codegen'd substring+trim. All columns come out as nullable
     * strings (blank → NULL): the validate path owns typing, exactly as
     * for csv ingest. Lines shorter than a field's start simply yield
-    * NULL for it. */
+    * NULL for it.
+    *
+    * Post-sample lines are VALIDATED against the inferred layout, not
+    * trusted: a line past the first `inferLines` whose non-blank chars
+    * reach an inferred separator position (or that is wider than every
+    * sampled line) would be silently truncated by the fixed substrings —
+    * instead the parse raises a descriptive error naming the line, which
+    * the ingest orchestrator's per-file catch routes to the failure log
+    * (O29 log-only error path). Widen `inferLines` (surfaced through
+    * [[read]]) when a ragged extract legitimately needs a larger sample. */
   private[io] def fromFwf(spark: SparkSession, file: Path,
       inferLines: Int = 100): DataFrame = {
     val src = scala.io.Source.fromFile(file.toFile, "UTF-8")
@@ -239,7 +249,31 @@ object FormatReader {
     require(names.forall(_.nonEmpty),
       s"fwf: header slice empty for a column: $file")
     import org.apache.spark.sql.functions.{col => c, length => len,
-      substring, trim, when}
+      substring, trim, when, assert_true, concat, lit}
+    // Layout guard: a line is consistent with the inferred layout iff it
+    // is no wider than the sample and every separator position it covers
+    // is blank. One anchored regex, one alternation branch per run
+    // prefix (the line may legitimately end inside any run).
+    val runs = {
+      val buf = scala.collection.mutable.ArrayBuffer.empty[(Boolean, Int)]
+      var i = 0
+      while (i < width) {
+        val f = !isSep(i); val start = i
+        while (i < width && isSep(i) != f) i += 1
+        buf += ((f, i - start))
+      }
+      buf.toVector
+    }
+    val layoutPat = {
+      val alts = scala.collection.mutable.ArrayBuffer.empty[String]
+      var prefix = ""
+      runs.foreach { case (isField, l) =>
+        val cls = if (isField) "." else " "
+        alts += s"(?:$prefix$cls{0,$l})"
+        prefix += s"$cls{$l}"
+      }
+      alts.mkString("^(?:", "|", ")$")
+    }
     // U+0001 never occurs in text extracts, so each row surfaces as one
     // whole-line column; quoting is disabled so a '"' at line start
     // stays verbatim.
@@ -248,9 +282,14 @@ object FormatReader {
       .option("quote", "\u0000")
       .csv(file.toString)
     val line = c(s"`${one.columns.head}`")
-    one.select(specs.zip(names).map { case ((s, e), n) =>
-      val raw = trim(substring(line, s + 1, e - s))
-      when(len(raw) > 0, raw).as(n)
-    }.toSeq: _*)
+    one
+      .filter(assert_true(line.isNull || line.rlike(layoutPat),
+        concat(lit(s"fwf: line violates the layout inferred from the first " +
+          s"$inferLines lines of $file (non-blank at a separator column or " +
+          s"wider than $width chars): "), line)).isNull)
+      .select(specs.zip(names).map { case ((s, e), n) =>
+        val raw = trim(substring(line, s + 1, e - s))
+        when(len(raw) > 0, raw).as(n)
+      }.toSeq: _*)
   }
 }

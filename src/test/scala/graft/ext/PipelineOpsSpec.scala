@@ -321,6 +321,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got("b") === ((3L, 6L, 1L)))
   }
 
+  test("Profile.mad: NULL values are excluded, not counted into the ranks") {
+    val df = Seq(
+      ("a", Some(1L)), ("a", None), ("a", Some(3L)), ("a", None),
+      ("a", Some(7L)), ("a", Some(100L))
+    ).toDF("k", "v")
+    // Same statistics as the all-non-null {1,3,7,100} group above: a NULL
+    // sorting first must not shift the rank-2 pick off the true median.
+    val got = Profile.mad(df, Seq("k"), col("v"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got("a") === ((4L, 3L, 2L)))
+  }
+
+  test("Cdc.scdType2: attribute type mismatch is rejected up front; " +
+      "case-insensitive update column names are accepted") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    val dim = Seq((1L, "a", t("2020-01-01"), None: Option[java.sql.Timestamp]))
+      .toDF("k", "attr", "valid_from", "valid_to")
+    val badType = Seq((1L, 7, t("2021-01-01"))).toDF("k", "attr", "ts")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.scdType2(dim, badType, Seq("k"), "ts")
+    }
+    assert(e.getMessage.contains("attr"))
+    val upperCased = Seq((1L, "B", t("2021-01-01"))).toDF("K", "ATTR", "ts")
+    val out = Cdc.scdType2(dim, upperCased, Seq("k"), "ts")
+      .orderBy("valid_from").collect()
+    assert(out.length === 2 && out(1).getString(1) === "B")
+  }
+
   test("Profile.winsorize: exact discrete percentile clip per group") {
     import spark.implicits._
     val a = (1L to 100L).map(v => ("a", v))

@@ -289,6 +289,28 @@ class IoSpec extends AnyFunSuite {
       ("4", null, "55")))
   }
 
+  test("FormatReader.fromFwf: a post-sample line breaking the inferred " +
+      "layout raises instead of silently truncating") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("graft_fwf3_")
+    val f = dir.resolve("bad.fwf")
+    // inferLines=3 sees only header + first two rows; the third row's
+    // name value overruns into the inferred id/name separator column.
+    val text =
+      "id   name\n" +
+      "1    ada\n" +
+      "22   bob\n" +
+      "33333overrun\n"
+    Files.write(f, text.getBytes("UTF-8"))
+    val df = FormatReader.fromFwf(spark, f, inferLines = 3)
+    val e = intercept[Exception](df.collect())
+    assert(e.getMessage != null && e.getMessage.contains("fwf") ||
+      Option(e.getCause).exists(_.getMessage.contains("fwf")))
+    // widening the sample to cover the wide row re-infers and parses
+    val all = FormatReader.fromFwf(spark, f, inferLines = 100)
+    assert(all.count() === 3)
+  }
+
   test("FormatReader: .fwf dispatches through read(), empty file rejected") {
     val spark = graft.TestSpark.spark
     val dir = Files.createTempDirectory("graft_fwf2_")
