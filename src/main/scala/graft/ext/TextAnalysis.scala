@@ -330,26 +330,30 @@ object TextAnalysis {
     * where dl = doc token count, N = docs with ≥1 token, T = corpus
     * token count. Doc score = integer sum over matched query terms.
     *
-    * Plan: tokenize+explode → (doc, term, tf) agg (shuffle 1) → dl as a
-    * sum window per doc (shuffle 2) → FILTER to query terms (everything
-    * after is query-sized) → df count window per term → corpus scalars
-    * via broadcast cross join → per-doc sum + top-k, which plans as
-    * TakeOrderedAndProject — no global sort. */
+    * Plan: tokenize → dl = size(tokens) in the SAME narrow projection
+    * that explodes (a per-doc constant needs no window) → (doc, term,
+    * tf) agg carrying dl (the ONLY corpus-sized shuffle) → FILTER to
+    * query terms (everything after is query-sized) → df count window
+    * per term → corpus scalars via broadcast cross join → per-doc sum +
+    * top-k, which plans as TakeOrderedAndProject — no global sort. */
   def bm25Search(df: DataFrame, text: String, id: String,
       query: Seq[String], k: Int = 10): DataFrame = {
     require(query.nonEmpty, "bm25Search: query must be non-empty")
     val dec = DecimalType(38, 0)
     def d(c: Column): Column = c.cast(dec)
     val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
-    val tf = df.select(col(id), explode(toks).as("term"))
-      .groupBy(col(id), col("term")).agg(count(lit(1)).as("tf"))
-    val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
+    // dl rides the tf aggregate as a group constant — computing it as a
+    // sum window over the whole (doc, term) frame would cost a second
+    // full-corpus shuffle before the query filter.
+    val tf = df.select(col(id), size(toks).cast(LongType).as("dl"),
+        explode(toks).as("term"))
+      .groupBy(col(id), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
     val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val corpus = tf.groupBy().agg(
       countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
     tf
-      .withColumn("dl", sum(col("tf")).over(wDoc))
       .where(col("term").isin(qs: _*))
       .withColumn("df", count(lit(1)).over(wTerm))
       .crossJoin(broadcast(corpus))

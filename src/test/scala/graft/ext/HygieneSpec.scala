@@ -151,12 +151,24 @@ class HygieneSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 260355L, 1L), (2L, 217821L, 1L)))
   }
 
-  test("bm25Search: top-k plans as TakeOrderedAndProject, no global sort") {
+  test("bm25Search: top-k plans as TakeOrderedAndProject, no global sort; " +
+      "dl rides the tf aggregate, not a second full-corpus window shuffle") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
     val plan = TextAnalysis.bm25Search(docs, "text", "doc_id",
         Seq("spark", "join"), k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the only Window is the per-TERM df count (query-sized, post-filter);
+    // a dl window partitioned by doc would shuffle the whole corpus-term
+    // frame before the query filter
+    val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(windows.size === 1 && windows.head.contains("[term"),
+      s"expected exactly one Window, partitioned by term:\n$plan")
+    // doc-keyed exchanges: the (query-sized) final score groupBy and the
+    // corpus-scalar distinct — NOT a third from a pre-filter dl window
+    val docShuffles = plan.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(doc_id") && !l.contains("term"))
+    assert(docShuffles <= 2, s"extra doc-keyed shuffle (dl window?):\n$plan")
   }
 
   test("pseudonymize: deterministic keyed tokens, null passthrough, salt rotation") {
