@@ -181,20 +181,29 @@ object Export {
     ExportReport(rows, errors.toSeq)
   }
 
-  /** JDK stream codecs for the driver-streamed text formats. The upload
-    * byte stream is wrapped, not a temp file — compression is in-flight. */
+  /** Stream codecs for the driver-streamed text formats. The upload byte
+    * stream is wrapped, not a temp file — compression is in-flight. gzip
+    * and deflate ride the JDK; zstd rides the zstd-jni already on every
+    * Spark classpath (it backs parquet/shuffle compression) and is what
+    * a bulk hand-off actually ships — ~gzip ratios at several times the
+    * throughput. closeFrameOnFlush lets [[finishCodec]] end the zstd
+    * frame without closing the store's stream (the JDK codecs' finish()
+    * contract). */
   private def wrapCodec(out: java.io.OutputStream,
       codec: Option[String]): java.io.OutputStream = codec match {
     case None => out
     case Some("gzip") => new java.util.zip.GZIPOutputStream(out)
     case Some("deflate") => new java.util.zip.DeflaterOutputStream(out)
+    case Some("zstd") =>
+      new com.github.luben.zstd.ZstdOutputStream(out).setCloseFrameOnFlush(true)
     case Some(other) => throw new IllegalArgumentException(
-      s"unsupported export codec '$other' (gzip, deflate)")
+      s"unsupported export codec '$other' (gzip, deflate, zstd)")
   }
 
-  /** Deflater streams buffer internally; finish() flushes the trailer
-    * without closing the underlying store stream. */
+  /** Codec streams buffer internally; finish the frame/trailer without
+    * closing the underlying store stream. */
   private def finishCodec(out: java.io.OutputStream): Unit = out match {
+    case z: com.github.luben.zstd.ZstdOutputStream => z.flush()
     case d: java.util.zip.DeflaterOutputStream => d.finish()
     case _ => ()
   }

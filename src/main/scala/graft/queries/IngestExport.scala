@@ -214,6 +214,47 @@ object IngestExportQueries {
       .orderBy("c_mktsegment")
   }
 
+  /** Zstd-compressed CSV export: wrapCodec ends the zstd frame on the
+    * upload stream in-flight (zstd-jni, already on the Spark classpath);
+    * the gate checks the four frame magic bytes, then decompresses with
+    * ZstdInputStream and reads the CSV back — the whole compressed round
+    * trip inside the gate, with no dependency on Hadoop native codecs. */
+  def exportCsvZstdE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    Tables.orders(s, d).createOrReplaceTempView("orders_zv")
+    val outDir = Files.createTempDirectory("graft_e8_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT o_orderpriority, count(*) AS n,
+                |CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+                |FROM orders_zv GROUP BY o_orderpriority""".stripMargin,
+      folder = outDir.toString, fileName = "out.csv.zst",
+      format = ExportFormat.Csv, codec = Some("zstd"),
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok, s"export errors: ${report.errors.mkString("; ")}")
+    val zst = outDir.resolve("out.csv.zst")
+    val bytes = Files.readAllBytes(zst)
+    require(bytes.length >= 4 && bytes(0) == 0x28.toByte &&
+      bytes(1) == 0xb5.toByte && bytes(2) == 0x2f.toByte &&
+      bytes(3) == 0xfd.toByte, "artifact is not a zstd frame")
+    val plain = outDir.resolve("out.csv")
+    val in = new com.github.luben.zstd.ZstdInputStream(
+      Files.newInputStream(zst))
+    try Files.copy(in, plain) finally in.close()
+    s.read.option("header", true).option("inferSchema", true)
+      .csv(plain.toString)
+      .select(col("o_orderpriority"), col("n").cast(LongType).as("n"),
+        col("total"))
+      .orderBy("o_orderpriority")
+  }
+
+  private val exportCsvZstdOracle =
+    """SELECT o_orderpriority, count(*) AS n,
+      | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Multi-sheet xlsx export: main sheet + an extraSheets query, each
     * read back by name through the engine's own xlsx reader. The gate
     * result unions both sheets (tagged) so either sheet regressing
@@ -676,6 +717,7 @@ object IngestExportQueries {
     QueryDef("e3_export_parquet_e2e", exportParquetE2e, Some(exportParquetOracle)),
     QueryDef("e4_export_jsonl_e2e", exportJsonlE2e, Some(exportJsonlOracle)),
     QueryDef("e5_export_csv_gzip_e2e", exportCsvGzipE2e, Some(exportCsvOracle)),
+    QueryDef("e8_export_csv_zstd_e2e", exportCsvZstdE2e, Some(exportCsvZstdOracle)),
     QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)),
     QueryDef("e7_export_partitioned_e2e", exportPartitionedE2e,
       Some(exportPartitionedOracle)),
