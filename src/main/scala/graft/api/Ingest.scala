@@ -20,6 +20,11 @@ final case class IngestConfig(
     folder: String,
     fileNameRegex: String,
     sheetName: Option[String] = None,
+    /** pandas `sheet_name=None` semantics (the reference passes the
+      * kwarg verbatim to pd.read_excel, box_ingest.py:152-156): read
+      * EVERY sheet of an xlsx, tagged with a `_sheet` provenance column
+      * and unioned by header name. Mutually exclusive with sheetName. */
+    allSheets: Boolean = false,
     metadata: Option[TableMeta] = None,
     latest: Boolean = false,
     justCopy: Boolean = true,
@@ -32,7 +37,10 @@ final case class IngestConfig(
       * Applied to the valid AND `_error` sides post-validation; in copy
       * mode the target table must already carry the column or the
       * conform projection drops it (documented O22 semantics). */
-    sourceFileCol: Option[String] = None)
+    sourceFileCol: Option[String] = None) {
+  require(!(allSheets && sheetName.isDefined),
+    "allSheets and sheetName are mutually exclusive")
+}
 
 /** What actually happened — the reference only exposes this via audit-log
   * rows (E1 swallows every exception, box_ingest.py:194-195); we keep the
@@ -106,7 +114,7 @@ object Ingest {
             return
           }
           FormatReader.read(spark, path, conf.sheetName, conf.skipRows,
-              conf.encoding) match {
+              conf.encoding, allSheets = conf.allSheets) match {
             case FormatReader.Unsupported(reason) =>
               log("Skipped file", s"$fname: $reason") // O9: log-and-skip
             case FormatReader.Parsed(raw0) =>

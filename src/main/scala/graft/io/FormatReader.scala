@@ -29,7 +29,8 @@ object FormatReader {
   def read(spark: SparkSession, file: Path,
       sheetName: Option[String] = None, skipRows: Int = 0,
       encoding: Option[String] = None,
-      fwfInferLines: Int = 100): ReadResult = {
+      fwfInferLines: Int = 100,
+      allSheets: Boolean = false): ReadResult = {
     val name = file.getFileName.toString.toLowerCase
     val ext = name.drop(name.lastIndexOf('.') + 1)
     ext match {
@@ -57,7 +58,8 @@ object FormatReader {
             Parsed(fromColumnOrientedJson(spark, file))
         }
       case "xlsx" | "xlsm" =>
-        Parsed(fromXlsx(spark, file, sheetName, skipRows))
+        if (allSheets) Parsed(fromXlsxAllSheets(spark, file, skipRows))
+        else Parsed(fromXlsx(spark, file, sheetName, skipRows))
       // Columnar formats — an extension beyond the reference's csv/json/
       // excel surface (box_ingest.py:148-159): batches landed by other
       // pipelines arrive as parquet/orc, and both ride Spark's native
@@ -184,8 +186,29 @@ object FormatReader {
     * where the reference resolves them too.
     */
   private def fromXlsx(spark: SparkSession, file: Path,
-      sheetName: Option[String], skipRows: Int): DataFrame = {
-    val all = Xlsx.read(file, sheetName, skipRows)
+      sheetName: Option[String], skipRows: Int): DataFrame =
+    xlsxRowsToDf(spark, Xlsx.read(file, sheetName, skipRows))
+
+  /** pandas `sheet_name=None` mode (the reference passes sheet_name
+    * verbatim to pd.read_excel, box_ingest.py:152-156): every sheet is
+    * read with its own header row, tagged with a `_sheet` provenance
+    * column, and unioned BY NAME — sheets whose headers differ
+    * contribute null for columns they lack, so a workbook of monthly
+    * tabs with a drifting column set still lands as one relation. */
+  private def fromXlsxAllSheets(spark: SparkSession, file: Path,
+      skipRows: Int): DataFrame = {
+    val dfs = Xlsx.readAllSheets(file, skipRows).flatMap { case (name, rows) =>
+      val df = xlsxRowsToDf(spark, rows)
+      if (df.columns.isEmpty) None // empty sheet contributes nothing
+      else Some(df.withColumn("_sheet", lit(name)))
+    }
+    if (dfs.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[Row](), StructType(Nil))
+    else dfs.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
+  private def xlsxRowsToDf(spark: SparkSession,
+      all: Seq[Seq[Option[String]]]): DataFrame = {
     if (all.isEmpty)
       return spark.createDataFrame(
         new java.util.ArrayList[Row](), StructType(Nil))

@@ -13,8 +13,9 @@ import scala.collection.mutable.{ArrayBuffer, ListBuffer}
   * No Excel library ships in /opt/spark/jars, and an xlsx file is just a
   * zip of XML parts, so this implements the slice of SpreadsheetML the
   * reference exercises with JDK-only zip + StAX:
-  *   reader: sheet selection by name or index, skiprows, shared strings,
-  *           inline strings, booleans, raw numeric text
+  *   reader: sheet selection by name / first / ALL sheets, skiprows,
+  *           shared strings, inline strings, booleans, date-styled
+  *           serials (1900 and 1904 systems), raw numeric text
   *   writer: one sheet, header row + data rows, inline strings / numbers
   * Everything else (styles, formulas, 1900-date serials) is out of scope
   * and surfaces as the raw stored text.
@@ -30,16 +31,33 @@ object Xlsx {
   def read(path: Path, sheetName: Option[String], skipRows: Int): Seq[Seq[Option[String]]] = {
     val zf = new ZipFile(path.toFile)
     try {
-      val sheets = sheetTargets(zf) // (name, part path) in workbook order
+      val wb = readWorkbook(zf) // sheets in workbook order + date system
       val target = sheetName match {
-        case Some(n) => sheets.find(_._1 == n).getOrElse(
+        case Some(n) => wb.sheets.find(_._1 == n).getOrElse(
           throw new IllegalArgumentException(
-            s"sheet '$n' not found; have ${sheets.map(_._1).mkString(", ")}"))._2
-        case None => sheets.head._2
+            s"sheet '$n' not found; have ${wb.sheets.map(_._1).mkString(", ")}"))._2
+        case None => wb.sheets.head._2
       }
       val shared = readSharedStrings(zf)
-      val rows = readSheet(zf, target, shared, readDateStyles(zf))
+      val rows = readSheet(zf, target, shared, readDateStyles(zf), wb.date1904)
       rows.drop(skipRows)
+    } finally zf.close()
+  }
+
+  /** EVERY sheet, in workbook order, as (name, rows-after-skip) pairs —
+    * the reference passes `sheet_name` verbatim to pd.read_excel
+    * (box_ingest.py:152-156), where `sheet_name=None` means all sheets;
+    * this is that mode's engine primitive. Shared strings and styles are
+    * parsed once and reused across sheets. */
+  def readAllSheets(path: Path, skipRows: Int): Seq[(String, Seq[Seq[Option[String]]])] = {
+    val zf = new ZipFile(path.toFile)
+    try {
+      val wb = readWorkbook(zf)
+      val shared = readSharedStrings(zf)
+      val styles = readDateStyles(zf)
+      wb.sheets.map { case (name, part) =>
+        name -> readSheet(zf, part, shared, styles, wb.date1904).drop(skipRows)
+      }
     } finally zf.close()
   }
 
@@ -86,19 +104,26 @@ object Xlsx {
     }
   }
 
-  /** Excel serial day number -> "yyyy-MM-dd HH:mm:ss" (1900 date system;
-    * epoch 1899-12-30 absorbs Excel's phantom 1900-02-29). Matches what
-    * str() of the pandas datetime feeds the reference's validators. */
-  private[io] def serialToDateTime(serial: Double): String = {
-    val epoch = java.time.LocalDate.of(1899, 12, 30).atStartOfDay()
+  /** Excel serial day number -> "yyyy-MM-dd HH:mm:ss". Default 1900 date
+    * system: epoch 1899-12-30 absorbs Excel's phantom 1900-02-29. Mac-
+    * authored workbooks set `workbookPr date1904` and count from
+    * 1904-01-01 with no phantom day — ignoring the flag shifts every
+    * date by 1462 days. Matches what str() of the pandas datetime feeds
+    * the reference's validators. */
+  private[io] def serialToDateTime(serial: Double, date1904: Boolean = false): String = {
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1).atStartOfDay()
+      else java.time.LocalDate.of(1899, 12, 30).atStartOfDay()
     val secs = math.round(serial * 86400.0)
     epoch.plusSeconds(secs).format(
       java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
   }
 
+  private final case class Workbook(sheets: Seq[(String, String)], date1904: Boolean)
+
   /** Sheet (name -> worksheet part) pairs in workbook order, resolving
-    * r:id through workbook.xml.rels. */
-  private def sheetTargets(zf: ZipFile): Seq[(String, String)] = {
+    * r:id through workbook.xml.rels, plus the workbookPr date1904 flag. */
+  private def readWorkbook(zf: ZipFile): Workbook = {
     val rels = withPart(zf, "xl/_rels/workbook.xml.rels") { r =>
       val m = scala.collection.mutable.Map[String, String]()
       while (r.hasNext) {
@@ -114,17 +139,23 @@ object Xlsx {
     }
     withPart(zf, "xl/workbook.xml") { r =>
       val out = ListBuffer.empty[(String, String)]
+      var date1904 = false
       while (r.hasNext) {
-        if (r.next() == XMLStreamConstants.START_ELEMENT && r.getLocalName == "sheet") {
-          val name = r.getAttributeValue(null, "name")
-          val rid = (0 until r.getAttributeCount)
-            .find(i => r.getAttributeLocalName(i) == "id")
-            .map(r.getAttributeValue).getOrElse(
-              throw new IllegalStateException("sheet without r:id"))
-          out += name -> rels(rid)
+        if (r.next() == XMLStreamConstants.START_ELEMENT) r.getLocalName match {
+          case "sheet" =>
+            val name = r.getAttributeValue(null, "name")
+            val rid = (0 until r.getAttributeCount)
+              .find(i => r.getAttributeLocalName(i) == "id")
+              .map(r.getAttributeValue).getOrElse(
+                throw new IllegalStateException("sheet without r:id"))
+            out += name -> rels(rid)
+          case "workbookPr" =>
+            date1904 = Option(r.getAttributeValue(null, "date1904"))
+              .exists(v => v == "1" || v.equalsIgnoreCase("true"))
+          case _ =>
         }
       }
-      out.toSeq
+      Workbook(out.toSeq, date1904)
     }
   }
 
@@ -157,7 +188,8 @@ object Xlsx {
 
   private def readSheet(zf: ZipFile, part: String,
       shared: IndexedSeq[String],
-      dateStyle: IndexedSeq[Boolean]): Seq[Seq[Option[String]]] = {
+      dateStyle: IndexedSeq[Boolean],
+      date1904: Boolean): Seq[Seq[Option[String]]] = {
     withPart(zf, part) { r =>
       val rows = ListBuffer.empty[ArrayBuffer[Option[String]]]
       var cur: ArrayBuffer[Option[String]] = null
@@ -197,7 +229,7 @@ object Xlsx {
                 case "b" => Some(if (raw.trim == "1") "True" else "False")
                 case "n" if cellDate =>
                   // date-styled numeric: serial day -> datetime string
-                  raw.trim.toDoubleOption.map(serialToDateTime)
+                  raw.trim.toDoubleOption.map(serialToDateTime(_, date1904))
                     .orElse(Some(raw))
                 case _   => Some(raw) // n, str, inlineStr: stored text as-is
               }

@@ -482,6 +482,46 @@ object IngestExportQueries {
       | CAST(n_regionkey AS BIGINT) AS n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** All-sheets xlsx ingest (pandas `sheet_name=None` — the reference
+    * passes the kwarg verbatim to pd.read_excel, box_ingest.py:152-156):
+    * nation split across two tabs, each with its own header row. With
+    * allSheets=true the reader unions the sheets by header name and tags
+    * each row with a `_sheet` provenance column, which rides through
+    * validation as a declared string column. */
+  def ingestXlsxAllSheetsE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i12_")
+    val nat = Tables.nation(s, d).orderBy("n_nationkey").collect()
+    val (lo, hi) = nat.toSeq.partition(
+      _.getAs[Number]("n_nationkey").intValue < 12)
+    val header = Seq("n_nationkey", "n_name", "n_regionkey")
+    val path = tmp.resolve("nations_sheets.xlsx")
+    val out = Files.newOutputStream(path)
+    try Xlsx.writeSheets(out, Seq(
+      Xlsx.SheetSource("first_half", header, () => lo.map(_.toSeq).iterator),
+      Xlsx.SheetSource("second_half", header, () => hi.map(_.toSeq).iterator)))
+    finally out.close()
+
+    val ref = TableRef("graft", "verify", "i12_nation")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.xlsx", allSheets = true,
+      metadata = Some(TableMeta.fromMetadata(
+        Seq("n_nationkey" -> "int", "n_name" -> "string",
+            "n_regionkey" -> "int", "_sheet" -> "string"),
+        nonNullableFields = Seq("n_nationkey"))),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("n_nationkey")
+  }
+
+  private val ingestXlsxAllSheetsOracle =
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+      | CAST(n_regionkey AS BIGINT) AS n_regionkey,
+      | CASE WHEN n_nationkey < 12 THEN 'first_half' ELSE 'second_half' END AS _sheet
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   // --------------------- column-oriented JSON (O7 dict orientation) ingest
 
   /** pd.read_json also accepts a column-oriented document
@@ -721,5 +761,7 @@ object IngestExportQueries {
     QueryDef("e6_export_xlsx_sheets_e2e", exportXlsxSheetsE2e, Some(exportXlsxSheetsOracle)),
     QueryDef("e7_export_partitioned_e2e", exportPartitionedE2e,
       Some(exportPartitionedOracle)),
-    QueryDef("i11_ingest_fwf_e2e", ingestFwfE2e, Some(ingestFwfOracle)))
+    QueryDef("i11_ingest_fwf_e2e", ingestFwfE2e, Some(ingestFwfOracle)),
+    QueryDef("i12_ingest_xlsx_all_sheets_e2e", ingestXlsxAllSheetsE2e,
+      Some(ingestXlsxAllSheetsOracle)))
 }

@@ -245,6 +245,83 @@ class IoSpec extends AnyFunSuite {
     assert(rows.head(2) === Some("45356"))
   }
 
+  test("Xlsx: workbookPr date1904 shifts the serial epoch (Mac system)") {
+    // Same handcrafted workbook as the 1900 test but with
+    // <workbookPr date1904="1"/>: serial 45356 must land 1462 days later
+    // (2028-03-06, not 2024-03-05) — a reader ignoring the flag silently
+    // mis-dates every Mac-authored file by four years.
+    val f = Files.createTempFile("xd1904", ".xlsx")
+    val z = new ZipOutputStream(Files.newOutputStream(f))
+    def part(n: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(n)); z.write(body.getBytes("UTF-8")); z.closeEntry()
+    }
+    part("[Content_Types].xml",
+      """<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">
+        |<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>
+        |<Default Extension="xml" ContentType="application/xml"/>
+        |<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>
+        |<Override PartName="/xl/worksheets/sheet1.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>
+        |</Types>""".stripMargin)
+    part("_rels/.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/workbook.xml",
+      """<?xml version="1.0"?><workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<workbookPr date1904="1"/>
+        |<sheets><sheet name="d" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin)
+    part("xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?><Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
+        |</Relationships>""".stripMargin)
+    part("xl/styles.xml",
+      """<?xml version="1.0"?><styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+        |</styleSheet>""".stripMargin)
+    part("xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row><c r="A1" s="1"><v>45356</v></c><c r="B1" s="1"><v>45356.51039351852</v></c><c r="C1"><v>45356</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    z.finish(); z.close()
+    val rows = Xlsx.read(f, None, 0)
+    assert(rows.head(0) === Some("2028-03-06 00:00:00"))
+    assert(rows.head(1) === Some("2028-03-06 12:14:58"))
+    assert(rows.head(2) === Some("45356")) // unstyled numeric untouched
+  }
+
+  test("Xlsx: readAllSheets returns every sheet; FormatReader allSheets " +
+      "unions drifting headers by name with a _sheet provenance column") {
+    val f = Files.createTempFile("xall", ".xlsx")
+    val out = Files.newOutputStream(f)
+    // second sheet's header drifts: drops qty, adds note
+    Xlsx.writeSheets(out, Seq(
+      Xlsx.SheetSource("jan", Seq("id", "qty"),
+        () => Iterator(Seq[Any](1, 10), Seq[Any](2, 20))),
+      Xlsx.SheetSource("feb", Seq("id", "note"),
+        () => Iterator(Seq[Any](3, "x")))))
+    out.close()
+
+    val all = Xlsx.readAllSheets(f, 0)
+    assert(all.map(_._1) === Seq("jan", "feb"))
+    assert(all.head._2.length === 3) // header + 2 rows
+    assert(all(1)._2 === Seq(Seq(Some("id"), Some("note")),
+      Seq(Some("3"), Some("x"))))
+
+    val spark = graft.TestSpark.spark
+    val parsed = FormatReader.read(spark, f, allSheets = true) match {
+      case FormatReader.Parsed(df) => df
+      case other => fail(s"expected Parsed, got $other")
+    }
+    assert(parsed.columns.toSeq === Seq("id", "qty", "_sheet", "note"))
+    val got = parsed.orderBy("id")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getAs[String]("_sheet"), Option(r.getAs[String]("note"))))
+    assert(got.toSeq === Seq(
+      ("1", Some("10"), "jan", None),
+      ("2", Some("20"), "jan", None),
+      ("3", None, "feb", Some("x"))))
+  }
+
   test("Xlsx: sheet selection by name, skipRows, missing sheet error") {
     val f = Files.createTempFile("x2", ".xlsx")
     val out = Files.newOutputStream(f)
