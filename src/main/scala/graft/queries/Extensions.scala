@@ -88,7 +88,7 @@ object ExtensionQueries {
 
   /** documents ∪ near-identical copies of doc_id < 25 (id + 100000) — a
     * deterministic corpus where near-dup detectors must fire. */
-  private def plantedDocs(s: SparkSession, d: String): DataFrame = {
+  private[queries] def plantedDocs(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val dups = docs.where(col("doc_id") < 25).select(
       (col("doc_id") + 100000).as("doc_id"),
@@ -195,7 +195,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  private val dedupPipelineOracle =
+  private[queries] val dedupPipelineOracle =
     """WITH planted AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL

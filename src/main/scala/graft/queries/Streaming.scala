@@ -152,6 +152,40 @@ object StreamingQueries {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Streaming NEAR-dup dedup (NearDupStream.dropCandidates): the planted
+    * near-dup corpus streams file-by-file (maxFilesPerTrigger=1, so LSH
+    * bucket state genuinely carries across micro-batches); the distinct
+    * emitted drop set, anti-joined back onto the corpus, must equal the
+    * batch minHashPairs→dropFromPairs kept set (the d6 pipeline), which
+    * the oracle recomputes as exact all-pairs shingle Jaccard. The drop
+    * set is arrival-order independent (the higher id of a verified pair
+    * drops whichever side arrived first), so the repartitioned two-file
+    * split cannot flake the gate. */
+  def nearDupStream(s: SparkSession, d: String): DataFrame = {
+    val planted = ExtensionQueries.plantedDocs(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st11_").toString
+    planted.repartition(2).write.mode("overwrite").parquet(tmp)
+    val name = "st11_neardup_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val q = graft.streaming.NearDupStream.dropCandidates(src, "text", "doc_id")
+      .toDF("doc_id")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    val drops = s.table(name).distinct()
+    planted.join(drops, Seq("doc_id"), "left_anti")
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
   /** Stream-static enrichment: the streaming events join a broadcast
     * static user→segment dimension per micro-batch (stateless — nothing
     * buffered, unlike the stream-stream join), then a complete-mode
@@ -280,6 +314,8 @@ object StreamingQueries {
     QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
+    QueryDef("st11_neardup_stream", nearDupStream,
+      Some(ExtensionQueries.dedupPipelineOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

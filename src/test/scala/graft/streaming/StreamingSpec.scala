@@ -207,6 +207,48 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("NearDupStream.dropCandidatesBounded: near-dups inside the horizon " +
+      "drop, an evicted bucket lets a beyond-horizon dup pass") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(min: Int) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val tA = "the quick brown fox jumps over the lazy dog while the cat " +
+      "sleeps in the warm sun near the old barn door"
+    val tA2 = tA + " zz" // near-dup of tA (planted-corpus pattern)
+    val tC = "completely different content about databases and distributed " +
+      "systems scaling horizontally across many machines"
+    val tC2 = "yet another unrelated snippet mentioning compilers type " +
+      "systems and garbage collection pauses in managed runtimes"
+    val ms = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q = graft.streaming.NearDupStream.dropCandidatesBounded(
+        ms.toDF().toDF("doc_id", "text", "ts"),
+        "text", "doc_id", "ts", delay = "10 minutes")
+      .toDF("doc_id")
+      .writeStream.format("memory").queryName("neardup_wm_out")
+      .outputMode("append").start()
+    def drops: Set[Long] = spark.table("neardup_wm_out")
+      .collect().map(_.getLong(0)).toSet
+    try {
+      ms.addData((1L, tA, ts(0)))
+      q.processAllAvailable()
+      assert(drops === Set.empty, "first copy keeps")
+      ms.addData((2L, tA2, ts(1))) // inside the horizon: caught
+      q.processAllAvailable()
+      assert(drops === Set(2L), "cross-batch near-dup inside horizon drops")
+      ms.addData((99L, tC, ts(60))) // advances the watermark to 50min
+      q.processAllAvailable()
+      ms.addData((98L, tC2, ts(61))) // bucket of tA has no data: timeout fires
+      q.processAllAvailable()
+      ms.addData((3L, tA, ts(62))) // state evicted: beyond-horizon dup passes
+      q.processAllAvailable()
+      assert(drops === Set(2L), "beyond-horizon duplicate is not caught")
+      ms.addData((4L, tA2, ts(63))) // doc 3 re-seeded the bucket: caught again
+      q.processAllAvailable()
+      assert(drops === Set(2L, 4L), "new window catches dups against doc 3")
+    } finally q.stop()
+  }
+
   test("sessionize: gaps over 30min split sessions per user") {
     import spark.implicits._
     import java.sql.Timestamp
