@@ -251,4 +251,33 @@ object Cdc {
       spark.catalog.refreshTable(table)
     }
   }
+
+  /** SCD2 history written through [[graft.sink.VersionedTable]]: apply
+    * one [[scdType2]] batch to the dimension's LATEST committed version
+    * and commit the result as the next version — the dimension's history
+    * OF histories becomes itself time-travelable. "What did the full
+    * version history of this dimension look like before Tuesday's feed?"
+    * is then `VersionedTable.read(root, v)` — the composition a 100 TB
+    * warehouse runs when a bad upstream batch has to be audited or
+    * rolled back (roll-back = re-apply corrected batches on top of the
+    * last good version; nothing is ever rewritten in place).
+    *
+    * Seed version 1 with `VersionedTable.write(initialDim, root)` before
+    * the first batch. Each call costs the scdType2 plan (closed history
+    * passes through join-free) plus one full write of the new snapshot —
+    * the versioned layout trades write amplification for zero-cost
+    * snapshot isolation; at scale, compose with [[mergeUpsertPruned]]'s
+    * partitioned layout if full-snapshot writes dominate.
+    *
+    * @return the committed version number holding the new history
+    */
+  def scdType2Versioned(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      updates: DataFrame, keys: Seq[String], tsCol: String,
+      validFromCol: String = "valid_from",
+      validToCol: String = "valid_to"): Int = {
+    val dim = graft.sink.VersionedTable.read(spark, root)
+    val next = scdType2(dim, updates, keys, tsCol, validFromCol, validToCol)
+    graft.sink.VersionedTable.write(next, root)
+  }
 }

@@ -389,7 +389,10 @@ object PipelineQueries {
     * and brand-new keys — plus pre-existing CLOSED history rows that
     * must pass through untouched. The oracle constructs the expected
     * post-batch history branch by branch. */
-  def scd2(s: SparkSession, d: String): DataFrame = {
+  /** The c7/c10 SCD2 fixture: (initial dimension, one update batch)
+    * planting every scdType2 path — real change (k%7), redundant feed
+    * (k%11), stale out-of-order ts (k%13), and brand-new keys. */
+  private def scd2Fixture(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     val c = Tables.customer(s, d)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
     val k = col("c_custkey")
@@ -415,6 +418,11 @@ object PipelineQueries {
       .unionByName(c.where(k <= 50)
         .select((k + 1000000L).as("c_custkey"),
           lit("NEWSEG").as("c_mktsegment"), bal, ts("2021-06-01").as("ts")))
+    (dim, updates)
+  }
+
+  def scd2(s: SparkSession, d: String): DataFrame = {
+    val (dim, updates) = scd2Fixture(s, d)
     graft.ext.Cdc.scdType2(dim, updates, keys = Seq("c_custkey"), tsCol = "ts")
       .orderBy("c_custkey", "valid_from")
   }
@@ -445,6 +453,66 @@ object PipelineQueries {
       | TIMESTAMP '2021-06-01', NULL
       |FROM cust WHERE c_custkey <= 50
       |ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** Versioned SCD2 composition (Cdc.scdType2Versioned): v1 = the
+    * initial dimension committed through VersionedTable; one SCD2 batch
+    * commits v2. The gate reads BOTH versions back — v1 must still be
+    * the untouched initial dimension after the v2 write (snapshot
+    * isolation by construction), and v2 must equal the plain scdType2
+    * result the c7 gate pins. */
+  def scd2Versioned(s: SparkSession, d: String): DataFrame = {
+    val (dim, updates) = scd2Fixture(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_c10_")
+      .resolve("dim_history").toString
+    val v1n = graft.sink.VersionedTable.write(dim, root)
+    require(v1n == 1, s"expected initial commit v1, got v$v1n")
+    val v2n = graft.ext.Cdc.scdType2Versioned(s, root, updates,
+      keys = Seq("c_custkey"), tsCol = "ts")
+    require(v2n == 2, s"expected SCD2 commit v2, got v$v2n")
+    val v1 = graft.sink.VersionedTable.read(s, root, 1)
+    val v2 = graft.sink.VersionedTable.read(s, root, 2)
+    v1.withColumn("version", lit(1))
+      .unionByName(v2.withColumn("version", lit(2)))
+      .select(col("version"), col("c_custkey"), col("c_mktsegment"),
+        col("c_acctbal"), col("valid_from"), col("valid_to"))
+      .orderBy("version", "c_custkey", "valid_from")
+  }
+
+  private val scd2VersionedOracle =
+    """WITH cust AS (
+      | SELECT c_custkey, c_mktsegment, c_acctbal FROM customer)
+      |SELECT 1 AS version, c_custkey, c_mktsegment,
+      | CAST(c_acctbal - 50 AS DECIMAL(15,2)) AS c_acctbal,
+      | TIMESTAMP '2019-01-01' AS valid_from,
+      | TIMESTAMP '2020-01-01' AS valid_to
+      |FROM cust WHERE c_custkey < 100
+      |UNION ALL
+      |SELECT 1, c_custkey, c_mktsegment, c_acctbal,
+      | TIMESTAMP '2020-01-01', NULL
+      |FROM cust
+      |UNION ALL
+      |SELECT 2, c_custkey, c_mktsegment,
+      | CAST(c_acctbal - 50 AS DECIMAL(15,2)),
+      | TIMESTAMP '2019-01-01', TIMESTAMP '2020-01-01'
+      |FROM cust WHERE c_custkey < 100
+      |UNION ALL
+      |SELECT 2, c_custkey, c_mktsegment, c_acctbal,
+      | TIMESTAMP '2020-01-01', TIMESTAMP '2021-06-01'
+      |FROM cust WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT 2, c_custkey, c_mktsegment,
+      | CAST(c_acctbal + 100 AS DECIMAL(15,2)),
+      | TIMESTAMP '2021-06-01', NULL
+      |FROM cust WHERE c_custkey % 7 = 0
+      |UNION ALL
+      |SELECT 2, c_custkey, c_mktsegment, c_acctbal,
+      | TIMESTAMP '2020-01-01', NULL
+      |FROM cust WHERE c_custkey % 7 <> 0
+      |UNION ALL
+      |SELECT 2, c_custkey + 1000000, 'NEWSEG', c_acctbal,
+      | TIMESTAMP '2021-06-01', NULL
+      |FROM cust WHERE c_custkey <= 50
+      |ORDER BY version, c_custkey, valid_from""".stripMargin
 
   /** Incremental min/max maintenance (ext Incremental.partialsMinMax):
     * extremes merged across three arbitrary batch splits must equal the
@@ -582,6 +650,7 @@ object PipelineQueries {
     QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
     QueryDef("c7_scd2", scd2, Some(scd2Oracle)),
+    QueryDef("c10_scd2_versioned", scd2Versioned, Some(scd2VersionedOracle)),
     QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle)),
     QueryDef("pr5_mad", madGate, Some(madOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
