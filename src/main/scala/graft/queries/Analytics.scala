@@ -260,8 +260,8 @@ object AnalyticsQueries {
     QueryDef("q42_retention", retention, Some(retentionOracle)),
     QueryDef("q43_anomaly", anomaly, Some(anomalyOracle)),
     QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)),
-    QueryDef("g1_triangles", triangles, Some(trianglesOracle)),
-    QueryDef("g2_pagerank", pagerank, Some(pagerankOracle)),
+    QueryDef("g1_triangles", triangles, Some(trianglesOracle), bench = true),
+    QueryDef("g2_pagerank", pagerank, Some(pagerankOracle), bench = true),
     QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)),
     QueryDef("q49_transitions", transitions, Some(transitionsOracle)))
 }

@@ -962,7 +962,7 @@ object ExtensionQueries {
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
-    QueryDef("d16_dedup_prefix", dedupPrefix, Some(dedupNgramOracle)),
+    QueryDef("d16_dedup_prefix", dedupPrefix, Some(dedupNgramOracle), bench = true),
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
@@ -976,7 +976,7 @@ object ExtensionQueries {
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
-    QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle)),
+    QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle), bench = true),
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
@@ -985,6 +985,6 @@ object ExtensionQueries {
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
-    QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle)),
+    QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle), bench = true),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

@@ -671,7 +671,7 @@ object HygieneQueries {
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
-    QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle)),
+    QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle), bench = true),
     QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),
     QueryDef("t15_pseudonymize", pseudonymizeGate, Some(pseudonymizeOracle)),
     QueryDef("t16_url_parse", urlStats, Some(urlStatsOracle)),

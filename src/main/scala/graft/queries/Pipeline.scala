@@ -651,7 +651,7 @@ object PipelineQueries {
     QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
     QueryDef("c7_scd2", scd2, Some(scd2Oracle)),
     QueryDef("c10_scd2_versioned", scd2Versioned, Some(scd2VersionedOracle)),
-    QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle)),
+    QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle), bench = true),
     QueryDef("pr5_mad", madGate, Some(madOracle)),
     QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
 }
