@@ -102,14 +102,23 @@ object Graphs {
     require(dampingPct >= 0 && dampingPct <= 100,
       s"dampingPct out of range: $dampingPct")
     val Scale = 1000000000000L
+    // Iteration partitioning is pinned to an EXPLICIT count: an iterative
+    // job re-pays every shuffle per round, so letting session-level AQE
+    // sizing (high initialPartitionNum) float it multiplies per-round
+    // task overhead by iters — measured 2x on the g2 bench when the
+    // session moved to AQE-sized shuffles. A real cluster pins its graph
+    // partitioning once up front for the same reason; rank rows are
+    // node-sized (a long each), so core-count partitions never spill.
+    val p = edges.sparkSession.sparkContext.defaultParallelism
     val e = edges.select(col(src).as("__s"), col(dst).as("__d"))
       .where(col("__s").isNotNull && col("__d").isNotNull)
       .distinct()
-      .repartition(col("__s"))
+      .repartition(p, col("__s"))
       .cache()
     val nodes = e.select(col("__s").as("node"))
       .unionAll(e.select(col("__d").as("node")))
       .distinct()
+      .repartition(p, col("node"))
       .cache()
     try {
       val n = nodes.count()
