@@ -161,7 +161,7 @@ object Dedup {
       .drop("__bucket_n")
   }
 
-  private def bucketPairs(withBucket: DataFrame, keyCols: Seq[String],
+  private[graft] def bucketPairs(withBucket: DataFrame, keyCols: Seq[String],
       idCol: String, maxBucket: Int): DataFrame = {
     // Sort INSIDE the agg projection and expand over the plain attribute:
     // inlining the array_sort lambda tree at each of its three use sites
@@ -469,14 +469,13 @@ object Dedup {
     * bound once per row as the outer lambda variable — referencing it
     * inside the index lambda would re-run split+lower+filter once per
     * gram (cf. shingleCol). */
-  private[ext] def tokenGramsCol(text: Column, n: Int): Column = {
-    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    array_distinct(flatten(transform(
-      array(tokens),
-      ts => transform(
-        sequence(lit(0), greatest(size(ts) - n, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))))
-  }
+  private[graft] def tokenGramsCol(text: Column, n: Int): Column =
+    // Codegen'd TokenNGrams, semantics identical to the interpreted
+    // HOF composite it replaced (see the expression's scaladoc): one
+    // JVM pass per doc instead of a per-gram interpreted lambda tree,
+    // and plans that reference the gram frame several times (d16) stop
+    // paying a corpus pass per reference.
+    GraftFunctions.tokenNGrams(text, n)
 
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, threshold: Double = 0.5,
@@ -606,12 +605,22 @@ object Dedup {
         explode(slice(col("gs.gram"), lit(1), col("plen"))).as("gram"))
     val cap = if (maxDocsPerGram > 0) maxDocsPerGram else Int.MaxValue
     val cand = bucketPairs(prefix, Seq("gram"), "doc_id", cap)
+    // Verify with the codegen'd sorted-merge intersect, NOT
+    // array_intersect: a low threshold makes the prefix filter weak
+    // (plen ≈ ng/2 at t=0.5), so candidates outnumber surviving pairs
+    // ~1000:1 on template-heavy corpora and the per-pair hash set
+    // array_intersect builds dominated the whole operator (measured 2.4s
+    // of d16's 3.9s warm time at sf0.1). sort_array is paid once per
+    // DOC side; the merge scan is allocation-free per pair.
+    val sortedGrams = grams
+      .select(col("doc_id"), sort_array(col("grams")).as("grams"), col("ng"))
     cand
-      .join(grams.select(col("doc_id").as("id_a"), col("grams").as("ga"),
+      .join(sortedGrams.select(col("doc_id").as("id_a"), col("grams").as("ga"),
         col("ng").as("na")), "id_a")
-      .join(grams.select(col("doc_id").as("id_b"), col("grams").as("gb"),
+      .join(sortedGrams.select(col("doc_id").as("id_b"), col("grams").as("gb"),
         col("ng").as("nb")), "id_b")
-      .withColumn("shared", size(array_intersect(col("ga"), col("gb"))))
+      .withColumn("shared",
+        GraftFunctions.sortedIntersectCount(col("ga"), col("gb")))
       .where(col("shared") * 100 >=
         lit(thresholdPct) * (col("na") + col("nb") - col("shared")))
       .select(col("id_a"), col("id_b"),

@@ -803,6 +803,153 @@ object NearestCentroid {
   }
 }
 
+/** Distinct word n-grams of the lowercased text, as one codegen'd pass —
+  * the native form of the composite
+  * `array_distinct(flatten(transform(array(tokens), ts => transform(
+  * sequence(...), i => concat_ws(" ", slice(ts, i+1, n))))))` that every
+  * token-gram dedup operator shares. The composite is an interpreted
+  * higher-order-function tree that re-evaluates per gram and costs a
+  * full corpus pass each time a plan references it (the d16 prefix-join
+  * references its gram frame three times — measured ~45% of the whole
+  * operator). Semantics are matched exactly: tokens = whitespace-split
+  * (Java regex "\\s+") of UTF8String.toLowerCase, empties dropped; for
+  * fewer than n tokens the single gram is all tokens joined; grams
+  * joined with a single space; first-occurrence-distinct. Null => null.
+  * ZERO tokens (empty / whitespace-only text) => the single EMPTY gram
+  * [""], exactly like the composite (concat_ws over an empty slice) and
+  * like the DuckDB oracle replays — all-whitespace docs therefore pair
+  * with each other at jaccard 1.0, which is the wanted dedup outcome;
+  * callers excluding them filter on the text, not the gram count.
+  */
+case class TokenNGrams(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"n out of range: $n")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_ngrams expects STRING, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNGrams.grams(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenNGrams.grams($c, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenNGrams {
+  /** Static entry point shared by eval and generated code. */
+  def grams(text: UTF8String, n: Int): ArrayData = {
+    // toLowerCase then Java-regex split: identical tokenization to the
+    // composite plan (Spark's lower + split use the same primitives).
+    val tokens0 = text.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    val tokens = new Array[String](tokens0.length)
+    var i = 0
+    while (i < tokens0.length) {
+      if (tokens0(i).nonEmpty) { tokens(nTok) = tokens0(i); nTok += 1 }
+      i += 1
+    }
+    if (nTok == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array[Any](UTF8String.EMPTY_UTF8))
+    val nGrams = math.max(nTok - n, 0) + 1
+    val seen = new java.util.LinkedHashSet[String](nGrams * 2)
+    val sb = new java.lang.StringBuilder
+    i = 0
+    while (i < nGrams) {
+      sb.setLength(0)
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(tokens(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
+/** Intersection SIZE of two ASCENDING-sorted string arrays by linear
+  * two-pointer merge. Replaces `size(array_intersect(a, b))` in verify
+  * stages whose sides are pre-sorted (`sort_array` in the per-doc
+  * projection — paid once per document): array_intersect builds a hash
+  * set PER PAIR, and a candidate-heavy exact verify (PPJoin at a low
+  * threshold evaluates ~80x more candidates than surviving pairs on the
+  * d16 gate corpus) spends its whole budget re-hashing the same arrays.
+  * The merge does one allocation-free O(na+nb) scan with binary
+  * UTF8String compares — the same order `sort_array` produces.
+  * Inputs must be duplicate-free (array_distinct upstream) or common
+  * duplicates count multiply. Either side null => null.
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_intersect_count expects two ARRAY<STRING>, got ${l.sql}, ${r.sql}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedIntersectCount.count(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  /** Static entry point shared by eval and generated code. Null array
+    * ELEMENTS sort first under sort_array and compare via the null
+    * checks below (a null never equals anything, matching
+    * array_intersect's null-excluding semantics for counting). */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    // skip leading nulls (sort_array places them first by default)
+    while (i < na && a.isNullAt(i)) i += 1
+    while (j < nb && b.isNullAt(j)) j += 1
+    while (i < na && j < nb) {
+      val cmp = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (cmp == 0) { c += 1; i += 1; j += 1 }
+      else if (cmp < 0) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -812,6 +959,9 @@ object GraftFunctions {
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =
     column(ShingleJaccard(expr(a), expr(b), k))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expr(a), expr(b)))
+  def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
   def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
       width: Int = 8): Column =
     column(HyperplaneSig(expr(c), planes, bands, width))

@@ -22,6 +22,46 @@ class ExtSpec extends AnyFunSuite {
     assert(viaSql === fps(0))
   }
 
+  test("TokenNGrams: exact parity with the interpreted HOF composite it replaced") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing   spaces \t tabs\nnewlines  ",
+      "UPPER Case MiXeD",
+      "one two",          // fewer tokens than n -> single joined gram
+      "solo",             // one token
+      "a a a a a",        // repeated tokens -> distinct grams collapse
+      "",                 // empty -> empty array
+      "Ünïcødé ÅBC déjà vu encore une fois")
+    val df = texts.toDF("t")
+    // the composite this expression replaced (old tokenGramsCol body)
+    val tokens = filter(split(lower(col("t")), "\\s+"), x => length(x) > 0)
+    val composite = array_distinct(flatten(transform(
+      array(tokens),
+      ts => transform(
+        sequence(lit(0), greatest(size(ts) - 3, lit(0))),
+        i => concat_ws(" ", slice(ts, i + 1, lit(3)))))))
+    val rows = df.select(
+      sort_array(GraftFunctions.tokenNGrams(col("t"), 3)).as("native"),
+      sort_array(composite).as("composite")).collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      assert(r.getSeq[String](0) === r.getSeq[String](1), s"text: '$t'")
+    }
+  }
+
+  test("SortedIntersectCount: equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x", "y", "z"), Seq("x", "y", "z")),
+      (Seq("aa", "ab", "b"), Seq("ab", "b", "ba"))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.sortedIntersectCount(
+        sort_array(col("a")), sort_array(col("b"))).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+  }
+
   test("FloatCosine: parallel/orthogonal/zero vectors; codegen matches interpreted") {
     val df = Seq(
       (Array(1f, 0f), Array(2f, 0f)),   // parallel -> 1
