@@ -635,6 +635,41 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  /** PERSISTED IVF-PQ index (AnnIndex): build writes centroids +
+    * codebook + encoded corpus to disk; the serve path reads ONLY the
+    * index (no rebuild, no re-encode). Full probing + corpus-wide
+    * rerank makes the served result exact, so the brute-force oracle
+    * pins the whole build→persist→load→serve cycle hash-exactly. */
+  def knnIvfPqIndex(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s9_")
+      .resolve("ann_index").toString
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = root, m = 8, codes = 16, refineIters = 2)
+    graft.ext.AnnIndex.queryIvfPq(s, root, queriesDf(s, d), k = 5,
+        nprobe = 20, rerank = 2100)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  /** Incremental index append: build on the even-id half only, append
+    * the odd half encoded with the SAVED centroids/codebook (one narrow
+    * pass over the new rows — the existing encoded table is untouched).
+    * Under full probing + corpus-wide rerank the served result must
+    * still equal exact KNN over the WHOLE corpus, whatever the
+    * even-half-only centroids quantize to. */
+  def knnIvfPqAppend(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s10_")
+      .resolve("ann_index").toString
+    val c = corpus(s, d)
+    graft.ext.AnnIndex.buildIvfPq(c.where(col("cid") % 2 === 0), dim = 64,
+      nlist = 20, root = root, m = 8, codes = 16, refineIters = 2)
+    graft.ext.AnnIndex.appendIvfPq(s, root, c.where(col("cid") % 2 === 1))
+    graft.ext.AnnIndex.queryIvfPq(s, root, queriesDf(s, d), k = 5,
+        nprobe = 20, rerank = 2100)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Full replay of the composed IVF-PQ pipeline at REALISTIC pruning
     * (nprobe=5 of nlist=20, rerank=20): DuckDB re-derives the
     * hash-sampled centroids, the argmax-cosine assignment (s2's CTEs),
@@ -978,6 +1013,8 @@ object ExtensionQueries {
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
     QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle), bench = true),
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
+    QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
+    QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
