@@ -950,6 +950,164 @@ object SortedIntersectCount {
   }
 }
 
+/** One left-to-right NON-OVERLAPPING merge round of byte-pair encoding
+  * (Sennrich et al. 2016): every adjacent (left, right) symbol pair in
+  * the array becomes the single symbol left+right; after a merge the
+  * scan resumes AFTER the merged symbol, so "a a a" under (a,a) yields
+  * ["aa","a"], matching the reference BPE implementations. Drives the
+  * vocab-table merge loop in [[graft.ext.Bpe]]; left/right are
+  * per-round literals, so each round stays codegen'd.
+  */
+case class BpeMergePair(child: Expression, mergeLeft: String, mergeRight: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_pair expects ARRAY<STRING>, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMergePair.merge(input.asInstanceOf[ArrayData],
+      UTF8String.fromString(mergeLeft), UTF8String.fromString(mergeRight))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val l = ctx.addReferenceObj("mergeLeft", UTF8String.fromString(mergeLeft))
+    val r = ctx.addReferenceObj("mergeRight", UTF8String.fromString(mergeRight))
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeMergePair.merge($c, $l, $r);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeMergePair {
+  /** Static entry point shared by eval and generated code. */
+  def merge(syms: ArrayData, l: UTF8String, r: UTF8String): ArrayData = {
+    val n = syms.numElements()
+    val out = new Array[Any](n)
+    var i = 0
+    var o = 0
+    while (i < n) {
+      val cur = syms.getUTF8String(i)
+      if (i + 1 < n && cur.equals(l) && syms.getUTF8String(i + 1).equals(r)) {
+        out(o) = UTF8String.concat(l, r)
+        i += 2
+      } else {
+        out(o) = cur
+        i += 1
+      }
+      o += 1
+    }
+    if (o == n)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    else
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        java.util.Arrays.copyOf(out.asInstanceOf[Array[AnyRef]], o))
+  }
+}
+
+/** Full BPE tokenization of a text in ONE codegen'd pass: whitespace
+  * words (case preserved — tokenizers are case-sensitive), each word
+  * split to code-point symbols plus a final "</w>" end-of-word marker,
+  * the learned merge list applied IN ORDER to each word, all words'
+  * symbols concatenated. The merge list is a compile-time reference
+  * (driver-learned, bounded), so per-row cost is
+  * O(len · merges-that-apply) with zero interpreted HOF evaluation —
+  * the shape a tokenize-100-TB pass needs. An empty merge list yields
+  * the initial symbol sequences (used by [[graft.ext.Bpe]] to seed the
+  * vocab table).
+  */
+case class BpeTokenize(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_tokenize expects STRING, got ${child.dataType.sql}")
+  }
+
+  @transient private lazy val mergeArr: Array[Array[UTF8String]] =
+    BpeTokenize.toMergeArr(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeTokenize.tokenize(input.asInstanceOf[UTF8String], mergeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("merges", mergeArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeTokenize.tokenize($c, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeTokenize {
+  val EndOfWord = "</w>"
+
+  def toMergeArr(merges: Seq[(String, String)]): Array[Array[UTF8String]] =
+    merges.map { case (l, r) =>
+      Array(UTF8String.fromString(l), UTF8String.fromString(r))
+    }.toArray
+
+  /** Static entry point shared by eval and generated code. */
+  def tokenize(text: UTF8String, merges: Array[Array[UTF8String]]): ArrayData = {
+    val words = text.toString.split("\\s+")
+    val out = new java.util.ArrayList[Any]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        // code-point symbols + end-of-word marker
+        var syms = new java.util.ArrayList[UTF8String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          val cc = Character.charCount(cp)
+          syms.add(UTF8String.fromString(w.substring(ci, ci + cc)))
+          ci += cc
+        }
+        syms.add(UTF8String.fromString(EndOfWord))
+        var mi = 0
+        while (mi < merges.length) {
+          val l = merges(mi)(0)
+          val r = merges(mi)(1)
+          val next = new java.util.ArrayList[UTF8String](syms.size)
+          var i = 0
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms.get(i).equals(l) &&
+                syms.get(i + 1).equals(r)) {
+              next.add(UTF8String.concat(l, r))
+              i += 2
+            } else {
+              next.add(syms.get(i))
+              i += 1
+            }
+          }
+          syms = next
+          mi += 1
+        }
+        out.addAll(syms)
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -962,6 +1120,10 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expr(a), expr(b)))
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
+  def bpeMergePair(c: Column, left: String, right: String): Column =
+    column(BpeMergePair(expr(c), left, right))
+  def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
+    column(BpeTokenize(expr(c), merges))
   def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
       width: Int = 8): Column =
     column(HyperplaneSig(expr(c), planes, bands, width))

@@ -662,6 +662,29 @@ object HygieneQueries {
       |   AS n_tokens
       |FROM u ORDER BY doc_id, sent_idx""".stripMargin
 
+  // --------------------------------------------------- BPE tokenizer
+
+  /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
+    * Sennrich et al. 2016): 24 merges learned from the word-frequency
+    * table. The merge loop is iterative, so the oracle is a pinned
+    * VALUES literal from an independent Python replay of the paper
+    * (tools/gen_bpe_oracle.py — the d3 pinned-oracle pattern). */
+  def bpeMerges(s: SparkSession, d: String): DataFrame =
+    graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24)
+      .orderBy("rank")
+
+  /** End-to-end tokenizer training + serving: learn the 24 merges, then
+    * tokenize the whole corpus with them in one codegen'd pass
+    * (Bpe.tokenize) and emit per-doc subword token counts. */
+  def bpeTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24))
+    graft.ext.Bpe.tokenize(Tables.documents(s, d), "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -680,5 +703,8 @@ object HygieneQueries {
     QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
-    QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)))
+    QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
+    QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
+    QueryDef("t24_bpe_token_counts", bpeTokenCounts,
+      Some(PinnedOracles.t24BpeTokenCounts)))
 }
