@@ -104,12 +104,26 @@ object Ingest {
       def processFile(path: Path): Unit = {
         val fname = path.getFileName.toString
         try {
-          if (fname.toLowerCase.endsWith(".zip")) {
+          val lower = fname.toLowerCase
+          if (lower.endsWith(".zip")) {
             // O5: spool-extract and recurse into every extracted file.
             val dest = Files.createTempDirectory(tmp, "unzipped_")
             val in = Files.newInputStream(path)
             val extracted = try Zip.extractAll(in, dest) finally in.close()
             log("Unzipped file", s"$fname -> ${extracted.size} files")
+            extracted.foreach(processFile)
+            return
+          }
+          if (lower.endsWith(".tar") || lower.endsWith(".tar.gz") ||
+              lower.endsWith(".tgz")) {
+            // O5 extension: tarballs recurse exactly like zips (gzip
+            // rides the JDK stream; tar is graft.io.Tar's ustar reader).
+            val dest = Files.createTempDirectory(tmp, "untarred_")
+            val raw = Files.newInputStream(path)
+            val in = if (lower.endsWith(".tar")) raw
+                     else new java.util.zip.GZIPInputStream(raw)
+            val extracted = try Tar.extractAll(in, dest) finally in.close()
+            log("Untarred file", s"$fname -> ${extracted.size} files")
             extracted.foreach(processFile)
             return
           }

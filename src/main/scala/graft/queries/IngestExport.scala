@@ -414,6 +414,40 @@ object IngestExportQueries {
     s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
 
+  /** Tarball ingest (O5 extension — the reference recurses into zip
+    * only): the same two-member CSV batch as i3, written through the
+    * engine's own ustar writer, gzipped with the JDK stream, and
+    * ingested via the .tgz recursion path. Same oracle as i3 — a
+    * mis-parsed header offset, a dropped 512-byte tail, or a bad size
+    * field all hash-mismatch. */
+  def ingestTgzE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i13_")
+    val cust = Tables.customer(s, d)
+    val header = cust.columns.mkString(",")
+    def csvBytes(df: org.apache.spark.sql.DataFrame): Array[Byte] =
+      (header +: df.collect().toSeq.map(_.toSeq.map {
+        case null => ""
+        case v    => v.toString
+      }.mkString(","))).mkString("\n").getBytes("UTF-8")
+    val lo = csvBytes(cust.where(col("c_custkey") % 2 === 0))
+    val hi = csvBytes(cust.where(col("c_custkey") % 2 === 1))
+    val tgzPath = tmp.resolve("batch.tgz")
+    val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(tgzPath))
+    try graft.io.Tar.write(out, Seq("even.csv" -> lo, "odd.csv" -> hi))
+    finally out.close()
+
+    val ref = TableRef("graft", "verify", "i13_customer")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = "batch\\.tgz", metadata = Some(customerMeta),
+      justCopy = false, delete = true))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    require(!Files.exists(tgzPath), "O24: source tgz should be deleted")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
+  }
+
   /** Latin-1 CSV ingest with an explicit encoding (the FIXTURES.md
     * deviation from pandas' sniffing): names carry an 'é' (0xE9 in
     * ISO-8859-1, NOT valid UTF-8), written as latin-1 bytes and ingested
@@ -763,5 +797,6 @@ object IngestExportQueries {
       Some(exportPartitionedOracle)),
     QueryDef("i11_ingest_fwf_e2e", ingestFwfE2e, Some(ingestFwfOracle)),
     QueryDef("i12_ingest_xlsx_all_sheets_e2e", ingestXlsxAllSheetsE2e,
-      Some(ingestXlsxAllSheetsOracle)))
+      Some(ingestXlsxAllSheetsOracle)),
+    QueryDef("i13_ingest_tgz_e2e", ingestTgzE2e, Some(ingestJsonOracle)))
 }

@@ -333,6 +333,62 @@ class IoSpec extends AnyFunSuite {
     assert(e.getMessage.contains("not found"))
   }
 
+  test("Tar: extracts GNU-tar-authored archives (subdirs, long names), " +
+      "round-trips its own writer, rejects slip entries") {
+    // Independent-producer check: GNU tar authors the archive, our
+    // ustar reader extracts it — no shared code on either side.
+    val src = Files.createTempDirectory("graft_tar_src_")
+    Files.createDirectories(src.resolve("sub/deeper"))
+    Files.writeString(src.resolve("a.csv"), "x,y\n1,2\n")
+    Files.writeString(src.resolve("sub/b.txt"), "hello")
+    val longName = "sub/deeper/" + ("n" * 120) + ".dat" // >100 bytes: GNU 'L'
+    Files.writeString(src.resolve(longName), "long-name payload")
+    val tarPath = Files.createTempFile("graft_tar_", ".tar")
+    val rc = new ProcessBuilder("tar", "cf", tarPath.toString,
+        "-C", src.toString, ".").inheritIO().start().waitFor()
+    assert(rc === 0)
+    val dest = Files.createTempDirectory("graft_tar_out_")
+    val in = Files.newInputStream(tarPath)
+    val extracted = try Tar.extractAll(in, dest) finally in.close()
+    val byName = extracted.map(p => dest.relativize(p).toString
+      .stripPrefix("./") -> Files.readString(p)).toMap
+    assert(byName("a.csv") === "x,y\n1,2\n")
+    assert(byName("sub/b.txt") === "hello")
+    assert(byName(longName) === "long-name payload")
+
+    // writer -> reader round trip
+    val bytes = new ByteArrayOutputStream()
+    Tar.write(bytes, Seq("one.txt" -> "1".getBytes("UTF-8"),
+      "two/three.txt" -> ("z" * 600).getBytes("UTF-8"))) // spans blocks
+    val dest2 = Files.createTempDirectory("graft_tar_rt_")
+    val rt = Tar.extractAll(
+      new java.io.ByteArrayInputStream(bytes.toByteArray), dest2)
+    assert(rt.map(p => dest2.relativize(p).toString ->
+      Files.readString(p)).toMap ===
+      Map("one.txt" -> "1", "two/three.txt" -> ("z" * 600)))
+    // our writer's output must also satisfy GNU tar
+    val rtPath = Files.createTempFile("graft_tar_rt_", ".tar")
+    Files.write(rtPath, bytes.toByteArray)
+    assert(new ProcessBuilder("tar", "tf", rtPath.toString)
+      .inheritIO().start().waitFor() === 0)
+
+    // slip guard: hand-built header with an escaping name
+    val evil = new ByteArrayOutputStream()
+    Tar.write(evil, Seq("ok.txt" -> "x".getBytes("UTF-8")))
+    val raw = evil.toByteArray
+    System.arraycopy("../escape".getBytes("UTF-8"), 0, raw, 0, 9)
+    java.util.Arrays.fill(raw, 9, 100, 0.toByte)
+    // checksum must be re-stamped after renaming or the header is junk
+    java.util.Arrays.fill(raw, 148, 156, ' '.toByte)
+    val sum = (0 until 512).map(i => raw(i) & 0xff).sum
+    System.arraycopy(f"${sum}%06o".getBytes("US-ASCII"), 0, raw, 148, 6)
+    raw(154) = 0; raw(155) = ' '
+    val e = intercept[SecurityException](Tar.extractAll(
+      new java.io.ByteArrayInputStream(raw),
+      Files.createTempDirectory("graft_tar_evil_")))
+    assert(e.getMessage.contains("escapes"))
+  }
+
   test("Xlsx: colIndex decodes multi-letter refs") {
     assert(Xlsx.colIndex("A1") === 0)
     assert(Xlsx.colIndex("Z9") === 25)
