@@ -269,6 +269,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
   }
 
+  test("AnnIndex serve: the ADC scan prunes the raw-vector column — only " +
+      "the rerank reads cvec") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_annplan_")
+      .resolve("idx").toString
+    val vecs = (0L until 64L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(16)(r.nextFloat() - 0.5f))
+    }
+    graft.ext.AnnIndex.buildIvfPq(vecs.toDF("cid", "cvec"), dim = 16,
+      nlist = 4, root = root, m = 4, codes = 8)
+    val queries = vecs.take(2).toDF("qid", "qvec")
+    val served = graft.ext.AnnIndex.queryIvfPq(spark, root, queries,
+      k = 3, nprobe = 2, rerank = 8)
+    val s = planString(served)
+    // two scans of encoded.parquet: the ADC scan must read ONLY
+    // (cid, centroid_id, codes); the rerank scan reads (cid, cvec)
+    val readSchemas = s.linesIterator.filter(l =>
+      l.contains("ReadSchema") && l.contains("codes")).toSeq
+    assert(readSchemas.nonEmpty, s)
+    readSchemas.foreach(rs => assert(!rs.contains("cvec"),
+      s"ADC scan must not read the raw-vector column:\n$rs"))
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
