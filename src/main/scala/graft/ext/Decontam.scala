@@ -72,4 +72,33 @@ object Decontam {
     corpus.join(
       hits(corpus, textCol, idCol, benchmark, benchTextCol, n).select(col(idCol)),
       Seq(idCol), "left_anti")
+
+  /** Join-free [[flag]]: the benchmark gram set is collected ONCE on the
+    * driver (bounded by the eval-sets-are-MBs premise this whole
+    * operator rests on) and shipped inside a single codegen'd
+    * hash-probe expression ([[graft.functions.GramHitCount]]). The
+    * corpus pass becomes one STATELESS narrow projection — no explode,
+    * no join, no aggregation, no shuffle at all — which is also what
+    * lets it run UNCHANGED over a STREAMING corpus
+    * (decontaminate-at-ingest, the st12 gate): the exploded
+    * broadcast-join formulation of [[flag]] would need a stateful
+    * per-document re-count there. Results are identical to [[flag]]. */
+  def flagInline(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame = {
+    val bench = benchmarkGrams(benchmark, benchTextCol, n)
+      .collect().map(_.getString(0))
+    corpus
+      .withColumn("n_hits",
+        graft.functions.GraftFunctions
+          .gramHitCount(gramsCol(col(textCol), n), bench)
+          .cast(org.apache.spark.sql.types.LongType))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
+  /** Join-free [[clean]] (same inline probe; stream-safe). */
+  def cleanInline(corpus: DataFrame, textCol: String, idCol: String,
+      benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    flagInline(corpus, textCol, idCol, benchmark, benchTextCol, n)
+      .where(!col("contaminated"))
+      .drop("n_hits", "contaminated")
 }

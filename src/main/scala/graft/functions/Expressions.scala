@@ -1108,6 +1108,65 @@ object BpeTokenize {
   }
 }
 
+/** Count of array elements present in a FIXED string set shipped with
+  * the plan — the join-free probe for decontamination-style "does this
+  * doc share a gram with the (small) benchmark set" checks. The set is
+  * a single reference object per plan (hashed once, probed O(1) per
+  * gram), so the corpus is scanned in one stateless narrow projection:
+  * no explode, no join, no aggregation — which is also what makes the
+  * operator run UNCHANGED on a streaming corpus, where the exploded
+  * broadcast-join formulation would need a stateful per-doc re-count.
+  * Bounded by the premise that eval sets are MBs (collected driver-side
+  * once), while the corpus is TBs.
+  */
+case class GramHitCount(child: Expression, bench: Array[String])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"gram_hit_count expects ARRAY<STRING>, got ${t.sql}")
+    }
+  }
+
+  @transient private lazy val set: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](math.max(16, bench.length * 2))
+    bench.foreach(b => s.add(UTF8String.fromString(b)))
+    s
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    GramHitCount.count(input.asInstanceOf[ArrayData], set)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val s = ctx.addReferenceObj("benchSet", set, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.GramHitCount.count($c, $s);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object GramHitCount {
+  /** Static entry point shared by eval and generated code. */
+  def count(grams: ArrayData, set: java.util.HashSet[UTF8String]): Int = {
+    val n = grams.numElements()
+    var i = 0
+    var c = 0
+    while (i < n) {
+      if (!grams.isNullAt(i) && set.contains(grams.getUTF8String(i))) c += 1
+      i += 1
+    }
+    c
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -1120,6 +1179,8 @@ object GraftFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expr(a), expr(b)))
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
+  def gramHitCount(c: Column, bench: Array[String]): Column =
+    column(GramHitCount(expr(c), bench))
   def bpeMergePair(c: Column, left: String, right: String): Column =
     column(BpeMergePair(expr(c), left, right))
   def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
@@ -1150,5 +1211,11 @@ object GraftFunctions {
       "graft_cosine", es => FloatCosine(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash", es => SimHashSignature(es.head), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_token_ngrams", es => TokenNGrams(es(0),
+        es(1).eval().asInstanceOf[Int]), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_sorted_intersect_count",
+      es => SortedIntersectCount(es(0), es(1)), "built-in")
   }
 }

@@ -19,7 +19,7 @@ object HygieneQueries {
   /** Corpus = documents ∪ planted contaminated copies: every 20th doc
     * reappears (id + 200000) wrapped in novel filler, so it shares all
     * its interior 8-grams with the benchmark without being byte-equal. */
-  private def decontamCorpus(s: SparkSession, d: String): DataFrame = {
+  private[queries] def decontamCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     docs.union(docs.where(col("doc_id") % 20 === 0).select(
       (col("doc_id") + 200000).as("doc_id"),
@@ -80,7 +80,7 @@ object HygieneQueries {
       .select(col("doc_id"))
       .orderBy("doc_id")
 
-  private val decontamCleanOracle =
+  private[queries] val decontamCleanOracle =
     """WITH corpus AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL

@@ -186,6 +186,37 @@ object StreamingQueries {
       .select(col("doc_id")).orderBy("doc_id")
   }
 
+  /** Decontaminate-at-ingest (Decontam.cleanInline): the planted
+    * contaminated corpus streams through the join-free benchmark-gram
+    * probe — a STATELESS narrow projection, so the streaming result
+    * must equal the batch d8 clean set row-for-row with no state store
+    * involved at all. The benchmark gram set is collected once at plan
+    * time and ships inside the codegen'd expression. */
+  def decontamStream(s: SparkSession, d: String): DataFrame = {
+    val corpus = HygieneQueries.decontamCorpus(s, d)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st12_").toString
+    corpus.repartition(2).write.mode("overwrite").parquet(tmp)
+    val name = "st12_decontam_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val bench = graft.Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    val q = graft.ext.Decontam.cleanInline(src, "text", "doc_id", bench, "text", n = 8)
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(name).orderBy("doc_id")
+  }
+
   /** Stream-static enrichment: the streaming events join a broadcast
     * static user→segment dimension per micro-batch (stateless — nothing
     * buffered, unlike the stream-stream join), then a complete-mode
@@ -316,6 +347,8 @@ object StreamingQueries {
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("st11_neardup_stream", nearDupStream,
       Some(ExtensionQueries.dedupPipelineOracle)),
+    QueryDef("st12_decontam_stream", decontamStream,
+      Some(HygieneQueries.decontamCleanOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

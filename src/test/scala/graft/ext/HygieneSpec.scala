@@ -45,6 +45,24 @@ class HygieneSpec extends AnyFunSuite {
     assert(kept === Set(3L, 5L, 6L))
   }
 
+  test("Decontam.flagInline: identical results to flag, with a join-free " +
+      "single-projection plan (no exchange at all)") {
+    val viaJoin = Decontam.flag(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    val inline = Decontam.flagInline(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id", "n_hits", "contaminated")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1)
+    assert(inline.toSeq === viaJoin.toSeq)
+    val plan = Decontam.flagInline(corpus, "text", "doc_id", bench, "text", n = 8)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      s"flagInline must be one stateless projection\n$plan")
+    val kept = Decontam.cleanInline(corpus, "text", "doc_id", bench, "text", n = 8)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(3L, 5L, 6L))
+  }
+
   test("Decontam: gram probe is a broadcast join — the corpus side never shuffles") {
     val plan = Decontam.hits(corpus, "text", "doc_id", bench, "text", n = 8)
       .queryExecution.executedPlan.toString
