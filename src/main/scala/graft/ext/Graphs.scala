@@ -150,4 +150,57 @@ object Graphs {
       nodes.unpersist()
     }
   }
+
+  /** k-core decomposition by iterative peeling (Seidman 1983): delete
+    * every node of degree < k, recompute, repeat to the fixpoint — the
+    * surviving subgraph is the maximal one where every node keeps at
+    * least k neighbors. In corpus curation this is the link-graph
+    * quality filter: pages outside a modest core are disproportionately
+    * spam/orphans (the same role the Gopher rules play for text).
+    *
+    * Plan shape per round: one degree aggregation (two narrow unions of
+    * the edge frame, one shuffle on node) and two anti-joins of the
+    * edge frame against the (usually tiny, broadcast) doomed-node set;
+    * `localCheckpoint` truncates lineage per round, same as every
+    * iterative fixed-point here. Peeling removes at least one node per
+    * round on a non-converged graph, but real graphs shed whole
+    * shells per round — rounds in practice are O(core number), with
+    * `maxIter` guarding the adversarial chain. Like
+    * [[pageRank]], the iteration pins core-count partitioning rather
+    * than inheriting session-level AQE sizing.
+    *
+    * Output: (node, degree) of the k-core subgraph — degree counted
+    * WITHIN the core, every degree >= k. Empty when no k-core exists.
+    */
+  def kCore(edges: DataFrame, src: String, dst: String, k: Int,
+      maxIter: Int = 100): DataFrame = {
+    require(k >= 1, s"k out of range: $k")
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    var e = edges
+      .select(least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+      .distinct()
+      .repartition(p, col("u"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val deg = e.select(col("u").as("node"))
+        .unionAll(e.select(col("v").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val doomed = deg.where(col("d") < k).select("node")
+      if (doomed.isEmpty) converged = true
+      else {
+        e = e
+          .join(doomed.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
+          .join(doomed.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    require(converged, s"kCore: no fixpoint within $maxIter rounds")
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+  }
 }

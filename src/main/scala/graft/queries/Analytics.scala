@@ -146,17 +146,32 @@ object AnalyticsQueries {
     * Graphs.triangleCounts, degree-ordered orientation). The oracle
     * replays the SEMANTICS — each triangle once as a < b < c via a
     * 3-way edge join — not the orientation plan. */
-  def triangles(s: SparkSession, d: String): DataFrame = {
+  /** Co-purchase graph shared by g1/g4: nodes = parts, an edge when two
+    * parts appear in the same order. */
+  private def coPurchaseEdges(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
     val gi = Tables.lineitem(s, d)
       .select(col("l_orderkey").as("g"), col("l_partkey").as("i"))
       .distinct()
-    val edges = gi.select(col("g"), col("i").as("src"))
+    gi.select(col("g"), col("i").as("src"))
       .join(gi.select(col("g"), col("i").as("dst")), "g")
       .where(col("src") < col("dst"))
       .select("src", "dst")
-    graft.ext.Graphs.triangleCounts(edges, "src", "dst", topK = 25)
   }
+
+  def triangles(s: SparkSession, d: String): DataFrame =
+    graft.ext.Graphs.triangleCounts(coPurchaseEdges(s, d), "src", "dst",
+      topK = 25)
+
+  /** k-core of the co-purchase graph (Graphs.kCore, k=75 — just above
+    * this graph's cascade threshold, so the peel does several real
+    * rounds: 62 nodes shed and every survivor's in-core degree
+    * recomputed). Iterative peeling is not SQL-expressible, so the
+    * oracle is the pinned independent-Python peel
+    * (tools/gen_kcore_oracle.py, the d3/t23 pattern). */
+  def kcore(s: SparkSession, d: String): DataFrame =
+    graft.ext.Graphs.kCore(coPurchaseEdges(s, d), "src", "dst", k = 75)
+      .orderBy("node")
 
   private val trianglesOracle =
     """WITH gi AS (
@@ -262,6 +277,7 @@ object AnalyticsQueries {
     QueryDef("q46_cooccurrence", cooccur, Some(cooccurOracle)),
     QueryDef("g1_triangles", triangles, Some(trianglesOracle), bench = true),
     QueryDef("g2_pagerank", pagerank, Some(pagerankOracle), bench = true),
+    QueryDef("g4_kcore", kcore, Some(PinnedOracles.g4KCore)),
     QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)),
     QueryDef("q49_transitions", transitions, Some(transitionsOracle)))
 }

@@ -58,6 +58,21 @@ class GraphsSpec extends AnyFunSuite {
 
   // -------------------------------------------------------- pagerank
 
+  test("kCore: pendant chain peels transitively, the triangle core survives " +
+      "with in-core degrees") {
+    import spark.implicits._
+    // triangle 1-2-3 plus chain 3-4-5: at k=2 node 5 (deg 1) peels,
+    // which drops 4 to deg 1 and peels it too — the cascade that makes
+    // the op iterative. Survivors: the triangle, every degree 2.
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val core = Graphs.kCore(edges, "src", "dst", k = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k above the max degree: empty core, converges cleanly
+    assert(Graphs.kCore(edges, "src", "dst", k = 5).isEmpty)
+  }
+
   test("pageRank: exact fixed-point values on a 3-cycle with a feeder") {
     // 1 → 2 → 3 → 1 plus 4 → 1; replay the integer recurrence in Scala.
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (4L, 1L))
