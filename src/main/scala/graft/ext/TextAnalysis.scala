@@ -181,6 +181,22 @@ object TextAnalysis {
   def normalize(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), normalizeCol(col(text)).as("norm_text"))
 
+  /** Unicode normalization (UAX #15). Run upstream of fingerprinting /
+    * shingling / BPE / decontamination: those all key on raw bytes, and
+    * a corpus mixing composed and decomposed forms (OCR output, PDF
+    * extraction with compatibility ligatures or full-width forms)
+    * silently splits what should be one key. NFC for byte-stable
+    * display text; NFKC to also fold compatibility variants (ﬁ→fi,
+    * ①→1, full-width→ASCII) ahead of tokenization. One codegen'd
+    * projection; the expression's fast path skips allocation for
+    * already-normalized (e.g. pure-ASCII) rows, so the bulk of a web
+    * corpus passes through at scan speed. */
+  def unicodeNormalize(df: DataFrame, text: String, id: String,
+      form: String = "NFC"): DataFrame =
+    df.select(col(id),
+      graft.functions.GraftFunctions.unicodeNormalize(col(text), form)
+        .as("norm_text"))
+
   // ------------------------------------------------------------ chunking
 
   /** Overlapping token-window chunking — the RAG/context-window prep

@@ -1167,6 +1167,53 @@ object GramHitCount {
   }
 }
 
+/** Unicode normalization (UAX #15) to NFC / NFKC / NFD / NFKD via
+  * `java.text.Normalizer`. Corpus text arrives in mixed normal forms
+  * (combining sequences from OCR, compatibility ligatures and
+  * full-width forms from PDFs); tokenizers, dedup fingerprints and
+  * exact-match decontamination all key on raw bytes, so un-normalized
+  * text silently splits what should be one key. One codegen'd pass
+  * here, upstream of fingerprint/shingle/BPE, fixes every consumer.
+  * The fast path skips allocation when `isNormalized` already holds —
+  * true for the overwhelmingly-ASCII bulk of a web corpus.
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression {
+
+  private val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unicode_normalize expects STRING, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    UnicodeNormalize.normalize(input.asInstanceOf[UTF8String], nf)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val formRef = ctx.addReferenceObj("unNf", nf, "java.text.Normalizer.Form")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnicodeNormalize.normalize($c, $formRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnicodeNormalize {
+  /** Static entry point shared by eval and generated code. */
+  def normalize(s: UTF8String, form: java.text.Normalizer.Form): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, form)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, form))
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -1181,6 +1228,8 @@ object GraftFunctions {
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
   def gramHitCount(c: Column, bench: Array[String]): Column =
     column(GramHitCount(expr(c), bench))
+  def unicodeNormalize(c: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expr(c), form))
   def bpeMergePair(c: Column, left: String, right: String): Column =
     column(BpeMergePair(expr(c), left, right))
   def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =

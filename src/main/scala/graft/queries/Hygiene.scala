@@ -662,6 +662,38 @@ object HygieneQueries {
       |   AS n_tokens
       |FROM u ORDER BY doc_id, sent_idx""".stripMargin
 
+  // ------------------------------------------- Unicode normalization
+
+  /** Unicode NFC normalization (ext TextAnalysis.unicodeNormalize,
+    * functions.UnicodeNormalize). The synthetic corpus is pure ASCII —
+    * already NFC — so the gate plants a decomposed prefix on every row
+    * (e + combining acute, A + combining ring, the ﬁ ligature, a
+    * circled digit) and normalizes the concatenation: composition must
+    * fuse the combining sequences (é, Å) and leave the compatibility
+    * characters alone (they only fold under NFKC, which is spec-pinned
+    * — DuckDB ships no nfkc function to replay it). n_chars counts
+    * post-NFC codepoints, pinning that composition really shortened
+    * the string on both engines. */
+  def unicodeNfc(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(
+      lit("é Å ﬁ ① | "),
+      substring(col("text"), 1, 24))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.unicodeNormalize(planted, "NFC")
+          .as("nfc_text"))
+      .withColumn("n_chars", length(col("nfc_text")).cast("long"))
+      .orderBy("doc_id")
+  }
+
+  private val unicodeNfcOracle =
+    """SELECT doc_id,
+      | nfc_normalize(e'é Å ﬁ ① | '
+      |   || substr(text, 1, 24)) AS nfc_text,
+      | CAST(length(nfc_normalize(e'é Å ﬁ ① | '
+      |   || substr(text, 1, 24))) AS BIGINT) AS n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- BPE tokenizer
 
   /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
@@ -704,6 +736,7 @@ object HygieneQueries {
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
+    QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)))

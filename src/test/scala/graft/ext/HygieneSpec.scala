@@ -310,4 +310,34 @@ class HygieneSpec extends AnyFunSuite {
     // york->new bridges repetitions: co=2 ("york new" twice).
     assert(got(("york", "new"))._1 === 2L)
   }
+
+  test("UnicodeNormalize: NFC composes, NFKC also folds compatibility forms") {
+    // raw is DECOMPOSED at the byte level (e+U+0301, A+U+030A) plus
+    // compatibility chars: ligature U+FB01, circled one U+2460,
+    // full-width A U+FF21 — it renders like the NFC expectation below
+    // but is byte-distinct (od -c this file to audit).
+    val raw = "é Å ﬁ ① Ａ ascii"
+    val df = Seq((1L, raw)).toDF("id", "t")
+
+    val nfc = TextAnalysis.unicodeNormalize(df, "t", "id", "NFC")
+      .collect().head.getString(1)
+    // Combining pairs compose; compatibility chars survive NFC.
+    assert(nfc === "é Å ﬁ ① Ａ ascii")
+
+    val nfkc = TextAnalysis.unicodeNormalize(df, "t", "id", "NFKC")
+      .collect().head.getString(1)
+    // NFKC additionally folds: fi-ligature -> "fi", circled-one -> "1",
+    // full-width A -> "A".
+    assert(nfkc === "é Å fi 1 A ascii")
+
+    // Already-normalized ASCII passes through unchanged (fast path).
+    val plain = Seq((1L, "plain ascii")).toDF("id", "t")
+    assert(TextAnalysis.unicodeNormalize(plain, "t", "id", "NFKC")
+      .collect().head.getString(1) === "plain ascii")
+
+    // NULL stays NULL (nullSafeEval contract).
+    val withNull = Seq((1L, null.asInstanceOf[String])).toDF("id", "t")
+    assert(TextAnalysis.unicodeNormalize(withNull, "t", "id", "NFC")
+      .collect().head.isNullAt(1))
+  }
 }
