@@ -72,6 +72,48 @@ object Sampling {
     df.where(bucketOf(key, seed) < thr)
   }
 
+  /** Temperature-scaled mixture sampling — the p^α rule of multilingual
+    * / multi-domain pretraining: with domain share p_d = n_d/N, the
+    * target mixture is q_d ∝ p_d^α, realized WITHOUT replication by
+    * keeping each row of domain d with rate_d ∝ p_d^(α−1), normalized
+    * so the rarest domain keeps everything (rates = (n_min/n_d)^(1−α)
+    * ≤ 1). α=1 is the natural distribution (keep all), α=0 flattens to
+    * uniform-by-domain (rate n_min/n_d), α between interpolates.
+    * Membership is the seeded content hash ([[bucketOf]]) under a
+    * per-domain threshold, so the sample is reproducible row-exact.
+    *
+    * Scale shape: one partial-agg shuffle of |domains| rows for the
+    * counts, a broadcast join of the tiny rate table onto the corpus,
+    * then a narrow filter — the corpus itself is scanned once and
+    * never shuffled.
+    *
+    * Cross-engine exactness: α ∈ {0, 0.5, 1} computes the rate via
+    * exact division / IEEE-correctly-rounded sqrt, so an independent
+    * SQL engine replays membership bit-exactly (the gate pins α=0.5);
+    * other α go through pow(), correct to ~1 ulp, where a hash landing
+    * exactly on a threshold boundary could in principle differ. */
+  def temperatureSample(df: DataFrame, domain: Column, key: Column,
+      alpha: Double = 0.5, seed: Long = 0L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha=$alpha not in [0,1]")
+    Seq("__dom", "__n", "__nmin", "__rate").foreach(c =>
+      require(!df.columns.exists(_.equalsIgnoreCase(c)),
+        s"temperatureSample: input already has a column named '$c'"))
+    val counts = df.groupBy(domain.as("__dom")).agg(count(lit(1)).as("__n"))
+    val ratio = col("__nmin").cast("double") / col("__n").cast("double")
+    val rate =
+      if (alpha == 1.0) lit(1.0)
+      else if (alpha == 0.5) sqrt(ratio)
+      else if (alpha == 0.0) ratio
+      else pow(ratio, lit(1.0 - alpha))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__nmin"))))
+      .select(col("__dom"), rate.as("__rate"))
+    df.join(broadcast(rates), domain === col("__dom"))
+      .where(bucketOf(key, seed) <
+        floor(col("__rate") * lit(M.toDouble)).cast("long"))
+      .drop("__dom", "__rate")
+  }
+
   /** Per-row WEIGHTED sampling: keep each row with probability
     * `weight` (a column in [0,1], clamped), decided by the same
     * content-keyed hash — reproducible importance sampling (e.g. keep

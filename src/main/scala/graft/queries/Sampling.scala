@@ -57,6 +57,31 @@ object SamplingQueries {
       |   WHEN 'purchase' THEN 1.0 ELSE 0.1 END)) AS BIGINT)
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Temperature-scaled (p^0.5) language mixing over documents: en
+    * dominates the corpus, so it is downsampled hardest; the rarest
+    * language keeps every row. Row-exact membership: the oracle
+    * replays counts → sqrt rate → hash threshold (sqrt and double
+    * division are IEEE-correctly-rounded on both engines, so the
+    * per-domain thresholds agree bit-exactly). */
+  def temperatureSample(s: SparkSession, d: String): DataFrame =
+    Sampling.temperatureSample(Tables.documents(s, d),
+        col("lang"), col("doc_id"), alpha = 0.5)
+      .select(col("doc_id"), col("lang")).orderBy("doc_id")
+
+  private val temperatureOracle =
+    """WITH c AS (
+      | SELECT lang, CAST(count(*) AS BIGINT) AS n
+      | FROM documents GROUP BY lang),
+      |m AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM c),
+      |r AS (
+      | SELECT lang, sqrt(nmin / CAST(n AS DOUBLE)) AS rate
+      | FROM c, m)
+      |SELECT d.doc_id, d.lang
+      |FROM documents d JOIN r ON d.lang = r.lang
+      |WHERE ((d.doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |      % 2147483647 < CAST(floor(rate * 2147483647) AS BIGINT)
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Per-row weighted sampling: keep probability rises with
     * event_id % 100 (a stand-in for a per-row quality score). Counts per
     * type; membership replayed exactly. */
@@ -210,5 +235,7 @@ object SamplingQueries {
     QueryDef("sm5_exact_k_sample", exactKSample, Some(exactKOracle)),
     QueryDef("sm6_quota_sample", quotaSample, Some(quotaOracle)),
     QueryDef("sm7_weighted_interleave", weightedInterleave, Some(interleaveOracle)),
-    QueryDef("sm8_token_budget", tokenBudget, Some(tokenBudgetOracle)))
+    QueryDef("sm8_token_budget", tokenBudget, Some(tokenBudgetOracle)),
+    QueryDef("sm11_temperature_sample", temperatureSample,
+      Some(temperatureOracle)))
 }

@@ -224,4 +224,42 @@ class SamplingSpec extends AnyFunSuite {
       Sampling.replicate(df, lit(1000000L), col("id"))
     }
   }
+
+  test("temperatureSample: rarest domain keeps all, dominant downsampled, " +
+      "alpha endpoints and layout independence") {
+    // 4000 'big' rows vs 250 'small' rows: p^0.5 keeps small intact and
+    // big at sqrt(250/4000) = 0.25.
+    val df = ((1L to 4000L).map(i => (i, "big")) ++
+      (10001L to 10250L).map(i => (i, "small"))).toDF("id", "dom")
+
+    val half = Sampling.temperatureSample(df, col("dom"), col("id"), alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (bigKept, smallKept) = half.partition(_._2 == "big")
+    assert(smallKept.length === 250, "rarest domain must keep every row")
+    assert(math.abs(bigKept.length - 1000) < 150,
+      s"big kept ${bigKept.length}, expected ~1000 (rate 0.25)")
+
+    // alpha=1: natural distribution — everything survives.
+    assert(Sampling.temperatureSample(df, col("dom"), col("id"), alpha = 1.0)
+      .count() === 4250L)
+
+    // alpha=0: uniform-by-domain — big's expected kept count equals
+    // small's size (rate nmin/n = 250/4000).
+    val flat = Sampling.temperatureSample(df, col("dom"), col("id"), alpha = 0.0)
+      .where(col("dom") === "big").count()
+    assert(math.abs(flat - 250L) < 80, s"alpha=0 big kept $flat, expected ~250")
+
+    // Membership is layout-independent.
+    val a = Sampling.temperatureSample(df.repartition(3), col("dom"), col("id"))
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.temperatureSample(df.repartition(17), col("dom"), col("id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a === b)
+
+    // Scratch-column guard.
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureSample(df.withColumnRenamed("dom", "__rate"),
+        col("__rate"), col("id"))
+    }
+  }
 }
