@@ -39,6 +39,51 @@ object Packing {
   def packConcat(df: DataFrame, id: String, tokenCount: Column,
       seqLen: Int, numPartitions: Int = 0): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen")
+    withOffsets(df, id, tokenCount, numPartitions) { counted =>
+      counted.select(col(id), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"),
+        floor((col("end_offset") - col("n_tokens")) / seqLen).as("seq_first"),
+        floor((col("end_offset") - 1) / seqLen).as("seq_last"))
+    }
+  }
+
+  /** Token-balanced SHARD assignment — the training-export layout pass:
+    * documents in deterministic `id` order are cut into contiguous
+    * shards of ~`shardTokens` tokens each (shard = the document's start
+    * offset DIV the budget, so every shard holds the docs whose packed
+    * stream positions fall in one budget window; a doc straddling a
+    * boundary goes to the shard its FIRST token lands in, keeping
+    * shards within one document of the budget). Downstream writers
+    * emit one file per shard (`.repartition(col("shard_id"))` then
+    * partitionBy), giving the near-equal-size shuffle-shard files a
+    * trainer's data loader expects, with membership a pure function of
+    * (id, tokens) — reshardable and resumable at any scale. Integer
+    * DIV, not float floor: offsets near 2^53 would round wrong in a
+    * double. Same two-phase distributed prefix sum as [[packConcat]];
+    * replayable by a single window sum (the pk2 gate oracle). */
+  def shardByTokens(df: DataFrame, id: String, tokenCount: Column,
+      shardTokens: Long, numPartitions: Int = 0): DataFrame = {
+    require(shardTokens > 0, s"shardTokens=$shardTokens")
+    withOffsets(df, id, tokenCount, numPartitions) { counted =>
+      counted.select(col(id), col("n_tokens"),
+        (col("end_offset") - col("n_tokens")).as("start_offset"))
+        .withColumn("shard_id",
+          expr(s"start_offset DIV ${shardTokens}L"))
+    }
+  }
+
+  /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
+    * token counts per shard — the sidecar a loader checks before
+    * streaming a shard. A |shards|-row aggregate, never the corpus. */
+  def shardManifest(sharded: DataFrame): DataFrame =
+    sharded.groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+
+  /** Two-phase distributed prefix sum shared by [[packConcat]] /
+    * [[shardByTokens]]: hands `body` a frame (id, n_tokens, end_offset)
+    * with end_offset = inclusive global running total in `id` order. */
+  private def withOffsets(df: DataFrame, id: String, tokenCount: Column,
+      numPartitions: Int)(body: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val nPart =
       if (numPartitions > 0) numPartitions
@@ -63,12 +108,8 @@ object Packing {
         map((0 until nPart).flatMap(p =>
           Seq(lit(p), lit(bases(p)))): _*), col("__pid"))
       val w = Window.partitionBy(col("__pid")).orderBy(col(id))
-      counted
-        .withColumn("end_offset", baseExpr + sum(col("n_tokens")).over(w))
-        .select(col(id), col("n_tokens"),
-          (col("end_offset") - col("n_tokens")).as("start_offset"),
-          floor((col("end_offset") - col("n_tokens")) / seqLen).as("seq_first"),
-          floor((col("end_offset") - 1) / seqLen).as("seq_last"))
+      body(counted
+        .withColumn("end_offset", baseExpr + sum(col("n_tokens")).over(w)))
     } finally counted.unpersist()
   }
 

@@ -18,6 +18,48 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
       .orderBy("doc_id")
 
+  /** Token-balanced shard assignment at a 2048-token budget, plus the
+    * per-shard manifest as a second gate. */
+  def sharding(s: SparkSession, d: String): DataFrame =
+    Packing.shardByTokens(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), shardTokens = 2048)
+      .orderBy("doc_id")
+
+  private val shardingOracle =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+      | CAST(start_offset // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
+  def shardManifest(s: SparkSession, d: String): DataFrame =
+    Packing.shardManifest(
+        Packing.shardByTokens(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), shardTokens = 2048))
+      .orderBy("shard_id")
+
+  private val shardManifestOracle =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT CAST(start_offset // 2048 AS BIGINT) AS shard_id,
+      | CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM o GROUP BY 1 ORDER BY shard_id""".stripMargin
+
   private val packingOracle =
     """WITH t AS (
       | SELECT doc_id,
@@ -636,6 +678,8 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
+    QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
+    QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
     QueryDef("pr2_histogram", histogram, Some(histogramOracle)),
     QueryDef("pr3_winsorize", winsorize, Some(winsorizeOracle)),

@@ -47,6 +47,27 @@ class PackingSpec extends AnyFunSuite {
       s"window must be keyed by __pid\n$plan")
   }
 
+  test("shardByTokens: contiguous budget windows, straddlers go to their " +
+      "first token's shard, manifest is exact") {
+    val got = Packing.shardByTokens(docs, "doc_id", col("toks"), shardTokens = 1000)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("shard_id")))
+    // offsets: 0, 700, 1400, (dropped), 1500, 4000
+    assert(got.toSeq === Seq((1L, 0L), (2L, 0L), (3L, 1L), (5L, 1L), (6L, 4L)))
+
+    val manifest = Packing.shardManifest(
+        Packing.shardByTokens(docs, "doc_id", col("toks"), 1000))
+      .orderBy("shard_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(manifest.toSeq === Seq((0L, 2L, 1400L), (1L, 2L, 2600L), (4L, 1L, 48L)))
+
+    // Layout independence.
+    def run(nPart: Int) =
+      Packing.shardByTokens(docs.repartition(nPart), "doc_id", col("toks"),
+        1000).orderBy("doc_id").collect().map(_.toSeq).toSeq
+    assert(run(7) === run(1))
+  }
+
   test("Profile.describe: one row per column with exact stats") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
