@@ -329,6 +329,66 @@ object TextAnalysis {
     else scored
   }
 
+  /** Statistical-LM in-distribution scoring — the CCNet perplexity-
+    * filter shape with exact-integer arithmetic: train an add-one-
+    * smoothed bigram model on a reference corpus, then score each
+    * document by the MEAN smoothed conditional probability of its
+    * adjacent-token bigrams,
+    *
+    *   P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V)
+    *   score_e9 = (Σ over doc bigrams of (c₁₂+1)·10⁹ div (c₁+V)) div n
+    *
+    * — higher means more in-distribution w.r.t. the reference (the
+    * filtering signal CCNet gets from KenLM perplexity; this orders by
+    * mean probability instead of mean log-probability so every step
+    * stays BIGINT: float log differs at the ulp between engines, and
+    * float sums depend on partition order — see [[pmiBigrams]]).
+    *
+    * Plan: one linear pass over the reference for bigram + unigram
+    * counts (`minCount` prunes rare bigrams so a web-scale model
+    * shrinks to a broadcastable head; pruned/unseen bigrams still
+    * score via the smoothing floor 10⁹/(c₁+V)), one narrow explode of
+    * the scored docs, two gram joins, one final per-doc aggregate.
+    * Overflow bound: (c₁₂+1)·10⁹ needs c₁₂ < 9.2·10⁹; for a corpus
+    * where a bigram tops that, lower `scale` first.
+    *
+    * Output: (id, n_bigrams, sum_e9, score_e9); documents with fewer
+    * than two tokens have no bigrams and are dropped. */
+  def lmScore(docs: DataFrame, text: String, id: String,
+      ref: DataFrame, refText: String, minCount: Long = 1L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(minCount >= 1L, s"minCount=$minCount")
+    require(scale >= 1L, s"scale=$scale")
+    def toks(t: String) =
+      filter(split(lower(col(t)), "\\s+"), x => length(x) > 0)
+    def bigrams(t: String) = flatten(transform(array(toks(t)), ts =>
+      when(size(ts) >= 2,
+        transform(sequence(lit(1), size(ts) - 1),
+          i => struct(element_at(ts, i).as("w1"),
+            element_at(ts, i + 1).as("w2"))))
+        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+
+    val uni = ref.select(explode(toks(refText)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val co = ref.select(explode(bigrams(refText)).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+      .where(col("c12") >= minCount)
+
+    docs.select(col(id), explode(bigrams(text)).as("b"))
+      .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .join(co, Seq("w1", "w2"), "left")
+      .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(id),
+        expr(s"(coalesce(c12, 0L) + 1L) * ${scale}L" +
+          " div (coalesce(c1, 0L) + v)").as("term"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("term")).as("sum_e9"))
+      .withColumn("score_e9", expr("sum_e9 div n_bigrams"))
+  }
+
   /** BM25 top-k document retrieval for a bag-of-terms query (k1 = 1.2,
     * b = 0.75 — the Robertson/Okapi defaults). Scoring is EXACT rational
     * arithmetic scaled to an integer, for the same reason as

@@ -694,6 +694,49 @@ object HygieneQueries {
       |   || substr(text, 1, 24))) AS BIGINT) AS n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ------------------------------------------------ LM scoring (CCNet)
+
+  /** Bigram-LM in-distribution scoring, self-trained on the document
+    * corpus with minCount=2 so both the pruned-model path and the
+    * smoothing floor are exercised (hapax bigrams fall back to
+    * (0+1)·10⁹/(c₁+V)). Exact integer end to end — the oracle replays
+    * model training AND scoring. */
+  def lmScoreGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.lmScore(docs, "text", "doc_id", docs, "text", minCount = 2L)
+      .orderBy("doc_id")
+  }
+
+  private val lmScoreOracle =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS ts
+      | FROM documents),
+      |uni AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS c1
+      | FROM (SELECT unnest(ts) AS w FROM toks) GROUP BY 1),
+      |v AS (SELECT CAST(count(*) AS BIGINT) AS vsz FROM uni),
+      |big AS (
+      | SELECT doc_id, unnest(ts[1:len(ts) - 1]) AS w1,
+      |        unnest(ts[2:len(ts)]) AS w2
+      | FROM toks WHERE len(ts) >= 2),
+      |co AS (
+      | SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+      | FROM big GROUP BY 1, 2 HAVING count(*) >= 2),
+      |terms AS (
+      | SELECT b.doc_id,
+      |  (coalesce(co.c12, 0) + 1) * 1000000000
+      |    // (coalesce(u.c1, 0) + v.vsz) AS term
+      | FROM big b
+      | LEFT JOIN co ON b.w1 = co.w1 AND b.w2 = co.w2
+      | LEFT JOIN uni u ON u.w = b.w1
+      | CROSS JOIN v)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+      | CAST(sum(term) AS BIGINT) AS sum_e9,
+      | CAST(sum(term) // count(*) AS BIGINT) AS score_e9
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- BPE tokenizer
 
   /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
@@ -737,6 +780,7 @@ object HygieneQueries {
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
+    QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)))

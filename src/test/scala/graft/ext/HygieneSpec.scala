@@ -311,6 +311,38 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(("york", "new"))._1 === 2L)
   }
 
+  test("lmScore: add-one-smoothed bigram terms, pruning floor, short docs drop") {
+    // corpus: a:3 b:3 c:1 solo:1 -> V=4; bigrams (a,b):3 (b,a):1 (b,c):1
+    val docs = Seq((1L, "a b a b"), (2L, "a b c"), (3L, "solo"))
+      .toDF("doc_id", "text")
+
+    // minCount=1: P(b|a) term = (3+1)e9 div (3+4) = 571428571;
+    // P(a|b) = P(c|b) = (1+1)e9 div (3+4) = 285714285.
+    val full = TextAnalysis.lmScore(docs, "text", "doc_id", docs, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(full.toSeq === Seq(
+      (1L, 3L, 1428571427L, 476190475L),
+      (2L, 2L, 857142856L, 428571428L))) // doc 3 has no bigrams
+
+    // minCount=2 prunes (b,a)/(b,c): they fall to the smoothing floor
+    // (0+1)e9 div (3+4) = 142857142.
+    val pruned = TextAnalysis.lmScore(docs, "text", "doc_id", docs, "text",
+        minCount = 2L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(pruned.toSeq === Seq(
+      (1L, 1285714284L, 428571428L),
+      (2L, 714285713L, 357142856L)))
+
+    // Scoring a doc with entirely unseen words: every bigram takes
+    // (0+1)*1e9 div (0+V).
+    val alien = Seq((9L, "x y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.lmScore(alien, "text", "doc_id", docs, "text")
+      .collect().head
+    assert(got.getLong(3) === 1000000000L / 4)
+  }
+
   test("UnicodeNormalize: NFC composes, NFKC also folds compatibility forms") {
     // raw is DECOMPOSED at the byte level (e+U+0301, A+U+030A) plus
     // compatibility chars: ligature U+FB01, circled one U+2460,
