@@ -126,6 +126,26 @@ object Sampling {
     df.where(bucketOf(key, seed) < floor(w * M).cast("long"))
   }
 
+  /** Exact-integer weighted sampling: keep each row with probability
+    * min(1, weightE6/capE6), where the weight is a scaled-integer
+    * column (e.g. [[TextAnalysis.importanceScore]]'s score_e6 — this
+    * pair is the DSIR resampling step: rows at or above the cap always
+    * survive, the rest proportionally). Unlike [[weightedSample]] the
+    * threshold arithmetic is pure BIGINT (weight·M div cap), so
+    * membership replays bit-exactly in any engine — no double
+    * rounding anywhere. Still a narrow filter. Overflow bound:
+    * weightE6·M needs weightE6 < 4.3·10⁹. */
+  def weightedSampleE6(df: DataFrame, key: Column, weightE6: Column,
+      capE6: Long, seed: Long = 0L): DataFrame = {
+    require(capE6 > 0L, s"capE6=$capE6")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    val scaled = greatest(weightE6.cast("long"), lit(0L)) * lit(M)
+    val intDiv = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(scaled), expression(lit(capE6))))
+    df.where(bucketOf(key, seed) < least(lit(M), intDiv))
+  }
+
   /** EXACT-size uniform sample: the k smallest hash values (ties broken
     * by key). Unlike Bernoulli sampling the output cardinality is
     * exactly min(k, N), and it plans as TakeOrderedAndProject — each

@@ -389,6 +389,58 @@ object TextAnalysis {
       .withColumn("score_e9", expr("sum_e9 div n_bigrams"))
   }
 
+  /** Importance scoring for data selection — the DSIR shape (importance
+    * resampling toward a target distribution) with exact-integer
+    * arithmetic: estimate per-token importance ratios between a TARGET
+    * exemplar corpus (what you want more of) and the RAW corpus being
+    * selected from, both as add-one-smoothed unigram models over the
+    * union vocabulary,
+    *
+    *   z(w)  = (c_t(w)+1)·(N_r+V)·scale div ((c_r(w)+1)·(N_t+V))
+    *   score = (Σ over doc tokens of z(w)) div n_tokens
+    *
+    * score_e6 > 10⁶ means the document looks more like the target than
+    * like the raw background. DSIR hashes n-grams to bound the model;
+    * here the same bound comes from the models being |union vocab|-row
+    * count frames (prune upstream if needed) — and every step is
+    * BIGINT, so selection is replayable bit-exactly (float products of
+    * probability ratios would differ at the ulp between engines).
+    * Overflow bound: (c_t+1)·(N_r+V)·scale must stay under 2⁶³ — at
+    * web scale drop `scale` first (terms only need ordering
+    * resolution). Feed the result to
+    * [[Sampling.weightedSampleE6]] to complete score → resample.
+    *
+    * Output: (id, n_tokens, score_e6); empty-token docs drop. */
+  def importanceScore(docs: DataFrame, text: String, id: String,
+      target: DataFrame, targetText: String,
+      raw: DataFrame = null, rawText: String = null,
+      scale: Long = 1000000L): DataFrame = {
+    require(scale >= 1L, s"scale=$scale")
+    val (rawDf, rawCol) =
+      if (raw == null) (docs, text) else (raw, rawText)
+    def toks(t: String) =
+      filter(split(lower(col(t)), "\\s+"), x => length(x) > 0)
+    val cT = target.select(explode(toks(targetText)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("ct"))
+    val cR = rawDf.select(explode(toks(rawCol)).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val model = cT.join(cR, Seq("w"), "full_outer")
+      .select(col("w"), coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    val totals = model.agg(sum(col("ct")).as("nt"), sum(col("cr")).as("nr"),
+      count(lit(1)).as("v"))
+    docs.select(col(id), explode(toks(text)).as("w"))
+      .join(model, Seq("w"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col(id),
+        expr(s"(coalesce(ct, 0L) + 1L) * (nr + v) * ${scale}L" +
+          " div ((coalesce(cr, 0L) + 1L) * (nt + v))").as("z"))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("z")).as("sum_z"))
+      .select(col(id), col("n_tokens"),
+        expr("sum_z div n_tokens").as("score_e6"))
+  }
+
   /** BM25 top-k document retrieval for a bag-of-terms query (k1 = 1.2,
     * b = 0.75 — the Robertson/Okapi defaults). Scoring is EXACT rational
     * arithmetic scaled to an integer, for the same reason as

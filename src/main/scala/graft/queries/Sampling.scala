@@ -82,6 +82,59 @@ object SamplingQueries {
       |      % 2147483647 < CAST(floor(rate * 2147483647) AS BIGINT)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** DSIR-shaped importance resampling: score every document's unigram
+    * importance ratio toward the English subset (add-one-smoothed
+    * target/raw models over the union vocabulary, exact integers),
+    * then keep rows with probability min(1, score/cap) decided by the
+    * seeded content hash. The oracle replays model training, scoring,
+    * AND the resample threshold bit-exactly. */
+  def importanceResample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val scored = graft.ext.TextAnalysis.importanceScore(
+      docs, "text", "doc_id", docs.where(col("lang") === "en"), "text")
+    Sampling.weightedSampleE6(scored, col("doc_id"), col("score_e6"),
+        capE6 = 1020000L)
+      .select(col("doc_id"), col("n_tokens"), col("score_e6"))
+      .orderBy("doc_id")
+  }
+
+  private val importanceOracle =
+    """WITH toksAll AS (
+      | SELECT doc_id, lang,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS ts
+      | FROM documents),
+      |ct AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS ct
+      | FROM (SELECT unnest(ts) AS w FROM toksAll WHERE lang = 'en')
+      | GROUP BY 1),
+      |cr AS (
+      | SELECT w, CAST(count(*) AS BIGINT) AS cr
+      | FROM (SELECT unnest(ts) AS w FROM toksAll) GROUP BY 1),
+      |model AS (
+      | SELECT coalesce(ct.w, cr.w) AS w, coalesce(ct, 0) AS ct,
+      |        coalesce(cr, 0) AS cr
+      | FROM ct FULL OUTER JOIN cr ON ct.w = cr.w),
+      |tot AS (
+      | SELECT sum(ct) AS nt, sum(cr) AS nr,
+      |        CAST(count(*) AS BIGINT) AS v FROM model),
+      |z AS (
+      | SELECT d.doc_id,
+      |  (coalesce(m.ct, 0) + 1) * (t.nr + t.v) * 1000000
+      |    // ((coalesce(m.cr, 0) + 1) * (t.nt + t.v)) AS z
+      | FROM (SELECT doc_id, unnest(ts) AS w FROM toksAll) d
+      | LEFT JOIN model m ON d.w = m.w CROSS JOIN tot t),
+      |s AS (
+      | SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(sum(z) // count(*) AS BIGINT) AS score_e6
+      | FROM z GROUP BY doc_id)
+      |SELECT doc_id, n_tokens, score_e6
+      |FROM s
+      |WHERE ((doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |      % 2147483647 <
+      |      least(2147483647, score_e6 * 2147483647 // 1020000)
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-row weighted sampling: keep probability rises with
     * event_id % 100 (a stand-in for a per-row quality score). Counts per
     * type; membership replayed exactly. */
@@ -237,5 +290,7 @@ object SamplingQueries {
     QueryDef("sm7_weighted_interleave", weightedInterleave, Some(interleaveOracle)),
     QueryDef("sm8_token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("sm11_temperature_sample", temperatureSample,
-      Some(temperatureOracle)))
+      Some(temperatureOracle)),
+    QueryDef("sm12_importance_resample", importanceResample,
+      Some(importanceOracle)))
 }

@@ -225,6 +225,41 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("importanceScore + weightedSampleE6: target-like docs score above " +
+      "1e6 and survive the cap; alien docs score below and can drop") {
+    val target = Seq((100L, "cat dog cat dog bird")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "cat dog cat bird"), // shares the target distribution
+      (2L, "xx yy zz ww"),      // disjoint vocabulary
+      (3L, "cat xx dog yy")     // mixed
+    ).toDF("doc_id", "text")
+
+    val scored = TextAnalysis.importanceScore(raw, "text", "doc_id",
+        target, "text", raw, "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    val byId = scored.toMap
+    assert(byId(1L) > 1000000L, s"in-distribution doc scored ${byId(1L)}")
+    assert(byId(2L) < 1000000L, s"alien doc scored ${byId(2L)}")
+    assert(byId(1L) > byId(3L) && byId(3L) > byId(2L),
+      s"mixed doc must land between: $scored")
+
+    // weightedSampleE6: weight >= cap keeps everything; weight 0 drops.
+    val df = (1L to 1000L).toDF("id").withColumn("w", lit(500000L))
+    assert(Sampling.weightedSampleE6(df, col("id"),
+      lit(2000000L), capE6 = 1000000L).count() === 1000L)
+    assert(Sampling.weightedSampleE6(df, col("id"),
+      lit(0L), capE6 = 1000000L).count() === 0L)
+    // weight = cap/2 keeps ~half, deterministically.
+    val kept = Sampling.weightedSampleE6(df, col("id"), col("w"),
+      capE6 = 1000000L).count()
+    assert(math.abs(kept - 500L) < 80, s"kept $kept of expected ~500")
+    // Layout-independent membership.
+    def ids(p: Int) = Sampling.weightedSampleE6(df.repartition(p), col("id"),
+      col("w"), 1000000L).collect().map(_.getLong(0)).toSet
+    assert(ids(3) === ids(13))
+  }
+
   test("temperatureSample: rarest domain keeps all, dominant downsampled, " +
       "alpha endpoints and layout independence") {
     // 4000 'big' rows vs 250 'small' rows: p^0.5 keeps small intact and
