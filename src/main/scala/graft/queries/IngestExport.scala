@@ -773,6 +773,36 @@ object IngestExportQueries {
       |   AS _src_file
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Nested-JSON ingest + recursive struct flatten (ext Nested): a
+    * two-level nested rendering of customer (profile.seg.{code,nation})
+    * is written as json-lines, read back with schema inference, and
+    * flattened to path-joined columns. The oracle is the equivalent
+    * flat projection straight off the parquet table. */
+  def flattenNested(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_i14_")
+    val nested = Tables.customer(s, d).select(
+      col("c_custkey").as("id"),
+      struct(
+        col("c_name").as("name"),
+        struct(
+          col("c_mktsegment").as("code"),
+          col("c_nationkey").as("nation")).as("seg")).as("profile"),
+      col("c_acctbal").as("bal"))
+    Files.write(tmp.resolve("nested.jsonl"),
+      nested.toJSON.collect().mkString("\n").getBytes("UTF-8"))
+    graft.ext.Nested.flattenStruct(
+        s.read.json(tmp.resolve("nested.jsonl").toString))
+      .orderBy("id")
+  }
+
+  private val flattenNestedOracle =
+    """SELECT CAST(c_acctbal AS DOUBLE) AS bal,
+      | CAST(c_custkey AS BIGINT) AS id,
+      | c_name AS profile_name,
+      | c_mktsegment AS profile_seg_code,
+      | CAST(c_nationkey AS BIGINT) AS profile_seg_nation
+      |FROM customer ORDER BY id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
@@ -798,5 +828,6 @@ object IngestExportQueries {
     QueryDef("i11_ingest_fwf_e2e", ingestFwfE2e, Some(ingestFwfOracle)),
     QueryDef("i12_ingest_xlsx_all_sheets_e2e", ingestXlsxAllSheetsE2e,
       Some(ingestXlsxAllSheetsOracle)),
-    QueryDef("i13_ingest_tgz_e2e", ingestTgzE2e, Some(ingestJsonOracle)))
+    QueryDef("i13_ingest_tgz_e2e", ingestTgzE2e, Some(ingestJsonOracle)),
+    QueryDef("i14_flatten_nested", flattenNested, Some(flattenNestedOracle)))
 }

@@ -595,4 +595,34 @@ class ExtSpec extends AnyFunSuite {
     val updated = corpusFps.union(got.select(col("fp")))
     assert(Dedup.incrementalExact(updated, batch, "text", "doc_id").count() === 0)
   }
+
+  test("Nested.flattenStruct: recursive paths, arrays stay opaque, " +
+      "idempotent, collisions fail fast") {
+    val df = Seq((1L, ("n1", ("c1", 7L)), Seq(1, 2, 3)))
+      .toDF("id", "profile", "xs")
+      .select(col("id"),
+        struct(col("profile._1").as("name"),
+          struct(col("profile._2._1").as("code"),
+            col("profile._2._2").as("nation")).as("seg")).as("profile"),
+        col("xs"))
+    val flat = Nested.flattenStruct(df)
+    assert(flat.columns.toSeq ===
+      Seq("id", "profile_name", "profile_seg_code", "profile_seg_nation", "xs"))
+    val row = flat.collect().head
+    assert(row.getLong(0) === 1L && row.getString(1) === "n1" &&
+      row.getString(2) === "c1" && row.getLong(3) === 7L &&
+      row.getSeq[Int](4) === Seq(1, 2, 3))
+
+    // Idempotent on a flat frame.
+    assert(Nested.flattenStruct(flat).columns.toSeq === flat.columns.toSeq)
+
+    // A top-level a_b next to struct a.b collides (case-insensitive).
+    val clash = Seq((1L, 2L)).toDF("a_B", "v")
+      .withColumn("a", struct(col("v").as("b")))
+    intercept[IllegalArgumentException] { Nested.flattenStruct(clash) }
+
+    // Dots in field names survive via the backtick-quoted head.
+    val dotted = Seq((1L, 2L)).toDF("we.ird", "v")
+    assert(Nested.flattenStruct(dotted).columns.toSeq === Seq("we.ird", "v"))
+  }
 }
