@@ -1,0 +1,74 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation — the canonical pipeline a
+  * 100 TB pretraining run executes, composed from the individually
+  * gate-proven stages:
+  *
+  *   1. quality filter ([[TextAnalysis.gopherQuality]] — narrow
+  *      projection, junk never reaches the signature passes);
+  *   2. exact dedup (min-id representative per text — one partial-agg
+  *      shuffle of (text → min id), semi-join back);
+  *   3. benchmark decontamination ([[Decontam.clean]] — anti-join on
+  *      the gram-hit relation, corpus side never shuffles in the
+  *      common broadcast case);
+  *   4. temperature-scaled language mixing
+  *      ([[Sampling.temperatureSample]] — |domains|-row rate table
+  *      broadcast onto a narrow filter);
+  *   5. token-balanced shard assignment ([[Packing.shardByTokens]] —
+  *      two-phase distributed prefix sum).
+  *
+  * Stage order matters at scale: the cheap narrow stages (1) run
+  * first so every shuffle-bearing stage (2, 5) sees the smallest
+  * possible corpus; mixing (4) runs AFTER decontamination so the
+  * per-language rates reflect the corpus that actually ships.
+  *
+  * Every stage is deterministic (content hashes, not RNG), so the
+  * whole pipeline is replayable end to end — the p1 gate's oracle
+  * re-derives the full chain in SQL and hash-matches the result.
+  */
+object Curation {
+
+  /** Runs the five-stage pipeline; returns one row per surviving
+    * document: (id, lang, n_tokens, shard_id). Zero-token survivors
+    * (none, once quality filtering requires minWords ≥ 1) would be
+    * dropped by the sharding stage like empty docs in packing. */
+  def curate(docs: DataFrame, text: String, id: String, lang: Column,
+      benchmark: DataFrame, benchText: String,
+      minWords: Long = 50L, minStopHits: Long = 2L,
+      alpha: Double = 0.5, shardTokens: Long = 2048L,
+      gramN: Int = 8, seed: Long = 0L): DataFrame = {
+    // 1. quality — keep ids whose metrics clear the (parametrized)
+    // Gopher rules.
+    val qualityIds = TextAnalysis
+      .gopherQuality(docs, text, id, minWords = minWords,
+        minStopHits = minStopHits)
+      .where(col("is_quality")).select(col(id))
+    val afterQuality = docs.join(qualityIds, Seq(id), "left_semi")
+
+    // 2. exact dedup — first-seen (min id) representative per text.
+    val reps = afterQuality.groupBy(col(text))
+      .agg(min(col(id)).as(id)).select(col(id))
+    val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
+
+    // 3. decontamination — drop documents sharing an n-gram with the
+    // benchmark.
+    val afterDecontam =
+      Decontam.clean(afterDedup, text, id, benchmark, benchText, gramN)
+
+    // 4. temperature-scaled mixing over the surviving distribution.
+    val sampled = Sampling.temperatureSample(
+      afterDecontam, lang, col(id), alpha = alpha, seed = seed)
+
+    // 5. shard assignment in deterministic id order; lang rides the
+    // prefix-sum shuffle as a carry column (no corpus-sized join).
+    val langName = sampled.select(lang).columns.head
+    Packing.shardByTokens(sampled, id,
+        TextAnalysis.tokenCount(col(text)), shardTokens,
+        carry = Seq(langName))
+      .select(col(id), col(langName).as("lang"), col("n_tokens"),
+        col("shard_id"))
+  }
+}

@@ -62,11 +62,12 @@ object Packing {
     * double. Same two-phase distributed prefix sum as [[packConcat]];
     * replayable by a single window sum (the pk2 gate oracle). */
   def shardByTokens(df: DataFrame, id: String, tokenCount: Column,
-      shardTokens: Long, numPartitions: Int = 0): DataFrame = {
+      shardTokens: Long, numPartitions: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
     require(shardTokens > 0, s"shardTokens=$shardTokens")
-    withOffsets(df, id, tokenCount, numPartitions) { counted =>
-      counted.select(col(id), col("n_tokens"),
-        (col("end_offset") - col("n_tokens")).as("start_offset"))
+    withOffsets(df, id, tokenCount, numPartitions, carry) { counted =>
+      counted.select(col(id) +: carry.map(col) :+ col("n_tokens") :+
+          (col("end_offset") - col("n_tokens")).as("start_offset"): _*)
         .withColumn("shard_id",
           expr(s"start_offset DIV ${shardTokens}L"))
     }
@@ -83,13 +84,15 @@ object Packing {
     * [[shardByTokens]]: hands `body` a frame (id, n_tokens, end_offset)
     * with end_offset = inclusive global running total in `id` order. */
   private def withOffsets(df: DataFrame, id: String, tokenCount: Column,
-      numPartitions: Int)(body: DataFrame => DataFrame): DataFrame = {
+      numPartitions: Int, carry: Seq[String] = Nil)
+      (body: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val nPart =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val counted = df
-      .select(col(id), tokenCount.cast("long").as("n_tokens"))
+      .select(col(id) +: carry.map(col) :+
+        tokenCount.cast("long").as("n_tokens"): _*)
       .where(col("n_tokens") > 0)
       .repartitionByRange(nPart, col(id))
       .sortWithinPartitions(col(id))

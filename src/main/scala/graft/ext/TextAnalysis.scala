@@ -84,7 +84,9 @@ object TextAnalysis {
     * is diagnosable) plus the `is_quality` verdict. One narrow
     * projection — no shuffle, no join; run it BEFORE dedup so junk
     * never enters the signature passes. */
-  def gopherQuality(df: DataFrame, text: String, id: String): DataFrame = {
+  def gopherQuality(df: DataFrame, text: String, id: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopHits: Long = 2L): DataFrame = {
     val t = col(text)
     val words = filter(split(t, "\\s+"), w => length(w) > 0)
     val lines = filter(split(t, "\n"), l => length(ltrim(l)) > 0)
@@ -108,14 +110,14 @@ object TextAnalysis {
         transform(words, lower _), lit(stops.toArray)))
         .cast(LongType).as("n_stop_hits"))
     out.withColumn("is_quality",
-      col("n_words").between(50, 100000) &&
+      col("n_words").between(minWords, maxWords) &&
         col("sum_word_len") >= col("n_words") * 3 &&
         col("sum_word_len") <= col("n_words") * 10 &&
         col("n_symbols") * 10 <= col("n_words") &&
         col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
         col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
         col("n_alpha_words") * 10 >= col("n_words") * 8 &&
-        col("n_stop_hits") >= 2)
+        col("n_stop_hits") >= minStopHits)
   }
 
   /** 64-bit rolling-hash document fingerprint (custom codegen'd Catalyst

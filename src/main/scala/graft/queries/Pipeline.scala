@@ -18,6 +18,127 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
       .orderBy("doc_id")
 
+  /** End-to-end curation pipeline (ext Curation): quality filter →
+    * exact dedup → decontamination → temperature mixing → sharding,
+    * over a corpus with PLANTED exact duplicates (every 10th doc
+    * reappears at id+100000 — dedup must drop the copy, min-id wins)
+    * and planted contaminated wraps (every 20th at id+200000 — the d7
+    * pattern; decontam drops them AND the benchmark originals). The
+    * thresholds (minWords=30, minStopHits=1) are tuned to the
+    * synthetic corpus so the quality stage splits it nontrivially.
+    * The oracle replays all five stages in one CTE chain. */
+  def curationE2e(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val corpus = docs
+      .union(docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      .union(docs.where(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(lit("novel preamble "), col("text"), lit(" novel epilogue"))
+          .as("text"),
+        col("lang")))
+    val bench = Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    graft.ext.Curation.curate(corpus, "text", "doc_id", col("lang"),
+        bench, "text", minWords = 30L, minStopHits = 1L)
+      .orderBy("doc_id")
+  }
+
+  private val curationOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text, lang FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text, lang
+      | FROM documents WHERE doc_id % 10 = 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |  'novel preamble ' || text || ' novel epilogue' AS text, lang
+      | FROM documents WHERE doc_id % 20 = 0),
+      |w AS (
+      | SELECT doc_id, text, lang, text AS t,
+      |  list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(text, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM corpus),
+      |m AS (
+      | SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+      |    AS sum_word_len,
+      |  CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+      |   AS BIGINT) AS n_symbols,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT)
+      |    AS n_bullet_lines,
+      |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT)
+      |    AS n_ellipsis_lines,
+      |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      |    AS n_stop_hits
+      | FROM w),
+      |q AS (
+      | SELECT doc_id FROM m
+      | WHERE n_words BETWEEN 30 AND 100000
+      |  AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      |  AND n_symbols * 10 <= n_words
+      |  AND n_bullet_lines * 10 <= n_lines * 9
+      |  AND n_ellipsis_lines * 10 <= n_lines * 3
+      |  AND n_alpha_words * 10 >= n_words * 8
+      |  AND n_stop_hits >= 1),
+      |k1 AS (SELECT c.* FROM corpus c JOIN q USING (doc_id)),
+      |reps AS (SELECT min(doc_id) AS doc_id FROM k1 GROUP BY text),
+      |k2 AS (SELECT k1.* FROM k1 JOIN reps USING (doc_id)),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM k2),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks),
+      |hits AS (
+      | SELECT DISTINCT cg.doc_id FROM cgrams cg
+      | JOIN bgrams USING (gram)),
+      |k3 AS (
+      | SELECT k2.* FROM k2 LEFT JOIN hits h ON k2.doc_id = h.doc_id
+      | WHERE h.doc_id IS NULL),
+      |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM k3 GROUP BY lang),
+      |mn AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM cnt),
+      |r AS (
+      | SELECT lang, sqrt(nmin / CAST(n AS DOUBLE)) AS rate FROM cnt, mn),
+      |k4 AS (
+      | SELECT k3.* FROM k3 JOIN r ON k3.lang = r.lang
+      | WHERE ((k3.doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |       % 2147483647 < CAST(floor(rate * 2147483647) AS BIGINT)),
+      |t AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM k4),
+      |o AS (
+      | SELECT doc_id, lang, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, lang, n_tokens,
+      | CAST(start_offset // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** Token-balanced shard assignment at a 2048-token budget, plus the
     * per-shard manifest as a second gate. */
   def sharding(s: SparkSession, d: String): DataFrame =
@@ -678,6 +799,7 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
+    QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle)),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
     QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),

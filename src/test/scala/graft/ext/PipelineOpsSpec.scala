@@ -370,4 +370,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gb._3 === 42L && gb._4 === 42L && gb._5 === 42L,
       "singleton group clips to itself")
   }
+
+  test("Curation.curate: each stage drops what it should") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog again and again " +
+      "with plenty of ordinary words to clear the word count threshold here"
+    val docs = Seq(
+      (1L, good, "en"),                      // survives everything
+      (2L, good, "en"),                      // exact dup of 1 -> dropped
+      (3L, "too short", "en"),               // quality drop
+      (4L, good + " unique tail marker", "fr"), // survives
+      (5L, "the secret benchmark passage appears verbatim right here in " +
+        "this document padded with enough extra words to pass quality " +
+        "checks easily one two three four five six seven eight nine ten",
+        "en")                                // decontam drop
+    ).toDF("doc_id", "text", "lang")
+    val bench = Seq("the secret benchmark passage appears verbatim right here")
+      .toDF("text")
+
+    val out = graft.ext.Curation.curate(docs, "text", "doc_id", col("lang"),
+        bench, "text", minWords = 10L, minStopHits = 1L,
+        alpha = 1.0, // keep-all mixing: isolates the filter stages
+        shardTokens = 10L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getAs[Long]("shard_id")))
+    assert(out.map(_._1).toSeq === Seq(1L, 4L),
+      s"expected docs 1 and 4 to survive, got ${out.toSeq}")
+    // Shards advance with the token stream (doc 1 has 23 tokens at
+    // budget 10 -> doc 4 starts in shard 2).
+    assert(out.head._3 === 0L && out.last._3 === 2L, s"shards: ${out.toSeq}")
+  }
 }
