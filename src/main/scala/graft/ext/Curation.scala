@@ -51,16 +51,28 @@ object Curation {
     // 2. exact dedup — first-seen (min id) representative per text.
     val reps = afterQuality.groupBy(col(text))
       .agg(min(col(id)).as(id)).select(col(id))
+    // Materialize the filter+dedup front half ONCE: the stages below
+    // each reference their input from two plan subtrees (decontam =
+    // grams + anti-join, mixing = counts + filter, sharding = totals +
+    // window), and Catalyst does not reuse a common scan across
+    // subtrees — without the cut, the whole upstream chain re-executes
+    // ~4x (measured 11.3 s -> the checkpointed plan at sf0.1).
+    // localCheckpoint spills to executor-local storage (disk-backed),
+    // the same tactic Graphs.pageRank uses per iteration.
     val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
+      .localCheckpoint(true)
 
     // 3. decontamination — drop documents sharing an n-gram with the
     // benchmark.
     val afterDecontam =
       Decontam.clean(afterDedup, text, id, benchmark, benchText, gramN)
 
-    // 4. temperature-scaled mixing over the surviving distribution.
+    // 4. temperature-scaled mixing over the surviving distribution;
+    // checkpoint again so sharding's two passes replay cached blocks,
+    // not the decontam join.
     val sampled = Sampling.temperatureSample(
       afterDecontam, lang, col(id), alpha = alpha, seed = seed)
+      .localCheckpoint(true)
 
     // 5. shard assignment in deterministic id order; lang rides the
     // prefix-sum shuffle as a carry column (no corpus-sized join).

@@ -780,7 +780,7 @@ object HygieneQueries {
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
-    QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle)),
+    QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)))

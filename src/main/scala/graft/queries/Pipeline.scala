@@ -799,7 +799,8 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
-    QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle)),
+    QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
+      bench = true),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
     QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
