@@ -83,4 +83,47 @@ object Curation {
       .select(col(id), col(langName).as("lang"), col("n_tokens"),
         col("shard_id"))
   }
+
+  /** Curate-at-INGEST: the pipeline's front half (quality filter →
+    * exact dedup → decontamination) as a single STREAMING transform —
+    * the reference's poll-a-folder ingest loop, made continuous, that
+    * admits only clean novel documents:
+    *
+    *   - quality: the Gopher metrics ride inline as a stateless narrow
+    *     projection (computed, tested, dropped — nothing buffered);
+    *   - dedup: `dropDuplicates` on the content fingerprint — the
+    *     state store holds one 8-byte key per distinct document ever
+    *     seen, so re-deliveries (the same file polled twice, a
+    *     replayed batch) drop exactly once-and-for-all. Note this
+    *     keeps the FIRST-ARRIVED copy: identical re-deliveries are
+    *     indistinguishable, but two different ids with equal text keep
+    *     whichever arrived first (batch [[curate]] keeps min id);
+    *   - decontamination: [[Decontam.cleanInline]]'s join-free
+    *     codegen'd gram probe (the st12 machinery) — stateless.
+    *
+    * Works unchanged on a batch frame (the spec pins stream ≡ batch).
+    * Mixing and sharding remain batch stages: both are functions of
+    * the final corpus distribution, which an unbounded stream does not
+    * have yet. */
+  def curateStream(src: DataFrame, text: String, id: String,
+      benchmark: DataFrame, benchText: String,
+      minWords: Long = 50L, minStopHits: Long = 2L,
+      gramN: Int = 8): DataFrame = {
+    val metrics = TextAnalysis.gopherMetricCols(col(text))
+    (metrics.map(_._1) :+ "__fp").foreach(n =>
+      require(!src.columns.exists(_.equalsIgnoreCase(n)),
+        s"curateStream: input already has a column named '$n'"))
+    val flagged = metrics.foldLeft(src) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    val quality = flagged
+      .where(TextAnalysis.gopherVerdict(minWords, 100000L, minStopHits))
+      .drop(metrics.map(_._1): _*)
+    val deduped = quality
+      .withColumn("__fp",
+        graft.functions.GraftFunctions.fingerprint(col(text)))
+      .dropDuplicates("__fp")
+      .drop("__fp")
+    Decontam.cleanInline(deduped, text, id, benchmark, benchText, gramN)
+  }
 }

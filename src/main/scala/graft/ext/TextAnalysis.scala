@@ -84,40 +84,52 @@ object TextAnalysis {
     * is diagnosable) plus the `is_quality` verdict. One narrow
     * projection — no shuffle, no join; run it BEFORE dedup so junk
     * never enters the signature passes. */
-  def gopherQuality(df: DataFrame, text: String, id: String,
-      minWords: Long = 50L, maxWords: Long = 100000L,
-      minStopHits: Long = 2L): DataFrame = {
-    val t = col(text)
+  /** The Gopher metric expressions, named — shared by [[gopherQuality]]
+    * (batch metrics report) and [[Curation.curateStream]] (inline
+    * stateless filter on a stream). */
+  private[ext] def gopherMetricCols(t: Column): Seq[(String, Column)] = {
     val words = filter(split(t, "\\s+"), w => length(w) > 0)
     val lines = filter(split(t, "\n"), l => length(ltrim(l)) > 0)
     val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-    val out = df.select(
-      col(id),
-      size(words).cast(LongType).as("n_words"),
-      length(regexp_replace(t, "\\s", "")).cast(LongType).as("sum_word_len"),
-      ((length(t) - length(regexp_replace(t, "#", ""))) +
-        (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
-        .cast(LongType).as("n_symbols"),
-      size(lines).cast(LongType).as("n_lines"),
-      size(filter(lines, l =>
+    Seq(
+      "n_words" -> size(words).cast(LongType),
+      "sum_word_len" ->
+        length(regexp_replace(t, "\\s", "")).cast(LongType),
+      "n_symbols" ->
+        ((length(t) - length(regexp_replace(t, "#", ""))) +
+          (length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3)
+          .cast(LongType),
+      "n_lines" -> size(lines).cast(LongType),
+      "n_bullet_lines" -> size(filter(lines, l =>
         ltrim(l).startsWith("-") || ltrim(l).startsWith("*") ||
-          ltrim(l).startsWith("•"))).cast(LongType).as("n_bullet_lines"),
-      size(filter(lines, l => rtrim(l).endsWith("...")))
-        .cast(LongType).as("n_ellipsis_lines"),
-      size(filter(words, w => w.rlike("[A-Za-z]")))
-        .cast(LongType).as("n_alpha_words"),
-      size(array_intersect(
-        transform(words, lower _), lit(stops.toArray)))
-        .cast(LongType).as("n_stop_hits"))
+          ltrim(l).startsWith("•"))).cast(LongType),
+      "n_ellipsis_lines" ->
+        size(filter(lines, l => rtrim(l).endsWith("..."))).cast(LongType),
+      "n_alpha_words" ->
+        size(filter(words, w => w.rlike("[A-Za-z]"))).cast(LongType),
+      "n_stop_hits" -> size(array_intersect(
+        transform(words, lower _), lit(stops.toArray))).cast(LongType))
+  }
+
+  /** The Gopher verdict over the named metric columns. */
+  private[ext] def gopherVerdict(minWords: Long, maxWords: Long,
+      minStopHits: Long): Column =
+    col("n_words").between(minWords, maxWords) &&
+      col("sum_word_len") >= col("n_words") * 3 &&
+      col("sum_word_len") <= col("n_words") * 10 &&
+      col("n_symbols") * 10 <= col("n_words") &&
+      col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
+      col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
+      col("n_alpha_words") * 10 >= col("n_words") * 8 &&
+      col("n_stop_hits") >= minStopHits
+
+  def gopherQuality(df: DataFrame, text: String, id: String,
+      minWords: Long = 50L, maxWords: Long = 100000L,
+      minStopHits: Long = 2L): DataFrame = {
+    val out = df.select(col(id) +:
+      gopherMetricCols(col(text)).map { case (n, c) => c.as(n) }: _*)
     out.withColumn("is_quality",
-      col("n_words").between(minWords, maxWords) &&
-        col("sum_word_len") >= col("n_words") * 3 &&
-        col("sum_word_len") <= col("n_words") * 10 &&
-        col("n_symbols") * 10 <= col("n_words") &&
-        col("n_bullet_lines") * 10 <= col("n_lines") * 9 &&
-        col("n_ellipsis_lines") * 10 <= col("n_lines") * 3 &&
-        col("n_alpha_words") * 10 >= col("n_words") * 8 &&
-        col("n_stop_hits") >= minStopHits)
+      gopherVerdict(minWords, maxWords, minStopHits))
   }
 
   /** 64-bit rolling-hash document fingerprint (custom codegen'd Catalyst

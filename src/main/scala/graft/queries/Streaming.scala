@@ -339,7 +339,103 @@ object StreamingQueries {
       | TRUE AS ok_p90
       |FROM events GROUP BY 1 ORDER BY hour""".stripMargin
 
+  /** Curate-at-ingest (Curation.curateStream): quality filter + content-
+    * fingerprint dedup state + inline decontamination over a streamed
+    * corpus with planted re-deliveries (every 10th doc's row appears
+    * TWICE — the same file polled twice; the state store must admit it
+    * once) and planted contaminated wraps (every 20th at id+200000 —
+    * must not surface). Two files → two micro-batches, so dedup is
+    * exercised across batch boundaries, not just within one. */
+  def curateStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs
+      .union(docs.where(col("doc_id") % 10 === 0))
+      .union(docs.where(col("doc_id") % 20 === 0).select(
+        (col("doc_id") + 200000).as("doc_id"),
+        concat(lit("novel preamble "), col("text"), lit(" novel epilogue"))
+          .as("text")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st13_").toString
+    corpus.repartition(2).write.mode("overwrite").parquet(tmp)
+    val name = "st13_curate_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val bench = Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    val q = graft.ext.Curation.curateStream(src, "text", "doc_id",
+        bench, "text", minWords = 30L, minStopHits = 1L)
+      .select(col("doc_id"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(name).orderBy("doc_id")
+  }
+
+  private val curateStreamOracle =
+    """WITH corpus AS (
+      | SELECT DISTINCT doc_id, text FROM (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000 AS doc_id,
+      |   'novel preamble ' || text || ' novel epilogue' AS text
+      |  FROM documents WHERE doc_id % 20 = 0)),
+      |w AS (
+      | SELECT doc_id, text, text AS t,
+      |  list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(text, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM corpus),
+      |q AS (
+      | SELECT doc_id, text FROM w
+      | WHERE CAST(len(ws) AS BIGINT) BETWEEN 30 AND 100000
+      |  AND length(regexp_replace(t, '\s', '', 'g')) >= len(ws) * 3
+      |  AND length(regexp_replace(t, '\s', '', 'g')) <= len(ws) * 10
+      |  AND ((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3)
+      |   * 10 <= len(ws)
+      |  AND len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) * 10
+      |    <= len(ls) * 9
+      |  AND len(list_filter(ls, l -> rtrim(l) LIKE '%...')) * 10
+      |    <= len(ls) * 3
+      |  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 10
+      |    >= len(ws) * 8
+      |  AND len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) >= 1),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM (SELECT doc_id,
+      |   list_filter(string_split_regex(lower(text), '\s+'),
+      |     t -> len(t) > 0) AS ts FROM q)),
+      |hits AS (
+      | SELECT DISTINCT cg.doc_id FROM cgrams cg JOIN bgrams USING (gram))
+      |SELECT q.doc_id FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id
+      |WHERE h.doc_id IS NULL ORDER BY q.doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("st13_curate_stream", curateStream, Some(curateStreamOracle)),
     QueryDef("st10_stream_quantiles", streamQuantiles, Some(streamQuantilesOracle)),
     QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),
     QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),

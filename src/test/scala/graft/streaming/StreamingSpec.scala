@@ -318,4 +318,48 @@ class StreamingSpec extends AnyFunSuite {
       (3L, "late-insert", 7.0)) // unseen key inserts even from an old row
     )
   }
+
+  test("Curation.curateStream: streamed survivors equal the batch run " +
+      "on the same corpus; re-deliveries admit once") {
+    import spark.implicits._
+    val good = "the quick brown fox jumps over the lazy dog with many " +
+      "plain words here to clear the minimum word count gate easily"
+    val docs = Seq(
+      (1L, good),
+      (1L, good),                       // re-delivered row: admit once
+      (2L, good + " second variant"),   // distinct content survives
+      (3L, "too short"),                // quality drop
+      (4L, "the secret eval passage sits verbatim inside this document " +
+        "padded with sufficient additional words to pass every quality " +
+        "rule easily one two three four five six")  // decontam drop
+    ).toDF("doc_id", "text")
+    val bench = Seq("the secret eval passage sits verbatim inside this")
+      .toDF("text")
+    val tmp = java.nio.file.Files.createTempDirectory("curate_stream_")
+    docs.repartition(2).write.mode("overwrite").parquet(tmp.toString)
+
+    val src = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1).parquet(tmp.toString)
+    val q = graft.ext.Curation.curateStream(src, "text", "doc_id",
+        bench, "text", minWords = 10L, minStopHits = 1L)
+      .writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000); q.stop()
+    val streamed = spark.table("curate_stream_out").collect()
+      .map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(streamed === Seq(1L, 2L), s"streamed survivors: $streamed")
+
+    // Same transform, batch frame: identical survivors.
+    val batch = graft.ext.Curation.curateStream(docs, "text", "doc_id",
+        bench, "text", minWords = 10L, minStopHits = 1L)
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(batch === streamed)
+  }
 }
