@@ -371,26 +371,55 @@ object TextAnalysis {
   def lmScore(docs: DataFrame, text: String, id: String,
       ref: DataFrame, refText: String, minCount: Long = 1L,
       scale: Long = 1000000000L): DataFrame = {
-    require(minCount >= 1L, s"minCount=$minCount")
-    require(scale >= 1L, s"scale=$scale")
-    def toks(t: String) =
-      filter(split(lower(col(t)), "\\s+"), x => length(x) > 0)
-    def bigrams(t: String) = flatten(transform(array(toks(t)), ts =>
-      when(size(ts) >= 2,
-        transform(sequence(lit(1), size(ts) - 1),
-          i => struct(element_at(ts, i).as("w1"),
-            element_at(ts, i + 1).as("w2"))))
-        .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+    val (uni, co) = lmCounts(ref, refText)
+    lmScoreModel(docs, text, id, uni, co, minCount, scale)
+  }
 
-    val uni = ref.select(explode(toks(refText)).as("w"))
+  private def lmToks(t: String) =
+    filter(split(lower(col(t)), "\\s+"), x => length(x) > 0)
+
+  private def lmBigrams(t: String) = flatten(transform(array(lmToks(t)), ts =>
+    when(size(ts) >= 2,
+      transform(sequence(lit(1), size(ts) - 1),
+        i => struct(element_at(ts, i).as("w1"),
+          element_at(ts, i + 1).as("w2"))))
+      .otherwise(array().cast("array<struct<w1:string,w2:string>>"))))
+
+  /** The LM's trainable state as two MERGEABLE count frames:
+    * (unigrams (w, c1), bigrams (w1, w2, c12)). Counts are additive,
+    * so a persisted model absorbs a new ingest batch via [[lmMerge]]
+    * — no corpus re-scan, the d15/c9 incremental pattern. Pruning
+    * (`minCount`) happens at SCORING time, not here: a pruned model
+    * is no longer additive. */
+  def lmCounts(ref: DataFrame, refText: String): (DataFrame, DataFrame) = {
+    val uni = ref.select(explode(lmToks(refText)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("c1"))
-    val vocab = uni.agg(count(lit(1)).as("v"))
-    val co = ref.select(explode(bigrams(refText)).as("b"))
+    val co = ref.select(explode(lmBigrams(refText)).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
-      .where(col("c12") >= minCount)
+    (uni, co)
+  }
 
-    docs.select(col(id), explode(bigrams(text)).as("b"))
+  /** Merge two LM models: counts add. Equality with full retraining is
+    * exact (the t27 gate pins it against the t26 oracle). */
+  def lmMerge(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = (
+    a._1.union(b._1).groupBy(col("w")).agg(sum(col("c1")).as("c1")),
+    a._2.union(b._2).groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c12")).as("c12")))
+
+  /** Scoring half of [[lmScore]], against an explicit (possibly
+    * incrementally-built) model. */
+  def lmScoreModel(docs: DataFrame, text: String, id: String,
+      uniModel: DataFrame, coModel: DataFrame, minCount: Long = 1L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(minCount >= 1L, s"minCount=$minCount")
+    require(scale >= 1L, s"scale=$scale")
+    val uni = uniModel
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val co = coModel.where(col("c12") >= minCount)
+
+    docs.select(col(id), explode(lmBigrams(text)).as("b"))
       .select(col(id), col("b.w1").as("w1"), col("b.w2").as("w2"))
       .join(co, Seq("w1", "w2"), "left")
       .join(uni.select(col("w").as("w1"), col("c1")), Seq("w1"), "left")

@@ -737,6 +737,22 @@ object HygieneQueries {
       | CAST(sum(term) // count(*) AS BIGINT) AS score_e9
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Incremental LM training: counts from two disjoint corpus halves
+    * merged (TextAnalysis.lmMerge) must score identically to the
+    * full-corpus model — same oracle as t26, the d15/c9 incremental
+    * equality pattern. */
+  def lmIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val lo = docs.where(col("doc_id") < 250)
+    val hi = docs.where(col("doc_id") >= 250)
+    val (uni, co) = TextAnalysis.lmMerge(
+      TextAnalysis.lmCounts(lo, "text"),
+      TextAnalysis.lmCounts(hi, "text"))
+    TextAnalysis.lmScoreModel(docs, "text", "doc_id", uni, co,
+        minCount = 2L)
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------------- BPE tokenizer
 
   /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
@@ -781,6 +797,7 @@ object HygieneQueries {
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
+    QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)))
