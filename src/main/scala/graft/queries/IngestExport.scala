@@ -773,6 +773,48 @@ object IngestExportQueries {
       |   AS _src_file
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Training-shard export e2e: token-balanced shard assignment
+    * (Packing.shardByTokens at a 2048-token budget) written as
+    * shard_id-partitioned parquet — one directory per shard, the
+    * layout a trainer's loader consumes — then read back through the
+    * partition-discovery path. The read-back must hash-match the pk2
+    * oracle, and the per-shard file counts must agree with
+    * Packing.shardManifest (checked in-gate with require). */
+  def exportShardsE2e(s: SparkSession, d: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_e9_").toString
+    val sharded = graft.ext.Packing.shardByTokens(
+      Tables.documents(s, d), "doc_id",
+      graft.ext.TextAnalysis.tokenCount(col("text")), shardTokens = 2048L)
+    val n = Export.exportPartitioned(sharded, outDir, "parquet",
+      partitionCols = Seq("shard_id"))
+    val back = s.read.parquet(outDir)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        col("shard_id").cast(LongType))
+    require(n == back.count(), s"wrote $n rows, read ${back.count()}")
+    val manifest = graft.ext.Packing.shardManifest(sharded)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val observed = back.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    require(manifest == observed,
+      s"manifest/file mismatch: $manifest vs $observed")
+    back.orderBy("doc_id")
+  }
+
+  private val exportShardsOracle =
+    """WITH t AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM documents),
+      |o AS (
+      | SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, n_tokens, CAST(start_offset AS BIGINT) AS start_offset,
+      | CAST(start_offset // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** Nested-JSON ingest + recursive struct flatten (ext Nested): a
     * two-level nested rendering of customer (profile.seg.{code,nation})
     * is written as json-lines, read back with schema inference, and
@@ -829,5 +871,7 @@ object IngestExportQueries {
     QueryDef("i12_ingest_xlsx_all_sheets_e2e", ingestXlsxAllSheetsE2e,
       Some(ingestXlsxAllSheetsOracle)),
     QueryDef("i13_ingest_tgz_e2e", ingestTgzE2e, Some(ingestJsonOracle)),
-    QueryDef("i14_flatten_nested", flattenNested, Some(flattenNestedOracle)))
+    QueryDef("i14_flatten_nested", flattenNested, Some(flattenNestedOracle)),
+    QueryDef("e9_export_shards_e2e", exportShardsE2e,
+      Some(exportShardsOracle)))
 }
