@@ -126,4 +126,49 @@ object Curation {
       .drop("__fp")
     Decontam.cleanInline(deduped, text, id, benchmark, benchText, gramN)
   }
+
+  /** Corpus data card — the one-row summary a curation run publishes
+    * with its output (the "datasheet" numbers: volume, language
+    * spread, duplication, contamination, quality yield). Exact
+    * integers end to end, so the card is itself gate-verifiable.
+    *
+    * Scale shape: one linear corpus pass for the token/dup aggregates
+    * (two-level: per-text groups then totals), one pass for quality
+    * metrics, and the decontamination hit relation — each a standard
+    * partial-agg shuffle; nothing is collected but the single result
+    * row. */
+  def dataCard(docs: DataFrame, text: String, id: String, lang: Column,
+      benchmark: DataFrame, benchText: String,
+      minWords: Long = 50L, minStopHits: Long = 2L,
+      gramN: Int = 8): DataFrame = {
+    val base = docs.select(col(id), col(text),
+      lang.as("__lang"),
+      TextAnalysis.tokenCount(col(text)).as("__toks"))
+    // Per-text groups: exact-duplicate accounting.
+    val groups = base.groupBy(col(text))
+      .agg(count(lit(1)).as("__n"), sum(col("__toks")).as("__gtoks"))
+    val dupStats = groups.agg(
+      count(lit(1)).as("n_distinct_texts"),
+      sum(col("__n")).as("n_docs"),
+      sum(col("__gtoks")).as("n_tokens"),
+      sum(when(col("__n") > 1, col("__n") - 1).otherwise(0L))
+        .as("n_exact_dup_docs"))
+    val langStats = base.agg(
+      count_distinct(col("__lang")).as("n_langs"))
+    val qualityStats = TextAnalysis
+      .gopherQuality(docs, text, id, minWords = minWords,
+        minStopHits = minStopHits)
+      .agg(sum(when(col("is_quality"), 1L).otherwise(0L))
+        .as("n_quality_docs"))
+    val contamStats = Decontam
+      .flag(docs, text, id, benchmark, benchText, gramN)
+      .agg(sum(when(col("contaminated"), 1L).otherwise(0L))
+        .as("n_contaminated_docs"))
+    dupStats.crossJoin(broadcast(langStats))
+      .crossJoin(broadcast(qualityStats))
+      .crossJoin(broadcast(contamStats))
+      .select(col("n_docs"), col("n_distinct_texts"),
+        col("n_exact_dup_docs"), col("n_tokens"), col("n_langs"),
+        col("n_quality_docs"), col("n_contaminated_docs"))
+  }
 }

@@ -27,10 +27,10 @@ object PipelineQueries {
     * thresholds (minWords=30, minStopHits=1) are tuned to the
     * synthetic corpus so the quality stage splits it nontrivially.
     * The oracle replays all five stages in one CTE chain. */
-  def curationE2e(s: SparkSession, d: String): DataFrame = {
+  private[queries] def curationCorpus(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
       .select(col("doc_id"), col("text"), col("lang"))
-    val corpus = docs
+    docs
       .union(docs.where(col("doc_id") % 10 === 0).select(
         (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
       .union(docs.where(col("doc_id") % 20 === 0).select(
@@ -38,12 +38,103 @@ object PipelineQueries {
         concat(lit("novel preamble "), col("text"), lit(" novel epilogue"))
           .as("text"),
         col("lang")))
+  }
+
+  def curationE2e(s: SparkSession, d: String): DataFrame = {
     val bench = Tables.documents(s, d)
       .where(col("doc_id") % 20 === 0).select(col("text"))
-    graft.ext.Curation.curate(corpus, "text", "doc_id", col("lang"),
-        bench, "text", minWords = 30L, minStopHits = 1L)
+    graft.ext.Curation.curate(curationCorpus(s, d), "text", "doc_id",
+        col("lang"), bench, "text", minWords = 30L, minStopHits = 1L)
       .orderBy("doc_id")
   }
+
+  /** Corpus data card over the same planted curation corpus: one exact
+    * row — volume, duplication, language spread, quality yield,
+    * contamination — every number independently re-derived by the
+    * oracle. */
+  def dataCard(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    graft.ext.Curation.dataCard(curationCorpus(s, d), "text", "doc_id",
+      col("lang"), bench, "text", minWords = 30L, minStopHits = 1L)
+  }
+
+  private val dataCardOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text, lang FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text, lang
+      | FROM documents WHERE doc_id % 10 = 0
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |  'novel preamble ' || text || ' novel epilogue' AS text, lang
+      | FROM documents WHERE doc_id % 20 = 0),
+      |tok AS (
+      | SELECT doc_id, text, lang,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS toks
+      | FROM corpus),
+      |g AS (
+      | SELECT text, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(toks) AS BIGINT) AS gtoks
+      | FROM tok GROUP BY text),
+      |dup AS (
+      | SELECT CAST(sum(n) AS BIGINT) AS n_docs,
+      |  CAST(count(*) AS BIGINT) AS n_distinct_texts,
+      |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+      |    AS n_exact_dup_docs,
+      |  CAST(sum(gtoks) AS BIGINT) AS n_tokens
+      | FROM g),
+      |lg AS (
+      | SELECT CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM corpus),
+      |w AS (
+      | SELECT doc_id, text AS t,
+      |  list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(text, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM corpus),
+      |qual AS (
+      | SELECT CAST(count(*) AS BIGINT) AS n_quality_docs FROM w
+      | WHERE CAST(len(ws) AS BIGINT) BETWEEN 30 AND 100000
+      |  AND length(regexp_replace(t, '\s', '', 'g')) >= len(ws) * 3
+      |  AND length(regexp_replace(t, '\s', '', 'g')) <= len(ws) * 10
+      |  AND ((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3)
+      |   * 10 <= len(ws)
+      |  AND len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) * 10
+      |    <= len(ls) * 9
+      |  AND len(list_filter(ls, l -> rtrim(l) LIKE '%...')) * 10
+      |    <= len(ls) * 3
+      |  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 10
+      |    >= len(ws) * 8
+      |  AND len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) >= 1),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM (SELECT doc_id,
+      |   list_filter(string_split_regex(lower(text), '\s+'),
+      |     t -> len(t) > 0) AS ts FROM corpus)),
+      |contam AS (
+      | SELECT CAST(count(DISTINCT cg.doc_id) AS BIGINT)
+      |   AS n_contaminated_docs
+      | FROM cgrams cg JOIN bgrams USING (gram))
+      |SELECT dup.n_docs, dup.n_distinct_texts, dup.n_exact_dup_docs,
+      | dup.n_tokens, lg.n_langs, qual.n_quality_docs,
+      | contam.n_contaminated_docs
+      |FROM dup, lg, qual, contam""".stripMargin
 
   private val curationOracle =
     """WITH corpus AS (
@@ -801,6 +892,7 @@ object PipelineQueries {
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
+    QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
     QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),
