@@ -35,10 +35,23 @@ object FormatReader {
     val ext = name.drop(name.lastIndexOf('.') + 1)
     ext match {
       case "csv" =>
+        // pd.read_csv parses quoted fields spanning lines by DEFAULT;
+        // Spark only under multiLine=true, which disables input
+        // splitting (whole file → one task). So pay for parity only
+        // when needed: a quoted newline exists iff some physical line
+        // carries an ODD number of double quotes — a distributed
+        // one-column scan, cheap next to the read itself, and false
+        // positives (a stray quote in a malformed file) merely cost
+        // splitting, never correctness.
+        val oddQuoteLine = spark.read.text(file.toString)
+          .where((length(col("value")) -
+            length(regexp_replace(col("value"), "\"", ""))) % 2 === 1)
+          .limit(1).count() > 0
         Parsed(spark.read
           .option("header", true)
           .option("inferSchema", true)
           .option("encoding", encoding.getOrElse("UTF-8"))
+          .option("multiLine", oddQuoteLine)
           .csv(file.toString))
       case "json" =>
         // The reference's pd.read_json (box_ingest.py:150-151) accepts

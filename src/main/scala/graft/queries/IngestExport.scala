@@ -773,6 +773,55 @@ object IngestExportQueries {
       |   AS _src_file
       |FROM customer ORDER BY c_custkey""".stripMargin
 
+  /** Quoted-newline CSV ingest (pd.read_csv default-behavior parity):
+    * every 3rd customer's name gains an embedded "\nsecond line" and
+    * the CSV is hand-rendered with RFC-4180 quoting. The reader's
+    * odd-quote sniff must flip multiLine on, so the logical rows
+    * survive the physical line breaks through the full validate path. */
+  def ingestQuotedNewlineE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i15_")
+    val cust = Tables.customer(s, d)
+    def q(v: Any): String = v match {
+      case null => ""
+      case s: String
+        if s.contains(",") || s.contains("\"") || s.contains("\n") =>
+        "\"" + s.replace("\"", "\"\"") + "\""
+      case x => x.toString
+    }
+    val lines = cust.columns.mkString(",") +:
+      cust.orderBy("c_custkey").collect().toSeq.map { r =>
+        val name =
+          if (r.getAs[Long]("c_custkey") % 3 == 0)
+            r.getAs[String]("c_name") + "\nsecond line"
+          else r.getAs[String]("c_name")
+        Seq(r.getAs[Long]("c_custkey"), name,
+          r.getAs[Int]("c_nationkey"), r.getAs[Double]("c_acctbal"),
+          r.getAs[String]("c_mktsegment")).map(q).mkString(",")
+      }
+    Files.write(tmp.resolve("customers.csv"),
+      lines.mkString("\n").getBytes("UTF-8"))
+
+    val ref = TableRef("graft", "verify", "i15_customer")
+    dropAll(s, ref)
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify", table = ref, folder = tmp.toString,
+      fileNameRegex = ".*\\.csv", metadata = Some(customerMeta),
+      justCopy = false))
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+    s.table(ref.qualified).drop("process_dt", "process_date")
+      .orderBy("c_custkey")
+  }
+
+  private val ingestQuotedNewlineOracle =
+    """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+      | CASE WHEN c_custkey % 3 = 0
+      |      THEN c_name || chr(10) || 'second line'
+      |      ELSE c_name END AS c_name,
+      | CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      | CAST(c_acctbal AS DOUBLE) AS c_acctbal, c_mktsegment
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Training-shard export e2e: token-balanced shard assignment
     * (Packing.shardByTokens at a 2048-token budget) written as
     * shard_id-partitioned parquet — one directory per shard, the
@@ -873,5 +922,7 @@ object IngestExportQueries {
     QueryDef("i13_ingest_tgz_e2e", ingestTgzE2e, Some(ingestJsonOracle)),
     QueryDef("i14_flatten_nested", flattenNested, Some(flattenNestedOracle)),
     QueryDef("e9_export_shards_e2e", exportShardsE2e,
-      Some(exportShardsOracle)))
+      Some(exportShardsOracle)),
+    QueryDef("i15_ingest_quoted_newline_e2e", ingestQuotedNewlineE2e,
+      Some(ingestQuotedNewlineOracle)))
 }
