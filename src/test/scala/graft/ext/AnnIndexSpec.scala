@@ -50,4 +50,40 @@ class AnnIndexSpec extends AnyFunSuite {
       .orderBy("query_id", "rank").collect()
     assert(served.toSeq === exact.toSeq)
   }
+
+  test("ivfPqTopK recall@k: degrades gracefully with nprobe, " +
+      "monotone non-decreasing toward exact") {
+    val corpus = (0L until 500L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    val queries = (1000L until 1020L).map(i => (i, vec(i.toInt)))
+      .toDF("qid", "qvec")
+    val k = 5
+    val exact = Similarity.bruteForceTopK(corpus, queries, k,
+        excludeSelf = false)
+      .select("query_id", "corpus_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+
+    def recallAt(nprobe: Int, rerank: Int): Double = {
+      val got = Similarity.ivfPqTopK(corpus, queries, k, dim = 16,
+          nlist = 8, nprobe = nprobe, m = 4, codes = 8, rerank = rerank,
+          excludeSelf = false)
+        .select("query_id", "corpus_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val hits = exact.map { case (q, ids) =>
+        (ids intersect got.getOrElse(q, Set.empty)).size }.sum
+      hits.toDouble / (exact.size * k)
+    }
+
+    // Probing axis (fixed rerank budget): random uniform vectors are
+    // the HARD case for IVF (no cluster structure) — still, a quarter
+    // of the lists must find most neighbors, and recall must not
+    // decrease as probing widens.
+    val r2 = recallAt(2, 40); val r4 = recallAt(4, 40); val r8 = recallAt(8, 40)
+    assert(r2 >= 0.5, s"recall@5 with nprobe=2 was $r2")
+    assert(r4 >= r2 && r8 >= r4, s"recall must be monotone: $r2 / $r4 / $r8")
+    // Rerank axis: at full probing the residual loss is ADC candidate
+    // ordering, which a corpus-wide exact rerank removes entirely.
+    val rFull = recallAt(8, 500)
+    assert(rFull === 1.0, s"full probing + corpus-wide rerank was $rFull")
+    assert(rFull >= r8, "wider rerank can only help")
+  }
 }
