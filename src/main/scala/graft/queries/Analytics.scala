@@ -163,14 +163,16 @@ object AnalyticsQueries {
     graft.ext.Graphs.triangleCounts(coPurchaseEdges(s, d), "src", "dst",
       topK = 25)
 
-  /** k-core of the co-purchase graph (Graphs.kCore, k=75 — just above
-    * this graph's cascade threshold, so the peel does several real
-    * rounds: 62 nodes shed and every survivor's in-core degree
-    * recomputed). Iterative peeling is not SQL-expressible, so the
-    * oracle is the pinned independent-Python peel
-    * (tools/gen_kcore_oracle.py, the d3/t23 pattern). */
+  /** k-core of the co-purchase graph (Graphs.kCore, k=68 — inside the
+    * cascade band at BOTH test scales, so the peel does real rounds
+    * everywhere it runs: 20 nodes shed at sf0.01 (the gate scale,
+    * pinned oracle) and 24 of 200 at sf0.001 (the smoke scale; k=75
+    * emptied that sparser graph entirely, which is what the smoke
+    * suite's rows>0 guard caught). Iterative peeling is not
+    * SQL-expressible, so the oracle is the pinned independent-Python
+    * peel (tools/gen_kcore_oracle.py, the d3/t23 pattern). */
   def kcore(s: SparkSession, d: String): DataFrame =
-    graft.ext.Graphs.kCore(coPurchaseEdges(s, d), "src", "dst", k = 75)
+    graft.ext.Graphs.kCore(coPurchaseEdges(s, d), "src", "dst", k = 68)
       .orderBy("node")
 
   private val trianglesOracle =
