@@ -154,4 +154,62 @@ object Multimodal {
     import spark.implicits._
     df.as[MediaRecord]
   }
+
+  /** REAL image metadata extraction (not the stub): parse the container
+    * header of each payload — PNG IHDR / JPEG SOF / GIF screen
+    * descriptor / BMP info header, see functions.ImageHeaderParse — and
+    * add `format`/`width`/`height` columns (NULL for unrecognized
+    * payloads). One codegen'd narrow projection: at 100 TB this is the
+    * scan-speed metadata pass that partitions a multimodal corpus by
+    * shape/format before any real pixel decode is scheduled. */
+  def imageDims(df: DataFrame, content: String): DataFrame =
+    df.withColumn("__img",
+        graft.functions.GraftFunctions.imageHeader(col(content)))
+      .withColumn("format", col("__img.format"))
+      .withColumn("width", col("__img.width"))
+      .withColumn("height", col("__img.height"))
+      .drop("__img")
+
+  /** Minimal structurally-valid image files for specs and gate fixtures:
+    * correct magic/signature, header layout, and dimension encoding per
+    * the published container specs. PNG chunk CRCs are zeroed (the
+    * header parser, like most fast-path scanners, does not checksum). */
+  object SyntheticImages {
+    private def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    private def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    def png(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+        be32(13) ++ "IHDR".getBytes ++ be32(w) ++ be32(h) ++
+        Array[Byte](8, 6, 0, 0, 0) ++ be32(0) ++            // bit depth etc + crc
+        be32(0) ++ "IEND".getBytes ++ be32(0)
+
+    /** JFIF APP0 then an SOF0 frame header — the SOF is NOT the first
+      * segment, so parsing must actually walk the marker stream. */
+    def jpeg(w: Int, h: Int): Array[Byte] =
+      Array[Byte](0xff.toByte, 0xd8.toByte) ++
+        Array[Byte](0xff.toByte, 0xe0.toByte) ++ be16(16) ++
+        "JFIF".getBytes ++ Array[Byte](0, 1, 1, 0) ++ be16(1) ++ be16(1) ++
+        Array[Byte](0, 0) ++
+        Array[Byte](0xff.toByte, 0xc0.toByte) ++ be16(17) ++ Array[Byte](8) ++
+        be16(h) ++ be16(w) ++ Array[Byte](3,
+          1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++
+        Array[Byte](0xff.toByte, 0xd9.toByte)
+
+    def gif(w: Int, h: Int): Array[Byte] =
+      "GIF89a".getBytes ++ le16(w) ++ le16(h) ++
+        Array[Byte](0, 0, 0, 0x3b) // flags, bg, aspect, trailer
+
+    /** BITMAPINFOHEADER; `topDown` stores the height negated (the
+      * top-down row-order convention the parser must normalize). */
+    def bmp(w: Int, h: Int, topDown: Boolean = false): Array[Byte] =
+      "BM".getBytes ++ le32(54) ++ le32(0) ++ le32(54) ++
+        le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
+        le16(1) ++ le16(24) ++ le32(0) ++ le32(0) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+  }
 }

@@ -132,6 +132,57 @@ object TextAnalysis {
       gopherVerdict(minWords, maxWords, minStopHits))
   }
 
+  /** C4-style page cleaning (Raffel et al. 2020, the published heuristics
+    * behind the Colossal Clean Crawled Corpus; cf. reference
+    * box_ingest.py:88 which has no corpus hygiene at all). Line level:
+    * keep only lines that end in terminal punctuation (. ! ? "), contain
+    * at least `minLineWords` words, and do not mention "javascript".
+    * Page level: keep only pages whose CLEANED text still has at least
+    * `minSentences` sentences ([.!?] marks) and whose RAW page has no
+    * word from `badwords`, no "lorem ipsum" phrase, and no curly brace.
+    *
+    * One stateless narrow projection per document — no shuffle, no join;
+    * the badword list rides inside the plan as a literal array (the
+    * published list is ~400 words — trivially literal-sized). At 100 TB
+    * this runs at scan speed and composes with [[Curation.curate]] or
+    * any stream (stateless => streaming-safe unchanged).
+    *
+    * Returns one row per input doc: line/sentence tallies, the per-rule
+    * page verdict components, the cleaned text, and `is_kept`.
+    */
+  def c4Clean(df: DataFrame, text: String, id: String,
+      badwords: Seq[String], minLineWords: Int = 5,
+      minSentences: Int = 3): DataFrame = {
+    val t = col(text)
+    val lines = split(t, "\n")
+    val kept = filter(lines, l =>
+      substring(l, -1, 1).isin(".", "!", "?", "\"") &&
+        size(filter(split(l, "\\s+"), w => length(w) > 0)) >= minLineWords &&
+        !contains(lower(l), lit("javascript")))
+    df.select(col(id), t.as("__page"), lines.as("__lines"), kept.as("__kept"))
+      .select(
+        col(id),
+        size(col("__lines")).cast(LongType).as("n_lines"),
+        size(col("__kept")).cast(LongType).as("n_kept"),
+        array_join(col("__kept"), "\n").as("clean_text"),
+        arrays_overlap(
+          filter(split(lower(col("__page")), "[^a-z0-9]+"),
+            w => length(w) > 0),
+          lit(badwords.map(_.toLowerCase).toArray)).as("has_badword"),
+        contains(lower(col("__page")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("__page"), lit("{")).as("has_brace"))
+      .withColumn("n_sentences",
+        (length(col("clean_text")) -
+          length(regexp_replace(col("clean_text"), "[.!?]", "")))
+          .cast(LongType))
+      .withColumn("is_kept",
+        col("n_sentences") >= minSentences && !col("has_badword") &&
+          !col("has_lorem") && !col("has_brace"))
+      .select(col(id), col("n_lines"), col("n_kept"), col("n_sentences"),
+        col("has_badword"), col("has_lorem"), col("has_brace"),
+        col("clean_text"), col("is_kept"))
+  }
+
   /** 64-bit rolling-hash document fingerprint (custom codegen'd Catalyst
     * expression — graft.functions.RollingFingerprint). Equal fingerprints
     * => byte-identical text (mod 2^64 collisions). */

@@ -818,6 +818,40 @@ object ExtensionQueries {
       | CAST(64 AS BIGINT) AS n_bytes
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL header parsing (functions.ImageHeaderParse, no stub): each doc
+    * is planted as a PNG/JPEG/GIF/BMP payload (round-robin by id; every
+    * other BMP stored top-down with negative height) whose dimensions
+    * are an arithmetic function of doc_id — the parser walks the actual
+    * container bytes while the oracle re-derives format and dims from
+    * doc_id alone, never seeing a byte. Agreement means the byte-level
+    * construction and the byte-level parse invert each other. */
+  def imageDimsGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val w = (id % 500 + 1).toInt
+        val h = (id * 7 % 500 + 1).toInt
+        val bytes = (id % 4) match {
+          case 0L => Multimodal.SyntheticImages.png(w, h)
+          case 1L => Multimodal.SyntheticImages.jpeg(w, h)
+          case 2L => Multimodal.SyntheticImages.gif(w, h)
+          case _ => Multimodal.SyntheticImages.bmp(w, h, topDown = id % 8 == 3)
+        }
+        (id, bytes)
+      }.toDF("media_id", "content")
+    Multimodal.imageDims(media, "content")
+      .select(col("media_id"), col("format"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
+  private val imageDimsOracle =
+    """SELECT doc_id AS media_id,
+      | CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+      |  WHEN 2 THEN 'gif' ELSE 'bmp' END AS format,
+      | CAST(doc_id % 500 + 1 AS INTEGER) AS width,
+      | CAST((doc_id * 7) % 500 + 1 AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------ scale mechanics
 
   /** Salted two-phase aggregation must be value-identical to the plain
@@ -1018,6 +1052,7 @@ object ExtensionQueries {
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
+    QueryDef("m3_image_dims", imageDimsGate, Some(imageDimsOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

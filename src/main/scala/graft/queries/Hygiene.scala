@@ -776,6 +776,91 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------- C4 filters
+
+  /** Planted multi-line "pages" for the C4 cleaning gate: the synthetic
+    * corpus is single-line and punctuation-free, so each doc is wrapped
+    * into a page that exercises every published rule — a good sentence
+    * line, a too-short line, a no-terminal-punctuation line, a
+    * javascript line (every 7th doc, which also drops that page below
+    * the 3-sentence floor), and page-level curly-brace / lorem-ipsum /
+    * badword plants (every 11th/13th/17th). Both engines build the page
+    * from the same deterministic expression. */
+  private def c4Pages(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 100), lit(".\n"),
+        lit("too short.\n"),
+        substring(col("text"), 101, 100), lit(" no punct end\n"),
+        when(col("doc_id") % 7 === 0,
+          lit("Please enable javascript to continue."))
+          .otherwise(concat(substring(col("text"), 1, 60), lit("!"))),
+        lit("\nThis is a perfectly fine closing sentence."),
+        when(col("doc_id") % 11 === 0,
+          lit("\nvar f = function() { return 1; }")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          lit("\nLorem ipsum dolor sit amet, consectetur adipiscing elit."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          lit("\nThis sentence mentions the badword seriously today."))
+          .otherwise(lit(""))).as("page"))
+
+  /** C4 heuristic cleaning over the planted pages (TextAnalysis.c4Clean,
+    * the published Raffel et al. rules). Fully SQL-replayable: the
+    * oracle rebuilds the pages and re-runs every line and page rule. */
+  def c4Filters(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.c4Clean(c4Pages(s, d), "page", "doc_id",
+        badwords = Seq("badword"))
+      .orderBy("doc_id")
+
+  private val c4Oracle =
+    """WITH pages AS (
+      | SELECT doc_id,
+      |  substr(text, 1, 100) || '.' || chr(10) ||
+      |  'too short.' || chr(10) ||
+      |  substr(text, 101, 100) || ' no punct end' || chr(10) ||
+      |  CASE WHEN doc_id % 7 = 0 THEN 'Please enable javascript to continue.'
+      |       ELSE substr(text, 1, 60) || '!' END ||
+      |  chr(10) || 'This is a perfectly fine closing sentence.' ||
+      |  CASE WHEN doc_id % 11 = 0
+      |       THEN chr(10) || 'var f = function() { return 1; }' ELSE '' END ||
+      |  CASE WHEN doc_id % 13 = 0
+      |       THEN chr(10) || 'Lorem ipsum dolor sit amet, consectetur adipiscing elit.'
+      |       ELSE '' END ||
+      |  CASE WHEN doc_id % 17 = 0
+      |       THEN chr(10) || 'This sentence mentions the badword seriously today.'
+      |       ELSE '' END AS page
+      | FROM documents),
+      |ls AS (
+      | SELECT doc_id, page, string_split(page, chr(10)) AS lines FROM pages),
+      |k AS (
+      | SELECT doc_id, page,
+      |  CAST(len(lines) AS BIGINT) AS n_lines,
+      |  list_filter(lines, l ->
+      |    right(l, 1) IN ('.', '!', '?', '"')
+      |    AND len(regexp_extract_all(l, '[^\s]+')) >= 5
+      |    AND NOT contains(lower(l), 'javascript')) AS kept
+      | FROM ls),
+      |f AS (
+      | SELECT doc_id, page, n_lines,
+      |  CAST(len(kept) AS BIGINT) AS n_kept,
+      |  array_to_string(kept, chr(10)) AS clean_text,
+      |  len(list_intersect(regexp_extract_all(lower(page), '[a-z0-9]+'),
+      |      ['badword'])) > 0 AS has_badword,
+      |  contains(lower(page), 'lorem ipsum') AS has_lorem,
+      |  contains(page, '{') AS has_brace
+      | FROM k),
+      |g AS (
+      | SELECT *, CAST(len(clean_text) -
+      |   len(regexp_replace(clean_text, '[.!?]', '', 'g')) AS BIGINT)
+      |   AS n_sentences
+      | FROM f)
+      |SELECT doc_id, n_lines, n_kept, n_sentences,
+      | has_badword, has_lorem, has_brace, clean_text,
+      | (n_sentences >= 3 AND NOT has_badword AND NOT has_lorem
+      |  AND NOT has_brace) AS is_kept
+      |FROM g ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
@@ -795,6 +880,7 @@ object HygieneQueries {
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
+    QueryDef("t28_c4_filters", c4Filters, Some(c4Oracle)),
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),

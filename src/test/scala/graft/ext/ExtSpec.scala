@@ -562,6 +562,48 @@ class ExtSpec extends AnyFunSuite {
     assert(Multimodal.StubCodec.sampleFrames("abcdefgh".getBytes, 4).size === 4)
   }
 
+  test("ImageHeaderParse: real container headers parse; junk never throws") {
+    import graft.functions.ImageHeaderParse.{parse => p}
+    import Multimodal.SyntheticImages
+    def dims(b: Array[Byte]) =
+      Option(p(b)).map(r => (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2)))
+    assert(dims(SyntheticImages.png(640, 480)) === Some(("png", 640, 480)))
+    assert(dims(SyntheticImages.gif(3, 70000 % 65536)) === Some(("gif", 3, 4464)))
+    assert(dims(SyntheticImages.jpeg(1920, 1080)) === Some(("jpeg", 1920, 1080)))
+    assert(dims(SyntheticImages.bmp(33, 44)) === Some(("bmp", 33, 44)))
+    // top-down BMP: height stored negative, parser normalizes
+    assert(dims(SyntheticImages.bmp(33, 44, topDown = true)) ===
+      Some(("bmp", 33, 44)))
+    // the JPEG walk must skip APP0 and not read dims from it
+    assert(dims(SyntheticImages.jpeg(1, 2)) === Some(("jpeg", 1, 2)))
+    // truncation at every prefix length: null or the correct dims (once
+    // the SOF dim bytes are in view), never an exception or a misread
+    val full = SyntheticImages.jpeg(100, 200)
+    (0 until full.length).foreach { n =>
+      dims(full.take(n)).foreach(d => assert(d === (("jpeg", 100, 200))))
+    }
+    assert(p(Array[Byte]()) == null)
+    assert(p("not an image at all".getBytes) == null)
+    assert(p(Array.fill[Byte](64)(0xff.toByte)) == null) // fill-byte storm
+    // a PNG whose first chunk is not IHDR is rejected, not misread
+    val bad = SyntheticImages.png(9, 9)
+    bad(12) = 'X'; assert(p(bad) == null)
+  }
+
+  test("Multimodal.imageDims: codegen'd projection over mixed payloads") {
+    import Multimodal.SyntheticImages
+    val rows = Seq(
+      (1L, SyntheticImages.png(10, 20)),
+      (2L, SyntheticImages.gif(30, 40)),
+      (3L, "garbage".getBytes))
+    val out = Multimodal.imageDims(rows.toDF("media_id", "content"), "content")
+      .select("media_id", "format", "width", "height")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) === "png" && out(0).getInt(2) === 10)
+    assert(out(1).getString(1) === "gif" && out(1).getInt(3) === 40)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("Multimodal.resize: distributed resample updates payload and metadata") {
     val df = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.toDataset(spark,

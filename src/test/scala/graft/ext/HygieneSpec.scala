@@ -372,4 +372,34 @@ class HygieneSpec extends AnyFunSuite {
     assert(TextAnalysis.unicodeNormalize(withNull, "t", "id", "NFC")
       .collect().head.isNullAt(1))
   }
+
+  test("c4Clean: published line and page rules, each firing independently") {
+    val good = "This line has more than five words total."
+    val pages = Seq(
+      // 3 good sentences -> kept; short/unpunctuated/javascript lines drop
+      (1L, s"$good\ntiny line.\nno terminal punctuation here\n" +
+        s"Mentions of JavaScript should drop this whole line.\n$good\n$good"),
+      // only 2 sentences survive the line filter -> page dropped
+      (2L, s"$good\n$good"),
+      // badword as a word (case-insensitive, punctuation-stripped)
+      (3L, s"$good\n$good\n$good\nWe clearly said BadWord, regrettably."),
+      // badword only as substring of a longer word: NOT a hit
+      (4L, s"$good\n$good\n$good\nThe notbadwordish token is fine."),
+      // lorem ipsum phrase and curly brace page rules
+      (5L, s"$good\n$good\n$good\nLOREM IPSUM dolor sit amet today."),
+      (6L, s"$good\n$good\n$good\nif (x) { y(); }"))
+      .toDF("doc_id", "page")
+    val out = TextAnalysis.c4Clean(pages, "page", "doc_id",
+        badwords = Seq("badword"))
+      .collect().sortBy(_.getLong(0)).map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(8)))
+    // (id, n_lines, n_kept, n_sentences, badword, lorem, brace, kept)
+    assert(out(0) === ((1L, 6L, 3L, 3L, false, false, false, true)))
+    assert(out(1) === ((2L, 2L, 2L, 2L, false, false, false, false)))
+    assert(out(2) === ((3L, 4L, 4L, 4L, true, false, false, false)))
+    assert(out(3) === ((4L, 4L, 4L, 4L, false, false, false, true)))
+    assert(out(4) === ((5L, 4L, 4L, 4L, false, true, false, false)))
+    assert(out(5) === ((6L, 4L, 3L, 3L, false, false, true, false)))
+  }
 }
