@@ -170,6 +170,25 @@ object Multimodal {
       .withColumn("height", col("__img.height"))
       .drop("__img")
 
+  /** REAL audio/video metadata extraction (not the stub): parse the
+    * container header of each payload — WAV RIFF chunks, MP4 box tree,
+    * FLAC STREAMINFO, see functions.MediaHeaderParse — and add
+    * `format`/`duration_ms`/`sample_rate`/`channels`/`width`/`height`
+    * columns (all NULL for unrecognized payloads; per-field NULL where a
+    * format has no such notion). One codegen'd narrow projection: the
+    * scan-speed cataloging pass that partitions a 100 TB audio/video
+    * corpus by duration/rate/shape before any transcode is scheduled. */
+  def mediaMeta(df: DataFrame, content: String): DataFrame =
+    df.withColumn("__av",
+        graft.functions.GraftFunctions.mediaHeader(col(content)))
+      .withColumn("format", col("__av.format"))
+      .withColumn("duration_ms", col("__av.duration_ms"))
+      .withColumn("sample_rate", col("__av.sample_rate"))
+      .withColumn("channels", col("__av.channels"))
+      .withColumn("width", col("__av.width"))
+      .withColumn("height", col("__av.height"))
+      .drop("__av")
+
   /** Minimal structurally-valid image files for specs and gate fixtures:
     * correct magic/signature, header layout, and dimension encoding per
     * the published container specs. PNG chunk CRCs are zeroed (the
@@ -211,5 +230,56 @@ object Multimodal {
         le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
         le16(1) ++ le16(24) ++ le32(0) ++ le32(0) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+  }
+
+  /** Minimal structurally-valid audio/video files for specs and gate
+    * fixtures, per the published container specs. PCM bodies are zero
+    * samples; the MP4 has a real `ftyp`+`moov` tree but no `mdat`. */
+  object SyntheticMedia {
+    private def be32(v: Int) = Array[Byte](
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    private def be16(v: Int) = Array[Byte]((v >>> 8).toByte, v.toByte)
+    private def le32(v: Int) = Array[Byte](
+      v.toByte, (v >>> 8).toByte, (v >>> 16).toByte, (v >>> 24).toByte)
+    private def le16(v: Int) = Array[Byte](v.toByte, (v >>> 8).toByte)
+
+    /** 16-bit PCM WAV; duration = dataBytes / (rate·ch·2) seconds. */
+    def wav(rate: Int, ch: Int, dataBytes: Int): Array[Byte] =
+      "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++
+        le32(rate) ++ le32(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
+        "data".getBytes ++ le32(dataBytes) ++ new Array[Byte](dataBytes)
+
+    /** fLaC + STREAMINFO (last-block flag set): sampleRate(20)
+      * channels-1(3) bps-1=15(5) totalSamples(36), big-endian packed. */
+    def flac(rate: Int, ch: Int, totalSamples: Long): Array[Byte] = {
+      val si = new Array[Byte](34)
+      si(0) = 0x10; si(1) = 0; si(2) = 0x10; si(3) = 0 // min/max blocksize 4096
+      si(10) = (rate >>> 12).toByte
+      si(11) = ((rate >>> 4) & 0xff).toByte
+      si(12) = (((rate & 0xf) << 4) | ((ch - 1) << 1) | ((16 - 1) >>> 4)).toByte
+      si(13) = ((((16 - 1) & 0xf) << 4) | ((totalSamples >>> 32) & 0xf)).toInt.toByte
+      si(14) = ((totalSamples >>> 24) & 0xff).toByte
+      si(15) = ((totalSamples >>> 16) & 0xff).toByte
+      si(16) = ((totalSamples >>> 8) & 0xff).toByte
+      si(17) = (totalSamples & 0xff).toByte
+      "fLaC".getBytes ++ Array[Byte](0x80.toByte, 0, 0, 34) ++ si
+    }
+
+    /** ftyp + moov(mvhd v0 timescale=1000, trak(tkhd v0 with 16.16-fixed
+      * display dimensions)); duration field is therefore milliseconds. */
+    def mp4(durationMs: Int, w: Int, h: Int): Array[Byte] = {
+      val ftyp = be32(16) ++ "ftyp".getBytes ++ "isom".getBytes ++ be32(512)
+      val mvhd = be32(8 + 100) ++ "mvhd".getBytes ++ be32(0) ++ // v0+flags
+        be32(0) ++ be32(0) ++ be32(1000) ++ be32(durationMs) ++
+        new Array[Byte](80)
+      val tkhd = be32(8 + 84) ++ "tkhd".getBytes ++ be32(7) ++ // v0, enabled
+        be32(0) ++ be32(0) ++ be32(1) ++ be32(0) ++ be32(durationMs) ++
+        new Array[Byte](52) ++ be32(w << 16) ++ be32(h << 16)
+      val trak = be32(8 + tkhd.length) ++ "trak".getBytes ++ tkhd
+      val moov = be32(8 + mvhd.length + trak.length) ++ "moov".getBytes ++
+        mvhd ++ trak
+      ftyp ++ moov
+    }
   }
 }

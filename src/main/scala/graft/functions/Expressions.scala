@@ -1323,6 +1323,206 @@ object ImageHeaderParse {
   }
 }
 
+/** REAL audio/video container header parsing — the same pure-JVM byte
+  * walking discipline as [[ImageHeaderParse]], over the published
+  * layouts: WAV (RIFF chunk walk, `fmt ` + `data`), MP4/ISO-BMFF (box
+  * walk to `moov/mvhd` for timescale+duration, `moov/trak/tkhd` for
+  * 16.16-fixed display dimensions; 64-bit largesize and version-1 boxes
+  * handled), FLAC (`fLaC` STREAMINFO bit unpacking: 20-bit sample rate,
+  * 3-bit channels, 36-bit total samples). No codec decodes anything —
+  * this is the scan-speed metadata pass that catalogs a 100 TB
+  * audio/video corpus (duration, rate, shape) before any transcode is
+  * scheduled.
+  *
+  * Returns STRUCT<format STRING, duration_ms BIGINT, sample_rate INT,
+  * channels INT, width INT, height INT> — fields that do not apply to a
+  * format (e.g. width for WAV) are NULL; the whole struct is NULL when
+  * the payload is not a recognized container (truncated counts as
+  * unrecognized — never throws on arbitrary bytes).
+  */
+case class MediaHeaderParse(child: Expression)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("duration_ms", LongType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true)))
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"media_header expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    MediaHeaderParse.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.MediaHeaderParse.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MediaHeaderParse {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def beU16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+  private def beU32(b: Array[Byte], i: Int): Long =
+    ((u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) |
+      (u8(b, i + 2) << 8) | u8(b, i + 3)) & 0xffffffffL
+  private def beU64(b: Array[Byte], i: Int): Long =
+    (beU32(b, i) << 32) | beU32(b, i + 4)
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i).toLong | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+  private def tag(b: Array[Byte], i: Int): String =
+    new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+  private def row(fmt: String, durMs: Long, rate: Int, ch: Int,
+      w: Int, h: Int): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt),
+        if (durMs < 0) null else java.lang.Long.valueOf(durMs),
+        if (rate <= 0) null else java.lang.Integer.valueOf(rate),
+        if (ch <= 0) null else java.lang.Integer.valueOf(ch),
+        if (w <= 0) null else java.lang.Integer.valueOf(w),
+        if (h <= 0) null else java.lang.Integer.valueOf(h)))
+
+  /** Static entry point shared by eval and generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    if (n >= 12 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' &&
+        b(3) == 'F' && tag(b, 8) == "WAVE") return parseWav(b)
+    if (n >= 4 && b(0) == 'f' && b(1) == 'L' && b(2) == 'a' && b(3) == 'C')
+      return parseFlac(b)
+    if (n >= 12 && tag(b, 4) == "ftyp") return parseMp4(b)
+    null
+  }
+
+  /** RIFF chunk walk: `fmt ` gives rate/channels/byteRate, `data` gives
+    * payload size; duration = dataBytes * 1000 / byteRate. Chunk bodies
+    * are skipped by declared size (word-aligned per the RIFF spec), so
+    * the walk never touches sample data. */
+  private def parseWav(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    var i = 12L // Long cursor: a hostile 4 GiB declared size must not overflow
+    var rate = 0; var ch = 0; var byteRate = 0L; var dataBytes = -1L
+    while (i + 8 <= n && (rate == 0 || dataBytes < 0)) {
+      val ii = i.toInt
+      val id = tag(b, ii); val size = leU32(b, ii + 4)
+      if (id == "fmt " && size >= 16 && i + 24 <= n) {
+        ch = leU16(b, ii + 10)
+        rate = leU32(b, ii + 12).toInt
+        byteRate = leU32(b, ii + 16)
+      } else if (id == "data") dataBytes = size
+      i += 8 + size + (size & 1L) // RIFF chunks pad to even
+    }
+    if (rate <= 0 || ch <= 0 || byteRate <= 0 || dataBytes < 0) null
+    else row("wav", dataBytes * 1000L / byteRate, rate, ch, -1, -1)
+  }
+
+  /** STREAMINFO must be the first metadata block (spec-required): bytes
+    * 10-17 of its payload pack sampleRate(20) channels-1(3) bps-1(5)
+    * totalSamples(36) big-endian. */
+  private def parseFlac(b: Array[Byte]): InternalRow = {
+    // 4 magic + 4 block header + 34 STREAMINFO
+    if (b.length < 42 || (u8(b, 4) & 0x7f) != 0) return null
+    val p = 8
+    val rate = (u8(b, p + 10) << 12) | (u8(b, p + 11) << 4) | (u8(b, p + 12) >>> 4)
+    val ch = ((u8(b, p + 12) >>> 1) & 0x7) + 1
+    val samples = ((u8(b, p + 13) & 0xf).toLong << 32) |
+      (u8(b, p + 14).toLong << 24) | (u8(b, p + 15) << 16) |
+      (u8(b, p + 16) << 8) | u8(b, p + 17)
+    if (rate <= 0) return null
+    row("flac", samples * 1000L / rate, rate, ch, -1, -1)
+  }
+
+  /** ISO-BMFF box walk. Boxes: size BE32 (1 => 64-bit largesize follows
+    * the type; 0 => to end-of-enclosure). `moov/mvhd` v0/v1 gives
+    * timescale+duration; the first `moov/trak/tkhd` with nonzero
+    * dimensions gives width/height (stored 16.16 fixed). */
+  private def parseMp4(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    var durMs = -1L; var w = 0; var h = 0
+    var i = 0
+    while (i + 8 <= n) {
+      val (size0, hdr) = boxSize(b, i, n)
+      if (size0 < hdr || i + size0 > n) return finishMp4(durMs, w, h)
+      val size = size0.toInt // bounded by n above, so the cast is safe
+      val t = tag(b, i + 4)
+      if (t == "moov") {
+        var j = i + hdr
+        val end = i + size
+        while (j + 8 <= end) {
+          val (s20, h2) = boxSize(b, j, end)
+          if (s20 < h2 || j + s20 > end) return finishMp4(durMs, w, h)
+          val s2 = s20.toInt
+          val t2 = tag(b, j + 4)
+          if (t2 == "mvhd" && j + h2 + 4 <= end) {
+            val p = j + h2
+            val v = u8(b, p)
+            if (v == 0 && p + 20 <= end) {
+              val ts = beU32(b, p + 12)
+              if (ts > 0) durMs = beU32(b, p + 16) * 1000L / ts
+            } else if (v == 1 && p + 32 <= end) {
+              val ts = beU32(b, p + 20)
+              if (ts > 0) durMs = beU64(b, p + 24) * 1000L / ts
+            }
+          } else if (t2 == "trak" && (w == 0 || h == 0)) {
+            var q = j + h2
+            val tEnd = j + s2
+            while (q + 8 <= tEnd) {
+              val (s30, h3) = boxSize(b, q, tEnd)
+              if (s30 < h3 || q + s30 > tEnd) { q = tEnd }
+              else {
+                if (tag(b, q + 4) == "tkhd") {
+                  val p = q + h3
+                  val v = u8(b, p)
+                  val dimOff = if (v == 1) 88 else 76
+                  if (p + dimOff + 8 <= tEnd) {
+                    w = (beU32(b, p + dimOff) >>> 16).toInt
+                    h = (beU32(b, p + dimOff + 4) >>> 16).toInt
+                  }
+                }
+                q += s30.toInt
+              }
+            }
+          }
+          j += s2
+        }
+        return finishMp4(durMs, w, h)
+      }
+      i += size
+    }
+    finishMp4(durMs, w, h)
+  }
+
+  private def finishMp4(durMs: Long, w: Int, h: Int): InternalRow =
+    if (durMs < 0 && w <= 0 && h <= 0) null
+    else row("mp4", durMs, -1, -1, w, h)
+
+  /** (total box size, header length) honoring size==1 largesize and
+    * size==0 to-end-of-enclosure. */
+  private def boxSize(b: Array[Byte], i: Int, end: Int): (Long, Int) = {
+    val s = beU32(b, i)
+    if (s == 1L) {
+      if (i + 16 > end) (-1L, 16) else (beU64(b, i + 8), 16)
+    } else if (s == 0L) ((end - i).toLong, 8)
+    else (s, 8)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -1359,6 +1559,7 @@ object GraftFunctions {
       centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expr(c), ids, centroids))
   def imageHeader(c: Column): Column = column(ImageHeaderParse(expr(c)))
+  def mediaHeader(c: Column): Column = column(MediaHeaderParse(expr(c)))
 
   /** Make the functions available to `spark.sql` as graft_fingerprint /
     * graft_cosine. */

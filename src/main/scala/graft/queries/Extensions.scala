@@ -852,6 +852,54 @@ object ExtensionQueries {
       | CAST((doc_id * 7) % 500 + 1 AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** REAL audio/video header parsing (functions.MediaHeaderParse): each
+    * doc planted as a WAV/MP4/FLAC payload (round-robin by id) whose
+    * duration/rate/channels/dims are arithmetic in doc_id — WAV duration
+    * is implied by the PCM data-chunk byte count, FLAC by the 36-bit
+    * total-samples field, MP4 by mvhd duration/timescale; the oracle
+    * re-derives everything from doc_id without seeing a byte. */
+  def mediaMetaGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import Multimodal.SyntheticMedia
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes = (id % 3) match {
+          case 0L =>
+            val ch = 1 + (id % 2).toInt
+            val durMs = ((id % 97) + 1).toInt * 10
+            SyntheticMedia.wav(8000, ch, 16 * ch * durMs) // byteRate/1000=16·ch
+          case 1L =>
+            SyntheticMedia.mp4(((id % 89) + 1).toInt * 10,
+              (id % 320 + 16).toInt, (id * 3 % 240 + 16).toInt)
+          case _ =>
+            SyntheticMedia.flac(16000, 1 + (id % 8).toInt,
+              ((id % 50) + 1) * 1600L) // 1600 samples @16kHz = 100 ms
+        }
+        (id, bytes)
+      }.toDF("media_id", "content")
+    Multimodal.mediaMeta(media, "content")
+      .select(col("media_id"), col("format"), col("duration_ms"),
+        col("sample_rate"), col("channels"), col("width"), col("height"))
+      .orderBy("media_id")
+  }
+
+  private val mediaMetaOracle =
+    """SELECT doc_id AS media_id,
+      | CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'mp4'
+      |  ELSE 'flac' END AS format,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 97 + 1) * 10
+      |  WHEN 1 THEN (doc_id % 89 + 1) * 10
+      |  ELSE (doc_id % 50 + 1) * 100 END AS BIGINT) AS duration_ms,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 2 THEN 16000
+      |  END AS INTEGER) AS sample_rate,
+      | CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 2
+      |  WHEN 2 THEN 1 + doc_id % 8 END AS INTEGER) AS channels,
+      | CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id % 320 + 16
+      |  END AS INTEGER) AS width,
+      | CAST(CASE WHEN doc_id % 3 = 1 THEN doc_id * 3 % 240 + 16
+      |  END AS INTEGER) AS height
+      |FROM documents ORDER BY media_id""".stripMargin
+
   // ------------------------------------------------ scale mechanics
 
   /** Salted two-phase aggregation must be value-identical to the plain
@@ -1053,6 +1101,7 @@ object ExtensionQueries {
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
     QueryDef("m3_image_dims", imageDimsGate, Some(imageDimsOracle)),
+    QueryDef("m4_media_meta", mediaMetaGate, Some(mediaMetaOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

@@ -590,6 +590,56 @@ class ExtSpec extends AnyFunSuite {
     bad(12) = 'X'; assert(p(bad) == null)
   }
 
+  test("MediaHeaderParse: wav/mp4/flac headers parse; junk and truncation never throw") {
+    import graft.functions.MediaHeaderParse.{parse => p}
+    import Multimodal.SyntheticMedia
+    def meta(b: Array[Byte]) = Option(p(b)).map { r =>
+      (r.getUTF8String(0).toString,
+        if (r.isNullAt(1)) -1L else r.getLong(1),
+        if (r.isNullAt(2)) -1 else r.getInt(2),
+        if (r.isNullAt(3)) -1 else r.getInt(3),
+        if (r.isNullAt(4)) -1 else r.getInt(4),
+        if (r.isNullAt(5)) -1 else r.getInt(5))
+    }
+    // WAV: 2ch 16-bit 8kHz, 64000 data bytes = 32000 bytes/s·ch... = 2000 ms
+    assert(meta(SyntheticMedia.wav(8000, 2, 64000)) ===
+      Some(("wav", 2000L, 8000, 2, -1, -1)))
+    assert(meta(SyntheticMedia.wav(44100, 1, 88200)) ===
+      Some(("wav", 1000L, 44100, 1, -1, -1)))
+    // FLAC: 48k samples @48kHz = 1000 ms; 8 channels is the 3-bit max
+    assert(meta(SyntheticMedia.flac(48000, 8, 48000L)) ===
+      Some(("flac", 1000L, 48000, 8, -1, -1)))
+    assert(meta(SyntheticMedia.flac(16000, 1, 4000L)) ===
+      Some(("flac", 250L, 16000, 1, -1, -1)))
+    // MP4: mvhd ms timescale + tkhd 16.16 dims
+    assert(meta(SyntheticMedia.mp4(90000, 1920, 1080)) ===
+      Some(("mp4", 90000L, -1, -1, 1920, 1080)))
+    // truncation at every prefix: null or correct, never a throw/misread
+    val full = SyntheticMedia.mp4(500, 64, 48)
+    (0 until full.length).foreach(n => meta(full.take(n)))
+    val fw = SyntheticMedia.wav(8000, 1, 160)
+    (0 until fw.length).foreach(n => meta(fw.take(n)))
+    assert(p(Array[Byte]()) == null)
+    assert(p("RIFFxxxxJUNK and then some".getBytes) == null)
+    assert(p("this is not media".getBytes) == null)
+  }
+
+  test("Multimodal.mediaMeta: codegen'd projection over mixed payloads") {
+    import Multimodal.SyntheticMedia
+    val rows = Seq(
+      (1L, SyntheticMedia.wav(8000, 1, 16000)),
+      (2L, SyntheticMedia.mp4(1500, 320, 240)),
+      (3L, "garbage".getBytes))
+    val out = Multimodal.mediaMeta(rows.toDF("media_id", "content"), "content")
+      .select("media_id", "format", "duration_ms", "sample_rate", "width")
+      .collect().sortBy(_.getLong(0))
+    assert(out(0).getString(1) === "wav" && out(0).getLong(2) === 1000L &&
+      out(0).getInt(3) === 8000 && out(0).isNullAt(4))
+    assert(out(1).getString(1) === "mp4" && out(1).getLong(2) === 1500L &&
+      out(1).isNullAt(3) && out(1).getInt(4) === 320)
+    assert(out(2).isNullAt(1) && out(2).isNullAt(2))
+  }
+
   test("Multimodal.imageDims: codegen'd projection over mixed payloads") {
     import Multimodal.SyntheticImages
     val rows = Seq(
