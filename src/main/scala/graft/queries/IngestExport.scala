@@ -894,6 +894,55 @@ object IngestExportQueries {
       | CAST(c_nationkey AS BIGINT) AS profile_seg_nation
       |FROM customer ORDER BY id""".stripMargin
 
+  /** WARC ingest e2e (io.Warc): the corpus is serialized into two .warc
+    * shards (even/odd doc_id, each led by a warcinfo record) with real
+    * HTTP response payloads, then read back DISTRIBUTED via the
+    * record-delimiter TextInputFormat split, filtered to response
+    * records, and HTTP-split columnar. The oracle re-derives the URI,
+    * declared byte length (45-byte HTTP preamble + body), status, and
+    * body from the documents table alone — agreement means serializer,
+    * splitter, header parser, byte-exact Content-Length cut, and HTTP
+    * split all invert each other. */
+  def ingestWarcE2e(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_i16_")
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def shard(recs: Seq[(Long, String)], name: String): Unit = {
+      val sb = new StringBuilder
+      sb.append(graft.io.Warc.writeRecord("warcinfo", "<urn:graft:info>",
+        "", "2024-01-01T00:00:00Z", "software: graft-fixture\r\n"))
+      recs.foreach { case (id, text) =>
+        val payload = "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+          text.take(200)
+        sb.append(graft.io.Warc.writeRecord("response", s"<urn:doc:$id>",
+          s"http://corpus.example.com/doc/$id", "2024-01-01T00:00:00Z",
+          payload))
+      }
+      Files.write(tmp.resolve(name),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
+    shard(even, "shard0.warc")
+    shard(odd, "shard1.warc")
+    graft.io.Warc.httpParts(
+        graft.io.Warc.read(s, tmp.toString + "/*.warc")
+          .where(col("warc_type") === "response"))
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1)
+          .cast("long").as("doc_id"),
+        col("target_uri"), col("content_length"),
+        col("http_status"), col("http_body"))
+      .orderBy("doc_id")
+  }
+
+  private val ingestWarcOracle =
+    """SELECT doc_id,
+      | 'http://corpus.example.com/doc/' || doc_id AS target_uri,
+      | CAST(45 + length(substr(text, 1, 200)) AS BIGINT) AS content_length,
+      | CAST(200 AS INTEGER) AS http_status,
+      | substr(text, 1, 200) AS http_body
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
@@ -924,5 +973,6 @@ object IngestExportQueries {
     QueryDef("e9_export_shards_e2e", exportShardsE2e,
       Some(exportShardsOracle)),
     QueryDef("i15_ingest_quoted_newline_e2e", ingestQuotedNewlineE2e,
-      Some(ingestQuotedNewlineOracle)))
+      Some(ingestQuotedNewlineOracle)),
+    QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)))
 }

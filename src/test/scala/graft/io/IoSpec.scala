@@ -459,4 +459,47 @@ class IoSpec extends AnyFunSuite {
     Files.write(empty, Array.emptyByteArray)
     intercept[IllegalArgumentException](FormatReader.fromFwf(spark, empty))
   }
+
+  test("Warc.parseSegment: header parse, byte-exact cut, malformed drop") {
+    val rec = Warc.writeRecord("response", "<urn:doc:7>",
+      "http://corpus.example.com/doc/7", "2024-01-01T00:00:00Z",
+      "HTTP/1.1 200 OK\r\n\r\nhello")
+    // a file-leading segment keeps its own magic; parse strips it
+    val r = Warc.parseSegment(rec.stripSuffix("\r\n\r\n")).get
+    assert(r.warc_type === "response" && r.record_id === "<urn:doc:7>")
+    assert(r.content_length === 24L && r.payload === "HTTP/1.1 200 OK\r\n\r\nhello")
+    // Content-Length counts BYTES: 2-byte é must not shift the cut
+    val multi = Warc.parseSegment(
+      Warc.writeRecord("conversion", "<urn:x>", "", "2024-01-01T00:00:00Z",
+        "café").stripSuffix("\r\n\r\n")).get
+    assert(multi.content_length === 5L && multi.payload === "café")
+    // trailing record terminator falls away via the declared cut
+    val term = Warc.parseSegment(Warc.writeRecord("metadata", "<urn:y>", "",
+      "2024-01-01T00:00:00Z", "abc")).get
+    assert(term.payload === "abc")
+    // malformed: no header/payload split, no warc-type, junk
+    assert(Warc.parseSegment("no separator here") === None)
+    assert(Warc.parseSegment("X-Other: 1\r\n\r\npayload") === None)
+    assert(Warc.parseSegment("") === None)
+  }
+
+  test("Warc.read: distributed record split across a multi-record file") {
+    val spark = graft.TestSpark.spark
+    val dir = Files.createTempDirectory("warc_")
+    val body = (i: Int) => s"HTTP/1.1 200 OK\r\nX: y\r\n\r\nbody number $i"
+    val content = Warc.writeRecord("warcinfo", "<urn:info>", "",
+        "2024-01-01T00:00:00Z", "software: test\r\n") +
+      (1 to 25).map(i => Warc.writeRecord("response", s"<urn:doc:$i>",
+        s"http://h/doc/$i", "2024-01-01T00:00:00Z", body(i))).mkString
+    Files.write(dir.resolve("a.warc"), content.getBytes("UTF-8"))
+    val df = Warc.read(spark, dir.toString + "/*.warc")
+    assert(df.count() === 26)
+    val resp = Warc.httpParts(
+      df.where(org.apache.spark.sql.functions.col("warc_type") === "response"))
+    import org.apache.spark.sql.functions._
+    val got = resp.select("record_id", "http_status", "http_body")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(got === (1 to 25).map(i =>
+      (s"<urn:doc:$i>", 200, s"body number $i")).toSet)
+  }
 }
