@@ -35,16 +35,28 @@ object Tables {
       { case (s, p) => s.read.parquet(p) })
   }
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's TimestampType
-    * (microseconds) cannot represent; the vectorized reader refuses it
-    * outright. Read nanos as a long and floor-divide to micros — the same
-    * truncation DuckDB applies when it reads TIMESTAMP_NS as TIMESTAMP,
-    * so oracle values stay identical.
+  /** `ts` normalization across testdata generations. Earlier generators
+    * wrote TIMESTAMP(NANOS) — unrepresentable in Spark's microsecond
+    * TimestampType, so it is read as a nanos long (nanosAsLong) and
+    * floor-divided to micros, the same truncation DuckDB applies reading
+    * TIMESTAMP_NS as TIMESTAMP. The 2026-08-13 regeneration writes
+    * TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4 infers
+    * as TIMESTAMP_NTZ; cast it to TimestampType — value-identity under
+    * the UTC session timezone every graft session pins, and the exact
+    * micros DuckDB sees. Dispatch on the READ schema so both data
+    * generations (and a future plain-LTZ one) work unchanged.
     */
   private def eventsWithTs(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(spark, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = apply(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame    = apply(s, d, "region")

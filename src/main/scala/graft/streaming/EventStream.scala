@@ -9,9 +9,14 @@ import org.apache.spark.sql.types._
   * "Streams": the reference is batch-only; its poll-a-folder loop is
   * subsumed by a file-source stream with AvailableNow).
   *
-  * events.parquet carries TIMESTAMP(NANOS), which Spark's reader rejects;
-  * the stream reads ts as LongType (nanosAsLong) and converts to a
-  * microsecond timestamp — same truncation the batch path uses.
+  * events.parquet has shipped with two on-disk `ts` encodings across
+  * testdata generations — TIMESTAMP(NANOS) (read as a nanos long via
+  * nanosAsLong, floor-divided to micros) and TIMESTAMP(MICROS)
+  * isAdjustedToUTC=false (inferred TIMESTAMP_NTZ, cast to TimestampType:
+  * value-identity under the pinned UTC session timezone). A file source
+  * requires an explicit schema, so [[source]] probes the batch reader's
+  * inferred schema once (footer-only, driver-side) and dispatches — the
+  * same normalization [[graft.Tables.events]] applies on the batch path.
   */
 object EventStream {
 
@@ -26,11 +31,24 @@ object EventStream {
   /** Streaming source over a directory of event parquet files. */
   def source(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.readStream
-      .schema(rawSchema)
+    // Probe the on-disk ts encoding (generation dispatch, see object doc).
+    // An unreadable/empty dir defaults to TimestampType — what our own
+    // parquet sink writes for fixture dirs populated after stream start.
+    val tsType = scala.util.Try(
+      spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(dir).schema("ts").dataType
+    ).getOrElse(TimestampType)
+    val schema = StructType(rawSchema.map(f =>
+      if (f.name == "ts") f.copy(dataType = tsType) else f))
+    val raw = spark.readStream
+      .schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    tsType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed aggregation with a watermark: the streaming
