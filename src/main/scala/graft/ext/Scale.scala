@@ -264,4 +264,163 @@ object Scale {
     big.where(mightContainKey(bloom, big(bigKey)))
       .join(small, big(bigKey) === small(smallKey))
   }
+
+  // ------------------------------------------- zone maps (file skipping)
+
+  /** Hadoop Configuration is not Serializable; this minimal envelope
+    * (Configuration.write/readFields are its own wire format) ships it
+    * to the footer-reading tasks. */
+  private class ConfEnvelope(@transient var conf:
+      org.apache.hadoop.conf.Configuration) extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** One zone-map entry: a row group's footer statistics for one column.
+    * Numeric stats land in min_long/max_long (integral + date-as-days),
+    * min_dbl/max_dbl (float/double), or min_str/max_str (UTF8 binary —
+    * note parquet writers may TRUNCATE binary stats, so string bounds
+    * are conservative, not exact); absent/untyped stats leave all NULL,
+    * which [[prunedRead]] treats as "cannot prune". */
+  final case class ZoneEntry(
+      file: String, row_group: Int, column: String,
+      num_rows: Long, null_count: java.lang.Long,
+      min_long: java.lang.Long, max_long: java.lang.Long,
+      min_dbl: java.lang.Double, max_dbl: java.lang.Double,
+      min_str: String, max_str: String)
+
+  /** Zone map (file/row-group min-max index) over a parquet directory,
+    * read from FOOTERS ONLY — no data page is touched, so building the
+    * map over a 100 TB table costs one footer round-trip per file
+    * (kilobytes each), distributed over the file list. This is the
+    * data-skipping index a lakehouse table format maintains in its
+    * manifest; on plain parquet directories it has to be harvested from
+    * the files, and this harvest is the scan-avoidance primitive that
+    * [[prunedRead]] (and any engine-side file pruning) builds on.
+    *
+    * The file LIST is driver-side (file-count-sized metadata, the same
+    * scale every planner listing pays); footer I/O and stat extraction
+    * run in tasks. Hidden files (`_SUCCESS`, dotfiles) are skipped.
+    */
+  def zoneMap(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap: no columns requested")
+    import org.apache.hadoop.fs.Path
+    val hPath = new Path(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = hPath.getFileSystem(conf)
+    val files = fs.listStatus(hPath).toSeq
+      .filter(_.isFile)
+      .map(_.getPath)
+      .filter { p =>
+        val n = p.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.toString)
+      .sorted
+    require(files.nonEmpty, s"zoneMap: no parquet files under $dir")
+    val env = new ConfEnvelope(conf)
+    val wanted = cols.toArray
+    import spark.implicits._
+    val entries = spark.sparkContext
+      .parallelize(files, math.min(files.size, 64))
+      .flatMap { f =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), env.conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          // Materialized INSIDE the try: a lazy iterator would outlive
+          // the closed reader.
+          val out: Vector[ZoneEntry] =
+            (0 until blocks.size).iterator.flatMap { bi =>
+            val block = blocks.get(bi)
+            val byPath = new scala.collection.mutable.HashMap[String,
+              org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+            block.getColumns.forEach(c =>
+              byPath(c.getPath.toDotString) = c)
+            wanted.iterator.map { name =>
+              val base = ZoneEntry(f, bi, name, block.getRowCount,
+                null, null, null, null, null, null, null)
+              byPath.get(name) match {
+                case Some(c) =>
+                  val st = c.getStatistics
+                  if (st == null || st.isEmpty) base
+                  else {
+                    val nulls: java.lang.Long =
+                      if (st.isNumNullsSet) st.getNumNulls else null
+                    if (!st.hasNonNullValue) base.copy(null_count = nulls)
+                    else c.getPrimitiveType.getPrimitiveTypeName match {
+                      case INT64 => base.copy(null_count = nulls,
+                        min_long = st.genericGetMin.asInstanceOf[java.lang.Long],
+                        max_long = st.genericGetMax.asInstanceOf[java.lang.Long])
+                      case INT32 => base.copy(null_count = nulls,
+                        min_long = st.genericGetMin
+                          .asInstanceOf[java.lang.Integer].longValue,
+                        max_long = st.genericGetMax
+                          .asInstanceOf[java.lang.Integer].longValue)
+                      case DOUBLE => base.copy(null_count = nulls,
+                        min_dbl = st.genericGetMin.asInstanceOf[java.lang.Double],
+                        max_dbl = st.genericGetMax.asInstanceOf[java.lang.Double])
+                      case FLOAT => base.copy(null_count = nulls,
+                        min_dbl = st.genericGetMin
+                          .asInstanceOf[java.lang.Float].doubleValue,
+                        max_dbl = st.genericGetMax
+                          .asInstanceOf[java.lang.Float].doubleValue)
+                      case BINARY => base.copy(null_count = nulls,
+                        min_str = st.minAsString, max_str = st.maxAsString)
+                      case _ => base.copy(null_count = nulls)
+                    }
+                  }
+                case None => base
+              }
+            }
+          }.toVector
+          out
+        } finally reader.close()
+      }
+      .toDF()
+    entries
+  }
+
+  /** Read of `dir` pruned to the files whose footer statistics can
+    * contain `column` ∈ [lo, hi] — parquet's own row-group skipping
+    * works INSIDE each file Spark opens, but the listing itself still
+    * enumerates and schedules every file; on a 100 TB directory the
+    * win is not opening 98% of them at all. Files with no usable stats
+    * for the column are conservatively KEPT (never an answer change),
+    * and the residual filter keeps semantics exact whatever the stats
+    * say: the result equals the unpruned filtered read at any layout.
+    * Pruning only SAVES work when the layout clusters the column —
+    * range-partition or [[zOrderBy]] the write for that.
+    *
+    * The keep-list collect is file-count-sized metadata (never rows),
+    * the same object the driver's planner would hold anyway.
+    */
+  def prunedRead(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"prunedRead: empty range [$lo, $hi]")
+    val zm = zoneMap(spark, dir, Seq(column))
+    val keep = zm.groupBy(col("file"))
+      .agg(max(when(col("min_long").isNull.or(col("max_long").isNull), 1)
+          .otherwise(0)).as("unknown"),
+        max(when(col("max_long") >= lo && col("min_long") <= hi, 1)
+          .otherwise(0)).as("hit"))
+      .where(col("unknown") === 1 || col("hit") === 1)
+      .select("file")
+      .collect().map(_.getString(0)).sorted
+    val pred = col(column).between(lo, hi)
+    if (keep.isEmpty)
+      // Nothing can match: preserve the schema via a footer-only read.
+      spark.read.parquet(dir).where(lit(false)).where(pred)
+    else spark.read.parquet(keep: _*).where(pred)
+  }
 }

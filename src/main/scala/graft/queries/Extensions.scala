@@ -929,6 +929,36 @@ object ExtensionQueries {
       | (n * 32 + total - 1) // total AS salt
       |FROM c, t ORDER BY n DESC, event_type LIMIT 5""".stripMargin
 
+  /** Zone-map pruned read (ext Scale.zoneMap/prunedRead): lineitem laid
+    * out range-partitioned on l_orderkey into 8 parquet files, then read
+    * back pruned by FOOTER statistics to the files that can contain the
+    * bottom-quarter key range. Pruning must be invisible in the answer —
+    * the oracle filters the ORIGINAL table, never seeing the layout; the
+    * files-actually-skipped assertion lives in ScaleSpec. */
+  def zoneMapPrune(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc6_").toString
+    val li = Tables.lineitem(s, d)
+    li.repartitionByRange(8, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    val hi = li.agg(max("l_orderkey")).head().getLong(0) / 4
+    graft.ext.Scale.prunedRead(s, dir, "l_orderkey", 1L, hi)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  private val zoneMapPruneOracle =
+    """SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_orderkey BETWEEN 1
+      |  AND (SELECT max(l_orderkey) // 4 FROM lineitem)
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Bucketed-table join: pay the shuffle at write time, join for free
     * at read time (exchange-free plan asserted in ScaleSpec); results
     * must match the direct join of the source parquet. */
@@ -1107,5 +1137,6 @@ object ExtensionQueries {
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
     QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle), bench = true),
+    QueryDef("sc6_zonemap_prune", zoneMapPrune, Some(zoneMapPruneOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

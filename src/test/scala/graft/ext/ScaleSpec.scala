@@ -191,4 +191,71 @@ class ScaleSpec extends AnyFunSuite {
       .select("v", "name").as[(String, String)].collect().sorted
     assert(got.toSeq === Seq(("a", "x"), ("b", "y")))
   }
+
+  // ---------------------------------------------------------- zone maps
+
+  private def zoneFixture(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zm_").toString
+    (0 until 4000).map(i =>
+        (i.toLong, (i % 97).toDouble, f"s${i % 13}%02d"))
+      .toDF("k", "x", "s")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("zoneMap: footer stats equal per-file min/max recomputed from data") {
+    val dir = zoneFixture()
+    // Compare by basename: input_file_name() and Hadoop Path.toString
+    // render the file: scheme differently for the same local file.
+    val base = (f: String) => f.substring(f.lastIndexOf('/') + 1)
+    val fromData = spark.read.parquet(dir)
+      .groupBy(input_file_name().as("file"))
+      .agg(min("k").as("mn"), max("k").as("mx"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => base(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val zm = Scale.zoneMap(spark, dir, Seq("k", "x", "s"))
+    val fromFooters = zm.where(col("column") === "k")
+      .groupBy("file")
+      .agg(min("min_long").as("mn"), max("max_long").as("mx"),
+        sum("num_rows").as("n"))
+      .collect()
+      .map(r => base(r.getString(0)) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fromFooters === fromData)
+    // Typed stats land in their typed columns for double and string cols.
+    val xr = zm.where(col("column") === "x")
+      .agg(min("min_dbl"), max("max_dbl")).head()
+    assert(xr.getDouble(0) === 0.0 && xr.getDouble(1) === 96.0)
+    val sr = zm.where(col("column") === "s")
+      .agg(min("min_str"), max("max_str")).head()
+    assert(sr.getString(0) === "s00" && sr.getString(1) === "s12")
+    // A column absent from the files yields all-NULL stats (kept rows).
+    val ghost = Scale.zoneMap(spark, dir, Seq("nope"))
+    assert(ghost.count() === 8)
+    assert(ghost.where(col("min_long").isNotNull
+      .or(col("min_dbl").isNotNull).or(col("min_str").isNotNull)).count() === 0)
+  }
+
+  test("prunedRead: exact filtered result while opening a fraction of the files") {
+    val dir = zoneFixture()
+    val allFiles = spark.read.parquet(dir).inputFiles.length
+    assert(allFiles === 8)
+    val pruned = Scale.prunedRead(spark, dir, "k", 1000L, 1999L)
+    // Answer-equality with the unpruned filtered read.
+    val expect = spark.read.parquet(dir).where(col("k").between(1000, 1999))
+      .collect().map(_.toSeq).toSet
+    assert(pruned.collect().map(_.toSeq).toSet === expect)
+    // The range spans 1000 of 4000 range-partitioned keys: at most 3 of
+    // the 8 files can overlap it (boundary files included), and pruning
+    // must actually have skipped most of the directory.
+    val opened = pruned.inputFiles.length
+    assert(opened >= 1 && opened <= 3, s"opened $opened of $allFiles files")
+    // A range outside every footer's bounds opens nothing and returns
+    // an empty frame with the data schema intact.
+    val none = Scale.prunedRead(spark, dir, "k", 1000000L, 2000000L)
+    assert(none.count() === 0)
+    assert(none.schema.fieldNames.toSeq === Seq("k", "x", "s"))
+  }
 }
