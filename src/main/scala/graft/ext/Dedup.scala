@@ -417,6 +417,17 @@ object Dedup {
     * (the fixed 4x16 layout would silently miss pairs past distance 3). */
   def simHashPairs(df: DataFrame, text: String, id: String,
       maxDist: Int = 3, maxBucketSize: Int = 4096): DataFrame = {
+    val sigs = df.select(col(id).as("doc_id"), simHashCol(col(text)).as("sig"))
+    hammingPairs64(sigs, maxDist, maxBucketSize)
+  }
+
+  /** Near-duplicate pairs over ANY 64-bit signature relation
+    * (`doc_id`, `sig`) by Hamming distance <= maxDist — the pigeonhole
+    * chunk machinery behind [[simHashPairs]], reused as-is by the
+    * perceptual image near-dup path ([[Multimodal.imageNearDup]]): the
+    * signature family changes, the candidate-generation plan does not. */
+  private[ext] def hammingPairs64(sigs: DataFrame,
+      maxDist: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 16,
       s"maxDist=$maxDist: chunks below 4 bits make the candidate join quadratic")
     val k = maxDist + 1
@@ -428,7 +439,6 @@ object Dedup {
       struct(lit(i).as("chunk"),
         shiftrightunsigned(col("sig"), lo).bitwiseAND(lit(mask)).as("chunk_val"))
     }
-    val sigs = df.select(col(id).as("doc_id"), simHashCol(col(text)).as("sig"))
     val chunks = sigs.select(col("doc_id"), col("sig"), inline(array(chunkExprs: _*)))
     // In-bucket expansion (one scan + one shuffle, cf. bucketPairs): the
     // signature rides in the bucket struct, so the Hamming verify needs no

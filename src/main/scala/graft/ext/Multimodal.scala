@@ -178,6 +178,29 @@ object Multimodal {
     * format has no such notion). One codegen'd narrow projection: the
     * scan-speed cataloging pass that partitions a 100 TB audio/video
     * corpus by duration/rate/shape before any transcode is scheduled. */
+  /** Perceptual signature projection: 64-bit dHash per payload
+    * (functions.DHash64 — codegen'd, scan-speed; NULL for payloads the
+    * zero-dependency BMP decoder cannot read). */
+  def dHash(df: DataFrame, content: String): DataFrame =
+    df.withColumn("dhash",
+      graft.functions.GraftFunctions.dhash64(col(content)))
+
+  /** Perceptual image near-duplicate pairs: dHash each payload, then
+    * find pairs within `maxDist` Hamming bits via the same pigeonhole
+    * chunk plan every 64-bit signature family here uses
+    * ([[Dedup.hammingPairs64]]) — candidates come from a chunk
+    * equi-join, never N². Undecodable payloads (NULL hash) drop out
+    * rather than pairing with each other. At 100 TB this is the
+    * image-corpus twin of SimHash text dedup: one codegen'd signature
+    * pass, banding, capped buckets. */
+  def imageNearDup(df: DataFrame, id: String, content: String,
+      maxDist: Int = 8, maxBucketSize: Int = 4096): DataFrame = {
+    val sigs = dHash(df, content)
+      .where(col("dhash").isNotNull)
+      .select(col(id).as("doc_id"), col("dhash").as("sig"))
+    Dedup.hammingPairs64(sigs, maxDist, maxBucketSize)
+  }
+
   def mediaMeta(df: DataFrame, content: String): DataFrame =
     df.withColumn("__av",
         graft.functions.GraftFunctions.mediaHeader(col(content)))
@@ -230,6 +253,67 @@ object Multimodal {
         le32(40) ++ le32(w) ++ le32(if (topDown) -h else h) ++
         le16(1) ++ le16(24) ++ le32(0) ++ le32(0) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+
+    /** fmix64-style avalanche — a deterministic, well-mixed 64-bit
+      * signature per id for fixture construction. */
+    def avalanche(v: Long): Long = {
+      var h = v * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+      h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+      h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+      h
+    }
+
+    /** 9×8 gradient BMP whose [[graft.functions.DHash64]] is `sig`
+      * EXACTLY: row y starts at 128 and steps +8 (bit set) or −8 per
+      * cell, so each adjacent-cell comparison reproduces one signature
+      * bit and the 9×8 pooling is the identity. */
+    def bmpGradient(sig: Long, topDown: Boolean = false): Array[Byte] = {
+      val gray = Array.ofDim[Int](8, 9)
+      var y = 0
+      while (y < 8) {
+        gray(y)(0) = 128
+        var x = 0
+        while (x < 8) {
+          val bit = (sig >>> (y * 8 + x)) & 1L
+          gray(y)(x + 1) = gray(y)(x) + (if (bit == 1L) 8 else -8)
+          x += 1
+        }
+        y += 1
+      }
+      bmpGray(gray, topDown)
+    }
+
+    /** Complete 24-bpp uncompressed BMP with REAL pixel data: gray(y)(x)
+      * in [0,255] is written as R=G=B (rows top-to-bottom in the input;
+      * stored bottom-up unless `topDown`). This is the one container the
+      * engine can round-trip without codec libraries — fixture input for
+      * the perceptual-hash path ([[Multimodal.dHash]]). */
+    def bmpGray(gray: Array[Array[Int]], topDown: Boolean = false): Array[Byte] = {
+      val h = gray.length
+      val w = gray(0).length
+      val stride = ((w * 3 + 3) / 4) * 4
+      val out = new Array[Byte](54 + stride * h)
+      def put(off: Int, bytes: Array[Byte]): Unit =
+        System.arraycopy(bytes, 0, out, off, bytes.length)
+      put(0, "BM".getBytes)
+      put(2, le32(out.length)); put(10, le32(54))
+      put(14, le32(40)); put(18, le32(w))
+      put(22, le32(if (topDown) -h else h))
+      put(26, le16(1)); put(28, le16(24))
+      var y = 0
+      while (y < h) {
+        val dstRow = if (topDown) y else h - 1 - y
+        var x = 0
+        while (x < w) {
+          val v = gray(y)(x).toByte
+          val p = 54 + dstRow * stride + x * 3
+          out(p) = v; out(p + 1) = v; out(p + 2) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
   }
 
   /** Minimal structurally-valid audio/video files for specs and gate

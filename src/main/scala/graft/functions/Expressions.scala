@@ -1523,11 +1523,115 @@ object MediaHeaderParse {
   }
 }
 
+/** Perceptual difference-hash (dHash) of an UNCOMPRESSED 24-bpp BMP
+  * payload: decode the raw pixel grid (the one mainstream container
+  * decodable with zero codec libraries — byte layout only, like the
+  * header walks above), integer-grayscale, average-pool to a 9×8 grid,
+  * and emit one bit per horizontally-adjacent cell pair (left < right).
+  * Two images that LOOK alike pool to similar grids and so to signatures
+  * a few Hamming bits apart — the standard near-duplicate-image key.
+  *
+  * Returns NULL for anything that is not a well-formed ≥9×8 24-bpp
+  * uncompressed BMP (PNG/JPEG/GIF need real codecs; route those through
+  * a production decoder and feed the pixels to the same pooling). Never
+  * throws on truncated or hostile payloads. Top-down (negative height)
+  * row order is normalized, so byte order on disk does not change the
+  * signature. Pure integer arithmetic throughout — bit-replayable.
+  */
+case class DHash64(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dhash64 expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    DHash64.hash(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      java.lang.Long ${ev.value}_boxed = graft.functions.DHash64.hash($c);
+      ${ev.isNull} = ${ev.value}_boxed == null;
+      ${ev.value} = ${ev.isNull} ? -1L : ${ev.value}_boxed.longValue();
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object DHash64 {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leS32(b: Array[Byte], i: Int): Int =
+    u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+
+  /** Static entry point shared by eval and generated code. Returns a
+    * boxed Long so NULL (undecodable) needs no sentinel in the domain. */
+  def hash(b: Array[Byte]): java.lang.Long = {
+    if (b == null || b.length < 54 || b(0) != 'B' || b(1) != 'M') return null
+    val dataOff = leS32(b, 10)
+    if (leS32(b, 14) < 40) return null           // BITMAPINFOHEADER only
+    val w = leS32(b, 18)
+    val hRaw = leS32(b, 22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w < 9 || h < 8 || w > (1 << 20) || h > (1 << 20)) return null
+    if (leU16(b, 28) != 24 || leS32(b, 30) != 0) return null // 24bpp, BI_RGB
+    val stride = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > b.length) return null
+
+    // Average-pool the grayscale grid to 9x8: cell (cx, cy) covers
+    // x in [cx*w/9, (cx+1)*w/9), y in [cy*h/8, (cy+1)*h/8).
+    val cells = new Array[Long](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          val srcRow = if (topDown) y else h - 1 - y
+          val rowOff = dataOff + srcRow * stride
+          var x = x0
+          while (x < x1) {
+            val p = rowOff + x * 3
+            // BGR on disk; ITU-R 601 integer luma in thousandths.
+            sum += (u8(b, p + 2) * 299 + u8(b, p + 1) * 587 +
+              u8(b, p) * 114) / 1000
+            x += 1
+          }
+          y += 1
+        }
+        cells(cy * 9 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var sig = 0L
+    var i = 0
+    while (i < 64) {
+      val cyi = i / 8; val cxi = i % 8
+      if (cells(cyi * 9 + cxi + 1) > cells(cyi * 9 + cxi))
+        sig |= 1L << i
+      i += 1
+    }
+    java.lang.Long.valueOf(sig)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
 
   def fingerprint(c: Column): Column = column(RollingFingerprint(expr(c)))
+  def dhash64(c: Column): Column = column(DHash64(expr(c)))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

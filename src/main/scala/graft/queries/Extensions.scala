@@ -900,6 +900,39 @@ object ExtensionQueries {
       |  END AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Perceptual image near-dup (ext Multimodal.imageNearDup): every doc
+    * becomes a REAL 9×8 gradient BMP whose dHash equals a 64-bit
+    * avalanche of its id by construction (each row walks ±8 per bit, so
+    * the decode→pool→compare pipeline must invert the construction
+    * bit-exactly); every 5th doc re-renders its group base's image with
+    * exactly 3 bit-flips. The planted pairs — and ONLY those — sit
+    * within Hamming 8, so the full decode+banding+verify pipeline must
+    * recover exactly the (base, base+4, 3) relation the oracle derives
+    * from doc_id arithmetic without seeing a pixel. Images alternate
+    * bottom-up/top-down byte order, pinning row-order normalization
+    * inside the gate itself. */
+  def imageNearDupGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val base = id - id % 5
+        val raw = Multimodal.SyntheticImages.avalanche(
+          if (id % 5 == 4) base else id)
+        val sig =
+          if (id % 5 == 4) raw ^ ((1L << 1) | (1L << 20) | (1L << 40))
+          else raw
+        (id, Multimodal.SyntheticImages.bmpGradient(sig, topDown = id % 2 == 1))
+      }.toDF("media_id", "content")
+    Multimodal.imageNearDup(media, "media_id", "content", maxDist = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  private val imageNearDupOracle =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(3 AS INTEGER) AS hamming
+      |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 4
+      |WHERE a.doc_id % 5 = 0
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------ scale mechanics
 
   /** Salted two-phase aggregation must be value-identical to the plain
@@ -1132,6 +1165,7 @@ object ExtensionQueries {
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
     QueryDef("m3_image_dims", imageDimsGate, Some(imageDimsOracle)),
     QueryDef("m4_media_meta", mediaMetaGate, Some(mediaMetaOracle)),
+    QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

@@ -654,6 +654,51 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("DHash64: gradient BMP inverts to its signature; row order and pooling invariant") {
+    import Multimodal.SyntheticImages
+    val sig = SyntheticImages.avalanche(42L)
+    // The 9x8 gradient construction is the hash's exact inverse.
+    assert(graft.functions.DHash64.hash(
+      SyntheticImages.bmpGradient(sig)) === sig)
+    // Top-down byte order must not change the signature.
+    assert(graft.functions.DHash64.hash(
+      SyntheticImages.bmpGradient(sig, topDown = true)) === sig)
+    // Average-pooling invariance: scale every cell to a 4x4 block
+    // (36x32 image) — constant blocks pool back to the same grid.
+    val gray9 = Array.tabulate(8, 9) { (y, x) =>
+      var v = 128; var i = 0
+      while (i < x) { v += (if (((sig >>> (y * 8 + i)) & 1L) == 1L) 8 else -8); i += 1 }
+      v
+    }
+    val gray36 = Array.tabulate(32, 36)((y, x) => gray9(y / 4)(x / 4))
+    assert(graft.functions.DHash64.hash(
+      SyntheticImages.bmpGray(gray36)) === sig)
+    // Undecodable payloads: junk, truncation at every prefix, non-BMP
+    // containers, sub-pool-grid dimensions — all NULL, never a throw.
+    val full = SyntheticImages.bmpGradient(sig)
+    (0 until full.length by 7).foreach { n =>
+      assert(graft.functions.DHash64.hash(full.take(n)) === null)
+    }
+    assert(graft.functions.DHash64.hash("garbage".getBytes) === null)
+    assert(graft.functions.DHash64.hash(SyntheticImages.png(20, 20)) === null)
+    assert(graft.functions.DHash64.hash(
+      SyntheticImages.bmpGray(Array.fill(4, 4)(7))) === null)
+  }
+
+  test("Multimodal.imageNearDup: planted 3-bit flip pair found, unrelated images not") {
+    import Multimodal.SyntheticImages
+    val base = SyntheticImages.avalanche(100L)
+    val rows = Seq(
+      (1L, SyntheticImages.bmpGradient(base)),
+      (2L, SyntheticImages.bmpGradient(base ^ ((1L << 5) | (1L << 33) | (1L << 60)))),
+      (3L, SyntheticImages.bmpGradient(SyntheticImages.avalanche(300L))),
+      (4L, "junk".getBytes)) // undecodable: must drop out, not pair
+    val got = Multimodal.imageNearDup(
+        rows.toDF("media_id", "content"), "media_id", "content", maxDist = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(got.toSeq === Seq((1L, 2L, 3)))
+  }
+
   test("Multimodal.resize: distributed resample updates payload and metadata") {
     val df = Seq((1L, "0123456789abcdef")).toDF("doc_id", "text")
     val media = Multimodal.toDataset(spark,
