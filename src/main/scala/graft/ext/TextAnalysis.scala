@@ -855,4 +855,82 @@ object TextAnalysis {
       .withColumn("path",
         regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
   }
+
+  // ------------------------------------- supervised quality classifier
+
+  /** Trainable state of the class-conditional unigram classifier (the
+    * multinomial Naive-Bayes shape): per-class token counts and
+    * per-class total token counts — both ADDITIVE, so a persisted model
+    * absorbs a new labeled batch via [[nbMerge]] with no corpus re-scan
+    * (the d15/c9/t27 incremental pattern). Tokenization is [[lmScore]]'s
+    * (lowercased whitespace tokens), so the two in-distribution scorers
+    * share a vocabulary convention. */
+  def nbCounts(ref: DataFrame, refText: String,
+      label: String): (DataFrame, DataFrame) = {
+    val tok = ref.select(col(label).as("label"),
+      explode(lmToks(refText)).as("w"))
+    (tok.groupBy(col("label"), col("w")).agg(count(lit(1)).as("c")),
+      tok.groupBy(col("label")).agg(count(lit(1)).as("n")))
+  }
+
+  /** Additive merge of two [[nbCounts]] models. */
+  def nbMerge(a: (DataFrame, DataFrame),
+      b: (DataFrame, DataFrame)): (DataFrame, DataFrame) = (
+    a._1.union(b._1).groupBy(col("label"), col("w"))
+      .agg(sum(col("c")).as("c")),
+    a._2.union(b._2).groupBy(col("label")).agg(sum(col("n")).as("n")))
+
+  /** Classify documents against an [[nbCounts]] model — the supervised
+    * member of the quality-filter family (Gopher heuristics are
+    * hand-written rules, [[lmScore]] is unsupervised in-distribution
+    * perplexity; this learns a labeled decision, e.g. lang-id or a
+    * good/bad quality classifier trained on curated-vs-crawl slices).
+    *
+    * Log-free exact-BIGINT scoring, the [[lmScore]] trick applied
+    * class-conditionally: score(doc, class) = mean over doc tokens of
+    * Laplace-smoothed (c(w,class)+1)·scale div (n_class + V), V = union
+    * vocabulary size. Every term is a floor division of BIGINTs, so the
+    * whole decision — scores AND argmax — replays bit-exactly in any
+    * ANSI engine (no float logs, no rounding ties). Class priors are
+    * deliberately uniform: the mean-term form already normalizes by doc
+    * length, and at corpus scale the token likelihood dominates.
+    *
+    * Plan shape: the model rides ONE shuffle join keyed on the token
+    * (per-class totals and V broadcast as scalars); per-(doc, class)
+    * partial sums aggregate map-side, the candidate frame is docs ×
+    * classes (classes are a constant), and the argmax is a per-doc
+    * window with a pinned (score desc, label asc) tiebreak. Nothing is
+    * ever all-pairs and no data row reaches the driver.
+    */
+  def nbClassify(docs: DataFrame, text: String, id: String,
+      tokenCounts: DataFrame, classCounts: DataFrame,
+      scale: Long = 1000000000L): DataFrame = {
+    require(scale >= 1L, s"scale=$scale")
+    val vocab = tokenCounts.select(col("w")).distinct()
+      .agg(count(lit(1)).as("v"))
+    val docToks = docs.select(col(id), explode(lmToks(text)).as("w"))
+    val docLen = docToks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
+    val found = docToks.join(tokenCounts, Seq("w"))
+      .join(broadcast(classCounts), Seq("label"))
+      .crossJoin(broadcast(vocab))
+      .select(col(id), col("label"),
+        expr(s"(c + 1L) * ${scale}L div (n + v)").as("term"))
+      .groupBy(col(id), col("label"))
+      .agg(sum(col("term")).as("found_sum"),
+        count(lit(1)).as("found_n"))
+    val scored = docLen.where(col("n_toks") > 0)
+      .crossJoin(broadcast(classCounts))
+      .crossJoin(broadcast(vocab))
+      .join(found, Seq(id, "label"), "left")
+      .select(col(id), col("label"), col("n_toks"),
+        (coalesce(col("found_sum"), lit(0L)) +
+          (col("n_toks") - coalesce(col("found_n"), lit(0L))) *
+            expr(s"${scale}L div (n + v)")).as("sum_term"))
+      .withColumn("score_e9", expr("sum_term div n_toks"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col("score_e9").desc, col("label").asc)
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(id), col("label").as("pred"), col("score_e9"))
+  }
 }

@@ -753,6 +753,74 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------- supervised classifier
+
+  /** Class-conditional unigram classifier (ext TextAnalysis.nbClassify)
+    * trained on documents' lang labels and applied to the same corpus —
+    * the full train→score→argmax decision replays in exact BIGINT
+    * arithmetic in the oracle (Laplace-smoothed mean term, floor
+    * divisions, pinned score-desc/label-asc tiebreak). */
+  def nbClassifyGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (tok, cls) = TextAnalysis.nbCounts(docs, "text", "lang")
+    TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls)
+      .orderBy("doc_id")
+  }
+
+  /** Incremental-equals-retrain for the classifier: two disjoint count
+    * batches merged via nbMerge must reproduce the full-corpus decision
+    * — same oracle as t29 (the t27 pattern). */
+  def nbIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (tok, cls) = TextAnalysis.nbMerge(
+      TextAnalysis.nbCounts(docs.where(col("doc_id") % 2 === 0), "text", "lang"),
+      TextAnalysis.nbCounts(docs.where(col("doc_id") % 2 === 1), "text", "lang"))
+    TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls)
+      .orderBy("doc_id")
+  }
+
+  private val nbClassifyOracle =
+    """WITH toks AS (
+      | SELECT doc_id, lang,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS ts
+      | FROM documents),
+      |dt AS (SELECT doc_id, unnest(ts) AS w FROM toks),
+      |tok AS (
+      | SELECT lang AS label, w, CAST(count(*) AS BIGINT) AS c
+      | FROM (SELECT lang, unnest(ts) AS w FROM toks) GROUP BY 1, 2),
+      |cls AS (
+      | SELECT lang AS label, CAST(count(*) AS BIGINT) AS n
+      | FROM (SELECT lang, unnest(ts) AS w FROM toks) GROUP BY 1),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS v FROM tok),
+      |dlen AS (
+      | SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_toks
+      | FROM toks WHERE len(ts) > 0),
+      |found AS (
+      | SELECT dt.doc_id, tok.label,
+      |  CAST(sum((tok.c + 1) * 1000000000 // (cls.n + v.v)) AS BIGINT)
+      |    AS found_sum,
+      |  CAST(count(*) AS BIGINT) AS found_n
+      | FROM dt JOIN tok ON dt.w = tok.w
+      | JOIN cls ON cls.label = tok.label
+      | CROSS JOIN v
+      | GROUP BY 1, 2),
+      |scored AS (
+      | SELECT dlen.doc_id, cls.label,
+      |  (coalesce(found.found_sum, 0)
+      |   + (dlen.n_toks - coalesce(found.found_n, 0))
+      |     * (1000000000 // (cls.n + v.v))) // dlen.n_toks AS score_e9
+      | FROM dlen CROSS JOIN cls CROSS JOIN v
+      | LEFT JOIN found
+      |  ON found.doc_id = dlen.doc_id AND found.label = cls.label),
+      |r AS (
+      | SELECT doc_id, label AS pred, score_e9,
+      |  row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY score_e9 DESC, label ASC) AS rn
+      | FROM scored)
+      |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
+      |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- BPE tokenizer
 
   /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
@@ -884,6 +952,8 @@ object HygieneQueries {
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
+    QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle)),
+    QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)))

@@ -402,4 +402,37 @@ class HygieneSpec extends AnyFunSuite {
     assert(out(4) === ((5L, 4L, 4L, 4L, false, true, false, false)))
     assert(out(5) === ((6L, 4L, 3L, 3L, false, false, true, false)))
   }
+
+  test("nbClassify: separable vocabularies classify correctly; merge equals retrain") {
+    import spark.implicits._
+    val train = Seq(
+      (1L, "good", "alpha beta gamma alpha beta"),
+      (2L, "good", "beta gamma delta alpha"),
+      (3L, "bad", "spam junk noise spam junk"),
+      (4L, "bad", "junk noise spam noise")).toDF("doc_id", "label", "text")
+    val (tok, cls) = TextAnalysis.nbCounts(train, "text", "label")
+    val probe = Seq(
+      (10L, "alpha beta gamma"),
+      (11L, "spam junk junk noise")).toDF("doc_id", "text")
+    val got = TextAnalysis.nbClassify(probe, "text", "doc_id", tok, cls)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(10L -> "good", 11L -> "bad"))
+    // Incremental: disjoint batches merged must reproduce the retrain
+    // decision AND scores exactly (counts are additive).
+    val (tokM, clsM) = TextAnalysis.nbMerge(
+      TextAnalysis.nbCounts(train.where($"doc_id" <= 2), "text", "label"),
+      TextAnalysis.nbCounts(train.where($"doc_id" > 2), "text", "label"))
+    val full = TextAnalysis.nbClassify(probe, "text", "doc_id", tok, cls)
+      .collect().map(_.toSeq).toSet
+    val merged = TextAnalysis.nbClassify(probe, "text", "doc_id", tokM, clsM)
+      .collect().map(_.toSeq).toSet
+    assert(full === merged)
+    // A doc of pure out-of-vocabulary tokens still gets a deterministic
+    // decision (uniform smoothing mass, label-asc tiebreak).
+    val oov = TextAnalysis.nbClassify(
+        Seq((20L, "zzz qqq")).toDF("doc_id", "text"), "text", "doc_id",
+        tok, cls)
+      .collect().map(r => r.getString(1))
+    assert(oov.toSeq === Seq("bad")) // "bad" < "good" on equal scores
+  }
 }
