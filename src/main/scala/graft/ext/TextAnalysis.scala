@@ -856,6 +856,43 @@ object TextAnalysis {
         regexp_extract(u, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1))
   }
 
+  /** URL canonicalization for crawl-scale dedup keys: two spellings of
+    * the same resource must collapse to one string BEFORE exact/host
+    * dedup, or every near-dup pipeline sees phantom distincts. Rules
+    * (the standard crawl-frontier set, each SQL-replayable):
+    * fragment dropped; scheme and host lowercased; default ports (:80
+    * http, :443 https) stripped; leading `www.` stripped; ONE trailing
+    * path slash stripped (root `/` kept, empty path becomes `/`);
+    * tracking params (`utm_*`, `gclid`, `fbclid`, `msclkid`, `ref`)
+    * dropped; surviving query params sorted bytewise. Path CASE is
+    * preserved (paths are case-sensitive per RFC 3986; hosts are not).
+    * One stateless narrow projection — scan speed, no regex lookbehind
+    * (RE2-portable, like every dialect-shared pattern here). */
+  def urlCanonicalize(df: DataFrame, urlCol: String): DataFrame = {
+    val noFrag = regexp_replace(col(urlCol), "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag,
+      "^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1))
+    val dePorted = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val host = regexp_replace(dePorted, "^www\\.", "")
+    val rawPath = regexp_extract(noFrag,
+      "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(rawPath === "", lit("/"))
+      .when(length(rawPath) > 1, regexp_replace(rawPath, "/$", ""))
+      .otherwise(rawPath)
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(query, "&"), p =>
+      p =!= "" && !p.rlike("^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)=")))
+    val canon = concat(scheme, lit("://"), host, path,
+      when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+        .otherwise(lit("")))
+    df.withColumn("url_canon",
+      when(scheme === "" || host === "", null).otherwise(canon))
+  }
+
   // ------------------------------------- supervised quality classifier
 
   /** Trainable state of the class-conditional unigram classifier (the

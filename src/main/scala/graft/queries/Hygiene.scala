@@ -467,6 +467,65 @@ object HygieneQueries {
       |   '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** URL canonicalization (ext TextAnalysis.urlCanonicalize): four
+    * rotating dirt shapes — uppercase scheme/host + default port +
+    * tracking params + unsorted query + fragment + trailing slash;
+    * default https port; tracking-only query; missing path — each must
+    * collapse to the canonical spelling, replayed rule-for-rule in the
+    * oracle. */
+  def urlCanonGate(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id") % 7
+    val corpus = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") % 4 === 0,
+        concat(lit("HTTP://WWW.Site"), k,
+          lit(".Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag")))
+      .when(col("doc_id") % 4 === 1,
+        concat(lit("https://Site"), k, lit(".example.com:443/")))
+      .when(col("doc_id") % 4 === 2,
+        concat(lit("https://www.site"), k, lit(".example.com/p/"),
+          col("doc_id"), lit("?fbclid=z&ref=tw")))
+      .otherwise(concat(lit("http://site"), k, lit(".example.com")))
+      .as("url"))
+    TextAnalysis.urlCanonicalize(corpus, "url")
+      .select("doc_id", "url_canon")
+      .orderBy("doc_id")
+  }
+
+  private val urlCanonOracle =
+    """WITH c AS (SELECT doc_id,
+      |  CASE doc_id % 4
+      |   WHEN 0 THEN 'HTTP://WWW.Site' || (doc_id % 7)
+      |    || '.Example.COM:80/A/B/?utm_source=x&b=2&a=1#frag'
+      |   WHEN 1 THEN 'https://Site' || (doc_id % 7) || '.example.com:443/'
+      |   WHEN 2 THEN 'https://www.site' || (doc_id % 7)
+      |    || '.example.com/p/' || doc_id || '?fbclid=z&ref=tw'
+      |   ELSE 'http://site' || (doc_id % 7) || '.example.com'
+      |  END AS url FROM documents),
+      |s1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM c),
+      |parts AS (SELECT doc_id,
+      |  lower(regexp_extract(u, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1)) AS scheme,
+      |  lower(regexp_extract(u,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+      |  regexp_extract(u,
+      |    '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+      |  regexp_extract(u, '\?([^#]*)', 1) AS q
+      | FROM s1),
+      |norm AS (SELECT doc_id, scheme,
+      |  regexp_replace(
+      |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |         ELSE hostport END, '^www\.', '') AS host,
+      |  CASE WHEN rawpath = '' THEN '/'
+      |       WHEN len(rawpath) > 1 THEN regexp_replace(rawpath, '/$', '')
+      |       ELSE rawpath END AS path,
+      |  array_to_string(list_sort(list_filter(string_split(q, '&'),
+      |    p -> p <> '' AND NOT regexp_matches(p,
+      |      '^(utm_[A-Za-z0-9_]*|gclid|fbclid|msclkid|ref)='))), '&') AS qs
+      | FROM parts)
+      |SELECT doc_id, scheme || '://' || host || path ||
+      |  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon
+      |FROM norm ORDER BY doc_id""".stripMargin
+
   // --------------------------------------------------- script profile
 
   /** Documents with planted non-Latin passages: every 13th doc becomes
@@ -952,6 +1011,7 @@ object HygieneQueries {
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
+    QueryDef("t31_url_canonical", urlCanonGate, Some(urlCanonOracle)),
     QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle)),
     QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),

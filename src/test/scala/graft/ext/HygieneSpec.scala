@@ -403,6 +403,28 @@ class HygieneSpec extends AnyFunSuite {
     assert(out(5) === ((6L, 4L, 3L, 3L, false, false, true, false)))
   }
 
+  test("urlCanonicalize: each rule pinned; relative and junk input yields NULL") {
+    import spark.implicits._
+    val got = TextAnalysis.urlCanonicalize(Seq(
+        (1L, "HTTP://WWW.Ex.COM:80/A/B/?utm_source=x&b=2&a=1#frag"),
+        (2L, "https://ex.com:443"),
+        (3L, "https://ex.com:8443/p?gclid=1&z=9&y=8"),
+        (4L, "http://ex.com/"),
+        (5L, "not a url"),
+        (6L, "/relative/only")).toDF("id", "url"), "url")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got(1L) === "http://ex.com/A/B?a=1&b=2")
+    assert(got(2L) === "https://ex.com/") // default port, empty path -> /
+    assert(got(3L) === "https://ex.com:8443/p?y=8&z=9") // non-default port kept
+    assert(got(4L) === "http://ex.com/") // root slash kept
+    assert(got(5L) === null && got(6L) === null)
+    // Idempotence: canonicalizing a canonical URL is the identity.
+    val twice = TextAnalysis.urlCanonicalize(
+      Seq((1L, got(1L))).toDF("id", "url"), "url")
+      .head().getString(2)
+    assert(twice === got(1L))
+  }
+
   test("nbClassify: separable vocabularies classify correctly; merge equals retrain") {
     import spark.implicits._
     val train = Seq(
