@@ -670,6 +670,45 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Streaming ANN serve: the persisted-index twin of the reference's
+    * poll-a-folder pattern for similarity workloads — queries ARRIVE as
+    * a stream (two parquet files, maxFilesPerTrigger=1 forces at least
+    * two micro-batches) and each micro-batch is served via foreachBatch
+    * against the UNCHANGED on-disk index (AnnIndex.queryIvfPq is a
+    * batch plan with driver-side probe collection, which is exactly
+    * what foreachBatch exists for). Per-query results are independent
+    * of batch placement and exact under full probing, so the combined
+    * appended output must equal the batch serve — the same brute-force
+    * oracle as s9 pins it. */
+  def annServeStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st14_")
+    val root = base.resolve("ann_index").toString
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = root, m = 8, codes = 16, refineIters = 2)
+    val qdir = base.resolve("queries").toString
+    val outDir = base.resolve("served").toString
+    queriesDf(s, d).repartition(2).write.mode("overwrite").parquet(qdir)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("qid", LongType),
+        StructField("qvec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(qdir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.AnnIndex.queryIvfPq(s, root, batch, k = 5,
+            nprobe = 20, rerank = 2100)
+          .write.mode("append").parquet(outDir)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Full replay of the composed IVF-PQ pipeline at REALISTIC pruning
     * (nprobe=5 of nlist=20, rerank=20): DuckDB re-derives the
     * hash-sampled centroids, the argmax-cosine assignment (s2's CTEs),
@@ -1159,13 +1198,14 @@ object ExtensionQueries {
     QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle), bench = true),
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
+    QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),
     QueryDef("m3_image_dims", imageDimsGate, Some(imageDimsOracle)),
     QueryDef("m4_media_meta", mediaMetaGate, Some(mediaMetaOracle)),
-    QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle)),
+    QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle), bench = true),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

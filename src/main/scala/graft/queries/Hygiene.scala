@@ -1012,7 +1012,7 @@ object HygieneQueries {
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
     QueryDef("t31_url_canonical", urlCanonGate, Some(urlCanonOracle)),
-    QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle)),
+    QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle), bench = true),
     QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
