@@ -1,0 +1,163 @@
+package graft.io
+
+import org.apache.avro.Schema
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.jdk.CollectionConverters._
+
+/** Avro object-container ingest WITHOUT the spark-avro datasource (not
+  * on this classpath) — built from the avro core + avro-mapred jars
+  * Spark itself ships. An extension beyond the reference surface
+  * (box_ingest.py:148-159 reads csv/json/excel): Avro is the classic
+  * row-oriented landing format for streamed/CDC batches at scale.
+  *
+  * Spark-first splitting, the [[Warc]] discipline applied to a binary
+  * container: Avro files carry a 16-byte sync marker between blocks, and
+  * `AvroKeyInputFormat` aligns each input split to the next marker — so
+  * a multi-GiB container parses fully distributed, no driver pass, and
+  * several files glob into one read. The writer schema is read once
+  * driver-side from the FIRST container's header (a KB-sized header
+  * read, not a data scan) and pinned as the reader schema for every
+  * split; mixed-schema directories therefore resolve via Avro's own
+  * schema-resolution rules against that pinned schema (or fail loudly),
+  * never by silent per-file drift.
+  *
+  * Supported schema subset (fail-fast on anything else): a top-level
+  * RECORD whose field types are primitives (boolean/int/long/float/
+  * double/string/bytes), `union[null, T]` nullables, arrays of
+  * supported types, and nested records of the same subset — the shapes
+  * `DataFrame` represents losslessly. Maps/fixed/enums/multi-branch
+  * unions are rejected with the offending path named.
+  */
+object Avro {
+
+  /** Distributed read of `pathGlob` (a file, directory, or glob of
+    * `.avro` object-container files). */
+  def read(spark: SparkSession, pathGlob: String): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val hPath = new org.apache.hadoop.fs.Path(pathGlob)
+    val fs = hPath.getFileSystem(conf)
+    val first = {
+      val matched = fs.globStatus(hPath) match {
+        case null => Array.empty[org.apache.hadoop.fs.FileStatus]
+        case m => m
+      }
+      val files = matched.flatMap { st =>
+        if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
+        else Array(st)
+      }.map(_.getPath).filter(_.getName.endsWith(".avro")).sortBy(_.toString)
+      require(files.nonEmpty, s"Avro.read: no .avro files match $pathGlob")
+      files.head
+    }
+    val writerSchema = {
+      val in = fs.open(first)
+      try {
+        val dfs = new org.apache.avro.file.DataFileStream[GenericRecord](
+          in, new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+        try dfs.getSchema finally dfs.close()
+      } finally scala.util.Try(in.close())
+    }
+    val sparkSchema = toStructType(writerSchema, writerSchema.getFullName)
+
+    conf.set("avro.schema.input.key", writerSchema.toString)
+    val schemaJson = writerSchema.toString
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+        pathGlob,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
+        classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable],
+        conf)
+      .mapPartitions { it =>
+        // Schema objects are not serializable across tasks in general —
+        // re-parse from JSON once per partition. Each record is converted
+        // to an immutable Row at pull time, BEFORE the reader's next()
+        // overwrites its reused datum instance.
+        val schema = new Schema.Parser().parse(schemaJson)
+        val rootName = schema.getFullName
+        it.map { case (k, _) =>
+          toRow(k.datum(), schema, rootName).asInstanceOf[Row]
+        }
+      }
+    spark.createDataFrame(rdd, sparkSchema)
+  }
+
+  /** Avro → Spark schema for the supported subset; `path` names the
+    * offending field in rejection messages. */
+  private[io] def toStructType(s: Schema, path: String): StructType = {
+    require(s.getType == Schema.Type.RECORD,
+      s"Avro.read: $path: top-level type must be RECORD, got ${s.getType}")
+    StructType(s.getFields.asScala.toSeq.map { f =>
+      val (dt, nullable) = toDataType(f.schema(), s"$path.${f.name}")
+      StructField(f.name, dt, nullable)
+    })
+  }
+
+  private def toDataType(s: Schema, path: String): (DataType, Boolean) =
+    s.getType match {
+      case Schema.Type.BOOLEAN => (BooleanType, false)
+      case Schema.Type.INT     => (IntegerType, false)
+      case Schema.Type.LONG    => (LongType, false)
+      case Schema.Type.FLOAT   => (FloatType, false)
+      case Schema.Type.DOUBLE  => (DoubleType, false)
+      case Schema.Type.STRING  => (StringType, false)
+      case Schema.Type.BYTES   => (BinaryType, false)
+      case Schema.Type.ARRAY   =>
+        val (elem, elemNullable) = toDataType(s.getElementType, s"$path[]")
+        (ArrayType(elem, containsNull = elemNullable), false)
+      case Schema.Type.RECORD  => (toStructType(s, path), false)
+      case Schema.Type.UNION   =>
+        val branches = s.getTypes.asScala
+        val nonNull = branches.filter(_.getType != Schema.Type.NULL)
+        require(branches.size == 2 && nonNull.size == 1,
+          s"Avro.read: $path: only union[null, T] is supported, " +
+            s"got ${s.toString(false)}")
+        (toDataType(nonNull.head, path)._1, true)
+      case other =>
+        throw new IllegalArgumentException(
+          s"Avro.read: $path: unsupported Avro type $other")
+    }
+
+  private def toRow(rec: GenericRecord, schema: Schema,
+      path: String): Row = {
+    val fields = schema.getFields.asScala
+    Row.fromSeq(fields.toSeq.map(f =>
+      toValue(rec.get(f.pos), f.schema(), s"$path.${f.name}")))
+  }
+
+  private def toValue(v: Any, s: Schema, path: String): Any = {
+    if (v == null) return null
+    val eff = if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+    eff.getType match {
+      case Schema.Type.STRING => v.toString // Utf8 -> String
+      case Schema.Type.BYTES =>
+        val bb = v.asInstanceOf[java.nio.ByteBuffer]
+        val out = new Array[Byte](bb.remaining())
+        bb.duplicate().get(out)
+        out
+      case Schema.Type.ARRAY =>
+        v.asInstanceOf[java.util.Collection[Any]].asScala.toSeq
+          .map(toValue(_, eff.getElementType, s"$path[]"))
+      case Schema.Type.RECORD =>
+        toRow(v.asInstanceOf[GenericRecord], eff, path)
+      case _ => v // primitives arrive already JVM-typed
+    }
+  }
+
+  /** Driver-side object-container writer (fixture/export-side twin of
+    * [[read]]): standard Avro container with the default null codec —
+    * any Avro consumer reads it back. Caller owns record construction. */
+  def writeContainer(file: java.nio.file.Path, schema: Schema,
+      records: Iterator[GenericRecord]): Unit = {
+    val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+      new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+    try {
+      w.create(schema, file.toFile)
+      records.foreach(w.append)
+    } finally w.close()
+  }
+}

@@ -81,6 +81,11 @@ object FormatReader {
         Parsed(spark.read.parquet(file.toString))
       case "orc" =>
         Parsed(spark.read.orc(file.toString))
+      // Avro object containers (see io.Avro): sync-marker-aligned input
+      // splits, writer schema pinned from the first header — no
+      // spark-avro datasource on this classpath.
+      case "avro" =>
+        Parsed(Avro.read(spark, file.toString))
       // Fixed-width text (pandas read_fwf's default mode): column
       // boundaries inferred from the character positions that are blank
       // in every sampled line. Mainframe/ERP extracts still arrive in

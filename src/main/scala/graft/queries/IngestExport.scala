@@ -943,6 +943,46 @@ object IngestExportQueries {
       | substr(text, 1, 200) AS http_body
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Avro object-container ingest (io.Avro, no spark-avro datasource):
+    * documents serialized into TWO .avro containers (driver-side Avro
+    * writer — the independent producer; 16-byte sync markers between
+    * blocks) with a union[null,string] nullable field, read back via
+    * sync-aligned input splits and the schema pinned from the first
+    * header. The oracle re-derives every column from documents alone. */
+  def ingestAvroE2e(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_i17_")
+    val schema = org.apache.avro.SchemaBuilder.record("doc").fields()
+      .requiredLong("doc_id")
+      .requiredString("text")
+      .optionalString("lang") // union[null, string]
+      .requiredLong("n_chars")
+      .endRecord()
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    def recs(rows: Seq[(Long, String, String, Long)]) = rows.iterator.map {
+      case (id, text, lang, n) =>
+        new org.apache.avro.generic.GenericRecordBuilder(schema)
+          .set("doc_id", id).set("text", text)
+          .set("lang", if (id % 10 == 0) null else lang) // exercise nulls
+          .set("n_chars", n).build()
+          : org.apache.avro.generic.GenericRecord
+    }
+    val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
+    graft.io.Avro.writeContainer(tmp.resolve("shard0.avro"), schema, recs(even))
+    graft.io.Avro.writeContainer(tmp.resolve("shard1.avro"), schema, recs(odd))
+    graft.io.Avro.read(s, tmp.toString + "/*.avro")
+      .orderBy("doc_id")
+  }
+
+  private val ingestAvroOracle =
+    """SELECT doc_id, text,
+      | CASE WHEN doc_id % 10 = 0 THEN NULL ELSE lang END AS lang,
+      | n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
@@ -974,5 +1014,6 @@ object IngestExportQueries {
       Some(exportShardsOracle)),
     QueryDef("i15_ingest_quoted_newline_e2e", ingestQuotedNewlineE2e,
       Some(ingestQuotedNewlineOracle)),
-    QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)))
+    QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)),
+    QueryDef("i17_ingest_avro_e2e", ingestAvroE2e, Some(ingestAvroOracle)))
 }

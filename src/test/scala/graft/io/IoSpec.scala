@@ -502,4 +502,56 @@ class IoSpec extends AnyFunSuite {
     assert(got === (1 to 25).map(i =>
       (s"<urn:doc:$i>", 200, s"body number $i")).toSet)
   }
+
+  test("Avro.read: multi-block containers, nullable unions, bytes and arrays " +
+      "round-trip; unsupported types rejected with the path named") {
+    val spark = graft.TestSpark.spark
+    import org.apache.avro.{Schema, SchemaBuilder}
+    import org.apache.avro.generic.{GenericRecord, GenericRecordBuilder}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_spec_")
+    val schema = SchemaBuilder.record("r").fields()
+      .requiredLong("id")
+      .optionalString("s") // union[null, string]
+      .requiredBytes("b")
+      .name("xs").`type`().array().items().longType().noDefault()
+      .endRecord()
+    def rec(i: Long): GenericRecord =
+      new GenericRecordBuilder(schema)
+        .set("id", i)
+        .set("s", if (i % 3 == 0) null else s"v$i" * 40) // pad past one block
+        .set("b", java.nio.ByteBuffer.wrap(Array[Byte](i.toByte, (i + 1).toByte)))
+        .set("xs", java.util.Arrays.asList(Long.box(i), Long.box(i * 2)))
+        .build()
+    // Enough records to span several sync blocks in one container, plus a
+    // second container to exercise the multi-file glob.
+    graft.io.Avro.writeContainer(tmp.resolve("a.avro"), schema,
+      (0L until 3000L).iterator.map(rec))
+    graft.io.Avro.writeContainer(tmp.resolve("b.avro"), schema,
+      (3000L until 3100L).iterator.map(rec))
+    val df = graft.io.Avro.read(spark, tmp.toString + "/*.avro")
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s", "b", "xs"))
+    assert(df.schema("s").nullable)
+    assert(df.count() === 3100)
+    val r7 = df.where(org.apache.spark.sql.functions.col("id") === 7).head()
+    assert(r7.getString(1) === "v7" * 40)
+    assert(r7.getAs[Array[Byte]](2).toSeq === Seq[Byte](7, 8))
+    assert(r7.getSeq[Long](3) === Seq(7L, 14L))
+    assert(df.where(org.apache.spark.sql.functions.col("id") % 3 === 0)
+      .where(org.apache.spark.sql.functions.col("s").isNotNull).count() === 0)
+    // FormatReader dispatch reaches the same reader.
+    val viaDispatch = graft.io.FormatReader.read(spark, tmp.resolve("a.avro"))
+    assert(viaDispatch.asInstanceOf[graft.io.FormatReader.Parsed]
+      .df.count() === 3000)
+    // Unsupported: a map-typed field names its path.
+    val bad = SchemaBuilder.record("m").fields()
+      .name("kv").`type`().map().values().stringType().noDefault()
+      .endRecord()
+    graft.io.Avro.writeContainer(tmp.resolve("bad.avro"), bad,
+      Iterator(new GenericRecordBuilder(bad)
+        .set("kv", java.util.Collections.singletonMap("k", "v")).build()))
+    val err = intercept[IllegalArgumentException] {
+      graft.io.Avro.read(spark, tmp.resolve("bad.avro").toString)
+    }
+    assert(err.getMessage.contains("m.kv"))
+  }
 }
