@@ -178,6 +178,21 @@ object Multimodal {
     * format has no such notion). One codegen'd narrow projection: the
     * scan-speed cataloging pass that partitions a 100 TB audio/video
     * corpus by duration/rate/shape before any transcode is scheduled. */
+  /** PDF catalog projection (functions.PdfMetaParse — codegen'd,
+    * scan-speed): version/pages/encrypted/linearized/well_formed
+    * columns, NULL for non-PDF payloads. The document-corpus triage
+    * pass that routes encrypted or malformed files away from the
+    * text-extraction stage before any real PDF library is scheduled. */
+  def pdfMeta(df: DataFrame, content: String): DataFrame =
+    df.withColumn("__pdf",
+        graft.functions.GraftFunctions.pdfMeta(col(content)))
+      .withColumn("pdf_version", col("__pdf.version"))
+      .withColumn("pages", col("__pdf.pages"))
+      .withColumn("encrypted", col("__pdf.encrypted"))
+      .withColumn("linearized", col("__pdf.linearized"))
+      .withColumn("well_formed", col("__pdf.well_formed"))
+      .drop("__pdf")
+
   /** Perceptual signature projection: 64-bit dHash per payload
     * (functions.DHash64 — codegen'd, scan-speed; NULL for payloads the
     * zero-dependency BMP decoder cannot read). */
@@ -364,6 +379,32 @@ object Multimodal {
       val moov = be32(8 + mvhd.length + trak.length) ++ "moov".getBytes ++
         mvhd ++ trak
       ftyp ++ moov
+    }
+  }
+
+  /** Minimal structurally-valid COS-text PDFs for specs and gate
+    * fixtures: real header, catalog → pages tree → one object per page
+    * (uncompressed, the classic layout), optional /Linearized first
+    * object and /Encrypt trailer entry, `%%EOF` sentinel. */
+  object SyntheticDocs {
+    def pdf(pages: Int, version: String = "1.4",
+        encrypted: Boolean = false, linearized: Boolean = false,
+        truncated: Boolean = false): Array[Byte] = {
+      val sb = new StringBuilder
+      sb.append(s"%PDF-$version\n")
+      if (linearized)
+        sb.append("9 0 obj << /Linearized 1 /L 1234 >> endobj\n")
+      val kids = (0 until pages).map(i => s"${i + 3} 0 R").mkString(" ")
+      sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+      sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $pages >> endobj\n")
+      (0 until pages).foreach { i =>
+        sb.append(s"${i + 3} 0 obj << /Type /Page /Parent 2 0 R " +
+          "/MediaBox [0 0 612 792] >> endobj\n")
+      }
+      sb.append("trailer << /Size " + (pages + 3) + " /Root 1 0 R" +
+        (if (encrypted) " /Encrypt 8 0 R" else "") + " >>\n")
+      if (!truncated) sb.append("%%EOF\n")
+      sb.toString.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     }
   }
 }

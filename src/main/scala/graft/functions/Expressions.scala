@@ -1523,6 +1523,99 @@ object MediaHeaderParse {
   }
 }
 
+/** PDF catalog scan — the same pure-JVM byte-walking discipline as
+  * [[ImageHeaderParse]]/[[MediaHeaderParse]] over the PDF COS surface
+  * that is readable without a full parser: header version (`%PDF-x.y`,
+  * within the first 1024 bytes per the published spec tolerance), page
+  * object count (`/Type /Page` token occurrences with a boundary check
+  * so `/Pages` never counts — exact for the uncompressed page trees
+  * fixtures and classic PDFs use; pages inside compressed object
+  * streams need a real PDF library and are out of scan-speed scope),
+  * `/Encrypt` and `/Linearized` presence, and a `%%EOF` trailer check
+  * in the last 1024 bytes (`well_formed`). NULL for payloads with no
+  * PDF header; never throws on truncation or junk.
+  */
+case class PdfMetaParse(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("version", StringType, nullable = false),
+    StructField("pages", IntegerType, nullable = false),
+    StructField("encrypted", BooleanType, nullable = false),
+    StructField("linearized", BooleanType, nullable = false),
+    StructField("well_formed", BooleanType, nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pdf_meta expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PdfMetaParse.parse(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfMetaParse.parse($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PdfMetaParse {
+  private def indexOf(b: Array[Byte], pat: Array[Byte], from: Int,
+      until: Int): Int = {
+    val end = math.min(until, b.length) - pat.length
+    var i = math.max(from, 0)
+    while (i <= end) {
+      var j = 0
+      while (j < pat.length && b(i + j) == pat(j)) j += 1
+      if (j == pat.length) return i
+      i += 1
+    }
+    -1
+  }
+  private def isAlpha(c: Byte): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  /** Static entry point shared by eval and generated code. */
+  def parse(b: Array[Byte]): InternalRow = {
+    val n = b.length
+    val hdr = indexOf(b, "%PDF-".getBytes, 0, math.min(n, 1024))
+    if (hdr < 0) return null
+    // Version: chars after "%PDF-" up to whitespace/EOL (bounded).
+    var vEnd = hdr + 5
+    while (vEnd < n && vEnd < hdr + 13 && b(vEnd) > ' ') vEnd += 1
+    val version = new String(b, hdr + 5, vEnd - (hdr + 5),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // Count "/Type <ws> /Page" with a token-boundary check (never /Pages).
+    val typeTok = "/Type".getBytes
+    val pageTok = "/Page".getBytes
+    var pages = 0
+    var i = indexOf(b, typeTok, hdr, n)
+    while (i >= 0) {
+      var k = i + typeTok.length
+      while (k < n && (b(k) == ' ' || b(k) == '\r' || b(k) == '\n' ||
+        b(k) == '\t')) k += 1
+      if (k + pageTok.length <= n && indexOf(b, pageTok, k,
+          k + pageTok.length) == k) {
+        val after = k + pageTok.length
+        if (after >= n || !isAlpha(b(after))) pages += 1
+      }
+      i = indexOf(b, typeTok, i + 1, n)
+    }
+    val encrypted = indexOf(b, "/Encrypt".getBytes, hdr, n) >= 0
+    val linearized = indexOf(b, "/Linearized".getBytes, hdr, n) >= 0
+    val wellFormed = indexOf(b, "%%EOF".getBytes, math.max(0, n - 1024), n) >= 0
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(version), pages, encrypted,
+        linearized, wellFormed))
+  }
+}
+
 /** Perceptual difference-hash (dHash) of an UNCOMPRESSED 24-bpp BMP
   * payload: decode the raw pixel grid (the one mainstream container
   * decodable with zero codec libraries — byte layout only, like the
@@ -1632,6 +1725,7 @@ object GraftFunctions {
 
   def fingerprint(c: Column): Column = column(RollingFingerprint(expr(c)))
   def dhash64(c: Column): Column = column(DHash64(expr(c)))
+  def pdfMeta(c: Column): Column = column(PdfMetaParse(expr(c)))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

@@ -939,6 +939,53 @@ object ExtensionQueries {
       |  END AS INTEGER) AS height
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** PDF catalog scan (ext Multimodal.pdfMeta): every doc planted as a
+    * REAL COS-text PDF whose version/page-count/encryption/
+    * linearization/truncation are arithmetic in doc_id — the parser
+    * walks actual PDF bytes (header tolerance, /Type /Page boundary
+    * check so /Pages never counts, trailer probes) while the oracle
+    * re-derives every field from doc_id alone. Every 13th doc is junk
+    * (must yield NULLs, proving non-PDF payloads can't poison the
+    * triage pass). */
+  def pdfMetaGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (id % 13 == 0) s"plain text payload $id".getBytes
+          else Multimodal.SyntheticDocs.pdf(
+            pages = (id % 30 + 1).toInt,
+            version = s"1.${id % 8}",
+            encrypted = id % 7 == 0,
+            linearized = id % 5 == 0,
+            truncated = id % 11 == 0)
+        (id, bytes)
+      }.toDF("media_id", "content")
+    Multimodal.pdfMeta(media, "content")
+      // Booleans cast to INTEGER: a NULL BOOLEAN stringifies differently
+      // across the compare harness's two readers (None vs NaN); NULL
+      // INTEGER is NaN on both.
+      .select(col("media_id"), col("pdf_version"), col("pages"),
+        col("encrypted").cast(IntegerType).as("encrypted"),
+        col("linearized").cast(IntegerType).as("linearized"),
+        col("well_formed").cast(IntegerType).as("well_formed"))
+      .orderBy("media_id")
+  }
+
+  private val pdfMetaOracle =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  ELSE '1.' || (doc_id % 8) END AS pdf_version,
+      | CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  ELSE doc_id % 30 + 1 END AS INTEGER) AS pages,
+      | CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  ELSE CAST(doc_id % 7 = 0 AS INTEGER) END AS INTEGER) AS encrypted,
+      | CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  ELSE CAST(doc_id % 5 = 0 AS INTEGER) END AS INTEGER) AS linearized,
+      | CAST(CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  ELSE CAST(doc_id % 11 <> 0 AS INTEGER) END AS INTEGER) AS well_formed
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Perceptual image near-dup (ext Multimodal.imageNearDup): every doc
     * becomes a REAL 9×8 gradient BMP whose dHash equals a 64-bit
     * avalanche of its id by construction (each row walks ±8 per bit, so
@@ -1206,6 +1253,7 @@ object ExtensionQueries {
     QueryDef("m3_image_dims", imageDimsGate, Some(imageDimsOracle)),
     QueryDef("m4_media_meta", mediaMetaGate, Some(mediaMetaOracle)),
     QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle), bench = true),
+    QueryDef("m6_pdf_meta", pdfMetaGate, Some(pdfMetaOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

@@ -654,6 +654,33 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("PdfMetaParse: pages counted with /Pages excluded; flags, truncation, junk") {
+    import Multimodal.SyntheticDocs
+    val full = graft.functions.PdfMetaParse.parse(
+      SyntheticDocs.pdf(pages = 7, version = "1.6",
+        encrypted = true, linearized = true))
+    assert(full.getString(0) === "1.6")
+    assert(full.getInt(1) === 7) // the /Type /Pages tree node must NOT count
+    assert(full.getBoolean(2) && full.getBoolean(3) && full.getBoolean(4))
+    val plain = graft.functions.PdfMetaParse.parse(SyntheticDocs.pdf(pages = 1))
+    assert(plain.getString(0) === "1.4" && plain.getInt(1) === 1)
+    assert(!plain.getBoolean(2) && !plain.getBoolean(3) && plain.getBoolean(4))
+    // Missing %%EOF -> parsed but not well-formed.
+    val trunc = graft.functions.PdfMetaParse.parse(
+      SyntheticDocs.pdf(pages = 2, truncated = true))
+    assert(trunc.getInt(1) === 2 && !trunc.getBoolean(4))
+    // No PDF header -> NULL; truncation at every prefix never throws.
+    assert(graft.functions.PdfMetaParse.parse("plain text".getBytes) === null)
+    val bytes = SyntheticDocs.pdf(pages = 3)
+    (0 until bytes.length by 11).foreach { n =>
+      graft.functions.PdfMetaParse.parse(bytes.take(n)) // must not throw
+    }
+    // /Type/Page with NO whitespace (compact writers) still counts.
+    val compact = ("%PDF-1.5\n1 0 obj << /Type/Page >> endobj\n" +
+      "2 0 obj << /Type/Pages >> endobj\n%%EOF").getBytes
+    assert(graft.functions.PdfMetaParse.parse(compact).getInt(1) === 1)
+  }
+
   test("DHash64: gradient BMP inverts to its signature; row order and pooling invariant") {
     import Multimodal.SyntheticImages
     val sig = SyntheticImages.avalanche(42L)
