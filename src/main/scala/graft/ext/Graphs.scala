@@ -172,6 +172,48 @@ object Graphs {
     * Output: (node, degree) of the k-core subgraph — degree counted
     * WITHIN the core, every degree >= k. Empty when no k-core exists.
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection over an undirected graph — the deterministic variant:
+    * every node starts labeled with its own id; each round EVERY node
+    * simultaneously adopts the most frequent label among its neighbors,
+    * ties broken by the smallest label. Fixed `iters` synchronous
+    * rounds: the asynchronous update schedule of the original paper is
+    * nondeterministic by construction, and a replayable engine pins the
+    * deterministic choice (same trade as pageRank's fixed-point rounds).
+    *
+    * Plan per round: one join of the (undirected, deduped) edge
+    * relation against the label frame on the neighbor key, a counted
+    * groupBy, and an exact argmax via max(struct(count, -label)) — all
+    * shuffles keyed on node ids, `localCheckpoint` cutting the
+    * iterative lineage (the same discipline as [[pageRank]]/[[kCore]]).
+    * Nothing is ever all-pairs; cost per round is O(edges) shuffled.
+    * Returns (node, lbl) for every non-isolated node.
+    */
+  def labelPropagation(edges: DataFrame, src: String, dst: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"iters out of range: $iters")
+    val p = edges.sparkSession.sparkContext.defaultParallelism
+    val e0 = edges.select(col(src).as("u"), col(dst).as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
+    val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .distinct()
+      .repartition(p, col("u"))
+      .localCheckpoint(true)
+    var labels = und.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      labels = und
+        .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
+        .groupBy(col("u"), col("lbl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("u"))
+        .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    labels
+  }
+
   def kCore(edges: DataFrame, src: String, dst: String, k: Int,
       maxIter: Int = 100): DataFrame = {
     require(k >= 1, s"k out of range: $k")

@@ -175,6 +175,23 @@ object AnalyticsQueries {
     graft.ext.Graphs.kCore(coPurchaseEdges(s, d), "src", "dst", k = 68)
       .orderBy("node")
 
+  /** Label-propagation communities of the co-purchase graph
+    * (Graphs.labelPropagation, 3 synchronous rounds, most-frequent-
+    * neighbor-label with min-label ties). Output is the community
+    * relation compressed to (label, member count, member-id sum) — the
+    * id sum pins membership COMPOSITION, not just sizes. Synchronous
+    * LPA is iterative and not SQL-expressible, so the oracle is a
+    * pinned independent-Python replay (tools/gen_lpa_oracle.py, the
+    * g4/d3/t23 pattern). */
+  def labelProp(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    graft.ext.Graphs.labelPropagation(coPurchaseEdges(s, d), "src", "dst",
+        iters = 3)
+      .groupBy(col("lbl"))
+      .agg(count(lit(1)).as("n_members"), sum(col("node")).as("sum_nodes"))
+      .orderBy("lbl")
+  }
+
   private val trianglesOracle =
     """WITH gi AS (
       | SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem),
@@ -280,6 +297,7 @@ object AnalyticsQueries {
     QueryDef("g1_triangles", triangles, Some(trianglesOracle), bench = true),
     QueryDef("g2_pagerank", pagerank, Some(pagerankOracle), bench = true),
     QueryDef("g4_kcore", kcore, Some(PinnedOracles.g4KCore)),
+    QueryDef("g5_label_prop", labelProp, Some(PinnedOracles.g5LabelProp)),
     QueryDef("g3_item_cf", itemCf, Some(itemCfOracle)),
     QueryDef("q49_transitions", transitions, Some(transitionsOracle)))
 }

@@ -115,4 +115,25 @@ class GraphsSpec extends AnyFunSuite {
     val leafIn = 85L * (scale / 5L / 4L) / 100L
     (2L to 5L).foreach(d => assert(got(d) === base + leafIn))
   }
+
+  test("labelPropagation: barbell graph resolves to one community per clique") {
+    import spark.implicits._
+    // Two K4 cliques {1..4} and {5..8} joined by the bridge 4-5. Hand
+    // simulation of 3 synchronous min-tie-break rounds: clique A
+    // converges to label 1, clique B to label 5 (the bridge vote never
+    // outnumbers the in-clique majority).
+    def k4(o: Long) = for {
+      a <- 0L to 3L; b <- (a + 1) to 3L
+    } yield (o + a, o + b)
+    val edges = (k4(1) ++ k4(5) :+ ((4L, 5L))).toDF("s", "d")
+    val got = Graphs.labelPropagation(edges, "s", "d", iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 5L, 8L -> 5L))
+    // Deterministic under a different physical layout.
+    val again = Graphs.labelPropagation(edges.repartition(7), "s", "d",
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again === got)
+  }
 }
