@@ -160,4 +160,109 @@ object Avro {
       records.foreach(w.append)
     } finally w.close()
   }
+
+  /** Spark → Avro schema for the same subset [[toStructType]] accepts
+    * (records of primitives, nullable fields as union[null, T], arrays,
+    * nested structs); rejects anything else naming the path. */
+  private[io] def fromStructType(st: StructType, name: String): Schema = {
+    val fields = st.fields.map { f =>
+      val base = fromDataType(f.dataType, s"${name}_${f.name}")
+      val sch =
+        if (f.nullable)
+          Schema.createUnion(Schema.create(Schema.Type.NULL), base)
+        else base
+      new Schema.Field(f.name, sch, null,
+        if (f.nullable) Schema.Field.NULL_DEFAULT_VALUE else null)
+    }
+    Schema.createRecord(name, null, "graft", false,
+      java.util.Arrays.asList(fields: _*))
+  }
+
+  private def fromDataType(dt: DataType, path: String): Schema = dt match {
+    case BooleanType => Schema.create(Schema.Type.BOOLEAN)
+    case IntegerType => Schema.create(Schema.Type.INT)
+    case LongType    => Schema.create(Schema.Type.LONG)
+    case FloatType   => Schema.create(Schema.Type.FLOAT)
+    case DoubleType  => Schema.create(Schema.Type.DOUBLE)
+    case StringType  => Schema.create(Schema.Type.STRING)
+    case BinaryType  => Schema.create(Schema.Type.BYTES)
+    case ArrayType(elem, _) =>
+      Schema.createArray(fromDataType(elem, s"${path}_item"))
+    case st: StructType => fromStructType(st, path)
+    case other =>
+      throw new IllegalArgumentException(
+        s"Avro.write: $path: unsupported Spark type ${other.sql}")
+  }
+
+  private def toAvroValue(v: Any, s: Schema): Any = {
+    if (v == null) return null
+    val eff = if (s.getType == Schema.Type.UNION)
+      s.getTypes.asScala.find(_.getType != Schema.Type.NULL).get
+    else s
+    eff.getType match {
+      case Schema.Type.BYTES =>
+        java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case Schema.Type.ARRAY =>
+        val elem = eff.getElementType
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(toAvroValue(_, elem)).asJava
+      case Schema.Type.RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new org.apache.avro.generic.GenericData.Record(eff)
+        eff.getFields.asScala.foreach(f =>
+          rec.put(f.pos, toAvroValue(row.get(f.pos), f.schema())))
+        rec
+      case _ => v
+    }
+  }
+
+  /** DISTRIBUTED Avro export — the bulk path: every partition writes its
+    * own object container through the Hadoop FileSystem API (works on
+    * local paths and HDFS alike); the driver never sees a row. The twin
+    * of the partitioned parquet/csv bulk exports: same subset contract
+    * as [[read]], so an exported directory round-trips through this
+    * module and any Avro consumer. `dir` must not already contain part
+    * files (caller owns lifecycle — the TableSink claim discipline).
+    * Speculative/retried tasks are guarded by single-attempt part names
+    * plus Hadoop's create-no-overwrite, the parquet sink's own rule. */
+  def writeDistributed(df: DataFrame, dir: String): Unit = {
+    val schema = fromStructType(df.schema, "row")
+    val schemaJson = schema.toString
+    val conf = new org.apache.hadoop.conf.Configuration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val confBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      val keep = conf.iterator().asScala
+        .map(e => (e.getKey, e.getValue)).toArray
+      oos.writeObject(keep); oos.close()
+      bos.toByteArray
+    }
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      if (rows.hasNext) {
+        val sch = new Schema.Parser().parse(schemaJson)
+        val tc = org.apache.spark.TaskContext.get()
+        val part = f"part-${tc.partitionId()}%05d.avro"
+        val c = new org.apache.hadoop.conf.Configuration(false)
+        val ois = new java.io.ObjectInputStream(
+          new java.io.ByteArrayInputStream(confBytes))
+        ois.readObject().asInstanceOf[Array[(String, String)]]
+          .foreach { case (k, v) => c.set(k, v) }
+        val p = new org.apache.hadoop.fs.Path(dir, part)
+        val fs = p.getFileSystem(c)
+        val out = fs.create(p, false) // no-overwrite: retry-safe claim
+        val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](sch))
+        try {
+          w.create(sch, out)
+          rows.foreach { row =>
+            val rec = new org.apache.avro.generic.GenericData.Record(sch)
+            sch.getFields.asScala.foreach(f =>
+              rec.put(f.pos, toAvroValue(row.get(f.pos), f.schema())))
+            w.append(rec)
+          }
+        } finally w.close()
+      }
+    }
+  }
 }

@@ -983,6 +983,24 @@ object IngestExportQueries {
       | n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Distributed Avro export (io.Avro.writeDistributed): every
+    * partition writes its own object container through the Hadoop FS
+    * API — the driver never sees a row — then the containers round-trip
+    * back through the split-aligned reader. The oracle is the source
+    * table itself: a full write→read identity proves both directions. */
+  def exportAvroE2e(s: SparkSession, d: String): DataFrame = {
+    val outDir = Files.createTempDirectory("graft_e10_")
+      .resolve("out").toString
+    val docs = Tables.documents(s, d)
+      .select("doc_id", "text", "lang", "n_chars")
+    graft.io.Avro.writeDistributed(docs.repartition(3), outDir)
+    graft.io.Avro.read(s, outDir + "/*.avro").orderBy("doc_id")
+  }
+
+  private val exportAvroOracle =
+    """SELECT doc_id, text, lang, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
@@ -1015,5 +1033,6 @@ object IngestExportQueries {
     QueryDef("i15_ingest_quoted_newline_e2e", ingestQuotedNewlineE2e,
       Some(ingestQuotedNewlineOracle)),
     QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)),
-    QueryDef("i17_ingest_avro_e2e", ingestAvroE2e, Some(ingestAvroOracle)))
+    QueryDef("i17_ingest_avro_e2e", ingestAvroE2e, Some(ingestAvroOracle)),
+    QueryDef("e10_export_avro_e2e", exportAvroE2e, Some(exportAvroOracle)))
 }

@@ -554,4 +554,36 @@ class IoSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("m.kv"))
   }
+
+  test("Avro.writeDistributed: per-partition containers round-trip arrays, " +
+      "bytes and nulls; driver never collects") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_w_")
+      .resolve("out").toString
+    val df = (0L until 500L).map(i =>
+        (i, if (i % 5 == 0) null else s"t$i",
+          Seq(i, i * 2), Array[Byte](i.toByte)))
+      .toDF("id", "s", "xs", "b")
+    graft.io.Avro.writeDistributed(df.repartition(4), tmp)
+    // Ignore the local FileSystem's .crc sidecars.
+    val files = new java.io.File(tmp).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted
+    assert(files.length === 4 && files.forall(_.endsWith(".avro")))
+    val back = graft.io.Avro.read(spark, tmp + "/*.avro")
+    assert(back.count() === 500)
+    val r7 = back.where(col("id") === 7).head()
+    assert(r7.getString(1) === "t7")
+    assert(r7.getSeq[Long](2) === Seq(7L, 14L))
+    assert(r7.getAs[Array[Byte]](3).toSeq === Seq[Byte](7))
+    assert(back.where(col("id") % 5 === 0)
+      .where(col("s").isNotNull).count() === 0)
+    // Unsupported Spark type (map) rejected naming the path.
+    val err = intercept[IllegalArgumentException] {
+      graft.io.Avro.writeDistributed(
+        df.withColumn("kv", map(lit("k"), lit("v"))), tmp + "_2")
+    }
+    assert(err.getMessage.contains("row_kv"))
+  }
 }
