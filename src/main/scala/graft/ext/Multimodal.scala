@@ -193,6 +193,24 @@ object Multimodal {
       .withColumn("well_formed", col("__pdf.well_formed"))
       .drop("__pdf")
 
+  /** Audio activity triage (functions.WavEnergy — codegen'd, scan
+    * speed): per-`windowMs`-window integer mean-|sample| energy of mono
+    * 16-bit PCM payloads, reduced to activity metrics against
+    * `threshold` — window count, active-window count, active duration.
+    * The silence/voice triage pass that routes a 100 TB audio corpus
+    * BEFORE any transcription model is scheduled; NULL rows are
+    * payloads the zero-dependency PCM decoder cannot read. */
+  def audioActivity(df: DataFrame, content: String, windowMs: Int,
+      threshold: Long): DataFrame =
+    df.withColumn("__wav",
+        graft.functions.GraftFunctions.wavEnergy(col(content), windowMs))
+      .withColumn("sample_rate", col("__wav.sample_rate"))
+      .withColumn("n_windows", size(col("__wav.energies")))
+      .withColumn("n_active",
+        size(filter(col("__wav.energies"), e => e >= lit(threshold))))
+      .withColumn("active_ms", col("n_active").cast("long") * windowMs)
+      .drop("__wav")
+
   /** Perceptual signature projection: 64-bit dHash per payload
     * (functions.DHash64 — codegen'd, scan-speed; NULL for payloads the
     * zero-dependency BMP decoder cannot read). */
@@ -348,6 +366,24 @@ object Multimodal {
         "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(ch) ++
         le32(rate) ++ le32(rate * ch * 2) ++ le16(ch * 2) ++ le16(16) ++
         "data".getBytes ++ le32(dataBytes) ++ new Array[Byte](dataBytes)
+
+    /** Mono 16-bit PCM WAV with REAL sample data (little-endian). */
+    def wavPcm(rate: Int, samples: Array[Short]): Array[Byte] = {
+      val dataBytes = samples.length * 2
+      val head = "RIFF".getBytes ++ le32(36 + dataBytes) ++ "WAVE".getBytes ++
+        "fmt ".getBytes ++ le32(16) ++ le16(1) ++ le16(1) ++
+        le32(rate) ++ le32(rate * 2) ++ le16(2) ++ le16(16) ++
+        "data".getBytes ++ le32(dataBytes)
+      val out = new Array[Byte](head.length + dataBytes)
+      System.arraycopy(head, 0, out, 0, head.length)
+      var s = 0
+      while (s < samples.length) {
+        out(head.length + s * 2) = samples(s).toByte
+        out(head.length + s * 2 + 1) = (samples(s) >> 8).toByte
+        s += 1
+      }
+      out
+    }
 
     /** fLaC + STREAMINFO (last-block flag set): sampleRate(20)
       * channels-1(3) bps-1=15(5) totalSamples(36), big-endian packed. */

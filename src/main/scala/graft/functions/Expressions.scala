@@ -1523,6 +1523,106 @@ object MediaHeaderParse {
   }
 }
 
+/** Per-window integer energy of a mono 16-bit PCM WAV payload — real
+  * audio feature extraction with ZERO codec dependencies (PCM is raw
+  * samples, a byte layout like the BMP pixels [[DHash64]] decodes):
+  * walk the RIFF chunks to `fmt `/`data`, then mean |sample| per
+  * `windowMs` window in exact integer arithmetic (the last partial
+  * window averages over its own length). Emits (sample_rate,
+  * energies[]) — the voice-activity / silence-triage primitive that
+  * decides which slices of a 100 TB audio corpus are worth a real
+  * model's time. NULL for anything that is not mono 16-bit PCM WAV;
+  * never throws on truncated or hostile payloads.
+  */
+case class WavEnergy(child: Expression, windowMs: Int)
+    extends UnaryExpression {
+  require(windowMs >= 1 && windowMs <= 60000, s"windowMs=$windowMs")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("energies", ArrayType(LongType, containsNull = false),
+      nullable = false)))
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"wav_energy expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    WavEnergy.parse(input.asInstanceOf[Array[Byte]], windowMs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.WavEnergy.parse($c, $windowMs);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object WavEnergy {
+  private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+  private def leU16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+  private def leS16(b: Array[Byte], i: Int): Int = leU16(b, i).toShort.toInt
+  private def leU32(b: Array[Byte], i: Int): Long =
+    (u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) |
+      (u8(b, i + 3).toLong << 24)) & 0xffffffffL
+
+  /** Static entry point shared by eval and generated code. */
+  def parse(b: Array[Byte], windowMs: Int): InternalRow = {
+    val n = b.length
+    if (n < 44 || b(0) != 'R' || b(1) != 'I' || b(2) != 'F' || b(3) != 'F' ||
+        b(8) != 'W' || b(9) != 'A' || b(10) != 'V' || b(11) != 'E') return null
+    // RIFF chunk walk (even-padded, Long cursor against hostile sizes).
+    var rate = -1
+    var dataOff = -1L
+    var dataLen = 0L
+    var i = 12L
+    while (i + 8 <= n && (rate < 0 || dataOff < 0)) {
+      val id = new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val sz = leU32(b, i.toInt + 4)
+      if (id == "fmt " && i + 8 + 16 <= n) {
+        val fmt = leU16(b, i.toInt + 8)
+        val ch = leU16(b, i.toInt + 10)
+        val bits = leU16(b, i.toInt + 22)
+        if (fmt != 1 || ch != 1 || bits != 16) return null // mono 16-bit PCM only
+        rate = leU32(b, i.toInt + 12).toInt
+        if (rate <= 0 || rate > 1000000) return null
+      } else if (id == "data") {
+        dataOff = i + 8
+        dataLen = math.min(sz, n - dataOff)
+      }
+      i += 8 + sz + (sz & 1L)
+    }
+    if (rate < 0 || dataOff < 0) return null
+    val samples = (dataLen / 2).toInt
+    val perWindow = math.max(1, (rate.toLong * windowMs / 1000).toInt)
+    val nWindows = (samples + perWindow - 1) / perWindow
+    val energies = new Array[Long](nWindows)
+    var w = 0
+    while (w < nWindows) {
+      val s0 = w * perWindow
+      val s1 = math.min(samples, s0 + perWindow)
+      var sum = 0L
+      var s = s0
+      while (s < s1) {
+        sum += math.abs(leS16(b, (dataOff + s * 2L).toInt))
+        s += 1
+      }
+      energies(w) = if (s1 > s0) sum / (s1 - s0) else 0L
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](rate,
+        org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(energies)))
+  }
+}
+
 /** PDF catalog scan — the same pure-JVM byte-walking discipline as
   * [[ImageHeaderParse]]/[[MediaHeaderParse]] over the PDF COS surface
   * that is readable without a full parser: header version (`%PDF-x.y`,
@@ -1726,6 +1826,8 @@ object GraftFunctions {
   def fingerprint(c: Column): Column = column(RollingFingerprint(expr(c)))
   def dhash64(c: Column): Column = column(DHash64(expr(c)))
   def pdfMeta(c: Column): Column = column(PdfMetaParse(expr(c)))
+  def wavEnergy(c: Column, windowMs: Int): Column =
+    column(WavEnergy(expr(c), windowMs))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

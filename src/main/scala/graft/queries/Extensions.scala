@@ -986,6 +986,46 @@ object ExtensionQueries {
       |  ELSE CAST(doc_id % 11 <> 0 AS INTEGER) END AS INTEGER) AS well_formed
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Audio activity triage (ext Multimodal.audioActivity): every doc
+    * planted as a REAL mono 16-bit PCM WAV whose loud/silent windows
+    * are arithmetic in doc_id (window i of doc id is amplitude 1000 iff
+    * (id+i)%3=0, else digital silence) — the RIFF walk, PCM decode and
+    * exact-integer windowed energy must recover exactly the activity
+    * pattern the oracle re-derives from doc_id without hearing a
+    * sample. */
+  def audioActivityGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val nW = (id % 20 + 4).toInt
+        val samples = new Array[Short](nW * 800) // 100ms windows @ 8kHz
+        var w = 0
+        while (w < nW) {
+          if ((id + w) % 3 == 0) {
+            var k = 0
+            while (k < 800) { samples(w * 800 + k) = 1000; k += 1 }
+          }
+          w += 1
+        }
+        (id, Multimodal.SyntheticMedia.wavPcm(8000, samples))
+      }.toDF("media_id", "content")
+    Multimodal.audioActivity(media, "content", windowMs = 100,
+        threshold = 500)
+      .select("media_id", "sample_rate", "n_windows", "n_active",
+        "active_ms")
+      .orderBy("media_id")
+  }
+
+  private val audioActivityOracle =
+    """SELECT doc_id AS media_id,
+      | CAST(8000 AS INTEGER) AS sample_rate,
+      | CAST(doc_id % 20 + 4 AS INTEGER) AS n_windows,
+      | CAST(len(list_filter(range(0, doc_id % 20 + 4),
+      |   i -> (doc_id + i) % 3 = 0)) AS INTEGER) AS n_active,
+      | CAST(len(list_filter(range(0, doc_id % 20 + 4),
+      |   i -> (doc_id + i) % 3 = 0)) * 100 AS BIGINT) AS active_ms
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Perceptual image near-dup (ext Multimodal.imageNearDup): every doc
     * becomes a REAL 9×8 gradient BMP whose dHash equals a 64-bit
     * avalanche of its id by construction (each row walks ±8 per bit, so
@@ -1254,6 +1294,7 @@ object ExtensionQueries {
     QueryDef("m4_media_meta", mediaMetaGate, Some(mediaMetaOracle)),
     QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle), bench = true),
     QueryDef("m6_pdf_meta", pdfMetaGate, Some(pdfMetaOracle)),
+    QueryDef("m7_audio_activity", audioActivityGate, Some(audioActivityOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

@@ -654,6 +654,36 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("WavEnergy: windowed integer energy, partial last window, format gates") {
+    import Multimodal.SyntheticMedia
+    // 1s @ 1kHz, 100ms windows: w0 silent, w1 amplitude 100, w2 mixed
+    // (half 200 half 0 -> mean 100), rest silent; plus 50 extra samples
+    // at 40 (a partial last window averaged over its own length).
+    val samples = new Array[Short](1050)
+    (100 until 200).foreach(samples(_) = 100)
+    (200 until 250).foreach(samples(_) = 200)
+    (1000 until 1050).foreach(samples(_) = 40)
+    val row = graft.functions.WavEnergy.parse(
+      SyntheticMedia.wavPcm(1000, samples), 100)
+    assert(row.getInt(0) === 1000)
+    val e = row.getArray(1).toLongArray()
+    assert(e.length === 11)
+    assert(e(0) === 0L && e(1) === 100L && e(2) === 100L && e(9) === 0L)
+    assert(e(10) === 40L) // partial window: 50 samples, own-length mean
+    // Negative samples contribute |sample|.
+    val neg = graft.functions.WavEnergy.parse(
+      SyntheticMedia.wavPcm(1000, Array.fill[Short](100)(-50)), 100)
+    assert(neg.getArray(1).toLongArray().toSeq === Seq(50L))
+    // Stereo / 8-bit / junk / truncation: NULL, never a throw.
+    assert(graft.functions.WavEnergy.parse(
+      SyntheticMedia.wav(8000, 2, 320), 100) === null) // stereo
+    assert(graft.functions.WavEnergy.parse("junk".getBytes, 100) === null)
+    val full = SyntheticMedia.wavPcm(1000, samples)
+    (0 until full.length by 13).foreach { n =>
+      graft.functions.WavEnergy.parse(full.take(n), 100) // must not throw
+    }
+  }
+
   test("PdfMetaParse: pages counted with /Pages excluded; flags, truncation, junk") {
     import Multimodal.SyntheticDocs
     val full = graft.functions.PdfMetaParse.parse(
