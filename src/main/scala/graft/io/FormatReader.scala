@@ -97,6 +97,30 @@ object FormatReader {
     }
   }
 
+  /** Lenient JSON-lines read for crawl-grade inputs: malformed lines are
+    * CAPTURED, never fatal and never silently dropped. PERMISSIVE parse
+    * against an explicit schema with a corrupt-record column; returns
+    * (good rows, corrupt raw lines). The reference's pd.read_json throws
+    * on the first bad byte — at 100 TB a single mangled line must cost
+    * one quarantined row, not the batch. The frame is cached before the
+    * split: Spark disallows filtering on the corrupt column alone
+    * straight off the scan (internal-column restriction), and the cache
+    * also makes the two returned frames one parse, not two. */
+  def fromJsonLenient(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): (DataFrame, DataFrame) = {
+    require(!schema.fieldNames.contains("_corrupt"),
+      "fromJsonLenient: schema may not already contain _corrupt")
+    val withCorrupt = schema.add("_corrupt",
+      org.apache.spark.sql.types.StringType)
+    val raw = spark.read.schema(withCorrupt)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+      .cache()
+    (raw.where(col("_corrupt").isNull).drop("_corrupt"),
+      raw.where(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+  }
+
   private[io] object JsonShape extends Enumeration {
     val ArrayDoc, Lines, Columns = Value
   }

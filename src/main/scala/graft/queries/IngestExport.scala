@@ -1001,6 +1001,35 @@ object IngestExportQueries {
     """SELECT doc_id, text, lang, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Lenient JSON-lines ingest (FormatReader.fromJsonLenient): every
+    * 9th line of the fixture is mangled mid-object; the PERMISSIVE
+    * parse must keep every good row intact (the oracle replays them
+    * from documents) while the corrupt lines quarantine — one bad byte
+    * costs one row, never the batch (pd.read_json would throw). The
+    * corrupt-capture side is pinned in IoSpec. */
+  def ingestCorruptJsonE2e(s: SparkSession, d: String): DataFrame = {
+    val tmp = Files.createTempDirectory("graft_i18_")
+    val lines = Tables.documents(s, d).select("doc_id", "lang").collect()
+      .sortBy(_.getLong(0))
+      .map { r =>
+        val id = r.getLong(0)
+        if (id % 9 == 0) s"""{"doc_id": $id, "lang": OOPS"""
+        else s"""{"doc_id": $id, "lang": "${r.getString(1)}"}"""
+      }
+    Files.write(tmp.resolve("docs.jsonl"),
+      String.join("\n", lines: _*)
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType)))
+    val (good, _) = graft.io.FormatReader.fromJsonLenient(
+      s, tmp.resolve("docs.jsonl").toString, schema)
+    good.orderBy("doc_id")
+  }
+
+  private val ingestCorruptJsonOracle =
+    """SELECT doc_id, lang FROM documents
+      |WHERE doc_id % 9 <> 0 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
@@ -1034,5 +1063,7 @@ object IngestExportQueries {
       Some(ingestQuotedNewlineOracle)),
     QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)),
     QueryDef("i17_ingest_avro_e2e", ingestAvroE2e, Some(ingestAvroOracle)),
-    QueryDef("e10_export_avro_e2e", exportAvroE2e, Some(exportAvroOracle)))
+    QueryDef("e10_export_avro_e2e", exportAvroE2e, Some(exportAvroOracle)),
+    QueryDef("i18_ingest_corrupt_json_e2e", ingestCorruptJsonE2e,
+      Some(ingestCorruptJsonOracle)))
 }

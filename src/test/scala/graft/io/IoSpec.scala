@@ -555,6 +555,34 @@ class IoSpec extends AnyFunSuite {
     assert(err.getMessage.contains("m.kv"))
   }
 
+  test("fromJsonLenient: good rows intact, corrupt raw lines quarantined verbatim") {
+    val spark = graft.TestSpark.spark
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl_")
+    val lines = Seq(
+      """{"id": 1, "v": "a"}""",
+      """{"id": 2, "v": """, // truncated mid-object
+      """{"id": 3, "v": "c"}""",
+      """not json at all""",
+      """{"id": 5, "v": "e"}""")
+    java.nio.file.Files.write(tmp.resolve("x.jsonl"),
+      String.join("\n", lines: _*).getBytes("UTF-8"))
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("v", StringType)))
+    val (good, bad) = graft.io.FormatReader.fromJsonLenient(
+      spark, tmp.resolve("x.jsonl").toString, schema)
+    assert(good.collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      === Array((1L, "a"), (3L, "c"), (5L, "e")))
+    // Quarantined lines are the RAW bytes, recoverable for re-parse.
+    assert(bad.collect().map(_.getString(0)).sorted
+      === Array("""{"id": 2, "v": """, "not json at all").sorted)
+    // A schema already claiming _corrupt is rejected loudly.
+    intercept[IllegalArgumentException] {
+      graft.io.FormatReader.fromJsonLenient(spark,
+        tmp.resolve("x.jsonl").toString, schema.add("_corrupt", StringType))
+    }
+  }
+
   test("Avro.writeDistributed: per-partition containers round-trip arrays, " +
       "bytes and nulls; driver never collects") {
     val spark = graft.TestSpark.spark
