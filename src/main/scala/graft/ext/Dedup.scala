@@ -458,6 +458,47 @@ object Dedup {
       .distinct()
   }
 
+  // ----------------------------------------- content-defined chunking
+
+  /** Chunk-level overlap pairs via content-defined chunking
+    * (functions.CdcChunks — FastCDC gear boundaries, so identical
+    * segments at DIFFERENT offsets in different payloads still produce
+    * identical interior chunks): the BINARY-level member of the dedup
+    * family, for blob corpora where text shingling does not apply
+    * (media payloads, crawl snapshots, container layers).
+    *
+    * Plan: one codegen'd chunking pass, distinct (doc, fp) set
+    * semantics, then the standard inverted-index in-bucket expansion
+    * with the hot cap every LSH path here uses — a chunk held by more
+    * than `maxDocsPerChunk` payloads (the all-zeros block, a shared
+    * header) is dropped from the index rather than contributing
+    * O(n²) pairs. Emits (id_a, id_b, shared_chunks, shared_bytes)
+    * with id_a < id_b, `minShared` filtering one-chunk noise.
+    */
+  def chunkPairs(df: DataFrame, bytesCol: String, id: String,
+      avgBits: Int = 6, minSize: Int = 16, maxSize: Int = 256,
+      maxDocsPerChunk: Int = 4096, minShared: Int = 2): DataFrame = {
+    val chunks = df.select(col(id).as("doc_id"),
+        explode(GraftFunctions.cdcChunks(col(bytesCol), avgBits, minSize,
+          maxSize)).as("c"))
+      .select(col("doc_id"), col("c.fp").as("fp"), col("c.len").as("len"))
+      .groupBy(col("doc_id"), col("fp"))
+      .agg(max(col("len")).as("len")) // set semantics per (doc, chunk)
+    val es = col("es")
+    keepHotBuckets(chunks, Seq("fp"), maxDocsPerChunk)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("len")))).as("es"))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          x.getField("len").as("len")))))).as("p"))
+      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"))
+      .agg(count(lit(1)).as("shared_chunks"),
+        sum(col("p.len")).as("shared_bytes"))
+      .where(col("shared_chunks") >= minShared)
+  }
+
   // ------------------------------------------------------ ngram jaccard
 
   /** Token n-gram Jaccard similarity join: pairs with jaccard >= threshold

@@ -1523,6 +1523,98 @@ object MediaHeaderParse {
   }
 }
 
+/** Content-defined chunking (the FastCDC/gear-hash family, Xia et al.
+  * 2016): split a byte payload at positions where a gear rolling hash
+  * masks to zero, so chunk boundaries depend on CONTENT, not offset —
+  * insert one byte near the front of a file and fixed-size chunking
+  * reshuffles every downstream block, while CDC boundaries resync
+  * within one gear window and every later chunk fingerprint survives.
+  * That resync property is what makes chunk-level dedup work on 100 TB
+  * of mutating blobs (backup dedup, container layers, crawl snapshots).
+  *
+  * Emits array<struct<off,len,fp>> — offset, length, and a 64-bit
+  * polynomial fingerprint per chunk. Boundary rule: cut after byte i
+  * when the chunk is >= minSize and the gear hash masks to zero over
+  * avgBits bits (expected chunk = 2^avgBits bytes), or at maxSize
+  * unconditionally; the remainder is the final chunk. The gear table
+  * is 256 constants from the standard 64-bit avalanche mix — pure
+  * integer, deterministic, independently replayable.
+  */
+case class CdcChunks(child: Expression, avgBits: Int, minSize: Int,
+    maxSize: Int) extends UnaryExpression {
+  require(avgBits >= 4 && avgBits <= 24, s"avgBits=$avgBits")
+  require(minSize >= 1 && minSize < maxSize,
+    s"minSize=$minSize maxSize=$maxSize")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("off", IntegerType, nullable = false),
+    StructField("len", IntegerType, nullable = false),
+    StructField("fp", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = child.nullable
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"cdc_chunks expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    CdcChunks.chunk(input.asInstanceOf[Array[Byte]], avgBits, minSize, maxSize)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.CdcChunks.chunk($c, $avgBits, $minSize, $maxSize);
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CdcChunks {
+  /** 256 gear constants from the standard fmix64 avalanche — the same
+    * published mix the fixture avalanche uses; any independent replay
+    * regenerates them from this definition alone. */
+  private[graft] val Gear: Array[Long] = Array.tabulate(256) { i =>
+    var h = i.toLong * 0x9E3779B97F4A7C15L + 0x2545F4914F6CDD1DL
+    h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L; h ^= h >>> 33
+    h
+  }
+
+  /** Static entry point shared by eval and generated code. */
+  def chunk(b: Array[Byte], avgBits: Int, minSize: Int,
+      maxSize: Int): ArrayData = {
+    val n = b.length
+    val avgMask = (1L << avgBits) - 1
+    val out = new scala.collection.mutable.ArrayBuffer[InternalRow]()
+    var s = 0
+    var h = 0L
+    var i = 0
+    while (i < n) {
+      h = (h << 1) + Gear(b(i) & 0xff)
+      val len = i - s + 1
+      if ((len >= minSize && (h & avgMask) == 0L) || len >= maxSize) {
+        out += fpRow(b, s, len)
+        s = i + 1
+        h = 0L
+      }
+      i += 1
+    }
+    if (s < n) out += fpRow(b, s, n - s)
+    ArrayData.toArrayData(out.toArray)
+  }
+
+  private def fpRow(b: Array[Byte], off: Int, len: Int): InternalRow = {
+    var fp = 1125899906842597L
+    var i = off
+    while (i < off + len) { fp = fp * 31L + b(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](off, len, fp))
+  }
+}
+
 /** Per-window integer energy of a mono 16-bit PCM WAV payload — real
   * audio feature extraction with ZERO codec dependencies (PCM is raw
   * samples, a byte layout like the BMP pixels [[DHash64]] decodes):
@@ -1828,6 +1920,8 @@ object GraftFunctions {
   def pdfMeta(c: Column): Column = column(PdfMetaParse(expr(c)))
   def wavEnergy(c: Column, windowMs: Int): Column =
     column(WavEnergy(expr(c), windowMs))
+  def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
+    column(CdcChunks(expr(c), avgBits, minSize, maxSize))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

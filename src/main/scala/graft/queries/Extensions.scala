@@ -986,6 +986,26 @@ object ExtensionQueries {
       |  ELSE CAST(doc_id % 11 <> 0 AS INTEGER) END AS INTEGER) AS well_formed
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** Content-defined chunk dedup (ext Dedup.chunkPairs): documents plus
+    * every 6th doc re-embedded inside novel WRAP/TAIL bytes at a
+    * DIFFERENT offset — the gear boundaries must resync inside the
+    * embedded segment so planted pairs share interior chunks, and any
+    * organic ≥16-byte chunk the synthetic corpus genuinely repeats
+    * across docs must be found identically by the engine and the
+    * pinned independent Python replay of the published FastCDC rule
+    * (tools/gen_cdc_oracle.py). */
+  def chunkDedup(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val corpus = docs.union(docs.where(col("doc_id") % 6 === 0).select(
+      (col("doc_id") + 300000).as("doc_id"),
+      concat(lit("WRAP"), col("doc_id"), lit(" "), col("text"),
+        lit(" TAILTAILTAIL")).as("text")))
+    Dedup.chunkPairs(
+        corpus.select(col("doc_id"), col("text").cast(BinaryType).as("bytes")),
+        "bytes", "doc_id")
+      .orderBy("id_a", "id_b")
+  }
+
   /** Audio activity triage (ext Multimodal.audioActivity): every doc
     * planted as a REAL mono 16-bit PCM WAV whose loud/silent windows
     * are arithmetic in doc_id (window i of doc id is amplitude 1000 iff
@@ -1268,6 +1288,7 @@ object ExtensionQueries {
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
+    QueryDef("d19_chunk_dedup", chunkDedup, Some(PinnedOracles.d19ChunkPairs)),
     QueryDef("d16_dedup_prefix", dedupPrefix, Some(dedupNgramOracle), bench = true),
     QueryDef("d6_dedup_pipeline", dedupPipeline, Some(dedupPipelineOracle)),
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),

@@ -654,6 +654,47 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("CdcChunks: boundaries resync after an insertion (the CDC property); " +
+      "size bounds hold; chunkPairs finds embedded payloads") {
+    def chunksOf(b: Array[Byte]) = {
+      val arr = graft.functions.CdcChunks.chunk(b, 6, 16, 256)
+      (0 until arr.numElements()).map { i =>
+        val r = arr.getStruct(i, 3); (r.getInt(0), r.getInt(1), r.getLong(2))
+      }
+    }
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill[Byte](4000)(rnd.nextInt(256).toByte)
+    val base = chunksOf(payload)
+    // Size bounds: every chunk in [16, 256] except possibly the last.
+    assert(base.dropRight(1).forall { case (_, l, _) => l >= 16 && l <= 256 })
+    assert(base.map(_._2).sum === 4000)
+    // THE content-defined property: prepend 7 bytes — fixed-size
+    // chunking would shift every block; gear boundaries resync, so all
+    // but the first O(1) chunk fingerprints survive at shifted offsets.
+    val shifted = chunksOf(Array.fill[Byte](7)(1) ++ payload)
+    val baseFps = base.map(_._3).toSet
+    val survived = shifted.map(_._3).count(baseFps.contains)
+    assert(survived >= base.size - 3,
+      s"only $survived of ${base.size} chunks survived a 7-byte prepend")
+    // Determinism + empty input.
+    assert(chunksOf(payload) === base)
+    assert(chunksOf(Array.emptyByteArray).isEmpty)
+
+    // chunkPairs: an embedded 2KB segment is found across different
+    // carriers; an unrelated payload pairs with nobody.
+    import spark.implicits._
+    val seg = Array.fill[Byte](2000)(rnd.nextInt(256).toByte)
+    val other = Array.fill[Byte](2000)(rnd.nextInt(256).toByte)
+    val df = Seq(
+      (1L, Array.fill[Byte](100)(2) ++ seg ++ Array.fill[Byte](50)(3)),
+      (2L, Array.fill[Byte](33)(4) ++ seg),
+      (3L, other)).toDF("doc_id", "bytes")
+    val pairs = Dedup.chunkPairs(df, "bytes", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(pairs.length === 1 && pairs(0)._1 === 1L && pairs(0)._2 === 2L)
+    assert(pairs(0)._3 >= (2000 / 64) / 2, "most interior chunks shared")
+  }
+
   test("WavEnergy: windowed integer energy, partial last window, format gates") {
     import Multimodal.SyntheticMedia
     // 1s @ 1kHz, 100ms windows: w0 silent, w1 amplitude 100, w2 mixed
