@@ -193,6 +193,15 @@ object Multimodal {
       .withColumn("well_formed", col("__pdf.well_formed"))
       .drop("__pdf")
 
+  /** PDF text extraction (functions.PdfTextExtract — codegen'd, scan
+    * speed): the extract stage behind [[pdfMeta]] triage for the
+    * classic uncompressed COS layout; NULL for non-PDF payloads, empty
+    * for encrypted (ciphertext strings) or compressed-stream documents
+    * (those route to a real PDF library). */
+  def pdfText(df: DataFrame, content: String): DataFrame =
+    df.withColumn("pdf_text",
+      graft.functions.GraftFunctions.pdfText(col(content)))
+
   /** Audio activity triage (functions.WavEnergy — codegen'd, scan
     * speed): per-`windowMs`-window integer mean-|sample| energy of mono
     * 16-bit PCM payloads, reduced to activity metrics against
@@ -425,7 +434,8 @@ object Multimodal {
   object SyntheticDocs {
     def pdf(pages: Int, version: String = "1.4",
         encrypted: Boolean = false, linearized: Boolean = false,
-        truncated: Boolean = false): Array[Byte] = {
+        truncated: Boolean = false,
+        pageTexts: Seq[String] = Nil): Array[Byte] = {
       val sb = new StringBuilder
       sb.append(s"%PDF-$version\n")
       if (linearized)
@@ -434,8 +444,18 @@ object Multimodal {
       sb.append("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
       sb.append(s"2 0 obj << /Type /Pages /Kids [$kids] /Count $pages >> endobj\n")
       (0 until pages).foreach { i =>
+        val contents = if (i < pageTexts.length) s" /Contents ${100 + i} 0 R" else ""
         sb.append(s"${i + 3} 0 obj << /Type /Page /Parent 2 0 R " +
-          "/MediaBox [0 0 612 792] >> endobj\n")
+          s"/MediaBox [0 0 612 792]$contents >> endobj\n")
+      }
+      // Uncompressed content streams: BT/ET text blocks with escaped
+      // literal strings shown via Tj / TJ-array operators.
+      pageTexts.zipWithIndex.foreach { case (t, i) =>
+        val esc = t.replace("\\", "\\\\")
+          .replace("(", "\\(").replace(")", "\\)")
+        val body = s"BT /F1 12 Tf 72 720 Td ($esc) Tj ET"
+        sb.append(s"${100 + i} 0 obj << /Length ${body.length} >>\n" +
+          s"stream\n$body\nendstream\nendobj\n")
       }
       sb.append("trailer << /Size " + (pages + 3) + " /Root 1 0 R" +
         (if (encrypted) " /Encrypt 8 0 R" else "") + " >>\n")

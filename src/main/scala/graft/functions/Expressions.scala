@@ -1523,6 +1523,126 @@ object MediaHeaderParse {
   }
 }
 
+/** Text extraction from UNCOMPRESSED PDF content streams — the extract
+  * stage behind the [[PdfMetaParse]] triage: literal strings shown by
+  * `Tj` operators inside `BT`/`ET` text blocks, with the PDF string
+  * escapes (\\( \\) \\\\ \\n \\r \\t, octal \\ddd) and balanced nested
+  * parentheses decoded per the published COS grammar. Exact for the
+  * classic uncompressed layout; Flate-compressed streams need a real
+  * PDF library and are out of scan-speed scope (they extract as
+  * nothing, never garbage). Encrypted documents return the empty
+  * string (their strings are ciphertext — extracting would emit
+  * noise). NULL for non-PDF payloads; never throws.
+  */
+case class PdfTextExtract(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"pdf_text expects BINARY, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PdfTextExtract.extract(input.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.PdfTextExtract.extract($c);
+      ${ev.isNull} = ${ev.value} == null;
+    """)
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PdfTextExtract {
+  private def isDelim(c: Char): Boolean =
+    c <= ' ' || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '/' || c == '%'
+
+  /** Static entry point shared by eval and generated code. */
+  def extract(b: Array[Byte]): UTF8String = {
+    if (PdfMetaParse.parse(b) == null) return null
+    val s = new String(b, java.nio.charset.StandardCharsets.ISO_8859_1)
+    if (s.contains("/Encrypt")) return UTF8String.fromString("")
+    val out = new StringBuilder
+    var i = 0
+    val n = s.length
+    while (i >= 0 && i < n) {
+      val bt = findToken(s, "BT", i)
+      if (bt < 0) { i = -1 }
+      else {
+        val et = findToken(s, "ET", bt + 2)
+        val end = if (et < 0) n else et
+        var j = bt + 2
+        while (j < end) {
+          if (s.charAt(j) == '(') {
+            val (text, after) = literal(s, j, end)
+            // Emit only strings SHOWN by a Tj that follows.
+            var m = after
+            while (m < end && s.charAt(m) <= ' ') m += 1
+            if (m + 2 <= end && s.charAt(m) == 'T' && s.charAt(m + 1) == 'j') {
+              if (out.nonEmpty) out.append(' ')
+              out.append(text)
+            }
+            j = after
+          } else j += 1
+        }
+        i = if (et < 0) n else et + 2
+      }
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** Token-boundary search: `tok` delimited per the COS grammar (so a
+    * BT inside a literal string or a name does not open a block). */
+  private def findToken(s: String, tok: String, from: Int): Int = {
+    var i = s.indexOf(tok, from)
+    while (i >= 0) {
+      val okL = i == 0 || isDelim(s.charAt(i - 1))
+      val okR = i + tok.length >= s.length || isDelim(s.charAt(i + tok.length))
+      if (okL && okR) return i
+      i = s.indexOf(tok, i + 1)
+    }
+    -1
+  }
+
+  /** Decode one literal string starting at `open` (a '('): returns the
+    * unescaped text and the index just past the closing ')'. Balanced
+    * unescaped parens nest, per spec. */
+  private def literal(s: String, open: Int, end: Int): (String, Int) = {
+    val sb = new StringBuilder
+    var depth = 1
+    var i = open + 1
+    while (i < end && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < end) {
+        s.charAt(i + 1) match {
+          case 'n' => sb.append('\n'); i += 2
+          case 'r' => sb.append('\r'); i += 2
+          case 't' => sb.append('\t'); i += 2
+          case d if d >= '0' && d <= '7' =>
+            var v = 0; var k = i + 1
+            while (k < end && k < i + 4 && s.charAt(k) >= '0' &&
+              s.charAt(k) <= '7') { v = v * 8 + (s.charAt(k) - '0'); k += 1 }
+            sb.append((v & 0xff).toChar); i = k
+          case other => sb.append(other); i += 2 // incl. \( \) \\
+        }
+      } else {
+        if (c == '(') depth += 1
+        else if (c == ')') depth -= 1
+        if (depth > 0) sb.append(c)
+        i += 1
+      }
+    }
+    (sb.toString, i)
+  }
+}
+
 /** Content-defined chunking (the FastCDC/gear-hash family, Xia et al.
   * 2016): split a byte payload at positions where a gear rolling hash
   * masks to zero, so chunk boundaries depend on CONTENT, not offset —
@@ -1922,6 +2042,7 @@ object GraftFunctions {
     column(WavEnergy(expr(c), windowMs))
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     column(CdcChunks(expr(c), avgBits, minSize, maxSize))
+  def pdfText(c: Column): Column = column(PdfTextExtract(expr(c)))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

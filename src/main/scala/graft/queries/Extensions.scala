@@ -986,6 +986,46 @@ object ExtensionQueries {
       |  ELSE CAST(doc_id % 11 <> 0 AS INTEGER) END AS INTEGER) AS well_formed
       |FROM documents ORDER BY media_id""".stripMargin
 
+  /** PDF text extraction (ext Multimodal.pdfText): every doc planted as
+    * a REAL multi-page uncompressed PDF whose page strings — parens and
+    * backslashes included, exercising the COS escape grammar both when
+    * writing and when decoding — are arithmetic in doc_id; every 13th
+    * doc is junk (NULL) and every 7th is encrypted (empty string, its
+    * strings would be ciphertext). The oracle re-derives the joined
+    * text from doc_id alone. */
+  def pdfTextGate(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
+      .map { id =>
+        val bytes =
+          if (id % 13 == 0) s"not a pdf $id".getBytes
+          else {
+            val nPages = (id % 3 + 1).toInt
+            val texts = (0 until nPages).map(p =>
+              s"Doc $id page $p (copy\\$p) end")
+            Multimodal.SyntheticDocs.pdf(pages = nPages,
+              encrypted = id % 7 == 0, pageTexts = texts)
+          }
+        (id, bytes)
+      }.toDF("media_id", "content")
+    Multimodal.pdfText(media, "content")
+      .select("media_id", "pdf_text")
+      .orderBy("media_id")
+  }
+
+  private val pdfTextOracle =
+    """SELECT doc_id AS media_id,
+      | CASE WHEN doc_id % 13 = 0 THEN NULL
+      |  WHEN doc_id % 7 = 0 THEN ''
+      |  ELSE concat_ws(' ',
+      |   'Doc ' || doc_id || ' page 0 (copy\0) end',
+      |   CASE WHEN doc_id % 3 >= 1
+      |    THEN 'Doc ' || doc_id || ' page 1 (copy\1) end' END,
+      |   CASE WHEN doc_id % 3 = 2
+      |    THEN 'Doc ' || doc_id || ' page 2 (copy\2) end' END)
+      | END AS pdf_text
+      |FROM documents ORDER BY media_id""".stripMargin
+
   /** Content-defined chunk dedup (ext Dedup.chunkPairs): documents plus
     * every 6th doc re-embedded inside novel WRAP/TAIL bytes at a
     * DIFFERENT offset — the gear boundaries must resync inside the
@@ -1316,6 +1356,7 @@ object ExtensionQueries {
     QueryDef("m5_image_neardup", imageNearDupGate, Some(imageNearDupOracle), bench = true),
     QueryDef("m6_pdf_meta", pdfMetaGate, Some(pdfMetaOracle)),
     QueryDef("m7_audio_activity", audioActivityGate, Some(audioActivityOracle)),
+    QueryDef("m8_pdf_text", pdfTextGate, Some(pdfTextOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
     QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),

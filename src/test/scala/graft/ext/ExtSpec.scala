@@ -654,6 +654,36 @@ class ExtSpec extends AnyFunSuite {
     assert(out(2).isNullAt(1) && out(2).isNullAt(2))
   }
 
+  test("PdfTextExtract: COS escapes, nested parens, Tj-only, encrypted-empty") {
+    import Multimodal.SyntheticDocs
+    def ex(b: Array[Byte]) = Option(graft.functions.PdfTextExtract.extract(b))
+      .map(_.toString).orNull
+    // Round-trip through the builder's escaping: parens + backslash.
+    val t = "a (nested (deep)) b \\ c"
+    assert(ex(SyntheticDocs.pdf(1, pageTexts = Seq(t))) === t)
+    // Multi-page joins with a single space, page order preserved.
+    assert(ex(SyntheticDocs.pdf(2, pageTexts = Seq("p one", "p two")))
+      === "p one p two")
+    // Raw stream: octal and control escapes; a string NOT followed by
+    // Tj (a Td operand or TJ array) is not emitted.
+    val raw = ("%PDF-1.4\n1 0 obj << /Type /Catalog >> endobj\n" +
+      "stream\nBT (skip me) Td (\\110i\\t!) Tj ET\nendstream\n%%EOF")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(ex(raw) === "Hi\t!")
+    // A 'BT' inside a literal string must not open a text block.
+    val tricky = ("%PDF-1.4\nstream\nBT (has BT inside) Tj ET\nendstream\n" +
+      "%%EOF").getBytes
+    assert(ex(tricky) === "has BT inside")
+    // Encrypted -> empty (ciphertext strings); junk -> NULL; truncation
+    // at every prefix never throws.
+    assert(ex(SyntheticDocs.pdf(1, encrypted = true,
+      pageTexts = Seq("secret"))) === "")
+    assert(ex("no pdf here".getBytes) === null)
+    val full = SyntheticDocs.pdf(2, pageTexts = Seq("p one", "p two"))
+    (0 until full.length by 17).foreach(n =>
+      graft.functions.PdfTextExtract.extract(full.take(n)))
+  }
+
   test("CdcChunks: boundaries resync after an insertion (the CDC property); " +
       "size bounds hold; chunkPairs finds embedded payloads") {
     def chunksOf(b: Array[Byte]) = {
