@@ -171,4 +171,55 @@ object Curation {
         col("n_exact_dup_docs"), col("n_tokens"), col("n_langs"),
         col("n_quality_docs"), col("n_contaminated_docs"))
   }
+
+  /** Web-crawl curation — the WARC-to-training-shards composition the
+    * generic [[curate]] pipeline cannot express, because crawls dedup
+    * on IDENTITY (the URL), not content, before any text stage runs:
+    *
+    *  1. canonical-URL dedup: [[TextAnalysis.urlCanonicalize]] collapses
+    *     spelling variants, first-seen (min id) representative kept —
+    *     the crawl-frontier "have I fetched this already";
+    *  2. per-host cap: keep the `maxPerHost` lowest-id records per host
+    *     (deterministic diversity bound — one mega-host cannot dominate
+    *     the corpus; the batch analogue of crawl politeness);
+    *  3. Gopher quality rules on the page body;
+    *  4. token-balanced shard assignment
+    *     ([[Packing.shardByTokens]]), host riding as a carry column.
+    *
+    * Plan: stages 1-2 shuffle on url/host keys, localCheckpoint cuts
+    * the front half exactly as [[curate]] does (Catalyst does not reuse
+    * a common scan across the later subtrees), sharding is the standard
+    * two-phase prefix sum. Every stage is SQL-replayable, so the whole
+    * composition gate (`p2`) hash-checks end to end.
+    *
+    * Input: (id, url, body) — e.g. [[graft.io.Warc.httpParts]] output
+    * with the record id parsed from the WARC headers.
+    */
+  def curateCrawl(records: DataFrame, id: String, urlCol: String,
+      bodyCol: String, maxPerHost: Int, minWords: Long = 20L,
+      minStopHits: Long = 1L, shardTokens: Long = 2048L): DataFrame = {
+    require(maxPerHost >= 1, s"maxPerHost=$maxPerHost")
+    val canon = TextAnalysis.urlCanonicalize(records, urlCol)
+    val reps = canon.groupBy(col("url_canon")).agg(min(col(id)).as(id))
+      .select(col(id))
+    val afterUrl = canon.join(reps, Seq(id), "left_semi")
+      .withColumn("host",
+        regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host")).orderBy(col(id))
+    val capped = afterUrl
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= maxPerHost)
+      .drop("__rn")
+      .localCheckpoint(true)
+    val qIds = TextAnalysis.gopherQuality(capped, bodyCol, id,
+        minWords = minWords, minStopHits = minStopHits)
+      .where(col("is_quality")).select(col(id))
+    val afterQ = capped.join(qIds, Seq(id), "left_semi")
+    Packing.shardByTokens(afterQ, id,
+        TextAnalysis.tokenCount(col(bodyCol)), shardTokens,
+        carry = Seq("host"))
+      .select(col(id), col("host"), col("n_tokens"),
+        col("start_offset"), col("shard_id"))
+  }
 }

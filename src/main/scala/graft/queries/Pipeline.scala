@@ -888,8 +888,120 @@ object PipelineQueries {
       |      FROM orders)
       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Web-crawl curation e2e (ext Curation.curateCrawl): REAL WARC
+    * shards — every doc a response record, every 4th doc ALSO fetched
+    * under a dirty spelling of the same URL (uppercase host, default
+    * port, www, tracking param, fragment) — through HTTP split,
+    * canonical-URL dedup (the dirty twins must collapse), a
+    * 50-per-host cap, Gopher quality on the body, and token-balanced
+    * shard assignment. The oracle replays every stage from documents
+    * alone: the dup drops reduce to identity, the cap to a host
+    * row_number, quality to the Gopher CTE over substr(text,1,200),
+    * sharding to the prefix sum — one hash over the WHOLE composition. */
+  def crawlCurationE2e(s: SparkSession, d: String): DataFrame = {
+    import java.nio.file.Files
+    val tmp = Files.createTempDirectory("graft_p2_")
+    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def rec(id: Long, uri: String, body: String): String =
+      graft.io.Warc.writeRecord("response", s"<urn:doc:$id>", uri,
+        "2024-01-01T00:00:00Z",
+        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+    def shard(rows: Seq[(Long, String)], name: String): Unit = {
+      val sb = new StringBuilder
+      sb.append(graft.io.Warc.writeRecord("warcinfo", "<urn:graft:info>",
+        "", "2024-01-01T00:00:00Z", "software: graft-fixture\r\n"))
+      rows.foreach { case (id, text) =>
+        val k = id % 7
+        val body = text.take(200)
+        sb.append(rec(id, s"https://site$k.example.com/p/$id", body))
+        if (id % 4 == 0)
+          sb.append(rec(id + 500000,
+            s"HTTPS://WWW.Site$k.Example.COM:443/p/$id?utm_source=dup#frag",
+            body))
+      }
+      Files.write(tmp.resolve(name),
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
+    shard(even, "shard0.warc")
+    shard(odd, "shard1.warc")
+    val parsed = graft.io.Warc.httpParts(
+        graft.io.Warc.read(s, tmp.toString + "/*.warc")
+          .where(col("warc_type") === "response"))
+      .select(
+        regexp_extract(col("record_id"), "urn:doc:(\\d+)", 1)
+          .cast(org.apache.spark.sql.types.LongType).as("doc_id"),
+        col("target_uri").as("url"),
+        col("http_body").as("body"))
+    graft.ext.Curation.curateCrawl(parsed, "doc_id", "url", "body",
+        maxPerHost = 50)
+      .orderBy("doc_id")
+  }
+
+  private val crawlCurationOracle =
+    """WITH capped AS (
+      | SELECT doc_id, 'site' || (doc_id % 7) || '.example.com' AS host,
+      |  substr(text, 1, 200) AS body,
+      |  row_number() OVER (
+      |    PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+      | FROM documents),
+      |c2 AS (SELECT doc_id, host, body FROM capped WHERE rn <= 50),
+      |w AS (
+      | SELECT doc_id, host, body, body AS t,
+      |  list_filter(string_split_regex(body, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(body, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM c2),
+      |m AS (
+      | SELECT doc_id, host, body,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+      |    AS sum_word_len,
+      |  CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+      |   AS BIGINT) AS n_symbols,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT)
+      |    AS n_bullet_lines,
+      |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT)
+      |    AS n_ellipsis_lines,
+      |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      |    AS n_stop_hits
+      | FROM w),
+      |q AS (
+      | SELECT doc_id, host, body FROM m
+      | WHERE n_words BETWEEN 20 AND 100000
+      |  AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      |  AND n_symbols * 10 <= n_words
+      |  AND n_bullet_lines * 10 <= n_lines * 9
+      |  AND n_ellipsis_lines * 10 <= n_lines * 3
+      |  AND n_alpha_words * 10 >= n_words * 8
+      |  AND n_stop_hits >= 1),
+      |t AS (
+      | SELECT doc_id, host,
+      |  CAST(len(regexp_extract_all(body, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM q),
+      |o AS (
+      | SELECT doc_id, host, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, host, n_tokens,
+      | CAST(start_offset AS BIGINT) AS start_offset,
+      | CAST(start_offset // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
+    QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
+      Some(crawlCurationOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
