@@ -1001,7 +1001,7 @@ object PipelineQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
-      Some(crawlCurationOracle)),
+      Some(crawlCurationOracle), bench = true),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
