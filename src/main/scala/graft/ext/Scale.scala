@@ -265,6 +265,27 @@ object Scale {
       .join(small, big(bigKey) === small(smallKey))
   }
 
+  /** Write parquet with per-column BLOOM FILTERS in the file footers —
+    * the point-lookup twin of [[zoneMap]] range pruning: min/max stats
+    * are useless for equality probes on a high-cardinality UNCLUSTERED
+    * column (every file's range covers every key), but a footer bloom
+    * lets the reader skip whole row groups whose filter proves the key
+    * absent. Spark's vectorized parquet reader applies them
+    * automatically when the pushed predicate is an equality — nothing
+    * to do at read time but push the filter. Size the `expectedNdv`
+    * per column to its distinct count per row group; the writer derives
+    * the filter bits from it. */
+  def writeBloomIndexed(df: DataFrame, dir: String,
+      bloomCols: Seq[String], expectedNdv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "writeBloomIndexed: no columns")
+    require(expectedNdv > 0, s"expectedNdv=$expectedNdv")
+    val base = df.write.mode("overwrite")
+    bloomCols.foldLeft(base) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+    }.parquet(dir)
+  }
+
   // ------------------------------------------- zone maps (file skipping)
 
   /** Hadoop Configuration is not Serializable; this minimal envelope

@@ -1178,6 +1178,34 @@ object ExtensionQueries {
       |  AND (SELECT max(l_orderkey) // 4 FROM lineitem)
       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Bloom-indexed point lookup (ext Scale.writeBloomIndexed): lineitem
+    * rewritten with footer bloom filters on l_partkey (the
+    * high-cardinality unclustered column where min/max pruning is
+    * useless), then an equality probe against the hottest part — the
+    * reader applies the blooms to skip row groups; the answer must
+    * equal the plain filter on the original table. */
+  def bloomPointLookup(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc7_").toString
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_quantity")
+    graft.ext.Scale.writeBloomIndexed(li.repartition(4), dir,
+      Seq("l_partkey"), expectedNdv = 200000L)
+    val probe = li.agg(max("l_partkey")).head().getLong(0)
+    s.read.parquet(dir).where(col("l_partkey") === probe)
+      .groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+  }
+
+  private val bloomPointLookupOracle =
+    """SELECT l_partkey, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem
+      |WHERE l_partkey = (SELECT max(l_partkey) FROM lineitem)
+      |GROUP BY l_partkey""".stripMargin
+
   /** Bucketed-table join: pay the shuffle at write time, join for free
     * at read time (exchange-free plan asserted in ScaleSpec); results
     * must match the direct join of the source parquet. */
@@ -1363,5 +1391,7 @@ object ExtensionQueries {
     QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
     QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle), bench = true),
     QueryDef("sc6_zonemap_prune", zoneMapPrune, Some(zoneMapPruneOracle)),
+    QueryDef("sc7_bloom_pointlookup", bloomPointLookup,
+      Some(bloomPointLookupOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

@@ -238,6 +238,37 @@ class ScaleSpec extends AnyFunSuite {
       .or(col("min_dbl").isNotNull).or(col("min_str").isNotNull)).count() === 0)
   }
 
+  test("writeBloomIndexed: footer blooms present on requested columns only; " +
+      "point lookups exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
+    val df = (0 until 5000).map(i => (i.toLong * 7919 % 100003, s"v$i"))
+      .toDF("k", "v")
+    Scale.writeBloomIndexed(df, dir, Seq("k"), expectedNdv = 5000)
+    // Footer check: bloom offset recorded for k, absent for v.
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).head
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new Path(file.toString), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns
+      val byName = (0 until cols.size).map(i =>
+        cols.get(i).getPath.toDotString -> cols.get(i)).toMap
+      assert(byName("k").getBloomFilterOffset >= 0,
+        "bloom filter missing on indexed column")
+      assert(byName("v").getBloomFilterOffset < 0,
+        "bloom filter unexpectedly present on unindexed column")
+    } finally reader.close()
+    // Point lookup correctness through the bloom-indexed layout.
+    val probe = 3L * 7919 % 100003
+    val got = spark.read.parquet(dir).where(col("k") === probe)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.toSeq === Seq((probe, "v3")))
+    assert(spark.read.parquet(dir).where(col("k") === 999999L).count() === 0)
+  }
+
   test("prunedRead: exact filtered result while opening a fraction of the files") {
     val dir = zoneFixture()
     val allFiles = spark.read.parquet(dir).inputFiles.length
