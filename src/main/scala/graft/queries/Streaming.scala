@@ -434,7 +434,58 @@ object StreamingQueries {
       |SELECT q.doc_id FROM q LEFT JOIN hits h ON q.doc_id = h.doc_id
       |WHERE h.doc_id IS NULL ORDER BY q.doc_id""".stripMargin
 
+  /** Lenient JSON-lines ingest AS A STREAM — crawl ingest in practice:
+    * the same PERMISSIVE corrupt-capture contract as the batch
+    * i18 gate (one mangled line = one quarantined row, never a failed
+    * micro-batch), over two fixture files forced into separate
+    * micro-batches. The streamed good-row set must equal the batch
+    * parse — same oracle as i18. */
+  def corruptJsonStream(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st15_")
+    val rows = graft.Tables.documents(s, d).select("doc_id", "lang")
+      .collect().sortBy(_.getLong(0))
+    def write(name: String, part: Array[org.apache.spark.sql.Row]): Unit = {
+      val lines = part.map { r =>
+        val id = r.getLong(0)
+        if (id % 9 == 0) s"""{"doc_id": $id, "lang": OOPS"""
+        else s"""{"doc_id": $id, "lang": "${r.getString(1)}"}"""
+      }
+      java.nio.file.Files.write(tmp.resolve(name),
+        String.join("\n", lines: _*)
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    val (even, odd) = rows.partition(_.getLong(0) % 2 == 0)
+    write("a.jsonl", even)
+    write("b.jsonl", odd)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("_corrupt", StringType)))
+    val name = "st15_json_out"
+    s.catalog.dropTempView(name)
+    val q = s.readStream.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .option("maxFilesPerTrigger", 1)
+      .json(tmp.toString)
+      .where(col("_corrupt").isNull)
+      .select("doc_id", "lang")
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(name).orderBy("doc_id")
+  }
+
+  private val corruptJsonStreamOracle =
+    """SELECT doc_id, lang FROM documents
+      |WHERE doc_id % 9 <> 0 ORDER BY doc_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("st15_corrupt_json_stream", corruptJsonStream,
+      Some(corruptJsonStreamOracle)),
     QueryDef("st13_curate_stream", curateStream, Some(curateStreamOracle)),
     QueryDef("st10_stream_quantiles", streamQuantiles, Some(streamQuantilesOracle)),
     QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),
