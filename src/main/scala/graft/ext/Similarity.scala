@@ -73,6 +73,24 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Radius (range) search — ALL corpus neighbors within a cosine
+    * threshold, the dual of top-k: retrieval wants "the k best", but
+    * dedup gates, recall audits, and near-duplicate sweeps want "every
+    * vector at least this similar", where k is unknowable in advance.
+    * One broadcast of the query batch, a codegen'd cosine per pair, a
+    * scan-speed filter — no aggregation state at all, so the shuffle
+    * carries exactly the matching rows. The result SET is stable to
+    * engine float quirks as long as `minCosine` is not adversarially
+    * placed within ulps of a realized similarity (both engines
+    * accumulate the dot sequentially in double). */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame,
+      minCosine: Double, excludeSelf: Boolean = true): DataFrame =
+    corpus.crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid").as("query_id"), col("cid").as("corpus_id"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("cosine"))
+      .where(col("cosine") >= minCosine)
+
   /** Random-hyperplane LSH bucketed top-k: corpus vectors land in one of
     * 2^bits buckets keyed by the sign pattern of `bits` seeded Gaussian
     * hyperplane dot products (the codegen'd HyperplaneSig expression d5

@@ -487,6 +487,23 @@ object ExtensionQueries {
       | WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** Radius search (ext Similarity.rangeSearch): every neighbor within
+    * cosine >= 0.2 — the SET of qualifying pairs compared (ids only,
+    * the s1 rank-not-score discipline); both engines accumulate the
+    * dot product sequentially in double, and the threshold sits far
+    * from any realized similarity's ulp neighborhood on this corpus. */
+  def rangeSearch(s: SparkSession, d: String): DataFrame =
+    Similarity.rangeSearch(corpus(s, d), queriesDf(s, d), minCosine = 0.2)
+      .select(col("query_id"), col("corpus_id"))
+      .orderBy("query_id", "corpus_id")
+
+  private val rangeSearchOracle =
+    """SELECT q.vec_id AS query_id, c.vec_id AS corpus_id
+      |FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+      |WHERE q.vec_id < 10
+      | AND list_cosine_similarity(q.embedding, c.embedding) >= 0.2
+      |ORDER BY query_id, corpus_id""".stripMargin
+
   /** Per-label mean embedding (class prototypes): exact scaled-integer
     * sums make the doubles bit-identical to the DuckDB replay — see
     * Vectors.groupCentroids' scaladoc for the shuffle audit. */
@@ -1375,6 +1392,7 @@ object ExtensionQueries {
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
+    QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
