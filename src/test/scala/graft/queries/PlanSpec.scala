@@ -294,6 +294,57 @@ class PlanSpec extends AnyFunSuite {
       s"ADC scan must not read the raw-vector column:\n$rs"))
   }
 
+  test("image near-dup: chunk equi-join candidates — no cartesian, one " +
+      "codegen'd signature pass") {
+    import spark.implicits._
+    val imgs = (1L to 8L).map(i => (i,
+      graft.ext.Multimodal.SyntheticImages.bmpGradient(
+        graft.ext.Multimodal.SyntheticImages.avalanche(i)))).toDF("id", "content")
+    val s = planString(
+      graft.ext.Multimodal.imageNearDup(imgs, "id", "content", maxDist = 8))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+    // ONE dhash evaluation site: the signature is computed in a single
+    // projection, not once per chunk arm.
+    assert(s.sliding("dhash64".length).count(_ == "dhash64") <= 2, s)
+  }
+
+  test("nbClassify: model rides one token-keyed equi-join; class totals " +
+      "and vocab broadcast as scalars") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (tok, cls) = graft.ext.TextAnalysis.nbCounts(docs, "text", "lang")
+    val s = planString(
+      graft.ext.TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls))
+    assert(!s.contains("CartesianProduct"), s)
+    // The ONLY nested-loop joins are the deliberate broadcast CROSS
+    // joins of the scalar-sized class-totals and vocab frames; a
+    // non-cross BNLJ would mean a real join degenerated.
+    s.linesIterator.filter(_.contains("BroadcastNestedLoopJoin"))
+      .foreach(l => assert(l.contains("Cross"), l))
+    assert(s.contains("BroadcastExchange"), s)
+  }
+
+  test("chunk dedup: inverted-index pairing is all equi-joins/aggregates " +
+      "— no cartesian") {
+    val docs = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "cast(text as binary) as bytes")
+    val s = planString(graft.ext.Dedup.chunkPairs(docs, "bytes", "doc_id"))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  test("crawl curation: url/host-keyed shuffles only — no cartesian, " +
+      "no global sort below the prefix sum") {
+    import spark.implicits._
+    val recs = (1L to 40L).map(i =>
+      (i, s"https://site${i % 3}.example.com/p/$i",
+        ("word " * 30) + "the end.")).toDF("id", "url", "body")
+    val s = planString(graft.ext.Curation.curateCrawl(
+      recs, "id", "url", "body", maxPerHost = 10))
+    assert(!s.contains("CartesianProduct"), s)
+    assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
   test("whole-stage codegen covers the custom expressions (no CodegenFallback gap)") {
     import org.apache.spark.sql.functions._
     val df = graft.Tables.documents(spark, sf).select(
