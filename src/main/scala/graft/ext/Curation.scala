@@ -197,7 +197,18 @@ object Curation {
     */
   def curateCrawl(records: DataFrame, id: String, urlCol: String,
       bodyCol: String, maxPerHost: Int, minWords: Long = 20L,
-      minStopHits: Long = 1L, shardTokens: Long = 2048L): DataFrame = {
+      minStopHits: Long = 1L, shardTokens: Long = 2048L): DataFrame =
+    crawlStages(records, id, urlCol, bodyCol, maxPerHost, minWords,
+      minStopHits, shardTokens)._4
+      .select(col(id), col("host"), col("n_tokens"),
+        col("start_offset"), col("shard_id"))
+
+  /** The shared [[curateCrawl]] stage chain: (afterUrlDedup, capped,
+    * afterQuality, sharded). */
+  private def crawlStages(records: DataFrame, id: String, urlCol: String,
+      bodyCol: String, maxPerHost: Int, minWords: Long,
+      minStopHits: Long, shardTokens: Long)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(maxPerHost >= 1, s"maxPerHost=$maxPerHost")
     val canon = TextAnalysis.urlCanonicalize(records, urlCol)
     val reps = canon.groupBy(col("url_canon")).agg(min(col(id)).as(id))
@@ -216,10 +227,36 @@ object Curation {
         minWords = minWords, minStopHits = minStopHits)
       .where(col("is_quality")).select(col(id))
     val afterQ = capped.join(qIds, Seq(id), "left_semi")
-    Packing.shardByTokens(afterQ, id,
-        TextAnalysis.tokenCount(col(bodyCol)), shardTokens,
-        carry = Seq("host"))
-      .select(col(id), col("host"), col("n_tokens"),
-        col("start_offset"), col("shard_id"))
+    val sharded = Packing.shardByTokens(afterQ, id,
+      TextAnalysis.tokenCount(col(bodyCol)), shardTokens,
+      carry = Seq("host"))
+    (afterUrl, capped, afterQ, sharded)
+  }
+
+  /** Pipeline observability for [[curateCrawl]]: ONE metadata-sized row
+    * with exact survivor counts at every stage boundary plus token and
+    * shard totals — the funnel a 100 TB curation run reports so an
+    * upstream regression (a dedup key change, a quality threshold
+    * drift) is visible as a stage-level delta, not a mystery in the
+    * final corpus size. Stage frames come from the SAME chain as
+    * [[curateCrawl]] (the capped front half is checkpointed once and
+    * shared), each reduced to a one-row aggregate and broadcast-crossed
+    * — no data row ever reaches the driver. */
+  def crawlFunnel(records: DataFrame, id: String, urlCol: String,
+      bodyCol: String, maxPerHost: Int, minWords: Long = 20L,
+      minStopHits: Long = 1L, shardTokens: Long = 2048L): DataFrame = {
+    val (afterUrl, capped, afterQ, sharded) = crawlStages(records, id,
+      urlCol, bodyCol, maxPerHost, minWords, minStopHits, shardTokens)
+    records.agg(count(lit(1)).as("n_records"))
+      .crossJoin(broadcast(
+        afterUrl.agg(count(lit(1)).as("n_after_url_dedup"))))
+      .crossJoin(broadcast(
+        capped.agg(count(lit(1)).as("n_after_host_cap"))))
+      .crossJoin(broadcast(
+        afterQ.agg(count(lit(1)).as("n_after_quality"))))
+      .crossJoin(broadcast(
+        sharded.agg(count(lit(1)).as("n_docs_sharded"),
+          sum(col("n_tokens")).as("n_tokens_total"),
+          (max(col("shard_id")) + 1).as("n_shards"))))
   }
 }

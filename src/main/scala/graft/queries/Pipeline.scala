@@ -898,7 +898,10 @@ object PipelineQueries {
     * alone: the dup drops reduce to identity, the cap to a host
     * row_number, quality to the Gopher CTE over substr(text,1,200),
     * sharding to the prefix sum — one hash over the WHOLE composition. */
-  def crawlCurationE2e(s: SparkSession, d: String): DataFrame = {
+  /** The p2/p3 WARC fixture: every doc a response record, every 4th
+    * doc also fetched under a dirty spelling of the same URL; parsed
+    * back to (doc_id, url, body) through the engine's own WARC reader. */
+  private def crawlRecords(s: SparkSession, d: String): DataFrame = {
     import java.nio.file.Files
     val tmp = Files.createTempDirectory("graft_p2_")
     val docs = Tables.documents(s, d).select("doc_id", "text").collect()
@@ -926,7 +929,7 @@ object PipelineQueries {
     val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
     shard(even, "shard0.warc")
     shard(odd, "shard1.warc")
-    val parsed = graft.io.Warc.httpParts(
+    graft.io.Warc.httpParts(
         graft.io.Warc.read(s, tmp.toString + "/*.warc")
           .where(col("warc_type") === "response"))
       .select(
@@ -934,10 +937,76 @@ object PipelineQueries {
           .cast(org.apache.spark.sql.types.LongType).as("doc_id"),
         col("target_uri").as("url"),
         col("http_body").as("body"))
-    graft.ext.Curation.curateCrawl(parsed, "doc_id", "url", "body",
-        maxPerHost = 50)
-      .orderBy("doc_id")
   }
+
+  def crawlCurationE2e(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.curateCrawl(crawlRecords(s, d), "doc_id", "url",
+        "body", maxPerHost = 50)
+      .orderBy("doc_id")
+
+  /** Pipeline funnel observability (ext Curation.crawlFunnel): one
+    * exact row of survivor counts per stage boundary over the same
+    * WARC fixture — the oracle independently re-derives every stage
+    * count (records incl. dirty twins, dedup identity, least(n,cap)
+    * per host, the Gopher CTE, the prefix-sum totals). */
+  def crawlFunnelGate(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.crawlFunnel(crawlRecords(s, d), "doc_id", "url",
+      "body", maxPerHost = 50)
+
+  private val crawlFunnelOracle =
+    """WITH capped AS (
+      | SELECT doc_id, substr(text, 1, 200) AS body,
+      |  row_number() OVER (
+      |    PARTITION BY doc_id % 7 ORDER BY doc_id) AS rn
+      | FROM documents),
+      |c2 AS (SELECT doc_id, body FROM capped WHERE rn <= 50),
+      |w AS (
+      | SELECT doc_id, body, body AS t,
+      |  list_filter(string_split_regex(body, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(body, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM c2),
+      |q AS (
+      | SELECT doc_id, body FROM w
+      | WHERE CAST(len(ws) AS BIGINT) BETWEEN 20 AND 100000
+      |  AND length(regexp_replace(t, '\s', '', 'g')) >= len(ws) * 3
+      |  AND length(regexp_replace(t, '\s', '', 'g')) <= len(ws) * 10
+      |  AND ((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3)
+      |   * 10 <= len(ws)
+      |  AND len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) * 10
+      |    <= len(ls) * 9
+      |  AND len(list_filter(ls, l -> rtrim(l) LIKE '%...')) * 10
+      |    <= len(ls) * 3
+      |  AND len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 10
+      |    >= len(ws) * 8
+      |  AND len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) >= 1),
+      |t AS (
+      | SELECT doc_id,
+      |  CAST(len(regexp_extract_all(body, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM q),
+      |o AS (
+      | SELECT doc_id, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT
+      | (SELECT count(*) FROM documents)
+      |  + (SELECT count(*) FROM documents WHERE doc_id % 4 = 0)
+      |  AS n_records,
+      | (SELECT count(*) FROM documents) AS n_after_url_dedup,
+      | (SELECT CAST(sum(least(n, 50)) AS BIGINT) FROM
+      |  (SELECT count(*) AS n FROM documents GROUP BY doc_id % 7))
+      |  AS n_after_host_cap,
+      | (SELECT count(*) FROM q) AS n_after_quality,
+      | (SELECT count(*) FROM o) AS n_docs_sharded,
+      | (SELECT CAST(sum(n_tokens) AS BIGINT) FROM o) AS n_tokens_total,
+      | (SELECT CAST(max(start_offset // 2048) + 1 AS BIGINT) FROM o)
+      |  AS n_shards""".stripMargin
 
   private val crawlCurationOracle =
     """WITH capped AS (
@@ -1002,6 +1071,7 @@ object PipelineQueries {
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
       Some(crawlCurationOracle), bench = true),
+    QueryDef("p3_crawl_funnel", crawlFunnelGate, Some(crawlFunnelOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
