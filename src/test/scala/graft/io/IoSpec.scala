@@ -583,6 +583,35 @@ class IoSpec extends AnyFunSuite {
     }
   }
 
+  test("Avro.read: mixed-schema directory resolves against the pinned first " +
+      "schema via Avro's own resolution rules") {
+    val spark = graft.TestSpark.spark
+    import org.apache.avro.SchemaBuilder
+    import org.apache.avro.generic.{GenericRecord, GenericRecordBuilder}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_avro_mix_")
+    val v1 = SchemaBuilder.record("r").fields()
+      .requiredLong("id").optionalString("s").endRecord()
+    // v2 adds a field: records written with v2 resolve against the
+    // pinned v1 reader schema by DROPPING the extra field (the
+    // published Avro schema-resolution rule) — never silent drift.
+    val v2 = SchemaBuilder.record("r").fields()
+      .requiredLong("id").optionalString("s")
+      .requiredString("extra").endRecord()
+    graft.io.Avro.writeContainer(tmp.resolve("a_v1.avro"), v1,
+      (0L until 5L).iterator.map(i =>
+        new GenericRecordBuilder(v1).set("id", i).set("s", s"v$i").build()
+          : GenericRecord))
+    graft.io.Avro.writeContainer(tmp.resolve("b_v2.avro"), v2,
+      (5L until 10L).iterator.map(i =>
+        new GenericRecordBuilder(v2).set("id", i).set("s", s"v$i")
+          .set("extra", "x").build(): GenericRecord))
+    val df = graft.io.Avro.read(spark, tmp.toString + "/*.avro")
+    assert(df.schema.fieldNames.toSeq === Seq("id", "s"))
+    assert(df.count() === 10)
+    assert(df.where(org.apache.spark.sql.functions.col("s").isNull)
+      .count() === 0)
+  }
+
   test("Avro.writeDistributed: per-partition containers round-trip arrays, " +
       "bytes and nulls; driver never collects") {
     val spark = graft.TestSpark.spark
