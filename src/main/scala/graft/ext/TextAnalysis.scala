@@ -893,6 +893,30 @@ object TextAnalysis {
       when(scheme === "" || host === "", null).otherwise(canon))
   }
 
+  /** robots.txt compliance column (functions.RobotsAllowed — codegen'd,
+    * the RFC 9309 prefix subset): `allowed` per (robots body, URL path)
+    * pair for `agent`. A NULL robots body is the absent-file case and
+    * allows (coalesced to the empty no-rules document before the
+    * expression). The crawl-frontier compliance filter: join fetched
+    * URLs to their host's robots body, keep the allowed rows. */
+  def robotsFilter(df: DataFrame, robotsCol: String, pathCol: String,
+      agent: String): DataFrame =
+    df.withColumn("allowed", GraftFunctions.robotsAllowed(
+      coalesce(col(robotsCol), lit("")), col(pathCol), agent))
+
+  /** Sitemap URL extraction: every `<loc>` entry of a sitemap XML
+    * document, with its position — one stateless narrow projection
+    * (regexp over the XML text; sitemaps are flat by spec, a real
+    * nested sitemap-index recurses through the same extraction). The
+    * discovery side of the crawl frontier, next to [[robotsFilter]]'s
+    * compliance side. */
+  def sitemapUrls(df: DataFrame, xmlCol: String, id: String): DataFrame =
+    df.select(col(id),
+        posexplode(regexp_extract_all(col(xmlCol),
+          lit("<loc>\\s*([^<]*?)\\s*</loc>"), lit(1))))
+      .select(col(id), col("pos").cast(LongType).as("pos"),
+        col("col").as("url"))
+
   // ------------------------------------- supervised quality classifier
 
   /** Trainable state of the class-conditional unigram classifier (the

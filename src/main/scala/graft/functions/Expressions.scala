@@ -1523,6 +1523,112 @@ object MediaHeaderParse {
   }
 }
 
+/** robots.txt compliance decision (RFC 9309, the prefix subset): given
+  * a robots.txt body and a URL path, is `agent` allowed to fetch it?
+  * Group selection per the RFC: if ANY group names the agent
+  * (case-insensitive token match), only those groups' rules apply,
+  * else the `*` groups. Decision: the longest-prefix matching rule
+  * wins; an allow/disallow tie at equal length resolves to ALLOW; no
+  * matching rule means allow; an empty `Disallow:` is allow-all (the
+  * classic idiom). Wildcard rules (`*`/`$`) are OUTSIDE the subset and
+  * are skipped conservatively as non-matching — never misread as
+  * prefixes. NULL robots text means no robots.txt was served: allow
+  * (the RFC's absent-file semantics).
+  *
+  * Per-row parse: correct, and fine when robots bodies ride a
+  * host-joined frame; a production crawler pre-parses per host
+  * (hosts are metadata-sized) and broadcasts the rule table.
+  */
+case class RobotsAllowed(left: Expression, right: Expression, agent: String)
+    extends BinaryExpression {
+  require(agent.nonEmpty && agent.indexOf('\n') < 0, s"agent=$agent")
+
+  override def dataType: DataType = BooleanType
+
+  override def checkInputDataTypes() = {
+    if (left.dataType == StringType && right.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"robots_allowed expects (STRING robots, STRING path), got " +
+          s"(${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  // Standard null-safe semantics; the operator layer coalesces an
+  // absent robots body to "" (no rules => allow, the RFC's
+  // absent-file behavior), so NULL here only means a NULL input row.
+  override def nullSafeEval(robots: Any, path: Any): Any =
+    RobotsAllowed.allowed(robots.asInstanceOf[UTF8String].toString,
+      path.asInstanceOf[UTF8String].toString, agent)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val agentLit = ctx.addReferenceObj("agent", agent, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, (r, p) => s"""
+      ${ev.value} = graft.functions.RobotsAllowed.allowed(
+        $r.toString(), $p.toString(), $agentLit);
+    """)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(left = newLeft, right = newRight)
+}
+
+object RobotsAllowed {
+  /** Static entry point shared by eval and generated code. */
+  def allowed(robots: String, path: String, agent: String): Boolean = {
+    if (robots == null) return true
+    val agentLc = agent.toLowerCase(java.util.Locale.ROOT)
+    // One pass: collect (isAllow, prefix) rules for specific-agent
+    // groups and star groups separately.
+    val specific = new scala.collection.mutable.ArrayBuffer[(Boolean, String)]
+    val star = new scala.collection.mutable.ArrayBuffer[(Boolean, String)]
+    var groupAgents = List.empty[String]
+    var inGroupRules = false
+    robots.split("\n").foreach { raw =>
+      val line = {
+        val h = raw.indexOf('#')
+        (if (h >= 0) raw.substring(0, h) else raw).trim
+      }
+      val ci = line.indexOf(':')
+      if (ci > 0) {
+        val key = line.substring(0, ci).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(ci + 1).trim
+        key match {
+          case "user-agent" =>
+            // Consecutive user-agent lines share the group; a user-agent
+            // after rules starts a NEW group (RFC grouping).
+            if (inGroupRules) { groupAgents = Nil; inGroupRules = false }
+            groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            inGroupRules = true
+            val isAllow = key == "allow"
+            // Empty Disallow: = allow-all idiom (no rule); wildcard
+            // rules are outside the prefix subset — skip conservatively.
+            if (value.nonEmpty && value.indexOf('*') < 0 &&
+                !value.endsWith("$")) {
+              if (groupAgents.contains(agentLc))
+                specific += ((isAllow, value))
+              if (groupAgents.contains("*"))
+                star += ((isAllow, value))
+            }
+          case _ => () // crawl-delay, sitemap, unknown keys: ignored
+        }
+      }
+    }
+    val rules = if (specific.nonEmpty) specific else star
+    var bestLen = -1
+    var bestAllow = true
+    rules.foreach { case (isAllow, prefix) =>
+      if (path.startsWith(prefix)) {
+        val l = prefix.length
+        if (l > bestLen) { bestLen = l; bestAllow = isAllow }
+        else if (l == bestLen && isAllow) bestAllow = true // tie -> allow
+      }
+    }
+    if (bestLen < 0) true else bestAllow
+  }
+}
+
 /** Text extraction from UNCOMPRESSED PDF content streams — the extract
   * stage behind the [[PdfMetaParse]] triage: literal strings shown by
   * `Tj` operators inside `BT`/`ET` text blocks, with the PDF string
@@ -2043,6 +2149,8 @@ object GraftFunctions {
   def cdcChunks(c: Column, avgBits: Int, minSize: Int, maxSize: Int): Column =
     column(CdcChunks(expr(c), avgBits, minSize, maxSize))
   def pdfText(c: Column): Column = column(PdfTextExtract(expr(c)))
+  def robotsAllowed(robots: Column, path: Column, agent: String): Column =
+    column(RobotsAllowed(expr(robots), expr(path), agent))
   def cosine(a: Column, b: Column): Column = column(FloatCosine(expr(a), expr(b)))
   def doubleScaled(c: Column, scale: Int): Column = column(DoubleScaled(expr(c), scale))
   def shingleJaccard(a: Column, b: Column, k: Int): Column =

@@ -526,6 +526,64 @@ object HygieneQueries {
       |  CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS url_canon
       |FROM norm ORDER BY doc_id""".stripMargin
 
+  /** robots.txt compliance (ext TextAnalysis.robotsFilter): hosts serve
+    * REAL robots bodies — host 0 blocks the agent via a specific-agent
+    * group (which must override its allow-all star group), the rest
+    * carry a Disallow with a LONGER Allow carve-out — and paths rotate
+    * through blocked / carved-out / open shapes. The RFC longest-match
+    * and group-selection rules must reproduce the arithmetic decision
+    * the oracle derives without parsing a byte. */
+  def robotsGate(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id") % 7
+    val robots = when(k === 0,
+      lit("User-agent: graftbot\nDisallow: /\n\n" +
+        "User-agent: *\nAllow: /\n"))
+      .otherwise(lit("# host policy\nUser-agent: *\n" +
+        "Disallow: /p/blocked\nAllow: /p/blocked/ok\nCrawl-delay: 5\n"))
+    val path = when(col("doc_id") % 3 === 0,
+        concat(lit("/p/blocked/"), col("doc_id")))
+      .when(col("doc_id") % 5 === 0,
+        concat(lit("/p/blocked/ok/"), col("doc_id")))
+      .otherwise(concat(lit("/p/open/"), col("doc_id")))
+    val corpus = Tables.documents(s, d).select(col("doc_id"),
+      robots.as("robots"), path.as("path"))
+    TextAnalysis.robotsFilter(corpus, "robots", "path", "graftbot")
+      .select("doc_id", "allowed")
+      .orderBy("doc_id")
+  }
+
+  private val robotsOracle =
+    """SELECT doc_id,
+      | doc_id % 7 <> 0 AND doc_id % 3 <> 0 AS allowed
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Sitemap URL extraction (ext TextAnalysis.sitemapUrls): every doc
+    * carries a real urlset XML with two <loc> entries (the second
+    * whitespace-padded, which must trim); the oracle re-derives both
+    * from doc_id. */
+  def sitemapGate(s: SparkSession, d: String): DataFrame = {
+    val k = col("doc_id") % 7
+    val xml = concat(
+      lit("<?xml version=\"1.0\"?><urlset><url><loc>https://site"), k,
+      lit(".example.com/p/"), col("doc_id"),
+      lit("</loc></url><url><loc>  https://site"), k,
+      lit(".example.com/about\n</loc></url></urlset>"))
+    TextAnalysis.sitemapUrls(
+        Tables.documents(s, d).select(col("doc_id"), xml.as("xml")),
+        "xml", "doc_id")
+      .orderBy("doc_id", "pos")
+  }
+
+  private val sitemapOracle =
+    """SELECT doc_id, CAST(0 AS BIGINT) AS pos,
+      | 'https://site' || (doc_id % 7) || '.example.com/p/' || doc_id AS url
+      |FROM documents
+      |UNION ALL
+      |SELECT doc_id, CAST(1 AS BIGINT) AS pos,
+      | 'https://site' || (doc_id % 7) || '.example.com/about' AS url
+      |FROM documents
+      |ORDER BY doc_id, pos""".stripMargin
+
   // --------------------------------------------------- script profile
 
   /** Documents with planted non-Latin passages: every 13th doc becomes
@@ -1012,6 +1070,8 @@ object HygieneQueries {
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
     QueryDef("t31_url_canonical", urlCanonGate, Some(urlCanonOracle)),
+    QueryDef("t32_robots", robotsGate, Some(robotsOracle)),
+    QueryDef("t33_sitemap", sitemapGate, Some(sitemapOracle)),
     QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle), bench = true),
     QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),

@@ -403,6 +403,34 @@ class HygieneSpec extends AnyFunSuite {
     assert(out(5) === ((6L, 4L, 3L, 3L, false, false, true, false)))
   }
 
+  test("RobotsAllowed: RFC group selection, longest match, ties, idioms") {
+    def ok(robots: String, path: String, agent: String = "graftbot") =
+      graft.functions.RobotsAllowed.allowed(robots, path, agent)
+    // Longest-prefix match: Allow carve-out inside a Disallow.
+    val carve = "User-agent: *\nDisallow: /p\nAllow: /p/ok\n"
+    assert(!ok(carve, "/p/x") && ok(carve, "/p/ok/x") && ok(carve, "/q"))
+    // Specific-agent group OVERRIDES the star group entirely.
+    val specific = "User-agent: graftbot\nDisallow: /\n\n" +
+      "User-agent: *\nAllow: /\n"
+    assert(!ok(specific, "/anything"))
+    assert(ok(specific, "/anything", agent = "otherbot"))
+    // Equal-length tie resolves to allow.
+    assert(ok("User-agent: *\nDisallow: /a\nAllow: /a\n", "/a/x"))
+    // Empty Disallow is the allow-all idiom; no rules at all allows.
+    assert(ok("User-agent: *\nDisallow:\n", "/x"))
+    assert(ok("", "/x"))
+    // Wildcard rules are outside the prefix subset: skipped, never
+    // misread as literal prefixes.
+    assert(ok("User-agent: *\nDisallow: /*.pdf\n", "/doc.pdf"))
+    // Comments, blank lines, key case, agent case, unknown keys.
+    val messy = "# policy\nUSER-AGENT: GraftBot\nCrawl-delay: 5\n" +
+      "DISALLOW: /secret # private\n"
+    assert(!ok(messy, "/secret/x") && ok(messy, "/open"))
+    // Consecutive user-agent lines share one group.
+    val shared = "User-agent: a\nUser-agent: graftbot\nDisallow: /b\n"
+    assert(!ok(shared, "/b/x") && ok(shared, "/c"))
+  }
+
   test("urlCanonicalize: each rule pinned; relative and junk input yields NULL") {
     import spark.implicits._
     val got = TextAnalysis.urlCanonicalize(Seq(
