@@ -483,9 +483,32 @@ object StreamingQueries {
     """SELECT doc_id, lang FROM documents
       |WHERE doc_id % 9 <> 0 ORDER BY doc_id""".stripMargin
 
+  /** Streaming windowed top-k (EventStream.hourlyTopK): exact top-3
+    * event types per hour with the pinned (count desc, key asc) order —
+    * complete-mode output over the finite AvailableNow input must equal
+    * the batch window ranking. */
+  def windowedTopK(s: SparkSession, d: String): DataFrame =
+    runToTable(s, "st16_topk_out",
+      df => EventStream.hourlyTopK(df, "event_type", k = 3),
+      "complete", d)
+      .orderBy("hour", "rank")
+
+  private val windowedTopKOracle =
+    """WITH c AS (
+      | SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+      | FROM events GROUP BY 1, 2),
+      |r AS (
+      | SELECT hour, event_type AS key, CAST(n AS BIGINT) AS n,
+      |  CAST(row_number() OVER (PARTITION BY hour
+      |    ORDER BY n DESC, event_type) AS BIGINT) AS rank
+      | FROM c)
+      |SELECT hour, rank, key, n FROM r WHERE rank <= 3
+      |ORDER BY hour, rank""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("st15_corrupt_json_stream", corruptJsonStream,
       Some(corruptJsonStreamOracle)),
+    QueryDef("st16_windowed_topk", windowedTopK, Some(windowedTopKOracle)),
     QueryDef("st13_curate_stream", curateStream, Some(curateStreamOracle)),
     QueryDef("st10_stream_quantiles", streamQuantiles, Some(streamQuantilesOracle)),
     QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),

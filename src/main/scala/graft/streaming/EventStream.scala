@@ -288,6 +288,50 @@ object EventStream {
         col("qs").getItem(0).as("p50_est"),
         col("qs").getItem(1).as("p90_est"))
 
+  final case class KeyCount(key: String, n: Long)
+
+  /** Exact per-window top-k state for a BOUNDED key domain: the buffer
+    * is one (key → count) map per open window, bounded by the DOMAIN
+    * size (event-type-like columns), never the event rate; an unbounded
+    * key domain needs the k4 space-saving sketch trade instead. */
+  final class TopCountAggregator(k: Int) extends
+      org.apache.spark.sql.expressions.Aggregator[
+        String, Map[String, Long], Seq[KeyCount]] {
+    require(k >= 1, s"k=$k")
+    override def zero: Map[String, Long] = Map.empty
+    override def reduce(m: Map[String, Long], key: String): Map[String, Long] =
+      m.updated(key, m.getOrElse(key, 0L) + 1L)
+    override def merge(a: Map[String, Long],
+        b: Map[String, Long]): Map[String, Long] =
+      b.foldLeft(a) { case (m, (k2, v)) =>
+        m.updated(k2, m.getOrElse(k2, 0L) + v) }
+    override def finish(m: Map[String, Long]): Seq[KeyCount] =
+      m.toSeq.map { case (k2, v) => KeyCount(k2, v) }
+        .sortBy(kc => (-kc.n, kc.key)).take(k)
+    override def bufferEncoder = org.apache.spark.sql.Encoders
+      .kryo[Map[String, Long]]
+    override def outputEncoder = org.apache.spark.sql.catalyst.encoders
+      .ExpressionEncoder[Seq[KeyCount]]()
+  }
+
+  /** Streaming per-window top-k heavy keys — the third member of the
+    * windowed-sketch trio next to [[hourlyDistinctUsers]] and
+    * [[hourlyQuantiles]]: exact counts with a pinned
+    * (count desc, key asc) order, one mergeable map per open window as
+    * state (see [[TopCountAggregator]] for the domain-bound contract). */
+  def hourlyTopK(events: DataFrame, keyCol: String = "event_type",
+      k: Int = 3): DataFrame = {
+    val agg = udaf(new TopCountAggregator(k),
+      org.apache.spark.sql.Encoders.STRING)
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(agg(col(keyCol)).as("top"))
+      .select(col("window.start").as("hour"), posexplode(col("top")))
+      .select(col("hour"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("col.key").as("key"), col("col.n").as("n"))
+  }
+
   /** Streaming materialized upsert view: maintain a latest-record-per-key
     * TABLE from a change stream — the streaming twin of
     * [[graft.ext.Dedup.latestByKey]] composed with
