@@ -726,6 +726,43 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** STREAMING index maintenance: the persisted IVF-PQ index absorbs a
+    * vector INGEST stream — build on the even-id half, then the odd
+    * half arrives as a file stream (two parquet files,
+    * maxFilesPerTrigger=1: at least two separate append micro-batches,
+    * each encoding ONLY its new rows with the saved centroids/codebook
+    * via foreachBatch) — and a post-stream serve under full probing
+    * must still equal exact KNN over the WHOLE corpus (the s10 batch
+    * append contract, held across micro-batch boundaries). */
+  def knnIvfPqStreamAppend(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st17_")
+    val root = base.resolve("ann_index").toString
+    val c = corpus(s, d)
+    graft.ext.AnnIndex.buildIvfPq(c.where(col("cid") % 2 === 0), dim = 64,
+      nlist = 20, root = root, m = 8, codes = 16, refineIters = 2)
+    val vdir = base.resolve("vectors").toString
+    c.where(col("cid") % 2 === 1).repartition(2)
+      .write.mode("overwrite").parquet(vdir)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cvec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(vdir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.AnnIndex.appendIvfPq(s, root, batch)
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    graft.ext.AnnIndex.queryIvfPq(s, root, queriesDf(s, d), k = 5,
+        nprobe = 20, rerank = 2100)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Full replay of the composed IVF-PQ pipeline at REALISTIC pruning
     * (nprobe=5 of nlist=20, rerank=20): DuckDB re-derives the
     * hash-sampled centroids, the argmax-cosine assignment (s2's CTEs),
@@ -1393,6 +1430,7 @@ object ExtensionQueries {
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
+    QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
