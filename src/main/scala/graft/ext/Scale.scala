@@ -265,6 +265,33 @@ object Scale {
       .join(small, big(bigKey) === small(smallKey))
   }
 
+  /** One-line plan-shape report for a DataFrame — the numbers a scale
+    * review reads off `.explain` without the wall of text: shuffle
+    * exchange count (each is a full data movement), broadcast count,
+    * join strategies seen, scan count, whether anything degenerated to
+    * a cartesian/nested-loop product, and whether a TakeOrdered
+    * (top-k) or a global Sort handles ordering. Driver-side plan
+    * inspection only — nothing is executed. The programmatic twin of
+    * the PlanSpec assertions, for ad-hoc "would this survive 100×"
+    * checks during development.
+    */
+  def planReport(df: DataFrame): Map[String, Long] = {
+    val plan = df.queryExecution.executedPlan.toString
+    def n(marker: String): Long =
+      plan.sliding(marker.length).count(_ == marker).toLong
+    Map(
+      "shuffle_exchanges" -> (n("Exchange hashpartitioning") +
+        n("Exchange rangepartitioning")),
+      "broadcast_exchanges" -> n("BroadcastExchange"),
+      "sort_merge_joins" -> n("SortMergeJoin"),
+      "broadcast_hash_joins" -> n("BroadcastHashJoin"),
+      "nested_loop_joins" -> n("BroadcastNestedLoopJoin"),
+      "cartesian_products" -> n("CartesianProduct"),
+      "scans" -> n("Scan "),
+      "take_ordered" -> n("TakeOrderedAndProject"),
+      "sorts" -> n("Sort ["))
+  }
+
   /** Write parquet with per-column BLOOM FILTERS in the file footers —
     * the point-lookup twin of [[zoneMap]] range pruning: min/max stats
     * are useless for equality probes on a high-cardinality UNCLUSTERED

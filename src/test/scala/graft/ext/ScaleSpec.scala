@@ -238,6 +238,26 @@ class ScaleSpec extends AnyFunSuite {
       .or(col("min_dbl").isNotNull).or(col("min_str").isNotNull)).count() === 0)
   }
 
+  test("planReport: counts shuffles, broadcasts, join kinds and top-k") {
+    import spark.implicits._
+    val big = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
+    val dim = (0L until 50L).map(i => (i, s"d$i")).toDF("k", "name")
+    // Broadcast join + aggregation + top-k: no shuffle join, a
+    // TakeOrderedAndProject instead of a global sort.
+    val r = Scale.planReport(
+      big.join(broadcast(dim), "k")
+        .groupBy("name").agg(sum("v").as("s"))
+        .orderBy(desc("s")).limit(5))
+    assert(r("broadcast_hash_joins") === 1)
+    assert(r("sort_merge_joins") === 0)
+    assert(r("cartesian_products") === 0)
+    assert(r("take_ordered") === 1)
+    assert(r("shuffle_exchanges") >= 1) // the aggregation exchange
+    // A forced shuffle join reads as one.
+    val r2 = Scale.planReport(big.join(dim.hint("merge"), "k"))
+    assert(r2("sort_merge_joins") === 1)
+  }
+
   test("writeBloomIndexed: footer blooms present on requested columns only; " +
       "point lookups exact") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bloom_").toString
