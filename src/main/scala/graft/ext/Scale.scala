@@ -363,15 +363,37 @@ object Scale {
     val hPath = new Path(dir)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = hPath.getFileSystem(conf)
-    val files = fs.listStatus(hPath).toSeq
-      .filter(_.isFile)
-      .map(_.getPath)
-      .filter { p =>
+    // Recursive listing: Hive-partitioned / nested layouts keep their
+    // data files under key=value subdirectories, so a top-level-only
+    // listStatus would index nothing (or only stray top-level files)
+    // and prunedRead would then error instead of prune. listFiles
+    // streams RemoteIterator batches — no directory-tree recursion on
+    // the driver beyond what every planner listing pays. Files inside
+    // hidden directories (_temporary, .spark-staging) are skipped along
+    // with hidden files themselves.
+    val files = {
+      val it = fs.listFiles(hPath, true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val st = it.next()
+        val p = st.getPath
         val n = p.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        val hiddenAncestor = {
+          var q = p.getParent
+          var hidden = false
+          while (q != null && q.toString.length > hPath.toString.length) {
+            val qn = q.getName
+            if (qn.startsWith("_") || qn.startsWith(".")) hidden = true
+            q = q.getParent
+          }
+          hidden
+        }
+        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+            !n.startsWith(".") && !hiddenAncestor)
+          buf += p.toString
       }
-      .map(_.toString)
-      .sorted
+      buf.toSeq.sorted
+    }
     require(files.nonEmpty, s"zoneMap: no parquet files under $dir")
     val env = new ConfEnvelope(conf)
     val wanted = cols.toArray

@@ -1527,13 +1527,15 @@ object MediaHeaderParse {
   * a robots.txt body and a URL path, is `agent` allowed to fetch it?
   * Group selection per the RFC: if ANY group names the agent
   * (case-insensitive token match), only those groups' rules apply,
-  * else the `*` groups. Decision: the longest-prefix matching rule
-  * wins; an allow/disallow tie at equal length resolves to ALLOW; no
-  * matching rule means allow; an empty `Disallow:` is allow-all (the
-  * classic idiom). Wildcard rules (`*`/`$`) are OUTSIDE the subset and
-  * are skipped conservatively as non-matching — never misread as
-  * prefixes. NULL robots text means no robots.txt was served: allow
-  * (the RFC's absent-file semantics).
+  * else the `*` groups. Decision: the most-specific matching rule
+  * (longest pattern, RFC 9309 §2.2.2) wins; an allow/disallow tie at
+  * equal length resolves to ALLOW; no matching rule means allow; an
+  * empty `Disallow:` is allow-all (the classic idiom). The RFC's
+  * special characters are implemented: `*` matches any character
+  * sequence (including `/`) and a trailing `$` anchors the pattern to
+  * the end of the path — so a `Disallow` of `/x*.pdf$` or `/private*`
+  * blocks what it says. NULL robots text means
+  * no robots.txt was served: allow (the RFC's absent-file semantics).
   *
   * Per-row parse: correct, and fine when robots bodies ride a
   * host-joined frame; a production crawler pre-parses per host
@@ -1602,10 +1604,8 @@ object RobotsAllowed {
           case "allow" | "disallow" =>
             inGroupRules = true
             val isAllow = key == "allow"
-            // Empty Disallow: = allow-all idiom (no rule); wildcard
-            // rules are outside the prefix subset — skip conservatively.
-            if (value.nonEmpty && value.indexOf('*') < 0 &&
-                !value.endsWith("$")) {
+            // Empty Disallow: = allow-all idiom (no rule).
+            if (value.nonEmpty) {
               if (groupAgents.contains(agentLc))
                 specific += ((isAllow, value))
               if (groupAgents.contains("*"))
@@ -1618,14 +1618,50 @@ object RobotsAllowed {
     val rules = if (specific.nonEmpty) specific else star
     var bestLen = -1
     var bestAllow = true
-    rules.foreach { case (isAllow, prefix) =>
-      if (path.startsWith(prefix)) {
-        val l = prefix.length
+    rules.foreach { case (isAllow, pattern) =>
+      if (patternMatches(pattern, path)) {
+        // Specificity = octet length of the full pattern (RFC 9309
+        // §2.2.2 "most specific match"; Google's matcher does the same).
+        val l = pattern.length
         if (l > bestLen) { bestLen = l; bestAllow = isAllow }
         else if (l == bestLen && isAllow) bestAllow = true // tie -> allow
       }
     }
     if (bestLen < 0) true else bestAllow
+  }
+
+  /** RFC 9309 path-pattern match: the pattern is a path prefix where
+    * `*` matches any run of characters (including none, including `/`)
+    * and a trailing `$` anchors the end of the pattern to the end of
+    * the path. A `$` anywhere else is a literal octet. Greedy leftmost
+    * placement of the inter-`*` segments is exact here: matching a
+    * middle segment as early as possible leaves maximal room for the
+    * segments after it, so an overall match exists iff the greedy scan
+    * finds one (the classic glob argument).
+    */
+  private[functions] def patternMatches(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = pat.split("\\*", -1) // "" segments encode adjacent/edge stars
+    if (segs.length == 1) {
+      // No wildcard: plain prefix, or exact match when anchored.
+      if (anchored) path == pat else path.startsWith(pat)
+    } else {
+      if (!path.startsWith(segs(0))) return false
+      var pos = segs(0).length
+      var i = 1
+      while (i < segs.length - 1) {
+        val idx = path.indexOf(segs(i), pos)
+        if (idx < 0) return false
+        pos = idx + segs(i).length
+        i += 1
+      }
+      val last = segs(segs.length - 1)
+      if (anchored)
+        path.length - last.length >= pos && path.endsWith(last)
+      else
+        path.indexOf(last, pos) >= 0
+    }
   }
 }
 
@@ -1736,6 +1772,12 @@ object PdfTextExtract {
             while (k < end && k < i + 4 && s.charAt(k) >= '0' &&
               s.charAt(k) <= '7') { v = v * 8 + (s.charAt(k) - '0'); k += 1 }
             sb.append((v & 0xff).toChar); i = k
+          // Backslash-EOL is a LINE CONTINUATION (PDF 32000-1 §7.3.4.2):
+          // it contributes no characters — a wrapped literal string must
+          // not extract with a spurious newline. \<CR><LF> consumes both.
+          case '\r' =>
+            i += 2; if (i < end && s.charAt(i) == '\n') i += 1
+          case '\n' => i += 2
           case other => sb.append(other); i += 2 // incl. \( \) \\
         }
       } else {

@@ -40,18 +40,19 @@ object Avro {
       spark.sparkContext.hadoopConfiguration)
     val hPath = new org.apache.hadoop.fs.Path(pathGlob)
     val fs = hPath.getFileSystem(conf)
-    val first = {
+    val files = {
       val matched = fs.globStatus(hPath) match {
         case null => Array.empty[org.apache.hadoop.fs.FileStatus]
         case m => m
       }
-      val files = matched.flatMap { st =>
+      val fl = matched.flatMap { st =>
         if (st.isDirectory) fs.listStatus(st.getPath).filter(_.isFile)
         else Array(st)
       }.map(_.getPath).filter(_.getName.endsWith(".avro")).sortBy(_.toString)
-      require(files.nonEmpty, s"Avro.read: no .avro files match $pathGlob")
-      files.head
+      require(fl.nonEmpty, s"Avro.read: no .avro files match $pathGlob")
+      fl
     }
+    val first = files.head
     val writerSchema = {
       val in = fs.open(first)
       try {
@@ -64,8 +65,13 @@ object Avro {
 
     conf.set("avro.schema.input.key", writerSchema.toString)
     val schemaJson = writerSchema.toString
+    // Feed the SAME filtered .avro list the schema probe used (comma
+    // paths — FileInputFormat.setInputPaths splits on commas), not the
+    // raw glob: a plain directory would otherwise enumerate every
+    // non-hidden file, and a stray sidecar (schema.json, README) would
+    // fail the whole read while the probe saw only .avro files.
     val rdd = spark.sparkContext.newAPIHadoopFile(
-        pathGlob,
+        files.map(_.toString).mkString(","),
         classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[GenericRecord]],
         classOf[org.apache.avro.mapred.AvroKey[GenericRecord]],
         classOf[org.apache.hadoop.io.NullWritable],
@@ -223,8 +229,15 @@ object Avro {
     * as [[read]], so an exported directory round-trips through this
     * module and any Avro consumer. `dir` must not already contain part
     * files (caller owns lifecycle — the TableSink claim discipline).
-    * Speculative/retried tasks are guarded by single-attempt part names
-    * plus Hadoop's create-no-overwrite, the parquet sink's own rule. */
+    * Task commit is the Hadoop temp-write+rename pattern: each attempt
+    * writes a dot-prefixed attempt-unique temp (hidden from
+    * FileInputFormat and from [[read]]'s `.avro` filter) and renames it
+    * into the final part name only after a complete close — so a task
+    * that dies mid-write leaves a hidden temp, never a truncated
+    * `.avro` a later read would treat as data, and a retried attempt
+    * commits cleanly instead of colliding with the dead attempt's
+    * partial file. A lost rename race (speculative twin already
+    * committed the part) deletes its temp and succeeds. */
   def writeDistributed(df: DataFrame, dir: String): Unit = {
     val schema = fromStructType(df.schema, "row")
     val schemaJson = schema.toString
@@ -249,8 +262,10 @@ object Avro {
         ois.readObject().asInstanceOf[Array[(String, String)]]
           .foreach { case (k, v) => c.set(k, v) }
         val p = new org.apache.hadoop.fs.Path(dir, part)
+        val tmp = new org.apache.hadoop.fs.Path(dir,
+          s".$part.attempt-${tc.taskAttemptId()}.tmp")
         val fs = p.getFileSystem(c)
-        val out = fs.create(p, false) // no-overwrite: retry-safe claim
+        val out = fs.create(tmp, true) // attempt-unique: safe to clobber
         val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
           new org.apache.avro.generic.GenericDatumWriter[GenericRecord](sch))
         try {
@@ -262,6 +277,10 @@ object Avro {
             w.append(rec)
           }
         } finally w.close()
+        // Commit: rename only after a complete close. If the rename
+        // loses (a speculative twin already committed), drop the temp.
+        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        ()
       }
     }
   }

@@ -529,21 +529,27 @@ object HygieneQueries {
   /** robots.txt compliance (ext TextAnalysis.robotsFilter): hosts serve
     * REAL robots bodies — host 0 blocks the agent via a specific-agent
     * group (which must override its allow-all star group), the rest
-    * carry a Disallow with a LONGER Allow carve-out — and paths rotate
-    * through blocked / carved-out / open shapes. The RFC longest-match
-    * and group-selection rules must reproduce the arithmetic decision
-    * the oracle derives without parsing a byte. */
+    * carry a Disallow with a LONGER Allow carve-out plus a wildcard
+    * Disallow of `/p/` + `*.pdf$` (RFC 9309 `*`/`$` special
+    * characters) — and
+    * paths rotate through blocked / carved-out / pdf / open shapes. The
+    * RFC longest-match, wildcard and group-selection rules must
+    * reproduce the arithmetic decision the oracle derives without
+    * parsing a byte. */
   def robotsGate(s: SparkSession, d: String): DataFrame = {
     val k = col("doc_id") % 7
     val robots = when(k === 0,
       lit("User-agent: graftbot\nDisallow: /\n\n" +
         "User-agent: *\nAllow: /\n"))
       .otherwise(lit("# host policy\nUser-agent: *\n" +
-        "Disallow: /p/blocked\nAllow: /p/blocked/ok\nCrawl-delay: 5\n"))
+        "Disallow: /p/blocked\nAllow: /p/blocked/ok\n" +
+        "Disallow: /p/*.pdf$\nCrawl-delay: 5\n"))
     val path = when(col("doc_id") % 3 === 0,
         concat(lit("/p/blocked/"), col("doc_id")))
       .when(col("doc_id") % 5 === 0,
         concat(lit("/p/blocked/ok/"), col("doc_id")))
+      .when(col("doc_id") % 11 === 0,
+        concat(lit("/p/files/"), col("doc_id"), lit(".pdf")))
       .otherwise(concat(lit("/p/open/"), col("doc_id")))
     val corpus = Tables.documents(s, d).select(col("doc_id"),
       robots.as("robots"), path.as("path"))
@@ -554,7 +560,8 @@ object HygieneQueries {
 
   private val robotsOracle =
     """SELECT doc_id,
-      | doc_id % 7 <> 0 AND doc_id % 3 <> 0 AS allowed
+      | doc_id % 7 <> 0 AND doc_id % 3 <> 0
+      |   AND NOT (doc_id % 5 <> 0 AND doc_id % 11 = 0) AS allowed
       |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Sitemap URL extraction (ext TextAnalysis.sitemapUrls): every doc

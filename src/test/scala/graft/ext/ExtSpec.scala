@@ -670,6 +670,12 @@ class ExtSpec extends AnyFunSuite {
       "stream\nBT (skip me) Td (\\110i\\t!) Tj ET\nendstream\n%%EOF")
       .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
     assert(ex(raw) === "Hi\t!")
+    // Backslash-EOL is a LINE CONTINUATION (contributes nothing), for
+    // all three EOL conventions; \n (escape) still decodes to newline.
+    val wrapped = ("%PDF-1.4\nstream\nBT (wrap\\\nped \\\r\nlong " +
+      "\\\rline\\nend) Tj ET\nendstream\n%%EOF")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(ex(wrapped) === "wrapped long line\nend")
     // A 'BT' inside a literal string must not open a text block.
     val tricky = ("%PDF-1.4\nstream\nBT (has BT inside) Tj ET\nendstream\n" +
       "%%EOF").getBytes

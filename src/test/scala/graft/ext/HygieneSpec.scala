@@ -419,9 +419,22 @@ class HygieneSpec extends AnyFunSuite {
     // Empty Disallow is the allow-all idiom; no rules at all allows.
     assert(ok("User-agent: *\nDisallow:\n", "/x"))
     assert(ok("", "/x"))
-    // Wildcard rules are outside the prefix subset: skipped, never
-    // misread as literal prefixes.
-    assert(ok("User-agent: *\nDisallow: /*.pdf\n", "/doc.pdf"))
+    // RFC 9309 special characters: * matches any run (including /),
+    // trailing $ anchors the pattern end to the path end.
+    assert(!ok("User-agent: *\nDisallow: /*.pdf\n", "/doc.pdf"))
+    assert(!ok("User-agent: *\nDisallow: /*.pdf\n", "/a/b/doc.pdfx")) // unanchored
+    assert(!ok("User-agent: *\nDisallow: /*.pdf$\n", "/a/b/doc.pdf"))
+    assert(ok("User-agent: *\nDisallow: /*.pdf$\n", "/a/doc.pdfx")) // $ enforced
+    assert(!ok("User-agent: *\nDisallow: /private*\n", "/private-x/y"))
+    assert(ok("User-agent: *\nDisallow: /private*\n", "/pub/private"))
+    // Exact-match anchor without wildcard.
+    val exact = "User-agent: *\nDisallow: /onlythis$\n"
+    assert(!ok(exact, "/onlythis") && ok(exact, "/onlythis/sub"))
+    // Multi-star greedy scan; specificity = pattern octet length.
+    assert(!ok("User-agent: *\nDisallow: /a*/b*/c\n", "/a1/b2/c3"))
+    assert(ok("User-agent: *\nDisallow: /a*/b*/c\n", "/a1/c3/b2"))
+    val wild = "User-agent: *\nDisallow: /dl\nAllow: /dl/*.html$\n"
+    assert(!ok(wild, "/dl/x.pdf") && ok(wild, "/dl/x.html"))
     // Comments, blank lines, key case, agent case, unknown keys.
     val messy = "# policy\nUSER-AGENT: GraftBot\nCrawl-delay: 5\n" +
       "DISALLOW: /secret # private\n"

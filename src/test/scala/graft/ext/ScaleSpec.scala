@@ -238,6 +238,30 @@ class ScaleSpec extends AnyFunSuite {
       .or(col("min_dbl").isNotNull).or(col("min_str").isNotNull)).count() === 0)
   }
 
+  test("zoneMap: Hive-partitioned layout indexes nested files; hidden dirs " +
+      "skipped; prunedRead prunes partitioned tables") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmp_").toString
+    (0 until 4000).map(i => (i.toLong, i.toLong % 4))
+      .toDF("k", "p")
+      .repartitionByRange(8, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").partitionBy("p").parquet(dir)
+    // Plant junk a naive recursive walk would index: a file inside a
+    // hidden staging directory.
+    val staged = java.nio.file.Paths.get(dir, "_temporary", "0")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.write(staged.resolve("junk.parquet"), Array[Byte](1))
+    val zm = Scale.zoneMap(spark, dir, Seq("k"))
+    assert(zm.where(col("file").contains("_temporary")).count() === 0)
+    // Every data row is covered and the global range is intact.
+    val tot = zm.agg(sum("num_rows"), min("min_long"), max("max_long")).head()
+    assert(tot.getLong(0) === 4000 && tot.getLong(1) === 0
+      && tot.getLong(2) === 3999)
+    // prunedRead on the partitioned layout: exact result, fewer files.
+    val pruned = Scale.prunedRead(spark, dir, "k", 100, 199)
+    assert(pruned.select("k").collect().map(_.getLong(0)).sorted.toSeq
+      === (100L to 199L))
+  }
+
   test("planReport: counts shuffles, broadcasts, join kinds and top-k") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")

@@ -528,6 +528,12 @@ class IoSpec extends AnyFunSuite {
       (0L until 3000L).iterator.map(rec))
     graft.io.Avro.writeContainer(tmp.resolve("b.avro"), schema,
       (3000L until 3100L).iterator.map(rec))
+    // A stray non-avro sidecar in the directory must not reach the
+    // input format: the split enumeration covers the same filtered
+    // .avro set the schema probe used (directory-path read below).
+    java.nio.file.Files.write(tmp.resolve("schema.json"),
+      "{\"not\":\"avro\"}".getBytes)
+    assert(graft.io.Avro.read(spark, tmp.toString).count() === 3100)
     val df = graft.io.Avro.read(spark, tmp.toString + "/*.avro")
     assert(df.schema.fieldNames.toSeq === Seq("id", "s", "b", "xs"))
     assert(df.schema("s").nullable)
