@@ -149,7 +149,16 @@ object Dedup {
     * back to slow sort-based mode past ~128 groups per task (a corpus-
     * sized group count), which measured ~8x the cost of the whole rest
     * of the pipeline. The window shares the downstream groupBy's hash
-    * partitioning, so it adds no extra shuffle.
+    * partitioning, so it adds no extra shuffle — and the upstream
+    * (signature computation, the expensive part of the LSH paths) stays
+    * referenced exactly once in the plan.
+    *
+    * ONLY for hash-valued bucket keys (minhash band hashes, simhash
+    * chunks, LSH bucket ids): those are uniform by construction, so the
+    * window's every-row-of-a-key-in-one-task shape cannot straggle
+    * (byte-identical floods are the documented exception — run exact
+    * dedup first). NATURAL keys (grams, terms, lines) are Zipfian and
+    * must use [[keepHotBucketsSkewSafe]] instead.
     */
   private def keepHotBuckets(withBucket: DataFrame, keyCols: Seq[String],
       maxBucket: Int): DataFrame = {
@@ -161,14 +170,45 @@ object Dedup {
       .drop("__bucket_n")
   }
 
+  /** Skew-safe twin of [[keepHotBuckets]] for NATURAL bucket keys
+    * (token grams, terms, lines — Zipfian by nature): the member count
+    * is a partial-aggregated `groupBy(key).count()` joined back, NOT a
+    * count window. A window co-locates EVERY row of a key in one task
+    * with no map-side combine, so one stop-word gram in half the corpus
+    * is a straggler task AQE cannot split (its skew handling splits
+    * joins, not windows). Here the hot key reduces map-side to one row
+    * per task; the join back is a plain equi-join AQE can skew-split —
+    * and since the 2..maxBucket filter runs on the COUNTS side, the
+    * surviving-bucket relation is usually small enough to broadcast, in
+    * which case the corpus-sized frame is filtered map-side with no
+    * key-keyed shuffle at all, and the downstream groupBy reshuffles
+    * only surviving, size-capped buckets. Cost: the upstream frame is
+    * referenced twice in the plan (once for counts, once as the join
+    * probe) — for the gram paths that upstream is one codegen'd
+    * explode, cheap against the straggler it removes. */
+  private def keepHotBucketsSkewSafe(withBucket: DataFrame,
+      keyCols: Seq[String], maxBucket: Int): DataFrame = {
+    val keep = withBucket
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__bucket_n"))
+      .where(col("__bucket_n").between(2, maxBucket))
+      .drop("__bucket_n")
+    withBucket.join(keep, keyCols)
+  }
+
+  /** `skewSafe = true` routes the 2..maxBucket filter through
+    * [[keepHotBucketsSkewSafe]] — required when keyCols are natural
+    * (Zipfian) keys rather than uniform hashes. */
   private[graft] def bucketPairs(withBucket: DataFrame, keyCols: Seq[String],
-      idCol: String, maxBucket: Int): DataFrame = {
+      idCol: String, maxBucket: Int,
+      skewSafe: Boolean = false): DataFrame = {
     // Sort INSIDE the agg projection and expand over the plain attribute:
     // inlining the array_sort lambda tree at each of its three use sites
     // multiplies the serialized task size (whole-plan interpreted HOF
     // trees are large) and measurably slows task deserialization.
     val ids = col("ids")
-    keepHotBuckets(withBucket, keyCols, maxBucket)
+    (if (skewSafe) keepHotBucketsSkewSafe(withBucket, keyCols, maxBucket)
+     else keepHotBuckets(withBucket, keyCols, maxBucket))
       .groupBy(keyCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .select(explode(flatten(transform(ids, (x, i) =>
@@ -536,12 +576,12 @@ object Dedup {
       .withColumn("n_grams", size(col("grams")))
     val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
     // In-bucket pair expansion instead of the classic inverted-index
-    // SELF-join: one scan and one shuffle on gram (the count window and
-    // the groupBy share the partitioning) versus two scans — each
-    // re-exploding every document — plus a join. Struct sort orders by
-    // doc_id (first field), so pairs come out id_a < id_b.
+    // SELF-join; the df cap rides the skew-safe aggregate+join filter
+    // (grams are Zipfian natural keys — see keepHotBucketsSkewSafe).
+    // Struct sort orders by doc_id (first field), so pairs come out
+    // id_a < id_b.
     val es = col("es")
-    keepHotBuckets(inv, Seq("gram"), maxDocsPerGram)
+    keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
       .select(explode(flatten(transform(es, (x, i) =>
@@ -585,7 +625,7 @@ object Dedup {
     val inv = grams.select(col("doc_id"), col("n_grams"),
       explode(col("grams")).as("gram"))
     val es = col("es")
-    val undirected = keepHotBuckets(inv, Seq("gram"), maxDocsPerGram)
+    val undirected = keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
       .select(explode(flatten(transform(es, (x, i) =>
@@ -620,7 +660,8 @@ object Dedup {
     * t = 0.8 the index (and the candidate surface that drives the
     * join cost) shrinks ~5x; stopword-gram floods cost nothing.
     *
-    * Plan: one gram shuffle for the df count window, one doc-keyed
+    * Plan: a partial-aggregated df count joined back on the gram (the
+    * skew-safe shape — see keepHotBuckets), one doc-keyed
     * shuffle rebuilding the ordered gram array, in-bucket candidate
     * expansion over the exploded prefix (no self-join), then the exact
     * verify joins the candidate pairs back against the (doc, grams)
@@ -642,10 +683,16 @@ object Dedup {
       .select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
       .where(size(col("grams")) > 0)
       .withColumn("ng", size(col("grams")))
-    val inv = grams
+    // df per gram as a partial-aggregated count joined back (NOT a
+    // count window): see keepHotBuckets — a per-gram window has no
+    // map-side combine and makes every stop-word gram a straggler task
+    // on a Zipfian corpus, while the aggregate+join shape is map-side
+    // combined and AQE-skew-splittable.
+    val exploded = grams
       .select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("gram"))))
+    val gramDf = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("df"))
+    val inv = exploded.join(gramDf, "gram")
     // Rarest-first global order, rebuilt per doc; ⌈t·ng⌉ in integers.
     val ordered = inv.groupBy(col("doc_id"), col("ng"))
       .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
@@ -655,7 +702,8 @@ object Dedup {
       .select(col("doc_id"),
         explode(slice(col("gs.gram"), lit(1), col("plen"))).as("gram"))
     val cap = if (maxDocsPerGram > 0) maxDocsPerGram else Int.MaxValue
-    val cand = bucketPairs(prefix, Seq("gram"), "doc_id", cap)
+    val cand = bucketPairs(prefix, Seq("gram"), "doc_id", cap,
+      skewSafe = true)
     // Verify with the codegen'd sorted-merge intersect, NOT
     // array_intersect: a low threshold makes the prefix filter weak
     // (plen ≈ ng/2 at t=0.5), so candidates outnumber surviving pairs

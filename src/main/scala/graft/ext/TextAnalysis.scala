@@ -303,22 +303,26 @@ object TextAnalysis {
     * elsewhere" signal. df counts documents (each (doc, term) pair once).
     *
     * Plan: tokenize+explode (narrow) → (doc, term, tf) hash aggregate
-    * (shuffle 1) → df per term as a count window over the term — the
-    * (doc, term) rows are already distinct, so count(*) IS the distinct
-    * document count, with no second aggregate and no join back
-    * (shuffle 2) → per-doc top-k via rank window (shuffle 3, bounded by
-    * WindowGroupLimit). */
+    * (shuffle 1) → df per term as a partial-aggregated
+    * `groupBy(term).count()` joined back — the (doc, term) rows are
+    * already distinct, so count(*) IS the distinct document count. NOT
+    * a count window over the term: a window co-locates every row of a
+    * term in one task with no map-side combine, so one stop word is a
+    * straggler task on a real corpus, and AQE skew handling splits
+    * joins, not windows (shuffle 2, skew-splittable) → per-doc top-k
+    * via rank window (shuffle 3, bounded by WindowGroupLimit; the doc
+    * key is naturally bounded by document length). */
   def tfidfTopTerms(df: DataFrame, text: String, id: String,
       k: Int = 3): DataFrame = {
     val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
     val tf = df.select(col(id), explode(toks).as("term"))
       .groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val termDf = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val wDoc = org.apache.spark.sql.expressions.Window.partitionBy(col(id))
       .orderBy(col("score").desc, col("term").asc)
     tf
-      .withColumn("df", count(lit(1)).over(wTerm))
+      .join(termDf, "term")
       .withColumn("score", expr("tf * 1000000000000L div df"))
       .withColumn("rank", row_number().over(wDoc))
       .where(col("rank") <= k)
@@ -555,8 +559,9 @@ object TextAnalysis {
     * Plan: tokenize → dl = size(tokens) in the SAME narrow projection
     * that explodes (a per-doc constant needs no window) → (doc, term,
     * tf) agg carrying dl (the ONLY corpus-sized shuffle) → FILTER to
-    * query terms (everything after is query-sized) → df count window
-    * per term → corpus scalars via broadcast cross join → per-doc sum +
+    * query terms (everything after is query-sized) → df per term via a
+    * broadcast-joined partial aggregate (skew-safe: no per-term row
+    * co-location) → corpus scalars via broadcast cross join → per-doc sum +
     * top-k, which plans as TakeOrderedAndProject — no global sort. */
   def bm25Search(df: DataFrame, text: String, id: String,
       query: Seq[String], k: Int = 10): DataFrame = {
@@ -571,13 +576,19 @@ object TextAnalysis {
         explode(toks).as("term"))
       .groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
-    val wTerm = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val corpus = tf.groupBy().agg(
       countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
-    tf
-      .where(col("term").isin(qs: _*))
-      .withColumn("df", count(lit(1)).over(wTerm))
+    val qtf = tf.where(col("term").isin(qs: _*))
+    // df per query term: partial-aggregated count joined back, broadcast
+    // by construction (≤ |query| rows). The count-window form co-located
+    // every posting of a term in one task — a query term present in half
+    // the corpus was a straggler; this shape map-side-combines the count
+    // and leaves the posting frame unshuffled until the per-doc agg.
+    val qdf = broadcast(qtf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df")))
+    qtf
+      .join(qdf, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("num",
         d(lit(22000000L)) * d(col("tf")) * d(col("n_toks")) *
@@ -626,15 +637,19 @@ object TextAnalysis {
     * corpus (cookie banners, nav menus, "subscribe" calls) is removed
     * from every document; surviving lines are reassembled in their
     * original order. Frequency counts every occurrence (a doc repeating
-    * its own line contributes each copy) — this keeps the count a single
-    * window aggregate; per-distinct-document counting would force a
-    * distinct aggregation plus a join back.
+    * its own line contributes each copy).
     *
-    * Plan shape: explode lines (narrow) → count(*) window over the line
-    * value (shuffle #1, hash-partitioned by line — the same partitioning
-    * a groupBy would use, but with no join back) → regroup per document
-    * (shuffle #2) and reassemble via sorted collect. Both shuffles carry
-    * each line exactly once: linear in corpus size at any scale.
+    * Plan shape: explode lines (narrow) → hot-line relation as a
+    * partial-aggregated `groupBy(line).count()` FILTERED to count >=
+    * minCount → LEFT join back on the line → regroup per document and
+    * reassemble via sorted collect. The count is map-side combined, so
+    * a cookie banner occurring in half the corpus reduces to one row
+    * per map task instead of co-locating every copy in one window task
+    * (hot boilerplate lines are precisely the Zipfian head, and AQE
+    * skew handling splits joins, not windows). The hot-line relation is
+    * the small side by construction — only lines repeated >= minCount
+    * times survive — so the join usually broadcasts and the corpus
+    * frame reaches the per-doc regroup with no line-keyed shuffle.
     *
     * Output: (id, clean_text, n_lines_kept, n_lines_removed). A document
     * whose every line is boilerplate keeps an empty clean_text.
@@ -643,15 +658,17 @@ object TextAnalysis {
       minCount: Int = 3): DataFrame = {
     val lines = df.select(col(id), posexplode(split(col(text), "\n")))
       .withColumnRenamed("col", "line")
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("line"))
+    val hot = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= minCount)
     lines
-      .withColumn("cnt", count(lit(1)).over(w))
+      .join(hot, Seq("line"), "left")
       .groupBy(col(id))
       .agg(
         array_sort(collect_list(
-          when(col("cnt") < minCount, struct(col("pos"), col("line")))))
+          when(col("cnt").isNull, struct(col("pos"), col("line")))))
           .as("kept"),
-        sum(when(col("cnt") >= minCount, 1L).otherwise(0L)).as("n_lines_removed"))
+        sum(when(col("cnt").isNotNull, 1L).otherwise(0L)).as("n_lines_removed"))
       .select(col(id),
         array_join(transform(col("kept"), k => k.getField("line")), "\n")
           .as("clean_text"),

@@ -265,6 +265,35 @@ class ExtSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("skewed corpus: one hot gram in half the docs — d4/d16/d18 exact, " +
+      "no per-gram count windows to straggle on") {
+    // 120 docs, half carrying the same hot sentence: its grams reach
+    // df≈60 while every tail gram is unique — the Zipfian head shape
+    // that made the old per-gram count windows a one-task straggler.
+    // The hot docs share too little to pair (7 of ~15 grams ≈ 0.3
+    // jaccard); the planted near-dup pair is the only true positive.
+    val hot = "the quick brown fox jumps over the lazy dog"
+    val corpus = (1 to 120).map { i =>
+      val tail = s"tail$i unique$i words$i here$i now$i end$i more$i last$i"
+      (i.toLong, if (i % 2 == 0) s"$hot $tail" else tail)
+    } ++ Seq(
+      (201L, "zebra quagga okapi tapir bongo kudu eland oryx addax saiga"),
+      (202L, "zebra quagga okapi tapir bongo kudu eland oryx addax saiga ibex"))
+    val df = corpus.toDF("doc_id", "text")
+    def ids(p: org.apache.spark.sql.DataFrame) =
+      p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids(Dedup.ngramJaccardPairs(df, "text", "doc_id"))
+      === Set((201L, 202L)))
+    assert(ids(Dedup.prefixJaccardPairs(df, "text", "doc_id"))
+      === Set((201L, 202L)))
+    // Containment is directed: the contained side scores 1.0, the
+    // superset side 8/9 — both above the 80% default.
+    val cont = Dedup.containmentPairs(df, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(cont.map(t => (t._1, t._2)) === Set((201L, 202L), (202L, 201L)))
+    assert(cont.find(_._1 == 201L).get._3 === 1.0)
+  }
+
   test("Dedup.prefixJaccardPairs: prefix index is strictly smaller than " +
       "the full inverted index") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)

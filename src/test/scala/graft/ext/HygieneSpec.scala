@@ -176,12 +176,14 @@ class HygieneSpec extends AnyFunSuite {
         Seq("spark", "join"), k = 5)
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
-    // the only Window is the per-TERM df count (query-sized, post-filter);
-    // a dl window partitioned by doc would shuffle the whole corpus-term
-    // frame before the query filter
+    // NO windows at all: df per query term is a broadcast-joined
+    // partial aggregate (skew-safe — a term in half the corpus must not
+    // co-locate its postings in one task), and dl rides the tf
+    // aggregate as a group constant rather than a per-doc window.
     val windows = plan.linesIterator.filter(_.contains("Window ")).toSeq
-    assert(windows.size === 1 && windows.head.contains("[term"),
-      s"expected exactly one Window, partitioned by term:\n$plan")
+    assert(windows.isEmpty,
+      s"expected no Window operators:\n$plan")
+    assert(plan.contains("partial_count"), plan)
     // doc-keyed exchanges: the (query-sized) final score groupBy and the
     // corpus-scalar distinct — NOT a third from a pre-filter dl window
     val docShuffles = plan.linesIterator.count(l =>

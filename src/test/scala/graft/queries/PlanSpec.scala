@@ -263,10 +263,42 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("prefix jaccard: candidate verify joins on doc ids — no " +
-      "cartesian, no nested loop; df window shares the gram shuffle") {
+      "cartesian, no nested loop") {
     val s = planString(ExtensionQueries.dedupPrefix(spark, sf))
     assert(!s.contains("CartesianProduct"), s)
     assert(!s.contains("BroadcastNestedLoopJoin"), s)
+  }
+
+  // A count window partitioned by a corpus-drawn key (gram/term/line)
+  // co-locates EVERY row of a hot key in one task with no map-side
+  // combine — a Zipfian straggler AQE cannot split (its skew handling
+  // splits joins, not windows). These plans must compute document
+  // frequency as a partial-aggregated groupBy joined back instead.
+  // "Window [" matches the Window exec node only (WindowGroupLimit
+  // prints as "WindowGroupLimit [" and never matches this substring).
+  private def windowCount(s: String): Int =
+    s.sliding("Window [".length).count(_ == "Window [")
+
+  test("skew-safe document frequency: df is a partial-aggregated count " +
+      "joined back — no per-gram/term/line count windows") {
+    // d16 prefix jaccard: zero windows; partial agg below the exchange.
+    val d16 = planString(ExtensionQueries.dedupPrefix(spark, sf))
+    assert(windowCount(d16) === 0, d16)
+    assert(d16.contains("partial_count"), d16)
+    // d4 ngram jaccard / d18 containment: zero windows.
+    val d4 = planString(ExtensionQueries.dedupNgram(spark, sf))
+    assert(windowCount(d4) === 0, d4)
+    assert(d4.contains("partial_count"), d4)
+    // t10 tfidf: exactly the per-doc rank window survives (doc keys are
+    // bounded by document length — not a corpus-frequency key).
+    val t10 = planString(HygieneQueries.tfidf(spark, sf))
+    assert(windowCount(t10) === 1, t10)
+    assert(t10.contains("partial_count"), t10)
+    // t8 boilerplate removal: zero windows; the hot-line relation is
+    // the join's build side.
+    val t8 = planString(HygieneQueries.lineDedup(spark, sf))
+    assert(windowCount(t8) === 0, t8)
+    assert(t8.contains("partial_count"), t8)
   }
 
   test("AnnIndex serve: the ADC scan prunes the raw-vector column — only " +
