@@ -34,6 +34,69 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq("ab</w>", "ab</w>", "x", "a", "</w>"))
   }
 
+  test("learnMerges: incremental driver-side stats equal a naive " +
+      "recompute-per-round reference over 40 merges") {
+    // Structured corpus with overlaps, ties, repeats and shared affixes
+    // so the incremental subtract/add path and the heap tiebreaks are
+    // all exercised.
+    val rnd = new scala.util.Random(7)
+    val stems = Seq("ab", "abc", "bca", "cab", "aab", "bb", "abab", "ca")
+    val wordsPool = for { s <- stems; suf <- Seq("", "a", "ab", "c") } yield s + suf
+    val text = (1 to 400).map(_ => wordsPool(rnd.nextInt(wordsPool.size)))
+      .mkString(" ")
+    val got = Bpe.learnMerges(Seq(text).toDF("text"), "text", numMerges = 40,
+        minCount = 2L)
+      .orderBy("rank").collect().map(r => (r.getString(1), r.getString(2))).toSeq
+
+    // Naive reference: full pair recount every round.
+    val wc = text.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.length.toLong) }
+    var vocab: Seq[(Array[String], Long)] = wc.toSeq.map { case (w, n) =>
+      (w.map(_.toString).toArray :+ "</w>", n) }
+    val ref = Seq.newBuilder[(String, String)]
+    var stop = false
+    while (!stop && ref.result().size < 40) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long].withDefaultValue(0L)
+      vocab.foreach { case (syms, n) =>
+        (0 until syms.length - 1).foreach(i =>
+          counts((syms(i), syms(i + 1))) += n)
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val (p, c) = counts.minBy { case ((l, r), cnt) => (-cnt, l, r) }
+        if (c < 2L) stop = true
+        else {
+          ref += p
+          vocab = vocab.map { case (syms, n) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == p._1 && syms(i + 1) == p._2) {
+                out += p._1 + p._2; i += 2
+              } else { out += syms(i); i += 1 }
+            }
+            (out.toArray, n)
+          }
+        }
+      }
+    }
+    assert(got === ref.result())
+  }
+
+  test("learnMerges: training runs ONE corpus pass — job count is " +
+      "independent of numMerges") {
+    val text = (1 to 50).map(i => s"w${i % 9}x w${i % 7}y zz").mkString(" ")
+    val sc = spark.sparkContext
+    sc.setJobGroup("bpe-train-jobcount", "bpe training job count")
+    try Bpe.learnMerges(Seq(text).toDF("text"), "text", numMerges = 60)
+    finally sc.clearJobGroup()
+    val jobs = sc.statusTracker.getJobIdsForGroup("bpe-train-jobcount").length
+    // The word-count collect is 1-3 jobs under AQE; the old formulation
+    // ran one-plus jobs PER MERGE (60+ here).
+    assert(jobs >= 1 && jobs <= 6, s"expected a constant few jobs, got $jobs")
+  }
+
   test("BpeMergePair: non-overlapping left-to-right (a,a over [a,a,a])") {
     val got = Seq(Seq("a", "a", "a")).toDF("syms")
       .select(GraftFunctions.bpeMergePair(col("syms"), "a", "a").as("m"))
