@@ -337,7 +337,7 @@ object Scale {
     * are conservative, not exact); absent/untyped stats leave all NULL,
     * which [[prunedRead]] treats as "cannot prune". */
   final case class ZoneEntry(
-      file: String, row_group: Int, column: String,
+      file: String, file_len: Long, row_group: Int, column: String,
       num_rows: Long, null_count: java.lang.Long,
       min_long: java.lang.Long, max_long: java.lang.Long,
       min_dbl: java.lang.Double, max_dbl: java.lang.Double,
@@ -358,49 +358,97 @@ object Scale {
     */
   def zoneMap(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "zoneMap: no columns requested")
+    val files = listDataFiles(spark, dir)
+    require(files.nonEmpty, s"zoneMap: no parquet files under $dir")
+    harvestZoneEntries(spark, files, cols)
+  }
+
+  /** Incremental zone-map maintenance: harvest footers of NEW files
+    * only and union with the persisted map — the d15/c9 incremental
+    * pattern applied to the metadata index, so keeping the map current
+    * on a 100 TB table costs one footer round-trip per NEWLY LANDED
+    * file instead of re-reading every footer per refresh (a daily
+    * append of 0.1% of files costs 0.1% of the full harvest). Entries
+    * for files no longer present are dropped (compaction/GC), entries
+    * for still-present files are TRUSTED from `prev` — data files in an
+    * append-only lake are immutable, the same assumption every manifest
+    * format makes; an in-place rewrite that changes file LENGTH is
+    * detected and re-harvested, a same-length rewrite is not. `prev`
+    * must have been built by [[zoneMap]]/this over the same `cols`.
+    * Footer BLOOM filters ([[writeBloomIndexed]]) need no such
+    * maintenance: they live inside each data file and travel with it.
+    *
+    * The prev-file collect is file-count-sized metadata (path + length
+    * per file), the same object the planner listing holds.
+    */
+  def zoneMapIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], prev: DataFrame): DataFrame = {
+    require(cols.nonEmpty, "zoneMapIncremental: no columns requested")
+    val current = listDataFiles(spark, dir)
+    require(current.nonEmpty, s"zoneMapIncremental: no parquet files under $dir")
+    val currentByPath = current.toMap
+    val prevFiles = prev.select("file", "file_len").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val keepPrev = prevFiles.filter { case (f, len) =>
+      currentByPath.get(f).contains(len) }.map(_._1).toSet
+    val newFiles = current.filterNot { case (f, _) => keepPrev.contains(f) }
+    val kept = prev.where(col("file").isInCollection(
+      if (keepPrev.isEmpty) Seq("") else keepPrev.toSeq))
+    if (newFiles.isEmpty) kept
+    else kept.unionByName(harvestZoneEntries(spark, newFiles, cols))
+  }
+
+  /** Recursive (path, length) listing of the visible parquet data files
+    * under `dir`: Hive-partitioned / nested layouts keep their data
+    * files under key=value subdirectories, so a top-level-only
+    * listStatus would index nothing (or only stray top-level files) and
+    * prunedRead would then error instead of prune. listFiles streams
+    * RemoteIterator batches — no directory-tree recursion on the driver
+    * beyond what every planner listing pays. Files inside hidden
+    * directories (`_temporary`, `.spark-staging`) are skipped along
+    * with hidden files themselves.
+    */
+  private def listDataFiles(spark: SparkSession,
+      dir: String): Seq[(String, Long)] = {
     import org.apache.hadoop.fs.Path
     val hPath = new Path(dir)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val fs = hPath.getFileSystem(conf)
-    // Recursive listing: Hive-partitioned / nested layouts keep their
-    // data files under key=value subdirectories, so a top-level-only
-    // listStatus would index nothing (or only stray top-level files)
-    // and prunedRead would then error instead of prune. listFiles
-    // streams RemoteIterator batches — no directory-tree recursion on
-    // the driver beyond what every planner listing pays. Files inside
-    // hidden directories (_temporary, .spark-staging) are skipped along
-    // with hidden files themselves.
-    val files = {
-      val it = fs.listFiles(hPath, true)
-      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
-      while (it.hasNext) {
-        val st = it.next()
-        val p = st.getPath
-        val n = p.getName
-        val hiddenAncestor = {
-          var q = p.getParent
-          var hidden = false
-          while (q != null && q.toString.length > hPath.toString.length) {
-            val qn = q.getName
-            if (qn.startsWith("_") || qn.startsWith(".")) hidden = true
-            q = q.getParent
-          }
-          hidden
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(hPath, true)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      val n = p.getName
+      val hiddenAncestor = {
+        var q = p.getParent
+        var hidden = false
+        while (q != null && q.toString.length > hPath.toString.length) {
+          val qn = q.getName
+          if (qn.startsWith("_") || qn.startsWith(".")) hidden = true
+          q = q.getParent
         }
-        if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
-            !n.startsWith(".") && !hiddenAncestor)
-          buf += p.toString
+        hidden
       }
-      buf.toSeq.sorted
+      if (st.isFile && n.endsWith(".parquet") && !n.startsWith("_") &&
+          !n.startsWith(".") && !hiddenAncestor)
+        buf += ((p.toString, st.getLen))
     }
-    require(files.nonEmpty, s"zoneMap: no parquet files under $dir")
+    buf.toSeq.sortBy(_._1)
+  }
+
+  /** Footer-stat harvest over an explicit file list (the distributed
+    * half of [[zoneMap]]); one footer round-trip per file, in tasks. */
+  private def harvestZoneEntries(spark: SparkSession,
+      files: Seq[(String, Long)], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "zoneMap: no columns requested")
+    import org.apache.hadoop.fs.Path
+    val conf = spark.sparkContext.hadoopConfiguration
     val env = new ConfEnvelope(conf)
     val wanted = cols.toArray
     import spark.implicits._
     val entries = spark.sparkContext
-      .parallelize(files, math.min(files.size, 64))
-      .flatMap { f =>
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { case (f, fLen) =>
         import org.apache.parquet.hadoop.ParquetFileReader
         import org.apache.parquet.hadoop.util.HadoopInputFile
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -418,7 +466,7 @@ object Scale {
             block.getColumns.forEach(c =>
               byPath(c.getPath.toDotString) = c)
             wanted.iterator.map { name =>
-              val base = ZoneEntry(f, bi, name, block.getRowCount,
+              val base = ZoneEntry(f, fLen, bi, name, block.getRowCount,
                 null, null, null, null, null, null, null)
               byPath.get(name) match {
                 case Some(c) =>

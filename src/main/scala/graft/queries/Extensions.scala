@@ -1260,6 +1260,49 @@ object ExtensionQueries {
       |WHERE l_partkey = (SELECT max(l_partkey) FROM lineitem)
       |GROUP BY l_partkey""".stripMargin
 
+  /** Incremental zone-map maintenance (ext Scale.zoneMapIncremental):
+    * lineitem's bottom-half key range written and harvested into a zone
+    * map, then the top half APPENDED and the map refreshed
+    * incrementally — only the new files' footers are read; the gate
+    * aggregates the refreshed map per key-range batch, which must equal
+    * what DuckDB computes from the rows themselves (the map is exact
+    * because each batch is range-clustered). Incremental==full equality
+    * and the trusted-prev/dropped-file semantics are pinned in
+    * ScaleSpec. */
+  def zoneMapIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc9_").toString
+    val li = Tables.lineitem(s, d)
+    val mid = li.agg(max("l_orderkey")).head().getLong(0) / 2
+    li.where(col("l_orderkey") <= mid)
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(dir)
+    // Materialize the first harvest BEFORE the append lands (the map a
+    // previous refresh persisted), so the refresh below provably cannot
+    // have re-read the old footers for these stats.
+    val prev = graft.ext.Scale.zoneMap(s, dir, Seq("l_orderkey"))
+      .localCheckpoint()
+    li.where(col("l_orderkey") > mid)
+      .repartitionByRange(4, col("l_orderkey"))
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("append").parquet(dir)
+    graft.ext.Scale.zoneMapIncremental(s, dir, Seq("l_orderkey"), prev)
+      .withColumn("batch",
+        when(col("max_long") <= mid, lit("low")).otherwise(lit("high")))
+      .groupBy(col("batch"))
+      .agg(sum(col("num_rows")).as("n_rows"),
+        min(col("min_long")).as("min_key"),
+        max(col("max_long")).as("max_key"))
+      .orderBy("batch")
+  }
+
+  private val zoneMapIncrementalOracle =
+    """WITH mm AS (SELECT max(l_orderkey) // 2 AS mid FROM lineitem)
+      |SELECT CASE WHEN l_orderkey <= mid THEN 'low' ELSE 'high' END AS batch,
+      | count(*) AS n_rows, min(l_orderkey) AS min_key,
+      | max(l_orderkey) AS max_key
+      |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Bucketed-table join: pay the shuffle at write time, join for free
     * at read time (exchange-free plan asserted in ScaleSpec); results
     * must match the direct join of the source parquet. */
@@ -1449,5 +1492,7 @@ object ExtensionQueries {
     QueryDef("sc6_zonemap_prune", zoneMapPrune, Some(zoneMapPruneOracle)),
     QueryDef("sc7_bloom_pointlookup", bloomPointLookup,
       Some(bloomPointLookupOracle)),
+    QueryDef("sc9_zonemap_incremental", zoneMapIncrementalGate,
+      Some(zoneMapIncrementalOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

@@ -262,6 +262,48 @@ class ScaleSpec extends AnyFunSuite {
       === (100L to 199L))
   }
 
+  test("zoneMapIncremental: refresh equals full re-harvest; existing " +
+      "files are trusted from prev; dropped files leave the map") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zmi_").toString
+    (0 until 2000).map(i => (i.toLong, i.toDouble))
+      .toDF("k", "x")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val prev = Scale.zoneMap(spark, dir, Seq("k")).localCheckpoint()
+    (2000 until 4000).map(i => (i.toLong, i.toDouble))
+      .toDF("k", "x")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+      .write.mode("append").parquet(dir)
+    val inc = Scale.zoneMapIncremental(spark, dir, Seq("k"), prev)
+      .localCheckpoint()
+    // Collect the full re-harvest NOW: it captured its file list at
+    // construction and re-evaluating it after the deletion below would
+    // (correctly) fail on the missing file.
+    val fullRows = Scale.zoneMap(spark, dir, Seq("k")).collect().toSet
+    assert(inc.collect().toSet === fullRows)
+
+    // Trust-prev semantics: a deliberately mutated stat for an existing
+    // file must flow through the refresh untouched — proof the refresh
+    // never re-opened that footer (immutable-data-file assumption).
+    val poisoned = prev.withColumn("min_long",
+      when(col("row_group") === 0, lit(-999L)).otherwise(col("min_long")))
+      .localCheckpoint()
+    val incPoisoned = Scale.zoneMapIncremental(spark, dir, Seq("k"), poisoned)
+    assert(incPoisoned.where(col("min_long") === -999L).count()
+      === prev.where(col("row_group") === 0).count())
+
+    // Compaction/GC: delete one first-batch file; its entries drop out
+    // and nothing else is re-harvested or lost.
+    val victim = prev.select("file").head().getString(0)
+    val victimPath = new java.net.URI(
+      if (victim.startsWith("file:")) victim else s"file:$victim").getPath
+    java.nio.file.Files.delete(java.nio.file.Paths.get(victimPath))
+    val afterDrop = Scale.zoneMapIncremental(spark, dir, Seq("k"), inc)
+    assert(afterDrop.where(col("file") === victim).count() === 0)
+    assert(afterDrop.collect().toSet
+      === fullRows.filter(_.getString(0) != victim))
+  }
+
   test("planReport: counts shuffles, broadcasts, join kinds and top-k") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
