@@ -541,4 +541,164 @@ object Scale {
       spark.read.parquet(dir).where(lit(false)).where(pred)
     else spark.read.parquet(keep: _*).where(pred)
   }
+
+  // ----------------------------- page-level column indexes (PARQUET-1201)
+
+  /** One page-index entry: a data PAGE's min/max from the parquet
+    * column index (PARQUET-1201) plus its row span from the offset
+    * index. Page stats are strictly finer than [[ZoneEntry]]'s
+    * row-group stats: a row group whose min/max spans a key GAP (e.g.
+    * sorted keys 0..999 then 3000..3999 in one group) reports a wide
+    * range, while its pages bound each side tightly — so a predicate
+    * falling in the gap prunes at page granularity when row-group
+    * stats cannot. `page = -1` with NULL stats marks a column chunk
+    * that carries no column index (older writer, or stats disabled):
+    * [[prunedReadByPages]] treats it as "cannot prune", never an
+    * answer change. Binary bounds may be writer-TRUNCATED (conservative
+    * as bounds, not exact values). A page that is entirely NULL
+    * (`null_page`) carries no value bounds and cannot match a value
+    * predicate. */
+  final case class PageEntry(
+      file: String, row_group: Int, column: String, page: Int,
+      first_row: Long, row_count: Long, null_page: Boolean,
+      min_long: java.lang.Long, max_long: java.lang.Long,
+      min_dbl: java.lang.Double, max_dbl: java.lang.Double,
+      min_str: String, max_str: String)
+
+  /** Page-granular metadata index over a parquet directory, from the
+    * footers' column+offset indexes ONLY — like [[zoneMap]], no data
+    * page is decompressed, so the harvest over a 100 TB table is one
+    * footer round-trip per file, distributed over the file list. The
+    * column index (PARQUET-1201, written by default since parquet-mr
+    * 1.11 — every Spark-written file has it) stores per-PAGE min/max,
+    * typically 20k rows per page vs millions per row group: the finest
+    * data-skipping granularity available without changing the layout.
+    * Spark's own scan uses these indexes internally for row-range
+    * skipping INSIDE files it opens; harvesting them into a relation
+    * additionally enables (a) whole-file pruning decisions finer than
+    * row-group stats ([[prunedReadByPages]]) and (b) layout-quality
+    * inspection (page-range overlap tells you whether a sort/z-order
+    * actually clustered the column) as ordinary SQL over this frame. */
+  def pageIndex(spark: SparkSession, dir: String,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pageIndex: no columns requested")
+    val files = listDataFiles(spark, dir)
+    require(files.nonEmpty, s"pageIndex: no parquet files under $dir")
+    import org.apache.hadoop.fs.Path
+    val env = new ConfEnvelope(spark.sparkContext.hadoopConfiguration)
+    val wanted = cols.toArray
+    import spark.implicits._
+    spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .flatMap { case (f, _) =>
+        import org.apache.parquet.hadoop.ParquetFileReader
+        import org.apache.parquet.hadoop.util.HadoopInputFile
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), env.conf))
+        try {
+          val blocks = reader.getFooter.getBlocks
+          val out: Vector[PageEntry] =
+            (0 until blocks.size).iterator.flatMap { bi =>
+              val block = blocks.get(bi)
+              val byPath = new scala.collection.mutable.HashMap[String,
+                org.apache.parquet.hadoop.metadata.ColumnChunkMetaData]
+              block.getColumns.forEach(c =>
+                byPath(c.getPath.toDotString) = c)
+              wanted.iterator.flatMap { name =>
+                val unknown = PageEntry(f, bi, name, -1, -1L,
+                  block.getRowCount, false,
+                  null, null, null, null, null, null)
+                byPath.get(name) match {
+                  case None => Iterator.single(unknown)
+                  case Some(c) =>
+                    val ci = reader.readColumnIndex(c)
+                    val oi = reader.readOffsetIndex(c)
+                    if (ci == null || oi == null) Iterator.single(unknown)
+                    else {
+                      val tpe = c.getPrimitiveType.getPrimitiveTypeName
+                      val mins = ci.getMinValues
+                      val maxs = ci.getMaxValues
+                      val nullPages = ci.getNullPages
+                      val n = oi.getPageCount
+                      (0 until n).iterator.map { pi =>
+                        val first = oi.getFirstRowIndex(pi)
+                        val rows =
+                          (if (pi + 1 < n) oi.getFirstRowIndex(pi + 1)
+                           else block.getRowCount) - first
+                        val isNull = nullPages.get(pi)
+                        val base = PageEntry(f, bi, name, pi, first, rows,
+                          isNull, null, null, null, null, null, null)
+                        def le(i: Int, bufs: java.util.List[
+                            java.nio.ByteBuffer]) = bufs.get(i)
+                          .duplicate()
+                          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+                        if (isNull || mins.get(pi).remaining() == 0) base
+                        else tpe match {
+                          case INT64 => base.copy(
+                            min_long = le(pi, mins).getLong,
+                            max_long = le(pi, maxs).getLong)
+                          case INT32 => base.copy(
+                            min_long = le(pi, mins).getInt.toLong,
+                            max_long = le(pi, maxs).getInt.toLong)
+                          case DOUBLE => base.copy(
+                            min_dbl = le(pi, mins).getDouble,
+                            max_dbl = le(pi, maxs).getDouble)
+                          case FLOAT => base.copy(
+                            min_dbl = le(pi, mins).getFloat.toDouble,
+                            max_dbl = le(pi, maxs).getFloat.toDouble)
+                          case BINARY =>
+                            def str(bb: java.nio.ByteBuffer) = {
+                              val a = new Array[Byte](bb.remaining())
+                              bb.get(a)
+                              new String(a, java.nio.charset
+                                .StandardCharsets.UTF_8)
+                            }
+                            base.copy(min_str = str(le(pi, mins)),
+                              max_str = str(le(pi, maxs)))
+                          case _ => base
+                        }
+                      }
+                    }
+                }
+              }
+            }.toVector
+          out
+        } finally reader.close()
+      }
+      .toDF()
+  }
+
+  /** [[prunedRead]] at PAGE granularity: a file is opened only if some
+    * page's bounds can contain `column` ∈ [lo, hi] (or carries no
+    * usable stats — conservatively kept, never an answer change). On a
+    * layout that is sorted WITHIN files but has key gaps (compacted
+    * time ranges, resequenced ids, z-order fragments), row-group stats
+    * straddle the gaps and keep the file while page stats exclude it —
+    * strictly fewer files opened than [[prunedRead]], at the same
+    * footer-only harvest cost, and the residual filter keeps the
+    * result exact at any layout. All-NULL pages cannot match a value
+    * predicate and do not retain a file. */
+  def prunedReadByPages(spark: SparkSession, dir: String, column: String,
+      lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"prunedReadByPages: empty range [$lo, $hi]")
+    val pm = pageIndex(spark, dir, Seq(column))
+    val keep = pm.groupBy(col("file"))
+      // A page with NULL long-bounds is "unknown" (missing index, or a
+      // non-integral column this Long-range API can't bound) and KEEPS
+      // the file, exactly as [[prunedRead]] does; only an all-NULL page
+      // is both known and unmatchable.
+      .agg(max(when(!col("null_page") &&
+            (col("min_long").isNull || col("max_long").isNull), 1)
+          .otherwise(0)).as("unknown"),
+        max(when(col("max_long") >= lo && col("min_long") <= hi, 1)
+          .otherwise(0)).as("hit"))
+      .where(col("unknown") === 1 || col("hit") === 1)
+      .select("file")
+      .collect().map(_.getString(0)).sorted
+    val pred = col(column).between(lo, hi)
+    if (keep.isEmpty)
+      spark.read.parquet(dir).where(lit(false)).where(pred)
+    else spark.read.parquet(keep: _*).where(pred)
+  }
 }

@@ -1303,6 +1303,47 @@ object ExtensionQueries {
       | max(l_orderkey) AS max_key
       |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Page-level pruned read (ext Scale.pageIndex/prunedReadByPages):
+    * lineitem laid out range-partitioned and sorted on l_orderkey with
+    * 500-row parquet pages, then read back pruned by the footers'
+    * COLUMN INDEXES (PARQUET-1201 per-page min/max) to the files whose
+    * pages can contain a mid-range key band. Page pruning must be
+    * invisible in the answer — the oracle filters the original rows;
+    * the strictly-finer-than-row-group-stats demonstration (gap
+    * layout) lives in ScaleSpec. */
+  def pagePrunedRead(s: SparkSession, d: String): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sc10_").toString
+    val hc = s.sparkContext.hadoopConfiguration
+    val prevLimit = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "500")
+    val li = Tables.lineitem(s, d)
+    try {
+      li.repartitionByRange(8, col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite").parquet(dir)
+    } finally {
+      if (prevLimit == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevLimit)
+    }
+    val top = li.agg(max("l_orderkey")).head().getLong(0)
+    graft.ext.Scale.prunedReadByPages(s, dir, "l_orderkey",
+        top / 3, top / 2)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy("l_returnflag")
+  }
+
+  private val pagePrunedReadOracle =
+    """WITH mm AS (SELECT max(l_orderkey) AS top FROM lineitem)
+      |SELECT l_returnflag, count(*) AS n,
+      | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      | count(DISTINCT l_orderkey) AS n_orders
+      |FROM lineitem, mm
+      |WHERE l_orderkey BETWEEN top // 3 AND top // 2
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Bucketed-table join: pay the shuffle at write time, join for free
     * at read time (exchange-free plan asserted in ScaleSpec); results
     * must match the direct join of the source parquet. */
@@ -1494,5 +1535,7 @@ object ExtensionQueries {
       Some(bloomPointLookupOracle)),
     QueryDef("sc9_zonemap_incremental", zoneMapIncrementalGate,
       Some(zoneMapIncrementalOracle)),
+    QueryDef("sc10_page_pruned_read", pagePrunedRead,
+      Some(pagePrunedReadOracle)),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

@@ -304,6 +304,71 @@ class ScaleSpec extends AnyFunSuite {
       === fullRows.filter(_.getString(0) != victim))
   }
 
+  test("pageIndex: per-page bounds partition each row group exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgi_").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevLimit = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "100")
+    try {
+      (0L until 1000L).map(i => (i, s"s$i")).toDF("k", "s")
+        .coalesce(1).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(dir)
+    } finally {
+      if (prevLimit == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevLimit)
+    }
+    val pi = Scale.pageIndex(spark, dir, Seq("k")).collect()
+      .sortBy(r => (r.getInt(1), r.getInt(3)))
+    assert(pi.length >= 5, "page.row.count.limit=100 must yield many pages")
+    assert(pi.forall(_.getInt(3) >= 0), "column index present on every chunk")
+    // Pages tile the key space: row spans sum to the row count and each
+    // page's [min,max] brackets exactly its rows (data written sorted).
+    assert(pi.map(_.getLong(5)).sum === 1000L)
+    pi.foreach { r =>
+      val first = r.getLong(4); val rows = r.getLong(5)
+      assert(r.getLong(7) === first && r.getLong(8) === first + rows - 1)
+    }
+  }
+
+  test("prunedReadByPages: a key gap inside one row group prunes the " +
+      "file at page granularity where row-group stats cannot") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgr_").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevLimit = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "100")
+    try {
+      // One file per key band, each with an interior gap: file 0 holds
+      // keys 0..999 and 3000..3999 (gap 1000..2999), file 1 holds
+      // 10000..10999 and 13000..13999, ... Row-group stats straddle the
+      // gap; 100-row pages bound each side tightly.
+      val rows = for {
+        band <- 0 until 4
+        i <- (0L until 1000L) ++ (3000L until 4000L)
+      } yield (band * 10000L + i, band)
+      rows.toDF("k", "band")
+        .repartition(4, col("band")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(dir)
+    } finally {
+      if (prevLimit == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevLimit)
+    }
+    // Predicate inside band 0's gap: row-group pruning keeps band 0's
+    // file (its range 0..3999 covers 1500..2500); page pruning drops
+    // every file.
+    val inGap = Scale.prunedReadByPages(spark, dir, "k", 1500L, 2500L)
+    assert(inGap.count() === 0)
+    assert(Scale.prunedRead(spark, dir, "k", 1500L, 2500L)
+      .inputFiles.length >= 1, "row-group stats cannot prune the gap")
+    assert(inGap.inputFiles.length === 0 ||
+      inGap.count() === 0) // schema-preserving empty read has no files
+    // Predicate hitting one band's populated half: exactly that file.
+    val hit = Scale.prunedReadByPages(spark, dir, "k", 13200L, 13400L)
+    assert(hit.inputFiles.length === 1)
+    assert(hit.agg(count(lit(1)), min(col("k")), max(col("k"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
+      === ((201L, 13200L, 13400L)))
+  }
+
   test("planReport: counts shuffles, broadcasts, join kinds and top-k") {
     import spark.implicits._
     val big = (1 to 1000).map(i => (i.toLong % 50, i.toLong)).toDF("k", "v")
