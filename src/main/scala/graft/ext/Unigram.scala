@@ -1,0 +1,179 @@
+package graft.ext
+
+import graft.functions.{GraftFunctions, UnigramTokenize}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM (SentencePiece-style) subword vocabulary induction (Kudo,
+  * "Subword Regularization", ACL 2018) — the second trainable tokenizer
+  * next to [[Bpe]]: real pipelines ship both, and the two families
+  * segment differently (BPE grows greedily from characters; unigram
+  * starts from a large candidate set and PRUNES toward the target
+  * vocabulary under a language-model objective).
+  *
+  * The 100 TB shape is identical to [[Bpe.learnMerges]]: the corpus is
+  * scanned exactly ONCE (the word-count aggregation — the only
+  * corpus-sized job in training), the word-TYPE table is capped and
+  * collected, and the EM/prune loop runs driver-side over that bounded
+  * table; the cluster's job is the corpus pass plus the codegen'd
+  * [[tokenize]] serving pass. The published trainer uses soft EM over a
+  * Suffix-array candidate lattice with floating-point likelihoods; this
+  * implementation makes two bounded-and-exact substitutions so training
+  * is INTEGER-deterministic and independently replayable (the pinned-
+  * oracle discipline every iterative gate here follows):
+  *
+  *  - candidates are all substrings up to `maxPieceLen` of the capped
+  *    word-type table, seeded with weighted occurrence counts and
+  *    bounded to the `seedSize` most frequent multi-character pieces
+  *    (plus every single character, which keeps all words segmentable);
+  *  - EM is HARD (Viterbi) EM: the E-step assigns each word type its
+  *    single best segmentation under p(piece) = count/total, with
+  *    likelihood comparisons done in exact BigInteger cross-
+  *    multiplication ([[UnigramTokenize.viterbi]] — the SAME routine
+  *    the serving expression runs, so trainer and tokenizer can never
+  *    drift); the M-step re-counts pieces with integer word
+  *    frequencies. Kudo notes Viterbi decoding as the standard hard
+  *    approximation of the full EM objective.
+  *
+  * Determinism conventions (mirrored by the independent oracle replay
+  * tools/gen_unigram_oracle.py): words are whitespace-split with case
+  * preserved; substrings/segment positions are code-point-based; ties
+  * in Viterbi prefer fewer pieces then the lexicographically smaller
+  * piece sequence; seed/prune rankings order by (count desc, piece
+  * asc); single-character pieces are floored at count 1 after each
+  * M-step so every word stays segmentable; a prune round keeps all
+  * single characters plus the top multi-character pieces down to
+  * max(vocabSize, 3·|vocab|/4) total pieces; the loop runs `emIters`
+  * EM iterations per round and stops when |vocab| <= vocabSize.
+  */
+object Unigram {
+
+  /** Train a unigram piece vocabulary; returns (piece, n) final counts.
+    * ONE Spark job (the word-count pass); EM and pruning run driver-side
+    * over the capped word-type table. */
+  def train(df: DataFrame, text: String, vocabSize: Int,
+      maxPieceLen: Int = 6, seedSize: Int = 5000, emIters: Int = 2,
+      maxWordTypes: Int = 2000000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize out of range: $vocabSize")
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      s"maxPieceLen out of range: $maxPieceLen")
+    require(seedSize >= 0, s"seedSize out of range: $seedSize")
+    require(emIters >= 1, s"emIters out of range: $emIters")
+    val spark = df.sparkSession
+    val rows = Bpe.wordCounts(df, text)
+      .orderBy(desc("n"), asc("word"))
+      .limit(maxWordTypes)
+      .collect()
+
+    val nWords = rows.length
+    val words = new Array[Array[String]](nWords)
+    val freqs = new Array[Long](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      words(wi) = UnigramTokenize.codePoints(rows(wi).getString(0))
+      freqs(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
+
+    // ---- seed: weighted occurrence counts of every substring <= maxLen
+    val seedCounts = new java.util.HashMap[String, java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    wi = 0
+    while (wi < nWords) {
+      val cps = words(wi)
+      val f = freqs(wi)
+      var i = 0
+      while (i < cps.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < cps.length && j - i < maxPieceLen) {
+          sb.append(cps(j))
+          val p = sb.toString
+          val prev = seedCounts.get(p)
+          seedCounts.put(p, if (prev == null) f else prev.longValue + f)
+          j += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    // All single chars + top-seedSize multi-char pieces.
+    var counts = {
+      val singles = scala.collection.mutable.TreeMap.empty[String, Long]
+      val multis = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      seedCounts.forEach { (p, c) =>
+        if (p.codePointCount(0, p.length) == 1) singles(p) = c.longValue
+        else multis += ((p, c.longValue))
+      }
+      val kept = multis.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      (singles.toSeq ++ kept).toMap
+    }
+
+    // ---- hard-EM + prune loop
+    def emIteration(cur: Map[String, Long]): Map[String, Long] = {
+      val model = UnigramTokenize.buildModel(
+        cur.toSeq.sortBy(_._1), maxPieceLen)
+      val next = new java.util.HashMap[String, java.lang.Long]()
+      var w = 0
+      while (w < nWords) {
+        val segs = UnigramTokenize.viterbi(words(w), model)
+        val f = freqs(w)
+        var i = 0
+        while (i < segs.length) {
+          val prev = next.get(segs(i))
+          next.put(segs(i), if (prev == null) f else prev.longValue + f)
+          i += 1
+        }
+        w += 1
+      }
+      // Keep every current single char segmentable: floor at 1.
+      val out = scala.collection.mutable.HashMap.empty[String, Long]
+      next.forEach { (p, c) =>
+        if (cur.contains(p)) out(p) = c.longValue
+      }
+      cur.keysIterator.foreach { p =>
+        if (p.codePointCount(0, p.length) == 1 && !out.contains(p))
+          out(p) = 1L
+      }
+      out.toMap
+    }
+
+    var done = false
+    while (!done) {
+      var it = 0
+      while (it < emIters) { counts = emIteration(counts); it += 1 }
+      if (counts.size <= vocabSize) done = true
+      else {
+        val (s, m) = counts.partition { case (p, _) =>
+          p.codePointCount(0, p.length) == 1 }
+        val target = math.max(vocabSize, counts.size * 3 / 4)
+        val keepMulti = math.max(0, target - s.size)
+        val keptM = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+        val pruned = (s ++ keptM).toMap
+        // Single characters are never pruned (they keep every word
+        // segmentable); if they alone exceed vocabSize, this is as
+        // small as the vocabulary gets.
+        if (pruned.size == counts.size) done = true
+        counts = pruned
+      }
+    }
+
+    import spark.implicits._
+    counts.toSeq.sortBy(_._1).toDF("piece", "n")
+  }
+
+  /** Tokenize `text` with a trained vocabulary: one codegen'd exact-
+    * Viterbi pass per row ([[UnigramTokenize]]) — the serving-side op
+    * that runs over the full corpus. Adds `out` (ARRAY<STRING>). */
+  def tokenize(df: DataFrame, text: String, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 6, out: String = "unigram_tokens"): DataFrame =
+    df.withColumn(out, GraftFunctions.unigramTokenize(
+      col(text), vocab, maxPieceLen))
+
+  /** Driver-side convenience: collect a (piece, n) vocabulary frame (as
+    * produced by [[train]]) into the list [[tokenize]] consumes. The
+    * frame is vocab-sized — never data-sized. */
+  def collectVocab(vocab: DataFrame): Seq[(String, Long)] =
+    vocab.orderBy("piece").collect()
+      .map((r: Row) => (r.getString(0), r.getLong(1))).toSeq
+}

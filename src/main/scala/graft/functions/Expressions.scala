@@ -1108,6 +1108,180 @@ object BpeTokenize {
   }
 }
 
+/** Unigram-LM (SentencePiece-style) subword tokenization with a learned
+  * piece vocabulary — the serving half of [[graft.ext.Unigram]]; one
+  * codegen'd pass per row, no joins, no state. Each whitespace word is
+  * segmented by EXACT Viterbi under the unigram model p(piece) =
+  * count/total: segmentation likelihoods are compared with
+  * cross-multiplied BigIntegers (prodA·T^kB vs prodB·T^kA), never
+  * floating point, so serving reproduces the trainer's segmentations
+  * bit-for-bit on every engine — the same exactness discipline as the
+  * trainer itself (ties: fewer pieces, then lexicographically smaller
+  * piece sequence). A single character absent from the vocabulary is
+  * segmented as itself with count 1 (UNK-as-char floor), keeping every
+  * word segmentable. A per-invocation word cache makes repeated words
+  * (the Zipf mass of any corpus) cost one lookup.
+  */
+case class UnigramTokenize(child: Expression, vocab: Seq[(String, Long)],
+    maxPieceLen: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_tokenize expects STRING, got ${child.dataType.sql}")
+  }
+
+  @transient private lazy val model: UnigramTokenize.Model =
+    UnigramTokenize.buildModel(vocab, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramTokenize.tokenize(input.asInstanceOf[UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("model", model,
+      "graft.functions.UnigramTokenize.Model")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramTokenize.tokenize($c, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnigramTokenize {
+
+  /** Piece counts + precomputed BigInteger powers of the total, shipped
+    * once per plan (kilobytes at any practical vocab size). */
+  final class Model(val counts: java.util.HashMap[String, java.lang.Long],
+      val total: java.math.BigInteger, val maxLen: Int) extends Serializable {
+    // T^0..T^63 — words longer than 64 pieces extend on demand.
+    @transient private var pows: Array[java.math.BigInteger] = _
+    def pow(k: Int): java.math.BigInteger = {
+      if (pows == null) {
+        pows = new Array[java.math.BigInteger](64)
+        pows(0) = java.math.BigInteger.ONE
+        var i = 1
+        while (i < 64) { pows(i) = pows(i - 1).multiply(total); i += 1 }
+      }
+      if (k < pows.length) pows(k) else total.pow(k)
+    }
+  }
+
+  def buildModel(vocab: Seq[(String, Long)], maxPieceLen: Int): Model = {
+    val m = new java.util.HashMap[String, java.lang.Long](vocab.size * 2)
+    var t = java.math.BigInteger.ZERO
+    vocab.foreach { case (p, c) =>
+      require(c > 0, s"unigram piece '$p' has non-positive count $c")
+      m.put(p, c)
+      t = t.add(java.math.BigInteger.valueOf(c))
+    }
+    require(t.signum > 0, "unigram vocab is empty")
+    new Model(m, t, maxPieceLen)
+  }
+
+  /** Exact Viterbi segmentation of one word (given as code points).
+    * Shared by the TRAINER's EM loop ([[graft.ext.Unigram]]) and the
+    * serving expression, so the two can never drift. */
+  def viterbi(cps: Array[String], model: Model): Array[String] = {
+    val n = cps.length
+    if (n == 0) return Array.empty
+    // DP cell per prefix length: product of piece counts, piece count k,
+    // and the path. best(0) is the empty segmentation.
+    val prod = new Array[java.math.BigInteger](n + 1)
+    val k = new Array[Int](n + 1)
+    val path = new Array[List[String]](n + 1)
+    prod(0) = java.math.BigInteger.ONE
+    path(0) = Nil
+    val sb = new java.lang.StringBuilder
+    var j = 1
+    while (j <= n) {
+      var i = math.max(0, j - model.maxLen)
+      while (i < j) {
+        sb.setLength(0)
+        var q = i
+        while (q < j) { sb.append(cps(q)); q += 1 }
+        val piece = sb.toString
+        val boxed: java.lang.Long = model.counts.get(piece)
+        val cnt: Long =
+          if (boxed != null) boxed.longValue
+          else if (j - i == 1) 1L // UNK-as-char floor
+          else -1L
+        if (cnt > 0 && prod(i) != null) {
+          val cp = prod(i).multiply(java.math.BigInteger.valueOf(cnt))
+          val ck = k(i) + 1
+          val better =
+            if (prod(j) == null) true
+            else {
+              // cp/T^ck vs prod(j)/T^k(j), exactly.
+              val cmp = cp.multiply(model.pow(k(j)))
+                .compareTo(prod(j).multiply(model.pow(ck)))
+              if (cmp != 0) cmp > 0
+              else if (ck != k(j)) ck < k(j)
+              else lexLess(piece :: path(i), path(j))
+            }
+          if (better) { prod(j) = cp; k(j) = ck; path(j) = piece :: path(i) }
+        }
+        i += 1
+      }
+      j += 1
+    }
+    path(n).reverse.toArray
+  }
+
+  /** Is reversed path a lexicographically smaller than reversed path b?
+    * Paths are stored last-piece-first; compare from the WORD START. */
+  private def lexLess(a: List[String], b: List[String]): Boolean = {
+    val ra = a.reverse; val rb = b.reverse
+    val it = ra.iterator.zip(rb.iterator)
+    while (it.hasNext) {
+      val (x, y) = it.next()
+      val c = x.compareTo(y)
+      if (c != 0) return c < 0
+    }
+    ra.size < rb.size
+  }
+
+  def codePoints(w: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](w.length)
+    var ci = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      val cc = Character.charCount(cp)
+      out += w.substring(ci, ci + cc)
+      ci += cc
+    }
+    out.toArray
+  }
+
+  /** Static entry point shared by eval and generated code. */
+  def tokenize(text: UTF8String, model: Model): ArrayData = {
+    val words = text.toString.split("\\s+")
+    val out = new java.util.ArrayList[Any]()
+    // Per-invocation memo: Zipf-repeated words segment once per row.
+    val memo = new java.util.HashMap[String, Array[UTF8String]]()
+    var wi = 0
+    while (wi < words.length) {
+      val w = words(wi)
+      if (w.nonEmpty) {
+        var pieces = memo.get(w)
+        if (pieces == null) {
+          pieces = viterbi(codePoints(w), model)
+            .map(UTF8String.fromString)
+          memo.put(w, pieces)
+        }
+        var i = 0
+        while (i < pieces.length) { out.add(pieces(i)); i += 1 }
+      }
+      wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Count of array elements present in a FIXED string set shipped with
   * the plan — the join-free probe for decontamination-style "does this
   * doc share a gram with the (small) benchmark set" checks. The set is
@@ -2208,6 +2382,9 @@ object GraftFunctions {
     column(BpeMergePair(expr(c), left, right))
   def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeTokenize(expr(c), merges))
+  def unigramTokenize(c: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int): Column =
+    column(UnigramTokenize(expr(c), vocab, maxPieceLen))
   def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
       width: Int = 8): Column =
     column(HyperplaneSig(expr(c), planes, bands, width))

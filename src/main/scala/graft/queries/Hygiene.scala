@@ -968,6 +968,34 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  // --------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM vocabulary induction over the document corpus
+    * (Unigram.train, Kudo ACL 2018 with exact-integer hard-Viterbi EM):
+    * seed substring candidates, EM, and prune to a 45-piece vocabulary.
+    * The EM/prune loop is iterative, so the oracle is a pinned VALUES
+    * literal from an independent Python replay
+    * (tools/gen_unigram_oracle.py — the t23 pinned-oracle pattern). */
+  def unigramVocab(s: SparkSession, d: String): DataFrame =
+    graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800)
+      .orderBy("piece")
+
+  /** End-to-end unigram tokenizer training + serving: train the
+    * 45-piece vocabulary, then segment the whole corpus with it in one
+    * codegen'd exact-Viterbi pass (Unigram.tokenize) and emit per-doc
+    * token counts. */
+  def unigramTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800))
+    graft.ext.Unigram.tokenize(Tables.documents(s, d), "text", vocab,
+        maxPieceLen = 6)
+      .select(col("doc_id"),
+        size(col("unigram_tokens")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------- C4 filters
 
   /** Planted multi-line "pages" for the C4 cleaning gate: the synthetic
@@ -1083,5 +1111,9 @@ object HygieneQueries {
     QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
-      Some(PinnedOracles.t24BpeTokenCounts)))
+      Some(PinnedOracles.t24BpeTokenCounts)),
+    QueryDef("t34_unigram_vocab", unigramVocab,
+      Some(PinnedOracles.t34UnigramVocab)),
+    QueryDef("t35_unigram_token_counts", unigramTokenCounts,
+      Some(PinnedOracles.t35UnigramTokenCounts)))
 }

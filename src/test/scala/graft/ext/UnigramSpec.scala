@@ -1,0 +1,93 @@
+package graft.ext
+
+import graft.TestSpark
+import graft.functions.UnigramTokenize
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class UnigramSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("train: frequent whole words become pieces; vocab includes all " +
+      "single chars; counts are exact word frequencies") {
+    val df = Seq.fill(50)("cat dog").toDF("text")
+    val vocab = Unigram.train(df, "text", vocabSize = 12, maxPieceLen = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // 6 singles (a c d g o t) always present; 'cat'/'dog' win the EM.
+    assert(vocab.contains("cat") && vocab.contains("dog"))
+    assert(vocab("cat") === 50L && vocab("dog") === 50L)
+    assert(Seq("a", "c", "d", "g", "o", "t").forall(vocab.contains))
+  }
+
+  test("train: prune keeps singles and drops low-count multis down to " +
+      "the schedule target") {
+    // Many distinct rare words force a large seed; vocabSize below the
+    // seed exercises the 3/4 prune rounds. Singles survive every round.
+    val words = (0 until 40).map(i => s"w${i}x${i}")
+    val df = Seq(words.mkString(" ")).toDF("text")
+    val vocab = Unigram.train(df, "text", vocabSize = 20,
+      maxPieceLen = 4, seedSize = 200)
+    val pieces = vocab.collect().map(_.getString(0))
+    val singles = pieces.filter(_.codePointCount(0, 1) == 1)
+      .filter(_.length == 1)
+    assert(pieces.length <= math.max(20, singles.length))
+  }
+
+  test("viterbi: exact-integer likelihood, fewer-pieces then lex " +
+      "tiebreaks, UNK-as-char floor") {
+    // vocab: ab (4), a (2), b (2), c (1); T = 9.
+    val model = UnigramTokenize.buildModel(
+      Seq("ab" -> 4L, "a" -> 2L, "b" -> 2L, "c" -> 1L), 2)
+    def seg(w: String) =
+      UnigramTokenize.viterbi(UnigramTokenize.codePoints(w), model).toSeq
+    // "ab": [ab] scores 4/9 > [a][b] 4/81.
+    assert(seg("ab") === Seq("ab"))
+    // "abc": [ab][c] 4/81 beats [a][b][c] 4/729.
+    assert(seg("abc") === Seq("ab", "c"))
+    // "az": z unseen -> UNK floor count 1: [a][z].
+    assert(seg("az") === Seq("a", "z"))
+    // Exact tie in likelihood and k: [a][b] vs ... construct tie via
+    // equal counts: vocab x(2) y(2) xy absent -> only one path; instead
+    // test lex tie: pieces "aa"(2) and "a"(2): "aaa" paths [aa][a] and
+    // [a][aa] tie in product and k -> lex smaller ["a","aa"] wins.
+    val m2 = UnigramTokenize.buildModel(Seq("a" -> 2L, "aa" -> 2L), 2)
+    assert(UnigramTokenize.viterbi(
+      UnigramTokenize.codePoints("aaa"), m2).toSeq === Seq("a", "aa"))
+  }
+
+  test("tokenize expression: serving equals trainer segmentation and " +
+      "is codegen-stable across repeated words") {
+    val corpus = Seq.fill(30)("spark scan scans").toDF("text")
+    val vocab = Unigram.collectVocab(
+      Unigram.train(corpus, "text", vocabSize = 30, maxPieceLen = 5))
+    val out = Unigram.tokenize(
+        Seq("spark scans unknownzz").toDF("text"), "text", vocab,
+        maxPieceLen = 5)
+      .select(col("unigram_tokens")).head().getSeq[String](0)
+    // Every output token re-concatenates to the input words.
+    assert(out.mkString === "sparkscansunknownzz")
+    // 'spark' trained as a whole piece segments as itself.
+    assert(out.take(1) === Seq("spark"))
+    val model = UnigramTokenize.buildModel(vocab, 5)
+    val wordSegs = Seq("spark", "scans", "unknownzz").flatMap(w =>
+      UnigramTokenize.viterbi(UnigramTokenize.codePoints(w), model))
+    assert(out === wordSegs)
+  }
+
+  test("train is invariant to partitioning (single corpus-pass argmax)") {
+    // The single-char floor (count 1) does NOT scale with corpus size,
+    // so the invariant is physical-layout independence of the SAME
+    // rows, not count linearity.
+    val rows = Seq.fill(12)("alpha beta beta gamma delta")
+    val v1 = Unigram.train(
+        spark.sparkContext.parallelize(rows, 1).toDF("text"),
+        "text", vocabSize = 25, maxPieceLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    val v8 = Unigram.train(
+        spark.sparkContext.parallelize(rows, 8).toDF("text"),
+        "text", vocabSize = 25, maxPieceLen = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1))).sorted.toSeq
+    assert(v8 === v1)
+  }
+}
