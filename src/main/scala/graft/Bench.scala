@@ -167,7 +167,7 @@ object Bench {
       try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     }
-    val skews = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val skews = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     val results = benchDefs.map { q =>
       setSizing(q.name)
       skew.reset()
@@ -179,8 +179,8 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }
-      if (wantSkew) skew.worst().foreach { case (_, _, r) =>
-        skews(q.name) = math.rint(r * 100) / 100
+      if (wantSkew) skew.worst().foreach { case (mx, _, r) =>
+        skews(q.name) = (math.rint(r * 100) / 100, mx / 1000.0)
       }
       q.name -> times.min
     }
@@ -188,7 +188,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val skewJson = if (skews.nonEmpty)
-      skews.map { case (k, v) => "\"" + k + "\":" + v }
+      skews.map { case (k, (r, mx)) =>
+        "\"" + k + "\":{\"ratio\":" + r + ",\"max_task_s\":" + mx + "}" }
         .mkString(",\"task_skew\":{", ",", "}")
     else ""
     val mbpsR = math.rint(mbps * 10) / 10

@@ -660,14 +660,27 @@ object Dedup {
     * t = 0.8 the index (and the candidate surface that drives the
     * join cost) shrinks ~5x; stopword-gram floods cost nothing.
     *
-    * Plan: a partial-aggregated df count joined back on the gram (the
-    * skew-safe shape — see keepHotBuckets), one doc-keyed
-    * shuffle rebuilding the ordered gram array, in-bucket candidate
-    * expansion over the exploded prefix (no self-join), then the exact
-    * verify joins the candidate pairs back against the (doc, grams)
-    * frame — candidates only; the corpus never carries an exploded
-    * gram column into a join. The threshold test is cross-multiplied
-    * integer arithmetic; the reported jaccard is the exact ratio.
+    * Plan: the global gram order comes from a BOUNDED heavy-gram table
+    * — one partial-aggregated top-`hotCap` df aggregation, collected
+    * driver-side (≤ hotCap rows of metadata, the centroid/codebook
+    * pattern) and shipped into the codegen'd
+    * [[GraftFunctions.rarestFirstSort]] projection. The prefix theorem
+    * needs only a CONSISTENT total order shared by all docs, and by
+    * Zipf the candidate surface is governed by where the heavy grams
+    * sort (last) — which the table captures exactly; the rare tail
+    * orders among itself by bytes. This removes BOTH corpus-sized
+    * shuffles the exact-df formulation pays (the df join against the
+    * exploded frame and the doc-keyed regroup): per-doc ordering and
+    * the prefix slice are narrow projections straight off the gram
+    * scan, and it is skew-safe by construction — no per-gram row
+    * co-location anywhere (the count aggregate is map-side combined;
+    * the bucket filter uses the aggregate+join shape of
+    * keepHotBucketsSkewSafe). Then in-bucket candidate expansion over
+    * the exploded prefix (no self-join), and the exact verify joins
+    * the candidate pairs back against the (doc, grams) frame —
+    * candidates only; the corpus never carries an exploded gram column
+    * into a join. The threshold test is cross-multiplied integer
+    * arithmetic; the reported jaccard is the exact ratio.
     *
     * `maxDocsPerGram` > 0 additionally caps candidate buckets (belt and
     * braces for adversarial corpora at low thresholds; unlike the d4
@@ -676,31 +689,28 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, thresholdPct: Int = 50,
-      maxDocsPerGram: Int = 0): DataFrame = {
+      maxDocsPerGram: Int = 0, hotCap: Int = 65536): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct out of range: $thresholdPct")
+    require(hotCap >= 1, s"hotCap out of range: $hotCap")
     val grams = df
       .select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
       .where(size(col("grams")) > 0)
       .withColumn("ng", size(col("grams")))
-    // df per gram as a partial-aggregated count joined back (NOT a
-    // count window): see keepHotBuckets — a per-gram window has no
-    // map-side combine and makes every stop-word gram a straggler task
-    // on a Zipfian corpus, while the aggregate+join shape is map-side
-    // combined and AQE-skew-splittable.
-    val exploded = grams
-      .select(col("doc_id"), col("ng"), explode(col("grams")).as("gram"))
-    val gramDf = exploded.groupBy(col("gram"))
-      .agg(count(lit(1)).as("df"))
-    val inv = exploded.join(gramDf, "gram")
-    // Rarest-first global order, rebuilt per doc; ⌈t·ng⌉ in integers.
-    val ordered = inv.groupBy(col("doc_id"), col("ng"))
-      .agg(sort_array(collect_list(struct(col("df"), col("gram")))).as("gs"))
+    // Bounded heavy-gram table: per-doc-distinct grams, so count = df.
+    val hot = grams.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("gram")).limit(hotCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    // Rarest-first global order + ⌈t·ng⌉ prefix, all narrow.
+    val ordered = grams
+      .withColumn("gsorted",
+        GraftFunctions.rarestFirstSort(col("grams"), hot))
       .withColumn("plen",
         col("ng") - expr(s"(($thresholdPct * ng + 99) div 100)") + 1)
     val prefix = ordered
       .select(col("doc_id"),
-        explode(slice(col("gs.gram"), lit(1), col("plen"))).as("gram"))
+        explode(slice(col("gsorted"), lit(1), col("plen"))).as("gram"))
     val cap = if (maxDocsPerGram > 0) maxDocsPerGram else Int.MaxValue
     val cand = bucketPairs(prefix, Seq("gram"), "doc_id", cap,
       skewSafe = true)

@@ -34,15 +34,28 @@ object Graphs {
     * no 3-way self-join of the raw edges. Input direction and
     * duplicate/self edges are normalized away first.
     *
+    * The wedge frame is still Θ(Σ d_out²) rows and MOST wedges never
+    * close (triangles ≪ wedges on any sparse graph), yet the closing
+    * semi-join would shuffle every one of them on (y, z). A broadcast
+    * BLOOM filter over the normalized edge set — built in one
+    * partial-aggregated scan of the RAW pairs, duplicates harmless,
+    * no distinct shuffle — drops non-closing wedges MAP-SIDE before
+    * that exchange, cutting the one superlinear shuffle to
+    * ~triangles + fpp·wedges bytes (the sf1 probe measured the wedge
+    * exchange as g1's entire cost envelope). False positives are
+    * re-checked by the exact semi-join; false negatives cannot occur,
+    * so the result is exact at any fpp. `closeBloomFpp = 0` disables
+    * the pre-filter (plan-shape A/Bs).
+    *
     * Output: (node, n_triangles), the `topK` nodes by
     * (n_triangles desc, node) — or all nodes when topK = 0.
     */
   def triangleCounts(edges: DataFrame, src: String, dst: String,
-      topK: Int = 0): DataFrame = {
-    val e = edges.select(
+      topK: Int = 0, closeBloomFpp: Double = 0.03): DataFrame = {
+    val rawPairs = edges.select(
         least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-      .distinct()
+    val e = rawPairs.distinct()
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -59,7 +72,20 @@ object Graphs {
       .join(oriented.select(col("a"), col("b").as("z"), col("rb").as("rz")), "a")
       .where(col("ry") < col("rz"))
       .select(col("a").as("x"), col("y"), col("z"))
-    val triangles = wedges.join(
+    // Map-side non-closing-wedge drop: membership is on the UNDIRECTED
+    // pair, so the canonical (least, greatest) key built from raw pairs
+    // equals the oriented (y, z) probe — orientation always directs the
+    // id-normalized edge the same way for a fixed degree table.
+    val prefiltered =
+      if (closeBloomFpp <= 0.0) wedges
+      else {
+        val nPairs = math.max(rawPairs.count(), 1L)
+        val bloom = Scale.keyBloom(rawPairs,
+          struct(col("u"), col("v")), nPairs, closeBloomFpp)
+        wedges.where(Scale.mightContainKey(bloom,
+          struct(least(col("y"), col("z")), greatest(col("y"), col("z")))))
+      }
+    val triangles = prefiltered.join(
       oriented.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))

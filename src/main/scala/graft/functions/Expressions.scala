@@ -1108,6 +1108,80 @@ object BpeTokenize {
   }
 }
 
+/** Sorts a gram array into a consistent corpus-global "rarest-first"
+  * order using a BOUNDED driver-collected heavy-gram table shipped with
+  * the plan: grams found in the table sort by their true document
+  * frequency (then bytewise), all others by the floor df=1 (then
+  * bytewise). The prefix-filter theorem (Chaudhuri et al., ICDE 2006)
+  * needs only SOME consistent total order of tokens shared by all
+  * documents — true-df rarest-first is purely a candidate-minimizing
+  * heuristic, and by Zipf the candidate surface is governed by where
+  * the HEAVY grams sort (last), which the top-K table captures exactly;
+  * ordering the rare tail among itself by bytes instead of df changes
+  * candidate counts marginally and results not at all. What the bounded
+  * table buys at scale: per-document ordering becomes this one
+  * codegen'd narrow projection — no corpus-sized df join and no
+  * doc-keyed regroup shuffle (the exact-df formulation pays both).
+  */
+case class RarestFirstSort(child: Expression, hot: Array[(String, Long)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rarest_first_sort expects ARRAY<STRING>, got ${t.sql}")
+    }
+  }
+
+  @transient private lazy val map: java.util.HashMap[UTF8String, java.lang.Long] = {
+    val m = new java.util.HashMap[UTF8String, java.lang.Long](
+      math.max(16, hot.length * 2))
+    hot.foreach { case (g, d) => m.put(UTF8String.fromString(g), d) }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    RarestFirstSort.sort(input.asInstanceOf[ArrayData], map)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("hotGrams", map, "java.util.HashMap")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.RarestFirstSort.sort($c, $m);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object RarestFirstSort {
+  /** Static entry point shared by eval and generated code. */
+  def sort(arr: ArrayData,
+      hot: java.util.HashMap[UTF8String, java.lang.Long]): ArrayData = {
+    val n = arr.numElements()
+    val elems = new Array[UTF8String](n)
+    val dfs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val g = arr.getUTF8String(i)
+      elems(i) = g
+      val d = hot.get(g)
+      dfs(i) = if (d == null) 1L else d.longValue
+      i += 1
+    }
+    val idx = Array.range(0, n).sortWith { (a, b) =>
+      if (dfs(a) != dfs(b)) dfs(a) < dfs(b)
+      else elems(a).compareTo(elems(b)) < 0
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      idx.map(elems(_)).asInstanceOf[Array[Any]])
+  }
+}
+
 /** Unigram-LM (SentencePiece-style) subword tokenization with a learned
   * piece vocabulary — the serving half of [[graft.ext.Unigram]]; one
   * codegen'd pass per row, no joins, no state. Each whitespace word is
@@ -2385,6 +2459,8 @@ object GraftFunctions {
   def unigramTokenize(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column =
     column(UnigramTokenize(expr(c), vocab, maxPieceLen))
+  def rarestFirstSort(c: Column, hot: Array[(String, Long)]): Column =
+    column(RarestFirstSort(expr(c), hot))
   def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
       width: Int = 8): Column =
     column(HyperplaneSig(expr(c), planes, bands, width))
