@@ -270,6 +270,70 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Scalar-quantized (SQ8, FAISS terminology) top-k — the
+    * 4x-compression tier between raw floats and [[pqTopK]]: each
+    * dimension is affinely quantized to one byte against per-dimension
+    * corpus [min, max] stats, so the ADC scan reads a quarter of the
+    * bytes at far better fidelity than PQ's m-byte codes (256 levels
+    * PER DIMENSION vs per-subspace centroids). The standard serving
+    * ladder is SQ8 when memory budget allows, PQ when it doesn't.
+    *
+    * Scale shape — the corpus is NEVER shuffled:
+    *  1. Stats: one partial-aggregated posexplode min/max per dimension
+    *     (2·dim doubles collected — bounded metadata, the
+    *     centroid/codebook pattern).
+    *  2. Encode: one narrow codegen'd pass ([[GraftFunctions.sq8Encode]])
+    *     to a dim-byte BINARY column.
+    *  3. ADC: broadcast the (small) query batch, score codes in place
+    *     with the fused reconstruction dot ([[GraftFunctions.sq8Adc]]);
+    *     top-`rerank` per query via the capacity-bounded aggregator, so
+    *     only Q·rerank·partitions rows cross the one shuffle.
+    *  4. Exact float cosine re-rank of the candidates via broadcast
+    *     joins, keep k.
+    *
+    * Composes with IVF exactly as PQ does (swap the in-bucket scorer);
+    * kept flat here as the mid-tier reference point. Recall < 1 by
+    * construction; raise `rerank` first.
+    */
+  def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      rerank: Int = 20, excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"sq8TopK: rerank=$rerank < k=$k")
+    val stats = corpus
+      .select(posexplode(col("cvec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = stats.map(_._2)
+    val maxs = stats.map(_._3)
+
+    val encoded = corpus.select(col("cid"),
+      GraftFunctions.sq8Encode(col("cvec"), mins, maxs).as("codes"))
+
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encoded.crossJoin(broadcast(queries))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.sq8Adc(col("codes"), col("qvec"), mins, maxs).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    corpus.join(broadcast(candidates), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** Composed IVF-PQ top-k — the 100 TB ANN architecture: IVF pruning
     * decides WHICH vectors are scored, PQ compression decides HOW CHEAPLY,
     * and an exact float re-rank repairs quantization error on the

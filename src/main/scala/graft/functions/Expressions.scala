@@ -1108,6 +1108,127 @@ object BpeTokenize {
   }
 }
 
+/** Scalar (int8) quantization of a float vector against per-dimension
+  * corpus [min, max] ranges — the 4x-compression tier between raw
+  * floats and product quantization (FAISS SQ8): each dimension maps
+  * affinely onto 0..255, `round((x-min)·255/(max-min))` clamped. The
+  * stats are 2·dim doubles broadcast with the plan (vs a PQ codebook's
+  * m·k·subDim), the encode is one codegen'd narrow pass, and the
+  * quantization arithmetic is plain double ops in a pinned order so an
+  * independent engine replays codes bit-identically. A degenerate
+  * dimension (max == min) encodes 0.
+  */
+case class Sq8Encode(child: Expression, mins: Array[Double],
+    maxs: Array[Double]) extends UnaryExpression {
+  require(mins.length == maxs.length, "sq8_encode: mins/maxs length mismatch")
+
+  override def dataType: DataType = BinaryType
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_encode expects ARRAY<FLOAT>, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    Sq8Encode.encode(input.asInstanceOf[ArrayData], mins, maxs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val mx = ctx.addReferenceObj("sq8Maxs", maxs, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.Sq8Encode.encode($c, $mn, $mx);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Sq8Encode {
+  /** Shared by eval and generated code. Mirrored by the s12 oracle:
+    * LEAST(255, GREATEST(0, round((x - mn)·255/(mx - mn)))). */
+  def encode(vec: ArrayData, mins: Array[Double],
+      maxs: Array[Double]): Array[Byte] = {
+    val d = math.min(vec.numElements(), mins.length)
+    val out = new Array[Byte](d)
+    var j = 0
+    while (j < d) {
+      val x = vec.getFloat(j).toDouble
+      val span = maxs(j) - mins(j)
+      val q =
+        if (span == 0.0) 0L
+        else Math.round((x - mins(j)) * 255 / span)
+      out(j) = Math.min(255L, Math.max(0L, q)).toByte
+      j += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric SQ8 distance (ADC): the dot product of a FLOAT query
+  * against the affine reconstruction of an [[Sq8Encode]] code,
+  * `Σ_j q_j · (min_j + code_j · (max_j−min_j)/255)`, accumulated in
+  * dimension order so the double sum is bit-reproducible across
+  * engines. One fused codegen'd loop per (query, code) pair — the
+  * scan-side scorer that reads 1 byte/dim instead of 4.
+  */
+case class Sq8Adc(codes: Expression, query: Expression,
+    mins: Array[Double], maxs: Array[Double]) extends BinaryExpression {
+  require(mins.length == maxs.length, "sq8_adc: mins/maxs length mismatch")
+
+  override def left: Expression = codes
+  override def right: Expression = query
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes() = {
+    (codes.dataType, query.dataType) match {
+      case (BinaryType, ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sq8_adc expects (BINARY, ARRAY<FLOAT>), got (${l.sql}, ${r.sql})")
+    }
+  }
+
+  override def nullSafeEval(c: Any, q: Any): Any =
+    Sq8Adc.adc(c.asInstanceOf[Array[Byte]], q.asInstanceOf[ArrayData],
+      mins, maxs)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mn = ctx.addReferenceObj("sq8Mins", mins, "double[]")
+    val mx = ctx.addReferenceObj("sq8Maxs", maxs, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.Sq8Adc.adc($c, $q, $mn, $mx);")
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): Expression = copy(codes = newLeft, query = newRight)
+}
+
+object Sq8Adc {
+  /** Shared by eval and generated code. Mirrored by the s12 oracle:
+    * list_aggregate(list_transform(..., j -> q[j]·(mn[j] +
+    * code[j]·((mx[j]−mn[j])/255))), 'sum') — same term form, same
+    * left-to-right accumulation. */
+  def adc(codes: Array[Byte], query: ArrayData, mins: Array[Double],
+      maxs: Array[Double]): Double = {
+    val d = math.min(codes.length, query.numElements())
+    var sum = 0.0
+    var j = 0
+    while (j < d) {
+      val step = (maxs(j) - mins(j)) / 255
+      sum += query.getFloat(j).toDouble *
+        (mins(j) + (codes(j) & 0xFF).toDouble * step)
+      j += 1
+    }
+    sum
+  }
+}
+
 /** Sorts a gram array into a consistent corpus-global "rarest-first"
   * order using a BOUNDED driver-collected heavy-gram table shipped with
   * the plan: grams found in the table sort by their true document
@@ -2461,6 +2582,11 @@ object GraftFunctions {
     column(UnigramTokenize(expr(c), vocab, maxPieceLen))
   def rarestFirstSort(c: Column, hot: Array[(String, Long)]): Column =
     column(RarestFirstSort(expr(c), hot))
+  def sq8Encode(c: Column, mins: Array[Double], maxs: Array[Double]): Column =
+    column(Sq8Encode(expr(c), mins, maxs))
+  def sq8Adc(codes: Column, query: Column, mins: Array[Double],
+      maxs: Array[Double]): Column =
+    column(Sq8Adc(expr(codes), expr(query), mins, maxs))
   def hyperplaneSig(c: Column, planes: Array[Array[Double]], bands: Int,
       width: Int = 8): Column =
     column(HyperplaneSig(expr(c), planes, bands, width))

@@ -581,6 +581,53 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  /** Flat SQ8 (int8 scalar quantization) top-k (ext Similarity.sq8TopK):
+    * per-dimension [min,max] stats, byte encode, asymmetric
+    * reconstruction-dot scan, rerank-20 exact-cosine cut to top-5. */
+  def knnSq8(s: SparkSession, d: String): DataFrame =
+    Similarity.sq8TopK(corpus(s, d), queriesDf(s, d), k = 5, rerank = 20)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  /** Full replay of the SQ8 pipeline: DuckDB re-derives the per-dim
+    * min/max stats, the affine byte codes (round clamped to 0..255),
+    * the ADC reconstruction dots (ascending-j double sums, the same
+    * term form and order as the codegen'd loop), the rerank cut, and
+    * the exact-cosine re-rank. Ranks compared, as in s1/s6. */
+  private val knnSq8Oracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |dims AS (SELECT unnest(range(1, 65)) AS j),
+      |st AS (
+      | SELECT j, min(CAST(v[j] AS DOUBLE)) AS mn, max(CAST(v[j] AS DOUBLE)) AS mx
+      | FROM c CROSS JOIN dims GROUP BY j),
+      |mm AS (
+      | SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+      |enc AS (
+      | SELECT cid, list_transform(range(1, 65), j ->
+      |   LEAST(255, GREATEST(0, CAST(round(
+      |     (CAST(v[j] AS DOUBLE) - mns[j]) * 255 / (mxs[j] - mns[j])) AS BIGINT)))) AS code
+      | FROM c CROSS JOIN mm),
+      |adc AS (
+      | SELECT e.cid, q.qid,
+      |  list_aggregate(list_transform(range(1, 65), j ->
+      |    CAST(q.qv[j] AS DOUBLE) *
+      |    (mns[j] + CAST(e.code[j] AS DOUBLE) * ((mxs[j] - mns[j]) / 255))),
+      |    'sum') AS score
+      | FROM enc e CROSS JOIN q CROSS JOIN mm
+      | WHERE e.cid <> q.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= 20)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def knnPq(s: SparkSession, d: String): DataFrame =
     Similarity.pqTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64,
         m = 8, codes = 16, rerank = 20)
@@ -1509,6 +1556,7 @@ object ExtensionQueries {
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
+    QueryDef("s12_knn_sq8", knnSq8, Some(knnSq8Oracle)),
     QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle), bench = true),
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
