@@ -217,6 +217,40 @@ object StreamingQueries {
     s.table(name).orderBy("doc_id")
   }
 
+  /** Tokenize-at-ingest (Unigram.tokenize over a document stream): the
+    * vocabulary is trained in BATCH (the one corpus pass + driver EM),
+    * then ships inside the codegen'd exact-Viterbi expression — a
+    * STATELESS narrow projection, so the streaming per-doc token counts
+    * must equal the batch t35 gate row-for-row against the same pinned
+    * oracle, with no state store involved. This is the serving split a
+    * real pipeline runs: train offline, tokenize on the ingest path. */
+  def tokenizeStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st18_").toString
+    docs.repartition(2).write.mode("overwrite").parquet(tmp)
+    val vocab = graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800))
+    val name = "st18_tokenize_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val q = graft.ext.Unigram.tokenize(src, "text", vocab, maxPieceLen = 6)
+      .select(col("doc_id"),
+        size(col("unigram_tokens")).cast("long").as("n_tokens"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(name).orderBy("doc_id")
+  }
+
   /** Stream-static enrichment: the streaming events join a broadcast
     * static user→segment dimension per micro-batch (stateless — nothing
     * buffered, unlike the stream-stream join), then a complete-mode
@@ -519,6 +553,8 @@ object StreamingQueries {
       Some(ExtensionQueries.dedupPipelineOracle)),
     QueryDef("st12_decontam_stream", decontamStream,
       Some(HygieneQueries.decontamCleanOracle)),
+    QueryDef("st18_tokenize_stream", tokenizeStream,
+      Some(PinnedOracles.t35UnigramTokenCounts)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
