@@ -559,7 +559,7 @@ object Scale {
     * (`null_page`) carries no value bounds and cannot match a value
     * predicate. */
   final case class PageEntry(
-      file: String, row_group: Int, column: String, page: Int,
+      file: String, file_len: Long, row_group: Int, column: String, page: Int,
       first_row: Long, row_count: Long, null_page: Boolean,
       min_long: java.lang.Long, max_long: java.lang.Long,
       min_dbl: java.lang.Double, max_dbl: java.lang.Double,
@@ -581,16 +581,46 @@ object Scale {
     * actually clustered the column) as ordinary SQL over this frame. */
   def pageIndex(spark: SparkSession, dir: String,
       cols: Seq[String]): DataFrame = {
-    require(cols.nonEmpty, "pageIndex: no columns requested")
     val files = listDataFiles(spark, dir)
     require(files.nonEmpty, s"pageIndex: no parquet files under $dir")
+    harvestPageEntries(spark, files, cols)
+  }
+
+  /** Incremental page-index maintenance — [[zoneMapIncremental]]'s
+    * new-files-only refresh applied to the page-granular index: entries
+    * for still-present same-length files are TRUSTED from `prev`
+    * (immutable data files), vanished files drop out, only newly landed
+    * files' footers are read. `prev` must have been built by
+    * [[pageIndex]]/this over the same `cols`. */
+  def pageIndexIncremental(spark: SparkSession, dir: String,
+      cols: Seq[String], prev: DataFrame): DataFrame = {
+    require(cols.nonEmpty, "pageIndexIncremental: no columns requested")
+    val current = listDataFiles(spark, dir)
+    require(current.nonEmpty, s"pageIndexIncremental: no parquet files under $dir")
+    val currentByPath = current.toMap
+    val prevFiles = prev.select("file", "file_len").distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val keepPrev = prevFiles.filter { case (f, len) =>
+      currentByPath.get(f).contains(len) }.map(_._1).toSet
+    val newFiles = current.filterNot { case (f, _) => keepPrev.contains(f) }
+    val kept = prev.where(col("file").isInCollection(
+      if (keepPrev.isEmpty) Seq("") else keepPrev.toSeq))
+    if (newFiles.isEmpty) kept
+    else kept.unionByName(harvestPageEntries(spark, newFiles, cols))
+  }
+
+  /** Footer column+offset-index harvest over an explicit file list (the
+    * distributed half of [[pageIndex]]). */
+  private def harvestPageEntries(spark: SparkSession,
+      files: Seq[(String, Long)], cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "pageIndex: no columns requested")
     import org.apache.hadoop.fs.Path
     val env = new ConfEnvelope(spark.sparkContext.hadoopConfiguration)
     val wanted = cols.toArray
     import spark.implicits._
     spark.sparkContext
       .parallelize(files, math.max(1, math.min(files.size, 64)))
-      .flatMap { case (f, _) =>
+      .flatMap { case (f, fLen) =>
         import org.apache.parquet.hadoop.ParquetFileReader
         import org.apache.parquet.hadoop.util.HadoopInputFile
         import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
@@ -606,7 +636,7 @@ object Scale {
               block.getColumns.forEach(c =>
                 byPath(c.getPath.toDotString) = c)
               wanted.iterator.flatMap { name =>
-                val unknown = PageEntry(f, bi, name, -1, -1L,
+                val unknown = PageEntry(f, fLen, bi, name, -1, -1L,
                   block.getRowCount, false,
                   null, null, null, null, null, null)
                 byPath.get(name) match {
@@ -627,8 +657,8 @@ object Scale {
                           (if (pi + 1 < n) oi.getFirstRowIndex(pi + 1)
                            else block.getRowCount) - first
                         val isNull = nullPages.get(pi)
-                        val base = PageEntry(f, bi, name, pi, first, rows,
-                          isNull, null, null, null, null, null, null)
+                        val base = PageEntry(f, fLen, bi, name, pi, first,
+                          rows, isNull, null, null, null, null, null, null)
                         def le(i: Int, bufs: java.util.List[
                             java.nio.ByteBuffer]) = bufs.get(i)
                           .duplicate()
@@ -700,5 +730,76 @@ object Scale {
     if (keep.isEmpty)
       spark.read.parquet(dir).where(lit(false)).where(pred)
     else spark.read.parquet(keep: _*).where(pred)
+  }
+
+  /** Layout-quality report from the page index: per column, how well
+    * the physical layout CLUSTERS the values — the number every
+    * sort/z-order decision should be driven by, measured from footers
+    * alone (no data read). For each requested integral column:
+    *
+    *  - `n_pages` / `n_files`: index granularity.
+    *  - `avg_width_frac`: mean page width (max−min) over the global
+    *    width — ~pageRows/totalRows on perfectly clustered data, →1 on
+    *    random layouts (every page spans everything).
+    *  - `overlap_frac`: fraction of adjacent page pairs (globally
+    *    sorted by (min, max)) whose ranges overlap — 0 on perfectly
+    *    clustered, →1 on random. (1 − avg_width_frac is the expected
+    *    fraction of pages a uniform-random point predicate skips.)
+    *
+    * A column with high overlap/width is the one to [[zOrderBy]] or
+    * range-repartition on; re-running the report after the rewrite
+    * quantifies the gain. Pages without usable long stats are ignored
+    * (reported in `n_unknown_pages`). The whole computation aggregates
+    * the page-index relation — driver holds one row per column.
+    *
+    * Scale shape: the adjacency count is a per-column window over the
+    * PAGE INDEX, which is ~1/20000th of the data rows (one entry per
+    * ~20k-row page) — metadata-sized well into the tens of TB. For a
+    * table whose page index itself is huge, `sampleFrac` < 1 keeps a
+    * deterministic hash-sample of pages (unbiased width estimate;
+    * overlap measured among sampled neighbours) so the window input
+    * stays bounded. */
+  def clusteringReport(spark: SparkSession, dir: String,
+      cols: Seq[String], sampleFrac: Double = 1.0): DataFrame = {
+    require(sampleFrac > 0.0 && sampleFrac <= 1.0,
+      s"clusteringReport: sampleFrac=$sampleFrac out of (0, 1]")
+    val pmAll = pageIndex(spark, dir, cols)
+      .where(col("page") >= 0)
+    val pm =
+      if (sampleFrac >= 1.0) pmAll
+      else pmAll.where(pmod(xxhash64(col("file"), col("row_group"),
+          col("column"), col("page")), lit(1000000L))
+        < lit((sampleFrac * 1000000L).toLong))
+    val known = pm.where(!col("null_page") &&
+      col("min_long").isNotNull && col("max_long").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("column")).orderBy(col("min_long"), col("max_long"))
+    known
+      .withColumn("prev_max", lag(col("max_long"), 1).over(w))
+      .groupBy(col("column"))
+      .agg(
+        count(lit(1)).as("n_pages"),
+        countDistinct(col("file")).as("n_files"),
+        min(col("min_long")).as("g_min"),
+        max(col("max_long")).as("g_max"),
+        sum(col("max_long") - col("min_long")).as("width_sum"),
+        sum(when(col("prev_max").isNotNull &&
+            col("min_long") <= col("prev_max"), 1L).otherwise(0L))
+          .as("n_overlaps"))
+      .join(
+        pm.groupBy(col("column"))
+          .agg(sum(when(col("null_page") || col("min_long").isNull ||
+              col("max_long").isNull, 1L).otherwise(0L))
+            .as("n_unknown_pages")),
+        Seq("column"))
+      .select(col("column"), col("n_pages"), col("n_files"),
+        col("n_unknown_pages"),
+        when(col("g_max") > col("g_min"),
+          col("width_sum").cast("double") /
+            (col("n_pages") * (col("g_max") - col("g_min"))))
+          .otherwise(lit(0.0)).as("avg_width_frac"),
+        when(col("n_pages") > 1,
+          col("n_overlaps").cast("double") / (col("n_pages") - 1))
+          .otherwise(lit(0.0)).as("overlap_frac"))
   }
 }

@@ -452,6 +452,81 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Composed IVF-SQ8 top-k: IVF pruning decides WHICH vectors are
+    * scored, int8 scalar quantization decides HOW CHEAPLY — the same
+    * architecture as [[ivfPqTopK]] with the in-bucket scorer swapped
+    * from PQ codes (m bytes, per-subspace centroids) to SQ8 codes (dim
+    * bytes, 256 levels PER dimension): 4x the code size of m=8 PQ but
+    * far better fidelity, so the rerank cut can run tighter. This is
+    * the serving ladder's memory/recall midpoint; stats are 2·dim
+    * doubles vs a PQ codebook. Index build is one narrow pass (assign
+    * + encode fused), probes broadcast, corpus never shuffled, exact
+    * float rerank on survivors. */
+  def ivfSq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobe: Int, rerank: Int = 20,
+      excludeSelf: Boolean = true): DataFrame = {
+    require(rerank >= k, s"ivfSq8TopK: rerank=$rerank < k=$k")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"ivfSq8TopK: nprobe=$nprobe out of range [1, $nlist]")
+    val hashKey = pmod(col("cid") * lit(2654435761L), lit(2147483647L))
+
+    val centroidsDf = corpus.orderBy(hashKey, col("cid"))
+      .limit(nlist)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val centRows = centroidsDf.orderBy("centroid_id").collect()
+    require(centRows.length == nlist,
+      s"ivfSq8TopK: corpus smaller than nlist=$nlist")
+    val centIds = centRows.map(_.getLong(0))
+    val centVecs = centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
+
+    val stats = corpus
+      .select(posexplode(col("cvec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    val mins = stats.map(_._2)
+    val maxs = stats.map(_._3)
+
+    // Index build: assign + encode in ONE narrow pass, no exchange.
+    val encoded = corpus.select(col("cid"),
+      GraftFunctions.nearestCentroid(col("cvec"), centIds, centVecs)
+        .as("centroid_id"),
+      GraftFunctions.sq8Encode(col("cvec"), mins, maxs).as("codes"))
+
+    val probeAgg = udaf(new TopKAggregator(nprobe), Encoders.product[Scored])
+    val probes = queries.crossJoin(broadcast(centroidsDf))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
+      .groupBy(col("qid"))
+      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
+        first(col("qvec")).as("qvec"))
+      .select(col("qid"), col("qvec"), explode(col("top.id")).as("centroid_id"))
+
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encoded.join(broadcast(probes), Seq("centroid_id"))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.sq8Adc(col("codes"), col("qvec"), mins, maxs).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    corpus.join(broadcast(candidates), Seq("cid"))
+      .join(broadcast(queries), Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.
     * Centroids are a deterministic hash-ordered sample of the corpus,
     * optionally refined with `refineIters` Lloyd rounds

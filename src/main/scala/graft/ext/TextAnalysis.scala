@@ -973,22 +973,28 @@ object TextAnalysis {
     * deliberately uniform: the mean-term form already normalizes by doc
     * length, and at corpus scale the token likelihood dominates.
     *
-    * Plan shape: the model rides ONE shuffle join keyed on the token
-    * (per-class totals and V broadcast as scalars); per-(doc, class)
+    * Plan shape: the (label, token, count) model is BROADCAST by
+    * default — a trained NB model is reference-set-sized (the same
+    * MBs-vs-TBs premise as decontamination), and broadcasting it makes
+    * the token join a map-side hash probe, so the exploded corpus is
+    * never shuffled on the Zipf-skewed token key; per-(doc, class)
     * partial sums aggregate map-side, the candidate frame is docs ×
     * classes (classes are a constant), and the argmax is a per-doc
     * window with a pinned (score desc, label asc) tiebreak. Nothing is
     * ever all-pairs and no data row reaches the driver.
+    * `broadcastModel = false` falls back to a shuffle join (AQE
+    * skew-splittable) for a model too large to broadcast.
     */
   def nbClassify(docs: DataFrame, text: String, id: String,
       tokenCounts: DataFrame, classCounts: DataFrame,
-      scale: Long = 1000000000L): DataFrame = {
+      scale: Long = 1000000000L, broadcastModel: Boolean = true): DataFrame = {
     require(scale >= 1L, s"scale=$scale")
     val vocab = tokenCounts.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
     val docToks = docs.select(col(id), explode(lmToks(text)).as("w"))
     val docLen = docToks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
-    val found = docToks.join(tokenCounts, Seq("w"))
+    val found = docToks.join(
+        if (broadcastModel) broadcast(tokenCounts) else tokenCounts, Seq("w"))
       .join(broadcast(classCounts), Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col(id), col("label"),

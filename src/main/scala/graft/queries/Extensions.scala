@@ -693,6 +693,72 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  /** Composed IVF-SQ8 under REAL pruning (nprobe 5 of nlist 20) — the
+    * in-bucket scorer of s8's architecture swapped from PQ to int8
+    * scalar codes; full DuckDB replay of centroids, assignment, probes,
+    * SQ8 encode/ADC, rerank cut, and exact re-rank. */
+  def knnIvfSq8(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfSq8TopK(corpus(s, d), queriesDf(s, d), k = 5,
+        nlist = 20, nprobe = 5, rerank = 20)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  private val knnIvfSq8Oracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, centroid_id FROM (
+      |  SELECT c.cid, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |dims AS (SELECT unnest(range(1, 65)) AS j),
+      |st AS (
+      | SELECT j, min(CAST(v[j] AS DOUBLE)) AS mn, max(CAST(v[j] AS DOUBLE)) AS mx
+      | FROM c CROSS JOIN dims GROUP BY j),
+      |mm AS (
+      | SELECT list(mn ORDER BY j) AS mns, list(mx ORDER BY j) AS mxs FROM st),
+      |enc AS (
+      | SELECT cid, list_transform(range(1, 65), j ->
+      |   LEAST(255, GREATEST(0, CAST(round(
+      |     (CAST(v[j] AS DOUBLE) - mns[j]) * 255 / (mxs[j] - mns[j])) AS BIGINT)))) AS code
+      | FROM c CROSS JOIN mm),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |adc AS (
+      | SELECT e.cid, p.qid,
+      |  list_aggregate(list_transform(range(1, 65), j ->
+      |    CAST(p.qv[j] AS DOUBLE) *
+      |    (mns[j] + CAST(e.code[j] AS DOUBLE) * ((mxs[j] - mns[j]) / 255))),
+      |    'sum') AS score
+      | FROM probes p
+      | JOIN assigned a USING (centroid_id)
+      | JOIN enc e ON e.cid = a.cid
+      | CROSS JOIN mm
+      | WHERE e.cid <> p.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= 20)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   def knnIvfPqReplay(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64,
         nlist = 20, nprobe = 5, m = 8, codes = 16, rerank = 20)
@@ -1557,6 +1623,7 @@ object ExtensionQueries {
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
     QueryDef("s6_knn_pq", knnPq, Some(knnPqOracle)),
     QueryDef("s12_knn_sq8", knnSq8, Some(knnSq8Oracle)),
+    QueryDef("s13_knn_ivfsq8", knnIvfSq8, Some(knnIvfSq8Oracle)),
     QueryDef("s7_knn_ivfpq", knnIvfPq, Some(knnOracle), bench = true),
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),

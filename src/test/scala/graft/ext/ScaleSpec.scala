@@ -318,16 +318,39 @@ class ScaleSpec extends AnyFunSuite {
       else hc.set("parquet.page.row.count.limit", prevLimit)
     }
     val pi = Scale.pageIndex(spark, dir, Seq("k")).collect()
-      .sortBy(r => (r.getInt(1), r.getInt(3)))
+      .sortBy(r => (r.getAs[Int]("row_group"), r.getAs[Int]("page")))
     assert(pi.length >= 5, "page.row.count.limit=100 must yield many pages")
-    assert(pi.forall(_.getInt(3) >= 0), "column index present on every chunk")
+    assert(pi.forall(_.getAs[Int]("page") >= 0),
+      "column index present on every chunk")
     // Pages tile the key space: row spans sum to the row count and each
     // page's [min,max] brackets exactly its rows (data written sorted).
-    assert(pi.map(_.getLong(5)).sum === 1000L)
+    assert(pi.map(_.getAs[Long]("row_count")).sum === 1000L)
     pi.foreach { r =>
-      val first = r.getLong(4); val rows = r.getLong(5)
-      assert(r.getLong(7) === first && r.getLong(8) === first + rows - 1)
+      val first = r.getAs[Long]("first_row")
+      val rows = r.getAs[Long]("row_count")
+      assert(r.getAs[Long]("min_long") === first &&
+        r.getAs[Long]("max_long") === first + rows - 1)
     }
+  }
+
+  test("pageIndexIncremental: refresh equals full re-harvest and trusts " +
+      "existing files from prev") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pgin_").toString
+    (0L until 500L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("overwrite").parquet(dir)
+    val prev = Scale.pageIndex(spark, dir, Seq("k")).localCheckpoint()
+    (500L until 1000L).map(i => (i, i)).toDF("k", "v")
+      .coalesce(1).sortWithinPartitions("k")
+      .write.mode("append").parquet(dir)
+    val inc = Scale.pageIndexIncremental(spark, dir, Seq("k"), prev)
+    val full = Scale.pageIndex(spark, dir, Seq("k"))
+    assert(inc.collect().toSet === full.collect().toSet)
+    // Poisoned-prev: an existing file's stat flows through untouched —
+    // the refresh never re-opened that footer.
+    val poisoned = prev.withColumn("min_long", lit(-7L)).localCheckpoint()
+    val incP = Scale.pageIndexIncremental(spark, dir, Seq("k"), poisoned)
+    assert(incP.where(col("min_long") === -7L).count() === prev.count())
   }
 
   test("prunedReadByPages: a key gap inside one row group prunes the " +
@@ -367,6 +390,36 @@ class ScaleSpec extends AnyFunSuite {
     assert(hit.agg(count(lit(1)), min(col("k")), max(col("k"))).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).head
       === ((201L, 13200L, 13400L)))
+  }
+
+  test("clusteringReport: sorted layout scores clustered, shuffled " +
+      "layout scores unclustered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_clr_").toString
+    val hc = spark.sparkContext.hadoopConfiguration
+    val prevLimit = hc.get("parquet.page.row.count.limit")
+    hc.set("parquet.page.row.count.limit", "100")
+    try {
+      // k sorted (clustered); r = bit-reversed k (anti-clustered).
+      (0L until 4000L).map(i => (i, java.lang.Long.reverse(i) >>> 32))
+        .toDF("k", "r")
+        .repartitionByRange(4, col("k")).sortWithinPartitions("k")
+        .write.mode("overwrite").parquet(dir)
+    } finally {
+      if (prevLimit == null) hc.unset("parquet.page.row.count.limit")
+      else hc.set("parquet.page.row.count.limit", prevLimit)
+    }
+    val rep = Scale.clusteringReport(spark, dir, Seq("k", "r"))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val kRow = rep("k"); val rRow = rep("r")
+    assert(kRow.getAs[Long]("n_pages") >= 8)
+    assert(kRow.getAs[Double]("avg_width_frac") < 0.1,
+      "sorted column: narrow pages")
+    assert(kRow.getAs[Double]("overlap_frac") < 0.1,
+      "sorted column: no adjacent overlap")
+    assert(rRow.getAs[Double]("avg_width_frac") > 0.5,
+      "anti-clustered column: pages span most of the range")
+    assert(rRow.getAs[Double]("overlap_frac") > 0.5,
+      "anti-clustered column: adjacent pages overlap")
   }
 
   test("planReport: counts shuffles, broadcasts, join kinds and top-k") {

@@ -78,5 +78,12 @@ class Sq8Spec extends AnyFunSuite {
       val mates = got.filter(_._1 == q.toLong).map(_._2).toSet
       assert(mates === (0L to 4L).toSet - q.toLong)
     }
+    // IVF-SQ8 under full probing with a corpus-wide rerank cut reduces
+    // to the same exact answer.
+    val ivf = Similarity.ivfSq8TopK(corpus, queries, k = 4,
+        nlist = 4, nprobe = 4, rerank = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+    assert(ivf.map(t => (t._1, t._2)).sorted.toSeq
+      === got.map(t => (t._1, t._2)).sorted.toSeq)
   }
 }
