@@ -261,6 +261,68 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Mixture balancing plan: given target mixture weights per source in
+    * MILLIONTHS (must sum to 1,000,000) and the corpus's per-source
+    * token supply, compute the per-source sampling rates that realize
+    * the LARGEST achievable corpus with that mixture WITHOUT
+    * oversampling any source (no repetition — pair with [[replicate]]
+    * when epoching is acceptable). This is the standard pretraining
+    * data-mix operation ("50% curated, 30% web, 15% code, 5% papers"):
+    * the scarcest source relative to its target pins the total
+    * (T = min_s ⌊tok_s·10⁶ / w_s⌋), every other source downsamples to
+    * its share (rate_s = ⌊w_s·T/10⁶⌋·10⁶ / tok_s, ppm).
+    *
+    * All arithmetic is exact integer division, so the plan — and the
+    * sample drawn from it via the ANSI-replayable hash — replays
+    * bit-identically in any engine. Sources absent from `targetPpm` get
+    * rate 0 (dropped). Output: (source, n_docs, tokens_total,
+    * rate_ppm) — an aggregate relation, one row per source.
+    *
+    * Plan shape: ONE partial-aggregated groupBy over the corpus; the
+    * min-T reduction is over the (sources-sized) aggregate. */
+  def mixturePlan(df: DataFrame, source: Column, tokens: Column,
+      targetPpm: Map[String, Long]): DataFrame = {
+    require(targetPpm.nonEmpty, "mixturePlan: empty target")
+    require(targetPpm.values.forall(_ > 0),
+      "mixturePlan: every target weight must be > 0 ppm")
+    require(targetPpm.values.sum == 1000000L,
+      s"mixturePlan: target weights sum to ${targetPpm.values.sum}, want 1000000")
+    val counts = df.select(source.as("source"), tokens.as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens_total"))
+      .withColumn("__w", targetPpm.foldLeft(lit(0L)) {
+        case (acc, (s, w)) =>
+          when(col("source") === lit(s), lit(w)).otherwise(acc)
+      })
+    val tRow = counts.where(col("__w") > 0)
+      .select(min(expr("tokens_total * 1000000L div __w")).as("__T"))
+    counts.crossJoin(broadcast(tRow))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        when(col("__w") === 0L, lit(0L))
+          .otherwise(least(lit(1000000L),
+            expr("(__w * __T div 1000000) * 1000000L div tokens_total")))
+          .as("rate_ppm"))
+  }
+
+  /** Draw the mixture [[mixturePlan]] prescribes: per-source hash
+    * sampling at the plan's rate_ppm — a broadcast join of the
+    * (sources-sized) plan plus the usual narrow hash filter, so the
+    * corpus pays one aggregate pass and one filter pass, no shuffle of
+    * data rows. The kept multiset is deterministic in (key, seed) and
+    * engine-replayable. */
+  def mixtureSample(df: DataFrame, source: Column, key: Column,
+      tokens: Column, targetPpm: Map[String, Long],
+      seed: Long = 0L): DataFrame = {
+    require(!df.columns.exists(c => c == "__rate_ppm" || c == "__src"),
+      "mixtureSample: input already has a scratch column name; rename it")
+    val plan = mixturePlan(df, source, tokens, targetPpm)
+      .select(col("source").as("__src"), col("rate_ppm").as("__rate_ppm"))
+    df.join(broadcast(plan), source === col("__src"))
+      .where(bucketOf(key, seed) <
+        expr("__rate_ppm * 2147483647L div 1000000"))
+      .drop("__src", "__rate_ppm")
+  }
+
   /** Mixture re-weighting by row replication — "2.3 epochs of wiki,
     * 0.4 of crawl": each row appears ⌊w⌋ + Bernoulli(frac(w)) times,
     * with `weightE6` the weight in MILLIONTHS as an integer column

@@ -236,6 +236,40 @@ object SamplingQueries {
       |              WHEN 'fr' THEN 10000 ELSE 5000 END)
       |GROUP BY lang ORDER BY lang""".stripMargin
 
+  /** Mixture balancing (ext Sampling.mixturePlan/mixtureSample): a
+    * 50/30/15/5 target mixture over four sources, realized as the
+    * largest no-oversampling corpus — the scarcest source relative to
+    * its target pins the total, the others downsample; exact-integer
+    * rates, multiplicative-hash membership, full SQL replay. */
+  def mixture(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSample(Tables.documents(s, d),
+        col("source"), col("doc_id"), col("n_chars"),
+        targetPpm = Map("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 150000L, "src3" -> 50000L),
+        seed = 7L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("n_chars_kept"))
+      .orderBy("source")
+
+  private val mixtureOracle =
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+      |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
+      |agg AS (
+      | SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
+      |tt AS (
+      | SELECT min(tok * 1000000 // w.w) AS T FROM agg JOIN w USING (source)),
+      |rates AS (
+      | SELECT a.source,
+      |  LEAST(1000000, ((w.w * tt.T // 1000000) * 1000000) // a.tok) AS rate_ppm
+      | FROM agg a JOIN w USING (source) CROSS JOIN tt)
+      |SELECT d.source, count(*) AS n_docs,
+      | CAST(sum(n_chars) AS BIGINT) AS n_chars_kept
+      |FROM documents d JOIN rates r ON r.source = d.source
+      |WHERE ((doc_id % 2147483647) * ((2654435761 * 8) % 2147483647)
+      |       + 7) % 2147483647 < r.rate_ppm * 2147483647 // 1000000
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** Epoch-style mixture replication (ext Sampling.replicate): sources
     * get 2.5 / 1.0 / 0.4 / 0 effective epochs by source-id mod 4; the
     * copy multiset must replay exactly (integer weights, multiplicative
@@ -291,6 +325,7 @@ object SamplingQueries {
     QueryDef("sm8_token_budget", tokenBudget, Some(tokenBudgetOracle)),
     QueryDef("sm11_temperature_sample", temperatureSample,
       Some(temperatureOracle)),
+    QueryDef("sm13_mixture", mixture, Some(mixtureOracle)),
     QueryDef("sm12_importance_resample", importanceResample,
       Some(importanceOracle)))
 }

@@ -251,6 +251,76 @@ object StreamingQueries {
     s.table(name).orderBy("doc_id")
   }
 
+  /** Zone-map maintenance under a file-ingest stream
+    * (Scale.zoneMapIncremental per micro-batch): lineitem's bottom-half
+    * key range streams in as micro-batch 0 and the top half as
+    * micro-batch 1 (file source, one file per trigger); each batch
+    * appends to the table and REFRESHES the persisted zone map — the
+    * first batch harvests fully, every later batch touches only its
+    * own newly landed files' footers (the trust-prev semantics are
+    * pinned in ScaleSpec). The final map, aggregated per key-range
+    * batch, must equal what DuckDB computes from the rows themselves —
+    * the sc9 gate's check, now produced by streaming index upkeep. */
+  def zoneMapStream(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"))
+    val mid = li.agg(max("l_orderkey")).head().getLong(0) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st19_src_")
+    val tableDir = java.nio.file.Files.createTempDirectory("graft_st19_tbl_")
+      .toString
+    li.where(col("l_orderkey") <= mid).coalesce(1)
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
+    li.where(col("l_orderkey") > mid).coalesce(1)
+      .sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
+    // One flat source dir: move the data files up so the file stream
+    // sees exactly two files, in name order b0 then b1.
+    Seq("b0", "b1").foreach { b =>
+      val sub = new java.io.File(srcDir.toString + "/" + b)
+      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    var mapSoFar: DataFrame = null
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("l_orderkey",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.coalesce(1).write.mode("append").parquet(tableDir)
+        mapSoFar =
+          (if (mapSoFar == null)
+             graft.ext.Scale.zoneMap(s, tableDir, Seq("l_orderkey"))
+           else graft.ext.Scale.zoneMapIncremental(s, tableDir,
+             Seq("l_orderkey"), mapSoFar))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    mapSoFar
+      .withColumn("batch",
+        when(col("max_long") <= mid, lit("low")).otherwise(lit("high")))
+      .groupBy(col("batch"))
+      .agg(sum(col("num_rows")).as("n_rows"),
+        min(col("min_long")).as("min_key"),
+        max(col("max_long")).as("max_key"))
+      .orderBy("batch")
+  }
+
+  private val zoneMapStreamOracle =
+    """WITH mm AS (SELECT max(l_orderkey) // 2 AS mid FROM lineitem)
+      |SELECT CASE WHEN l_orderkey <= mid THEN 'low' ELSE 'high' END AS batch,
+      | count(*) AS n_rows, min(l_orderkey) AS min_key,
+      | max(l_orderkey) AS max_key
+      |FROM lineitem, mm GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Stream-static enrichment: the streaming events join a broadcast
     * static user→segment dimension per micro-batch (stateless — nothing
     * buffered, unlike the stream-stream join), then a complete-mode
@@ -555,6 +625,7 @@ object StreamingQueries {
       Some(HygieneQueries.decontamCleanOracle)),
     QueryDef("st18_tokenize_stream", tokenizeStream,
       Some(PinnedOracles.t35UnigramTokenCounts)),
+    QueryDef("st19_zonemap_stream", zoneMapStream, Some(zoneMapStreamOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

@@ -297,4 +297,39 @@ class SamplingSpec extends AnyFunSuite {
         col("__rate"), col("id"))
     }
   }
+
+  test("mixturePlan: scarcest source pins the total; rates exact; " +
+      "absent sources drop; sample is deterministic and never oversamples") {
+    import spark.implicits._
+    // Supplies: a=1000, b=10000, c=500 tokens. Targets 50/40/10.
+    // T = min(1000e6/5e5, 10000e6/4e5, 500e6/1e5) = min(2000, 25000,
+    // 5000) = 2000. wants: 1000, 800, 200. rates: 1e6, 80000, 400000.
+    val df = (
+      (1 to 10).map(i => ("a", i.toLong, 100L)) ++
+      (11 to 110).map(i => ("b", i.toLong, 100L)) ++
+      (111 to 115).map(i => ("c", i.toLong, 100L)) ++
+      (116 to 120).map(i => ("x", i.toLong, 100L))).toDF("src", "id", "tok")
+    val plan = graft.ext.Sampling.mixturePlan(df, col("src"), col("tok"),
+        Map("a" -> 500000L, "b" -> 400000L, "c" -> 100000L))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(plan("a") === ((10L, 1000L, 1000000L)))
+    assert(plan("b") === ((100L, 10000L, 80000L)))
+    assert(plan("c") === ((5L, 500L, 400000L)))
+    assert(plan("x")._3 === 0L)
+
+    val kept = graft.ext.Sampling.mixtureSample(df, col("src"), col("id"),
+      col("tok"), Map("a" -> 500000L, "b" -> 400000L, "c" -> 100000L))
+    val bySrc = kept.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("a") === 10L, "rate 1e6 keeps every a row")
+    assert(!bySrc.contains("x"), "untargeted source drops")
+    assert(bySrc.getOrElse("b", 0L) <= 100L)
+    // Determinism across partitionings.
+    val again = graft.ext.Sampling.mixtureSample(df.repartition(7),
+        col("src"), col("id"), col("tok"),
+        Map("a" -> 500000L, "b" -> 400000L, "c" -> 100000L))
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again === kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
