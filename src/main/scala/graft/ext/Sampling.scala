@@ -298,7 +298,9 @@ object Sampling {
       .select(min(expr("tokens_total * 1000000L div __w")).as("__T"))
     counts.crossJoin(broadcast(tRow))
       .select(col("source"), col("n_docs"), col("tokens_total"),
-        when(col("__w") === 0L, lit(0L))
+        // Zero-supply guard: a targeted source whose rows carry zero
+        // tokens can satisfy no share — rate 0, not a division error.
+        when(col("__w") === 0L || col("tokens_total") === 0L, lit(0L))
           .otherwise(least(lit(1000000L),
             expr("(__w * __T div 1000000) * 1000000L div tokens_total")))
           .as("rate_ppm"))

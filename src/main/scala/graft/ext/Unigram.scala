@@ -66,6 +66,7 @@ object Unigram {
       .collect()
 
     val nWords = rows.length
+    require(nWords > 0, "Unigram.train: corpus has no words")
     val words = new Array[Array[String]](nWords)
     val freqs = new Array[Long](nWords)
     var wi = 0
