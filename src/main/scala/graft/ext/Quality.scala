@@ -119,4 +119,44 @@ object Quality {
     import before.sparkSession.implicits._
     rows.toDF("column", "before_type", "after_type", "change")
   }
+
+  /** Exact precision/recall sweep over score thresholds — the "where do
+    * I set the quality-filter cut" report every filtered corpus needs
+    * (CCNet-style perplexity cuts, classifier-score cuts): for each
+    * candidate threshold, rows with score >= cut are predicted
+    * positive, and tp/fp/fn plus precision/recall (millionths, integer
+    * div — engine-replayable) are computed against a boolean truth
+    * column. Score semantics are caller-defined; the op is
+    * score-agnostic.
+    *
+    * Plan: ONE corpus scan — each row fans out to the (bounded,
+    * broadcast) cut list in a narrow projection and partial aggregation
+    * collapses it to cuts-many rows per partition before the one
+    * (cuts-sized) exchange. No data-row shuffle, no driver collect.
+    */
+  def thresholdSweep(df: DataFrame, score: Column, positive: Column,
+      cuts: Seq[Long]): DataFrame = {
+    require(cuts.nonEmpty, "thresholdSweep: no cuts")
+    require(cuts.distinct.size == cuts.size, "thresholdSweep: duplicate cuts")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val cutsDf = cuts.toDF("cut")
+    df.select(score.cast("long").as("__s"), positive.as("__p"))
+      .crossJoin(broadcast(cutsDf))
+      .groupBy(col("cut"))
+      .agg(
+        sum(when(col("__s") >= col("cut") && col("__p"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("cut") && !col("__p"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("cut") && col("__p"), 1L)
+          .otherwise(0L)).as("fn"))
+      .select(col("cut"), col("tp"), col("fp"), col("fn"),
+        when(col("tp") + col("fp") === 0L, lit(0L))
+          .otherwise(expr("tp * 1000000L div (tp + fp)"))
+          .as("precision_ppm"),
+        when(col("tp") + col("fn") === 0L, lit(0L))
+          .otherwise(expr("tp * 1000000L div (tp + fn)"))
+          .as("recall_ppm"))
+  }
 }

@@ -1067,6 +1067,38 @@ object PipelineQueries {
       | CAST(start_offset // 2048 AS BIGINT) AS shard_id
       |FROM o ORDER BY doc_id""".stripMargin
 
+  /** Threshold sweep (ext Quality.thresholdSweep): precision/recall of
+    * "n_chars >= cut predicts lang = 'en'" at five cuts — the op is
+    * score-agnostic; the gate pins the exact-integer counting and ppm
+    * arithmetic against the row-level oracle. */
+  def thresholdSweep(s: SparkSession, d: String): DataFrame =
+    graft.ext.Quality.thresholdSweep(Tables.documents(s, d),
+        col("n_chars"), col("lang") === lit("en"),
+        cuts = Seq(100L, 200L, 300L, 400L, 500L))
+      .orderBy("cut")
+
+  private val thresholdSweepOracle =
+    """WITH cuts AS (SELECT unnest([100, 200, 300, 400, 500]) AS cut),
+      |d AS (SELECT n_chars AS s, (lang = 'en') AS p FROM documents)
+      |SELECT cut,
+      | CAST(sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      | CAST(sum(CASE WHEN s >= cut AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      | CAST(sum(CASE WHEN s < cut AND p THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      | CAST(CASE WHEN sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) +
+      |           sum(CASE WHEN s >= cut AND NOT p THEN 1 ELSE 0 END) = 0
+      |  THEN 0 ELSE sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) * 1000000
+      |   // (sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) +
+      |       sum(CASE WHEN s >= cut AND NOT p THEN 1 ELSE 0 END)) END
+      |  AS BIGINT) AS precision_ppm,
+      | CAST(CASE WHEN sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) +
+      |           sum(CASE WHEN s < cut AND p THEN 1 ELSE 0 END) = 0
+      |  THEN 0 ELSE sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) * 1000000
+      |   // (sum(CASE WHEN s >= cut AND p THEN 1 ELSE 0 END) +
+      |       sum(CASE WHEN s < cut AND p THEN 1 ELSE 0 END)) END
+      |  AS BIGINT) AS recall_ppm
+      |FROM d CROSS JOIN cuts
+      |GROUP BY cut ORDER BY cut""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
@@ -1082,6 +1114,8 @@ object PipelineQueries {
     QueryDef("pr3_winsorize", winsorize, Some(winsorizeOracle)),
     QueryDef("c1_compaction", compaction, Some(compactionOracle)),
     QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
+    QueryDef("dq3_threshold_sweep", thresholdSweep,
+      Some(thresholdSweepOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
     QueryDef("dq2_schema_drift", schemaDrift, Some(schemaDriftOracle)),
     QueryDef("c8_time_travel", timeTravel, Some(timeTravelOracle)),

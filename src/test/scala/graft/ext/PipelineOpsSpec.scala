@@ -400,4 +400,23 @@ class PipelineOpsSpec extends AnyFunSuite {
     // budget 10 -> doc 4 starts in shard 2).
     assert(out.head._3 === 0L && out.last._3 === 2L, s"shards: ${out.toSeq}")
   }
+
+  test("thresholdSweep: hand-computed PR at each cut; empty classes " +
+      "yield 0 ppm instead of dividing by zero") {
+    import spark.implicits._
+    // scores/labels: (10,T) (20,T) (30,F) (40,T) (50,F)
+    val df = Seq((10L, true), (20L, true), (30L, false), (40L, true),
+      (50L, false)).toDF("s", "p")
+    val got = Quality.thresholdSweep(df, col("s"), col("p"),
+        Seq(25L, 45L, 60L))
+      .orderBy("cut").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // cut 25: pred+ = {30F,40T,50F} -> tp=1 fp=2 fn=2; P=333333 R=333333
+    assert(got(0) === ((25L, 1L, 2L, 2L, 333333L, 333333L)))
+    // cut 45: pred+ = {50F} -> tp=0 fp=1 fn=3; P=0 R=0
+    assert(got(1) === ((45L, 0L, 1L, 3L, 0L, 0L)))
+    // cut 60: nothing predicted positive -> precision 0 by convention
+    assert(got(2) === ((60L, 0L, 0L, 3L, 0L, 0L)))
+  }
 }
