@@ -127,7 +127,10 @@ object Quality {
     * positive, and tp/fp/fn plus precision/recall (millionths, integer
     * div — engine-replayable) are computed against a boolean truth
     * column. Score semantics are caller-defined; the op is
-    * score-agnostic.
+    * score-agnostic. A NULL score counts as predicted-negative (the
+    * scorer could not score the row, so it cannot pass a filter cut);
+    * a NULL truth label is excluded from every counter (unknowable
+    * either way).
     *
     * Plan: ONE corpus scan — each row fans out to the (bounded,
     * broadcast) cut list in a narrow projection and partial aggregation
@@ -144,13 +147,17 @@ object Quality {
     df.select(score.cast("long").as("__s"), positive.as("__p"))
       .crossJoin(broadcast(cutsDf))
       .groupBy(col("cut"))
+      // A NULL score is a row the scorer could not score: it cannot
+      // pass any cut, so it counts as predicted-NEGATIVE (fn when the
+      // truth is positive) — silently dropping it from all three
+      // counters would overstate recall at every cut.
       .agg(
-        sum(when(col("__s") >= col("cut") && col("__p"), 1L)
-          .otherwise(0L)).as("tp"),
-        sum(when(col("__s") >= col("cut") && !col("__p"), 1L)
-          .otherwise(0L)).as("fp"),
-        sum(when(col("__s") < col("cut") && col("__p"), 1L)
-          .otherwise(0L)).as("fn"))
+        sum(when(col("__s").isNotNull && col("__s") >= col("cut") &&
+            col("__p"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__s").isNotNull && col("__s") >= col("cut") &&
+            !col("__p"), 1L).otherwise(0L)).as("fp"),
+        sum(when((col("__s").isNull || col("__s") < col("cut")) &&
+            col("__p"), 1L).otherwise(0L)).as("fn"))
       .select(col("cut"), col("tp"), col("fp"), col("fn"),
         when(col("tp") + col("fp") === 0L, lit(0L))
           .otherwise(expr("tp * 1000000L div (tp + fp)"))

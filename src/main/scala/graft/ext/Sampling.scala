@@ -294,15 +294,31 @@ object Sampling {
         case (acc, (s, w)) =>
           when(col("source") === lit(s), lit(w)).otherwise(acc)
       })
+    // A targeted source ABSENT from the corpus (or with zero token
+    // supply) cannot satisfy any positive share: T would have to be 0
+    // and the "mixture" empty. That is a caller error, not a plan —
+    // raise it instead of silently realizing a wrong mixture from the
+    // sources that do exist. (The sources-sized collect is metadata.)
+    val present = counts.where(col("__w") > 0 && col("tokens_total") > 0)
+      .select(col("source")).collect().map(_.getString(0)).toSet
+    val missing = targetPpm.keySet -- present
+    require(missing.isEmpty,
+      s"mixturePlan: targeted sources with no token supply in the corpus: " +
+        missing.toSeq.sorted.mkString(", "))
+    // DECIMAL(38,0) intermediates: tokens_total·10⁶ overflows BIGINT
+    // past ~9.2e12 tokens (a few tens of TB of text); floor of a
+    // positive decimal division == integer division, matching the
+    // oracle's 128-bit `//`.
     val tRow = counts.where(col("__w") > 0)
-      .select(min(expr("tokens_total * 1000000L div __w")).as("__T"))
+      .select(min(expr(
+        "CAST(floor(CAST(tokens_total AS DECIMAL(38,0)) * 1000000 / __w)" +
+          " AS DECIMAL(38,0))")).as("__T"))
     counts.crossJoin(broadcast(tRow))
       .select(col("source"), col("n_docs"), col("tokens_total"),
-        // Zero-supply guard: a targeted source whose rows carry zero
-        // tokens can satisfy no share — rate 0, not a division error.
         when(col("__w") === 0L || col("tokens_total") === 0L, lit(0L))
           .otherwise(least(lit(1000000L),
-            expr("(__w * __T div 1000000) * 1000000L div tokens_total")))
+            expr("CAST(floor(floor(CAST(__w AS DECIMAL(38,0)) * __T " +
+              "/ 1000000) * 1000000 / tokens_total) AS BIGINT)")))
           .as("rate_ppm"))
   }
 

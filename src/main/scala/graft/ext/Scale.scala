@@ -384,8 +384,21 @@ object Scale {
   def zoneMapIncremental(spark: SparkSession, dir: String,
       cols: Seq[String], prev: DataFrame): DataFrame = {
     require(cols.nonEmpty, "zoneMapIncremental: no columns requested")
+    incrementalRefresh(spark, dir, cols, prev, harvestZoneEntries)
+  }
+
+  /** Shared new-files-only refresh semantics for the footer-derived
+    * metadata indexes ([[zoneMapIncremental]]/[[pageIndexIncremental]]):
+    * entries for still-present same-LENGTH files are trusted from
+    * `prev`, vanished files drop out, and only the remaining (new or
+    * length-changed) files go through `harvest`. The prev-file collect
+    * is file-count-sized metadata. */
+  private def incrementalRefresh(spark: SparkSession, dir: String,
+      cols: Seq[String], prev: DataFrame,
+      harvest: (SparkSession, Seq[(String, Long)], Seq[String]) => DataFrame)
+      : DataFrame = {
     val current = listDataFiles(spark, dir)
-    require(current.nonEmpty, s"zoneMapIncremental: no parquet files under $dir")
+    require(current.nonEmpty, s"incremental refresh: no parquet files under $dir")
     val currentByPath = current.toMap
     val prevFiles = prev.select("file", "file_len").distinct()
       .collect().map(r => (r.getString(0), r.getLong(1)))
@@ -395,7 +408,7 @@ object Scale {
     val kept = prev.where(col("file").isInCollection(
       if (keepPrev.isEmpty) Seq("") else keepPrev.toSeq))
     if (newFiles.isEmpty) kept
-    else kept.unionByName(harvestZoneEntries(spark, newFiles, cols))
+    else kept.unionByName(harvest(spark, newFiles, cols))
   }
 
   /** Recursive (path, length) listing of the visible parquet data files
@@ -413,6 +426,12 @@ object Scale {
     import org.apache.hadoop.fs.Path
     val hPath = new Path(dir)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listFiles returns QUALIFIED paths (scheme + authority); the
+    // ancestor walk must stop at the equally-qualified root, NOT at a
+    // string-length comparison against the raw `dir` argument — a
+    // length check walks past the root into "_tables"/".cache"-style
+    // ancestors OF the table and misclassifies the whole table hidden.
+    val rootQ = fs.makeQualified(hPath)
     val it = fs.listFiles(hPath, true)
     val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
     while (it.hasNext) {
@@ -422,7 +441,7 @@ object Scale {
       val hiddenAncestor = {
         var q = p.getParent
         var hidden = false
-        while (q != null && q.toString.length > hPath.toString.length) {
+        while (q != null && q != rootQ) {
           val qn = q.getName
           if (qn.startsWith("_") || qn.startsWith(".")) hidden = true
           q = q.getParent
@@ -595,18 +614,7 @@ object Scale {
   def pageIndexIncremental(spark: SparkSession, dir: String,
       cols: Seq[String], prev: DataFrame): DataFrame = {
     require(cols.nonEmpty, "pageIndexIncremental: no columns requested")
-    val current = listDataFiles(spark, dir)
-    require(current.nonEmpty, s"pageIndexIncremental: no parquet files under $dir")
-    val currentByPath = current.toMap
-    val prevFiles = prev.select("file", "file_len").distinct()
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    val keepPrev = prevFiles.filter { case (f, len) =>
-      currentByPath.get(f).contains(len) }.map(_._1).toSet
-    val newFiles = current.filterNot { case (f, _) => keepPrev.contains(f) }
-    val kept = prev.where(col("file").isInCollection(
-      if (keepPrev.isEmpty) Seq("") else keepPrev.toSeq))
-    if (newFiles.isEmpty) kept
-    else kept.unionByName(harvestPageEntries(spark, newFiles, cols))
+    incrementalRefresh(spark, dir, cols, prev, harvestPageEntries)
   }
 
   /** Footer column+offset-index harvest over an explicit file list (the
@@ -663,7 +671,10 @@ object Scale {
                             java.nio.ByteBuffer]) = bufs.get(i)
                           .duplicate()
                           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-                        if (isNull || mins.get(pi).remaining() == 0) base
+                        // Either bound empty (writer truncation quirk)
+                        // -> unknown page, never a buffer underflow.
+                        if (isNull || mins.get(pi).remaining() == 0 ||
+                            maxs.get(pi).remaining() == 0) base
                         else tpe match {
                           case INT64 => base.copy(
                             min_long = le(pi, mins).getLong,
@@ -764,17 +775,17 @@ object Scale {
     require(sampleFrac > 0.0 && sampleFrac <= 1.0,
       s"clusteringReport: sampleFrac=$sampleFrac out of (0, 1]")
     val pmAll = pageIndex(spark, dir, cols)
-      .where(col("page") >= 0)
     val pm =
       if (sampleFrac >= 1.0) pmAll
-      else pmAll.where(pmod(xxhash64(col("file"), col("row_group"),
+      else pmAll.where(col("page") < 0 ||
+        pmod(xxhash64(col("file"), col("row_group"),
           col("column"), col("page")), lit(1000000L))
         < lit((sampleFrac * 1000000L).toLong))
-    val known = pm.where(!col("null_page") &&
+    val known = pm.where(col("page") >= 0 && !col("null_page") &&
       col("min_long").isNotNull && col("max_long").isNotNull)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("column")).orderBy(col("min_long"), col("max_long"))
-    known
+    val knownAgg = known
       .withColumn("prev_max", lag(col("max_long"), 1).over(w))
       .groupBy(col("column"))
       .agg(
@@ -786,20 +797,27 @@ object Scale {
         sum(when(col("prev_max").isNotNull &&
             col("min_long") <= col("prev_max"), 1L).otherwise(0L))
           .as("n_overlaps"))
-      .join(
-        pm.groupBy(col("column"))
-          .agg(sum(when(col("null_page") || col("min_long").isNull ||
-              col("max_long").isNull, 1L).otherwise(0L))
-            .as("n_unknown_pages")),
-        Seq("column"))
-      .select(col("column"), col("n_pages"), col("n_files"),
+    // Drive from the unknown-count side (which covers EVERY requested
+    // column — index-less chunks emit page = -1 markers), so a column
+    // with no usable stats still reports a row (metrics NULL) instead
+    // of vanishing from the report.
+    pm.groupBy(col("column"))
+      .agg(sum(when(col("page") < 0 || col("null_page") ||
+          col("min_long").isNull || col("max_long").isNull, 1L)
+          .otherwise(0L)).as("n_unknown_pages"))
+      .join(knownAgg, Seq("column"), "left")
+      .select(col("column"),
+        coalesce(col("n_pages"), lit(0L)).as("n_pages"),
+        coalesce(col("n_files"), lit(0L)).as("n_files"),
         col("n_unknown_pages"),
         when(col("g_max") > col("g_min"),
           col("width_sum").cast("double") /
             (col("n_pages") * (col("g_max") - col("g_min"))))
-          .otherwise(lit(0.0)).as("avg_width_frac"),
+          .otherwise(when(col("n_pages").isNotNull, lit(0.0)))
+          .as("avg_width_frac"),
         when(col("n_pages") > 1,
           col("n_overlaps").cast("double") / (col("n_pages") - 1))
-          .otherwise(lit(0.0)).as("overlap_frac"))
+          .otherwise(when(col("n_pages").isNotNull, lit(0.0)))
+          .as("overlap_frac"))
   }
 }

@@ -256,6 +256,31 @@ object Similarity {
       .agg(topR(col("cid"), col("adc")).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cid"))
 
+    exactRerank(corpus, queries, candidates, k)
+  }
+
+
+  /** Per-dimension [min, max] corpus stats for SQ8 quantization: one
+    * partial-aggregated posexplode pass, 2·dim doubles collected
+    * (bounded metadata, the centroid/codebook pattern). */
+  private def sq8Stats(corpus: DataFrame): (Array[Double], Array[Double]) = {
+    val stats = corpus
+      .select(posexplode(col("cvec")).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    (stats.map(_._2), stats.map(_._3))
+  }
+
+  /** Shared exact-cosine re-rank epilogue of every quantized ANN path:
+    * join the (small, broadcast) candidate list back to raw corpus
+    * vectors and queries, score with the codegen'd cosine, keep top-k
+    * per query with the (score desc, id) capacity-bounded aggregator —
+    * the corpus side stays narrow, nothing data-sized shuffles. */
+  private def exactRerank(corpus: DataFrame, queries: DataFrame,
+      candidates: DataFrame, k: Int): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     corpus.join(broadcast(candidates), Seq("cid"))
       .join(broadcast(queries), Seq("qid"))
@@ -298,15 +323,7 @@ object Similarity {
   def sq8TopK(corpus: DataFrame, queries: DataFrame, k: Int,
       rerank: Int = 20, excludeSelf: Boolean = true): DataFrame = {
     require(rerank >= k, s"sq8TopK: rerank=$rerank < k=$k")
-    val stats = corpus
-      .select(posexplode(col("cvec")).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(min(col("x").cast(DoubleType)).as("mn"),
-        max(col("x").cast(DoubleType)).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mins = stats.map(_._2)
-    val maxs = stats.map(_._3)
+    val (mins, maxs) = sq8Stats(corpus)
 
     val encoded = corpus.select(col("cid"),
       GraftFunctions.sq8Encode(col("cvec"), mins, maxs).as("codes"))
@@ -320,18 +337,7 @@ object Similarity {
       .agg(topR(col("cid"), col("adc")).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cid"))
 
-    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    corpus.join(broadcast(candidates), Seq("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(topk(col("cid"), col("sim")).as("top"))
-      .select(col("qid").as("query_id"), posexplode(col("top")))
-      .select(col("query_id"),
-        col("col.id").as("corpus_id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast(LongType).as("rank"))
+    exactRerank(corpus, queries, candidates, k)
   }
 
   /** Composed IVF-PQ top-k — the 100 TB ANN architecture: IVF pruning
@@ -438,18 +444,7 @@ object Similarity {
       .select(col("qid"), explode(col("top.id")).as("cid"))
 
     // Exact re-rank of survivors over raw floats; corpus side stays narrow.
-    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    corpus.join(broadcast(candidates), Seq("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(topk(col("cid"), col("sim")).as("top"))
-      .select(col("qid").as("query_id"), posexplode(col("top")))
-      .select(col("query_id"),
-        col("col.id").as("corpus_id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast(LongType).as("rank"))
+    exactRerank(corpus, queries, candidates, k)
   }
 
   /** Composed IVF-SQ8 top-k: IVF pruning decides WHICH vectors are
@@ -479,15 +474,7 @@ object Similarity {
     val centIds = centRows.map(_.getLong(0))
     val centVecs = centRows.map(_.getSeq[Float](1).map(_.toDouble).toArray)
 
-    val stats = corpus
-      .select(posexplode(col("cvec")).as(Seq("pos", "x")))
-      .groupBy(col("pos"))
-      .agg(min(col("x").cast(DoubleType)).as("mn"),
-        max(col("x").cast(DoubleType)).as("mx"))
-      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
-      .sortBy(_._1)
-    val mins = stats.map(_._2)
-    val maxs = stats.map(_._3)
+    val (mins, maxs) = sq8Stats(corpus)
 
     // Index build: assign + encode in ONE narrow pass, no exchange.
     val encoded = corpus.select(col("cid"),
@@ -513,18 +500,7 @@ object Similarity {
       .agg(topR(col("cid"), col("adc")).as("top"))
       .select(col("qid"), explode(col("top.id")).as("cid"))
 
-    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
-    corpus.join(broadcast(candidates), Seq("cid"))
-      .join(broadcast(queries), Seq("qid"))
-      .select(col("qid"), col("cid"),
-        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
-      .groupBy(col("qid"))
-      .agg(topk(col("cid"), col("sim")).as("top"))
-      .select(col("qid").as("query_id"), posexplode(col("top")))
-      .select(col("query_id"),
-        col("col.id").as("corpus_id"),
-        col("col.score").as("cosine"),
-        (col("pos") + 1).cast(LongType).as("rank"))
+    exactRerank(corpus, queries, candidates, k)
   }
 
   /** IVF top-k: probe only the `nprobe` nearest centroid buckets.

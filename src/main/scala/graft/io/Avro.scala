@@ -277,9 +277,18 @@ object Avro {
             w.append(rec)
           }
         } finally w.close()
-        // Commit: rename only after a complete close. If the rename
-        // loses (a speculative twin already committed), drop the temp.
-        if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+        // Commit: rename only after a complete close. A lost rename is
+        // ONLY benign when a speculative twin already committed the
+        // final part — verify that before dropping the temp; a rename
+        // that failed for any other reason (transient FS error,
+        // permissions) must fail the task loudly, or the partition's
+        // rows silently vanish from a "successful" job.
+        if (!fs.rename(tmp, p)) {
+          if (fs.exists(p)) fs.delete(tmp, false)
+          else throw new java.io.IOException(
+            s"avro commit: rename $tmp -> $p failed and no committed " +
+              "part exists")
+        }
         ()
       }
     }
