@@ -23,7 +23,29 @@ import org.apache.spark.sql.functions._
   * (the benched ANN queries are capacity-bounded top-k — duplicate
   * vectors across copies cannot blow them up).
   *
-  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <copies>
+  * `zipf` mode (4th arg) makes the replicated corpus SKEW-ADVERSARIAL
+  * — the hot-key hazards a crawl-scale corpus actually has, which the
+  * alphabet-rotated replication deliberately avoids:
+  *   - a fixed stop-phrase appended to ~40% of documents → one word
+  *     3-gram (and its char shingles) in 40% of the corpus, stressing
+  *     every df/gram path (d4/d16/d18 gram tables, t10 tf-idf df, t29
+  *     NB token join, d13 substring seeds);
+  *   - doc_id remapped so ~30% of ids are ≡ 0 (mod 7) → p2's
+  *     `site{doc_id%7}` host derivation puts 30% of pages on ONE host
+  *     (per-host cap / window partition hot key). Injective: hot ids
+  *     map to id*7, the rest to id*7 + 1 + (id mod 6);
+  *   - ~40% of events remapped to event_type 'click' → sc1's salted
+  *     group-by key carries ~52% of rows;
+  *   - ~30% of orders remapped to o_custkey 1 → one hot customer in
+  *     every orders⋈customer join (q3/q4/q7 band);
+  *   - ~20% of lineitems remapped to l_partkey 1 → a celebrity node in
+  *     the co-purchase graph (g1 wedge orientation / g2 rank mass).
+  * Selection is by deterministic hash of the row's own id, so every
+  * copy skews identically and re-runs reproduce. Correctness gates
+  * never read probe dirs — the zipf corpus exists to measure
+  * task-time skew, not to hash-match oracles.
+  *
+  * Usage: runMain graft.GenScale <srcSfDir> <outDir> <copies> [zipf]
   */
 object GenScale {
 
@@ -31,8 +53,18 @@ object GenScale {
     * letter (j+i)%10 — identity for copy 0. */
   private val alphabet = "aeiousnrtl"
 
+  /** The hot stop-phrase: existing-vocabulary words so it tokenizes like
+    * the rest of the corpus; 3 repeats make its word 3-grams and char
+    * shingles heavy without dominating any document's length. */
+  private val hotPhrase = " the sort table the sort table the sort table"
+
+  /** Deterministic per-row coin: true for ~pct% of ids. */
+  private def coin(id: org.apache.spark.sql.Column, pct: Int) =
+    pmod(hash(id), lit(100)) < lit(pct)
+
   def main(args: Array[String]): Unit = {
-    val Array(srcDir, outDir, copiesStr) = args
+    val (srcDir, outDir, copiesStr) = (args(0), args(1), args(2))
+    val zipf = args.length > 3 && args(3) == "zipf"
     val copies = copiesStr.toInt
     require(copies >= 1 && copies <= alphabet.length,
       s"copies must be 1..${alphabet.length} (distinct text rotations)")
@@ -81,23 +113,59 @@ object GenScale {
       df.withColumn("s_suppkey", col("s_suppkey") + lit(i * suppOff)))
     replicate("part")((df, i) =>
       df.withColumn("p_partkey", col("p_partkey") + lit(i * partOff)))
-    replicate("orders")((df, i) => df
-      .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOff))
-      .withColumn("o_custkey", col("o_custkey") + lit(i * custOff)))
-    replicate("lineitem")((df, i) => df
-      .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOff))
-      .withColumn("l_partkey", col("l_partkey") + lit(i * partOff))
-      .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppOff)))
+    replicate("orders")((df, i) => {
+      val shifted = df
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * ordOff))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * custOff))
+      if (!zipf) shifted
+      else shifted.withColumn("o_custkey",
+        when(coin(col("o_orderkey"), 30), lit(1L)).otherwise(col("o_custkey")))
+    })
+    replicate("lineitem")((df, i) => {
+      val shifted = df
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * ordOff))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * partOff))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * suppOff))
+      if (!zipf) shifted
+      else shifted.withColumn("l_partkey",
+        when(coin(col("l_orderkey") * lit(31L) + col("l_partkey"), 20),
+          lit(1L)).otherwise(col("l_partkey")))
+    })
     // ts stays a raw nanos long: Tables.events floor-divides it the same
     // way whether the column arrived annotated TIMESTAMP(NANOS) or plain
     // INT64, so the probe dir is read by the identical code path.
-    replicate("events")((df, i) => df
-      .withColumn("event_id", col("event_id") + lit(i * evOff))
-      .withColumn("user_id", col("user_id") + lit(i * userOff)))
-    replicate("documents")((df, i) => df
-      .withColumn("doc_id", col("doc_id") + lit(i * docOff))
-      .withColumn("text", translate(col("text"),
-        alphabet, alphabet.drop(i) + alphabet.take(i))))
+    replicate("events")((df, i) => {
+      val shifted = df
+        .withColumn("event_id", col("event_id") + lit(i * evOff))
+        .withColumn("user_id", col("user_id") + lit(i * userOff))
+      if (!zipf) shifted
+      else shifted.withColumn("event_type",
+        when(coin(col("event_id"), 40), lit("click"))
+          .otherwise(col("event_type")))
+    })
+    replicate("documents")((df, i) => {
+      val shifted = df
+        .withColumn("doc_id", col("doc_id") + lit(i * docOff))
+        .withColumn("text", translate(col("text"),
+          alphabet, alphabet.drop(i) + alphabet.take(i)))
+      if (!zipf) shifted
+      else shifted
+        // Hot stop-phrase in ~40% of docs (n_chars kept consistent —
+        // several text ops trust it as length metadata).
+        .withColumn("text",
+          when(coin(col("doc_id"), 40), concat(col("text"), lit(hotPhrase)))
+            .otherwise(col("text")))
+        .withColumn("n_chars",
+          when(coin(col("doc_id"), 40),
+            col("n_chars") + lit(hotPhrase.length.toLong))
+            .otherwise(col("n_chars")))
+        // Host skew: ~30% of ids land on residue 0 mod 7 (p2's host
+        // key). id → id*7 + r is injective for r in [0, 6].
+        .withColumn("doc_id",
+          when(coin(col("doc_id") * lit(17L), 30), col("doc_id") * lit(7L))
+            .otherwise(col("doc_id") * lit(7L) + lit(1L) +
+              pmod(col("doc_id"), lit(6L))))
+    })
     replicate("embeddings")((df, i) =>
       df.withColumn("vec_id", col("vec_id") + lit(i * vecOff)))
 

@@ -11,6 +11,10 @@ import org.apache.spark.sql.functions._
   *      projection, junk never reaches the signature passes);
   *   2. exact dedup (min-id representative per text — one partial-agg
   *      shuffle of (text → min id), semi-join back);
+  *   2b. OPTIONAL fuzzy near-dup ([[Dedup.minHashPairs]] LSH pairs →
+  *      [[Dedup.dropFromPairsTransitive]] min-id component keep) —
+  *      real pretraining curation runs MinHash in the chain, not just
+  *      exact; off by default for the cheap-pipeline caller;
   *   3. benchmark decontamination ([[Decontam.clean]] — anti-join on
   *      the gram-hit relation, corpus side never shuffles in the
   *      common broadcast case);
@@ -21,9 +25,11 @@ import org.apache.spark.sql.functions._
   *      two-phase distributed prefix sum).
   *
   * Stage order matters at scale: the cheap narrow stages (1) run
-  * first so every shuffle-bearing stage (2, 5) sees the smallest
-  * possible corpus; mixing (4) runs AFTER decontamination so the
-  * per-language rates reflect the corpus that actually ships.
+  * first so every shuffle-bearing stage (2, 2b, 5) sees the smallest
+  * possible corpus; near-dup (2b) runs after exact dedup so identical
+  * copies never reach the signature pass; mixing (4) runs AFTER
+  * decontamination so the per-language rates reflect the corpus that
+  * actually ships.
   *
   * Every stage is deterministic (content hashes, not RNG), so the
   * whole pipeline is replayable end to end — the p1 gate's oracle
@@ -39,7 +45,8 @@ object Curation {
       benchmark: DataFrame, benchText: String,
       minWords: Long = 50L, minStopHits: Long = 2L,
       alpha: Double = 0.5, shardTokens: Long = 2048L,
-      gramN: Int = 8, seed: Long = 0L): DataFrame = {
+      gramN: Int = 8, seed: Long = 0L,
+      nearDup: Option[Dedup.MinHashConfig] = None): DataFrame = {
     // 1. quality — keep ids whose metrics clear the (parametrized)
     // Gopher rules.
     val qualityIds = TextAnalysis
@@ -62,10 +69,24 @@ object Curation {
     val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
       .localCheckpoint(true)
 
+    // 2b. optional fuzzy near-dup: MinHash LSH pairs over the
+    // exact-deduped survivors, transitive min-id component keep. The
+    // checkpointed afterDedup feeds both the signature pass and the
+    // anti-join input, so the front half still executes once; the
+    // result is checkpointed again because decontamination references
+    // IT from two subtrees (grams + anti-join).
+    val afterNearDup = nearDup match {
+      case None => afterDedup
+      case Some(conf) =>
+        val pairs = Dedup.minHashPairs(afterDedup, text, id, conf)
+        Dedup.dropFromPairsTransitive(afterDedup, id, pairs)
+          .localCheckpoint(true)
+    }
+
     // 3. decontamination — drop documents sharing an n-gram with the
     // benchmark.
     val afterDecontam =
-      Decontam.clean(afterDedup, text, id, benchmark, benchText, gramN)
+      Decontam.clean(afterNearDup, text, id, benchmark, benchText, gramN)
 
     // 4. temperature-scaled mixing over the surviving distribution;
     // checkpoint again so sharding's two passes replay cached blocks,

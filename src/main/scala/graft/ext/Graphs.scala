@@ -47,6 +47,11 @@ object Graphs {
     * so the result is exact at any fpp. `closeBloomFpp = 0` disables
     * the pre-filter (plan-shape A/Bs).
     *
+    * NOTE: with the pre-filter on, building the bloom runs two EAGER
+    * jobs at call time (pair count for sizing + the bloom aggregate) —
+    * the pairs are cached across them so the raw edges are scanned
+    * once, but the call is not lazy like a plain DataFrame transform.
+    *
     * Output: (node, n_triangles), the `topK` nodes by
     * (n_triangles desc, node) — or all nodes when topK = 0.
     */
@@ -79,9 +84,16 @@ object Graphs {
     val prefiltered =
       if (closeBloomFpp <= 0.0) wedges
       else {
-        val nPairs = math.max(rawPairs.count(), 1L)
-        val bloom = Scale.keyBloom(rawPairs,
-          struct(col("u"), col("v")), nPairs, closeBloomFpp)
+        // Cache across the two eager jobs (count for sizing + bloom
+        // aggregate) so the raw edge input is scanned once; released
+        // immediately — the lazy plan below re-derives pairs itself.
+        rawPairs.persist()
+        val bloom =
+          try {
+            val nPairs = math.max(rawPairs.count(), 1L)
+            Scale.keyBloom(rawPairs,
+              struct(col("u"), col("v")), nPairs, closeBloomFpp)
+          } finally rawPairs.unpersist(blocking = false)
         wedges.where(Scale.mightContainKey(bloom,
           struct(least(col("y"), col("z")), greatest(col("y"), col("z")))))
       }

@@ -144,7 +144,10 @@ object Quality {
     val spark = df.sparkSession
     import spark.implicits._
     val cutsDf = cuts.toDF("cut")
-    df.select(score.cast("long").as("__s"), positive.as("__p"))
+    // floor, not cast: cast(long) truncates toward zero, so a fractional
+    // NEGATIVE score (-0.4) would round UP to 0 and pass a cut of 0;
+    // floor keeps "score >= cut" monotone for float scores.
+    df.select(floor(score).cast("long").as("__s"), positive.as("__p"))
       .crossJoin(broadcast(cutsDf))
       .groupBy(col("cut"))
       // A NULL score is a row the scorer could not score: it cannot

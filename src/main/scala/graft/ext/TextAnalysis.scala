@@ -973,8 +973,8 @@ object TextAnalysis {
     * deliberately uniform: the mean-term form already normalizes by doc
     * length, and at corpus scale the token likelihood dominates.
     *
-    * Plan shape: the (label, token, count) model is BROADCAST by
-    * default — a trained NB model is reference-set-sized (the same
+    * Plan shape: the (label, token, count) model is BROADCAST when it
+    * fits — a trained NB model is reference-set-sized (the same
     * MBs-vs-TBs premise as decontamination), and broadcasting it makes
     * the token join a map-side hash probe, so the exploded corpus is
     * never shuffled on the Zipf-skewed token key; per-(doc, class)
@@ -982,19 +982,50 @@ object TextAnalysis {
     * classes (classes are a constant), and the argmax is a per-doc
     * window with a pinned (score desc, label asc) tiebreak. Nothing is
     * ever all-pairs and no data row reaches the driver.
-    * `broadcastModel = false` falls back to a shuffle join (AQE
-    * skew-splittable) for a model too large to broadcast.
+    *
+    * `broadcastModel = None` (the default) picks the placement from the
+    * MEASURED model size: one eager metadata-cheap aggregate over the
+    * model relation (rows + token bytes — NOT the corpus) estimates the
+    * in-memory hash-relation footprint, and the model is broadcast iff
+    * that fits `spark.sql.autoBroadcastJoinThreshold`. An oversized
+    * model — where a forced broadcast would OOM the driver and every
+    * executor — falls back to the shuffle join (AQE skew-splittable).
+    * `Some(true)`/`Some(false)` pin the placement (A/Bs, tests).
     */
   def nbClassify(docs: DataFrame, text: String, id: String,
       tokenCounts: DataFrame, classCounts: DataFrame,
-      scale: Long = 1000000000L, broadcastModel: Boolean = true): DataFrame = {
+      scale: Long = 1000000000L,
+      broadcastModel: Option[Boolean] = None): DataFrame = {
     require(scale >= 1L, s"scale=$scale")
+    val doBroadcast = broadcastModel.getOrElse {
+      val threshold = docs.sparkSession.conf
+        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        .stripSuffix("b").stripSuffix("B") match {
+          case s if s.endsWith("k") || s.endsWith("K") =>
+            s.dropRight(1).toLong << 10
+          case s if s.endsWith("m") || s.endsWith("M") =>
+            s.dropRight(1).toLong << 20
+          case s if s.endsWith("g") || s.endsWith("G") =>
+            s.dropRight(1).toLong << 30
+          case s => s.toLong
+        }
+      if (threshold <= 0) false
+      else {
+        // ~48 bytes/row of UnsafeRow + hash-relation overhead beyond
+        // the 2 longs and the token bytes themselves.
+        val r = tokenCounts
+          .agg(count(lit(1)).as("rows"),
+            coalesce(sum(length(col("w"))), lit(0L)).as("wbytes"))
+          .head()
+        r.getLong(0) * 64L + r.getLong(1) <= threshold
+      }
+    }
     val vocab = tokenCounts.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
     val docToks = docs.select(col(id), explode(lmToks(text)).as("w"))
     val docLen = docToks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
     val found = docToks.join(
-        if (broadcastModel) broadcast(tokenCounts) else tokenCounts, Seq("w"))
+        if (doBroadcast) broadcast(tokenCounts) else tokenCounts, Seq("w"))
       .join(broadcast(classCounts), Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col(id), col("label"),

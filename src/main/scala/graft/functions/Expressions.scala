@@ -1356,13 +1356,18 @@ object UnigramTokenize {
     // T^0..T^63 — words longer than 64 pieces extend on demand.
     @transient private var pows: Array[java.math.BigInteger] = _
     def pow(k: Int): java.math.BigInteger = {
-      if (pows == null) {
-        pows = new Array[java.math.BigInteger](64)
-        pows(0) = java.math.BigInteger.ONE
+      var p = pows
+      if (p == null) {
+        // Fill a local array and publish it fully built: a Model is a
+        // codegen reference object, so a racing reader must never see a
+        // partially-initialized table.
+        p = new Array[java.math.BigInteger](64)
+        p(0) = java.math.BigInteger.ONE
         var i = 1
-        while (i < 64) { pows(i) = pows(i - 1).multiply(total); i += 1 }
+        while (i < 64) { p(i) = p(i - 1).multiply(total); i += 1 }
+        pows = p
       }
-      if (k < pows.length) pows(k) else total.pow(k)
+      if (k < p.length) p(k) else total.pow(k)
     }
   }
 

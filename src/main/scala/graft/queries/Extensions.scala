@@ -1265,19 +1265,52 @@ object ExtensionQueries {
     * bottom-up/top-down byte order, pinning row-order normalization
     * inside the gate itself. */
   def imageNearDupGate(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val media = Tables.documents(s, d).select(col("doc_id")).as[Long]
-      .map { id =>
-        val base = id - id % 5
-        val raw = Multimodal.SyntheticImages.avalanche(
-          if (id % 5 == 4) base else id)
-        val sig =
-          if (id % 5 == 4) raw ^ ((1L << 1) | (1L << 20) | (1L << 40))
-          else raw
-        (id, Multimodal.SyntheticImages.bmpGradient(sig, topDown = id % 2 == 1))
-      }.toDF("media_id", "content")
+    // The BMP corpus is MATERIALIZED to parquet once per sf dir and read
+    // back, so bench/probe timings measure the operator (decode → dHash
+    // → banding → verify), not per-row fixture rendering + GC — the
+    // round-8 probe read 13.4x at 10x data and all of it was fixture
+    // generation sitting inside the timed path. Deterministic content
+    // (id-derived) makes the cached dir safely reusable.
+    val media = s.read.parquet(imageFixture(s, d))
     Multimodal.imageNearDup(media, "media_id", "content", maxDist = 8)
       .orderBy("id_a", "id_b")
+  }
+
+  /** Renders the m5 BMP corpus for `d` to a content-stable temp dir on
+    * first use (atomic publish via rename; losers of a cross-process
+    * race reuse the winner's dir). Returns the parquet path. */
+  private def imageFixture(s: SparkSession, d: String): String = {
+    import s.implicits._
+    val key = java.lang.Long.toHexString(
+      d.hashCode.toLong << 32 | Tables.documents(s, d).count())
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_m5_media_$key")
+    if (!java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_m5_build_")
+      Tables.documents(s, d).select(col("doc_id")).as[Long]
+        .map { id =>
+          val base = id - id % 5
+          val raw = Multimodal.SyntheticImages.avalanche(
+            if (id % 5 == 4) base else id)
+          val sig =
+            if (id % 5 == 4) raw ^ ((1L << 1) | (1L << 20) | (1L << 40))
+            else raw
+          (id, Multimodal.SyntheticImages.bmpGradient(sig, topDown = id % 2 == 1))
+        }.toDF("media_id", "content")
+        .write.mode("overwrite").parquet(tmp.resolve("out").toString)
+      // A dir without _SUCCESS is a crashed partial build — clear it.
+      if (java.nio.file.Files.exists(dir) &&
+          !java.nio.file.Files.exists(dir.resolve("_SUCCESS"))) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      try java.nio.file.Files.move(tmp.resolve("out"), dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.AccessDeniedException => () }
+    }
+    dir.toString
   }
 
   private val imageNearDupOracle =

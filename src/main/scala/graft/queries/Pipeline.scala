@@ -48,6 +48,152 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
+  /** p4: the p1 pipeline with the fuzzy near-dup stage ON (the form
+    * real pretraining curation runs — a user following p1 alone ships
+    * near-duplicates). Corpus plants EXACT dups (%10 → +100000, same
+    * text) and NEAR dups (%15 with n_chars >= 150 → +300000, ' zz'
+    * appended — ≥150 chars keeps the pair Jaccard ≳ 0.95, far above
+    * both the 0.8 threshold and the 8-band LSH recall cliff, so the
+    * brute-force oracle and the LSH candidate set agree exactly). The
+    * oracle replays the WHOLE chain: Gopher quality → min-id exact
+    * dedup → all-pairs shingle Jaccard + recursive-CTE reachability +
+    * min-component keep → decontamination → temperature mixing →
+    * prefix-sum sharding. */
+  private def curationNearDupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"))
+    docs.select("doc_id", "text", "lang")
+      .union(docs.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      .union(docs.where(col("doc_id") % 15 === 0 && col("n_chars") >= 150)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          concat(col("text"), lit(" zz")).as("text"), col("lang")))
+  }
+
+  def curationNearDup(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    graft.ext.Curation.curate(curationNearDupCorpus(s, d), "text", "doc_id",
+        col("lang"), bench, "text", minWords = 30L, minStopHits = 1L,
+        nearDup = Some(graft.ext.Dedup.MinHashConfig()))
+      .orderBy("doc_id")
+  }
+
+  private val curationNearDupOracle =
+    """WITH RECURSIVE corpus AS (
+      | SELECT doc_id, text, lang FROM documents
+      | UNION ALL
+      | SELECT doc_id + 100000 AS doc_id, text, lang
+      | FROM documents WHERE doc_id % 10 = 0
+      | UNION ALL
+      | SELECT doc_id + 300000 AS doc_id, text || ' zz' AS text, lang
+      | FROM documents WHERE doc_id % 15 = 0 AND n_chars >= 150),
+      |w AS (
+      | SELECT doc_id, text, lang, text AS t,
+      |  list_filter(string_split_regex(text, '\s+'),
+      |    x -> len(x) > 0) AS ws,
+      |  list_filter(string_split(text, chr(10)),
+      |    l -> len(ltrim(l)) > 0) AS ls
+      | FROM corpus),
+      |m AS (
+      | SELECT doc_id,
+      |  CAST(len(ws) AS BIGINT) AS n_words,
+      |  CAST(length(regexp_replace(t, '\s', '', 'g')) AS BIGINT)
+      |    AS sum_word_len,
+      |  CAST((length(t) - length(regexp_replace(t, '#', '', 'g')))
+      |   + (length(t) - length(regexp_replace(t, '\.\.\.', '', 'g'))) // 3
+      |   AS BIGINT) AS n_symbols,
+      |  CAST(len(ls) AS BIGINT) AS n_lines,
+      |  CAST(len(list_filter(ls, l -> ltrim(l) LIKE '-%'
+      |    OR ltrim(l) LIKE '*%' OR ltrim(l) LIKE '•%')) AS BIGINT)
+      |    AS n_bullet_lines,
+      |  CAST(len(list_filter(ls, l -> rtrim(l) LIKE '%...')) AS BIGINT)
+      |    AS n_ellipsis_lines,
+      |  CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+      |    AS BIGINT) AS n_alpha_words,
+      |  CAST(len(list_intersect(
+      |    list_distinct(list_transform(ws, x -> lower(x))),
+      |    ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+      |    AS n_stop_hits
+      | FROM w),
+      |q AS (
+      | SELECT doc_id FROM m
+      | WHERE n_words BETWEEN 30 AND 100000
+      |  AND sum_word_len >= n_words * 3 AND sum_word_len <= n_words * 10
+      |  AND n_symbols * 10 <= n_words
+      |  AND n_bullet_lines * 10 <= n_lines * 9
+      |  AND n_ellipsis_lines * 10 <= n_lines * 3
+      |  AND n_alpha_words * 10 >= n_words * 8
+      |  AND n_stop_hits >= 1),
+      |k1 AS (SELECT c.* FROM corpus c JOIN q USING (doc_id)),
+      |reps AS (SELECT min(doc_id) AS doc_id FROM k1 GROUP BY text),
+      |k2 AS (SELECT k1.* FROM k1 JOIN reps USING (doc_id)),
+      |sh AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM k2 WHERE length(text) > 0),
+      |nd AS (
+      | SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      |edges AS (
+      | SELECT id_a AS a, id_b AS b FROM nd
+      | UNION SELECT id_b, id_a FROM nd),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |k2b AS (
+      | SELECT k2.* FROM k2 LEFT JOIN comp ON k2.doc_id = comp.id
+      | WHERE comp.id IS NULL OR comp.component = k2.doc_id),
+      |btoks AS (
+      | SELECT list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bgrams AS (
+      | SELECT DISTINCT unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM k2b),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks),
+      |hits AS (
+      | SELECT DISTINCT cg.doc_id FROM cgrams cg
+      | JOIN bgrams USING (gram)),
+      |k3 AS (
+      | SELECT k2b.* FROM k2b LEFT JOIN hits h ON k2b.doc_id = h.doc_id
+      | WHERE h.doc_id IS NULL),
+      |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM k3 GROUP BY lang),
+      |mn AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM cnt),
+      |r AS (
+      | SELECT lang, sqrt(nmin / CAST(n AS DOUBLE)) AS rate FROM cnt, mn),
+      |k4 AS (
+      | SELECT k3.* FROM k3 JOIN r ON k3.lang = r.lang
+      | WHERE ((k3.doc_id % 2147483647) * ((2654435761 * 1) % 2147483647) + 0)
+      |       % 2147483647 < CAST(floor(rate * 2147483647) AS BIGINT)),
+      |t AS (
+      | SELECT doc_id, lang,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS n_tokens
+      | FROM k4),
+      |o AS (
+      | SELECT doc_id, lang, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      |    - n_tokens AS start_offset
+      | FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, lang, n_tokens,
+      | CAST(start_offset // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** Corpus data card over the same planted curation corpus: one exact
     * row — volume, duplication, language spread, quality yield,
     * contamination — every number independently re-derived by the
@@ -1106,6 +1252,8 @@ object PipelineQueries {
     QueryDef("p3_crawl_funnel", crawlFunnelGate, Some(crawlFunnelOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
+    QueryDef("p4_curation_neardup", curationNearDup,
+      Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
     QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),

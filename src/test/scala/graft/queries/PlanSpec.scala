@@ -356,6 +356,34 @@ class PlanSpec extends AnyFunSuite {
     assert(s.contains("BroadcastExchange"), s)
   }
 
+  test("nbClassify adaptive placement: identical results both ways; an " +
+      "oversized model (tiny threshold) flips the token join to shuffle") {
+    val docs = graft.Tables.documents(spark, sf)
+    val (tok, cls) = graft.ext.TextAnalysis.nbCounts(docs, "text", "lang")
+    def run(b: Option[Boolean]) = graft.ext.TextAnalysis
+      .nbClassify(docs, "text", "doc_id", tok, cls, broadcastModel = b)
+    // Pinned placements must be value-identical (the placement is a
+    // physical choice, never a semantic one).
+    val bro = run(Some(true)).collect().map(_.toSeq).toSet
+    val shf = run(Some(false)).collect().map(_.toSeq).toSet
+    assert(bro === shf)
+    def nBroadcast(s: String) =
+      s.sliding("BroadcastExchange".length).count(_ == "BroadcastExchange")
+    // Auto under the default threshold: this model is KBs → broadcast.
+    val autoBig = planString(run(None))
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, "1")
+    try {
+      // Auto with a threshold the model cannot fit: the model join must
+      // fall back to a shuffle (one fewer broadcast exchange), and the
+      // answer must not move.
+      val small = run(None)
+      assert(nBroadcast(planString(small)) < nBroadcast(autoBig))
+      assert(small.collect().map(_.toSeq).toSet === bro)
+    } finally spark.conf.set(key, old)
+  }
+
   test("chunk dedup: inverted-index pairing is all equi-joins/aggregates " +
       "— no cartesian") {
     val docs = graft.Tables.documents(spark, sf)
