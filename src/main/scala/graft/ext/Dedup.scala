@@ -546,7 +546,8 @@ object Dedup {
     * Jaccard needs no second join.
     *
     * Grams held by more than `maxDocsPerGram` documents are dropped from
-    * the index (keepHotBuckets, as in every other LSH path here): a
+    * the index (via the bounded heavy-gram table — see
+    * [[gramPairSharedCounts]]): a
     * corpus-common trigram with df = 10^6 would otherwise contribute
     * ~10^12 candidate pairs on its own — the quadratic blowup that kills
     * this plan at scale. Effect on results: exact below the cap; above
@@ -556,6 +557,21 @@ object Dedup {
     * because grams that common carry no near-dup signal). Singleton
     * grams are pruned by the same window — they can never produce a
     * pair. */
+  /** Bounded heavy-gram df table over a (doc_id, grams, n_grams) frame:
+    * top-`hotCap` grams by document frequency, (df desc, gram asc)
+    * tiebreak pinned. Grams are per-doc-distinct, so count = df. The
+    * top-K is partial-aggregated and partially ordered — the exchange
+    * carries ≤ hotCap rows per partition, never the gram relation —
+    * and ≤ hotCap rows of metadata reach the driver (the
+    * centroid/codebook pattern). Shared by d16's rarest-first order
+    * and d4/d18's cap decision. NOTE: runs an eager job at
+    * DataFrame-construction time. */
+  private def boundedGramDf(grams: DataFrame, hotCap: Int): Array[(String, Long)] =
+    grams.select(explode(col("grams")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("gram")).limit(hotCap)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
   /** Distinct token n-grams of the lowercased text. The token array is
     * bound once per row as the outer lambda variable — referencing it
     * inside the index lambda would re-run split+lower+filter once per
@@ -568,22 +584,48 @@ object Dedup {
     // paying a corpus pass per reference.
     GraftFunctions.tokenNGrams(text, n)
 
-  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
-      n: Int = 3, threshold: Double = 0.5,
-      maxDocsPerGram: Int = 4096): DataFrame = {
-    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
-      .where(size(col("grams")) > 0)
-      .withColumn("n_grams", size(col("grams")))
-    val inv = grams.select(col("doc_id"), col("n_grams"), explode(col("grams")).as("gram"))
-    // In-bucket pair expansion instead of the classic inverted-index
-    // SELF-join; the df cap rides the skew-safe aggregate+join filter
-    // (grams are Zipfian natural keys — see keepHotBucketsSkewSafe).
+  /** Shared d4/d18 candidate machinery: undirected pairs (id_a < id_b)
+    * with their exact shared-gram counts and both set sizes, from an
+    * inverted index on the token n-gram with the df CAP decided by the
+    * d16-style BOUNDED heavy-gram table instead of a per-gram
+    * aggregate+join:
+    *
+    *   - one partial-aggregated top-`hotCap` (gram, df) pass (the
+    *     exchange carries ≤ hotCap rows per partition, not the gram
+    *     relation) collects the only grams the cap decision can ever
+    *     drop — "is this gram over the cap" is a MEMBERSHIP test, and
+    *     the bounded table answers it exactly whenever its minimum df
+    *     ≤ cap (then every gram outside the table is under the cap);
+    *   - the drop is a map-side codegen'd InSet filter on the exploded
+    *     frame — no gram-keyed count shuffle, no join back;
+    *   - singleton pruning (a gram in one doc can never pair) folds
+    *     into the collect_list aggregate as a post-agg size filter, so
+    *     the whole candidate build pays ONE corpus-sized exchange.
+    *
+    * When the corpus is so flood-ridden that > hotCap grams exceed the
+    * cap (the table cannot prove completeness), falls back to the
+    * exact skew-safe aggregate+join — correctness never depends on the
+    * bound. */
+  private def gramPairSharedCounts(grams: DataFrame,
+      maxDocsPerGram: Int, hotCap: Int): DataFrame = {
+    val inv = grams.select(col("doc_id"), col("n_grams"),
+      explode(col("grams")).as("gram"))
+    val hot = boundedGramDf(grams, hotCap)
+    val complete = hot.length < hotCap || hot.last._2 <= maxDocsPerGram
+    val es = col("es")
     // Struct sort orders by doc_id (first field), so pairs come out
     // id_a < id_b.
-    val es = col("es")
-    keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
+    val pruned =
+      if (!complete) keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
+      else {
+        val overCap = hot.filter(_._2 > maxDocsPerGram).map(_._1)
+        if (overCap.isEmpty) inv
+        else inv.where(!col("gram").isInCollection(overCap))
+      }
+    val buckets = pruned
       .groupBy(col("gram"))
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
+    (if (complete) buckets.where(size(es) >= 2) else buckets)
       .select(explode(flatten(transform(es, (x, i) =>
         transform(slice(es, i + lit(2), size(es)), y => struct(
           x.getField("doc_id").as("id_a"),
@@ -592,7 +634,17 @@ object Dedup {
           y.getField("n_grams").as("nb")))))).as("p"))
       .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
         col("p.na").as("na"), col("p.nb").as("nb"))
-      .agg(count(lit(1)).cast(DoubleType).as("shared"))
+      .agg(count(lit(1)).as("shared"))
+  }
+
+  def ngramJaccardPairs(df: DataFrame, text: String, id: String,
+      n: Int = 3, threshold: Double = 0.5,
+      maxDocsPerGram: Int = 4096, hotCap: Int = 65536): DataFrame = {
+    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
+      .where(size(col("grams")) > 0)
+      .withColumn("n_grams", size(col("grams")))
+    gramPairSharedCounts(grams, maxDocsPerGram, hotCap)
+      .withColumn("shared", col("shared").cast(DoubleType))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -609,34 +661,21 @@ object Dedup {
     * candidate pair, threshold in integer percent (cross-multiplied —
     * no float compare).
     *
-    * Plan: identical to the d4 inverted-index path (one gram shuffle,
-    * in-bucket expansion, df-capped hot grams) — only the final
+    * Plan: identical to the d4 inverted-index path (bounded hot-gram
+    * table for the df cap, ONE corpus-sized gram exchange, in-bucket
+    * expansion — see [[gramPairSharedCounts]]) — only the final
     * projection differs: each undirected candidate splits into its two
     * directed scores. Same quadratic-blowup guard, same exactness
     * below the cap. */
   def containmentPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, thresholdPct: Int = 80,
-      maxDocsPerGram: Int = 4096): DataFrame = {
+      maxDocsPerGram: Int = 4096, hotCap: Int = 65536): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct out of range: $thresholdPct")
     val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
       .where(size(col("grams")) > 0)
       .withColumn("n_grams", size(col("grams")))
-    val inv = grams.select(col("doc_id"), col("n_grams"),
-      explode(col("grams")).as("gram"))
-    val es = col("es")
-    val undirected = keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
-      .groupBy(col("gram"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n_grams")))).as("es"))
-      .select(explode(flatten(transform(es, (x, i) =>
-        transform(slice(es, i + lit(2), size(es)), y => struct(
-          x.getField("doc_id").as("id_a"),
-          y.getField("doc_id").as("id_b"),
-          x.getField("n_grams").as("na"),
-          y.getField("n_grams").as("nb")))))).as("p"))
-      .groupBy(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
-        col("p.na").as("na"), col("p.nb").as("nb"))
-      .agg(count(lit(1)).as("shared"))
+    val undirected = gramPairSharedCounts(grams, maxDocsPerGram, hotCap)
     undirected
       .select(col("id_a"), col("id_b"), col("na").as("n_contained"),
         col("shared"))
@@ -698,10 +737,7 @@ object Dedup {
       .where(size(col("grams")) > 0)
       .withColumn("ng", size(col("grams")))
     // Bounded heavy-gram table: per-doc-distinct grams, so count = df.
-    val hot = grams.select(explode(col("grams")).as("gram"))
-      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
-      .orderBy(desc("df"), asc("gram")).limit(hotCap)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val hot = boundedGramDf(grams, hotCap)
     // Rarest-first global order + ⌈t·ng⌉ prefix, all narrow.
     val ordered = grams
       .withColumn("gsorted",

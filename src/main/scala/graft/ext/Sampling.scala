@@ -261,6 +261,25 @@ object Sampling {
       .drop("__cum")
   }
 
+  /** Per-source token supplies — the ADDITIVE state [[mixturePlan]]
+    * derives from: (source, n_docs, tokens_total). Counts are sums, so
+    * increments from disjoint batches merge exactly via
+    * [[mergeSupplies]] — a stream maintains the mixture plan under
+    * ingest without ever re-scanning the corpus (the sc9/st19
+    * incremental-index pattern applied to the data-mix decision). */
+  def mixtureSupplies(df: DataFrame, source: Column,
+      tokens: Column): DataFrame =
+    df.select(source.as("source"), tokens.as("__t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens_total"))
+
+  /** Additive merge of two [[mixtureSupplies]] relations (sources-sized
+    * metadata — the exchange is KBs). */
+  def mergeSupplies(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("tokens_total")).as("tokens_total"))
+
   /** Mixture balancing plan: given target mixture weights per source in
     * MILLIONTHS (must sum to 1,000,000) and the corpus's per-source
     * token supply, compute the per-source sampling rates that realize
@@ -281,15 +300,20 @@ object Sampling {
     * Plan shape: ONE partial-aggregated groupBy over the corpus; the
     * min-T reduction is over the (sources-sized) aggregate. */
   def mixturePlan(df: DataFrame, source: Column, tokens: Column,
+      targetPpm: Map[String, Long]): DataFrame =
+    mixturePlanFromSupplies(mixtureSupplies(df, source, tokens), targetPpm)
+
+  /** [[mixturePlan]] from an already-aggregated supply relation —
+    * lets a maintained (streamed / merged) supply table re-derive the
+    * plan without touching data rows. */
+  def mixturePlanFromSupplies(supplies: DataFrame,
       targetPpm: Map[String, Long]): DataFrame = {
     require(targetPpm.nonEmpty, "mixturePlan: empty target")
     require(targetPpm.values.forall(_ > 0),
       "mixturePlan: every target weight must be > 0 ppm")
     require(targetPpm.values.sum == 1000000L,
       s"mixturePlan: target weights sum to ${targetPpm.values.sum}, want 1000000")
-    val counts = df.select(source.as("source"), tokens.as("__t"))
-      .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_docs"), sum(col("__t")).as("tokens_total"))
+    val counts = supplies
       .withColumn("__w", targetPpm.foldLeft(lit(0L)) {
         case (acc, (s, w)) =>
           when(col("source") === lit(s), lit(w)).otherwise(acc)

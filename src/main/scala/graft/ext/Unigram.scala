@@ -163,6 +163,216 @@ object Unigram {
     counts.toSeq.sortBy(_._1).toDF("piece", "n")
   }
 
+  /** SOFT-EM unigram training — the published SentencePiece objective
+    * ([[train]] substitutes hard Viterbi; this variant runs the full
+    * expectation step): each E-step computes EXPECTED piece counts over
+    * ALL segmentations of each word type via the forward-backward
+    * lattice recurrences
+    *
+    *   α(j) = Σ_i α(i)·p(piece[i,j)),   β(i) = Σ_j p(piece[i,j))·β(j),
+    *   E[count(piece[i,j))] += freq·α(i)·p·β(j)/α(n),
+    *
+    * and the M-step renormalizes. Likelihoods are IEEE doubles, so the
+    * result is not integer-exact like [[train]]; instead every
+    * floating-point operation ORDER is pinned (words in (freq desc,
+    * word asc) table order; lattice spans ascending; totals accumulated
+    * in piece-ascending order), which makes the computation
+    * bit-reproducible on any IEEE-754 platform — the independent
+    * Python replay (tools/gen_unigram_soft_oracle.py) mirrors the
+    * order, and the t36 gate compares scores under an explicit 1e-6
+    * TOLERANCE contract rather than a hash (the documented difference
+    * from the integer-exact gates). Structural conventions (word table
+    * cap, seed, single-char floor — here 1e-12 expected count — prune
+    * schedule and (count desc, piece asc) ranking) are [[train]]'s.
+    *
+    * Returns (piece, score): the final piece probabilities, normalized
+    * over the surviving vocabulary. Corpus cost is identical to
+    * [[train]]: ONE word-count pass; the lattice EM runs driver-side
+    * over the capped word-type table. */
+  def trainSoft(df: DataFrame, text: String, vocabSize: Int,
+      maxPieceLen: Int = 6, seedSize: Int = 5000, emIters: Int = 2,
+      maxWordTypes: Int = 2000000): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize out of range: $vocabSize")
+    require(maxPieceLen >= 1 && maxPieceLen <= 32,
+      s"maxPieceLen out of range: $maxPieceLen")
+    require(seedSize >= 0, s"seedSize out of range: $seedSize")
+    require(emIters >= 1, s"emIters out of range: $emIters")
+    val spark = df.sparkSession
+    val rows = Bpe.wordCounts(df, text)
+      .orderBy(desc("n"), asc("word"))
+      .limit(maxWordTypes)
+      .collect()
+    val nWords = rows.length
+    require(nWords > 0, "Unigram.trainSoft: corpus has no words")
+    val words = new Array[Array[String]](nWords)
+    val freqs = new Array[Long](nWords)
+    var wi = 0
+    while (wi < nWords) {
+      words(wi) = UnigramTokenize.codePoints(rows(wi).getString(0))
+      freqs(wi) = rows(wi).getLong(1)
+      wi += 1
+    }
+
+    // ---- seed: identical structure to train's, held as doubles.
+    val seedCounts = new java.util.HashMap[String, java.lang.Long]()
+    val sb = new java.lang.StringBuilder
+    wi = 0
+    while (wi < nWords) {
+      val cps = words(wi)
+      val f = freqs(wi)
+      var i = 0
+      while (i < cps.length) {
+        sb.setLength(0)
+        var j = i
+        while (j < cps.length && j - i < maxPieceLen) {
+          sb.append(cps(j))
+          val p = sb.toString
+          val prev = seedCounts.get(p)
+          seedCounts.put(p, if (prev == null) f else prev.longValue + f)
+          j += 1
+        }
+        i += 1
+      }
+      wi += 1
+    }
+    var e: Map[String, Double] = {
+      val singles = scala.collection.mutable.TreeMap.empty[String, Long]
+      val multis = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+      seedCounts.forEach { (p, c) =>
+        if (p.codePointCount(0, p.length) == 1) singles(p) = c.longValue
+        else multis += ((p, c.longValue))
+      }
+      val kept = multis.sortBy { case (p, c) => (-c, p) }.take(seedSize)
+      (singles.toSeq ++ kept).map { case (p, c) => (p, c.toDouble) }.toMap
+    }
+
+    /** Σ over pieces in ASCENDING piece order — the pinned total. */
+    def totalOf(m: Map[String, Double]): Double = {
+      var t = 0.0
+      m.keysIterator.toSeq.sorted.foreach(p => t += m(p))
+      t
+    }
+
+    def softEmIteration(cur: Map[String, Double]): Map[String, Double] = {
+      val total = totalOf(cur)
+      val prob = new java.util.HashMap[String, java.lang.Double](cur.size * 2)
+      cur.foreach { case (p, c) => prob.put(p, c / total) }
+      val next = new java.util.HashMap[String, java.lang.Double]()
+      val sb = new java.lang.StringBuilder
+      var w = 0
+      while (w < nWords) {
+        val cps = words(w)
+        val n = cps.length
+        val f = freqs(w).toDouble
+        // Piece probabilities for every lattice span, row-major
+        // (i ascending, then j ascending) — 0.0 marks out-of-vocab.
+        val pij = new Array[Double](n * maxPieceLen)
+        val names = new Array[String](n * maxPieceLen)
+        var i = 0
+        while (i < n) {
+          sb.setLength(0)
+          var j = i
+          while (j < n && j - i < maxPieceLen) {
+            sb.append(cps(j))
+            val piece = sb.toString
+            val pp = prob.get(piece)
+            if (pp != null) {
+              pij(i * maxPieceLen + (j - i)) = pp.doubleValue
+              names(i * maxPieceLen + (j - i)) = piece
+            }
+            j += 1
+          }
+          i += 1
+        }
+        val alpha = new Array[Double](n + 1)
+        alpha(0) = 1.0
+        var jj = 1
+        while (jj <= n) {
+          var s = 0.0
+          var ii = math.max(0, jj - maxPieceLen)
+          while (ii < jj) {
+            val p = pij(ii * maxPieceLen + (jj - ii - 1))
+            if (p > 0.0) s += alpha(ii) * p
+            ii += 1
+          }
+          alpha(jj) = s
+          jj += 1
+        }
+        val z = alpha(n)
+        if (z > 0.0) {
+          val beta = new Array[Double](n + 1)
+          beta(n) = 1.0
+          var ii = n - 1
+          while (ii >= 0) {
+            var s = 0.0
+            var jj2 = ii + 1
+            while (jj2 <= math.min(n, ii + maxPieceLen)) {
+              val p = pij(ii * maxPieceLen + (jj2 - ii - 1))
+              if (p > 0.0) s += p * beta(jj2)
+              jj2 += 1
+            }
+            beta(ii) = s
+            ii -= 1
+          }
+          ii = 0
+          while (ii < n) {
+            var jj2 = ii + 1
+            while (jj2 <= math.min(n, ii + maxPieceLen)) {
+              val idx = ii * maxPieceLen + (jj2 - ii - 1)
+              val p = pij(idx)
+              if (p > 0.0) {
+                var c = f * alpha(ii)
+                c = c * p
+                c = c * beta(jj2)
+                c = c / z
+                val piece = names(idx)
+                val prev = next.get(piece)
+                next.put(piece,
+                  if (prev == null) c else prev.doubleValue + c)
+              }
+              jj2 += 1
+            }
+            ii += 1
+          }
+        }
+        w += 1
+      }
+      val out = scala.collection.mutable.HashMap.empty[String, Double]
+      next.forEach { (p, c) =>
+        if (cur.contains(p)) out(p) = c.doubleValue
+      }
+      // Keep every current single char segmentable: floor the expected
+      // count at 1e-12.
+      cur.keysIterator.foreach { p =>
+        if (p.codePointCount(0, p.length) == 1)
+          out(p) = math.max(out.getOrElse(p, 0.0), 1e-12)
+      }
+      out.toMap
+    }
+
+    var done = false
+    while (!done) {
+      var it = 0
+      while (it < emIters) { e = softEmIteration(e); it += 1 }
+      if (e.size <= vocabSize) done = true
+      else {
+        val (s, m) = e.partition { case (p, _) =>
+          p.codePointCount(0, p.length) == 1 }
+        val target = math.max(vocabSize, e.size * 3 / 4)
+        val keepMulti = math.max(0, target - s.size)
+        val keptM = m.toSeq.sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+        val pruned = (s ++ keptM).toMap
+        if (pruned.size == e.size) done = true
+        e = pruned
+      }
+    }
+
+    val finalTotal = totalOf(e)
+    import spark.implicits._
+    e.toSeq.sortBy(_._1).map { case (p, c) => (p, c / finalTotal) }
+      .toDF("piece", "score")
+  }
+
   /** Tokenize `text` with a trained vocabulary: one codegen'd exact-
     * Viterbi pass per row ([[UnigramTokenize]]) — the serving-side op
     * that runs over the full corpus. Adds `out` (ARRAY<STRING>). */

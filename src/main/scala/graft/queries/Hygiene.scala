@@ -996,6 +996,27 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t36: SOFT-EM unigram training (Unigram.trainSoft — the published
+    * SentencePiece objective, full forward-backward expectation) under
+    * the board's one explicit TOLERANCE contract: the trained float
+    * scores join against the pinned independent-Python replay
+    * (PinnedOracles.t36SoftVocab) and each piece must agree within
+    * 1e-6 absolute; the piece set must match exactly (full-outer join
+    * — an extra or missing piece breaks the row count). The oracle is
+    * the pinned relation with within_tol = TRUE everywhere. */
+  def unigramVocabSoft(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val got = graft.ext.Unigram.trainSoft(Tables.documents(s, d), "text",
+      vocabSize = 45, maxPieceLen = 6, seedSize = 800)
+    val pinned = PinnedOracles.t36SoftVocab.toDF("piece", "score_e9")
+    got.join(pinned, Seq("piece"), "full_outer")
+      .select(col("piece"), col("score_e9"),
+        (col("score").isNotNull && col("score_e9").isNotNull &&
+          abs(col("score") - col("score_e9").cast("double") / 1e9) <= 1e-6)
+          .as("within_tol"))
+      .orderBy("piece")
+  }
+
   // ------------------------------------------------------- C4 filters
 
   /** Planted multi-line "pages" for the C4 cleaning gate: the synthetic
@@ -1114,6 +1135,8 @@ object HygieneQueries {
       Some(PinnedOracles.t24BpeTokenCounts)),
     QueryDef("t34_unigram_vocab", unigramVocab,
       Some(PinnedOracles.t34UnigramVocab)),
+    QueryDef("t36_unigram_soft", unigramVocabSoft,
+      Some(PinnedOracles.t36SoftVocabSql)),
     QueryDef("t35_unigram_token_counts", unigramTokenCounts,
       Some(PinnedOracles.t35UnigramTokenCounts)))
 }

@@ -314,6 +314,80 @@ object StreamingQueries {
       .orderBy("batch")
   }
 
+  /** st20: the sm13 mixture plan MAINTAINED under ingest — per-source
+    * token supplies are additive, so each micro-batch folds its own
+    * (sources-sized) supply aggregate into the running relation via
+    * [[graft.ext.Sampling.mergeSupplies]] and the final plan derives
+    * from the merged increments alone (no corpus re-scan, the sc9/st19
+    * incremental pattern applied to the data-mix decision). The oracle
+    * recomputes the plan from the FULL documents table — merged
+    * increments must equal the full recompute exactly (integer
+    * arithmetic, no order sensitivity). */
+  def mixtureStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), col("n_chars"))
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st20_src_")
+    docs.where(col("doc_id") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
+    docs.where(col("doc_id") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
+    Seq("b0", "b1").foreach { b =>
+      val sub = new java.io.File(srcDir.toString + "/" + b)
+      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    var supplies: DataFrame = null
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = graft.ext.Sampling.mixtureSupplies(
+          batch, col("source"), col("n_chars"))
+        supplies =
+          (if (supplies == null) inc
+           else graft.ext.Sampling.mergeSupplies(supplies, inc))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    graft.ext.Sampling.mixturePlanFromSupplies(supplies,
+        targetPpm = Map("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 150000L, "src3" -> 50000L))
+      .orderBy("source")
+  }
+
+  private val mixtureStreamOracle =
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
+      |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
+      |agg AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS tokens_total
+      | FROM documents GROUP BY source),
+      |tt AS (
+      | SELECT min(tokens_total * 1000000 // w.w) AS T
+      | FROM agg JOIN w USING (source))
+      |SELECT a.source, a.n_docs, a.tokens_total,
+      | CAST(CASE WHEN w.w IS NULL THEN 0
+      |  ELSE LEAST(1000000,
+      |   ((w.w * tt.T // 1000000) * 1000000) // a.tokens_total) END
+      |  AS BIGINT) AS rate_ppm
+      |FROM agg a LEFT JOIN w USING (source) CROSS JOIN tt
+      |ORDER BY a.source""".stripMargin
+
   private val zoneMapStreamOracle =
     """WITH mm AS (SELECT max(l_orderkey) // 2 AS mid FROM lineitem)
       |SELECT CASE WHEN l_orderkey <= mid THEN 'low' ELSE 'high' END AS batch,
@@ -626,6 +700,7 @@ object StreamingQueries {
     QueryDef("st18_tokenize_stream", tokenizeStream,
       Some(PinnedOracles.t35UnigramTokenCounts)),
     QueryDef("st19_zonemap_stream", zoneMapStream, Some(zoneMapStreamOracle)),
+    QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

@@ -208,6 +208,13 @@ class ExtSpec extends AnyFunSuite {
         maxDocsPerGram = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(pairs === Seq((1L, 2L)))
+    // A hotCap too small to prove the cap decision complete (top-2 table,
+    // both entries over the cap) must fall back to the exact
+    // aggregate+join path and produce the identical answer.
+    val fallback = Dedup.ngramJaccardPairs(df, "text", "doc_id",
+        maxDocsPerGram = 10, hotCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fallback === Seq((1L, 2L)))
   }
 
   test("Dedup.containmentPairs: asymmetric — the quote scores 1.0 " +

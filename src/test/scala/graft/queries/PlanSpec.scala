@@ -384,6 +384,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set(key, old)
   }
 
+  test("d4/d18: bounded-table df cap — ONE gram-keyed exchange, no " +
+      "per-gram count join in the candidate build") {
+    val docs = graft.Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    def gramExchanges(s: String): Int =
+      s.linesIterator.count(l =>
+        l.contains("Exchange hashpartitioning(gram"))
+    // The exact-df formulation paid a gram-keyed count aggregate AND the
+    // join back per candidate subtree; the bounded-table cap leaves
+    // exactly the one unavoidable bucket aggregation. d18's directed
+    // union references the candidate subtree twice in the STATIC plan
+    // (ReuseExchange collapses them at runtime), hence its bound is 2.
+    val d4 = planString(
+      graft.ext.Dedup.ngramJaccardPairs(docs, "text", "doc_id"))
+    assert(gramExchanges(d4) === 1, d4.linesIterator
+      .filter(_.contains("hashpartitioning(gram")).mkString("\n"))
+    assert(!d4.contains("SortMergeJoin [gram"), d4)
+    val d18 = planString(
+      graft.ext.Dedup.containmentPairs(docs, "text", "doc_id"))
+    assert(gramExchanges(d18) <= 2, d18.linesIterator
+      .filter(_.contains("hashpartitioning(gram")).mkString("\n"))
+    assert(!d18.contains("SortMergeJoin [gram"), d18)
+  }
+
   test("chunk dedup: inverted-index pairing is all equi-joins/aggregates " +
       "— no cartesian") {
     val docs = graft.Tables.documents(spark, sf)
