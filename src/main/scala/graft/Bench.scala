@@ -210,17 +210,21 @@ object Bench {
     // inflated 2-7x on a CONSECUTIVE stretch of queries by transient
     // concurrent disk load; a single pre-run check cannot see a mid-run
     // window): any query whose pre-query stamp sat well below the
-    // session's best stamp, or whose N runs spread >2x (a transient
-    // inside its own window), is re-measured ONCE here — after the main
-    // loop, i.e. temporally outside the window — and the min is kept.
-    // Single-run probe protocol (RUNS=1) skips it; SPARK_GRAFT_BENCH_RETRY
-    // overrides.
+    // session's MEDIAN stamp (median, not max — one page-cache burst
+    // must not drag every ordinary reading into rerun), or whose N runs
+    // spread >2x (a transient inside its own window), is re-measured
+    // ONCE here — after the main loop, i.e. temporally outside the
+    // window — and the min is kept. Single-run probe protocol (RUNS=1)
+    // skips it; SPARK_GRAFT_BENCH_RETRY overrides.
     val retry = sys.env.get("SPARK_GRAFT_BENCH_RETRY")
       .map(_ != "0").getOrElse(runs > 1)
-    val bestStamp = (stamps.values ++ Seq(mbps)).max
+    val refStamp = {
+      val ss = (stamps.values ++ Seq(mbps)).toSeq.sorted
+      ss(ss.size / 2)
+    }
     val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = if (!retry) results0 else results0.map { case (name, t) =>
-      val suspect = stamps(name) < 0.6 * bestStamp || spreads(name) > 2.0
+      val suspect = stamps(name) < 0.5 * refStamp || spreads(name) > 2.0
       if (!suspect) name -> t
       else {
         val q = benchDefs.find(_.name == name).get

@@ -48,9 +48,13 @@ object Graphs {
     * the pre-filter (plan-shape A/Bs).
     *
     * NOTE: with the pre-filter on, building the bloom runs two EAGER
-    * jobs at call time (pair count for sizing + the bloom aggregate) —
-    * the pairs are cached across them so the raw edges are scanned
-    * once, but the call is not lazy like a plain DataFrame transform.
+    * jobs at call time (pair count for sizing + the bloom aggregate),
+    * so the call is not lazy like a plain DataFrame transform. The
+    * pairs are deliberately NOT cached across the two jobs: the pair
+    * frame is wedge-input sized, and materializing it (measured at
+    * 10x bench data) costs more than the second cheap count pass it
+    * would save — both jobs are trivial next to the wedge exchange
+    * the bloom exists to cut.
     *
     * Output: (node, n_triangles), the `topK` nodes by
     * (n_triangles desc, node) — or all nodes when topK = 0.
@@ -84,16 +88,9 @@ object Graphs {
     val prefiltered =
       if (closeBloomFpp <= 0.0) wedges
       else {
-        // Cache across the two eager jobs (count for sizing + bloom
-        // aggregate) so the raw edge input is scanned once; released
-        // immediately — the lazy plan below re-derives pairs itself.
-        rawPairs.persist()
-        val bloom =
-          try {
-            val nPairs = math.max(rawPairs.count(), 1L)
-            Scale.keyBloom(rawPairs,
-              struct(col("u"), col("v")), nPairs, closeBloomFpp)
-          } finally rawPairs.unpersist(blocking = false)
+        val nPairs = math.max(rawPairs.count(), 1L)
+        val bloom = Scale.keyBloom(rawPairs,
+          struct(col("u"), col("v")), nPairs, closeBloomFpp)
         wedges.where(Scale.mightContainKey(bloom,
           struct(least(col("y"), col("z")), greatest(col("y"), col("z")))))
       }

@@ -997,6 +997,13 @@ object TextAnalysis {
       scale: Long = 1000000000L,
       broadcastModel: Option[Boolean] = None): DataFrame = {
     require(scale >= 1L, s"scale=$scale")
+    // Auto mode MEASURES the model, so it would otherwise execute the
+    // model-building aggregation twice (once for the size probe, once
+    // in the join); a localCheckpoint materializes it exactly once —
+    // a model is reference-set-sized, so the checkpoint is small.
+    val tokenCountsEff =
+      if (broadcastModel.isEmpty) tokenCounts.localCheckpoint(true)
+      else tokenCounts
     val doBroadcast = broadcastModel.getOrElse {
       val threshold = docs.sparkSession.conf
         .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
@@ -1013,19 +1020,20 @@ object TextAnalysis {
       else {
         // ~48 bytes/row of UnsafeRow + hash-relation overhead beyond
         // the 2 longs and the token bytes themselves.
-        val r = tokenCounts
+        val r = tokenCountsEff
           .agg(count(lit(1)).as("rows"),
             coalesce(sum(length(col("w"))), lit(0L)).as("wbytes"))
           .head()
         r.getLong(0) * 64L + r.getLong(1) <= threshold
       }
     }
-    val vocab = tokenCounts.select(col("w")).distinct()
+    val vocab = tokenCountsEff.select(col("w")).distinct()
       .agg(count(lit(1)).as("v"))
     val docToks = docs.select(col(id), explode(lmToks(text)).as("w"))
     val docLen = docToks.groupBy(col(id)).agg(count(lit(1)).as("n_toks"))
     val found = docToks.join(
-        if (doBroadcast) broadcast(tokenCounts) else tokenCounts, Seq("w"))
+        if (doBroadcast) broadcast(tokenCountsEff) else tokenCountsEff,
+        Seq("w"))
       .join(broadcast(classCounts), Seq("label"))
       .crossJoin(broadcast(vocab))
       .select(col(id), col("label"),
