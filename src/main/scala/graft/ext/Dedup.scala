@@ -404,12 +404,58 @@ object Dedup {
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
   }
 
+  /** Components of the pair graph with a BOUNDED driver fast path: a
+    * verified near-dup pair relation is typically millions of times
+    * smaller than its corpus, yet the large-star/small-star rounds
+    * cost a fixed handful of Spark jobs + checkpoints per round —
+    * measured 4.2 s for a 416-pair graph at sf0.1, pure scheduling.
+    * Pair sets that fit `smallLimit` rows (LongType ids only) collect
+    * to the driver and run union-find with min-id representatives —
+    * the identical (id, component = min id) relation, in milliseconds,
+    * and the downstream anti-join broadcasts it. Larger relations (or
+    * non-long ids) take the distributed O(log n) rounds unchanged.
+    * NOTE: runs an eager bounded collect at call time. */
+  private[graft] def componentsFor(pairs: DataFrame, a: String = "id_a",
+      b: String = "id_b", smallLimit: Int = 1 << 18): DataFrame = {
+    val spark = pairs.sparkSession
+    val longIds =
+      pairs.schema(a).dataType == org.apache.spark.sql.types.LongType &&
+      pairs.schema(b).dataType == org.apache.spark.sql.types.LongType
+    if (!longIds) return connectedComponentsStar(pairs, a, b)
+    val head = pairs.select(col(a), col(b)).limit(smallLimit + 1).collect()
+    if (head.length > smallLimit) connectedComponentsStar(pairs, a, b)
+    else {
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      head.foreach { r =>
+        val u = r.getLong(0); val v = r.getLong(1)
+        parent.getOrElseUpdate(u, u)
+        parent.getOrElseUpdate(v, v)
+        val ru = find(u); val rv = find(v)
+        // Attach the larger root under the smaller: every root stays
+        // the minimum of its component, matching the star rounds.
+        if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+      }
+      import spark.implicits._
+      parent.keysIterator.map(x => (x, find(x))).toSeq
+        .toDF("id", "component")
+    }
+  }
+
   /** Transitive dedup: collapse every connected component of the pair
-    * graph to its minimum id (components via [[connectedComponentsStar]]
-    * — diameter-safe). Rows not appearing in any pair keep themselves. */
+    * graph to its minimum id (components via [[componentsFor]] —
+    * diameter-safe distributed rounds, driver union-find when the pair
+    * set is metadata-sized). Rows not appearing in any pair keep
+    * themselves. */
   def dropFromPairsTransitive(df: DataFrame, id: String,
       pairs: DataFrame): DataFrame = {
-    val drop = connectedComponentsStar(pairs)
+    val drop = componentsFor(pairs)
       .where(col("id") =!= col("component"))
       .select(col("id").as(id))
     df.join(drop, Seq(id), "left_anti")
@@ -430,7 +476,7 @@ object Dedup {
     * join. Everything is linear in the pair set + corpus. */
   def dropFromPairsKeepBest(df: DataFrame, id: String,
       pairs: DataFrame, score: Column): DataFrame = {
-    val comp = connectedComponentsStar(pairs)
+    val comp = componentsFor(pairs)
       .select(col("id").as(id), col("component"))
     val member = df.join(comp, Seq(id))
     val champions = member

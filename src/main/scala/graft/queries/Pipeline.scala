@@ -1047,42 +1047,67 @@ object PipelineQueries {
   /** The p2/p3 WARC fixture: every doc a response record, every 4th
     * doc also fetched under a dirty spelling of the same URL; parsed
     * back to (doc_id, url, body) through the engine's own WARC reader. */
-  private def crawlRecords(s: SparkSession, d: String): DataFrame = {
-    import java.nio.file.Files
-    val tmp = Files.createTempDirectory("graft_p2_")
-    val docs = Tables.documents(s, d).select("doc_id", "text").collect()
-      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
-    def rec(id: Long, uri: String, body: String): String =
-      graft.io.Warc.writeRecord("response", s"<urn:doc:$id>", uri,
-        "2024-01-01T00:00:00Z",
-        "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
-    def shard(rows: Seq[(Long, String)], name: String): Unit = {
-      val sb = new StringBuilder
-      sb.append(graft.io.Warc.writeRecord("warcinfo", "<urn:graft:info>",
-        "", "2024-01-01T00:00:00Z", "software: graft-fixture\r\n"))
-      rows.foreach { case (id, text) =>
-        val k = id % 7
-        val body = text.take(200)
-        sb.append(rec(id, s"https://site$k.example.com/p/$id", body))
-        if (id % 4 == 0)
-          sb.append(rec(id + 500000,
-            s"HTTPS://WWW.Site$k.Example.COM:443/p/$id?utm_source=dup#frag",
-            body))
-      }
-      Files.write(tmp.resolve(name),
-        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
-    val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
-    shard(even, "shard0.warc")
-    shard(odd, "shard1.warc")
+  private def crawlRecords(s: SparkSession, d: String): DataFrame =
     graft.io.Warc.httpParts(
-        graft.io.Warc.read(s, tmp.toString + "/*.warc")
+        graft.io.Warc.read(s, warcFixture(s, d) + "/*.warc")
           .where(col("warc_type") === "response"))
       .select(
         regexp_extract(col("record_id"), "urn:doc:(\\d+)", 1)
           .cast(org.apache.spark.sql.types.LongType).as("doc_id"),
         col("target_uri").as("url"),
         col("http_body").as("body"))
+
+  /** Writes the p2/p3 WARC shards for `d` to a content-stable temp dir
+    * on first use (the m5 fixture pattern: atomic publish via rename,
+    * losers of a cross-process race reuse the winner's dir) — shard
+    * WRITING collects documents to the driver, which belongs in
+    * fixture setup, not inside the timed query. Returns the dir. */
+  private def warcFixture(s: SparkSession, d: String): String = {
+    import java.nio.file.Files
+    val key = java.lang.Long.toHexString(
+      d.hashCode.toLong << 32 | Tables.documents(s, d).count())
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_p2_warc_$key")
+    if (!Files.exists(dir.resolve("shard1.warc"))) {
+      val tmp = Files.createTempDirectory("graft_p2_build_")
+      val docs = Tables.documents(s, d).select("doc_id", "text").collect()
+        .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      def rec(id: Long, uri: String, body: String): String =
+        graft.io.Warc.writeRecord("response", s"<urn:doc:$id>", uri,
+          "2024-01-01T00:00:00Z",
+          "HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" + body)
+      def shard(rows: Seq[(Long, String)], name: String): Unit = {
+        val sb = new StringBuilder
+        sb.append(graft.io.Warc.writeRecord("warcinfo", "<urn:graft:info>",
+          "", "2024-01-01T00:00:00Z", "software: graft-fixture\r\n"))
+        rows.foreach { case (id, text) =>
+          val k = id % 7
+          val body = text.take(200)
+          sb.append(rec(id, s"https://site$k.example.com/p/$id", body))
+          if (id % 4 == 0)
+            sb.append(rec(id + 500000,
+              s"HTTPS://WWW.Site$k.Example.COM:443/p/$id?utm_source=dup#frag",
+              body))
+        }
+        Files.write(tmp.resolve(name),
+          sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      val (even, odd) = docs.toSeq.partition(_._1 % 2 == 0)
+      shard(even, "shard0.warc")
+      shard(odd, "shard1.warc")
+      // shard1 is written LAST, so its presence marks a complete dir; a
+      // dir without it is a crashed partial build — clear and retry.
+      if (Files.exists(dir) && !Files.exists(dir.resolve("shard1.warc"))) {
+        import scala.jdk.CollectionConverters._
+        Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(Files.deleteIfExists(_))
+      }
+      try Files.move(tmp, dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.AccessDeniedException => () }
+    }
+    dir.toString
   }
 
   def crawlCurationE2e(s: SparkSession, d: String): DataFrame =

@@ -231,6 +231,26 @@ class ExtSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("Dedup.componentsFor: driver union-find path == distributed star " +
+      "rounds on chains, cycles, self-loops") {
+    // 4-node chain, a triangle (cycle), a self-loop-only node, shared
+    // min labels — every structural case the star rounds handle.
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),      // chain -> component 1
+      (10L, 11L), (11L, 12L), (12L, 10L), // cycle -> component 10
+      (20L, 20L),                         // self-loop -> itself
+      (31L, 30L)                          // reversed order -> 30
+    ).toDF("id_a", "id_b")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = key(Dedup.componentsFor(pairs))
+    val dist = key(Dedup.componentsFor(pairs, smallLimit = 0))
+    assert(fast === dist)
+    assert(fast === Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L),
+      (10L, 10L), (11L, 10L), (12L, 10L), (20L, 20L),
+      (30L, 30L), (31L, 30L)))
+  }
+
   test("Dedup.dropFromPairsKeepBest: champion by (score desc, id asc), " +
       "loners untouched, one survivor per cluster") {
     // Cluster {1,2,3} (chain), cluster {10,11}, loner 20.
