@@ -205,6 +205,21 @@ object Bpe {
       out: String = "bpe_tokens"): DataFrame =
     df.withColumn(out, GraftFunctions.bpeTokenize(col(text), merges))
 
+  /** BPE-dropout serving (Provilkov et al., ACL 2020): apply the merge
+    * table as [[tokenize]] does but drop each merge site with
+    * probability `dropoutPpm`/1e6 via deterministic XXH64 coins
+    * ([[graft.functions.BpeDropoutTokenize]]) — the stochastic
+    * epoch-augmentation mode of the BPE family. Draws are a pure
+    * function of (word, occurrence ordinal, merge rank, site, `seed`),
+    * so an epoch is reproducible and partitioning-independent; vary
+    * `seed` per epoch to resample. `dropoutPpm = 0` degrades to
+    * exactly [[tokenize]]. Adds `out` (ARRAY<STRING>). */
+  def tokenizeDropout(df: DataFrame, text: String,
+      merges: Seq[(String, String)], dropoutPpm: Int, seed: Long = 42L,
+      out: String = "bpe_dropout_tokens"): DataFrame =
+    df.withColumn(out, GraftFunctions.bpeDropoutTokenize(
+      col(text), merges, dropoutPpm, seed))
+
   /** Driver-side convenience: collect a merges frame (as produced by
     * [[learnMerges]]) into the ordered list [[tokenize]] consumes. The
     * frame is numMerges rows — never data-sized. */

@@ -381,6 +381,22 @@ object Unigram {
     df.withColumn(out, GraftFunctions.unigramTokenize(
       col(text), vocab, maxPieceLen))
 
+  /** Subword-regularization sampling serving (Kudo ACL 2018 §3): one
+    * codegen'd pass per row that samples each word's segmentation from
+    * its `nbest` best lattice paths with probability proportional to
+    * p(seg)^alpha ([[graft.functions.UnigramSampleTokenize]]) — the
+    * stochastic epoch-augmentation mode next to the deterministic
+    * [[tokenize]]. Draws are a pure function of (word, occurrence
+    * ordinal, `seed`), so an epoch is reproducible and partitioning-
+    * independent at any scale; vary `seed` per epoch to resample the
+    * corpus. `nbest = 1` degrades to exactly [[tokenize]]. Adds `out`
+    * (ARRAY<STRING>). */
+  def sampleTokenize(df: DataFrame, text: String, vocab: Seq[(String, Long)],
+      maxPieceLen: Int = 6, nbest: Int = 4, alpha: Int = 1, seed: Long = 42L,
+      out: String = "unigram_sample_tokens"): DataFrame =
+    df.withColumn(out, GraftFunctions.unigramSampleTokenize(
+      col(text), vocab, maxPieceLen, nbest, alpha, seed))
+
   /** Driver-side convenience: collect a (piece, n) vocabulary frame (as
     * produced by [[train]]) into the list [[tokenize]] consumes. The
     * frame is vocab-sized — never data-sized. */

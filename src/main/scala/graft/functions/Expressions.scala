@@ -1108,6 +1108,128 @@ object BpeTokenize {
   }
 }
 
+/** BPE-dropout serving (Provilkov, Emelianenko & Voita, "BPE-Dropout:
+  * Simple and Effective Subword Regularization", ACL 2020): apply the
+  * learned merge table in rank order as [[BpeTokenize]] does, but drop
+  * each individual merge SITE with probability `dropoutPpm`/1e6,
+  * yielding stochastic finer-grained segmentations — the BPE-family
+  * twin of [[UnigramSampleTokenize]]'s l-best sampling, and the same
+  * determinism contract that makes a sampling operator gateable: each
+  * site's coin is a pure function of (word bytes, word occurrence
+  * ordinal, merge rank, match-site ordinal, seed), an XXH64 draw
+  * reduced mod 1e6 against the integer threshold, so runs agree
+  * bit-for-bit under any partitioning and a new `seed` resamples the
+  * epoch. A dropped site keeps the pair split for THIS merge pass
+  * (the scan advances one symbol, so the right symbol may still merge
+  * as a left symbol later in the pass — the published reference
+  * behavior); `dropoutPpm = 0` degrades to exactly [[BpeTokenize]] and
+  * `dropoutPpm = 1000000` always fully character-splits. Independent
+  * replay: tools/gen_bpe_dropout_oracle.py.
+  */
+case class BpeDropoutTokenize(child: Expression,
+    merges: Seq[(String, String)], dropoutPpm: Int, seed: Long)
+  extends UnaryExpression {
+
+  require(dropoutPpm >= 0 && dropoutPpm <= 1000000,
+    s"dropoutPpm out of range: $dropoutPpm")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"bpe_dropout_tokenize expects STRING, got ${child.dataType.sql}")
+  }
+
+  @transient private lazy val mergeArr: Array[Array[UTF8String]] =
+    BpeTokenize.toMergeArr(merges)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeDropoutTokenize.tokenize(
+      input.asInstanceOf[UTF8String], mergeArr, dropoutPpm, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("merges", mergeArr,
+      "org.apache.spark.unsafe.types.UTF8String[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeDropoutTokenize.tokenize(" +
+        s"$c, $m, $dropoutPpm, ${seed}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object BpeDropoutTokenize {
+  // Distinct odd mix constants (golden-ratio / XXH64 P2) keep the
+  // (wordOrdinal, mergeRank, site) triples from colliding in the seed
+  // space; both sides compute the sum mod 2^64.
+  private val WI_MIX = 0x9E3779B97F4A7C15L
+  private val MI_MIX = 0xC2B2AE3D27D4EB4FL
+
+  /** Static entry point shared by eval and generated code. */
+  def tokenize(text: UTF8String, merges: Array[Array[UTF8String]],
+      dropoutPpm: Int, seed: Long): ArrayData = {
+    val words = text.toString.split("\\s+")
+    val out = new java.util.ArrayList[Any]()
+    var wi = 0 // occurrence ordinal over emitted (non-empty) words
+    var idx = 0
+    while (idx < words.length) {
+      val w = words(idx)
+      if (w.nonEmpty) {
+        val u = UTF8String.fromString(w)
+        var syms = new java.util.ArrayList[UTF8String](w.length + 1)
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          val cc = Character.charCount(cp)
+          syms.add(UTF8String.fromString(w.substring(ci, ci + cc)))
+          ci += cc
+        }
+        syms.add(UTF8String.fromString(BpeTokenize.EndOfWord))
+        var mi = 0
+        while (mi < merges.length) {
+          val l = merges(mi)(0)
+          val r = merges(mi)(1)
+          val next = new java.util.ArrayList[UTF8String](syms.size)
+          var i = 0
+          var site = 0 // ordinal of MATCHED sites in this pass
+          while (i < syms.size) {
+            if (i + 1 < syms.size && syms.get(i).equals(l) &&
+                syms.get(i + 1).equals(r)) {
+              val drop = dropoutPpm > 0 && {
+                val h = XXH64.hashUnsafeBytes(
+                  u.getBaseObject, u.getBaseOffset, u.numBytes,
+                  seed + wi * WI_MIX + mi * MI_MIX + site)
+                java.lang.Long.remainderUnsigned(h, 1000000L) < dropoutPpm
+              }
+              site += 1
+              if (drop) {
+                next.add(syms.get(i))
+                i += 1
+              } else {
+                next.add(UTF8String.concat(l, r))
+                i += 2
+              }
+            } else {
+              next.add(syms.get(i))
+              i += 1
+            }
+          }
+          syms = next
+          mi += 1
+        }
+        out.addAll(syms)
+        wi += 1
+      }
+      idx += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
 /** Scalar (int8) quantization of a float vector against per-dimension
   * corpus [min, max] ranges — the 4x-compression tier between raw
   * floats and product quantization (FAISS SQ8): each dimension maps
@@ -1434,7 +1556,7 @@ object UnigramTokenize {
 
   /** Is reversed path a lexicographically smaller than reversed path b?
     * Paths are stored last-piece-first; compare from the WORD START. */
-  private def lexLess(a: List[String], b: List[String]): Boolean = {
+  private[functions] def lexLess(a: List[String], b: List[String]): Boolean = {
     val ra = a.reverse; val rb = b.reverse
     val it = ra.iterator.zip(rb.iterator)
     while (it.hasNext) {
@@ -1477,6 +1599,190 @@ object UnigramTokenize {
         while (i < pieces.length) { out.add(pieces(i)); i += 1 }
       }
       wi += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+}
+
+/** Subword-regularization SAMPLING tokenizer (Kudo, "Subword
+  * Regularization", ACL 2018 §3: sample a segmentation from the l-best
+  * list with probability proportional to p(seg)^alpha) — the serving
+  * mode that turns one corpus into many stochastic tokenizations per
+  * epoch, the published data-augmentation companion of
+  * [[UnigramTokenize]]'s deterministic Viterbi mode.
+  *
+  * Determinism contract (what makes a SAMPLING operator gateable and a
+  * distributed epoch reproducible): the draw for a word is a pure
+  * function of (word bytes, occurrence ordinal within the row, seed) —
+  * an XXH64 draw reduced modulo the exact integer weight total — so
+  * the same row always resamples identically under the same seed, any
+  * two cluster runs agree bit-for-bit regardless of partitioning, and
+  * varying `seed` per epoch resamples the whole corpus. All weight
+  * arithmetic is exact: candidate probabilities prod/T^k are compared
+  * and accumulated by cross-multiplying into the common denominator
+  * T^(alpha*kMax) in BigInteger, so there is no float path for
+  * platforms to disagree on (`alpha` is an integer exponent for the
+  * same reason). With `nbest = 1` the operator degrades to exactly
+  * [[UnigramTokenize]] (same comparator, single candidate).
+  *
+  * The n-best lattice enumeration is the standard per-prefix top-n DP;
+  * the engine's exact comparator (likelihood by cross-multiplication,
+  * then fewer pieces, then lexicographic path) makes the list total-
+  * ordered, and extension by a common piece preserves the order (two
+  * distinct candidate paths at the same position can never be
+  * sequence-prefixes of one another — they concatenate to the same
+  * prefix string — so the lex comparison is extension-stable).
+  * Independent replay: tools/gen_unigram_sample_oracle.py.
+  */
+case class UnigramSampleTokenize(child: Expression,
+    vocab: Seq[(String, Long)], maxPieceLen: Int, nbest: Int, alpha: Int,
+    seed: Long) extends UnaryExpression {
+
+  require(nbest >= 1 && nbest <= 64, s"nbest out of range: $nbest")
+  require(alpha >= 0 && alpha <= 16, s"alpha out of range: $alpha")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"unigram_sample_tokenize expects STRING, got ${child.dataType.sql}")
+  }
+
+  @transient private lazy val model: UnigramTokenize.Model =
+    UnigramTokenize.buildModel(vocab, maxPieceLen)
+
+  override def nullSafeEval(input: Any): Any =
+    UnigramSampleTokenize.tokenize(
+      input.asInstanceOf[UTF8String], model, nbest, alpha, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("model", model,
+      "graft.functions.UnigramTokenize.Model")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.UnigramSampleTokenize.tokenize(" +
+        s"$c, $m, $nbest, $alpha, ${seed}L);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object UnigramSampleTokenize {
+  import java.math.BigInteger
+
+  /** One segmentation candidate: exact piece-count product, piece
+    * count, and the path stored last-piece-first (the trainer's
+    * convention). */
+  private final case class Cand(prod: BigInteger, k: Int, path: List[String])
+
+  /** Is `a` strictly better than `b` under the engine's exact order:
+    * higher likelihood (prod/T^k by cross-multiplication), then fewer
+    * pieces, then lexicographically smaller path. */
+  private def better(a: Cand, b: Cand, model: UnigramTokenize.Model): Boolean = {
+    val cmp = a.prod.multiply(model.pow(b.k))
+      .compareTo(b.prod.multiply(model.pow(a.k)))
+    if (cmp != 0) cmp > 0
+    else if (a.k != b.k) a.k < b.k
+    else UnigramTokenize.lexLess(a.path, b.path)
+  }
+
+  /** Exact n-best Viterbi over one word's lattice: each prefix position
+    * keeps its top-n candidates; a single-char UNK floor (count 1)
+    * keeps every position reachable, so the list is never empty. */
+  private def nbestSegs(cps: Array[String], model: UnigramTokenize.Model,
+      n: Int): Array[Cand] = {
+    val len = cps.length
+    if (len == 0) return Array.empty
+    val cands = new Array[Array[Cand]](len + 1)
+    cands(0) = Array(Cand(BigInteger.ONE, 0, Nil))
+    val sb = new java.lang.StringBuilder
+    var j = 1
+    while (j <= len) {
+      val all = scala.collection.mutable.ArrayBuffer.empty[Cand]
+      var i = math.max(0, j - model.maxLen)
+      while (i < j) {
+        sb.setLength(0)
+        var q = i
+        while (q < j) { sb.append(cps(q)); q += 1 }
+        val piece = sb.toString
+        val boxed: java.lang.Long = model.counts.get(piece)
+        val cnt: Long =
+          if (boxed != null) boxed.longValue
+          else if (j - i == 1) 1L
+          else -1L
+        if (cnt > 0) {
+          val bc = BigInteger.valueOf(cnt)
+          cands(i).foreach { c =>
+            all += Cand(c.prod.multiply(bc), c.k + 1, piece :: c.path)
+          }
+        }
+        i += 1
+      }
+      cands(j) = all.sortWith(better(_, _, model)).take(n).toArray
+      j += 1
+    }
+    cands(len)
+  }
+
+  private val U64 = BigInteger.ONE.shiftLeft(64).subtract(BigInteger.ONE)
+
+  /** Per-word sampling state memoized within a row: the candidate piece
+    * arrays (best-first) and their exact integer weights
+    * prod^alpha * T^(alpha*(kMax-k)). */
+  private final class WordDraws(val pieces: Array[Array[UTF8String]],
+      val weights: Array[BigInteger], val sum: BigInteger)
+
+  private def drawsOf(w: String, model: UnigramTokenize.Model, n: Int,
+      alpha: Int): WordDraws = {
+    val cs = nbestSegs(UnigramTokenize.codePoints(w), model, n)
+    val pieces = cs.map(_.path.reverse.map(UTF8String.fromString).toArray)
+    var kMax = 0
+    cs.foreach(c => if (c.k > kMax) kMax = c.k)
+    val weights = cs.map { c =>
+      c.prod.pow(alpha).multiply(model.pow((kMax - c.k) * alpha))
+    }
+    var s = BigInteger.ZERO
+    weights.foreach(w0 => s = s.add(w0))
+    new WordDraws(pieces, weights, s)
+  }
+
+  /** Static entry point shared by eval and generated code. */
+  def tokenize(text: UTF8String, model: UnigramTokenize.Model, nbest: Int,
+      alpha: Int, seed: Long): ArrayData = {
+    val words = text.toString.split("\\s+")
+    val out = new java.util.ArrayList[Any]()
+    val memo = new java.util.HashMap[String, WordDraws]()
+    var wi = 0 // occurrence ordinal over emitted (non-empty) words
+    var idx = 0
+    while (idx < words.length) {
+      val w = words(idx)
+      if (w.nonEmpty) {
+        var d = memo.get(w)
+        if (d == null) { d = drawsOf(w, model, nbest, alpha); memo.put(w, d) }
+        var chosen = 0
+        if (d.weights.length > 1) {
+          val u = UTF8String.fromString(w)
+          val h = XXH64.hashUnsafeBytes(
+            u.getBaseObject, u.getBaseOffset, u.numBytes, seed + wi)
+          val r = BigInteger.valueOf(h).and(U64).mod(d.sum)
+          var cum = BigInteger.ZERO
+          var ci = 0
+          var found = false
+          while (ci < d.weights.length && !found) {
+            cum = cum.add(d.weights(ci))
+            if (cum.compareTo(r) > 0) { chosen = ci; found = true }
+            ci += 1
+          }
+        }
+        val pieces = d.pieces(chosen)
+        var pi = 0
+        while (pi < pieces.length) { out.add(pieces(pi)); pi += 1 }
+        wi += 1
+      }
+      idx += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
@@ -2582,9 +2888,15 @@ object GraftFunctions {
     column(BpeMergePair(expr(c), left, right))
   def bpeTokenize(c: Column, merges: Seq[(String, String)]): Column =
     column(BpeTokenize(expr(c), merges))
+  def bpeDropoutTokenize(c: Column, merges: Seq[(String, String)],
+      dropoutPpm: Int, seed: Long): Column =
+    column(BpeDropoutTokenize(expr(c), merges, dropoutPpm, seed))
   def unigramTokenize(c: Column, vocab: Seq[(String, Long)],
       maxPieceLen: Int): Column =
     column(UnigramTokenize(expr(c), vocab, maxPieceLen))
+  def unigramSampleTokenize(c: Column, vocab: Seq[(String, Long)],
+      maxPieceLen: Int, nbest: Int, alpha: Int, seed: Long): Column =
+    column(UnigramSampleTokenize(expr(c), vocab, maxPieceLen, nbest, alpha, seed))
   def rarestFirstSort(c: Column, hot: Array[(String, Long)]): Column =
     column(RarestFirstSort(expr(c), hot))
   def sq8Encode(c: Column, mins: Array[Double], maxs: Array[Double]): Column =

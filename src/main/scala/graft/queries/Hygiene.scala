@@ -968,6 +968,24 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t38: BPE-dropout serving (Bpe.tokenizeDropout, Provilkov et al.
+    * ACL 2020): learn the same 24 merges as t23, then dropout-segment
+    * the whole corpus in one codegen'd pass (p=0.1, seed=42) and emit
+    * per-document token counts. Each merge site's coin is a
+    * deterministic XXH64 draw, so the stochastic epoch pins to a hash
+    * gate; a new seed resamples the corpus (the augmentation
+    * contract). Oracle: pinned VALUES from
+    * tools/gen_bpe_dropout_oracle.py. */
+  def bpeDropoutCounts(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24))
+    graft.ext.Bpe.tokenizeDropout(Tables.documents(s, d), "text", merges,
+        dropoutPpm = 100000, seed = 42L)
+      .select(col("doc_id"),
+        size(col("bpe_dropout_tokens")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM vocabulary induction over the document corpus
@@ -1015,6 +1033,27 @@ object HygieneQueries {
           abs(col("score") - col("score_e9").cast("double") / 1e9) <= 1e-6)
           .as("within_tol"))
       .orderBy("piece")
+  }
+
+  /** t37: subword-regularization SAMPLING serving
+    * (Unigram.sampleTokenize, Kudo ACL 2018 §3 l-best sampling): train
+    * the same 45-piece vocabulary as t35, then sample-segment the whole
+    * corpus in one codegen'd pass (nbest=4, alpha=1, seed=42) and emit
+    * the corpus-wide sampled-token histogram. Sampling is a pure
+    * function of (word, occurrence ordinal, seed) through XXH64 draws
+    * reduced over exact integer weights, so the stochastic epoch pins
+    * to a hash gate like any deterministic operator — and a new seed
+    * resamples the corpus (the augmentation contract). Oracle: pinned
+    * VALUES from tools/gen_unigram_sample_oracle.py. */
+  def unigramSampleCounts(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800))
+    graft.ext.Unigram.sampleTokenize(Tables.documents(s, d), "text", vocab,
+        maxPieceLen = 6, nbest = 4, alpha = 1, seed = 42L)
+      .select(explode(col("unigram_sample_tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
   }
 
   // ------------------------------------------------------- C4 filters
@@ -1137,6 +1176,10 @@ object HygieneQueries {
       Some(PinnedOracles.t34UnigramVocab)),
     QueryDef("t36_unigram_soft", unigramVocabSoft,
       Some(PinnedOracles.t36SoftVocabSql)),
+    QueryDef("t37_unigram_sample", unigramSampleCounts,
+      Some(PinnedOracles.t37SampleCounts)),
+    QueryDef("t38_bpe_dropout", bpeDropoutCounts,
+      Some(PinnedOracles.t38DropoutCounts)),
     QueryDef("t35_unigram_token_counts", unigramTokenCounts,
       Some(PinnedOracles.t35UnigramTokenCounts)))
 }

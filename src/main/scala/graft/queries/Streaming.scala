@@ -251,6 +251,44 @@ object StreamingQueries {
     s.table(name).orderBy("doc_id")
   }
 
+  /** Sample-tokenize-at-ingest (Unigram.sampleTokenize over a document
+    * stream): the subword-regularization epoch on the ingest path. The
+    * sampling expression is STATELESS — each word's draw is a pure
+    * function of (word, occurrence ordinal within its row, seed) — so
+    * micro-batch boundaries and file arrival order cannot change a
+    * single draw, and the streamed corpus histogram must equal the
+    * batch t37 gate against the same pinned oracle. That is the
+    * reproducible-epoch contract surviving the move from batch to
+    * streaming; only the token-histogram aggregation carries state
+    * (vocab-bounded, complete mode). */
+  def sampleTokenizeStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_st21_").toString
+    docs.repartition(2).write.mode("overwrite").parquet(tmp)
+    val vocab = graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800))
+    val name = "st21_sample_tokenize_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(tmp)
+    val q = graft.ext.Unigram.sampleTokenize(src, "text", vocab,
+        maxPieceLen = 6, nbest = 4, alpha = 1, seed = 42L)
+      .select(explode(col("unigram_sample_tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.table(name).orderBy("token")
+  }
+
   /** Zone-map maintenance under a file-ingest stream
     * (Scale.zoneMapIncremental per micro-batch): lineitem's bottom-half
     * key range streams in as micro-batch 0 and the top half as
@@ -699,6 +737,8 @@ object StreamingQueries {
       Some(HygieneQueries.decontamCleanOracle)),
     QueryDef("st18_tokenize_stream", tokenizeStream,
       Some(PinnedOracles.t35UnigramTokenCounts)),
+    QueryDef("st21_sample_tokenize_stream", sampleTokenizeStream,
+      Some(PinnedOracles.t37SampleCounts)),
     QueryDef("st19_zonemap_stream", zoneMapStream, Some(zoneMapStreamOracle)),
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),

@@ -34,6 +34,31 @@ class BpeSpec extends AnyFunSuite {
     assert(got === Seq("ab</w>", "ab</w>", "x", "a", "</w>"))
   }
 
+  test("tokenizeDropout: p=0 equals tokenize; p=1e6 fully character-" +
+      "splits; p=0.5 is deterministic per seed and varies across seeds " +
+      "and occurrences") {
+    val merges = Seq(("a", "b"), ("ab", "</w>"))
+    val in = Seq(Array.fill(40)("ab").mkString(" ")).toDF("text")
+    def run(ppm: Int, seed: Long) =
+      Bpe.tokenizeDropout(in, "text", merges, dropoutPpm = ppm, seed = seed)
+        .select(col("bpe_dropout_tokens")).head.getSeq[String](0)
+    val det = Bpe.tokenize(in, "text", merges)
+      .select(col("bpe_tokens")).head.getSeq[String](0)
+    assert(run(0, 7L) === det)
+    // Always-drop: every word stays fully split (a, b, </w>).
+    assert(run(1000000, 7L) === Seq.fill(40)(Seq("a", "b", "</w>")).flatten)
+    val s7 = run(500000, 7L)
+    assert(run(500000, 7L) === s7)      // reproducible epoch
+    assert(run(500000, 8L) !== s7)      // a new seed resamples
+    // The same word draws differently across occurrence ordinals: with
+    // 40 occurrences at p=0.5 both outcomes of the first merge appear.
+    assert(s7.contains("ab") || s7.contains("ab</w>"))
+    assert(s7.contains("a"))
+    // Dropped first merge suppresses the second (ab never forms), and
+    // every word still reconcatenates to 'ab</w>'.
+    assert(s7.mkString.replace("</w>", "|") === "ab|" * 40)
+  }
+
   test("learnMerges: incremental driver-side stats equal a naive " +
       "recompute-per-round reference over 40 merges") {
     // Structured corpus with overlaps, ties, repeats and shared affixes

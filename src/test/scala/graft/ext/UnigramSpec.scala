@@ -75,6 +75,63 @@ class UnigramSpec extends AnyFunSuite {
     assert(out === wordSegs)
   }
 
+  test("sampleTokenize: nbest=1 equals the deterministic Viterbi " +
+      "serving; outputs always reconcatenate to the input words") {
+    val corpus = Seq.fill(30)("spark scan scans").toDF("text")
+    val vocab = Unigram.collectVocab(
+      Unigram.train(corpus, "text", vocabSize = 30, maxPieceLen = 5))
+    val in = Seq("spark scans unknownzz spark").toDF("text")
+    val det = Unigram.tokenize(in, "text", vocab, maxPieceLen = 5)
+      .select(col("unigram_tokens")).head().getSeq[String](0)
+    val n1 = Unigram.sampleTokenize(in, "text", vocab, maxPieceLen = 5,
+        nbest = 1, alpha = 1, seed = 7L)
+      .select(col("unigram_sample_tokens")).head().getSeq[String](0)
+    assert(n1 === det)
+    val n4 = Unigram.sampleTokenize(in, "text", vocab, maxPieceLen = 5,
+        nbest = 4, alpha = 1, seed = 7L)
+      .select(col("unigram_sample_tokens")).head().getSeq[String](0)
+    assert(n4.mkString === "sparkscansunknownzzspark")
+  }
+
+  test("sampleTokenize: deterministic under a fixed seed, varies across " +
+      "occurrences and seeds, and every sampled path is a valid lattice " +
+      "segmentation") {
+    // vocab a(2) aa(2): 'aaa' has three lattice paths — [a,aa] and
+    // [aa,a] tie on likelihood (4/T^2), [a,a,a] is 8/T^3; nbest=3 keeps
+    // all three, alpha=0 samples them uniformly.
+    val vocab = Seq("a" -> 2L, "aa" -> 2L)
+    val text = Array.fill(64)("aaa").mkString(" ")
+    def run(seed: Long) =
+      Unigram.sampleTokenize(Seq(text).toDF("text"), "text", vocab,
+          maxPieceLen = 2, nbest = 3, alpha = 0, seed = seed)
+        .select(col("unigram_sample_tokens")).head().getSeq[String](0)
+    val s1 = run(7L); val s1b = run(7L); val s2 = run(8L)
+    assert(s1 === s1b)                 // reproducible epoch
+    assert(s1 !== s2)                  // a new seed resamples
+    // Split back into per-word segmentations by walking the 3-char words.
+    def perWord(toks: Seq[String]): Seq[Seq[String]] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+      var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+      var len = 0
+      toks.foreach { t =>
+        cur += t; len += t.length
+        if (len == 3) {
+          out += cur.toSeq
+          cur = scala.collection.mutable.ArrayBuffer.empty[String]
+          len = 0
+        }
+      }
+      assert(len === 0)
+      out.toSeq
+    }
+    val segs = perWord(s1)
+    assert(segs.size === 64)
+    val valid = Set(Seq("a", "aa"), Seq("aa", "a"), Seq("a", "a", "a"))
+    assert(segs.forall(valid.contains))
+    // The same word draws differently across occurrence ordinals.
+    assert(segs.distinct.size >= 2)
+  }
+
   test("train is invariant to partitioning (single corpus-pass argmax)") {
     // The single-char floor (count 1) does NOT scale with corpus size,
     // so the invariant is physical-layout independence of the SAME

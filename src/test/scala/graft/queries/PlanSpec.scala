@@ -441,4 +441,21 @@ class PlanSpec extends AnyFunSuite {
     val projLine = s.linesIterator.find(_.contains("rollingfingerprint")).getOrElse("")
     assert(projLine.contains("*("), s)
   }
+
+  test("stochastic tokenizer serving (unigram sampling, BPE-dropout) " +
+      "stays inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    val df = graft.Tables.documents(spark, sf).select(
+      graft.functions.GraftFunctions.unigramSampleTokenize(
+        col("text"), Seq("a" -> 2L, "b" -> 1L), 3, 4, 1, 42L).as("u"),
+      graft.functions.GraftFunctions.bpeDropoutTokenize(
+        col("text"), Seq(("a", "b")), 100000, 42L).as("bd"))
+    val s = planString(df)
+    val line = s.linesIterator
+      .find(_.toLowerCase.contains("unigramsampletokenize")).getOrElse("")
+    assert(line.contains("*("), s)
+    val line2 = s.linesIterator
+      .find(_.toLowerCase.contains("bpedropouttokenize")).getOrElse("")
+    assert(line2.contains("*("), s)
+  }
 }
