@@ -487,6 +487,132 @@ object TextAnalysis {
       .withColumn("score_e9", expr("sum_e9 div n_bigrams"))
   }
 
+  // ------------------------------------------ Kneser–Ney trigram LM
+
+  private def lmTrigrams(t: String) = flatten(transform(array(lmToks(t)), ts =>
+    when(size(ts) >= 3,
+      transform(sequence(lit(1), size(ts) - 2),
+        i => struct(element_at(ts, i).as("w1"),
+          element_at(ts, i + 1).as("w2"),
+          element_at(ts, i + 2).as("w3"))))
+      .otherwise(array()
+        .cast("array<struct<w1:string,w2:string,w3:string>>"))))
+
+  /** The interpolated-Kneser–Ney trigram LM's trainable state as ONE
+    * mergeable count frame (w1, w2, w3, c3). Counts are additive —
+    * [[knMerge]] absorbs a new ingest batch with no corpus re-scan —
+    * because EVERY lower-order Kneser–Ney statistic (continuation
+    * counts N1+(·w2w3), distinct-successor counts N1+(w1w2·), the
+    * continuation unigram N1+(·w3)) is DERIVED from this relation at
+    * scoring time: pre-computed distinct counts would not merge.
+    * Pruning likewise happens at scoring time (`minCount` on
+    * [[knScoreModel]]) — a pruned model is no longer additive. */
+  def knCounts(ref: DataFrame, refText: String): DataFrame =
+    ref.select(explode(lmTrigrams(refText)).as("t"))
+      .select(col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+
+  /** Merge two trigram models: counts add; equality with full
+    * retraining is exact (the t41 gate pins it against the t40
+    * oracle). */
+  def knMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.union(b).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("c3")).as("c3"))
+
+  /** Interpolated Kneser–Ney trigram scoring (Kneser & Ney 1995; Chen
+    * & Goodman 1999's interpolated form) — the CCNet-grade upgrade of
+    * [[lmScore]]'s add-one bigram model, with the same exact-BIGINT
+    * replayability contract: probabilities are e12 fixed-point longs
+    * and every division is a floor `div` in a PINNED evaluation order,
+    * so two engines agree bit-for-bit (float KN products differ at the
+    * ulp).
+    *
+    * With discount D = dNum/dDen (default 3/4), all integers:
+    *
+    *   Pcont(w3)    = N1+(·w3)·S div N1+(··)
+    *   P2(w3|w2)    = (max(dDen·N1+(·w2w3) − dNum, 0)·S
+    *                   + dNum·N1+(w2·)·Pcont(w3)) div (dDen·N1+(·w2·))
+    *   P3(w3|w1w2)  = (max(dDen·c3 − dNum, 0)·S
+    *                   + dNum·N1+(w1w2·)·P2(w3|w2)) div (dDen·c2)
+    *
+    * where c2(w1,w2) = Σ_w3 c3 and every N1+ statistic is a distinct
+    * count over the (optionally `minCount`-pruned) trigram relation —
+    * the standard continuation-count formulation, which also makes the
+    * whole model derivable from the single additive [[knCounts]]
+    * frame. Unseen (w1,w2) context backs off wholly to P2; unseen w2
+    * context to Pcont; a w3 never seen as a continuation scores 0
+    * (the interpolation mass already absorbed the discount, so no
+    * extra +1 floor is needed for ordering-resolution scoring).
+    *
+    * Plan: the model compiles to four derived count frames + one
+    * scalar (all bounded by the distinct-trigram count, shuffled once
+    * each); the scored corpus explodes to one row per trigram and
+    * joins them — model-sized sides, broadcastable when they fit, AQE
+    * skew-splittable when not; the corpus side shuffles only for the
+    * final per-doc aggregate. Overflow bound: dDen·c3·S must stay
+    * under 2⁶³ — c3 beyond ~2.3·10⁶ at the default scale needs a
+    * smaller `scale` (terms only need ordering resolution), the
+    * [[lmScore]] rule.
+    *
+    * Output: (id, n_trigrams, sum_e12, score_e12); documents with
+    * fewer than three tokens have no trigrams and are dropped. */
+  def knScoreModel(docs: DataFrame, text: String, id: String,
+      triModel: DataFrame, minCount: Long = 1L,
+      dNum: Long = 3L, dDen: Long = 4L,
+      scale: Long = 1000000000000L): DataFrame = {
+    require(minCount >= 1L, s"minCount=$minCount")
+    require(dDen >= 1L && dNum >= 0L && dNum < dDen,
+      s"discount $dNum/$dDen outside [0, 1)")
+    require(scale >= 1L, s"scale=$scale")
+    val tri = triModel.where(col("c3") >= minCount)
+    val ctx = tri.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3d"))
+    val cont = tri.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cn2"))
+    val mid = cont.groupBy(col("w2"))
+      .agg(sum(col("cn2")).as("n2mid"), count(lit(1)).as("nw2"))
+    val uni = cont.groupBy(col("w3")).agg(count(lit(1)).as("cn1"))
+    val bi = cont.agg(count(lit(1)).as("bsz"))
+
+    docs.select(col(id), explode(lmTrigrams(text)).as("t"))
+      .select(col(id), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .join(tri, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .join(cont, Seq("w2", "w3"), "left")
+      .join(mid, Seq("w2"), "left")
+      .join(uni, Seq("w3"), "left")
+      .crossJoin(broadcast(bi))
+      .withColumn("pcont",
+        expr(s"coalesce(cn1, 0L) * ${scale}L div bsz"))
+      .withColumn("p2", expr(
+        s"""CASE WHEN n2mid IS NULL THEN pcont ELSE
+           | (greatest(${dDen}L * coalesce(cn2, 0L) - ${dNum}L, 0L)
+           |    * ${scale}L
+           |  + ${dNum}L * nw2 * pcont) div (${dDen}L * n2mid) END"""
+          .stripMargin))
+      .withColumn("term", expr(
+        s"""CASE WHEN c2 IS NULL THEN p2 ELSE
+           | (greatest(${dDen}L * coalesce(c3, 0L) - ${dNum}L, 0L)
+           |    * ${scale}L
+           |  + ${dNum}L * n3d * p2) div (${dDen}L * c2) END"""
+          .stripMargin))
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("term")).as("sum_e12"))
+      .withColumn("score_e12", expr("sum_e12 div n_trigrams"))
+  }
+
+  /** Train-and-score convenience over an explicit reference corpus —
+    * [[knCounts]] + [[knScoreModel]]. */
+  def knScore(docs: DataFrame, text: String, id: String,
+      ref: DataFrame, refText: String, minCount: Long = 1L,
+      dNum: Long = 3L, dDen: Long = 4L,
+      scale: Long = 1000000000000L): DataFrame =
+    knScoreModel(docs, text, id, knCounts(ref, refText), minCount,
+      dNum, dDen, scale)
+
   /** Importance scoring for data selection — the DSIR shape (importance
     * resampling toward a target distribution) with exact-integer
     * arithmetic: estimate per-token importance ratios between a TARGET

@@ -389,13 +389,18 @@ object Unigram {
     * [[tokenize]]. Draws are a pure function of (word, occurrence
     * ordinal, `seed`), so an epoch is reproducible and partitioning-
     * independent at any scale; vary `seed` per epoch to resample the
-    * corpus. `nbest = 1` degrades to exactly [[tokenize]]. Adds `out`
-    * (ARRAY<STRING>). */
+    * corpus. `nbest = 1` degrades to exactly [[tokenize]]. The
+    * effective smoothing exponent is `alpha / alphaDen` —
+    * SentencePiece's published fractional defaults (e.g. 0.1 = 1/10)
+    * are expressed as a rational and sampled through exact integer
+    * alphaDen-th-root weights (see
+    * [[graft.functions.UnigramSampleTokenize]] for the floor-rounding
+    * contract). Adds `out` (ARRAY<STRING>). */
   def sampleTokenize(df: DataFrame, text: String, vocab: Seq[(String, Long)],
       maxPieceLen: Int = 6, nbest: Int = 4, alpha: Int = 1, seed: Long = 42L,
-      out: String = "unigram_sample_tokens"): DataFrame =
+      out: String = "unigram_sample_tokens", alphaDen: Int = 1): DataFrame =
     df.withColumn(out, GraftFunctions.unigramSampleTokenize(
-      col(text), vocab, maxPieceLen, nbest, alpha, seed))
+      col(text), vocab, maxPieceLen, nbest, alpha, seed, alphaDen))
 
   /** Driver-side convenience: collect a (piece, n) vocabulary frame (as
     * produced by [[train]]) into the list [[tokenize]] consumes. The

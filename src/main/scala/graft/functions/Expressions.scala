@@ -1633,13 +1633,28 @@ object UnigramTokenize {
   * sequence-prefixes of one another — they concatenate to the same
   * prefix string — so the lex comparison is extension-stable).
   * Independent replay: tools/gen_unigram_sample_oracle.py.
+  *
+  * FRACTIONAL smoothing exponents (SentencePiece's published default
+  * is alpha = 0.1, not an integer) keep the exact-integer contract via
+  * `alphaDen`: the effective exponent is alpha/alphaDen and each
+  * candidate's weight is the FLOOR integer alphaDen-th root of the
+  * integer-exponent weight prod^alpha * T^(alpha*(kMax-k)) — a pure
+  * big-int computation (Newton iteration, no float path), identical on
+  * every platform. The floor rounding is the one documented deviation
+  * from the real-valued p^(a/b) distribution: weights here are
+  * hundreds-of-bits integers, so the relative perturbation is ~2^-100
+  * per candidate — unobservably below the sampling resolution of a
+  * 64-bit draw. `alphaDen = 1` is bit-identical to the original
+  * integer path (no root taken). Independent replay:
+  * tools/gen_unigram_frac_oracle.py.
   */
 case class UnigramSampleTokenize(child: Expression,
     vocab: Seq[(String, Long)], maxPieceLen: Int, nbest: Int, alpha: Int,
-    seed: Long) extends UnaryExpression {
+    seed: Long, alphaDen: Int = 1) extends UnaryExpression {
 
   require(nbest >= 1 && nbest <= 64, s"nbest out of range: $nbest")
   require(alpha >= 0 && alpha <= 16, s"alpha out of range: $alpha")
+  require(alphaDen >= 1 && alphaDen <= 64, s"alphaDen out of range: $alphaDen")
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
@@ -1656,14 +1671,14 @@ case class UnigramSampleTokenize(child: Expression,
 
   override def nullSafeEval(input: Any): Any =
     UnigramSampleTokenize.tokenize(
-      input.asInstanceOf[UTF8String], model, nbest, alpha, seed)
+      input.asInstanceOf[UTF8String], model, nbest, alpha, seed, alphaDen)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val m = ctx.addReferenceObj("model", model,
       "graft.functions.UnigramTokenize.Model")
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.functions.UnigramSampleTokenize.tokenize(" +
-        s"$c, $m, $nbest, $alpha, ${seed}L);")
+        s"$c, $m, $nbest, $alpha, ${seed}L, $alphaDen);")
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -1735,14 +1750,34 @@ object UnigramSampleTokenize {
   private final class WordDraws(val pieces: Array[Array[UTF8String]],
       val weights: Array[BigInteger], val sum: BigInteger)
 
+  /** Floor integer `n`-th root of a non-negative BigInteger by Newton
+    * iteration with an over-estimate start (2^ceil(bits/n)), verified
+    * exact at the fixed point: result r satisfies r^n <= x < (r+1)^n.
+    * Pure big-int — the fractional-alpha weight path stays float-free. */
+  private[graft] def nthRoot(x: BigInteger, n: Int): BigInteger = {
+    require(x.signum >= 0 && n >= 1)
+    if (n == 1 || x.signum == 0 || x == BigInteger.ONE) return x
+    val bn = BigInteger.valueOf(n.toLong)
+    var r = BigInteger.ONE.shiftLeft((x.bitLength + n - 1) / n)
+    var done = false
+    while (!done) {
+      // next = ((n-1)*r + x / r^(n-1)) / n  — monotone from above.
+      val next = r.multiply(BigInteger.valueOf((n - 1).toLong))
+        .add(x.divide(r.pow(n - 1))).divide(bn)
+      if (next.compareTo(r) < 0) r = next else done = true
+    }
+    r
+  }
+
   private def drawsOf(w: String, model: UnigramTokenize.Model, n: Int,
-      alpha: Int): WordDraws = {
+      alpha: Int, alphaDen: Int): WordDraws = {
     val cs = nbestSegs(UnigramTokenize.codePoints(w), model, n)
     val pieces = cs.map(_.path.reverse.map(UTF8String.fromString).toArray)
     var kMax = 0
     cs.foreach(c => if (c.k > kMax) kMax = c.k)
     val weights = cs.map { c =>
-      c.prod.pow(alpha).multiply(model.pow((kMax - c.k) * alpha))
+      val base = c.prod.pow(alpha).multiply(model.pow((kMax - c.k) * alpha))
+      if (alphaDen == 1) base else nthRoot(base, alphaDen)
     }
     var s = BigInteger.ZERO
     weights.foreach(w0 => s = s.add(w0))
@@ -1751,7 +1786,7 @@ object UnigramSampleTokenize {
 
   /** Static entry point shared by eval and generated code. */
   def tokenize(text: UTF8String, model: UnigramTokenize.Model, nbest: Int,
-      alpha: Int, seed: Long): ArrayData = {
+      alpha: Int, seed: Long, alphaDen: Int): ArrayData = {
     val words = text.toString.split("\\s+")
     val out = new java.util.ArrayList[Any]()
     val memo = new java.util.HashMap[String, WordDraws]()
@@ -1761,7 +1796,9 @@ object UnigramSampleTokenize {
       val w = words(idx)
       if (w.nonEmpty) {
         var d = memo.get(w)
-        if (d == null) { d = drawsOf(w, model, nbest, alpha); memo.put(w, d) }
+        if (d == null) {
+          d = drawsOf(w, model, nbest, alpha, alphaDen); memo.put(w, d)
+        }
         var chosen = 0
         if (d.weights.length > 1) {
           val u = UTF8String.fromString(w)
@@ -2895,8 +2932,10 @@ object GraftFunctions {
       maxPieceLen: Int): Column =
     column(UnigramTokenize(expr(c), vocab, maxPieceLen))
   def unigramSampleTokenize(c: Column, vocab: Seq[(String, Long)],
-      maxPieceLen: Int, nbest: Int, alpha: Int, seed: Long): Column =
-    column(UnigramSampleTokenize(expr(c), vocab, maxPieceLen, nbest, alpha, seed))
+      maxPieceLen: Int, nbest: Int, alpha: Int, seed: Long,
+      alphaDen: Int = 1): Column =
+    column(UnigramSampleTokenize(expr(c), vocab, maxPieceLen, nbest, alpha,
+      seed, alphaDen))
   def rarestFirstSort(c: Column, hot: Array[(String, Long)]): Column =
     column(RarestFirstSort(expr(c), hot))
   def sq8Encode(c: Column, mins: Array[Double], maxs: Array[Double]): Column =

@@ -877,6 +877,92 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t40: interpolated Kneser–Ney TRIGRAM scoring (TextAnalysis
+    * .knScore), self-trained on the corpus with minCount=2 so hapax
+    * trigrams prune out and every backoff branch (unseen trigram in a
+    * seen context, wholly-unseen context → bigram-continuation, →
+    * continuation-unigram) is exercised. Exact e12 fixed-point BIGINT
+    * end to end — the oracle replays model derivation AND the pinned
+    * floor-division evaluation order. */
+  def knScoreGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    TextAnalysis.knScore(docs, "text", "doc_id", docs, "text",
+        minCount = 2L)
+      .orderBy("doc_id")
+  }
+
+  private val knScoreOracle =
+    """WITH toks AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |    t -> len(t) > 0) AS ts
+      | FROM documents),
+      |tri0 AS (
+      | SELECT doc_id, unnest(ts[1:len(ts) - 2]) AS w1,
+      |        unnest(ts[2:len(ts) - 1]) AS w2,
+      |        unnest(ts[3:len(ts)]) AS w3
+      | FROM toks WHERE len(ts) >= 3),
+      |tri AS (
+      | SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3
+      | FROM tri0 GROUP BY 1, 2, 3 HAVING count(*) >= 2),
+      |ctx AS (
+      | SELECT w1, w2, CAST(sum(c3) AS BIGINT) AS c2,
+      |        CAST(count(*) AS BIGINT) AS n3d
+      | FROM tri GROUP BY 1, 2),
+      |cont AS (
+      | SELECT w2, w3, CAST(count(*) AS BIGINT) AS cn2
+      | FROM tri GROUP BY 1, 2),
+      |mid AS (
+      | SELECT w2, CAST(sum(cn2) AS BIGINT) AS n2mid,
+      |        CAST(count(*) AS BIGINT) AS nw2
+      | FROM cont GROUP BY 1),
+      |uni AS (
+      | SELECT w3, CAST(count(*) AS BIGINT) AS cn1 FROM cont GROUP BY 1),
+      |b AS (SELECT CAST(count(*) AS BIGINT) AS bsz FROM cont),
+      |j AS (
+      | SELECT t0.doc_id, tri.c3, ctx.c2, ctx.n3d, cont.cn2,
+      |        mid.n2mid, mid.nw2, uni.cn1, b.bsz
+      | FROM tri0 t0
+      | LEFT JOIN tri ON t0.w1 = tri.w1 AND t0.w2 = tri.w2
+      |   AND t0.w3 = tri.w3
+      | LEFT JOIN ctx ON t0.w1 = ctx.w1 AND t0.w2 = ctx.w2
+      | LEFT JOIN cont ON t0.w2 = cont.w2 AND t0.w3 = cont.w3
+      | LEFT JOIN mid ON t0.w2 = mid.w2
+      | LEFT JOIN uni ON t0.w3 = uni.w3
+      | CROSS JOIN b),
+      |l0 AS (
+      | SELECT *, coalesce(cn1, 0) * 1000000000000 // bsz AS pcont
+      | FROM j),
+      |l1 AS (
+      | SELECT *, CASE WHEN n2mid IS NULL THEN pcont ELSE
+      |   (greatest(4 * coalesce(cn2, 0) - 3, 0) * 1000000000000
+      |    + 3 * nw2 * pcont) // (4 * n2mid) END AS p2
+      | FROM l0),
+      |terms AS (
+      | SELECT doc_id, CASE WHEN c2 IS NULL THEN p2 ELSE
+      |   (greatest(4 * coalesce(c3, 0) - 3, 0) * 1000000000000
+      |    + 3 * n3d * p2) // (4 * c2) END AS term
+      | FROM l1)
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
+      | CAST(sum(term) AS BIGINT) AS sum_e12,
+      | CAST(sum(term) // count(*) AS BIGINT) AS score_e12
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t41: incremental KN training — trigram counts from two disjoint
+    * corpus halves merged (TextAnalysis.knMerge) must score
+    * identically to the full-corpus model; every continuation /
+    * distinct-successor statistic re-derives from the merged additive
+    * frame. Same oracle as t40 (the t27/c9 incremental-equality
+    * pattern). */
+  def knIncrementalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = TextAnalysis.knMerge(
+      TextAnalysis.knCounts(docs.where(col("doc_id") < 250), "text"),
+      TextAnalysis.knCounts(docs.where(col("doc_id") >= 250), "text"))
+    TextAnalysis.knScoreModel(docs, "text", "doc_id", tri, minCount = 2L)
+      .orderBy("doc_id")
+  }
+
   // --------------------------------------------- supervised classifier
 
   /** Class-conditional unigram classifier (ext TextAnalysis.nbClassify)
@@ -1056,6 +1142,25 @@ object HygieneQueries {
       .orderBy("token")
   }
 
+  /** t39: FRACTIONAL-alpha sampling serving — the same l-best sampler
+    * as t37 at SentencePiece's published default exponent SHAPE
+    * (alpha = 0.1, expressed as the rational 1/10): weights are the
+    * floor integer 10th roots of the integer-alpha weights, so the
+    * flatter distribution samples exactly and the gate stays a hash
+    * gate (no float tolerance — both engines floor the same big-int
+    * root). Oracle: pinned VALUES from
+    * tools/gen_unigram_frac_oracle.py. */
+  def unigramFracAlphaCounts(s: SparkSession, d: String): DataFrame = {
+    val vocab = graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800))
+    graft.ext.Unigram.sampleTokenize(Tables.documents(s, d), "text", vocab,
+        maxPieceLen = 6, nbest = 4, alpha = 1, seed = 42L, alphaDen = 10)
+      .select(explode(col("unigram_sample_tokens")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy("token")
+  }
+
   // ------------------------------------------------------- C4 filters
 
   /** Planted multi-line "pages" for the C4 cleaning gate: the synthetic
@@ -1164,6 +1269,8 @@ object HygieneQueries {
     QueryDef("t25_unicode_nfc", unicodeNfc, Some(unicodeNfcOracle)),
     QueryDef("t26_lm_score", lmScoreGate, Some(lmScoreOracle), bench = true),
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
+    QueryDef("t40_kneser_ney", knScoreGate, Some(knScoreOracle)),
+    QueryDef("t41_kn_incremental", knIncrementalGate, Some(knScoreOracle)),
     QueryDef("t31_url_canonical", urlCanonGate, Some(urlCanonOracle)),
     QueryDef("t32_robots", robotsGate, Some(robotsOracle)),
     QueryDef("t33_sitemap", sitemapGate, Some(sitemapOracle)),
@@ -1180,6 +1287,8 @@ object HygieneQueries {
       Some(PinnedOracles.t37SampleCounts)),
     QueryDef("t38_bpe_dropout", bpeDropoutCounts,
       Some(PinnedOracles.t38DropoutCounts)),
+    QueryDef("t39_unigram_frac", unigramFracAlphaCounts,
+      Some(PinnedOracles.t39FracCounts)),
     QueryDef("t35_unigram_token_counts", unigramTokenCounts,
       Some(PinnedOracles.t35UnigramTokenCounts)))
 }

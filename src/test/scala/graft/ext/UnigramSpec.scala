@@ -132,6 +132,47 @@ class UnigramSpec extends AnyFunSuite {
     assert(segs.distinct.size >= 2)
   }
 
+  test("sampleTokenize fractional alpha: floor big-int root is exact; " +
+      "alphaDen=1 is bit-identical to the integer path; a fractional " +
+      "exponent flattens the draw distribution toward uniform") {
+    import java.math.BigInteger
+    // nthRoot: exact on perfect powers, floor just below/above them.
+    def rt(x: BigInteger, n: Int) =
+      graft.functions.UnigramSampleTokenize.nthRoot(x, n)
+    val big = new BigInteger("12345678901234567890123456789")
+    for (n <- Seq(2, 3, 7, 10)) {
+      val p = big.pow(n)
+      assert(rt(p, n) === big)
+      assert(rt(p.subtract(BigInteger.ONE), n) === big.subtract(BigInteger.ONE))
+      assert(rt(p.add(BigInteger.ONE), n) === big)
+    }
+    assert(rt(BigInteger.ZERO, 5) === BigInteger.ZERO)
+    assert(rt(BigInteger.ONE, 5) === BigInteger.ONE)
+
+    // alphaDen=1 takes the original (no-root) path: same draws.
+    val vocab = Seq("a" -> 6L, "aa" -> 2L)
+    val text = Array.fill(64)("aaa").mkString(" ")
+    def run(alpha: Int, den: Int) =
+      Unigram.sampleTokenize(Seq(text).toDF("text"), "text", vocab,
+          maxPieceLen = 2, nbest = 3, alpha = alpha, seed = 7L,
+          alphaDen = den)
+        .select(col("unigram_sample_tokens")).head().getSeq[String](0)
+    assert(run(1, 1) === Unigram.sampleTokenize(
+      Seq(text).toDF("text"), "text", vocab, maxPieceLen = 2, nbest = 3,
+      alpha = 1, seed = 7L).select(col("unigram_sample_tokens"))
+      .head().getSeq[String](0))
+
+    // Flattening: with a(6) aa(2), [a,a,a] has weight 216 vs 12/12 for
+    // the two-piece paths at alpha=1 (90% of draws); at alpha=1/10 the
+    // 10th roots nearly equalize the weights, so the minority paths'
+    // share must rise strictly. Count three-piece words in each epoch.
+    def threePieceShare(toks: Seq[String]): Int =
+      toks.count(_ == "a") // more singles <=> more [a,a,a] words
+    val sharp = threePieceShare(run(1, 1))
+    val flat = threePieceShare(run(1, 10))
+    assert(flat < sharp) // flatter => FEWER all-single draws...
+  }
+
   test("train is invariant to partitioning (single corpus-pass argmax)") {
     // The single-char floor (count 1) does NOT scale with corpus size,
     // so the invariant is physical-layout independence of the SAME
