@@ -21,6 +21,7 @@ object ExportFormat {
   case object Csv extends ExportFormat
   case object JsonLines extends ExportFormat
   case object Parquet extends ExportFormat
+  case object Orc extends ExportFormat
 }
 
 /** Typed mirror of the reference's `execute_export` kwargs
@@ -31,7 +32,7 @@ object ExportFormat {
   * Extensions beyond the reference surface:
   *  - `codec`: "gzip" | "deflate" compresses Csv/JsonLines output
   *    streams (JDK codecs; name the file *.gz / *.zz yourself). Ignored
-  *    for Parquet (internally compressed) and Xlsx (a zip already).
+  *    for Parquet/Orc (internally compressed) and Xlsx (a zip already).
   *  - `extraSheets`: additional (sheetName -> SQL) pairs for Xlsx —
   *    each query streams into its own worksheet after the main one
   *    (the reference's sheet_name kwarg writes exactly one sheet).
@@ -134,23 +135,26 @@ object Export {
             finishCodec(cOut)
           })
 
-        case ExportFormat.Parquet =>
+        case ExportFormat.Parquet | ExportFormat.Orc =>
           // Spark's writer produces the bytes (a single write task via
           // coalesce(1)); the Observation counts rows in the SAME pass, and
-          // the part file is uploaded under the configured name.
+          // the part file is uploaded under the configured name. Both
+          // columnar formats are internally compressed, so `codec` is
+          // ignored like Xlsx.
           import java.nio.file.Files
           import scala.jdk.CollectionConverters._
+          val fmt = if (conf.format == ExportFormat.Orc) "orc" else "parquet"
           val obs = org.apache.spark.sql.Observation()
-          val tmp = Files.createTempDirectory("graft_export_pq_")
+          val tmp = Files.createTempDirectory(s"graft_export_${fmt}_")
           try {
             renamed
               .observe(obs, org.apache.spark.sql.functions.count(
                 org.apache.spark.sql.functions.lit(1)).as("n"))
               .coalesce(1)
-              .write.mode("overwrite").parquet(tmp.toString)
+              .write.mode("overwrite").format(fmt).save(tmp.toString)
             val part = Files.list(tmp).iterator().asScala
               .find(_.getFileName.toString.startsWith("part-"))
-              .getOrElse(throw new IllegalStateException("no parquet part written"))
+              .getOrElse(throw new IllegalStateException(s"no $fmt part written"))
             store.putOverwrite(conf.folder, conf.fileName,
               out => Files.copy(part, out))
             rows = obs.get("n").asInstanceOf[Long]

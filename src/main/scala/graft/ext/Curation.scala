@@ -105,6 +105,44 @@ object Curation {
         col("shard_id"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., LREC 2020): score
+    * every document against a reference LM and split each language's
+    * corpus into `nBuckets` equal-population quality tiers (CCNet's
+    * head/middle/tail at the default 3) — the data-selection step that
+    * follows dedup in the CCNet chain, where downstream training keeps
+    * head+middle or reweights by tier.
+    *
+    * Scoring is the exact-integer Kneser–Ney trigram model
+    * ([[TextAnalysis.knScoreModel]] — e12 fixed-point, replayable), so
+    * the tier assignment is hash-gateable: tiers come from ntile over
+    * the TOTAL order (score_e12 desc, id) within each language — ANSI
+    * ntile on a total order is engine-independent (earlier tiles take
+    * the remainder rows, the standard definition both Spark and the
+    * oracle implement).
+    *
+    * Scale shape: one corpus pass to explode trigrams + the model joins
+    * (model-sized sides), then ONE per-language sort for the ntile
+    * window — the only corpus-sized sort in the chain, AQE-splittable
+    * by range partitioning within `lang`; there is no all-corpus
+    * collect anywhere. Documents with fewer than 3 tokens have no
+    * trigrams, hence no score, and are dropped (they belong to a
+    * length filter, not a perplexity tier).
+    *
+    * Output: (id, lang, score_e12, bucket) with bucket 1 = best
+    * (highest model probability = CCNet's "head"). */
+  def perplexityBuckets(docs: DataFrame, text: String, id: String,
+      lang: Column, triModel: DataFrame, nBuckets: Int = 3,
+      minCount: Long = 1L): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets=$nBuckets")
+    val scores = TextAnalysis.knScoreModel(docs, text, id, triModel,
+      minCount = minCount)
+    docs.select(col(id), lang.as("lang"))
+      .join(scores.select(col(id), col("score_e12")), Seq(id))
+      .withColumn("bucket", ntile(nBuckets).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+          .orderBy(col("score_e12").desc, col(id))).cast("long"))
+  }
+
   /** Curate-at-INGEST: the pipeline's front half (quality filter →
     * exact dedup → decontamination) as a single STREAMING transform —
     * the reference's poll-a-folder ingest loop, made continuous, that

@@ -564,4 +564,52 @@ object Similarity {
         col("col.score").as("cosine"),
         (col("pos") + 1).cast(LongType).as("rank"))
   }
+
+  /** Hybrid lexical + dense retrieval fused by reciprocal-rank fusion
+    * (Cormack, Clarke & Buettcher, SIGIR 2009): BM25 over the text
+    * corpus and cosine top-k over the embedding corpus each produce a
+    * ranked list, and a document's fused score is
+    *
+    *   rrf_e9 = Σ_lists scale div (rrfK + rank)     (missing ⇒ 0)
+    *
+    * in EXACT integer arithmetic — RRF consumes only RANKS, never the
+    * incomparable raw scores, which is both why it needs no score
+    * normalization across systems (the published argument for it) and
+    * why the result is hash-gateable: ranks are integers, so the fused
+    * ordering is bit-identical on any engine whose component rankings
+    * agree (the s1/t11 rank-stability contracts).
+    *
+    * `queries` is ONE external query: a term list for the BM25 side and
+    * a one-row (qid, qvec) frame for the dense side. The component
+    * retrievals keep their own scale shapes (bm25Search's broadcast
+    * df/corpus scalars, bruteForceTopK's partial top-k aggregator) and
+    * each returns ≤ kLex/kDense rows, so the fusion join is over two
+    * bounded lists — broadcast by construction, nothing corpus-sized
+    * moves after the component top-ks.
+    *
+    * Output: (id, rrf_e9, lex_rank, dense_rank) — top `k` by
+    * (rrf_e9 desc, id); null rank = absent from that component list. */
+  def hybridTopK(docs: DataFrame, text: String, id: String,
+      termQuery: Seq[String], corpus: DataFrame, queryVec: DataFrame,
+      k: Int = 10, kLex: Int = 50, kDense: Int = 50,
+      rrfK: Long = 60L, scale: Long = 1000000000L): DataFrame = {
+    require(k >= 1 && kLex >= 1 && kDense >= 1 && rrfK >= 0L && scale >= 1L,
+      s"hybridTopK: bad params k=$k kLex=$kLex kDense=$kDense rrfK=$rrfK")
+    // Re-deriving the rank with a window over bm25Search's OUTPUT is a
+    // single-partition sort of ≤ kLex rows — bounded, not a corpus sort.
+    val lex = TextAnalysis.bm25Search(docs, text, id, termQuery, kLex)
+      .select(col(id), row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col(id)))
+        .cast(LongType).as("lex_rank"))
+    val dense = bruteForceTopK(corpus, queryVec, kDense, excludeSelf = false)
+      .select(col("corpus_id").as(id), col("rank").as("dense_rank"))
+    lex.join(dense, Seq(id), "full_outer")
+      .withColumn("rrf_e9",
+        expr(s"coalesce(${scale}L div (${rrfK}L + lex_rank), 0L) + " +
+          s"coalesce(${scale}L div (${rrfK}L + dense_rank), 0L)"))
+      .orderBy(col("rrf_e9").desc, col(id))
+      .limit(k)
+      .select(col(id), col("rrf_e9"), col("lex_rank"), col("dense_rank"))
+  }
 }

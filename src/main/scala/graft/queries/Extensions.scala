@@ -504,6 +504,67 @@ object ExtensionQueries {
       | AND list_cosine_similarity(q.embedding, c.embedding) >= 0.2
       |ORDER BY query_id, corpus_id""".stripMargin
 
+  /** Hybrid BM25 + dense retrieval fused by reciprocal-rank fusion
+    * (Similarity.hybridTopK): one external query — terms for the
+    * lexical side, embedding vec_id 3 for the dense side (doc ids and
+    * vec ids are aligned in the synthetic corpus). rrf_e9 is exact
+    * integer (1e9 div (60 + rank) per list), so the gate hash-matches;
+    * the component ranks carry the s1/t11 ordering-stability
+    * contracts. */
+  def hybridRrf(s: SparkSession, d: String): DataFrame =
+    Similarity.hybridTopK(Tables.documents(s, d), "text", "doc_id",
+        termQuery = Seq("spark", "hash", "join"),
+        corpus = corpus(s, d),
+        queryVec = queriesDf(s, d).where(col("qid") === 3),
+        k = 10, kLex = 50, kDense = 50)
+      .orderBy("doc_id")
+
+  private val hybridRrfOracle =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
+      | FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dld AS (
+      | SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+      | FROM tf),
+      |c AS (
+      | SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n,
+      |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+      |q AS (
+      | SELECT doc_id, term, CAST(tf AS HUGEINT) AS tf,
+      |        CAST(dl AS HUGEINT) AS dl,
+      |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+      | FROM dld WHERE term IN ('spark', 'hash', 'join')),
+      |sc AS (
+      | SELECT doc_id,
+      |  (22000000 * tf * t * (2 * (n - df) + 1))
+      |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+      | FROM q, c),
+      |lexall AS (
+      | SELECT doc_id, sum(term_score) AS score FROM sc GROUP BY doc_id),
+      |lex AS (
+      | SELECT doc_id, CAST(row_number() OVER (
+      |   ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+      | FROM lexall ORDER BY score DESC, doc_id LIMIT 50),
+      |dense AS (
+      | SELECT doc_id, dense_rank FROM (
+      |  SELECT cc.vec_id AS doc_id, CAST(row_number() OVER (
+      |    ORDER BY list_cosine_similarity(qq.embedding, cc.embedding) DESC,
+      |    cc.vec_id) AS BIGINT) AS dense_rank
+      |  FROM embeddings cc,
+      |   (SELECT embedding FROM embeddings WHERE vec_id = 3) qq) t
+      | WHERE dense_rank <= 50),
+      |fused AS (
+      | SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+      |  lex.lex_rank, dense.dense_rank,
+      |  coalesce(1000000000 // (60 + lex.lex_rank), 0)
+      |   + coalesce(1000000000 // (60 + dense.dense_rank), 0) AS rrf_e9
+      | FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+      |SELECT doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9, lex_rank, dense_rank
+      |FROM (SELECT * FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10) z
+      |ORDER BY doc_id""".stripMargin
+
   /** Per-label mean embedding (class prototypes): exact scaled-integer
     * sums make the doubles bit-identical to the DuckDB replay — see
     * Vectors.groupCentroids' scaladoc for the shuffle audit. */
@@ -1662,6 +1723,7 @@ object ExtensionQueries {
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
+    QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),

@@ -891,7 +891,11 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
-  private val knScoreOracle =
+  /** Shared CTE prefix for the Kneser–Ney oracles: self-trained
+    * minCount=2 trigram model + the pinned floor-division term chain,
+    * ending at `terms` (doc_id, term). Consumed by t40/t41/st22 (score
+    * aggregate) and p5 (per-language ntile over the scores). */
+  private[queries] val knTermsCte =
     """WITH toks AS (
       | SELECT doc_id,
       |  list_filter(string_split_regex(lower(text), '\s+'),
@@ -942,7 +946,10 @@ object HygieneQueries {
       | SELECT doc_id, CASE WHEN c2 IS NULL THEN p2 ELSE
       |   (greatest(4 * coalesce(c3, 0) - 3, 0) * 1000000000000
       |    + 3 * n3d * p2) // (4 * c2) END AS term
-      | FROM l1)
+      | FROM l1)""".stripMargin
+
+  private[queries] val knScoreOracle = knTermsCte +
+    """
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
       | CAST(sum(term) AS BIGINT) AS sum_e12,
       | CAST(sum(term) // count(*) AS BIGINT) AS score_e12

@@ -313,6 +313,36 @@ object IngestExportQueries {
       | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
 
+  /** ORC export (ExportFormat.Orc, the e3 shape on Spark's native
+    * vectorized ORC writer), read back by `spark.read.orc` — write/read
+    * parity with the i8 ORC ingest gate. */
+  def exportOrcE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    import graft.api.ExportFormat
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem_e11_v")
+    val outDir = Files.createTempDirectory("graft_e11_")
+    val report = Export.execute(ExportConfig(
+      taskOwner = "verify",
+      query = """SELECT l_returnflag, l_linestatus, count(*) AS n,
+                |CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                |  AS total
+                |FROM lineitem_e11_v GROUP BY l_returnflag, l_linestatus"""
+        .stripMargin,
+      folder = outDir.toString, fileName = "out.orc",
+      format = ExportFormat.Orc,
+      logTable = TableRef("graft", "verify", "export")))
+    require(report.ok && report.rows > 0,
+      s"export errors: ${report.errors.mkString("; ")} rows=${report.rows}")
+    s.read.orc(outDir.resolve("out.orc").toString)
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  private val exportOrcOracle =
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** JSON-lines export, read back by the engine's JSON shape-sniffing
     * reader (must sniff Lines, not ArrayDoc/Columns). */
   def exportJsonlE2e(s: SparkSession, d: String): DataFrame = {
@@ -1064,6 +1094,7 @@ object IngestExportQueries {
     QueryDef("i16_ingest_warc_e2e", ingestWarcE2e, Some(ingestWarcOracle)),
     QueryDef("i17_ingest_avro_e2e", ingestAvroE2e, Some(ingestAvroOracle)),
     QueryDef("e10_export_avro_e2e", exportAvroE2e, Some(exportAvroOracle)),
+    QueryDef("e11_export_orc_e2e", exportOrcE2e, Some(exportOrcOracle)),
     QueryDef("i18_ingest_corrupt_json_e2e", ingestCorruptJsonE2e,
       Some(ingestCorruptJsonOracle)))
 }

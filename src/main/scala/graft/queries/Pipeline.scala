@@ -70,6 +70,30 @@ object PipelineQueries {
           concat(col("text"), lit(" zz")).as("text"), col("lang")))
   }
 
+  /** p5: CCNet-style perplexity bucketing (Curation.perplexityBuckets)
+    * — self-trained minCount=2 Kneser–Ney trigram scores split into 3
+    * equal-population tiers per language (head/middle/tail) by ntile
+    * over the total order (score_e12 desc, doc_id). Exact-integer
+    * scores + ANSI ntile on a total order ⇒ hash gate. */
+  def pplBuckets(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = TextAnalysis.knCounts(docs, "text")
+    graft.ext.Curation.perplexityBuckets(docs, "text", "doc_id",
+        col("lang"), tri, nBuckets = 3, minCount = 2L)
+      .orderBy("doc_id")
+  }
+
+  private val pplBucketsOracle = HygieneQueries.knTermsCte +
+    """,
+      |scored AS (
+      | SELECT doc_id, sum(term) // count(*) AS score_e12
+      | FROM terms GROUP BY doc_id)
+      |SELECT d.doc_id, d.lang, CAST(s.score_e12 AS BIGINT) AS score_e12,
+      | CAST(ntile(3) OVER (PARTITION BY d.lang
+      |   ORDER BY s.score_e12 DESC, d.doc_id) AS BIGINT) AS bucket
+      |FROM documents d JOIN scored s USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def curationNearDup(s: SparkSession, d: String): DataFrame = {
     val bench = Tables.documents(s, d)
       .where(col("doc_id") % 20 === 0).select(col("text"))
@@ -1277,6 +1301,7 @@ object PipelineQueries {
     QueryDef("p3_crawl_funnel", crawlFunnelGate, Some(crawlFunnelOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
+    QueryDef("p5_ppl_buckets", pplBuckets, Some(pplBucketsOracle)),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),

@@ -408,6 +408,56 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** st22: the Kneser–Ney trigram model MAINTAINED under ingest — the
+    * t41 additive-counts contract driven by a real file stream: each
+    * micro-batch contributes its own trigram count frame
+    * ([[graft.ext.TextAnalysis.knCounts]]), folded into the running
+    * model via [[graft.ext.TextAnalysis.knMerge]]; scoring the corpus
+    * against the streamed model must equal full retraining (t40's
+    * oracle) because EVERY continuation/distinct-successor statistic
+    * derives from the merged frame at scoring time. */
+  def knStream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st22_src_")
+    docs.where(col("doc_id") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
+    docs.where(col("doc_id") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
+    Seq("b0", "b1").foreach { b =>
+      val sub = new java.io.File(srcDir.toString + "/" + b)
+      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    var model: DataFrame = null
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = graft.ext.TextAnalysis.knCounts(batch, "text")
+        model =
+          (if (model == null) inc
+           else graft.ext.TextAnalysis.knMerge(model, inc))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    graft.ext.TextAnalysis.knScoreModel(
+        Tables.documents(s, d), "text", "doc_id", model, minCount = 2L)
+      .orderBy("doc_id")
+  }
+
   private val mixtureStreamOracle =
     """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
       |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
@@ -741,6 +791,8 @@ object StreamingQueries {
       Some(PinnedOracles.t37SampleCounts)),
     QueryDef("st19_zonemap_stream", zoneMapStream, Some(zoneMapStreamOracle)),
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
+    QueryDef("st22_kn_stream", knStream,
+      Some(HygieneQueries.knScoreOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

@@ -197,6 +197,22 @@ class IngestExportSpec extends AnyFunSuite {
     assert(rows(1) === Seq(Some("0"), Some("0.0"), Some("r0")))
   }
 
+  test("export orc: columnar roundtrip under the configured name; rows counted in-pass") {
+    spark.range(4).selectExpr("id", "id * 2 AS dbl", "concat('o', id) AS tag")
+      .createOrReplaceTempView("orc_src")
+    val dir = Files.createTempDirectory("exp_orc_")
+    val r = Export.execute(ExportConfig(
+      "tester", "SELECT id, dbl, tag FROM orc_src",
+      dir.toString, "res.orc", format = ExportFormat.Orc,
+      codec = Some("gzip"), // ignored for columnar, like Parquet/Xlsx
+      logTable = TableRef("t", "est", "exporc")))
+    assert(r.ok && r.rows === 4)
+    val back = spark.read.orc(dir.resolve("res.orc").toString)
+      .orderBy("id").collect()
+    assert(back.map(_.getLong(1)).toSeq === Seq(0L, 2L, 4L, 6L))
+    assert(back.map(_.getString(2)).toSeq === Seq("o0", "o1", "o2", "o3"))
+  }
+
   test("export csv: RFC-4180 escaping survives a Spark-reader roundtrip") {
     import spark.implicits._
     Seq((1L, Some("plain"), "a"), (2L, Some("has,comma"), "b"),

@@ -1,0 +1,78 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class RetrievalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("hybridTopK: RRF fuses hand-computed lexical and dense ranks; " +
+      "a doc absent from one list contributes only the other term") {
+    val docs = Seq(
+      (1L, "apple banana"), (2L, "cherry"), (3L, "apple apple"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(0.6f, 0.8f)))
+      .toDF("cid", "cvec")
+    val qv = Seq((99L, Array(0f, 1f))).toDF("qid", "qvec")
+    // Lexical (query "apple"): doc3 tf=2 beats doc1 tf=1 (same dl);
+    // doc2 has no hit. Dense (kDense=2): doc2 cos=1.0 rank 1, doc3
+    // cos=0.8 rank 2; doc1 cos=0 excluded by the cut.
+    val got = Similarity.hybridTopK(docs, "text", "doc_id",
+        termQuery = Seq("apple"), corpus = corpus, queryVec = qv,
+        k = 3, kLex = 10, kDense = 2, rrfK = 0L, scale = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq === Seq(
+      (3L, 150L, Some(1L), Some(2L)), // 100/1 + 100/2
+      (2L, 100L, None, Some(1L)),     // dense only
+      (1L, 50L, Some(2L), None)))     // lexical only
+  }
+
+  test("hybridTopK: k truncates the fused list by (rrf desc, id)") {
+    val docs = Seq((1L, "x y z"), (2L, "x x q"), (3L, "p q r"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("cid", "cvec")
+    val qv = Seq((7L, Array(1f, 0f))).toDF("qid", "qvec")
+    val got = Similarity.hybridTopK(docs, "text", "doc_id",
+      termQuery = Seq("x"), corpus = corpus, queryVec = qv,
+      k = 1, kLex = 10, kDense = 3)
+    assert(got.count() === 1L)
+  }
+
+  test("perplexityBuckets: ntile tiers per language follow the exact " +
+      "score order; sub-trigram docs drop out") {
+    // Language en: four docs sharing trigram mass unevenly; doc 5 has
+    // only two tokens (no trigram) and must vanish. Language fr: one
+    // doc, which lands alone in bucket 1.
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "en"), // repeats the corpus-dominant trigram
+      (2L, "a b c d e f", "en"),
+      (3L, "d e f d e f", "en"),
+      (4L, "g h i j k l", "en"),
+      (5L, "a b", "en"),
+      (6L, "a b c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val tri = TextAnalysis.knCounts(docs, "text")
+    val got = Curation.perplexityBuckets(docs, "text", "doc_id",
+        col("lang"), tri, nBuckets = 2, minCount = 1L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(!got.map(_._1).contains(5L))
+    val en = got.filter(_._2 == "en")
+    assert(en.length === 4)
+    // ntile(2) over 4 rows: two per tier, and the tier-1 pair must be
+    // the two highest scores (desc order, doc_id tiebreak).
+    val byScore = en.sortBy(t => (-t._3, t._1))
+    assert(byScore.take(2).forall(_._4 == 1L))
+    assert(byScore.drop(2).forall(_._4 == 2L))
+    val fr = got.filter(_._2 == "fr")
+    assert(fr.map(t => (t._1, t._4)).toSeq === Seq((6L, 1L)))
+  }
+}
