@@ -689,19 +689,46 @@ object TextAnalysis {
     * broadcast-joined partial aggregate (skew-safe: no per-term row
     * co-location) → corpus scalars via broadcast cross join → per-doc sum +
     * top-k, which plans as TakeOrderedAndProject — no global sort. */
-  def bm25Search(df: DataFrame, text: String, id: String,
-      query: Seq[String], k: Int = 10): DataFrame = {
-    require(query.nonEmpty, "bm25Search: query must be non-empty")
-    val dec = DecimalType(38, 0)
-    def d(c: Column): Column = c.cast(dec)
+  /** The BM25 lexical INDEX: one (id, term, tf, dl) row per posting —
+    * the index-time half of the index/serve split a 100 TB retrieval
+    * corpus requires (re-tokenizing the corpus per query, as
+    * [[bm25Search]]'s convenience form does, is a scan per query; the
+    * index is built once, appended forever, served cheaply). Because
+    * dl (the document's token count) is denormalized per posting and
+    * every corpus statistic the scorer needs (df, N, T) derives from
+    * the postings at query time, the index is MERGEABLE BY PLAIN UNION
+    * under the document-atomic contract: each document's text arrives
+    * whole in one batch (the same contract st22's KN stream and every
+    * file-granular ingest satisfies). No recompute, no shuffle — an
+    * append IS the merge. Persist/append with ordinary parquet
+    * write/read; [[bm25SearchIndex]] serves from any union of
+    * increments. */
+  def bm25Index(df: DataFrame, text: String, id: String): DataFrame = {
     val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
     // dl rides the tf aggregate as a group constant — computing it as a
     // sum window over the whole (doc, term) frame would cost a second
     // full-corpus shuffle before the query filter.
-    val tf = df.select(col(id), size(toks).cast(LongType).as("dl"),
+    df.select(col(id), size(toks).cast(LongType).as("dl"),
         explode(toks).as("term"))
       .groupBy(col(id), col("term"))
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+  }
+
+  def bm25Search(df: DataFrame, text: String, id: String,
+      query: Seq[String], k: Int = 10): DataFrame =
+    bm25SearchIndex(bm25Index(df, text, id), id, query, k)
+
+  /** Query-time half: serve a BM25 top-k from a prebuilt [[bm25Index]]
+    * relation (or any union of increments). Same exact-integer scoring
+    * contract as [[bm25Search]] — identical plan tail, so the two
+    * forms agree bit-for-bit (the t42 gate pins the persisted
+    * roundtrip against the t11 oracle). */
+  def bm25SearchIndex(index: DataFrame, id: String,
+      query: Seq[String], k: Int = 10): DataFrame = {
+    require(query.nonEmpty, "bm25Search: query must be non-empty")
+    val dec = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    val tf = index
     val corpus = tf.groupBy().agg(
       countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))

@@ -309,7 +309,24 @@ object HygieneQueries {
     TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
       query = Seq("spark", "hash", "join"), k = 10)
 
-  private val bm25Oracle =
+  /** t42: the index/serve split — two disjoint corpus halves indexed
+    * as separate parquet APPENDS (union-is-merge under the
+    * document-atomic contract), read back, served. Must equal t11's
+    * direct-search oracle exactly: the persisted roundtrip and the
+    * increment union change nothing about the scoring integers. */
+  def bm25FromIndex(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val ixDir = java.nio.file.Files.createTempDirectory("graft_t42_")
+      .resolve("ix").toString
+    TextAnalysis.bm25Index(docs.where(col("doc_id") < 250), "text", "doc_id")
+      .write.mode("overwrite").parquet(ixDir)
+    TextAnalysis.bm25Index(docs.where(col("doc_id") >= 250), "text", "doc_id")
+      .write.mode("append").parquet(ixDir)
+    TextAnalysis.bm25SearchIndex(s.read.parquet(ixDir), "doc_id",
+      query = Seq("spark", "hash", "join"), k = 10)
+  }
+
+  private[queries] val bm25Oracle =
     """WITH toks AS (
       | SELECT doc_id, unnest(list_filter(
       |   string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
@@ -1261,6 +1278,7 @@ object HygieneQueries {
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
+    QueryDef("t42_bm25_index", bm25FromIndex, Some(bm25Oracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle), bench = true),
     QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),

@@ -458,6 +458,53 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st23: the BM25 lexical index MAINTAINED under ingest — each
+    * micro-batch contributes its own posting frame
+    * ([[graft.ext.TextAnalysis.bm25Index]]) and the merge is a plain
+    * UNION (documents arrive whole per batch, so increments are
+    * doc-disjoint: no recompute, no shuffle — an append IS the merge).
+    * Serving from the streamed index must equal t11's direct search
+    * over the full corpus. */
+  def bm25Stream(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_st23_src_")
+    docs.where(col("doc_id") <= mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
+    docs.where(col("doc_id") > mid).coalesce(1)
+      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
+    Seq("b0", "b1").foreach { b =>
+      val sub = new java.io.File(srcDir.toString + "/" + b)
+      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
+      sub.listFiles().foreach(_.delete()); sub.delete()
+    }
+    var index: DataFrame = null
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val inc = graft.ext.TextAnalysis.bm25Index(batch, "text", "doc_id")
+        index =
+          (if (index == null) inc else index.unionAll(inc))
+          .localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    graft.ext.TextAnalysis.bm25SearchIndex(index, "doc_id",
+      query = Seq("spark", "hash", "join"), k = 10)
+  }
+
   private val mixtureStreamOracle =
     """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
       |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
@@ -793,6 +840,8 @@ object StreamingQueries {
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
     QueryDef("st22_kn_stream", knStream,
       Some(HygieneQueries.knScoreOracle)),
+    QueryDef("st23_bm25_stream", bm25Stream,
+      Some(HygieneQueries.bm25Oracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),

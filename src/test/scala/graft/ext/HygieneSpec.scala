@@ -169,6 +169,27 @@ class HygieneSpec extends AnyFunSuite {
     assert(got.toSeq === Seq((1L, 260355L, 1L), (2L, 217821L, 1L)))
   }
 
+  test("bm25Index / bm25SearchIndex: union of doc-disjoint increments " +
+      "serves exactly what direct search computes; postings carry dl") {
+    val df = Seq((1L, "a A b"), (2L, "a c"), (3L, "b b a")).toDF("doc_id", "text")
+    val direct = TextAnalysis.bm25Search(df, "text", "doc_id", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // Two doc-disjoint increments, merged by plain union.
+    val ix = TextAnalysis.bm25Index(
+        df.where(col("doc_id") < 3), "text", "doc_id")
+      .unionAll(TextAnalysis.bm25Index(
+        df.where(col("doc_id") >= 3), "text", "doc_id"))
+    val served = TextAnalysis.bm25SearchIndex(ix, "doc_id", Seq("a", "b"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(served === direct)
+    // The index relation itself: dl is the doc's TOTAL token count on
+    // every posting row of that doc.
+    val dls = TextAnalysis.bm25Index(df, "text", "doc_id")
+      .select("doc_id", "dl").distinct().orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dls.toSeq === Seq((1L, 3L), (2L, 2L), (3L, 3L)))
+  }
+
   test("bm25Search: top-k plans as TakeOrderedAndProject, no global sort; " +
       "dl rides the tf aggregate, not a second full-corpus window shuffle") {
     val docs = graft.Tables.documents(spark, graft.TestSpark.sf0001)
