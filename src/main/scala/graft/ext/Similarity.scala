@@ -593,17 +593,41 @@ object Similarity {
       termQuery: Seq[String], corpus: DataFrame, queryVec: DataFrame,
       k: Int = 10, kLex: Int = 50, kDense: Int = 50,
       rrfK: Long = 60L, scale: Long = 1000000000L): DataFrame = {
-    require(k >= 1 && kLex >= 1 && kDense >= 1 && rrfK >= 0L && scale >= 1L,
-      s"hybridTopK: bad params k=$k kLex=$kLex kDense=$kDense rrfK=$rrfK")
-    // Re-deriving the rank with a window over bm25Search's OUTPUT is a
-    // single-partition sort of ≤ kLex rows — bounded, not a corpus sort.
-    val lex = TextAnalysis.bm25Search(docs, text, id, termQuery, kLex)
+    require(kDense >= 1, s"hybridTopK: kDense=$kDense")
+    hybridFromLists(
+      bm25RankedList(docs, text, id, termQuery, kLex),
+      bruteForceTopK(corpus, queryVec, kDense, excludeSelf = false)
+        .select(col("corpus_id").as(id), col("rank").as("dense_rank")),
+      id, k, rrfK, scale)
+  }
+
+  /** The lexical component list for [[hybridFromLists]]: BM25 top-kLex
+    * as (id, lex_rank). Re-deriving the rank with a window over
+    * bm25Search's OUTPUT is a single-partition sort of ≤ kLex rows —
+    * bounded, not a corpus sort. */
+  def bm25RankedList(docs: DataFrame, text: String, id: String,
+      termQuery: Seq[String], kLex: Int): DataFrame = {
+    require(kLex >= 1, s"bm25RankedList: kLex=$kLex")
+    TextAnalysis.bm25Search(docs, text, id, termQuery, kLex)
       .select(col(id), row_number().over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("score").desc, col(id)))
         .cast(LongType).as("lex_rank"))
-    val dense = bruteForceTopK(corpus, queryVec, kDense, excludeSelf = false)
-      .select(col("corpus_id").as(id), col("rank").as("dense_rank"))
+  }
+
+  /** RRF fusion over ANY two ranked lists — the serve-path decoupling:
+    * the dense list can come from [[bruteForceTopK]] (the hybridTopK
+    * convenience), or from any tier of the ANN ladder
+    * ([[ivfTopK]]/[[ivfPqTopK]]/SQ8 — at exact settings like
+    * nprobe = nlist the fusion stays hash-gateable, the s15 gate; at
+    * recall < 1 settings the fused list inherits the component's
+    * tolerance contract). `lex` must carry (id, lex_rank), `dense`
+    * (id, dense_rank), both rank-1-best; either may be empty. */
+  def hybridFromLists(lex: DataFrame, dense: DataFrame, id: String,
+      k: Int = 10, rrfK: Long = 60L,
+      scale: Long = 1000000000L): DataFrame = {
+    require(k >= 1 && rrfK >= 0L && scale >= 1L,
+      s"hybridFromLists: bad params k=$k rrfK=$rrfK scale=$scale")
     lex.join(dense, Seq(id), "full_outer")
       .withColumn("rrf_e9",
         expr(s"coalesce(${scale}L div (${rrfK}L + lex_rank), 0L) + " +

@@ -519,6 +519,24 @@ object ExtensionQueries {
         k = 10, kLex = 50, kDense = 50)
       .orderBy("doc_id")
 
+  /** s15: the hybrid SERVE path — same fusion as s14 but the dense
+    * list comes from the IVF tier (Similarity.ivfTopK at nprobe =
+    * nlist, which probes every bucket and therefore equals brute force
+    * exactly — the s5 contract), composed through
+    * Similarity.hybridFromLists. Same oracle as s14: swapping the
+    * dense retriever at exact settings must change nothing. */
+  def hybridRrfIvf(s: SparkSession, d: String): DataFrame = {
+    val dense = Similarity.ivfTopK(corpus(s, d),
+        queriesDf(s, d).where(col("qid") === 3), k = 50,
+        nlist = 20, nprobe = 20, excludeSelf = false)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("dense_rank"))
+    Similarity.hybridFromLists(
+        Similarity.bm25RankedList(Tables.documents(s, d), "text", "doc_id",
+          Seq("spark", "hash", "join"), kLex = 50),
+        dense, "doc_id", k = 10)
+      .orderBy("doc_id")
+  }
+
   private val hybridRrfOracle =
     """WITH toks AS (
       | SELECT doc_id, unnest(list_filter(
@@ -1724,6 +1742,7 @@ object ExtensionQueries {
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
+    QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),

@@ -83,7 +83,7 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val pplBucketsOracle = HygieneQueries.knTermsCte +
+  private[queries] val pplBucketsOracle = HygieneQueries.knTermsCte +
     """,
       |scored AS (
       | SELECT doc_id, sum(term) // count(*) AS score_e12

@@ -416,7 +416,7 @@ object StreamingQueries {
     * against the streamed model must equal full retraining (t40's
     * oracle) because EVERY continuation/distinct-successor statistic
     * derives from the merged frame at scoring time. */
-  def knStream(s: SparkSession, d: String): DataFrame = {
+  private def foldKnModelFromStream(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
     val srcDir = java.nio.file.Files.createTempDirectory("graft_st22_src_")
@@ -453,10 +453,26 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(300000)
     q.stop()
-    graft.ext.TextAnalysis.knScoreModel(
-        Tables.documents(s, d), "text", "doc_id", model, minCount = 2L)
-      .orderBy("doc_id")
+    model
   }
+
+  def knStream(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.knScoreModel(
+        Tables.documents(s, d), "text", "doc_id",
+        foldKnModelFromStream(s, d), minCount = 2L)
+      .orderBy("doc_id")
+
+  /** st24: "model streams, buckets batch" — the p5 perplexity tiers
+    * derived from the STREAM-maintained KN model (st22's fold) instead
+    * of a batch retrain. Tier cuts need the global per-language order,
+    * so bucketing itself stays a batch pass; the expensive trainable
+    * state is what streams. Must hash-match p5's full-recompute
+    * oracle. */
+  def pplBucketsStream(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.perplexityBuckets(Tables.documents(s, d), "text",
+        "doc_id", col("lang"), foldKnModelFromStream(s, d), nBuckets = 3,
+        minCount = 2L)
+      .orderBy("doc_id")
 
   /** st23: the BM25 lexical index MAINTAINED under ingest — each
     * micro-batch contributes its own posting frame
@@ -842,6 +858,8 @@ object StreamingQueries {
       Some(HygieneQueries.knScoreOracle)),
     QueryDef("st23_bm25_stream", bm25Stream,
       Some(HygieneQueries.bm25Oracle)),
+    QueryDef("st24_ppl_buckets_stream", pplBucketsStream,
+      Some(PipelineQueries.pplBucketsOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
