@@ -1301,7 +1301,8 @@ object PipelineQueries {
     QueryDef("p3_crawl_funnel", crawlFunnelGate, Some(crawlFunnelOracle)),
     QueryDef("p1_curation_e2e", curationE2e, Some(curationOracle),
       bench = true),
-    QueryDef("p5_ppl_buckets", pplBuckets, Some(pplBucketsOracle)),
+    QueryDef("p5_ppl_buckets", pplBuckets, Some(pplBucketsOracle),
+      bench = true),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
