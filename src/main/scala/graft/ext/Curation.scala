@@ -143,6 +143,34 @@ object Curation {
           .orderBy(col("score_e12").desc, col(id))).cast("long"))
   }
 
+  /** Classifier-routed data mixing — classify every document with the
+    * Naive-Bayes unigram classifier ([[TextAnalysis.nbClassify]],
+    * trained on `label`), then derive the token-budget mixture plan
+    * ([[Sampling.mixturePlan]]) over the PREDICTED classes: the
+    * crawl-curation pattern where domain labels exist only for a seed
+    * corpus and the mixing decision must route by the model's output,
+    * not by trusted metadata.
+    *
+    * Everything composes existing exact-integer stages, so the result
+    * hash-gates end to end (p6): NB scores are e9 fixed-point with the
+    * pinned (score desc, label asc) argmax, the mixture plan is exact
+    * ppm arithmetic. Scale shape: classification is the t29 plan
+    * (broadcast-or-shuffle model join, auto placement), the plan
+    * derivation is one classes-sized aggregate — nothing new shuffles.
+    *
+    * Output: one row per predicted class,
+    * (source, n_docs, tokens_total, rate_ppm). */
+  def classifiedMixture(docs: DataFrame, text: String, id: String,
+      label: String, tokens: Column,
+      targetPpm: Map[String, Long]): DataFrame = {
+    val (tok, cls) = TextAnalysis.nbCounts(docs, text, label)
+    val preds = TextAnalysis.nbClassify(docs, text, id, tok, cls)
+      .select(col(id), col("pred"))
+    Sampling.mixturePlan(
+      docs.select(col(id), tokens.as("__tok")).join(preds, Seq(id)),
+      col("pred"), col("__tok"), targetPpm)
+  }
+
   /** Curate-at-INGEST: the pipeline's front half (quality filter →
     * exact dedup → decontamination) as a single STREAMING transform —
     * the reference's poll-a-folder ingest loop, made continuous, that

@@ -1013,7 +1013,11 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
-  private val nbClassifyOracle =
+  /** Shared CTE prefix for the NB oracles: train on documents' lang
+    * labels, score every (doc, label), rank by (score desc, label asc)
+    * — ends at `r` (doc_id, label/pred, score_e9, rn). Consumed by
+    * t29/t30 (argmax row) and p6 (mixture over predictions). */
+  private[queries] val nbPredCte =
     """WITH toks AS (
       | SELECT doc_id, lang,
       |  list_filter(string_split_regex(lower(text), '\s+'),
@@ -1051,7 +1055,10 @@ object HygieneQueries {
       | SELECT doc_id, label AS pred, score_e9,
       |  row_number() OVER (PARTITION BY doc_id
       |    ORDER BY score_e9 DESC, label ASC) AS rn
-      | FROM scored)
+      | FROM scored)""".stripMargin
+
+  private val nbClassifyOracle = nbPredCte +
+    """
       |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 

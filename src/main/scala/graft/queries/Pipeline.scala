@@ -94,6 +94,38 @@ object PipelineQueries {
       |FROM documents d JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** p6: classifier-routed mixing (Curation.classifiedMixture) — NB
+    * predictions route documents into classes, the mixture plan prices
+    * each predicted class's token supply against the target ppm. The
+    * oracle replays the whole chain: NB train/score/argmax in e9
+    * integers, then the exact min-bottleneck mixture arithmetic. */
+  def classifiedMixture(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.classifiedMixture(Tables.documents(s, d), "text",
+        "doc_id", "lang", col("n_chars"),
+        targetPpm = Map("en" -> 400000L, "de" -> 200000L, "es" -> 200000L,
+          "fr" -> 100000L, "zh" -> 100000L))
+      .orderBy("source")
+
+  private val classifiedMixtureOracle = HygieneQueries.nbPredCte +
+    """,
+      |preds AS (SELECT doc_id, pred FROM r WHERE rn = 1),
+      |w AS (SELECT * FROM (VALUES ('en', 400000), ('de', 200000),
+      |  ('es', 200000), ('fr', 100000), ('zh', 100000)) AS t(source, w)),
+      |agg AS (
+      | SELECT p.pred AS source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(d.n_chars) AS BIGINT) AS tokens_total
+      | FROM preds p JOIN documents d USING (doc_id) GROUP BY 1),
+      |tt AS (
+      | SELECT min(tokens_total * 1000000 // w.w) AS T
+      | FROM agg JOIN w USING (source))
+      |SELECT a.source, a.n_docs, a.tokens_total,
+      | CAST(CASE WHEN w.w IS NULL THEN 0
+      |  ELSE LEAST(1000000,
+      |   ((w.w * tt.T // 1000000) * 1000000) // a.tokens_total) END
+      |  AS BIGINT) AS rate_ppm
+      |FROM agg a LEFT JOIN w USING (source) CROSS JOIN tt
+      |ORDER BY a.source""".stripMargin
+
   def curationNearDup(s: SparkSession, d: String): DataFrame = {
     val bench = Tables.documents(s, d)
       .where(col("doc_id") % 20 === 0).select(col("text"))
@@ -1303,6 +1335,8 @@ object PipelineQueries {
       bench = true),
     QueryDef("p5_ppl_buckets", pplBuckets, Some(pplBucketsOracle),
       bench = true),
+    QueryDef("p6_classified_mixing", classifiedMixture,
+      Some(classifiedMixtureOracle)),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),

@@ -419,4 +419,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     // cut 60: nothing predicted positive -> precision 0 by convention
     assert(got(2) === ((60L, 0L, 0L, 3L, 0L, 0L)))
   }
+
+  test("Curation.classifiedMixture: routing follows the PREDICTED class " +
+      "(content), not the metadata label; exact mixture arithmetic") {
+    // Classes separate cleanly on vocabulary; doc 7 carries label 'a'
+    // but class-b content, so NB routes it to b and the supply table
+    // must read a=3 docs / b=4 docs. tok=10 per doc makes the rate
+    // math hand-checkable: supplies 30/40, targets 50/50 => T=60,
+    // rate_a = 30e6//30 = 1e6 (capped), rate_b = 30e6//40 = 750000.
+    val docs = Seq(
+      (1L, "xx yy xx", "a"), (2L, "yy xx yy", "a"), (3L, "xx yy", "a"),
+      (4L, "zz ww zz", "b"), (5L, "ww zz ww", "b"), (6L, "zz ww", "b"),
+      (7L, "zz ww zz ww", "a"))
+      .toDF("doc_id", "text", "lang")
+      .withColumn("tok", lit(10L))
+    val got = Curation.classifiedMixture(docs, "text", "doc_id", "lang",
+        col("tok"), Map("a" -> 500000L, "b" -> 500000L))
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq === Seq(
+      ("a", 3L, 30L, 1000000L),
+      ("b", 4L, 40L, 750000L)))
+  }
 }
