@@ -608,12 +608,22 @@ object Similarity {
   def bm25RankedList(docs: DataFrame, text: String, id: String,
       termQuery: Seq[String], kLex: Int): DataFrame = {
     require(kLex >= 1, s"bm25RankedList: kLex=$kLex")
-    TextAnalysis.bm25Search(docs, text, id, termQuery, kLex)
-      .select(col(id), row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(col("score").desc, col(id)))
-        .cast(LongType).as("lex_rank"))
+    rankLex(TextAnalysis.bm25Search(docs, text, id, termQuery, kLex), id)
   }
+
+  /** [[bm25RankedList]] served from a prebuilt/streamed
+    * [[TextAnalysis.bm25Index]] relation instead of raw documents. */
+  def bm25RankedListFromIndex(index: DataFrame, id: String,
+      termQuery: Seq[String], kLex: Int): DataFrame = {
+    require(kLex >= 1, s"bm25RankedListFromIndex: kLex=$kLex")
+    rankLex(TextAnalysis.bm25SearchIndex(index, id, termQuery, kLex), id)
+  }
+
+  private def rankLex(scored: DataFrame, id: String): DataFrame =
+    scored.select(col(id), row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col(id)))
+      .cast(LongType).as("lex_rank"))
 
   /** RRF fusion over ANY two ranked lists — the serve-path decoupling:
     * the dense list can come from [[bruteForceTopK]] (the hybridTopK

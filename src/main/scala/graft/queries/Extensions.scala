@@ -537,7 +537,7 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
-  private val hybridRrfOracle =
+  private[queries] val hybridRrfOracle =
     """WITH toks AS (
       | SELECT doc_id, unnest(list_filter(
       |   string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term

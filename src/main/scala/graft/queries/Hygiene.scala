@@ -309,6 +309,59 @@ object HygieneQueries {
     TextAnalysis.bm25Search(Tables.documents(s, d), "text", "doc_id",
       query = Seq("spark", "hash", "join"), k = 10)
 
+  /** t43: RAG passage retrieval — BM25 over CHUNKS instead of whole
+    * documents (TextAnalysis.chunk at the t9 window/stride feeding
+    * bm25Search keyed by doc_id·1000 + chunk_id): the retrieval-unit
+    * granularity shift every RAG pipeline performs, composed from two
+    * gate-proven stages with zero new operator code. The oracle
+    * replays chunking AND chunk-level BM25 end to end. */
+  def chunkSearch(s: SparkSession, d: String): DataFrame = {
+    val chunks = TextAnalysis.chunk(Tables.documents(s, d), "text",
+        "doc_id", chunkSize = 32, stride = 16)
+      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+        col("chunk_text"))
+    TextAnalysis.bm25Search(chunks, "chunk_text", "chunk_key",
+      query = Seq("spark", "hash", "join"), k = 10)
+  }
+
+  private val chunkSearchOracle =
+    """WITH toks0 AS (
+      | SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), t -> len(t) > 0) AS ts
+      | FROM documents),
+      |cx AS (
+      | SELECT doc_id, unnest(list_transform(
+      |   range(0, CAST(floor((greatest(len(ts) - 32, 0) + 15) / 16.0) AS BIGINT) + 1),
+      |   i -> {'cid': i,
+      |         'txt': array_to_string(ts[i*16+1 : i*16+32], ' ')})) AS u
+      | FROM toks0 WHERE len(ts) > 0),
+      |toks AS (
+      | SELECT doc_id * 1000 + u.cid AS chunk_key,
+      |  unnest(list_filter(string_split_regex(lower(u.txt), '\s+'),
+      |    t -> len(t) > 0)) AS term
+      | FROM cx),
+      |tf AS (SELECT chunk_key, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dld AS (
+      | SELECT chunk_key, term, tf, sum(tf) OVER (PARTITION BY chunk_key) AS dl
+      | FROM tf),
+      |c AS (
+      | SELECT CAST(count(DISTINCT chunk_key) AS HUGEINT) AS n,
+      |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+      |q AS (
+      | SELECT chunk_key, term, CAST(tf AS HUGEINT) AS tf,
+      |        CAST(dl AS HUGEINT) AS dl,
+      |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+      | FROM dld WHERE term IN ('spark', 'hash', 'join')),
+      |sc AS (
+      | SELECT chunk_key,
+      |  (22000000 * tf * t * (2 * (n - df) + 1))
+      |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+      | FROM q, c)
+      |SELECT chunk_key, CAST(sum(term_score) AS BIGINT) AS score,
+      | count(*) AS n_terms
+      |FROM sc GROUP BY chunk_key
+      |ORDER BY score DESC, chunk_key LIMIT 10""".stripMargin
+
   /** t42: the index/serve split — two disjoint corpus halves indexed
     * as separate parquet APPENDS (union-is-merge under the
     * document-atomic contract), read back, served. Must equal t11's
@@ -1286,6 +1339,7 @@ object HygieneQueries {
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
     QueryDef("t42_bm25_index", bm25FromIndex, Some(bm25Oracle)),
+    QueryDef("t43_chunk_search", chunkSearch, Some(chunkSearchOracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle), bench = true),
     QueryDef("d14_dup_span_clean", dupSpanClean, Some(dupSpanCleanOracle)),

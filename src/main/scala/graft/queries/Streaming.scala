@@ -481,7 +481,11 @@ object StreamingQueries {
     * doc-disjoint: no recompute, no shuffle — an append IS the merge).
     * Serving from the streamed index must equal t11's direct search
     * over the full corpus. */
-  def bm25Stream(s: SparkSession, d: String): DataFrame = {
+  def bm25Stream(s: SparkSession, d: String): DataFrame =
+    graft.ext.TextAnalysis.bm25SearchIndex(foldBm25IndexFromStream(s, d),
+      "doc_id", query = Seq("spark", "hash", "join"), k = 10)
+
+  private def foldBm25IndexFromStream(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
     val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
     val srcDir = java.nio.file.Files.createTempDirectory("graft_st23_src_")
@@ -517,8 +521,54 @@ object StreamingQueries {
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(300000)
     q.stop()
-    graft.ext.TextAnalysis.bm25SearchIndex(index, "doc_id",
-      query = Seq("spark", "hash", "join"), k = 10)
+    index
+  }
+
+  /** st25: hybrid RRF serving where BOTH component indexes are
+    * STREAM-MAINTAINED — the lexical postings fold under a documents
+    * stream (st23's union-is-merge) while the dense side builds a
+    * persisted IVF-PQ index on half the vectors and stream-appends the
+    * rest (st17's shape), queried at exact settings (nprobe = nlist,
+    * rerank ≥ corpus). The fused result must hash-match the s14 oracle
+    * computed from the full static corpus: maintaining both indexes
+    * under ingest changes nothing about what the serve path returns. */
+  def hybridServeStream(s: SparkSession, d: String): DataFrame = {
+    val lexIx = foldBm25IndexFromStream(s, d)
+    val base = java.nio.file.Files.createTempDirectory("graft_st25_")
+    val root = base.resolve("ann_index").toString
+    val c = Tables.embeddings(s, d)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.ext.AnnIndex.buildIvfPq(c.where(col("cid") % 2 === 0), dim = 64,
+      nlist = 20, root = root, m = 8, codes = 16, refineIters = 2)
+    val vdir = base.resolve("vectors").toString
+    c.where(col("cid") % 2 === 1).repartition(2)
+      .write.mode("overwrite").parquet(vdir)
+    val src = s.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cid",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cvec",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(vdir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.AnnIndex.appendIvfPq(s, root, batch)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    q.stop()
+    val dense = graft.ext.AnnIndex.queryIvfPq(s, root,
+        c.where(col("cid") === 3)
+          .select(col("cid").as("qid"), col("cvec").as("qvec")),
+        k = 50, nprobe = 20, rerank = 2100, excludeSelf = false)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("dense_rank"))
+    graft.ext.Similarity.hybridFromLists(
+        graft.ext.Similarity.bm25RankedListFromIndex(lexIx, "doc_id",
+          Seq("spark", "hash", "join"), kLex = 50),
+        dense, "doc_id", k = 10)
+      .orderBy("doc_id")
   }
 
   private val mixtureStreamOracle =
@@ -860,6 +910,8 @@ object StreamingQueries {
       Some(HygieneQueries.bm25Oracle)),
     QueryDef("st24_ppl_buckets_stream", pplBucketsStream,
       Some(PipelineQueries.pplBucketsOracle)),
+    QueryDef("st25_hybrid_serve_stream", hybridServeStream,
+      Some(ExtensionQueries.hybridRrfOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
