@@ -594,6 +594,16 @@ object Similarity {
       k: Int = 10, kLex: Int = 50, kDense: Int = 50,
       rrfK: Long = 60L, scale: Long = 1000000000L): DataFrame = {
     require(kDense >= 1, s"hybridTopK: kDense=$kDense")
+    // ENFORCED, not just documented: a multi-row queryVec would emit
+    // kDense ranks per query, and dropping query_id below would fuse
+    // duplicate ids with conflicting ranks into a silently-corrupt
+    // top-k. The check is one eager job over a ≤2-row limit of the
+    // (broadcast-small by contract) query frame.
+    val nq = queryVec.limit(2).count()
+    require(nq == 1L,
+      s"hybridTopK: queryVec must contain exactly ONE query row, got " +
+        s"${if (nq == 0) "0" else ">= 2"}; for multi-query fusion call " +
+        "hybridFromLists per query")
     hybridFromLists(
       bm25RankedList(docs, text, id, termQuery, kLex),
       bruteForceTopK(corpus, queryVec, kDense, excludeSelf = false)

@@ -551,10 +551,20 @@ object TextAnalysis {
     * each); the scored corpus explodes to one row per trigram and
     * joins them — model-sized sides, broadcastable when they fit, AQE
     * skew-splittable when not; the corpus side shuffles only for the
-    * final per-doc aggregate. Overflow bound: dDen·c3·S must stay
-    * under 2⁶³ — c3 beyond ~2.3·10⁶ at the default scale needs a
-    * smaller `scale` (terms only need ordering resolution), the
-    * [[lmScore]] rule.
+    * final per-doc aggregate.
+    *
+    * Overflow bounds (all BIGINT, no ANSI check to save you): every
+    * intermediate is count·scale·discount-digit shaped, so at the
+    * default scale = 10^12 EVERY count the formulas touch — c3, the
+    * per-context sum c2, the continuation count cn2, AND the
+    * distinct-successor counts nw2/n3d (the binding ones on web-scale
+    * text, where a stop word's distinct-successor count grows with the
+    * vocabulary) — must stay under ~2.3·10⁶ (2⁶³ / (dDen·scale)), and
+    * a single document must have fewer than ~9.2·10⁶ trigrams or
+    * sum_e12 itself wraps. Training on a corpus whose hottest word has
+    * more distinct neighbors than that needs a smaller `scale` (terms
+    * only need ordering resolution — the [[lmScore]] rule): scale
+    * 10^9 lifts every count bound ×1000.
     *
     * Output: (id, n_trigrams, sum_e12, score_e12); documents with
     * fewer than three tokens have no trigrams and are dropped. */
@@ -665,30 +675,6 @@ object TextAnalysis {
         expr("sum_z div n_tokens").as("score_e6"))
   }
 
-  /** BM25 top-k document retrieval for a bag-of-terms query (k1 = 1.2,
-    * b = 0.75 — the Robertson/Okapi defaults). Scoring is EXACT rational
-    * arithmetic scaled to an integer, for the same reason as
-    * [[tfidfTopTerms]]: float BM25 differs at the ulp between engines.
-    * With k1 = 6/5 and b = 3/4, per matched (doc, term):
-    *
-    *   tfPart = (11/5·tf) / (tf + 3/10 + 9/10·dl·N/T)
-    *          = 22·tf·T / (10·T·tf + 3·T + 9·dl·N)   (×10T throughout)
-    *   idf    = (N − df + 1/2) / (df + 1/2)          (linear: the LOG of
-    *            the classic idf is float-unstable cross-engine; the
-    *            linear form keeps the same "rarer ⇒ bigger" signal)
-    *          = (2·(N − df) + 1) / (2·df + 1)        (×2 throughout)
-    *   score  = 10^6 · tfPart · idf, floor-divided as DECIMAL(38,0)
-    *
-    * where dl = doc token count, N = docs with ≥1 token, T = corpus
-    * token count. Doc score = integer sum over matched query terms.
-    *
-    * Plan: tokenize → dl = size(tokens) in the SAME narrow projection
-    * that explodes (a per-doc constant needs no window) → (doc, term,
-    * tf) agg carrying dl (the ONLY corpus-sized shuffle) → FILTER to
-    * query terms (everything after is query-sized) → df per term via a
-    * broadcast-joined partial aggregate (skew-safe: no per-term row
-    * co-location) → corpus scalars via broadcast cross join → per-doc sum +
-    * top-k, which plans as TakeOrderedAndProject — no global sort. */
   /** The BM25 lexical INDEX: one (id, term, tf, dl) row per posting —
     * the index-time half of the index/serve split a 100 TB retrieval
     * corpus requires (re-tokenizing the corpus per query, as
@@ -714,15 +700,41 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** BM25 top-k retrieval in one call — [[bm25Index]] composed with
+    * [[bm25SearchIndex]] (identical plan: Catalyst fuses the index
+    * projection into the scan, so the convenience form pays nothing
+    * over the split). Scoring contract documented on
+    * [[bm25SearchIndex]]. */
   def bm25Search(df: DataFrame, text: String, id: String,
       query: Seq[String], k: Int = 10): DataFrame =
     bm25SearchIndex(bm25Index(df, text, id), id, query, k)
 
-  /** Query-time half: serve a BM25 top-k from a prebuilt [[bm25Index]]
-    * relation (or any union of increments). Same exact-integer scoring
-    * contract as [[bm25Search]] — identical plan tail, so the two
-    * forms agree bit-for-bit (the t42 gate pins the persisted
-    * roundtrip against the t11 oracle). */
+  /** Query-time half: BM25 top-k for a bag-of-terms query (k1 = 1.2,
+    * b = 0.75 — the Robertson/Okapi defaults) over a prebuilt
+    * [[bm25Index]] relation (or any union of increments). Scoring is
+    * EXACT rational arithmetic scaled to an integer, for the same
+    * reason as [[tfidfTopTerms]]: float BM25 differs at the ulp
+    * between engines. With k1 = 6/5 and b = 3/4, per matched
+    * (doc, term):
+    *
+    *   tfPart = (11/5·tf) / (tf + 3/10 + 9/10·dl·N/T)
+    *          = 22·tf·T / (10·T·tf + 3·T + 9·dl·N)   (×10T throughout)
+    *   idf    = (N − df + 1/2) / (df + 1/2)          (linear: the LOG of
+    *            the classic idf is float-unstable cross-engine; the
+    *            linear form keeps the same "rarer ⇒ bigger" signal)
+    *          = (2·(N − df) + 1) / (2·df + 1)        (×2 throughout)
+    *   score  = 10^6 · tfPart · idf, floor-divided as DECIMAL(38,0)
+    *
+    * where dl = doc token count, N = docs with ≥1 token, T = corpus
+    * token count. Doc score = integer sum over matched query terms.
+    *
+    * Plan: the postings (already tf-aggregated, dl as a group constant)
+    * FILTER to query terms (everything after is query-sized) → df per
+    * term via a broadcast-joined partial aggregate (skew-safe: no
+    * per-term row co-location) → corpus scalars via broadcast cross
+    * join → per-doc sum + top-k, which plans as TakeOrderedAndProject
+    * — no global sort. The t42 gate pins the persisted-index roundtrip
+    * against the t11 direct-search oracle. */
   def bm25SearchIndex(index: DataFrame, id: String,
       query: Seq[String], k: Int = 10): DataFrame = {
     require(query.nonEmpty, "bm25Search: query must be non-empty")

@@ -1641,11 +1641,19 @@ object UnigramTokenize {
   * integer-exponent weight prod^alpha * T^(alpha*(kMax-k)) — a pure
   * big-int computation (Newton iteration, no float path), identical on
   * every platform. The floor rounding is the one documented deviation
-  * from the real-valued p^(a/b) distribution: weights here are
-  * hundreds-of-bits integers, so the relative perturbation is ~2^-100
-  * per candidate — unobservably below the sampling resolution of a
-  * 64-bit draw. `alphaDen = 1` is bit-identical to the original
-  * integer path (no root taken). Independent replay:
+  * from the real-valued p^(a/b) distribution, and its size depends on
+  * the ROOT's bit length, not the radicand's: the alphaDen-th root
+  * compresses an n-bit weight to ~n/alphaDen bits, so for short
+  * high-frequency words (small likelihood products) the roots are
+  * small integers and flooring distorts candidate RATIOS at the
+  * percent level — or collapses nearly-equal weights to the same
+  * integer, making those candidates exactly uniform. Long/rare words
+  * (hundreds-of-bits weights) round negligibly. Sampling stays
+  * deterministic and the gate stays a hash gate either way — both
+  * engines floor the same root — but treat the fractional path as
+  * "p^(a/b)-shaped with quantized low-resolution tails", not a
+  * faithful p^(a/b) sampler. `alphaDen = 1` is bit-identical to the
+  * original integer path (no root taken). Independent replay:
   * tools/gen_unigram_frac_oracle.py.
   */
 case class UnigramSampleTokenize(child: Expression,

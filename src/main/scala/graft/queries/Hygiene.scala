@@ -311,14 +311,18 @@ object HygieneQueries {
 
   /** t43: RAG passage retrieval — BM25 over CHUNKS instead of whole
     * documents (TextAnalysis.chunk at the t9 window/stride feeding
-    * bm25Search keyed by doc_id·1000 + chunk_id): the retrieval-unit
-    * granularity shift every RAG pipeline performs, composed from two
-    * gate-proven stages with zero new operator code. The oracle
-    * replays chunking AND chunk-level BM25 end to end. */
+    * bm25Search keyed by doc_id·2³² + chunk_id — collision-free for
+    * any doc under 2³² chunks ≈ 68 G tokens, unlike a small decimal
+    * multiplier that would silently merge postings of a ≥16 k-token
+    * document's chunk 1000 with the next doc's chunk 0): the
+    * retrieval-unit granularity shift every RAG pipeline performs,
+    * composed from two gate-proven stages with zero new operator code.
+    * The oracle replays chunking AND chunk-level BM25 end to end. */
   def chunkSearch(s: SparkSession, d: String): DataFrame = {
     val chunks = TextAnalysis.chunk(Tables.documents(s, d), "text",
         "doc_id", chunkSize = 32, stride = 16)
-      .select((col("doc_id") * 1000 + col("chunk_id")).as("chunk_key"),
+      .select((col("doc_id") * 4294967296L + col("chunk_id"))
+          .as("chunk_key"),
         col("chunk_text"))
     TextAnalysis.bm25Search(chunks, "chunk_text", "chunk_key",
       query = Seq("spark", "hash", "join"), k = 10)
@@ -336,7 +340,7 @@ object HygieneQueries {
       |         'txt': array_to_string(ts[i*16+1 : i*16+32], ' ')})) AS u
       | FROM toks0 WHERE len(ts) > 0),
       |toks AS (
-      | SELECT doc_id * 1000 + u.cid AS chunk_key,
+      | SELECT doc_id * 4294967296 + u.cid AS chunk_key,
       |  unnest(list_filter(string_split_regex(lower(u.txt), '\s+'),
       |    t -> len(t) > 0)) AS term
       | FROM cx),

@@ -362,46 +362,20 @@ object StreamingQueries {
     * increments must equal the full recompute exactly (integer
     * arithmetic, no order sensitivity). */
   def mixtureStream(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(
-      col("doc_id"), col("source"), col("n_chars"))
-    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_st20_src_")
-    docs.where(col("doc_id") <= mid).coalesce(1)
-      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
-    docs.where(col("doc_id") > mid).coalesce(1)
-      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
-    Seq("b0", "b1").foreach { b =>
-      val sub = new java.io.File(srcDir.toString + "/" + b)
-      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
-      sub.listFiles().foreach(_.delete()); sub.delete()
-    }
-    var supplies: DataFrame = null
-    val src = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
+    val supplies = foldParquetStream(s,
+      stageTwoHalves(Tables.documents(s, d).select(
+          col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "graft_st20_src_"),
+      org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("source",
           org.apache.spark.sql.types.StringType),
         org.apache.spark.sql.types.StructField("n_chars",
-          org.apache.spark.sql.types.LongType))))
-      .option("maxFilesPerTrigger", 1)
-      .option("latestFirst", "false")
-      .parquet(srcDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inc = graft.ext.Sampling.mixtureSupplies(
-          batch, col("source"), col("n_chars"))
-        supplies =
-          (if (supplies == null) inc
-           else graft.ext.Sampling.mergeSupplies(supplies, inc))
-          .localCheckpoint()
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    q.stop()
+          org.apache.spark.sql.types.LongType))))(
+      batch => graft.ext.Sampling.mixtureSupplies(
+        batch, col("source"), col("n_chars")))(
+      graft.ext.Sampling.mergeSupplies)
     graft.ext.Sampling.mixturePlanFromSupplies(supplies,
         targetPpm = Map("src0" -> 500000L, "src1" -> 300000L,
           "src2" -> 150000L, "src3" -> 50000L))
@@ -416,13 +390,19 @@ object StreamingQueries {
     * against the streamed model must equal full retraining (t40's
     * oracle) because EVERY continuation/distinct-successor statistic
     * derives from the merged frame at scoring time. */
-  private def foldKnModelFromStream(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_st22_src_")
-    docs.where(col("doc_id") <= mid).coalesce(1)
+  /** Stage a frame as two half-corpus parquet FILES (split on the
+    * median of `idCol`, one file per half at the source-dir root) —
+    * the fixture every maintained-state streaming gate ingests with
+    * maxFilesPerTrigger=1 so each half arrives as its own micro-batch.
+    * Shared by st20/st22/st23 (and anything after them): the
+    * write-coalesce-move-part staging dance lives HERE only. */
+  private def stageTwoHalves(df: DataFrame, idCol: String,
+      prefix: String): String = {
+    val mid = df.agg(max(idCol)).head().getLong(0) / 2
+    val srcDir = java.nio.file.Files.createTempDirectory(prefix)
+    df.where(col(idCol) <= mid).coalesce(1)
       .write.mode("overwrite").parquet(srcDir.toString + "/b0")
-    docs.where(col("doc_id") > mid).coalesce(1)
+    df.where(col(idCol) > mid).coalesce(1)
       .write.mode("overwrite").parquet(srcDir.toString + "/b1")
     Seq("b0", "b1").foreach { b =>
       val sub = new java.io.File(srcDir.toString + "/" + b)
@@ -431,30 +411,51 @@ object StreamingQueries {
         java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
       sub.listFiles().foreach(_.delete()); sub.delete()
     }
-    var model: DataFrame = null
+    srcDir.toString
+  }
+
+  /** Drive a file-source stream over `srcDir` (one file per
+    * micro-batch, oldest first), folding each batch's INCREMENT into
+    * the running state via the additive MERGE; returns the final
+    * state. The localCheckpoint per fold keeps the state's lineage
+    * O(1) in the number of batches — the shared fold scaffold of the
+    * maintained-state family (st20/st22/st23). */
+  private def foldParquetStream(s: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      inc: DataFrame => DataFrame)(
+      merge: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    var state: DataFrame = null
     val src = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
+      .schema(schema)
       .option("maxFilesPerTrigger", 1)
       .option("latestFirst", "false")
-      .parquet(srcDir.toString)
+      .parquet(srcDir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inc = graft.ext.TextAnalysis.knCounts(batch, "text")
-        model =
-          (if (model == null) inc
-           else graft.ext.TextAnalysis.knMerge(model, inc))
+        val i = inc(batch)
+        state = (if (state == null) i else merge(state, i))
           .localCheckpoint()
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(300000)
     q.stop()
-    model
+    state
   }
+
+  private val docTextSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  private def foldKnModelFromStream(s: SparkSession, d: String): DataFrame =
+    foldParquetStream(s,
+      stageTwoHalves(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "graft_st22_src_"),
+      docTextSchema)(
+      batch => graft.ext.TextAnalysis.knCounts(batch, "text"))(
+      graft.ext.TextAnalysis.knMerge)
 
   def knStream(s: SparkSession, d: String): DataFrame =
     graft.ext.TextAnalysis.knScoreModel(
@@ -485,44 +486,13 @@ object StreamingQueries {
     graft.ext.TextAnalysis.bm25SearchIndex(foldBm25IndexFromStream(s, d),
       "doc_id", query = Seq("spark", "hash", "join"), k = 10)
 
-  private def foldBm25IndexFromStream(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val mid = docs.agg(max("doc_id")).head().getLong(0) / 2
-    val srcDir = java.nio.file.Files.createTempDirectory("graft_st23_src_")
-    docs.where(col("doc_id") <= mid).coalesce(1)
-      .write.mode("overwrite").parquet(srcDir.toString + "/b0")
-    docs.where(col("doc_id") > mid).coalesce(1)
-      .write.mode("overwrite").parquet(srcDir.toString + "/b1")
-    Seq("b0", "b1").foreach { b =>
-      val sub = new java.io.File(srcDir.toString + "/" + b)
-      val part = sub.listFiles().filter(_.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(srcDir.toString, b + ".parquet"))
-      sub.listFiles().foreach(_.delete()); sub.delete()
-    }
-    var index: DataFrame = null
-    val src = s.readStream
-      .schema(org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("text",
-          org.apache.spark.sql.types.StringType))))
-      .option("maxFilesPerTrigger", 1)
-      .option("latestFirst", "false")
-      .parquet(srcDir.toString)
-    val q = src.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val inc = graft.ext.TextAnalysis.bm25Index(batch, "text", "doc_id")
-        index =
-          (if (index == null) inc else index.unionAll(inc))
-          .localCheckpoint()
-        ()
-      }
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
-    q.stop()
-    index
-  }
+  private def foldBm25IndexFromStream(s: SparkSession, d: String): DataFrame =
+    foldParquetStream(s,
+      stageTwoHalves(Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "graft_st23_src_"),
+      docTextSchema)(
+      batch => graft.ext.TextAnalysis.bm25Index(batch, "text", "doc_id"))(
+      _.unionAll(_))
 
   /** st25: hybrid RRF serving where BOTH component indexes are
     * STREAM-MAINTAINED — the lexical postings fold under a documents

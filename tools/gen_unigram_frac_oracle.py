@@ -15,10 +15,13 @@ n-best come from the t37 generator, which itself re-derives them from
 the published algorithm).
 
 The floor on the root is the documented deviation from the real-valued
-p^(a/b) distribution: the radicand is a hundreds-of-bits integer, so
-the relative rounding is ~2^-100 — far below the resolution of the
-64-bit draw — and both sides compute the identical floor, so the gate
-stays a hash gate, not a tolerance gate.
+p^(a/b) distribution, sized by the ROOT's bit length (the alphaDen-th
+root compresses an n-bit weight to ~n/alphaDen bits): short
+high-frequency words get small-integer roots, where flooring distorts
+candidate ratios at the percent level or collapses near-equal weights
+to the same integer. Both sides compute the identical floor, so the
+gate stays a hash gate, not a tolerance gate — see the
+UnigramSampleTokenize scaladoc for the full fidelity contract.
 
 Output: the t39 DuckDB oracle — corpus-wide sampled-token histogram
 over the FIXED sf0.01 corpus (nbest=4, alpha=1/10, seed=42).
