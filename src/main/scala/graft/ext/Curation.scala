@@ -143,6 +143,34 @@ object Curation {
           .orderBy(col("score_e12").desc, col(id))).cast("long"))
   }
 
+  /** Curriculum sharding — the training-order counterpart of
+    * [[perplexityBuckets]]: tier the corpus by LM quality, then cut
+    * token-balanced shards in CURRICULUM order (best tier first, best
+    * score first inside a tier, id tiebreak), so shard 0..k stream the
+    * cleanest data and a curriculum schedule is just "read shards in
+    * order". Composes the tiers with [[Packing.shardByTokens]]'s
+    * two-phase distributed prefix sum over a synthetic sort key
+    * (bucket, −score, id) — a struct rides the SAME range-partitioned
+    * sort machinery a plain id does, so there is still no global
+    * single-partition sort and no collect. Docs without a score (fewer
+    * than 3 tokens) drop, as in [[perplexityBuckets]].
+    *
+    * Output: (id, lang, bucket, n_tokens, shard_id). */
+  def curriculumShards(docs: DataFrame, text: String, id: String,
+      lang: Column, triModel: DataFrame, shardTokens: Long,
+      nBuckets: Int = 3, minCount: Long = 1L): DataFrame = {
+    val tiers = perplexityBuckets(docs, text, id, lang, triModel,
+      nBuckets, minCount)
+    val keyed = tiers.join(docs.select(col(id), col(text)), Seq(id))
+      .withColumn("__curr_key",
+        struct(col("bucket"), (-col("score_e12")).as("neg_score"), col(id)))
+    Packing.shardByTokens(keyed, "__curr_key",
+        TextAnalysis.tokenCount(col(text)), shardTokens,
+        carry = Seq(id, "lang", "bucket"))
+      .select(col(id), col("lang"), col("bucket"), col("n_tokens"),
+        col("shard_id"))
+  }
+
   /** Classifier-routed data mixing — classify every document with the
     * Naive-Bayes unigram classifier ([[TextAnalysis.nbClassify]],
     * trained on `label`), then derive the token-budget mixture plan

@@ -94,6 +94,40 @@ object PipelineQueries {
       |FROM documents d JOIN scored s USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  /** p7: curriculum sharding (Curation.curriculumShards) — KN quality
+    * tiers cut into token-balanced shards in curriculum order (bucket
+    * asc, score desc, id), so shard 0..k stream the cleanest data. The
+    * oracle replays tiers, the curriculum total order, the prefix sum,
+    * and the shard cut. */
+  def curriculumShards(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    graft.ext.Curation.curriculumShards(docs, "text", "doc_id",
+        col("lang"), TextAnalysis.knCounts(docs, "text"),
+        shardTokens = 2048L, nBuckets = 3, minCount = 2L)
+      .orderBy("doc_id")
+  }
+
+  private val curriculumShardsOracle = HygieneQueries.knTermsCte +
+    """,
+      |scored AS (
+      | SELECT doc_id, sum(term) // count(*) AS score_e12
+      | FROM terms GROUP BY doc_id),
+      |tiered AS (
+      | SELECT d.doc_id, d.lang, s.score_e12,
+      |  CAST(ntile(3) OVER (PARTITION BY d.lang
+      |    ORDER BY s.score_e12 DESC, d.doc_id) AS BIGINT) AS bucket,
+      |  CAST(len(regexp_extract_all(d.text, '[^\s]+')) AS BIGINT)
+      |    AS n_tokens
+      | FROM documents d JOIN scored s USING (doc_id)),
+      |o AS (
+      | SELECT doc_id, lang, bucket, n_tokens,
+      |  sum(n_tokens) OVER (ORDER BY bucket, score_e12 DESC, doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS eo
+      | FROM tiered WHERE n_tokens > 0)
+      |SELECT doc_id, lang, bucket, n_tokens,
+      | CAST((eo - n_tokens) // 2048 AS BIGINT) AS shard_id
+      |FROM o ORDER BY doc_id""".stripMargin
+
   /** p6: classifier-routed mixing (Curation.classifiedMixture) — NB
     * predictions route documents into classes, the mixture plan prices
     * each predicted class's token supply against the target ppm. The
@@ -1337,6 +1371,8 @@ object PipelineQueries {
       bench = true),
     QueryDef("p6_classified_mixing", classifiedMixture,
       Some(classifiedMixtureOracle)),
+    QueryDef("p7_curriculum_shards", curriculumShards,
+      Some(curriculumShardsOracle)),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),

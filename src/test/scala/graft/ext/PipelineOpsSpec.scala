@@ -420,6 +420,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got(2) === ((60L, 0L, 0L, 3L, 0L, 0L)))
   }
 
+  test("Curation.curriculumShards: shard ids follow the (bucket, score " +
+      "desc, id) curriculum prefix sum; sub-trigram docs drop") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c", "en"),
+      (2L, "a b c d e f", "en"),
+      (3L, "d e f d e f", "en"),
+      (4L, "g h i j k l", "en"),
+      (5L, "a b", "en"), // no trigram -> dropped
+      (6L, "a b c", "fr"))
+      .toDF("doc_id", "text", "lang")
+    val tri = TextAnalysis.knCounts(docs, "text")
+    val got = Curation.curriculumShards(docs, "text", "doc_id",
+        col("lang"), tri, shardTokens = 10L, nBuckets = 2, minCount = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4))) // (doc_id, bucket, n_tokens, shard_id)
+    assert(!got.map(_._1).contains(5L))
+    // Replay the contract directly: order rows by (bucket, score desc,
+    // id) — recover score order from perplexityBuckets — and the shard
+    // id must equal the running-token prefix DIV shardTokens.
+    val scores = Curation.perplexityBuckets(docs, "text", "doc_id",
+        col("lang"), tri, nBuckets = 2, minCount = 1L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap // id -> (score, bucket)
+    val ordered = got.sortBy { case (id, b, _, _) =>
+      (b, -scores(id)._1, id)
+    }
+    var off = 0L
+    ordered.foreach { case (id, _, n, shard) =>
+      assert(shard === off / 10L, s"doc $id")
+      off += n
+    }
+    // And the curriculum property itself: shard ids are non-decreasing
+    // along the quality order.
+    assert(ordered.map(_._4).sliding(2).forall(p => p.head <= p.last))
+  }
+
   test("Curation.classifiedMixture: routing follows the PREDICTED class " +
       "(content), not the metadata label; exact mixture arithmetic") {
     // Classes separate cleanly on vocabulary; doc 7 carries label 'a'
