@@ -365,6 +365,97 @@ object Sampling {
       .drop("__src", "__rate_ppm")
   }
 
+  /** [[mixturePlan]] with per-source EPOCH CAPS — the upsampling form
+    * of mixture balancing. The cap-free plan never repeats a document
+    * (rate ≤ 10⁶ ppm), so the scarcest source pins the whole corpus
+    * and a 30%-code / 70%-web target starves when code is scarce. Real
+    * pretraining mixtures instead repeat scarce high-quality sources a
+    * bounded number of epochs. `capE6(s)` is source s's maximum
+    * effective epochs in MILLIONTHS (4 epochs = 4,000,000); sources
+    * absent from the map get `defaultCapE6` (10⁶ = the no-repeat plan,
+    * so with an empty map this degenerates to [[mixturePlan]] exactly —
+    * same T, same rates, pinned by spec).
+    *
+    * Arithmetic (exact integers, replayable):
+    * T = min over targeted s of ⌊tok_s · e_s / w_s⌋ (the total the
+    * scarcest source can sustain AT ITS CAP), take_s = ⌊w_s·T/10⁶⌋
+    * tokens, rate_ppm_s = min(e_s, ⌊take_s·10⁶/tok_s⌋) — a rate above
+    * 10⁶ means "every doc ⌊rate/10⁶⌋ times plus a hash-Bernoulli
+    * fractional copy", which is precisely [[replicate]]'s weight
+    * contract, so the plan feeds replicate unchanged
+    * ([[mixtureSampleEpochs]]). DECIMAL(38,0) intermediates: tok·e
+    * reaches ~10²⁰ at 100 TB-scale token counts, past BIGINT. */
+  def mixturePlanEpochsFromSupplies(supplies: DataFrame,
+      targetPpm: Map[String, Long], capE6: Map[String, Long],
+      defaultCapE6: Long = 1000000L): DataFrame = {
+    require(targetPpm.nonEmpty, "mixturePlanEpochs: empty target")
+    require(targetPpm.values.forall(_ > 0),
+      "mixturePlanEpochs: every target weight must be > 0 ppm")
+    require(targetPpm.values.sum == 1000000L,
+      s"mixturePlanEpochs: target weights sum to ${targetPpm.values.sum}, want 1000000")
+    require(defaultCapE6 > 0, s"defaultCapE6=$defaultCapE6")
+    require(capE6.values.forall(_ > 0),
+      "mixturePlanEpochs: caps must be > 0 epochs-E6; drop a source via targetPpm, not a zero cap")
+    val counts = supplies
+      .withColumn("__w", targetPpm.foldLeft(lit(0L)) {
+        case (acc, (s, w)) =>
+          when(col("source") === lit(s), lit(w)).otherwise(acc)
+      })
+      .withColumn("__e", capE6.foldLeft(lit(defaultCapE6)) {
+        case (acc, (s, e)) =>
+          when(col("source") === lit(s), lit(e)).otherwise(acc)
+      })
+    // Same caller-error guard as the cap-free plan: a targeted source
+    // with zero supply cannot satisfy any positive share at ANY epoch
+    // cap (0 tokens repeated is still 0).
+    val present = counts.where(col("__w") > 0 && col("tokens_total") > 0)
+      .select(col("source")).collect().map(_.getString(0)).toSet
+    val missing = targetPpm.keySet -- present
+    require(missing.isEmpty,
+      s"mixturePlanEpochs: targeted sources with no token supply in the corpus: " +
+        missing.toSeq.sorted.mkString(", "))
+    val tRow = counts.where(col("__w") > 0)
+      .select(min(expr(
+        "CAST(floor(CAST(tokens_total AS DECIMAL(38,0)) * __e / __w)" +
+          " AS DECIMAL(38,0))")).as("__T"))
+    counts.crossJoin(broadcast(tRow))
+      .select(col("source"), col("n_docs"), col("tokens_total"),
+        when(col("__w") === 0L || col("tokens_total") === 0L, lit(0L))
+          .otherwise(least(col("__e"),
+            expr("CAST(floor(floor(CAST(__w AS DECIMAL(38,0)) * __T " +
+              "/ 1000000) * 1000000 / tokens_total) AS BIGINT)")))
+          .as("rate_ppm"))
+  }
+
+  /** One-pass form of [[mixturePlanEpochsFromSupplies]]. */
+  def mixturePlanEpochs(df: DataFrame, source: Column, tokens: Column,
+      targetPpm: Map[String, Long], capE6: Map[String, Long],
+      defaultCapE6: Long = 1000000L): DataFrame =
+    mixturePlanEpochsFromSupplies(mixtureSupplies(df, source, tokens),
+      targetPpm, capE6, defaultCapE6)
+
+  /** Realize the epoch-capped mixture: broadcast-join the (sources-
+    * sized) plan, then [[replicate]] each row at its source's rate —
+    * whole copies ⌊rate/10⁶⌋ plus a hash-Bernoulli fractional copy, so
+    * upsampled sources repeat and downsampled sources thin, in one
+    * aggregate pass plus one narrow explode. No shuffle of data rows;
+    * the copy multiset is deterministic in (key, seed) and
+    * engine-replayable. `outCol` numbers copies 1..k as in replicate. */
+  def mixtureSampleEpochs(df: DataFrame, source: Column, key: Column,
+      tokens: Column, targetPpm: Map[String, Long],
+      capE6: Map[String, Long], seed: Long = 0L,
+      defaultCapE6: Long = 1000000L,
+      outCol: String = "copy_id"): DataFrame = {
+    require(!df.columns.exists(c => c == "__rate_ppm" || c == "__src"),
+      "mixtureSampleEpochs: input already has a scratch column name; rename it")
+    val plan = mixturePlanEpochs(df, source, tokens, targetPpm, capE6,
+        defaultCapE6)
+      .select(col("source").as("__src"), col("rate_ppm").as("__rate_ppm"))
+    replicate(df.join(broadcast(plan), source === col("__src")),
+        col("__rate_ppm"), key, seed, outCol)
+      .drop("__src", "__rate_ppm")
+  }
+
   /** Mixture re-weighting by row replication — "2.3 epochs of wiki,
     * 0.4 of crawl": each row appears ⌊w⌋ + Bernoulli(frac(w)) times,
     * with `weightE6` the weight in MILLIONTHS as an integer column

@@ -300,6 +300,50 @@ object SamplingQueries {
       |FROM k WHERE k >= 1
       |ORDER BY doc_id, copy_id""".stripMargin
 
+  /** Epoch-capped mixture (ext Sampling.mixtureSampleEpochs): the
+    * 50/30/15/5 target again, but src0 may repeat up to 3 epochs — the
+    * cap moves the binding source from src0 to src1 and src0's rate
+    * rises above 10⁶ ppm, realized as whole copies + a hash-Bernoulli
+    * fractional copy. The oracle replays plan arithmetic AND the copy
+    * multiset; max_copy > 1 for src0 is the upsampling witness. */
+  def epochMixture(s: SparkSession, d: String): DataFrame =
+    Sampling.mixtureSampleEpochs(Tables.documents(s, d),
+        col("source"), col("doc_id"), col("n_chars"),
+        targetPpm = Map("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 150000L, "src3" -> 50000L),
+        capE6 = Map("src0" -> 3000000L),
+        seed = 3L)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("n_chars")).cast("long").as("n_chars_eff"),
+        max(col("copy_id")).as("max_copy"))
+      .orderBy("source")
+
+  private val epochMixtureOracle =
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 500000, 3000000),
+      |  ('src1', 300000, 1000000), ('src2', 150000, 1000000),
+      |  ('src3', 50000, 1000000)) AS t(source, w, e)),
+      |agg AS (
+      | SELECT source, sum(n_chars) AS tok FROM documents GROUP BY source),
+      |tt AS (
+      | SELECT min(tok * e // w.w) AS T FROM agg JOIN w USING (source)),
+      |rates AS (
+      | SELECT a.source,
+      |  LEAST(e, ((w.w * tt.T // 1000000) * 1000000) // a.tok) AS rate_ppm
+      | FROM agg a JOIN w USING (source) CROSS JOIN tt),
+      |k AS (
+      | SELECT d.source, d.n_chars,
+      |  r.rate_ppm // 1000000 +
+      |  CASE WHEN ((d.doc_id % 2147483647) * ((2654435761 * 4) % 2147483647)
+      |        + 3) % 2147483647 % 1000000 < r.rate_ppm % 1000000
+      |   THEN 1 ELSE 0 END AS k
+      | FROM documents d JOIN rates r ON r.source = d.source)
+      |SELECT source, CAST(sum(k) AS BIGINT) AS n_rows,
+      | CAST(sum(n_chars * k) AS BIGINT) AS n_chars_eff,
+      | CAST(max(k) AS BIGINT) AS max_copy
+      |FROM k WHERE k >= 1
+      |GROUP BY source ORDER BY source""".stripMargin
+
   /** Deterministic 5-fold assignment over documents (ext
     * Sampling.kFold — same replayable multiplicative hash). */
   def kfold(s: SparkSession, d: String): DataFrame =
@@ -326,6 +370,7 @@ object SamplingQueries {
     QueryDef("sm11_temperature_sample", temperatureSample,
       Some(temperatureOracle)),
     QueryDef("sm13_mixture", mixture, Some(mixtureOracle)),
+    QueryDef("sm14_epoch_mixture", epochMixture, Some(epochMixtureOracle)),
     QueryDef("sm12_importance_resample", importanceResample,
       Some(importanceOracle)))
 }

@@ -332,4 +332,55 @@ class SamplingSpec extends AnyFunSuite {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again === kept.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("mixturePlanEpochs: caps move the binding source and let rates " +
+      "exceed 1e6; empty caps degenerate to mixturePlan exactly") {
+    import spark.implicits._
+    // Same supplies as the cap-free spec: a=1000, b=10000, c=500.
+    // Cap a at 3 epochs: T = min(1000*3e6/5e5, 10000*1e6/4e5,
+    // 500*1e6/1e5) = min(6000, 25000, 5000) = 5000 — c binds now.
+    // takes: a 2500, b 2000, c 500. rates: a 2_500_000 (UPsample),
+    // b 200_000, c 1_000_000.
+    val df = (
+      (1 to 10).map(i => ("a", i.toLong, 100L)) ++
+      (11 to 110).map(i => ("b", i.toLong, 100L)) ++
+      (111 to 115).map(i => ("c", i.toLong, 100L)) ++
+      (116 to 120).map(i => ("x", i.toLong, 100L))).toDF("src", "id", "tok")
+    val target = Map("a" -> 500000L, "b" -> 400000L, "c" -> 100000L)
+    val plan = graft.ext.Sampling.mixturePlanEpochs(df, col("src"),
+        col("tok"), target, capE6 = Map("a" -> 3000000L))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(plan("a") === 2500000L)
+    assert(plan("b") === 200000L)
+    assert(plan("c") === 1000000L)
+    assert(plan("x") === 0L)
+
+    // Realization: every 'a' row appears 2 or 3 times (2 whole copies +
+    // a Bernoulli(0.5) fractional one), 'c' rows exactly once, 'x' never.
+    val drawn = graft.ext.Sampling.mixtureSampleEpochs(df, col("src"),
+      col("id"), col("tok"), target, capE6 = Map("a" -> 3000000L),
+      seed = 3L)
+    val copiesA = drawn.where(col("src") === "a").groupBy("id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(copiesA.keySet === (1 to 10).map(_.toLong).toSet)
+    assert(copiesA.values.forall(k => k == 2L || k == 3L))
+    assert(drawn.where(col("src") === "c").count() === 5L)
+    assert(drawn.where(col("src") === "x").count() === 0L)
+    // Copy multiset is layout-independent.
+    val again = graft.ext.Sampling.mixtureSampleEpochs(df.repartition(7),
+        col("src"), col("id"), col("tok"), target,
+        capE6 = Map("a" -> 3000000L), seed = 3L)
+      .select("id", "copy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(again === drawn.select("id", "copy_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+
+    // Degeneration: no caps == the cap-free plan, row for row.
+    val free = graft.ext.Sampling.mixturePlan(df, col("src"), col("tok"),
+      target).collect().map(_.toSeq).sortBy(_.toString)
+    val capped1 = graft.ext.Sampling.mixturePlanEpochs(df, col("src"),
+        col("tok"), target, capE6 = Map.empty)
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(capped1 === free)
+  }
 }
