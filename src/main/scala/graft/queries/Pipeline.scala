@@ -107,7 +107,7 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val curriculumShardsOracle = HygieneQueries.knTermsCte +
+  private[queries] val curriculumShardsOracle = HygieneQueries.knTermsCte +
     """,
       |scored AS (
       | SELECT doc_id, sum(term) // count(*) AS score_e12

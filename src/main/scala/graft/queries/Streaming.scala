@@ -475,6 +475,18 @@ object StreamingQueries {
         minCount = 2L)
       .orderBy("doc_id")
 
+  /** st26: "model streams, shards batch" — p7's curriculum shards cut
+    * from the STREAM-maintained KN model (st22's fold). The shard cut
+    * is a global prefix sum over the (bucket, score desc, id) order, so
+    * like st24's tier cuts it stays a batch pass; what streams is the
+    * trainable model state. Must hash-match p7's full-recompute
+    * oracle. */
+  def curriculumShardsStream(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.curriculumShards(Tables.documents(s, d), "text",
+        "doc_id", col("lang"), foldKnModelFromStream(s, d),
+        shardTokens = 2048L, nBuckets = 3, minCount = 2L)
+      .orderBy("doc_id")
+
   /** st23: the BM25 lexical index MAINTAINED under ingest — each
     * micro-batch contributes its own posting frame
     * ([[graft.ext.TextAnalysis.bm25Index]]) and the merge is a plain
@@ -880,6 +892,8 @@ object StreamingQueries {
       Some(HygieneQueries.bm25Oracle)),
     QueryDef("st24_ppl_buckets_stream", pplBucketsStream,
       Some(PipelineQueries.pplBucketsOracle)),
+    QueryDef("st26_curriculum_stream", curriculumShardsStream,
+      Some(PipelineQueries.curriculumShardsOracle)),
     QueryDef("st25_hybrid_serve_stream", hybridServeStream,
       Some(ExtensionQueries.hybridRrfOracle)),
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
