@@ -656,4 +656,32 @@ object Similarity {
       .limit(k)
       .select(col(id), col("rrf_e9"), col("lex_rank"), col("dense_rank"))
   }
+
+  /** Index-tuning recall evaluation: per-query recall@k of an
+    * approximate result list against the exact one — THE metric every
+    * nlist/nprobe/rerank knob on the ANN ladder is tuned by. Both
+    * inputs carry (query_id, corpus_id) result rows (ranks/scores
+    * ignored — recall is a SET measure); `exact` defines both the
+    * query universe and k (its per-query row count), so a query the
+    * approximate tier missed entirely still reports, at recall 0.
+    *
+    * Output: (query_id, k, n_hit, recall_ppm) with recall in exact
+    * integer parts-per-million (n_hit * 1e6 div k) — hash-gateable,
+    * no float tolerance.
+    *
+    * Scale shape: both inputs are RESULT lists (Q·k rows, bounded by
+    * the component top-ks), not corpora — the semi-join and the two
+    * Q-row aggregates are broadcast-scale no matter the corpus size
+    * behind them. */
+  def recallReport(approx: DataFrame, exact: DataFrame): DataFrame = {
+    val hits = exact.select(col("query_id"), col("corpus_id"))
+      .join(approx.select(col("query_id"), col("corpus_id")),
+        Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div k").as("recall_ppm"))
+  }
 }

@@ -537,6 +537,153 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** s16: the ANN ladder's RECALL EVALUATION (Similarity.recallReport)
+    * — per-query recall@5 of the genuinely-approximate IVF tier
+    * (nlist 20, nprobe 5: probes 25% of buckets, the s2 settings)
+    * against exact brute force. Recall is exact integer ppm, and BOTH
+    * component pipelines are ANSI-replayable (the s2 centroid-hash
+    * contract), so the tuning metric itself hash-matches — no float
+    * tolerance anywhere. */
+  def annRecall(s: SparkSession, d: String): DataFrame =
+    Similarity.recallReport(
+        Similarity.ivfTopK(corpus(s, d), queriesDf(s, d), k = 5,
+          nlist = 20, nprobe = 5),
+        Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), k = 5))
+      .orderBy("query_id")
+
+  private val annRecallOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id FROM (
+      |  SELECT c.cid, c.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |ivf AS (
+      | SELECT qid AS query_id, cid AS corpus_id FROM (
+      |  SELECT qid, cid, row_number() OVER (
+      |    PARTITION BY qid
+      |    ORDER BY list_cosine_similarity(qv, v) DESC, cid) AS rank
+      |  FROM probes JOIN assigned USING (centroid_id)
+      |  WHERE cid <> qid) t
+      | WHERE rank <= 5),
+      |brute AS (
+      | SELECT query_id, corpus_id FROM (
+      |  SELECT q.qid AS query_id, c.cid AS corpus_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) AS rank
+      |  FROM q JOIN c ON c.cid <> q.qid) t
+      | WHERE rank <= 5),
+      |hit AS (
+      | SELECT b.query_id, count(*) AS n_hit
+      | FROM brute b JOIN ivf i
+      |  ON i.query_id = b.query_id AND i.corpus_id = b.corpus_id
+      | GROUP BY 1),
+      |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+      |SELECT kk.query_id, CAST(kk.k AS BIGINT) AS k,
+      | CAST(coalesce(hit.n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(coalesce(hit.n_hit, 0) * 1000000 // kk.k AS BIGINT) AS recall_ppm
+      |FROM kk LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin
+
+  /** s17: hybrid retrieval AT SCALE SETTINGS — same fusion as s14/s15
+    * but the dense list comes from the IVF tier at nprobe 5 < nlist 20
+    * (genuinely approximate, the real serve configuration). No
+    * tolerance contract is needed: the multiplicative-hash centroid
+    * sample keeps the WHOLE approximate pipeline ANSI-replayable, so
+    * the fused list hash-matches an oracle that re-derives BM25, the
+    * IVF probe, and the integer RRF fold end to end. Closes the
+    * round-9 "hybrid at scale" backlog item exactly. */
+  def hybridRrfApprox(s: SparkSession, d: String): DataFrame = {
+    val dense = Similarity.ivfTopK(corpus(s, d),
+        queriesDf(s, d).where(col("qid") === 3), k = 50,
+        nlist = 20, nprobe = 5, excludeSelf = false)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("dense_rank"))
+    Similarity.hybridFromLists(
+        Similarity.bm25RankedList(Tables.documents(s, d), "text", "doc_id",
+          Seq("spark", "hash", "join"), kLex = 50),
+        dense, "doc_id", k = 10)
+      .orderBy("doc_id")
+  }
+
+  private val hybridRrfApproxOracle =
+    """WITH toks AS (
+      | SELECT doc_id, unnest(list_filter(
+      |   string_split_regex(lower(text), '\s+'), t -> len(t) > 0)) AS term
+      | FROM documents),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+      |dld AS (
+      | SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+      | FROM tf),
+      |c AS (
+      | SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n,
+      |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+      |q AS (
+      | SELECT doc_id, term, CAST(tf AS HUGEINT) AS tf,
+      |        CAST(dl AS HUGEINT) AS dl,
+      |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+      | FROM dld WHERE term IN ('spark', 'hash', 'join')),
+      |sc AS (
+      | SELECT doc_id,
+      |  (22000000 * tf * t * (2 * (n - df) + 1))
+      |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+      | FROM q, c),
+      |lexall AS (
+      | SELECT doc_id, sum(term_score) AS score FROM sc GROUP BY doc_id),
+      |lex AS (
+      | SELECT doc_id, CAST(row_number() OVER (
+      |   ORDER BY score DESC, doc_id) AS BIGINT) AS lex_rank
+      | FROM lexall ORDER BY score DESC, doc_id LIMIT 50),
+      |cvec AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM cvec) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id FROM (
+      |  SELECT cvec.cid, cvec.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY cvec.cid
+      |    ORDER BY list_cosine_similarity(cvec.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM cvec CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |qv3 AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+      |        WHERE vec_id = 3),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT qv3.qid, qv3.qv, cent.centroid_id, row_number() OVER (
+      |    ORDER BY list_cosine_similarity(qv3.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM qv3 CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |dense AS (
+      | SELECT doc_id, dense_rank FROM (
+      |  SELECT cid AS doc_id, CAST(row_number() OVER (
+      |    ORDER BY list_cosine_similarity(qv, v) DESC, cid) AS BIGINT) AS dense_rank
+      |  FROM probes JOIN assigned USING (centroid_id)) t
+      | WHERE dense_rank <= 50),
+      |fused AS (
+      | SELECT coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+      |  lex.lex_rank, dense.dense_rank,
+      |  coalesce(1000000000 // (60 + lex.lex_rank), 0)
+      |   + coalesce(1000000000 // (60 + dense.dense_rank), 0) AS rrf_e9
+      | FROM lex FULL JOIN dense ON lex.doc_id = dense.doc_id)
+      |SELECT doc_id, CAST(rrf_e9 AS BIGINT) AS rrf_e9, lex_rank, dense_rank
+      |FROM (SELECT * FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10) z
+      |ORDER BY doc_id""".stripMargin
+
   private[queries] val hybridRrfOracle =
     """WITH toks AS (
       | SELECT doc_id, unnest(list_filter(
@@ -1743,6 +1890,8 @@ object ExtensionQueries {
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
+    QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
+    QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),

@@ -75,4 +75,20 @@ class RetrievalSpec extends AnyFunSuite {
     val fr = got.filter(_._2 == "fr")
     assert(fr.map(t => (t._1, t._4)).toSeq === Seq((6L, 1L)))
   }
+
+  test("recallReport: hand-computed hits, a fully-missed query reports " +
+      "recall 0, extra approx rows outside exact never inflate recall") {
+    // exact: q1 -> {10,11,12}; q2 -> {20,21}
+    val exact = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "corpus_id")
+    // approx: q1 hits 2 of 3 (+1 stray id never in exact); q2 misses all.
+    val approx = Seq((1L, 10L), (1L, 12L), (1L, 99L), (2L, 77L))
+      .toDF("query_id", "corpus_id")
+    val got = Similarity.recallReport(approx, exact)
+      .orderBy("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 666666L), // 2*1e6 div 3 floors
+      (2L, 2L, 0L, 0L)))
+  }
 }
