@@ -382,6 +382,36 @@ object StreamingQueries {
       .orderBy("source")
   }
 
+  /** st27: the EPOCH-CAPPED mixture plan (sm14's
+    * [[graft.ext.Sampling.mixturePlanEpochsFromSupplies]]) maintained
+    * under ingest — identical supply fold to st20 (supplies are
+    * additive whatever the cap), only the plan derivation changes:
+    * src0 may repeat up to 3 epochs, so it pins a LARGER total than
+    * the no-repeat plan and the other sources' rates rise to match.
+    * The oracle recomputes the capped plan from the full documents
+    * table; merged increments must equal it exactly. */
+  def epochMixtureStream(s: SparkSession, d: String): DataFrame = {
+    val supplies = foldParquetStream(s,
+      stageTwoHalves(Tables.documents(s, d).select(
+          col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "graft_st27_src_"),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType))))(
+      batch => graft.ext.Sampling.mixtureSupplies(
+        batch, col("source"), col("n_chars")))(
+      graft.ext.Sampling.mergeSupplies)
+    graft.ext.Sampling.mixturePlanEpochsFromSupplies(supplies,
+        targetPpm = Map("src0" -> 500000L, "src1" -> 300000L,
+          "src2" -> 150000L, "src3" -> 50000L),
+        capE6 = Map("src0" -> 3000000L))
+      .orderBy("source")
+  }
+
   /** st22: the Kneser–Ney trigram model MAINTAINED under ingest — the
     * t41 additive-counts contract driven by a real file stream: each
     * micro-batch contributes its own trigram count frame
@@ -566,6 +596,25 @@ object StreamingQueries {
       |SELECT a.source, a.n_docs, a.tokens_total,
       | CAST(CASE WHEN w.w IS NULL THEN 0
       |  ELSE LEAST(1000000,
+      |   ((w.w * tt.T // 1000000) * 1000000) // a.tokens_total) END
+      |  AS BIGINT) AS rate_ppm
+      |FROM agg a LEFT JOIN w USING (source) CROSS JOIN tt
+      |ORDER BY a.source""".stripMargin
+
+  private val epochMixtureStreamOracle =
+    """WITH w AS (SELECT * FROM (VALUES ('src0', 500000, 3000000),
+      |  ('src1', 300000, 1000000), ('src2', 150000, 1000000),
+      |  ('src3', 50000, 1000000)) AS t(source, w, e)),
+      |agg AS (
+      | SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS tokens_total
+      | FROM documents GROUP BY source),
+      |tt AS (
+      | SELECT min(tokens_total * e // w.w) AS T
+      | FROM agg JOIN w USING (source))
+      |SELECT a.source, a.n_docs, a.tokens_total,
+      | CAST(CASE WHEN w.w IS NULL THEN 0
+      |  ELSE LEAST(w.e,
       |   ((w.w * tt.T // 1000000) * 1000000) // a.tokens_total) END
       |  AS BIGINT) AS rate_ppm
       |FROM agg a LEFT JOIN w USING (source) CROSS JOIN tt
@@ -886,6 +935,8 @@ object StreamingQueries {
       Some(PinnedOracles.t37SampleCounts)),
     QueryDef("st19_zonemap_stream", zoneMapStream, Some(zoneMapStreamOracle)),
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
+    QueryDef("st27_epoch_mixture_stream", epochMixtureStream,
+      Some(epochMixtureStreamOracle)),
     QueryDef("st22_kn_stream", knStream,
       Some(HygieneQueries.knScoreOracle)),
     QueryDef("st23_bm25_stream", bm25Stream,
