@@ -90,6 +90,15 @@ object Packing {
     val nPart =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // Materialized ONCE, eagerly: both the phase-2 totals collect and
+    // the caller's eventual execution of the returned (lazy) frame read
+    // these partitions. The previous persist + finally-unpersist
+    // scaffold defeated itself here — unpersist ran when this function
+    // RETURNED, before the caller ever executed the result, so the
+    // whole input subtree re-evaluated on the final pass (measured 2x
+    // on p7, whose input is the full KN scoring chain). localCheckpoint
+    // cuts lineage, so however expensive the input, it runs exactly
+    // once; the checkpointed rows are narrow (id, carry, n_tokens).
     val counted = df
       .select(col(id) +: carry.map(col) :+
         tokenCount.cast("long").as("n_tokens"): _*)
@@ -97,23 +106,21 @@ object Packing {
       .repartitionByRange(nPart, col(id))
       .sortWithinPartitions(col(id))
       .withColumn("__pid", spark_partition_id())
-    counted.persist()
-    try {
-      // Phase 2: one row per partition — metadata, not data.
-      val totals = counted.groupBy(col("__pid"))
-        .agg(sum(col("n_tokens")).as("t"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val bases = (0 until nPart).scanLeft(0L) {
-        case (acc, p) => acc + totals.getOrElse(p, 0L)
-      }
-      // Phase 3: base(pid) as a literal lookup + local window.
-      val baseExpr = element_at(
-        map((0 until nPart).flatMap(p =>
-          Seq(lit(p), lit(bases(p)))): _*), col("__pid"))
-      val w = Window.partitionBy(col("__pid")).orderBy(col(id))
-      body(counted
-        .withColumn("end_offset", baseExpr + sum(col("n_tokens")).over(w)))
-    } finally counted.unpersist()
+      .localCheckpoint()
+    // Phase 2: one row per partition — metadata, not data.
+    val totals = counted.groupBy(col("__pid"))
+      .agg(sum(col("n_tokens")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val bases = (0 until nPart).scanLeft(0L) {
+      case (acc, p) => acc + totals.getOrElse(p, 0L)
+    }
+    // Phase 3: base(pid) as a literal lookup + local window.
+    val baseExpr = element_at(
+      map((0 until nPart).flatMap(p =>
+        Seq(lit(p), lit(bases(p)))): _*), col("__pid"))
+    val w = Window.partitionBy(col("__pid")).orderBy(col(id))
+    body(counted
+      .withColumn("end_offset", baseExpr + sum(col("n_tokens")).over(w)))
   }
 
   /** Total number of full-or-partial sequences the packed stream cuts

@@ -1372,7 +1372,7 @@ object PipelineQueries {
     QueryDef("p6_classified_mixing", classifiedMixture,
       Some(classifiedMixtureOracle)),
     QueryDef("p7_curriculum_shards", curriculumShards,
-      Some(curriculumShardsOracle)),
+      Some(curriculumShardsOracle), bench = true),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
