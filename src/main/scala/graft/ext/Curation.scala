@@ -121,12 +121,22 @@ object Curation {
     * oracle implement).
     *
     * Scale shape: one corpus pass to explode trigrams + the model joins
-    * (model-sized sides), then ONE per-language sort for the ntile
-    * window — the only corpus-sized sort in the chain, AQE-splittable
-    * by range partitioning within `lang`; there is no all-corpus
-    * collect anywhere. Documents with fewer than 3 tokens have no
-    * trigrams, hence no score, and are dropped (they belong to a
-    * length filter, not a perplexity tier).
+    * (model-sized sides), then the tier assignment via
+    * [[Packing.groupRank]]'s two-phase DISTRIBUTED rank + the exact
+    * ANSI-ntile reconstruction ([[Packing.ntileFromRank]]). The naive
+    * `ntile().over(Window.partitionBy(lang))` form is a scale-killer:
+    * a window's required clustering puts EVERY row of a language into
+    * one task and AQE cannot split a window partition, so a corpus
+    * that is 40% one language (this test corpus is 41% `en`; a real
+    * crawl is worse) sorts 40% of itself on one core. The distributed
+    * rank bounds the max task at one range partition whatever the
+    * language mix, and — because rank and tile are pure functions of
+    * the total (score_e12 desc, id) order within a language — replays
+    * bit-identically against the single-node ANSI ntile oracle. There
+    * is no all-corpus collect anywhere (the rank's driver phase is
+    * per-(partition, language) COUNTS — metadata). Documents with
+    * fewer than 3 tokens have no trigrams, hence no score, and are
+    * dropped (they belong to a length filter, not a perplexity tier).
     *
     * Output: (id, lang, score_e12, bucket) with bucket 1 = best
     * (highest model probability = CCNet's "head"). */
@@ -136,11 +146,14 @@ object Curation {
     require(nBuckets >= 1, s"nBuckets=$nBuckets")
     val scores = TextAnalysis.knScoreModel(docs, text, id, triModel,
       minCount = minCount)
-    docs.select(col(id), lang.as("lang"))
+    val scored = docs.select(col(id), lang.as("lang"))
       .join(scores.select(col(id), col("score_e12")), Seq(id))
-      .withColumn("bucket", ntile(nBuckets).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-          .orderBy(col("score_e12").desc, col(id))).cast("long"))
+    Packing.groupRank(scored, Seq("lang"),
+        Seq(col("score_e12").desc, col(id)))
+      .withColumn("bucket",
+        Packing.ntileFromRank(col("gr_rank"), col("gr_n"), nBuckets)
+          .cast("long"))
+      .select(col(id), col("lang"), col("score_e12"), col("bucket"))
   }
 
   /** Curriculum sharding — the training-order counterpart of

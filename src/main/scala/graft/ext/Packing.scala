@@ -99,6 +99,14 @@ object Packing {
     // on p7, whose input is the full KN scoring chain). localCheckpoint
     // cuts lineage, so however expensive the input, it runs exactly
     // once; the checkpointed rows are narrow (id, carry, n_tokens).
+    // Cluster caveats (by design, documented not hidden): the blocks
+    // pin MEMORY_AND_DISK storage until the RDD is GC'd — a session
+    // looping over many shardByTokens/packConcat calls accumulates
+    // them until the driver GCs the references — and localCheckpoint
+    // data is NOT recoverable on executor loss (the job fails rather
+    // than recomputing lineage). A long-lived cluster deployment with
+    // executor churn should set a reliable checkpoint dir and use
+    // checkpoint() at this site instead.
     val counted = df
       .select(col(id) +: carry.map(col) :+
         tokenCount.cast("long").as("n_tokens"): _*)
@@ -128,5 +136,144 @@ object Packing {
   def sequenceCount(packed: DataFrame, seqLen: Int): Long = {
     val total = packed.agg(sum(col("n_tokens"))).head.getLong(0)
     (total + seqLen - 1) / seqLen
+  }
+
+  /** Exact positive-long floor division as a Column — `(a − a%b) / b`
+    * stays bit-exact because the numerator is exactly divisible and an
+    * IEEE division whose true quotient is an integer below 2^53 rounds
+    * to it exactly. Avoids the string round-trip of `expr("a DIV b")`
+    * on anonymous columns. Both operands must be ≥ 0 with b > 0. */
+  private def ldiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** ANSI `ntile(k)` reconstructed from a (rank, groupSize) pair: with
+    * q = n div k and r = n mod k, the first r tiles take q+1 rows and
+    * the rest take q (the front-loaded remainder every ANSI engine
+    * implements). Deriving the tile from the RANK instead of calling
+    * `ntile` lets the rank come from [[groupRank]]'s distributed
+    * machinery while replaying bit-identically against a single-node
+    * `ntile` over the same total order — the p5/p7 oracle contract.
+    * The q = 0 case (n < k, every tile is one row) resolves in the
+    * first branch (head = n covers every rank), so the q-divisor of
+    * the second branch is ≥ 1 whenever it is evaluated. */
+  def ntileFromRank(rank: Column, n: Column, k: Int): Column = {
+    require(k >= 1, s"ntileFromRank: k=$k")
+    val q = ldiv(n, lit(k.toLong))
+    val r = pmod(n, lit(k.toLong))
+    val head = r * (q + 1L)
+    when(rank <= head, ldiv(rank - 1L, q + 1L) + 1L)
+      .otherwise(r + ldiv(rank - head - 1L, q) + 1L)
+  }
+
+  /** Distributed per-group dense RANK over a total order — the
+    * scale-safe replacement for `row_number().over(Window.partitionBy
+    * (group).orderBy(order))` when group cardinality is LOW: that
+    * window's required clustering puts every row of a group into ONE
+    * task (AQE cannot split a window partition — its skew handling
+    * applies to joins, not required child distributions), so a corpus
+    * that is 40% one language sorts 40% of itself in a single task.
+    * This generalizes [[packConcat]]'s two-phase prefix sum to ranks:
+    *
+    *  1. range-repartition by (group…, order…) — a real distributed
+    *     sort placement, so each group's rows occupy a contiguous run
+    *     of partitions and within-group order is respected ACROSS
+    *     partitions;
+    *  2. per-(partition, group) row counts to the driver — bounded by
+    *     nPart + |groups| − 1 rows (ranges are contiguous), metadata
+    *     not data; if that exceeds `maxGroupStats` the group key is
+    *     high-cardinality, per-group tasks are small, and the plain
+    *     window is the RIGHT plan — it is used as the fallback;
+    *  3. each (partition, group)'s base rank (rows of the group in
+    *     earlier partitions) and the group total rejoin via a
+    *     broadcast stats frame, and a per-(partition, group) window
+    *     finishes the rank locally — max task ≤ one range partition,
+    *     whatever the group skew.
+    *
+    * The rank depends only on the global (group, order) total order
+    * (make `order` total within a group — id tiebreak — or ties land
+    * nondeterministically), so partition layout cannot change the
+    * answer and a single-node window replays it exactly.
+    *
+    * The phase-1 frame is materialized via localCheckpoint — REQUIRED
+    * for correctness, not a cache: the range sampler is
+    * nondeterministic, so without it phase 2's counts and the final
+    * pass could see different partition boundaries and the bases would
+    * be wrong. Cluster caveat (shared with [[packConcat]]): the
+    * checkpointed blocks pin storage until the RDD is GC'd and are
+    * unrecoverable on executor loss — a long-lived cluster deployment
+    * should set a reliable checkpoint dir and prefer `checkpoint()`
+    * if executor churn is expected.
+    *
+    * Output: the input columns plus `gr_rank` (1-based rank within the
+    * group under `order`) and `gr_n` (group row count). */
+  def groupRank(df: DataFrame, group: Seq[String], order: Seq[Column],
+      numPartitions: Int = 0, maxGroupStats: Int = 1 << 18): DataFrame = {
+    require(group.nonEmpty, "groupRank: need at least one group column")
+    require(order.nonEmpty, "groupRank: need an order")
+    Seq("gr_rank", "gr_n", "__gr_pid").foreach(n =>
+      require(!df.columns.exists(_.equalsIgnoreCase(n)),
+        s"groupRank: input already has a column named '$n'"))
+    val spark = df.sparkSession
+    val nPart =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val gc = group.map(col)
+    val parted = df
+      .repartitionByRange(nPart, gc ++ order: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint()
+    val stats = parted
+      .groupBy(col("__gr_pid") +: gc: _*)
+      .agg(count(lit(1)).as("__gr_c"))
+      .limit(maxGroupStats + 1)
+      .collect()
+    if (stats.length > maxGroupStats) {
+      // High-cardinality group key: per-group stats are no longer
+      // metadata and per-group window tasks are small anyway.
+      val w = Window.partitionBy(gc: _*)
+      parted.drop("__gr_pid")
+        .withColumn("gr_rank",
+          row_number().over(w.orderBy(order: _*)).cast("long"))
+        .withColumn("gr_n", count(lit(1)).over(w))
+    } else {
+      val k = group.length
+      import scala.jdk.CollectionConverters._
+      val statRows: Seq[org.apache.spark.sql.Row] = stats
+        .groupBy(r => (1 to k).map(r.get).toList)
+        .valuesIterator.flatMap { rs =>
+          val sorted = rs.sortBy(_.getInt(0))
+          val n = sorted.map(_.getLong(k + 1)).sum
+          sorted.scanLeft(0L)((acc, r) => acc + r.getLong(k + 1))
+            .zip(sorted).map { case (base, r) =>
+              org.apache.spark.sql.Row.fromSeq(
+                r.getInt(0) +: (1 to k).map(r.get) :+ base :+ n)
+            }
+        }.toSeq
+      val gFields = group.map(parted.schema(_))
+      val statsSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__gr_pid2",
+          org.apache.spark.sql.types.IntegerType, nullable = false) +:
+        gFields.zipWithIndex.map { case (f, i) =>
+          org.apache.spark.sql.types.StructField(s"__gr_g$i",
+            f.dataType, f.nullable) } :+
+        org.apache.spark.sql.types.StructField("__gr_base",
+          org.apache.spark.sql.types.LongType, nullable = false) :+
+        org.apache.spark.sql.types.StructField("gr_n",
+          org.apache.spark.sql.types.LongType, nullable = false))
+      val statsDf = spark.createDataFrame(statRows.asJava, statsSchema)
+      // Null-safe equality: a null group value is a group like any
+      // other for ranking (it sorts first), and a plain === would
+      // silently drop its rows at the join.
+      val cond = (col("__gr_pid") === col("__gr_pid2")) &&
+        group.zipWithIndex.map { case (g, i) =>
+          col(g) <=> col(s"__gr_g$i") }.reduce(_ && _)
+      val w = Window.partitionBy(col("__gr_pid") +: gc: _*)
+        .orderBy(order: _*)
+      parted.join(broadcast(statsDf), cond)
+        .withColumn("gr_rank",
+          col("__gr_base") + row_number().over(w))
+        .drop("__gr_pid" +: "__gr_pid2" +: "__gr_base" +:
+          group.indices.map(i => s"__gr_g$i"): _*)
+    }
   }
 }

@@ -622,11 +622,17 @@ object Similarity {
   }
 
   /** [[bm25RankedList]] served from a prebuilt/streamed
-    * [[TextAnalysis.bm25Index]] relation instead of raw documents. */
+    * [[TextAnalysis.bm25Index]] relation instead of raw documents.
+    * `stats` is the [[TextAnalysis.bm25Stats]] sidecar (union of
+    * increments) — pass it on every real serve path so the corpus
+    * scalars never re-aggregate the postings (contract on
+    * [[TextAnalysis.bm25SearchIndex]]). */
   def bm25RankedListFromIndex(index: DataFrame, id: String,
-      termQuery: Seq[String], kLex: Int): DataFrame = {
+      termQuery: Seq[String], kLex: Int,
+      stats: DataFrame = null): DataFrame = {
     require(kLex >= 1, s"bm25RankedListFromIndex: kLex=$kLex")
-    rankLex(TextAnalysis.bm25SearchIndex(index, id, termQuery, kLex), id)
+    rankLex(TextAnalysis.bm25SearchIndex(index, id, termQuery, kLex,
+      stats = stats), id)
   }
 
   private def rankLex(scored: DataFrame, id: String): DataFrame =

@@ -553,7 +553,10 @@ object TextAnalysis {
     * skew-splittable when not; the corpus side shuffles only for the
     * final per-doc aggregate.
     *
-    * Overflow bounds (all BIGINT, no ANSI check to save you): every
+    * Overflow bounds (all BIGINT, ENFORCED at call time by an eager
+    * model-sized validation aggregate — which also fails fast on a
+    * model left empty by pruning, where bsz = 0 would otherwise turn
+    * every score silently null): every
     * intermediate is count·scale·discount-digit shaped, so at the
     * default scale = 10^12 EVERY count the formulas touch — c3, the
     * per-context sum c2, the continuation count cn2, AND the
@@ -576,7 +579,12 @@ object TextAnalysis {
     require(dDen >= 1L && dNum >= 0L && dNum < dDen,
       s"discount $dNum/$dDen outside [0, 1)")
     require(scale >= 1L, s"scale=$scale")
-    val tri = triModel.where(col("c3") >= minCount)
+    // The pruned model feeds SIX derived frames (ctx/cont/mid/uni, the
+    // validation aggregate, the scoring joins); materializing it once
+    // keeps the upstream subtree — often a full-corpus knCounts — from
+    // re-executing per consumer. Model-sized rows, so the checkpoint
+    // is small (same storage caveat as Packing.groupRank).
+    val tri = triModel.where(col("c3") >= minCount).localCheckpoint()
     val ctx = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3d"))
     val cont = tri.groupBy(col("w2"), col("w3"))
@@ -584,7 +592,33 @@ object TextAnalysis {
     val mid = cont.groupBy(col("w2"))
       .agg(sum(col("cn2")).as("n2mid"), count(lit(1)).as("nw2"))
     val uni = cont.groupBy(col("w3")).agg(count(lit(1)).as("cn1"))
-    val bi = cont.agg(count(lit(1)).as("bsz"))
+    // Fail-fast model validation, ONE eager action (4 model-sized
+    // aggregates unioned): an empty pruned model would make bsz = 0
+    // and every division below NULL — every document would silently
+    // score null instead of erroring; and the scaladoc's overflow
+    // bound on the counts the formulas touch (c3, c2, cn2, nw2, n3d ≲
+    // 2⁶³/(dDen·scale)) is enforced here instead of trusted. bsz then
+    // rides the plan as a LITERAL — one broadcast cross join gone.
+    val chk = tri
+      .agg(count(lit(1)).as("a"), coalesce(max(col("c3")), lit(0L)).as("b"))
+      .unionAll(ctx.agg(coalesce(max(col("c2")), lit(0L)),
+        coalesce(max(col("n3d")), lit(0L))))
+      .unionAll(cont.agg(count(lit(1)),
+        coalesce(max(col("cn2")), lit(0L))))
+      .unionAll(mid.agg(coalesce(max(col("nw2")), lit(0L)), lit(0L)))
+      .collect()
+    val bsz = chk(2).getLong(0)
+    require(chk(0).getLong(0) > 0L && bsz > 0L,
+      s"knScoreModel: trigram model is empty after minCount=$minCount " +
+        "pruning — every score would be null; train on more text or " +
+        "lower minCount")
+    val bound = Long.MaxValue / (dDen * scale)
+    val maxCount = Seq(chk(0).getLong(1), chk(1).getLong(0),
+      chk(1).getLong(1), chk(2).getLong(1), chk(3).getLong(0)).max
+    require(maxCount <= bound,
+      s"knScoreModel: a model count reaches $maxCount > overflow bound " +
+        s"$bound at scale=$scale (2^63 / (dDen*scale)) — use a smaller " +
+        "scale (terms only need ordering resolution)")
 
     docs.select(col(id), explode(lmTrigrams(text)).as("t"))
       .select(col(id), col("t.w1").as("w1"), col("t.w2").as("w2"),
@@ -594,7 +628,7 @@ object TextAnalysis {
       .join(cont, Seq("w2", "w3"), "left")
       .join(mid, Seq("w2"), "left")
       .join(uni, Seq("w3"), "left")
-      .crossJoin(broadcast(bi))
+      .withColumn("bsz", lit(bsz))
       .withColumn("pcont",
         expr(s"coalesce(cn1, 0L) * ${scale}L div bsz"))
       .withColumn("p2", expr(
@@ -700,14 +734,34 @@ object TextAnalysis {
       .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
   }
 
+  /** Corpus-scalar sidecar for a [[bm25Index]] increment: ONE row
+    * (n_docs, n_toks) over the raw documents — the two scalars the
+    * scorer needs beyond the postings. Both are ADDITIVE under the
+    * document-atomic contract (each document arrives whole in one
+    * increment), so the sidecar merges exactly like the index itself:
+    * by plain union — [[bm25SearchIndex]] sums whatever increments it
+    * is handed. Persisting this one-row frame next to each postings
+    * increment is what keeps the serve path postings-free for N/T: the
+    * round-9 form re-aggregated the ENTIRE postings relation per query
+    * call to derive them — a full-index scan per search at 100 TB. */
+  def bm25Stats(df: DataFrame, text: String, id: String): DataFrame = {
+    val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+    df.select(size(toks).cast(LongType).as("dl"))
+      .where(col("dl") > 0)
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+  }
+
   /** BM25 top-k retrieval in one call — [[bm25Index]] composed with
     * [[bm25SearchIndex]] (identical plan: Catalyst fuses the index
     * projection into the scan, so the convenience form pays nothing
-    * over the split). Scoring contract documented on
-    * [[bm25SearchIndex]]. */
+    * over the split). Corpus scalars come from [[bm25Stats]] over the
+    * raw documents — one narrow aggregate, cheaper than the distinct
+    * count over exploded postings it replaces. Scoring contract
+    * documented on [[bm25SearchIndex]]. */
   def bm25Search(df: DataFrame, text: String, id: String,
       query: Seq[String], k: Int = 10): DataFrame =
-    bm25SearchIndex(bm25Index(df, text, id), id, query, k)
+    bm25SearchIndex(bm25Index(df, text, id), id, query, k,
+      stats = bm25Stats(df, text, id))
 
   /** Query-time half: BM25 top-k for a bag-of-terms query (k1 = 1.2,
     * b = 0.75 — the Robertson/Okapi defaults) over a prebuilt
@@ -734,15 +788,29 @@ object TextAnalysis {
     * per-term row co-location) → corpus scalars via broadcast cross
     * join → per-doc sum + top-k, which plans as TakeOrderedAndProject
     * — no global sort. The t42 gate pins the persisted-index roundtrip
-    * against the t11 direct-search oracle. */
+    * against the t11 direct-search oracle.
+    *
+    * `stats`: the [[bm25Stats]] sidecar (any union of one-row
+    * increments — they are summed here, a stats-sized aggregate), so
+    * N/T never touch the postings and the ONLY postings subtree in the
+    * serve plan is the query-term-filtered one. Pass it on every real
+    * serve path: the `stats = null` fallback derives the scalars by
+    * aggregating the WHOLE index per call — correct, but a full-index
+    * scan per query at scale; it exists so an index relation with a
+    * lost sidecar remains servable. */
   def bm25SearchIndex(index: DataFrame, id: String,
-      query: Seq[String], k: Int = 10): DataFrame = {
+      query: Seq[String], k: Int = 10,
+      stats: DataFrame = null): DataFrame = {
     require(query.nonEmpty, "bm25Search: query must be non-empty")
     val dec = DecimalType(38, 0)
     def d(c: Column): Column = c.cast(dec)
     val tf = index
-    val corpus = tf.groupBy().agg(
-      countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
+    val corpus =
+      if (stats != null)
+        stats.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"))
+      else tf.groupBy().agg(
+        countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
     val qtf = tf.where(col("term").isin(qs: _*))
     // df per query term: partial-aggregated count joined back, broadcast

@@ -319,11 +319,18 @@ object HygieneQueries {
     * composed from two gate-proven stages with zero new operator code.
     * The oracle replays chunking AND chunk-level BM25 end to end. */
   def chunkSearch(s: SparkSession, d: String): DataFrame = {
+    // Packed-key overflow guard: doc_id ≥ 2^31 would wrap the Long and
+    // silently COLLIDE postings across documents. The guard lives in
+    // the key expression itself (a dropped check column would be
+    // pruned away by the optimizer and never evaluated); promote to a
+    // struct/string key if this shape ever outgrows the bound.
+    val packedKey = when(col("doc_id").between(0L, 2147483647L),
+        col("doc_id") * 4294967296L + col("chunk_id"))
+      .otherwise(raise_error(lit(
+        "chunkSearch: doc_id outside [0, 2^31) overflows the packed chunk_key")))
     val chunks = TextAnalysis.chunk(Tables.documents(s, d), "text",
         "doc_id", chunkSize = 32, stride = 16)
-      .select((col("doc_id") * 4294967296L + col("chunk_id"))
-          .as("chunk_key"),
-        col("chunk_text"))
+      .select(packedKey.as("chunk_key"), col("chunk_text"))
     TextAnalysis.bm25Search(chunks, "chunk_text", "chunk_key",
       query = Seq("spark", "hash", "join"), k = 10)
   }
@@ -368,19 +375,31 @@ object HygieneQueries {
 
   /** t42: the index/serve split — two disjoint corpus halves indexed
     * as separate parquet APPENDS (union-is-merge under the
-    * document-atomic contract), read back, served. Must equal t11's
-    * direct-search oracle exactly: the persisted roundtrip and the
-    * increment union change nothing about the scoring integers. */
+    * document-atomic contract), each with its one-row
+    * [[TextAnalysis.bm25Stats]] sidecar appended the same way, read
+    * back, served with corpus scalars from the MERGED SIDECAR — the
+    * serve plan never re-aggregates the postings for N/T. Must equal
+    * t11's direct-search oracle exactly: the persisted roundtrip, the
+    * increment union, and the sidecar-vs-recompute scalar source
+    * change nothing about the scoring integers. */
   def bm25FromIndex(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
-    val ixDir = java.nio.file.Files.createTempDirectory("graft_t42_")
-      .resolve("ix").toString
-    TextAnalysis.bm25Index(docs.where(col("doc_id") < 250), "text", "doc_id")
+    val root = java.nio.file.Files.createTempDirectory("graft_t42_")
+    val ixDir = root.resolve("ix").toString
+    val statsDir = root.resolve("ix_stats").toString
+    val lo = docs.where(col("doc_id") < 250)
+    val hi = docs.where(col("doc_id") >= 250)
+    TextAnalysis.bm25Index(lo, "text", "doc_id")
       .write.mode("overwrite").parquet(ixDir)
-    TextAnalysis.bm25Index(docs.where(col("doc_id") >= 250), "text", "doc_id")
+    TextAnalysis.bm25Stats(lo, "text", "doc_id")
+      .write.mode("overwrite").parquet(statsDir)
+    TextAnalysis.bm25Index(hi, "text", "doc_id")
       .write.mode("append").parquet(ixDir)
+    TextAnalysis.bm25Stats(hi, "text", "doc_id")
+      .write.mode("append").parquet(statsDir)
     TextAnalysis.bm25SearchIndex(s.read.parquet(ixDir), "doc_id",
-      query = Seq("spark", "hash", "join"), k = 10)
+      query = Seq("spark", "hash", "join"), k = 10,
+      stats = s.read.parquet(statsDir))
   }
 
   private[queries] val bm25Oracle =

@@ -24,7 +24,7 @@ object StreamingQueries {
       .outputMode(mode)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     spark.table(name)
   }
@@ -110,7 +110,7 @@ object StreamingQueries {
     val q = graft.streaming.FileIngestStream.start(
       s, srcDir.toString, meta, ref, pathGlob = "part-*.csv",
       checkpoint = Some(tmp.resolve("ckpt").toString))
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(ref.qualified).drop("process_dt", "process_date").orderBy("c_custkey")
   }
@@ -179,7 +179,7 @@ object StreamingQueries {
       .toDF("doc_id")
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     val drops = s.table(name).distinct()
     planted.join(drops, Seq("doc_id"), "left_anti")
@@ -212,7 +212,7 @@ object StreamingQueries {
       .select(col("doc_id"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(name).orderBy("doc_id")
   }
@@ -246,7 +246,7 @@ object StreamingQueries {
         size(col("unigram_tokens")).cast("long").as("n_tokens"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(name).orderBy("doc_id")
   }
@@ -284,7 +284,7 @@ object StreamingQueries {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName(name)
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(name).orderBy("token")
   }
@@ -340,7 +340,7 @@ object StreamingQueries {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     mapSoFar
       .withColumn("batch",
@@ -412,14 +412,6 @@ object StreamingQueries {
       .orderBy("source")
   }
 
-  /** st22: the Kneser–Ney trigram model MAINTAINED under ingest — the
-    * t41 additive-counts contract driven by a real file stream: each
-    * micro-batch contributes its own trigram count frame
-    * ([[graft.ext.TextAnalysis.knCounts]]), folded into the running
-    * model via [[graft.ext.TextAnalysis.knMerge]]; scoring the corpus
-    * against the streamed model must equal full retraining (t40's
-    * oracle) because EVERY continuation/distinct-successor statistic
-    * derives from the merged frame at scoring time. */
   /** Stage a frame as two half-corpus parquet FILES (split on the
     * median of `idCol`, one file per half at the source-dir root) —
     * the fixture every maintained-state streaming gate ingests with
@@ -468,9 +460,40 @@ object StreamingQueries {
         ()
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    // A timed-out await would return a PARTIALLY-merged state and the
+    // gate would be silently wrong — fail loudly instead.
+    require(q.awaitTermination(300000), "foldParquetStream: fold timed out")
     q.stop()
     state
+  }
+
+  /** [[foldParquetStream]] for a PAIR of additively-merged states —
+    * the index + stats-sidecar shape (st23 folds the BM25 postings AND
+    * the one-row corpus-scalar sidecar under the same micro-batches,
+    * exactly as a persisted deployment appends both per increment). */
+  private def foldParquetStream2(s: SparkSession, srcDir: String,
+      schema: org.apache.spark.sql.types.StructType)(
+      inc: DataFrame => (DataFrame, DataFrame))(
+      mergeA: (DataFrame, DataFrame) => DataFrame,
+      mergeB: (DataFrame, DataFrame) => DataFrame): (DataFrame, DataFrame) = {
+    var a: DataFrame = null
+    var b: DataFrame = null
+    val src = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val (ia, ib) = inc(batch)
+        a = (if (a == null) ia else mergeA(a, ia)).localCheckpoint()
+        b = (if (b == null) ib else mergeB(b, ib)).localCheckpoint()
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000), "foldParquetStream2: fold timed out")
+    q.stop()
+    (a, b)
   }
 
   private val docTextSchema = org.apache.spark.sql.types.StructType(Seq(
@@ -487,6 +510,14 @@ object StreamingQueries {
       batch => graft.ext.TextAnalysis.knCounts(batch, "text"))(
       graft.ext.TextAnalysis.knMerge)
 
+  /** st22: the Kneser–Ney trigram model MAINTAINED under ingest — the
+    * t41 additive-counts contract driven by a real file stream: each
+    * micro-batch contributes its own trigram count frame
+    * ([[graft.ext.TextAnalysis.knCounts]]), folded into the running
+    * model via [[graft.ext.TextAnalysis.knMerge]]; scoring the corpus
+    * against the streamed model must equal full retraining (t40's
+    * oracle) because EVERY continuation/distinct-successor statistic
+    * derives from the merged frame at scoring time. */
   def knStream(s: SparkSession, d: String): DataFrame =
     graft.ext.TextAnalysis.knScoreModel(
         Tables.documents(s, d), "text", "doc_id",
@@ -524,17 +555,26 @@ object StreamingQueries {
     * doc-disjoint: no recompute, no shuffle — an append IS the merge).
     * Serving from the streamed index must equal t11's direct search
     * over the full corpus. */
-  def bm25Stream(s: SparkSession, d: String): DataFrame =
-    graft.ext.TextAnalysis.bm25SearchIndex(foldBm25IndexFromStream(s, d),
-      "doc_id", query = Seq("spark", "hash", "join"), k = 10)
+  def bm25Stream(s: SparkSession, d: String): DataFrame = {
+    val (ix, stats) = foldBm25IndexFromStream(s, d)
+    graft.ext.TextAnalysis.bm25SearchIndex(ix,
+      "doc_id", query = Seq("spark", "hash", "join"), k = 10,
+      stats = stats)
+  }
 
-  private def foldBm25IndexFromStream(s: SparkSession, d: String): DataFrame =
-    foldParquetStream(s,
+  /** (postings, stats-sidecar) both maintained under the stream: each
+    * micro-batch contributes its own postings increment AND its own
+    * one-row corpus-scalar increment; both merges are plain unions
+    * (doc-atomic batches — see TextAnalysis.bm25Stats). */
+  private def foldBm25IndexFromStream(
+      s: SparkSession, d: String): (DataFrame, DataFrame) =
+    foldParquetStream2(s,
       stageTwoHalves(Tables.documents(s, d).select(col("doc_id"), col("text")),
         "doc_id", "graft_st23_src_"),
       docTextSchema)(
-      batch => graft.ext.TextAnalysis.bm25Index(batch, "text", "doc_id"))(
-      _.unionAll(_))
+      batch => (graft.ext.TextAnalysis.bm25Index(batch, "text", "doc_id"),
+        graft.ext.TextAnalysis.bm25Stats(batch, "text", "doc_id")))(
+      _.unionAll(_), _.unionAll(_))
 
   /** st25: hybrid RRF serving where BOTH component indexes are
     * STREAM-MAINTAINED — the lexical postings fold under a documents
@@ -545,7 +585,7 @@ object StreamingQueries {
     * computed from the full static corpus: maintaining both indexes
     * under ingest changes nothing about what the serve path returns. */
   def hybridServeStream(s: SparkSession, d: String): DataFrame = {
-    val lexIx = foldBm25IndexFromStream(s, d)
+    val (lexIx, lexStats) = foldBm25IndexFromStream(s, d)
     val base = java.nio.file.Files.createTempDirectory("graft_st25_")
     val root = base.resolve("ann_index").toString
     val c = Tables.embeddings(s, d)
@@ -569,7 +609,8 @@ object StreamingQueries {
         graft.ext.AnnIndex.appendIvfPq(s, root, batch)
       }
       .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000),
+      "hybridServeStream: index-append stream timed out")
     q.stop()
     val dense = graft.ext.AnnIndex.queryIvfPq(s, root,
         c.where(col("cid") === 3)
@@ -578,7 +619,7 @@ object StreamingQueries {
       .select(col("corpus_id").as("doc_id"), col("rank").as("dense_rank"))
     graft.ext.Similarity.hybridFromLists(
         graft.ext.Similarity.bm25RankedListFromIndex(lexIx, "doc_id",
-          Seq("spark", "hash", "join"), kLex = 50),
+          Seq("spark", "hash", "join"), kLex = 50, stats = lexStats),
         dense, "doc_id", k = 10)
       .orderBy("doc_id")
   }
@@ -673,7 +714,7 @@ object StreamingQueries {
       .option("checkpointLocation", ckpt.toString)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(tbl).select("user_id", "event_id", "event_type", "value")
       .orderBy("user_id")
@@ -783,7 +824,7 @@ object StreamingQueries {
       .select(col("doc_id"))
       .writeStream.format("memory").queryName(name)
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(name).orderBy("doc_id")
   }
@@ -884,7 +925,7 @@ object StreamingQueries {
       .outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(300000)
+    require(q.awaitTermination(300000), "stream gate timed out")
     q.stop()
     s.table(name).orderBy("doc_id")
   }

@@ -89,4 +89,77 @@ class PackingSpec extends AnyFunSuite {
     assert(got("v").getAs[Double]("max_num") === 1.5)
     assert(got("v").isNullAt(got("v").fieldIndex("min_str")))
   }
+
+  // --------------------------------------------- distributed group rank
+
+  /** Skewed frame: 80% of rows in one group, plus a null group and a
+    * singleton — the language-mix shape the distributed rank exists
+    * for. Values collide on purpose; id is the tiebreak. */
+  private def rankFrame = {
+    val rows = (1L to 80L).map(i => (i, Option("en"), i % 7)) ++
+      (81L to 95L).map(i => (i, Option("fr"), i % 3)) ++
+      Seq((96L, Option("zz"), 5L), (97L, None, 1L), (98L, None, 1L))
+    rows.toDF("id", "lang", "score")
+  }
+
+  private def windowRanks(df: org.apache.spark.sql.DataFrame) = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    df.withColumn("gr_rank", row_number().over(
+        w.orderBy(col("score").desc, col("id"))).cast("long"))
+      .withColumn("gr_n", count(lit(1)).over(w))
+      .orderBy("id").collect().map(_.toSeq).toSeq
+  }
+
+  test("groupRank: equals the single-node window on a skewed frame " +
+      "(null group included), under any partitioning/numPartitions") {
+    val want = windowRanks(rankFrame)
+    def run(nIn: Int, nPart: Int) =
+      Packing.groupRank(rankFrame.repartition(nIn), Seq("lang"),
+          Seq(col("score").desc, col("id")), numPartitions = nPart)
+        .select("id", "lang", "score", "gr_rank", "gr_n")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(7, 4) === want)
+    assert(run(1, 9) === want)
+    assert(run(5, 1) === want)
+  }
+
+  test("groupRank: high-cardinality fallback path is value-identical") {
+    val want = windowRanks(rankFrame)
+    val got = Packing.groupRank(rankFrame, Seq("lang"),
+        Seq(col("score").desc, col("id")), numPartitions = 4,
+        maxGroupStats = 2) // force the fallback (stats rows > 2)
+      .select("id", "lang", "score", "gr_rank", "gr_n")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === want)
+  }
+
+  test("groupRank plan: no window partitioned by the group alone — " +
+      "the rank window is keyed by the physical partition id") {
+    val df = Packing.groupRank(rankFrame, Seq("lang"),
+      Seq(col("score").desc, col("id")), numPartitions = 4)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql.toLowerCase)
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { spec =>
+      assert(spec.exists(_.contains("__gr_pid")),
+        s"window must be co-keyed by __gr_pid, got $spec")
+    }
+  }
+
+  test("ntileFromRank: matches ANSI ntile for every (n, k) in a grid") {
+    for (n <- Seq(1, 2, 3, 4, 5, 7, 10, 23); k <- Seq(1, 2, 3, 4, 5, 8, 30)) {
+      val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "x")
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("id"))
+      val got = df
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .withColumn("n", lit(n.toLong))
+        .withColumn("want", ntile(k).over(w).cast("long"))
+        .withColumn("gotTile", Packing.ntileFromRank(col("rank"), col("n"), k))
+        .where(col("want") =!= col("gotTile"))
+        .count()
+      assert(got === 0L, s"ntile mismatch at n=$n k=$k")
+    }
+  }
 }

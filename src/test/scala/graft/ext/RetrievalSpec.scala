@@ -91,4 +91,30 @@ class RetrievalSpec extends AnyFunSuite {
       (1L, 3L, 2L, 666666L), // 2*1e6 div 3 floors
       (2L, 2L, 0L, 0L)))
   }
+
+  test("bm25 stats sidecar: serve from merged one-row increments equals " +
+      "the legacy full-postings-aggregate serve, bit for bit") {
+    val docs = Seq(
+      (1L, "spark joins data"), (2L, "spark spark shuffle"),
+      (3L, "hash join hash"), (4L, "unrelated words entirely"),
+      (5L, "   "), // zero tokens: must not count toward n_docs
+      (6L, "spark hash join spark"))
+      .toDF("doc_id", "text")
+    val lo = docs.where(col("doc_id") <= 3)
+    val hi = docs.where(col("doc_id") > 3)
+    val ix = TextAnalysis.bm25Index(lo, "text", "doc_id")
+      .unionAll(TextAnalysis.bm25Index(hi, "text", "doc_id"))
+    val stats = TextAnalysis.bm25Stats(lo, "text", "doc_id")
+      .unionAll(TextAnalysis.bm25Stats(hi, "text", "doc_id"))
+    // the sidecar sums to the whole-corpus scalars
+    val s = stats.agg(sum("n_docs"), sum("n_toks")).head
+    assert((s.getLong(0), s.getLong(1)) === (5L, 16L))
+    val legacy = TextAnalysis.bm25SearchIndex(ix, "doc_id",
+        Seq("spark", "hash"), k = 10)
+      .collect().map(_.toSeq).toSeq
+    val sidecar = TextAnalysis.bm25SearchIndex(ix, "doc_id",
+        Seq("spark", "hash"), k = 10, stats = stats)
+      .collect().map(_.toSeq).toSeq
+    assert(legacy === sidecar && legacy.nonEmpty)
+  }
 }

@@ -458,4 +458,51 @@ class PlanSpec extends AnyFunSuite {
       .find(_.toLowerCase.contains("bpedropouttokenize")).getOrElse("")
     assert(line2.contains("*("), s)
   }
+
+  test("bm25 serve with stats sidecar: corpus scalars never touch the " +
+      "postings — every postings scan is query-term-filtered") {
+    import graft.ext.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = graft.Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_planspec_bm25_")
+    val ixDir = root.resolve("ix").toString
+    val stDir = root.resolve("stats").toString
+    TextAnalysis.bm25Index(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(ixDir)
+    TextAnalysis.bm25Stats(docs, "text", "doc_id")
+      .write.mode("overwrite").parquet(stDir)
+    val served = TextAnalysis.bm25SearchIndex(spark.read.parquet(ixDir),
+      "doc_id", Seq("spark", "hash"), k = 10,
+      stats = spark.read.parquet(stDir))
+    val s = planString(served)
+    // the round-9 corpus-scalar subtree was count(distinct doc_id) over
+    // the UNFILTERED index — with the sidecar there is no distinct
+    // aggregate anywhere in the serve plan
+    assert(!s.toLowerCase.contains("distinct"), s)
+    // and both surviving postings scans carry the pushed term filter
+    val ixScans = s.linesIterator.filter(l =>
+      l.contains("FileScan") && l.contains("/ix")).toSeq
+    assert(ixScans.nonEmpty, s)
+    ixScans.foreach(l =>
+      assert(l.contains("In(term") || l.contains("term#"), l))
+    // the one-row stats scan is the ONLY unfiltered scan
+    assert(s.linesIterator.exists(l =>
+      l.contains("FileScan") && l.contains("/stats")), s)
+  }
+
+  test("p5 perplexity buckets: no window partitioned by lang alone — " +
+      "the tier rank is the distributed (pid, lang) form") {
+    val df = PipelineQueries.pplBuckets(spark, sf)
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window =>
+        w.partitionSpec.map(_.sql.toLowerCase)
+    }
+    windows.foreach { spec =>
+      assert(!(spec.size == 1 && spec.head.contains("lang")),
+        s"single-task per-language window survived: $spec")
+    }
+    // and the rank window that IS there is co-keyed by the partition id
+    assert(windows.exists(_.exists(_.contains("__gr_pid"))),
+      s"expected the distributed rank window, got $windows")
+  }
 }
