@@ -125,7 +125,27 @@ object Bench {
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     // Disk self-check BEFORE the JVM warms: rounds 5-7 each shipped an
     // official record contaminated by concurrent driver disk load.
-    val mbps = diskMbps()
+    // QUIESCE FLOOR (round-9 follow-through: FIVE consecutive official
+    // records landed on contended windows; the per-query stamps made
+    // them auditable, this makes them avoidable): refuse to START the
+    // timed session while the stamp sits under the floor — sleep and
+    // re-stamp, up to a 10-minute deadline. Past the deadline the run
+    // proceeds (an unattended round needs SOME record) but the JSON
+    // carries "quiesced":false so the reading is flagged at the
+    // source. SPARK_GRAFT_DISK_FLOOR overrides (0 disables).
+    val floor = sys.env.get("SPARK_GRAFT_DISK_FLOOR")
+      .map(_.toDouble).getOrElse(90.0)
+    var mbps = diskMbps()
+    var quiesceWaits = 0
+    val quiesceDeadline = System.nanoTime() + 10L * 60L * 1000000000L
+    while (mbps < floor && System.nanoTime() < quiesceDeadline) {
+      System.err.println(f"[bench] disk stamp $mbps%.1f MB/s < floor " +
+        f"$floor%.0f - box contended; sleeping 30s before re-stamping")
+      Thread.sleep(30000)
+      quiesceWaits += 1
+      mbps = diskMbps()
+    }
+    val quiesced = mbps >= floor
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -249,7 +269,7 @@ object Bench {
     val rerunJson = reruns.map("\"" + _ + "\"")
       .mkString(",\"contention_reruns\":[", ",", "]")
     val mbpsR = math.rint(mbps * 10) / 10
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR$skewJson$stampJson$rerunJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR,"quiesced":$quiesced,"quiesce_waits":$quiesceWaits$skewJson$stampJson$rerunJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

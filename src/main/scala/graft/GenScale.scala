@@ -45,13 +45,34 @@ import org.apache.spark.sql.functions._
   * never read probe dirs — the zipf corpus exists to measure
   * task-time skew, not to hash-match oracles.
   *
+  *   - ~90% of documents remapped to lang 'en' → the per-language
+  *     quantile-tier hazard (p5/p7 distributed rank max-task bound).
+  *
   * Usage: runMain graft.GenScale <srcSfDir> <outDir> <copies> [zipf]
+  *        [table1,table2,...]   (5th arg restricts generated tables)
   */
 object GenScale {
 
   /** 10 rotations of a 10-letter alphabet: copy i translates letter j to
     * letter (j+i)%10 — identity for copy 0. */
   private val alphabet = "aeiousnrtl"
+
+  /** Distinct alphabet PERMUTATION per copy, extending the rotation
+    * family past 10 copies (the 30x probe): copies 0-9 rotate, 10-19
+    * rotate the REVERSED alphabet (reversal inverts the cyclic order,
+    * so none collides with a pure rotation), 20-29 rotate the
+    * adjacent-pair-swapped alphabet. Any permutation preserves
+    * lengths, token shapes, and within-copy near-dup structure while
+    * keeping cross-copy texts distinct — the replication contract. */
+  private def perm(i: Int): String = {
+    val base = (i / 10) % 3 match {
+      case 1 => alphabet.reverse
+      case 2 => alphabet.grouped(2).map(_.reverse).mkString
+      case _ => alphabet
+    }
+    val r = i % 10
+    base.drop(r) + base.take(r)
+  }
 
   /** The hot stop-phrase: existing-vocabulary words so it tokenizes like
     * the rest of the corpus; 3 repeats make its word 3-grams and char
@@ -66,8 +87,17 @@ object GenScale {
     val (srcDir, outDir, copiesStr) = (args(0), args(1), args(2))
     val zipf = args.length > 3 && args(3) == "zipf"
     val copies = copiesStr.toInt
-    require(copies >= 1 && copies <= alphabet.length,
-      s"copies must be 1..${alphabet.length} (distinct text rotations)")
+    require(copies >= 1 && copies <= 30,
+      s"copies must be 1..30 (distinct text permutations)")
+    require((0 until copies).map(perm).distinct.size == copies,
+      "alphabet permutations must be pairwise distinct")
+    // Optional 5th arg: comma-separated table subset (the 30x probe
+    // generates only the tables its queries read — documents+lineitem
+    // at 30x sf0.1 is ~2 GB; all eight would waste the disk budget).
+    val onlyTables: Option[Set[String]] =
+      if (args.length > 4) Some(args(4).split(",").map(_.trim).toSet)
+      else None
+    def wanted(name: String): Boolean = onlyTables.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -94,16 +124,17 @@ object GenScale {
     val vecOff  = off(tbl("embeddings"), "vec_id")
 
     /** Union `copies` shifted replicas; `shift` maps (df, copyIndex). */
-    def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit = {
-      val src = tbl(name)
-      val out = (0 until copies).map(i => shift(src, i))
-        .reduce(_.unionByName(_))
-      out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[genscale] $name x$copies written")
-    }
+    def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit =
+      if (wanted(name)) {
+        val src = tbl(name)
+        val out = (0 until copies).map(i => shift(src, i))
+          .reduce(_.unionByName(_))
+        out.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+        println(s"[genscale] $name x$copies written")
+      }
 
     // fixed-size dims: one copy
-    Seq("region", "nation").foreach { n =>
+    Seq("region", "nation").filter(wanted).foreach { n =>
       tbl(n).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
       println(s"[genscale] $n copied")
     }
@@ -146,10 +177,15 @@ object GenScale {
     replicate("documents")((df, i) => {
       val shifted = df
         .withColumn("doc_id", col("doc_id") + lit(i * docOff))
-        .withColumn("text", translate(col("text"),
-          alphabet, alphabet.drop(i) + alphabet.take(i)))
+        .withColumn("text", translate(col("text"), alphabet, perm(i)))
       if (!zipf) shifted
       else shifted
+        // Language skew: ~90% of the corpus lands on ONE language —
+        // the per-language quantile-tier hazard (p5/p7's distributed
+        // rank must bound its max task under exactly this mix).
+        .withColumn("lang",
+          when(coin(col("doc_id") * lit(23L), 85), lit("en"))
+            .otherwise(col("lang")))
         // Hot stop-phrase in ~40% of docs (n_chars kept consistent —
         // several text ops trust it as length metadata).
         .withColumn("text",

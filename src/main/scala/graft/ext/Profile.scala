@@ -104,7 +104,9 @@ object Profile {
     * Plan shape: one shuffle on the group keys; the row_number sort and
     * the three unordered partition aggregates share that partitioning
     * (one sort total). No joins, no per-group collect — group
-    * cardinality is unbounded, per-row state is constant.
+    * cardinality is unbounded, per-row state is constant. LOW-
+    * CARDINALITY HAZARD: each group sorts in one window task; use
+    * [[winsorizeDist]] when keys are few.
     */
   /** Per-group equi-DEPTH bucketing (quantile binning): each row gets a
     * bucket in [0, k-1] holding ~n/k rows — the feature-binning /
@@ -119,7 +121,11 @@ object Profile {
     *
     * Plan shape: one shuffle on the group keys; row_number and the
     * count window share the sort (cf. [[winsorize]]). No joins, no
-    * per-group collect.
+    * per-group collect. LOW-CARDINALITY HAZARD: the window's required
+    * clustering sorts each group in ONE task — right for the
+    * high-cardinality keys the gates exercise, a single-task sort when
+    * keys are few (or the call is whole-table); use
+    * [[equiDepthBucketsDist]] there.
     */
   def equiDepthBuckets(
       df: DataFrame, keys: Seq[String], x: Column, k: Int,
@@ -148,6 +154,8 @@ object Profile {
     * same partitioning (by value, then by deviation — MAD's nested
     * order statistic needs both), each the winsorize rank-pick pattern;
     * final one-row-per-group aggregate. No joins, no per-group collect.
+    * LOW-CARDINALITY HAZARD: each group sorts in one window task (twice
+    * here); use [[madDist]] when keys are few.
     * NULL values of `x` are excluded: `n`, the median and the MAD are
     * statistics of the non-null rows only.
     */
@@ -175,6 +183,97 @@ object Profile {
     withMad.groupBy(kc: _*)
       .agg(max(col("__n")).as("n"), max(col("__med")).as("median"),
         max(col("__mad")).as("mad"))
+  }
+
+  /** ceil(n·pct/100) clamped to ≥ 1, in portable integer arithmetic —
+    * the discrete order-statistic rank shared by [[winsorize]]/
+    * [[winsorizeDist]]/[[mad]]/[[madDist]]. */
+  private def rankAtPct(n: Column, pct: Int): Column = {
+    val num = n * pct + 99
+    greatest(((num - num % 100) / 100).cast("long"), lit(1L))
+  }
+
+  /** [[equiDepthBuckets]] on [[Packing.groupRank]]'s distributed rank —
+    * for LOW-cardinality group keys, where the windowed form's required
+    * clustering puts every row of a group in ONE task (the whole-table
+    * `keys = Seq(constant)` or per-language call is a single-task sort
+    * at corpus scale; fine when keys are high-cardinality, which is
+    * what the windowed form's gates exercise). Bit-identical buckets:
+    * the pinned `(rn − 1)·k div n` formula is a pure function of the
+    * same total (x, tiebreak) order. */
+  def equiDepthBucketsDist(
+      df: DataFrame, keys: Seq[String], x: Column, k: Int,
+      tiebreak: Seq[String], out: String = "bucket"): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(tiebreak.nonEmpty, "need a tiebreak column for a total order")
+    Packing.groupRank(df, keys, x +: tiebreak.map(col))
+      .withColumn(out,
+        expr(s"((gr_rank - 1) * $k) div gr_n").cast("int"))
+      .drop("gr_rank", "gr_n")
+  }
+
+  /** [[winsorize]] on the distributed rank — same low-cardinality
+    * rationale as [[equiDepthBucketsDist]]. The percentile picks become
+    * a per-group aggregate over the ranked frame (value at the pinned
+    * rank), broadcast-joined back (groups are few by premise). NULL
+    * `x` rows are DROPPED here (the windowed original ranks nulls
+    * first, which silently shifts its picks — the [[mad]] fix applied;
+    * filter upstream if null passthrough is wanted). Clipped values of
+    * surviving rows match the original wherever the original's input
+    * has no nulls. */
+  def winsorizeDist(
+      df: DataFrame, keys: Seq[String], x: Column,
+      pLoPct: Int, pHiPct: Int, out: String = "clipped"): DataFrame = {
+    require(0 <= pLoPct && pLoPct <= pHiPct && pHiPct <= 100,
+      "need 0 <= pLoPct <= pHiPct <= 100")
+    val base = df.withColumn("x_e", x.cast("long"))
+      .where(col("x_e").isNotNull)
+    val ranked = Packing.groupRank(base, keys, Seq(col("x_e")))
+    val picks = ranked.groupBy(keys.map(col): _*)
+      .agg(max(when(col("gr_rank") === rankAtPct(col("gr_n"), pLoPct),
+          col("x_e"))).as("win_lo"),
+        max(when(col("gr_rank") === rankAtPct(col("gr_n"), pHiPct),
+          col("x_e"))).as("win_hi"))
+    joinOnKeysNullSafe(ranked.drop("gr_rank", "gr_n"), picks, keys)
+      .withColumn(out,
+        least(greatest(col("x_e"), col("win_lo")), col("win_hi")))
+  }
+
+  /** [[mad]] on the distributed rank — same low-cardinality rationale
+    * as [[equiDepthBucketsDist]]: two groupRank passes (value order,
+    * then deviation order), each with its order-stat pick as a
+    * broadcast-joined per-group aggregate. NULL `x` excluded, exactly
+    * as in [[mad]]. Output: (keys…, n, median, mad), one row/group. */
+  def madDist(df: DataFrame, keys: Seq[String], x: Column): DataFrame = {
+    val base = df.select(keys.map(col) :+ x.cast("long").as("__x"): _*)
+      .where(col("__x").isNotNull)
+    val r1 = Packing.groupRank(base, keys, Seq(col("__x")))
+    val med = r1.groupBy(keys.map(col): _*)
+      .agg(max(col("gr_n")).as("n"),
+        max(when(col("gr_rank") === rankAtPct(col("gr_n"), 50),
+          col("__x"))).as("median"))
+    val withDev = joinOnKeysNullSafe(r1.drop("gr_rank", "gr_n"), med, keys)
+      .withColumn("__dev", abs(col("__x") - col("median")))
+    val r2 = Packing.groupRank(
+      withDev.select(keys.map(col) :+ col("__dev"): _*), keys,
+      Seq(col("__dev")))
+    val mads = r2.groupBy(keys.map(col): _*)
+      .agg(max(when(col("gr_rank") === rankAtPct(col("gr_n"), 50),
+        col("__dev"))).as("mad"))
+    joinOnKeysNullSafe(med, mads, keys)
+      .select(keys.map(col) :+ col("n") :+ col("median") :+ col("mad"): _*)
+  }
+
+  /** Broadcast-join `small` onto `big` on `keys` with NULL-SAFE
+    * equality (a null group key is a group like any other for the
+    * order statistics; plain === would silently drop its rows). */
+  private def joinOnKeysNullSafe(big: DataFrame, small: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val renamed = keys.foldLeft(small)((d, k) =>
+      d.withColumnRenamed(k, s"__jk_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"__jk_$k")).reduce(_ && _)
+    big.join(broadcast(renamed), cond)
+      .drop(keys.map(k => s"__jk_$k"): _*)
   }
 
   def winsorize(

@@ -1191,6 +1191,60 @@ object TextAnalysis {
       .agg(sum(col("c")).as("c")),
     a._2.union(b._2).groupBy(col("label")).agg(sum(col("n")).as("n")))
 
+  /** Persist an [[nbCounts]] model as a loadable classifier index —
+    * the AnnIndex/bm25Index pattern applied to the NB classifier: the
+    * serve-many deployment shape where training happens once (or
+    * incrementally via [[nbMerge]] + append) and classification calls
+    * stop re-aggregating the reference corpus AND stop re-measuring
+    * the model per call. The placement measurement ([[nbClassify]]'s
+    * auto mode runs it as an eager localCheckpoint per call — the t29
+    * regression) is taken ONCE here and saved in the meta sidecar;
+    * [[nbClassifyFromModel]] reads three model-sized parquet frames
+    * and pins the placement from the saved estimate. */
+  def nbSaveModel(root: String, tokenCounts: DataFrame,
+      classCounts: DataFrame): Unit = {
+    tokenCounts.write.mode("errorifexists").parquet(s"$root/tok.parquet")
+    classCounts.write.mode("errorifexists").parquet(s"$root/cls.parquet")
+    tokenCounts.sparkSession.read.parquet(s"$root/tok.parquet")
+      .agg(count(lit(1)).as("rows"),
+        coalesce(sum(length(col("w"))), lit(0L)).as("wbytes"))
+      .write.mode("errorifexists").parquet(s"$root/meta.parquet")
+  }
+
+  /** Classify against a model persisted by [[nbSaveModel]]: loads the
+    * postings-free model frames, derives the broadcast decision from
+    * the SAVED size estimate (same 64 B/row + token-bytes formula and
+    * threshold rule as [[nbClassify]]'s auto mode — a pinned
+    * placement, so no per-call checkpoint or measurement job), and
+    * scores identically to the direct path. */
+  def nbClassifyFromModel(spark: org.apache.spark.sql.SparkSession,
+      root: String, docs: DataFrame, text: String, id: String,
+      scale: Long = 1000000000L): DataFrame = {
+    val tok = spark.read.parquet(s"$root/tok.parquet")
+    val cls = spark.read.parquet(s"$root/cls.parquet")
+    val meta = spark.read.parquet(s"$root/meta.parquet").head
+    val threshold = broadcastThresholdBytes(spark)
+    val fits = threshold > 0 &&
+      meta.getLong(0) * 64L + meta.getLong(1) <= threshold
+    nbClassify(docs, text, id, tok, cls, scale,
+      broadcastModel = Some(fits))
+  }
+
+  /** spark.sql.autoBroadcastJoinThreshold as bytes (shared by
+    * [[nbClassify]]'s auto mode and [[nbClassifyFromModel]]). */
+  private[graft] def broadcastThresholdBytes(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      .stripSuffix("b").stripSuffix("B") match {
+        case s if s.endsWith("k") || s.endsWith("K") =>
+          s.dropRight(1).toLong << 10
+        case s if s.endsWith("m") || s.endsWith("M") =>
+          s.dropRight(1).toLong << 20
+        case s if s.endsWith("g") || s.endsWith("G") =>
+          s.dropRight(1).toLong << 30
+        case s => s.toLong
+      }
+
   /** Classify documents against an [[nbCounts]] model — the supervised
     * member of the quality-filter family (Gopher heuristics are
     * hand-written rules, [[lmScore]] is unsupervised in-distribution
@@ -1238,17 +1292,7 @@ object TextAnalysis {
       if (broadcastModel.isEmpty) tokenCounts.localCheckpoint(true)
       else tokenCounts
     val doBroadcast = broadcastModel.getOrElse {
-      val threshold = docs.sparkSession.conf
-        .get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-        .stripSuffix("b").stripSuffix("B") match {
-          case s if s.endsWith("k") || s.endsWith("K") =>
-            s.dropRight(1).toLong << 10
-          case s if s.endsWith("m") || s.endsWith("M") =>
-            s.dropRight(1).toLong << 20
-          case s if s.endsWith("g") || s.endsWith("G") =>
-            s.dropRight(1).toLong << 30
-          case s => s.toLong
-        }
+      val threshold = broadcastThresholdBytes(docs.sparkSession)
       if (threshold <= 0) false
       else {
         // ~48 bytes/row of UnsafeRow + hash-relation overhead beyond

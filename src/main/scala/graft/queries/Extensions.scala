@@ -619,6 +619,82 @@ object ExtensionQueries {
       .orderBy("doc_id")
   }
 
+  /** s18: per-tier RECALL FLOOR gates for the QUANTIZED serve tiers at
+    * their REAL serve settings — the empirical speed/recall ladder a
+    * 100 TB deployment tunes against, measured (not assumed) for every
+    * lossy tier: IVF-PQ (s8's nprobe 5 / rerank 20), IVF-SQ8 (s13's
+    * settings), and flat SQ8 (s12's rerank cut). s16 established the
+    * recall METRIC for the IVF tier; this pins the quantized tiers,
+    * each against the same brute-force top-5, and ENFORCES a per-tier
+    * mean-recall floor eagerly (an index whose recall collapses fails
+    * the gate even before the hash compare — the regression a quantizer
+    * bug causes first). Both pipelines stay ANSI-replayable, so the
+    * recall numbers themselves hash-match the oracle, which re-derives
+    * all three approximate lists, the exact list, and the integer ppm
+    * recall end to end. Scale shape: recall is computed on RESULT
+    * lists (Q·k rows), never corpora — the report is broadcast-scale
+    * regardless of corpus size. */
+  def recallFloors(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = queriesDf(s, d)
+    // one exact list serves all three tier comparisons: Q·k rows
+    val brute = Similarity.bruteForceTopK(c, q, k = 5).localCheckpoint()
+    def rep(tier: String, approx: DataFrame): DataFrame =
+      Similarity.recallReport(approx, brute)
+        .select(lit(tier).as("tier"), col("query_id"), col("k"),
+          col("n_hit"), col("recall_ppm"))
+    val report = rep("ivfpq", Similarity.ivfPqTopK(c, q, k = 5, dim = 64,
+        nlist = 20, nprobe = 5, m = 8, codes = 16, rerank = 20))
+      .unionAll(rep("ivfsq8", Similarity.ivfSq8TopK(c, q, k = 5,
+        nlist = 20, nprobe = 5, rerank = 20)))
+      .unionAll(rep("sq8", Similarity.sq8TopK(c, q, k = 5, rerank = 20)))
+      .orderBy("tier", "query_id")
+      .localCheckpoint()
+    // Floors: conservative bounds under the MEASURED mean recall at
+    // sf0.001/0.01/0.1 (exact-integer pipelines — recall per SF is
+    // deterministic, so a breach is a code regression, not noise).
+    // Measured means: sq8 1.0M ppm at every SF (flat scan + exact
+    // rerank loses nothing at these settings); ivfsq8 460k-600k;
+    // ivfpq 140k-400k, DECAYING with corpus size — the ladder's
+    // central tuning fact: at fixed nlist=20 the buckets grow with
+    // the corpus while nprobe=5 and rerank=20 stay fixed, so a real
+    // deployment must scale nlist ~ sqrt(N) (and nprobe with it) to
+    // hold recall; this gate measures that decay instead of assuming
+    // the tier "works".
+    val floors = Map("ivfpq" -> 100000L, "ivfsq8" -> 400000L,
+      "sq8" -> 950000L)
+    val means = report.groupBy(col("tier"))
+      .agg(sum(col("recall_ppm")).as("s"), count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1) / r.getLong(2))
+      .toMap
+    floors.foreach { case (tier, floor) =>
+      require(means.getOrElse(tier, 0L) >= floor,
+        s"recallFloors: tier '$tier' mean recall " +
+          s"${means.getOrElse(tier, 0L)} ppm fell below the $floor ppm " +
+          "floor — the quantized serve path regressed")
+    }
+    report
+  }
+
+  private def tierRecallSql(tier: String, approxSql: String): String =
+    s"""SELECT '$tier' AS tier, kk.query_id, kk.k, coalesce(h.n_hit, 0) AS n_hit
+       |FROM kk LEFT JOIN (
+       | SELECT b.query_id, count(*) AS n_hit FROM brute b
+       | JOIN ($approxSql) a
+       |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+       | GROUP BY 1) h USING (query_id)""".stripMargin
+
+  private lazy val recallFloorsOracle =
+    s"""WITH brute AS (SELECT query_id, corpus_id FROM ($knnOracle) b),
+       |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+       |SELECT tier, query_id, CAST(k AS BIGINT) AS k,
+       | CAST(n_hit AS BIGINT) AS n_hit,
+       | CAST(n_hit * 1000000 // k AS BIGINT) AS recall_ppm
+       |FROM (${tierRecallSql("ivfpq", knnIvfPqOracle)}
+       |UNION ALL ${tierRecallSql("ivfsq8", knnIvfSq8Oracle)}
+       |UNION ALL ${tierRecallSql("sq8", knnSq8Oracle)}) t
+       |ORDER BY tier, query_id""".stripMargin
+
   private val hybridRrfApproxOracle =
     """WITH toks AS (
       | SELECT doc_id, unnest(list_filter(
@@ -1891,6 +1967,7 @@ object ExtensionQueries {
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
+    QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),

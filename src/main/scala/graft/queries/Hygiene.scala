@@ -988,12 +988,23 @@ object HygieneQueries {
     * minCount=2 trigram model + the pinned floor-division term chain,
     * ending at `terms` (doc_id, term). Consumed by t40/t41/st22 (score
     * aggregate) and p5 (per-language ntile over the scores). */
-  private[queries] val knTermsCte =
-    """WITH toks AS (
+  /** The KN trigram scoring chain as a WITH-body fragment over any
+    * source relation carrying (doc_id, text) — reused verbatim by the
+    * t40/p5/p7 oracles (src = documents) and composed after the
+    * curation chain by p8 (src = the curated CTE). Ends at `terms`. */
+  private[queries] def knTermsBody(src: String): String =
+    s"""toks AS (
       | SELECT doc_id,
-      |  list_filter(string_split_regex(lower(text), '\s+'),
+      |  list_filter(string_split_regex(lower(text), '\\s+'),
       |    t -> len(t) > 0) AS ts
-      | FROM documents),
+      | FROM $src),""".stripMargin + knTermsTail
+
+  private[queries] lazy val knTermsCte = "WITH " + knTermsBody("documents")
+
+  // lazy: knTermsCte's initializer runs knTermsBody, which reads this
+  // before the object's later vals would otherwise be initialized
+  private lazy val knTermsTail =
+    """
       |tri0 AS (
       | SELECT doc_id, unnest(ts[1:len(ts) - 2]) AS w1,
       |        unnest(ts[2:len(ts) - 1]) AS w2,
@@ -1075,6 +1086,56 @@ object HygieneQueries {
     val (tok, cls) = TextAnalysis.nbCounts(docs, "text", "lang")
     TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls)
       .orderBy("doc_id")
+  }
+
+  /** t44: the classifier INDEX/SERVE split — train once, persist the
+    * model (TextAnalysis.nbSaveModel: counts + a one-row measured-size
+    * meta), then classify from the LOADED model. The serve path never
+    * re-aggregates the reference corpus and never re-measures the
+    * model (the saved estimate pins the broadcast placement — the t29
+    * auto mode's per-call checkpoint+measure job is gone on this
+    * shape). Same oracle as t29: persist→load→serve must change
+    * nothing about the exact-BIGINT decision. Benched as the
+    * serve-many twin of t29. */
+  def nbFromModelGate(s: SparkSession, d: String): DataFrame = {
+    // The model is TRAINED AND PERSISTED once per sf dir (the m5
+    // fixture pattern: atomic publish, losers of a race reuse the
+    // winner's dir) so bench timings measure the SERVE path — load +
+    // classify — which is the whole point of the split; training cost
+    // is t29's number. Every run still exercises persist→load.
+    TextAnalysis.nbClassifyFromModel(s, nbModelFixture(s, d),
+        Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** Train-and-save the t44 NB model for `d` on first use; returns the
+    * model root. Content-stable key (path, corpus row count). */
+  private def nbModelFixture(s: SparkSession, d: String): String = {
+    val docs = Tables.documents(s, d)
+    val key = java.lang.Long.toHexString(
+      d.hashCode.toLong << 32 | docs.count())
+    val dir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft_t44_nb_$key")
+    if (!java.nio.file.Files.exists(dir.resolve("meta.parquet"))) {
+      val tmp = java.nio.file.Files.createTempDirectory("graft_t44_build_")
+        .resolve("nb_model").toString
+      val (tok, cls) = TextAnalysis.nbCounts(docs, "text", "lang")
+      TextAnalysis.nbSaveModel(tmp, tok, cls)
+      // meta.parquet is written LAST by nbSaveModel, so its presence
+      // under the published dir implies a complete model; a dir
+      // without it is a crashed partial publish — clear and retry.
+      if (java.nio.file.Files.exists(dir) &&
+          !java.nio.file.Files.exists(dir.resolve("meta.parquet"))) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+      try java.nio.file.Files.move(java.nio.file.Paths.get(tmp), dir,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.nio.file.FileAlreadyExistsException
+          | _: java.nio.file.AccessDeniedException => () }
+    }
+    dir.toString
   }
 
   /** Incremental-equals-retrain for the classifier: two disjoint count
@@ -1385,6 +1446,8 @@ object HygieneQueries {
     QueryDef("t33_sitemap", sitemapGate, Some(sitemapOracle)),
     QueryDef("t29_nb_classify", nbClassifyGate, Some(nbClassifyOracle), bench = true),
     QueryDef("t30_nb_incremental", nbIncrementalGate, Some(nbClassifyOracle)),
+    QueryDef("t44_nb_from_model", nbFromModelGate, Some(nbClassifyOracle),
+      bench = true),
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)),

@@ -169,8 +169,14 @@ object PipelineQueries {
       .orderBy("doc_id")
   }
 
-  private val curationNearDupOracle =
-    """WITH RECURSIVE corpus AS (
+  /** The quality → exact-dedup → near-dup-CC → decontam chain of the
+    * planted near-dup corpus as a WITH-body fragment ending at `k3`
+    * (the curated survivors) — shared by the p4 oracle (which appends
+    * its temperature-mixing + sharding tail) and the p8 oracle (which
+    * appends KN tiers, the epoch-capped realization, curriculum
+    * sharding, and the manifest). */
+  private lazy val nearDupKeptCtes =
+    """corpus AS (
       | SELECT doc_id, text, lang FROM documents
       | UNION ALL
       | SELECT doc_id + 100000 AS doc_id, text, lang
@@ -260,9 +266,12 @@ object PipelineQueries {
       |hits AS (
       | SELECT DISTINCT cg.doc_id FROM cgrams cg
       | JOIN bgrams USING (gram)),
-      |k3 AS (
+      |k3 AS MATERIALIZED (
       | SELECT k2b.* FROM k2b LEFT JOIN hits h ON k2b.doc_id = h.doc_id
-      | WHERE h.doc_id IS NULL),
+      | WHERE h.doc_id IS NULL)""".stripMargin
+
+  private lazy val curationNearDupOracle =
+    "WITH RECURSIVE " + nearDupKeptCtes + """,
       |cnt AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM k3 GROUP BY lang),
       |mn AS (SELECT CAST(min(n) AS DOUBLE) AS nmin FROM cnt),
       |r AS (
@@ -283,6 +292,131 @@ object PipelineQueries {
       |SELECT doc_id, lang, n_tokens,
       | CAST(start_offset // 2048 AS BIGINT) AS shard_id
       |FROM o ORDER BY doc_id""".stripMargin
+
+  /** p8: the END-TO-END PRETRAINING-RUN composition — every stage a
+    * real training export chains, in trainer order, over the planted
+    * near-dup corpus, with the WHOLE artifact (per-copy shard rows +
+    * the per-shard manifest) hash-replayed by one oracle:
+    *
+    *   1. curate with near-dup ON (p4's front half: Gopher quality →
+    *      min-id exact dedup → MinHash LSH + transitive component keep
+    *      → decontamination) at temperature alpha = 1 — mixing is NOT
+    *      curation's thinning here but the explicit epoch-capped stage
+    *      below, as a real run prices it;
+    *   2. KN perplexity tiers self-trained on the CURATED corpus (p5);
+    *   3. epoch-capped mixture plan over the curated per-language token
+    *      supply (sm14), REALIZED by replication (whole copies +
+    *      hash-Bernoulli fractional copy, copy_id numbered);
+    *   4. token-balanced curriculum shards cut over the REALIZED
+    *      stream — order (bucket, score desc, id, copy) via the
+    *      distributed prefix sum (p7/pk2);
+    *   5. per-shard manifest joined onto every row (the loader
+    *      sidecar);
+    *   6. partitioned parquet export (partitionBy shard_id) and
+    *      read-back — the artifact is checked AFTER the roundtrip.
+    *
+    * Output: one row per (doc, copy): (doc_id, lang, bucket, copy_id,
+    * n_tokens, shard_id, shard_docs, shard_tokens). */
+  def pretrainRun(s: SparkSession, d: String): DataFrame = {
+    import graft.ext.{Curation, Dedup, Packing, Sampling}
+    val corpus = curationNearDupCorpus(s, d)
+    val bench = Tables.documents(s, d)
+      .where(col("doc_id") % 20 === 0).select(col("text"))
+    val keptIds = Curation.curate(corpus, "text", "doc_id", col("lang"),
+        bench, "text", minWords = 30L, minStopHits = 1L, alpha = 1.0,
+        nearDup = Some(Dedup.MinHashConfig()))
+      .select(col("doc_id"))
+    // The curated corpus feeds three stages (KN training + scoring,
+    // the mixture supply, the realization) — materialize it once.
+    val docs8 = corpus.join(keptIds, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val tiers = Curation.perplexityBuckets(docs8, "text", "doc_id",
+      col("lang"), TextAnalysis.knCounts(docs8, "text"),
+      nBuckets = 3, minCount = 2L)
+    val tok = TextAnalysis.tokenCount(col("text"))
+    val realized = Sampling.mixtureSampleEpochs(docs8, col("lang"),
+      col("doc_id"), tok,
+      targetPpm = Map("en" -> 400000L, "de" -> 200000L, "es" -> 200000L,
+        "fr" -> 100000L, "zh" -> 100000L),
+      capE6 = Map("en" -> 2000000L), seed = 5L)
+    val keyed = realized
+      .join(tiers.select(col("doc_id"), col("score_e12"), col("bucket")),
+        Seq("doc_id"))
+      .withColumn("__p8_key", struct(col("bucket"),
+        (-col("score_e12")).as("ns"), col("doc_id"), col("copy_id")))
+    val sharded = Packing.shardByTokens(keyed, "__p8_key", tok,
+        shardTokens = 2048L,
+        carry = Seq("doc_id", "lang", "bucket", "copy_id"))
+      .select(col("doc_id"), col("lang"), col("bucket"),
+        col("copy_id").cast("long").as("copy_id"), col("n_tokens"),
+        col("shard_id"))
+    val manifest = Packing.shardManifest(sharded)
+      .select(col("shard_id"), col("n_docs").as("shard_docs"),
+        col("n_tokens").as("shard_tokens"))
+    val outDir = java.nio.file.Files.createTempDirectory("graft_p8_")
+      .resolve("export").toString
+    sharded.join(broadcast(manifest), Seq("shard_id"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(outDir)
+    s.read.parquet(outDir)
+      .select(col("doc_id"), col("lang"), col("bucket"), col("copy_id"),
+        col("n_tokens"), col("shard_id").cast("long").as("shard_id"),
+        col("shard_docs"), col("shard_tokens"))
+      .orderBy("doc_id", "copy_id")
+  }
+
+  private lazy val pretrainRunOracle =
+    "WITH RECURSIVE " + nearDupKeptCtes + "," +
+    HygieneQueries.knTermsBody("k3") + """,
+      |scored AS (
+      | SELECT doc_id, sum(term) // count(*) AS score_e12
+      | FROM terms GROUP BY doc_id),
+      |tiered AS (
+      | SELECT k.doc_id, k.lang, s.score_e12,
+      |  CAST(ntile(3) OVER (PARTITION BY k.lang
+      |    ORDER BY s.score_e12 DESC, k.doc_id) AS BIGINT) AS bucket,
+      |  CAST(len(regexp_extract_all(k.text, '[^\s]+')) AS BIGINT)
+      |    AS n_tokens
+      | FROM k3 k JOIN scored s USING (doc_id)),
+      |wts AS (SELECT * FROM (VALUES ('en', 400000, 2000000),
+      |  ('de', 200000, 1000000), ('es', 200000, 1000000),
+      |  ('fr', 100000, 1000000), ('zh', 100000, 1000000))
+      |  AS t(source, w, e)),
+      |agg AS (
+      | SELECT lang AS source, sum(n_tokens) AS tok
+      | FROM tiered GROUP BY 1),
+      |tt AS (SELECT min(tok * e // w.w) AS T
+      | FROM agg JOIN wts w USING (source)),
+      |rates AS (
+      | SELECT a.source,
+      |  LEAST(e, ((w.w * tt.T // 1000000) * 1000000) // a.tok) AS rate_ppm
+      | FROM agg a JOIN wts w USING (source) CROSS JOIN tt),
+      |rk AS (
+      | SELECT t.*, r.rate_ppm // 1000000 +
+      |  CASE WHEN ((t.doc_id % 2147483647) * ((2654435761 * 6) % 2147483647)
+      |        + 5) % 2147483647 % 1000000 < r.rate_ppm % 1000000
+      |   THEN 1 ELSE 0 END AS k
+      | FROM tiered t JOIN rates r ON r.source = t.lang),
+      |copies AS (
+      | SELECT rk.*, unnest(range(1, CAST(k + 1 AS BIGINT))) AS copy_id
+      | FROM rk WHERE k >= 1),
+      |o AS (
+      | SELECT doc_id, lang, bucket, copy_id, n_tokens,
+      |  sum(n_tokens) OVER (
+      |    ORDER BY bucket, score_e12 DESC, doc_id, copy_id
+      |    ROWS UNBOUNDED PRECEDING) AS eo
+      | FROM copies WHERE n_tokens > 0),
+      |shardrows AS (
+      | SELECT doc_id, lang, bucket, CAST(copy_id AS BIGINT) AS copy_id,
+      |  n_tokens, CAST((eo - n_tokens) // 2048 AS BIGINT) AS shard_id
+      | FROM o),
+      |man AS (
+      | SELECT shard_id, CAST(count(*) AS BIGINT) AS shard_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+      | FROM shardrows GROUP BY 1)
+      |SELECT s.doc_id, s.lang, s.bucket, s.copy_id, s.n_tokens,
+      | s.shard_id, m.shard_docs, m.shard_tokens
+      |FROM shardrows s JOIN man m USING (shard_id)
+      |ORDER BY s.doc_id, s.copy_id""".stripMargin
 
   /** Corpus data card over the same planted curation corpus: one exact
     * row — volume, duplication, language spread, quality yield,
@@ -1373,6 +1507,8 @@ object PipelineQueries {
       Some(classifiedMixtureOracle)),
     QueryDef("p7_curriculum_shards", curriculumShards,
       Some(curriculumShardsOracle), bench = true),
+    QueryDef("p8_pretrain_run", pretrainRun, Some(pretrainRunOracle),
+      bench = true),
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),

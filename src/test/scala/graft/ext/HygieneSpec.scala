@@ -521,4 +521,31 @@ class HygieneSpec extends AnyFunSuite {
       .collect().map(r => r.getString(1))
     assert(oov.toSeq === Seq("bad")) // "bad" < "good" on equal scores
   }
+
+  test("nbSaveModel / nbClassifyFromModel: persist→load→classify equals " +
+      "the direct path; the serve plan carries no localCheckpoint scan") {
+    import spark.implicits._
+    val ref = Seq(
+      ("good", "clean prose with many words of quality"),
+      ("good", "another clean well formed document"),
+      ("bad", "spam spam buy now spam"),
+      ("bad", "buy buy spam now")).toDF("lang", "text")
+    val docs = Seq(
+      (1L, "clean prose document"), (2L, "buy spam now"),
+      (3L, "words of quality prose"), (4L, "zzz unseen tokens only"))
+      .toDF("doc_id", "text")
+    val (tok, cls) = TextAnalysis.nbCounts(ref, "text", "lang")
+    val direct = TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls)
+      .orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_nbspec_")
+      .resolve("m").toString
+    TextAnalysis.nbSaveModel(root, tok, cls)
+    val served = TextAnalysis.nbClassifyFromModel(spark, root, docs,
+      "text", "doc_id")
+    assert(served.orderBy("doc_id").collect().map(_.toSeq).toSeq === direct)
+    // pinned placement: no per-call measurement checkpoint in the plan
+    val plan = served.queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("logicalrdd"),
+      s"serve plan should read parquet, not a checkpointed RDD\n$plan")
+  }
 }

@@ -148,6 +148,41 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("Profile *Dist variants equal the windowed originals on a " +
+      "2-group skewed frame (incl. a whole-table single group)") {
+    // 90% of rows in one group — the shape the Dist variants exist for
+    val rows = (1L to 90L).map(i => ("big", i % 11, i)) ++
+      (91L to 100L).map(i => ("sml", i % 4, i))
+    val df = rows.toDF("g", "v", "id").repartition(6)
+    def sortedRows(d: org.apache.spark.sql.DataFrame) =
+      d.orderBy("id").collect().map(_.toSeq).toSeq
+    // equi-depth: identical buckets
+    val edW = Profile.equiDepthBuckets(df, Seq("g"), col("v"), 4, Seq("id"))
+      .select("g", "v", "id", "bucket")
+    val edD = Profile.equiDepthBucketsDist(df, Seq("g"), col("v"), 4, Seq("id"))
+      .select("g", "v", "id", "bucket")
+    assert(sortedRows(edD) === sortedRows(edW))
+    // winsorize: identical clip bounds and clipped values
+    val wW = Profile.winsorize(df, Seq("g"), col("v"), 10, 90)
+      .select("g", "id", "x_e", "win_lo", "win_hi", "clipped")
+    val wD = Profile.winsorizeDist(df, Seq("g"), col("v"), 10, 90)
+      .select("g", "id", "x_e", "win_lo", "win_hi", "clipped")
+    assert(wD.orderBy("id").collect().map(_.toSeq).toSeq ===
+      wW.orderBy("id").collect().map(_.toSeq).toSeq)
+    // mad: identical per-group (n, median, mad)
+    val mW = Profile.mad(df, Seq("g"), col("v"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val mD = Profile.madDist(df, Seq("g"), col("v"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(mD === mW)
+    // whole-table call (ONE group): the windowed original's worst case
+    val oneW = Profile.equiDepthBuckets(df.withColumn("c", lit(1)),
+      Seq("c"), col("v"), 3, Seq("id")).select("id", "bucket")
+    val oneD = Profile.equiDepthBucketsDist(df.withColumn("c", lit(1)),
+      Seq("c"), col("v"), 3, Seq("id")).select("id", "bucket")
+    assert(sortedRows(oneD) === sortedRows(oneW))
+  }
+
   test("ntileFromRank: matches ANSI ntile for every (n, k) in a grid") {
     for (n <- Seq(1, 2, 3, 4, 5, 7, 10, 23); k <- Seq(1, 2, 3, 4, 5, 8, 30)) {
       val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "x")
