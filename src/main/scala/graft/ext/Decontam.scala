@@ -47,11 +47,74 @@ object Decontam {
     * construction). The aggregation shuffles only matched rows. */
   def hits(corpus: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =
+    hitsWithGrams(corpus, textCol, idCol,
+      benchmarkGrams(benchmark, benchTextCol, n), n)
+
+  private def hitsWithGrams(corpus: DataFrame, textCol: String,
+      idCol: String, grams: DataFrame, n: Int): DataFrame =
     corpus
       .select(col(idCol), explode(gramsCol(col(textCol), n)).as("gram"))
-      .join(broadcast(benchmarkGrams(benchmark, benchTextCol, n)), Seq("gram"))
+      .join(broadcast(grams), Seq("gram"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"))
+
+  // ------------------------------------------- persisted benchmark index
+
+  /** Persist (or APPEND to) a benchmark-gram decontamination index at
+    * `root` — the index/serve split of the family (AnnIndex, bm25Index,
+    * nbSaveModel): eval sets accrete over time, and re-deriving the
+    * gram set from every raw benchmark per corpus pass is a rebuild the
+    * serve side should not pay. Merge is a plain parquet append — the
+    * serve path re-distincts the union, so overlapping increments (two
+    * eval sets sharing grams) cannot double-count a hit. The gram
+    * length `n` is pinned in a meta sidecar at first save; appending
+    * with a different n fails fast (mixed-length grams would silently
+    * never match). */
+  def saveIndex(root: String, benchmark: DataFrame, textCol: String,
+      n: Int = 8): Unit = {
+    val spark = benchmark.sparkSession
+    val metaPath = s"$root/meta.parquet"
+    val hp = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) {
+      val saved = spark.read.parquet(metaPath).head.getInt(0)
+      require(saved == n,
+        s"Decontam.saveIndex: index at $root was built with n=$saved, " +
+          s"append requested n=$n — mixed gram lengths never match")
+    } else {
+      import spark.implicits._
+      Seq(n).toDF("n").write.mode("ignore").parquet(metaPath)
+    }
+    benchmarkGrams(benchmark, textCol, n)
+      .write.mode("append").parquet(s"$root/grams.parquet")
+  }
+
+  /** [[flag]] served from a persisted index — reads the merged gram
+    * relation (re-distincted: increments may overlap) and the pinned n;
+    * the corpus probe is the same zero-shuffle broadcast semi-join. */
+  def flagFromIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (grams, n) = loadIndex(spark, root)
+    val h = hitsWithGrams(corpus, textCol, idCol, grams, n)
+      .withColumn("contaminated", lit(true))
+    corpus.join(h, Seq(idCol), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+  }
+
+  /** [[clean]] served from a persisted index. */
+  def cleanFromIndex(spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (grams, n) = loadIndex(spark, root)
+    corpus.join(
+      hitsWithGrams(corpus, textCol, idCol, grams, n).select(col(idCol)),
+      Seq(idCol), "left_anti")
+  }
+
+  private def loadIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): (DataFrame, Int) =
+    (spark.read.parquet(s"$root/grams.parquet").distinct(),
+      spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
 
   /** Corpus with `n_hits` (0 when clean) and a `contaminated` flag. The
     * join back is on the id against the hit relation, which is ≪ corpus

@@ -676,6 +676,63 @@ object ExtensionQueries {
     report
   }
 
+  /** s19: IVF-PQ recall at CAPACITY-SCALED settings — the follow-on to
+    * s18's measured decay: at fixed nlist the tier degrades as the
+    * corpus grows, so a real deployment scales nlist ~ sqrt(N) (and
+    * the probe budget with it). This gate derives nlist =
+    * floor(sqrt(N)) and nprobe = max(1, nlist/4) FROM THE CORPUS
+    * ITSELF (both engines compute the same IEEE sqrt — correctly
+    * rounded, so the floor is deterministic), serves IVF-PQ at those
+    * settings, and pins per-query recall@5 vs brute force, plus an
+    * eager mean-recall floor ABOVE the fixed-settings tier's worst
+    * reading — scaling the knobs must actually recover recall. The
+    * oracle replays the whole pipeline with the knobs as scalar
+    * subqueries of the same corpus. */
+  def recallScaled(s: SparkSession, d: String): DataFrame = {
+    val c = corpus(s, d)
+    val q = queriesDf(s, d)
+    val n = c.count()
+    val nlist = math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(1, nlist / 4)
+    val report = Similarity.recallReport(
+        Similarity.ivfPqTopK(c, q, k = 5, dim = 64, nlist = nlist,
+          nprobe = nprobe, m = 8, codes = 16, rerank = 100),
+        Similarity.bruteForceTopK(c, q, k = 5))
+      .orderBy("query_id")
+      .localCheckpoint()
+    val m = report.agg(sum(col("recall_ppm")).as("s"),
+      count(lit(1)).as("n")).head
+    val mean = m.getLong(0) / m.getLong(1)
+    // measured: 580k (sf0.001, nlist 14), 440k (sf0.01, nlist 45),
+    // 420k (sf0.1, nlist 144) — roughly SF-stable across a 100x corpus
+    // (rerank 100 pays the 16-code codebook's ADC coarseness), vs the
+    // fixed-settings tier's 400k -> 140k collapse (SCALEPROBE_r10
+    // recall_ladder)
+    require(mean >= 300000L,
+      s"recallScaled: mean recall $mean ppm under the 300000 floor — " +
+        "the capacity-scaled serve path regressed")
+    report
+  }
+
+  private val scaledNlistSql =
+    "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM c)"
+  private val scaledNprobeSql =
+    "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT) // 4) FROM c)"
+
+  private lazy val recallScaledOracle =
+    s"""WITH brute AS (SELECT query_id, corpus_id FROM ($knnOracle) b),
+       |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+       |SELECT query_id, CAST(kk.k AS BIGINT) AS k,
+       | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+       | CAST(coalesce(h.n_hit, 0) * 1000000 // kk.k AS BIGINT)
+       |   AS recall_ppm
+       |FROM kk LEFT JOIN (
+       | SELECT b.query_id, count(*) AS n_hit FROM brute b
+       | JOIN (${ivfPqOracleWith(scaledNlistSql, scaledNprobeSql, "100")}) a
+       |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+       | GROUP BY 1) h USING (query_id)
+       |ORDER BY query_id""".stripMargin
+
   private def tierRecallSql(tier: String, approxSql: String): String =
     s"""SELECT '$tier' AS tier, kk.query_id, kk.k, coalesce(h.n_hit, 0) AS n_hit
        |FROM kk LEFT JOIN (
@@ -1185,14 +1242,18 @@ object ExtensionQueries {
     * then ADC-scores ONLY pairs whose assigned centroid is probed by the
     * query, applies the rerank cut, and exact-cosine re-ranks the
     * survivors. Ranks (not scores) are compared, as in s1/s2/s6. */
-  private val knnIvfPqOracle =
-    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+  /** The full IVF-PQ replay with the three serve knobs as SQL
+    * fragments — "20"/"5"/"20" reproduces the s8 oracle verbatim;
+    * s19 passes corpus-derived scalar subqueries (nlist ~ sqrt(N)). */
+  private def ivfPqOracleWith(nlist: String, nprobe: String,
+      rerank: String): String =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
       |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
       |cent AS (
       | SELECT cid AS centroid_id, v AS cv FROM (
       |  SELECT cid, v, row_number() OVER (
       |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
-      | WHERE rn <= 20),
+      | WHERE rn <= $nlist),
       |assigned AS (
       | SELECT cid, centroid_id FROM (
       |  SELECT c.cid, cent.centroid_id, row_number() OVER (
@@ -1222,7 +1283,7 @@ object ExtensionQueries {
       |    PARTITION BY q.qid
       |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
       |  FROM q CROSS JOIN cent) t
-      | WHERE rn <= 5),
+      | WHERE rn <= $nprobe),
       |adc AS (
       | SELECT e.cid, p.qid,
       |  sum(list_aggregate(list_transform(range(1, 9), j ->
@@ -1238,13 +1299,15 @@ object ExtensionQueries {
       | SELECT qid, cid FROM (
       |  SELECT qid, cid,
       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
-      |  FROM adc) t WHERE rn <= 20)
+      |  FROM adc) t WHERE rn <= $rerank)
       |SELECT query_id, rank, corpus_id FROM (
       | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
       |  CAST(row_number() OVER (PARTITION BY ca.qid
       |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
       | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  private lazy val knnIvfPqOracle = ivfPqOracleWith("20", "5", "20")
 
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
@@ -1968,6 +2031,7 @@ object ExtensionQueries {
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
+    QueryDef("s19_recall_scaled", recallScaled, Some(recallScaledOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),

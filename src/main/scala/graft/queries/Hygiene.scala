@@ -39,7 +39,7 @@ object HygieneQueries {
       .select(col("doc_id"), col("n_hits"), col("contaminated"))
       .orderBy("doc_id")
 
-  private val decontamOracle =
+  private[queries] val decontamOracle =
     """WITH corpus AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL
@@ -70,6 +70,26 @@ object HygieneQueries {
       | h.doc_id IS NOT NULL AS contaminated
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
       |ORDER BY c.doc_id""".stripMargin
+
+  /** d20: decontamination served from a PERSISTED benchmark index — two
+    * OVERLAPPING benchmark increments (the full eval set, then its
+    * %40 slice again — every gram of the second append already exists)
+    * appended to the same index root; flagging from the merged index
+    * must equal the direct single-benchmark flag exactly, proving both
+    * the roundtrip and that the serve-side re-distinct keeps
+    * overlapping increments from double-counting hits. Same oracle as
+    * d7. */
+  def decontamFromIndex(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_d20_")
+      .resolve("ix").toString
+    Decontam.saveIndex(root, bench.select(col("text")), "text", n = 8)
+    Decontam.saveIndex(root,
+      bench.where(col("doc_id") % 40 === 0).select(col("text")), "text", n = 8)
+    Decontam.flagFromIndex(s, root, decontamCorpus(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
 
   /** The end-to-end decontaminated corpus (anti-join of the same hits). */
   def decontamClean(s: SparkSession, d: String): DataFrame =
@@ -1417,6 +1437,7 @@ object HygieneQueries {
   def defs: Seq[QueryDef] = Seq(
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
+    QueryDef("d20_decontam_index", decontamFromIndex, Some(decontamOracle)),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),

@@ -624,6 +624,39 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  /** st28: the decontamination benchmark index MAINTAINED under an
+    * eval-set stream — eval sets accrete over time, so each micro-batch
+    * APPENDS its gram increment to the persisted index
+    * ([[graft.ext.Decontam.saveIndex]]; merge is the append itself,
+    * with the serve-side re-distinct absorbing overlap), and flagging
+    * the corpus from the streamed index must equal d7's direct
+    * single-pass flag. The st17/AnnIndex persisted-append shape applied
+    * to the hygiene family. */
+  def decontamIndexStream(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"), col("text"))
+    val srcDir = stageTwoHalves(bench, "doc_id", "graft_st28_src_")
+    val root = java.nio.file.Files.createTempDirectory("graft_st28_ix_")
+      .resolve("ix").toString
+    val src = s.readStream
+      .schema(docTextSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Decontam.saveIndex(root, batch, "text", n = 8)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000), "st28: index stream timed out")
+    q.stop()
+    graft.ext.Decontam.flagFromIndex(s, root,
+        HygieneQueries.decontamCorpus(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   private val mixtureStreamOracle =
     """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
       |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
@@ -978,6 +1011,8 @@ object StreamingQueries {
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
     QueryDef("st27_epoch_mixture_stream", epochMixtureStream,
       Some(epochMixtureStreamOracle)),
+    QueryDef("st28_decontam_index_stream", decontamIndexStream,
+      Some(HygieneQueries.decontamOracle)),
     QueryDef("st22_kn_stream", knStream,
       Some(HygieneQueries.knScoreOracle)),
     QueryDef("st23_bm25_stream", bm25Stream,
