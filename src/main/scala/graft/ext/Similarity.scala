@@ -73,6 +73,38 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Hard-negative mining for contrastive / retriever training
+    * (Karpukhin et al. 2020 "Dense Passage Retrieval": the strongest
+    * negatives are the retriever's own most-similar non-matches): for
+    * every query vector, the k most-cosine-similar corpus vectors whose
+    * label DIFFERS from the query's — i.e. top-k restricted to
+    * cross-label pairs. Same execution shape as [[bruteForceTopK]]
+    * (broadcast query batch, one corpus scan, capacity-k partial
+    * aggregate so the shuffle carries Q·k·partitions rows); the label
+    * test rides the same codegen'd projection as the cosine, so the
+    * exclusion is free. At 100 TB the corpus side swaps in any serve
+    * tier (IVF/PQ candidates re-filtered by label) — the mining
+    * contract (rank by similarity among cross-label rows) is identical.
+    *
+    * queries: (qid BIGINT, qvec ARRAY<FLOAT>, qlab) — broadcast-small.
+    * corpus:  (cid BIGINT, cvec ARRAY<FLOAT>, clab).
+    * Output: (query_id, corpus_id, cosine, rank) with rank 1..k. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    corpus.crossJoin(broadcast(queries))
+      .where(col("clab") =!= col("qlab"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   /** Radius (range) search — ALL corpus neighbors within a cosine
     * threshold, the dual of top-k: retrieval wants "the k best", but
     * dedup gates, recall audits, and near-duplicate sweeps want "every

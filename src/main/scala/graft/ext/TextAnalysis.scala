@@ -1067,6 +1067,94 @@ object TextAnalysis {
         .otherwise(nMasked.cast("long")).as("n_masked"))
   }
 
+  // ------------------------------------------- tokenizer evaluation
+
+  /** Tokenizer fertility report — the standard tokenizer-evaluation
+    * table (SentencePiece's own eval metric; Rust & al. ACL 2021 tie
+    * fertility to downstream quality): per language, exact-integer
+    * tokens-per-word and chars-per-token ratios in ppm. Tokenizer-
+    * AGNOSTIC: `tokenCounts` is any (id, n_tokens) relation — BPE
+    * ([[graft.ext.Bpe.tokenize]]), unigram-LM, or a served external
+    * vocabulary — so one report compares candidate tokenizers over the
+    * same corpus. Ratios use IntegralDivide on 10⁶-scaled sums (no
+    * float path), so the report hash-replays cross-engine. Shape: one
+    * narrow projection + one join keyed by id + a languages-sized
+    * aggregate — corpus scanned once, never shuffled beyond the
+    * partial agg. */
+  def tokenizerFertility(docs: DataFrame, text: String, id: String,
+      lang: Column, tokenCounts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val words = size(filter(split(col(text), "\\s+"), t => length(t) > 0))
+    docs.select(col(id), lang.as("lang"),
+        length(col(text)).cast("long").as("__chars"),
+        words.cast("long").as("__words"))
+      .join(tokenCounts.select(col(id), col("n_tokens")), Seq(id))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("__words")).as("n_words"),
+        sum(col("__chars")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_words"),
+        col("n_chars"),
+        idiv(col("n_tokens") * lit(1000000L), col("n_words"))
+          .as("fertility_ppm"),
+        idiv(col("n_chars") * lit(1000000L), col("n_tokens"))
+          .as("chars_per_token_ppm"))
+  }
+
+  // ---------------------------------------- fill-in-the-middle (FIM)
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022,
+    * "Efficient Training of Language Models to Fill in the Middle"):
+    * rewrite a hash-selected fraction of documents as
+    * prefix/middle/suffix with the middle moved to the end, so an
+    * autoregressive LM learns infilling from plain left-to-right
+    * training. Membership and both cut offsets come from the shared
+    * content-keyed sampling hash ([[Sampling.bucketOf]] at seed,
+    * seed+1, seed+2), so the transform is reproducible across runs,
+    * layouts, and engines — the same contract as every sampling gate,
+    * and exactly what a restartable 100 TB preprocessing job needs
+    * (a retried partition re-derives identical splits).
+    *
+    * Formats (the paper's two orders, sentinel tokens caller-pinned):
+    *  - PSM: pre · prefix · suf · suffix · mid · middle
+    *  - SPM: suf · suffix · pre · prefix · mid · middle
+    * Cut offsets are uniform over [0, len] via mod(len+1) — mod bias
+    * is ≤ len/M ≈ 1e-6 at document lengths, and exactness-of-replay is
+    * the contract here, not unbiasedness to the last ulp. Documents
+    * not selected pass through with `fim = false` and the original
+    * text. Pure narrow codegen'd projection — zero shuffle at any
+    * scale; character offsets (not token offsets) per the paper's
+    * character-level splitting.
+    */
+  def fimTransform(df: DataFrame, text: String, id: String,
+      ratePpm: Long, seed: Long = 0L, spm: Boolean = false,
+      preTok: String = "<|fim_prefix|>", sufTok: String = "<|fim_suffix|>",
+      midTok: String = "<|fim_middle|>"): DataFrame = {
+    require(ratePpm >= 0L && ratePpm <= 1000000L, s"ratePpm=$ratePpm")
+    val n = length(col(text)).cast("long")
+    // integer ppm threshold: floor(ratePpm · M / 1e6) — no float edge
+    val thr = java.math.BigInteger.valueOf(ratePpm)
+      .multiply(java.math.BigInteger.valueOf(Sampling.M))
+      .divide(java.math.BigInteger.valueOf(1000000L)).longValueExact()
+    val member = Sampling.bucketOf(col(id), seed) < lit(thr)
+    val c1 = Sampling.bucketOf(col(id), seed + 1) % (n + lit(1L))
+    val c2 = Sampling.bucketOf(col(id), seed + 2) % (n + lit(1L))
+    val lo = least(c1, c2)
+    val hi = greatest(c1, c2)
+    val pre = col(text).substr(lit(1), lo.cast("int"))
+    val mid = col(text).substr((lo + 1L).cast("int"), (hi - lo).cast("int"))
+    val suf = col(text).substr((hi + 1L).cast("int"), (n - hi).cast("int"))
+    val out =
+      if (spm) concat(lit(sufTok), suf, lit(preTok), pre, lit(midTok), mid)
+      else concat(lit(preTok), pre, lit(sufTok), suf, lit(midTok), mid)
+    df.select(col(id), member.as("fim"),
+      when(member, out).otherwise(col(text)).as("fim_text"))
+  }
+
   // ----------------------------------------------- pseudonymization
 
   /** Deterministic keyed pseudonymization of identifier columns: each

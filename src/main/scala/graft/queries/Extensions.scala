@@ -487,6 +487,31 @@ object ExtensionQueries {
       | WHERE q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** s20: hard-negative mining (Similarity.hardNegatives, the DPR
+    * recipe) — top-5 most-similar CROSS-LABEL neighbors per query
+    * vector; rank-only output under the s1 ordering-stability
+    * contract. */
+  def hardNegativesGate(s: SparkSession, d: String): DataFrame =
+    Similarity.hardNegatives(
+        Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+          col("embedding").as("cvec"), col("label").as("clab")),
+        Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlab")),
+        k = 5)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+
+  private val hardNegativesOracle =
+    """SELECT query_id, rank, corpus_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+      | FROM embeddings q JOIN embeddings c ON c.label <> q.label
+      | WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** Radius search (ext Similarity.rangeSearch): every neighbor within
     * cosine >= 0.2 — the SET of qualifying pairs compared (ids only,
     * the s1 rank-not-score discipline); both engines accumulate the
@@ -2016,6 +2041,7 @@ object ExtensionQueries {
     QueryDef("d12_components_chain", dedupComponentsChain, Some(dedupComponentsChainOracle)),
     QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
+    QueryDef("s20_hard_negatives", hardNegativesGate, Some(hardNegativesOracle)),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),

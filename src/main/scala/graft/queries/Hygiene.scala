@@ -799,6 +799,37 @@ object HygieneQueries {
       |   AS n_masked
       |FROM toksl ORDER BY doc_id""".stripMargin
 
+  /** t45: fill-in-the-middle transform (TextAnalysis.fimTransform,
+    * Bavarian et al. 2022) at 30% / PSM / seed 7 — membership and both
+    * character cuts come from the shared integer sampling hash, so the
+    * whole rewrite replays exactly in DuckDB (the corpus is ASCII:
+    * char offsets agree across engines — TESTDATA note). */
+  def fimGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.fimTransform(Tables.documents(s, d), "text", "doc_id",
+        ratePpm = 300000L, seed = 7L)
+      .orderBy("doc_id")
+
+  // ks(seed) = 2654435761·(seed+1) mod (2^31−1) for seeds 7/8/9;
+  // threshold = 300000·M div 1e6 = 644245094
+  private val fimOracle =
+    """WITH h AS (
+      | SELECT doc_id, text, length(text) AS n,
+      |  ((doc_id % 2147483647) * 1908133265 + 7) % 2147483647 AS hm,
+      |  ((doc_id % 2147483647) * 267601732 + 8) % 2147483647 AS h1,
+      |  ((doc_id % 2147483647) * 774553846 + 9) % 2147483647 AS h2
+      | FROM documents),
+      |c AS (
+      | SELECT doc_id, text, n, hm < 644245094 AS fim,
+      |  least(h1 % (n + 1), h2 % (n + 1)) AS lo,
+      |  greatest(h1 % (n + 1), h2 % (n + 1)) AS hi
+      | FROM h)
+      |SELECT doc_id, fim,
+      | CASE WHEN fim THEN '<|fim_prefix|>' || substr(text, 1, CAST(lo AS INT))
+      |   || '<|fim_suffix|>' || substr(text, CAST(hi + 1 AS INT), CAST(n - hi AS INT))
+      |   || '<|fim_middle|>' || substr(text, CAST(lo + 1 AS INT), CAST(hi - lo AS INT))
+      |  ELSE text END AS fim_text
+      |FROM c ORDER BY doc_id""".stripMargin
+
   /** Top-25 bigram collocations by exact-integer PMI order (ext
     * TextAnalysis.pmiBigrams — score co·T·10⁶ div (n1·n2), the
     * exponential of PMI, float-free). */
@@ -1242,6 +1273,41 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t46: tokenizer fertility report (TextAnalysis.tokenizerFertility)
+    * over the t23/t24 BPE tokenizer — per-language exact-integer
+    * tokens-per-word and chars-per-token in ppm. Oracle wraps the
+    * pinned independent-Python t24 per-doc counts, so the report's
+    * provenance chain is: independent BPE replay → per-doc counts →
+    * pure-SQL aggregate. */
+  def tokenizerFertilityGate(s: SparkSession, d: String): DataFrame = {
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 24))
+    val counts = graft.ext.Bpe.tokenize(Tables.documents(s, d), "text", merges)
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"))
+    TextAnalysis.tokenizerFertility(Tables.documents(s, d), "text",
+        "doc_id", col("lang"), counts)
+      .orderBy("lang")
+  }
+
+  private def tokenizerFertilityOracle: String =
+    s"""WITH counts AS (SELECT doc_id, n_tokens
+      | FROM (${PinnedOracles.t24BpeTokenCounts}) pinned),
+      |d AS (SELECT doc_id, lang, length(text) AS n_chars,
+      | len(list_filter(string_split_regex(text, '\\s+'),
+      |   t -> len(t) > 0)) AS n_words
+      | FROM documents)
+      |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+      | CAST(sum(n_words) AS BIGINT) AS n_words,
+      | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+      | CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
+      |   AS fertility_ppm,
+      | CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
+      |   AS chars_per_token_ppm
+      |FROM d JOIN counts USING (doc_id)
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
   /** t38: BPE-dropout serving (Bpe.tokenizeDropout, Provilkov et al.
     * ACL 2020): learn the same 24 merges as t23, then dropout-segment
     * the whole corpus in one codegen'd pass (p=0.1, seed=42) and emit
@@ -1453,6 +1519,7 @@ object HygieneQueries {
     QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
     QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
     QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
+    QueryDef("t45_fim_transform", fimGate, Some(fimOracle)),
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),
@@ -1472,6 +1539,8 @@ object HygieneQueries {
     QueryDef("t23_bpe_merges", bpeMerges, Some(PinnedOracles.t23BpeMerges)),
     QueryDef("t24_bpe_token_counts", bpeTokenCounts,
       Some(PinnedOracles.t24BpeTokenCounts)),
+    QueryDef("t46_tokenizer_fertility", tokenizerFertilityGate,
+      Some(tokenizerFertilityOracle)),
     QueryDef("t34_unigram_vocab", unigramVocab,
       Some(PinnedOracles.t34UnigramVocab)),
     QueryDef("t36_unigram_soft", unigramVocabSoft,

@@ -362,6 +362,29 @@ class ExtSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("Similarity.hardNegatives: top-k restricted to cross-label " +
+      "pairs, same-label rows never surface") {
+    val q = Seq((0L, Array(1f, 0f, 0f), 7)).toDF("qid", "qvec", "qlab")
+    val c = Seq(
+      (1L, Array(0.99f, 0.1f, 0f), 7),  // most similar but SAME label
+      (2L, Array(0.9f, 0.1f, 0f), 3),
+      (3L, Array(0.5f, 0.5f, 0f), 3),
+      (4L, Array(0f, 1f, 0f), 5),
+      (5L, Array(-1f, 0f, 0f), 7)).toDF("cid", "cvec", "clab")
+    val got = Similarity.hardNegatives(c, q, k = 3).orderBy("rank").collect()
+    assert(got.map(_.getAs[Long]("corpus_id")).toSeq === Seq(2L, 3L, 4L))
+    assert(got.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
+    // cross-check: equals brute force over the pre-filtered corpus
+    val want = Similarity.bruteForceTopK(
+        c.where(col("clab") =!= 7).select("cid", "cvec"),
+        q.select("qid", "qvec"), k = 3, excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .collect().map(_.toSeq).toSet
+    val gotT = got.map(r => Seq[Any](r.getAs[Long]("query_id"),
+      r.getAs[Long]("rank"), r.getAs[Long]("corpus_id"))).toSet
+    assert(gotT === want)
+  }
+
   test("Similarity.ivfTopK with full probing equals brute force") {
     val spark0 = spark
     import spark0.implicits._

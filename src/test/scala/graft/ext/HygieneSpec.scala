@@ -548,4 +548,82 @@ class HygieneSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("logicalrdd"),
       s"serve plan should read parquet, not a checkpointed RDD\n$plan")
   }
+
+  // ------------------------------------------- fill-in-the-middle
+
+  test("fimTransform: reassembly recovers the original text, rate " +
+      "bounds hold, SPM reorders the same cuts") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "pack my box with five dozen liquor jugs"),
+      (2L, ""), // empty: all three segments empty
+      (3L, "a"),
+      (42L, "sphinx of black quartz judge my vow")).toDF("doc_id", "text")
+    val all = TextAnalysis.fimTransform(docs, "text", "doc_id",
+        ratePpm = 1000000L, seed = 7L)
+      .orderBy("doc_id").collect()
+    assert(all.forall(_.getAs[Boolean]("fim")))
+    val orig = docs.orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    all.foreach { r =>
+      val t = r.getAs[String]("fim_text")
+      assert(t.startsWith("<|fim_prefix|>"), t)
+      val body = t.stripPrefix("<|fim_prefix|>")
+      val Array(pre, rest) = body.split("\\Q<|fim_suffix|>\\E", 2)
+      val Array(suf, mid) = rest.split("\\Q<|fim_middle|>\\E", 2)
+      assert(pre + mid + suf === orig(r.getAs[Long]("doc_id")))
+    }
+    // rate 0: pure passthrough
+    val none = TextAnalysis.fimTransform(docs, "text", "doc_id",
+        ratePpm = 0L, seed = 7L).orderBy("doc_id").collect()
+    assert(none.forall(r => !r.getAs[Boolean]("fim")))
+    assert(none.map(_.getAs[String]("fim_text")).toSeq ===
+      docs.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+    // SPM: same cuts, suffix-first order
+    val spmRows = TextAnalysis.fimTransform(docs, "text", "doc_id",
+        ratePpm = 1000000L, seed = 7L, spm = true)
+      .orderBy("doc_id").collect()
+    spmRows.foreach { r =>
+      val t = r.getAs[String]("fim_text")
+      assert(t.startsWith("<|fim_suffix|>"), t)
+      val body = t.stripPrefix("<|fim_suffix|>")
+      val Array(suf, rest) = body.split("\\Q<|fim_prefix|>\\E", 2)
+      val Array(pre, mid) = rest.split("\\Q<|fim_middle|>\\E", 2)
+      assert(pre + mid + suf === orig(r.getAs[Long]("doc_id")))
+    }
+    // membership at a partial rate matches the shared sampling hash
+    val part = TextAnalysis.fimTransform(docs, "text", "doc_id",
+        ratePpm = 300000L, seed = 7L).collect()
+    val thr = 300000L * 2147483647L / 1000000L
+    part.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ks = (BigInt(2654435761L) * 8 mod BigInt(2147483647L)).toLong
+      val h = ((id % 2147483647L) * ks + 7L) % 2147483647L
+      assert(r.getAs[Boolean]("fim") === (h < thr))
+    }
+  }
+
+  // --------------------------------------------- tokenizer fertility
+
+  test("tokenizerFertility: exact-integer per-language ratios") {
+    val docs = Seq(
+      (1L, "en", "aa bb"), (2L, "en", "cccc"), (3L, "fr", "dd dd dd"))
+      .toDF("doc_id", "lang", "text")
+    val counts = Seq((1L, 3L), (2L, 2L), (3L, 5L))
+      .toDF("doc_id", "n_tokens")
+    val got = TextAnalysis.tokenizerFertility(docs, "text", "doc_id",
+        col("lang"), counts)
+      .orderBy("lang").collect()
+    assert(got.map(_.getAs[String]("lang")).toSeq === Seq("en", "fr"))
+    val en = got(0); val fr = got(1)
+    assert(en.getAs[Long]("n_docs") === 2L)
+    assert(en.getAs[Long]("n_tokens") === 5L)
+    assert(en.getAs[Long]("n_words") === 3L)
+    assert(en.getAs[Long]("n_chars") === 9L)
+    assert(en.getAs[Long]("fertility_ppm") === 5000000L / 3L)
+    assert(en.getAs[Long]("chars_per_token_ppm") === 9000000L / 5L)
+    assert(fr.getAs[Long]("n_words") === 3L)
+    assert(fr.getAs[Long]("fertility_ppm") === 5000000L / 3L)
+    assert(fr.getAs[Long]("chars_per_token_ppm") === 8000000L / 5L)
+  }
 }

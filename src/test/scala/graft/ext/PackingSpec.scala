@@ -133,6 +133,25 @@ class PackingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("groupRank: crossover boundary — many medium groups agree on " +
+      "both sides of maxGroupStats (round-10 backlog probe)") {
+    // 400 groups × 5 rows: group stats are no longer tiny but rank
+    // totals must be identical whichever path the threshold picks.
+    val rows = (0L until 2000L).map(i => (i, s"g${i % 400}", (i * 7) % 13))
+    val df = rows.toDF("id", "lang", "score").repartition(8)
+    val want = windowRanks(df)
+    // stats rows = |(pid, group)| pairs; bracket the realized count so
+    // one run takes the broadcast path and one the window fallback.
+    def run(cap: Int) =
+      Packing.groupRank(df, Seq("lang"),
+          Seq(col("score").desc, col("id")), numPartitions = 8,
+          maxGroupStats = cap)
+        .select("id", "lang", "score", "gr_rank", "gr_n")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(run(1 << 18) === want) // broadcast path (default cap)
+    assert(run(1) === want)       // forced window fallback
+  }
+
   test("groupRank plan: no window partitioned by the group alone — " +
       "the rank window is keyed by the physical partition id") {
     val df = Packing.groupRank(rankFrame, Seq("lang"),
