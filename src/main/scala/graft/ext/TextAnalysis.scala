@@ -1067,6 +1067,74 @@ object TextAnalysis {
         .otherwise(nMasked.cast("long")).as("n_masked"))
   }
 
+  // ------------------------------------------------ SFT data prep
+
+  /** Supervised-fine-tuning template rendering with loss-span
+    * offsets — the SFT-pipeline step between curation and packing:
+    * each (prompt, response) pair becomes one training string in a
+    * fixed chat template, plus the 1-based character span
+    * [loss_start, loss_end) the trainer computes loss on (the
+    * response and the end sentinel; system/user/markup are masked —
+    * the standard completion-only-loss recipe). Offsets are exact
+    * integer arithmetic over the same lengths both engines see, so
+    * the whole artifact hash-replays; downstream tokenization maps
+    * char spans to token spans. Pure narrow codegen'd projection.
+    *
+    * Template: sys·system·usr·prompt·asst·response·end, loss on
+    * response·end. */
+  def renderSft(df: DataFrame, id: String, prompt: Column,
+      response: Column, system: String,
+      sysTok: String = "<|system|>", userTok: String = "<|user|>",
+      asstTok: String = "<|assistant|>", endTok: String = "<|end|>")
+      : DataFrame = {
+    val sftText = concat(lit(sysTok), lit(system), lit(userTok), prompt,
+      lit(asstTok), response, lit(endTok))
+    val head = lit((sysTok + system + userTok).length.toLong) +
+      length(prompt).cast("long") + lit(asstTok.length.toLong)
+    df.select(col(id), sftText.as("sft_text"),
+      (head + 1L).as("loss_start"),
+      (head + 1L + length(response).cast("long") +
+        lit(endTok.length.toLong)).as("loss_end"))
+  }
+
+  /** Classifier evaluation report — per-class support, prediction
+    * count, hits, and exact-integer precision/recall/F1 in ppm
+    * (F1 from the ppm-scaled harmonic mean, 2·p·r div (p+r)): the
+    * quality-filter audit a curation pipeline runs before trusting a
+    * classifier to route terabytes ([[nbClassify]] → this report →
+    * threshold/mixing decisions). Two class-count-sized partial
+    * aggregates outer-joined — the corpus is scanned once, the join
+    * sides are |classes| rows. Classes with zero predictions (or
+    * zero truth rows) report 0, not null, so the report is total. */
+  def classifierReport(pred: DataFrame, id: String, predCol: String,
+      truth: DataFrame, truthCol: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val joined = pred.select(col(id), col(predCol).as("__pred"))
+      .join(truth.select(col(id), col(truthCol).as("__truth")), Seq(id))
+    val byTruth = joined.groupBy(col("__truth").as("label"))
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val byPred = joined.groupBy(col("__pred").as("label"))
+      .agg(count(lit(1)).as("n_pred"))
+    val p = idiv(col("n_correct") * lit(1000000L),
+      greatest(col("n_pred"), lit(1L)))
+    val r = idiv(col("n_correct") * lit(1000000L),
+      greatest(col("n_true"), lit(1L)))
+    byTruth.join(byPred, Seq("label"), "full_outer")
+      .select(col("label"),
+        coalesce(col("n_true"), lit(0L)).as("n_true"),
+        coalesce(col("n_pred"), lit(0L)).as("n_pred"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("label"), col("n_true"), col("n_pred"), col("n_correct"),
+        p.as("precision_ppm"), r.as("recall_ppm"),
+        when(p + r === 0L, lit(0L))
+          .otherwise(idiv(lit(2L) * p * r, p + r)).as("f1_ppm"))
+  }
+
   // ------------------------------------------- tokenizer evaluation
 
   /** Tokenizer fertility report — the standard tokenizer-evaluation

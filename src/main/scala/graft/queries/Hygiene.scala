@@ -1250,6 +1250,80 @@ object HygieneQueries {
       |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** t47: SFT template rendering (TextAnalysis.renderSft) — each doc
+    * becomes a chat-template training string with the exact loss span
+    * [loss_start, loss_end): chars 1–40 stand in for the prompt, the
+    * tail for the response (the corpus has no natural turn boundary;
+    * the op under test is the template + offset arithmetic). */
+  def sftRenderGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = length(col("text"))
+    val prompt = col("text").substr(lit(1), least(lit(40), n))
+    val response = col("text").substr(lit(41), greatest(n - 40, lit(0)))
+    TextAnalysis.renderSft(docs, "doc_id", prompt, response,
+        system = "You are a helpful assistant.")
+      .orderBy("doc_id")
+  }
+
+  // head = len(sys sentinel+system+user sentinel) + len(prompt) +
+  // len(assistant sentinel) = 10+28+8 + len(prompt) + 13
+  private val sftRenderOracle =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  substr(text, 1, 40) AS p,
+      |  CASE WHEN length(text) > 40 THEN substr(text, 41) ELSE '' END AS r
+      | FROM documents)
+      |SELECT doc_id,
+      | '<|system|>You are a helpful assistant.<|user|>' || p
+      |   || '<|assistant|>' || r || '<|end|>' AS sft_text,
+      | CAST(59 + length(p) + 1 AS BIGINT) AS loss_start,
+      | CAST(59 + length(p) + 1 + length(r) + 7 AS BIGINT) AS loss_end
+      |FROM c ORDER BY doc_id""".stripMargin
+
+  /** t48: classifier evaluation report
+    * (TextAnalysis.classifierReport) over the t29 classifier's
+    * self-classification — per-class support / predictions / hits and
+    * exact-integer precision/recall/F1 in ppm. Oracle extends the
+    * shared NB prediction CTE with the same two aggregates. */
+  def classifierEvalGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val (tok, cls) = TextAnalysis.nbCounts(docs, "text", "lang")
+    val pred = TextAnalysis.nbClassify(docs, "text", "doc_id", tok, cls)
+    TextAnalysis.classifierReport(pred, "doc_id", "pred",
+        docs.select(col("doc_id"), col("lang")), "lang")
+      .orderBy("label")
+  }
+
+  private val classifierEvalOracle = nbPredCte +
+    """,
+      |pr AS (SELECT doc_id, pred FROM r WHERE rn = 1),
+      |j AS (
+      | SELECT pr.doc_id, pr.pred, d.lang AS truth
+      | FROM pr JOIN documents d USING (doc_id)),
+      |bt AS (
+      | SELECT truth AS label, CAST(count(*) AS BIGINT) AS n_true,
+      |  CAST(sum(CASE WHEN pred = truth THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_correct
+      | FROM j GROUP BY 1),
+      |bp AS (
+      | SELECT pred AS label, CAST(count(*) AS BIGINT) AS n_pred
+      | FROM j GROUP BY 1),
+      |m AS (
+      | SELECT coalesce(bt.label, bp.label) AS label,
+      |  coalesce(n_true, 0) AS n_true, coalesce(n_pred, 0) AS n_pred,
+      |  coalesce(n_correct, 0) AS n_correct
+      | FROM bt FULL OUTER JOIN bp ON bt.label = bp.label)
+      |SELECT label, n_true, n_pred, n_correct,
+      | p AS precision_ppm, r AS recall_ppm,
+      | CAST(CASE WHEN p + r = 0 THEN 0
+      |   ELSE 2 * p * r // (p + r) END AS BIGINT) AS f1_ppm
+      |FROM (
+      | SELECT label, n_true, n_pred, n_correct,
+      |  CAST(n_correct * 1000000 // greatest(n_pred, 1) AS BIGINT) AS p,
+      |  CAST(n_correct * 1000000 // greatest(n_true, 1) AS BIGINT) AS r
+      | FROM m)
+      |ORDER BY label""".stripMargin
+
   // --------------------------------------------------- BPE tokenizer
 
   /** BPE vocabulary induction over the document corpus (Bpe.learnMerges,
@@ -1541,6 +1615,9 @@ object HygieneQueries {
       Some(PinnedOracles.t24BpeTokenCounts)),
     QueryDef("t46_tokenizer_fertility", tokenizerFertilityGate,
       Some(tokenizerFertilityOracle)),
+    QueryDef("t47_sft_render", sftRenderGate, Some(sftRenderOracle)),
+    QueryDef("t48_classifier_eval", classifierEvalGate,
+      Some(classifierEvalOracle)),
     QueryDef("t34_unigram_vocab", unigramVocab,
       Some(PinnedOracles.t34UnigramVocab)),
     QueryDef("t36_unigram_soft", unigramVocabSoft,

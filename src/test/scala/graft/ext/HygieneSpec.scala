@@ -603,6 +603,53 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------------- SFT rendering
+
+  test("renderSft: loss span selects exactly response + end sentinel") {
+    val df = Seq((1L, "what is spark", "a distributed engine"),
+        (2L, "empty answer", ""))
+      .toDF("id", "p", "r")
+    val got = TextAnalysis.renderSft(df, "id", col("p"), col("r"),
+        system = "sys").orderBy("id").collect()
+    got.zip(Seq((1L, "what is spark", "a distributed engine"),
+        (2L, "empty answer", ""))).foreach { case (row, (_, p, r)) =>
+      val text = row.getAs[String]("sft_text")
+      assert(text ===
+        s"<|system|>sys<|user|>$p<|assistant|>$r<|end|>")
+      val s0 = row.getAs[Long]("loss_start").toInt
+      val e0 = row.getAs[Long]("loss_end").toInt
+      // [loss_start, loss_end) 1-based == response + end sentinel
+      assert(text.substring(s0 - 1, e0 - 1) === r + "<|end|>")
+      // nothing of the response leaks before the span
+      assert(text.substring(0, s0 - 1).endsWith("<|assistant|>"))
+    }
+  }
+
+  // --------------------------------------------- classifier report
+
+  test("classifierReport: exact counts and ppm ratios, zero-pred and " +
+      "zero-truth classes report 0") {
+    val truth = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "b"), (5L, "c"))
+      .toDF("id", "y")
+    // preds: a right, a wrong->b, b right, b wrong->d, c wrong->a
+    val pred = Seq((1L, "a"), (2L, "b"), (3L, "b"), (4L, "d"), (5L, "a"))
+      .toDF("id", "yhat")
+    val got = TextAnalysis.classifierReport(pred, "id", "yhat",
+        truth, "y")
+      .orderBy("label").collect()
+      .map(r => (r.getAs[String]("label"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_pred"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("precision_ppm"), r.getAs[Long]("recall_ppm"),
+        r.getAs[Long]("f1_ppm"))).toSeq
+    val pA = 1000000L / 2; val rA = 1000000L / 2
+    val pB = 1000000L / 2; val rB = 1000000L / 2
+    assert(got === Seq(
+      ("a", 2L, 2L, 1L, pA, rA, 2 * pA * rA / (pA + rA)),
+      ("b", 2L, 2L, 1L, pB, rB, 2 * pB * rB / (pB + rB)),
+      ("c", 1L, 0L, 0L, 0L, 0L, 0L),   // zero predictions
+      ("d", 0L, 1L, 0L, 0L, 0L, 0L))) // zero truth rows
+  }
+
   // --------------------------------------------- tokenizer fertility
 
   test("tokenizerFertility: exact-integer per-language ratios") {
