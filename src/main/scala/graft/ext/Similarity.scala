@@ -185,6 +185,41 @@ object Similarity {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** In-context-pretraining document ordering (Shi et al. 2023,
+    * "In-Context Pretraining: Language Modeling Beyond Document
+    * Boundaries"): long-context training wants semantically RELATED
+    * documents adjacent in the training stream, so attention across
+    * document boundaries sees coherent context. The paper's exact
+    * method walks a kNN graph (inherently sequential); the scalable
+    * stand-in here sorts by sign-LSH bucket — documents whose
+    * embeddings agree on `bits` hyperplane signs are adjacent, and
+    * integer bucket order keeps 1-bit-near buckets close — then cuts
+    * fixed-size context groups of `ctxDocs` documents with the
+    * two-phase distributed prefix sum ([[Packing.shardByTokens]] at
+    * unit weight). No kNN graph, no global single-task sort, one
+    * range exchange: the 100 TB shape. Deterministic in (seed, bits),
+    * and the whole pipeline (hyperplane signs → order → groups)
+    * replays in ANSI SQL.
+    *
+    * corpus: (cid BIGINT, cvec ARRAY<FLOAT>).
+    * Output: (vec_id, bucket, ctx_group). */
+  def semanticOrder(corpus: DataFrame, dim: Int, ctxDocs: Int,
+      bits: Int = 8, seed: Long = 42L): DataFrame = {
+    require(ctxDocs > 0, s"ctxDocs=$ctxDocs")
+    require(bits >= 1 && bits <= 30, s"bits=$bits out of range")
+    val ps = Dedup.planes(dim, bits, seed)
+    val bucket = element_at(
+      GraftFunctions.hyperplaneSig(col("cvec"), ps, bands = 1,
+        width = bits), 1)
+    val keyed = corpus
+      .withColumn("bucket", bucket.cast("long"))
+      .withColumn("__so_key", struct(col("bucket"), col("cid")))
+    Packing.shardByTokens(keyed, "__so_key", lit(1L), ctxDocs.toLong,
+        carry = Seq("cid", "bucket"))
+      .select(col("cid").as("vec_id"), col("bucket"),
+        col("shard_id").as("ctx_group"))
+  }
+
   /** Lloyd (k-means) refinement of a centroid table over a corpus:
     * `iters` rounds of assign-to-nearest-cosine (broadcast centroids +
     * max_by — the exact plan the IVF build pass uses) followed by an

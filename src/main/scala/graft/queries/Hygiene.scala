@@ -1593,7 +1593,7 @@ object HygieneQueries {
     QueryDef("t17_script_profile", scriptProfileGate, Some(scriptOracle)),
     QueryDef("t18_novelty", novelty, Some(noveltyOracle)),
     QueryDef("t19_mask_tokens", maskGate, Some(maskOracle)),
-    QueryDef("t45_fim_transform", fimGate, Some(fimOracle)),
+    QueryDef("t45_fim_transform", fimGate, Some(fimOracle), bench = true),
     QueryDef("t20_pmi_bigrams", pmi, Some(pmiOracle)),
     QueryDef("t21_gopher_quality", gopher, Some(gopherOracle)),
     QueryDef("t22_sentences", sentencesGate, Some(sentencesOracle)),

@@ -1494,8 +1494,38 @@ object PipelineQueries {
       |FROM d CROSS JOIN cuts
       |GROUP BY cut ORDER BY cut""".stripMargin
 
+  /** p9: in-context-pretraining ordering (Similarity.semanticOrder,
+    * Shi et al. 2023) — sign-LSH bucket order + distributed
+    * prefix-sum context groups of 16 docs; the full hyperplane →
+    * order → group pipeline replays in SQL (the s3 plane-literal
+    * pattern). */
+  def incontextOrder(s: SparkSession, d: String): DataFrame =
+    graft.ext.Similarity.semanticOrder(
+        Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+          col("embedding").as("cvec")),
+        dim = 64, ctxDocs = 16, bits = 8)
+      .orderBy("vec_id")
+
+  private val incontextOrderOracle: String = {
+    val ps = graft.ext.Dedup.planes(64, 8, 42L)
+    val bucketExpr = (0 until 8).map(i =>
+      s"(CASE WHEN list_dot_product(v, ${ps(i).mkString("[", ",", "]")}) > 0" +
+        s" THEN ${1 << i} ELSE 0 END)").mkString("\n      |  + ")
+    s"""WITH c AS (
+      | SELECT vec_id, CAST($bucketExpr AS BIGINT) AS bucket
+      | FROM (SELECT vec_id, embedding AS v FROM embeddings)),
+      |o AS (
+      | SELECT vec_id, bucket,
+      |  row_number() OVER (ORDER BY bucket, vec_id) AS rn
+      | FROM c)
+      |SELECT vec_id, bucket, CAST((rn - 1) // 16 AS BIGINT) AS ctx_group
+      |FROM o ORDER BY vec_id""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
+    QueryDef("p9_incontext_order", incontextOrder,
+      Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
       Some(crawlCurationOracle), bench = true),
     QueryDef("p3_crawl_funnel", crawlFunnelGate, Some(crawlFunnelOracle)),

@@ -385,6 +385,27 @@ class ExtSpec extends AnyFunSuite {
     assert(gotT === want)
   }
 
+  test("Similarity.semanticOrder: groups follow (bucket, id) order, " +
+      "are ctxDocs-sized, and keep same-bucket docs contiguous") {
+    val spark0 = spark
+    import spark0.implicits._
+    val vecs = (0L until 50L).map(i =>
+      (i, Array.tabulate(6)(j => (math.sin(i * 13 + j) * 0.5).toFloat)))
+    val c = vecs.toDF("cid", "cvec").repartition(5)
+    val got = Similarity.semanticOrder(c, dim = 6, ctxDocs = 8, bits = 4)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("bucket"), r.getAs[Long]("ctx_group")))
+    assert(got.length === 50)
+    // group = position in (bucket, id) order div ctxDocs, exactly
+    val order = got.sortBy(t => (t._2, t._1))
+    order.zipWithIndex.foreach { case ((id, b, g), i) =>
+      assert(g === i / 8, s"vec $id bucket $b: group $g, want ${i / 8}")
+    }
+    // sizes: every group full except possibly the last
+    val sizes = got.groupBy(_._3).toSeq.sortBy(_._1).map(_._2.length)
+    assert(sizes.init.forall(_ === 8) && sizes.last === 50 % 8)
+  }
+
   test("Similarity.ivfTopK with full probing equals brute force") {
     val spark0 = spark
     import spark0.implicits._
