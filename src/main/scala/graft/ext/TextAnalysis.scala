@@ -1067,6 +1067,62 @@ object TextAnalysis {
         .otherwise(nMasked.cast("long")).as("n_masked"))
   }
 
+  // -------------------------------------- span corruption (T5/UL2)
+
+  /** Span-corruption objective transform (Raffel et al. 2020, T5; the
+    * R-denoiser of UL2): mask short token spans and emit
+    * (corrupted input, targets) where each masked span is replaced by
+    * a numbered sentinel in the input and spelled out after the same
+    * sentinel in the targets. Deterministic and layout-independent —
+    * the mask decision for block j of document id is the same integer
+    * draw as [[maskTokens]] (`(id·K + j·40503) mod 100 < ratePct`),
+    * so a retried partition or a replaying engine derives identical
+    * corruption.
+    *
+    * Span placement uses a fixed block grid (every `blockTokens`
+    * tokens; a selected block masks its first `spanTokens` tokens):
+    * non-overlap holds by construction, which is what makes the
+    * transform expressible as a pure per-row projection — no
+    * sequential scan over positions, no state, codegen'd HOFs only.
+    * Sentinels are numbered in document order (`<extra_id_0>`,
+    * `<extra_id_1>`, …) exactly like the published checkpoint
+    * vocabularies expect. A ~12.5% default token-mask budget
+    * (3 of every 8-token block at 25% block rate ≈ 9%) mirrors the
+    * paper's 15% at mean span 3. Narrow projection: zero shuffle. */
+  def spanCorrupt(df: DataFrame, text: String, id: String,
+      blockTokens: Int = 8, spanTokens: Int = 3,
+      ratePct: Int = 25): DataFrame = {
+    require(blockTokens >= 1 && spanTokens >= 1 &&
+      spanTokens <= blockTokens, s"blocks=$blockTokens span=$spanTokens")
+    require(ratePct >= 0 && ratePct <= 100, s"ratePct=$ratePct")
+    val b = blockTokens; val l = spanTokens
+    val ts = filter(split(col(text), "\\s+"), t => length(t) > 0)
+    val nTok = size(ts)
+    val nBlocks = floor((nTok.cast("double") + (b - 1)) / b).cast("int")
+    def drawLt(j: Column): Column =
+      (col(id) * lit(2654435761L) + j.cast("long") * lit(40503L)) % 100 <
+        lit(ratePct)
+    val blocks = sequence(lit(0), greatest(nBlocks, lit(1)) - 1)
+    def sentinel(n: Column): Column =
+      concat(lit("<extra_id_"), n.cast("string"), lit(">"))
+    def sentIdx(j: Column): Column =
+      size(filter(blocks, bj => bj < j && drawLt(bj)))
+    val corrupted = array_join(flatten(transform(blocks, j =>
+      when(drawLt(j),
+        concat(array(sentinel(sentIdx(j))),
+          slice(ts, j * b + l + 1, lit(b - l))))
+        .otherwise(slice(ts, j * b + 1, lit(b))))), " ")
+    val targets = array_join(flatten(transform(
+      filter(blocks, j => drawLt(j)), j =>
+        concat(array(sentinel(sentIdx(j))), slice(ts, j * b + 1, lit(l))))),
+      " ")
+    val nSpans = size(filter(blocks, j => drawLt(j))).cast("long")
+    df.select(col(id),
+      when(nTok === 0, lit("")).otherwise(corrupted).as("corrupted"),
+      when(nTok === 0, lit("")).otherwise(targets).as("targets"),
+      when(nTok === 0, lit(0L)).otherwise(nSpans).as("n_spans"))
+  }
+
   // ------------------------------------------------ SFT data prep
 
   /** Supervised-fine-tuning template rendering with loss-span

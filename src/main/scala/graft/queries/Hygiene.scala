@@ -1250,6 +1250,45 @@ object HygieneQueries {
       |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** t49: span-corruption objective (TextAnalysis.spanCorrupt, the
+    * T5/UL2 denoiser prep) at the defaults — 8-token block grid, 3-token
+    * spans, 25% block rate; mask draws are the t19 integer family, so
+    * input/targets/sentinel numbering replay exactly in DuckDB. */
+  def spanCorruptGate(s: SparkSession, d: String): DataFrame =
+    TextAnalysis.spanCorrupt(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
+  private val spanCorruptOracle = {
+    val m = "(doc_id * 2654435761 + %s * 40503) %% 100 < 25"
+    val mj = m.format("j"); val mbj = m.format("bj")
+    s"""WITH toksl AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+      |   t -> len(t) > 0) AS ts FROM documents),
+      |b AS (
+      | SELECT doc_id, ts,
+      |  CAST(ceil(len(ts) / 8.0) AS INT) AS nb FROM toksl)
+      |SELECT doc_id,
+      | CASE WHEN len(ts) = 0 THEN '' ELSE
+      |  array_to_string(flatten(list_transform(range(0, nb), j ->
+      |   CASE WHEN $mj
+      |    THEN list_concat(
+      |      ['<extra_id_' || CAST(len(list_filter(range(0, nb),
+      |         bj -> bj < j AND $mbj)) AS VARCHAR) || '>'],
+      |      ts[j*8+4 : (j+1)*8])
+      |    ELSE ts[j*8+1 : (j+1)*8] END)), ' ') END AS corrupted,
+      | CASE WHEN len(ts) = 0 THEN '' ELSE
+      |  coalesce(array_to_string(flatten(list_transform(
+      |   list_filter(range(0, nb), j -> $mj), j ->
+      |    list_concat(
+      |      ['<extra_id_' || CAST(len(list_filter(range(0, nb),
+      |         bj -> bj < j AND $mbj)) AS VARCHAR) || '>'],
+      |      ts[j*8+1 : j*8+3]))), ' '), '') END AS targets,
+      | CASE WHEN len(ts) = 0 THEN 0 ELSE
+      |  CAST(len(list_filter(range(0, nb), j -> $mj)) AS BIGINT)
+      |  END AS n_spans
+      |FROM b ORDER BY doc_id""".stripMargin
+  }
+
   /** t47: SFT template rendering (TextAnalysis.renderSft) — each doc
     * becomes a chat-template training string with the exact loss span
     * [loss_start, loss_end): chars 1–40 stand in for the prompt, the
@@ -1616,6 +1655,8 @@ object HygieneQueries {
     QueryDef("t46_tokenizer_fertility", tokenizerFertilityGate,
       Some(tokenizerFertilityOracle)),
     QueryDef("t47_sft_render", sftRenderGate, Some(sftRenderOracle)),
+    QueryDef("t49_span_corruption", spanCorruptGate,
+      Some(spanCorruptOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),
     QueryDef("t34_unigram_vocab", unigramVocab,

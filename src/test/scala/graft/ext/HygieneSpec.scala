@@ -603,6 +603,43 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  // ----------------------------------------------- span corruption
+
+  test("spanCorrupt: sentinels number in order, reassembly recovers " +
+      "the original tokens, unmasked docs pass through") {
+    // 20 tokens -> 3 blocks of 8/8/4 at the default grid
+    val words = (1 to 20).map(i => s"w$i")
+    val docs = Seq((5L, words.mkString(" ")), (6L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.spanCorrupt(docs, "text", "doc_id",
+        blockTokens = 8, spanTokens = 3, ratePct = 25)
+      .orderBy("doc_id").collect()
+    val r5 = got(0)
+    // replicate the draw: block j masked iff (id*K + j*40503)%100 < 25
+    val masked = (0 until 3).filter(j =>
+      (5L * 2654435761L + j * 40503L) % 100 < 25)
+    assert(r5.getAs[Long]("n_spans") === masked.length.toLong)
+    val corrupted = r5.getAs[String]("corrupted").split(" ").toSeq
+    val targets = r5.getAs[String]("targets")
+    // each masked block j lost exactly its first 3 tokens to targets
+    masked.zipWithIndex.foreach { case (j, n) =>
+      val span = (1 to 3).map(o => s"w${j * 8 + o}").mkString(" ")
+      assert(targets.contains(s"<extra_id_$n> $span"), targets)
+      assert(corrupted.contains(s"<extra_id_$n>"))
+      (1 to 3).foreach(o => assert(!corrupted.contains(s"w${j * 8 + o}")))
+    }
+    // reassembly: substituting each sentinel's span back recovers all
+    val restored = masked.zipWithIndex.foldLeft(
+        r5.getAs[String]("corrupted")) { case (acc, (j, n)) =>
+      acc.replace(s"<extra_id_$n>",
+        (1 to 3).map(o => s"w${j * 8 + o}").mkString(" "))
+    }
+    assert(restored === words.mkString(" "))
+    // empty doc: empty outputs
+    assert(got(1).getAs[String]("corrupted") === "")
+    assert(got(1).getAs[Long]("n_spans") === 0L)
+  }
+
   // ------------------------------------------------- SFT rendering
 
   test("renderSft: loss span selects exactly response + end sentinel") {
