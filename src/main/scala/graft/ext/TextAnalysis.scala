@@ -1153,6 +1153,33 @@ object TextAnalysis {
         lit(endTok.length.toLong)).as("loss_end"))
   }
 
+  /** Preference-pair rendering for DPO/reward-model training
+    * (Rafailov et al. 2023): each (prompt, chosen, rejected) triple
+    * becomes TWO template strings sharing the identical prompt
+    * prefix — the pair a preference loss consumes — plus the loss
+    * spans. Because both completions share the prefix, loss_start is
+    * common and only the ends differ; spans are the same exact
+    * integer arithmetic as [[renderSft]]. One narrow projection (no
+    * self-join of the pair sides), zero shuffle at any scale. */
+  def renderDpoPairs(df: DataFrame, id: String, prompt: Column,
+      chosen: Column, rejected: Column, system: String,
+      sysTok: String = "<|system|>", userTok: String = "<|user|>",
+      asstTok: String = "<|assistant|>", endTok: String = "<|end|>")
+      : DataFrame = {
+    def tmpl(resp: Column): Column =
+      concat(lit(sysTok), lit(system), lit(userTok), prompt,
+        lit(asstTok), resp, lit(endTok))
+    val head = lit((sysTok + system + userTok).length.toLong) +
+      length(prompt).cast("long") + lit(asstTok.length.toLong)
+    df.select(col(id),
+      tmpl(chosen).as("chosen_text"), tmpl(rejected).as("rejected_text"),
+      (head + 1L).as("loss_start"),
+      (head + 1L + length(chosen).cast("long") +
+        lit(endTok.length.toLong)).as("chosen_loss_end"),
+      (head + 1L + length(rejected).cast("long") +
+        lit(endTok.length.toLong)).as("rejected_loss_end"))
+  }
+
   /** Classifier evaluation report — per-class support, prediction
     * count, hits, and exact-integer precision/recall/F1 in ppm
     * (F1 from the ppm-scaled harmonic mean, 2·p·r div (p+r)): the

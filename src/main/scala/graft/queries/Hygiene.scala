@@ -1319,6 +1319,47 @@ object HygieneQueries {
       | CAST(59 + length(p) + 1 + length(r) + 7 AS BIGINT) AS loss_end
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** t50: DPO preference-pair rendering (TextAnalysis.renderDpoPairs)
+    * — prompt = chars 1–40, chosen = the tail, rejected = the tail
+    * with word order reversed (a deterministic corruption standing in
+    * for the real rejected completion; the op under test is the
+    * shared-prefix pair template + span arithmetic). */
+  def dpoPairsGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val n = length(col("text"))
+    val prompt = col("text").substr(lit(1), least(lit(40), n))
+    val response = col("text").substr(lit(41), greatest(n - 40, lit(0)))
+    val rejected = array_join(
+      reverse(filter(split(response, "\\s+"), t => length(t) > 0)), " ")
+    TextAnalysis.renderDpoPairs(docs, "doc_id", prompt, response,
+        rejected, system = "You are a helpful assistant.")
+      .orderBy("doc_id")
+  }
+
+  private val dpoPairsOracle =
+    """WITH c AS (
+      | SELECT doc_id,
+      |  substr(text, 1, 40) AS p,
+      |  CASE WHEN length(text) > 40 THEN substr(text, 41) ELSE '' END AS r
+      | FROM documents),
+      |c2 AS (
+      | SELECT doc_id, p, r,
+      |  coalesce(array_to_string(list_reverse(
+      |    list_filter(string_split_regex(r, '\s+'), t -> len(t) > 0)),
+      |    ' '), '') AS rj
+      | FROM c)
+      |SELECT doc_id,
+      | '<|system|>You are a helpful assistant.<|user|>' || p
+      |   || '<|assistant|>' || r || '<|end|>' AS chosen_text,
+      | '<|system|>You are a helpful assistant.<|user|>' || p
+      |   || '<|assistant|>' || rj || '<|end|>' AS rejected_text,
+      | CAST(59 + length(p) + 1 AS BIGINT) AS loss_start,
+      | CAST(59 + length(p) + 1 + length(r) + 7 AS BIGINT)
+      |   AS chosen_loss_end,
+      | CAST(59 + length(p) + 1 + length(rj) + 7 AS BIGINT)
+      |   AS rejected_loss_end
+      |FROM c2 ORDER BY doc_id""".stripMargin
+
   /** t48: classifier evaluation report
     * (TextAnalysis.classifierReport) over the t29 classifier's
     * self-classification — per-class support / predictions / hits and
@@ -1657,6 +1698,7 @@ object HygieneQueries {
     QueryDef("t47_sft_render", sftRenderGate, Some(sftRenderOracle)),
     QueryDef("t49_span_corruption", spanCorruptGate,
       Some(spanCorruptOracle)),
+    QueryDef("t50_dpo_pairs", dpoPairsGate, Some(dpoPairsOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),
     QueryDef("t34_unigram_vocab", unigramVocab,

@@ -662,6 +662,24 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("renderDpoPairs: both sides share the prompt prefix, spans " +
+      "select response + end sentinel on each side") {
+    val df = Seq((1L, "why", "good answer", "bad"))
+      .toDF("id", "p", "good", "bad")
+    val r = TextAnalysis.renderDpoPairs(df, "id", col("p"), col("good"),
+        col("bad"), system = "s").collect()(0)
+    val ct = r.getAs[String]("chosen_text")
+    val rt = r.getAs[String]("rejected_text")
+    assert(ct === "<|system|>s<|user|>why<|assistant|>good answer<|end|>")
+    assert(rt === "<|system|>s<|user|>why<|assistant|>bad<|end|>")
+    val s0 = r.getAs[Long]("loss_start").toInt
+    assert(ct.substring(0, s0 - 1) === rt.substring(0, s0 - 1))
+    assert(ct.substring(s0 - 1,
+      r.getAs[Long]("chosen_loss_end").toInt - 1) === "good answer<|end|>")
+    assert(rt.substring(s0 - 1,
+      r.getAs[Long]("rejected_loss_end").toInt - 1) === "bad<|end|>")
+  }
+
   // --------------------------------------------- classifier report
 
   test("classifierReport: exact counts and ppm ratios, zero-pred and " +
