@@ -1191,23 +1191,40 @@ object TextAnalysis {
     * zero truth rows) report 0, not null, so the report is total. */
   def classifierReport(pred: DataFrame, id: String, predCol: String,
       truth: DataFrame, truthCol: String): DataFrame = {
+    val joined = pred.select(col(id), col(predCol).as("__pred"))
+      .join(truth.select(col(id), col(truthCol).as("__truth")), Seq(id))
+    val byTruth = joined.groupBy(col("__truth").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_true"),
+        sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
+          .as("n_correct"))
+    val byPred = joined.groupBy(col("__pred").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_pred"))
+    classifierReportFromCounts(byTruth, byPred)
+  }
+
+  /** [[classifierReport]]'s finisher over ADDITIVE count increments:
+    * `byTruth` (label, n_true, n_correct) and `byPred` (label, n_pred)
+    * may hold many rows per label (one per increment — counts over
+    * doc-disjoint batches are additive, so an eval maintained under a
+    * stream just unions its per-batch counts and re-sums here). The
+    * stream-maintained twin of the evaluation, same contract as the
+    * BM25 stats sidecar. */
+  def classifierReportFromCounts(byTruth: DataFrame,
+      byPred: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
     def idiv(a: Column, b: Column): Column = column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         expression(a), expression(b)))
-    val joined = pred.select(col(id), col(predCol).as("__pred"))
-      .join(truth.select(col(id), col(truthCol).as("__truth")), Seq(id))
-    val byTruth = joined.groupBy(col("__truth").as("label"))
-      .agg(count(lit(1)).as("n_true"),
-        sum(when(col("__pred") === col("__truth"), 1L).otherwise(0L))
-          .as("n_correct"))
-    val byPred = joined.groupBy(col("__pred").as("label"))
-      .agg(count(lit(1)).as("n_pred"))
+    val t = byTruth.groupBy(col("label"))
+      .agg(sum(col("n_true")).as("n_true"),
+        sum(col("n_correct")).as("n_correct"))
+    val pr = byPred.groupBy(col("label"))
+      .agg(sum(col("n_pred")).as("n_pred"))
     val p = idiv(col("n_correct") * lit(1000000L),
       greatest(col("n_pred"), lit(1L)))
     val r = idiv(col("n_correct") * lit(1000000L),
       greatest(col("n_true"), lit(1L)))
-    byTruth.join(byPred, Seq("label"), "full_outer")
+    t.join(pr, Seq("label"), "full_outer")
       .select(col("label"),
         coalesce(col("n_true"), lit(0L)).as("n_true"),
         coalesce(col("n_pred"), lit(0L)).as("n_pred"),

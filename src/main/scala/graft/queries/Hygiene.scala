@@ -1161,7 +1161,7 @@ object HygieneQueries {
 
   /** Train-and-save the t44 NB model for `d` on first use; returns the
     * model root. Content-stable key (path, corpus row count). */
-  private def nbModelFixture(s: SparkSession, d: String): String = {
+  private[queries] def nbModelFixture(s: SparkSession, d: String): String = {
     val docs = Tables.documents(s, d)
     val key = java.lang.Long.toHexString(
       d.hashCode.toLong << 32 | docs.count())
@@ -1374,7 +1374,7 @@ object HygieneQueries {
       .orderBy("label")
   }
 
-  private val classifierEvalOracle = nbPredCte +
+  private[queries] val classifierEvalOracle = nbPredCte +
     """,
       |pr AS (SELECT doc_id, pred FROM r WHERE rn = 1),
       |j AS (

@@ -657,6 +657,47 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  private val docTextLangSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang",
+      org.apache.spark.sql.types.StringType)))
+
+  /** st29: classifier evaluation MAINTAINED under an eval stream —
+    * online model monitoring: predictions per micro-batch come from
+    * the FIXED persisted NB model (t44's fixture), and the per-class
+    * confusion counts (n_true, n_correct / n_pred) are ADDITIVE over
+    * doc-disjoint batches, so the running state is just the unioned
+    * count increments (the bm25Stats union-is-merge contract applied
+    * to evaluation). The final report re-sums and must hash-match
+    * t48's direct full-corpus evaluation — the persisted model equals
+    * inline training (t44), and additive counts equal one-pass
+    * counting. */
+  def classifierEvalStream(s: SparkSession, d: String): DataFrame = {
+    val root = HygieneQueries.nbModelFixture(s, d)
+    val srcDir = stageTwoHalves(
+      Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+      "doc_id", "graft_st29_src_")
+    val (byTruth, byPred) = foldParquetStream2(s, srcDir,
+      docTextLangSchema)(
+      { batch =>
+        val pred = graft.ext.TextAnalysis.nbClassifyFromModel(s, root,
+          batch, "text", "doc_id")
+        val j = pred.select(col("doc_id"), col("pred"))
+          .join(batch.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        (j.groupBy(col("lang").as("label"))
+            .agg(count(lit(1)).cast("long").as("n_true"),
+              sum(when(col("pred") === col("lang"), 1L).otherwise(0L))
+                .as("n_correct")),
+          j.groupBy(col("pred").as("label"))
+            .agg(count(lit(1)).cast("long").as("n_pred")))
+      })(_.unionAll(_), _.unionAll(_))
+    graft.ext.TextAnalysis.classifierReportFromCounts(byTruth, byPred)
+      .orderBy("label")
+  }
+
   private val mixtureStreamOracle =
     """WITH w AS (SELECT * FROM (VALUES ('src0', 500000), ('src1', 300000),
       |  ('src2', 150000), ('src3', 50000)) AS t(source, w)),
@@ -1011,6 +1052,8 @@ object StreamingQueries {
     QueryDef("st20_mixture_stream", mixtureStream, Some(mixtureStreamOracle)),
     QueryDef("st27_epoch_mixture_stream", epochMixtureStream,
       Some(epochMixtureStreamOracle)),
+    QueryDef("st29_classifier_eval_stream", classifierEvalStream,
+      Some(HygieneQueries.classifierEvalOracle)),
     QueryDef("st28_decontam_index_stream", decontamIndexStream,
       Some(HygieneQueries.decontamOracle)),
     QueryDef("st22_kn_stream", knStream,
