@@ -505,4 +505,41 @@ class PlanSpec extends AnyFunSuite {
     assert(windows.exists(_.exists(_.contains("__gr_pid"))),
       s"expected the distributed rank window, got $windows")
   }
+
+  test("objective/template transforms (FIM, span corruption, SFT, DPO) " +
+      "are single-stage narrow scans — no Exchange in any plan") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.TextAnalysis
+    val docs = graft.Tables.documents(spark, sf)
+    val n = length(col("text"))
+    val prompt = col("text").substr(lit(1), least(lit(40), n))
+    val response = col("text").substr(lit(41), greatest(n - 40, lit(0)))
+    Seq[DataFrame](
+      TextAnalysis.fimTransform(docs, "text", "doc_id", 300000L, 7L),
+      TextAnalysis.spanCorrupt(docs, "text", "doc_id"),
+      TextAnalysis.renderSft(docs, "doc_id", prompt, response, "s"),
+      TextAnalysis.renderDpoPairs(docs, "doc_id", prompt, response,
+        reverse(response), "s")
+    ).foreach { df =>
+      val s = planString(df)
+      assert(!s.contains("Exchange"),
+        s"transform must stay narrow\n$s")
+    }
+  }
+
+  test("p9 semantic order: exactly one range exchange over the corpus " +
+      "(the two-phase rank), embeddings never hash-shuffled") {
+    val df = PipelineQueries.incontextOrder(spark, sf)
+    val s = planString(df)
+    assert(s.contains("Exchange rangepartitioning"),
+      s"expected a range exchange\n$s")
+    // the only hash exchange allowed is the prefix-sum's __pid-keyed
+    // re-route of the already-checkpointed NARROW (key, carry, count)
+    // frame — never a content-keyed shuffle of the embeddings
+    s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(l.contains("__pid"),
+        s"content-keyed hash shuffle found: $l\n$s"))
+    assert(!s.contains("cvec"),
+      s"embeddings must not survive into the exchanged frame\n$s")
+  }
 }
