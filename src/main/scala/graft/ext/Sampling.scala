@@ -51,6 +51,36 @@ object Sampling {
     math.floor(fraction * M).toLong
   }
 
+  /** Deterministic per-epoch shuffle order — multi-epoch training wants
+    * a DIFFERENT document order each epoch (repeat order hurts
+    * convergence) that is nevertheless reproducible and
+    * layout-independent (a resumed or re-sharded run must see the same
+    * stream). Each document gets, for every epoch, its global position
+    * under the order (h_e(key), key) where h_e is [[bucketOf]] with the
+    * multiplier rescaled by (seed + epoch) — a full permutation of Z_M
+    * per epoch, so epochs are independently shuffled. Positions come
+    * from [[Packing.groupRank]] with epoch as the group: the global
+    * per-epoch rank is the two-phase distributed form, no single-task
+    * sort however many documents an epoch holds.
+    *
+    * Output: (key column as `id`, epoch, pos) with pos 1-based within
+    * the epoch. Scale shape: one |epochs|-way fanout projection + the
+    * groupRank range exchange. */
+  def epochOrder(df: DataFrame, key: Column, epochs: Int,
+      seed: Long = 0L): DataFrame = {
+    require(epochs >= 1, s"epochs=$epochs")
+    val fanned = df.select(key.as("id"))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+    // bucketOf with a per-row (column) seed: same algebra, the
+    // multiplier rescale keeps epochs independent (see object scaladoc)
+    val ks = pmod(lit(K) * (lit(seed) + col("epoch") + 1L), lit(M))
+    val h = pmod(
+      pmod(col("id"), lit(M)) * ks + (lit(seed) + col("epoch")), lit(M))
+    Packing.groupRank(fanned.withColumn("__h", h), Seq("epoch"),
+        Seq(col("__h"), col("id")))
+      .select(col("id"), col("epoch"), col("gr_rank").as("pos"))
+  }
+
   /** Keep rows whose key hashes under `fraction`: a reproducible,
     * layout-independent Bernoulli-style sample (exact membership, not
     * exact cardinality — like Bernoulli, the kept count concentrates

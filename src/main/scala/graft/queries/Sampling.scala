@@ -356,7 +356,30 @@ object SamplingQueries {
       |   % 2147483647 % 5 AS fold
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** sm15: deterministic per-epoch shuffle order (Sampling.epochOrder)
+    * — 3 independent epoch permutations of documents at seed 9, global
+    * positions from the distributed rank; the multiplier-rescaled hash
+    * replays exactly in the oracle. */
+  def epochShuffle(s: SparkSession, d: String): DataFrame =
+    Sampling.epochOrder(Tables.documents(s, d), col("doc_id"),
+        epochs = 3, seed = 9L)
+      .orderBy("id", "epoch")
+
+  private val epochShuffleOracle =
+    """WITH e AS (
+      | SELECT doc_id AS id, unnest(range(0, 3)) AS epoch FROM documents),
+      |h AS (
+      | SELECT id, epoch,
+      |  ((id % 2147483647) * ((2654435761 * (9 + epoch + 1)) % 2147483647)
+      |    + (9 + epoch)) % 2147483647 AS hv
+      | FROM e)
+      |SELECT id, CAST(epoch AS BIGINT) AS epoch,
+      | CAST(row_number() OVER (PARTITION BY epoch ORDER BY hv, id)
+      |   AS BIGINT) AS pos
+      |FROM h ORDER BY id, epoch""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("sm15_epoch_shuffle", epochShuffle, Some(epochShuffleOracle)),
     QueryDef("sm10_kfold", kfold, Some(kfoldOracle)),
     QueryDef("sm9_replicate", replicate, Some(replicateOracle)),
     QueryDef("sm1_hash_sample", hashSample, Some(hashSampleOracle)),

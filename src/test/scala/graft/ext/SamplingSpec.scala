@@ -383,4 +383,29 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(capped1 === free)
   }
+
+  test("epochOrder: each epoch is a full 1..N permutation, epochs " +
+      "differ, and the order is layout-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    val n = 100
+    val df = (0L until n.toLong).map(Tuple1(_)).toDF("k")
+    def run(parts: Int) =
+      graft.ext.Sampling.epochOrder(df.repartition(parts), col("k"),
+          epochs = 3, seed = 9L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = run(7)
+    assert(got.length === 3 * n)
+    (0L until 3L).foreach { e =>
+      val pos = got.filter(_._2 == e).map(_._3).sorted.toSeq
+      assert(pos === (1L to n.toLong), s"epoch $e not a permutation")
+    }
+    // different epochs order documents differently
+    def orderOf(e: Long) =
+      got.filter(_._2 == e).sortBy(_._3).map(_._1).toSeq
+    assert(orderOf(0) !== orderOf(1))
+    assert(orderOf(1) !== orderOf(2))
+    // layout independence: same positions under another partitioning
+    assert(run(2).sorted.toSeq === got.sorted.toSeq)
+  }
 }
