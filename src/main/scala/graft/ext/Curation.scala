@@ -201,6 +201,46 @@ object Curation {
     *
     * Output: one row per predicted class,
     * (source, n_docs, tokens_total, rate_ppm). */
+  /** Rank-normalized blending of quality signals — the multi-signal
+    * ensembling modern curation uses (a corpus kept by the agreement
+    * of several classifiers/heuristics beats any single signal; the
+    * DataComp/Nemotron-CC recipe): each signal is rank-normalized to
+    * [0, 10⁶] ppm and the blend is the exact integer weighted mean,
+    * so signals with arbitrary scales (a perplexity, a classifier
+    * logit, a length) become commensurable and the blend is invariant
+    * to any monotone rescaling of an input signal. Ranks come from
+    * [[Packing.groupRank]] over one whole-table group — the two-phase
+    * distributed form, no single-task global sort however large the
+    * corpus; one narrow range exchange + one id-keyed join per
+    * signal. Ties break by id (deterministic, engine-replayable).
+    *
+    * Output: (id, blend_ppm) with blend_ppm in [0, 10⁶]. */
+  def blendScores(df: DataFrame, id: String,
+      signals: Seq[(Column, Long)]): DataFrame = {
+    require(signals.nonEmpty, "blendScores: need at least one signal")
+    require(signals.forall(_._2 > 0), "blendScores: weights must be > 0")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val norms = signals.zipWithIndex.map { case ((sig, _), i) =>
+      Packing.groupRank(
+          df.select(col(id), sig.cast("long").as("__s"))
+            .withColumn("__g", lit(1)),
+          Seq("__g"), Seq(col("__s"), col(id)))
+        .select(col(id),
+          idiv((col("gr_rank") - 1L) * lit(1000000L),
+            greatest(col("gr_n") - 1L, lit(1L))).as(s"__n$i"))
+    }
+    val joined = norms.reduceLeft((a, b) => a.join(b, Seq(id)))
+    val w = signals.map(_._2)
+    val weighted = signals.indices
+      .map(i => col(s"__n$i") * lit(w(i)))
+      .reduce(_ + _)
+    joined.select(col(id),
+      idiv(weighted, lit(w.sum)).as("blend_ppm"))
+  }
+
   def classifiedMixture(docs: DataFrame, text: String, id: String,
       label: String, tokens: Column,
       targetPpm: Map[String, Long]): DataFrame = {

@@ -1250,6 +1250,33 @@ object HygieneQueries {
       |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
 
+  /** t51: rank-normalized quality-signal blending
+    * (Curation.blendScores) — two commensurable-ized signals (length
+    * rank at weight 3, token-count rank at weight 1) combined as an
+    * exact integer weighted mean; ranks via the distributed
+    * whole-table groupRank, ties by id, full DuckDB replay. */
+  def scoreBlendGate(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.blendScores(Tables.documents(s, d), "doc_id",
+        Seq((col("n_chars"), 3L),
+          (TextAnalysis.tokenCount(col("text")), 1L)))
+      .orderBy("doc_id")
+
+  private val scoreBlendOracle =
+    """WITH t AS (
+      | SELECT doc_id, n_chars,
+      |  CAST(len(regexp_extract_all(text, '[^\s]+')) AS BIGINT) AS ntok
+      | FROM documents),
+      |r1 AS (
+      | SELECT doc_id, (row_number() OVER (ORDER BY n_chars, doc_id) - 1)
+      |   * 1000000 // greatest(count(*) OVER () - 1, 1) AS n0 FROM t),
+      |r2 AS (
+      | SELECT doc_id, (row_number() OVER (ORDER BY ntok, doc_id) - 1)
+      |   * 1000000 // greatest(count(*) OVER () - 1, 1) AS n1 FROM t)
+      |SELECT t.doc_id,
+      | CAST((r1.n0 * 3 + r2.n1 * 1) // 4 AS BIGINT) AS blend_ppm
+      |FROM t JOIN r1 USING (doc_id) JOIN r2 USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   /** t49: span-corruption objective (TextAnalysis.spanCorrupt, the
     * T5/UL2 denoiser prep) at the defaults — 8-token block grid, 3-token
     * spans, 25% block rate; mask draws are the t19 integer family, so
@@ -1699,6 +1726,7 @@ object HygieneQueries {
     QueryDef("t49_span_corruption", spanCorruptGate,
       Some(spanCorruptOracle)),
     QueryDef("t50_dpo_pairs", dpoPairsGate, Some(dpoPairsOracle)),
+    QueryDef("t51_score_blend", scoreBlendGate, Some(scoreBlendOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),
     QueryDef("t34_unigram_vocab", unigramVocab,

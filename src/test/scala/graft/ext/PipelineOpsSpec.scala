@@ -478,4 +478,28 @@ class PipelineOpsSpec extends AnyFunSuite {
       ("a", 3L, 30L, 1000000L),
       ("b", 4L, 40L, 750000L)))
   }
+  test("blendScores: exact rank-normalized weighted mean, invariant " +
+      "to monotone rescaling of a signal") {
+    val spark0 = spark
+    import spark0.implicits._
+    // 5 docs, two signals with opposite orders
+    val df = Seq((1L, 10L, 5L), (2L, 20L, 4L), (3L, 30L, 3L),
+        (4L, 40L, 2L), (5L, 50L, 1L)).toDF("id", "a", "b")
+    val got = graft.ext.Curation.blendScores(df, "id",
+        Seq((col("a"), 3L), (col("b"), 1L)))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // norms: a -> (0, 25, 50, 75, 100)% ; b -> reversed
+    val want = (0 until 5).map { i =>
+      val na = i * 1000000L / 4; val nb = (4 - i) * 1000000L / 4
+      (i + 1L, (na * 3 + nb) / 4)
+    }
+    assert(got === want)
+    // monotone invariance: squaring the nonnegative signal changes nothing
+    val got2 = graft.ext.Curation.blendScores(df, "id",
+        Seq((col("a") * col("a"), 3L), (col("b"), 1L)))
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got2 === got)
+  }
 }
