@@ -69,6 +69,12 @@ object Sampling {
   def epochOrder(df: DataFrame, key: Column, epochs: Int,
       seed: Long = 0L): DataFrame = {
     require(epochs >= 1, s"epochs=$epochs")
+    // ks = K·(seed+epoch+1) mod M must stay nonzero (the bijection
+    // argument above) and the product inside the fanout hash must not
+    // overflow: both hold when seed+epochs is far from M — enforce the
+    // sane range instead of documenting a trap.
+    require(seed >= 0L && seed + epochs + 1L < M,
+      s"seed=$seed epochs=$epochs out of the safe range [0, M)")
     val fanned = df.select(key.as("id"))
       .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
     // bucketOf with a per-row (column) seed: same algebra, the

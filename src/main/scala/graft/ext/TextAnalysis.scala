@@ -1088,7 +1088,10 @@ object TextAnalysis {
     * `<extra_id_1>`, …) exactly like the published checkpoint
     * vocabularies expect. A ~12.5% default token-mask budget
     * (3 of every 8-token block at 25% block rate ≈ 9%) mirrors the
-    * paper's 15% at mean span 3. Narrow projection: zero shuffle. */
+    * paper's 15% at mean span 3. Narrow projection: zero shuffle.
+    * Id-range contract (shared with [[maskTokens]], whose oracle pins
+    * the same draw): id·2654435761 must not overflow Long, i.e.
+    * id < ~3.4·10⁹ — any denser id space should fingerprint first. */
   def spanCorrupt(df: DataFrame, text: String, id: String,
       blockTokens: Int = 8, spanTokens: Int = 3,
       ratePct: Int = 25): DataFrame = {
