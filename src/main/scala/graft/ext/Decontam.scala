@@ -158,6 +158,41 @@ object Decontam {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Per-eval-set contamination report — the number a lab tracks PER
+    * BENCHMARK before a training run (one aggregate "is the corpus
+    * clean" hides which eval is compromised): for every value of
+    * `setCol` in the benchmark relation, the count of corpus documents
+    * sharing at least one n-gram with THAT set, the total distinct
+    * (doc, set-gram) hits, and the contaminated fraction of the corpus
+    * in ppm. Same scale shape as [[flag]] — the per-set gram relation
+    * stays benchmark-sized and broadcasts; the corpus is scanned once
+    * and only matching (doc, set) rows reach the aggregation. A gram
+    * shared by two sets counts toward both (each benchmark owner needs
+    * their own number). */
+  def contaminationReport(corpus: DataFrame, textCol: String,
+      idCol: String, benchmark: DataFrame, benchTextCol: String,
+      setCol: String, n: Int = 8): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val grams = benchmark
+      .select(col(setCol).as("eval_set"),
+        explode(gramsCol(col(benchTextCol), n)).as("gram"))
+      .distinct()
+    val perSet = corpus
+      .select(col(idCol), explode(gramsCol(col(textCol), n)).as("gram"))
+      .join(broadcast(grams), Seq("gram"))
+      .groupBy(col("eval_set"))
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+        count(lit(1)).cast("long").as("n_gram_hits"))
+    val total = corpus.select(count(lit(1)).as("__n_corpus"))
+    perSet.crossJoin(broadcast(total))
+      .select(col("eval_set"), col("n_docs_hit"), col("n_gram_hits"),
+        idiv(col("n_docs_hit") * lit(1000000L),
+          greatest(col("__n_corpus"), lit(1L))).as("contaminated_ppm"))
+  }
+
   /** Join-free [[clean]] (same inline probe; stream-safe). */
   def cleanInline(corpus: DataFrame, textCol: String, idCol: String,
       benchmark: DataFrame, benchTextCol: String, n: Int = 8): DataFrame =

@@ -71,6 +71,61 @@ object HygieneQueries {
       |FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
       |ORDER BY c.doc_id""".stripMargin
 
+  /** d21: per-eval-set contamination report
+    * (Decontam.contaminationReport) — the d7 benchmark split into two
+    * labeled eval sets (%40 → evalA, the rest → evalB); per set: docs
+    * hit, distinct gram hits, contaminated fraction of the corpus in
+    * ppm. The one-aggregate "is the corpus clean" view hides WHICH
+    * benchmark is compromised — this is the per-benchmark number. */
+  def contaminationReportGate(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(when(col("doc_id") % 40 === 0, lit("evalA"))
+        .otherwise(lit("evalB")).as("eval_set"), col("text"))
+    Decontam.contaminationReport(decontamCorpus(s, d), "text", "doc_id",
+        bench, "text", "eval_set", n = 8)
+      .orderBy("eval_set")
+  }
+
+  private val contaminationReportOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        'novel preamble ' || text || ' novel epilogue' AS text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bench AS (
+      | SELECT CASE WHEN doc_id % 40 = 0 THEN 'evalA' ELSE 'evalB' END
+      |   AS eval_set, text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |btoks AS (
+      | SELECT eval_set, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM bench),
+      |bgrams AS (
+      | SELECT DISTINCT eval_set, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks),
+      |hits AS (
+      | SELECT b.eval_set, c.doc_id
+      | FROM cgrams c JOIN bgrams b USING (gram)),
+      |per AS (
+      | SELECT eval_set, CAST(count(DISTINCT doc_id) AS BIGINT)
+      |   AS n_docs_hit, CAST(count(*) AS BIGINT) AS n_gram_hits
+      | FROM hits GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM corpus)
+      |SELECT eval_set, n_docs_hit, n_gram_hits,
+      | CAST(n_docs_hit * 1000000 // greatest(tot.n, 1) AS BIGINT)
+      |   AS contaminated_ppm
+      |FROM per CROSS JOIN tot ORDER BY eval_set""".stripMargin
+
   /** d20: decontamination served from a PERSISTED benchmark index — two
     * OVERLAPPING benchmark increments (the full eval set, then its
     * %40 slice again — every gram of the second append already exists)
@@ -1685,6 +1740,8 @@ object HygieneQueries {
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
     QueryDef("d20_decontam_index", decontamFromIndex, Some(decontamOracle)),
+    QueryDef("d21_contamination_report", contaminationReportGate,
+      Some(contaminationReportOracle)),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),

@@ -603,6 +603,31 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------- per-set contamination report
+
+  test("contaminationReport: per-eval-set doc hits, gram hits, and " +
+      "corpus ppm; shared grams count toward both sets") {
+    // 4-token grams at n=4; doc 1 overlaps setA, doc 2 overlaps both
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta tail"),
+      (2L, "shared one two three words"),
+      (3L, "totally clean document here")).toDF("doc_id", "text")
+    val bench = Seq(
+      ("A", "alpha beta gamma delta"),
+      ("A", "shared one two three"),
+      ("B", "shared one two three")).toDF("eval_set", "text")
+    val got = Decontam.contaminationReport(corpus, "text", "doc_id",
+        bench, "text", "eval_set", n = 4)
+      .orderBy("eval_set").collect()
+      .map(r => (r.getAs[String]("eval_set"), r.getAs[Long]("n_docs_hit"),
+        r.getAs[Long]("n_gram_hits"), r.getAs[Long]("contaminated_ppm")))
+    // setA: docs 1 and 2 hit, one shared gram each (2/3 corpus);
+    // setB: doc 2 only (1/3) — the shared gram counted toward both sets
+    assert(got.toSeq === Seq(
+      ("A", 2L, 2L, 2000000L / 3),
+      ("B", 1L, 1L, 1000000L / 3)))
+  }
+
   // ----------------------------------------------- span corruption
 
   test("spanCorrupt: sentinels number in order, reassembly recovers " +
