@@ -224,8 +224,10 @@ object Curation {
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         expression(a), expression(b)))
     val norms = signals.zipWithIndex.map { case ((sig, _), i) =>
+      // rank on the RAW signal (casting a fractional score to long
+      // before ranking would collapse its order into giant ties)
       Packing.groupRank(
-          df.select(col(id), sig.cast("long").as("__s"))
+          df.select(col(id), sig.as("__s"))
             .withColumn("__g", lit(1)),
           Seq("__g"), Seq(col("__s"), col(id)))
         .select(col(id),

@@ -186,10 +186,16 @@ object Decontam {
       .groupBy(col("eval_set"))
       .agg(countDistinct(col(idCol)).as("n_docs_hit"),
         count(lit(1)).cast("long").as("n_gram_hits"))
+    // a CLEAN eval set must report 0, not vanish from the report —
+    // left-join from the full set list
+    val allSets = benchmark.select(col(setCol).as("eval_set")).distinct()
     val total = corpus.select(count(lit(1)).as("__n_corpus"))
-    perSet.crossJoin(broadcast(total))
-      .select(col("eval_set"), col("n_docs_hit"), col("n_gram_hits"),
-        idiv(col("n_docs_hit") * lit(1000000L),
+    allSets.join(perSet, Seq("eval_set"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("eval_set"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        idiv(coalesce(col("n_docs_hit"), lit(0L)) * lit(1000000L),
           greatest(col("__n_corpus"), lit(1L))).as("contaminated_ppm"))
   }
 

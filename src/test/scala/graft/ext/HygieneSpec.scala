@@ -626,6 +626,16 @@ class HygieneSpec extends AnyFunSuite {
     assert(got.toSeq === Seq(
       ("A", 2L, 2L, 2000000L / 3),
       ("B", 1L, 1L, 1000000L / 3)))
+    // a clean eval set reports 0, it does not vanish
+    val withClean = Decontam.contaminationReport(corpus, "text", "doc_id",
+        bench.union(Seq(("C", "zero overlap set entirely"))
+          .toDF("eval_set", "text")),
+        "text", "eval_set", n = 4)
+      .orderBy("eval_set").collect()
+      .map(r => (r.getAs[String]("eval_set"), r.getAs[Long]("n_docs_hit"),
+        r.getAs[Long]("contaminated_ppm")))
+    assert(withClean.toSeq === Seq(("A", 2L, 2000000L / 3),
+      ("B", 1L, 1000000L / 3), ("C", 0L, 0L)))
   }
 
   // ----------------------------------------------- span corruption

@@ -501,5 +501,12 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got2 === got)
+    // fractional signals rank without truncation: 0.1 < 0.2 < ... must
+    // order, not collapse into one giant tie
+    val frac = Seq((1L, 0.1), (2L, 0.2), (3L, 0.3)).toDF("id", "f")
+    val gf = graft.ext.Curation.blendScores(frac, "id",
+        Seq((col("f"), 1L)))
+      .orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(gf === Seq(0L, 500000L, 1000000L))
   }
 }
