@@ -155,6 +155,91 @@ object AnnIndex {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Hard-negative mining at TRAINING-SET scale, served from the
+    * persisted index: for every query vector, the k most-cosine-similar
+    * corpus vectors whose label differs ([[Similarity.hardNegatives]]'s
+    * DPR contract, reference semantics unchanged) — but the query side
+    * is a first-class DISTRIBUTED relation, never broadcast and never
+    * collected, so the "queries" can be the training corpus itself
+    * (DPR-style retriever training mines negatives for every training
+    * example, a set as large as the corpus — the shape the
+    * broadcast-query [[Similarity.hardNegatives]] cannot serve).
+    *
+    * Plan shape, one bounded-fanout pipeline:
+    *  1. probe: each query row derives its `nprobe` best centroids and
+    *     its PQ lookup table in ONE narrow codegen'd projection
+    *     ([[graft.functions.TopCentroids]] — the centroid table rides
+    *     as a reference object, so there is no crossJoin-with-
+    *     broadcast-centroids and no per-query shuffle);
+    *  2. the encoded corpus joins its labels once (cid-keyed shuffle
+    *     join, corpus-sized, label column pruned to (cid, clab));
+    *  3. query probes BUCKET-JOIN the encoded table on centroid_id —
+    *     a shuffle join both sides (`SHUFFLE_HASH` hints pin the
+    *     strategy so neither side is ever broadcast, at any size;
+    *     AQE's skew handling splits hot buckets);
+    *  4. the cross-label filter applies BEFORE the ADC rerank cut, so
+    *     same-label candidates can never evict true negatives from the
+    *     capacity-`rerank` aggregate;
+    *  5. ADC top-`rerank` survivors re-rank by exact cosine (two more
+    *     cid/qid-keyed shuffle joins — survivor-sized, not
+    *     corpus-sized).
+    *
+    * At full probing (nprobe = nlist) with rerank ≥ the cross-label
+    * candidate count this equals the brute-force mining answer exactly
+    * (the s20/s21 gate contract); at real settings recall follows the
+    * s18/s19 measured ladder. Queries: (qid BIGINT, qvec ARRAY<FLOAT>,
+    * qlab). corpusLabels: (cid BIGINT, clab). Output
+    * (query_id, corpus_id, cosine, rank), rank 1..k. A query that IS a
+    * corpus row never returns itself (its own label matches). */
+  def mineHardNegatives(spark: SparkSession, root: String,
+      queries: DataFrame, corpusLabels: DataFrame,
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    require(rerank >= k, s"mineHardNegatives: rerank=$rerank < k=$k")
+    val meta = spark.read.parquet(s"$root/meta.parquet").head
+    val codes = meta.getAs[Int]("codes")
+    val nlist = meta.getAs[Int]("nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"mineHardNegatives: nprobe=$nprobe out of range [1, $nlist]")
+    val codebook = loadCodebook(spark, root)
+    val (centIds, centVecs) = loadCentroids(spark, root)
+    val encoded = spark.read.parquet(s"$root/encoded.parquet")
+
+    val probes = queries.select(col("qid"), col("qlab"),
+        GraftFunctions.pqLut(col("qvec"), codebook).as("lut"),
+        explode(GraftFunctions.topCentroids(col("qvec"), centIds, centVecs,
+          nprobe)).as("centroid_id"))
+
+    val encLab = encoded.select("cid", "centroid_id", "codes")
+      .join(corpusLabels.select(col("cid"), col("clab")).hint("shuffle_hash"),
+        Seq("cid"))
+
+    import Similarity.{Scored, TopKAggregator}
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encLab
+      .join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .where(col("clab") =!= col("qlab"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), codes).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    encoded.select("cid", "cvec")
+      .join(candidates.hint("shuffle_hash"), Seq("cid"))
+      .join(queries.select(col("qid"), col("qvec")).hint("shuffle_hash"),
+        Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   private def loadCentroids(spark: SparkSession,
       root: String): (Array[Long], Array[Array[Double]]) = {
     val rows = spark.read.parquet(s"$root/centroids.parquet")

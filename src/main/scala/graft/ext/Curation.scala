@@ -211,8 +211,15 @@ object Curation {
     * to any monotone rescaling of an input signal. Ranks come from
     * [[Packing.groupRank]] over one whole-table group — the two-phase
     * distributed form, no single-task global sort however large the
-    * corpus; one narrow range exchange + one id-keyed join per
-    * signal. Ties break by id (deterministic, engine-replayable).
+    * corpus; one narrow range exchange per signal. Ties break by id
+    * (deterministic, engine-replayable).
+    *
+    * The per-signal ranks ACCUMULATE as columns on one frame — there
+    * is no id-keyed join of per-signal rank frames, so a duplicated id
+    * cannot cross-multiply (N^signals rows per dup) or pair arbitrary
+    * norm combinations: every INPUT ROW gets exactly one blend, ranked
+    * on its own signal values. (Rows sharing (signal, id) still tie —
+    * keep ids unique if per-id determinism matters.)
     *
     * Output: (id, blend_ppm) with blend_ppm in [0, 10⁶]. */
   def blendScores(df: DataFrame, id: String,
@@ -223,23 +230,23 @@ object Curation {
     def idiv(a: Column, b: Column): Column = column(
       org.apache.spark.sql.catalyst.expressions.IntegralDivide(
         expression(a), expression(b)))
-    val norms = signals.zipWithIndex.map { case ((sig, _), i) =>
-      // rank on the RAW signal (casting a fractional score to long
-      // before ranking would collapse its order into giant ties)
-      Packing.groupRank(
-          df.select(col(id), sig.as("__s"))
-            .withColumn("__g", lit(1)),
-          Seq("__g"), Seq(col("__s"), col(id)))
-        .select(col(id),
+    // rank on the RAW signal (casting a fractional score to long
+    // before ranking would collapse its order into giant ties)
+    val base = df.select(col(id) +:
+      signals.zipWithIndex.map { case ((sig, _), i) => sig.as(s"__s$i") }: _*)
+      .withColumn("__g", lit(1))
+    val ranked = signals.indices.foldLeft(base) { (cur, i) =>
+      Packing.groupRank(cur, Seq("__g"), Seq(col(s"__s$i"), col(id)))
+        .withColumn(s"__n$i",
           idiv((col("gr_rank") - 1L) * lit(1000000L),
-            greatest(col("gr_n") - 1L, lit(1L))).as(s"__n$i"))
+            greatest(col("gr_n") - 1L, lit(1L))))
+        .drop("gr_rank", "gr_n", s"__s$i")
     }
-    val joined = norms.reduceLeft((a, b) => a.join(b, Seq(id)))
     val w = signals.map(_._2)
     val weighted = signals.indices
       .map(i => col(s"__n$i") * lit(w(i)))
       .reduce(_ + _)
-    joined.select(col(id),
+    ranked.select(col(id),
       idiv(weighted, lit(w.sum)).as("blend_ppm"))
   }
 

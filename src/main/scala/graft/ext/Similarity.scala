@@ -82,9 +82,13 @@ object Similarity {
     * (broadcast query batch, one corpus scan, capacity-k partial
     * aggregate so the shuffle carries Q·k·partitions rows); the label
     * test rides the same codegen'd projection as the cosine, so the
-    * exclusion is free. At 100 TB the corpus side swaps in any serve
-    * tier (IVF/PQ candidates re-filtered by label) — the mining
-    * contract (rank by similarity among cross-label rows) is identical.
+    * exclusion is free. This shape requires a BROADCAST-SMALL query
+    * batch; mining negatives for a training-set-sized query relation
+    * (the real DPR recipe) is [[AnnIndex.mineHardNegatives]] — the
+    * persisted-index serve with the query side distributed and the
+    * label filter applied before the rerank cut, same mining contract
+    * (rank by similarity among cross-label rows), gated equal to this
+    * operator at full probing (s20/s21).
     *
     * queries: (qid BIGINT, qvec ARRAY<FLOAT>, qlab) — broadcast-small.
     * corpus:  (cid BIGINT, cvec ARRAY<FLOAT>, clab).

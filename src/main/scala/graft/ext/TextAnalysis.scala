@@ -1037,10 +1037,12 @@ object TextAnalysis {
     * prep: each whitespace token is replaced by `maskTok` when its
     * pseudo-random draw falls under `pct` percent. The draw is pure
     * integer arithmetic over (doc id, 1-based token position) —
-    * (id·2654435761 + pos·40503) mod 100 — so the corruption is (a)
-    * reproducible run-over-run with no RNG state, (b) independent of
-    * partitioning, and (c) replayable by any engine; a seeded `rand()`
-    * is none of those. Narrow HOF projection, no explode, no shuffle.
+    * (id·2654435761 + pos·40503) mod 100, with mod as `pmod` so a
+    * NEGATIVE id cannot produce an always-below-threshold negative
+    * remainder — so the corruption is (a) reproducible run-over-run
+    * with no RNG state, (b) independent of partitioning, and (c)
+    * replayable by any engine; a seeded `rand()` is none of those.
+    * Narrow HOF projection, no explode, no shuffle.
     * Emits (id, masked_text, n_tokens, n_masked). */
   def maskTokens(
       df: DataFrame, text: String, id: String, pct: Int,
@@ -1048,7 +1050,7 @@ object TextAnalysis {
     require(pct >= 0 && pct <= 100, "pct in [0, 100]")
     val ts = filter(split(col(text), "\\s+"), t => length(t) > 0)
     def draw(pos: Column): Column =
-      (col(id) * 2654435761L + pos * 40503L) % 100
+      pmod(col(id) * 2654435761L + pos * 40503L, lit(100L))
     val base = df.select(col(id), ts.as("__ts"))
     val masked = array_join(
       zip_with(col("__ts"),
@@ -1086,12 +1088,19 @@ object TextAnalysis {
     * sequential scan over positions, no state, codegen'd HOFs only.
     * Sentinels are numbered in document order (`<extra_id_0>`,
     * `<extra_id_1>`, …) exactly like the published checkpoint
-    * vocabularies expect. A ~12.5% default token-mask budget
-    * (3 of every 8-token block at 25% block rate ≈ 9%) mirrors the
-    * paper's 15% at mean span 3. Narrow projection: zero shuffle.
-    * Id-range contract (shared with [[maskTokens]], whose oracle pins
-    * the same draw): id·2654435761 must not overflow Long, i.e.
-    * id < ~3.4·10⁹ — any denser id space should fingerprint first. */
+    * vocabularies expect — the running "selected blocks before j"
+    * count is one codegen'd prefix pass
+    * ([[graft.functions.PrefixCountsTrue]]), so per-row cost is
+    * LINEAR in blocks (a nested re-filter per block would make a 100k-
+    * token book ~156M predicate evaluations for that one row). A
+    * ~12.5% default token-mask budget (3 of every 8-token block at 25%
+    * block rate ≈ 9%) mirrors the paper's 15% at mean span 3. Narrow
+    * projection: zero shuffle. Id-range contract (shared with
+    * [[maskTokens]], whose oracle pins the same draw): ids must be
+    * nonnegative (enforced via `pmod`, so a negative id can no longer
+    * silently mask every block) and id·2654435761 must not overflow
+    * Long, i.e. id < ~3.4·10⁹ — any denser id space should fingerprint
+    * first. */
   def spanCorrupt(df: DataFrame, text: String, id: String,
       blockTokens: Int = 8, spanTokens: Int = 3,
       ratePct: Int = 25): DataFrame = {
@@ -1099,17 +1108,32 @@ object TextAnalysis {
       spanTokens <= blockTokens, s"blocks=$blockTokens span=$spanTokens")
     require(ratePct >= 0 && ratePct <= 100, s"ratePct=$ratePct")
     val b = blockTokens; val l = spanTokens
-    val ts = filter(split(col(text), "\\s+"), t => length(t) > 0)
-    val nTok = size(ts)
-    val nBlocks = floor((nTok.cast("double") + (b - 1)) / b).cast("int")
     def drawLt(j: Column): Column =
-      (col(id) * lit(2654435761L) + j.cast("long") * lit(40503L)) % 100 <
-        lit(ratePct)
-    val blocks = sequence(lit(0), greatest(nBlocks, lit(1)) - 1)
+      pmod(col(id) * lit(2654435761L) + j.cast("long") * lit(40503L),
+        lit(100L)) < lit(ratePct)
     def sentinel(n: Column): Column =
       concat(lit("<extra_id_"), n.cast("string"), lit(">"))
-    def sentIdx(j: Column): Column =
-      size(filter(blocks, bj => bj < j && drawLt(bj)))
+    // Staged projections bind the token array, the block grid, and the
+    // prefix counts as COLUMNS before any HOF uses them: a subtree
+    // inside a lambda that does not depend on the lambda variable is
+    // re-evaluated PER ELEMENT (cf. gramsCol), which is exactly the
+    // O(blocks²) cliff this layout removes — inside the lambdas below,
+    // every outer value is a bound reference, read in O(1).
+    val withTs = df.select(col(id),
+      filter(split(col(text), "\\s+"), t => length(t) > 0).as("__ts"))
+    val nBlocks =
+      floor((size(col("__ts")).cast("double") + (b - 1)) / b).cast("int")
+    val withBlocks = withTs.select(col(id), col("__ts"),
+      sequence(lit(0), greatest(nBlocks, lit(1)) - 1).as("__blocks"))
+    // Exclusive prefix counts of the selection flags: sentIdx(j) =
+    // number of selected blocks before j, in ONE linear pass.
+    val withPs = withBlocks.select(col(id), col("__ts"), col("__blocks"),
+      graft.functions.GraftFunctions.prefixCountsTrue(
+        transform(col("__blocks"), j => drawLt(j))).as("__ps"))
+    def sentIdx(j: Column): Column = element_at(col("__ps"), j + 1)
+    val ts = col("__ts")
+    val blocks = col("__blocks")
+    val nTok = size(ts)
     val corrupted = array_join(flatten(transform(blocks, j =>
       when(drawLt(j),
         concat(array(sentinel(sentIdx(j))),
@@ -1120,7 +1144,7 @@ object TextAnalysis {
         concat(array(sentinel(sentIdx(j))), slice(ts, j * b + 1, lit(l))))),
       " ")
     val nSpans = size(filter(blocks, j => drawLt(j))).cast("long")
-    df.select(col(id),
+    withPs.select(col(id),
       when(nTok === 0, lit("")).otherwise(corrupted).as("corrupted"),
       when(nTok === 0, lit("")).otherwise(targets).as("targets"),
       when(nTok === 0, lit(0L)).otherwise(nSpans).as("n_spans"))
@@ -1148,13 +1172,23 @@ object TextAnalysis {
       : DataFrame = {
     val sftText = concat(lit(sysTok), lit(system), lit(userTok), prompt,
       lit(asstTok), response, lit(endTok))
-    val head = lit((sysTok + system + userTok).length.toLong) +
-      length(prompt).cast("long") + lit(asstTok.length.toLong)
+    // literal segments measured in CODE POINTS (cpLen), matching
+    // Spark's length()/substring semantics — String.length would count
+    // UTF-16 units and shift the spans when a sentinel or the system
+    // prompt contains non-BMP characters
+    val head = lit(cpLen(sysTok + system + userTok)) +
+      length(prompt).cast("long") + lit(cpLen(asstTok))
     df.select(col(id), sftText.as("sft_text"),
       (head + 1L).as("loss_start"),
       (head + 1L + length(response).cast("long") +
-        lit(endTok.length.toLong)).as("loss_end"))
+        lit(cpLen(endTok))).as("loss_end"))
   }
+
+  /** Code-point length of a literal template segment — the unit Spark's
+    * `length()`/`substring` use (Java `String.length` counts UTF-16
+    * units and disagrees beyond the BMP). */
+  private def cpLen(s: String): Long =
+    s.codePointCount(0, s.length).toLong
 
   /** Preference-pair rendering for DPO/reward-model training
     * (Rafailov et al. 2023): each (prompt, chosen, rejected) triple
@@ -1172,15 +1206,16 @@ object TextAnalysis {
     def tmpl(resp: Column): Column =
       concat(lit(sysTok), lit(system), lit(userTok), prompt,
         lit(asstTok), resp, lit(endTok))
-    val head = lit((sysTok + system + userTok).length.toLong) +
-      length(prompt).cast("long") + lit(asstTok.length.toLong)
+    // code-point segment lengths, same contract as [[renderSft]]
+    val head = lit(cpLen(sysTok + system + userTok)) +
+      length(prompt).cast("long") + lit(cpLen(asstTok))
     df.select(col(id),
       tmpl(chosen).as("chosen_text"), tmpl(rejected).as("rejected_text"),
       (head + 1L).as("loss_start"),
       (head + 1L + length(chosen).cast("long") +
-        lit(endTok.length.toLong)).as("chosen_loss_end"),
+        lit(cpLen(endTok))).as("chosen_loss_end"),
       (head + 1L + length(rejected).cast("long") +
-        lit(endTok.length.toLong)).as("rejected_loss_end"))
+        lit(cpLen(endTok))).as("rejected_loss_end"))
   }
 
   /** Classifier evaluation report — per-class support, prediction
@@ -1270,10 +1305,13 @@ object TextAnalysis {
         sum(col("__chars")).as("n_chars"))
       .select(col("lang"), col("n_docs"), col("n_tokens"), col("n_words"),
         col("n_chars"),
-        idiv(col("n_tokens") * lit(1000000L), col("n_words"))
-          .as("fertility_ppm"),
-        idiv(col("n_chars") * lit(1000000L), col("n_tokens"))
-          .as("chars_per_token_ppm"))
+        // greatest(..., 1) keeps the report TOTAL: a stratum of
+        // all-whitespace docs (n_words = 0) or a tokenizer emitting 0
+        // tokens reports 0 ppm, not NULL (or an ANSI-mode error)
+        idiv(col("n_tokens") * lit(1000000L),
+          greatest(col("n_words"), lit(1L))).as("fertility_ppm"),
+        idiv(col("n_chars") * lit(1000000L),
+          greatest(col("n_tokens"), lit(1L))).as("chars_per_token_ppm"))
   }
 
   // ---------------------------------------- fill-in-the-middle (FIM)

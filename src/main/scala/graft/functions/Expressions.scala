@@ -777,6 +777,91 @@ case class NearestCentroid(child: Expression, ids: Array[Long],
     copy(child = newChild)
 }
 
+/** Top-`nprobe` centroids by cosine (ties by centroid id ascending) as
+  * one codegen'd pass — the probe-list step of IVF serving WITHOUT a
+  * broadcast of the query side: [[NearestCentroid]] generalized from
+  * argmax to arg-top-n. Returns ARRAY<BIGINT> of centroid ids, best
+  * first. Replaces the `crossJoin(broadcast(centroids)) + groupBy(qid)
+  * TopK` probe shape when the QUERY relation is corpus-sized (mining
+  * hard negatives for a whole training set): the centroid table rides
+  * as a reference object inside the expression, so probing is a narrow
+  * projection and the query relation never shuffles or broadcasts. */
+case class TopCentroids(child: Expression, ids: Array[Long],
+    centroids: Array[Array[Double]], nprobe: Int) extends UnaryExpression {
+  require(ids.nonEmpty && ids.length == centroids.length,
+    "top_centroids: ids/centroids size mismatch or empty")
+  require((1 until ids.length).forall(i => ids(i - 1) < ids(i)),
+    "top_centroids: ids must be strictly ascending")
+  require(nprobe >= 1 && nprobe <= ids.length,
+    s"top_centroids: nprobe=$nprobe out of range [1, ${ids.length}]")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"top_centroids expects ARRAY<FLOAT>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TopCentroids.probe(input.asInstanceOf[ArrayData], ids, centroids, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val idsRef = ctx.addReferenceObj("centroidIds", ids, "long[]")
+    val centsRef = ctx.addReferenceObj("centroidVecs", centroids, "double[][]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopCentroids.probe($c, $idsRef, $centsRef, $nprobe);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TopCentroids {
+  /** Shared by eval and generated code. Insertion top-n over the
+    * centroid scan: O(nlist · nprobe) worst case, nprobe is small. */
+  def probe(vec: ArrayData, ids: Array[Long],
+      cents: Array[Array[Double]], nprobe: Int): ArrayData = {
+    val topIdx = new Array[Int](nprobe)
+    val topS = new Array[Double](nprobe)
+    var filled = 0
+    var ci = 0
+    while (ci < cents.length) {
+      val e = cents(ci)
+      val n = math.min(vec.numElements(), e.length)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = vec.getFloat(j).toDouble
+        val y = e(j)
+        dot += x * y; na += x * x; nb += y * y
+        j += 1
+      }
+      val s = if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+      // insert: strictly-greater score wins; equal score keeps the
+      // earlier (lower-id) centroid — the (cosine desc, id asc) order
+      var pos = filled
+      while (pos > 0 && s > topS(pos - 1)) pos -= 1
+      if (pos < nprobe) {
+        val end = math.min(filled, nprobe - 1)
+        var m = end
+        while (m > pos) { topIdx(m) = topIdx(m - 1); topS(m) = topS(m - 1); m -= 1 }
+        topIdx(pos) = ci; topS(pos) = s
+        if (filled < nprobe) filled += 1
+      }
+      ci += 1
+    }
+    val out = new Array[Long](filled)
+    var i = 0
+    while (i < filled) { out(i) = ids(topIdx(i)); i += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 object NearestCentroid {
   /** Shared by eval and generated code. */
   def assign(vec: ArrayData, ids: Array[Long],
@@ -2904,6 +2989,54 @@ object DHash64 {
   }
 }
 
+/** Exclusive prefix counts of TRUE over a boolean array: out[i] = the
+  * number of true elements at positions < i (null elements count as
+  * false). The one-pass running counter that replaces "re-filter the
+  * whole array per element" prefix queries — e.g.
+  * [[graft.ext.TextAnalysis.spanCorrupt]]'s sentinel numbering, where
+  * the per-block "how many selected blocks precede j" was O(blocks²)
+  * per document as a nested `filter` and is O(blocks) here. */
+case class PrefixCountsTrue(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(BooleanType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"prefix_counts_true expects ARRAY<BOOLEAN>, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PrefixCountsTrue.counts(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PrefixCountsTrue.counts($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PrefixCountsTrue {
+  /** Static entry point shared by eval and generated code. */
+  def counts(flags: ArrayData): ArrayData = {
+    val n = flags.numElements()
+    val out = new Array[Int](n)
+    var c = 0
+    var i = 0
+    while (i < n) {
+      out(i) = c
+      if (!flags.isNullAt(i) && flags.getBoolean(i)) c += 1
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -2927,6 +3060,7 @@ object GraftFunctions {
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
   def gramHitCount(c: Column, bench: Array[String]): Column =
     column(GramHitCount(expr(c), bench))
+  def prefixCountsTrue(c: Column): Column = column(PrefixCountsTrue(expr(c)))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expr(c), form))
   def bpeMergePair(c: Column, left: String, right: String): Column =
@@ -2966,6 +3100,9 @@ object GraftFunctions {
   def nearestCentroid(c: Column, ids: Array[Long],
       centroids: Array[Array[Double]]): Column =
     column(NearestCentroid(expr(c), ids, centroids))
+  def topCentroids(c: Column, ids: Array[Long],
+      centroids: Array[Array[Double]], nprobe: Int): Column =
+    column(TopCentroids(expr(c), ids, centroids, nprobe))
   def imageHeader(c: Column): Column = column(ImageHeaderParse(expr(c)))
   def mediaHeader(c: Column): Column = column(MediaHeaderParse(expr(c)))
 

@@ -502,6 +502,30 @@ object ExtensionQueries {
       .select(col("query_id"), col("rank"), col("corpus_id"))
       .orderBy("query_id", "rank")
 
+  /** s21: hard-negative mining served from the PERSISTED IVF-PQ index
+    * (AnnIndex.mineHardNegatives) — the training-set-scale shape: the
+    * query side is a distributed relation (never broadcast, PlanSpec
+    * pins it), probes come from the codegen'd TopCentroids projection,
+    * and the cross-label filter applies before the ADC rerank cut. At
+    * full probing (nprobe = nlist = 20) with rerank wider than the
+    * corpus the mined answer must equal s20's brute-force cross-label
+    * oracle exactly. */
+  def minedNegativesGate(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s21_")
+      .resolve("ann_index").toString
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = root, m = 8, codes = 16, refineIters = 2)
+    graft.ext.AnnIndex.mineHardNegatives(s, root,
+        Tables.embeddings(s, d).where(col("vec_id") < 10)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+            col("label").as("qlab")),
+        Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+          col("label").as("clab")),
+        k = 5, nprobe = 20, rerank = 2100)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
   private val hardNegativesOracle =
     """SELECT query_id, rank, corpus_id FROM (
       | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
@@ -2042,6 +2066,8 @@ object ExtensionQueries {
     QueryDef("d11_latest_by_key", latestByKey, Some(latestByKeyOracle)),
     QueryDef("s1_knn_bruteforce", knnBruteForce, Some(knnOracle), bench = true),
     QueryDef("s20_hard_negatives", hardNegativesGate, Some(hardNegativesOracle)),
+    QueryDef("s21_mined_negatives", minedNegativesGate,
+      Some(hardNegativesOracle)),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),

@@ -1537,10 +1537,10 @@ object HygieneQueries {
       | CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
       | CAST(sum(n_words) AS BIGINT) AS n_words,
       | CAST(sum(n_chars) AS BIGINT) AS n_chars,
-      | CAST(sum(n_tokens) * 1000000 // sum(n_words) AS BIGINT)
-      |   AS fertility_ppm,
-      | CAST(sum(n_chars) * 1000000 // sum(n_tokens) AS BIGINT)
-      |   AS chars_per_token_ppm
+      | CAST(sum(n_tokens) * 1000000 // greatest(sum(n_words), 1)
+      |   AS BIGINT) AS fertility_ppm,
+      | CAST(sum(n_chars) * 1000000 // greatest(sum(n_tokens), 1)
+      |   AS BIGINT) AS chars_per_token_ppm
       |FROM d JOIN counts USING (doc_id)
       |GROUP BY lang ORDER BY lang""".stripMargin
 

@@ -51,6 +51,42 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(served.toSeq === exact.toSeq)
   }
 
+  test("mineHardNegatives: full probing equals brute-force cross-label " +
+      "mining with the WHOLE CORPUS as the query set") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annmine_")
+      .resolve("idx").toString
+    val labeled = (0L until 200L).map(i => (i, vec(i.toInt), s"lab${i % 4}"))
+    val corpus = labeled.map(v => (v._1, v._2)).toDF("cid", "cvec")
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 8, root = root,
+      m = 4, codes = 8)
+    // the training-set-scale contract: queries = the corpus itself
+    // (|Q| = |C|), which the broadcast-query shape cannot serve
+    val queries = labeled.toDF("qid", "qvec", "qlab")
+    val labels = labeled.map(v => (v._1, v._3)).toDF("cid", "clab")
+    val mined = AnnIndex.mineHardNegatives(spark, root, queries, labels,
+        k = 4, nprobe = 8, rerank = 200)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    val brute = Similarity.hardNegatives(
+        labeled.map(v => (v._1, v._2, v._3)).toDF("cid", "cvec", "clab"),
+        queries, k = 4)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    assert(mined.length === 200 * 4)
+    assert(mined.toSeq === brute.toSeq)
+    // label filter BEFORE the rerank cut: even a rerank budget smaller
+    // than a bucket's same-label majority still yields k cross-label
+    // rows per query (same-label candidates never occupy rerank slots)
+    val tight = AnnIndex.mineHardNegatives(spark, root, queries, labels,
+      k = 2, nprobe = 8, rerank = 2).collect()
+    assert(tight.length === 200 * 2)
+    val byLab = labeled.map(v => (v._1, v._3)).toMap
+    tight.foreach { r =>
+      assert(byLab(r.getAs[Long]("query_id")) !=
+        byLab(r.getAs[Long]("corpus_id")))
+    }
+  }
+
   test("ivfPqTopK recall@k: degrades gracefully with nprobe, " +
       "monotone non-decreasing toward exact") {
     val corpus = (0L until 500L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")

@@ -675,6 +675,53 @@ class HygieneSpec extends AnyFunSuite {
     assert(got(1).getAs[Long]("n_spans") === 0L)
   }
 
+  test("spanCorrupt: linear sentinel numbering survives a 100k-token " +
+      "document (the old per-block re-filter was O(blocks^2))") {
+    // 100k tokens -> 12,500 blocks; the quadratic shape evaluated
+    // ~156M draw predicates for this one row
+    val n = 100000
+    val words = (1 to n).map(i => s"w$i")
+    val docs = Seq((7L, words.mkString(" "))).toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val r = TextAnalysis.spanCorrupt(docs, "text", "doc_id").head()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    val nBlocks = (n + 7) / 8
+    val masked = (0 until nBlocks).filter(j =>
+      Math.floorMod(7L * 2654435761L + j * 40503L, 100L) < 25)
+    assert(r.getAs[Long]("n_spans") === masked.length.toLong)
+    // sentinel numbering: first and last selected block carry the
+    // first and last sentinel ids, spans hold the blocks' first 3 toks
+    val targets = r.getAs[String]("targets")
+    assert(targets.startsWith(s"<extra_id_0> w${masked.head * 8 + 1} " +
+      s"w${masked.head * 8 + 2} w${masked.head * 8 + 3}"))
+    assert(targets.endsWith(s"<extra_id_${masked.length - 1}> " +
+      s"w${masked.last * 8 + 1} w${masked.last * 8 + 2} " +
+      s"w${masked.last * 8 + 3}"))
+    // generous linearity guard: the quadratic path took minutes here
+    assert(wallSec < 60.0, s"spanCorrupt took ${wallSec}s on 100k tokens")
+  }
+
+  test("spanCorrupt + maskTokens: negative ids draw via pmod instead " +
+      "of silently masking every block") {
+    val words = (1 to 160).map(i => s"w$i").mkString(" ")
+    val span = TextAnalysis.spanCorrupt(
+        Seq((-7L, words)).toDF("doc_id", "text"), "text", "doc_id")
+      .head()
+    // 20 blocks at 25%: pmod keeps the rate near a quarter — the old
+    // negative remainder made every draw < 25 (all 20 blocks masked)
+    val expectSpan = (0 until 20).count(j =>
+      Math.floorMod(-7L * 2654435761L + j * 40503L, 100L) < 25)
+    assert(span.getAs[Long]("n_spans") === expectSpan.toLong)
+    assert(span.getAs[Long]("n_spans") < 20L)
+    val mask = TextAnalysis.maskTokens(
+        Seq((-7L, words)).toDF("doc_id", "text"), "text", "doc_id", 25)
+      .head()
+    val expectMask = (1 to 160).count(p =>
+      Math.floorMod(-7L * 2654435761L + p * 40503L, 100L) < 25)
+    assert(mask.getAs[Long]("n_masked") === expectMask.toLong)
+    assert(mask.getAs[Long]("n_masked") < 160L)
+  }
+
   // ------------------------------------------------- SFT rendering
 
   test("renderSft: loss span selects exactly response + end sentinel") {
@@ -762,5 +809,45 @@ class HygieneSpec extends AnyFunSuite {
     assert(fr.getAs[Long]("n_words") === 3L)
     assert(fr.getAs[Long]("fertility_ppm") === 5000000L / 3L)
     assert(fr.getAs[Long]("chars_per_token_ppm") === 8000000L / 5L)
+  }
+
+  test("tokenizerFertility: all-whitespace stratum and zero-token " +
+      "tokenizer report 0 ppm, not NULL") {
+    val docs = Seq(
+      (1L, "ws", "   "),          // n_words = 0 for the whole stratum
+      (2L, "zt", "aa bb"))        // tokenizer emits 0 tokens
+      .toDF("doc_id", "lang", "text")
+    val counts = Seq((1L, 4L), (2L, 0L)).toDF("doc_id", "n_tokens")
+    val got = TextAnalysis.tokenizerFertility(docs, "text", "doc_id",
+        col("lang"), counts)
+      .orderBy("lang").collect()
+    val ws = got(0); val zt = got(1)
+    assert(ws.getAs[String]("lang") === "ws")
+    assert(ws.getAs[Long]("n_words") === 0L)
+    assert(!ws.isNullAt(ws.fieldIndex("fertility_ppm")))
+    assert(ws.getAs[Long]("fertility_ppm") === 4000000L) // div by max(0,1)
+    assert(zt.getAs[Long]("n_tokens") === 0L)
+    assert(!zt.isNullAt(zt.fieldIndex("chars_per_token_ppm")))
+    assert(zt.getAs[Long]("chars_per_token_ppm") === 5000000L)
+  }
+
+  test("renderSft: loss spans hold in code points when the system " +
+      "prompt contains non-BMP characters") {
+    // U+1F642 is two UTF-16 units but ONE code point — the span unit
+    // Spark's length()/substring use
+    val df = Seq((1L, "q", "ans")).toDF("id", "p", "r")
+    val row = TextAnalysis.renderSft(df, "id", col("p"), col("r"),
+        system = "sys🙂").head()
+    val text = row.getAs[String]("sft_text")
+    val s0 = row.getAs[Long]("loss_start").toInt
+    val e0 = row.getAs[Long]("loss_end").toInt
+    // extract [s0, e0) in CODE POINTS and compare
+    def cpSub(s: String, from1: Int, until1: Int): String = {
+      val b = s.offsetByCodePoints(0, from1 - 1)
+      val e = s.offsetByCodePoints(0, until1 - 1)
+      s.substring(b, e)
+    }
+    assert(cpSub(text, s0, e0) === "ans<|end|>")
+    assert(cpSub(text, 1, s0).endsWith("<|assistant|>"))
   }
 }

@@ -509,4 +509,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       .orderBy("id").collect().map(_.getLong(1)).toSeq
     assert(gf === Seq(0L, 500000L, 1000000L))
   }
+
+  test("blendScores: a duplicated id yields one blend PER ROW — no " +
+      "cross-multiplied join fanout") {
+    val spark0 = spark
+    import spark0.implicits._
+    // id 2 appears twice with different signal values; the old N-way
+    // id join produced 2^signals = 4 rows for it, pairing arbitrary
+    // norm combinations
+    val df = Seq((1L, 10L, 9L), (2L, 20L, 8L), (2L, 30L, 7L),
+        (3L, 40L, 6L)).toDF("id", "a", "b")
+    val got = graft.ext.Curation.blendScores(df, "id",
+        Seq((col("a"), 1L), (col("b"), 1L)))
+      .orderBy("id", "blend_ppm").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.length === 4, s"expected one output row per input row: $got")
+    // every row ranks on ITS OWN signals (norms are (rank-1)*1e6/3):
+    // (10,9)->(0+1000000)/2=500000, (20,8)->(333333+666666)/2=499999,
+    // (30,7)->(666666+333333)/2=499999, (40,6)->(1000000+0)/2=500000
+    assert(got === Seq((1L, 500000L), (2L, 499999L), (2L, 499999L),
+      (3L, 500000L)))
+  }
 }

@@ -527,6 +527,39 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("s21 mined hard negatives: the query side is NEVER broadcast — " +
+      "every join is a keyed shuffle join, probes are a narrow projection") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_s21plan_")
+      .resolve("idx").toString
+    val vecs = (0L until 64L).map { i =>
+      val r = new scala.util.Random(i)
+      (i, Array.fill(16)(r.nextFloat() - 0.5f), s"lab${i % 3}")
+    }
+    graft.ext.AnnIndex.buildIvfPq(
+      vecs.map(v => (v._1, v._2)).toDF("cid", "cvec"), dim = 16,
+      nlist = 4, root = root, m = 4, codes = 8)
+    val mined = graft.ext.AnnIndex.mineHardNegatives(spark, root,
+      vecs.toDF("qid", "qvec", "qlab"),
+      vecs.map(v => (v._1, v._3)).toDF("cid", "clab"),
+      k = 3, nprobe = 2, rerank = 8)
+    val s = planString(mined)
+    // training-set-scale contract: the query relation is a first-class
+    // distributed side — a BroadcastExchange anywhere means a side of
+    // this plan stops scaling with the corpus
+    assert(!s.contains("BroadcastExchange"),
+      s"mined negatives must not broadcast any side\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"mined negatives must join on keys only\n$s")
+    // the probe list comes from the TopCentroids projection, not a
+    // crossJoin against a centroid relation: 'centroids.parquet' never
+    // appears as a scan in the serve plan
+    assert(!s.contains("centroids.parquet"),
+      s"probe step must not scan the centroid table\n$s")
+  }
+
   test("p9 semantic order: exactly one range exchange over the corpus " +
       "(the two-phase rank), embeddings never hash-shuffled") {
     val df = PipelineQueries.incontextOrder(spark, sf)
