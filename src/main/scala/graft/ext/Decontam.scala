@@ -73,18 +73,7 @@ object Decontam {
   def saveIndex(root: String, benchmark: DataFrame, textCol: String,
       n: Int = 8): Unit = {
     val spark = benchmark.sparkSession
-    val metaPath = s"$root/meta.parquet"
-    val hp = new org.apache.hadoop.fs.Path(metaPath)
-    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(hp)) {
-      val saved = spark.read.parquet(metaPath).head.getInt(0)
-      require(saved == n,
-        s"Decontam.saveIndex: index at $root was built with n=$saved, " +
-          s"append requested n=$n — mixed gram lengths never match")
-    } else {
-      import spark.implicits._
-      Seq(n).toDF("n").write.mode("ignore").parquet(metaPath)
-    }
+    pinMeta(spark, root, n, labeled = false)
     benchmarkGrams(benchmark, textCol, n)
       .write.mode("append").parquet(s"$root/grams.parquet")
   }
@@ -113,8 +102,85 @@ object Decontam {
 
   private def loadIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): (DataFrame, Int) =
-    (spark.read.parquet(s"$root/grams.parquet").distinct(),
+    // select("gram") first: a SET-LABELED index ([[saveSetIndex]]) also
+    // serves the unlabeled flag/clean paths — dropping eval_set before
+    // the distinct keeps a gram shared by two sets from double-counting
+    (spark.read.parquet(s"$root/grams.parquet").select(col("gram"))
+      .distinct(),
       spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
+
+  // -------------------------------------- persisted PER-SET index
+
+  /** Persist (or APPEND to) a SET-LABELED benchmark-gram index at
+    * `root` — [[saveIndex]] with the eval-set label kept, so the serve
+    * side can produce the per-benchmark contamination report
+    * ([[contaminationReportFromIndex]]) as well as the plain flag.
+    * Same meta contract (n pinned at first save); increments may
+    * overlap (the serve re-distinct absorbs it) and may introduce NEW
+    * eval sets (sets accrete over time — the st28 composition).
+    * Appending a set-labeled increment to an UNLABELED index (or vice
+    * versa) fails fast: parquet would mix schemas and serve garbage. */
+  def saveSetIndex(root: String, benchmark: DataFrame, textCol: String,
+      setCol: String, n: Int = 8): Unit = {
+    val spark = benchmark.sparkSession
+    pinMeta(spark, root, n, labeled = true)
+    setGrams(benchmark, textCol, setCol, n)
+      .write.mode("append").parquet(s"$root/grams.parquet")
+  }
+
+  /** [[contaminationReport]] served from a persisted SET-LABELED index:
+    * the per-set gram relation is read from disk (re-distincted —
+    * increments may overlap), the corpus is scanned once. The all-sets
+    * list ALSO comes from the index, so a set whose grams never match
+    * still reports 0. */
+  def contaminationReportFromIndex(
+      spark: org.apache.spark.sql.SparkSession, root: String,
+      corpus: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val (grams, n) = loadSetIndex(spark, root)
+    val (perSet, total) = contaminationCounts(corpus, textCol, idCol,
+      grams, n)
+    contaminationReportFromCounts(perSet,
+      grams.select(col("eval_set")).distinct(), total)
+  }
+
+  /** The (eval_set, gram) relation and pinned n of a set-labeled index
+    * — public so a STREAMING corpus fold can probe per micro-batch
+    * ([[contaminationCounts]]) and finish once at the end. */
+  def loadSetIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String): (DataFrame, Int) = {
+    val grams = spark.read.parquet(s"$root/grams.parquet")
+    require(grams.columns.contains("eval_set"),
+      s"Decontam.loadSetIndex: index at $root is unlabeled — built by " +
+        "saveIndex, not saveSetIndex; the per-set report needs labels")
+    (grams.select(col("eval_set"), col("gram")).distinct(),
+      spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
+  }
+
+  /** Shared meta pinning for both index layouts: gram length `n` and
+    * the labeled/unlabeled kind are fixed at first save; appends with
+    * a different n (mixed-length grams never match) or the other kind
+    * (mixed parquet schemas) fail fast. */
+  private def pinMeta(spark: org.apache.spark.sql.SparkSession,
+      root: String, n: Int, labeled: Boolean): Unit = {
+    val metaPath = s"$root/meta.parquet"
+    val hp = new org.apache.hadoop.fs.Path(metaPath)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(hp)) {
+      val saved = spark.read.parquet(metaPath).head
+      require(saved.getInt(0) == n,
+        s"Decontam: index at $root was built with n=${saved.getInt(0)}, " +
+          s"append requested n=$n — mixed gram lengths never match")
+      val savedLabeled =
+        saved.schema.fieldNames.contains("labeled") && saved.getBoolean(1)
+      require(savedLabeled == labeled,
+        s"Decontam: index at $root is ${if (savedLabeled) "set-labeled"
+          else "unlabeled"}; appending the other kind would mix schemas")
+    } else {
+      import spark.implicits._
+      Seq((n, labeled)).toDF("n", "labeled")
+        .write.mode("ignore").parquet(metaPath)
+    }
+  }
 
   /** Corpus with `n_hits` (0 when clean) and a `contaminated` flag. The
     * join back is on the id against the hit relation, which is ≪ corpus
@@ -172,26 +238,61 @@ object Decontam {
   def contaminationReport(corpus: DataFrame, textCol: String,
       idCol: String, benchmark: DataFrame, benchTextCol: String,
       setCol: String, n: Int = 8): DataFrame = {
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def idiv(a: Column, b: Column): Column = column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        expression(a), expression(b)))
-    val grams = benchmark
+    val grams = setGrams(benchmark, benchTextCol, setCol, n)
+    val allSets = benchmark.select(col(setCol).as("eval_set")).distinct()
+    val (perSet, total) = contaminationCounts(corpus, textCol, idCol, grams, n)
+    contaminationReportFromCounts(perSet, allSets, total)
+  }
+
+  /** Distinct (eval_set, gram) pairs of a labeled benchmark relation —
+    * the per-set gram index [[contaminationReport]] probes. A gram
+    * shared by two sets appears once per set (each owner counts it). */
+  private def setGrams(benchmark: DataFrame, benchTextCol: String,
+      setCol: String, n: Int): DataFrame =
+    benchmark
       .select(col(setCol).as("eval_set"),
         explode(gramsCol(col(benchTextCol), n)).as("gram"))
       .distinct()
-    val perSet = corpus
+
+  /** One corpus pass of [[contaminationReport]]'s counts: per eval set,
+    * the documents hit and the distinct (doc, set-gram) hits, plus the
+    * one-row corpus total — BOTH ADDITIVE over doc-disjoint corpus
+    * batches (a document contributes all its grams in its own batch
+    * and appears in exactly one batch), so a streaming deployment folds
+    * these per micro-batch and finishes with
+    * [[contaminationReportFromCounts]] (the bm25Stats / st29
+    * union-is-merge contract applied to contamination accounting).
+    * `grams` is the (eval_set, gram) relation — benchmark-sized,
+    * broadcast into the probe; `n` must equal the gram length the
+    * relation was built with (the index meta pins it). */
+  def contaminationCounts(corpus: DataFrame, textCol: String,
+      idCol: String, grams: DataFrame, n: Int): (DataFrame, DataFrame) =
+    (corpus
       .select(col(idCol), explode(gramsCol(col(textCol), n)).as("gram"))
       .join(broadcast(grams), Seq("gram"))
       .groupBy(col("eval_set"))
       .agg(countDistinct(col(idCol)).as("n_docs_hit"),
-        count(lit(1)).cast("long").as("n_gram_hits"))
-    // a CLEAN eval set must report 0, not vanish from the report —
-    // left-join from the full set list
-    val allSets = benchmark.select(col(setCol).as("eval_set")).distinct()
-    val total = corpus.select(count(lit(1)).as("__n_corpus"))
-    allSets.join(perSet, Seq("eval_set"), "left")
-      .crossJoin(broadcast(total))
+        count(lit(1)).cast("long").as("n_gram_hits")),
+      corpus.select(count(lit(1)).as("__n_corpus")))
+
+  /** [[contaminationReport]]'s finisher over ADDITIVE count increments:
+    * `perSet` rows (eval_set, n_docs_hit, n_gram_hits) may hold many
+    * rows per set (one per doc-disjoint corpus batch) and `total` many
+    * one-row increments; re-summing them equals the one-pass counts. A
+    * CLEAN eval set must report 0, not vanish — the report left-joins
+    * from `allSets`. */
+  def contaminationReportFromCounts(perSet: DataFrame,
+      allSets: DataFrame, total: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val p = perSet.groupBy(col("eval_set"))
+      .agg(sum(col("n_docs_hit")).as("n_docs_hit"),
+        sum(col("n_gram_hits")).as("n_gram_hits"))
+    val t = total.agg(sum(col("__n_corpus")).as("__n_corpus"))
+    allSets.distinct().join(p, Seq("eval_set"), "left")
+      .crossJoin(broadcast(t))
       .select(col("eval_set"),
         coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
         coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),

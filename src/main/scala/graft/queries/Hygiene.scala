@@ -86,7 +86,7 @@ object HygieneQueries {
       .orderBy("eval_set")
   }
 
-  private val contaminationReportOracle =
+  private[queries] val contaminationReportOracle =
     """WITH corpus AS (
       | SELECT doc_id, text FROM documents
       | UNION ALL

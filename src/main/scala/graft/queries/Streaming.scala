@@ -657,6 +657,59 @@ object StreamingQueries {
       .orderBy("doc_id")
   }
 
+  private val docSetTextSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("eval_set",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  /** st30: the per-eval-set contamination report MAINTAINED under
+    * streams on BOTH sides — eval sets accrete into the persisted
+    * SET-LABELED index (two micro-batch appends, the st28 composition
+    * with labels kept), then the CORPUS arrives in doc-disjoint
+    * micro-batches and each batch folds its per-set
+    * (n_docs_hit, n_gram_hits) increments and its row-count increment
+    * against the completed index (counts over doc-disjoint batches are
+    * additive — the st29 confusion-count contract applied to
+    * contamination accounting). The finished report must hash-match
+    * d21's direct single-pass report over the same corpus/benchmark. */
+  def contaminationReportStream(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 40 === 0, lit("evalA"))
+          .otherwise(lit("evalB")).as("eval_set"),
+        col("text"))
+    val ixSrc = stageTwoHalves(bench, "doc_id", "graft_st30_ix_src_")
+    val root = java.nio.file.Files.createTempDirectory("graft_st30_ix_")
+      .resolve("ix").toString
+    val src = s.readStream
+      .schema(docSetTextSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(ixSrc)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.Decontam.saveSetIndex(root, batch, "text", "eval_set",
+          n = 8)
+        ()
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000), "st30: index stream timed out")
+    q.stop()
+
+    val (grams, n) = graft.ext.Decontam.loadSetIndex(s, root)
+    val corpusSrc = stageTwoHalves(HygieneQueries.decontamCorpus(s, d),
+      "doc_id", "graft_st30_c_src_")
+    val (perSet, total) = foldParquetStream2(s, corpusSrc, docTextSchema)(
+      batch => graft.ext.Decontam.contaminationCounts(batch, "text",
+        "doc_id", grams, n))(_.unionAll(_), _.unionAll(_))
+    graft.ext.Decontam.contaminationReportFromCounts(perSet,
+        grams.select(col("eval_set")).distinct(), total)
+      .orderBy("eval_set")
+  }
+
   private val docTextLangSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -1054,6 +1107,8 @@ object StreamingQueries {
       Some(epochMixtureStreamOracle)),
     QueryDef("st29_classifier_eval_stream", classifierEvalStream,
       Some(HygieneQueries.classifierEvalOracle)),
+    QueryDef("st30_contamination_report_stream", contaminationReportStream,
+      Some(HygieneQueries.contaminationReportOracle)),
     QueryDef("st28_decontam_index_stream", decontamIndexStream,
       Some(HygieneQueries.decontamOracle)),
     QueryDef("st22_kn_stream", knStream,

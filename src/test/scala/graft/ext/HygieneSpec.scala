@@ -638,6 +638,53 @@ class HygieneSpec extends AnyFunSuite {
       ("B", 1L, 1000000L / 3), ("C", 0L, 0L)))
   }
 
+  test("saveSetIndex: eval sets APPEND mid-stream — overlapping " +
+      "increments re-distinct, new sets accrete, kind/n guards fail fast") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta tail"),
+      (2L, "shared one two three words"),
+      (3L, "totally clean document here")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_setix_")
+      .resolve("ix").toString
+    // increment 1: set A only
+    Decontam.saveSetIndex(root,
+      Seq(("A", "alpha beta gamma delta"), ("A", "shared one two three"))
+        .toDF("eval_set", "text"), "text", "eval_set", n = 4)
+    // increment 2: a NEW set B plus an OVERLAPPING re-delivery of an A row
+    Decontam.saveSetIndex(root,
+      Seq(("B", "shared one two three"), ("A", "shared one two three"))
+        .toDF("eval_set", "text"), "text", "eval_set", n = 4)
+    val fromIx = Decontam.contaminationReportFromIndex(spark, root,
+        corpus, "text", "doc_id")
+      .orderBy("eval_set").collect()
+      .map(r => (r.getAs[String]("eval_set"), r.getAs[Long]("n_docs_hit"),
+        r.getAs[Long]("n_gram_hits"), r.getAs[Long]("contaminated_ppm")))
+    // equals the direct report over the merged benchmark: the overlap
+    // re-distincts instead of double-counting A's gram hits
+    assert(fromIx.toSeq === Seq(
+      ("A", 2L, 2L, 2000000L / 3),
+      ("B", 1L, 1L, 1000000L / 3)))
+    // the labeled index also serves the UNLABELED flag path
+    val flagged = Decontam.flagFromIndex(spark, root, corpus, "text",
+        "doc_id").orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Boolean]("contaminated")))
+    assert(flagged.toSeq === Seq((1L, true), (2L, true), (3L, false)))
+    // guards: wrong n, wrong kind, unlabeled index into the set serve
+    val benchA = Seq(("A", "alpha beta gamma delta")).toDF("eval_set", "text")
+    intercept[IllegalArgumentException] {
+      Decontam.saveSetIndex(root, benchA, "text", "eval_set", n = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Decontam.saveIndex(root, benchA, "text", n = 4)
+    }
+    val plainRoot = java.nio.file.Files.createTempDirectory("graft_plainix_")
+      .resolve("ix").toString
+    Decontam.saveIndex(plainRoot, benchA, "text", n = 4)
+    intercept[IllegalArgumentException] {
+      Decontam.loadSetIndex(spark, plainRoot)
+    }
+  }
+
   // ----------------------------------------------- span corruption
 
   test("spanCorrupt: sentinels number in order, reassembly recovers " +
