@@ -1218,6 +1218,82 @@ object TextAnalysis {
         lit(cpLen(endTok))).as("rejected_loss_end"))
   }
 
+  /** [[renderSft]] composed with a tokenizer to emit TOKEN-unit loss
+    * spans — what a trainer actually consumes (character spans need a
+    * second offset-mapping pass at load time; emitting
+    * (loss_start_tok, loss_end_tok) here makes the rendered artifact
+    * directly packable). `tokenizer` maps a STRING column to its
+    * ARRAY<STRING> token column (e.g. [[Bpe.tokenize]]'s underlying
+    * `GraftFunctions.bpeTokenize(_, merges)`, or a unigram serve).
+    *
+    * The head (template prefix through the assistant sentinel) and the
+    * tail (response + end sentinel) tokenize INDEPENDENTLY and
+    * `sft_tokens` is their concatenation, so the span arithmetic is
+    * exact by construction: loss_start_tok = |head tokens| + 1,
+    * loss_end_tok = |head| + |tail| + 1 (1-based, end-exclusive — the
+    * character-span convention of [[renderSft]] carried to tokens).
+    *
+    * BOUNDARY CONTRACT: `sft_tokens` equals tokenizing the whole
+    * `sft_text` iff the head/tail boundary is a tokenizer word
+    * boundary. The whitespace-presplit tokenizers here (BPE, unigram)
+    * merge only within whitespace-delimited words, so the convention
+    * that guarantees it is: the response starts with whitespace (or
+    * the assistant sentinel ends with it). A response fused directly
+    * onto `<|assistant|>` makes "...|>firstword" ONE word whose
+    * subword split differs from the two halves' — the spec pins both
+    * directions. Pure narrow projection either way; the emitted spans
+    * always index `sft_tokens` correctly.
+    *
+    * Output: (id, sft_text, sft_tokens, loss_start_tok, loss_end_tok,
+    * n_tokens). */
+  def renderSftTokens(df: DataFrame, id: String, prompt: Column,
+      response: Column, system: String, tokenizer: Column => Column,
+      sysTok: String = "<|system|>", userTok: String = "<|user|>",
+      asstTok: String = "<|assistant|>", endTok: String = "<|end|>")
+      : DataFrame = {
+    val head = concat(lit(sysTok), lit(system), lit(userTok), prompt,
+      lit(asstTok))
+    val tail = concat(response, lit(endTok))
+    df.select(col(id), concat(head, tail).as("sft_text"),
+        tokenizer(head).as("__ht"), tokenizer(tail).as("__tt"))
+      .select(col(id), col("sft_text"),
+        concat(col("__ht"), col("__tt")).as("sft_tokens"),
+        (size(col("__ht")) + 1).cast("long").as("loss_start_tok"),
+        (size(col("__ht")) + size(col("__tt")) + 1).cast("long")
+          .as("loss_end_tok"),
+        (size(col("__ht")) + size(col("__tt"))).cast("long")
+          .as("n_tokens"))
+  }
+
+  /** [[renderDpoPairs]] with TOKEN-unit spans — the same head/tail
+    * split as [[renderSftTokens]], with the head tokenized ONCE and
+    * shared by both completions (the pair property a preference loss
+    * relies on: identical prompt-prefix tokens, divergence only at
+    * loss_start_tok). Same boundary contract. */
+  def renderDpoPairsTokens(df: DataFrame, id: String, prompt: Column,
+      chosen: Column, rejected: Column, system: String,
+      tokenizer: Column => Column,
+      sysTok: String = "<|system|>", userTok: String = "<|user|>",
+      asstTok: String = "<|assistant|>", endTok: String = "<|end|>")
+      : DataFrame = {
+    val head = concat(lit(sysTok), lit(system), lit(userTok), prompt,
+      lit(asstTok))
+    df.select(col(id),
+        concat(head, chosen, lit(endTok)).as("chosen_text"),
+        concat(head, rejected, lit(endTok)).as("rejected_text"),
+        tokenizer(head).as("__ht"),
+        tokenizer(concat(chosen, lit(endTok))).as("__ct"),
+        tokenizer(concat(rejected, lit(endTok))).as("__rt"))
+      .select(col(id), col("chosen_text"), col("rejected_text"),
+        concat(col("__ht"), col("__ct")).as("chosen_tokens"),
+        concat(col("__ht"), col("__rt")).as("rejected_tokens"),
+        (size(col("__ht")) + 1).cast("long").as("loss_start_tok"),
+        (size(col("__ht")) + size(col("__ct")) + 1).cast("long")
+          .as("chosen_loss_end_tok"),
+        (size(col("__ht")) + size(col("__rt")) + 1).cast("long")
+          .as("rejected_loss_end_tok"))
+  }
+
   /** Classifier evaluation report — per-class support, prediction
     * count, hits, and exact-integer precision/recall/F1 in ppm
     * (F1 from the ppm-scaled harmonic mean, 2·p·r div (p+r)): the

@@ -1401,6 +1401,34 @@ object HygieneQueries {
       | CAST(59 + length(p) + 1 + length(r) + 7 AS BIGINT) AS loss_end
       |FROM c ORDER BY doc_id""".stripMargin
 
+  /** t52: SFT rendering with TOKEN-unit loss spans
+    * (TextAnalysis.renderSftTokens ∘ the t23/t24-pinned BPE tokenizer)
+    * — the t47 render chained through the tokenizer a trainer actually
+    * consumes. The prompt/response split is at a WORD boundary (first
+    * 5 whitespace words / the rest with its leading space), the
+    * convention under which head and tail tokenize independently of
+    * each other (the sentinel-boundary contract renderSftTokens
+    * documents and the spec pins both ways). Oracle = independent
+    * Python replay of the whole chain (merge learning → template →
+    * head/tail tokenization → span arithmetic), pinned as a literal. */
+  def sftTokenSpansGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(docs, "text", numMerges = 24))
+    val words = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val prompt = array_join(slice(words, 1, 5), " ")
+    val rest = array_join(
+      slice(words, lit(6), greatest(size(words) - 5, lit(0))), " ")
+    val response = when(size(words) > 5, concat(lit(" "), rest))
+      .otherwise(lit(""))
+    TextAnalysis.renderSftTokens(docs, "doc_id", prompt, response,
+        system = "You are a helpful assistant.",
+        tokenizer = c => graft.functions.GraftFunctions.bpeTokenize(c, merges))
+      .select(col("doc_id"), col("loss_start_tok"), col("loss_end_tok"),
+        col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** t50: DPO preference-pair rendering (TextAnalysis.renderDpoPairs)
     * — prompt = chars 1–40, chosen = the tail, rejected = the tail
     * with word order reversed (a deterministic corruption standing in
@@ -1783,6 +1811,8 @@ object HygieneQueries {
     QueryDef("t49_span_corruption", spanCorruptGate,
       Some(spanCorruptOracle)),
     QueryDef("t50_dpo_pairs", dpoPairsGate, Some(dpoPairsOracle)),
+    QueryDef("t52_sft_token_spans", sftTokenSpansGate,
+      Some(PinnedOracles.t52SftTokenSpans)),
     QueryDef("t51_score_blend", scoreBlendGate, Some(scoreBlendOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),

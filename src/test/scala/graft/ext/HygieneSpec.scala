@@ -791,6 +791,67 @@ class HygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("renderSftTokens: token spans select the tail; the whitespace " +
+      "boundary convention makes split == whole tokenization") {
+    val docs = Seq((1L, "the quick brown fox jumps over a lazy dog"))
+      .toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(docs, "text", numMerges = 8))
+    def tok(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.bpeTokenize(c, merges)
+    // word-boundary split: response carries its leading space
+    val good = TextAnalysis.renderSftTokens(docs, "doc_id",
+      lit("the quick"), lit(" brown fox"), system = "s",
+      tokenizer = tok).head()
+    val toks = good.getAs[scala.collection.Seq[String]]("sft_tokens")
+    val s0 = good.getAs[Long]("loss_start_tok").toInt
+    val e0 = good.getAs[Long]("loss_end_tok").toInt
+    assert(good.getAs[Long]("n_tokens") === toks.length.toLong)
+    // the loss span is exactly the tail's tokens: response + end tok
+    val tailToks = spark.range(1)
+      .select(tok(lit(" brown fox<|end|>")).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t")
+    assert(toks.slice(s0 - 1, e0 - 1) === tailToks)
+    // convention HOLDS: concatenated halves == whole-string tokens
+    val whole = spark.range(1)
+      .select(tok(lit(good.getAs[String]("sft_text"))).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t")
+    assert(toks === whole)
+    // convention VIOLATED (response fused onto the sentinel): the
+    // emitted spans still index sft_tokens correctly, but the artifact
+    // no longer equals whole-string tokenization — the documented trap
+    val bad = TextAnalysis.renderSftTokens(docs, "doc_id",
+      lit("the quick"), lit("brown fox"), system = "s",
+      tokenizer = tok).head()
+    val badToks = bad.getAs[scala.collection.Seq[String]]("sft_tokens")
+    val badWhole = spark.range(1)
+      .select(tok(lit(bad.getAs[String]("sft_text"))).as("t"))
+      .head().getAs[scala.collection.Seq[String]]("t")
+    assert(badToks !== badWhole)
+  }
+
+  test("renderDpoPairsTokens: both completions share the head token " +
+      "prefix; divergence starts exactly at loss_start_tok") {
+    val docs = Seq((1L, "x")).toDF("doc_id", "text")
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(
+        Seq((1L, "aa bb cc dd")).toDF("doc_id", "text"),
+        "text", numMerges = 4))
+    def tok(c: org.apache.spark.sql.Column) =
+      graft.functions.GraftFunctions.bpeTokenize(c, merges)
+    val row = TextAnalysis.renderDpoPairsTokens(docs, "doc_id",
+      lit("aa bb"), lit(" cc dd"), lit(" dd cc"), system = "s",
+      tokenizer = tok).head()
+    val ch = row.getAs[scala.collection.Seq[String]]("chosen_tokens")
+    val rj = row.getAs[scala.collection.Seq[String]]("rejected_tokens")
+    val s0 = row.getAs[Long]("loss_start_tok").toInt
+    assert(ch.take(s0 - 1) === rj.take(s0 - 1))
+    assert(ch.slice(s0 - 1, ch.length) !==
+      rj.slice(s0 - 1, rj.length))
+    assert(row.getAs[Long]("chosen_loss_end_tok") === ch.length + 1L)
+    assert(row.getAs[Long]("rejected_loss_end_tok") === rj.length + 1L)
+  }
+
   test("renderDpoPairs: both sides share the prompt prefix, spans " +
       "select response + end sentinel on each side") {
     val df = Seq((1L, "why", "good answer", "bad"))
