@@ -31,15 +31,92 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** WEAK handles to the phase-1 frames [[materializeOnce]] pinned via
+    * localCheckpoint, for [[releaseLocalCheckpoints]]. Weak so the
+    * registry never blocks the GC-based cleanup that already exists. */
+  private val pinnedRdds =
+    new scala.collection.mutable.ArrayBuffer[
+      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
+
+  /** Materialize a phase-1 frame exactly once — the correctness
+    * requirement of every two-phase operator here (the range sampler is
+    * nondeterministic; the driver-side stats and the final pass must
+    * see the SAME partitioning):
+    *
+    *  - `checkpointDir = None` (default): `localCheckpoint` —
+    *    executor-local blocks, fastest, but pinned until GC and
+    *    unrecoverable on executor loss. The handle is registered so
+    *    [[releaseLocalCheckpoints]] can free the blocks explicitly
+    *    once the caller has materialized its results.
+    *  - `checkpointDir = Some(dir)`: RELIABLE `checkpoint()` into
+    *    `dir` — survives executor loss (the cluster-deployment mode),
+    *    no pinned executor storage; files live under `dir` until the
+    *    caller removes them ([[withReliableCheckpoints]] scopes both
+    *    the dir setting and the cleanup). */
+  private[ext] def materializeOnce(df: DataFrame,
+      checkpointDir: Option[String]): DataFrame = checkpointDir match {
+    case None =>
+      val out = df.localCheckpoint()
+      org.apache.spark.sql.graftbridge.DatasetBridge.backingRdd(out)
+        .foreach { r =>
+          pinnedRdds.synchronized {
+            pinnedRdds += new java.lang.ref.WeakReference(r)
+          }
+        }
+      out
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
+        sc.setCheckpointDir(dir)
+      df.checkpoint()
+  }
+
+  /** Explicitly unpersist every phase-1 localCheckpoint this object has
+    * created (and that the GC has not already collected). Call AFTER
+    * all returned frames are fully materialized — a released
+    * checkpoint cannot be re-read, so a still-lazy groupRank/packConcat
+    * result would fail downstream. Returns the number of RDDs
+    * released. This is the explicit form of the storage-pinning
+    * caveat: a session looping over many rank/pack calls frees each
+    * round's blocks deterministically instead of waiting for the
+    * driver GC. */
+  def releaseLocalCheckpoints(): Int = pinnedRdds.synchronized {
+    val live = pinnedRdds.flatMap(w => Option(w.get()))
+    live.foreach(_.unpersist(blocking = false))
+    pinnedRdds.clear()
+    live.size
+  }
+
+  /** Scope a RELIABLE checkpoint directory: sets the Spark context's
+    * checkpoint dir to `dir`, runs `body` (pass `Some(dir)` as the
+    * operators' `checkpointDir` and MATERIALIZE every result inside —
+    * the files are deleted on exit, so a frame escaping the scope
+    * lazily cannot be executed anymore), then removes `dir`
+    * recursively. */
+  def withReliableCheckpoints[T](
+      spark: org.apache.spark.sql.SparkSession, dir: String)(
+      body: Option[String] => T): T = {
+    spark.sparkContext.setCheckpointDir(dir)
+    try body(Some(dir))
+    finally {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      ()
+    }
+  }
+
   /** Per-document packing positions.
     * Output: (id, n_tokens, start_offset, seq_first, seq_last) — a doc
     * spans sequences seq_first..seq_last (inclusive); docs straddle cuts
     * by design in concat-and-chunk. Zero-token documents are dropped
     * (they occupy no stream positions). */
   def packConcat(df: DataFrame, id: String, tokenCount: Column,
-      seqLen: Int, numPartitions: Int = 0): DataFrame = {
+      seqLen: Int, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(seqLen > 0, s"seqLen=$seqLen")
-    withOffsets(df, id, tokenCount, numPartitions) { counted =>
+    withOffsets(df, id, tokenCount, numPartitions,
+        checkpointDir = checkpointDir) { counted =>
       counted.select(col(id), col("n_tokens"),
         (col("end_offset") - col("n_tokens")).as("start_offset"),
         floor((col("end_offset") - col("n_tokens")) / seqLen).as("seq_first"),
@@ -63,9 +140,11 @@ object Packing {
     * replayable by a single window sum (the pk2 gate oracle). */
   def shardByTokens(df: DataFrame, id: String, tokenCount: Column,
       shardTokens: Long, numPartitions: Int = 0,
-      carry: Seq[String] = Nil): DataFrame = {
+      carry: Seq[String] = Nil,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(shardTokens > 0, s"shardTokens=$shardTokens")
-    withOffsets(df, id, tokenCount, numPartitions, carry) { counted =>
+    withOffsets(df, id, tokenCount, numPartitions, carry,
+        checkpointDir) { counted =>
       counted.select(col(id) +: carry.map(col) :+ col("n_tokens") :+
           (col("end_offset") - col("n_tokens")).as("start_offset"): _*)
         .withColumn("shard_id",
@@ -84,7 +163,8 @@ object Packing {
     * [[shardByTokens]]: hands `body` a frame (id, n_tokens, end_offset)
     * with end_offset = inclusive global running total in `id` order. */
   private def withOffsets(df: DataFrame, id: String, tokenCount: Column,
-      numPartitions: Int, carry: Seq[String] = Nil)
+      numPartitions: Int, carry: Seq[String] = Nil,
+      checkpointDir: Option[String] = None)
       (body: DataFrame => DataFrame): DataFrame = {
     val spark = df.sparkSession
     val nPart =
@@ -99,22 +179,20 @@ object Packing {
     // on p7, whose input is the full KN scoring chain). localCheckpoint
     // cuts lineage, so however expensive the input, it runs exactly
     // once; the checkpointed rows are narrow (id, carry, n_tokens).
-    // Cluster caveats (by design, documented not hidden): the blocks
-    // pin MEMORY_AND_DISK storage until the RDD is GC'd — a session
-    // looping over many shardByTokens/packConcat calls accumulates
-    // them until the driver GCs the references — and localCheckpoint
-    // data is NOT recoverable on executor loss (the job fails rather
-    // than recomputing lineage). A long-lived cluster deployment with
-    // executor churn should set a reliable checkpoint dir and use
-    // checkpoint() at this site instead.
-    val counted = df
+    // Cluster caveats of the default local path (documented not
+    // hidden): the blocks pin MEMORY_AND_DISK storage until GC or an
+    // explicit releaseLocalCheckpoints(), and localCheckpoint data is
+    // NOT recoverable on executor loss (the job fails rather than
+    // recomputing lineage). A long-lived cluster deployment with
+    // executor churn passes `checkpointDir` for the RELIABLE path —
+    // see materializeOnce.
+    val counted = materializeOnce(df
       .select(col(id) +: carry.map(col) :+
         tokenCount.cast("long").as("n_tokens"): _*)
       .where(col("n_tokens") > 0)
       .repartitionByRange(nPart, col(id))
       .sortWithinPartitions(col(id))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__pid", spark_partition_id()), checkpointDir)
     // Phase 2: one row per partition — metadata, not data.
     val totals = counted.groupBy(col("__pid"))
       .agg(sum(col("n_tokens")).as("t"))
@@ -194,20 +272,21 @@ object Packing {
     * nondeterministically), so partition layout cannot change the
     * answer and a single-node window replays it exactly.
     *
-    * The phase-1 frame is materialized via localCheckpoint — REQUIRED
-    * for correctness, not a cache: the range sampler is
+    * The phase-1 frame is materialized ONCE via [[materializeOnce]] —
+    * REQUIRED for correctness, not a cache: the range sampler is
     * nondeterministic, so without it phase 2's counts and the final
     * pass could see different partition boundaries and the bases would
-    * be wrong. Cluster caveat (shared with [[packConcat]]): the
-    * checkpointed blocks pin storage until the RDD is GC'd and are
-    * unrecoverable on executor loss — a long-lived cluster deployment
-    * should set a reliable checkpoint dir and prefer `checkpoint()`
-    * if executor churn is expected.
+    * be wrong. The default is localCheckpoint (fastest; blocks pinned
+    * until GC or [[releaseLocalCheckpoints]], lost on executor
+    * failure); pass `checkpointDir` for the RELIABLE `checkpoint()`
+    * path a long-lived cluster deployment with executor churn needs —
+    * [[withReliableCheckpoints]] scopes the dir and cleans the files.
     *
     * Output: the input columns plus `gr_rank` (1-based rank within the
     * group under `order`) and `gr_n` (group row count). */
   def groupRank(df: DataFrame, group: Seq[String], order: Seq[Column],
-      numPartitions: Int = 0, maxGroupStats: Int = 1 << 18): DataFrame = {
+      numPartitions: Int = 0, maxGroupStats: Int = 1 << 18,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(group.nonEmpty, "groupRank: need at least one group column")
     require(order.nonEmpty, "groupRank: need an order")
     Seq("gr_rank", "gr_n", "__gr_pid").foreach(n =>
@@ -218,10 +297,9 @@ object Packing {
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
     val gc = group.map(col)
-    val parted = df
+    val parted = materializeOnce(df
       .repartitionByRange(nPart, gc ++ order: _*)
-      .withColumn("__gr_pid", spark_partition_id())
-      .localCheckpoint()
+      .withColumn("__gr_pid", spark_partition_id()), checkpointDir)
     val stats = parted
       .groupBy(col("__gr_pid") +: gc: _*)
       .agg(count(lit(1)).as("__gr_c"))

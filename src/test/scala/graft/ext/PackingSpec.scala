@@ -123,6 +123,44 @@ class PackingSpec extends AnyFunSuite {
     assert(run(5, 1) === want)
   }
 
+  test("checkpointDir knob: reliable path is value-identical to the " +
+      "local path, files live under the dir and are cleaned on scope " +
+      "exit; releaseLocalCheckpoints frees the local-path blocks") {
+    val want = windowRanks(rankFrame)
+    val dir = java.nio.file.Files.createTempDirectory("graft_relck_")
+      .resolve("ck").toString
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val got = Packing.withReliableCheckpoints(spark, dir) { ck =>
+      val rank = Packing.groupRank(rankFrame, Seq("lang"),
+          Seq(col("score").desc, col("id")), numPartitions = 4,
+          checkpointDir = ck)
+        .select("id", "lang", "score", "gr_rank", "gr_n")
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      // the reliable checkpoint wrote real files under the scope dir
+      assert(fs.exists(p) &&
+        fs.listStatus(p).nonEmpty, "expected checkpoint files under dir")
+      // packConcat through the same knob, same values as the default
+      val pc = Packing.packConcat(rankFrame, "id", col("score") + 1,
+          seqLen = 5, checkpointDir = ck)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      val pcLocal = Packing.packConcat(rankFrame, "id", col("score") + 1,
+          seqLen = 5)
+        .orderBy("id").collect().map(_.toSeq).toSeq
+      assert(pc === pcLocal)
+      rank
+    }
+    assert(got === want)
+    // scope exit removed every checkpoint file
+    assert(!fs.exists(p), "withReliableCheckpoints must clean the dir")
+    // the local path pinned blocks; explicit release frees them all
+    val persisted0 = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted0 > 0, "local-path checkpoints should be pinned")
+    val released = Packing.releaseLocalCheckpoints()
+    assert(released > 0)
+    assert(spark.sparkContext.getPersistentRDDs.size < persisted0)
+  }
+
   test("groupRank: high-cardinality fallback path is value-identical") {
     val want = windowRanks(rankFrame)
     val got = Packing.groupRank(rankFrame, Seq("lang"),
