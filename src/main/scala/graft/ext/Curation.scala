@@ -349,6 +349,51 @@ object Curation {
         col("n_quality_docs"), col("n_contaminated_docs"))
   }
 
+  /** Training-READINESS card — the go/no-go row a lab reads before
+    * committing a training run, folding the measurement family the
+    * plain [[dataCard]] predates into one exact-integer summary:
+    *
+    *  - contamination: the [[Decontam.contaminationReport]] relation →
+    *    eval-set count, sets with any hits, worst per-set ppm;
+    *  - tokenizer fit: the [[TextAnalysis.tokenizerFertility]] relation
+    *    → language count, worst (highest) fertility ppm — the stratum
+    *    the tokenizer serves worst;
+    *  - quality-classifier health: the
+    *    [[TextAnalysis.classifierReport]] relation → minimum per-class
+    *    F1 ppm — the class the router is least trustworthy on;
+    *  - retrieval-index health: a [[Similarity.recallReport]]-shaped
+    *    relation → exact mean and minimum recall ppm across queries
+    *    (and tiers, if several are stacked).
+    *
+    * Each input is the ALREADY-GATED report of its family (d21 / t46 /
+    * t48 / s18 shapes), so the card inherits their provenance; the
+    * composition itself is four report-sized aggregates broadcast-
+    * crossed into one row — nothing corpus-sized moves. Empty inputs
+    * summarize to 0, not null (the total-report contract). */
+  def readinessCard(contamination: DataFrame, fertility: DataFrame,
+      classifier: DataFrame, recall: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val c = contamination.agg(
+      count(lit(1)).as("n_eval_sets"),
+      z(sum(when(col("n_docs_hit") > 0, 1L).otherwise(0L)))
+        .as("n_contaminated_sets"),
+      z(max(col("contaminated_ppm"))).as("worst_contamination_ppm"))
+    val f = fertility.agg(
+      count(lit(1)).as("n_langs"),
+      z(max(col("fertility_ppm"))).as("worst_fertility_ppm"))
+    val k = classifier.agg(z(min(col("f1_ppm"))).as("min_class_f1_ppm"))
+    val r = recall.agg(
+      idiv(z(sum(col("recall_ppm"))),
+        greatest(count(lit(1)), lit(1L))).as("mean_recall_ppm"),
+      z(min(col("recall_ppm"))).as("min_recall_ppm"))
+    c.crossJoin(broadcast(f)).crossJoin(broadcast(k))
+      .crossJoin(broadcast(r))
+  }
+
   /** Web-crawl curation — the WARC-to-training-shards composition the
     * generic [[curate]] pipeline cannot express, because crawls dedup
     * on IDENTITY (the URL), not content, before any text stage runs:

@@ -790,7 +790,7 @@ object ExtensionQueries {
        |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
        | GROUP BY 1) h USING (query_id)""".stripMargin
 
-  private lazy val recallFloorsOracle =
+  private[queries] lazy val recallFloorsOracle =
     s"""WITH brute AS (SELECT query_id, corpus_id FROM ($knnOracle) b),
        |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
        |SELECT tier, query_id, CAST(k AS BIGINT) AS k,

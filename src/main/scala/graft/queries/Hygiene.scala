@@ -1554,7 +1554,7 @@ object HygieneQueries {
       .orderBy("lang")
   }
 
-  private def tokenizerFertilityOracle: String =
+  private[queries] def tokenizerFertilityOracle: String =
     s"""WITH counts AS (SELECT doc_id, n_tokens
       | FROM (${PinnedOracles.t24BpeTokenCounts}) pinned),
       |d AS (SELECT doc_id, lang, length(text) AS n_chars,

@@ -506,6 +506,47 @@ object PipelineQueries {
       | contam.n_contaminated_docs
       |FROM dup, lg, qual, contam""".stripMargin
 
+  /** pr7: training-READINESS card (Curation.readinessCard) — the pr6
+    * datasheet extended with the measurement families that postdate it,
+    * each input being the EXACT relation its own gate pins: the d21
+    * per-eval-set contamination report, the t46 tokenizer-fertility
+    * report, the t48 classifier evaluation, and the s18 recall-floor
+    * ladder. One row: worst-case contamination / fertility / class-F1
+    * / recall in exact ppm. Oracle = full replay, compounding the four
+    * gates' own oracle queries (incl. the pinned-Python BPE counts)
+    * into the same one-row aggregate. */
+  def readinessCard(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.readinessCard(
+      HygieneQueries.contaminationReportGate(s, d),
+      HygieneQueries.tokenizerFertilityGate(s, d),
+      HygieneQueries.classifierEvalGate(s, d),
+      ExtensionQueries.recallFloors(s, d))
+
+  private val readinessCardOracle =
+    s"""SELECT
+      | (SELECT CAST(count(*) AS BIGINT) FROM
+      |   (${HygieneQueries.contaminationReportOracle}) c) AS n_eval_sets,
+      | (SELECT CAST(coalesce(sum(CASE WHEN n_docs_hit > 0 THEN 1
+      |     ELSE 0 END), 0) AS BIGINT) FROM
+      |   (${HygieneQueries.contaminationReportOracle}) c)
+      |   AS n_contaminated_sets,
+      | (SELECT CAST(coalesce(max(contaminated_ppm), 0) AS BIGINT) FROM
+      |   (${HygieneQueries.contaminationReportOracle}) c)
+      |   AS worst_contamination_ppm,
+      | (SELECT CAST(count(*) AS BIGINT) FROM
+      |   (${HygieneQueries.tokenizerFertilityOracle}) f) AS n_langs,
+      | (SELECT CAST(coalesce(max(fertility_ppm), 0) AS BIGINT) FROM
+      |   (${HygieneQueries.tokenizerFertilityOracle}) f)
+      |   AS worst_fertility_ppm,
+      | (SELECT CAST(coalesce(min(f1_ppm), 0) AS BIGINT) FROM
+      |   (${HygieneQueries.classifierEvalOracle}) k) AS min_class_f1_ppm,
+      | (SELECT CAST(coalesce(sum(recall_ppm), 0)
+      |     // greatest(count(*), 1) AS BIGINT) FROM
+      |   (${ExtensionQueries.recallFloorsOracle}) r) AS mean_recall_ppm,
+      | (SELECT CAST(coalesce(min(recall_ppm), 0) AS BIGINT) FROM
+      |   (${ExtensionQueries.recallFloorsOracle}) r) AS min_recall_ppm
+      |""".stripMargin
+
   private val curationOracle =
     """WITH corpus AS (
       | SELECT doc_id, text, lang FROM documents
@@ -1542,6 +1583,8 @@ object PipelineQueries {
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
+    QueryDef("pr7_readiness_card", readinessCard,
+      Some(readinessCardOracle)),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
     QueryDef("pk3_shard_manifest", shardManifest, Some(shardManifestOracle)),
     QueryDef("pr1_profile", profile, Some(profileOracle)),

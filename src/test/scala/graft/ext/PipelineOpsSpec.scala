@@ -510,6 +510,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(gf === Seq(0L, 500000L, 1000000L))
   }
 
+  test("readinessCard: exact one-row summary; empty report inputs " +
+      "summarize to 0, not null") {
+    val spark0 = spark
+    import spark0.implicits._
+    val contam = Seq(("evalA", 3L, 9L, 1500L), ("evalB", 0L, 0L, 0L))
+      .toDF("eval_set", "n_docs_hit", "n_gram_hits", "contaminated_ppm")
+    val fert = Seq(("en", 2100000L), ("de", 2900000L))
+      .toDF("lang", "fertility_ppm")
+    val cls = Seq(("en", 980000L), ("de", 610000L)).toDF("label", "f1_ppm")
+    val rec = Seq((1L, 1000000L), (2L, 500000L), (3L, 750001L))
+      .toDF("query_id", "recall_ppm")
+    val row = graft.ext.Curation.readinessCard(contam, fert, cls, rec).head()
+    assert(row.getAs[Long]("n_eval_sets") === 2L)
+    assert(row.getAs[Long]("n_contaminated_sets") === 1L)
+    assert(row.getAs[Long]("worst_contamination_ppm") === 1500L)
+    assert(row.getAs[Long]("n_langs") === 2L)
+    assert(row.getAs[Long]("worst_fertility_ppm") === 2900000L)
+    assert(row.getAs[Long]("min_class_f1_ppm") === 610000L)
+    assert(row.getAs[Long]("mean_recall_ppm") === 2250001L / 3L)
+    assert(row.getAs[Long]("min_recall_ppm") === 500000L)
+    // totality: all-empty inputs produce a 0 row, never nulls
+    val empty = graft.ext.Curation.readinessCard(
+      contam.limit(0), fert.limit(0), cls.limit(0), rec.limit(0)).head()
+    (0 until empty.length).foreach(i => assert(!empty.isNullAt(i)))
+    assert(empty.getAs[Long]("n_eval_sets") === 0L)
+    assert(empty.getAs[Long]("mean_recall_ppm") === 0L)
+  }
+
   test("blendScores: a duplicated id yields one blend PER ROW — no " +
       "cross-multiplied join fanout") {
     val spark0 = spark
