@@ -114,14 +114,16 @@ object GenScale {
     def off(df: DataFrame, key: String): Long =
       df.agg(max(col(key))).head.getLong(0) + 1L
 
-    val custOff = off(tbl("customer"), "c_custkey")
-    val suppOff = off(tbl("supplier"), "s_suppkey")
-    val partOff = off(tbl("part"), "p_partkey")
-    val ordOff  = off(tbl("orders"), "o_orderkey")
-    val evOff   = off(tbl("events"), "event_id")
-    val userOff = off(tbl("events"), "user_id")
-    val docOff  = off(tbl("documents"), "doc_id")
-    val vecOff  = off(tbl("embeddings"), "vec_id")
+    // Offsets are LAZY: a table-subset run (or a chained probe dir
+    // holding only the subset) must not read tables it never writes.
+    lazy val custOff = off(tbl("customer"), "c_custkey")
+    lazy val suppOff = off(tbl("supplier"), "s_suppkey")
+    lazy val partOff = off(tbl("part"), "p_partkey")
+    lazy val ordOff  = off(tbl("orders"), "o_orderkey")
+    lazy val evOff   = off(tbl("events"), "event_id")
+    lazy val userOff = off(tbl("events"), "user_id")
+    lazy val docOff  = off(tbl("documents"), "doc_id")
+    lazy val vecOff  = off(tbl("embeddings"), "vec_id")
 
     /** Union `copies` shifted replicas; `shift` maps (df, copyIndex). */
     def replicate(name: String)(shift: (DataFrame, Int) => DataFrame): Unit =
@@ -202,8 +204,26 @@ object GenScale {
             .otherwise(col("doc_id") * lit(7L) + lit(1L) +
               pmod(col("doc_id"), lit(6L))))
     })
-    replicate("embeddings")((df, i) =>
-      df.withColumn("vec_id", col("vec_id") + lit(i * vecOff)))
+    replicate("embeddings")((df, i) => {
+      val shifted = df.withColumn("vec_id", col("vec_id") + lit(i * vecOff))
+      if (!zipf) shifted
+      // Semantic-cluster skew: ~90% of vectors collapse onto ONE
+      // dominant direction (a constant positive vector, so every hot
+      // row draws the same hyperplane signs), with a tiny per-id
+      // jitter on the first component to keep vectors distinct. This
+      // is the p9 in-context-ordering hazard by construction: sign-LSH
+      // bucketing exists to GROUP semantic neighbors, so a semantically
+      // clustered corpus makes one hot bucket — the probe measures
+      // whether the range-partitioned order bounds its max task anyway.
+      else shifted.withColumn("embedding",
+        when(coin(col("vec_id") * lit(13L), 90),
+          concat(
+            array((pmod(col("vec_id"), lit(97L)).cast("float") /
+              lit(1000.0f)) + lit(0.5f)),
+            slice(array_repeat(lit(0.9f), 63), 1, 63))
+            .cast("array<float>")) // SQL float division widens to double
+          .otherwise(col("embedding")))
+    })
 
     spark.stop()
   }

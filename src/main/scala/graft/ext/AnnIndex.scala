@@ -174,9 +174,10 @@ object AnnIndex {
     *  2. the encoded corpus joins its labels once (cid-keyed shuffle
     *     join, corpus-sized, label column pruned to (cid, clab));
     *  3. query probes BUCKET-JOIN the encoded table on centroid_id —
-    *     a shuffle join both sides (`SHUFFLE_HASH` hints pin the
-    *     strategy so neither side is ever broadcast, at any size;
-    *     AQE's skew handling splits hot buckets);
+    *     a sort-merge join both sides (`MERGE` hints pin the strategy:
+    *     never a broadcast at any size, and SMJ spills where a
+    *     shuffled-hash build side would OOM on the hot bucket a
+    *     skewed corpus makes; AQE's skew handling splits it);
     *  4. the cross-label filter applies BEFORE the ADC rerank cut, so
     *     same-label candidates can never evict true negatives from the
     *     capacity-`rerank` aggregate;
@@ -210,13 +211,13 @@ object AnnIndex {
           nprobe)).as("centroid_id"))
 
     val encLab = encoded.select("cid", "centroid_id", "codes")
-      .join(corpusLabels.select(col("cid"), col("clab")).hint("shuffle_hash"),
+      .join(corpusLabels.select(col("cid"), col("clab")).hint("merge"),
         Seq("cid"))
 
     import Similarity.{Scored, TopKAggregator}
     val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
     val candidates = encLab
-      .join(probes.hint("shuffle_hash"), Seq("centroid_id"))
+      .join(probes.hint("merge"), Seq("centroid_id"))
       .where(col("clab") =!= col("qlab"))
       .select(col("qid"), col("cid"),
         GraftFunctions.pqAdc(col("codes"), col("lut"), codes).as("adc"))
@@ -226,8 +227,8 @@ object AnnIndex {
 
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
     encoded.select("cid", "cvec")
-      .join(candidates.hint("shuffle_hash"), Seq("cid"))
-      .join(queries.select(col("qid"), col("qvec")).hint("shuffle_hash"),
+      .join(candidates.hint("merge"), Seq("cid"))
+      .join(queries.select(col("qid"), col("qvec")).hint("merge"),
         Seq("qid"))
       .select(col("qid"), col("cid"),
         GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
