@@ -1358,6 +1358,128 @@ object ExtensionQueries {
 
   private lazy val knnIvfPqOracle = ivfPqOracleWith("20", "5", "20")
 
+  /** Full replay of [[graft.ext.AnnIndex.mineHardNegatives]] at REAL
+    * pruning (nprobe 5 of nlist 20, rerank 20): the s8 IVF-PQ pipeline
+    * with the cross-label filter applied BEFORE the rerank cut (the
+    * mining contract) instead of the self-exclusion clause — a query
+    * that is a corpus row drops itself via its own label. */
+  private lazy val minedIvfPqOracle =
+    s"""WITH c AS (SELECT vec_id AS cid, embedding AS v, label FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv, label AS qlab FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, centroid_id FROM (
+      |  SELECT c.cid, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |cb AS (
+      | SELECT rn - 1 AS code, v FROM (
+      |  SELECT v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 16),
+      |ms AS (SELECT unnest(range(0, 8)) AS mi),
+      |enc AS (
+      | SELECT cid, mi, code FROM (
+      |  SELECT c.cid, ms.mi, cb.code, row_number() OVER (
+      |    PARTITION BY c.cid, ms.mi
+      |    ORDER BY list_aggregate(list_transform(range(1, 9), j ->
+      |      (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))
+      |      * (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))),
+      |      'sum'), cb.code) AS rn
+      |  FROM c CROSS JOIN ms CROSS JOIN cb) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, qlab, centroid_id FROM (
+      |  SELECT q.qid, q.qv, q.qlab, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |adc AS (
+      | SELECT e.cid, p.qid,
+      |  sum(list_aggregate(list_transform(range(1, 9), j ->
+      |    CAST(p.qv[e.mi * 8 + j] AS DOUBLE) * CAST(cb.v[e.mi * 8 + j] AS DOUBLE)),
+      |    'sum')) AS score
+      | FROM probes p
+      | JOIN assigned a USING (centroid_id)
+      | JOIN enc e ON e.cid = a.cid
+      | JOIN cb USING (code)
+      | JOIN c cl ON cl.cid = e.cid
+      | WHERE cl.label <> p.qlab
+      | GROUP BY e.cid, p.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= 20)
+      |SELECT query_id, rank, corpus_id FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** s22: mined hard negatives at REAL mining settings (nprobe 5 of
+    * nlist 20, rerank 20 — the pruned serve a training run would use),
+    * reported as measured recall@5 vs the s20 brute-force cross-label
+    * answer: the s18 recall-ladder discipline applied to mining. The
+    * oracle replays BOTH sides fully (the mined IVF-PQ pipeline with
+    * label-before-rerank, and the exact mining answer) and recomputes
+    * the recall join, so even the measurement is hash-exact. An eager
+    * floor guards the mean: mining recall collapsing is a code
+    * regression, not noise (exact-integer pipeline). */
+  def minedNegativesRecall(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s22_")
+      .resolve("ann_index").toString
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = root, m = 8, codes = 16)
+    val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlab"))
+    val mined = graft.ext.AnnIndex.mineHardNegatives(s, root, queries,
+      Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+        col("label").as("clab")),
+      k = 5, nprobe = 5, rerank = 20)
+    val brute = Similarity.hardNegatives(
+      Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").as("clab")),
+      queries, k = 5)
+    val report = Similarity.recallReport(mined, brute)
+      .orderBy("query_id").localCheckpoint()
+    // measured mean recall: 440k ppm (sf0.001), 360k (sf0.01) — in
+    // line with the s18 ivfpq tier at the same knobs (400k→140k decay
+    // family); individual queries can read 0 when their cross-label
+    // neighbors all live in unprobed buckets — that is what the
+    // nprobe/recall trade IS, and why s19 scales nlist with the
+    // corpus. Floor set conservatively below both mean readings.
+    val m = report.agg(sum(col("recall_ppm")).as("s"),
+      count(lit(1)).as("n")).head
+    require(m.getLong(0) / m.getLong(1) >= 300000L,
+      s"minedNegativesRecall: mean recall ${m.getLong(0) / m.getLong(1)} " +
+        "ppm fell below the 300000 ppm floor — the mining serve regressed")
+    report
+  }
+
+  private lazy val minedNegativesRecallOracle =
+    s"""WITH brute AS (
+      |  SELECT query_id, corpus_id FROM ($hardNegativesOracle) b),
+      |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+      |SELECT query_id, CAST(k AS BIGINT) AS k,
+      | CAST(coalesce(n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(coalesce(n_hit, 0) * 1000000 // k AS BIGINT) AS recall_ppm
+      |FROM kk LEFT JOIN (
+      | SELECT b.query_id, count(*) AS n_hit FROM brute b
+      | JOIN ($minedIvfPqOracle) a
+      |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      | GROUP BY 1) h USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
   def knnLsh(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(corpus(s, d), queriesDf(s, d), k = 5, dim = 64, bits = 5)
       .select(col("query_id"), col("rank"), col("corpus_id"))
@@ -2068,6 +2190,8 @@ object ExtensionQueries {
     QueryDef("s20_hard_negatives", hardNegativesGate, Some(hardNegativesOracle)),
     QueryDef("s21_mined_negatives", minedNegativesGate,
       Some(hardNegativesOracle)),
+    QueryDef("s22_mined_recall", minedNegativesRecall,
+      Some(minedNegativesRecallOracle)),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
