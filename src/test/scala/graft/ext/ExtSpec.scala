@@ -472,6 +472,52 @@ class ExtSpec extends AnyFunSuite {
     assert(got === Seq(3L, 7L))
   }
 
+  test("TopCentroids: best-first by (cosine desc, id asc); top-1 agrees " +
+      "with NearestCentroid; nprobe clamps to list size") {
+    val ids = Array(3L, 7L, 9L)
+    val cents = Array(
+      Array(1.0, 0.0),
+      Array(0.0, 1.0),
+      Array(0.0, 2.0)) // same direction as id 7 -> cosine ties, 7 first
+    val df = Seq(
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.1f, 5.0f))).toDF("cid", "cvec")
+    val got = df.select(col("cid"),
+        graft.functions.GraftFunctions.topCentroids(col("cvec"), ids,
+          cents, 3).as("probes"),
+        graft.functions.GraftFunctions
+          .nearestCentroid(col("cvec"), ids, cents).as("best"))
+      .orderBy("cid").collect()
+    got.foreach { r =>
+      val probes = r.getAs[scala.collection.Seq[Long]]("probes")
+      assert(probes.head === r.getAs[Long]("best"))
+      assert(probes.length === 3)
+      assert(probes.toSet.size === 3, "each centroid probed once")
+    }
+    // tie order: for (0.1, 5.0) centroids 7 and 9 tie exactly -> id asc
+    assert(got(1).getAs[scala.collection.Seq[Long]]("probes").toSeq ===
+      Seq(7L, 9L, 3L))
+    // nprobe = 1 is exactly the argmax
+    val one = df.select(graft.functions.GraftFunctions
+        .topCentroids(col("cvec"), ids, cents, 1).as("p"))
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("p").toSeq)
+    assert(one.toSeq === Seq(Seq(3L), Seq(7L)))
+  }
+
+  test("PrefixCountsTrue: exclusive running count, nulls count as false") {
+    val df = Seq(
+      (1L, Seq[java.lang.Boolean](true, false, true, true, false)),
+      (2L, Seq[java.lang.Boolean](null, true, null)),
+      (3L, Seq.empty[java.lang.Boolean])).toDF("id", "flags")
+    val got = df.select(col("id"), graft.functions.GraftFunctions
+        .prefixCountsTrue(col("flags")).as("ps"))
+      .orderBy("id").collect()
+      .map(_.getAs[scala.collection.Seq[Int]]("ps").toSeq)
+    assert(got(0) === Seq(0, 1, 1, 2, 3))
+    assert(got(1) === Seq(0, 0, 1))
+    assert(got(2) === Seq.empty)
+  }
+
   test("Similarity.ivfPqTopK with full probing and rerank equals brute force") {
     val spark0 = spark
     import spark0.implicits._

@@ -442,6 +442,28 @@ class PlanSpec extends AnyFunSuite {
     assert(projLine.contains("*("), s)
   }
 
+  test("round-11 expressions (PrefixCountsTrue, TopCentroids) stay " +
+      "inside whole-stage codegen") {
+    import org.apache.spark.sql.functions._
+    // no HOFs in the projection: transform() is itself CodegenFallback
+    // and would evict the whole Project from codegen regardless of the
+    // expressions under test
+    val df = graft.Tables.embeddings(spark, sf).select(
+      graft.functions.GraftFunctions.topCentroids(col("embedding"),
+        Array(1L, 2L), Array(Array.fill(64)(0.1), Array.fill(64)(-0.1)),
+        2).as("tc"),
+      graft.functions.GraftFunctions.prefixCountsTrue(
+        array(element_at(col("embedding"), 1) > 0f,
+          element_at(col("embedding"), 2) > 0f)).as("ps"))
+    val s = planString(df)
+    val line = s.linesIterator
+      .find(_.toLowerCase.contains("topcentroids")).getOrElse("")
+    assert(line.contains("*("), s)
+    val line2 = s.linesIterator
+      .find(_.toLowerCase.contains("prefixcountstrue")).getOrElse("")
+    assert(line2.contains("*("), s)
+  }
+
   test("stochastic tokenizer serving (unigram sampling, BPE-dropout) " +
       "stays inside whole-stage codegen") {
     import org.apache.spark.sql.functions._
