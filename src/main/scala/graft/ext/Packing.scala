@@ -152,6 +152,47 @@ object Packing {
     }
   }
 
+  /** MATERIALIZE the packed training sequences — the final artifact a
+    * trainer loads, not just the [[packConcat]] bookkeeping: lay every
+    * document's tokens end-to-end in `id` order and emit one row per
+    * `seqLen`-token training sequence, tokens in stream order (the
+    * last sequence may be short; concat-and-chunk keeps no padding).
+    *
+    * Plan shape: the two-phase prefix sum assigns each document its
+    * global start offset with the token ARRAY riding the range
+    * exchange as a carry column (one corpus-data shuffle — inherent:
+    * the artifact's rows are token-stream slices, not document
+    * slices); then posexplode derives each token's global position
+    * (narrow), and one hash exchange on seq_id = position DIV seqLen
+    * groups each sequence's tokens. Sequence ids are uniform over the
+    * stream by construction, so the grouping key cannot be hot however
+    * skewed the documents. Within-sequence order is recovered by
+    * sorting the (position, token) pairs INSIDE each row — a bounded
+    * seqLen-sized sort, never a global one.
+    *
+    * Output: (seq_id, n_tokens, token_ids ARRAY<STRING>), seq_id
+    * 0-based in stream order. Zero-token documents occupy no
+    * positions (the [[packConcat]] contract). */
+  def packSequences(df: DataFrame, id: String, tokens: Column,
+      seqLen: Int, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    val staged = df.select(col(id), tokens.as("__toks"))
+    withOffsets(staged, id, size(col("__toks")).cast("long"),
+        numPartitions, carry = Seq("__toks"), checkpointDir) { counted =>
+      counted
+        .select((col("end_offset") - col("n_tokens")).as("__so"),
+          posexplode(col("__toks")).as(Seq("__p", "__tok")))
+        .select((col("__so") + col("__p")).as("__gpos"), col("__tok"))
+        .groupBy(((col("__gpos") - pmod(col("__gpos"), lit(seqLen.toLong)))
+          / seqLen).cast("long").as("seq_id"))
+        .agg(count(lit(1)).as("n_tokens"),
+          transform(array_sort(collect_list(
+            struct(col("__gpos"), col("__tok")))), p => p("__tok"))
+            .as("token_ids"))
+    }
+  }
+
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */

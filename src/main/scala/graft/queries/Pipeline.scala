@@ -18,6 +18,39 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")), seqLen = 1024)
       .orderBy("doc_id")
 
+  /** pk4: materialized packed training sequences (Packing.packSequences)
+    * — the actual trainer artifact: whitespace tokens of every document
+    * laid end-to-end in doc_id order, one row per 256-token sequence,
+    * tokens in stream order (last sequence short). Full replay: the
+    * oracle re-derives global positions with a window prefix sum +
+    * zipped unnest and groups by position DIV 256. */
+  def packedSequences(s: SparkSession, d: String): DataFrame =
+    Packing.packSequences(Tables.documents(s, d), "doc_id",
+        filter(split(col("text"), "\\s+"), t => length(t) > 0),
+        seqLen = 256)
+      // the hash compare cannot sort array-valued cells (driver
+      // limitation) — flatten the sequence to its exact text; content
+      // is still verified token-for-token in order
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("seq_text"))
+      .orderBy("seq_id")
+
+  private val packedSequencesOracle =
+    """WITH toks AS (
+      | SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+      |   t -> len(t) > 0) AS ts
+      | FROM documents),
+      |nz AS (SELECT doc_id, ts, len(ts) AS n FROM toks WHERE len(ts) > 0),
+      |off AS (
+      | SELECT doc_id, ts, sum(n) OVER (ORDER BY doc_id) - n AS so FROM nz),
+      |pos AS (
+      | SELECT so + unnest(range(0, len(ts))) AS gpos, unnest(ts) AS tok
+      | FROM off)
+      |SELECT CAST(gpos // 256 AS BIGINT) AS seq_id,
+      | CAST(count(*) AS BIGINT) AS n_tokens,
+      | array_to_string(list(tok ORDER BY gpos), ' ') AS seq_text
+      |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** End-to-end curation pipeline (ext Curation): quality filter →
     * exact dedup → decontamination → temperature mixing → sharding,
     * over a corpus with PLANTED exact duplicates (every 10th doc
@@ -1565,6 +1598,8 @@ object PipelineQueries {
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
+    QueryDef("pk4_packed_sequences", packedSequences,
+      Some(packedSequencesOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,

@@ -68,6 +68,33 @@ class PackingSpec extends AnyFunSuite {
     assert(run(7) === run(1))
   }
 
+  test("packSequences: tokens laid end-to-end in id order, straddlers " +
+      "split across sequences, short tail kept, empty docs dropped, " +
+      "partitioning-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),   // fills seq 0 (len 4) with doc 2's d
+      (2L, Seq("d", "e")),        // d ends seq 0, e starts seq 1
+      (3L, Seq.empty[String]),    // no positions
+      (4L, Seq("f", "g", "h", "i", "j"))) // e f g i -> wait, id order
+      .toDF("id", "toks")
+    def run(nIn: Int) = graft.ext.Packing
+      .packSequences(df.repartition(nIn), "id", col("toks"), seqLen = 4)
+      .orderBy("seq_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[scala.collection.Seq[String]](2).toSeq))
+    val got = run(3)
+    // stream: a b c d | e f g h | i j
+    assert(got.toSeq === Seq(
+      (0L, 4L, Seq("a", "b", "c", "d")),
+      (1L, 4L, Seq("e", "f", "g", "h")),
+      (2L, 2L, Seq("i", "j"))))
+    assert(run(1).toSeq === got.toSeq)
+    assert(run(7).toSeq === got.toSeq)
+  }
+
   test("Profile.describe: one row per column with exact stats") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
