@@ -11,6 +11,34 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.Probe <sfDir> <gate1> [gate2 ...]
   */
 object Probe {
+
+  /** Same per-stage skew collector as Bench's: max/median task millis
+    * of the most skewed ≥8-task stage with max ≥200 ms. */
+  private final class SkewListener
+      extends org.apache.spark.scheduler.SparkListener {
+    private val stages = new java.util.concurrent.ConcurrentHashMap[
+      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
+    override def onTaskEnd(
+        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      if (t.taskInfo != null && t.taskInfo.successful) {
+        stages.computeIfAbsent(t.stageId,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
+          .add(t.taskInfo.duration)
+      }
+    def reset(): Unit = stages.clear()
+    def worst(): Option[(Long, Long, Double)] = {
+      import scala.jdk.CollectionConverters._
+      stages.values.asScala.toSeq
+        .map(q => q.asScala.toSeq.sorted)
+        .filter(ds => ds.size >= 8 && ds.last >= 200)
+        .map { ds =>
+          val med = math.max(ds(ds.size / 2), 1L)
+          (ds.last, med, ds.last.toDouble / med)
+        }
+        .sortBy(-_._3).headOption
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args.drop(1)
@@ -24,13 +52,21 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val skew = new SkewListener
+    spark.sparkContext.addSparkListener(skew)
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      skew.reset()
       val t0 = System.nanoTime()
       fn(spark, dir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
+      val sk = skew.worst()
+        .map { case (mx, med, r) =>
+          f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s " +
+            f"ratio=$r%.2f" }
+        .getOrElse(" (no >=8-task stage reached 200 ms)")
       val rows = fn(spark, dir).count()
-      println(f"[probe] $n wall=$wall%.2f s rows=$rows")
+      println(f"[probe] $n wall=$wall%.2f s rows=$rows$sk")
     }
     spark.stop()
   }
