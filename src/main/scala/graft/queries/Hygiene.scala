@@ -1429,6 +1429,31 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t53: DPO preference-pair rendering with TOKEN-unit spans
+    * (TextAnalysis.renderDpoPairsTokens ∘ the pinned BPE) — t52's
+    * preference twin: chosen = the word-boundary response, rejected =
+    * its words reversed (t50's deterministic corruption), the head
+    * tokenized ONCE and shared by both completions. Oracle = the same
+    * independent Python replay, pinned. */
+  def dpoTokenSpansGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(docs, "text", numMerges = 24))
+    val words = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val prompt = array_join(slice(words, 1, 5), " ")
+    val restArr = slice(words, lit(6), greatest(size(words) - 5, lit(0)))
+    val chosen = when(size(words) > 5,
+      concat(lit(" "), array_join(restArr, " "))).otherwise(lit(""))
+    val rejected = when(size(words) > 5,
+      concat(lit(" "), array_join(reverse(restArr), " "))).otherwise(lit(""))
+    TextAnalysis.renderDpoPairsTokens(docs, "doc_id", prompt, chosen,
+        rejected, system = "You are a helpful assistant.",
+        tokenizer = c => graft.functions.GraftFunctions.bpeTokenize(c, merges))
+      .select(col("doc_id"), col("loss_start_tok"),
+        col("chosen_loss_end_tok"), col("rejected_loss_end_tok"))
+      .orderBy("doc_id")
+  }
+
   /** t50: DPO preference-pair rendering (TextAnalysis.renderDpoPairs)
     * — prompt = chars 1–40, chosen = the tail, rejected = the tail
     * with word order reversed (a deterministic corruption standing in
@@ -1813,6 +1838,8 @@ object HygieneQueries {
     QueryDef("t50_dpo_pairs", dpoPairsGate, Some(dpoPairsOracle)),
     QueryDef("t52_sft_token_spans", sftTokenSpansGate,
       Some(PinnedOracles.t52SftTokenSpans)),
+    QueryDef("t53_dpo_token_spans", dpoTokenSpansGate,
+      Some(PinnedOracles.t53DpoTokenSpans)),
     QueryDef("t51_score_blend", scoreBlendGate, Some(scoreBlendOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),

@@ -112,6 +112,28 @@ def main():
     print("SELECT * FROM (VALUES " + vals +
           ") AS t(doc_id, loss_start_tok, loss_end_tok, n_tokens)"
           " ORDER BY doc_id")
+    print()
+
+    # t53: DPO pair token spans — chosen = the word-boundary response,
+    # rejected = the same words reversed (t50's deterministic corruption),
+    # both with their leading space; head tokenized once and shared.
+    drows = []
+    for r in docs.itertuples():
+        w = words_of(r.text)
+        prompt = " ".join(w[:5])
+        rest = w[5:]
+        chosen = (" " + " ".join(rest)) if rest else ""
+        rejected = (" " + " ".join(reversed(rest))) if rest else ""
+        head = SYS + prompt + ASST
+        nh = n_tokens(head)
+        nc = n_tokens(chosen + END)
+        nr = n_tokens(rejected + END)
+        drows.append((int(r.doc_id), nh + 1, nh + nc + 1, nh + nr + 1))
+    dvals = ",".join(f"({d},{s},{c},{j})" for d, s, c, j in drows)
+    print("-- t53_dpo_token_spans oracle")
+    print("SELECT * FROM (VALUES " + dvals +
+          ") AS t(doc_id, loss_start_tok, chosen_loss_end_tok,"
+          " rejected_loss_end_tok) ORDER BY doc_id")
 
 
 if __name__ == "__main__":
