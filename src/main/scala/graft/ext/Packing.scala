@@ -193,6 +193,61 @@ object Packing {
     }
   }
 
+  /** EXAMPLE-level (no-straddle) sequence packing — the SFT/preference
+    * training layout, where an example must occupy ONE training
+    * sequence whole (a rendered conversation leaking across sequence
+    * boundaries corrupts its loss span), unlike [[packConcat]]'s
+    * concat-and-chunk where straddling is by design:
+    *
+    *  1. [[shardByTokens]] cuts the corpus into contiguous
+    *     ~`shardTokens` id-ordered shards (the two-phase distributed
+    *     prefix sum — no single-task term);
+    *  2. WITHIN each shard, examples pack greedily in id order by
+    *     next-fit into capacity-`seqLen` sequences — next-fit is
+    *     inherently sequential (each boundary depends on the running
+    *     remainder; NOT a prefix sum), so it runs as one codegen'd
+    *     in-row pass ([[graft.functions.NextFitSeqIdx]]) over the
+    *     shard's collected (id, n_tokens) list. Shards are
+    *     token-bounded, so the collected array is bounded by
+    *     ~shardTokens rows — the same bounded-group contract as the
+    *     d16 heavy-gram order.
+    *
+    * Determinism: membership and order are pure functions of
+    * (id, tokens), so the layout is reshardable and replayable — the
+    * pk5 gate recursive-CTE-replays the next-fit fold per shard.
+    * Sequence ids are (shard_id, seq_in_shard); global renumbering,
+    * when a trainer needs it, is one more |sequences|-sized prefix sum.
+    * An example longer than `seqLen` occupies a sequence alone
+    * (`oversize = true`) — the caller truncates or drops. Zero-token
+    * examples are dropped (the [[packConcat]] contract).
+    *
+    * Output: (id, n_tokens, shard_id, seq_in_shard, oversize). */
+  def packExamples(df: DataFrame, id: String, tokenCount: Column,
+      seqLen: Int, shardTokens: Long, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    require(shardTokens >= seqLen,
+      s"packExamples: shardTokens=$shardTokens < seqLen=$seqLen — a " +
+        "shard must hold at least one full sequence")
+    val sharded = shardByTokens(df, id, tokenCount, shardTokens,
+      numPartitions, checkpointDir = checkpointDir)
+    val packed = sharded
+      .groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(struct(col(id), col("n_tokens"))))
+        .as("__es"))
+      .select(col("shard_id"),
+        posexplode(zip_with(
+          col("__es"),
+          graft.functions.GraftFunctions.nextFitSeqIdx(
+            transform(col("__es"), e => e("n_tokens")), seqLen.toLong),
+          (e, s) => struct(e(id).as("id"), e("n_tokens").as("n"),
+            s.as("seq")))))
+      .select(col("col.id").as(id), col("col.n").as("n_tokens"),
+        col("shard_id"), col("col.seq").cast("long").as("seq_in_shard"),
+        (col("col.n") > seqLen.toLong).as("oversize"))
+    packed
+  }
+
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */

@@ -3037,6 +3037,67 @@ object PrefixCountsTrue {
   }
 }
 
+/** Next-fit sequence assignment over an ordered array of token counts:
+  * out[i] = the 0-based sequence index of example i when examples are
+  * packed greedily in array order into sequences of capacity `seqLen`
+  * (open a new sequence when the current one cannot hold the next
+  * example whole — the NO-STRADDLE packing SFT/preference training
+  * uses, where an example must not leak across sequence boundaries).
+  * An example longer than `seqLen` occupies a sequence alone (callers
+  * truncate or drop). Next-fit is inherently sequential (each boundary
+  * depends on the running remainder — not a prefix sum), which is why
+  * it runs as ONE in-row pass over a bounded per-shard array instead
+  * of pretending to be distributed arithmetic. Null counts take a
+  * sequence alone (defensive; callers filter). */
+case class NextFitSeqIdx(child: Expression, seqLen: Long)
+    extends UnaryExpression {
+  require(seqLen > 0, s"next_fit_seq_idx: seqLen=$seqLen")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"next_fit_seq_idx expects ARRAY<BIGINT>, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    NextFitSeqIdx.assign(input.asInstanceOf[ArrayData], seqLen)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.NextFitSeqIdx.assign($c, ${seqLen}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object NextFitSeqIdx {
+  /** Static entry point shared by eval and generated code. */
+  def assign(counts: ArrayData, seqLen: Long): ArrayData = {
+    val n = counts.numElements()
+    val out = new Array[Int](n)
+    var seq = -1
+    var used = 0L
+    var i = 0
+    while (i < n) {
+      val c = if (counts.isNullAt(i)) Long.MaxValue else counts.getLong(i)
+      // compare against the remainder (never overflows: used <= seqLen)
+      if (seq < 0 || c > seqLen - used) { seq += 1; used = 0L }
+      out(i) = seq
+      // saturate: an overlong (or null) example fills its sequence, so
+      // the next example necessarily opens a new one
+      used = if (c >= seqLen) seqLen else used + math.max(c, 0L)
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -3061,6 +3122,8 @@ object GraftFunctions {
   def gramHitCount(c: Column, bench: Array[String]): Column =
     column(GramHitCount(expr(c), bench))
   def prefixCountsTrue(c: Column): Column = column(PrefixCountsTrue(expr(c)))
+  def nextFitSeqIdx(c: Column, seqLen: Long): Column =
+    column(NextFitSeqIdx(expr(c), seqLen))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expr(c), form))
   def bpeMergePair(c: Column, left: String, right: String): Column =

@@ -51,6 +51,47 @@ object PipelineQueries {
       | array_to_string(list(tok ORDER BY gpos), ' ') AS seq_text
       |FROM pos GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** pk5: example-level no-straddle packing (Packing.packExamples) —
+    * the SFT layout: whitespace token counts, shards of ~4096 tokens,
+    * next-fit into 512-token sequences within each shard. The oracle
+    * replays the full chain: window prefix sum → shard DIV → a
+    * RECURSIVE CTE folding the next-fit remainder through each shard's
+    * id-ordered examples (next-fit is sequential by nature — the
+    * recursion IS the semantics). */
+  def packedExamples(s: SparkSession, d: String): DataFrame =
+    Packing.packExamples(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512,
+        shardTokens = 4096L)
+      .orderBy("doc_id")
+
+  private val packedExamplesOracle =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+'))
+      |   AS BIGINT) AS n
+      | FROM documents),
+      |nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+      |off AS (
+      | SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS so FROM nz),
+      |sh AS (
+      | SELECT doc_id, n, so // 4096 AS shard_id,
+      |  row_number() OVER (PARTITION BY so // 4096 ORDER BY doc_id) AS rn
+      | FROM off),
+      |f AS (
+      | SELECT shard_id, rn, doc_id, n,
+      |  CAST(0 AS BIGINT) AS seq,
+      |  CASE WHEN n >= 512 THEN 512 ELSE n END AS used
+      | FROM sh WHERE rn = 1
+      | UNION ALL
+      | SELECT s.shard_id, s.rn, s.doc_id, s.n,
+      |  CASE WHEN s.n > 512 - f.used THEN f.seq + 1 ELSE f.seq END,
+      |  CASE WHEN s.n > 512 - f.used
+      |       THEN (CASE WHEN s.n >= 512 THEN 512 ELSE s.n END)
+      |       ELSE f.used + s.n END
+      | FROM f JOIN sh s ON s.shard_id = f.shard_id AND s.rn = f.rn + 1)
+      |SELECT doc_id, n AS n_tokens, CAST(shard_id AS BIGINT) AS shard_id,
+      | seq AS seq_in_shard, n > 512 AS oversize
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation pipeline (ext Curation): quality filter →
     * exact dedup → decontamination → temperature mixing → sharding,
     * over a corpus with PLANTED exact duplicates (every 10th doc
@@ -1600,6 +1641,8 @@ object PipelineQueries {
     QueryDef("pk1_sequence_packing", packing, Some(packingOracle)),
     QueryDef("pk4_packed_sequences", packedSequences,
       Some(packedSequencesOracle)),
+    QueryDef("pk5_packed_examples", packedExamples,
+      Some(packedExamplesOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,

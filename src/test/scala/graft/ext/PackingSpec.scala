@@ -95,6 +95,48 @@ class PackingSpec extends AnyFunSuite {
     assert(run(7).toSeq === got.toSeq)
   }
 
+  test("packExamples: no example straddles a sequence, greedy next-fit " +
+      "in id order, overlong examples sit alone and flag, " +
+      "partitioning-independent") {
+    val spark0 = spark
+    import spark0.implicits._
+    import org.apache.spark.sql.functions._
+    // counts: 3,4,5 fill seq0 (3+4=7<=10, +5 would be 12) etc.; 11 is
+    // oversize; 10 fills a sequence exactly
+    val df = Seq((1L, 3L), (2L, 4L), (3L, 5L), (4L, 11L), (5L, 10L),
+        (6L, 2L), (7L, 0L))
+      .toDF("id", "n")
+    def run(nIn: Int) = graft.ext.Packing.packExamples(
+        df.repartition(nIn), "id", col("n"), seqLen = 10,
+        shardTokens = 100L)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3),
+        r.getBoolean(4)))
+    val got = run(3)
+    // one shard (35 tokens < 100): seq0 = {1,2}, seq1 = {3}? next-fit:
+    // 3 (used 3), 4 (used 7), 5 > 3 left -> seq1 (used 5), 11 > 5 left
+    // -> seq2 alone (oversize, saturates), 10 -> seq3 (exact fill),
+    // 2 -> seq4; id 7 (0 tokens) dropped
+    assert(got.toSeq === Seq(
+      (1L, 3L, 0L, false), (2L, 4L, 0L, false), (3L, 5L, 1L, false),
+      (4L, 11L, 2L, true), (5L, 10L, 3L, false), (6L, 2L, 4L, false)))
+    assert(run(1).toSeq === got.toSeq)
+    assert(run(7).toSeq === got.toSeq)
+    // the no-straddle invariant, stated directly: per-(shard, seq)
+    // token sums never exceed seqLen unless the sequence is one
+    // oversize example
+    val sums = graft.ext.Packing.packExamples(df, "id", col("n"),
+        seqLen = 10, shardTokens = 100L)
+      .groupBy(col("shard_id"), col("seq_in_shard"))
+      .agg(sum(col("n_tokens")).as("s"), count(lit(1)).as("c"),
+        max(col("oversize")).as("o"))
+      .collect()
+    sums.foreach { r =>
+      assert(r.getLong(2) <= 10L || (r.getLong(3) === 1L &&
+        r.getBoolean(4)), r.toString)
+    }
+  }
+
   test("Profile.describe: one row per column with exact stats") {
     val df = Seq(
       (Some(1L), Some("a"), Some(1.5)),
