@@ -92,6 +92,61 @@ object PipelineQueries {
       | seq AS seq_in_shard, n > 512 AS oversize
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** p10: the SFT data pipeline END TO END — template rendering with
+    * TOKEN-unit loss spans (t52's exact chain: word-boundary
+    * prompt/response split, renderSftTokens through the pinned BPE)
+    * feeding example-level NO-STRADDLE packing (pk5's chain: prefix-sum
+    * shards, in-shard next-fit at 512 tokens): the two halves a
+    * post-training data run actually chains, composed and gated as
+    * one. The oracle chains the t52 pinned per-example token counts
+    * (independent Python replay of the tokenizer) into pk5's
+    * recursive next-fit fold — provenance: pinned Python → window
+    * prefix sum → recursive CTE. */
+  def sftPipeline(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val merges = graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(docs, "text", numMerges = 24))
+    val words = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val prompt = array_join(slice(words, 1, 5), " ")
+    val rest = array_join(
+      slice(words, lit(6), greatest(size(words) - 5, lit(0))), " ")
+    val response = when(size(words) > 5, concat(lit(" "), rest))
+      .otherwise(lit(""))
+    val rendered = TextAnalysis.renderSftTokens(docs, "doc_id", prompt,
+      response, system = "You are a helpful assistant.",
+      tokenizer = c => graft.functions.GraftFunctions.bpeTokenize(c, merges))
+    Packing.packExamples(rendered, "doc_id", col("n_tokens"),
+        seqLen = 512, shardTokens = 4096L)
+      .orderBy("doc_id")
+  }
+
+  private def sftPipelineOracle =
+    s"""WITH RECURSIVE counts AS (
+      | SELECT doc_id, n_tokens AS n
+      | FROM (${PinnedOracles.t52SftTokenSpans}) pinned),
+      |off AS (
+      | SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) - n AS so
+      | FROM counts WHERE n > 0),
+      |sh AS (
+      | SELECT doc_id, n, so // 4096 AS shard_id,
+      |  row_number() OVER (PARTITION BY so // 4096 ORDER BY doc_id) AS rn
+      | FROM off),
+      |f AS (
+      | SELECT shard_id, rn, doc_id, n,
+      |  CAST(0 AS BIGINT) AS seq,
+      |  CASE WHEN n >= 512 THEN 512 ELSE n END AS used
+      | FROM sh WHERE rn = 1
+      | UNION ALL
+      | SELECT s.shard_id, s.rn, s.doc_id, s.n,
+      |  CASE WHEN s.n > 512 - f.used THEN f.seq + 1 ELSE f.seq END,
+      |  CASE WHEN s.n > 512 - f.used
+      |       THEN (CASE WHEN s.n >= 512 THEN 512 ELSE s.n END)
+      |       ELSE f.used + s.n END
+      | FROM f JOIN sh s ON s.shard_id = f.shard_id AND s.rn = f.rn + 1)
+      |SELECT doc_id, n AS n_tokens, CAST(shard_id AS BIGINT) AS shard_id,
+      | seq AS seq_in_shard, n > 512 AS oversize
+      |FROM f ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation pipeline (ext Curation): quality filter →
     * exact dedup → decontamination → temperature mixing → sharding,
     * over a corpus with PLANTED exact duplicates (every 10th doc
@@ -1643,6 +1698,7 @@ object PipelineQueries {
       Some(packedSequencesOracle)),
     QueryDef("pk5_packed_examples", packedExamples,
       Some(packedExamplesOracle)),
+    QueryDef("p10_sft_pipeline", sftPipeline, Some(sftPipelineOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
