@@ -226,4 +226,27 @@ object Bpe {
   def collectMerges(merges: DataFrame): Seq[(String, String)] =
     merges.orderBy("rank").collect()
       .map((r: Row) => (r.getString(1), r.getString(2))).toSeq
+
+  // --------------------------------------- persisted tokenizer model
+
+  /** Persist a learned merge list at `root` — the tokenizer's
+    * index/serve split (the t44 NB-model / d20 decontam-index / ANN
+    * contract applied to tokenization): train once, tokenize any
+    * number of corpora/streams from the SAVED model, never re-learning.
+    * Merge ORDER is the model (BPE applies merges by rank), so the
+    * rank column is persisted and [[loadModel]] re-sorts by it —
+    * parquet row order is not trusted. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, root: String,
+      merges: Seq[(String, String)]): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "left", "right")
+      .write.mode("errorifexists").parquet(s"$root/merges.parquet")
+  }
+
+  /** Load a persisted merge list, rank order restored. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      root: String): Seq[(String, String)] =
+    collectMerges(spark.read.parquet(s"$root/merges.parquet"))
 }

@@ -408,4 +408,27 @@ object Unigram {
   def collectVocab(vocab: DataFrame): Seq[(String, Long)] =
     vocab.orderBy("piece").collect()
       .map((r: Row) => (r.getString(0), r.getLong(1))).toSeq
+
+  // --------------------------------------- persisted tokenizer model
+
+  /** Persist a learned (piece, n) vocabulary at `root` with its
+    * `maxPieceLen` pinned in a meta sidecar — the tokenizer's
+    * index/serve split (cf. [[Bpe.saveModel]]): serving with a
+    * different maxPieceLen than the vocabulary was trained for
+    * silently changes segmentations, so the serve side reads the
+    * pinned value instead of trusting a caller. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, root: String,
+      vocab: Seq[(String, Long)], maxPieceLen: Int): Unit = {
+    import spark.implicits._
+    Seq(maxPieceLen).toDF("max_piece_len")
+      .write.mode("errorifexists").parquet(s"$root/meta.parquet")
+    vocab.toDF("piece", "n")
+      .write.mode("errorifexists").parquet(s"$root/vocab.parquet")
+  }
+
+  /** Load a persisted vocabulary and its pinned maxPieceLen. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      root: String): (Seq[(String, Long)], Int) =
+    (collectVocab(spark.read.parquet(s"$root/vocab.parquet")),
+      spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
 }

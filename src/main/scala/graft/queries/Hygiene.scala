@@ -1643,6 +1643,43 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** t54: BPE served from a PERSISTED model (Bpe.saveModel/loadModel —
+    * the tokenizer's index/serve split, cf. t44's NB model): train the
+    * t23 merge table, save it, tokenize the corpus from the LOADED
+    * model. Must equal the inline-trained t24 counts exactly — the
+    * persisted round-trip (including merge-rank order) changes
+    * nothing. */
+  def bpeFromModel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_t54_")
+      .resolve("bpe_model").toString
+    graft.ext.Bpe.saveModel(s, root, graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text",
+        numMerges = 24)))
+    graft.ext.Bpe.tokenize(Tables.documents(s, d), "text",
+        graft.ext.Bpe.loadModel(s, root))
+      .select(col("doc_id"),
+        size(col("bpe_tokens")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** t55: unigram-LM tokenizer served from a PERSISTED model
+    * (Unigram.saveModel/loadModel, maxPieceLen pinned in the meta
+    * sidecar): must equal the inline-trained t35 counts exactly. */
+  def unigramFromModel(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_t55_")
+      .resolve("unigram_model").toString
+    graft.ext.Unigram.saveModel(s, root, graft.ext.Unigram.collectVocab(
+      graft.ext.Unigram.train(Tables.documents(s, d), "text",
+        vocabSize = 45, maxPieceLen = 6, seedSize = 800)),
+      maxPieceLen = 6)
+    val (vocab, mpl) = graft.ext.Unigram.loadModel(s, root)
+    graft.ext.Unigram.tokenize(Tables.documents(s, d), "text", vocab,
+        maxPieceLen = mpl)
+      .select(col("doc_id"),
+        size(col("unigram_tokens")).cast("long").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** t36: SOFT-EM unigram training (Unigram.trainSoft — the published
     * SentencePiece objective, full forward-backward expectation) under
     * the board's one explicit TOLERANCE contract: the trained float
@@ -1840,6 +1877,10 @@ object HygieneQueries {
       Some(PinnedOracles.t52SftTokenSpans)),
     QueryDef("t53_dpo_token_spans", dpoTokenSpansGate,
       Some(PinnedOracles.t53DpoTokenSpans)),
+    QueryDef("t54_bpe_from_model", bpeFromModel,
+      Some(PinnedOracles.t24BpeTokenCounts)),
+    QueryDef("t55_unigram_from_model", unigramFromModel,
+      Some(PinnedOracles.t35UnigramTokenCounts)),
     QueryDef("t51_score_blend", scoreBlendGate, Some(scoreBlendOracle)),
     QueryDef("t48_classifier_eval", classifierEvalGate,
       Some(classifierEvalOracle)),
