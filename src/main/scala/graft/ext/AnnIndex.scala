@@ -188,10 +188,23 @@ object AnnIndex {
     * At full probing (nprobe = nlist) with rerank ≥ the cross-label
     * candidate count this equals the brute-force mining answer exactly
     * (the s20/s21 gate contract); at real settings recall follows the
-    * s18/s19 measured ladder. Queries: (qid BIGINT, qvec ARRAY<FLOAT>,
-    * qlab). corpusLabels: (cid BIGINT, clab). Output
-    * (query_id, corpus_id, cosine, rank), rank 1..k. A query that IS a
-    * corpus row never returns itself (its own label matches). */
+    * s18/s19 measured ladder (s22 measures it for mining specifically).
+    *
+    * Scale bounds, stated: (a) the probe expression ships the centroid
+    * table as a plan reference object — right up to nlist ~10⁵
+    * (⌊√N⌋ covers a 10-billion-vector corpus; tens of MB of task
+    * binary); past that a two-level centroid index is the published
+    * path. (b) each probe row carries the query's PQ lookup table
+    * (m·codes doubles) through the bucket join — nprobe× duplication
+    * of ~1 KB/query, the price of computing ADC without re-touching
+    * qvec per candidate. (c) `corpusLabels` joins the encoded table
+    * with an INNER join: unlabeled corpus rows are excluded from
+    * mining by construction.
+    *
+    * Queries: (qid BIGINT, qvec ARRAY<FLOAT>, qlab). corpusLabels:
+    * (cid BIGINT, clab). Output (query_id, corpus_id, cosine, rank),
+    * rank 1..k. A query that IS a corpus row never returns itself (its
+    * own label matches). */
   def mineHardNegatives(spark: SparkSession, root: String,
       queries: DataFrame, corpusLabels: DataFrame,
       k: Int, nprobe: Int, rerank: Int): DataFrame = {

@@ -251,6 +251,50 @@ object StreamingQueries {
     s.table(name).orderBy("doc_id")
   }
 
+  /** st31: SFT RENDER-at-ingest from the PERSISTED tokenizer model —
+    * the post-training data path made continuous: the BPE model is
+    * trained and saved once (t54's Bpe.saveModel), documents ARRIVE as
+    * a stream, and each micro-batch renders its chat templates with
+    * exact TOKEN-unit loss spans (renderSftTokens — a stateless narrow
+    * projection, so batch boundaries cannot change a single span).
+    * The streamed output must hash-match t52's batch render against
+    * the same pinned independent-Python oracle. */
+  def sftRenderStream(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_st31_")
+      .resolve("bpe_model").toString
+    graft.ext.Bpe.saveModel(s, root, graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text",
+        numMerges = 24)))
+    val merges = graft.ext.Bpe.loadModel(s, root)
+    val srcDir = stageTwoHalves(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "graft_st31_src_")
+    val name = "st31_sft_render_out"
+    s.catalog.dropTempView(name)
+    val src = s.readStream
+      .schema(docTextSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val words = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val prompt = array_join(slice(words, 1, 5), " ")
+    val rest = array_join(
+      slice(words, lit(6), greatest(size(words) - 5, lit(0))), " ")
+    val response = when(size(words) > 5, concat(lit(" "), rest))
+      .otherwise(lit(""))
+    val q = graft.ext.TextAnalysis.renderSftTokens(src, "doc_id", prompt,
+        response, system = "You are a helpful assistant.",
+        tokenizer = c =>
+          graft.functions.GraftFunctions.bpeTokenize(c, merges))
+      .select(col("doc_id"), col("loss_start_tok"), col("loss_end_tok"),
+        col("n_tokens"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    require(q.awaitTermination(300000), "st31: render stream timed out")
+    q.stop()
+    s.table(name).orderBy("doc_id")
+  }
+
   /** Sample-tokenize-at-ingest (Unigram.sampleTokenize over a document
     * stream): the subword-regularization epoch on the ingest path. The
     * sampling expression is STATELESS — each word's draw is a pure
@@ -1114,6 +1158,8 @@ object StreamingQueries {
       Some(HygieneQueries.classifierEvalOracle)),
     QueryDef("st30_contamination_report_stream", contaminationReportStream,
       Some(HygieneQueries.contaminationReportOracle)),
+    QueryDef("st31_sft_render_stream", sftRenderStream,
+      Some(PinnedOracles.t52SftTokenSpans)),
     QueryDef("st28_decontam_index_stream", decontamIndexStream,
       Some(HygieneQueries.decontamOracle)),
     QueryDef("st22_kn_stream", knStream,
