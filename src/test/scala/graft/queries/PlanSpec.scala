@@ -582,6 +582,33 @@ class PlanSpec extends AnyFunSuite {
       s"probe step must not scan the centroid table\n$s")
   }
 
+  test("pk4/pk5 packing: only bookkeeping-keyed hash exchanges " +
+      "(__pid / seq grouping / shard_id), map-side partial collect, " +
+      "no broadcast or cartesian anywhere") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = filter(split(col("text"), "\\s+"), t => length(t) > 0)
+    val s4 = planString(graft.ext.Packing.packSequences(
+      docs, "doc_id", toks, seqLen = 256))
+    val s5 = planString(graft.ext.Packing.packExamples(
+      docs, "doc_id", size(toks).cast("long"), seqLen = 512,
+      shardTokens = 4096L))
+    Seq(("pk4", s4), ("pk5", s5)).foreach { case (n, s) =>
+      assert(!s.contains("CartesianProduct") &&
+        !s.contains("BroadcastNestedLoopJoin") &&
+        !s.contains("BroadcastExchange"), s"$n must join nothing\n$s")
+      // every hash exchange is keyed by packing bookkeeping, never by
+      // document/token content
+      s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+        .foreach(l => assert(l.contains("__pid") ||
+          l.contains("_groupingexpression") || l.contains("seq_id") ||
+          l.contains("shard_id"),
+          s"$n: content-keyed hash shuffle found: $l\n$s"))
+      // the per-group collect is partial-aggregated before its exchange
+      assert(s.contains("partial_collect_list"), s"$n\n$s")
+    }
+  }
+
   test("p9 semantic order: exactly one range exchange over the corpus " +
       "(the two-phase rank), embeddings never hash-shuffled") {
     val df = PipelineQueries.incontextOrder(spark, sf)
