@@ -215,8 +215,12 @@ object Packing {
     * Determinism: membership and order are pure functions of
     * (id, tokens), so the layout is reshardable and replayable — the
     * pk5 gate recursive-CTE-replays the next-fit fold per shard.
-    * Sequence ids are (shard_id, seq_in_shard); global renumbering,
-    * when a trainer needs it, is one more |sequences|-sized prefix sum.
+    * Sequence ids are (shard_id, seq_in_shard); [[renumberSequences]]
+    * derives the dense global seq_id when a trainer needs one. The
+    * shard boundary costs at most ONE underfilled sequence per shard
+    * (next-fit restarts there), so the packing-efficiency loss vs a
+    * global sequential pass is bounded by ~seqLen/shardTokens — size
+    * `shardTokens` tens of sequences wide and the waste is percents.
     * An example longer than `seqLen` occupies a sequence alone
     * (`oversize = true`) — the caller truncates or drops. Zero-token
     * examples are dropped (the [[packConcat]] contract).
@@ -246,6 +250,26 @@ object Packing {
         col("shard_id"), col("col.seq").cast("long").as("seq_in_shard"),
         (col("col.n") > seqLen.toLong).as("oversize"))
     packed
+  }
+
+  /** Dense GLOBAL sequence numbering for a [[packExamples]] layout:
+    * adds `seq_id` = the 0-based rank of (shard_id, seq_in_shard) in
+    * lexicographic order — what a data loader indexes by. The rank runs
+    * over the DISTINCT sequence pairs (a |sequences|-sized relation,
+    * ≪ examples) via the two-phase [[groupRank]], then joins back on
+    * the pair — examples of one sequence stay together, nothing
+    * corpus-sized sorts globally. */
+  def renumberSequences(packed: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    val seqs = packed.select(col("shard_id"), col("seq_in_shard"))
+      .distinct()
+      .withColumn("__g", lit(1))
+    val ranked = groupRank(seqs, Seq("__g"),
+        Seq(col("shard_id"), col("seq_in_shard")),
+        checkpointDir = checkpointDir)
+      .select(col("shard_id"), col("seq_in_shard"),
+        (col("gr_rank") - 1L).as("seq_id"))
+    packed.join(ranked, Seq("shard_id", "seq_in_shard"))
   }
 
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and

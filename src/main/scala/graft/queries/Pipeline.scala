@@ -147,6 +147,27 @@ object PipelineQueries {
       | seq AS seq_in_shard, n > 512 AS oversize
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** pk6: dense global sequence ids over the pk5 layout
+    * (Packing.renumberSequences) — the loader-facing numbering: rank of
+    * (shard_id, seq_in_shard) over the distinct sequence pairs via the
+    * two-phase groupRank, joined back. Oracle = the pk5 recursive
+    * replay plus a dense_rank window. */
+  def renumberedExamples(s: SparkSession, d: String): DataFrame =
+    Packing.renumberSequences(
+        Packing.packExamples(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), seqLen = 512,
+          shardTokens = 4096L))
+      .select(col("doc_id"), col("shard_id"), col("seq_in_shard"),
+        col("seq_id"))
+      .orderBy("doc_id")
+
+  private def renumberedExamplesOracle =
+    s"""WITH base AS ($packedExamplesOracle)
+      |SELECT doc_id, shard_id, seq_in_shard,
+      | CAST(dense_rank() OVER (ORDER BY shard_id, seq_in_shard) - 1
+      |   AS BIGINT) AS seq_id
+      |FROM base ORDER BY doc_id""".stripMargin
+
   /** End-to-end curation pipeline (ext Curation): quality filter →
     * exact dedup → decontamination → temperature mixing → sharding,
     * over a corpus with PLANTED exact duplicates (every 10th doc
@@ -1699,6 +1720,8 @@ object PipelineQueries {
     QueryDef("pk5_packed_examples", packedExamples,
       Some(packedExamplesOracle)),
     QueryDef("p10_sft_pipeline", sftPipeline, Some(sftPipelineOracle)),
+    QueryDef("pk6_renumbered_examples", renumberedExamples,
+      Some(renumberedExamplesOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
