@@ -107,7 +107,7 @@ object Decontam {
     // the distinct keeps a gram shared by two sets from double-counting
     (spark.read.parquet(s"$root/grams.parquet").select(col("gram"))
       .distinct(),
-      spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
+      spark.read.parquet(s"$root/meta.parquet").head.getAs[Int]("n"))
 
   // -------------------------------------- persisted PER-SET index
 
@@ -153,7 +153,7 @@ object Decontam {
       s"Decontam.loadSetIndex: index at $root is unlabeled — built by " +
         "saveIndex, not saveSetIndex; the per-set report needs labels")
     (grams.select(col("eval_set"), col("gram")).distinct(),
-      spark.read.parquet(s"$root/meta.parquet").head.getInt(0))
+      spark.read.parquet(s"$root/meta.parquet").head.getAs[Int]("n"))
   }
 
   /** Shared meta pinning for both index layouts: gram length `n` and
@@ -167,11 +167,12 @@ object Decontam {
     val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(hp)) {
       val saved = spark.read.parquet(metaPath).head
-      require(saved.getInt(0) == n,
-        s"Decontam: index at $root was built with n=${saved.getInt(0)}, " +
+      val savedN = saved.getAs[Int]("n")
+      require(savedN == n,
+        s"Decontam: index at $root was built with n=$savedN, " +
           s"append requested n=$n — mixed gram lengths never match")
-      val savedLabeled =
-        saved.schema.fieldNames.contains("labeled") && saved.getBoolean(1)
+      val savedLabeled = saved.schema.fieldNames.contains("labeled") &&
+        saved.getAs[Boolean]("labeled")
       require(savedLabeled == labeled,
         s"Decontam: index at $root is ${if (savedLabeled) "set-labeled"
           else "unlabeled"}; appending the other kind would mix schemas")
