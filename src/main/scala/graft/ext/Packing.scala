@@ -184,8 +184,7 @@ object Packing {
         .select((col("end_offset") - col("n_tokens")).as("__so"),
           posexplode(col("__toks")).as(Seq("__p", "__tok")))
         .select((col("__so") + col("__p")).as("__gpos"), col("__tok"))
-        .groupBy(((col("__gpos") - pmod(col("__gpos"), lit(seqLen.toLong)))
-          / seqLen).cast("long").as("seq_id"))
+        .groupBy(ldiv(col("__gpos"), lit(seqLen.toLong)).as("seq_id"))
         .agg(count(lit(1)).as("n_tokens"),
           transform(array_sort(collect_list(
             struct(col("__gpos"), col("__tok")))), p => p("__tok"))
