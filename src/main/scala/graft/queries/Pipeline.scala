@@ -147,6 +147,32 @@ object PipelineQueries {
       | seq AS seq_in_shard, n > 512 AS oversize
       |FROM f ORDER BY doc_id""".stripMargin
 
+  /** pk7: packed SUBWORD sequences through the PERSISTED tokenizer —
+    * the trainer-final composition (tokenize → pack): the BPE model is
+    * trained on the FULL corpus and saved (t54's contract), then the
+    * doc_id < 50 slice tokenizes from the LOADED model and
+    * Packing.packSequences cuts the subword stream every 256 tokens.
+    * The slice bounds the pinned literal; the model does not shrink
+    * with it. Oracle = independent Python replay of the whole chain
+    * (merge learning → subword tokenization → concat-and-chunk),
+    * pinned. Gate flattens to seq_text per the pk4 array-cell rule. */
+  def packedSubwords(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pk7_")
+      .resolve("bpe_model").toString
+    graft.ext.Bpe.saveModel(s, root, graft.ext.Bpe.collectMerges(
+      graft.ext.Bpe.learnMerges(Tables.documents(s, d), "text",
+        numMerges = 24)))
+    val merges = graft.ext.Bpe.loadModel(s, root)
+    Packing.packSequences(
+        Tables.documents(s, d).where(col("doc_id") < 50),
+        "doc_id",
+        graft.functions.GraftFunctions.bpeTokenize(col("text"), merges),
+        seqLen = 256)
+      .select(col("seq_id"), col("n_tokens"),
+        array_join(col("token_ids"), " ").as("seq_text"))
+      .orderBy("seq_id")
+  }
+
   /** pk6: dense global sequence ids over the pk5 layout
     * (Packing.renumberSequences) — the loader-facing numbering: rank of
     * (shard_id, seq_in_shard) over the distinct sequence pairs via the
@@ -1722,6 +1748,8 @@ object PipelineQueries {
     QueryDef("p10_sft_pipeline", sftPipeline, Some(sftPipelineOracle)),
     QueryDef("pk6_renumbered_examples", renumberedExamples,
       Some(renumberedExamplesOracle)),
+    QueryDef("pk7_packed_subwords", packedSubwords,
+      Some(PinnedOracles.pk7PackedSubwords)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
