@@ -271,6 +271,37 @@ object Packing {
     packed.join(ranked, Seq("shard_id", "seq_in_shard"))
   }
 
+  /** Packing-efficiency report for a [[packExamples]] layout — the
+    * exact-integer one-row summary that quantifies what the next-fit
+    * policy and the shard boundaries cost vs the information-theoretic
+    * floor: realized sequence count vs ceil(total/seqLen), fill rate
+    * of the capacity actually allocated, and the oversize population.
+    * Two aggregates (per-sequence, then totals) — report-sized, never
+    * the corpus. fill_ppm counts an oversize sequence as full (its
+    * overflow is truncated downstream, not stored capacity). */
+  def packingReport(packed: DataFrame, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen=$seqLen")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val perSeq = packed.groupBy(col("shard_id"), col("seq_in_shard"))
+      .agg(count(lit(1)).as("__n_ex"), sum(col("n_tokens")).as("__toks"),
+        max(col("oversize")).as("__over"))
+    perSeq.agg(
+        sum(col("__n_ex")).as("n_examples"),
+        sum(col("__toks")).as("n_tokens_total"),
+        count(lit(1)).as("n_sequences"),
+        sum(when(col("__over"), 1L).otherwise(0L)).as("n_oversize"),
+        sum(least(col("__toks"), lit(seqLen.toLong))).as("__filled"))
+      .select(col("n_examples"), col("n_tokens_total"),
+        col("n_sequences"), col("n_oversize"),
+        idiv(col("n_tokens_total") + (seqLen - 1),
+          lit(seqLen.toLong)).as("min_sequences"),
+        idiv(coalesce(col("__filled"), lit(0L)) * lit(1000000L),
+          greatest(col("n_sequences") * seqLen, lit(1L))).as("fill_ppm"))
+  }
+
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */

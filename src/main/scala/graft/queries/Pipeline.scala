@@ -173,6 +173,37 @@ object PipelineQueries {
       .orderBy("seq_id")
   }
 
+  /** pk8: packing-efficiency report over the pk5 layout
+    * (Packing.packingReport) — realized sequences vs the
+    * ceil(total/seqLen) floor, fill rate of allocated capacity
+    * (oversize counts as full), oversize population; exact integers.
+    * Oracle wraps the pk5 recursive replay in the same two-level
+    * aggregate. */
+  def packingReportGate(s: SparkSession, d: String): DataFrame =
+    Packing.packingReport(
+      Packing.packExamples(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), seqLen = 512,
+        shardTokens = 4096L),
+      seqLen = 512)
+
+  private def packingReportOracle =
+    s"""WITH base AS ($packedExamplesOracle),
+      |per AS (
+      | SELECT shard_id, seq_in_shard,
+      |  CAST(count(*) AS BIGINT) AS n_ex,
+      |  CAST(sum(n_tokens) AS BIGINT) AS toks,
+      |  max(oversize) AS over
+      | FROM base GROUP BY 1, 2)
+      |SELECT CAST(sum(n_ex) AS BIGINT) AS n_examples,
+      | CAST(sum(toks) AS BIGINT) AS n_tokens_total,
+      | CAST(count(*) AS BIGINT) AS n_sequences,
+      | CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_oversize,
+      | CAST((sum(toks) + 511) // 512 AS BIGINT) AS min_sequences,
+      | CAST(sum(least(toks, 512)) * 1000000
+      |   // greatest(count(*) * 512, 1) AS BIGINT) AS fill_ppm
+      |FROM per""".stripMargin
+
   /** pk6: dense global sequence ids over the pk5 layout
     * (Packing.renumberSequences) — the loader-facing numbering: rank of
     * (shard_id, seq_in_shard) over the distinct sequence pairs via the
@@ -1750,6 +1781,8 @@ object PipelineQueries {
       Some(renumberedExamplesOracle)),
     QueryDef("pk7_packed_subwords", packedSubwords,
       Some(PinnedOracles.pk7PackedSubwords)),
+    QueryDef("pk8_packing_report", packingReportGate,
+      Some(packingReportOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,
