@@ -198,8 +198,18 @@ object AnnIndex {
     * (m·codes doubles) through the bucket join — nprobe× duplication
     * of ~1 KB/query, the price of computing ADC without re-touching
     * qvec per candidate. (c) `corpusLabels` joins the encoded table
-    * with an INNER join: unlabeled corpus rows are excluded from
-    * mining by construction.
+    * with an INNER join: corpus rows ABSENT from `corpusLabels` are
+    * excluded from mining by construction.
+    *
+    * NULL-label semantics (pinned, same as
+    * [[Similarity.hardNegatives]]): the cross-label test is SQL `<>`,
+    * which yields NULL — i.e. filters the pair out — when EITHER side
+    * is NULL. A query with a NULL `qlab` therefore returns no
+    * negatives at all, and a corpus row with a NULL `clab` is never
+    * mined. "Unlabeled means unusable" is the conservative reading for
+    * contrastive training (an unlabeled row might be a positive); a
+    * caller that wants NULL-labeled corpus rows to count as
+    * cross-label must materialize a sentinel label first.
     *
     * Queries: (qid BIGINT, qvec ARRAY<FLOAT>, qlab). corpusLabels:
     * (cid BIGINT, clab). Output (query_id, corpus_id, cosine, rank),

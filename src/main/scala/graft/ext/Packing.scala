@@ -31,12 +31,53 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** WEAK handles to the phase-1 frames [[materializeOnce]] pinned via
-    * localCheckpoint, for [[releaseLocalCheckpoints]]. Weak so the
-    * registry never blocks the GC-based cleanup that already exists. */
-  private val pinnedRdds =
-    new scala.collection.mutable.ArrayBuffer[
-      java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
+  /** A scope of pinned phase-1 localCheckpoint handles. Each two-phase
+    * operator registers the frames it pins into the CURRENT scope
+    * ([[scopedCheckpoints]] installs a fresh one per block; outside any
+    * block the process-global default applies), so concurrent pipelines
+    * release their own rounds independently — one caller's release can
+    * no longer unpersist another's still-lazy phase-1 blocks (a
+    * released localCheckpoint cannot be recomputed). Handles are WEAK
+    * so the registry never blocks the GC-based cleanup that already
+    * exists. */
+  final class CheckpointScope private[Packing] () {
+    private val pinned =
+      new scala.collection.mutable.ArrayBuffer[
+        java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]
+    private[Packing] def register(r: org.apache.spark.rdd.RDD[_]): Unit =
+      synchronized { pinned += new java.lang.ref.WeakReference(r) }
+    /** Unpersist every still-live handle registered in THIS scope and
+      * clear it. Call AFTER all frames built inside the scope are fully
+      * materialized. Returns the number of RDDs released. */
+    def release(): Int = synchronized {
+      val live = pinned.flatMap(w => Option(w.get()))
+      live.foreach(_.unpersist(blocking = false))
+      pinned.clear()
+      live.size
+    }
+    private[Packing] def size: Int = synchronized {
+      pinned.count(_.get() != null)
+    }
+  }
+
+  private val globalScope = new CheckpointScope
+  /** Thread-inheritable current scope — Spark actions execute on the
+    * calling thread, so per-thread scoping is exactly per-pipeline. */
+  private val currentScope =
+    new scala.util.DynamicVariable[CheckpointScope](globalScope)
+
+  /** Run `body` with a FRESH checkpoint scope: every two-phase operator
+    * called inside registers its pinned phase-1 frames into the scope
+    * passed to `body`, not the global registry. The caller materializes
+    * its results, then calls `scope.release()` — concurrent pipelines
+    * (threads, sessions) no longer interfere through the global
+    * [[releaseLocalCheckpoints]]. The scope is NOT auto-released on
+    * exit: a frame returned from the block lazily must stay readable
+    * until the caller has materialized it. */
+  def scopedCheckpoints[T](body: CheckpointScope => T): T = {
+    val s = new CheckpointScope
+    currentScope.withValue(s)(body(s))
+  }
 
   /** Materialize a phase-1 frame exactly once — the correctness
     * requirement of every two-phase operator here (the range sampler is
@@ -58,50 +99,72 @@ object Packing {
     case None =>
       val out = df.localCheckpoint()
       org.apache.spark.sql.graftbridge.DatasetBridge.backingRdd(out)
-        .foreach { r =>
-          pinnedRdds.synchronized {
-            pinnedRdds += new java.lang.ref.WeakReference(r)
-          }
-        }
+        .foreach(currentScope.value.register)
       out
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.exists(_.startsWith(dir)))
-        sc.setCheckpointDir(dir)
+      // Component-wise prefix test: the context's checkpoint dir is a
+      // UUID SUBDIRECTORY of whatever setCheckpointDir received, so the
+      // guard accepts dir itself or any path UNDER it — but not a
+      // sibling that merely shares a string prefix (/a/bc must not
+      // satisfy a request for /a/b, or the files land in the other
+      // scope's tree and the wrong cleanup claims them).
+      val want = dir.stripSuffix("/")
+      val alreadyUnder = sc.getCheckpointDir.exists { cur =>
+        val c = cur.stripSuffix("/")
+        c == want || c.startsWith(want + "/")
+      }
+      if (!alreadyUnder) sc.setCheckpointDir(dir)
       df.checkpoint()
   }
 
-  /** Explicitly unpersist every phase-1 localCheckpoint this object has
-    * created (and that the GC has not already collected). Call AFTER
-    * all returned frames are fully materialized — a released
-    * checkpoint cannot be re-read, so a still-lazy groupRank/packConcat
-    * result would fail downstream. Returns the number of RDDs
-    * released. This is the explicit form of the storage-pinning
-    * caveat: a session looping over many rank/pack calls frees each
-    * round's blocks deterministically instead of waiting for the
-    * driver GC. */
-  def releaseLocalCheckpoints(): Int = pinnedRdds.synchronized {
-    val live = pinnedRdds.flatMap(w => Option(w.get()))
-    live.foreach(_.unpersist(blocking = false))
-    pinnedRdds.clear()
-    live.size
-  }
+  /** Explicitly unpersist every phase-1 localCheckpoint registered in
+    * the GLOBAL scope (created outside any [[scopedCheckpoints]] block)
+    * that the GC has not already collected. Call AFTER all returned
+    * frames are fully materialized — a released checkpoint cannot be
+    * re-read, so a still-lazy groupRank/packConcat result would fail
+    * downstream. Returns the number of RDDs released. This is the
+    * explicit form of the storage-pinning caveat: a session looping
+    * over many rank/pack calls frees each round's blocks
+    * deterministically instead of waiting for the driver GC.
+    * Frames pinned inside a [[scopedCheckpoints]] block are NOT touched
+    * — concurrent pipelines release through their own scope handle. */
+  def releaseLocalCheckpoints(): Int = globalScope.release()
 
-  /** Scope a RELIABLE checkpoint directory: sets the Spark context's
-    * checkpoint dir to `dir`, runs `body` (pass `Some(dir)` as the
+  /** Scope a RELIABLE checkpoint directory: creates a UNIQUE
+    * subdirectory under `dir`, points the Spark context's checkpoint
+    * dir at it, runs `body` (pass the provided `Some(scopeDir)` as the
     * operators' `checkpointDir` and MATERIALIZE every result inside —
     * the files are deleted on exit, so a frame escaping the scope
-    * lazily cannot be executed anymore), then removes `dir`
-    * recursively. */
+    * lazily cannot be executed anymore), then removes ONLY that
+    * subdirectory — a caller passing a pre-existing directory keeps
+    * its other contents — and restores the context's prior checkpoint
+    * dir (cleared if there was none). Restoration goes through the
+    * public setCheckpointDir, which nests one fresh UUID level under
+    * the prior path — later checkpoint() calls still land under the
+    * original root, where the original scope's cleanup governs them. */
   def withReliableCheckpoints[T](
       spark: org.apache.spark.sql.SparkSession, dir: String)(
       body: Option[String] => T): T = {
-    spark.sparkContext.setCheckpointDir(dir)
-    try body(Some(dir))
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    val scopeDir = dir.stripSuffix("/") + "/graft-ckpt-" +
+      java.util.UUID.randomUUID().toString
+    sc.setCheckpointDir(scopeDir)
+    try body(Some(scopeDir))
     finally {
-      val p = new org.apache.hadoop.fs.Path(dir)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val p = new org.apache.hadoop.fs.Path(scopeDir)
+      val fs = p.getFileSystem(sc.hadoopConfiguration)
       fs.delete(p, true)
+      prior match {
+        case Some(d) => sc.setCheckpointDir(d)
+        // Clearing to None goes through setCheckpointDir(null); its
+        // cluster-mode local-path warning can't handle a null, so only
+        // clear in local mode — on a cluster with no prior dir the
+        // scope dir stays set but deleted, same as the pre-fix
+        // behavior, and the next scope re-points it anyway.
+        case None => if (sc.isLocal) sc.setCheckpointDir(null)
+      }
       ()
     }
   }

@@ -90,6 +90,13 @@ object Similarity {
     * (rank by similarity among cross-label rows), gated equal to this
     * operator at full probing (s20/s21).
     *
+    * NULL-label semantics (pinned, same as
+    * [[AnnIndex.mineHardNegatives]]): the cross-label test is SQL `<>`
+    * — NULL on either side filters the pair out, so a NULL-`qlab`
+    * query mines nothing and a NULL-`clab` corpus row is never mined.
+    * Conservative by design (an unlabeled row might be a positive);
+    * map NULLs to a sentinel label first to opt them in.
+    *
     * queries: (qid BIGINT, qvec ARRAY<FLOAT>, qlab) — broadcast-small.
     * corpus:  (cid BIGINT, cvec ARRAY<FLOAT>, clab).
     * Output: (query_id, corpus_id, cosine, rank) with rank 1..k. */

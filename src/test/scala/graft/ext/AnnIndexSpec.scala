@@ -87,6 +87,38 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-negative mining NULL-label semantics (pinned, both " +
+      "shapes): NULL qlab mines nothing, NULL clab is never mined") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annnull_")
+      .resolve("idx").toString
+    val corpus = (0L until 60L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 4, root = root,
+      m = 4, codes = 8)
+    // corpus rows 0..39 labeled, 40..59 NULL-labeled
+    val labels = (0L until 60L)
+      .map(i => (i, if (i < 40) s"lab${i % 3}" else null))
+      .toDF("cid", "clab")
+    // query 0 labeled, query 1 NULL-labeled
+    val queries = Seq((1000L, vec(7), "lab0"), (1001L, vec(8), null))
+      .toDF("qid", "qvec", "qlab")
+    val mined = AnnIndex.mineHardNegatives(spark, root, queries, labels,
+      k = 50, nprobe = 4, rerank = 60).collect()
+    assert(!mined.exists(_.getAs[Long]("query_id") == 1001L),
+      "a NULL-qlab query must mine nothing")
+    assert(mined.forall(_.getAs[Long]("corpus_id") < 40L),
+      "NULL-clab corpus rows must never be mined")
+    assert(mined.nonEmpty)
+    // broadcast brute-force shape agrees
+    val full = corpus.join(labels, Seq("cid"))
+    val brute = Similarity.hardNegatives(full, queries, k = 50).collect()
+    assert(!brute.exists(_.getAs[Long]("query_id") == 1001L))
+    assert(brute.forall(_.getAs[Long]("corpus_id") < 40L))
+    assert(brute.map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"))).toSet ===
+      mined.map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Long]("corpus_id"))).toSet)
+  }
+
   test("ivfPqTopK recall@k: degrades gracefully with nprobe, " +
       "monotone non-decreasing toward exact") {
     val corpus = (0L until 500L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")

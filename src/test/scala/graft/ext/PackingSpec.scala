@@ -200,15 +200,26 @@ class PackingSpec extends AnyFunSuite {
       .resolve("ck").toString
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // the caller's dir PRE-EXISTS with unrelated content: the scope
+    // must not claim it (the r11 advice finding — a recursive delete
+    // of the whole dir destroyed pre-existing caller data)
+    fs.mkdirs(p)
+    val sentinel = new org.apache.hadoop.fs.Path(dir, "caller_data.txt")
+    fs.create(sentinel, true).close()
+    val priorCk = spark.sparkContext.getCheckpointDir
     val got = Packing.withReliableCheckpoints(spark, dir) { ck =>
+      // the scope dir handed to operators is a UNIQUE subdir of dir
+      assert(ck.exists(_.startsWith(dir.stripSuffix("/") + "/")),
+        s"scope dir $ck must be a subdirectory of $dir")
       val rank = Packing.groupRank(rankFrame, Seq("lang"),
           Seq(col("score").desc, col("id")), numPartitions = 4,
           checkpointDir = ck)
         .select("id", "lang", "score", "gr_rank", "gr_n")
         .orderBy("id").collect().map(_.toSeq).toSeq
       // the reliable checkpoint wrote real files under the scope dir
-      assert(fs.exists(p) &&
-        fs.listStatus(p).nonEmpty, "expected checkpoint files under dir")
+      val sp = new org.apache.hadoop.fs.Path(ck.get)
+      assert(fs.exists(sp) &&
+        fs.listStatus(sp).nonEmpty, "expected checkpoint files under dir")
       // packConcat through the same knob, same values as the default
       val pc = Packing.packConcat(rankFrame, "id", col("score") + 1,
           seqLen = 5, checkpointDir = ck)
@@ -220,14 +231,79 @@ class PackingSpec extends AnyFunSuite {
       rank
     }
     assert(got === want)
-    // scope exit removed every checkpoint file
-    assert(!fs.exists(p), "withReliableCheckpoints must clean the dir")
+    // scope exit removed the scope's own subdirectory — and ONLY it:
+    // the caller's pre-existing file survives, no graft-ckpt leftover
+    assert(fs.exists(sentinel),
+      "withReliableCheckpoints must not delete pre-existing caller data")
+    assert(!fs.listStatus(p).exists(
+        _.getPath.getName.startsWith("graft-ckpt-")),
+      "withReliableCheckpoints must remove its scope subdirectory")
+    // the prior checkpoint dir is restored (component-wise: the public
+    // setter nests one UUID level under the restored root)
+    (priorCk, spark.sparkContext.getCheckpointDir) match {
+      case (None, after) => assert(after.isEmpty,
+        s"expected checkpoint dir cleared, got $after")
+      case (Some(before), after) =>
+        val root = before.stripSuffix("/")
+        assert(after.exists(a => a == root ||
+            a.startsWith(root + "/")),
+          s"expected checkpoint dir under $before, got $after")
+    }
     // the local path pinned blocks; explicit release frees them all
     val persisted0 = spark.sparkContext.getPersistentRDDs.size
     assert(persisted0 > 0, "local-path checkpoints should be pinned")
     val released = Packing.releaseLocalCheckpoints()
     assert(released > 0)
     assert(spark.sparkContext.getPersistentRDDs.size < persisted0)
+  }
+
+  test("scopedCheckpoints: a scope's pinned frames are invisible to the " +
+      "global releaseLocalCheckpoints and freed only by its own " +
+      "release (r11 advice: concurrent pipelines must not interfere)") {
+    Packing.releaseLocalCheckpoints() // drain any global leftovers
+    val (ranked, scope) = Packing.scopedCheckpoints { s =>
+      val r = Packing.groupRank(rankFrame, Seq("lang"),
+        Seq(col("score").desc, col("id")), numPartitions = 4)
+      (r, s)
+    }
+    // another pipeline's global release must NOT kill this scope's
+    // phase-1 blocks while `ranked` is still lazy...
+    assert(Packing.releaseLocalCheckpoints() === 0,
+      "global release must not see scope-pinned frames")
+    // ...so the scoped frame still executes correctly afterwards
+    val got = ranked.select("id", "lang", "score", "gr_rank", "gr_n")
+      .orderBy("id").collect().map(_.toSeq).toSeq
+    assert(got === windowRanks(rankFrame))
+    // the scope's own release frees its blocks
+    assert(scope.release() > 0)
+    assert(scope.release() === 0, "release is idempotent")
+  }
+
+  test("materializeOnce reliable-path guard: a sibling dir sharing a " +
+      "string prefix does not satisfy the request (r11 advice)") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ckpfx_").toString.stripSuffix("/")
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(s"$base/ab_sibling")
+      // request dir=$base/ab — /ab_sibling/<uuid> startsWith "$base/ab"
+      // as a STRING, but is not under it as a PATH; the files must
+      // land under $base/ab
+      Packing.packConcat(rankFrame, "id", col("score") + 1, seqLen = 5,
+          checkpointDir = Some(s"$base/ab"))
+        .count()
+      val want = new org.apache.hadoop.fs.Path(s"$base/ab")
+      val fs = want.getFileSystem(sc.hadoopConfiguration)
+      assert(fs.exists(want) && fs.listStatus(want).nonEmpty,
+        "checkpoint files must land under the requested dir, not the " +
+          "string-prefix sibling")
+    } finally {
+      prior match {
+        case Some(d) => sc.setCheckpointDir(d)
+        case None => sc.setCheckpointDir(null)
+      }
+    }
   }
 
   test("groupRank: high-cardinality fallback path is value-identical") {
