@@ -365,6 +365,98 @@ object Packing {
           greatest(col("n_sequences") * seqLen, lit(1L))).as("fill_ppm"))
   }
 
+  /** Length-aware PADDED batch packing — the inference/eval serving
+    * layout (dynamic batching): rows pad to their batch's longest
+    * member, so a batch of n rows with max length L allocates n·L
+    * tokens whatever the real lengths are. Packing similar lengths
+    * together is what keeps that rectangle tight, so:
+    *
+    *  1. rows rank globally by (n_tokens DESC, id) — the published
+    *     sort-by-length recipe — via the two-phase [[groupRank]]
+    *     (distributed; no single-task sort);
+    *  2. contiguous `shardRows`-row rank windows form shards (pure
+    *     arithmetic on the rank — no second shuffle);
+    *  3. WITHIN each shard, rows fold greedily in rank order into
+    *     batches capped at `maxTokens` PADDED tokens and `maxRows`
+    *     rows ([[graft.functions.PaddedNextFitIdx]] — one codegen'd
+    *     in-row pass over the shard's bounded list, the
+    *     [[packExamples]] next-fit contract with the padded-cost
+    *     capacity test).
+    *
+    * Determinism: membership and order are pure functions of
+    * (id, tokens) — reshardable, replayable (the pk9 gate
+    * recursive-CTE-replays the fold per shard). The shard boundary
+    * costs at most one underfilled batch per shard. A row longer than
+    * `maxTokens` sits in a batch alone with `oversize = true` (the
+    * caller truncates or drops). Zero-token rows are dropped (the
+    * [[packConcat]] contract).
+    *
+    * Output: (id, n_tokens, shard_id, batch_in_shard, oversize). */
+  def packBatches(df: DataFrame, id: String, tokenCount: Column,
+      maxTokens: Long, maxRows: Int, shardRows: Long = 4096L,
+      numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    require(maxTokens > 0, s"packBatches: maxTokens=$maxTokens")
+    require(maxRows > 0, s"packBatches: maxRows=$maxRows")
+    require(shardRows >= maxRows,
+      s"packBatches: shardRows=$shardRows < maxRows=$maxRows — a shard " +
+        "must hold at least one full batch")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val counted = df
+      .select(col(id), tokenCount.cast("long").as("n_tokens"))
+      .where(col("n_tokens") > 0)
+      .withColumn("__g", lit(1))
+    val ranked = groupRank(counted, Seq("__g"),
+        Seq(col("n_tokens").desc, col(id)),
+        numPartitions = numPartitions, checkpointDir = checkpointDir)
+      .select(col(id), col("n_tokens"), (col("gr_rank") - 1L).as("__r"))
+    val sharded = ranked
+      .withColumn("shard_id", idiv(col("__r"), lit(shardRows)))
+    sharded.groupBy(col("shard_id"))
+      .agg(sort_array(collect_list(
+        struct(col("__r"), col(id), col("n_tokens")))).as("__bs"))
+      .select(col("shard_id"),
+        posexplode(zip_with(
+          col("__bs"),
+          graft.functions.GraftFunctions.paddedNextFitIdx(
+            transform(col("__bs"), e => e("n_tokens")), maxTokens, maxRows),
+          (e, b) => struct(e(id).as("id"), e("n_tokens").as("n"),
+            b.as("b")))))
+      .select(col("col.id").as(id), col("col.n").as("n_tokens"),
+        col("shard_id"), col("col.b").cast("long").as("batch_in_shard"),
+        (col("col.n") > maxTokens).as("oversize"))
+  }
+
+  /** Padding-efficiency report for a [[packBatches]] layout — the
+    * exact-integer one-row summary of what dynamic batching saves:
+    * padded tokens actually allocated (Σ per-batch rows·max_len) vs
+    * the real token mass, the waste in ppm of the allocation, batch
+    * and oversize counts. Two aggregates (per-batch, then totals) —
+    * report-sized, never the corpus. */
+  def batchReport(packed: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val perBatch = packed.groupBy(col("shard_id"), col("batch_in_shard"))
+      .agg(count(lit(1)).as("__n"), max(col("n_tokens")).as("__mx"),
+        sum(col("n_tokens")).as("__real"),
+        max(col("oversize")).as("__over"))
+    perBatch.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_batches"),
+        sum(when(col("__over"), 1L).otherwise(0L)).as("n_oversize"),
+        sum(col("__real")).as("real_tokens"),
+        sum(col("__n") * col("__mx")).as("padded_tokens"))
+      .select(col("n_rows"), col("n_batches"), col("n_oversize"),
+        col("real_tokens"), col("padded_tokens"),
+        idiv((col("padded_tokens") - col("real_tokens")) * 1000000L,
+          greatest(col("padded_tokens"), lit(1L))).as("padding_ppm"))
+  }
+
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */

@@ -768,4 +768,121 @@ object Similarity {
         coalesce(col("n_hit"), lit(0L)).as("n_hit"),
         expr("coalesce(n_hit, 0L) * 1000000L div k").as("recall_ppm"))
   }
+
+  /** Full retrieval-quality evaluation — the standard IR metric trio
+    * (recall@k, precision@k, MRR, MAP) per query, each in EXACT integer
+    * parts-per-million so the report itself hash-gates with no float
+    * tolerance (every division is an integer ppm floor; MAP's
+    * per-position precision terms floor individually before averaging,
+    * documented as the ppm-floor variant of Buckley's AP):
+    *
+    *  - recall_ppm    = n_hit · 1e6 div n_rel
+    *  - precision_ppm = n_hit · 1e6 div kEval
+    *  - rr_ppm        = 1e6 div (rank of first relevant), 0 if none
+    *  - ap_ppm        = (Σ_j j · 1e6 div r_j) div n_rel over the sorted
+    *                    relevant ranks r_1 < … < r_(n_hit), j = 1-based
+    *
+    * `results` carries (query_id, corpus_id, rank); rows past `kEval`
+    * are ignored (evaluate @k). `qrels` carries the relevant
+    * (query_id, corpus_id) pairs and defines the query universe — a
+    * query the retriever missed entirely still reports, all-zero.
+    * nDCG is deliberately absent: its log2 discount is not
+    * exactly replayable across engines; the rank-reciprocal family
+    * above covers the tuning signal with exact arithmetic.
+    *
+    * Scale shape: both inputs are RESULT/JUDGMENT lists (Q·k rows),
+    * never corpora — the semi-join, the per-query sorted-rank list
+    * (≤ kEval elements), and the Q-row aggregates are bounded by the
+    * component top-ks no matter the corpus behind them. */
+  def evalRetrieval(results: DataFrame, qrels: DataFrame,
+      kEval: Int): DataFrame = {
+    require(kEval > 0, s"evalRetrieval: kEval=$kEval")
+    val res = results.where(col("rank") <= kEval)
+      .select(col("query_id"), col("corpus_id"), col("rank"))
+    val rel = qrels.select(col("query_id"), col("corpus_id"))
+    val perHit = res
+      .join(rel, Seq("query_id", "corpus_id"), "left_semi")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_hit"),
+        min(col("rank")).as("__first"),
+        sort_array(collect_list(col("rank"))).as("__hr"))
+    rel.groupBy(col("query_id")).agg(count(lit(1)).as("n_rel"))
+      .join(perHit, Seq("query_id"), "left_outer")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div n_rel").as("recall_ppm"),
+        expr(s"coalesce(n_hit, 0L) * 1000000L div ${kEval}L")
+          .as("precision_ppm"),
+        expr("coalesce(1000000L div __first, 0L)").as("rr_ppm"),
+        expr("""coalesce(aggregate(transform(__hr,
+            (r, i) -> (CAST(i AS BIGINT) + 1L) * 1000000L div r),
+          0L, (a, x) -> a + x) div n_rel, 0L)""").as("ap_ppm"))
+  }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019,
+    * "Margin-based Parallel Corpus Mining with Multilingual Sentence
+    * Embeddings" — the bitext-mining recipe behind CCMatrix/LASER):
+    * a raw cosine threshold cannot separate translations from merely
+    * related sentences because embedding-space density varies by
+    * region, so each candidate pair's cosine is NORMALIZED by its two
+    * endpoints' neighborhoods — the RATIO margin
+    *
+    *   margin(x, y) = cos(x, y) / ((avgNNk(x) + avgNNk(y)) / 2)
+    *
+    * where avgNNk(v) is the mean cosine of v's k nearest neighbors on
+    * the OTHER side. Candidates are each source's forward top-1 target
+    * (`mutual = true` additionally requires the pair to be the
+    * target's backward top-1 — the paper's intersection strategy);
+    * pairs at margin ≥ `minMargin` are emitted.
+    *
+    * Determinism (hash-gate contract): the k neighbor cosines sum in
+    * DECIMAL(38,18) — exact and order-free, so the margin's
+    * denominator never depends on aggregation order; the final
+    * margin = cosine · 2k / (sums as double) is one double product and
+    * one double division of bit-identical inputs on both engines.
+    *
+    * Scale shape: both directions run the capacity-k top-k aggregate
+    * over ONE pass of the other side (the [[bruteForceTopK]] contract
+    * — the smaller side broadcast); at corpus×corpus scale swap each
+    * direction for the persisted-index serve
+    * ([[AnnIndex.mineHardNegatives]]'s distributed-query shape) — the
+    * margin fold downstream is unchanged, it only consumes (query_id,
+    * corpus_id, cosine, rank) lists.
+    *
+    * src: (sid BIGINT, svec ARRAY<FLOAT>); tgt: (tid, tvec).
+    * Output: (src_id, tgt_id, cosine, margin) for kept pairs. */
+  def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
+      minMargin: Double, mutual: Boolean = false): DataFrame = {
+    require(k > 0, s"marginMine: k=$k")
+    val fwd = bruteForceTopK(
+      tgt.select(col("tid").as("cid"), col("tvec").as("cvec")),
+      src.select(col("sid").as("qid"), col("svec").as("qvec")),
+      k, excludeSelf = false)
+    val bwd = bruteForceTopK(
+      src.select(col("sid").as("cid"), col("svec").as("cvec")),
+      tgt.select(col("tid").as("qid"), col("tvec").as("qvec")),
+      k, excludeSelf = false)
+    val dec = DecimalType(38, 18)
+    val srcSum = fwd.groupBy(col("query_id").as("sid"))
+      .agg(sum(col("cosine").cast(dec)).as("__ssum"))
+    val tgtSum = bwd.groupBy(col("query_id").as("tid"))
+      .agg(sum(col("cosine").cast(dec)).as("__tsum"))
+    val best = fwd.where(col("rank") === 1)
+      .select(col("query_id").as("sid"), col("corpus_id").as("tid"),
+        col("cosine"))
+    val candidates =
+      if (!mutual) best
+      else best.join(
+        bwd.where(col("rank") === 1)
+          .select(col("query_id").as("tid"), col("corpus_id").as("sid")),
+        Seq("sid", "tid"), "left_semi")
+    candidates
+      .join(srcSum, Seq("sid"))
+      .join(tgtSum, Seq("tid"))
+      .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
+        col("cosine"),
+        (col("cosine") * lit(2.0 * k) /
+          (col("__ssum") + col("__tsum")).cast("double")).as("margin"))
+      .where(col("margin") >= minMargin)
+  }
 }

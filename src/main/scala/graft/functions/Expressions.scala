@@ -3098,6 +3098,78 @@ object NextFitSeqIdx {
   }
 }
 
+/** PADDED next-fit batch assignment over an ordered array of sequence
+  * lengths: out[i] = the 0-based batch index of row i when rows are
+  * grouped greedily in array order into inference/training batches
+  * whose COST is the PADDED token count — every row in a batch pads to
+  * the batch's longest row, so a batch of n rows with max length L
+  * costs n·L tokens, the rectangle an accelerator actually allocates.
+  * A new batch opens when adding the next row would push the padded
+  * cost over `maxTokens` or the row count over `maxRows`. Callers sort
+  * DESC by length first (the published dynamic-batching recipe —
+  * similar lengths batch together and the max is the head row), but
+  * the fold tracks the running max so the semantics hold for any
+  * order. A single row longer than `maxTokens` sits in a batch alone
+  * (callers truncate or drop — the [[NextFitSeqIdx]] oversize
+  * contract). Null lengths take a batch alone (defensive; callers
+  * filter). Like next-fit, the fold is inherently sequential (each
+  * boundary depends on the running count AND max — not a prefix sum),
+  * so it runs as ONE in-row pass over a bounded per-shard array. */
+case class PaddedNextFitIdx(child: Expression, maxTokens: Long, maxRows: Int)
+    extends UnaryExpression {
+  require(maxTokens > 0, s"padded_next_fit_idx: maxTokens=$maxTokens")
+  require(maxRows > 0, s"padded_next_fit_idx: maxRows=$maxRows")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"padded_next_fit_idx expects ARRAY<BIGINT>, got ${t.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    PaddedNextFitIdx.assign(input.asInstanceOf[ArrayData], maxTokens, maxRows)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.PaddedNextFitIdx.assign($c, " +
+        s"${maxTokens}L, $maxRows);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PaddedNextFitIdx {
+  /** Static entry point shared by eval and generated code. */
+  def assign(lens: ArrayData, maxTokens: Long, maxRows: Int): ArrayData = {
+    val n = lens.numElements()
+    val out = new Array[Int](n)
+    var batch = -1
+    var rows = 0
+    var maxLen = 0L
+    var i = 0
+    while (i < n) {
+      val c = if (lens.isNullAt(i)) Long.MaxValue else lens.getLong(i)
+      val newMax = math.max(maxLen, math.max(c, 0L))
+      // padded cost if this row joins: (rows+1) * newMax — compared by
+      // division to avoid Long overflow when a null sentinel rides in
+      val fits = batch >= 0 && rows < maxRows &&
+        newMax <= maxTokens / (rows + 1)
+      if (!fits) { batch += 1; rows = 0; maxLen = 0L }
+      out(i) = batch
+      rows += 1
+      maxLen = math.max(maxLen, math.max(c, 0L))
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+}
+
 /** Column-level entry points + SQL registration. */
 object GraftFunctions {
   import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression => expr}
@@ -3124,6 +3196,8 @@ object GraftFunctions {
   def prefixCountsTrue(c: Column): Column = column(PrefixCountsTrue(expr(c)))
   def nextFitSeqIdx(c: Column, seqLen: Long): Column =
     column(NextFitSeqIdx(expr(c), seqLen))
+  def paddedNextFitIdx(c: Column, maxTokens: Long, maxRows: Int): Column =
+    column(PaddedNextFitIdx(expr(c), maxTokens, maxRows))
   def unicodeNormalize(c: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expr(c), form))
   def bpeMergePair(c: Column, left: String, right: String): Column =

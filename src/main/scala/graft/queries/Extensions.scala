@@ -648,6 +648,128 @@ object ExtensionQueries {
       | CAST(coalesce(hit.n_hit, 0) * 1000000 // kk.k AS BIGINT) AS recall_ppm
       |FROM kk LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** s24: FULL retrieval-quality evaluation (Similarity.evalRetrieval)
+    * — recall/precision/MRR/MAP@10 of the genuinely-approximate IVF
+    * tier (nlist 20, nprobe 5 — the s2/s16 serve settings) against
+    * exact brute-force top-3 judgments. Every metric is an exact
+    * integer ppm derived from RANKS (the ordering-stability contract
+    * s1 pins), so the whole evaluation report hash-matches an oracle
+    * that re-derives the IVF probe, the exact judgments, and the
+    * metric folds end to end — the s16 recall gate widened to the
+    * standard IR panel. */
+  def retrievalEval(s: SparkSession, d: String): DataFrame =
+    Similarity.evalRetrieval(
+        Similarity.ivfTopK(corpus(s, d), queriesDf(s, d), k = 10,
+          nlist = 20, nprobe = 5),
+        Similarity.bruteForceTopK(corpus(s, d), queriesDf(s, d), k = 3),
+        kEval = 10)
+      .orderBy("query_id")
+
+  private val retrievalEvalOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id FROM (
+      |  SELECT c.cid, c.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 5),
+      |ivf AS (
+      | SELECT qid AS query_id, cid AS corpus_id, rank FROM (
+      |  SELECT qid, cid, row_number() OVER (
+      |    PARTITION BY qid
+      |    ORDER BY list_cosine_similarity(qv, v) DESC, cid) AS rank
+      |  FROM probes JOIN assigned USING (centroid_id)
+      |  WHERE cid <> qid) t
+      | WHERE rank <= 10),
+      |brute AS (
+      | SELECT query_id, corpus_id FROM (
+      |  SELECT q.qid AS query_id, c.cid AS corpus_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) AS rank
+      |  FROM q JOIN c ON c.cid <> q.qid) t
+      | WHERE rank <= 3),
+      |hs AS (
+      | SELECT i.query_id, i.rank, row_number() OVER (
+      |   PARTITION BY i.query_id ORDER BY i.rank) AS j
+      | FROM ivf i JOIN brute b
+      |  ON b.query_id = i.query_id AND b.corpus_id = i.corpus_id),
+      |agg AS (
+      | SELECT query_id, count(*) AS n_hit, min(rank) AS first_rank,
+      |  sum(j * 1000000 // rank) AS ap_num
+      | FROM hs GROUP BY 1),
+      |nr AS (SELECT query_id, count(*) AS n_rel FROM brute GROUP BY 1)
+      |SELECT nr.query_id, CAST(nr.n_rel AS BIGINT) AS n_rel,
+      | CAST(coalesce(a.n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(coalesce(a.n_hit, 0) * 1000000 // nr.n_rel AS BIGINT)
+      |   AS recall_ppm,
+      | CAST(coalesce(a.n_hit, 0) * 1000000 // 10 AS BIGINT)
+      |   AS precision_ppm,
+      | CAST(coalesce(1000000 // a.first_rank, 0) AS BIGINT) AS rr_ppm,
+      | CAST(coalesce(a.ap_num // nr.n_rel, 0) AS BIGINT) AS ap_ppm
+      |FROM nr LEFT JOIN agg a USING (query_id)
+      |ORDER BY query_id""".stripMargin
+
+  /** s25: margin-based bitext mining (Similarity.marginMine — Artetxe
+    * & Schwenk's ratio margin, the CCMatrix recipe): sources = even
+    * vec_ids, targets = odd, k = 4 neighborhoods on each side,
+    * forward-top-1 candidates kept at margin ≥ 1.05. PAIR-ONLY output
+    * (the s1 rank-only rule: raw cosine/margin doubles are
+    * float-accumulation-sensitive across engines; the margin VALUES
+    * are spec-verified against a driver-side replica, the kept SET is
+    * what the gate pins — threshold decisions sit far above ulp
+    * noise on non-adversarial data, the d5 threshold contract). */
+  def bitextMargin(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    Similarity.marginMine(
+        e.where(col("vec_id") % 2 === 0)
+          .select(col("vec_id").as("sid"), col("embedding").as("svec")),
+        e.where(col("vec_id") % 2 === 1)
+          .select(col("vec_id").as("tid"), col("embedding").as("tvec")),
+        k = 4, minMargin = 1.05)
+      .select(col("src_id"), col("tgt_id"))
+      .orderBy("src_id")
+  }
+
+  private val bitextMarginOracle =
+    """WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+      |s AS (SELECT id AS sid, v AS sv FROM c WHERE id % 2 = 0),
+      |t AS (SELECT id AS tid, v AS tv FROM c WHERE id % 2 = 1),
+      |fwd AS (
+      | SELECT sid, tid, cos, rank FROM (
+      |  SELECT s.sid, t.tid, list_cosine_similarity(s.sv, t.tv) AS cos,
+      |   row_number() OVER (PARTITION BY s.sid
+      |     ORDER BY list_cosine_similarity(s.sv, t.tv) DESC, t.tid) AS rank
+      |  FROM s CROSS JOIN t) x WHERE rank <= 4),
+      |bwd AS (
+      | SELECT tid, sid, cos, rank FROM (
+      |  SELECT t.tid, s.sid, list_cosine_similarity(t.tv, s.sv) AS cos,
+      |   row_number() OVER (PARTITION BY t.tid
+      |     ORDER BY list_cosine_similarity(t.tv, s.sv) DESC, s.sid) AS rank
+      |  FROM t CROSS JOIN s) x WHERE rank <= 4),
+      |ss AS (SELECT sid, sum(CAST(cos AS DECIMAL(38,18))) AS ssum
+      | FROM fwd GROUP BY 1),
+      |ts AS (SELECT tid, sum(CAST(cos AS DECIMAL(38,18))) AS tsum
+      | FROM bwd GROUP BY 1),
+      |best AS (SELECT sid, tid, cos FROM fwd WHERE rank = 1)
+      |SELECT b.sid AS src_id, b.tid AS tgt_id
+      |FROM best b JOIN ss USING (sid) JOIN ts USING (tid)
+      |WHERE b.cos * 8.0 / CAST(ss.ssum + ts.tsum AS DOUBLE) >= 1.05
+      |ORDER BY src_id""".stripMargin
+
   /** s17: hybrid retrieval AT SCALE SETTINGS — same fusion as s14/s15
     * but the dense list comes from the IVF tier at nprobe 5 < nlist 20
     * (genuinely approximate, the real serve configuration). No
@@ -2270,6 +2392,8 @@ object ExtensionQueries {
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
+    QueryDef("s24_retrieval_eval", retrievalEval, Some(retrievalEvalOracle)),
+    QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
     QueryDef("s19_recall_scaled", recallScaled, Some(recallScaledOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),

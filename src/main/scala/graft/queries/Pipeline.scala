@@ -204,6 +204,81 @@ object PipelineQueries {
       |   // greatest(count(*) * 512, 1) AS BIGINT) AS fill_ppm
       |FROM per""".stripMargin
 
+  /** pk9: PADDED inference batch packing (Packing.packBatches) — the
+    * dynamic-batching serving layout: whitespace token counts, global
+    * (length DESC, id) order via the distributed two-phase rank,
+    * 128-row rank shards, in-shard padded next-fit at 1024 PADDED
+    * tokens / 8 rows (a batch costs rows × its longest member — the
+    * rectangle an accelerator allocates). The oracle replays the whole
+    * chain: window rank → shard DIV → a recursive CTE folding
+    * (rows, running max) through each shard's rank-ordered rows with
+    * the same integer-division capacity test. */
+  def packedBatches(s: SparkSession, d: String): DataFrame =
+    Packing.packBatches(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
+        maxRows = 8, shardRows = 128L)
+      .orderBy("doc_id")
+
+  private val packedBatchesOracle =
+    """WITH RECURSIVE toks AS (
+      | SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+'))
+      |   AS BIGINT) AS n
+      | FROM documents),
+      |nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
+      |rk AS (
+      | SELECT doc_id, n,
+      |  row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS r
+      | FROM nz),
+      |sh AS (
+      | SELECT doc_id, n, r // 128 AS shard_id, r % 128 + 1 AS srn
+      | FROM rk),
+      |f AS (
+      | SELECT shard_id, srn, doc_id, n,
+      |  CAST(0 AS BIGINT) AS b, 1 AS nrows, n AS mx
+      | FROM sh WHERE srn = 1
+      | UNION ALL
+      | SELECT s.shard_id, s.srn, s.doc_id, s.n,
+      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
+      |       THEN f.b ELSE f.b + 1 END,
+      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
+      |       THEN f.nrows + 1 ELSE 1 END,
+      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
+      |       THEN greatest(f.mx, s.n) ELSE s.n END
+      | FROM f JOIN sh s ON s.shard_id = f.shard_id AND s.srn = f.srn + 1)
+      |SELECT doc_id, n AS n_tokens, CAST(shard_id AS BIGINT) AS shard_id,
+      | b AS batch_in_shard, n > 1024 AS oversize
+      |FROM f ORDER BY doc_id""".stripMargin
+
+  /** pk10: padding-efficiency report over the pk9 layout
+    * (Packing.batchReport) — padded tokens actually allocated vs the
+    * real token mass, waste in exact ppm, batch/oversize counts.
+    * Oracle wraps the pk9 recursive replay in the same two-level
+    * aggregate. */
+  def batchReportGate(s: SparkSession, d: String): DataFrame =
+    Packing.batchReport(
+      Packing.packBatches(Tables.documents(s, d), "doc_id",
+        TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
+        maxRows = 8, shardRows = 128L))
+
+  private def batchReportOracle =
+    s"""WITH base AS ($packedBatchesOracle),
+      |pb AS (
+      | SELECT shard_id, batch_in_shard,
+      |  CAST(count(*) AS BIGINT) AS nn,
+      |  CAST(max(n_tokens) AS BIGINT) AS mx,
+      |  CAST(sum(n_tokens) AS BIGINT) AS realt,
+      |  max(oversize) AS over
+      | FROM base GROUP BY 1, 2)
+      |SELECT CAST(sum(nn) AS BIGINT) AS n_rows,
+      | CAST(count(*) AS BIGINT) AS n_batches,
+      | CAST(sum(CASE WHEN over THEN 1 ELSE 0 END) AS BIGINT)
+      |   AS n_oversize,
+      | CAST(sum(realt) AS BIGINT) AS real_tokens,
+      | CAST(sum(nn * mx) AS BIGINT) AS padded_tokens,
+      | CAST((sum(nn * mx) - sum(realt)) * 1000000
+      |   // greatest(sum(nn * mx), 1) AS BIGINT) AS padding_ppm
+      |FROM pb""".stripMargin
+
   /** pk6: dense global sequence ids over the pk5 layout
     * (Packing.renumberSequences) — the loader-facing numbering: rank of
     * (shard_id, seq_in_shard) over the distinct sequence pairs via the
@@ -1783,6 +1858,10 @@ object PipelineQueries {
       Some(PinnedOracles.pk7PackedSubwords)),
     QueryDef("pk8_packing_report", packingReportGate,
       Some(packingReportOracle)),
+    QueryDef("pk9_inference_batches", packedBatches,
+      Some(packedBatchesOracle)),
+    QueryDef("pk10_batch_report", batchReportGate,
+      Some(batchReportOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
       Some(incontextOrderOracle), bench = true),
     QueryDef("p2_crawl_curation_e2e", crawlCurationE2e,

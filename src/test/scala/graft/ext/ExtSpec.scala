@@ -362,6 +362,88 @@ class ExtSpec extends AnyFunSuite {
     assert(top.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L))
   }
 
+  test("Similarity.evalRetrieval: hand-computed IR panel — recall, " +
+      "precision, MRR, MAP in exact ppm; missed queries report zeros") {
+    // q1: rel {10,11,12}, hits at ranks 1 and 3 of 5
+    // q2: rel {20}, retrieved but no hits
+    // q3: rel {30,31}, absent from results entirely
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L), (1L, 98L, 4L),
+      (1L, 97L, 5L), (1L, 12L, 6L), // rank 6 > kEval — ignored
+      (2L, 88L, 1L), (2L, 87L, 2L))
+      .toDF("query_id", "corpus_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 20L),
+      (3L, 30L), (3L, 31L)).toDF("query_id", "corpus_id")
+    val got = Similarity.evalRetrieval(results, qrels, kEval = 5)
+      .orderBy("query_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    // q1: n_hit 2/3 -> recall 666666; precision 2/5 -> 400000;
+    //     rr 1e6/1; ap = (1*1e6 div 1 + 2*1e6 div 3) div 3
+    val ap1 = (1000000L + 2000000L / 3) / 3
+    assert(got(0) === ((1L, 3L, 2L, 666666L, 400000L, 1000000L, ap1)))
+    assert(got(1) === ((2L, 1L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got(2) === ((3L, 2L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
+  test("Similarity.marginMine: forward-top-1 candidates, ratio margin " +
+      "from decimal neighbor sums, threshold filter, mutual option") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val src = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("sid", "svec")
+    val tgt = (100L until 125L).map(i => (i, vec(i.toInt)))
+      .toDF("tid", "tvec")
+    val k = 4
+    // expected margins recomputed from the SAME top-k lists the
+    // operator folds (bit-identical inputs), with the decimal-sum
+    // semantics replicated via BigDecimal at scale 18
+    val fwd = Similarity.bruteForceTopK(
+      tgt.select(col("tid").as("cid"), col("tvec").as("cvec")),
+      src.select(col("sid").as("qid"), col("svec").as("qvec")),
+      k, excludeSelf = false).collect()
+    val bwd = Similarity.bruteForceTopK(
+      src.select(col("sid").as("cid"), col("svec").as("cvec")),
+      tgt.select(col("tid").as("qid"), col("tvec").as("qvec")),
+      k, excludeSelf = false).collect()
+    // Spark's double->decimal cast goes through the shortest-string
+    // BigDecimal (valueOf), not the exact binary expansion
+    def dec(x: Double) = java.math.BigDecimal.valueOf(x)
+      .setScale(18, java.math.RoundingMode.HALF_UP)
+    val ssum = fwd.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+      _.map(r => dec(r.getAs[Double]("cosine")))
+        .reduce(_.add(_))).toMap
+    val tsum = bwd.groupBy(_.getAs[Long]("query_id")).view.mapValues(
+      _.map(r => dec(r.getAs[Double]("cosine")))
+        .reduce(_.add(_))).toMap
+    val best = fwd.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("corpus_id"),
+        r.getAs[Double]("cosine")))
+    val wantAll = best.map { case (s, t, c) =>
+      (s, t, c * (2.0 * k) / ssum(s).add(tsum(t)).doubleValue)
+    }
+    val minMargin = wantAll.map(_._3).sorted.apply(wantAll.length / 2)
+    val want = wantAll.filter(_._3 >= minMargin)
+      .map { case (s, t, m) => (s, t, m) }.sortBy(_._1)
+    assert(want.nonEmpty && want.length < wantAll.length,
+      "threshold must split the candidates nontrivially")
+    val got = Similarity.marginMine(src, tgt, k, minMargin)
+      .orderBy("src_id").collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin")))
+    assert(got.toSeq === want.toSeq)
+    // mutual: every kept pair is also the target's backward top-1
+    val back1 = bwd.filter(_.getAs[Long]("rank") == 1L)
+      .map(r => (r.getAs[Long]("corpus_id"), r.getAs[Long]("query_id")))
+      .toSet
+    val gotMutual = Similarity.marginMine(src, tgt, k, minMargin,
+        mutual = true).collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"))).toSet
+    assert(gotMutual === got.map(p => (p._1, p._2))
+      .filter(back1.contains).toSet)
+  }
+
   test("Similarity.hardNegatives: top-k restricted to cross-label " +
       "pairs, same-label rows never surface") {
     val q = Seq((0L, Array(1f, 0f, 0f), 7)).toDF("qid", "qvec", "qlab")

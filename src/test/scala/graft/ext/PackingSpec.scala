@@ -306,6 +306,77 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("packBatches: equals a single-node padded next-fit replica on " +
+      "(length DESC, id) order, under any partitioning; caps respected; " +
+      "oversize alone; zero-token rows dropped") {
+    val rows = (0L until 300L).map(i => (i, ((i * 37) % 240) + 1))
+      .map { case (id, n) => (id, if (id == 7L) 5000L else n) } ++ // oversize
+      Seq((900L, 0L)) // zero-token: dropped
+    val maxTokens = 1024L
+    val maxRows = 8
+    val shardRows = 64
+    // single-node replica of the padded next-fit over the global
+    // (n DESC, id) order, restarting per shardRows-row shard
+    val sorted = rows.filter(_._2 > 0).sortBy { case (id, n) => (-n, id) }
+    val want = sorted.zipWithIndex
+      .groupBy(_._2 / shardRows)
+      .flatMap { case (shard, grp) =>
+        var b = -1L; var cnt = 0; var mx = 0L
+        grp.sortBy(_._2).map { case ((id, n), _) =>
+          val nm = math.max(mx, n)
+          val fits = b >= 0 && cnt < maxRows && nm <= maxTokens / (cnt + 1)
+          if (!fits) { b += 1; cnt = 0; mx = 0L }
+          cnt += 1; mx = math.max(mx, n)
+          id -> (n, shard.toLong, b, n > maxTokens)
+        }
+      }
+    def run(nPart: Int) = Packing.packBatches(
+        rows.toDF("id", "toks").repartition(nPart), "id", col("toks"),
+        maxTokens, maxRows, shardRows.toLong)
+      .collect()
+      .map(r => r.getAs[Long]("id") -> ((r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("shard_id"), r.getAs[Long]("batch_in_shard"),
+        r.getAs[Boolean]("oversize"))))
+      .toMap
+    val got = run(7)
+    assert(got === want)
+    assert(run(1) === want)
+    assert(!got.contains(900L), "zero-token rows must be dropped")
+    // caps: per batch, rows <= maxRows and padded cost <= maxTokens
+    // unless the batch is a lone oversize row
+    got.groupBy { case (_, (_, sh, b, _)) => (sh, b) }.foreach {
+      case (_, members) =>
+        val ns = members.values.map(_._1)
+        assert(members.size <= maxRows)
+        assert(members.size * ns.max <= maxTokens ||
+          (members.size == 1 && ns.head > maxTokens))
+    }
+    // the oversize row sits alone and flags
+    val overBatch = got(7L)
+    assert(overBatch._4 === true)
+    assert(got.count { case (_, (_, sh, b, _)) =>
+      (sh, b) == (overBatch._2, overBatch._3) } === 1)
+  }
+
+  test("batchReport: exact padded/real accounting on a hand example") {
+    val packed = Seq(
+      // batch (0,0): rows 10,8 -> padded 2*10=20, real 18
+      (1L, 10L, 0L, 0L, false), (2L, 8L, 0L, 0L, false),
+      // batch (0,1): lone oversize 40 -> padded 40, real 40
+      (3L, 40L, 0L, 1L, true),
+      // batch (1,0): rows 5,5,4 -> padded 15, real 14
+      (4L, 5L, 1L, 0L, false), (5L, 5L, 1L, 0L, false),
+      (6L, 4L, 1L, 0L, false))
+      .toDF("id", "n_tokens", "shard_id", "batch_in_shard", "oversize")
+    val got = Packing.batchReport(packed).collect()(0)
+    assert(got.getAs[Long]("n_rows") === 6L)
+    assert(got.getAs[Long]("n_batches") === 3L)
+    assert(got.getAs[Long]("n_oversize") === 1L)
+    assert(got.getAs[Long]("real_tokens") === 72L)
+    assert(got.getAs[Long]("padded_tokens") === 75L)
+    assert(got.getAs[Long]("padding_ppm") === (75L - 72L) * 1000000L / 75L)
+  }
+
   test("groupRank: high-cardinality fallback path is value-identical") {
     val want = windowRanks(rankFrame)
     val got = Packing.groupRank(rankFrame, Seq("lang"),

@@ -609,6 +609,46 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("pk9 padded batches: the pk4/pk5 exchange contract — rank-keyed " +
+      "bookkeeping shuffles only, no broadcast/cartesian, no " +
+      "whole-corpus single-task window") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+    val toks = size(filter(split(col("text"), "\\s+"),
+      t => length(t) > 0)).cast("long")
+    val s = planString(graft.ext.Packing.packBatches(
+      docs, "doc_id", toks, maxTokens = 1024L, maxRows = 8,
+      shardRows = 128L))
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"), s"pk9 must join on keys\n$s")
+    // the ONLY broadcast allowed is groupRank's metadata-sized
+    // per-partition base rejoin (a LocalTableScan of driver-computed
+    // stats, one row per partition) — never a scanned relation
+    var from = 0
+    while ({ val i = s.indexOf("BroadcastExchange", from); from = i + 1
+        i >= 0 }) {
+      val window = s.substring(from, math.min(s.length, from + 400))
+      assert(window.contains("LocalTableScan"),
+        s"pk9: broadcast of a non-metadata relation\n$window\n$s")
+    }
+    // the global (length DESC, id) order is the two-phase rank (its
+    // phase-1 range sort sits behind the localCheckpoint, so the
+    // visible plan starts at Scan ExistingRDD); the rank window is
+    // keyed by the physical partition id, never an empty partition
+    // spec over the whole corpus
+    assert(s.contains("windowspecdefinition(__gr_pid"),
+      s"expected the rank window keyed by __gr_pid\n$s")
+    assert(!s.contains("windowspecdefinition(n_tokens") &&
+      !s.contains("windowspecdefinition(doc_id"),
+      s"whole-corpus window found\n$s")
+    s.linesIterator.filter(_.contains("Exchange hashpartitioning"))
+      .foreach(l => assert(l.contains("__pid") ||
+        l.contains("__gr_pid") ||
+        l.contains("_groupingexpression") || l.contains("shard_id"),
+        s"pk9: content-keyed hash shuffle found: $l\n$s"))
+    assert(s.contains("partial_collect_list"), s"pk9\n$s")
+  }
+
   test("p9 semantic order: exactly one range exchange over the corpus " +
       "(the two-phase rank), embeddings never hash-shuffled") {
     val df = PipelineQueries.incontextOrder(spark, sf)
