@@ -1369,6 +1369,48 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** st32: retrieval-quality evaluation MAINTAINED under a query
+    * stream — the st14 serve shape composed with the s24 metric fold:
+    * queries ARRIVE as a stream (two parquet files,
+    * maxFilesPerTrigger=1 forces at least two micro-batches), each
+    * micro-batch serves the approximate IVF tier AND its exact
+    * judgments via foreachBatch, evaluates with
+    * Similarity.evalRetrieval, and APPENDS the per-query metric rows.
+    * Per-query metrics are independent of batch placement (every
+    * division is within one query's rows) and the IVF centroid sample
+    * is a pure hash of the UNCHANGED corpus — identical in every
+    * batch — so the appended union must equal the batch evaluation
+    * row-for-row: the s24 oracle pins it. */
+  def retrievalEvalStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st32_")
+    val qdir = base.resolve("queries").toString
+    val outDir = base.resolve("evald").toString
+    queriesDf(s, d).repartition(2).write.mode("overwrite").parquet(qdir)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("qid", LongType),
+        StructField("qvec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(qdir)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.cache()
+        graft.ext.Similarity.evalRetrieval(
+            Similarity.ivfTopK(corpus(s, d), b, k = 10,
+              nlist = 20, nprobe = 5),
+            Similarity.bruteForceTopK(corpus(s, d), b, k = 3),
+            kEval = 10)
+          .write.mode("append").parquet(outDir)
+        b.unpersist()
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir).orderBy("query_id")
+  }
+
   /** STREAMING index maintenance: the persisted IVF-PQ index absorbs a
     * vector INGEST stream — build on the even-id half, then the odd
     * half arrives as a file stream (two parquet files,
@@ -2394,6 +2436,8 @@ object ExtensionQueries {
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("s24_retrieval_eval", retrievalEval, Some(retrievalEvalOracle)),
     QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
+    QueryDef("st32_retrieval_eval_stream", retrievalEvalStream,
+      Some(retrievalEvalOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
     QueryDef("s19_recall_scaled", recallScaled, Some(recallScaledOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
