@@ -245,6 +245,61 @@ object Decontam {
     contaminationReportFromCounts(perSet, allSets, total)
   }
 
+  /** Multi-n contamination CURVE — the memorization-audit view of
+    * [[contaminationReport]]: a single gram length understates the
+    * picture (short grams over-flag boilerplate, long grams miss
+    * light paraphrase), so auditors sweep n and read the decay. Per
+    * (eval_set, n in `ns`): documents hit, distinct (doc, set-gram)
+    * hits, contaminated corpus fraction in exact ppm; a (set, n) pair
+    * with no matches still reports 0.
+    *
+    * Scale shape: ONE corpus scan for ALL gram lengths — each document
+    * explodes its distinct n-grams for every n, TAGGED with n, and
+    * joins the (n, eval_set, gram) relation (benchmark-sized per n,
+    * broadcast) in one pass; running [[contaminationReport]] per n
+    * would scan the corpus |ns| times. Counts stay additive over
+    * doc-disjoint batches (the [[contaminationCounts]] contract, per
+    * (set, n) key). */
+  def contaminationCurve(corpus: DataFrame, textCol: String,
+      idCol: String, benchmark: DataFrame, benchTextCol: String,
+      setCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.distinct.size == ns.size &&
+      ns.forall(_ > 0), s"contaminationCurve: ns=$ns must be distinct " +
+      "positive gram lengths")
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val grams = ns.map { n =>
+      setGrams(benchmark, benchTextCol, setCol, n)
+        .withColumn("n", lit(n.toLong))
+    }.reduce(_ unionByName _)
+    val corpusGrams = corpus
+      .select(col(idCol),
+        explode(flatten(array(ns.map(n =>
+          transform(gramsCol(col(textCol), n),
+            g => struct(lit(n.toLong).as("n"), g.as("gram")))): _*)))
+          .as("__ng"))
+      .select(col(idCol), col("__ng.n").as("n"), col("__ng.gram").as("gram"))
+    val perSetN = corpusGrams
+      .join(broadcast(grams), Seq("n", "gram"))
+      .groupBy(col("eval_set"), col("n"))
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+        count(lit(1)).cast("long").as("n_gram_hits"))
+    val total = corpus.agg(count(lit(1)).as("__n_corpus"))
+    val allSetN = benchmark.select(col(setCol).as("eval_set")).distinct()
+      .crossJoin(
+        corpus.sparkSession.range(1).select(
+          explode(array(ns.map(n => lit(n.toLong)): _*)).as("n")))
+    allSetN.join(perSetN, Seq("eval_set", "n"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("eval_set"), col("n"),
+        coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
+        coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),
+        idiv(coalesce(col("n_docs_hit"), lit(0L)) * lit(1000000L),
+          greatest(col("__n_corpus"), lit(1L))).as("contaminated_ppm"))
+  }
+
   /** Distinct (eval_set, gram) pairs of a labeled benchmark relation —
     * the per-set gram index [[contaminationReport]] probes. A gram
     * shared by two sets appears once per set (each owner counts it). */

@@ -126,6 +126,71 @@ object HygieneQueries {
       |   AS contaminated_ppm
       |FROM per CROSS JOIN tot ORDER BY eval_set""".stripMargin
 
+  /** d22: MULTI-n contamination curve (Decontam.contaminationCurve) —
+    * the memorization-audit sweep over gram lengths n ∈ {4, 8, 13} on
+    * the d21 fixtures (planted verbatim wraps; benchmark split into
+    * evalA/evalB): short grams over-flag boilerplate, long grams miss
+    * paraphrase, the decay across n is the signal auditors read. ONE
+    * corpus scan covers all three lengths (tagged gram explode). The
+    * oracle replays each n's gram derivation and unions the hits. */
+  def contaminationCurveGate(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(when(col("doc_id") % 40 === 0, lit("evalA"))
+        .otherwise(lit("evalB")).as("eval_set"), col("text"))
+    Decontam.contaminationCurve(decontamCorpus(s, d), "text", "doc_id",
+        bench, "text", "eval_set", ns = Seq(4, 8, 13))
+      .orderBy("eval_set", "n")
+  }
+
+  private[queries] val contaminationCurveOracle: String = {
+    def hitsFor(n: Int) =
+      s"""SELECT b.eval_set, $n AS n, c.doc_id
+         |FROM (SELECT doc_id, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ts) - $n, 0) + 2),
+         |    i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS gram
+         |  FROM ctoks) c
+         |JOIN (SELECT DISTINCT eval_set, unnest(list_distinct(list_transform(
+         |    range(1, greatest(len(ts) - $n, 0) + 2),
+         |    i -> array_to_string(ts[i:i+${n - 1}], ' ')))) AS gram
+         |  FROM btoks) b USING (gram)""".stripMargin
+    s"""WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        'novel preamble ' || text || ' novel epilogue' AS text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bench AS (
+      | SELECT CASE WHEN doc_id % 40 = 0 THEN 'evalA' ELSE 'evalB' END
+      |   AS eval_set, text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |btoks AS (
+      | SELECT eval_set, list_filter(string_split_regex(lower(text), '\\s+'),
+      |   t -> len(t) > 0) AS ts FROM bench),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |hits AS (
+      |${Seq(4, 8, 13).map(hitsFor).mkString("\nUNION ALL\n")}),
+      |per AS (
+      | SELECT eval_set, n, CAST(count(DISTINCT doc_id) AS BIGINT)
+      |   AS n_docs_hit, CAST(count(*) AS BIGINT) AS n_gram_hits
+      | FROM hits GROUP BY 1, 2),
+      |allk AS (
+      | SELECT eval_set, n
+      | FROM (SELECT DISTINCT eval_set FROM bench)
+      | CROSS JOIN (SELECT unnest([4, 8, 13]) AS n)),
+      |tot AS (SELECT count(*) AS nc FROM corpus)
+      |SELECT allk.eval_set, CAST(allk.n AS BIGINT) AS n,
+      | CAST(coalesce(per.n_docs_hit, 0) AS BIGINT) AS n_docs_hit,
+      | CAST(coalesce(per.n_gram_hits, 0) AS BIGINT) AS n_gram_hits,
+      | CAST(coalesce(per.n_docs_hit, 0) * 1000000
+      |   // greatest(tot.nc, 1) AS BIGINT) AS contaminated_ppm
+      |FROM allk LEFT JOIN per ON per.eval_set = allk.eval_set
+      |  AND per.n = allk.n
+      |CROSS JOIN tot
+      |ORDER BY allk.eval_set, allk.n""".stripMargin
+  }
+
   /** d20: decontamination served from a PERSISTED benchmark index — two
     * OVERLAPPING benchmark increments (the full eval set, then its
     * %40 slice again — every gram of the second append already exists)
@@ -1832,6 +1897,8 @@ object HygieneQueries {
     QueryDef("d20_decontam_index", decontamFromIndex, Some(decontamOracle)),
     QueryDef("d21_contamination_report", contaminationReportGate,
       Some(contaminationReportOracle)),
+    QueryDef("d22_contamination_curve", contaminationCurveGate,
+      Some(contaminationCurveOracle)),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),

@@ -638,6 +638,43 @@ class HygieneSpec extends AnyFunSuite {
       ("B", 1L, 1000000L / 3), ("C", 0L, 0L)))
   }
 
+  test("contaminationCurve: one tagged scan equals contaminationReport " +
+      "run per n; (set, n) pairs with no matches report 0") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta tail words beyond the overlap zone"),
+      (2L, "shared one two three words only partially overlapping here"),
+      (3L, "totally clean document here with nothing in common at all"))
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      ("A", "alpha beta gamma delta tail words beyond"),
+      ("A", "shared one two three"),
+      ("B", "shared one two three"),
+      ("C", "zero overlap set entirely")).toDF("eval_set", "text")
+    val ns = Seq(2, 4, 7)
+    val curve = Decontam.contaminationCurve(corpus, "text", "doc_id",
+        bench, "text", "eval_set", ns)
+      .orderBy("eval_set", "n").collect()
+      .map(r => (r.getAs[String]("eval_set"), r.getAs[Long]("n"),
+        r.getAs[Long]("n_docs_hit"), r.getAs[Long]("n_gram_hits"),
+        r.getAs[Long]("contaminated_ppm")))
+    val perN = ns.flatMap { n =>
+      Decontam.contaminationReport(corpus, "text", "doc_id",
+          bench, "text", "eval_set", n = n).collect()
+        .map(r => (r.getAs[String]("eval_set"), n.toLong,
+          r.getAs[Long]("n_docs_hit"), r.getAs[Long]("n_gram_hits"),
+          r.getAs[Long]("contaminated_ppm")))
+    }.sortBy(t => (t._1, t._2))
+    assert(curve.toSeq === perN)
+    // the decay is real on this fixture: set A matches at every n up
+    // to 7 (7-token verbatim run), set B dies past its 4-token overlap
+    def hit(set: String, n: Long) =
+      curve.find(t => t._1 == set && t._2 == n).get._3
+    assert(hit("A", 2L) > 0 && hit("A", 7L) > 0)
+    assert(hit("B", 4L) > 0 && hit("B", 7L) === 0L)
+    assert(ns.forall(n => hit("C", n.toLong) === 0L),
+      "a clean set reports 0 at every n, it does not vanish")
+  }
+
   test("saveSetIndex: eval sets APPEND mid-stream — overlapping " +
       "increments re-distinct, new sets accrete, kind/n guards fail fast") {
     val corpus = Seq(
