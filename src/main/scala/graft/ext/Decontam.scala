@@ -263,17 +263,37 @@ object Decontam {
   def contaminationCurve(corpus: DataFrame, textCol: String,
       idCol: String, benchmark: DataFrame, benchTextCol: String,
       setCol: String, ns: Seq[Int]): DataFrame = {
+    val grams = curveGrams(benchmark, benchTextCol, setCol, ns)
+    val (perSetN, total) =
+      contaminationCurveCounts(corpus, textCol, idCol, grams, ns)
+    contaminationCurveFromCounts(perSetN,
+      benchmark.select(col(setCol).as("eval_set")).distinct(), ns, total)
+  }
+
+  /** The TAGGED (n, eval_set, gram) relation of a labeled benchmark
+    * over every gram length in `ns` — what [[contaminationCurveCounts]]
+    * probes (and what a streaming deployment materializes once per
+    * benchmark version). */
+  def curveGrams(benchmark: DataFrame, benchTextCol: String,
+      setCol: String, ns: Seq[Int]): DataFrame = {
     require(ns.nonEmpty && ns.distinct.size == ns.size &&
-      ns.forall(_ > 0), s"contaminationCurve: ns=$ns must be distinct " +
+      ns.forall(_ > 0), s"curveGrams: ns=$ns must be distinct " +
       "positive gram lengths")
-    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
-    def idiv(a: Column, b: Column): Column = column(
-      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
-        expression(a), expression(b)))
-    val grams = ns.map { n =>
+    ns.map { n =>
       setGrams(benchmark, benchTextCol, setCol, n)
         .withColumn("n", lit(n.toLong))
     }.reduce(_ unionByName _)
+  }
+
+  /** One corpus pass of [[contaminationCurve]]'s counts: per
+    * (eval_set, n), documents hit and distinct (doc, set-gram) hits,
+    * plus the one-row corpus total — BOTH ADDITIVE over doc-disjoint
+    * batches per (set, n) key (the [[contaminationCounts]] contract),
+    * so a streaming deployment folds these per micro-batch and
+    * finishes with [[contaminationCurveFromCounts]]. */
+  def contaminationCurveCounts(corpus: DataFrame, textCol: String,
+      idCol: String, grams: DataFrame,
+      ns: Seq[Int]): (DataFrame, DataFrame) = {
     val corpusGrams = corpus
       .select(col(idCol),
         explode(flatten(array(ns.map(n =>
@@ -281,18 +301,35 @@ object Decontam {
             g => struct(lit(n.toLong).as("n"), g.as("gram")))): _*)))
           .as("__ng"))
       .select(col(idCol), col("__ng.n").as("n"), col("__ng.gram").as("gram"))
-    val perSetN = corpusGrams
+    (corpusGrams
       .join(broadcast(grams), Seq("n", "gram"))
       .groupBy(col("eval_set"), col("n"))
       .agg(countDistinct(col(idCol)).as("n_docs_hit"),
-        count(lit(1)).cast("long").as("n_gram_hits"))
-    val total = corpus.agg(count(lit(1)).as("__n_corpus"))
-    val allSetN = benchmark.select(col(setCol).as("eval_set")).distinct()
+        count(lit(1)).cast("long").as("n_gram_hits")),
+      corpus.agg(count(lit(1)).as("__n_corpus")))
+  }
+
+  /** [[contaminationCurve]]'s finisher over ADDITIVE count increments
+    * — `perSetN` may hold many rows per (eval_set, n) (one per
+    * doc-disjoint batch) and `total` many one-row increments;
+    * re-summing equals the one-pass counts. A (set, n) pair with no
+    * matches reports 0 (the `allSets` × `ns` frame left-joins). */
+  def contaminationCurveFromCounts(perSetN: DataFrame,
+      allSets: DataFrame, ns: Seq[Int], total: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val p = perSetN.groupBy(col("eval_set"), col("n"))
+      .agg(sum(col("n_docs_hit")).as("n_docs_hit"),
+        sum(col("n_gram_hits")).as("n_gram_hits"))
+    val t = total.agg(sum(col("__n_corpus")).as("__n_corpus"))
+    val allSetN = allSets.distinct()
       .crossJoin(
-        corpus.sparkSession.range(1).select(
+        allSets.sparkSession.range(1).select(
           explode(array(ns.map(n => lit(n.toLong)): _*)).as("n")))
-    allSetN.join(perSetN, Seq("eval_set", "n"), "left")
-      .crossJoin(broadcast(total))
+    allSetN.join(p, Seq("eval_set", "n"), "left")
+      .crossJoin(broadcast(t))
       .select(col("eval_set"), col("n"),
         coalesce(col("n_docs_hit"), lit(0L)).as("n_docs_hit"),
         coalesce(col("n_gram_hits"), lit(0L)).as("n_gram_hits"),

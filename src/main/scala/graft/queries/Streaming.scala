@@ -759,6 +759,32 @@ object StreamingQueries {
       .orderBy("eval_set")
   }
 
+  /** st33: the MULTI-n contamination curve MAINTAINED under a corpus
+    * stream — st30's fold with the d22 sweep: the tagged
+    * (n, eval_set, gram) relation materializes ONCE per benchmark
+    * version (localCheckpoint — re-deriving three gram lengths per
+    * micro-batch is per-batch latency a long-running stream should
+    * not pay), the corpus arrives in doc-disjoint micro-batches, and
+    * each batch folds its per-(set, n) count increments plus its
+    * row-count increment. Counts are additive per (set, n) — the
+    * finished curve must hash-match d22's direct one-scan report. */
+  def contaminationCurveStream(s: SparkSession, d: String): DataFrame = {
+    val ns = Seq(4, 8, 13)
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(when(col("doc_id") % 40 === 0, lit("evalA"))
+        .otherwise(lit("evalB")).as("eval_set"), col("text"))
+    val grams = graft.ext.Decontam
+      .curveGrams(bench, "text", "eval_set", ns).localCheckpoint()
+    val corpusSrc = stageTwoHalves(HygieneQueries.decontamCorpus(s, d),
+      "doc_id", "graft_st33_c_src_")
+    val (perSetN, total) = foldParquetStream2(s, corpusSrc, docTextSchema)(
+      batch => graft.ext.Decontam.contaminationCurveCounts(batch, "text",
+        "doc_id", grams, ns))(_.unionAll(_), _.unionAll(_))
+    graft.ext.Decontam.contaminationCurveFromCounts(perSetN,
+        grams.select(col("eval_set")).distinct(), ns, total)
+      .orderBy("eval_set", "n")
+  }
+
   private val docTextLangSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -1158,6 +1184,8 @@ object StreamingQueries {
       Some(HygieneQueries.classifierEvalOracle)),
     QueryDef("st30_contamination_report_stream", contaminationReportStream,
       Some(HygieneQueries.contaminationReportOracle)),
+    QueryDef("st33_contamination_curve_stream", contaminationCurveStream,
+      Some(HygieneQueries.contaminationCurveOracle)),
     QueryDef("st31_sft_render_stream", sftRenderStream,
       Some(PinnedOracles.t52SftTokenSpans)),
     QueryDef("st28_decontam_index_stream", decontamIndexStream,
