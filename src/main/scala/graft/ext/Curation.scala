@@ -394,6 +394,49 @@ object Curation {
       .crossJoin(broadcast(r))
   }
 
+  /** SERVING-readiness card — the [[readinessCard]] pattern applied to
+    * the serving/eval side of the pipeline: one row summarizing what a
+    * deployment review reads before putting a corpus behind a
+    * retriever and a trainer behind batched inference. Inputs are the
+    * EXACT relations their own gates pin:
+    *
+    *  - `retrievalEval`: [[Similarity.evalRetrieval]] rows (s24) →
+    *    query count, MAP / mean-recall / MRR in exact ppm (integer-div
+    *    means of the per-query ppm floors);
+    *  - `minedPairs` + `sources`: [[Similarity.marginMine]] output and
+    *    its source relation (s25) → mining yield in ppm of sources;
+    *  - `batchReport`: [[Packing.batchReport]]'s one row (pk10) →
+    *    batch count and padding waste.
+    *
+    * All inputs are report-sized; the card is a few one-row aggregates
+    * broadcast-crossed, never a corpus pass. */
+  def servingCard(retrievalEval: DataFrame, minedPairs: DataFrame,
+      sources: DataFrame, batchReport: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    def z(c: Column): Column = coalesce(c, lit(0L))
+    val e = retrievalEval.agg(
+      count(lit(1)).as("n_queries"),
+      idiv(z(sum(col("ap_ppm"))),
+        greatest(count(lit(1)), lit(1L))).as("map_ppm"),
+      idiv(z(sum(col("recall_ppm"))),
+        greatest(count(lit(1)), lit(1L))).as("mean_recall_ppm"),
+      idiv(z(sum(col("rr_ppm"))),
+        greatest(count(lit(1)), lit(1L))).as("mrr_ppm"))
+    val m = minedPairs.agg(count(lit(1)).as("n_mined_pairs"))
+    val src = sources.agg(count(lit(1)).as("__n_src"))
+    val b = batchReport.select(col("n_batches"), col("padding_ppm"))
+    e.crossJoin(broadcast(m)).crossJoin(broadcast(src))
+      .crossJoin(broadcast(b))
+      .select(col("n_queries"), col("map_ppm"), col("mean_recall_ppm"),
+        col("mrr_ppm"), col("n_mined_pairs"),
+        idiv(col("n_mined_pairs") * lit(1000000L),
+          greatest(col("__n_src"), lit(1L))).as("bitext_yield_ppm"),
+        col("n_batches"), col("padding_ppm"))
+  }
+
   /** Web-crawl curation — the WARC-to-training-shards composition the
     * generic [[curate]] pipeline cannot express, because crawls dedup
     * on IDENTITY (the URL), not content, before any text stage runs:

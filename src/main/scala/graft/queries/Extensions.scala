@@ -665,7 +665,7 @@ object ExtensionQueries {
         kEval = 10)
       .orderBy("query_id")
 
-  private val retrievalEvalOracle =
+  private[queries] val retrievalEvalOracle =
     """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
       |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
       |cent AS (
@@ -744,7 +744,7 @@ object ExtensionQueries {
       .orderBy("src_id")
   }
 
-  private val bitextMarginOracle =
+  private[queries] val bitextMarginOracle =
     """WITH c AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
       |s AS (SELECT id AS sid, v AS sv FROM c WHERE id % 2 = 0),
       |t AS (SELECT id AS tid, v AS tv FROM c WHERE id % 2 = 1),

@@ -260,7 +260,7 @@ object PipelineQueries {
         TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
         maxRows = 8, shardRows = 128L))
 
-  private def batchReportOracle =
+  private[queries] def batchReportOracle =
     s"""WITH base AS ($packedBatchesOracle),
       |pb AS (
       | SELECT shard_id, batch_in_shard,
@@ -827,6 +827,47 @@ object PipelineQueries {
       |   (${ExtensionQueries.recallFloorsOracle}) r) AS mean_recall_ppm,
       | (SELECT CAST(coalesce(min(recall_ppm), 0) AS BIGINT) FROM
       |   (${ExtensionQueries.recallFloorsOracle}) r) AS min_recall_ppm
+      |""".stripMargin
+
+  /** pr8: SERVING-readiness card (Curation.servingCard) — the pr7
+    * pattern applied to the serving/eval families that postdate it:
+    * the s24 retrieval evaluation (query count, MAP / mean-recall /
+    * MRR in exact ppm), the s25 bitext mining yield (kept pairs per
+    * source in ppm), and the pk10 padded-batch accounting (batch
+    * count, padding waste). One row; oracle = full replay compounding
+    * the three gates' own oracle queries into the same one-row
+    * aggregate. */
+  def servingCardGate(s: SparkSession, d: String): DataFrame =
+    graft.ext.Curation.servingCard(
+      ExtensionQueries.retrievalEval(s, d),
+      ExtensionQueries.bitextMargin(s, d),
+      Tables.embeddings(s, d).where(col("vec_id") % 2 === 0),
+      Packing.batchReport(
+        Packing.packBatches(Tables.documents(s, d), "doc_id",
+          TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
+          maxRows = 8, shardRows = 128L)))
+
+  private def servingCardOracle =
+    s"""SELECT
+      | (SELECT CAST(count(*) AS BIGINT) FROM
+      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS n_queries,
+      | (SELECT CAST(coalesce(sum(ap_ppm), 0)
+      |     // greatest(count(*), 1) AS BIGINT) FROM
+      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS map_ppm,
+      | (SELECT CAST(coalesce(sum(recall_ppm), 0)
+      |     // greatest(count(*), 1) AS BIGINT) FROM
+      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS mean_recall_ppm,
+      | (SELECT CAST(coalesce(sum(rr_ppm), 0)
+      |     // greatest(count(*), 1) AS BIGINT) FROM
+      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS mrr_ppm,
+      | (SELECT CAST(count(*) AS BIGINT) FROM
+      |   (${ExtensionQueries.bitextMarginOracle}) m) AS n_mined_pairs,
+      | CAST((SELECT count(*) FROM
+      |   (${ExtensionQueries.bitextMarginOracle}) m) * 1000000
+      |   // greatest((SELECT count(*) FROM embeddings
+      |     WHERE vec_id % 2 = 0), 1) AS BIGINT) AS bitext_yield_ppm,
+      | (SELECT n_batches FROM ($batchReportOracle) b) AS n_batches,
+      | (SELECT padding_ppm FROM ($batchReportOracle) b) AS padding_ppm
       |""".stripMargin
 
   private val curationOracle =
@@ -1880,6 +1921,8 @@ object PipelineQueries {
     QueryDef("p4_curation_neardup", curationNearDup,
       Some(curationNearDupOracle), bench = true),
     QueryDef("pr6_data_card", dataCard, Some(dataCardOracle)),
+    QueryDef("pr8_serving_card", servingCardGate,
+      Some(servingCardOracle)),
     QueryDef("pr7_readiness_card", readinessCard,
       Some(readinessCardOracle)),
     QueryDef("pk2_shard_assign", sharding, Some(shardingOracle)),
