@@ -264,6 +264,67 @@ object AnnIndex {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Distributed-query top-k serve — [[mineHardNegatives]] WITHOUT the
+    * label filter: per query row, the k most-cosine-similar corpus
+    * vectors from the persisted index, with the query side a
+    * first-class DISTRIBUTED relation (never broadcast, never
+    * collected — the same probe-projection + MERGE-hinted bucket-join
+    * pipeline, same scale bounds). This is the serve tier for
+    * corpus×corpus workloads where BOTH sides are big: bitext mining
+    * (feed both directions into [[Similarity.marginFromLists]]),
+    * all-pairs candidate generation, corpus-sized query batches. At full probing
+    * (nprobe = nlist) with `rerank` ≥ the probed candidate count it
+    * equals [[Similarity.bruteForceTopK]] exactly (the s21/s26 gate
+    * contract). `excludeSelf` drops cid == qid pairs (only meaningful
+    * when queries ARE corpus rows under the same id space).
+    *
+    * Queries: (qid BIGINT, qvec ARRAY<FLOAT>).
+    * Output: (query_id, corpus_id, cosine, rank), rank 1..k. */
+  def mineTopK(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(rerank >= k, s"mineTopK: rerank=$rerank < k=$k")
+    val meta = spark.read.parquet(s"$root/meta.parquet").head
+    val codes = meta.getAs[Int]("codes")
+    val nlist = meta.getAs[Int]("nlist")
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"mineTopK: nprobe=$nprobe out of range [1, $nlist]")
+    val codebook = loadCodebook(spark, root)
+    val (centIds, centVecs) = loadCentroids(spark, root)
+    val encoded = spark.read.parquet(s"$root/encoded.parquet")
+
+    val probes = queries.select(col("qid"),
+        GraftFunctions.pqLut(col("qvec"), codebook).as("lut"),
+        explode(GraftFunctions.topCentroids(col("qvec"), centIds, centVecs,
+          nprobe)).as("centroid_id"))
+
+    import Similarity.{Scored, TopKAggregator}
+    val topR = udaf(new TopKAggregator(rerank), Encoders.product[Scored])
+    val candidates = encoded.select("cid", "centroid_id", "codes")
+      .join(probes.hint("merge"), Seq("centroid_id"))
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.pqAdc(col("codes"), col("lut"), codes).as("adc"))
+      .groupBy(col("qid"))
+      .agg(topR(col("cid"), col("adc")).as("top"))
+      .select(col("qid"), explode(col("top.id")).as("cid"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    encoded.select("cid", "cvec")
+      .join(candidates.hint("merge"), Seq("cid"))
+      .join(queries.select(col("qid"), col("qvec")).hint("merge"),
+        Seq("qid"))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), posexplode(col("top")))
+      .select(col("query_id"),
+        col("col.id").as("corpus_id"),
+        col("col.score").as("cosine"),
+        (col("pos") + 1).cast(LongType).as("rank"))
+  }
+
   private def loadCentroids(spark: SparkSession,
       root: String): (Array[Long], Array[Array[Double]]) = {
     val rows = spark.read.parquet(s"$root/centroids.parquet")

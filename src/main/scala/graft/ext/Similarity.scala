@@ -854,14 +854,31 @@ object Similarity {
   def marginMine(src: DataFrame, tgt: DataFrame, k: Int,
       minMargin: Double, mutual: Boolean = false): DataFrame = {
     require(k > 0, s"marginMine: k=$k")
-    val fwd = bruteForceTopK(
-      tgt.select(col("tid").as("cid"), col("tvec").as("cvec")),
-      src.select(col("sid").as("qid"), col("svec").as("qvec")),
-      k, excludeSelf = false)
-    val bwd = bruteForceTopK(
-      src.select(col("sid").as("cid"), col("svec").as("cvec")),
-      tgt.select(col("tid").as("qid"), col("tvec").as("qvec")),
-      k, excludeSelf = false)
+    marginFromLists(
+      bruteForceTopK(
+        tgt.select(col("tid").as("cid"), col("tvec").as("cvec")),
+        src.select(col("sid").as("qid"), col("svec").as("qvec")),
+        k, excludeSelf = false),
+      bruteForceTopK(
+        src.select(col("sid").as("cid"), col("svec").as("cvec")),
+        tgt.select(col("tid").as("qid"), col("tvec").as("qvec")),
+        k, excludeSelf = false),
+      k, minMargin, mutual)
+  }
+
+  /** The [[marginMine]] fold DECOUPLED from the retrieval tier: both
+    * inputs are (query_id, corpus_id, cosine, rank) top-k lists —
+    * `fwd` source→target, `bwd` target→source — from ANY serve
+    * (brute force for the broadcast-small tier, the persisted-index
+    * distributed-query serve [[AnnIndex.mineTopK]] for corpus×corpus
+    * mining; the hybridFromLists pattern applied to margins). The fold
+    * itself only touches result lists: two per-endpoint decimal sums,
+    * the forward-top-1 candidate set, and one scan-speed margin
+    * filter — bounded by the component top-ks whatever corpus sits
+    * behind them. */
+  def marginFromLists(fwd: DataFrame, bwd: DataFrame, k: Int,
+      minMargin: Double, mutual: Boolean = false): DataFrame = {
+    require(k > 0, s"marginFromLists: k=$k")
     val dec = DecimalType(38, 18)
     val srcSum = fwd.groupBy(col("query_id").as("sid"))
       .agg(sum(col("cosine").cast(dec)).as("__ssum"))

@@ -770,6 +770,39 @@ object ExtensionQueries {
       |WHERE b.cos * 8.0 / CAST(ss.ssum + ts.tsum AS DOUBLE) >= 1.05
       |ORDER BY src_id""".stripMargin
 
+  /** s26: bitext mining AT TRAINING-CORPUS SCALE — the s25 fold with
+    * BOTH directions served from persisted IVF-PQ indexes through the
+    * distributed-query tier (AnnIndex.mineTopK: the s21 serve shape
+    * without the label filter — neither side is ever broadcast or
+    * collected, so source and target corpora can both be
+    * training-corpus-sized). At full probing with rerank covering the
+    * candidates the served lists equal brute force exactly, so the
+    * kept pair set must hash-match the s25 oracle — the s20→s21
+    * equality pattern applied to pair mining. */
+  def bitextMarginIndexed(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    val src = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val tgt = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s26_")
+    val srcRoot = base.resolve("src_idx").toString
+    val tgtRoot = base.resolve("tgt_idx").toString
+    graft.ext.AnnIndex.buildIvfPq(src, dim = 64, nlist = 8,
+      root = srcRoot, m = 8, codes = 16)
+    graft.ext.AnnIndex.buildIvfPq(tgt, dim = 64, nlist = 8,
+      root = tgtRoot, m = 8, codes = 16)
+    val fwd = graft.ext.AnnIndex.mineTopK(s, tgtRoot,
+      src.select(col("cid").as("qid"), col("cvec").as("qvec")),
+      k = 4, nprobe = 8, rerank = 5000)
+    val bwd = graft.ext.AnnIndex.mineTopK(s, srcRoot,
+      tgt.select(col("cid").as("qid"), col("cvec").as("qvec")),
+      k = 4, nprobe = 8, rerank = 5000)
+    Similarity.marginFromLists(fwd, bwd, k = 4, minMargin = 1.05)
+      .select(col("src_id"), col("tgt_id"))
+      .orderBy("src_id")
+  }
+
   /** s17: hybrid retrieval AT SCALE SETTINGS — same fusion as s14/s15
     * but the dense list comes from the IVF tier at nprobe 5 < nlist 20
     * (genuinely approximate, the real serve configuration). No
@@ -2436,6 +2469,8 @@ object ExtensionQueries {
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
     QueryDef("s24_retrieval_eval", retrievalEval, Some(retrievalEvalOracle)),
     QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
+    QueryDef("s26_bitext_indexed", bitextMarginIndexed,
+      Some(bitextMarginOracle)),
     QueryDef("st32_retrieval_eval_stream", retrievalEvalStream,
       Some(retrievalEvalOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),

@@ -87,6 +87,39 @@ class AnnIndexSpec extends AnyFunSuite {
     }
   }
 
+  test("mineTopK: distributed-query serve at full probing equals " +
+      "brute force; excludeSelf drops the identity pair") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annmtk_")
+      .resolve("idx").toString
+    val corpus = (0L until 150L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 6, root = root,
+      m = 4, codes = 8)
+    // disjoint query ids: the bitext shape (no self pairs possible)
+    val queries = (1000L until 1100L).map(i => (i, vec(i.toInt)))
+      .toDF("qid", "qvec")
+    val served = AnnIndex.mineTopK(spark, root, queries, k = 5,
+        nprobe = 6, rerank = 150)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    val brute = Similarity.bruteForceTopK(corpus, queries, k = 5,
+        excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    assert(served.length === 100 * 5)
+    assert(served.toSeq === brute.toSeq)
+    // queries that ARE corpus rows: excludeSelf drops cid == qid
+    val selfQ = (0L until 10L).map(i => (i, vec(i.toInt))).toDF("qid", "qvec")
+    val noSelf = AnnIndex.mineTopK(spark, root, selfQ, k = 5,
+      nprobe = 6, rerank = 150, excludeSelf = true).collect()
+    assert(!noSelf.exists(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("corpus_id")))
+    val withSelf = AnnIndex.mineTopK(spark, root, selfQ, k = 1,
+      nprobe = 6, rerank = 150).collect()
+    assert(withSelf.forall(r =>
+      r.getAs[Long]("query_id") == r.getAs[Long]("corpus_id")),
+      "a corpus row's own top-1 is itself when self pairs are allowed")
+  }
+
   test("hard-negative mining NULL-label semantics (pinned, both " +
       "shapes): NULL qlab mines nothing, NULL clab is never mined") {
     val root = java.nio.file.Files.createTempDirectory("graft_annnull_")
