@@ -1898,7 +1898,7 @@ object HygieneQueries {
     QueryDef("d21_contamination_report", contaminationReportGate,
       Some(contaminationReportOracle)),
     QueryDef("d22_contamination_curve", contaminationCurveGate,
-      Some(contaminationCurveOracle)),
+      Some(contaminationCurveOracle), bench = true),
     QueryDef("t7_pii_scan", piiScan, Some(piiOracle)),
     QueryDef("t8_line_dedup", lineDedup, Some(lineDedupOracle)),
     QueryDef("t9_chunking", chunking, Some(chunkingOracle)),

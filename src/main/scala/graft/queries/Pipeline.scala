@@ -1900,7 +1900,7 @@ object PipelineQueries {
     QueryDef("pk8_packing_report", packingReportGate,
       Some(packingReportOracle)),
     QueryDef("pk9_inference_batches", packedBatches,
-      Some(packedBatchesOracle)),
+      Some(packedBatchesOracle), bench = true),
     QueryDef("pk10_batch_report", batchReportGate,
       Some(batchReportOracle)),
     QueryDef("p9_incontext_order", incontextOrder,
