@@ -55,9 +55,6 @@ object Packing {
       pinned.clear()
       live.size
     }
-    private[Packing] def size: Int = synchronized {
-      pinned.count(_.get() != null)
-    }
   }
 
   private val globalScope = new CheckpointScope
