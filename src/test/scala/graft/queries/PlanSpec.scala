@@ -582,6 +582,30 @@ class PlanSpec extends AnyFunSuite {
       s"probe step must not scan the centroid table\n$s")
   }
 
+  test("mineTopK (s26 serve): the mined-negatives exchange contract — " +
+      "no broadcast of either side, key joins only, no centroid scan") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_planmtk_")
+      .resolve("idx").toString
+    val vecs = (0L until 40L).map { i =>
+      val r = new scala.util.Random(i.toInt)
+      (i, Array.fill(16)(r.nextFloat() - 0.5f))
+    }
+    graft.ext.AnnIndex.buildIvfPq(vecs.toDF("cid", "cvec"), dim = 16,
+      nlist = 4, root = root, m = 4, codes = 8)
+    val served = graft.ext.AnnIndex.mineTopK(spark, root,
+      vecs.map(v => (v._1 + 1000L, v._2)).toDF("qid", "qvec"),
+      k = 3, nprobe = 2, rerank = 8)
+    val s = planString(served)
+    assert(!s.contains("BroadcastExchange"),
+      s"mineTopK must not broadcast any side\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"mineTopK must join on keys only\n$s")
+    assert(!s.contains("centroids.parquet"),
+      s"probe step must not scan the centroid table\n$s")
+  }
+
   test("pk4/pk5 packing: only bookkeeping-keyed hash exchanges " +
       "(__pid / seq grouping / shard_id), map-side partial collect, " +
       "no broadcast or cartesian anywhere") {
