@@ -246,16 +246,31 @@ object Bench {
       val ss = (stamps.values ++ Seq(mbps)).toSeq.sorted
       ss(ss.size / 2)
     }
-    val reruns = scala.collection.mutable.ArrayBuffer.empty[String]
+    // Round-12 audit: 13 reruns fired but re-measured INSIDE the same
+    // contended stretch, so the kept min was still 1.4-1.9x above the
+    // quiesced record. The rerun now WAITS for a clean disk window
+    // first (re-stamp until the disk is back near the session median,
+    // 15s sleeps under one shared 5-minute deadline), so the
+    // re-measurement actually samples the uncontended box; the min
+    // across original + clean rerun is kept as before.
+    val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
+    val rerunDeadline = System.nanoTime() + 5L * 60L * 1000000000L
     val results = if (!retry) results0 else results0.map { case (name, t) =>
       val suspect = stamps(name) < 0.5 * refStamp || spreads(name) > 2.0
       if (!suspect) name -> t
       else {
         val q = benchDefs.find(_.name == name).get
         setSizing(name)
-        stamps(name) = math.max(stamps(name), diskStamp())
+        var st = diskStamp()
+        while (st < 0.8 * refStamp && System.nanoTime() < rerunDeadline) {
+          System.err.println(f"[bench] rerun $name: disk stamp $st%.1f " +
+            f"still under 0.8x median ${refStamp}%.1f - sleeping 15s")
+          Thread.sleep(15000)
+          st = diskStamp()
+        }
+        stamps(name) = math.max(stamps(name), st)
         val t2 = timeOnce(q)
-        reruns += name
+        reruns(name) = reruns.getOrElse(name, 0) + 1
         name -> math.min(t, t2)
       }
     }
@@ -278,8 +293,8 @@ object Bench {
     val stampJson = stamps.map { case (k, v) =>
       "\"" + k + "\":" + math.rint(v * 10) / 10 }
       .mkString(",\"query_disk_mbps\":{", ",", "}")
-    val rerunJson = reruns.map("\"" + _ + "\"")
-      .mkString(",\"contention_reruns\":[", ",", "]")
+    val rerunJson = reruns.map { case (k, n) => "\"" + k + "\":" + n }
+      .mkString(",\"contention_reruns\":{", ",", "}")
     val mbpsR = math.rint(mbps * 10) / 10
     val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR,"quiesced":$quiesced,"quiesce_waits":$quiesceWaits$skewJson$stampJson$rerunJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
@@ -288,7 +303,15 @@ object Bench {
     catch { case e: Throwable =>
       System.err.println(s"[bench] detail sidecar write failed: $e") }
     println(detail)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR,"quiesced":$quiesced,"n_reruns":${reruns.size},"sf":"$sfDir"}""")
+    // The compact official line carries only the SLOWEST 12 queries:
+    // the full 33-query map is ~1.5 KB against the driver's ~2 KB
+    // capture window, so one more round of headline growth would
+    // re-break the truncation this line exists to avoid. The complete
+    // map lives in BENCH_DETAIL.json (and the detail print above).
+    val qsSlow = results.sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + round3(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlow,"n_queries":${results.size},"disk_mbps":$mbpsR,"quiesced":$quiesced,"n_reruns":${reruns.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

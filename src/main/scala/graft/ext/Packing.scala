@@ -105,10 +105,18 @@ object Packing {
       // guard accepts dir itself or any path UNDER it — but not a
       // sibling that merely shares a string prefix (/a/bc must not
       // satisfy a request for /a/b, or the files land in the other
-      // scope's tree and the wrong cleanup claims them).
-      val want = dir.stripSuffix("/")
+      // scope's tree and the wrong cleanup claims them). BOTH sides are
+      // filesystem-qualified first: Spark reports getCheckpointDir
+      // scheme-qualified (file:/…), so a plain-path caller would never
+      // match the raw strings and every call would re-point the dir,
+      // minting a fresh UUID subdir each time.
+      def qualify(p: String): String = {
+        val hp = new org.apache.hadoop.fs.Path(p)
+        hp.getFileSystem(sc.hadoopConfiguration).makeQualified(hp).toString
+      }
+      val want = qualify(dir).stripSuffix("/")
       val alreadyUnder = sc.getCheckpointDir.exists { cur =>
-        val c = cur.stripSuffix("/")
+        val c = qualify(cur).stripSuffix("/")
         c == want || c.startsWith(want + "/")
       }
       if (!alreadyUnder) sc.setCheckpointDir(dir)

@@ -797,9 +797,15 @@ object Similarity {
   def evalRetrieval(results: DataFrame, qrels: DataFrame,
       kEval: Int): DataFrame = {
     require(kEval > 0, s"evalRetrieval: kEval=$kEval")
+    // Both inputs dedupe defensively: duplicate judgment rows would
+    // inflate n_rel (deflating recall/AP), and a duplicate result doc
+    // could push n_hit past n_rel (recall_ppm > 1e6). A repeated result
+    // doc keeps its BEST rank — the standard trec_eval reading. Both
+    // deduped frames are still list-sized (Q·k rows at most).
     val res = results.where(col("rank") <= kEval)
-      .select(col("query_id"), col("corpus_id"), col("rank"))
-    val rel = qrels.select(col("query_id"), col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(min(col("rank")).as("rank"))
+    val rel = qrels.select(col("query_id"), col("corpus_id")).distinct()
     val perHit = res
       .join(rel, Seq("query_id", "corpus_id"), "left_semi")
       .groupBy(col("query_id"))
@@ -838,8 +844,10 @@ object Similarity {
     * Determinism (hash-gate contract): the k neighbor cosines sum in
     * DECIMAL(38,18) — exact and order-free, so the margin's
     * denominator never depends on aggregation order; the final
-    * margin = cosine · 2k / (sums as double) is one double product and
-    * one double division of bit-identical inputs on both engines.
+    * margin = cosine · (cnt_s + cnt_t) / (sums as double) — exact
+    * integer counts, = cosine · 2k when both lists are full — is one
+    * double product and one double division of bit-identical inputs
+    * on both engines.
     *
     * Scale shape: both directions run the capacity-k top-k aggregate
     * over ONE pass of the other side (the [[bruteForceTopK]] contract
@@ -875,15 +883,26 @@ object Similarity {
     * itself only touches result lists: two per-endpoint decimal sums,
     * the forward-top-1 candidate set, and one scan-speed margin
     * filter — bounded by the component top-ks whatever corpus sits
-    * behind them. */
+    * behind them.
+    *
+    * Short lists are handled: the normalizer is the POOLED mean of the
+    * two neighborhoods — cosine · (|fwd list| + |bwd list|) /
+    * (Σfwd + Σbwd) — using each endpoint's ACTUAL list length, so a
+    * query with fewer than `k` neighbors (corpus smaller than k, or a
+    * truncated served list) divides by its real count instead of
+    * inflating the margin with a phantom `k` denominator. When both
+    * lists carry exactly k rows (the usual serve) this is bit-identical
+    * to the paper's cosine · 2k / (Σfwd + Σbwd). */
   def marginFromLists(fwd: DataFrame, bwd: DataFrame, k: Int,
       minMargin: Double, mutual: Boolean = false): DataFrame = {
     require(k > 0, s"marginFromLists: k=$k")
     val dec = DecimalType(38, 18)
     val srcSum = fwd.groupBy(col("query_id").as("sid"))
-      .agg(sum(col("cosine").cast(dec)).as("__ssum"))
+      .agg(sum(col("cosine").cast(dec)).as("__ssum"),
+        count(lit(1)).as("__scnt"))
     val tgtSum = bwd.groupBy(col("query_id").as("tid"))
-      .agg(sum(col("cosine").cast(dec)).as("__tsum"))
+      .agg(sum(col("cosine").cast(dec)).as("__tsum"),
+        count(lit(1)).as("__tcnt"))
     val best = fwd.where(col("rank") === 1)
       .select(col("query_id").as("sid"), col("corpus_id").as("tid"),
         col("cosine"))
@@ -898,7 +917,7 @@ object Similarity {
       .join(tgtSum, Seq("tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cosine"),
-        (col("cosine") * lit(2.0 * k) /
+        (col("cosine") * (col("__scnt") + col("__tcnt")).cast("double") /
           (col("__ssum") + col("__tsum")).cast("double")).as("margin"))
       .where(col("margin") >= minMargin)
   }

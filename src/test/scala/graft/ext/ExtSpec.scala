@@ -386,6 +386,44 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 2L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("Similarity.evalRetrieval: duplicate qrels rows and duplicate " +
+      "result docs do not corrupt the panel (best rank kept)") {
+    // qrels for q1 carry a repeated judgment; results repeat doc 10 at
+    // ranks 1 and 4 — n_rel must stay 2, n_hit must stay <= n_rel, and
+    // the repeated doc scores at its BEST rank (1).
+    val results = Seq(
+      (1L, 10L, 1L), (1L, 99L, 2L), (1L, 11L, 3L), (1L, 10L, 4L))
+      .toDF("query_id", "corpus_id", "rank")
+    val qrels = Seq((1L, 10L), (1L, 10L), (1L, 11L))
+      .toDF("query_id", "corpus_id")
+    val r = Similarity.evalRetrieval(results, qrels, kEval = 5).collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_rel") === 2L)
+    assert(row.getAs[Long]("n_hit") === 2L)
+    assert(row.getAs[Long]("recall_ppm") === 1000000L)
+    assert(row.getAs[Long]("rr_ppm") === 1000000L)
+    // AP over hit ranks {1, 3}: (1e6/1 + 2e6/3) / 2
+    assert(row.getAs[Long]("ap_ppm") === (1000000L + 2000000L / 3) / 2)
+  }
+
+  test("Similarity.marginFromLists: a list shorter than k divides by " +
+      "its ACTUAL count, not a phantom k") {
+    // One query each side; fwd list has 2 rows, bwd has 3, k = 4.
+    // Margin must be cos * (2 + 3) / (ssum + tsum) — a /k normalizer
+    // would inflate it by 8/5.
+    val fwd = Seq((1L, 100L, 0.9, 1L), (1L, 101L, 0.5, 2L))
+      .toDF("query_id", "corpus_id", "cosine", "rank")
+    val bwd = Seq((100L, 1L, 0.9, 1L), (100L, 2L, 0.4, 2L),
+      (100L, 3L, 0.1, 3L)).toDF("query_id", "corpus_id", "cosine", "rank")
+    val got = Similarity.marginFromLists(fwd, bwd, k = 4, minMargin = 0.0)
+      .collect()
+    assert(got.length === 1)
+    val m = got.head.getAs[Double]("margin")
+    val want = 0.9 * 5.0 / (0.9 + 0.5 + 0.9 + 0.4 + 0.1)
+    assert(math.abs(m - want) < 1e-12, s"margin $m != $want")
+  }
+
   test("Similarity.marginMine: forward-top-1 candidates, ratio margin " +
       "from decimal neighbor sums, threshold filter, mutual option") {
     def vec(seed: Int): Array[Float] = {

@@ -192,6 +192,30 @@ class PackingSpec extends AnyFunSuite {
     assert(run(5, 1) === want)
   }
 
+  test("materializeOnce: a plain-path checkpointDir matching the " +
+      "current scheme-qualified dir is accepted — no re-point, no " +
+      "fresh UUID subdir per call") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckq_")
+      .resolve("ck").toString
+    val sc = spark.sparkContext
+    val prior = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(dir)
+      // Spark reports the dir scheme-qualified (file:/...) + one UUID
+      // level; a plain-path caller must still match it
+      val cur = sc.getCheckpointDir.get
+      assert(cur.startsWith("file:"), s"precondition: $cur")
+      Packing.materializeOnce(spark.range(10).toDF("x"), Some(dir))
+        .count()
+      assert(sc.getCheckpointDir.get === cur,
+        "materializeOnce re-pointed the checkpoint dir despite the " +
+          "current dir already sitting under the requested path")
+    } finally prior match {
+      case Some(d) => sc.setCheckpointDir(d)
+      case None => if (sc.isLocal) sc.setCheckpointDir(null)
+    }
+  }
+
   test("checkpointDir knob: reliable path is value-identical to the " +
       "local path, files live under the dir and are cleaned on scope " +
       "exit; releaseLocalCheckpoints frees the local-path blocks") {
