@@ -282,16 +282,55 @@ object AnnIndex {
     * Output: (query_id, corpus_id, cosine, rank), rank 1..k. */
   def mineTopK(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int, rerank: Int,
-      excludeSelf: Boolean = false): DataFrame = {
-    require(rerank >= k, s"mineTopK: rerank=$rerank < k=$k")
+      excludeSelf: Boolean = false): DataFrame =
+    mineTopK(open(spark, root), queries, k, nprobe, rerank, excludeSelf)
+
+  /** A driver-side handle on an opened index: the KB-sized metadata
+    * (meta row, PQ codebook, centroid arrays) collected ONCE, the
+    * corpus-sized encoded table left as a lazy relation re-planned per
+    * query. A long-lived server (a streaming foreachBatch loop serving
+    * one batch per trigger — st32's shape) opens the index once and
+    * serves every batch through the handle, so the per-batch work is
+    * ONLY the pruned encoded-table scan: no per-batch metadata collect
+    * jobs, no centroid/codebook re-read, and certainly no corpus
+    * rescan. */
+  final class Opened private[AnnIndex] (
+      private[AnnIndex] val spark: SparkSession,
+      val root: String,
+      val dim: Int, val m: Int, val codes: Int, val nlist: Int,
+      private[AnnIndex] val codebook: Array[Array[Array[Double]]],
+      private[AnnIndex] val centIds: Array[Long],
+      private[AnnIndex] val centVecs: Array[Array[Double]]) {
+    /** Lazy view of the encoded table — re-resolved per plan, so an
+      * [[appendIvfPq]] between serves is visible to the next serve. */
+    private[AnnIndex] def encoded: DataFrame =
+      spark.read.parquet(s"$root/encoded.parquet")
+  }
+
+  /** Open a persisted index: collect meta + codebook + centroids
+    * (driver-side, KB-sized — three small jobs, paid once per server
+    * lifetime instead of once per query batch). */
+  def open(spark: SparkSession, root: String): Opened = {
     val meta = spark.read.parquet(s"$root/meta.parquet").head
-    val codes = meta.getAs[Int]("codes")
-    val nlist = meta.getAs[Int]("nlist")
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"mineTopK: nprobe=$nprobe out of range [1, $nlist]")
-    val codebook = loadCodebook(spark, root)
     val (centIds, centVecs) = loadCentroids(spark, root)
-    val encoded = spark.read.parquet(s"$root/encoded.parquet")
+    new Opened(spark, root, meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
+      meta.getAs[Int]("codes"), meta.getAs[Int]("nlist"),
+      loadCodebook(spark, root), centIds, centVecs)
+  }
+
+  /** [[mineTopK]] against an already-[[open]]ed index — identical plan,
+    * zero per-call metadata jobs. */
+  def mineTopK(index: Opened, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
+    require(rerank >= k, s"mineTopK: rerank=$rerank < k=$k")
+    val codes = index.codes
+    require(nprobe >= 1 && nprobe <= index.nlist,
+      s"mineTopK: nprobe=$nprobe out of range [1, ${index.nlist}]")
+    val codebook = index.codebook
+    val centIds = index.centIds
+    val centVecs = index.centVecs
+    val encoded = index.encoded
 
     val probes = queries.select(col("qid"),
         GraftFunctions.pqLut(col("qvec"), codebook).as("lut"),

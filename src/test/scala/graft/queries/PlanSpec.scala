@@ -606,6 +606,44 @@ class PlanSpec extends AnyFunSuite {
       s"probe step must not scan the centroid table\n$s")
   }
 
+  test("st32 per-batch serve: the streamed retrieval eval touches ONLY " +
+      "the encoded index table and the static qrels relation — no " +
+      "corpus, centroid, meta, or codebook scan in the per-batch plan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_st32plan_")
+    val root = base.resolve("idx").toString
+    val corpus = graft.Tables.embeddings(spark, sf)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.ext.AnnIndex.buildIvfPq(corpus, dim = 64, nlist = 4,
+      root = root, m = 4, codes = 8)
+    val qrelsDir = base.resolve("qrels").toString
+    val qdir = base.resolve("queries").toString
+    corpus.where(col("cid") < 4)
+      .select(col("cid").as("query_id"), (col("cid") + 1).as("corpus_id"))
+      .write.parquet(qrelsDir)
+    corpus.where(col("cid") < 4)
+      .select(col("cid").as("qid"), col("cvec").as("qvec"))
+      .write.parquet(qdir)
+    // the st32 foreachBatch body, verbatim: a pre-opened handle serves
+    // the batch (here: the streamed query parquet), qrels joins in from
+    // its materialized relation
+    val idx = graft.ext.AnnIndex.open(spark, root)
+    val batch = spark.read.parquet(qdir)
+    val served = graft.ext.AnnIndex.mineTopK(idx, batch, k = 3,
+      nprobe = 2, rerank = 8, excludeSelf = true)
+    val qrels = spark.read.parquet(qrelsDir)
+      .join(batch.select(col("qid").as("query_id")),
+        Seq("query_id"), "left_semi")
+    val s = planString(
+      graft.ext.Similarity.evalRetrieval(served, qrels, kEval = 3))
+    Seq("embeddings.parquet", "centroids.parquet", "meta.parquet",
+        "codebook.parquet").foreach { f =>
+      assert(!s.contains(f), s"per-batch plan must not scan $f\n$s")
+    }
+    assert(s.contains("encoded.parquet"),
+      s"serve must come from the encoded index table\n$s")
+  }
+
   test("pk4/pk5 packing: only bookkeeping-keyed hash exchanges " +
       "(__pid / seq grouping / shard_id), map-side partial collect, " +
       "no broadcast or cartesian anywhere") {
