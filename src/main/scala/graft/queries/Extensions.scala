@@ -803,6 +803,178 @@ object ExtensionQueries {
       .orderBy("src_id")
   }
 
+  /** s27: bitext mining at REAL pruned serve settings, reported as
+    * measured kept-pair recall vs the s25 full-probing answer — the
+    * s22/s23 recall-ladder discipline applied to pair MINING: each
+    * side indexes at the capacity rule (nlist = ⌊√N⌋ of that side,
+    * nprobe = max(1, nlist/4) — the s19/s23 knobs), both directions
+    * serve through AnnIndex.mineTopK at rerank 100, and the margin
+    * fold keeps pairs at the s25 threshold. The report is ONE row
+    * (n_exact, n_approx, n_hit, recall_ppm) whose oracle replays BOTH
+    * tiers end to end — the pruned PQ pipelines, the count-aware
+    * margin folds, the exact s25 answer, and the recall join — so the
+    * measurement itself is hash-exact. An eager floor guards the
+    * number: this pipeline is exact-integer end to end over a fixed
+    * corpus, so a breach is a code regression, not noise. */
+  def bitextMinedRecall(s: SparkSession, d: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, d)
+    val src = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val tgt = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val base = java.nio.file.Files.createTempDirectory("graft_s27_")
+    val srcRoot = base.resolve("src_idx").toString
+    val tgtRoot = base.resolve("tgt_idx").toString
+    def knobs(n: Long): (Int, Int) = {
+      val nlist = math.max(1, math.floor(math.sqrt(n.toDouble)).toInt)
+      (nlist, math.max(1, nlist / 4))
+    }
+    val (nlistS, nprobeS) = knobs(src.count())
+    val (nlistT, nprobeT) = knobs(tgt.count())
+    graft.ext.AnnIndex.buildIvfPq(src, dim = 64, nlist = nlistS,
+      root = srcRoot, m = 8, codes = 16)
+    graft.ext.AnnIndex.buildIvfPq(tgt, dim = 64, nlist = nlistT,
+      root = tgtRoot, m = 8, codes = 16)
+    val fwd = graft.ext.AnnIndex.mineTopK(s, tgtRoot,
+      src.select(col("cid").as("qid"), col("cvec").as("qvec")),
+      k = 4, nprobe = nprobeT, rerank = 100)
+    val bwd = graft.ext.AnnIndex.mineTopK(s, srcRoot,
+      tgt.select(col("cid").as("qid"), col("cvec").as("qvec")),
+      k = 4, nprobe = nprobeS, rerank = 100)
+    val approx = Similarity.marginFromLists(fwd, bwd, k = 4,
+      minMargin = 1.05).select(col("src_id"), col("tgt_id"))
+    val exact = Similarity.marginMine(
+      src.select(col("cid").as("sid"), col("cvec").as("svec")),
+      tgt.select(col("cid").as("tid"), col("cvec").as("tvec")),
+      k = 4, minMargin = 1.05).select(col("src_id"), col("tgt_id"))
+    val report = exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(approx.agg(count(lit(1)).as("n_approx")))
+      .crossJoin(exact.join(approx, Seq("src_id", "tgt_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_approx"), col("n_hit"),
+        expr("n_hit * 1000000L div n_exact").as("recall_ppm"))
+      .localCheckpoint()
+    // measured kept-pair recall at the pruned knobs: 385869 ppm
+    // (sf0.001: 71/184 exact pairs survive, 197 mined) and 465517 ppm
+    // (sf0.01: 81/174, 206 mined) — in line with the s22/s23 mined
+    // ladder at the same rule; the floor sits conservatively below
+    // both readings
+    val m = report.head
+    require(m.getAs[Long]("recall_ppm") >= 300000L,
+      s"bitextMinedRecall: kept-pair recall ${m.getAs[Long]("recall_ppm")}" +
+        " ppm fell below the 300000 ppm floor — the pruned mining serve" +
+        " regressed")
+    report
+  }
+
+  /** Directional pruned mineTopK replay for the s27 oracle: the
+    * minedIvfPqOracleWith pipeline WITHOUT the label filter,
+    * parameterized over which side is the corpus and which the query
+    * stream. `corpusSql`/`querySql` are full SELECTs yielding (cid, v)
+    * / (qid, qv); knob SQL is evaluated against the corpus CTE `c`. */
+  private def prunedMineTopKSql(corpusSql: String, querySql: String,
+      nlist: String, nprobe: String, rerank: String, k: String): String =
+    s"""WITH c AS ($corpusSql),
+      |q AS ($querySql),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= $nlist),
+      |assigned AS (
+      | SELECT cid, centroid_id FROM (
+      |  SELECT c.cid, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |cb AS (
+      | SELECT rn - 1 AS code, v FROM (
+      |  SELECT v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 16),
+      |ms AS (SELECT unnest(range(0, 8)) AS mi),
+      |enc AS (
+      | SELECT cid, mi, code FROM (
+      |  SELECT c.cid, ms.mi, cb.code, row_number() OVER (
+      |    PARTITION BY c.cid, ms.mi
+      |    ORDER BY list_aggregate(list_transform(range(1, 9), j ->
+      |      (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))
+      |      * (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))),
+      |      'sum'), cb.code) AS rn
+      |  FROM c CROSS JOIN ms CROSS JOIN cb) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= $nprobe),
+      |adc AS (
+      | SELECT e.cid, p.qid,
+      |  sum(list_aggregate(list_transform(range(1, 9), j ->
+      |    CAST(p.qv[e.mi * 8 + j] AS DOUBLE) * CAST(cb.v[e.mi * 8 + j] AS DOUBLE)),
+      |    'sum')) AS score
+      | FROM probes p
+      | JOIN assigned a USING (centroid_id)
+      | JOIN enc e ON e.cid = a.cid
+      | JOIN cb USING (code)
+      | GROUP BY e.cid, p.qid),
+      |cand AS (
+      | SELECT qid, cid FROM (
+      |  SELECT qid, cid,
+      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
+      |  FROM adc) t WHERE rn <= $rerank)
+      |SELECT query_id, corpus_id, cos, rank FROM (
+      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
+      |  list_cosine_similarity(q.qv, c.v) AS cos,
+      |  CAST(row_number() OVER (PARTITION BY ca.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
+      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
+      |WHERE rank <= $k""".stripMargin
+
+  private lazy val bitextMinedRecallOracle: String = {
+    val srcSql = "SELECT vec_id AS cid, embedding AS v FROM embeddings" +
+      " WHERE vec_id % 2 = 0"
+    val tgtSql = "SELECT vec_id AS cid, embedding AS v FROM embeddings" +
+      " WHERE vec_id % 2 = 1"
+    val srcQ = "SELECT vec_id AS qid, embedding AS qv FROM embeddings" +
+      " WHERE vec_id % 2 = 0"
+    val tgtQ = "SELECT vec_id AS qid, embedding AS qv FROM embeddings" +
+      " WHERE vec_id % 2 = 1"
+    val nlistSql = "(SELECT CAST(floor(sqrt(count(*))) AS BIGINT) FROM c)"
+    val nprobeSql =
+      "(SELECT greatest(1, CAST(floor(sqrt(count(*))) AS BIGINT) // 4) FROM c)"
+    val fwdSql = prunedMineTopKSql(tgtSql, srcQ, nlistSql, nprobeSql,
+      "100", "4")
+    val bwdSql = prunedMineTopKSql(srcSql, tgtQ, nlistSql, nprobeSql,
+      "100", "4")
+    s"""WITH fwd AS ($fwdSql),
+      |bwd AS ($bwdSql),
+      |ss AS (SELECT query_id AS sid, sum(CAST(cos AS DECIMAL(38,18))) AS ssum,
+      |  count(*) AS scnt FROM fwd GROUP BY 1),
+      |ts AS (SELECT query_id AS tid, sum(CAST(cos AS DECIMAL(38,18))) AS tsum,
+      |  count(*) AS tcnt FROM bwd GROUP BY 1),
+      |best AS (SELECT query_id AS sid, corpus_id AS tid, cos
+      |  FROM fwd WHERE rank = 1),
+      |approx AS (
+      | SELECT b.sid AS src_id, b.tid AS tgt_id
+      | FROM best b JOIN ss USING (sid) JOIN ts USING (tid)
+      | WHERE b.cos * CAST(ss.scnt + ts.tcnt AS DOUBLE)
+      |   / CAST(ss.ssum + ts.tsum AS DOUBLE) >= 1.05),
+      |exact AS ($bitextMarginOracle),
+      |hit AS (
+      | SELECT count(*) AS n_hit FROM exact e
+      | JOIN approx a ON a.src_id = e.src_id AND a.tgt_id = e.tgt_id)
+      |SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+      | CAST((SELECT count(*) FROM approx) AS BIGINT) AS n_approx,
+      | CAST(n_hit AS BIGINT) AS n_hit,
+      | CAST(n_hit * 1000000 // (SELECT count(*) FROM exact) AS BIGINT)
+      |   AS recall_ppm
+      |FROM hit""".stripMargin
+  }
+
   /** s17: hybrid retrieval AT SCALE SETTINGS — same fusion as s14/s15
     * but the dense list comes from the IVF tier at nprobe 5 < nlist 20
     * (genuinely approximate, the real serve configuration). No
@@ -2495,6 +2667,8 @@ object ExtensionQueries {
     QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
     QueryDef("s26_bitext_indexed", bitextMarginIndexed,
       Some(bitextMarginOracle)),
+    QueryDef("s27_bitext_mined_recall", bitextMinedRecall,
+      Some(bitextMinedRecallOracle)),
     QueryDef("st32_retrieval_eval_stream", retrievalEvalStream,
       Some(retrievalEvalOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
