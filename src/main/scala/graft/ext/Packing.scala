@@ -462,6 +462,50 @@ object Packing {
           greatest(col("padded_tokens"), lit(1L))).as("padding_ppm"))
   }
 
+  /** [[batchReport]] plus the REALIZED shard-boundary cost: the same
+    * one-row padding report for the `shardRows`-sharded layout, joined
+    * with a single-shard replay of the identical fold, and the delta as
+    * `boundary_waste_ppm` = ⌊(padded_sharded − padded_single) · 1e6 /
+    * padded_single⌋ — the documented "at most one underfilled batch per
+    * shard" bound turned into a measurement. Within each shard the fold
+    * consumes the SAME global (length desc, id) rank order, so the
+    * sharded layout is exactly the single-shard fold with extra breaks
+    * forced at shard boundaries; the delta isolates what those breaks
+    * cost and reads exactly 0 once one shard holds everything (the
+    * spec pins it). The delta CAN be negative: next-fit is a
+    * heuristic, and a forced break occasionally beats it (measured
+    * −2010 ppm on a 200-doc fixture at 8-row shards) — hence FLOOR
+    * division, explicitly, so the ppm is engine-replayable on negative
+    * values too (SQL `//` floors where Spark's `div` truncates).
+    *
+    * Scale note: the single-shard replay folds ALL rows through one
+    * bounded in-row list, so this is a gate/dev-scale MEASUREMENT
+    * harness for tuning `shardRows` on a sample — the production layout
+    * path stays [[packBatches]] + [[batchReport]], whose per-shard
+    * state never exceeds `shardRows`. */
+  def batchReportWithBoundary(df: DataFrame, id: String,
+      tokenCount: Column, maxTokens: Long, maxRows: Int,
+      shardRows: Long = 4096L, numPartitions: Int = 0,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.graftbridge.ColumnBridge.{column, expression}
+    def idiv(a: Column, b: Column): Column = column(
+      org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        expression(a), expression(b)))
+    val sharded = batchReport(packBatches(df, id, tokenCount, maxTokens,
+      maxRows, shardRows, numPartitions, checkpointDir))
+    val single = batchReport(packBatches(df, id, tokenCount, maxTokens,
+        maxRows, shardRows = Long.MaxValue, numPartitions, checkpointDir))
+      .select(col("padded_tokens").as("single_padded_tokens"))
+    val num = (col("padded_tokens") - col("single_padded_tokens")) *
+      1000000L
+    val den = greatest(col("single_padded_tokens"), lit(1L))
+    // exact floor division: pmod's remainder is non-negative, so
+    // (num - pmod) is exactly divisible and idiv of it equals ⌊num/den⌋
+    // for either sign of num
+    sharded.crossJoin(single)
+      .withColumn("boundary_waste_ppm", idiv(num - pmod(num, den), den))
+  }
+
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */

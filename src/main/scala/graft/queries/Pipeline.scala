@@ -219,9 +219,9 @@ object PipelineQueries {
         maxRows = 8, shardRows = 128L)
       .orderBy("doc_id")
 
-  private val packedBatchesOracle =
-    """WITH RECURSIVE toks AS (
-      | SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\s]+'))
+  private def packedBatchesOracleWith(shardRows: String): String =
+    s"""WITH RECURSIVE toks AS (
+      | SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\\s]+'))
       |   AS BIGINT) AS n
       | FROM documents),
       |nz AS (SELECT doc_id, n FROM toks WHERE n > 0),
@@ -230,7 +230,8 @@ object PipelineQueries {
       |  row_number() OVER (ORDER BY n DESC, doc_id) - 1 AS r
       | FROM nz),
       |sh AS (
-      | SELECT doc_id, n, r // 128 AS shard_id, r % 128 + 1 AS srn
+      | SELECT doc_id, n, r // $shardRows AS shard_id,
+      |  r % $shardRows + 1 AS srn
       | FROM rk),
       |f AS (
       | SELECT shard_id, srn, doc_id, n,
@@ -249,19 +250,24 @@ object PipelineQueries {
       | b AS batch_in_shard, n > 1024 AS oversize
       |FROM f ORDER BY doc_id""".stripMargin
 
-  /** pk10: padding-efficiency report over the pk9 layout
-    * (Packing.batchReport) — padded tokens actually allocated vs the
-    * real token mass, waste in exact ppm, batch/oversize counts.
-    * Oracle wraps the pk9 recursive replay in the same two-level
-    * aggregate. */
-  def batchReportGate(s: SparkSession, d: String): DataFrame =
-    Packing.batchReport(
-      Packing.packBatches(Tables.documents(s, d), "doc_id",
-        TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
-        maxRows = 8, shardRows = 128L))
+  private val packedBatchesOracle = packedBatchesOracleWith("128")
 
-  private[queries] def batchReportOracle =
-    s"""WITH base AS ($packedBatchesOracle),
+  /** pk10: padding-efficiency report over the pk9 layout
+    * (Packing.batchReportWithBoundary) — padded tokens actually
+    * allocated vs the real token mass, waste in exact ppm,
+    * batch/oversize counts, PLUS the realized shard-boundary cost:
+    * the same fold replayed as ONE shard and the padded-token delta
+    * reported as boundary_waste_ppm (the documented one-underfilled-
+    * batch-per-shard bound, measured). Oracle wraps the pk9 recursive
+    * replay in the same two-level aggregate twice — once at 128-row
+    * shards, once single-shard — and recomputes the delta. */
+  def batchReportGate(s: SparkSession, d: String): DataFrame =
+    Packing.batchReportWithBoundary(Tables.documents(s, d), "doc_id",
+      TextAnalysis.tokenCount(col("text")), maxTokens = 1024L,
+      maxRows = 8, shardRows = 128L)
+
+  private def batchAggSql(baseSql: String): String =
+    s"""WITH base AS ($baseSql),
       |pb AS (
       | SELECT shard_id, batch_in_shard,
       |  CAST(count(*) AS BIGINT) AS nn,
@@ -278,6 +284,17 @@ object PipelineQueries {
       | CAST((sum(nn * mx) - sum(realt)) * 1000000
       |   // greatest(sum(nn * mx), 1) AS BIGINT) AS padding_ppm
       |FROM pb""".stripMargin
+
+  private[queries] def batchReportOracle =
+    s"""WITH rep AS (${batchAggSql(packedBatchesOracle)}),
+      |srep AS (
+      | SELECT padded_tokens AS single_padded_tokens
+      | FROM (${batchAggSql(packedBatchesOracleWith("1000000000"))}) s)
+      |SELECT rep.*, srep.single_padded_tokens,
+      | CAST((rep.padded_tokens - srep.single_padded_tokens) * 1000000
+      |   // greatest(srep.single_padded_tokens, 1) AS BIGINT)
+      |   AS boundary_waste_ppm
+      |FROM rep, srep""".stripMargin
 
   /** pk6: dense global sequence ids over the pk5 layout
     * (Packing.renumberSequences) — the loader-facing numbering: rank of

@@ -192,6 +192,40 @@ class PackingSpec extends AnyFunSuite {
     assert(run(5, 1) === want)
   }
 
+  test("batchReportWithBoundary: boundary_waste_ppm is the exact " +
+      "sharded-vs-single padded delta, positive under tight shards, " +
+      "and shrinks to 0 once one shard holds everything") {
+    val r = new scala.util.Random(7)
+    val df = (1L to 200L).map(i => (i, 1L + r.nextInt(60)))
+      .toDF("doc_id", "toks")
+    def rep(sr: Long) = Packing.batchReportWithBoundary(df, "doc_id",
+      col("toks"), maxTokens = 120L, maxRows = 4, shardRows = sr).head
+    val (r8, r64, rAll) = (rep(8L), rep(64L), rep(100000L))
+    // the single-shard replay is independent of the sharding knob
+    val single = r8.getAs[Long]("single_padded_tokens")
+    assert(r64.getAs[Long]("single_padded_tokens") === single)
+    assert(rAll.getAs[Long]("single_padded_tokens") === single)
+    // the column IS the delta, in exact FLOOR-division ppm of the
+    // single layout (floor, not truncation: the delta can be negative —
+    // next-fit is a heuristic and a forced break occasionally beats it —
+    // and SQL `//` floors where a plain div would truncate)
+    Seq(r8, r64, rAll).foreach { row =>
+      val want = Math.floorDiv(
+        (row.getAs[Long]("padded_tokens") - single) * 1000000L, single)
+      assert(row.getAs[Long]("boundary_waste_ppm") === want)
+    }
+    // tight shards (8 rows per shard, 4-row batches) show a measurable
+    // boundary effect (this fixture: negative — the forced breaks beat
+    // greedy); widening the shard shrinks its magnitude; one shard = 0
+    val (w8, w64, wAll) = (r8.getAs[Long]("boundary_waste_ppm"),
+      r64.getAs[Long]("boundary_waste_ppm"),
+      rAll.getAs[Long]("boundary_waste_ppm"))
+    assert(w8 !== 0L, "expected a nonzero boundary effect at shardRows=8")
+    assert(math.abs(w8) >= math.abs(w64),
+      s"boundary magnitude must not grow with shardRows: |$w8| < |$w64|")
+    assert(wAll === 0L, s"single shard must read 0, got $wAll")
+  }
+
   test("materializeOnce: a plain-path checkpointDir matching the " +
       "current scheme-qualified dir is accepted — no re-point, no " +
       "fresh UUID subdir per call") {
