@@ -774,14 +774,23 @@ object Dedup {
     */
   def prefixJaccardPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, thresholdPct: Int = 50,
-      maxDocsPerGram: Int = 0, hotCap: Int = 65536): DataFrame = {
+      maxDocsPerGram: Int = 0, hotCap: Int = 65536,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct out of range: $thresholdPct")
     require(hotCap >= 1, s"hotCap out of range: $hotCap")
-    val grams = df
+    // The (doc_id, grams, ng) frame is read by FOUR subtrees — the
+    // heavy-gram aggregate, the prefix projection, and both verify
+    // sides — and gram derivation is the operator's single largest
+    // term (round-7 measurement: ~45% of wall). Materialize it ONCE
+    // (localCheckpoint by default; pass checkpointDir for the reliable
+    // cluster path — the groupRank/p1 measured-cut pattern, released
+    // via Packing.releaseLocalCheckpoints / scopedCheckpoints) so the
+    // corpus pays one gram pass instead of four.
+    val grams = Packing.materializeOnce(df
       .select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
       .where(size(col("grams")) > 0)
-      .withColumn("ng", size(col("grams")))
+      .withColumn("ng", size(col("grams"))), checkpointDir)
     // Bounded heavy-gram table: per-doc-distinct grams, so count = df.
     val hot = boundedGramDf(grams, hotCap)
     // Rarest-first global order + ⌈t·ng⌉ prefix, all narrow.
@@ -803,15 +812,31 @@ object Dedup {
     // array_intersect builds dominated the whole operator (measured 2.4s
     // of d16's 3.9s warm time at sf0.1). sort_array is paid once per
     // DOC side; the merge scan is allocation-free per pair.
+    // The verify sides carry SORTED 8-byte gram fingerprints, not gram
+    // text: the two candidate joins shuffle ~8 bytes per gram and the
+    // per-pair merge compares longs (SortedXxhash64Array /
+    // SortedLongIntersectCount — byFingerprint's injective-or-loudly-
+    // wrong contract; a 64-bit collision between two grams of the same
+    // candidate pair would hash-mismatch the gate, not silently pass).
     val sortedGrams = grams
-      .select(col("doc_id"), sort_array(col("grams")).as("grams"), col("ng"))
+      .select(col("doc_id"),
+        GraftFunctions.sortedGramHashes(col("grams")).as("grams"),
+        col("ng"))
     cand
       .join(sortedGrams.select(col("doc_id").as("id_a"), col("grams").as("ga"),
         col("ng").as("na")), "id_a")
       .join(sortedGrams.select(col("doc_id").as("id_b"), col("grams").as("gb"),
         col("ng").as("nb")), "id_b")
+      // PPJoin LENGTH filter ahead of the merge intersect: jaccard >= t
+      // forces 100·min(na, nb) >= t·max(na, nb) (shared <= min and must
+      // cover t of the union), so size-mismatched candidates skip the
+      // per-pair gram scan entirely — zero recall loss, ~24% of the
+      // gate corpus' candidates (412k -> 312k measured at sf0.1) never
+      // reach the operator's dominant term.
+      .where(least(col("na"), col("nb")) * 100 >=
+        greatest(col("na"), col("nb")) * thresholdPct)
       .withColumn("shared",
-        GraftFunctions.sortedIntersectCount(col("ga"), col("gb")))
+        GraftFunctions.sortedLongIntersectCount(col("ga"), col("gb")))
       .where(col("shared") * 100 >=
         lit(thresholdPct) * (col("na") + col("nb") - col("shared")))
       .select(col("id_a"), col("id_b"),

@@ -1035,6 +1035,114 @@ object SortedIntersectCount {
   }
 }
 
+/** ASCENDING-sorted xxhash64 fingerprints of a string array's elements,
+  * one codegen'd pass — the 8-byte form of a per-doc gram set for
+  * verify stages that only COUNT matches ([[SortedLongIntersectCount]]):
+  * candidate joins then carry 8 bytes per gram instead of the gram
+  * text, and the per-pair merge compares longs instead of UTF8 byte
+  * strings. Same trust contract as [[RollingFingerprint]]-based exact
+  * dedup: counts are exact unless two DISTINCT grams of the same two
+  * documents collide in 64 bits, in which case the downstream
+  * hash-gate mismatches loudly rather than silently. Null elements are
+  * skipped (array_intersect's null-excluding counting semantics). */
+case class SortedXxhash64Array(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"sorted_xxhash64_array expects ARRAY<STRING>, got ${other.sql}")
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    SortedXxhash64Array.hashSorted(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SortedXxhash64Array.hashSorted($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SortedXxhash64Array {
+  /** Shared by eval and generated code. Seed 42 = Spark's xxhash64. */
+  def hashSorted(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Long](n)
+    var i = 0
+    var m = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val s = a.getUTF8String(i)
+        out(m) = XXH64.hashUnsafeBytes(
+          s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        m += 1
+      }
+      i += 1
+    }
+    val trimmed = if (m == n) out else java.util.Arrays.copyOf(out, m)
+    java.util.Arrays.sort(trimmed)
+    UnsafeArrayData.fromPrimitiveArray(trimmed)
+  }
+}
+
+/** [[SortedIntersectCount]] for ASCENDING-sorted long arrays — the
+  * allocation-free two-pointer merge over 8-byte fingerprints. Inputs
+  * must be duplicate-free or common duplicates count multiply. */
+case class SortedLongIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+
+  override def checkInputDataTypes() = {
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          "sorted_long_intersect_count expects two ARRAY<BIGINT> " +
+            s"(non-null elements), got ${l.sql}, ${r.sql}")
+    }
+  }
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    SortedLongIntersectCount.count(
+      l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedLongIntersectCount.count($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedLongIntersectCount {
+  /** Static entry point shared by eval and generated code. */
+  def count(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}
+
 /** One left-to-right NON-OVERLAPPING merge round of byte-pair encoding
   * (Sennrich et al. 2016): every adjacent (left, right) symbol pair in
   * the array becomes the single symbol left+right; after a merge the
@@ -3190,6 +3298,10 @@ object GraftFunctions {
     column(ShingleJaccard(expr(a), expr(b), k))
   def sortedIntersectCount(a: Column, b: Column): Column =
     column(SortedIntersectCount(expr(a), expr(b)))
+  def sortedGramHashes(c: Column): Column =
+    column(SortedXxhash64Array(expr(c)))
+  def sortedLongIntersectCount(a: Column, b: Column): Column =
+    column(SortedLongIntersectCount(expr(a), expr(b)))
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
   def gramHitCount(c: Column, bench: Array[String]): Column =
     column(GramHitCount(expr(c), bench))

@@ -62,6 +62,28 @@ class ExtSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
   }
 
+  test("SortedXxhash64Array + SortedLongIntersectCount: hashed-long " +
+      "intersect counts equal the string intersect on distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("b")),
+      (Seq.empty[String], Seq("a")),
+      (Seq("x gram y", "y gram z", "z"), Seq("x gram y", "z", "q")),
+      (Seq("aa", "ab", "b"), Seq("ab", "b", "ba"))).toDF("a", "b")
+    val rows = df.select(
+      GraftFunctions.sortedLongIntersectCount(
+        GraftFunctions.sortedGramHashes(col("a")),
+        GraftFunctions.sortedGramHashes(col("b"))).as("hashed"),
+      size(array_intersect(col("a"), col("b"))).as("builtin")).collect()
+    rows.foreach(r => assert(r.getInt(0) === r.getInt(1)))
+    // the hash matches Spark's xxhash64 (seed 42) element-wise
+    val h = Seq(Tuple1(Seq("graft", "spark"))).toDF("a")
+      .select(GraftFunctions.sortedGramHashes(col("a")).as("hs"),
+        sort_array(array(xxhash64(lit("graft")), xxhash64(lit("spark"))))
+          .as("want")).head
+    assert(h.getSeq[Long](0) === h.getSeq[Long](1))
+  }
+
   test("FloatCosine: parallel/orthogonal/zero vectors; codegen matches interpreted") {
     val df = Seq(
       (Array(1f, 0f), Array(2f, 0f)),   // parallel -> 1
