@@ -27,14 +27,15 @@ object Decontam {
     * once per row as the outer lambda variable — referencing a
     * `split(...)` expression inside the index lambda would re-run
     * split+lower+filter once per gram (cf. Dedup.shingleCol). */
-  private[ext] def gramsCol(text: Column, n: Int): Column = {
-    val tokens = filter(split(lower(text), "\\s+"), t => length(t) > 0)
-    array_distinct(flatten(transform(
-      array(tokens),
-      ts => transform(
-        sequence(lit(0), greatest(size(ts) - n, lit(0))),
-        i => concat_ws(" ", slice(ts, i + 1, lit(n)))))))
-  }
+  private[ext] def gramsCol(text: Column, n: Int): Column =
+    // Codegen'd TokenNGrams — exact semantic parity with the interpreted
+    // HOF composite it replaces (see the expression's scaladoc; the d16
+    // swap measured the composite re-tokenizing per REFERENCE). The
+    // x300 fixed-benchmark probe caught this one: the interpreted
+    // per-gram concat_ws lambda tree made the d22 one-scan curve cost
+    // ~3 single-n scans at 1.5M docs — the gram BUILD, not the corpus
+    // read, is the probe stage's dominant term at scale.
+    graft.functions.GraftFunctions.tokenNGrams(text, n)
 
   /** The benchmark's distinct gram relation — one small DataFrame, built
     * once and broadcast into every probe. */
