@@ -250,7 +250,7 @@ object PipelineQueries {
       | b AS batch_in_shard, n > 1024 AS oversize
       |FROM f ORDER BY doc_id""".stripMargin
 
-  private val packedBatchesOracle = packedBatchesOracleWith("128")
+  private[queries] val packedBatchesOracle = packedBatchesOracleWith("128")
 
   /** pk10: padding-efficiency report over the pk9 layout
     * (Packing.batchReportWithBoundary) — padded tokens actually

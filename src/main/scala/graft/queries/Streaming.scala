@@ -785,6 +785,33 @@ object StreamingQueries {
       .orderBy("eval_set", "n")
   }
 
+  /** st34: padded inference batching MAINTAINED under a request stream
+    * — an inference service accretes requests, but the pk9 layout is a
+    * pure function of the GLOBAL (n_tokens desc, id) order, so what
+    * streams is the BOOKKEEPING: each micro-batch tokenizes ONLY its
+    * arriving documents (the text is read once, at arrival — never
+    * re-scanned) and folds its 16-byte (doc_id, n_tokens) rows into
+    * the additive ledger (the st29/st30 union-is-merge discipline;
+    * zero-token rows drop at the fold, the packBatches contract).
+    * Cutting a serving layout then runs Packing.packBatches over the
+    * LEDGER alone — no text column anywhere near the rank or the fold
+    * — and must equal the pk9 batch layout over the union row-for-row
+    * (membership and order are pure functions of (id, n_tokens): the
+    * packBatches determinism contract). The pk9 oracle pins it. */
+  def packedBatchesStream(s: SparkSession, d: String): DataFrame = {
+    val srcDir = stageTwoHalves(
+      Tables.documents(s, d).select(col("doc_id"), col("text")),
+      "doc_id", "graft_st34_src_")
+    val ledger = foldParquetStream(s, srcDir, docTextSchema)(batch =>
+      batch.select(col("doc_id"),
+          graft.ext.TextAnalysis.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+        .where(col("n_tokens") > 0))(_.unionAll(_))
+    graft.ext.Packing.packBatches(ledger, "doc_id", col("n_tokens"),
+        maxTokens = 1024L, maxRows = 8, shardRows = 128L)
+      .orderBy("doc_id")
+  }
+
   private val docTextLangSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("doc_id",
       org.apache.spark.sql.types.LongType),
@@ -1186,6 +1213,8 @@ object StreamingQueries {
       Some(HygieneQueries.contaminationReportOracle)),
     QueryDef("st33_contamination_curve_stream", contaminationCurveStream,
       Some(HygieneQueries.contaminationCurveOracle)),
+    QueryDef("st34_padded_batches_stream", packedBatchesStream,
+      Some(PipelineQueries.packedBatchesOracle)),
     QueryDef("st31_sft_render_stream", sftRenderStream,
       Some(PinnedOracles.t52SftTokenSpans)),
     QueryDef("st28_decontam_index_stream", decontamIndexStream,

@@ -177,6 +177,18 @@ class StreamingSpec extends AnyFunSuite {
       "each key must emit exactly once")
   }
 
+  test("st34 padded-batch maintenance: the streamed (doc_id, n_tokens) " +
+      "ledger fold yields the exact pk9 batch layout over the union") {
+    val streamed = graft.queries.StreamingQueries
+      .packedBatchesStream(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq)
+    val batch = graft.queries.PipelineQueries
+      .packedBatches(spark, TestSpark.sf0001)
+      .collect().map(_.toSeq)
+    assert(streamed.length === batch.length)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("dedupStreamBounded: dups inside the horizon suppress, beyond it re-emit") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
