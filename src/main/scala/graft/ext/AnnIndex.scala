@@ -88,17 +88,29 @@ object AnnIndex {
       newVectors: DataFrame): Unit =
     encode(spark, root, newVectors, "append")
 
+  /** [[appendIvfPq]] against an already-[[open]]ed index — an INGEST
+    * stream appending one micro-batch per trigger pays zero per-call
+    * metadata jobs (the saved centroids/codebook ride the handle). */
+  def appendIvfPq(index: Opened, newVectors: DataFrame): Unit =
+    encodeWith(index.root, newVectors, index.centIds, index.centVecs,
+      index.codebook, "append")
+
   private def encode(spark: SparkSession, root: String, vectors: DataFrame,
       mode: String): Unit = {
     val (centIds, centVecs) = loadCentroids(spark, root)
     val codebook = loadCodebook(spark, root)
+    encodeWith(root, vectors, centIds, centVecs, codebook, mode)
+  }
+
+  private def encodeWith(root: String, vectors: DataFrame,
+      centIds: Array[Long], centVecs: Array[Array[Double]],
+      codebook: Array[Array[Array[Double]]], mode: String): Unit =
     vectors.select(col("cid"),
         GraftFunctions.nearestCentroid(col("cvec"), centIds, centVecs)
           .as("centroid_id"),
         GraftFunctions.pqEncode(col("cvec"), codebook).as("codes"),
         col("cvec"))
       .write.mode(mode).parquet(s"$root/encoded.parquet")
-  }
 
   /** Top-k serve against the persisted index: probe the `nprobe` best
     * centroid buckets per query, ADC-scan ONLY probed buckets (the scan
@@ -107,16 +119,27 @@ object AnnIndex {
     * The index is never rebuilt, re-encoded, or fully scanned. */
   def queryIvfPq(spark: SparkSession, root: String, queries: DataFrame,
       k: Int, nprobe: Int, rerank: Int,
-      excludeSelf: Boolean = true): DataFrame = {
+      excludeSelf: Boolean = true): DataFrame =
+    queryIvfPq(open(spark, root), queries, k, nprobe, rerank, excludeSelf)
+
+  /** [[queryIvfPq]] against an already-[[open]]ed index — the serve
+    * loop shape (a streaming foreachBatch serving one query batch per
+    * trigger, st14/st25): zero per-call metadata jobs, the centroid
+    * table rides the handle as a LOCAL relation, and the per-batch
+    * plan touches only the (nprobe-pruned) encoded table. Unlike the
+    * [[mineTopK]] overload this keeps the broadcast-probe joins — the
+    * right plan when each query batch is small; corpus-sized query
+    * relations go through [[mineTopK]]. */
+  def queryIvfPq(index: Opened, queries: DataFrame,
+      k: Int, nprobe: Int, rerank: Int,
+      excludeSelf: Boolean): DataFrame = {
     require(rerank >= k, s"queryIvfPq: rerank=$rerank < k=$k")
-    val meta = spark.read.parquet(s"$root/meta.parquet").head
-    val codes = meta.getAs[Int]("codes")
-    val nlist = meta.getAs[Int]("nlist")
-    require(nprobe >= 1 && nprobe <= nlist,
-      s"queryIvfPq: nprobe=$nprobe out of range [1, $nlist]")
-    val codebook = loadCodebook(spark, root)
-    val centroidsDf = spark.read.parquet(s"$root/centroids.parquet")
-    val encoded = spark.read.parquet(s"$root/encoded.parquet")
+    val codes = index.codes
+    require(nprobe >= 1 && nprobe <= index.nlist,
+      s"queryIvfPq: nprobe=$nprobe out of range [1, ${index.nlist}]")
+    val codebook = index.codebook
+    val centroidsDf = index.centroidsDf
+    val encoded = index.encoded
 
     import Similarity.{Scored, TopKAggregator}
     val probeAgg = udaf(new TopKAggregator(nprobe), Encoders.product[Scored])
@@ -300,11 +323,19 @@ object AnnIndex {
       val dim: Int, val m: Int, val codes: Int, val nlist: Int,
       private[AnnIndex] val codebook: Array[Array[Array[Double]]],
       private[AnnIndex] val centIds: Array[Long],
-      private[AnnIndex] val centVecs: Array[Array[Double]]) {
+      private[AnnIndex] val centVecs: Array[Array[Double]],
+      private[AnnIndex] val centFloats: Array[Array[Float]]) {
     /** Lazy view of the encoded table — re-resolved per plan, so an
       * [[appendIvfPq]] between serves is visible to the next serve. */
     private[AnnIndex] def encoded: DataFrame =
       spark.read.parquet(s"$root/encoded.parquet")
+    /** The centroid table as a LOCAL relation (built from the handle's
+      * collected rows — no file scan, no job) for the broadcast-probe
+      * serve shape. */
+    private[AnnIndex] def centroidsDf: DataFrame = {
+      import spark.implicits._
+      centIds.zip(centFloats).toSeq.toDF("centroid_id", "centroid_vec")
+    }
   }
 
   /** Open a persisted index: collect meta + codebook + centroids
@@ -312,10 +343,14 @@ object AnnIndex {
     * lifetime instead of once per query batch). */
   def open(spark: SparkSession, root: String): Opened = {
     val meta = spark.read.parquet(s"$root/meta.parquet").head
-    val (centIds, centVecs) = loadCentroids(spark, root)
+    val centRows = spark.read.parquet(s"$root/centroids.parquet")
+      .orderBy("centroid_id").collect()
+    val centIds = centRows.map(_.getLong(0))
+    val centFloats = centRows.map(_.getSeq[Float](1).toArray)
     new Opened(spark, root, meta.getAs[Int]("dim"), meta.getAs[Int]("m"),
       meta.getAs[Int]("codes"), meta.getAs[Int]("nlist"),
-      loadCodebook(spark, root), centIds, centVecs)
+      loadCodebook(spark, root), centIds,
+      centFloats.map(_.map(_.toDouble)), centFloats)
   }
 
   /** [[mineTopK]] against an already-[[open]]ed index — identical plan,

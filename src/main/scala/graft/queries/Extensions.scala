@@ -1539,9 +1539,10 @@ object ExtensionQueries {
     * poll-a-folder pattern for similarity workloads — queries ARRIVE as
     * a stream (two parquet files, maxFilesPerTrigger=1 forces at least
     * two micro-batches) and each micro-batch is served via foreachBatch
-    * against the UNCHANGED on-disk index (AnnIndex.queryIvfPq is a
-    * batch plan with driver-side probe collection, which is exactly
-    * what foreachBatch exists for). Per-query results are independent
+    * against the UNCHANGED on-disk index through ONE pre-opened
+    * handle (AnnIndex.queryIvfPq over AnnIndex.Opened — zero per-batch
+    * metadata jobs; the broadcast-probe plan is the right shape for
+    * small query batches). Per-query results are independent
     * of batch placement and exact under full probing, so the combined
     * appended output must equal the batch serve — the same brute-force
     * oracle as s9 pins it. */
@@ -1550,6 +1551,7 @@ object ExtensionQueries {
     val root = base.resolve("ann_index").toString
     graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
       root = root, m = 8, codes = 16, refineIters = 2)
+    val idx = graft.ext.AnnIndex.open(s, root)
     val qdir = base.resolve("queries").toString
     val outDir = base.resolve("served").toString
     queriesDf(s, d).repartition(2).write.mode("overwrite").parquet(qdir)
@@ -1561,8 +1563,8 @@ object ExtensionQueries {
       .parquet(qdir)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.AnnIndex.queryIvfPq(s, root, batch, k = 5,
-            nprobe = 20, rerank = 2100)
+        graft.ext.AnnIndex.queryIvfPq(idx, batch, k = 5,
+            nprobe = 20, rerank = 2100, excludeSelf = true)
           .write.mode("append").parquet(outDir)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -1663,9 +1665,10 @@ object ExtensionQueries {
         StructField("cvec", ArrayType(FloatType)))))
       .option("maxFilesPerTrigger", 1)
       .parquet(vdir)
+    val idx = graft.ext.AnnIndex.open(s, root)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.AnnIndex.appendIvfPq(s, root, batch)
+        graft.ext.AnnIndex.appendIvfPq(idx, batch)
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()

@@ -648,9 +648,10 @@ object StreamingQueries {
             org.apache.spark.sql.types.FloatType)))))
       .option("maxFilesPerTrigger", 1)
       .parquet(vdir)
+    val idx = graft.ext.AnnIndex.open(s, root)
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.ext.AnnIndex.appendIvfPq(s, root, batch)
+        graft.ext.AnnIndex.appendIvfPq(idx, batch)
       }
       .trigger(Trigger.AvailableNow()).start()
     require(q.awaitTermination(300000),
