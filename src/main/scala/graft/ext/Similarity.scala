@@ -769,6 +769,90 @@ object Similarity {
         expr("coalesce(n_hit, 0L) * 1000000L div k").as("recall_ppm"))
   }
 
+  /** ANN recall CURVE over nprobe tiers in ONE corpus pass — the d22
+    * multi-n trick applied to the s16/s18 recall measurement: tuning
+    * nprobe by running the serve once per candidate value scans the
+    * corpus |tiers| times, but every tier's candidate set is a PREFIX
+    * of the same probe order, so one serve at max(nprobes) with each
+    * bucket tagged by its probe rank derives every tier's top-k from
+    * the same scan. Per (query, nprobe): the exact-vs-approx hit count
+    * and recall in integer ppm (hash-gateable; recall is non-decreasing
+    * in nprobe per query by construction — the spec pins it).
+    *
+    * Plan: one corpus assignment pass (broadcast centroid table — the
+    * ivfTopK build, refineIters 0 so the whole pipeline stays
+    * ANSI-replayable), one bucket join against the ranked probe list,
+    * one |tiers|-tagged explode of the candidate rows (each corpus row
+    * sits in exactly ONE bucket, so a candidate appears once per query
+    * before tagging), one (qid, tier) top-k aggregate, and
+    * result-list-sized recall joins. The brute-force judgment side is
+    * the same single corpus pass every recall gate already pays.
+    *
+    * Output: (query_id, nprobe, k, n_hit, recall_ppm), one row per
+    * query × tier (a tier that missed everything still reports 0). */
+  def recallCurve(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int, nprobes: Seq[Int],
+      excludeSelf: Boolean = true): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.distinct.size == nprobes.size &&
+      nprobes.forall(np => np >= 1 && np <= nlist),
+      s"recallCurve: nprobes=$nprobes must be distinct values in [1, $nlist]")
+    val maxProbe = nprobes.max
+    val exact = bruteForceTopK(corpus, queries, k, excludeSelf)
+      .select(col("query_id"), col("corpus_id"))
+
+    val centroids = corpus
+      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)),
+        col("cid"))
+      .limit(nlist)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val assigned = corpus.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
+      .groupBy(col("cid"))
+      .agg(max_by(col("centroid_id"),
+          struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+        first(col("cvec")).as("cvec"))
+
+    val probeAgg = udaf(new TopKAggregator(maxProbe),
+      Encoders.product[Scored])
+    val probes = queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
+      .groupBy(col("qid"))
+      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
+        first(col("qvec")).as("qvec"))
+      .select(col("qid"), col("qvec"), posexplode(col("top.id")))
+      .select(col("qid"), col("qvec"), (col("pos") + 1).as("prank"),
+        col("col").as("centroid_id"))
+
+    val tierArr = array(nprobes.map(np => lit(np.toLong)): _*)
+    val cand = probes.join(assigned, "centroid_id")
+      .where(if (excludeSelf) col("cid") =!= col("qid") else lit(true))
+      .select(col("qid"), col("cid"),
+        GraftFunctions.cosine(col("qvec"), col("cvec")).as("sim"),
+        explode(filter(tierArr, np => np >= col("prank"))).as("nprobe"))
+
+    val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
+    val approx = cand.groupBy(col("qid"), col("nprobe"))
+      .agg(topk(col("cid"), col("sim")).as("top"))
+      .select(col("qid").as("query_id"), col("nprobe"),
+        explode(col("top.id")).as("corpus_id"))
+
+    val hits = exact
+      .join(approx, Seq("query_id", "corpus_id"))
+      .groupBy(col("query_id"), col("nprobe"))
+      .agg(count(lit(1)).as("n_hit"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tiers = nprobes.map(_.toLong).toDF("nprobe")
+    exact.groupBy(col("query_id")).agg(count(lit(1)).as("k"))
+      .crossJoin(broadcast(tiers))
+      .join(hits, Seq("query_id", "nprobe"), "left_outer")
+      .select(col("query_id"), col("nprobe"), col("k"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        expr("coalesce(n_hit, 0L) * 1000000L div k").as("recall_ppm"))
+  }
+
   /** Full retrieval-quality evaluation — the standard IR metric trio
     * (recall@k, precision@k, MRR, MAP) per query, each in EXACT integer
     * parts-per-million so the report itself hash-gates with no float

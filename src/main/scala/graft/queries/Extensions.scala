@@ -648,6 +648,76 @@ object ExtensionQueries {
       | CAST(coalesce(hit.n_hit, 0) * 1000000 // kk.k AS BIGINT) AS recall_ppm
       |FROM kk LEFT JOIN hit USING (query_id) ORDER BY query_id""".stripMargin
 
+  /** s28: ANN recall CURVE over nprobe ∈ {1, 2, 5, 10, 20} in ONE
+    * corpus pass (Similarity.recallCurve — the d22 multi-n trick
+    * applied to the s16 recall measurement): every tier's candidate
+    * set is a prefix of the same probe order, so one serve at
+    * nprobe=20 with probe-rank tags derives the whole tuning curve.
+    * Per (query, nprobe) recall in exact integer ppm; non-decreasing
+    * in nprobe per query by construction (spec pins it). The oracle
+    * replays the ranked probe list, the tier join, each tier's top-k,
+    * and the recall fold end to end. */
+  def annRecallCurve(s: SparkSession, d: String): DataFrame =
+    Similarity.recallCurve(corpus(s, d), queriesDf(s, d), k = 5,
+        nlist = 20, nprobes = Seq(1, 2, 5, 10, 20))
+      .orderBy("query_id", "nprobe")
+
+  private val annRecallCurveOracle =
+    """WITH c AS (SELECT vec_id AS cid, embedding AS v FROM embeddings),
+      |q AS (SELECT cid AS qid, v AS qv FROM c WHERE cid < 10),
+      |cent AS (
+      | SELECT cid AS centroid_id, v AS cv FROM (
+      |  SELECT cid, v, row_number() OVER (
+      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
+      | WHERE rn <= 20),
+      |assigned AS (
+      | SELECT cid, v, centroid_id FROM (
+      |  SELECT c.cid, c.v, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY c.cid
+      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM c CROSS JOIN cent) t
+      | WHERE rn = 1),
+      |probes AS (
+      | SELECT qid, qv, centroid_id, rn AS prank FROM (
+      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
+      |  FROM q CROSS JOIN cent) t
+      | WHERE rn <= 20),
+      |tiers AS (SELECT unnest([1, 2, 5, 10, 20]) AS nprobe),
+      |cand AS (
+      | SELECT p.qid, a.cid, list_cosine_similarity(p.qv, a.v) AS sim,
+      |  p.prank
+      | FROM probes p JOIN assigned a USING (centroid_id)
+      | WHERE a.cid <> p.qid),
+      |ivf AS (
+      | SELECT qid, cid, nprobe FROM (
+      |  SELECT cd.qid, cd.cid, t.nprobe, row_number() OVER (
+      |    PARTITION BY cd.qid, t.nprobe ORDER BY cd.sim DESC, cd.cid) AS rank
+      |  FROM cand cd JOIN tiers t ON cd.prank <= t.nprobe) x
+      | WHERE rank <= 5),
+      |brute AS (
+      | SELECT query_id, corpus_id FROM (
+      |  SELECT q.qid AS query_id, c.cid AS corpus_id, row_number() OVER (
+      |    PARTITION BY q.qid
+      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, c.cid) AS rank
+      |  FROM q JOIN c ON c.cid <> q.qid) t
+      | WHERE rank <= 5),
+      |hit AS (
+      | SELECT b.query_id, i.nprobe, count(*) AS n_hit
+      | FROM brute b JOIN ivf i
+      |  ON i.qid = b.query_id AND i.cid = b.corpus_id
+      | GROUP BY 1, 2),
+      |kk AS (SELECT query_id, count(*) AS k FROM brute GROUP BY 1)
+      |SELECT kk.query_id, CAST(t.nprobe AS BIGINT) AS nprobe,
+      | CAST(kk.k AS BIGINT) AS k,
+      | CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+      | CAST(coalesce(h.n_hit, 0) * 1000000 // kk.k AS BIGINT)
+      |   AS recall_ppm
+      |FROM kk CROSS JOIN tiers t
+      |LEFT JOIN hit h ON h.query_id = kk.query_id AND h.nprobe = t.nprobe
+      |ORDER BY kk.query_id, t.nprobe""".stripMargin
+
   /** s24: FULL retrieval-quality evaluation (Similarity.evalRetrieval)
     * — recall/precision/MRR/MAP@10 of the genuinely-approximate IVF
     * tier (nlist 20, nprobe 5 — the s2/s16 serve settings) against
@@ -2666,6 +2736,7 @@ object ExtensionQueries {
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
+    QueryDef("s28_recall_curve", annRecallCurve, Some(annRecallCurveOracle)),
     QueryDef("s24_retrieval_eval", retrievalEval, Some(retrievalEvalOracle)),
     QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
     QueryDef("s26_bitext_indexed", bitextMarginIndexed,

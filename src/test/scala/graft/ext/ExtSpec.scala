@@ -408,6 +408,37 @@ class ExtSpec extends AnyFunSuite {
     assert(got(2) === ((3L, 2L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("Similarity.recallCurve: every tier equals the per-nprobe " +
+      "ivfTopK recall, monotone in nprobe, full probing reads 1e6") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val c = (0L until 60L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    val q = (0L until 6L).map(i => (i, vec(i.toInt))).toDF("qid", "qvec")
+    val curve = Similarity.recallCurve(c, q, k = 3, nlist = 6,
+      nprobes = Seq(1, 3, 6)).collect()
+    assert(curve.length === 18)
+    for (np <- Seq(1, 3, 6)) {
+      val want = Similarity.recallReport(
+          Similarity.ivfTopK(c, q, k = 3, nlist = 6, nprobe = np),
+          Similarity.bruteForceTopK(c, q, k = 3)).collect()
+        .map(r => (r.getLong(0), r.getAs[Long]("recall_ppm"))).toMap
+      curve.filter(_.getAs[Long]("nprobe") == np.toLong).foreach { r =>
+        assert(r.getAs[Long]("recall_ppm") === want(r.getLong(0)),
+          s"tier $np query ${r.getLong(0)}")
+      }
+    }
+    curve.groupBy(_.getLong(0)).values.foreach { rows =>
+      val rs = rows.sortBy(_.getAs[Long]("nprobe"))
+        .map(_.getAs[Long]("recall_ppm")).toSeq
+      assert(rs === rs.sorted, s"recall not monotone in nprobe: $rs")
+    }
+    assert(curve.filter(_.getAs[Long]("nprobe") == 6L)
+      .forall(_.getAs[Long]("recall_ppm") == 1000000L),
+      "full probing must recover exact recall")
+  }
+
   test("Similarity.evalRetrieval: duplicate qrels rows and duplicate " +
       "result docs do not corrupt the panel (best rank kept)") {
     // qrels for q1 carry a repeated judgment; results repeat doc 10 at
