@@ -2736,7 +2736,8 @@ object ExtensionQueries {
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
     QueryDef("s16_ann_recall", annRecall, Some(annRecallOracle)),
-    QueryDef("s28_recall_curve", annRecallCurve, Some(annRecallCurveOracle)),
+    QueryDef("s28_recall_curve", annRecallCurve, Some(annRecallCurveOracle),
+      bench = true),
     QueryDef("s24_retrieval_eval", retrievalEval, Some(retrievalEvalOracle)),
     QueryDef("s25_bitext_margin", bitextMargin, Some(bitextMarginOracle)),
     QueryDef("s26_bitext_indexed", bitextMarginIndexed,
