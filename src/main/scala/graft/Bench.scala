@@ -87,37 +87,6 @@ object Bench {
     * run before every query, coarse but monotone with the big check. */
   private def diskStamp(): Double = diskMbps(32L << 20)
 
-  /** Per-stage task-duration skew collector: max/median task millis of
-    * the most skewed ≥8-task stage seen since the last reset. A ratio
-    * near 1 means balanced partitions; >>1 is the straggler signature a
-    * Zipfian key produces when a plan co-locates a hot key. */
-  private final class TaskSkewListener
-      extends org.apache.spark.scheduler.SparkListener {
-    private val stages = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      if (t.taskInfo != null && t.taskInfo.successful) {
-        stages.computeIfAbsent(t.stageId,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-          .add(t.taskInfo.duration)
-      }
-    }
-    def reset(): Unit = stages.clear()
-    /** (maxTaskMs, medianTaskMs, ratio) of the worst qualifying stage. */
-    def worst(): Option[(Long, Long, Double)] = {
-      import scala.jdk.CollectionConverters._
-      stages.values.asScala.toSeq
-        .map(q => q.asScala.toSeq.sorted)
-        .filter(ds => ds.size >= 8 && ds.last >= 200)
-        .map { ds =>
-          val med = math.max(ds(ds.size / 2), 1L)
-          (ds.last, med, ds.last.toDouble / med)
-        }
-        .sortBy(-_._3).headOption
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -179,7 +148,7 @@ object Bench {
       math.max(cpusN, math.min(512L, sized)).toInt
     }
 
-    val skew = new TaskSkewListener
+    val skew = new StageSkewListener
     val wantSkew = sys.env.get("SPARK_GRAFT_TASKSTATS").exists(_ != "0")
     if (wantSkew) spark.sparkContext.addSparkListener(skew)
 
@@ -252,7 +221,10 @@ object Bench {
     // first (re-stamp until the disk is back near the session median,
     // 15s sleeps under one shared 5-minute deadline), so the
     // re-measurement actually samples the uncontended box; the min
-    // across original + clean rerun is kept as before.
+    // across original + clean rerun is kept as before. The reruns map
+    // records WHICH queries re-measured; with one pass over results0
+    // each value is currently always 1 (the map shape leaves room for
+    // a future multi-attempt protocol, it does not imply one).
     val reruns = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     val rerunDeadline = System.nanoTime() + 5L * 60L * 1000000000L
     val results = if (!retry) results0 else results0.map { case (name, t) =>

@@ -36,7 +36,7 @@ object DecontamProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val skew = new ProbeSkew
+    val skew = new StageSkewListener
     spark.sparkContext.addSparkListener(skew)
 
     val corpus = Tables.documents(spark, corpusDir)
@@ -59,10 +59,14 @@ object DecontamProbe {
       val frame = df
       frame.write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - t0) / 1e9
-      val n = frame.count()
+      // snapshot the skew BEFORE the row-count job: the count is a
+      // second execution (Catalyst prunes it to a benchmark-sized
+      // probe) whose stages must not displace the timed write's
+      // skew reading
       val sk = skew.worst().map { case (mx, med, r) =>
         f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
       }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      val n = frame.count()
       println(f"[decontam-probe] $name wall=$wall%.2f s rows=$n$sk")
     }
 
@@ -77,29 +81,4 @@ object DecontamProbe {
     spark.stop()
   }
 
-  /** Same per-stage skew collector as Probe's. */
-  private final class ProbeSkew
-      extends org.apache.spark.scheduler.SparkListener {
-    private val stages = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null && t.taskInfo.successful) {
-        stages.computeIfAbsent(t.stageId,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-          .add(t.taskInfo.duration)
-      }
-    def reset(): Unit = stages.clear()
-    def worst(): Option[(Long, Long, Double)] = {
-      import scala.jdk.CollectionConverters._
-      stages.values.asScala.toSeq
-        .map(q => q.asScala.toSeq.sorted)
-        .filter(ds => ds.size >= 8 && ds.last >= 200)
-        .map { ds =>
-          val med = math.max(ds(ds.size / 2), 1L)
-          (ds.last, med, ds.last.toDouble / med)
-        }
-        .sortBy(-_._3).headOption
-    }
-  }
 }

@@ -12,33 +12,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Probe {
 
-  /** Same per-stage skew collector as Bench's: max/median task millis
-    * of the most skewed ≥8-task stage with max ≥200 ms. */
-  private final class SkewListener
-      extends org.apache.spark.scheduler.SparkListener {
-    private val stages = new java.util.concurrent.ConcurrentHashMap[
-      Int, java.util.concurrent.ConcurrentLinkedQueue[Long]]()
-    override def onTaskEnd(
-        t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-      if (t.taskInfo != null && t.taskInfo.successful) {
-        stages.computeIfAbsent(t.stageId,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[Long]())
-          .add(t.taskInfo.duration)
-      }
-    def reset(): Unit = stages.clear()
-    def worst(): Option[(Long, Long, Double)] = {
-      import scala.jdk.CollectionConverters._
-      stages.values.asScala.toSeq
-        .map(q => q.asScala.toSeq.sorted)
-        .filter(ds => ds.size >= 8 && ds.last >= 200)
-        .map { ds =>
-          val med = math.max(ds(ds.size / 2), 1L)
-          (ds.last, med, ds.last.toDouble / med)
-        }
-        .sortBy(-_._3).headOption
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     val dir = args(0)
     val names = args.drop(1)
@@ -52,7 +25,7 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val skew = new SkewListener
+    val skew = new StageSkewListener
     spark.sparkContext.addSparkListener(skew)
     names.zipWithIndex.foreach { case (n, i) =>
       val fn = SparkEntry.queries(n)

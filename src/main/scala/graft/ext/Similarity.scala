@@ -600,32 +600,12 @@ object Similarity {
       refineIters: Int = 0): DataFrame = {
     val topk = udaf(new TopKAggregator(k), Encoders.product[Scored])
 
-    val sampled = corpus
-      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)), col("cid"))
-      .limit(nlist)
-      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val sampled = hashSampleCentroids(corpus, nlist)
     val centroids =
       if (refineIters > 0) refineCentroids(corpus, sampled, refineIters)
       else sampled
-
-    // Build: assign each corpus vector to its best centroid (narrow pass
-    // over a broadcast centroid table; max_by keeps it one aggregation).
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cvec"), col("centroid_id"),
-        GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
-      .groupBy(col("cid"))
-      .agg(max_by(col("centroid_id"), struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
-        first(col("cvec")).as("cvec"))
-
-    // Probe: nprobe best centroids per query.
-    val probeAgg = udaf(new TopKAggregator(nprobe), Encoders.product[Scored])
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("centroid_id"),
-        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
-      .groupBy(col("qid"))
-      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
-        first(col("qvec")).as("qvec"))
-      .select(col("qid"), col("qvec"), explode(col("top.id")).as("centroid_id"))
+    val assigned = assignToCentroids(corpus, centroids)
+    val probes = rankedProbes(queries, centroids, nprobe).drop("prank")
 
     // Search only within probed buckets.
     val candidates = probes.join(assigned, "centroid_id")
@@ -769,6 +749,51 @@ object Similarity {
         expr("coalesce(n_hit, 0L) * 1000000L div k").as("recall_ppm"))
   }
 
+  /** Deterministic hash-ordered centroid sample shared by every inline
+    * IVF build (the ANSI-replayable Knuth multiplicative hash — see
+    * [[ivfTopK]]'s scaladoc for the choice): (centroid_id,
+    * centroid_vec). One implementation so s2/s16/s28 (and every oracle
+    * replaying `(cid * 2654435761) % 2147483647`) stay in lockstep by
+    * construction. */
+  private[ext] def hashSampleCentroids(corpus: DataFrame,
+      nlist: Int): DataFrame =
+    corpus
+      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)),
+        col("cid"))
+      .limit(nlist)
+      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+
+  /** Best-centroid assignment (max cosine, lowest-id tie) of every
+    * corpus row against a broadcast centroid table — one narrow pass +
+    * one aggregation: (cid, centroid_id, cvec). */
+  private[ext] def assignToCentroids(corpus: DataFrame,
+      centroids: DataFrame): DataFrame =
+    corpus.crossJoin(broadcast(centroids))
+      .select(col("cid"), col("cvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
+      .groupBy(col("cid"))
+      .agg(max_by(col("centroid_id"),
+          struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
+        first(col("cvec")).as("cvec"))
+
+  /** Ranked probe list per query — (qid, qvec, prank, centroid_id)
+    * with prank 1-based best-first (cosine desc, centroid_id asc):
+    * the nprobe bucket selection, rank kept so tiered consumers
+    * ([[recallCurve]]) can prefix-slice it; [[ivfTopK]] drops it. */
+  private[ext] def rankedProbes(queries: DataFrame, centroids: DataFrame,
+      nprobe: Int): DataFrame = {
+    val probeAgg = udaf(new TopKAggregator(nprobe), Encoders.product[Scored])
+    queries.crossJoin(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("centroid_id"),
+        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
+      .groupBy(col("qid"))
+      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
+        first(col("qvec")).as("qvec"))
+      .select(col("qid"), col("qvec"), posexplode(col("top.id")))
+      .select(col("qid"), col("qvec"), (col("pos") + 1).as("prank"),
+        col("col").as("centroid_id"))
+  }
+
   /** ANN recall CURVE over nprobe tiers in ONE corpus pass — the d22
     * multi-n trick applied to the s16/s18 recall measurement: tuning
     * nprobe by running the serve once per candidate value scans the
@@ -800,30 +825,9 @@ object Similarity {
     val exact = bruteForceTopK(corpus, queries, k, excludeSelf)
       .select(col("query_id"), col("corpus_id"))
 
-    val centroids = corpus
-      .orderBy(pmod(col("cid") * lit(2654435761L), lit(2147483647L)),
-        col("cid"))
-      .limit(nlist)
-      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
-    val assigned = corpus.crossJoin(broadcast(centroids))
-      .select(col("cid"), col("cvec"), col("centroid_id"),
-        GraftFunctions.cosine(col("cvec"), col("centroid_vec")).as("csim"))
-      .groupBy(col("cid"))
-      .agg(max_by(col("centroid_id"),
-          struct(col("csim"), -col("centroid_id"))).as("centroid_id"),
-        first(col("cvec")).as("cvec"))
-
-    val probeAgg = udaf(new TopKAggregator(maxProbe),
-      Encoders.product[Scored])
-    val probes = queries.crossJoin(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("centroid_id"),
-        GraftFunctions.cosine(col("qvec"), col("centroid_vec")).as("psim"))
-      .groupBy(col("qid"))
-      .agg(probeAgg(col("centroid_id"), col("psim")).as("top"),
-        first(col("qvec")).as("qvec"))
-      .select(col("qid"), col("qvec"), posexplode(col("top.id")))
-      .select(col("qid"), col("qvec"), (col("pos") + 1).as("prank"),
-        col("col").as("centroid_id"))
+    val centroids = hashSampleCentroids(corpus, nlist)
+    val assigned = assignToCentroids(corpus, centroids)
+    val probes = rankedProbes(queries, centroids, maxProbe)
 
     val tierArr = array(nprobes.map(np => lit(np.toLong)): _*)
     val cand = probes.join(assigned, "centroid_id")
@@ -979,6 +983,10 @@ object Similarity {
     * to the paper's cosine · 2k / (Σfwd + Σbwd). */
   def marginFromLists(fwd: DataFrame, bwd: DataFrame, k: Int,
       minMargin: Double, mutual: Boolean = false): DataFrame = {
+    // `k` is VALIDATION-ONLY since the count-aware normalizer: the
+    // margin divides by each list's actual length, so the value no
+    // longer shapes the fold — it documents the k the lists were
+    // served with and keeps the marginMine pass-through signature.
     require(k > 0, s"marginFromLists: k=$k")
     val dec = DecimalType(38, 18)
     val srcSum = fwd.groupBy(col("query_id").as("sid"))

@@ -937,13 +937,22 @@ object ExtensionQueries {
     report
   }
 
-  /** Directional pruned mineTopK replay for the s27 oracle: the
-    * minedIvfPqOracleWith pipeline WITHOUT the label filter,
-    * parameterized over which side is the corpus and which the query
-    * stream. `corpusSql`/`querySql` are full SELECTs yielding (cid, v)
-    * / (qid, qv); knob SQL is evaluated against the corpus CTE `c`. */
-  private def prunedMineTopKSql(corpusSql: String, querySql: String,
-      nlist: String, nprobe: String, rerank: String, k: String): String =
+  /** ONE pruned IVF-PQ serve replay shared by the MINED oracles
+    * (s20/s22/s23 — `crossLabel = true` adds the DPR cross-label
+    * filter) and the unlabeled mineTopK replays (s27) — the round-13
+    * dedup of two 50-line near-copies that would otherwise drift
+    * apart. `corpusSql` yields (cid, v[, label]); `querySql`
+    * (qid, qv[, qlab]) and may reference the corpus CTE `c`; knob SQL
+    * is evaluated against `c`. Output: (query_id, corpus_id, cos,
+    * rank), rank <= `k`. */
+  private[queries] def ivfPqServeSql(corpusSql: String, querySql: String,
+      nlist: String, nprobe: String, rerank: String, k: String,
+      crossLabel: Boolean): String = {
+    val qlabSel = if (crossLabel) ", qlab" else ""
+    val qlabPass = if (crossLabel) ", q.qlab" else ""
+    val labelJoin =
+      if (crossLabel) "\n | JOIN c cl ON cl.cid = e.cid\n | WHERE cl.label <> p.qlab"
+      else ""
     s"""WITH c AS ($corpusSql),
       |q AS ($querySql),
       |cent AS (
@@ -975,8 +984,8 @@ object ExtensionQueries {
       |  FROM c CROSS JOIN ms CROSS JOIN cb) t
       | WHERE rn = 1),
       |probes AS (
-      | SELECT qid, qv, centroid_id FROM (
-      |  SELECT q.qid, q.qv, cent.centroid_id, row_number() OVER (
+      | SELECT qid, qv$qlabSel, centroid_id FROM (
+      |  SELECT q.qid, q.qv$qlabPass, cent.centroid_id, row_number() OVER (
       |    PARTITION BY q.qid
       |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
       |  FROM q CROSS JOIN cent) t
@@ -989,7 +998,7 @@ object ExtensionQueries {
       | FROM probes p
       | JOIN assigned a USING (centroid_id)
       | JOIN enc e ON e.cid = a.cid
-      | JOIN cb USING (code)
+      | JOIN cb USING (code)$labelJoin
       | GROUP BY e.cid, p.qid),
       |cand AS (
       | SELECT qid, cid FROM (
@@ -1003,6 +1012,14 @@ object ExtensionQueries {
       |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
       | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
       |WHERE rank <= $k""".stripMargin
+  }
+
+  /** Directional pruned mineTopK replay for the s27 oracle —
+    * [[ivfPqServeSql]] without the label filter. */
+  private def prunedMineTopKSql(corpusSql: String, querySql: String,
+      nlist: String, nprobe: String, rerank: String, k: String): String =
+    ivfPqServeSql(corpusSql, querySql, nlist, nprobe, rerank, k,
+      crossLabel = false)
 
   private lazy val bitextMinedRecallOracle: String = {
     val srcSql = "SELECT vec_id AS cid, embedding AS v FROM embeddings" +
@@ -1834,66 +1851,12 @@ object ExtensionQueries {
 
   private def minedIvfPqOracleWith(nlist: String, nprobe: String,
       rerank: String): String =
-    s"""WITH c AS (SELECT vec_id AS cid, embedding AS v, label FROM embeddings),
-      |q AS (SELECT cid AS qid, v AS qv, label AS qlab FROM c WHERE cid < 10),
-      |cent AS (
-      | SELECT cid AS centroid_id, v AS cv FROM (
-      |  SELECT cid, v, row_number() OVER (
-      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
-      | WHERE rn <= $nlist),
-      |assigned AS (
-      | SELECT cid, centroid_id FROM (
-      |  SELECT c.cid, cent.centroid_id, row_number() OVER (
-      |    PARTITION BY c.cid
-      |    ORDER BY list_cosine_similarity(c.v, cent.cv) DESC, cent.centroid_id) AS rn
-      |  FROM c CROSS JOIN cent) t
-      | WHERE rn = 1),
-      |cb AS (
-      | SELECT rn - 1 AS code, v FROM (
-      |  SELECT v, row_number() OVER (
-      |    ORDER BY (cid * 2654435761) % 2147483647, cid) AS rn FROM c) t
-      | WHERE rn <= 16),
-      |ms AS (SELECT unnest(range(0, 8)) AS mi),
-      |enc AS (
-      | SELECT cid, mi, code FROM (
-      |  SELECT c.cid, ms.mi, cb.code, row_number() OVER (
-      |    PARTITION BY c.cid, ms.mi
-      |    ORDER BY list_aggregate(list_transform(range(1, 9), j ->
-      |      (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))
-      |      * (CAST(c.v[ms.mi * 8 + j] AS DOUBLE) - CAST(cb.v[ms.mi * 8 + j] AS DOUBLE))),
-      |      'sum'), cb.code) AS rn
-      |  FROM c CROSS JOIN ms CROSS JOIN cb) t
-      | WHERE rn = 1),
-      |probes AS (
-      | SELECT qid, qv, qlab, centroid_id FROM (
-      |  SELECT q.qid, q.qv, q.qlab, cent.centroid_id, row_number() OVER (
-      |    PARTITION BY q.qid
-      |    ORDER BY list_cosine_similarity(q.qv, cent.cv) DESC, cent.centroid_id) AS rn
-      |  FROM q CROSS JOIN cent) t
-      | WHERE rn <= $nprobe),
-      |adc AS (
-      | SELECT e.cid, p.qid,
-      |  sum(list_aggregate(list_transform(range(1, 9), j ->
-      |    CAST(p.qv[e.mi * 8 + j] AS DOUBLE) * CAST(cb.v[e.mi * 8 + j] AS DOUBLE)),
-      |    'sum')) AS score
-      | FROM probes p
-      | JOIN assigned a USING (centroid_id)
-      | JOIN enc e ON e.cid = a.cid
-      | JOIN cb USING (code)
-      | JOIN c cl ON cl.cid = e.cid
-      | WHERE cl.label <> p.qlab
-      | GROUP BY e.cid, p.qid),
-      |cand AS (
-      | SELECT qid, cid FROM (
-      |  SELECT qid, cid,
-      |   row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS rn
-      |  FROM adc) t WHERE rn <= $rerank)
-      |SELECT query_id, rank, corpus_id FROM (
-      | SELECT ca.qid AS query_id, ca.cid AS corpus_id,
-      |  CAST(row_number() OVER (PARTITION BY ca.qid
-      |    ORDER BY list_cosine_similarity(q.qv, c.v) DESC, ca.cid) AS BIGINT) AS rank
-      | FROM cand ca JOIN c ON c.cid = ca.cid JOIN q ON q.qid = ca.qid) t
-      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    s"""SELECT query_id, rank, corpus_id FROM (
+      |${ivfPqServeSql(
+          "SELECT vec_id AS cid, embedding AS v, label FROM embeddings",
+          "SELECT cid AS qid, v AS qv, label AS qlab FROM c WHERE cid < 10",
+          nlist, nprobe, rerank, "5", crossLabel = true)}) z
+      |ORDER BY query_id, rank""".stripMargin
 
   /** s22: mined hard negatives at REAL mining settings (nprobe 5 of
     * nlist 20, rerank 20 — the pruned serve a training run would use),
