@@ -472,9 +472,7 @@ object Similarity {
     val subDim = dim / m
     val hashKey = pmod(col("cid") * lit(2654435761L), lit(2147483647L))
 
-    val sampled = corpus.orderBy(hashKey, col("cid"))
-      .limit(nlist)
-      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val sampled = hashSampleCentroids(corpus, nlist)
     val centroidsDf =
       if (refineIters > 0) refineCentroids(corpus, sampled, refineIters)
       else sampled
@@ -541,11 +539,7 @@ object Similarity {
     require(rerank >= k, s"ivfSq8TopK: rerank=$rerank < k=$k")
     require(nprobe >= 1 && nprobe <= nlist,
       s"ivfSq8TopK: nprobe=$nprobe out of range [1, $nlist]")
-    val hashKey = pmod(col("cid") * lit(2654435761L), lit(2147483647L))
-
-    val centroidsDf = corpus.orderBy(hashKey, col("cid"))
-      .limit(nlist)
-      .select(col("cid").as("centroid_id"), col("cvec").as("centroid_vec"))
+    val centroidsDf = hashSampleCentroids(corpus, nlist)
     val centRows = centroidsDf.orderBy("centroid_id").collect()
     require(centRows.length == nlist,
       s"ivfSq8TopK: corpus smaller than nlist=$nlist")
