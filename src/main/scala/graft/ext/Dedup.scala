@@ -618,6 +618,17 @@ object Dedup {
       .orderBy(desc("df"), asc("gram")).limit(hotCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
+  /** Driver-side twin of Spark's `xxhash64` over a STRING column (XXH64
+    * of the UTF-8 bytes, seed 42) — hashes the bounded hot-gram table's
+    * entries so the map-side InSet drop matches the executor-side
+    * hashed bucket keys exactly (parity with `xxhash64` is spec-pinned
+    * via [[graft.functions.SortedXxhash64Array]]). */
+  private def gramHash64(s: String): Long = {
+    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
+  }
+
   /** Distinct token n-grams of the lowercased text. The token array is
     * bound once per row as the outer lambda variable — referencing it
     * inside the index lambda would re-run split+lower+filter once per
@@ -654,8 +665,18 @@ object Dedup {
     * bound. */
   private def gramPairSharedCounts(grams: DataFrame,
       maxDocsPerGram: Int, hotCap: Int): DataFrame = {
+    // The corpus-sized exchange carries the 8-byte xxhash64 of each
+    // gram, never the gram text: shared counts come from bucket
+    // CO-OCCURRENCE (key identity), so the hash is sufficient — the
+    // d16/byFingerprint injective-or-loudly-wrong contract (a 64-bit
+    // collision between two grams of the same candidate pair would
+    // inflate `shared` and hash-mismatch the gate, not silently pass).
+    // The hot-gram cap decision still works on strings (the bounded
+    // table is driver-side metadata); its over-cap entries are hashed
+    // with the SAME function for the map-side InSet drop.
     val inv = grams.select(col("doc_id"), col("n_grams"),
-      explode(col("grams")).as("gram"))
+        explode(col("grams")).as("__g"))
+      .select(col("doc_id"), col("n_grams"), xxhash64(col("__g")).as("gram"))
     val hot = boundedGramDf(grams, hotCap)
     val complete = hot.length < hotCap || hot.last._2 <= maxDocsPerGram
     val es = col("es")
@@ -664,7 +685,8 @@ object Dedup {
     val pruned =
       if (!complete) keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
       else {
-        val overCap = hot.filter(_._2 > maxDocsPerGram).map(_._1)
+        val overCap = hot.filter(_._2 > maxDocsPerGram)
+          .map(g => gramHash64(g._1))
         if (overCap.isEmpty) inv
         else inv.where(!col("gram").isInCollection(overCap))
       }
