@@ -399,6 +399,61 @@ object AnnIndex {
         (col("pos") + 1).cast(LongType).as("rank"))
   }
 
+  /** Compact / re-train the index IN PLACE from its own encoded table —
+    * the lifecycle step [[appendIvfPq]]'s scaladoc promises ("rebuild
+    * when cluster balance degrades"): appends encode with the ORIGINAL
+    * build's centroids, so after enough of them the inverted lists are
+    * unbalanced (hot buckets slow every probe) and the encoded table
+    * has accreted one parquet file set per append micro-batch.
+    * Compaction re-derives centroids and codebook from the CURRENT full
+    * vector set (`encoded` keeps the raw vectors precisely so the index
+    * is self-contained), re-encodes every row, and rewrites the four
+    * tables — coalesced to `targetPartitions` output files when > 0.
+    *
+    * Because the centroid/codebook samples are hash-ORDERED samples
+    * (order-independent of how rows arrived), the compacted index is
+    * BIT-IDENTICAL to [[buildIvfPq]] run fresh on the union corpus —
+    * so a pruned serve against it replays under the same oracle as the
+    * inline pipeline (the s29 gate pins compact(build+append) ==
+    * build(union) at nprobe < nlist, not just under the full-probing
+    * equality). `nlist`/`m`/`codes` may change at compact time — this
+    * is where quantization gets re-tuned as the corpus grows (the
+    * capacity rule nlist ≈ ⌊√N⌋).
+    *
+    * Cost, stated: one full pass over the encoded table for the
+    * re-encode plus two TakeOrdered sample scans — the build cost, by
+    * design; run it at the cadence cluster balance demands, not per
+    * append. Durability: the new index is staged under a dot-temp
+    * sibling and swapped in via per-table rename — single-writer like
+    * every plain-parquet sink here, and NOT atomic across the four
+    * tables (wrap the root in [[graft.sink.VersionedTable]] if the
+    * swap must be crash-recoverable). Live [[Opened]] handles hold the
+    * OLD centroids/codebook driver-side — re-[[open]] after a
+    * compact. */
+  def compactIvfPq(spark: SparkSession, root: String, nlist: Int,
+      m: Int, codes: Int, refineIters: Int = 0,
+      targetPartitions: Int = 0): Unit = {
+    val dim = spark.read.parquet(s"$root/meta.parquet").head
+      .getAs[Int]("dim")
+    val vectors0 = spark.read.parquet(s"$root/encoded.parquet")
+      .select("cid", "cvec")
+    val vectors =
+      if (targetPartitions > 0) vectors0.repartition(targetPartitions)
+      else vectors0
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    buildIvfPq(vectors, dim, nlist, staging, m, codes, refineIters)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+    Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
+        "encoded.parquet").foreach { t =>
+      val dst = new org.apache.hadoop.fs.Path(s"$root/$t")
+      fs.delete(dst, true)
+      require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$t"), dst),
+        s"compactIvfPq: swapping $t into place failed")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+  }
+
   private def loadCentroids(spark: SparkSession,
       root: String): (Array[Long], Array[Array[Double]]) = {
     val rows = spark.read.parquet(s"$root/centroids.parquet")

@@ -982,25 +982,55 @@ object Similarity {
     // longer shapes the fold — it documents the k the lists were
     // served with and keeps the marginMine pass-through signature.
     require(k > 0, s"marginFromLists: k=$k")
+    marginFromSums(fwd, tgtNeighborhoodSums(bwd), minMargin,
+      bwdBest =
+        if (!mutual) None
+        else Some(bwd.where(col("rank") === 1)
+          .select(col("query_id").as("tid"), col("corpus_id").as("sid"))))
+  }
+
+  /** The backward-direction neighborhood statistics of the margin fold,
+    * MATERIALIZABLE: (tid, __tsum DECIMAL(38,18), __tcnt) per target
+    * from its (query_id, corpus_id, cosine, rank) top-k list. In a
+    * serving deployment where the target corpus is fixed and sources
+    * arrive over time (an ingest stream mined against a reference
+    * corpus — st35's shape), this is computed ONCE from one
+    * target→source serve and persisted; each arriving source batch then
+    * folds margins against the static sums via [[marginFromSums]]
+    * without ever re-serving the backward direction. The decimal sums
+    * keep the fold order-free, so the materialized relation is exactly
+    * what [[marginFromLists]] would derive inline. */
+  def tgtNeighborhoodSums(bwd: DataFrame): DataFrame = {
+    val dec = DecimalType(38, 18)
+    bwd.groupBy(col("query_id").as("tid"))
+      .agg(sum(col("cosine").cast(dec)).as("__tsum"),
+        count(lit(1)).as("__tcnt"))
+  }
+
+  /** The margin fold with the backward neighborhoods PRE-AGGREGATED —
+    * [[marginFromLists]] split at its natural seam: `fwd` is the
+    * forward top-k lists of the sources at hand (batch-local under a
+    * stream — each source's margin depends only on its own list), and
+    * `tgtSums` is the static (tid, __tsum, __tcnt) relation from
+    * [[tgtNeighborhoodSums]]. `bwdBest` (the backward rank-1 pairs,
+    * equally static) enables mutual mode. Bit-identical to
+    * [[marginFromLists]] on the same lists — the decimal sums and the
+    * count-aware normalizer are unchanged, only WHEN the backward
+    * aggregation runs moves. */
+  def marginFromSums(fwd: DataFrame, tgtSums: DataFrame,
+      minMargin: Double, bwdBest: Option[DataFrame] = None): DataFrame = {
     val dec = DecimalType(38, 18)
     val srcSum = fwd.groupBy(col("query_id").as("sid"))
       .agg(sum(col("cosine").cast(dec)).as("__ssum"),
         count(lit(1)).as("__scnt"))
-    val tgtSum = bwd.groupBy(col("query_id").as("tid"))
-      .agg(sum(col("cosine").cast(dec)).as("__tsum"),
-        count(lit(1)).as("__tcnt"))
     val best = fwd.where(col("rank") === 1)
       .select(col("query_id").as("sid"), col("corpus_id").as("tid"),
         col("cosine"))
     val candidates =
-      if (!mutual) best
-      else best.join(
-        bwd.where(col("rank") === 1)
-          .select(col("query_id").as("tid"), col("corpus_id").as("sid")),
-        Seq("sid", "tid"), "left_semi")
+      bwdBest.fold(best)(bb => best.join(bb, Seq("sid", "tid"), "left_semi"))
     candidates
       .join(srcSum, Seq("sid"))
-      .join(tgtSum, Seq("tid"))
+      .join(tgtSums, Seq("tid"))
       .select(col("sid").as("src_id"), col("tid").as("tgt_id"),
         col("cosine"),
         (col("cosine") * (col("__scnt") + col("__tcnt")).cast("double") /

@@ -1622,6 +1622,33 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s29: index COMPACTION closes the persisted-index lifecycle
+    * (build → append → compact → serve): build on the even half,
+    * append the odd half (encoded with the even-half centroids — the
+    * s10 drift scenario), then [[graft.ext.AnnIndex.compactIvfPq]]
+    * re-trains centroids + codebook from the index's own vectors and
+    * re-encodes in place. Because the samples are hash-ordered (arrival-
+    * order-independent), the compacted index is bit-identical to a
+    * fresh build on the union — so the gate serves at REAL pruned
+    * settings (nprobe 5 of nlist 20, rerank 20) and must hash-match
+    * the s8 inline-pipeline replay, a far stronger pin than the
+    * full-probing equality: the oracle re-derives the exact pruned
+    * candidate sets the compacted index yields. */
+  def knnIvfPqCompact(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s29_")
+      .resolve("ann_index").toString
+    val c = corpus(s, d)
+    graft.ext.AnnIndex.buildIvfPq(c.where(col("cid") % 2 === 0), dim = 64,
+      nlist = 20, root = root, m = 8, codes = 16, refineIters = 2)
+    graft.ext.AnnIndex.appendIvfPq(s, root, c.where(col("cid") % 2 === 1))
+    graft.ext.AnnIndex.compactIvfPq(s, root, nlist = 20, m = 8,
+      codes = 16, refineIters = 0, targetPartitions = 4)
+    graft.ext.AnnIndex.queryIvfPq(s, root, queriesDf(s, d), k = 5,
+        nprobe = 5, rerank = 20)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
   /** Streaming ANN serve: the persisted-index twin of the reference's
     * poll-a-folder pattern for similarity workloads — queries ARRIVE as
     * a stream (two parquet files, maxFilesPerTrigger=1 forces at least
@@ -1727,6 +1754,77 @@ object ExtensionQueries {
     q.awaitTermination(300000)
     q.stop()
     s.read.parquet(outDir).orderBy("query_id")
+  }
+
+  /** st35: bitext mining MAINTAINED under a source stream — the st32
+    * serving discipline applied to the s26 pair miner. The deployment
+    * shape: the target corpus is a fixed reference (indexed once), and
+    * source documents ARRIVE over time; each arriving batch must mine
+    * its pairs without re-serving anything corpus-sized. The margin
+    * fold splits at exactly that seam ([[graft.ext.Similarity
+    * .marginFromSums]]): a source's kept pair depends only on its OWN
+    * forward top-k list plus the target-side neighborhood sums — and
+    * those sums come from the target→source direction over the FULL
+    * source corpus, which is fixed in this fixture, so they are a
+    * STATIC relation computed once before the stream (one
+    * [[graft.ext.AnnIndex.mineTopK]] serve folded by
+    * [[graft.ext.Similarity.tgtNeighborhoodSums]] and materialized —
+    * the qrels pattern). Per micro-batch (two parquet files,
+    * maxFilesPerTrigger=1 forces at least two): one forward mineTopK
+    * through the pre-opened target-index handle + the static-sums join
+    * — no source-corpus scan, no backward re-serve, no centroid or
+    * metadata job (PlanSpec pins the per-batch plan).
+    *
+    * Gate contract: per-source independence makes the appended union
+    * equal the batch answer whatever the batch placement, and full
+    * probing with covering rerank makes the served lists exact — so
+    * the combined kept-pair set must hash-match the same s25 oracle
+    * that pins the batch miners. */
+  def bitextMineStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st35_")
+    val e = graft.Tables.embeddings(s, d)
+    val src = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val tgt = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val srcRoot = base.resolve("src_idx").toString
+    val tgtRoot = base.resolve("tgt_idx").toString
+    graft.ext.AnnIndex.buildIvfPq(src, dim = 64, nlist = 8,
+      root = srcRoot, m = 8, codes = 16)
+    graft.ext.AnnIndex.buildIvfPq(tgt, dim = 64, nlist = 8,
+      root = tgtRoot, m = 8, codes = 16)
+    val sumsDir = base.resolve("tgt_sums").toString
+    graft.ext.Similarity.tgtNeighborhoodSums(
+        graft.ext.AnnIndex.mineTopK(s, srcRoot,
+          tgt.select(col("cid").as("qid"), col("cvec").as("qvec")),
+          k = 4, nprobe = 8, rerank = 5000))
+      .write.mode("overwrite").parquet(sumsDir)
+    val tgtIdx = graft.ext.AnnIndex.open(s, tgtRoot)
+    val sdir = base.resolve("src_stream").toString
+    val outDir = base.resolve("mined").toString
+    src.repartition(2).write.mode("overwrite").parquet(sdir)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cvec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(sdir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val fwd = graft.ext.AnnIndex.mineTopK(tgtIdx,
+          batch.select(col("cid").as("qid"), col("cvec").as("qvec")),
+          k = 4, nprobe = 8, rerank = 5000, excludeSelf = false)
+        graft.ext.Similarity.marginFromSums(fwd,
+            s.read.parquet(sumsDir), minMargin = 1.05)
+          .select(col("src_id"), col("tgt_id"))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir).orderBy("src_id")
   }
 
   /** STREAMING index maintenance: the persisted IVF-PQ index absorbs a
@@ -2709,11 +2807,14 @@ object ExtensionQueries {
       Some(bitextMinedRecallOracle)),
     QueryDef("st32_retrieval_eval_stream", retrievalEvalStream,
       Some(retrievalEvalOracle)),
+    QueryDef("st35_bitext_mine_stream", bitextMineStream,
+      Some(bitextMarginOracle)),
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
     QueryDef("s19_recall_scaled", recallScaled, Some(recallScaledOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
+    QueryDef("s29_index_compact", knnIvfPqCompact, Some(knnIvfPqOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),

@@ -120,6 +120,61 @@ class AnnIndexSpec extends AnyFunSuite {
       "a corpus row's own top-1 is itself when self pairs are allowed")
   }
 
+  test("compactIvfPq: re-trains from the index's own vectors — the " +
+      "compacted tables equal a fresh build on the union bit-for-bit, " +
+      "appended file sprawl coalesces, and a re-tuned nlist still " +
+      "serves exactly under full probing") {
+    val base = java.nio.file.Files.createTempDirectory("graft_anncompact_")
+    val root = base.resolve("idx").toString
+    val fresh = base.resolve("fresh_idx").toString
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    AnnIndex.buildIvfPq(corpus.where($"cid" < 150), dim = 16, nlist = 8,
+      root = root, m = 4, codes = 8, refineIters = 2)
+    // three appends: the file-sprawl + centroid-drift scenario
+    Seq((150L, 170L), (170L, 190L), (190L, 200L)).foreach { case (lo, hi) =>
+      AnnIndex.appendIvfPq(spark, root,
+        corpus.where($"cid" >= lo && $"cid" < hi))
+    }
+    val sprawl = spark.read.parquet(s"$root/encoded.parquet")
+      .inputFiles.length
+    AnnIndex.compactIvfPq(spark, root, nlist = 8, m = 4, codes = 8,
+      refineIters = 0, targetPartitions = 1)
+    assert(spark.read.parquet(s"$root/encoded.parquet")
+      .inputFiles.length < sprawl, "compaction must coalesce files")
+    assert(spark.read.parquet(s"$root/encoded.parquet").count() === 200)
+    // hash-ordered samples are arrival-order-independent, so the
+    // compacted index == buildIvfPq run fresh on the union
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 8, root = fresh,
+      m = 4, codes = 8, refineIters = 0)
+    def table(r: String, t: String, key: Seq[String]) =
+      spark.read.parquet(s"$r/$t").collect()
+        .map(_.toSeq.map {
+          case a: Seq[_] => a.toList
+          case x => x
+        }).sortBy(_.mkString("|")).toSeq
+    Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
+        "encoded.parquet").foreach { t =>
+      assert(table(root, t, Nil) === table(fresh, t, Nil),
+        s"compacted $t differs from the fresh union build")
+    }
+    // re-tune at compact time (the capacity rule as the corpus grows):
+    // nlist changes, full probing must still equal exact KNN
+    AnnIndex.compactIvfPq(spark, root, nlist = 13, m = 4, codes = 8)
+    val queries = (1000L until 1005L).map(i => (i, vec(i.toInt)))
+      .toDF("qid", "qvec")
+    val served = AnnIndex.queryIvfPq(spark, root, queries, k = 3,
+        nprobe = 13, rerank = 200, excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3,
+        excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    assert(served.toSeq === exact.toSeq)
+    assert(spark.read.parquet(s"$root/meta.parquet").head
+      .getAs[Int]("nlist") === 13, "meta must record the re-tuned nlist")
+  }
+
   test("hard-negative mining NULL-label semantics (pinned, both " +
       "shapes): NULL qlab mines nothing, NULL clab is never mined") {
     val root = java.nio.file.Files.createTempDirectory("graft_annnull_")

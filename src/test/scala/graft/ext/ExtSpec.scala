@@ -477,6 +477,53 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(m - want) < 1e-12, s"margin $m != $want")
   }
 
+  test("Similarity.marginFromSums: the margin fold split at the static " +
+      "seam — materialized backward sums replay marginFromLists " +
+      "bit-identically, batch-split forward lists fold to the batch " +
+      "answer, mutual rides the static best relation") {
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed + 7000)
+      Array.fill(8)(r.nextFloat() - 0.5f)
+    }
+    val src = (0L until 20L).map(i => (i, vec(i.toInt))).toDF("sid", "svec")
+    val tgt = (100L until 125L).map(i => (i, vec(i.toInt)))
+      .toDF("tid", "tvec")
+    val fwd = Similarity.bruteForceTopK(
+      tgt.select(col("tid").as("cid"), col("tvec").as("cvec")),
+      src.select(col("sid").as("qid"), col("svec").as("qvec")),
+      4, excludeSelf = false)
+    val bwd = Similarity.bruteForceTopK(
+      src.select(col("sid").as("cid"), col("svec").as("cvec")),
+      tgt.select(col("tid").as("qid"), col("tvec").as("qvec")),
+      4, excludeSelf = false)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("src_id"), r.getAs[Long]("tgt_id"),
+        r.getAs[Double]("margin"))).sortBy(_._1).toSeq
+    val want = rows(Similarity.marginFromLists(fwd, bwd, k = 4,
+      minMargin = 1.0))
+    assert(want.nonEmpty)
+    // the sums survive a parquet round-trip (the st35 deployment shape:
+    // computed once, persisted, joined per arriving batch)
+    val sumsDir = java.nio.file.Files
+      .createTempDirectory("graft_msums_").resolve("tgt_sums").toString
+    Similarity.tgtNeighborhoodSums(bwd).write.parquet(sumsDir)
+    val sums = spark.read.parquet(sumsDir)
+    assert(rows(Similarity.marginFromSums(fwd, sums, 1.0)) === want)
+    // per-source independence: folding each forward half separately and
+    // unioning equals the single batch fold
+    val half1 = Similarity.marginFromSums(
+      fwd.where(col("query_id") % 2 === 0), sums, 1.0)
+    val half2 = Similarity.marginFromSums(
+      fwd.where(col("query_id") % 2 === 1), sums, 1.0)
+    assert(rows(half1.unionAll(half2)) === want)
+    // mutual mode through the static backward-best relation
+    val bb = bwd.where(col("rank") === 1)
+      .select(col("query_id").as("tid"), col("corpus_id").as("sid"))
+    assert(rows(Similarity.marginFromSums(fwd, sums, 1.0, Some(bb))) ===
+      rows(Similarity.marginFromLists(fwd, bwd, k = 4, minMargin = 1.0,
+        mutual = true)))
+  }
+
   test("Similarity.marginMine: forward-top-1 candidates, ratio margin " +
       "from decimal neighbor sums, threshold filter, mutual option") {
     def vec(seed: Int): Array[Float] = {

@@ -644,6 +644,46 @@ class PlanSpec extends AnyFunSuite {
       s"serve must come from the encoded index table\n$s")
   }
 
+  test("st35 per-batch mine: the streamed bitext fold touches ONLY the " +
+      "target encoded table and the static tgt-sums relation — no " +
+      "source corpus, no backward re-serve, no centroid/meta/codebook " +
+      "scan in the per-batch plan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_st35plan_")
+    val tgtRoot = base.resolve("tgt_idx").toString
+    val e = graft.Tables.embeddings(spark, sf)
+    val tgt = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    graft.ext.AnnIndex.buildIvfPq(tgt, dim = 64, nlist = 4,
+      root = tgtRoot, m = 4, codes = 8)
+    val sumsDir = base.resolve("tgt_sums").toString
+    // static backward sums (any shape works for the plan assert)
+    tgt.select(col("cid").as("tid"),
+        col("cid").cast("decimal(38,18)").as("__tsum"),
+        lit(4L).as("__tcnt"))
+      .write.parquet(sumsDir)
+    val qdir = base.resolve("batch").toString
+    e.where(col("vec_id") % 2 === 0 && col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .write.parquet(qdir)
+    // the st35 foreachBatch body, verbatim: pre-opened handle serves the
+    // batch forward, static sums join in from their materialized relation
+    val idx = graft.ext.AnnIndex.open(spark, tgtRoot)
+    val batch = spark.read.parquet(qdir)
+    val fwd = graft.ext.AnnIndex.mineTopK(idx, batch, k = 3,
+      nprobe = 4, rerank = 100, excludeSelf = false)
+    val s = planString(graft.ext.Similarity.marginFromSums(fwd,
+      spark.read.parquet(sumsDir), minMargin = 1.05))
+    Seq("embeddings.parquet", "centroids.parquet", "meta.parquet",
+        "codebook.parquet", "src_idx").foreach { f =>
+      assert(!s.contains(f), s"per-batch plan must not scan $f\n$s")
+    }
+    assert(s.contains("encoded.parquet"),
+      s"the forward serve must come from the encoded index table\n$s")
+    assert(s.contains("tgt_sums"),
+      s"the backward side must be the static sums relation\n$s")
+  }
+
   test("pk4/pk5 packing: only bookkeeping-keyed hash exchanges " +
       "(__pid / seq grouping / shard_id), map-side partial collect, " +
       "no broadcast or cartesian anywhere") {
