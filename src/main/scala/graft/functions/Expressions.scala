@@ -1094,7 +1094,12 @@ object SortedXxhash64Array {
 
 /** [[SortedIntersectCount]] for ASCENDING-sorted long arrays — the
   * allocation-free two-pointer merge over 8-byte fingerprints. Inputs
-  * must be duplicate-free or common duplicates count multiply. */
+  * must be duplicate-free or common duplicates count multiply.
+  * Nullable ELEMENT types are accepted (a parquet round-trip of a
+  * fingerprint column — d23's index serve — resurfaces as nullable
+  * elements, and Spark's file sources force the relaxation even under
+  * an explicit schema), but an actual null element THROWS: silently
+  * reading it as 0 could fabricate an intersection. */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -1102,12 +1107,12 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 
   override def checkInputDataTypes() = {
     (left.dataType, right.dataType) match {
-      case (ArrayType(LongType, false), ArrayType(LongType, false)) =>
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case (l, r) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-          "sorted_long_intersect_count expects two ARRAY<BIGINT> " +
-            s"(non-null elements), got ${l.sql}, ${r.sql}")
+          "sorted_long_intersect_count expects two ARRAY<BIGINT>, " +
+            s"got ${l.sql}, ${r.sql}")
     }
   }
 
@@ -1133,6 +1138,9 @@ object SortedLongIntersectCount {
     var j = 0
     var c = 0
     while (i < na && j < nb) {
+      if (a.isNullAt(i) || b.isNullAt(j))
+        throw new IllegalArgumentException(
+          "sorted_long_intersect_count: null fingerprint element")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }

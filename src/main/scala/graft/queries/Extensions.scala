@@ -216,6 +216,102 @@ object ExtensionQueries {
       |SELECT doc_id FROM planted WHERE doc_id NOT IN (SELECT id_b FROM dropped)
       |ORDER BY doc_id""".stripMargin
 
+  /** d23: near-dup detection against a PERSISTED index — the lifecycle
+    * split every other serving family already has (ANN s9, decontam
+    * d20, BM25 t42, NB t44) applied to MinHash-LSH dedup. Deployment
+    * shape: the curated corpus is indexed once (build + an append
+    * increment, exercising both write paths), then a new crawl batch is
+    * flagged against it without re-pairing the corpus with itself. The
+    * serve is LSH candidates (key-hash postings join) + exact verify
+    * over stored sorted shingle fingerprints; the oracle replays the
+    * SEMANTIC contract — exact cross-pairs shingle jaccard >= 0.8
+    * between the arrivals and the whole indexed corpus (the d2 recall
+    * argument: a band-miss surfaces as a row diff). */
+  def nearDupIndexGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_d23_")
+      .resolve("nd_idx").toString
+    Dedup.saveMinHashIndex(root, docs.where(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+    Dedup.appendMinHashIndex(root, docs.where(col("doc_id") % 2 === 1),
+      "text", "doc_id")
+    val arrivals = docs.where(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    Dedup.flagAgainstIndex(s, root, arrivals, "text", "doc_id")
+      .orderBy("doc_id", "dup_of")
+  }
+
+  /** Exact cross-pairs char-5-shingle jaccard between the arrivals and
+    * every indexed document — the semantic contract of the indexed
+    * serve, independent of LSH/fingerprint machinery (hashed-set counts
+    * equal string-set counts under the injective-or-loudly-wrong
+    * contract; a collision or band recall miss hash-mismatches). */
+  private[queries] val nearDupIndexOracle =
+    """WITH arr AS (
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+      | FROM documents WHERE doc_id < 25),
+      |shi AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM documents),
+      |sha AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM arr),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_id, i.doc_id AS dup_of,
+      |  CAST(len(list_intersect(a.s, i.s)) AS DOUBLE) AS inter,
+      |  len(a.s) AS na, len(i.s) AS nb
+      | FROM sha a JOIN shi i ON a.doc_id <> i.doc_id)
+      |SELECT doc_id, dup_of, inter / (na + nb - inter) AS jaccard
+      |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
+      |ORDER BY doc_id, dup_of""".stripMargin
+
+  /** st36: flag-at-ingest against the persisted near-dup index — the
+    * d23 serve under an arrival stream. The index opens ONCE
+    * ([[graft.ext.Dedup.openMinHashIndex]] — the one-row meta never
+    * re-reads per batch); each micro-batch (two parquet files,
+    * maxFilesPerTrigger=1) pays only its own band projection, the
+    * postings join, and the candidate-pruned fingerprint verify.
+    * Per-arrival independence (a doc's flags depend only on its own
+    * shingles + the static index) makes the appended union equal the
+    * batch serve — the same oracle pins both. */
+  def nearDupIndexStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st36_")
+    val root = base.resolve("nd_idx").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    Dedup.saveMinHashIndex(root, docs, "text", "doc_id")
+    val conf = Dedup.openMinHashIndex(s, root)
+    val adir = base.resolve("arrivals").toString
+    val outDir = base.resolve("flagged").toString
+    docs.where(col("doc_id") < 25).select(
+        (col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+      .repartition(2).write.mode("overwrite").parquet(adir)
+    val stream = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(adir)
+    val q = stream.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Dedup.flagAgainstIndex(s, root, conf, batch, "text", "doc_id")
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir).orderBy("doc_id", "dup_of")
+  }
+
   def dedupSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
@@ -2763,6 +2859,9 @@ object ExtensionQueries {
     QueryDef("d15_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
+    QueryDef("d23_neardup_index", nearDupIndexGate, Some(nearDupIndexOracle)),
+    QueryDef("st36_neardup_index_stream", nearDupIndexStream,
+      Some(nearDupIndexOracle)),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     QueryDef("d19_chunk_dedup", chunkDedup, Some(PinnedOracles.d19ChunkPairs)),

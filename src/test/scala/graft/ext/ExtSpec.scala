@@ -139,6 +139,53 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs(0).getAs[Double]("jaccard") > 0.8)
   }
 
+  test("Dedup near-dup index: build+append+serve flags arrivals against " +
+      "the indexed corpus, jaccard equals the string-shingle truth, " +
+      "re-served docs never flag themselves, floods capped at build") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 3
+    val other = "completely different content about spark catalyst optimizer internals and shuffles"
+    val corpus = Seq((1L, base), (2L, other),
+      (3L, base + " zz")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ndidx_")
+    val root = dir.resolve("idx").toString
+    Dedup.saveMinHashIndex(root, corpus.where($"doc_id" <= 2), "text", "doc_id")
+    Dedup.appendMinHashIndex(root, corpus.where($"doc_id" === 3), "text", "doc_id")
+    val arrivals = Seq((100L, base + " tail"), (101L, "unrelated new doc"))
+      .toDF("doc_id", "text")
+    val flags = Dedup.flagAgainstIndex(spark, root, arrivals, "text", "doc_id")
+      .orderBy("doc_id", "dup_of").collect()
+    // arrival 100 near-dups BOTH indexed variants (build + append paths);
+    // 101 matches nothing
+    assert(flags.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((100L, 1L), (100L, 3L)))
+    // jaccard equals the exact string-shingle jaccard (hashed-set counts
+    // are injective-or-loudly-wrong)
+    val want = Seq((base + " tail", base), (base + " tail", base + " zz"))
+      .toDF("a", "b")
+      .select(GraftFunctions.shingleJaccard($"a", $"b", 5)).collect()
+      .map(_.getDouble(0)).toSeq
+    assert(flags.map(_.getAs[Double]("jaccard")).toSeq === want)
+    // re-serving an indexed doc: its identity pair is excluded, real
+    // near-dups still flag
+    val self = Dedup.flagAgainstIndex(spark, root,
+      corpus.where($"doc_id" === 1), "text", "doc_id").collect()
+    assert(!self.exists(r => r.getLong(0) == r.getLong(1)))
+    assert(self.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 3L)))
+    // opened-handle overload is the same serve
+    val conf = Dedup.openMinHashIndex(spark, root)
+    val viaConf = Dedup.flagAgainstIndex(spark, root, conf, arrivals,
+      "text", "doc_id").orderBy("doc_id", "dup_of").collect()
+    assert(viaConf.toSeq === flags.toSeq)
+    // a byte-identical flood larger than maxBucketSize is dropped at
+    // build (the bucketPairs contract: exact-dedup floods first)
+    val floodRoot = dir.resolve("flood_idx").toString
+    val flood = (0L until 10L).map(i => (i, base)).toDF("doc_id", "text")
+    Dedup.saveMinHashIndex(floodRoot, flood, "text", "doc_id",
+      Dedup.MinHashConfig(maxBucketSize = 5))
+    assert(spark.read.parquet(s"$floodRoot/buckets.parquet").count() === 0L,
+      "oversized buckets must be capped at build")
+  }
+
   test("Dedup.simHashPairs: hamming 0 for identical, pairs for near-dups") {
     // many distinct tokens -> few zero-vote ties -> stable signature
     // (simhash's design regime; tiny-vocab docs flip too many bits)

@@ -684,6 +684,35 @@ class PlanSpec extends AnyFunSuite {
       s"the backward side must be the static sums relation\n$s")
   }
 
+  test("st36 per-batch flag: the streamed near-dup serve touches ONLY " +
+      "the index postings and fingerprint tables — no meta re-read, no " +
+      "corpus scan, no cartesian in the per-batch plan") {
+    import org.apache.spark.sql.functions._
+    val base = java.nio.file.Files.createTempDirectory("graft_st36plan_")
+    val root = base.resolve("nd_idx").toString
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+    graft.ext.Dedup.saveMinHashIndex(root, docs, "text", "doc_id")
+    val conf = graft.ext.Dedup.openMinHashIndex(spark, root)
+    val bdir = base.resolve("batch").toString
+    docs.where(col("doc_id") < 5)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .write.parquet(bdir)
+    // the st36 foreachBatch body, verbatim: pre-opened knobs, serve the
+    // arriving batch against the persisted postings + fingerprints
+    val batch = spark.read.parquet(bdir)
+    val s = planString(graft.ext.Dedup.flagAgainstIndex(spark, root, conf,
+      batch, "text", "doc_id"))
+    Seq("documents.parquet", "meta.parquet").foreach { f =>
+      assert(!s.contains(f), s"per-batch plan must not scan $f\n$s")
+    }
+    assert(s.contains("buckets.parquet") && s.contains("fps.parquet"),
+      s"serve must come from the persisted postings + fingerprints\n$s")
+    assert(!s.contains("CartesianProduct") &&
+      !s.contains("BroadcastNestedLoopJoin"),
+      s"flag serve must join on keys only\n$s")
+  }
+
   test("pk4/pk5 packing: only bookkeeping-keyed hash exchanges " +
       "(__pid / seq grouping / shard_id), map-side partial collect, " +
       "no broadcast or cartesian anywhere") {
