@@ -405,6 +405,14 @@ object Dedup {
       root: String, conf: MinHashConfig, newDocs: DataFrame, text: String,
       id: String): DataFrame = {
     val r = conf.rowsPerBand
+    // One logical projection referenced by two branches — column
+    // pruning hands each branch ONLY its term: the candidate branch
+    // computes the minhash signature (fingerprints pruned away), the
+    // verify branch the fingerprints (signature pruned away). Keeping
+    // the fingerprint array OUT of the band explode matters: it would
+    // otherwise ride every one of the `bands` rows per arrival through
+    // the postings exchange — a bands× duplication of the largest
+    // column for no use before the verify join.
     val arrivals = newDocs.where(length(col(text)) > 0)
       .select(col(id).as("__new_id"),
         GraftFunctions.minhashSig(lower(col(text)), conf.shingleSize,
@@ -412,7 +420,7 @@ object Dedup {
         GraftFunctions.sortedGramHashes(
           shingleCol(col(text), conf.shingleSize)).as("__new_fps"))
     val newBands = arrivals.select(
-      col("__new_id"), col("__new_fps"),
+      col("__new_id"),
       posexplode(array((0 until conf.bands).map(b =>
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
@@ -421,10 +429,11 @@ object Dedup {
       .join(spark.read.parquet(s"$root/buckets.parquet"),
         Seq("band", "band_hash"))
       .where(col("__new_id") =!= col("doc_id"))
-      .select(col("__new_id"), col("__new_fps"),
-        col("doc_id").as("__idx_id"))
+      .select(col("__new_id"), col("doc_id").as("__idx_id"))
       .dropDuplicates("__new_id", "__idx_id")
     cand
+      .join(arrivals.select(col("__new_id"), col("__new_fps")),
+        Seq("__new_id"))
       .join(spark.read.parquet(s"$root/fps.parquet")
         .select(col("doc_id").as("__idx_id"), col("fps").as("__idx_fps")),
         Seq("__idx_id"))
