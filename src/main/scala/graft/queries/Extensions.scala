@@ -2859,7 +2859,8 @@ object ExtensionQueries {
     QueryDef("d15_dedup_incremental", dedupIncremental,
       Some(dedupIncrementalOracle)),
     QueryDef("d2_dedup_minhash", dedupMinHash, Some(dedupMinHashOracle), bench = true),
-    QueryDef("d23_neardup_index", nearDupIndexGate, Some(nearDupIndexOracle)),
+    QueryDef("d23_neardup_index", nearDupIndexGate, Some(nearDupIndexOracle),
+      bench = true),
     QueryDef("st36_neardup_index_stream", nearDupIndexStream,
       Some(nearDupIndexOracle)),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
