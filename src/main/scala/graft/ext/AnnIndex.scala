@@ -441,17 +441,23 @@ object AnnIndex {
       if (targetPartitions > 0) vectors0.repartition(targetPartitions)
       else vectors0
     val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
-    buildIvfPq(vectors, dim, nlist, staging, m, codes, refineIters)
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
-        "encoded.parquet").foreach { t =>
-      val dst = new org.apache.hadoop.fs.Path(s"$root/$t")
-      fs.delete(dst, true)
-      require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$t"), dst),
-        s"compactIvfPq: swapping $t into place failed")
+    try {
+      buildIvfPq(vectors, dim, nlist, staging, m, codes, refineIters)
+      Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
+          "encoded.parquet").foreach { t =>
+        val dst = new org.apache.hadoop.fs.Path(s"$root/$t")
+        fs.delete(dst, true)
+        require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$t"), dst),
+          s"compactIvfPq: swapping $t into place failed")
+      }
+    } finally {
+      // staged build or swap failed partway: drop the dot-temp sibling
+      // rather than accreting junk inside the live index root (after a
+      // clean swap this deletes the then-empty staging dir)
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
     }
-    fs.delete(new org.apache.hadoop.fs.Path(staging), true)
   }
 
   private def loadCentroids(spark: SparkSession,

@@ -327,8 +327,8 @@ object Dedup {
     * collisions silently never happen) and append to both tables. */
   def appendMinHashIndex(root: String, df: DataFrame, text: String,
       id: String): Unit =
-    writeIndexRows(root, df, text, id, loadMinHashMeta(df.sparkSession, root),
-      "append", cap = false)
+    writeIndexRows(root, df, text, id,
+      openMinHashIndex(df.sparkSession, root), "append", cap = false)
 
   /** Read the pinned knobs of a persisted near-dup index — the
     * driver-side "open" step: a long-lived server (the st36 streaming
@@ -343,8 +343,6 @@ object Dedup {
       m.getAs[Int]("max_bucket"))
   }
 
-  private def loadMinHashMeta(spark: org.apache.spark.sql.SparkSession,
-      root: String): MinHashConfig = openMinHashIndex(spark, root)
 
   private def writeIndexRows(root: String, df: DataFrame, text: String,
       id: String, conf: MinHashConfig, mode: String, cap: Boolean): Unit = {
@@ -359,12 +357,19 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+    // Cap via a count WINDOW, not a groupBy+join self-reference: band
+    // hashes are uniform keys (the keepHotBuckets argument — no hot
+    // bucket to straggle a window task), and the join formulation would
+    // plan the codegen'd minhashSig pass over the full corpus TWICE
+    // (exchange reuse does not reliably deduplicate the copies).
+    // Unlike bucketPairs the filter keeps singletons: they are the
+    // postings future arrivals probe.
     val capped =
       if (cap) {
-        val keep = bands.groupBy(col("band"), col("band_hash"))
-          .agg(count(lit(1)).as("__n"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))
+        bands.withColumn("__n", count(lit(1)).over(w))
           .where(col("__n") <= conf.maxBucketSize).drop("__n")
-        bands.join(keep, Seq("band", "band_hash"))
       } else bands
     capped.write.mode(mode).parquet(s"$root/buckets.parquet")
     df.where(length(col(text)) > 0)
@@ -396,7 +401,7 @@ object Dedup {
   def flagAgainstIndex(spark: org.apache.spark.sql.SparkSession,
       root: String, newDocs: DataFrame, text: String,
       id: String): DataFrame =
-    flagAgainstIndex(spark, root, loadMinHashMeta(spark, root), newDocs,
+    flagAgainstIndex(spark, root, openMinHashIndex(spark, root), newDocs,
       text, id)
 
   /** [[flagAgainstIndex]] with the knobs pre-[[openMinHashIndex]]ed —
@@ -445,6 +450,12 @@ object Dedup {
         (col("__inter") / (col("__na") + col("__nb") - col("__inter")))
           .as("jaccard"))
       .where(col("jaccard") >= conf.threshold)
+      // flag-sized distinct: an at-least-once writer that re-appended a
+      // doc id leaves duplicate fps rows, whose verify-join fanout would
+      // otherwise emit each flag once per copy (identical values — the
+      // distinct absorbs the duplication where it is cheap, the
+      // decontam-index re-distinct discipline applied at the output)
+      .dropDuplicates("doc_id", "dup_of")
   }
 
   /** Connected components of the near-dup pair graph by min-label

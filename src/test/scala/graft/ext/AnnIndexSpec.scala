@@ -146,7 +146,7 @@ class AnnIndexSpec extends AnyFunSuite {
     // compacted index == buildIvfPq run fresh on the union
     AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 8, root = fresh,
       m = 4, codes = 8, refineIters = 0)
-    def table(r: String, t: String, key: Seq[String]) =
+    def table(r: String, t: String) =
       spark.read.parquet(s"$r/$t").collect()
         .map(_.toSeq.map {
           case a: Seq[_] => a.toList
@@ -154,7 +154,7 @@ class AnnIndexSpec extends AnyFunSuite {
         }).sortBy(_.mkString("|")).toSeq
     Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
         "encoded.parquet").foreach { t =>
-      assert(table(root, t, Nil) === table(fresh, t, Nil),
+      assert(table(root, t) === table(fresh, t),
         s"compacted $t differs from the fresh union build")
     }
     // re-tune at compact time (the capacity rule as the corpus grows):

@@ -176,6 +176,15 @@ class ExtSpec extends AnyFunSuite {
     val viaConf = Dedup.flagAgainstIndex(spark, root, conf, arrivals,
       "text", "doc_id").orderBy("doc_id", "dup_of").collect()
     assert(viaConf.toSeq === flags.toSeq)
+    // at-least-once writer: re-appending an increment duplicates index
+    // rows, but the flag output must not multiply (absorbed by the
+    // flag-sized distinct)
+    Dedup.appendMinHashIndex(root, corpus.where($"doc_id" === 3),
+      "text", "doc_id")
+    val reFlags = Dedup.flagAgainstIndex(spark, root, arrivals, "text",
+      "doc_id").orderBy("doc_id", "dup_of").collect()
+    assert(reFlags.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      flags.map(r => (r.getLong(0), r.getLong(1))).toSeq)
     // a byte-identical flood larger than maxBucketSize is dropped at
     // build (the bucketPairs contract: exact-dedup floods first)
     val floodRoot = dir.resolve("flood_idx").toString
