@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the persisted near-dup index (dev tooling, like
+  * [[DecontamProbe]]): measures the two lifecycle costs separately on a
+  * GenScale documents chain —
+  *
+  *   1. BUILD: `Dedup.saveMinHashIndex` over the whole corpus dir (the
+  *      once-per-corpus cost: one minhash-signature pass for the
+  *      postings + one shingle-fingerprint pass for the verify table);
+  *   2. SERVE: `Dedup.flagAgainstIndex` for an arrival batch of ~1% of
+  *      the corpus (re-keyed `doc_id % 100 == 0` rows with the planted
+  *      " zz" suffix, so every arrival has a guaranteed near-dup hit
+  *      and the verify stage does real work), timed via noop write
+  *      with stage-skew capture (the DecontamProbe protocol — a
+  *      count() would let Catalyst prune the serve subtree).
+  *
+  * The serve is the deployment-recurring cost; the probe's question is
+  * whether it stays arrival-sized + candidate-sized as the INDEX grows
+  * (the postings join is key-uniform, so no hot bucket; the verify
+  * join is candidate-pruned), or whether an index-sized term sneaks
+  * in.
+  *
+  * Usage: runMain graft.NearDupProbe <corpusDir> [rounds]
+  */
+object NearDupProbe {
+
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-neardup-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val skew = new StageSkewListener
+    spark.sparkContext.addSparkListener(skew)
+
+    val corpus = Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("text"))
+    val arrivals = corpus.where(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"),
+        concat(col("text"), lit(" zz")).as("text"))
+    println(s"[neardup-probe] corpus=${corpus.count()} docs " +
+      s"arrivals=${arrivals.count()} (1% re-keyed near-dups)")
+
+    for (round <- 1 to rounds) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ndprobe_").resolve("idx").toString
+      skew.reset()
+      var t0 = System.nanoTime()
+      graft.ext.Dedup.saveMinHashIndex(root, corpus, "text", "doc_id")
+      val buildWall = (System.nanoTime() - t0) / 1e9
+      val buildSk = skew.worst().map { case (mx, med, r) =>
+        f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
+      }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      println(f"[neardup-probe] build wall=$buildWall%.2f s$buildSk")
+
+      val conf = graft.ext.Dedup.openMinHashIndex(spark, root)
+      skew.reset()
+      t0 = System.nanoTime()
+      val flags = graft.ext.Dedup.flagAgainstIndex(spark, root, conf,
+        arrivals, "text", "doc_id")
+      flags.write.format("noop").mode("overwrite").save()
+      val serveWall = (System.nanoTime() - t0) / 1e9
+      val serveSk = skew.worst().map { case (mx, med, r) =>
+        f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
+      }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      val n = flags.count()
+      println(f"[neardup-probe] serve wall=$serveWall%.2f s flags=$n$serveSk")
+    }
+    spark.stop()
+  }
+}
