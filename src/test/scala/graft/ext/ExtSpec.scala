@@ -195,6 +195,51 @@ class ExtSpec extends AnyFunSuite {
       "oversized buckets must be capped at build")
   }
 
+  test("property: flagAgainstIndex equals the cross-restriction of " +
+      "minHashPairs over the disjoint union — pair set AND jaccard " +
+      "values, on random word-soup corpora with planted perturbations") {
+    import org.scalacheck.{Gen, Prop, Test => SC}
+    val vocab = (0 until 50).map(i => s"w$i")
+    val doc: Gen[String] = for {
+      n <- Gen.choose(30, 60)
+      ws <- Gen.listOfN(n, Gen.oneOf(vocab))
+    } yield ws.mkString(" ")
+    // an arrival is a corpus doc with a suffix (near-dup), a corpus doc
+    // with a word swapped in (usually still a near-dup), or fresh text
+    def arrivalsOf(corpus: List[String]): Gen[List[String]] =
+      Gen.listOfN(math.min(5, corpus.length), Gen.oneOf(
+        Gen.oneOf(corpus).map(_ + " zz"),
+        Gen.oneOf(corpus).map(t => "w0 " + t.drop(t.indexOf(' ') + 1)),
+        doc))
+    val fixture: Gen[(List[String], List[String])] = for {
+      n <- Gen.choose(8, 20)
+      corpus <- Gen.listOfN(n, doc)
+      arr <- arrivalsOf(corpus)
+    } yield (corpus, arr)
+
+    val prop = Prop.forAll(fixture) { case (corpusTexts, arrTexts) =>
+      val corpus = corpusTexts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val arrivals = arrTexts.zipWithIndex
+        .map { case (t, i) => (1000L + i, t) }.toDF("doc_id", "text")
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_ndprop_").resolve("idx").toString
+      Dedup.saveMinHashIndex(root, corpus, "text", "doc_id")
+      val served = Dedup.flagAgainstIndex(spark, root, arrivals,
+        "text", "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // batch truth: pairs over the disjoint union, restricted to
+      // (arrival, corpus) pairs — id_a < id_b puts corpus ids first
+      val batch = Dedup.minHashPairs(corpus.unionAll(arrivals),
+        "text", "doc_id").collect()
+        .filter(r => r.getLong(0) < 1000L && r.getLong(1) >= 1000L)
+        .map(r => (r.getLong(1), r.getLong(0), r.getDouble(2))).toSet
+      served == batch
+    }
+    val res = SC.check(SC.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("Dedup.simHashPairs: hamming 0 for identical, pairs for near-dups") {
     // many distinct tokens -> few zero-vote ties -> stable signature
     // (simhash's design regime; tiny-vocab docs flip too many bits)
