@@ -226,6 +226,46 @@ object TextAnalysis {
   def langId(df: DataFrame, text: String, id: String): DataFrame =
     df.select(col(id), langIdCol(col(text)).as("lang_pred"))
 
+  /** Mixed-language document SEGMENTATION — the CCNet discipline of
+    * classifying language below the document level, so a document that
+    * switches language mid-way (quoted sources, code-switching forum
+    * threads, boilerplate in a second language) can be split and each
+    * piece routed to its language's pipeline instead of the whole doc
+    * taking the majority label ([[langId]]'s reading) or being dropped.
+    * Sentences ([[sentences]]' splitter) are labeled with the stopword
+    * argmax ([[langIdCol]] — same profiles, same tie-break), then
+    * CONSECUTIVE same-language sentences collapse into segments by
+    * run-length numbering: a lag-comparison break flag and its running
+    * sum over the (doc, sent_idx) window — the gaps-and-islands shape
+    * (q49's transitions pattern).
+    *
+    * Scale shape: one narrow sentence explode, then ONE doc-keyed
+    * exchange shared by both window functions and the final per-segment
+    * aggregation (same partitioning key) — nothing corpus-global; the
+    * window's per-partition unit is a document's sentence list, bounded
+    * by document length.
+    *
+    * Output: (id, seg_idx 1-based, lang, first_sent_idx, n_sentences,
+    * n_tokens) — one row per segment, in document order. */
+  def langSegments(df: DataFrame, text: String, id: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(id)).orderBy(col("sent_idx"))
+    sentences(df, text, id)
+      .select(col(id), col("sent_idx"), col("n_tokens"),
+        langIdCol(col("sentence")).as("lang"))
+      // first sentence: lag is NULL, the === yields NULL, otherwise(1)
+      // opens the first segment — IS DISTINCT FROM semantics given
+      // lang is never null ('und' is the no-score fallback)
+      .withColumn("__brk",
+        when(lag(col("lang"), 1).over(w) === col("lang"), 0L)
+          .otherwise(1L))
+      .withColumn("seg_idx", sum(col("__brk")).over(w))
+      .groupBy(col(id), col("seg_idx"), col("lang"))
+      .agg(min(col("sent_idx")).as("first_sent_idx"),
+        count(lit(1)).as("n_sentences"),
+        sum(col("n_tokens")).as("n_tokens"))
+  }
+
   // ------------------------------------------------------- normalization
 
   /** Training-corpus text normalization: lowercase, mask URLs and email

@@ -65,6 +65,74 @@ object ExtensionQueries {
       |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  /** t56: mixed-language document segmentation
+    * (TextAnalysis.langSegments) — per-sentence stopword-argmax lang-id
+    * collapsed into consecutive same-language runs. The synthetic corpus
+    * is one-language per doc, so docs < 30 get a PLANTED Spanish tail
+    * sentence (the plantedDocs discipline): those documents must split
+    * into at least two segments with the tail labeled 'es', while
+    * unplanted docs collapse to their natural runs. The oracle replays
+    * sentence split, per-sentence argmax (the t3 struct-sort replay),
+    * and the gaps-and-islands run numbering end to end. */
+  def langSegmentsGate(s: SparkSession, d: String): DataFrame = {
+    val planted = Tables.documents(s, d).select(col("doc_id"),
+      when(col("doc_id") < 30,
+        concat(col("text"), lit(". el la de que y en un los por con")))
+        .otherwise(col("text")).as("text"))
+    TextAnalysis.langSegments(planted, "text", "doc_id")
+      .orderBy("doc_id", "seg_idx")
+  }
+
+  private val langSegmentsOracle: String = {
+    val structs = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'score': len(list_filter(ts, t -> t IN ($set))), 'lang': '$lang'}"
+    }.mkString(",\n      |   ")
+    s"""WITH docs AS (
+      | SELECT doc_id,
+      |  CASE WHEN doc_id < 30
+      |   THEN text || '. el la de que y en un los por con'
+      |   ELSE text END AS text
+      | FROM documents),
+      |f AS (
+      | SELECT doc_id,
+      |  list_transform(
+      |    list_filter(string_split_regex(text, '[.!?]+\\s+'),
+      |      x -> len(trim(x)) > 0),
+      |    x -> trim(x)) AS ss
+      | FROM docs),
+      |u AS (
+      | SELECT doc_id,
+      |  CAST(unnest(range(1, len(ss) + 1)) AS BIGINT) AS sent_idx,
+      |  unnest(ss) AS sentence
+      | FROM f),
+      |l AS (
+      | SELECT doc_id, sent_idx,
+      |  CAST(len(regexp_extract_all(sentence, '[^\\s]+')) AS BIGINT)
+      |    AS n_tokens,
+      |  string_split_regex(lower(sentence), '\\s+') AS ts
+      | FROM u),
+      |p AS (
+      | SELECT doc_id, sent_idx, n_tokens,
+      |  CASE WHEN list_sort([$structs])[-1].score > 0
+      |   THEN list_sort([$structs])[-1].lang ELSE 'und' END AS lang
+      | FROM l),
+      |b AS (
+      | SELECT doc_id, sent_idx, n_tokens, lang,
+      |  CASE WHEN lag(lang) OVER (PARTITION BY doc_id ORDER BY sent_idx)
+      |   IS DISTINCT FROM lang THEN 1 ELSE 0 END AS brk
+      | FROM p),
+      |g AS (
+      | SELECT doc_id, sent_idx, n_tokens, lang,
+      |  sum(brk) OVER (PARTITION BY doc_id ORDER BY sent_idx) AS seg_idx
+      | FROM b)
+      |SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx, lang,
+      | CAST(min(sent_idx) AS BIGINT) AS first_sent_idx,
+      | count(*) AS n_sentences, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM g GROUP BY doc_id, seg_idx, lang
+      |ORDER BY doc_id, seg_idx""".stripMargin
+  }
+
   def fingerprints(s: SparkSession, d: String): DataFrame =
     TextAnalysis.fingerprint(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
 
@@ -2852,6 +2920,7 @@ object ExtensionQueries {
     QueryDef("t1_text_stats", textStats, Some(textStatsOracle)),
     QueryDef("t2_text_quality", textQuality, Some(textQualityOracle)),
     QueryDef("t3_lang_id", langId, Some(langIdOracle)),
+    QueryDef("t56_lang_segments", langSegmentsGate, Some(langSegmentsOracle)),
     QueryDef("t4_fingerprint", fingerprints, Some(fingerprintOracle)),
     QueryDef("t5_text_normalize", textNormalize, Some(textNormalizeOracle)),
     QueryDef("t6_text_repetition", textRepetition, Some(textRepetitionOracle)),

@@ -128,6 +128,29 @@ class ExtSpec extends AnyFunSuite {
       === Seq((1L, 2L), (3L, 1L)))
   }
 
+  test("TextAnalysis.langSegments: consecutive same-language sentences " +
+      "collapse into runs, switches open new segments, counts are exact") {
+    val mixed = "the cat is on the mat and it was there. " +
+      "it is the best of the day. " +              // second en -> same run
+      "el perro y el gato en la casa por un dia. " + // es -> new segment
+      "the dog is in the house again. " +           // back to en
+      "xyzzy plugh quux"                            // no stopwords -> und
+    val df = Seq((1L, mixed), (2L, "the cat is the best. and it is the day."))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.langSegments(df, "text", "doc_id")
+      .orderBy("doc_id", "seg_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got.toSeq === Seq(
+      // doc 1: en run of 2 sentences, es, en, und
+      (1L, 1L, "en", 1L, 2L, 10L + 7L),
+      (1L, 2L, "es", 3L, 1L, 11L),
+      (1L, 3L, "en", 4L, 1L, 7L),
+      (1L, 4L, "und", 5L, 1L, 3L),
+      // doc 2: one all-en run
+      (2L, 1L, "en", 1L, 2L, 5L + 5L)))
+  }
+
   test("Dedup.minHashPairs finds planted near-dups, not unrelated docs") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running far away " * 3
     val df = Seq(
