@@ -509,6 +509,52 @@ object Packing {
   /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
     * token counts per shard — the sidecar a loader checks before
     * streaming a shard. A |shards|-row aggregate, never the corpus. */
+  /** Contrastive-training batch assignment under DEDUP constraints: two
+    * members of the same near-dup cluster must never share a batch —
+    * in-batch negatives are sampled from the rest of the batch, and a
+    * near-duplicate of the anchor sampled as its "negative" is a FALSE
+    * negative that actively corrupts the contrastive objective (the
+    * DPR/SimCLR batch-construction hygiene rule). `members` is
+    * (id, cluster) — cluster from [[Dedup.connectedComponents]] over
+    * near-dup pairs, singletons carrying their own id.
+    *
+    * Assignment is pure modular arithmetic, deterministic and
+    * replayable: member i (1-based, id-ordered) of cluster c goes to
+    * batch (c + i − 1) mod nBatches — consecutive distinct batches per
+    * cluster, and the cluster id itself is the rotation offset so
+    * clusters spread instead of piling their heads on batch 0. The
+    * constraint is satisfiable iff every cluster has ≤ nBatches
+    * members; the operator CHECKS that eagerly (one partial-aggregated
+    * count job) and fails fast naming the violation rather than
+    * silently wrapping a cluster onto itself — split the offending
+    * cluster or raise nBatches (an oversized near-dup cluster is
+    * usually an exact-dup flood that belongs in [[Dedup.exactGroups]]
+    * first).
+    *
+    * Scale shape: the only window is cluster-keyed (bounded by cluster
+    * size — near-dup clusters are small piles, the
+    * [[Dedup.connectedComponents]] premise), the offset needs no
+    * global rank, and the guard aggregates map-side. One exchange on
+    * the cluster key.
+    *
+    * Output: (id, cluster, batch_id), batch_id in [0, nBatches). */
+  def contrastiveBatches(members: DataFrame, id: String, cluster: String,
+      nBatches: Int): DataFrame = {
+    require(nBatches >= 1, s"contrastiveBatches: nBatches=$nBatches")
+    val biggest = members.groupBy(col(cluster))
+      .agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n"))).head.getLong(0)
+    require(biggest <= nBatches,
+      s"contrastiveBatches: largest cluster has $biggest members but " +
+        s"only nBatches=$nBatches batches exist — every member needs its " +
+        "own batch; split the cluster (exact-dedup first?) or raise " +
+        "nBatches")
+    val w = Window.partitionBy(col(cluster)).orderBy(col(id))
+    members.select(col(id), col(cluster),
+      pmod(col(cluster) + row_number().over(w) - 1,
+        lit(nBatches.toLong)).as("batch_id"))
+  }
+
   def shardManifest(sharded: DataFrame): DataFrame =
     sharded.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

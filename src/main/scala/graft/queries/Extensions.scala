@@ -524,6 +524,47 @@ object ExtensionQueries {
       | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id)
       |SELECT id, min(r) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** pk11: contrastive-batch construction under dedup constraints
+    * (Packing.contrastiveBatches) — near-dup cluster members must never
+    * share a batch, or in-batch negative sampling draws false
+    * negatives. Clusters come from the d10 chain fixture's connected
+    * components (4-node chains), singletons keep their own id; with 16
+    * batches the constraint is satisfiable and the modular assignment
+    * is deterministic, so the oracle replays components (recursive
+    * CTE), the cluster join, and the (cluster + i − 1) mod 16
+    * arithmetic end to end. */
+  def contrastiveBatchesGate(s: SparkSession, d: String): DataFrame = {
+    val ids = Tables.embeddings(s, d).select(col("vec_id"))
+    val pairs = ids.where(col("vec_id") % 10 < 3)
+      .select(col("vec_id").as("id_a"), (col("vec_id") + 1).as("id_b"))
+    val comp = Dedup.connectedComponents(pairs)
+    val members = ids.join(comp, ids("vec_id") === comp("id"), "left")
+      .select(col("vec_id").as("id"),
+        coalesce(col("component"), col("vec_id")).as("cluster"))
+    graft.ext.Packing.contrastiveBatches(members, "id", "cluster",
+        nBatches = 16)
+      .orderBy("id")
+  }
+
+  private val contrastiveBatchesOracle =
+    """WITH RECURSIVE pairs AS (
+      | SELECT vec_id AS a, vec_id + 1 AS b FROM embeddings WHERE vec_id % 10 < 3),
+      |edges AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs),
+      |reach AS (
+      | SELECT a AS id, a AS r FROM edges
+      | UNION
+      | SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+      |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+      |members AS (
+      | SELECT e.vec_id AS id, coalesce(c.component, e.vec_id) AS cluster
+      | FROM embeddings e LEFT JOIN comp c ON c.id = e.vec_id),
+      |rn AS (
+      | SELECT id, cluster,
+      |  row_number() OVER (PARTITION BY cluster ORDER BY id) AS i
+      | FROM members)
+      |SELECT id, cluster, CAST((cluster + i - 1) % 16 AS BIGINT) AS batch_id
+      |FROM rn ORDER BY id""".stripMargin
+
   /** Connected components over LONG chains (edges vec_id→vec_id+1 within
     * each block of 50 ⇒ 50-node chains, diameter 49): the large-star/
     * small-star alternation must converge in O(log n) rounds where plain
@@ -2940,6 +2981,8 @@ object ExtensionQueries {
     QueryDef("d5_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingOracle)),
     QueryDef("d9_dedup_semantic", semDedup, Some(semDedupOracle)),
     QueryDef("d10_dedup_components", dedupComponents, Some(dedupComponentsOracle)),
+    QueryDef("pk11_contrastive_batches", contrastiveBatchesGate,
+      Some(contrastiveBatchesOracle)),
     QueryDef("d17_dedup_keep_best", dedupKeepBest, Some(dedupKeepBestOracle)),
     QueryDef("d18_containment", dedupContainment, Some(dedupContainmentOracle)),
     QueryDef("d12_components_chain", dedupComponentsChain, Some(dedupComponentsChainOracle)),

@@ -514,6 +514,37 @@ class PackingSpec extends AnyFunSuite {
     assert(sortedRows(oneD) === sortedRows(oneW))
   }
 
+  test("contrastiveBatches: same-cluster members never share a batch, " +
+      "assignment is deterministic, oversized clusters fail fast") {
+    // clusters: {0,1,2,3} (one 4-pile), {10,11} (pair), singletons 20..29
+    val members = (Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 0L),
+      (10L, 10L), (11L, 10L)) ++ (20L to 29L).map(i => (i, i)))
+      .toDF("id", "cluster")
+    val got = Packing.contrastiveBatches(members, "id", "cluster",
+      nBatches = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length === 16)
+    assert(got.forall(t => t._3 >= 0 && t._3 < 4))
+    // the hygiene rule: per cluster, batches are pairwise distinct
+    got.groupBy(_._2).foreach { case (c, ms) =>
+      assert(ms.map(_._3).distinct.length === ms.length,
+        s"cluster $c put two members in one batch")
+    }
+    // deterministic modular form: member i of cluster c -> (c + i - 1) % B
+    val want = got.map { case (id, c, _) => (id, c) }.groupBy(_._2)
+      .toSeq.flatMap { case (c, ms) =>
+        ms.map(_._1).sorted.zipWithIndex.map { case (id, i) =>
+          (id, c, (c + i) % 4) }
+      }.sortBy(_._1)
+    assert(got.sortBy(_._1).toSeq === want)
+    // a 5-pile cannot fit 4 batches: fail fast, not silent wrap
+    val flood = (0L until 5L).map(i => (i, 0L)).toDF("id", "cluster")
+    val e = intercept[IllegalArgumentException] {
+      Packing.contrastiveBatches(flood, "id", "cluster", nBatches = 4)
+    }
+    assert(e.getMessage.contains("largest cluster"))
+  }
+
   test("ntileFromRank: matches ANSI ntile for every (n, k) in a grid") {
     for (n <- Seq(1, 2, 3, 4, 5, 7, 10, 23); k <- Seq(1, 2, 3, 4, 5, 8, 30)) {
       val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "x")
