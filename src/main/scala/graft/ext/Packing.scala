@@ -506,9 +506,6 @@ object Packing {
       .withColumn("boundary_waste_ppm", idiv(num - pmod(num, den), den))
   }
 
-  /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
-    * token counts per shard — the sidecar a loader checks before
-    * streaming a shard. A |shards|-row aggregate, never the corpus. */
   /** Contrastive-training batch assignment under DEDUP constraints: two
     * members of the same near-dup cluster must never share a batch —
     * in-batch negatives are sampled from the rest of the batch, and a
@@ -535,15 +532,19 @@ object Packing {
     * size — near-dup clusters are small piles, the
     * [[Dedup.connectedComponents]] premise), the offset needs no
     * global rank, and the guard aggregates map-side. One exchange on
-    * the cluster key.
+    * the cluster key. The eager guard costs one extra evaluation of
+    * the `members` lineage, column-pruned to the cluster key — persist
+    * `members` first if deriving it is expensive.
     *
     * Output: (id, cluster, batch_id), batch_id in [0, nBatches). */
   def contrastiveBatches(members: DataFrame, id: String, cluster: String,
       nBatches: Int): DataFrame = {
     require(nBatches >= 1, s"contrastiveBatches: nBatches=$nBatches")
+    // coalesce: zero groups aggregate max to NULL — an empty members
+    // frame trivially satisfies the constraint
     val biggest = members.groupBy(col(cluster))
       .agg(count(lit(1)).as("__n"))
-      .agg(max(col("__n"))).head.getLong(0)
+      .agg(coalesce(max(col("__n")), lit(0L))).head.getLong(0)
     require(biggest <= nBatches,
       s"contrastiveBatches: largest cluster has $biggest members but " +
         s"only nBatches=$nBatches batches exist — every member needs its " +
@@ -555,6 +556,9 @@ object Packing {
         lit(nBatches.toLong)).as("batch_id"))
   }
 
+  /** Per-shard manifest for a [[shardByTokens]] result: exact doc and
+    * token counts per shard — the sidecar a loader checks before
+    * streaming a shard. A |shards|-row aggregate, never the corpus. */
   def shardManifest(sharded: DataFrame): DataFrame =
     sharded.groupBy(col("shard_id"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))

@@ -48,14 +48,21 @@ object ExtensionQueries {
   def langId(s: SparkSession, d: String): DataFrame =
     TextAnalysis.langId(Tables.documents(s, d), "text", "doc_id").orderBy("doc_id")
 
+  /** The stopword-profile (score, lang) struct list as DuckDB SQL over
+    * a token-list column `ts` — ONE builder shared by every oracle that
+    * replays the argmax (t3 per document, t56 per sentence), so the
+    * replay cannot drift between them. */
+  private def stopwordStructsSql: String =
+    TextAnalysis.StopwordProfiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'score': len(list_filter(ts, t -> t IN ($set))), 'lang': '$lang'}"
+    }.mkString(",\n      |   ")
+
   /** DuckDB replay of the stopword-argmax: same struct-lexicographic
     * tie-break (max score, then max lang code) via list_sort of
     * (score, lang) structs. */
   private val langIdOracle: String = {
-    val structs = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
-      val set = words.map(w => s"'$w'").mkString(", ")
-      s"{'score': len(list_filter(ts, t -> t IN ($set))), 'lang': '$lang'}"
-    }.mkString(",\n      |   ")
+    val structs = stopwordStructsSql
     s"""WITH toks AS (
       | SELECT doc_id, string_split_regex(lower(text), '\\s+') AS ts FROM documents),
       |scored AS (SELECT doc_id, [$structs] AS ss FROM toks)
@@ -84,10 +91,7 @@ object ExtensionQueries {
   }
 
   private val langSegmentsOracle: String = {
-    val structs = TextAnalysis.StopwordProfiles.map { case (lang, words) =>
-      val set = words.map(w => s"'$w'").mkString(", ")
-      s"{'score': len(list_filter(ts, t -> t IN ($set))), 'lang': '$lang'}"
-    }.mkString(",\n      |   ")
+    val structs = stopwordStructsSql
     s"""WITH docs AS (
       | SELECT doc_id,
       |  CASE WHEN doc_id < 30
