@@ -175,6 +175,36 @@ class AnnIndexSpec extends AnyFunSuite {
       .getAs[Int]("nlist") === 13, "meta must record the re-tuned nlist")
   }
 
+  test("lifecycle interplay: appends through an opened handle, then " +
+      "compact, then RE-OPEN — the fresh handle serves the re-trained " +
+      "index exactly while the stale handle still holds old centroids") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annlife_")
+      .resolve("idx").toString
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    AnnIndex.buildIvfPq(corpus.where($"cid" < 120), dim = 16, nlist = 6,
+      root = root, m = 4, codes = 8)
+    val h1 = AnnIndex.open(spark, root)
+    AnnIndex.appendIvfPq(h1, corpus.where($"cid" >= 120 && $"cid" < 160))
+    AnnIndex.appendIvfPq(h1, corpus.where($"cid" >= 160))
+    AnnIndex.compactIvfPq(spark, root, nlist = 9, m = 4, codes = 8)
+    // the documented hazard: a pre-compact handle carries the OLD
+    // metadata driver-side (nlist 6, old centroids)
+    assert(h1.nlist === 6)
+    val h2 = AnnIndex.open(spark, root)
+    assert(h2.nlist === 9, "re-open must see the re-tuned index")
+    val queries = (2000L until 2005L).map(i => (i, vec(i.toInt)))
+      .toDF("qid", "qvec")
+    val served = AnnIndex.queryIvfPq(h2, queries, k = 3, nprobe = 9,
+        rerank = 200, excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 3,
+        excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect()
+    assert(served.toSeq === exact.toSeq)
+  }
+
   test("hard-negative mining NULL-label semantics (pinned, both " +
       "shapes): NULL qlab mines nothing, NULL clab is never mined") {
     val root = java.nio.file.Files.createTempDirectory("graft_annnull_")
