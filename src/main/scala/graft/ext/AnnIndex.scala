@@ -83,7 +83,15 @@ object AnnIndex {
     * only) and append to the encoded table. Centroids are NOT re-fit —
     * the published IVF trade: cluster balance degrades as the appended
     * fraction grows; rebuild when it does. Exactness of full-probing
-    * queries is unaffected (the s10 gate pins it). */
+    * queries is unaffected (the s10 gate pins it).
+    *
+    * At-least-once delivery (a streaming foreachBatch replaying a batch
+    * after a failure) duplicates encoded rows; every serve path absorbs
+    * that at read time — [[Similarity.TopKAggregator]] collapses
+    * duplicate (id, score) observations, so the replayed index serves
+    * the exactly-once answer (ReplayedAppendSpec pins it), and
+    * [[compactIvfPq]] dedups rows by cid, so a compact after a replay
+    * also rebuilds the exactly-once index physically. */
   def appendIvfPq(spark: SparkSession, root: String,
       newVectors: DataFrame): Unit =
     encode(spark, root, newVectors, "append")
@@ -424,40 +432,43 @@ object AnnIndex {
     * re-encode plus two TakeOrdered sample scans — the build cost, by
     * design; run it at the cadence cluster balance demands, not per
     * append. Durability: the new index is staged under a dot-temp
-    * sibling and swapped in via per-table rename — single-writer like
-    * every plain-parquet sink here, and NOT atomic across the four
-    * tables (wrap the root in [[graft.sink.VersionedTable]] if the
-    * swap must be crash-recoverable). Live [[Opened]] handles hold the
-    * OLD centroids/codebook driver-side — re-[[open]] after a
-    * compact. */
+    * sibling and swapped in via [[graft.io.StagedSwap]] — each live
+    * table is renamed ASIDE (never deleted first), backups drop only
+    * after all four tables swapped, and a failed swap rolls back to
+    * the old index while KEEPING the staged copy for recovery. Still
+    * single-writer and not snapshot-isolated against concurrent
+    * readers mid-swap (wrap the root in [[graft.sink.VersionedTable]]
+    * for that). Live [[Opened]] handles hold the OLD
+    * centroids/codebook driver-side — re-[[open]] after a compact. */
   def compactIvfPq(spark: SparkSession, root: String, nlist: Int,
       m: Int, codes: Int, refineIters: Int = 0,
       targetPartitions: Int = 0): Unit = {
     val dim = spark.read.parquet(s"$root/meta.parquet").head
       .getAs[Int]("dim")
+    // dropDuplicates(cid): at-least-once appends may have replayed a
+    // micro-batch (identical vectors under the same cid — appends never
+    // update); serve absorbs the copies via the TopKAggregator collapse,
+    // compact removes them physically. A duplicate cid reaching the
+    // hash-ordered centroid sample would otherwise mint two centroids
+    // with the same id.
     val vectors0 = spark.read.parquet(s"$root/encoded.parquet")
-      .select("cid", "cvec")
+      .select("cid", "cvec").dropDuplicates("cid")
     val vectors =
       if (targetPartitions > 0) vectors0.repartition(targetPartitions)
       else vectors0
     val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
-    try {
-      buildIvfPq(vectors, dim, nlist, staging, m, codes, refineIters)
-      Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
-          "encoded.parquet").foreach { t =>
-        val dst = new org.apache.hadoop.fs.Path(s"$root/$t")
-        fs.delete(dst, true)
-        require(fs.rename(new org.apache.hadoop.fs.Path(s"$staging/$t"), dst),
-          s"compactIvfPq: swapping $t into place failed")
-      }
-    } finally {
-      // staged build or swap failed partway: drop the dot-temp sibling
-      // rather than accreting junk inside the live index root (after a
-      // clean swap this deletes the then-empty staging dir)
+    try buildIvfPq(vectors, dim, nlist, staging, m, codes, refineIters)
+    catch { case e: Throwable =>
+      // the staged BUILD failed — the staging dir holds junk, not a
+      // recovery copy; drop it and leave the live index untouched
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
     }
+    graft.io.StagedSwap.swapIn(fs, root, staging,
+      Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
+        "encoded.parquet"))
   }
 
   private def loadCentroids(spark: SparkSession,

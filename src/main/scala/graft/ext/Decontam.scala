@@ -101,6 +101,36 @@ object Decontam {
       Seq(idCol), "left_anti")
   }
 
+  /** Compact a persisted decontamination index IN PLACE — works on both
+    * layouts ([[saveIndex]] and [[saveSetIndex]]): the gram table
+    * accretes one file set per appended eval-set increment, and
+    * overlapping increments store duplicate rows the serve re-distincts
+    * on every read. Compaction rewrites grams.parquet as its DISTINCT
+    * rows (over the full stored schema, so a set-labeled index keeps
+    * one row per (eval_set, gram)), coalesced to `targetPartitions`
+    * files when > 0; meta is untouched. compact(build + appends) ==
+    * build(union of benchmarks) as a row set — distinct-of-appends is
+    * distinct-of-union — so every serve path is bit-identical before
+    * and after (the d25 gate and spec pin it). Swap is
+    * [[graft.io.StagedSwap]]: the live table is renamed aside, rolled
+    * back on failure, staging kept for recovery. */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetPartitions: Int = 0): Unit = {
+    val distinct0 = spark.read.parquet(s"$root/grams.parquet").distinct()
+    val distinct =
+      if (targetPartitions > 0) distinct0.coalesce(targetPartitions)
+      else distinct0
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try distinct.write.parquet(s"$staging/grams.parquet")
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    graft.io.StagedSwap.swapIn(fs, root, staging, Seq("grams.parquet"))
+  }
+
   private def loadIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): (DataFrame, Int) =
     // select("gram") first: a SET-LABELED index ([[saveSetIndex]]) also

@@ -296,39 +296,121 @@ object Dedup {
     * Layout under `root` (plain parquet, single-writer — the engine's
     * standard sink contract):
     *
-    *   meta.parquet     (shingle_k, num_hashes, bands, threshold,
-    *                     max_bucket) — one row, pinned at first save
-    *   buckets.parquet  (band, band_hash, doc_id) — the LSH postings
-    *   fps.parquet      (doc_id, fps ARRAY<BIGINT>) — sorted xxhash64
-    *                     shingle fingerprints for the exact verify
+    *   buckets.parquet    (band, band_hash, doc_id) — the LSH postings
+    *   fps.parquet        (doc_id, fps ARRAY<BIGINT>) — sorted xxhash64
+    *                       shingle fingerprints for the exact verify
+    *   tombstones.parquet (band, band_hash) — buckets retired by the
+    *                       flood cap (empty at build unless the build
+    *                       itself caps; grown by appends, see below)
+    *   meta.parquet       (shingle_k, num_hashes, bands, threshold,
+    *                       max_bucket) — one row, pinned at first save,
+    *                       written LAST: its presence is the index's
+    *                       commit marker ([[openMinHashIndex]] reads it
+    *                       first, so a torn build is unreadable, not
+    *                       silently partial)
     *
     * The verify side stores 8-byte shingle fingerprints, not text (the
     * d16 trick): jaccard over the hashed sets equals string-set jaccard
     * under the injective-or-loudly-wrong contract, and the serve's
     * per-candidate work is an allocation-free sorted-long merge.
     * Empty-text rows are excluded (no shingles — the [[minHashPairs]]
-    * precondition). Like every plain-parquet sink here, oversized-
-    * bucket capping applies at BUILD (a byte-identical flood belongs in
-    * exact dedup first — the [[bucketPairs]] contract); [[appendMinHashIndex]]
-    * increments do not re-cap across increments (rebuild to re-cap). */
+    * precondition). Oversized-bucket capping applies at build (a
+    * byte-identical flood belongs in exact dedup first — the
+    * [[bucketPairs]] contract) AND across [[appendMinHashIndex]]
+    * increments: an append that pushes a bucket's distinct-doc count
+    * past `maxBucketSize` tombstones the bucket, so a hot shingle
+    * pattern arriving over many streamed appends cannot grow a posting
+    * list unboundedly and flood the serve join. */
   def saveMinHashIndex(root: String, df: DataFrame, text: String,
       id: String, conf: MinHashConfig = MinHashConfig()): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
+    writeIndexRows(root, df, text, id, conf, "errorifexists", cap = true)
+    // empty tombstone table so serve/append never special-case a fresh
+    // index (build-time capping DROPS over-cap rows rather than
+    // tombstoning the key: appends may refill such a bucket up to the
+    // cap — candidates there are still exact-verified, and the count
+    // accounting re-tombstones it the moment it crosses again)
+    spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("band", IntegerType),
+          StructField("band_hash", LongType))))
+      .write.mode("errorifexists").parquet(s"$root/tombstones.parquet")
+    // meta LAST — the commit marker (ADVICE r13: a meta-first build
+    // that failed mid-way blocked the retry on the leftover meta and
+    // left a half-written root that opened as a valid empty index)
     Seq((conf.shingleSize, conf.numHashes, conf.bands, conf.threshold,
         conf.maxBucketSize))
       .toDF("shingle_k", "num_hashes", "bands", "threshold", "max_bucket")
       .write.mode("errorifexists").parquet(s"$root/meta.parquet")
-    writeIndexRows(root, df, text, id, conf, "errorifexists", cap = true)
   }
 
   /** Append new documents to a persisted near-dup index: encode with
     * the PINNED knobs (band hashes must match the existing postings or
-    * collisions silently never happen) and append to both tables. */
+    * collisions silently never happen), RE-CAP the touched buckets, and
+    * append to both tables.
+    *
+    * Cross-increment re-capping (the r13 watch-item): for every bucket
+    * the increment touches, the DISTINCT-doc count over (existing
+    * postings ∪ increment) is measured — one column-pruned scan of the
+    * postings table, restricted by a broadcast semi-join on the
+    * increment's own bucket keys (increment-sized, so always
+    * broadcastable). Buckets crossing `maxBucketSize` are tombstoned:
+    * their increment rows are not written, and [[flagAgainstIndex]]
+    * anti-joins the (tiny, broadcast) tombstone set so rows appended
+    * BEFORE the crossing stop generating candidates too. Distinct-doc
+    * counting makes the accounting replay-safe: an at-least-once
+    * delivery that re-appends an increment cannot double-count a doc
+    * into a premature tombstone. Counts use the postings table itself
+    * rather than a separate cumulative-counts sidecar — one slim scan
+    * per append; a counts cache is the optimization path if append
+    * cadence ever makes that scan the bottleneck.
+    *
+    * Torn-append semantics (write order: fps, then postings, then
+    * tombstones): a failure after the fps write leaves the increment
+    * invisible (no postings — arrivals simply not yet flaggable), never
+    * postings whose verify fingerprints are missing (the silent
+    * candidate-drop ADVICE r13 flagged). The safe recovery is to retry
+    * the whole append: duplicate fps/posting rows are absorbed by the
+    * serve's distinct discipline ([[flagAgainstIndex]]) and physically
+    * removed by [[compactMinHashIndex]]. */
   def appendMinHashIndex(root: String, df: DataFrame, text: String,
       id: String): Unit =
-    writeIndexRows(root, df, text, id,
-      openMinHashIndex(df.sparkSession, root), "append", cap = false)
+    appendMinHashIndex(root, df, text, id,
+      openMinHashIndex(df.sparkSession, root))
+
+  /** [[appendMinHashIndex]] with the knobs pre-[[openMinHashIndex]]ed —
+    * zero per-call metadata jobs (the streamed-ingest shape). */
+  def appendMinHashIndex(root: String, df: DataFrame, text: String,
+      id: String, conf: MinHashConfig): Unit = {
+    val spark = df.sparkSession
+    val tombs = readTombstones(spark, root)
+    val incBands = bandsOf(df, text, id, conf)
+      .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti")
+    val touched = incBands.select(col("band"), col("band_hash")).distinct()
+    // distinct-doc union count per touched bucket; the broadcast
+    // semi-join keeps the postings scan restricted to increment keys
+    val newTombRows = spark.read.parquet(s"$root/buckets.parquet")
+      .join(broadcast(touched), Seq("band", "band_hash"), "left_semi")
+      .select(col("band"), col("band_hash"), col("doc_id"))
+      .union(incBands.select(col("band"), col("band_hash"), col("doc_id")))
+      .distinct()
+      .groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") > conf.maxBucketSize)
+      .select(col("band"), col("band_hash"))
+      .collect()
+    val newTombs = spark.createDataFrame(
+      spark.sparkContext.parallelize(newTombRows.toIndexedSeq, 1),
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("band_hash", LongType))))
+    fpsOf(df, text, id, conf)
+      .write.mode("append").parquet(s"$root/fps.parquet")
+    incBands.join(broadcast(newTombs), Seq("band", "band_hash"), "left_anti")
+      .write.mode("append").parquet(s"$root/buckets.parquet")
+    if (newTombRows.nonEmpty)
+      newTombs.write.mode("append").parquet(s"$root/tombstones.parquet")
+  }
 
   /** Read the pinned knobs of a persisted near-dup index — the
     * driver-side "open" step: a long-lived server (the st36 streaming
@@ -344,19 +426,47 @@ object Dedup {
   }
 
 
-  private def writeIndexRows(root: String, df: DataFrame, text: String,
-      id: String, conf: MinHashConfig, mode: String, cap: Boolean): Unit = {
+  /** The (band, band_hash, doc_id) posting rows of `df` under `conf` —
+    * the one codegen'd minhashSig pass per doc, shared by build, append
+    * and serve so the three can never drift. */
+  private def bandsOf(df: DataFrame, text: String, id: String,
+      conf: MinHashConfig): DataFrame = {
     val r = conf.rowsPerBand
-    val rows = df.where(length(col(text)) > 0)
+    df.where(length(col(text)) > 0)
       .select(col(id).as("doc_id"),
         GraftFunctions.minhashSig(lower(col(text)), conf.shingleSize,
           conf.numHashes).as("sig"))
-    val bands = rows.select(
-      col("doc_id"),
-      posexplode(array((0 until conf.bands).map(b =>
-        xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
+      .select(col("doc_id"),
+        posexplode(array((0 until conf.bands).map(b =>
+          xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+  }
+
+  /** The (doc_id, fps) verify rows — sorted 8-byte shingle fingerprints. */
+  private def fpsOf(df: DataFrame, text: String, id: String,
+      conf: MinHashConfig): DataFrame =
+    df.where(length(col(text)) > 0)
+      .select(col(id).as("doc_id"),
+        GraftFunctions.sortedGramHashes(
+          shingleCol(col(text), conf.shingleSize)).as("fps"))
+
+  /** The tombstoned bucket keys; empty frame when the table is missing
+    * (an index persisted before tombstones existed still serves). */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      root: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/tombstones.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      spark.read.parquet(p.toString).select(col("band"), col("band_hash"))
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("band", IntegerType),
+        StructField("band_hash", LongType))))
+  }
+
+  private def writeIndexRows(root: String, df: DataFrame, text: String,
+      id: String, conf: MinHashConfig, mode: String, cap: Boolean): Unit = {
+    val bands = bandsOf(df, text, id, conf)
     // Cap via a count WINDOW, not a groupBy+join self-reference: band
     // hashes are uniform keys (the keepHotBuckets argument — no hot
     // bucket to straggle a window task), and the join formulation would
@@ -371,12 +481,56 @@ object Dedup {
         bands.withColumn("__n", count(lit(1)).over(w))
           .where(col("__n") <= conf.maxBucketSize).drop("__n")
       } else bands
+    // fps BEFORE postings (ADVICE r13): a failure between the two jobs
+    // must leave postings absent (increment invisible, retry-safe), not
+    // postings whose verify fingerprints the serve join silently drops
+    fpsOf(df, text, id, conf).write.mode(mode).parquet(s"$root/fps.parquet")
     capped.write.mode(mode).parquet(s"$root/buckets.parquet")
-    df.where(length(col(text)) > 0)
-      .select(col(id).as("doc_id"),
-        GraftFunctions.sortedGramHashes(
-          shingleCol(col(text), conf.shingleSize)).as("fps"))
-      .write.mode(mode).parquet(s"$root/fps.parquet")
+  }
+
+  /** Compact a persisted near-dup index IN PLACE: drop the duplicate
+    * fps/posting rows that at-least-once (replayed) appends accrete,
+    * physically remove residual postings of tombstoned buckets (rows
+    * appended before the bucket crossed the cap — serve-invisible via
+    * the tombstone anti-join, but still scanned), and rewrite both
+    * corpus-sized tables coalesced to `targetPartitions` files when
+    * > 0 (append cadence otherwise accretes one file set per
+    * micro-batch). Tombstones and meta are carried over unchanged — a
+    * retired bucket stays retired (the flood that killed it is a
+    * property of the corpus, not of file layout).
+    *
+    * The serve contract is EXACT: [[flagAgainstIndex]] against the
+    * compacted index equals the uncompacted serve bit-for-bit (the
+    * serve already ignores everything compaction removes — the d24
+    * gate and spec pin it). Swap is [[graft.io.StagedSwap]]: live
+    * tables renamed aside, rolled back on failure, staging kept for
+    * recovery. Re-[[openMinHashIndex]] after a compact is NOT needed —
+    * the knobs never change (unlike [[AnnIndex.compactIvfPq]], which
+    * re-trains). */
+  def compactMinHashIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, targetPartitions: Int = 0): Unit = {
+    // open() first: reading meta asserts the index is committed
+    openMinHashIndex(spark, root)
+    val tombs = readTombstones(spark, root)
+    def sized(df: DataFrame): DataFrame =
+      if (targetPartitions > 0) df.coalesce(targetPartitions) else df
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      sized(spark.read.parquet(s"$root/fps.parquet")
+          .dropDuplicates("doc_id"))
+        .write.parquet(s"$staging/fps.parquet")
+      sized(spark.read.parquet(s"$root/buckets.parquet")
+          .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti")
+          .distinct())
+        .write.parquet(s"$staging/buckets.parquet")
+    } catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    graft.io.StagedSwap.swapIn(fs, root, staging,
+      Seq("fps.parquet", "buckets.parquet"))
   }
 
   /** Flag new documents that near-duplicate a persisted index: compute
@@ -430,9 +584,15 @@ object Dedup {
         xxhash64(lit(b), slice(col("sig"), b * r + 1, r))): _*)))
       .withColumnRenamed("pos", "band")
       .withColumnRenamed("col", "band_hash")
+    // tombstone anti-join (tiny, broadcast): postings of a bucket that
+    // crossed the flood cap AFTER some of its rows were appended are
+    // still on disk until the next compact — they must not generate
+    // candidates (bounded serve cost is the cap's whole contract)
+    val postings = spark.read.parquet(s"$root/buckets.parquet")
+      .join(broadcast(readTombstones(spark, root)),
+        Seq("band", "band_hash"), "left_anti")
     val cand = newBands
-      .join(spark.read.parquet(s"$root/buckets.parquet"),
-        Seq("band", "band_hash"))
+      .join(postings, Seq("band", "band_hash"))
       .where(col("__new_id") =!= col("doc_id"))
       .select(col("__new_id"), col("doc_id").as("__idx_id"))
       .dropDuplicates("__new_id", "__idx_id")

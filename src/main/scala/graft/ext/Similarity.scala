@@ -25,7 +25,19 @@ object Similarity {
   final case class Scored(id: Long, score: Double)
 
   /** Order-insensitive, capacity-k merge aggregator. Keeps a sorted list
-    * capped at k; ties broken by id for determinism. */
+    * capped at k; ties broken by id for determinism.
+    *
+    * Duplicate OBSERVATIONS — the same (id, score) seen twice — collapse
+    * to one slot. In a clean pipeline each candidate id reaches a group
+    * once, so this changes nothing; under an at-least-once upstream (a
+    * replayed [[AnnIndex.appendIvfPq]] micro-batch duplicating encoded
+    * rows) it is what makes every persisted-index serve replay to the
+    * exactly-once answer instead of burning top-k slots on copies —
+    * the same absorb-at-serve discipline as the decontam re-distinct
+    * and [[Dedup.flagAgainstIndex]]'s output dropDuplicates (spec:
+    * ReplayedAppendSpec). Two DIFFERENT rows that tie on (score, id)
+    * cannot exist (id is the row key in every caller), so a collapse
+    * is always a true duplicate. */
   final class TopKAggregator(k: Int)
       extends Aggregator[Scored, List[Scored], Seq[Scored]] {
     private def ord: Ordering[Scored] =
@@ -39,7 +51,10 @@ object Similarity {
       if (buf.length >= k && ord.lteq(buf.last, a)) buf
       else {
         val (lt, ge) = buf.span(x => ord.lt(x, a))
-        (lt ::: a :: ge).take(k)
+        // equal elements sort adjacent, so a duplicate of `a` — if any —
+        // is exactly the head of `ge`
+        if (ge.headOption.exists(x => x.id == a.id && x.score == a.score)) buf
+        else (lt ::: a :: ge).take(k)
       }
     }
     override def finish(r: List[Scored]): Seq[Scored] = r

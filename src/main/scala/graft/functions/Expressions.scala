@@ -1098,8 +1098,9 @@ object SortedXxhash64Array {
   * Nullable ELEMENT types are accepted (a parquet round-trip of a
   * fingerprint column — d23's index serve — resurfaces as nullable
   * elements, and Spark's file sources force the relaxation even under
-  * an explicit schema), but an actual null element THROWS: silently
-  * reading it as 0 could fabricate an intersection. */
+  * an explicit schema), but an actual null element THROWS — wherever it
+  * sits, including the un-merged tail (both arrays are null-scanned up
+  * front): silently reading it as 0 could fabricate an intersection. */
 case class SortedLongIntersectCount(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -1130,17 +1131,35 @@ case class SortedLongIntersectCount(left: Expression, right: Expression)
 }
 
 object SortedLongIntersectCount {
-  /** Static entry point shared by eval and generated code. */
+  /** Static entry point shared by eval and generated code. Null elements
+    * are rejected by an UP-FRONT scan of BOTH arrays (not inside the
+    * merge): a null in the un-merged tail after one side is exhausted —
+    * or one that a writer sorted ahead of real values, terminating the
+    * merge early — must throw just as loudly as one the merge reaches,
+    * or the documented contract would depend on element position. The
+    * pre-scan is a branch-per-element over primitive null words —
+    * negligible next to the merge itself. */
   def count(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()
     val nb = b.numElements()
+    var p = 0
+    while (p < na) {
+      if (a.isNullAt(p))
+        throw new IllegalArgumentException(
+          "sorted_long_intersect_count: null fingerprint element")
+      p += 1
+    }
+    p = 0
+    while (p < nb) {
+      if (b.isNullAt(p))
+        throw new IllegalArgumentException(
+          "sorted_long_intersect_count: null fingerprint element")
+      p += 1
+    }
     var i = 0
     var j = 0
     var c = 0
     while (i < na && j < nb) {
-      if (a.isNullAt(i) || b.isNullAt(j))
-        throw new IllegalArgumentException(
-          "sorted_long_intersect_count: null fingerprint element")
       val x = a.getLong(i)
       val y = b.getLong(j)
       if (x == y) { c += 1; i += 1; j += 1 }

@@ -384,6 +384,31 @@ object ExtensionQueries {
     s.read.parquet(outDir).orderBy("doc_id", "dup_of")
   }
 
+  /** d24: the near-dup index COMPACTION lifecycle (the s29 contract
+    * applied to the MinHash index): build + append as d23, then REPLAY
+    * the append (an at-least-once delivery duplicating fps/posting
+    * rows), compact — which dedups both tables physically and
+    * coalesces the per-append file accretion — and serve the same
+    * arrivals. The serve contract is exact (compacted == uncompacted
+    * bit-for-bit, and the replay is absorbed), so the gate replays
+    * against the SAME semantic oracle as d23. */
+  def nearDupIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_d24_")
+      .resolve("nd_idx").toString
+    Dedup.saveMinHashIndex(root, docs.where(col("doc_id") % 2 === 0),
+      "text", "doc_id")
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    Dedup.appendMinHashIndex(root, odd, "text", "doc_id")
+    Dedup.appendMinHashIndex(root, odd, "text", "doc_id") // replayed batch
+    Dedup.compactMinHashIndex(s, root, targetPartitions = 1)
+    val arrivals = docs.where(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    Dedup.flagAgainstIndex(s, root, arrivals, "text", "doc_id")
+      .orderBy("doc_id", "dup_of")
+  }
+
   def dedupSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
@@ -2976,6 +3001,8 @@ object ExtensionQueries {
     QueryDef("d23_neardup_index", nearDupIndexGate, Some(nearDupIndexOracle),
       bench = true),
     QueryDef("st36_neardup_index_stream", nearDupIndexStream,
+      Some(nearDupIndexOracle)),
+    QueryDef("d24_neardup_index_compact", nearDupIndexCompact,
       Some(nearDupIndexOracle)),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),

@@ -211,6 +211,25 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** d25: the decontam index COMPACTION lifecycle — d20's overlapping
+    * increments (which store duplicate gram rows the serve re-distincts
+    * on every read) compacted to one distinct, single-file gram table
+    * in place, then served. compact(build + appends) ==
+    * build(union) as a row set, so the same d7 oracle pins the serve
+    * after the swap. */
+  def decontamIndexCompact(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+    val root = java.nio.file.Files.createTempDirectory("graft_d25_")
+      .resolve("ix").toString
+    Decontam.saveIndex(root, bench.select(col("text")), "text", n = 8)
+    Decontam.saveIndex(root,
+      bench.where(col("doc_id") % 40 === 0).select(col("text")), "text", n = 8)
+    Decontam.compactIndex(s, root, targetPartitions = 1)
+    Decontam.flagFromIndex(s, root, decontamCorpus(s, d), "text", "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** The end-to-end decontaminated corpus (anti-join of the same hits). */
   def decontamClean(s: SparkSession, d: String): DataFrame =
     Decontam.clean(
@@ -1895,6 +1914,8 @@ object HygieneQueries {
     QueryDef("d7_decontam_flag", decontamFlag, Some(decontamOracle)),
     QueryDef("d8_decontam_clean", decontamClean, Some(decontamCleanOracle)),
     QueryDef("d20_decontam_index", decontamFromIndex, Some(decontamOracle)),
+    QueryDef("d25_decontam_index_compact", decontamIndexCompact,
+      Some(decontamOracle)),
     QueryDef("d21_contamination_report", contaminationReportGate,
       Some(contaminationReportOracle)),
     QueryDef("d22_contamination_curve", contaminationCurveGate,

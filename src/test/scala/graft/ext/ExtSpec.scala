@@ -84,6 +84,25 @@ class ExtSpec extends AnyFunSuite {
     assert(h.getSeq[Long](0) === h.getSeq[Long](1))
   }
 
+  test("SortedLongIntersectCount: a null element throws WHEREVER it sits — " +
+      "including the un-merged tail and ahead of the merge window") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Any*) = new GenericArrayData(xs.toArray)
+    // null in the tail the merge never reaches (left exhausted first)
+    assertThrows[IllegalArgumentException] {
+      graft.functions.SortedLongIntersectCount.count(
+        arr(1L), arr(2L, 3L, null))
+    }
+    // null sorted ahead of real values on one side
+    assertThrows[IllegalArgumentException] {
+      graft.functions.SortedLongIntersectCount.count(
+        arr(null, 5L), arr(5L))
+    }
+    // null-free arrays still merge fine
+    assert(graft.functions.SortedLongIntersectCount.count(
+      arr(1L, 5L, 9L), arr(5L, 9L, 11L)) === 2)
+  }
+
   test("FloatCosine: parallel/orthogonal/zero vectors; codegen matches interpreted") {
     val df = Seq(
       (Array(1f, 0f), Array(2f, 0f)),   // parallel -> 1

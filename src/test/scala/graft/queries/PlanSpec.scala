@@ -708,6 +708,9 @@ class PlanSpec extends AnyFunSuite {
     }
     assert(s.contains("buckets.parquet") && s.contains("fps.parquet"),
       s"serve must come from the persisted postings + fingerprints\n$s")
+    assert(s.contains("tombstones.parquet"),
+      s"the flood-cap tombstone anti-join is part of the pinned serve " +
+        s"plan (r14 cross-increment re-cap) — tiny table, broadcast\n$s")
     assert(!s.contains("CartesianProduct") &&
       !s.contains("BroadcastNestedLoopJoin"),
       s"flag serve must join on keys only\n$s")
