@@ -62,6 +62,60 @@ object IngestExportQueries {
       | o_orderdate, o_orderpriority
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** i19: the i1 CSV e2e through [[graft.io.HadoopStore]] on an explicit
+    * `file:` URI — the ObjectStore impl a real cluster runs against
+    * (s3a/abfs/hdfs; the reference's whole job is remote-store ingest,
+    * box_ingest.py:37-63). Every other ingest/export gate goes through
+    * LocalStore, so this is where the Hadoop path differences —
+    * URI-qualified listing, hidden-tmp filtering, rename-overwrite
+    * upload atomicity, post-ingest delete — would surface first. The
+    * gate also drives the store surface LocalStore-free end to end:
+    * putOverwrite (twice, same name — the overwrite-by-name contract),
+    * hidden-tmp invisibility to list, ingest, then delete + re-list. */
+  def ingestHadoopStoreE2e(s: SparkSession, d: String): DataFrame = {
+    implicit val spark: SparkSession = s
+    val tmp = Files.createTempDirectory("graft_i19_")
+    val srcDir = tmp.resolve("src")
+    Tables.orders(s, d)
+      .coalesce(1).write
+      .option("header", true)
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .mode("overwrite").csv(srcDir.toString)
+
+    val store = new graft.io.HadoopStore(s.sparkContext.hadoopConfiguration)
+    val folder = "file:" + srcDir.toString
+    // O28 through the Hadoop rename-overwrite path: create, then
+    // overwrite the same name; list must see ONE object with the second
+    // payload's size and never the in-flight dot-temp
+    store.putOverwrite(folder, "note.txt", _.write("v1".getBytes))
+    store.putOverwrite(folder, "note.txt", _.write("v2-longer".getBytes))
+    val notes = store.list(folder).filter(_.name == "note.txt")
+    require(notes.map(_.size) == Seq("v2-longer".getBytes.length.toLong),
+      s"HadoopStore overwrite-by-name broken: $notes")
+    require(!store.list(folder).exists(_.name.startsWith(".")),
+      "HadoopStore list must hide dot-prefixed in-flight temps")
+
+    val ref = TableRef("graft", "verify", "i19_orders")
+    Seq(ref.qualified, ref.errorSibling.qualified,
+        s"${ref.database}.box_ingestion_log").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+    }
+    val report = Ingest.execute(IngestConfig(
+      taskOwner = "verify",
+      table = ref,
+      folder = folder,
+      fileNameRegex = "part-.*\\.csv",
+      metadata = Some(ordersMeta),
+      justCopy = false), store)
+    require(report.ok, s"ingest errors: ${report.errors.mkString("; ")}")
+
+    // O24 over the Hadoop surface: delete + re-list
+    store.delete(folder, "note.txt")
+    require(!store.list(folder).exists(_.name == "note.txt"),
+      "HadoopStore delete must remove the object from the listing")
+    s.table(ref.qualified).drop("process_dt", "process_date").orderBy("o_orderkey")
+  }
+
   def exportXlsxE2e(s: SparkSession, d: String): DataFrame = {
     implicit val spark: SparkSession = s
     Tables.orders(s, d).createOrReplaceTempView("orders_v")
@@ -1064,6 +1118,8 @@ object IngestExportQueries {
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
     QueryDef("i1_ingest_csv_e2e", ingestCsvE2e, Some(ingestOracle)),
+    QueryDef("i19_ingest_hadoop_store_e2e", ingestHadoopStoreE2e,
+      Some(ingestOracle)),
     QueryDef("i2_ingest_json_e2e", ingestJsonE2e, Some(ingestJsonOracle)),
     QueryDef("i3_ingest_zip_e2e", ingestZipE2e, Some(ingestJsonOracle)),
     QueryDef("i4_ingest_xlsx_e2e", ingestXlsxE2e, Some(ingestXlsxOracle)),
