@@ -1,15 +1,41 @@
 package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
-/** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
+
+/** Driver-run correctness dump: each registered gate's result → parquet,
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Gates run CONCURRENTLY on a small thread pool (the r14 sweep-budget
+  * work: at sf0.01 a gate's wall is dominated by single-threaded driver
+  * planning, so running K gates at once overlaps planning with execution
+  * and cuts the full-board sweep severalfold). Isolation: every pooled
+  * gate gets its own `spark.newSession()` — temp views, memory-sink
+  * tables and session conf are per-session; parquet fixtures live under
+  * per-gate temp dirs. Gates marked `serial` in [[queries.QueryDef]]
+  * (catalog tables, audit log, global Hadoop conf) run one-by-one on a
+  * dedicated lane, concurrent with the pool but never with each other.
+  * Any pooled failure is retried once, serially, at the end — a
+  * concurrency flake must cost a retry, not a round's gate.
+  *
+  * Env knobs (dev iteration; the driver sets none and runs everything):
+  *  - SPARK_GRAFT_VERIFY_ONLY=n1,n2  restrict to named gates
+  *  - SPARK_GRAFT_VERIFY_TIER=seam   only the operator-defining tier
+  *    ([[queries.Registry.seamGates]])
+  *  - SPARK_GRAFT_VERIFY_PAR=k      pool width (default 6; 1 = the old
+  *    fully-sequential behavior)
+  *  - SPARK_GRAFT_CPUS=n            local[n] (default min(16, cores))
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val procs = Runtime.getRuntime.availableProcessors()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(16, procs).toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions",
+        math.min(8, cpus.toInt).toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
@@ -17,18 +43,52 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    // Dev-only iteration filter; the driver sets no env so it runs all.
+    // Dev-only iteration filters; the driver sets no env so it runs all.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val selected = SparkEntry.queries.filter { case (name, _) =>
-      only.forall(_.contains(name)) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+    val tier = sys.env.get("SPARK_GRAFT_VERIFY_TIER")
+    val selected = queries.Registry.all
+      .filter(q => only.forall(_.contains(q.name)))
+      .filter(q => tier.forall(t =>
+        t != "seam" || queries.Registry.seamGates(q.name)))
+
+    val failed = new ConcurrentLinkedQueue[String]()
+    def runGate(q: queries.QueryDef, sess: SparkSession,
+        retryable: Boolean): Unit =
+      try q.fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
+        if (retryable) failed.add(q.name)
       }
+
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
+    if (par <= 1) selected.foreach(runGate(_, spark, retryable = false))
+    else {
+      val (serialDefs, pooledDefs) = selected.partition(_.serial)
+      val pool = Executors.newFixedThreadPool(par)
+      pooledDefs.foreach { q =>
+        pool.submit(new Runnable {
+          override def run(): Unit =
+            runGate(q, spark.newSession(), retryable = true)
+        })
+      }
+      // the serial lane shares the main thread: catalog-touching gates
+      // one-by-one, overlapped with the pool (they touch disjoint state)
+      serialDefs.foreach(runGate(_, spark, retryable = true))
+      pool.shutdown()
+      pool.awaitTermination(2, TimeUnit.HOURS)
+      // flake insurance: one sequential retry on the root session
+      val byName = selected.map(q => q.name -> q).toMap
+      val retries = Iterator.continually(failed.poll())
+        .takeWhile(_ != null).toSeq.distinct
+      if (retries.nonEmpty)
+        System.err.println(
+          s"[verify] retrying ${retries.size} gate(s) serially: " +
+            retries.mkString(", "))
+      retries.foreach(n => runGate(byName(n), spark, retryable = false))
     }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -3068,7 +3068,7 @@ object ExtensionQueries {
     QueryDef("m7_audio_activity", audioActivityGate, Some(audioActivityOracle)),
     QueryDef("m8_pdf_text", pdfTextGate, Some(pdfTextOracle)),
     QueryDef("sc1_salted_agg", saltedAgg, Some(saltedAggOracle)),
-    QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle)),
+    QueryDef("sc2_bucketed_join", bucketedJoin, Some(bucketedJoinOracle), serial = true),
     QueryDef("sc3_bloom_join", bloomJoin, Some(bloomJoinOracle)),
     QueryDef("sc4_zorder", zOrder, Some(zOrderOracle)),
     QueryDef("sc5_skew_report", skewReport, Some(skewReportOracle), bench = true),
@@ -3078,6 +3078,6 @@ object ExtensionQueries {
     QueryDef("sc9_zonemap_incremental", zoneMapIncrementalGate,
       Some(zoneMapIncrementalOracle)),
     QueryDef("sc10_page_pruned_read", pagePrunedRead,
-      Some(pagePrunedReadOracle)),
+      Some(pagePrunedReadOracle), serial = true),
     QueryDef("st1_sessionize", sessionizeBatch, Some(sessionizeOracle), bench = true))
 }

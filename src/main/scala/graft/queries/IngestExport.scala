@@ -1114,7 +1114,12 @@ object IngestExportQueries {
     """SELECT doc_id, lang FROM documents
       |WHERE doc_id % 9 <> 0 ORDER BY doc_id""".stripMargin
 
-  def defs: Seq[QueryDef] = Seq(
+  // serial: every gate here creates/drops managed tables in the shared
+  // graft.verify / graft.audit databases and appends to the audit log —
+  // they must not run concurrently with each other (QueryDef scaladoc)
+  def defs: Seq[QueryDef] = rawDefs.map(_.copy(serial = true))
+
+  private def rawDefs: Seq[QueryDef] = Seq(
     QueryDef("i10_ingest_provenance_e2e", ingestProvenanceE2e,
       Some(ingestProvenanceOracle)),
     QueryDef("i1_ingest_csv_e2e", ingestCsvE2e, Some(ingestOracle)),

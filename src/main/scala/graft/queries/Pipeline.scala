@@ -1947,21 +1947,21 @@ object PipelineQueries {
     QueryDef("pr1_profile", profile, Some(profileOracle)),
     QueryDef("pr2_histogram", histogram, Some(histogramOracle)),
     QueryDef("pr3_winsorize", winsorize, Some(winsorizeOracle)),
-    QueryDef("c1_compaction", compaction, Some(compactionOracle)),
-    QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle)),
+    QueryDef("c1_compaction", compaction, Some(compactionOracle), serial = true),
+    QueryDef("c2_schema_evolution", schemaEvolution, Some(schemaEvolutionOracle), serial = true),
     QueryDef("dq3_threshold_sweep", thresholdSweep,
       Some(thresholdSweepOracle)),
     QueryDef("dq1_quality_check", qualityCheck, Some(qualityOracle)),
     QueryDef("dq2_schema_drift", schemaDrift, Some(schemaDriftOracle)),
-    QueryDef("c8_time_travel", timeTravel, Some(timeTravelOracle)),
+    QueryDef("c8_time_travel", timeTravel, Some(timeTravelOracle), serial = true),
     QueryDef("c9_incremental_minmax", incrementalMinMax,
-      Some(incrementalMinMaxOracle)),
-    QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle)),
-    QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle)),
-    QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle)),
-    QueryDef("c7_scd2", scd2, Some(scd2Oracle)),
-    QueryDef("c10_scd2_versioned", scd2Versioned, Some(scd2VersionedOracle)),
+      Some(incrementalMinMaxOracle), serial = true),
+    QueryDef("c3_merge_upsert", mergeUpsert, Some(mergeOracle), serial = true),
+    QueryDef("c5_merge_pruned", mergePruned, Some(mergePrunedOracle), serial = true),
+    QueryDef("c6_table_diff", tableDiff, Some(tableDiffOracle), serial = true),
+    QueryDef("c7_scd2", scd2, Some(scd2Oracle), serial = true),
+    QueryDef("c10_scd2_versioned", scd2Versioned, Some(scd2VersionedOracle), serial = true),
     QueryDef("pr4_equidepth", equidepth, Some(equidepthOracle), bench = true),
     QueryDef("pr5_mad", madGate, Some(madOracle)),
-    QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle)))
+    QueryDef("c4_incremental_agg", incrementalAgg, Some(incrementalOracle), serial = true))
 }

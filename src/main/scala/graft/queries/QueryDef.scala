@@ -5,12 +5,24 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** One named engine query: the Spark implementation plus (when the
   * semantics are ANSI-SQL-expressible) an equivalent DuckDB oracle SQL over
   * the same parquet tables. `bench=true` marks headline benchmark queries.
+  *
+  * `serial=true` marks gates that touch SHARED engine state — the session
+  * catalog (managed tables, the graft.verify/graft.audit databases, the
+  * audit log) or the global Hadoop configuration — and therefore must not
+  * run concurrently with EACH OTHER. Everything else is session-isolated
+  * by construction (temp views and memory-sink tables are per
+  * SparkSession; fixtures live under per-gate temp dirs), so
+  * [[graft.Verify]] runs non-serial gates on a thread pool of
+  * `newSession()` clones while the serial gates run one-by-one on a
+  * dedicated lane. A NEW gate that creates/drops catalog tables MUST set
+  * serial=true or the driver sweep can flake.
   */
 final case class QueryDef(
     name: String,
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
-    bench: Boolean = false)
+    bench: Boolean = false,
+    serial: Boolean = false)
 
 object Registry {
   def all: Seq[QueryDef] =
@@ -25,4 +37,40 @@ object Registry {
 
   def oracles: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** The always-run tier: operator-DEFINING gates, roughly one per
+    * family seam (the operator's core contract) — the set a dev
+    * iteration loop re-runs on every change via
+    * `SPARK_GRAFT_VERIFY_TIER=seam`. Composition gates (pipelines,
+    * variants, parameter sweeps) re-run when the code under them
+    * changes and always in the full driver sweep; every gate stays
+    * invocable and reported either way. */
+  val seamGates: Set[String] = Set(
+    // ingest / export / validate / audit (the reference surface)
+    "i1_ingest_csv_e2e", "i19_ingest_hadoop_store_e2e", "i3_ingest_zip_e2e",
+    "e1_export_xlsx_e2e", "e2_export_csv_e2e", "v1_validate_valid",
+    "v2_validate_invalid", "a1_audit_log_e2e",
+    // relational core
+    "q1_pricing_summary", "q15_asof_join", "q29_range_join",
+    "q35_window_suite", "q47_band_join", "q50_disjunctive_join",
+    // dedup / hygiene
+    "d1_dedup_exact", "d2_dedup_minhash", "d16_dedup_prefix",
+    "d23_neardup_index", "d24_neardup_index_compact", "d13_dup_spans",
+    "d7_decontam_flag", "d20_decontam_index", "d25_decontam_index_compact",
+    "d10_dedup_components",
+    // similarity / ANN lifecycle
+    "s1_knn_bruteforce", "s7_knn_ivfpq", "s8_knn_ivfpq_replay",
+    "s29_index_compact", "s16_ann_recall", "s20_hard_negatives",
+    "s25_bitext_margin",
+    // text / tokenize / packing / sampling
+    "t1_text_stats", "t3_lang_id", "t7_pii_scan", "t23_bpe_merges",
+    "pk1_sequence_packing", "pk11_contrastive_batches", "sm1_hash_sample",
+    // graphs / sketches / scale / multimodal / profiling
+    "g1_triangles", "g2_pagerank", "k1_approx_distinct", "sc2_bucketed_join",
+    "m1_multimodal_features", "pr1_profile", "dq1_quality_check",
+    // streaming seams
+    "st2_hourly_stream", "st4_stream_ingest", "st14_ann_serve_stream",
+    "st36_neardup_index_stream",
+    // pipelines / maintenance seams
+    "p1_curation_e2e", "c1_compaction", "c3_merge_upsert")
 }

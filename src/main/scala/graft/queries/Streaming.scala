@@ -1193,7 +1193,7 @@ object StreamingQueries {
     QueryDef("st13_curate_stream", curateStream, Some(curateStreamOracle)),
     QueryDef("st10_stream_quantiles", streamQuantiles, Some(streamQuantilesOracle)),
     QueryDef("st9_stream_distinct", streamDistinct, Some(streamDistinctOracle)),
-    QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle)),
+    QueryDef("st8_stream_upsert", streamUpsert, Some(streamUpsertOracle), serial = true),
     QueryDef("st2_hourly_stream", hourlyStream, Some(hourlyOracle)),
     QueryDef("st6_dedup_stream", dedupStream, Some(dedupStreamOracle)),
     QueryDef("st11_neardup_stream", nearDupStream,
@@ -1233,5 +1233,5 @@ object StreamingQueries {
     QueryDef("st7_stream_static_join", streamStaticJoin, Some(streamStaticOracle)),
     QueryDef("st5_stream_stream_join", streamStreamJoin, Some(streamStreamOracle)),
     QueryDef("st3_sessionize_stream", sessionizeStream, Some(sessionizeStreamOracle)),
-    QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle)))
+    QueryDef("st4_stream_ingest", streamIngest, Some(streamIngestOracle), serial = true))
 }
