@@ -74,9 +74,15 @@ object DecontamProbe {
       run("d21_report_fixed_bench",
         graft.ext.Decontam.contaminationReport(corpus, "text", "doc_id",
           bench, "text", "eval_set"))
+      run("d21_report_HASHED",
+        graft.ext.Decontam.contaminationReportHashed(corpus, "text",
+          "doc_id", bench, "text", "eval_set"))
       run("d22_curve_fixed_bench",
         graft.ext.Decontam.contaminationCurve(corpus, "text", "doc_id",
           bench, "text", "eval_set", ns = Seq(4, 8, 13)))
+      run("d22_curve_HASHED",
+        graft.ext.Decontam.contaminationCurveHashed(corpus, "text",
+          "doc_id", bench, "text", "eval_set", ns = Seq(4, 8, 13)))
     }
     spark.stop()
   }

@@ -368,6 +368,111 @@ object Decontam {
           greatest(col("__n_corpus"), lit(1L))).as("contaminated_ppm"))
   }
 
+  // ------------------------------------------- hashed-probe variants
+
+  /** [[contaminationReport]] probing on 8-byte gram HASHES instead of
+    * gram strings ([[graft.functions.TokenNGramHashes]] — the d4/d16
+    * hashed-key trick applied to the broadcast probe): the corpus pass
+    * never assembles a per-gram string and dedups on sorted longs, and
+    * the broadcast relation carries 8 B per gram. Counts equal the
+    * string-probed report except under an xxhash64 collision between a
+    * corpus gram and a DIFFERENT benchmark gram (~2⁻⁶⁴ per pair, an
+    * overcount in the conservative direction for a contamination
+    * report); there is no verify stage, so callers needing the exact
+    * contract keep [[contaminationReport]]. A/B-measured at x300 in
+    * SCALEPROBE_r14. */
+  def contaminationReportHashed(corpus: DataFrame, textCol: String,
+      idCol: String, benchmark: DataFrame, benchTextCol: String,
+      setCol: String, n: Int = 8): DataFrame = {
+    val grams = setGramsHashed(benchmark, benchTextCol, setCol, n)
+    val (perSet, total) =
+      contaminationCountsHashed(corpus, textCol, idCol, grams, n)
+    contaminationReportFromCounts(perSet,
+      benchmark.select(col(setCol).as("eval_set")).distinct(), total)
+  }
+
+  /** The hashed (eval_set, gram_h) relation of a labeled benchmark —
+    * what [[contaminationCountsHashed]] probes (and what a streaming
+    * deployment materializes once per benchmark version). */
+  def setGramsHashed(benchmark: DataFrame, benchTextCol: String,
+      setCol: String, n: Int): DataFrame =
+    benchmark
+      .select(col(setCol).as("eval_set"),
+        explode(graft.functions.GraftFunctions
+          .tokenNGramHashes(col(benchTextCol), n)).as("gram_h"))
+      .distinct()
+
+  /** One corpus pass of [[contaminationReportHashed]]'s counts —
+    * ADDITIVE over doc-disjoint batches per set, exactly like
+    * [[contaminationCounts]] (same streaming-fold contract), just with
+    * the 8-byte hashed probe. */
+  def contaminationCountsHashed(corpus: DataFrame, textCol: String,
+      idCol: String, grams: DataFrame, n: Int): (DataFrame, DataFrame) =
+    (corpus
+      .select(col(idCol),
+        explode(graft.functions.GraftFunctions
+          .tokenNGramHashes(col(textCol), n)).as("gram_h"))
+      .join(broadcast(grams), Seq("gram_h"))
+      .groupBy(col("eval_set"))
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+        count(lit(1)).cast("long").as("n_gram_hits")),
+      corpus.select(count(lit(1)).as("__n_corpus")))
+
+  /** [[contaminationCurve]] probing on gram hashes — the hashed twin of
+    * the one-scan multi-n curve; same collision caveat as
+    * [[contaminationReportHashed]]. The gram LENGTH is mixed into the
+    * hash itself (xxhash64 seed 42+n), so the corpus side explodes one
+    * flat ARRAY<BIGINT> and joins on a single long key — no per-element
+    * struct tagging (the first draft's `transform(h => struct(n, h))`
+    * is an interpreted HOF whose per-element cost ate the whole hashing
+    * win in the SCALEPROBE_r14 A/B); `n` and `eval_set` ride back from
+    * the broadcast side of the join. */
+  def contaminationCurveHashed(corpus: DataFrame, textCol: String,
+      idCol: String, benchmark: DataFrame, benchTextCol: String,
+      setCol: String, ns: Seq[Int]): DataFrame = {
+    val grams = curveGramsHashed(benchmark, benchTextCol, setCol, ns)
+    val (perSetN, total) =
+      contaminationCurveCountsHashed(corpus, textCol, idCol, grams, ns)
+    contaminationCurveFromCounts(perSetN,
+      benchmark.select(col(setCol).as("eval_set")).distinct(), ns, total)
+  }
+
+  /** The hashed (eval_set, n, gram_key) relation over every length in
+    * `ns` — gram length mixed into the key via seed 42+n. */
+  def curveGramsHashed(benchmark: DataFrame, benchTextCol: String,
+      setCol: String, ns: Seq[Int]): DataFrame = {
+    require(ns.nonEmpty && ns.distinct.size == ns.size && ns.forall(_ > 0),
+      s"curveGramsHashed: ns=$ns must be distinct positive lengths")
+    ns.map { n =>
+      benchmark.select(col(setCol).as("eval_set"), lit(n.toLong).as("n"),
+          explode(graft.functions.GraftFunctions
+            .tokenNGramHashes(col(benchTextCol), n, seed = 42L + n))
+            .as("gram_key"))
+        .distinct()
+    }.reduce(_ unionByName _)
+  }
+
+  /** One corpus pass of [[contaminationCurveHashed]]'s counts —
+    * ADDITIVE over doc-disjoint batches per (set, n), the
+    * [[contaminationCurveCounts]] streaming-fold contract with the
+    * single-long probe key. */
+  def contaminationCurveCountsHashed(corpus: DataFrame, textCol: String,
+      idCol: String, grams: DataFrame,
+      ns: Seq[Int]): (DataFrame, DataFrame) = {
+    val corpusKeys = corpus
+      .select(col(idCol),
+        explode(flatten(array(ns.map(n =>
+          graft.functions.GraftFunctions
+            .tokenNGramHashes(col(textCol), n, seed = 42L + n)): _*)))
+          .as("gram_key"))
+    (corpusKeys
+      .join(broadcast(grams), Seq("gram_key"))
+      .groupBy(col("eval_set"), col("n"))
+      .agg(countDistinct(col(idCol)).as("n_docs_hit"),
+        count(lit(1)).cast("long").as("n_gram_hits")),
+      corpus.agg(count(lit(1)).as("__n_corpus")))
+  }
+
   /** Distinct (eval_set, gram) pairs of a labeled benchmark relation —
     * the per-set gram index [[contaminationReport]] probes. A gram
     * shared by two sets appears once per set (each owner counts it). */

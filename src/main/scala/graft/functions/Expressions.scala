@@ -971,6 +971,110 @@ object TokenNGrams {
   }
 }
 
+/** [[TokenNGrams]] emitting the grams' 8-byte xxhash64 fingerprints
+  * (seed 42 — Spark's own `xxhash64`) instead of the gram STRINGS, in
+  * one codegen'd pass that never allocates a per-gram string: token
+  * bytes are copied into one reused buffer per gram and hashed in
+  * place, and dedup is a primitive sort + unique instead of a string
+  * hash set. The r13 x300 probe showed the decontam family's probe
+  * stage is dominated by exactly that per-gram assembly + dedup — this
+  * is the "hashed-gram probe relation" backlog candidate, A/B-measured
+  * in SCALEPROBE_r14.
+  *
+  * Hash parity is pinned by spec: element set == `xxhash64(gram)` over
+  * [[TokenNGrams]]' output (so a benchmark-side relation built with
+  * plain SQL `xxhash64` joins exactly). Output is SORTED ascending
+  * (join/count consumers are order-blind). Same empty-text convention:
+  * no tokens → the hash of the empty gram. The injective-or-loudly-
+  * wrong contract of the d4/d16 hashed keys applies: consumers must
+  * either verify candidates exactly or (like contamination REPORTS)
+  * tolerate a ~2⁻⁶⁴-per-pair overcount. */
+case class TokenNGramHashes(child: Expression, n: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(n >= 1, s"n out of range: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes() = {
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"token_ngram_hashes expects STRING, got ${child.dataType.sql}")
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    TokenNGramHashes.hashes(input.asInstanceOf[UTF8String], n, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TokenNGramHashes.hashes($c, $n, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object TokenNGramHashes {
+  private val BYTE_ARRAY_OFFSET =
+    org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+
+  /** Static entry point shared by eval and generated code. The `seed`
+    * parameter (default 42 = Spark's xxhash64) lets a MULTI-length
+    * consumer mix the gram length into the hash itself (seed 42+n), so
+    * a one-scan curve needs no per-element struct tagging — the
+    * interpreted transform lambda that made the first hashed-curve
+    * variant SLOWER than strings in the SCALEPROBE_r14 A/B. */
+  def hashes(text: UTF8String, n: Int, seed: Long): ArrayData = {
+    // identical tokenization to TokenNGrams.grams (same primitives)
+    val tokens0 = text.toLowerCase.toString.split("\\s+")
+    var nTok = 0
+    val tokens = new Array[Array[Byte]](tokens0.length)
+    var total = 0
+    var i = 0
+    while (i < tokens0.length) {
+      if (tokens0(i).nonEmpty) {
+        val b = tokens0(i).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        tokens(nTok) = b
+        total += b.length
+        nTok += 1
+      }
+      i += 1
+    }
+    if (nTok == 0)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUnsafeBytes(Array.emptyByteArray,
+          BYTE_ARRAY_OFFSET, 0, seed)))
+    val nGrams = math.max(nTok - n, 0) + 1
+    // one reused buffer: the longest gram is bounded by the whole text
+    val buf = new Array[Byte](total + nTok)
+    val out = new Array[Long](nGrams)
+    i = 0
+    while (i < nGrams) {
+      var off = 0
+      var j = i
+      val end = math.min(i + n, nTok)
+      while (j < end) {
+        if (j > i) { buf(off) = ' '; off += 1 }
+        val t = tokens(j)
+        System.arraycopy(t, 0, buf, off, t.length)
+        off += t.length
+        j += 1
+      }
+      out(i) = XXH64.hashUnsafeBytes(buf, BYTE_ARRAY_OFFSET, off, seed)
+      i += 1
+    }
+    java.util.Arrays.sort(out)
+    var m = 1
+    i = 1
+    while (i < nGrams) {
+      if (out(i) != out(m - 1)) { out(m) = out(i); m += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(
+      if (m == nGrams) out else java.util.Arrays.copyOf(out, m))
+  }
+}
+
 /** Intersection SIZE of two ASCENDING-sorted string arrays by linear
   * two-pointer merge. Replaces `size(array_intersect(a, b))` in verify
   * stages whose sides are pre-sorted (`sort_array` in the per-doc
@@ -3330,6 +3434,8 @@ object GraftFunctions {
   def sortedLongIntersectCount(a: Column, b: Column): Column =
     column(SortedLongIntersectCount(expr(a), expr(b)))
   def tokenNGrams(c: Column, n: Int): Column = column(TokenNGrams(expr(c), n))
+  def tokenNGramHashes(c: Column, n: Int, seed: Long = 42L): Column =
+    column(TokenNGramHashes(expr(c), n, seed))
   def gramHitCount(c: Column, bench: Array[String]): Column =
     column(GramHitCount(expr(c), bench))
   def prefixCountsTrue(c: Column): Column = column(PrefixCountsTrue(expr(c)))

@@ -76,13 +76,21 @@ object HygieneQueries {
     * labeled eval sets (%40 → evalA, the rest → evalB); per set: docs
     * hit, distinct gram hits, contaminated fraction of the corpus in
     * ppm. The one-aggregate "is the corpus clean" view hides WHICH
-    * benchmark is compromised — this is the per-benchmark number. */
+    * benchmark is compromised — this is the per-benchmark number.
+    *
+    * Since r14 the gate runs the HASHED probe (contaminationReportHashed
+    * — 8-byte gram keys, no per-gram string assembly; 5-6× the string
+    * probe at 1.5M docs, SCALEPROBE_r14): counts equal the string probe
+    * absent an xxhash64 collision, and the oracle still replays STRING
+    * gram semantics, so a collision at gate scale would surface as a
+    * row diff. The exact-contract operator (contaminationReport) stays
+    * published for callers that need it. */
   def contaminationReportGate(s: SparkSession, d: String): DataFrame = {
     val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
       .select(when(col("doc_id") % 40 === 0, lit("evalA"))
         .otherwise(lit("evalB")).as("eval_set"), col("text"))
-    Decontam.contaminationReport(decontamCorpus(s, d), "text", "doc_id",
-        bench, "text", "eval_set", n = 8)
+    Decontam.contaminationReportHashed(decontamCorpus(s, d), "text",
+        "doc_id", bench, "text", "eval_set", n = 8)
       .orderBy("eval_set")
   }
 
@@ -132,13 +140,19 @@ object HygieneQueries {
     * evalA/evalB): short grams over-flag boilerplate, long grams miss
     * paraphrase, the decay across n is the signal auditors read. ONE
     * corpus scan covers all three lengths (tagged gram explode). The
-    * oracle replays each n's gram derivation and unions the hits. */
+    * oracle replays each n's gram derivation and unions the hits.
+    *
+    * Since r14 the gate runs the HASHED one-scan curve
+    * (contaminationCurveHashed — gram length mixed into the key via
+    * per-n seeds, single flat long explode; 5-6× the string curve at
+    * 1.5M docs, SCALEPROBE_r14). Same contract note as d21: the oracle
+    * replays string semantics, a collision surfaces as a row diff. */
   def contaminationCurveGate(s: SparkSession, d: String): DataFrame = {
     val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
       .select(when(col("doc_id") % 40 === 0, lit("evalA"))
         .otherwise(lit("evalB")).as("eval_set"), col("text"))
-    Decontam.contaminationCurve(decontamCorpus(s, d), "text", "doc_id",
-        bench, "text", "eval_set", ns = Seq(4, 8, 13))
+    Decontam.contaminationCurveHashed(decontamCorpus(s, d), "text",
+        "doc_id", bench, "text", "eval_set", ns = Seq(4, 8, 13))
       .orderBy("eval_set", "n")
   }
 

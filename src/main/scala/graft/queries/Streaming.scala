@@ -774,13 +774,16 @@ object StreamingQueries {
     val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
       .select(when(col("doc_id") % 40 === 0, lit("evalA"))
         .otherwise(lit("evalB")).as("eval_set"), col("text"))
+    // hashed probe relation since r14, matching the d22 gate's switch
+    // (same oracle pins both — counts equal string semantics absent a
+    // surfaced-as-row-diff collision)
     val grams = graft.ext.Decontam
-      .curveGrams(bench, "text", "eval_set", ns).localCheckpoint()
+      .curveGramsHashed(bench, "text", "eval_set", ns).localCheckpoint()
     val corpusSrc = stageTwoHalves(HygieneQueries.decontamCorpus(s, d),
       "doc_id", "graft_st33_c_src_")
     val (perSetN, total) = foldParquetStream2(s, corpusSrc, docTextSchema)(
-      batch => graft.ext.Decontam.contaminationCurveCounts(batch, "text",
-        "doc_id", grams, ns))(_.unionAll(_), _.unionAll(_))
+      batch => graft.ext.Decontam.contaminationCurveCountsHashed(batch,
+        "text", "doc_id", grams, ns))(_.unionAll(_), _.unionAll(_))
     graft.ext.Decontam.contaminationCurveFromCounts(perSetN,
         grams.select(col("eval_set")).distinct(), ns, total)
       .orderBy("eval_set", "n")

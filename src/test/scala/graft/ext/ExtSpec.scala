@@ -84,6 +84,23 @@ class ExtSpec extends AnyFunSuite {
     assert(h.getSeq[Long](0) === h.getSeq[Long](1))
   }
 
+  test("TokenNGramHashes: element SET == xxhash64 over TokenNGrams' " +
+      "strings (sorted, distinct), including the empty-text sentinel") {
+    val df = Seq(
+      (1L, "The quick  brown fox\tjumps over the quick brown fox"),
+      (2L, "one"),
+      (3L, "  "),
+      (4L, "a b a b a b")).toDF("id", "text")
+    Seq(1, 2, 3).foreach { n =>
+      val rows = df.select(
+        GraftFunctions.tokenNGramHashes(col("text"), n).as("hashed"),
+        sort_array(transform(GraftFunctions.tokenNGrams(col("text"), n),
+          g => xxhash64(g))).as("want")).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) === r.getSeq[Long](1),
+        s"n=$n"))
+    }
+  }
+
   test("SortedLongIntersectCount: a null element throws WHEREVER it sits — " +
       "including the un-merged tail and ahead of the merge window") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
