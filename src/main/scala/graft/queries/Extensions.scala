@@ -235,7 +235,15 @@ object ExtensionQueries {
     * (verified) recall 1.0 on this gate corpus: every qualifying pair
     * shares at least one of the 8 bands, so the exact-verify stage sees
     * it and emits the same exact Jaccard the oracle computes. A recall
-    * miss would surface here as a row-count diff — that is the point. */
+    * miss would surface here as a row-count diff — that is the point.
+    *
+    * The pair intersection is the EXPLODED-shingle equi-join (count of
+    * shared distinct shingles per pair), not per-pair list_intersect:
+    * identical values for every pair sharing >= 1 shingle, and a
+    * 0-intersection pair can never reach the 0.8 filter — while the
+    * all-pairs list_intersect form cost ~25s of the driver's DuckDB
+    * budget PER ORACLE at sf0.01 (r14 oracle profile; this family was
+    * 167s of the 215s compare leg). */
   private val dedupMinHashOracle =
     """WITH planted AS (
       | SELECT doc_id, text FROM documents
@@ -247,11 +255,13 @@ object ExtensionQueries {
       |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
       |    i -> substr(lower(text), i, 5))) AS s
       | FROM planted),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
       |pairs AS (
       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
-      |  len(a.s) AS na, len(b.s) AS nb
-      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+      |  CAST(count(*) AS DOUBLE) AS inter,
+      |  any_value(a.n) AS na, any_value(b.n) AS nb
+      | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2)
       |SELECT id_a, id_b, inter / (na + nb - inter) AS jaccard
       |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
@@ -278,11 +288,13 @@ object ExtensionQueries {
       |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
       |    i -> substr(lower(text), i, 5))) AS s
       | FROM planted),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
       |pairs AS (
       | SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-      |  CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) AS inter,
-      |  len(a.s) AS na, len(b.s) AS nb
-      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+      |  CAST(count(*) AS DOUBLE) AS inter,
+      |  any_value(a.n) AS na, any_value(b.n) AS nb
+      | FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      | GROUP BY 1, 2),
       |dropped AS (
       | SELECT DISTINCT id_b FROM pairs WHERE inter / (na + nb - inter) >= 0.8)
       |SELECT doc_id FROM planted WHERE doc_id NOT IN (SELECT id_b FROM dropped)
@@ -335,11 +347,14 @@ object ExtensionQueries {
       |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
       |    i -> substr(lower(text), i, 5))) AS s
       | FROM arr),
+      |exi AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shi),
+      |exa AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sha),
       |pairs AS (
       | SELECT a.doc_id AS doc_id, i.doc_id AS dup_of,
-      |  CAST(len(list_intersect(a.s, i.s)) AS DOUBLE) AS inter,
-      |  len(a.s) AS na, len(i.s) AS nb
-      | FROM sha a JOIN shi i ON a.doc_id <> i.doc_id)
+      |  CAST(count(*) AS DOUBLE) AS inter,
+      |  any_value(a.n) AS na, any_value(i.n) AS nb
+      | FROM exa a JOIN exi i ON a.g = i.g AND a.doc_id <> i.doc_id
+      | GROUP BY 1, 2)
       |SELECT doc_id, dup_of, inter / (na + nb - inter) AS jaccard
       |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
       |ORDER BY doc_id, dup_of""".stripMargin

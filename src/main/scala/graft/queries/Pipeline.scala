@@ -529,11 +529,15 @@ object PipelineQueries {
       |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
       |    i -> substr(lower(text), i, 5))) AS s
       | FROM k2 WHERE length(text) > 0),
+      |shx AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
       |nd AS (
-      | SELECT a.doc_id AS id_a, b.doc_id AS id_b
-      | FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      | WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
-      |   / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8),
+      | SELECT id_a, id_b FROM (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |   CAST(count(*) AS DOUBLE) AS inter,
+      |   any_value(a.n) AS na, any_value(b.n) AS nb
+      |  FROM shx a JOIN shx b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)
+      | WHERE inter / (na + nb - inter) >= 0.8),
       |edges AS (
       | SELECT id_a AS a, id_b AS b FROM nd
       | UNION SELECT id_b, id_a FROM nd),
