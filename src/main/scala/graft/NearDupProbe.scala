@@ -63,6 +63,22 @@ object NearDupProbe {
       println(f"[neardup-probe] build wall=$buildWall%.2f s$buildSk")
 
       val conf = graft.ext.Dedup.openMinHashIndex(spark, root)
+
+      // r14: append now RE-CAPS touched buckets (one column-pruned
+      // postings scan restricted by a broadcast semi-join on the
+      // increment's keys) — measure that scan's cost vs index size
+      val increment = corpus.where(col("doc_id") % 100 === 50)
+        .select((col("doc_id") + 2000000000L).as("doc_id"), col("text"))
+      skew.reset()
+      t0 = System.nanoTime()
+      graft.ext.Dedup.appendMinHashIndex(root, increment, "text",
+        "doc_id", conf)
+      val appendWall = (System.nanoTime() - t0) / 1e9
+      val appendSk = skew.worst().map { case (mx, med, r) =>
+        f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
+      }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      println(f"[neardup-probe] append(1%%, re-capped) wall=$appendWall%.2f s$appendSk")
+
       skew.reset()
       t0 = System.nanoTime()
       val flags = graft.ext.Dedup.flagAgainstIndex(spark, root, conf,
