@@ -954,16 +954,18 @@ object Dedup {
       .orderBy(desc("df"), asc("gram")).limit(hotCap)
       .collect().map(r => (r.getString(0), r.getLong(1)))
 
-  /** Driver-side twin of Spark's `xxhash64` over a STRING column (XXH64
-    * of the UTF-8 bytes, seed 42) — hashes the bounded hot-gram table's
-    * entries so the map-side InSet drop matches the executor-side
-    * hashed bucket keys exactly (parity with `xxhash64` is spec-pinned
-    * via [[graft.functions.SortedXxhash64Array]]). */
-  private def gramHash64(s: String): Long = {
-    val u = org.apache.spark.unsafe.types.UTF8String.fromString(s)
-    org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
-      u.getBaseObject, u.getBaseOffset, u.numBytes, 42L)
-  }
+  /** [[boundedGramDf]] over the HASHED gram frame (`ghashes`
+    * ARRAY<BIGINT>) — the d4/d18 path never materializes gram strings
+    * at all, so its bounded heavy-gram table is (hash, df). The df-cap
+    * decision is a membership test; which key representation it uses
+    * is irrelevant to completeness (equal-df ties at the table
+    * boundary order differently than the string table, but the
+    * `complete` check only reads the minimum df). */
+  private def boundedHashDf(grams: DataFrame, hotCap: Int): Array[(Long, Long)] =
+    grams.select(explode(col("ghashes")).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .orderBy(desc("df"), asc("gram")).limit(hotCap)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
 
   /** Distinct token n-grams of the lowercased text. The token array is
     * bound once per row as the outer lambda variable — referencing it
@@ -1001,19 +1003,18 @@ object Dedup {
     * bound. */
   private def gramPairSharedCounts(grams: DataFrame,
       maxDocsPerGram: Int, hotCap: Int): DataFrame = {
-    // The corpus-sized exchange carries the 8-byte xxhash64 of each
-    // gram, never the gram text: shared counts come from bucket
-    // CO-OCCURRENCE (key identity), so the hash is sufficient — the
-    // d16/byFingerprint injective-or-loudly-wrong contract (a 64-bit
-    // collision between two grams of the same candidate pair would
-    // inflate `shared` and hash-mismatch the gate, not silently pass).
-    // The hot-gram cap decision still works on strings (the bounded
-    // table is driver-side metadata); its over-cap entries are hashed
-    // with the SAME function for the map-side InSet drop.
+    // The gram frame arrives HASHED (`ghashes` — TokenNGramHashes, r14:
+    // no per-gram string assembly anywhere in the path, the term the
+    // x300 decontam probe measured dominating gram pipelines), and the
+    // corpus-sized exchange carries the 8-byte keys: shared counts come
+    // from bucket CO-OCCURRENCE (key identity), so the hash is
+    // sufficient — the d16/byFingerprint injective-or-loudly-wrong
+    // contract (a 64-bit collision between two grams of the same
+    // candidate pair would inflate `shared` and hash-mismatch the
+    // gate, not silently pass).
     val inv = grams.select(col("doc_id"), col("n_grams"),
-        explode(col("grams")).as("__g"))
-      .select(col("doc_id"), col("n_grams"), xxhash64(col("__g")).as("gram"))
-    val hot = boundedGramDf(grams, hotCap)
+      explode(col("ghashes")).as("gram"))
+    val hot = boundedHashDf(grams, hotCap)
     val complete = hot.length < hotCap || hot.last._2 <= maxDocsPerGram
     val es = col("es")
     // Struct sort orders by doc_id (first field), so pairs come out
@@ -1021,8 +1022,7 @@ object Dedup {
     val pruned =
       if (!complete) keepHotBucketsSkewSafe(inv, Seq("gram"), maxDocsPerGram)
       else {
-        val overCap = hot.filter(_._2 > maxDocsPerGram)
-          .map(g => gramHash64(g._1))
+        val overCap = hot.filter(_._2 > maxDocsPerGram).map(_._1)
         if (overCap.isEmpty) inv
         else inv.where(!col("gram").isInCollection(overCap))
       }
@@ -1044,9 +1044,10 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, text: String, id: String,
       n: Int = 3, threshold: Double = 0.5,
       maxDocsPerGram: Int = 4096, hotCap: Int = 65536): DataFrame = {
-    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
-      .where(size(col("grams")) > 0)
-      .withColumn("n_grams", size(col("grams")))
+    val grams = df.select(col(id).as("doc_id"),
+        GraftFunctions.tokenNGramHashes(col(text), n).as("ghashes"))
+      .where(size(col("ghashes")) > 0)
+      .withColumn("n_grams", size(col("ghashes")))
     gramPairSharedCounts(grams, maxDocsPerGram, hotCap)
       .withColumn("shared", col("shared").cast(DoubleType))
       .withColumn("jaccard", col("shared") / (col("na") + col("nb") - col("shared")))
@@ -1076,9 +1077,10 @@ object Dedup {
       maxDocsPerGram: Int = 4096, hotCap: Int = 65536): DataFrame = {
     require(thresholdPct >= 1 && thresholdPct <= 100,
       s"thresholdPct out of range: $thresholdPct")
-    val grams = df.select(col(id).as("doc_id"), tokenGramsCol(col(text), n).as("grams"))
-      .where(size(col("grams")) > 0)
-      .withColumn("n_grams", size(col("grams")))
+    val grams = df.select(col(id).as("doc_id"),
+        GraftFunctions.tokenNGramHashes(col(text), n).as("ghashes"))
+      .where(size(col("ghashes")) > 0)
+      .withColumn("n_grams", size(col("ghashes")))
     val undirected = gramPairSharedCounts(grams, maxDocsPerGram, hotCap)
     undirected
       .select(col("id_a"), col("id_b"), col("na").as("n_contained"),
