@@ -103,6 +103,35 @@ object AnnIndex {
     encodeWith(index.root, newVectors, index.centIds, index.centVecs,
       index.codebook, "append")
 
+  /** Delete vectors from the index (takedown / right-to-be-forgotten —
+    * a removal request against a 100-TB corpus must not force an index
+    * rebuild): the ids append to a `deletes.parquet` marker table; every
+    * serve path anti-joins it (so a deleted vector can neither be a
+    * candidate nor a rerank survivor, effective immediately), and the
+    * next [[compactIvfPq]] removes the rows physically and clears the
+    * markers. Idempotent under replay (markers are distinct'd at read).
+    * Scale premise: takedown lists are small relative to the corpus
+    * (the markers broadcast); a deletion set that stops being small is
+    * a rebuild, not a marker list. `ids`: one `cid` column. */
+  def deleteFromIvfPq(spark: SparkSession, root: String,
+      ids: DataFrame): Unit =
+    ids.select(col("cid")).distinct()
+      .write.mode("append").parquet(s"$root/deletes.parquet")
+
+  /** The encoded table minus delete markers — what every serve path
+    * reads. The existence check is one driver-side FS call, so an index
+    * with no deletions (the common case, and every pre-r14 index) plans
+    * exactly as before: no extra scan, no extra join. */
+  private def liveEncoded(spark: SparkSession, root: String): DataFrame = {
+    val enc = spark.read.parquet(s"$root/encoded.parquet")
+    val del = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+      enc.join(
+        broadcast(spark.read.parquet(del.toString).select("cid").distinct()),
+        Seq("cid"), "left_anti")
+    else enc
+  }
+
   private def encode(spark: SparkSession, root: String, vectors: DataFrame,
       mode: String): Unit = {
     val (centIds, centVecs) = loadCentroids(spark, root)
@@ -257,7 +286,7 @@ object AnnIndex {
       s"mineHardNegatives: nprobe=$nprobe out of range [1, $nlist]")
     val codebook = loadCodebook(spark, root)
     val (centIds, centVecs) = loadCentroids(spark, root)
-    val encoded = spark.read.parquet(s"$root/encoded.parquet")
+    val encoded = liveEncoded(spark, root)
 
     val probes = queries.select(col("qid"), col("qlab"),
         GraftFunctions.pqLut(col("qvec"), codebook).as("lut"),
@@ -333,10 +362,11 @@ object AnnIndex {
       private[AnnIndex] val centIds: Array[Long],
       private[AnnIndex] val centVecs: Array[Array[Double]],
       private[AnnIndex] val centFloats: Array[Array[Float]]) {
-    /** Lazy view of the encoded table — re-resolved per plan, so an
-      * [[appendIvfPq]] between serves is visible to the next serve. */
-    private[AnnIndex] def encoded: DataFrame =
-      spark.read.parquet(s"$root/encoded.parquet")
+    /** Lazy view of the LIVE encoded table (delete markers anti-joined
+      * when any exist) — re-resolved per plan, so an [[appendIvfPq]] or
+      * [[deleteFromIvfPq]] between serves is visible to the next
+      * serve. */
+    private[AnnIndex] def encoded: DataFrame = liveEncoded(spark, root)
     /** The centroid table as a LOCAL relation (built from the handle's
       * collected rows — no file scan, no job) for the broadcast-probe
       * serve shape. */
@@ -445,13 +475,14 @@ object AnnIndex {
       targetPartitions: Int = 0): Unit = {
     val dim = spark.read.parquet(s"$root/meta.parquet").head
       .getAs[Int]("dim")
-    // dropDuplicates(cid): at-least-once appends may have replayed a
-    // micro-batch (identical vectors under the same cid — appends never
-    // update); serve absorbs the copies via the TopKAggregator collapse,
-    // compact removes them physically. A duplicate cid reaching the
-    // hash-ordered centroid sample would otherwise mint two centroids
-    // with the same id.
-    val vectors0 = spark.read.parquet(s"$root/encoded.parquet")
+    // LIVE rows only (delete markers applied — compact is where a
+    // takedown becomes physical) and dropDuplicates(cid): at-least-once
+    // appends may have replayed a micro-batch (identical vectors under
+    // the same cid — appends never update); serve absorbs the copies
+    // via the TopKAggregator collapse, compact removes them physically.
+    // A duplicate cid reaching the hash-ordered centroid sample would
+    // otherwise mint two centroids with the same id.
+    val vectors0 = liveEncoded(spark, root)
       .select("cid", "cvec").dropDuplicates("cid")
     val vectors =
       if (targetPartitions > 0) vectors0.repartition(targetPartitions)
@@ -469,6 +500,10 @@ object AnnIndex {
     graft.io.StagedSwap.swapIn(fs, root, staging,
       Seq("meta.parquet", "centroids.parquet", "codebook.parquet",
         "encoded.parquet"))
+    // the takedown markers are now physical — clear them AFTER the swap
+    // (a crash in between leaves markers pointing at rows that no
+    // longer exist: the serve anti-join is then a no-op, never wrong)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes.parquet"), true)
   }
 
   private def loadCentroids(spark: SparkSession,

@@ -131,6 +131,37 @@ object Decontam {
     graft.io.StagedSwap.swapIn(fs, root, staging, Seq("grams.parquet"))
   }
 
+  /** Remove ONE eval set from a persisted SET-LABELED index (a
+    * benchmark retired or re-licensed — its grams must stop flagging
+    * training documents): rewrites grams.parquet as the distinct rows
+    * of every OTHER set, via the same staged swap as [[compactIndex]].
+    * A gram shared with a surviving set survives under that set's
+    * label (each owner counts it — the [[contaminationReport]]
+    * contract), so the result equals an index built WITHOUT the
+    * removed benchmark, row for row. Unlabeled indexes have no per-set
+    * identity to remove — rebuild those. Fails fast when the set is
+    * absent (a takedown that silently no-ops hides a typo'd set
+    * name). */
+  def removeSetFromIndex(spark: org.apache.spark.sql.SparkSession,
+      root: String, evalSet: String, targetPartitions: Int = 0): Unit = {
+    val (grams, _) = loadSetIndex(spark, root)
+    require(!grams.where(col("eval_set") === evalSet).isEmpty,
+      s"Decontam.removeSetFromIndex: no grams for eval_set=$evalSet " +
+        s"at $root — nothing to remove (typo?)")
+    val kept0 = grams.where(col("eval_set") =!= evalSet)
+    val kept =
+      if (targetPartitions > 0) kept0.coalesce(targetPartitions) else kept0
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try kept.write.parquet(s"$staging/grams.parquet")
+    catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    graft.io.StagedSwap.swapIn(fs, root, staging, Seq("grams.parquet"))
+  }
+
   private def loadIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): (DataFrame, Int) =
     // select("gram") first: a SET-LABELED index ([[saveSetIndex]]) also

@@ -451,6 +451,34 @@ object Dedup {
         GraftFunctions.sortedGramHashes(
           shingleCol(col(text), conf.shingleSize)).as("fps"))
 
+  /** Delete documents from a persisted near-dup index (takedown /
+    * right-to-be-forgotten): ids append to a `deletes.parquet` marker
+    * table; [[flagAgainstIndex]] anti-joins the markers at the postings
+    * read (a deleted doc can never be a candidate, effective
+    * immediately), and [[compactMinHashIndex]] removes its postings and
+    * fingerprints physically and clears the markers. Idempotent under
+    * replay (markers distinct'd at read). Bucket TOMBSTONES are not
+    * recomputed on delete: a bucket retired by a flood stays retired
+    * even if some flood members are later taken down — conservative, a
+    * property of the corpus history (re-cap decisions replay forward,
+    * never backward). Takedown lists are broadcast-small by premise.
+    * `ids`: a one-column frame; `id` names the column. */
+  def deleteFromMinHashIndex(root: String, ids: DataFrame,
+      id: String): Unit =
+    ids.select(col(id).as("doc_id")).distinct()
+      .write.mode("append").parquet(s"$root/deletes.parquet")
+
+  /** The delete markers; empty frame when none exist (common case and
+    * every pre-r14 index — one driver-side FS existence check, so the
+    * no-deletions serve plan is unchanged). */
+  private def readDeletes(spark: org.apache.spark.sql.SparkSession,
+      root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString).select("doc_id").distinct())
+    else None
+  }
+
   /** The tombstoned bucket keys; empty frame when the table is missing
     * (an index persisted before tombstones existed still serves). */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
@@ -512,17 +540,21 @@ object Dedup {
     // open() first: reading meta asserts the index is committed
     openMinHashIndex(spark, root)
     val tombs = readTombstones(spark, root)
+    val deletes = readDeletes(spark, root)
+    def undeleted(df: DataFrame): DataFrame =
+      deletes.fold(df)(del =>
+        df.join(broadcast(del), Seq("doc_id"), "left_anti"))
     def sized(df: DataFrame): DataFrame =
       if (targetPartitions > 0) df.coalesce(targetPartitions) else df
     val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     try {
-      sized(spark.read.parquet(s"$root/fps.parquet")
+      sized(undeleted(spark.read.parquet(s"$root/fps.parquet"))
           .dropDuplicates("doc_id"))
         .write.parquet(s"$staging/fps.parquet")
-      sized(spark.read.parquet(s"$root/buckets.parquet")
-          .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti")
+      sized(undeleted(spark.read.parquet(s"$root/buckets.parquet")
+          .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti"))
           .distinct())
         .write.parquet(s"$staging/buckets.parquet")
     } catch { case e: Throwable =>
@@ -531,6 +563,10 @@ object Dedup {
     }
     graft.io.StagedSwap.swapIn(fs, root, staging,
       Seq("fps.parquet", "buckets.parquet"))
+    // takedown markers are now physical — clear AFTER the swap (a crash
+    // in between leaves markers for rows that no longer exist: the
+    // serve anti-join is then a no-op, never wrong)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes.parquet"), true)
   }
 
   /** Flag new documents that near-duplicate a persisted index: compute
@@ -587,10 +623,14 @@ object Dedup {
     // tombstone anti-join (tiny, broadcast): postings of a bucket that
     // crossed the flood cap AFTER some of its rows were appended are
     // still on disk until the next compact — they must not generate
-    // candidates (bounded serve cost is the cap's whole contract)
-    val postings = spark.read.parquet(s"$root/buckets.parquet")
+    // candidates (bounded serve cost is the cap's whole contract).
+    // Delete markers likewise (takedowns, [[deleteFromMinHashIndex]]) —
+    // only when any exist, so the no-deletions plan is unchanged.
+    val postings0 = spark.read.parquet(s"$root/buckets.parquet")
       .join(broadcast(readTombstones(spark, root)),
         Seq("band", "band_hash"), "left_anti")
+    val postings = readDeletes(spark, root).fold(postings0)(del =>
+      postings0.join(broadcast(del), Seq("doc_id"), "left_anti"))
     val cand = newBands
       .join(postings, Seq("band", "band_hash"))
       .where(col("__new_id") =!= col("doc_id"))

@@ -424,6 +424,56 @@ object ExtensionQueries {
       .orderBy("doc_id", "dup_of")
   }
 
+  /** d26: near-dup index DELETION (takedown): index the full corpus,
+    * delete the odd half ([[graft.ext.Dedup.deleteFromMinHashIndex]] —
+    * marker table, postings untouched until compact), then flag the
+    * d23 arrivals. A deleted document must never be flagged as `dup_of`
+    * — the oracle replays exact cross-pairs jaccard against the EVEN
+    * half only, so a marker leak at any serve stage is a row diff.
+    * The serve runs once pre-compact (markers anti-joined) and the
+    * spec additionally pins post-compact equality. */
+  def nearDupIndexDelete(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_d26_")
+      .resolve("nd_idx").toString
+    Dedup.saveMinHashIndex(root, docs, "text", "doc_id")
+    Dedup.deleteFromMinHashIndex(root,
+      docs.where(col("doc_id") % 2 === 1).select(col("doc_id")), "doc_id")
+    val arrivals = docs.where(col("doc_id") < 25).select(
+      (col("doc_id") + 100000).as("doc_id"),
+      concat(col("text"), lit(" zz")).as("text"))
+    Dedup.flagAgainstIndex(s, root, arrivals, "text", "doc_id")
+      .orderBy("doc_id", "dup_of")
+  }
+
+  private[queries] val nearDupIndexDeleteOracle =
+    """WITH arr AS (
+      | SELECT doc_id + 100000 AS doc_id, text || ' zz' AS text
+      | FROM documents WHERE doc_id < 25),
+      |shi AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM documents WHERE doc_id % 2 = 0),
+      |sha AS (
+      | SELECT doc_id,
+      |  list_distinct(list_transform(
+      |    range(1, greatest(length(lower(text)) - 5, 0) + 2),
+      |    i -> substr(lower(text), i, 5))) AS s
+      | FROM arr),
+      |exi AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM shi),
+      |exa AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sha),
+      |pairs AS (
+      | SELECT a.doc_id AS doc_id, i.doc_id AS dup_of,
+      |  CAST(count(*) AS DOUBLE) AS inter,
+      |  any_value(a.n) AS na, any_value(i.n) AS nb
+      | FROM exa a JOIN exi i ON a.g = i.g AND a.doc_id <> i.doc_id
+      | GROUP BY 1, 2)
+      |SELECT doc_id, dup_of, inter / (na + nb - inter) AS jaccard
+      |FROM pairs WHERE inter / (na + nb - inter) >= 0.8
+      |ORDER BY doc_id, dup_of""".stripMargin
+
   def dedupSimHash(s: SparkSession, d: String): DataFrame =
     Dedup.simHashPairs(plantedDocs(s, d), "text", "doc_id").orderBy("id_a", "id_b")
 
@@ -1871,6 +1921,41 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** s30: index DELETION (takedown / right-to-be-forgotten — the
+    * removal leg of the persisted-index lifecycle): build on the full
+    * corpus, [[graft.ext.AnnIndex.deleteFromIvfPq]] every third vector
+    * (marker table, no rebuild, no re-encode), then serve at FULL
+    * probing with a corpus-wide rerank — the answer must equal exact
+    * brute-force KNN over the REMAINING corpus (the oracle replays
+    * cosine top-k with the deleted ids excluded; a deleted vector
+    * surviving any serve stage surfaces as a row diff). Queries that
+    * are themselves deleted remain valid queries — deletion removes a
+    * vector from the INDEX, not from the caller's query set. */
+  def knnIvfPqDelete(s: SparkSession, d: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_s30_")
+      .resolve("ann_index").toString
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = root, m = 8, codes = 16, refineIters = 2)
+    graft.ext.AnnIndex.deleteFromIvfPq(s, root,
+      Tables.embeddings(s, d).where(col("vec_id") % 3 === 0)
+        .select(col("vec_id").as("cid")))
+    graft.ext.AnnIndex.queryIvfPq(s, root, queriesDf(s, d), k = 5,
+        nprobe = 20, rerank = 2100)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val knnDeleteOracle =
+    """SELECT query_id, rank, corpus_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+      | FROM embeddings q JOIN embeddings c
+      |   ON c.vec_id <> q.vec_id AND c.vec_id % 3 <> 0
+      | WHERE q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** s29: index COMPACTION closes the persisted-index lifecycle
     * (build → append → compact → serve): build on the even half,
     * append the odd half (encoded with the even-half centroids — the
@@ -3019,6 +3104,8 @@ object ExtensionQueries {
       Some(nearDupIndexOracle)),
     QueryDef("d24_neardup_index_compact", nearDupIndexCompact,
       Some(nearDupIndexOracle)),
+    QueryDef("d26_neardup_index_delete", nearDupIndexDelete,
+      Some(nearDupIndexDeleteOracle)),
     QueryDef("d3_dedup_simhash", dedupSimHash, Some(PinnedOracles.d3SimHash)),
     QueryDef("d4_dedup_ngram", dedupNgram, Some(dedupNgramOracle)),
     QueryDef("d19_chunk_dedup", chunkDedup, Some(PinnedOracles.d19ChunkPairs)),
@@ -3073,6 +3160,7 @@ object ExtensionQueries {
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s29_index_compact", knnIvfPqCompact, Some(knnIvfPqOracle)),
+    QueryDef("s30_index_delete", knnIvfPqDelete, Some(knnDeleteOracle)),
     QueryDef("s4_group_centroids", groupCentroids, Some(groupCentroidsOracle)),
     QueryDef("m1_multimodal_features", multimodalFeatures, Some(multimodalOracle)),
     QueryDef("m2_multimodal_resize", multimodalResize, Some(multimodalResizeOracle)),

@@ -244,6 +244,65 @@ object HygieneQueries {
       .orderBy("doc_id")
   }
 
+  /** d27: eval-set REMOVAL from the persisted decontam index (a
+    * benchmark retired or re-licensed): index both labeled sets, remove
+    * evalB ([[graft.ext.Decontam.removeSetFromIndex]] — staged rewrite,
+    * same swap machinery as compaction), then serve the per-set report.
+    * The result must equal a report against an index that never
+    * contained evalB — one evalA row, evalB absent both from the counts
+    * AND from the all-sets frame (the removed set must not linger as a
+    * zero row: its grams are gone, so is its identity). */
+  def decontamIndexRemove(s: SparkSession, d: String): DataFrame = {
+    val bench = Tables.documents(s, d).where(col("doc_id") % 20 === 0)
+      .select(when(col("doc_id") % 40 === 0, lit("evalA"))
+        .otherwise(lit("evalB")).as("eval_set"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("graft_d27_")
+      .resolve("ix").toString
+    Decontam.saveSetIndex(root, bench, "text", "eval_set", n = 8)
+    Decontam.removeSetFromIndex(s, root, "evalB")
+    Decontam.contaminationReportFromIndex(s, root, decontamCorpus(s, d),
+      "text", "doc_id").orderBy("eval_set")
+  }
+
+  private val decontamIndexRemoveOracle =
+    """WITH corpus AS (
+      | SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 200000 AS doc_id,
+      |        'novel preamble ' || text || ' novel epilogue' AS text
+      | FROM documents WHERE doc_id % 20 = 0),
+      |bench AS (
+      | SELECT 'evalA' AS eval_set, text
+      | FROM documents WHERE doc_id % 40 = 0),
+      |btoks AS (
+      | SELECT eval_set, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM bench),
+      |bgrams AS (
+      | SELECT DISTINCT eval_set, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM btoks),
+      |ctoks AS (
+      | SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+      |   t -> len(t) > 0) AS ts FROM corpus),
+      |cgrams AS (
+      | SELECT doc_id, unnest(list_distinct(list_transform(
+      |   range(1, greatest(len(ts) - 8, 0) + 2),
+      |   i -> array_to_string(ts[i:i+7], ' ')))) AS gram
+      | FROM ctoks),
+      |hits AS (
+      | SELECT b.eval_set, c.doc_id
+      | FROM cgrams c JOIN bgrams b USING (gram)),
+      |per AS (
+      | SELECT eval_set, CAST(count(DISTINCT doc_id) AS BIGINT)
+      |   AS n_docs_hit, CAST(count(*) AS BIGINT) AS n_gram_hits
+      | FROM hits GROUP BY 1),
+      |tot AS (SELECT count(*) AS n FROM corpus)
+      |SELECT eval_set, n_docs_hit, n_gram_hits,
+      | CAST(n_docs_hit * 1000000 // greatest(tot.n, 1) AS BIGINT)
+      |   AS contaminated_ppm
+      |FROM per CROSS JOIN tot ORDER BY eval_set""".stripMargin
+
   /** The end-to-end decontaminated corpus (anti-join of the same hits). */
   def decontamClean(s: SparkSession, d: String): DataFrame =
     Decontam.clean(
@@ -1930,6 +1989,8 @@ object HygieneQueries {
     QueryDef("d20_decontam_index", decontamFromIndex, Some(decontamOracle)),
     QueryDef("d25_decontam_index_compact", decontamIndexCompact,
       Some(decontamOracle)),
+    QueryDef("d27_decontam_index_remove", decontamIndexRemove,
+      Some(decontamIndexRemoveOracle)),
     QueryDef("d21_contamination_report", contaminationReportGate,
       Some(contaminationReportOracle)),
     QueryDef("d22_contamination_curve", contaminationCurveGate,

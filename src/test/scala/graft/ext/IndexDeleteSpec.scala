@@ -1,0 +1,148 @@
+package graft.ext
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Takedown (right-to-be-forgotten) contracts of the persisted indexes:
+  * deletion is a marker append (no rebuild, no re-encode), every serve
+  * path honors markers immediately, replayed deletes are absorbed, and
+  * compaction makes the removal physical and clears the markers. */
+class IndexDeleteSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def vec(seed: Int): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(16)(r.nextFloat() - 0.5f)
+  }
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).resolve("idx").toString
+
+  test("deleteFromIvfPq: serve == brute force over the remaining corpus; " +
+      "replayed deletes absorbed; compact makes it physical") {
+    val root = tmp("graft_anndel_")
+    val corpus = (0L until 200L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    val queries = (0L until 4L).map(i => (i + 500L, vec(i.toInt + 800)))
+      .toDF("qid", "qvec")
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 8, root = root,
+      m = 4, codes = 8)
+    val doomed = corpus.where($"cid" % 3 === 0).select("cid")
+    AnnIndex.deleteFromIvfPq(spark, root, doomed)
+    AnnIndex.deleteFromIvfPq(spark, root, doomed) // replayed takedown
+
+    def serveFull() = AnnIndex.queryIvfPq(spark, root, queries, k = 3,
+        nprobe = 8, rerank = 200, excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect().toSeq
+    val remaining = corpus.where($"cid" % 3 =!= 0)
+    val exact = Similarity.bruteForceTopK(remaining, queries, k = 3,
+        excludeSelf = false)
+      .select("query_id", "rank", "corpus_id")
+      .orderBy("query_id", "rank").collect().toSeq
+    assert(serveFull() === exact,
+      "full-probing serve after delete == brute force on the remaining " +
+        "corpus (replayed markers collapse)")
+
+    // pruned settings: a deleted id must never appear at ANY serve tier
+    val pruned = AnnIndex.queryIvfPq(spark, root, queries, k = 3,
+        nprobe = 3, rerank = 10, excludeSelf = false)
+      .select("corpus_id").collect().map(_.getLong(0))
+    assert(pruned.forall(_ % 3 != 0), "no deleted id at pruned settings")
+    // mineTopK (distributed-query path) honors markers too
+    val mined = AnnIndex.mineTopK(spark, root, queries, k = 3,
+        nprobe = 3, rerank = 10)
+      .select("corpus_id").collect().map(_.getLong(0))
+    assert(mined.nonEmpty && mined.forall(_ % 3 != 0))
+
+    val before = serveFull()
+    AnnIndex.compactIvfPq(spark, root, nlist = 8, m = 4, codes = 8)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")),
+      "compact clears the takedown markers")
+    assert(spark.read.parquet(s"$root/encoded.parquet").count() === 133,
+      "compact physically removed the deleted rows (200 - 67)")
+    assert(serveFull() === before,
+      "serve bit-identical before and after the physical removal")
+  }
+
+  test("deleteFromMinHashIndex: flags == an index built on the remaining " +
+      "docs; compact makes it physical and clears markers") {
+    val texts = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta the quick brown fox"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "lorem ipsum dolor sit amet consectetur adipiscing elit sed"),
+      (4L, "pack my box with five dozen liquor jugs right now please"))
+      .toDF("doc_id", "text")
+    val arrivals = texts.select(($"doc_id" + 100L).as("doc_id"), $"text")
+
+    val root = tmp("graft_nddel_")
+    Dedup.saveMinHashIndex(root, texts, "text", "doc_id")
+    Dedup.deleteFromMinHashIndex(root,
+      texts.where($"doc_id" % 2 === 1).select($"doc_id"), "doc_id")
+    def flags(r: String) =
+      Dedup.flagAgainstIndex(spark, r, arrivals, "text", "doc_id")
+        .orderBy("doc_id", "dup_of").collect().toSeq
+    val served = flags(root)
+    assert(served.map(_.getLong(1)).forall(_ % 2 == 0) && served.nonEmpty,
+      "no deleted doc is ever flagged as dup_of")
+
+    val fresh = tmp("graft_nddel_fresh_")
+    Dedup.saveMinHashIndex(fresh, texts.where($"doc_id" % 2 === 0),
+      "text", "doc_id")
+    assert(served === flags(fresh),
+      "marker-deleted serve == index built without the deleted docs " +
+        "(no-flood fixture: tombstone histories coincide)")
+
+    Dedup.compactMinHashIndex(spark, root, targetPartitions = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")))
+    assert(spark.read.parquet(s"$root/fps.parquet").count() === 2,
+      "compact physically removed the deleted docs' fingerprints")
+    assert(spark.read.parquet(s"$root/buckets.parquet")
+        .where($"doc_id" % 2 === 1).count() === 0,
+      "compact physically removed the deleted docs' postings")
+    assert(flags(root) === served,
+      "serve bit-identical before and after the physical removal")
+  }
+
+  test("Decontam.removeSetFromIndex: result == an index that never held " +
+      "the set; absent set and unlabeled index fail fast") {
+    val corpus = (0L until 30L).map(i =>
+      (i, s"alpha beta gamma delta doc$i tail word${i % 5} six seven"))
+      .toDF("doc_id", "text")
+    val bench = corpus.where($"doc_id" % 5 === 0)
+      .select(when($"doc_id" % 10 === 0, lit("keep")).otherwise(lit("gone"))
+        .as("eval_set"), $"text")
+
+    val root = tmp("graft_dcrm_")
+    Decontam.saveSetIndex(root, bench, "text", "eval_set", n = 4)
+    Decontam.removeSetFromIndex(spark, root, "gone")
+    val fresh = tmp("graft_dcrm_fresh_")
+    Decontam.saveSetIndex(fresh, bench.where($"eval_set" === "keep"),
+      "text", "eval_set", n = 4)
+    val got = spark.read.parquet(s"$root/grams.parquet")
+      .orderBy("eval_set", "gram").collect().toSeq
+    val want = spark.read.parquet(s"$fresh/grams.parquet")
+      .orderBy("eval_set", "gram").collect().toSeq
+    assert(got === want, "gram table == fresh index without the set")
+    val report = Decontam.contaminationReportFromIndex(spark, root,
+      corpus, "text", "doc_id").collect()
+    assert(report.map(_.getString(0)).toSeq === Seq("keep"),
+      "the removed set's identity is gone from the all-sets frame")
+
+    assertThrows[IllegalArgumentException] {
+      Decontam.removeSetFromIndex(spark, root, "never_existed")
+    }
+    val plain = tmp("graft_dcrm_plain_")
+    Decontam.saveIndex(plain, bench.select($"text"), "text", n = 4)
+    assertThrows[IllegalArgumentException] {
+      Decontam.removeSetFromIndex(spark, plain, "keep")
+    }
+  }
+}
