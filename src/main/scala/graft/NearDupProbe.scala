@@ -90,6 +90,25 @@ object NearDupProbe {
       }.getOrElse(" (no >=8-task stage reached 200 ms)")
       val n = flags.count()
       println(f"[neardup-probe] serve wall=$serveWall%.2f s flags=$n$serveSk")
+
+      // r14 takedown overhead: delete 0.5% of the corpus (markers) and
+      // re-serve — the delta is the broadcast anti-join's cost on the
+      // postings read
+      graft.ext.Dedup.deleteFromMinHashIndex(root,
+        corpus.where(col("doc_id") % 200 === 0).select(col("doc_id")),
+        "doc_id")
+      skew.reset()
+      t0 = System.nanoTime()
+      val flagsDel = graft.ext.Dedup.flagAgainstIndex(spark, root, conf,
+        arrivals, "text", "doc_id")
+      flagsDel.write.format("noop").mode("overwrite").save()
+      val delWall = (System.nanoTime() - t0) / 1e9
+      val delSk = skew.worst().map { case (mx, med, r) =>
+        f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
+      }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      val nd = flagsDel.count()
+      println(f"[neardup-probe] serve+takedown(0.5%%) wall=$delWall%.2f s " +
+        f"flags=$nd$delSk")
     }
     spark.stop()
   }
