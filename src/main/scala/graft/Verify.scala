@@ -16,7 +16,13 @@ import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
   * (catalog tables, audit log, global Hadoop conf) run one-by-one on a
   * dedicated lane, concurrent with the pool but never with each other.
   * Any pooled failure is retried once, serially, at the end — a
-  * concurrency flake must cost a retry, not a round's gate.
+  * concurrency flake must cost a retry, not a round's gate — and the
+  * retried names persist to `outDir/verify_retries.json` (stderr alone
+  * leaves no round artifact: a gate that flakes under concurrency every
+  * round would otherwise be invisible in CORRECTNESS_r*.json). A
+  * retried-then-green gate has its name in the file AND its parquet in
+  * outDir; a retried-and-still-failed gate has its name and NO parquet;
+  * first-pass-green gates never appear.
   *
   * Env knobs (dev iteration; the driver sets none and runs everything):
   *  - SPARK_GRAFT_VERIFY_ONLY=n1,n2  restrict to named gates
@@ -27,6 +33,67 @@ import java.util.concurrent.{ConcurrentLinkedQueue, Executors, TimeUnit}
   *  - SPARK_GRAFT_CPUS=n            local[n] (default min(16, cores))
   */
 object Verify {
+
+  /** Run `selected` gates against `sfDir`, each result → parquet under
+    * `outDir`, pooled `par`-wide with one serial end-of-sweep retry for
+    * pooled failures; writes `verify_retries.json` and returns the
+    * retried names. Factored out of [[main]] so the retry-visibility
+    * contract is spec-testable with injected (flaky) gates. */
+  def runSweep(spark: SparkSession, sfDir: String, outDir: String,
+      selected: Seq[queries.QueryDef], par: Int): Seq[String] = {
+    new java.io.File(outDir).mkdirs()
+    val failed = new ConcurrentLinkedQueue[String]()
+    def runGate(q: queries.QueryDef, sess: SparkSession,
+        retryable: Boolean): Unit =
+      try q.fn(sess, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/${q.name}")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
+        if (retryable) failed.add(q.name)
+      }
+
+    val retries: Seq[String] =
+      if (par <= 1) {
+        selected.foreach(runGate(_, spark, retryable = false))
+        Nil
+      } else {
+        val (serialDefs, pooledDefs) = selected.partition(_.serial)
+        val pool = Executors.newFixedThreadPool(par)
+        pooledDefs.foreach { q =>
+          pool.submit(new Runnable {
+            override def run(): Unit =
+              runGate(q, spark.newSession(), retryable = true)
+          })
+        }
+        // the serial lane shares the main thread: catalog-touching gates
+        // one-by-one, overlapped with the pool (they touch disjoint state)
+        serialDefs.foreach(runGate(_, spark, retryable = true))
+        pool.shutdown()
+        // a timeout here means pooled gates are STILL RUNNING — proceeding
+        // to the retry pass and JVM exit would tear their in-flight writes
+        // into a silently-partial board; fail loudly instead
+        if (!pool.awaitTermination(2, TimeUnit.HOURS)) {
+          pool.shutdownNow()
+          throw new IllegalStateException(
+            "verify: pooled gates still running after 2h — aborting " +
+              "instead of writing a torn board")
+        }
+        // flake insurance: one sequential retry on the root session
+        val byName = selected.map(q => q.name -> q).toMap
+        val rs = Iterator.continually(failed.poll())
+          .takeWhile(_ != null).toSeq.distinct
+        if (rs.nonEmpty)
+          System.err.println(
+            s"[verify] retrying ${rs.size} gate(s) serially: " +
+              rs.mkString(", "))
+        rs.foreach(n => runGate(byName(n), spark, retryable = false))
+        rs
+      }
+    Files.writeString(Paths.get(s"$outDir/verify_retries.json"),
+      retries.map(n => "\"" + n + "\"").mkString("[", ",", "]"))
+    retries
+  }
+
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val procs = Runtime.getRuntime.availableProcessors()
@@ -42,7 +109,6 @@ object Verify {
         Files.createTempDirectory("graft_verify_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    new java.io.File(outDir).mkdirs()
     // Dev-only iteration filters; the driver sets no env so it runs all.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
@@ -52,42 +118,8 @@ object Verify {
       .filter(q => tier.forall(t =>
         t != "seam" || queries.Registry.seamGates(q.name)))
 
-    val failed = new ConcurrentLinkedQueue[String]()
-    def runGate(q: queries.QueryDef, sess: SparkSession,
-        retryable: Boolean): Unit =
-      try q.fn(sess, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/${q.name}")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] ${q.name} failed: ${e.getMessage}")
-        if (retryable) failed.add(q.name)
-      }
-
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "6").toInt
-    if (par <= 1) selected.foreach(runGate(_, spark, retryable = false))
-    else {
-      val (serialDefs, pooledDefs) = selected.partition(_.serial)
-      val pool = Executors.newFixedThreadPool(par)
-      pooledDefs.foreach { q =>
-        pool.submit(new Runnable {
-          override def run(): Unit =
-            runGate(q, spark.newSession(), retryable = true)
-        })
-      }
-      // the serial lane shares the main thread: catalog-touching gates
-      // one-by-one, overlapped with the pool (they touch disjoint state)
-      serialDefs.foreach(runGate(_, spark, retryable = true))
-      pool.shutdown()
-      pool.awaitTermination(2, TimeUnit.HOURS)
-      // flake insurance: one sequential retry on the root session
-      val byName = selected.map(q => q.name -> q).toMap
-      val retries = Iterator.continually(failed.poll())
-        .takeWhile(_ != null).toSeq.distinct
-      if (retries.nonEmpty)
-        System.err.println(
-          s"[verify] retrying ${retries.size} gate(s) serially: " +
-            retries.mkString(", "))
-      retries.foreach(n => runGate(byName(n), spark, retryable = false))
-    }
+    runSweep(spark, sfDir, outDir, selected, par)
 
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

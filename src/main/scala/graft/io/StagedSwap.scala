@@ -20,9 +20,13 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *   2. each staged table renames into place;
   *   3. only after ALL tables swapped are the backups (and the
   *      then-empty staging dir) removed;
-  *   4. on ANY failure, tables already swapped are rolled back from
-  *      their backups, and the staging dir is KEPT on disk so the
-  *      operator can recover by hand — the thrown error names it.
+  *   4. on ANY failure, every table whose live copy moved aside — the
+  *      fully-swapped ones AND the in-flight one whose staged rename
+  *      failed — is restored from its backup, a first-materialization
+  *      table's new copy returns to staging (the root holds exactly the
+  *      OLD index, never a mixed-version one), and the staging dir is
+  *      KEPT on disk so the operator can recover by hand — the thrown
+  *      error names it.
   *
   * Still single-writer and NOT atomic across tables against concurrent
   * READERS mid-swap (the plain-parquet contract of every sink here —
@@ -42,37 +46,62 @@ object StagedSwap {
     def staged(t: String) = new Path(s"$staging/$t")
     def backup(t: String) = new Path(s"$root/.old-$tag-$t")
 
-    val swapped = scala.collection.mutable.ListBuffer.empty[String]
+    // Two per-table facts tracked SEPARATELY (a table can have done the
+    // first and not the second — the in-flight table of a mid-swap
+    // failure, whose backup the rollback must still restore):
+    //   aside  — the live copy was renamed to its backup
+    //   placed — the staged copy was renamed into the live slot
+    val aside = scala.collection.mutable.Set.empty[String]
+    val placed = scala.collection.mutable.Set.empty[String]
     try {
       tables.foreach { t =>
         require(fs.exists(staged(t)),
           s"StagedSwap: staged table $t missing under $staging")
-        if (fs.exists(live(t)))
+        if (fs.exists(live(t))) {
           require(fs.rename(live(t), backup(t)),
             s"StagedSwap: renaming live $t aside failed")
+          aside += t
+        }
         require(fs.rename(staged(t), live(t)),
           s"StagedSwap: renaming staged $t into place failed")
-        swapped += t
+        placed += t
       }
     } catch {
       case e: Throwable =>
-        // Roll back what already swapped so the live index stays the OLD
-        // one; keep the staging dir (and any stuck backup) for manual
+        // Roll back so the live root is the complete OLD index again;
+        // keep the staging dir (and any stuck backup) for manual
         // recovery — deleting here is exactly the data-loss bug this
-        // helper replaces.
-        swapped.reverse.foreach { t =>
-          if (fs.exists(backup(t))) {
-            // return the already-swapped staged copy to the staging dir
-            // (it is part of the recovery copy we promise to keep), then
-            // restore the old table from its backup
-            if (fs.exists(live(t)) && !fs.rename(live(t), staged(t)))
+        // helper replaces. Per table, in reverse: first vacate the live
+        // slot if the NEW copy landed there (back to staging — it is
+        // part of the recovery copy we promise to keep; a table that
+        // had no old copy ends absent, matching the old root), then
+        // restore the backup if one was taken (including the in-flight
+        // table whose staged rename failed AFTER its live copy moved
+        // aside — the case a placed-only rollback misses).
+        val sacrificed = scala.collection.mutable.ListBuffer.empty[String]
+        tables.reverse.foreach { t =>
+          if (placed(t) && fs.exists(live(t))) {
+            // never delete a staged copy to make room: fall back to a
+            // third name under staging, and only if even that rename
+            // fails sacrifice it (recorded in the thrown message) so the
+            // OLD table can still be restored
+            val returned = fs.rename(live(t), staged(t)) ||
+              fs.rename(live(t), new Path(s"$staging/.rollback-$tag-$t"))
+            if (!returned) {
+              sacrificed += t
               fs.delete(live(t), true)
-            fs.rename(backup(t), live(t))
+            }
           }
+          if (aside(t) && fs.exists(backup(t)))
+            fs.rename(backup(t), live(t))
         }
+        val lost = if (sacrificed.isEmpty) ""
+          else s"; staged cop${if (sacrificed.size == 1) "y" else "ies"} of " +
+            s"${sacrificed.mkString(", ")} could not be returned to " +
+            "staging and were sacrificed to restore the old index"
         throw new IllegalStateException(
           s"StagedSwap: swap into $root failed and was rolled back; " +
-            s"the staged copy is KEPT at $staging for recovery", e)
+            s"the staged copy is KEPT at $staging for recovery$lost", e)
     }
     tables.foreach(t => fs.delete(backup(t), true))
     fs.delete(new Path(staging), true)

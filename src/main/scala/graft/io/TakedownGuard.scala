@@ -1,0 +1,47 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** Enforces the takedown small-list premise the persisted indexes serve
+  * under ([[graft.ext.AnnIndex.deleteFromIvfPq]],
+  * [[graft.ext.Dedup.deleteFromMinHashIndex]],
+  * [[graft.ext.Bm25Index.delete]]): delete markers are anti-joined
+  * BROADCAST on every serve, which is only sound while the marker table
+  * stays small relative to the corpus. "A deletion set that stops being
+  * small is a rebuild, not a marker list" was a scaladoc'd rule with
+  * nothing enforcing it — a takedown cadence that quietly outgrew the
+  * premise would degrade every serve instead of surfacing a decision.
+  * This guard turns that silent perf cliff into a loud error at marker
+  * READ time.
+  *
+  * The check is one driver-side FS metadata call (content summary of the
+  * marker dir — no Spark job, no scan), paid only when a marker table
+  * exists, so the no-deletions serve plan stays byte-identical (the
+  * PlanSpec pins). Threshold: `graft.takedown.maxMarkerBytes` session
+  * conf (bytes; <= 0 disables), default 64 MB — roughly 10^6..10^7
+  * marked ids depending on encoding, far past where a rebuild/compact is
+  * the right call and still far under broadcast limits, so the guard
+  * fires before the serve degrades rather than after.
+  */
+object TakedownGuard {
+  val confKey = "graft.takedown.maxMarkerBytes"
+  val defaultMaxBytes: Long = 64L << 20
+
+  /** Throw if the on-disk marker table under `markerDir` exceeds the
+    * configured threshold. Callers invoke this AFTER establishing the
+    * dir exists (the common no-deletions case pays nothing). `what`
+    * names the index family for the error message. */
+  def check(spark: SparkSession, markerDir: Path, what: String): Unit = {
+    val max = spark.conf.get(confKey, defaultMaxBytes.toString).toLong
+    if (max <= 0L) return
+    val fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(markerDir).getLength
+    if (bytes > max)
+      throw new IllegalStateException(
+        s"$what: takedown marker table $markerDir is $bytes bytes " +
+          s"(> $max): a deletion set this large is a compact/rebuild, " +
+          "not a broadcast marker list — run the index's compact to make " +
+          s"the removals physical (or raise $confKey)")
+  }
+}

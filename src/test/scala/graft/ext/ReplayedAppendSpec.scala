@@ -255,4 +255,78 @@ class ReplayedAppendSpec extends AnyFunSuite {
     assert(!fs.listStatus(new org.apache.hadoop.fs.Path(root))
       .exists(_.getPath.getName.startsWith(".old-")))
   }
+
+  /** A FileSystem whose rename REFUSES a chosen destination — injects
+    * the mid-swap failure where a table's live copy is already renamed
+    * aside but its staged copy cannot land (the in-flight table). */
+  private class RenameFailFs(inner: org.apache.hadoop.fs.FileSystem,
+      failSrc: String) extends org.apache.hadoop.fs.FilterFileSystem(inner) {
+    override def rename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean =
+      if (src.toUri.getPath.endsWith(failSrc)) false
+      else super.rename(src, dst)
+  }
+
+  test("StagedSwap: a failure AFTER a table was renamed aside restores " +
+      "that table's backup too (the in-flight table), not just the " +
+      "fully-swapped ones") {
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_mid_")
+    val root = base.resolve("root").toString
+    val rawFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "old")).toDF("id", "v").write.parquet(s"$root/a.parquet")
+    Seq((2L, "old")).toDF("id", "v").write.parquet(s"$root/b.parquet")
+    val staging = base.resolve("stage").toString
+    Seq((1L, "new")).toDF("id", "v").write.parquet(s"$staging/a.parquet")
+    Seq((2L, "new")).toDF("id", "v").write.parquet(s"$staging/b.parquet")
+
+    // a swaps cleanly; b's live copy renames aside, then staged(b) ->
+    // live(b) fails — the exact case where b is neither "swapped" nor
+    // untouched, and only an aside-aware rollback restores it
+    val fs = new RenameFailFs(rawFs, "stage/b.parquet")
+    val e = intercept[IllegalStateException] {
+      graft.io.StagedSwap.swapIn(fs, root, staging,
+        Seq("a.parquet", "b.parquet"))
+    }
+    assert(e.getMessage.contains(staging))
+    assert(spark.read.parquet(s"$root/a.parquet").head.getString(1) === "old",
+      "fully-swapped table rolled back")
+    assert(spark.read.parquet(s"$root/b.parquet").head.getString(1) === "old",
+      "IN-FLIGHT table restored from its backup")
+    assert(spark.read.parquet(s"$staging/a.parquet").head.getString(1) === "new",
+      "staged copy of the swapped table returned to staging")
+    assert(rawFs.exists(
+      new org.apache.hadoop.fs.Path(s"$staging/b.parquet")),
+      "staging kept for recovery")
+    assert(!rawFs.listStatus(new org.apache.hadoop.fs.Path(root))
+        .exists(_.getPath.getName.startsWith(".old-")),
+      "no backup debris after rollback")
+  }
+
+  test("StagedSwap: rollback returns a FIRST-MATERIALIZATION table's new " +
+      "copy to staging instead of leaving a mixed-version root") {
+    val base = java.nio.file.Files.createTempDirectory("graft_swap_new_")
+    val root = base.resolve("root").toString
+    val rawFs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((1L, "old")).toDF("id", "v").write.parquet(s"$root/a.parquet")
+    // c has NO live copy — first materialization
+    val staging = base.resolve("stage").toString
+    Seq((3L, "new")).toDF("id", "v").write.parquet(s"$staging/c.parquet")
+    Seq((1L, "new")).toDF("id", "v").write.parquet(s"$staging/a.parquet")
+
+    // c swaps in (no backup), then a's staged rename fails after a's
+    // live copy moved aside
+    val fs = new RenameFailFs(rawFs, "stage/a.parquet")
+    intercept[IllegalStateException] {
+      graft.io.StagedSwap.swapIn(fs, root, staging,
+        Seq("c.parquet", "a.parquet"))
+    }
+    assert(spark.read.parquet(s"$root/a.parquet").head.getString(1) === "old",
+      "existing table restored")
+    assert(!rawFs.exists(new org.apache.hadoop.fs.Path(s"$root/c.parquet")),
+      "first-materialization table absent again — the old root state")
+    assert(spark.read.parquet(s"$staging/c.parquet").head.getString(1) === "new",
+      "its new copy returned to staging for recovery")
+  }
 }
