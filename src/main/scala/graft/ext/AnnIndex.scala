@@ -112,7 +112,10 @@ object AnnIndex {
     * markers. Idempotent under replay (markers are distinct'd at read).
     * Scale premise: takedown lists are small relative to the corpus
     * (the markers broadcast); a deletion set that stops being small is
-    * a rebuild, not a marker list. `ids`: one `cid` column. */
+    * a rebuild, not a marker list — ENFORCED by
+    * [[graft.io.TakedownGuard]]: serve paths fail loudly once the
+    * marker table outgrows `graft.takedown.maxMarkerBytes`, pointing
+    * at [[compactIvfPq]]. `ids`: one `cid` column. */
   def deleteFromIvfPq(spark: SparkSession, root: String,
       ids: DataFrame): Unit =
     ids.select(col("cid")).distinct()
@@ -122,14 +125,21 @@ object AnnIndex {
     * reads. The existence check is one driver-side FS call, so an index
     * with no deletions (the common case, and every pre-r14 index) plans
     * exactly as before: no extra scan, no extra join. */
-  private def liveEncoded(spark: SparkSession, root: String): DataFrame = {
+  private def liveEncoded(spark: SparkSession, root: String,
+      guard: Boolean = true): DataFrame = {
     val enc = spark.read.parquet(s"$root/encoded.parquet")
     val del = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
-    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del))
+    if (del.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(del)) {
+      // loud enforcement of the broadcast-small marker premise on SERVE
+      // paths — see TakedownGuard. Compaction passes guard=false: it is
+      // the operation the guard tells the operator to run, and its
+      // anti-join is one shuffle in a full-rewrite job, not a
+      // per-query broadcast.
+      if (guard) graft.io.TakedownGuard.check(spark, del, "AnnIndex")
       enc.join(
         broadcast(spark.read.parquet(del.toString).select("cid").distinct()),
         Seq("cid"), "left_anti")
-    else enc
+    } else enc
   }
 
   private def encode(spark: SparkSession, root: String, vectors: DataFrame,
@@ -482,7 +492,7 @@ object AnnIndex {
     // via the TopKAggregator collapse, compact removes them physically.
     // A duplicate cid reaching the hash-ordered centroid sample would
     // otherwise mint two centroids with the same id.
-    val vectors0 = liveEncoded(spark, root)
+    val vectors0 = liveEncoded(spark, root, guard = false)
       .select("cid", "cvec").dropDuplicates("cid")
     val vectors =
       if (targetPartitions > 0) vectors0.repartition(targetPartitions)

@@ -1,0 +1,226 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** PERSISTED BM25 lexical index with the full lifecycle the other three
+  * persisted index families have (build → append → DELETE → compact →
+  * serve) — [[TextAnalysis.bm25Index]]/[[TextAnalysis.bm25Stats]] gave
+  * the index/serve split and union-is-merge appends; what they lacked
+  * was takedown: a right-to-be-forgotten request against a 100-TB
+  * retrieval corpus must purge LEXICAL search too, not just the
+  * ANN/minhash/decontam indexes, and must do it without a rebuild.
+  * (Engine extension beyond the reference surface — the reference
+  * delegates all querying to `spark.sql`, box_export.py:36.)
+  *
+  * Layout under `root` (plain parquet, single-writer, same crash-safety
+  * story as every sink here; wrap in [[graft.sink.VersionedTable]] for
+  * snapshot isolation):
+  *
+  *   postings.parquet  (doc_id, term, tf, dl)   — [[TextAnalysis.bm25Index]]
+  *   stats.parquet     (batch_key, n_docs, n_toks) — one row PER INCREMENT
+  *   deletes.parquet   (doc_id, dl)             — takedown markers
+  *   meta.parquet      (version)                — written LAST: commit marker
+  *
+  * '''Why markers carry `dl`.''' BM25's corpus scalars N (doc count) and
+  * T (token count) live in the additive stats sidecar so the serve never
+  * re-aggregates the postings ([[TextAnalysis.bm25Stats]]). A takedown
+  * must make N and T reflect the removal or every remaining document's
+  * idf/tf normalization is wrong — so [[delete]] looks up each marked
+  * document's token count from the postings ONCE (one column-pruned
+  * postings scan restricted by a broadcast semi-join — the
+  * appendMinHashIndex re-cap precedent, paid per takedown call, never
+  * per query) and stores it on the marker. Serves then fold a marker-
+  * sized NEGATIVE stats increment; nothing corpus-sized is touched.
+  *
+  * '''Replay absorption''' (at-least-once appends, the
+  * ReplayedAppendSpec contract): duplicated posting rows are collapsed
+  * AFTER the query-term filter (`dropDuplicates(doc_id, term)` on a
+  * query-sized frame — the doc-atomic contract makes the copies
+  * byte-identical); duplicated stats rows carry a content-derived
+  * `batch_key` (sum of xxhash64 over the increment's doc ids —
+  * deterministic and order-independent, so a replayed increment
+  * re-derives the SAME key) and are distinct'd at read. Replayed
+  * [[delete]] calls re-derive identical (doc_id, dl) markers —
+  * distinct'd at read. A torn append (postings landed, stats increment
+  * didn't, or vice versa) mis-states N/T until the caller's retry,
+  * which converges by the same keys.
+  *
+  * '''Marker semantics''': a marker suppresses its doc_id outright —
+  * candidates anti-join it, df/N/T exclude it — including rows APPENDED
+  * AFTER the takedown. Re-ingesting a taken-down document therefore
+  * requires a [[compact]] (which makes removals physical and clears the
+  * markers) first; the same rule as [[AnnIndex.deleteFromIvfPq]].
+  * Markers are broadcast-small by premise, ENFORCED by
+  * [[graft.io.TakedownGuard]] on every serve.
+  */
+object Bm25Index {
+
+  private def toks(text: String): Column =
+    filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
+
+  /** One-row stats increment with the replay key: (batch_key, n_docs,
+    * n_toks) over `docs`. Same document-population contract as
+    * [[TextAnalysis.bm25Stats]] (docs with ≥ 1 token — exactly the ones
+    * that have postings), one narrow aggregate. */
+  private def statsIncrement(docs: DataFrame, text: String,
+      id: String): DataFrame =
+    docs.select(size(toks(text)).cast(LongType).as("dl"),
+        xxhash64(col(id)).as("h"))
+      .where(col("dl") > 0)
+      .agg(sum(col("h")).as("batch_key"),
+        count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+
+  private def writeIncrement(root: String, docs: DataFrame, text: String,
+      id: String, mode: String): Unit = {
+    // postings BEFORE stats: either torn order mis-states N/T until the
+    // retry, but postings-first means the retry's duplicate posting rows
+    // are absorbed by the serve dedup while the missing stats row simply
+    // lands — both halves replay-keyed, so the retry converges
+    TextAnalysis.bm25Index(docs, text, id)
+      .withColumnRenamed(id, "doc_id")
+      .write.mode(mode).parquet(s"$root/postings.parquet")
+    statsIncrement(docs, text, id)
+      .write.mode(mode).parquet(s"$root/stats.parquet")
+  }
+
+  /** Build the index from `docs` and persist under `root`. The id
+    * column normalizes to `doc_id` in the layout; meta writes LAST as
+    * the build's commit marker (a torn build does not [[open]]). */
+  def build(root: String, docs: DataFrame, text: String,
+      id: String): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    writeIncrement(root, docs, text, id, "errorifexists")
+    Seq(1).toDF("version")
+      .write.mode("errorifexists").parquet(s"$root/meta.parquet")
+  }
+
+  /** Append an increment: one narrow pass over the new documents only
+    * (tokenize → per-doc tf rows + one stats row). Union IS the merge
+    * under the document-atomic contract (each document's text arrives
+    * whole in one increment — [[TextAnalysis.bm25Index]]). */
+  def append(root: String, docs: DataFrame, text: String,
+      id: String): Unit = {
+    open(docs.sparkSession, root)
+    writeIncrement(root, docs, text, id, "append")
+  }
+
+  /** Takedown: append (doc_id, dl) markers — `dl` looked up from the
+    * postings so serves can fold the docs' N/T contribution out as a
+    * marker-sized negative increment (see class doc). No rebuild; the
+    * removal is effective for the NEXT serve and becomes physical at
+    * the next [[compact]]. Idempotent under replay. `ids`: a one-column
+    * frame, `id` names the column. */
+  def delete(spark: SparkSession, root: String, ids: DataFrame,
+      id: String): Unit = {
+    open(spark, root)
+    val marks = ids.select(col(id).as("doc_id")).distinct()
+    val dl = spark.read.parquet(s"$root/postings.parquet")
+      .join(broadcast(marks), Seq("doc_id"), "left_semi")
+      .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+    marks.join(dl, Seq("doc_id"), "left")
+      .write.mode("append").parquet(s"$root/deletes.parquet")
+  }
+
+  /** The distinct'd markers; None when no takedown ever happened (one
+    * driver-side FS existence check — the no-deletions serve plan is
+    * unchanged). Guarded: a marker table past
+    * `graft.takedown.maxMarkerBytes` fails loudly (compact is the fix). */
+  private def readDeletes(spark: SparkSession, root: String,
+      guard: Boolean = true): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      if (guard) graft.io.TakedownGuard.check(spark, p, "Bm25Index")
+      Some(spark.read.parquet(p.toString).dropDuplicates("doc_id"))
+    } else None
+  }
+
+  /** BM25 top-k serve from the persisted index — the
+    * [[TextAnalysis.bm25SearchIndex]] contract (exact rational scoring,
+    * k1 = 1.2, b = 0.75, TakeOrderedAndProject top-k) over the LIVE
+    * view: postings filter to the query terms FIRST (everything after
+    * is query-sized), then anti-join the broadcast markers — so df, the
+    * per-doc candidates, and (via the negative stats fold) N and T all
+    * reflect takedowns exactly. Serve == a fresh index built on the
+    * remaining corpus, integer-for-integer (the t57 gate pins it
+    * against the DuckDB oracle). Output: (doc_id, score, n_terms). */
+  def search(spark: SparkSession, root: String, query: Seq[String],
+      k: Int = 10): DataFrame = {
+    open(spark, root)
+    require(query.nonEmpty, "Bm25Index.search: query must be non-empty")
+    val deletes = readDeletes(spark, root)
+    val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
+    val qtf0 = spark.read.parquet(s"$root/postings.parquet")
+      .where(col("term").isin(qs: _*))
+    val qtf1 = deletes.fold(qtf0)(d =>
+      qtf0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    // replay absorption on a query-sized frame (see class doc) — never
+    // a corpus-wide distinct
+    val qtf = qtf1.dropDuplicates("doc_id", "term")
+    val statsRaw = spark.read.parquet(s"$root/stats.parquet")
+      .dropDuplicates("batch_key", "n_docs", "n_toks")
+      .select(col("n_docs"), col("n_toks"))
+    val stats = deletes.fold(statsRaw) { d =>
+      // marker-sized: count/sum only markers whose doc had postings
+      // (dl non-null — a takedown for an id never indexed is a no-op)
+      statsRaw.union(d.agg(
+        (count(col("dl")) * lit(-1L)).as("n_docs"),
+        (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("n_toks")))
+    }
+    TextAnalysis.bm25SearchIndex(qtf, "doc_id", query, k, stats = stats)
+  }
+
+  /** Compact IN PLACE: physically remove taken-down documents' postings
+    * and the duplicate rows replayed appends accrete, rebuild the stats
+    * sidecar as ONE row derived from the compacted postings (the
+    * accreted per-increment rows collapse), coalesce to
+    * `targetPartitions` files when > 0, swap via
+    * [[graft.io.StagedSwap]] (never zero copies on disk), and clear the
+    * markers AFTER the swap (a crash in between leaves markers for rows
+    * that no longer exist — the serve anti-join is then a no-op, never
+    * wrong). Serve is bit-identical before and after (the spec pins
+    * it). */
+  def compact(spark: SparkSession, root: String,
+      targetPartitions: Int = 0): Unit = {
+    open(spark, root)
+    val deletes = readDeletes(spark, root, guard = false)
+    def undeleted(df: DataFrame): DataFrame =
+      deletes.fold(df)(d =>
+        df.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+    def sized(df: DataFrame): DataFrame =
+      if (targetPartitions > 0) df.coalesce(targetPartitions) else df
+    val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val live = undeleted(spark.read.parquet(s"$root/postings.parquet"))
+        .dropDuplicates("doc_id", "term")
+      sized(live).write.parquet(s"$staging/postings.parquet")
+      // one row from the compacted postings: per-doc dl (a group
+      // constant), then the corpus scalars + the content-derived key
+      spark.read.parquet(s"$staging/postings.parquet")
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        .agg(sum(xxhash64(col("doc_id"))).as("batch_key"),
+          count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
+        .write.parquet(s"$staging/stats.parquet")
+    } catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    graft.io.StagedSwap.swapIn(fs, root, staging,
+      Seq("postings.parquet", "stats.parquet"))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes.parquet"), true)
+  }
+
+  /** Assert the index committed (meta.parquet is the build's LAST
+    * write). Cheap enough to run per call — one footer read. */
+  private def open(spark: SparkSession, root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/meta.parquet")
+    require(
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+      s"Bm25Index: $root is not a committed index (no meta.parquet — " +
+        "torn build?)")
+  }
+}

@@ -461,7 +461,10 @@ object Dedup {
     * recomputed on delete: a bucket retired by a flood stays retired
     * even if some flood members are later taken down — conservative, a
     * property of the corpus history (re-cap decisions replay forward,
-    * never backward). Takedown lists are broadcast-small by premise.
+    * never backward). Takedown lists are broadcast-small by premise —
+    * ENFORCED by [[graft.io.TakedownGuard]]: serve paths fail loudly
+    * once the marker table outgrows `graft.takedown.maxMarkerBytes`,
+    * pointing at [[compactMinHashIndex]].
     * `ids`: a one-column frame; `id` names the column. */
   def deleteFromMinHashIndex(root: String, ids: DataFrame,
       id: String): Unit =
@@ -472,11 +475,17 @@ object Dedup {
     * every pre-r14 index — one driver-side FS existence check, so the
     * no-deletions serve plan is unchanged). */
   private def readDeletes(spark: org.apache.spark.sql.SparkSession,
-      root: String): Option[DataFrame] = {
+      root: String, guard: Boolean = true): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      // loud enforcement of the broadcast-small marker premise on SERVE
+      // paths — see TakedownGuard. Compaction passes guard=false: it is
+      // the operation the guard tells the operator to run, and its
+      // anti-join is one shuffle in a full-rewrite job, not a
+      // per-query broadcast.
+      if (guard) graft.io.TakedownGuard.check(spark, p, "MinHashIndex")
       Some(spark.read.parquet(p.toString).select("doc_id").distinct())
-    else None
+    } else None
   }
 
   /** The tombstoned bucket keys; empty frame when the table is missing
@@ -540,7 +549,7 @@ object Dedup {
     // open() first: reading meta asserts the index is committed
     openMinHashIndex(spark, root)
     val tombs = readTombstones(spark, root)
-    val deletes = readDeletes(spark, root)
+    val deletes = readDeletes(spark, root, guard = false)
     def undeleted(df: DataFrame): DataFrame =
       deletes.fold(df)(del =>
         df.join(broadcast(del), Seq("doc_id"), "left_anti"))

@@ -111,6 +111,48 @@ class IndexDeleteSpec extends AnyFunSuite {
       "serve bit-identical before and after the physical removal")
   }
 
+  test("TakedownGuard: a marker table past graft.takedown.maxMarkerBytes " +
+      "fails serves loudly, never compaction (the prescribed fix)") {
+    val root = tmp("graft_guard_")
+    val corpus = (0L until 60L).map(i => (i, vec(i.toInt))).toDF("cid", "cvec")
+    val queries = Seq((500L, vec(901))).toDF("qid", "qvec")
+    AnnIndex.buildIvfPq(corpus, dim = 16, nlist = 4, root = root,
+      m = 4, codes = 8)
+    AnnIndex.deleteFromIvfPq(spark, root,
+      corpus.where($"cid" % 3 === 0).select("cid"))
+    def serve() = AnnIndex.queryIvfPq(spark, root, queries, k = 3,
+      nprobe = 4, rerank = 60, excludeSelf = false).collect()
+
+    val key = graft.io.TakedownGuard.confKey
+    try {
+      // any non-empty marker table exceeds a 1-byte threshold
+      spark.conf.set(key, "1")
+      val e = intercept[IllegalStateException](serve())
+      assert(e.getMessage.contains("compact"),
+        "the error prescribes the fix")
+      // the MinHash serve path enforces the same premise
+      val texts = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta"))
+        .toDF("doc_id", "text")
+      val ndRoot = tmp("graft_guard_nd_")
+      Dedup.saveMinHashIndex(ndRoot, texts, "text", "doc_id")
+      Dedup.deleteFromMinHashIndex(ndRoot, texts.select($"doc_id"), "doc_id")
+      intercept[IllegalStateException] {
+        Dedup.flagAgainstIndex(spark, ndRoot, texts, "text", "doc_id")
+          .collect()
+      }
+      // compaction is EXEMPT — it is what the guard tells the operator
+      // to run, and it must work exactly when the guard is firing
+      AnnIndex.compactIvfPq(spark, root, nlist = 4, m = 4, codes = 8)
+      Dedup.compactMinHashIndex(spark, ndRoot, targetPartitions = 1)
+      assert(serve().nonEmpty, "markers cleared by compact: serves again")
+      // <= 0 disables the guard outright
+      AnnIndex.deleteFromIvfPq(spark, root,
+        corpus.where($"cid" === 1L).select("cid"))
+      spark.conf.set(key, "0")
+      assert(serve().nonEmpty)
+    } finally spark.conf.unset(key)
+  }
+
   test("Decontam.removeSetFromIndex: result == an index that never held " +
       "the set; absent set and unlabeled index fail fast") {
     val corpus = (0L until 30L).map(i =>
