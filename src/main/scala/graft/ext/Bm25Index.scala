@@ -39,7 +39,7 @@ import org.apache.spark.sql.types.LongType
   * AFTER the query-term filter (`dropDuplicates(doc_id, term)` on a
   * query-sized frame — the doc-atomic contract makes the copies
   * byte-identical); duplicated stats rows carry a content-derived
-  * `batch_key` (sum of xxhash64 over the increment's doc ids —
+  * `batch_key` (an xor-fold of xxhash64 over the increment's doc ids —
   * deterministic and order-independent, so a replayed increment
   * re-derives the SAME key) and are distinct'd at read. Replayed
   * [[delete]] calls re-derive identical (doc_id, dl) markers —
@@ -69,7 +69,10 @@ object Bm25Index {
     docs.select(size(toks(text)).cast(LongType).as("dl"),
         xxhash64(col(id)).as("h"))
       .where(col("dl") > 0)
-      .agg(sum(col("h")).as("batch_key"),
+      // bit_xor, not sum: order-independent AND overflow-free under
+      // ANSI mode (summing 64-bit hashes overflows); doc-atomic
+      // increments hold each doc once, so nothing self-cancels
+      .agg(expr("bit_xor(h)").as("batch_key"),
         count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
 
   private def writeIncrement(root: String, docs: DataFrame, text: String,
@@ -202,7 +205,8 @@ object Bm25Index {
       // constant), then the corpus scalars + the content-derived key
       spark.read.parquet(s"$staging/postings.parquet")
         .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-        .agg(sum(xxhash64(col("doc_id"))).as("batch_key"),
+        .select(xxhash64(col("doc_id")).as("h"), col("dl"))
+        .agg(expr("bit_xor(h)").as("batch_key"),
           count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
         .write.parquet(s"$staging/stats.parquet")
     } catch { case e: Throwable =>

@@ -762,7 +762,10 @@ object TextAnalysis {
     * file-granular ingest satisfies). No recompute, no shuffle — an
     * append IS the merge. Persist/append with ordinary parquet
     * write/read; [[bm25SearchIndex]] serves from any union of
-    * increments. */
+    * increments. For the managed lifecycle — commit marker, TAKEDOWN
+    * (right-to-be-forgotten) with exact N/T/df accounting, replay
+    * absorption, compaction — use [[Bm25Index]], which persists this
+    * same relation. */
   def bm25Index(df: DataFrame, text: String, id: String): DataFrame = {
     val toks = filter(split(lower(col(text)), "\\s+"), t => length(t) > 0)
     // dl rides the tf aggregate as a group constant — computing it as a

@@ -661,6 +661,40 @@ object HygieneQueries {
       |FROM s GROUP BY doc_id
       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** t57: the BM25 persisted-index TAKEDOWN lifecycle
+    * ([[graft.ext.Bm25Index]] — build → append → delete → serve): the
+    * corpus lands as two increments, every doc_id divisible by 3 is
+    * taken down (markers with the docs' dl captured, no rebuild), and
+    * the serve must equal a direct BM25 search over the REMAINING
+    * corpus integer-for-integer — df, dl, and the N/T corpus scalars
+    * (folded as a marker-sized negative stats increment) must all
+    * reflect the removal, so a marker leak at ANY serve stage (the
+    * candidate anti-join, the df aggregate, the stats fold) is a row
+    * diff against the oracle. The spec additionally pins pre/post-
+    * compact serve equality and replayed-append absorption. */
+  def bm25IndexTakedown(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_t57_")
+      .resolve("bm25_idx").toString
+    graft.ext.Bm25Index.build(root, docs.where(col("doc_id") < 250),
+      "text", "doc_id")
+    graft.ext.Bm25Index.append(root, docs.where(col("doc_id") >= 250),
+      "text", "doc_id")
+    graft.ext.Bm25Index.delete(s, root,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    graft.ext.Bm25Index.search(s, root,
+      query = Seq("spark", "hash", "join"), k = 10)
+  }
+
+  /** The t11/t42 oracle over the remaining (post-takedown) corpus. */
+  private[queries] val bm25TakedownOracle = {
+    val restricted = bm25Oracle.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 3 <> 0)")
+    require(restricted != bm25Oracle, "bm25 takedown oracle: corpus " +
+      "restriction failed to apply — bm25Oracle text changed?")
+    restricted
+  }
+
   // ------------------------------------------------- substring dedup
 
   /** Corpus for the exact-substring dedup gates: every 10th document
@@ -2001,6 +2035,8 @@ object HygieneQueries {
     QueryDef("t10_tfidf", tfidf, Some(tfidfOracle)),
     QueryDef("t11_bm25_search", bm25, Some(bm25Oracle)),
     QueryDef("t42_bm25_index", bm25FromIndex, Some(bm25Oracle)),
+    QueryDef("t57_bm25_index_takedown", bm25IndexTakedown,
+      Some(bm25TakedownOracle)),
     QueryDef("t43_chunk_search", chunkSearch, Some(chunkSearchOracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle), bench = true),

@@ -60,7 +60,8 @@ object Registry {
     "d10_dedup_components",
     // similarity / ANN lifecycle
     "s1_knn_bruteforce", "s7_knn_ivfpq", "s8_knn_ivfpq_replay",
-    "s29_index_compact", "s30_index_delete", "s16_ann_recall",
+    "s29_index_compact", "s30_index_delete", "t57_bm25_index_takedown",
+    "s16_ann_recall",
     "s20_hard_negatives", "s25_bitext_margin",
     // text / tokenize / packing / sampling
     "t1_text_stats", "t3_lang_id", "t7_pii_scan", "t23_bpe_merges",

@@ -111,6 +111,72 @@ class IndexDeleteSpec extends AnyFunSuite {
       "serve bit-identical before and after the physical removal")
   }
 
+  test("Bm25Index.delete: serve == direct bm25Search over the remaining " +
+      "corpus; replayed deletes absorbed; compact makes it physical " +
+      "and serves bit-identically") {
+    val docs = Seq(
+      (1L, "spark shuffles hash join tables under spark"),
+      (2L, "a hash join beats a sort merge join on small tables"),
+      (3L, "spark spark spark and nothing else spark"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "hash partitioned spark join with broadcast hash side"),
+      (6L, "join join join hash hash spark"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_bmdel_")
+    Bm25Index.build(root, docs.where($"doc_id" <= 3), "text", "doc_id")
+    Bm25Index.append(root, docs.where($"doc_id" > 3), "text", "doc_id")
+    val doomed = docs.where($"doc_id" % 2 === 0).select("doc_id")
+    Bm25Index.delete(spark, root, doomed, "doc_id")
+    Bm25Index.delete(spark, root, doomed, "doc_id") // replayed takedown
+
+    val q = Seq("spark", "join")
+    def serve() = Bm25Index.search(spark, root, q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    val want = TextAnalysis.bm25Search(docs.where($"doc_id" % 2 =!= 0),
+        "text", "doc_id", q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(serve() === want,
+      "marker-deleted serve == direct search over the remaining corpus " +
+        "(df, dl, N, T all reflect the takedown; replayed markers collapse)")
+
+    val before = serve()
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")),
+      "compact clears the takedown markers")
+    assert(spark.read.parquet(s"$root/postings.parquet")
+        .where($"doc_id" % 2 === 0).count() === 0,
+      "compact physically removed the deleted docs' postings")
+    assert(spark.read.parquet(s"$root/stats.parquet").count() === 1,
+      "compact collapsed the stats increments to one row")
+    assert(serve() === before,
+      "serve bit-identical before and after the physical removal")
+
+    // a takedown for an id never indexed is a no-op (dl null marker)
+    Bm25Index.delete(spark, root, Seq(999L).toDF("doc_id"), "doc_id")
+    assert(serve() === before)
+  }
+
+  test("Bm25Index: a torn build (no meta) does not open; delete/append/" +
+      "search all refuse it") {
+    val root = tmp("graft_bmtorn_")
+    val docs = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    // simulate the torn state: postings+stats written, meta never landed
+    graft.ext.TextAnalysis.bm25Index(docs, "text", "doc_id")
+      .write.parquet(s"$root/postings.parquet")
+    assertThrows[IllegalArgumentException] {
+      Bm25Index.search(spark, root, Seq("alpha"))
+    }
+    assertThrows[IllegalArgumentException] {
+      Bm25Index.append(root, docs, "text", "doc_id")
+    }
+    assertThrows[IllegalArgumentException] {
+      Bm25Index.delete(spark, root, docs.select("doc_id"), "doc_id")
+    }
+  }
+
   test("TakedownGuard: a marker table past graft.takedown.maxMarkerBytes " +
       "fails serves loudly, never compaction (the prescribed fix)") {
     val root = tmp("graft_guard_")

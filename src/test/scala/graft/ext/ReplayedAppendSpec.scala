@@ -215,6 +215,43 @@ class ReplayedAppendSpec extends AnyFunSuite {
       "compact preserves the set-labeled layout")
   }
 
+  // ------------------------------------------------------------ BM25
+
+  test("Bm25Index.append: a double-delivered increment serves the " +
+      "exactly-once answer, and compact rebuilds the exactly-once index") {
+    val docs = Seq(
+      (1L, "spark shuffles hash join tables under spark"),
+      (2L, "a hash join beats a sort merge join on small tables"),
+      (3L, "spark spark spark and nothing else spark"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "hash partitioned spark join with broadcast hash side"),
+      (6L, "join join join hash hash spark"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_replay_bm25_")
+    Bm25Index.build(root, docs.where(col("doc_id") <= 3), "text", "doc_id")
+    val inc = docs.where(col("doc_id") > 3)
+    Bm25Index.append(root, inc, "text", "doc_id")
+    Bm25Index.append(root, inc, "text", "doc_id") // replayed micro-batch
+
+    val q = Seq("spark", "join")
+    def serve() = Bm25Index.search(spark, root, q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    val want = TextAnalysis.bm25Search(docs, "text", "doc_id", q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(serve() === want,
+      "replayed posting rows collapse post-filter and the replayed " +
+        "stats increment dedups by its content-derived batch_key — " +
+        "N/T/df/tf all exactly-once")
+
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    val postings = spark.read.parquet(s"$root/postings.parquet")
+    assert(postings.count() === postings.distinct().count(),
+      "compact leaves no duplicate posting rows")
+    assert(spark.read.parquet(s"$root/stats.parquet").count() === 1)
+    assert(serve() === want,
+      "serve bit-identical after the physical dedup")
+  }
+
   // ------------------------------------------------------ StagedSwap
 
   test("StagedSwap: a failed swap rolls back to the OLD tables and keeps " +
