@@ -2024,6 +2024,106 @@ object ExtensionQueries {
       .orderBy("query_id", "rank")
   }
 
+  /** Write `df` as ONE parquet file into `dir` with a pinned
+    * modification time — FileStreamSource orders new files by
+    * timestamp, so distinct pinned mtimes make the micro-batch order
+    * deterministic (st36's arrival gates dodge ordering via per-row
+    * independence; the takedown stream CANNOT: its serves read index
+    * state mutated by earlier batches). */
+  private def writeOneFile(df: DataFrame, dir: java.nio.file.Path,
+      name: String, mtime: Long): Unit = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_onefile_")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp)
+      .filter(p => p.getFileName.toString.startsWith("part-"))
+      .findFirst().get()
+    java.nio.file.Files.createDirectories(dir)
+    val dst = dir.resolve(name)
+    java.nio.file.Files.move(part, dst)
+    dst.toFile.setLastModified(mtime)
+    ()
+  }
+
+  /** st37: TAKEDOWN MID-STREAM — the lifecycle leg no other st-gate
+    * exercises: [[graft.ext.AnnIndex.appendIvfPq]] AND
+    * [[graft.ext.AnnIndex.deleteFromIvfPq]] fire BETWEEN micro-batch
+    * serves through ONE pre-[[graft.ext.AnnIndex.open]]ed handle, so a
+    * stale `Opened` view of the encoded table (the exact place a cached
+    * relation would hide) is a row diff. Batch 1's queries serve
+    * against the build-time corpus (the even half); its foreachBatch
+    * then appends the odd half and takes down every `cid % 4 == 0`;
+    * batch 2's queries must see the mutated index — `Opened.encoded`
+    * re-resolves the live view per plan, markers anti-joined. The
+    * append + delete run in EVERY batch (an at-least-once replay by
+    * construction): duplicated encoded rows collapse in the
+    * TopKAggregator serve dedup, replayed markers distinct at read —
+    * so the repetition is invisible, which is itself part of the pin.
+    * Full probing + rerank ≥ corpus make each serve exact, so the
+    * appended union hash-matches a two-leg brute-force oracle over
+    * (even) then (all minus takedowns). Batch ORDER is pinned by file
+    * mtimes (see [[writeOneFile]]). */
+  def annTakedownStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st37_")
+    val root = base.resolve("ann_index").toString
+    val c = corpus(s, d)
+    graft.ext.AnnIndex.buildIvfPq(c.where(col("cid") % 2 === 0), dim = 64,
+      nlist = 20, root = root, m = 8, codes = 16, refineIters = 2)
+    val idx = graft.ext.AnnIndex.open(s, root)
+    val odd = c.where(col("cid") % 2 === 1)
+    val doomed = c.where(col("cid") % 4 === 0).select("cid")
+    val qdir = base.resolve("queries")
+    val outDir = base.resolve("served").toString
+    val emb = Tables.embeddings(s, d)
+    val now = System.currentTimeMillis()
+    writeOneFile(emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      qdir, "b1.parquet", now - 120000)
+    writeOneFile(emb.where(col("vec_id") >= 5 && col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      qdir, "b2.parquet", now - 60000)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("qid", LongType),
+        StructField("qvec", ArrayType(FloatType)))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(qdir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.ext.AnnIndex.queryIvfPq(idx, batch, k = 5,
+            nprobe = 20, rerank = 2100, excludeSelf = true)
+          .write.mode("append").parquet(outDir)
+        graft.ext.AnnIndex.appendIvfPq(idx, odd)
+        graft.ext.AnnIndex.deleteFromIvfPq(s, root, doomed)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir)
+      .select(col("query_id"), col("rank"), col("corpus_id"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val annTakedownStreamOracle =
+    """SELECT query_id, rank, corpus_id FROM (
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+      | FROM embeddings q JOIN embeddings c
+      |   ON c.vec_id <> q.vec_id AND c.vec_id % 2 = 0
+      | WHERE q.vec_id < 5
+      | UNION ALL
+      | SELECT q.vec_id AS query_id, c.vec_id AS corpus_id,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY q.vec_id
+      |    ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS BIGINT) AS rank
+      | FROM embeddings q JOIN embeddings c
+      |   ON c.vec_id <> q.vec_id AND c.vec_id % 4 <> 0
+      | WHERE q.vec_id >= 5 AND q.vec_id < 10) t
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   /** st32: retrieval-quality evaluation MAINTAINED under a query
     * stream, served from the PERSISTED index — the st14 serve shape
     * composed with the s24 metric fold, with nothing corpus-sized paid
@@ -3138,6 +3238,8 @@ object ExtensionQueries {
     QueryDef("s8_knn_ivfpq_replay", knnIvfPqReplay, Some(knnIvfPqOracle)),
     QueryDef("s9_knn_ivfpq_index", knnIvfPqIndex, Some(knnOracle)),
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
+    QueryDef("st37_ann_takedown_stream", annTakedownStream,
+      Some(annTakedownStreamOracle)),
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),

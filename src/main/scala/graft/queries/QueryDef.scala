@@ -71,7 +71,7 @@ object Registry {
     "m1_multimodal_features", "pr1_profile", "dq1_quality_check",
     // streaming seams
     "st2_hourly_stream", "st4_stream_ingest", "st14_ann_serve_stream",
-    "st36_neardup_index_stream",
+    "st36_neardup_index_stream", "st37_ann_takedown_stream",
     // pipelines / maintenance seams
     "p1_curation_e2e", "c1_compaction", "c3_merge_upsert")
 }
