@@ -220,6 +220,16 @@ object PipelineQueries {
       .orderBy("doc_id")
 
   private def packedBatchesOracleWith(shardRows: String): String =
+    // Replay of the padded next-fit fill WITHOUT the per-row recursive
+    // fold (SCALEPROBE_r15: the row fold was ~6 s of DuckDB time per
+    // evaluation and rode inside pk9/pk10/st34/pr8): within a shard
+    // sorted n DESC the batch's running max IS its first member's n, so
+    // the size of the batch starting at a row is closed-form —
+    // m <= 1024 // k  <=>  k <= 1024 // m for positive ints, hence
+    // size = least(8, greatest(1024 // m, 1)) — and only the batch
+    // STARTS need the recursion (one chain hop per batch, all shards in
+    // lockstep), with members re-derived by range expansion. Verified
+    // row-identical to the per-row fold at both SFs before the swap.
     s"""WITH RECURSIVE toks AS (
       | SELECT doc_id, CAST(len(regexp_extract_all(text, '[^\\s]+'))
       |   AS BIGINT) AS n
@@ -233,22 +243,31 @@ object PipelineQueries {
       | SELECT doc_id, n, r // $shardRows AS shard_id,
       |  r % $shardRows + 1 AS srn
       | FROM rk),
-      |f AS (
-      | SELECT shard_id, srn, doc_id, n,
-      |  CAST(0 AS BIGINT) AS b, 1 AS nrows, n AS mx
-      | FROM sh WHERE srn = 1
+      |sz AS (
+      | SELECT shard_id, srn,
+      |  least(8, greatest(1024 // n, 1)) AS cap
+      | FROM sh),
+      |cnt AS (SELECT shard_id, count(*) AS nrows FROM sh GROUP BY 1),
+      |starts AS (
+      | SELECT shard_id, CAST(1 AS BIGINT) AS srn, CAST(0 AS BIGINT) AS b
+      | FROM cnt
       | UNION ALL
-      | SELECT s.shard_id, s.srn, s.doc_id, s.n,
-      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
-      |       THEN f.b ELSE f.b + 1 END,
-      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
-      |       THEN f.nrows + 1 ELSE 1 END,
-      |  CASE WHEN f.nrows < 8 AND greatest(f.mx, s.n) <= 1024 // (f.nrows + 1)
-      |       THEN greatest(f.mx, s.n) ELSE s.n END
-      | FROM f JOIN sh s ON s.shard_id = f.shard_id AND s.srn = f.srn + 1)
-      |SELECT doc_id, n AS n_tokens, CAST(shard_id AS BIGINT) AS shard_id,
-      | b AS batch_in_shard, n > 1024 AS oversize
-      |FROM f ORDER BY doc_id""".stripMargin
+      | SELECT s.shard_id, s.srn + z.cap, s.b + 1
+      | FROM starts s
+      | JOIN sz z ON z.shard_id = s.shard_id AND z.srn = s.srn
+      | JOIN cnt c ON c.shard_id = s.shard_id
+      | WHERE s.srn + z.cap <= c.nrows),
+      |members AS (
+      | SELECT st.shard_id, st.b,
+      |  unnest(range(st.srn, st.srn + z.cap)) AS srn
+      | FROM starts st
+      | JOIN sz z ON z.shard_id = st.shard_id AND z.srn = st.srn)
+      |SELECT sh.doc_id, sh.n AS n_tokens,
+      | CAST(sh.shard_id AS BIGINT) AS shard_id,
+      | m.b AS batch_in_shard, sh.n > 1024 AS oversize
+      |FROM sh JOIN members m
+      | ON m.shard_id = sh.shard_id AND m.srn = sh.srn
+      |ORDER BY doc_id""".stripMargin
 
   private[queries] val packedBatchesOracle = packedBatchesOracleWith("128")
 
@@ -869,26 +888,31 @@ object PipelineQueries {
           maxRows = 8, shardRows = 128L)))
 
   private def servingCardOracle =
-    s"""SELECT
-      | (SELECT CAST(count(*) AS BIGINT) FROM
-      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS n_queries,
+    // Each replayed gate oracle is hoisted into a MATERIALIZED CTE and
+    // referenced by every scalar that needs it — the pre-r15 form
+    // inlined the retrieval-eval block (an IVF serve + brute-force KNN
+    // + IR metrics) FOUR times and the bitext block three, and DuckDB
+    // evaluated each scalar subquery independently: 8.5 s of the
+    // compare leg for one one-row gate (SCALEPROBE_r15 A/B: 8.5 s →
+    // ~1.6 s, value-identical by construction and verified row-for-row
+    // at both SFs before the swap).
+    s"""WITH e AS MATERIALIZED (${ExtensionQueries.retrievalEvalOracle}),
+      |m AS MATERIALIZED (${ExtensionQueries.bitextMarginOracle}),
+      |b AS MATERIALIZED ($batchReportOracle)
+      |SELECT
+      | (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_queries,
       | (SELECT CAST(coalesce(sum(ap_ppm), 0)
-      |     // greatest(count(*), 1) AS BIGINT) FROM
-      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS map_ppm,
+      |     // greatest(count(*), 1) AS BIGINT) FROM e) AS map_ppm,
       | (SELECT CAST(coalesce(sum(recall_ppm), 0)
-      |     // greatest(count(*), 1) AS BIGINT) FROM
-      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS mean_recall_ppm,
+      |     // greatest(count(*), 1) AS BIGINT) FROM e) AS mean_recall_ppm,
       | (SELECT CAST(coalesce(sum(rr_ppm), 0)
-      |     // greatest(count(*), 1) AS BIGINT) FROM
-      |   (${ExtensionQueries.retrievalEvalOracle}) e) AS mrr_ppm,
-      | (SELECT CAST(count(*) AS BIGINT) FROM
-      |   (${ExtensionQueries.bitextMarginOracle}) m) AS n_mined_pairs,
-      | CAST((SELECT count(*) FROM
-      |   (${ExtensionQueries.bitextMarginOracle}) m) * 1000000
+      |     // greatest(count(*), 1) AS BIGINT) FROM e) AS mrr_ppm,
+      | (SELECT CAST(count(*) AS BIGINT) FROM m) AS n_mined_pairs,
+      | CAST((SELECT count(*) FROM m) * 1000000
       |   // greatest((SELECT count(*) FROM embeddings
       |     WHERE vec_id % 2 = 0), 1) AS BIGINT) AS bitext_yield_ppm,
-      | (SELECT n_batches FROM ($batchReportOracle) b) AS n_batches,
-      | (SELECT padding_ppm FROM ($batchReportOracle) b) AS padding_ppm
+      | (SELECT n_batches FROM b) AS n_batches,
+      | (SELECT padding_ppm FROM b) AS padding_ppm
       |""".stripMargin
 
   private val curationOracle =
