@@ -23,13 +23,22 @@ import org.apache.spark.sql.functions._
   * join is candidate-pruned), or whether an index-sized term sneaks
   * in.
   *
-  * Usage: runMain graft.NearDupProbe <corpusDir> [rounds]
+  * Usage: runMain graft.NearDupProbe <corpusDir> [rounds] [smallAppends]
+  *
+  * `smallAppends` > 0 adds the STREAMING-CADENCE section (VERDICT r14
+  * item 7): that many ~0.05%-of-corpus appends through one opened
+  * handle, each timed, next to an increment-only BUILD of the same
+  * rows to a throwaway dir (≈ what an append without the re-cap scan
+  * would cost) — the delta isolates the per-append re-cap term, and
+  * K × delta is what a cumulative per-bucket counts sidecar would save
+  * at that cadence.
   */
 object NearDupProbe {
 
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
+    val smallAppends = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -109,6 +118,31 @@ object NearDupProbe {
       val nd = flagsDel.count()
       println(f"[neardup-probe] serve+takedown(0.5%%) wall=$delWall%.2f s " +
         f"flags=$nd$delSk")
+
+      if (smallAppends > 0) {
+        // streaming cadence: many SMALL appends through the same opened
+        // handle — per-append wall vs the increment-only build cost
+        for (i <- 0 until smallAppends) {
+          val inc = corpus.where(col("doc_id") % 2000 === i)
+            .select((col("doc_id") + 3000000000L + i * 10000000L)
+              .as("doc_id"), col("text"))
+          // baseline: the same rows as a fresh BUILD to a throwaway dir
+          // (two narrow passes + cap window over increment-sized data —
+          // an append WITHOUT the re-cap scan costs about this)
+          val throwaway = java.nio.file.Files
+            .createTempDirectory("graft_ndprobe_inc_").resolve("t").toString
+          t0 = System.nanoTime()
+          graft.ext.Dedup.saveMinHashIndex(throwaway, inc, "text", "doc_id")
+          val baseWall = (System.nanoTime() - t0) / 1e9
+          t0 = System.nanoTime()
+          graft.ext.Dedup.appendMinHashIndex(root, inc, "text", "doc_id",
+            conf)
+          val incWall = (System.nanoTime() - t0) / 1e9
+          println(f"[neardup-probe] small-append #$i wall=$incWall%.2f s " +
+            f"increment-only-build=$baseWall%.2f s " +
+            f"recap-term≈${incWall - baseWall}%.2f s")
+        }
+      }
     }
     spark.stop()
   }
