@@ -561,6 +561,36 @@ object TextAnalysis {
     a.union(b).groupBy(col("w1"), col("w2"), col("w3"))
       .agg(sum(col("c3")).as("c3"))
 
+  /** EXACT decremental unlearning for the trigram LM — the
+    * right-to-be-forgotten leg for count-based MODELS (the persisted
+    * indexes got marker-based takedown; a model distilled from removed
+    * documents must forget them too, and because [[knCounts]]' state
+    * is purely additive the removal is an exact SUBTRACTION, not a
+    * retrain): subtract the removed documents' trigram counts and drop
+    * rows at zero. The result equals [[knCounts]] over the remaining
+    * corpus BIT-FOR-BIT — every derived Kneser–Ney statistic
+    * (continuation counts, distinct successors) re-derives at scoring
+    * time from the reduced frame, so [[knScoreModel]] serves exactly
+    * as a fresh model would (the t58 gate pins it against the oracle
+    * over the remaining corpus). One pass over the REMOVED documents
+    * only — corpus-scale cost is never paid.
+    *
+    * Premise (every takedown's): `removed` is a subset of what was
+    * trained — its documents' exact text as ingested. Removing text
+    * never trained leaves spurious or cancelled counts (the additive
+    * algebra cannot tell the difference); the model-vs-remaining
+    * equality is the caller's contract to keep. Note the rebuild rule
+    * for NON-additive models: a pruned model (minCount applied), a BPE
+    * merge table, or any order-dependent artifact cannot unlearn by
+    * subtraction — retrain those. */
+  def knRemove(model: DataFrame, removed: DataFrame,
+      refText: String): DataFrame =
+    knMerge(model,
+      knCounts(removed, refText)
+        .select(col("w1"), col("w2"), col("w3"),
+          (col("c3") * lit(-1L)).as("c3")))
+      .where(col("c3") > 0)
+
   /** Interpolated Kneser–Ney trigram scoring (Kneser & Ney 1995; Chen
     * & Goodman 1999's interpolated form) — the CCNet-grade upgrade of
     * [[lmScore]]'s add-one bigram model, with the same exact-BIGINT
@@ -1607,6 +1637,23 @@ object TextAnalysis {
       .agg(sum(col("c")).as("c")),
     a._2.union(b._2).groupBy(col("label")).agg(sum(col("n")).as("n")))
 
+  /** EXACT decremental unlearning for the NB classifier ([[knRemove]]'s
+    * contract on the two-frame model): subtract the removed documents'
+    * [[nbCounts]] and drop zeroed rows — a (label, token) whose count
+    * hits zero disappears (shrinking V exactly as a fresh model would),
+    * a label whose token total hits zero disappears from the decision.
+    * Result == [[nbCounts]] over the remaining corpus bit-for-bit; one
+    * pass over the REMOVED documents only. Same subset premise as
+    * [[knRemove]]. */
+  def nbRemove(model: (DataFrame, DataFrame), removed: DataFrame,
+      refText: String, label: String): (DataFrame, DataFrame) = {
+    val (dTok, dCls) = nbCounts(removed, refText, label)
+    val merged = nbMerge(model,
+      (dTok.select(col("label"), col("w"), (col("c") * lit(-1L)).as("c")),
+        dCls.select(col("label"), (col("n") * lit(-1L)).as("n"))))
+    (merged._1.where(col("c") > 0), merged._2.where(col("n") > 0))
+  }
+
   /** Persist an [[nbCounts]] model as a loadable classifier index —
     * the AnnIndex/bm25Index pattern applied to the NB classifier: the
     * serve-many deployment shape where training happens once (or
@@ -1625,6 +1672,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("rows"),
         coalesce(sum(length(col("w"))), lit(0L)).as("wbytes"))
       .write.mode("errorifexists").parquet(s"$root/meta.parquet")
+  }
+
+  /** [[nbRemove]] applied IN PLACE to a model persisted by
+    * [[nbSaveModel]] — the takedown leg for the serve-many classifier
+    * deployment: subtract the removed documents' counts, re-derive the
+    * size-estimate meta (the broadcast-placement decision must track
+    * the SHRUNK model), and swap all three tables via
+    * [[graft.io.StagedSwap]] (never zero copies on disk; rollback on
+    * failure). [[nbClassifyFromModel]] then serves exactly as a model
+    * freshly trained on the remaining corpus (the t59 gate pins it
+    * against the oracle over the remaining corpus). Cost: one pass
+    * over the removed documents + a model-sized rewrite — never a
+    * corpus re-scan. */
+  def nbRemoveFromModel(spark: org.apache.spark.sql.SparkSession,
+      root: String, removed: DataFrame, refText: String,
+      label: String): Unit = {
+    val (tok, cls) = nbRemove(
+      (spark.read.parquet(s"$root/tok.parquet"),
+        spark.read.parquet(s"$root/cls.parquet")),
+      removed, refText, label)
+    val staging = s"$root/.unlearn-${java.util.UUID.randomUUID()}"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      tok.write.parquet(s"$staging/tok.parquet")
+      cls.write.parquet(s"$staging/cls.parquet")
+      spark.read.parquet(s"$staging/tok.parquet")
+        .agg(count(lit(1)).as("rows"),
+          coalesce(sum(length(col("w"))), lit(0L)).as("wbytes"))
+        .write.parquet(s"$staging/meta.parquet")
+    } catch { case e: Throwable =>
+      fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      throw e
+    }
+    graft.io.StagedSwap.swapIn(fs, root, staging,
+      Seq("tok.parquet", "cls.parquet", "meta.parquet"))
   }
 
   /** Classify against a model persisted by [[nbSaveModel]]: loads the

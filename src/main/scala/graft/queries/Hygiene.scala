@@ -1349,12 +1349,19 @@ object HygieneQueries {
       |    + 3 * n3d * p2) // (4 * c2) END AS term
       | FROM l1)""".stripMargin
 
-  private[queries] val knScoreOracle = knTermsCte +
+  private lazy val knScoreSelect =
     """
       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams,
       | CAST(sum(term) AS BIGINT) AS sum_e12,
       | CAST(sum(term) // count(*) AS BIGINT) AS score_e12
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  private[queries] lazy val knScoreOracle = knTermsCte + knScoreSelect
+
+  /** t58 oracle: the t40 replay over the REMAINING corpus only. */
+  private[queries] lazy val knUnlearnOracle = "WITH " + knTermsBody(
+    "(SELECT doc_id, text FROM documents WHERE doc_id % 3 <> 0)") +
+    knScoreSelect
 
   /** t41: incremental KN training — trigram counts from two disjoint
     * corpus halves merged (TextAnalysis.knMerge) must score
@@ -1368,6 +1375,26 @@ object HygieneQueries {
       TextAnalysis.knCounts(docs.where(col("doc_id") < 250), "text"),
       TextAnalysis.knCounts(docs.where(col("doc_id") >= 250), "text"))
     TextAnalysis.knScoreModel(docs, "text", "doc_id", tri, minCount = 2L)
+      .orderBy("doc_id")
+  }
+
+  /** t58: EXACT MODEL UNLEARNING for the trigram LM
+    * ([[graft.ext.TextAnalysis.knRemove]] — the right-to-be-forgotten
+    * leg for count-based models, completing what the persisted-index
+    * takedowns started): train on the full corpus, SUBTRACT every
+    * doc_id divisible by 3 (one pass over the removed docs, no
+    * retrain), score the remaining corpus. Must equal the t40 replay
+    * over the remaining corpus integer-for-integer — every derived
+    * Kneser–Ney statistic (continuation counts, distinct successors,
+    * the minCount pruning) re-derives from the reduced additive frame,
+    * so a single leftover or cancelled count is a row diff. */
+  def knUnlearnGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val tri = TextAnalysis.knRemove(
+      TextAnalysis.knCounts(docs, "text"),
+      docs.where(col("doc_id") % 3 === 0), "text")
+    TextAnalysis.knScoreModel(docs.where(col("doc_id") % 3 =!= 0),
+        "text", "doc_id", tri, minCount = 2L)
       .orderBy("doc_id")
   }
 
@@ -1495,6 +1522,39 @@ object HygieneQueries {
     """
       |SELECT doc_id, pred, CAST(score_e9 AS BIGINT) AS score_e9
       |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** t59: EXACT MODEL UNLEARNING for the PERSISTED NB classifier
+    * ([[graft.ext.TextAnalysis.nbRemoveFromModel]] — [[knUnlearnGate]]'s
+    * contract on the serve-many deployment shape): train on the full
+    * corpus, persist (counts + measured-size meta), SUBTRACT every
+    * doc_id divisible by 3 in place (StagedSwap of all three tables,
+    * meta re-derived so the broadcast placement tracks the shrunk
+    * model), classify the remaining corpus from the swapped model.
+    * Must equal the t29 replay over the remaining corpus — a zeroed
+    * (label, token) must vanish (V shrinks exactly as a fresh model's
+    * would), so one leftover count shifts every smoothed score and is
+    * a row diff. */
+  def nbUnlearnGate(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_t59_")
+      .resolve("nb_model").toString
+    val (tok, cls) = TextAnalysis.nbCounts(docs, "text", "lang")
+    TextAnalysis.nbSaveModel(root, tok, cls)
+    TextAnalysis.nbRemoveFromModel(s, root,
+      docs.where(col("doc_id") % 3 === 0), "text", "lang")
+    TextAnalysis.nbClassifyFromModel(s, root,
+        docs.where(col("doc_id") % 3 =!= 0), "text", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** t59 oracle: the t29 replay over the remaining corpus only. */
+  private val nbUnlearnOracle = {
+    val restricted = nbClassifyOracle.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 3 <> 0)")
+    require(restricted != nbClassifyOracle, "nb unlearn oracle: corpus " +
+      "restriction failed to apply — nbPredCte text changed?")
+    restricted
+  }
 
   /** t51: rank-normalized quality-signal blending
     * (Curation.blendScores) — two commensurable-ized signals (length
@@ -2056,6 +2116,8 @@ object HygieneQueries {
     QueryDef("t27_lm_incremental", lmIncrementalGate, Some(lmScoreOracle)),
     QueryDef("t40_kneser_ney", knScoreGate, Some(knScoreOracle)),
     QueryDef("t41_kn_incremental", knIncrementalGate, Some(knScoreOracle)),
+    QueryDef("t58_kn_unlearn", knUnlearnGate, Some(knUnlearnOracle)),
+    QueryDef("t59_nb_unlearn", nbUnlearnGate, Some(nbUnlearnOracle)),
     QueryDef("t31_url_canonical", urlCanonGate, Some(urlCanonOracle)),
     QueryDef("t32_robots", robotsGate, Some(robotsOracle)),
     QueryDef("t33_sitemap", sitemapGate, Some(sitemapOracle)),

@@ -65,6 +65,7 @@ object Registry {
     "s20_hard_negatives", "s25_bitext_margin",
     // text / tokenize / packing / sampling
     "t1_text_stats", "t3_lang_id", "t7_pii_scan", "t23_bpe_merges",
+    "t59_nb_unlearn",
     "pk1_sequence_packing", "pk11_contrastive_batches", "sm1_hash_sample",
     // graphs / sketches / scale / multimodal / profiling
     "g1_triangles", "g2_pagerank", "k1_approx_distinct", "sc2_bucketed_join",
