@@ -118,7 +118,10 @@ object AnnIndex {
     * at [[compactIvfPq]]. `ids`: one `cid` column. */
   def deleteFromIvfPq(spark: SparkSession, root: String,
       ids: DataFrame): Unit =
-    ids.select(col("cid")).distinct()
+    // coalesce(1): a takedown list is broadcast-small by premise, and
+    // every delete call appends — hundreds of calls between compacts
+    // must accrete one file each, not a shuffle-partition fan per call
+    ids.select(col("cid")).distinct().coalesce(1)
       .write.mode("append").parquet(s"$root/deletes.parquet")
 
   /** The encoded table minus delete markers — what every serve path

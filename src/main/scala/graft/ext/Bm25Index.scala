@@ -52,6 +52,12 @@ import org.apache.spark.sql.types.LongType
   * AFTER the takedown. Re-ingesting a taken-down document therefore
   * requires a [[compact]] (which makes removals physical and clears the
   * markers) first; the same rule as [[AnnIndex.deleteFromIvfPq]].
+  * Markers aggregate by max(dl) at read, so a takedown delivered BEFORE
+  * its target was appended (dl unknown → NULL, candidates still
+  * suppressed) upgrades to the exact N/T correction the moment the
+  * delete is re-delivered after the append — delete calls are
+  * idempotent AND monotone under replay (the st38 gate interleaves
+  * exactly this).
   * Markers are broadcast-small by premise, ENFORCED by
   * [[graft.io.TakedownGuard]] on every serve.
   */
@@ -123,7 +129,9 @@ object Bm25Index {
     val dl = spark.read.parquet(s"$root/postings.parquet")
       .join(broadcast(marks), Seq("doc_id"), "left_semi")
       .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
-    marks.join(dl, Seq("doc_id"), "left")
+    // coalesce(1): broadcast-small by premise; one file per call, not
+    // a shuffle-partition fan (marker reads pay per-file footers)
+    marks.join(dl, Seq("doc_id"), "left").coalesce(1)
       .write.mode("append").parquet(s"$root/deletes.parquet")
   }
 
@@ -136,7 +144,14 @@ object Bm25Index {
     val p = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
     if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
       if (guard) graft.io.TakedownGuard.check(spark, p, "Bm25Index")
-      Some(spark.read.parquet(p.toString).dropDuplicates("doc_id"))
+      // max(dl), not an arbitrary-row distinct: a marker appended BEFORE
+      // its doc arrived has dl NULL (no stats correction to make); a
+      // later re-delivered delete captures the real dl — the aggregate
+      // must deterministically prefer the known value, which also makes
+      // delete calls MONOTONE under replay (re-delivering a takedown
+      // after more appends upgrades unknown-dl markers, never degrades)
+      Some(spark.read.parquet(p.toString)
+        .groupBy(col("doc_id")).agg(max(col("dl")).as("dl")))
     } else None
   }
 

@@ -468,7 +468,9 @@ object Dedup {
     * `ids`: a one-column frame; `id` names the column. */
   def deleteFromMinHashIndex(root: String, ids: DataFrame,
       id: String): Unit =
-    ids.select(col(id).as("doc_id")).distinct()
+    // coalesce(1): broadcast-small by premise; one file per call, not
+    // a shuffle-partition fan (marker reads pay per-file footers)
+    ids.select(col(id).as("doc_id")).distinct().coalesce(1)
       .write.mode("append").parquet(s"$root/deletes.parquet")
 
   /** The delete markers; empty frame when none exist (common case and

@@ -2124,6 +2124,81 @@ object ExtensionQueries {
       | WHERE q.vec_id >= 5 AND q.vec_id < 10) t
       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  /** st38: BM25 takedown MID-STREAM — [[annTakedownStream]]'s contract
+    * on the lexical index: documents ARRIVE as a stream, and every
+    * micro-batch appends its increment, (re-)delivers the SAME takedown
+    * set, and serves a fixed query tagged with its batch id. Batch 0's
+    * takedown includes ids whose documents HAVEN'T ARRIVED yet — their
+    * markers carry dl NULL (nothing to correct) until batch 1's
+    * re-delivered delete upgrades them (max(dl) at read), so the gate
+    * pins the idempotent-AND-monotone replay property end-to-end:
+    * batch 0 must score the remaining corpus of what has arrived,
+    * batch 1 the remaining corpus of everything — df, dl, N, T exact
+    * at each point. Batch order pinned by file mtimes ([[writeOneFile]]).
+    * Oracle: two bm25 replay legs over the respective remaining
+    * corpora, batch-tagged and unioned. */
+  def bm25TakedownStream(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_st38_")
+    val root = base.resolve("bm25_idx").toString
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    graft.ext.Bm25Index.build(root, docs.where(col("doc_id") < 200),
+      "text", "doc_id")
+    val doomed = docs.where(col("doc_id") % 5 === 0).select("doc_id")
+    val adir = base.resolve("arrivals")
+    val outDir = base.resolve("served").toString
+    val now = System.currentTimeMillis()
+    writeOneFile(docs.where(col("doc_id") >= 200 && col("doc_id") < 350),
+      adir, "b1.parquet", now - 120000)
+    writeOneFile(docs.where(col("doc_id") >= 350),
+      adir, "b2.parquet", now - 60000)
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(adir.toString)
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, bid: Long) =>
+        graft.ext.Bm25Index.append(root, batch, "text", "doc_id")
+        graft.ext.Bm25Index.delete(s, root, doomed, "doc_id")
+        graft.ext.Bm25Index.search(s, root,
+            query = Seq("spark", "hash", "join"), k = 10)
+          .withColumn("batch", lit(bid))
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+    q.stop()
+    s.read.parquet(outDir)
+      .select(col("batch"), col("doc_id"), col("score"), col("n_terms"))
+      .orderBy("batch", "doc_id")
+  }
+
+  private def bm25LegOver(pred: String, batch: Int): String = {
+    val base = HygieneQueries.bm25Oracle
+    val withPred = base.replace("FROM documents)",
+      s"FROM documents WHERE $pred)")
+    require(withPred != base,
+      "st38 oracle: corpus restriction failed — bm25Oracle text changed?")
+    val tagged = withPred.replace(
+      "SELECT doc_id, CAST(sum(term_score) AS BIGINT) AS score,",
+      s"SELECT CAST($batch AS BIGINT) AS batch, doc_id, " +
+        "CAST(sum(term_score) AS BIGINT) AS score,")
+    require(tagged != withPred,
+      "st38 oracle: batch tagging failed — bm25Oracle text changed?")
+    tagged
+  }
+
+  private lazy val bm25TakedownStreamOracle =
+    s"""SELECT * FROM (
+      |${bm25LegOver("doc_id < 350 AND doc_id % 5 <> 0", 0)}) l0
+      |UNION ALL
+      |SELECT * FROM (
+      |${bm25LegOver("doc_id % 5 <> 0", 1)}) l1
+      |ORDER BY batch, doc_id""".stripMargin
+
   /** st32: retrieval-quality evaluation MAINTAINED under a query
     * stream, served from the PERSISTED index — the st14 serve shape
     * composed with the s24 metric fold, with nothing corpus-sized paid
@@ -3240,6 +3315,8 @@ object ExtensionQueries {
     QueryDef("st14_ann_serve_stream", annServeStream, Some(knnOracle)),
     QueryDef("st37_ann_takedown_stream", annTakedownStream,
       Some(annTakedownStreamOracle)),
+    QueryDef("st38_bm25_takedown_stream", bm25TakedownStream,
+      Some(bm25TakedownStreamOracle)),
     QueryDef("s11_range_search", rangeSearch, Some(rangeSearchOracle)),
     QueryDef("s14_hybrid_rrf", hybridRrf, Some(hybridRrfOracle)),
     QueryDef("s15_hybrid_ivf", hybridRrfIvf, Some(hybridRrfOracle)),
