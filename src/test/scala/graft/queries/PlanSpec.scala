@@ -798,4 +798,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!s.contains("cvec"),
       s"embeddings must not survive into the exchanged frame\n$s")
   }
+
+  test("Bm25Index.search: term filter pushed to the postings scan; " +
+      "no-deletions plan carries no anti-join; markers broadcast " +
+      "anti-joined once deletions exist") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark hash join tables"),
+      (2L, "the quick brown fox"),
+      (3L, "hash join spark again"))
+      .toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_planbm25_")
+      .resolve("idx").toString
+    graft.ext.Bm25Index.build(root, docs, "text", "doc_id")
+
+    val clean = planString(
+      graft.ext.Bm25Index.search(spark, root, Seq("spark", "join")))
+    // the query-term filter must reach the parquet reader: everything
+    // downstream is query-sized only if the scan is
+    assert(clean.contains("PushedFilters: [In(term"),
+      s"term filter not pushed to the postings scan\n$clean")
+    assert(!clean.contains("LeftAnti"),
+      s"no-deletions serve must carry no marker anti-join\n$clean")
+    assert(!clean.contains("deletes.parquet"),
+      s"no-deletions serve must not read a marker table\n$clean")
+
+    graft.ext.Bm25Index.delete(spark, root, Seq(1L).toDF("doc_id"),
+      "doc_id")
+    val del = planString(
+      graft.ext.Bm25Index.search(spark, root, Seq("spark", "join")))
+    assert(del.contains("PushedFilters: [In(term"),
+      s"pushdown lost on the deletions path\n$del")
+    assert(del.contains("BroadcastHashJoin") && del.contains("LeftAnti"),
+      s"markers must anti-join BROADCAST, never shuffled\n$del")
+  }
 }
