@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the persisted BM25 index (dev tooling, the
+  * NearDupProbe protocol): on a GenScale documents chain, measure the
+  * lifecycle costs separately —
+  *
+  *   1. BUILD: postings + stats over the whole corpus (the
+  *      once-per-corpus tokenize/aggregate pass);
+  *   2. APPEND: a ~1% increment (must be increment-sized);
+  *   3. SEARCH: a 3-term query, clean (the per-query recurring cost —
+  *      the question is whether it stays query-term-sized as the
+  *      index grows, i.e. the pushed term filter is doing its job);
+  *   4. DELETE: takedown of 0.5% of the corpus (pays one
+  *      marker-restricted postings scan for the dl lookup);
+  *   5. SEARCH again with markers (the anti-join + negative-stats
+  *      overhead — should be unmeasurable).
+  *
+  * Usage: runMain graft.Bm25Probe <corpusDir> [rounds]
+  */
+object Bm25Probe {
+
+  def main(args: Array[String]): Unit = {
+    val corpusDir = args(0)
+    val rounds = if (args.length > 1) args(1).toInt else 2
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bm25-probe")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val skew = new StageSkewListener
+    spark.sparkContext.addSparkListener(skew)
+
+    val docs = Tables.documents(spark, corpusDir)
+      .select(col("doc_id"), col("text"))
+    val base = docs.where(col("doc_id") % 100 =!= 0)
+    val increment = docs.where(col("doc_id") % 100 === 0)
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
+    println(s"[bm25-probe] corpus=${docs.count()} docs")
+    val query = Seq("spark", "hash", "join")
+
+    def timed(what: String)(f: => Unit): Unit = {
+      skew.reset()
+      val t0 = System.nanoTime()
+      f
+      val wall = (System.nanoTime() - t0) / 1e9
+      val sk = skew.worst().map { case (mx, med, r) =>
+        f" max_task=${mx / 1000.0}%.2f s median=${med / 1000.0}%.2f s ratio=$r%.2f"
+      }.getOrElse(" (no >=8-task stage reached 200 ms)")
+      println(f"[bm25-probe] $what wall=$wall%.2f s$sk")
+    }
+
+    for (_ <- 1 to rounds) {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft_bm25probe_").resolve("idx").toString
+      timed("build(99%)") {
+        graft.ext.Bm25Index.build(root, base, "text", "doc_id")
+      }
+      timed("append(1%)") {
+        graft.ext.Bm25Index.append(root, increment, "text", "doc_id")
+      }
+      timed("search(clean)") {
+        graft.ext.Bm25Index.search(spark, root, query, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("delete(0.5%)") {
+        graft.ext.Bm25Index.delete(spark, root,
+          docs.where(col("doc_id") % 200 === 0).select(col("doc_id")),
+          "doc_id")
+      }
+      timed("search(with markers)") {
+        graft.ext.Bm25Index.search(spark, root, query, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed("compact") {
+        graft.ext.Bm25Index.compact(spark, root,
+          targetPartitions = cpus.toInt)
+      }
+      timed("search(post-compact)") {
+        graft.ext.Bm25Index.search(spark, root, query, k = 10)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
+    spark.stop()
+  }
+}
