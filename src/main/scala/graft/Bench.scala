@@ -120,16 +120,33 @@ object Bench {
       "\"([A-Za-z0-9_]+)\"\\s*:\\s*(-?[0-9][0-9.eE+-]*)".r
         .findAllMatchIn(block)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    def fullest(body: String): Map[String, Double] =
+      "\"queries\"\\s*:\\s*\\{([^{}]*)\\}".r
+        .findAllMatchIn(body).map(m => pairs(m.group(1)))
+        .foldLeft(Map.empty[String, Double])((a, b) =>
+          if (b.size > a.size) b else a)
     // prefer the fullest "queries" map present (an intact detail line
     // beats the compact slowest-12; a truncated one simply won't match)
-    val times = "\"queries\"\\s*:\\s*\\{([^{}]*)\\}".r
-      .findAllMatchIn(txt).map(m => pairs(m.group(1)))
-      .foldLeft(Map.empty[String, Double])((a, b) =>
-        if (b.size > a.size) b else a)
+    val times = fullest(txt)
+    // the driver's tail keeps ~2 KB, so the official record often
+    // carries only the slowest-12 map; the committed SAME-ROUND
+    // in-session record (official protocol since r14) holds the full
+    // per-query map — fill the gaps from it, official values winning
+    val roundNum = "\\d+".r.findFirstIn(newest.getName).get
+    val insessionFill = Option(new java.io.File(".").listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(_.getName.matches(s"BENCH_r${roundNum}_insession\\w*\\.json"))
+      .flatMap { f =>
+        val t = try new String(java.nio.file.Files.readAllBytes(f.toPath),
+            java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
+          catch { case _: Throwable => "" }
+        if (sfRe.findFirstIn(t).isEmpty) None else Some(fullest(t))
+      }
+      .foldLeft(Map.empty[String, Double])(_ ++ _)
     val stamps = "\"query_disk_mbps\"\\s*:\\s*\\{([^{}]*)\\}".r
       .findFirstMatchIn(txt).map(m => pairs(m.group(1)))
       .getOrElse(Map.empty[String, Double])
-    (newest.getName, times, stamps)
+    (newest.getName, insessionFill ++ times, stamps)
   }
 
   def main(args: Array[String]): Unit = {
