@@ -16,6 +16,17 @@ import org.apache.spark.util.sketch.CountMinSketch
   * Reference scope note: the reference (297-LoC ETL tool) has no
   * aggregate surface of its own — these extend the inherited relational
   * surface per the north-star extension mandate.
+  *
+  * Takedown (right-to-be-forgotten) note: sketch states are mergeable
+  * but NOT subtractive — an HLL/KLL/CMS cannot forget an element, so
+  * the unlearning story the additive families have
+  * ([[TextAnalysis.knRemove]]/[[TextAnalysis.nbRemove]], the
+  * marker-based index deletes) does not apply here. A persisted sketch
+  * over a corpus that lost documents is REBUILT from the (already
+  * takedown'd) base table; at 100 TB, bound that rebuild by persisting
+  * sketches per partition/day/window — exactly the mergeable layout
+  * above — and re-sketching only the windows that lost rows, merging
+  * the rest untouched.
   */
 object Sketches {
 
@@ -41,6 +52,30 @@ object Sketches {
       .agg(hll_union_agg(sketch, lit(false)).as("nd_sketch"))
 
   def estimate(sketch: Column): Column = hll_sketch_estimate(sketch)
+
+  /** Takedown for the NON-subtractive sketch layout (the class-doc
+    * note made operational): an HLL cannot forget an element, so a
+    * persisted per-(group, window) sketch table absorbs a removal by
+    * rebuilding ONLY the windows that lost rows — `affected` keys'
+    * sketches are re-derived from the remaining base rows (a semi-join-
+    * restricted scan, never the whole base), every other window's
+    * bytes ride through untouched. Because HLL state is a pure
+    * function of its input SET, the result merges and estimates
+    * IDENTICALLY to a fresh windowed build over the remaining corpus
+    * (the k6 gate pins estimate equality, not just the error bound).
+    * `keys` name the group+window columns shared by all three
+    * relations; `affected` is typically `removedRows.select(keys).
+    * distinct()`. */
+  def refreshWindows(windowed: DataFrame, remainingBase: DataFrame,
+      affected: DataFrame, keys: Seq[String], key: Column,
+      lgConfigK: Int = 12): DataFrame = {
+    val cols = keys.map(col) :+ col("nd_sketch")
+    val kept = windowed.join(affected, keys, "left_anti")
+    val re = distinctSketches(
+      remainingBase.join(affected, keys, "left_semi"),
+      keys.map(col), key, lgConfigK)
+    kept.select(cols: _*).unionByName(re.select(cols: _*))
+  }
 
   /** Approximate quantiles of `value` at `probabilities`: one output row
     * per probability, `(p, approx_value)`. `accuracy` bounds the RANK

@@ -149,7 +149,54 @@ object SketchQueries {
       |   AS n_exact_union,
       | TRUE AS ok_inter""".stripMargin
 
+  /** k6: sketch TAKEDOWN by window refresh (Sketches.refreshWindows —
+    * sketches merge but cannot subtract, so a removal rebuilds ONLY the
+    * hourly sketches that lost rows and keeps every other hour's bytes):
+    * remove every user_id divisible by 7, refresh the affected
+    * (event_type, hour) sketches from the remaining events, roll both
+    * the refreshed set AND a fresh full rebuild up to event_type. The
+    * refreshed estimate must EQUAL the fresh rebuild's (HLL state is a
+    * pure function of the input set) and land within the k1 ±5% bound
+    * of the exact remaining distinct count. */
+  def sketchWindowRefresh(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).select(col("event_type"), col("user_id"),
+      date_trunc("hour", col("ts")).as("h"))
+    val removedPred = col("user_id") % 7 === 0
+    val windowed = Sketches.distinctSketches(ev,
+      Seq(col("event_type"), col("h")), col("user_id"))
+    val remaining = ev.where(!removedPred)
+    val affected = ev.where(removedPred)
+      .select(col("event_type"), col("h")).distinct()
+    val refreshed = Sketches.refreshWindows(windowed, remaining, affected,
+      Seq("event_type", "h"), col("user_id"))
+    val fresh = Sketches.distinctSketches(remaining,
+      Seq(col("event_type"), col("h")), col("user_id"))
+    val a = Sketches.mergeSketches(refreshed, Seq(col("event_type")))
+      .select(col("event_type"),
+        Sketches.estimate(col("nd_sketch")).as("nd_refreshed"))
+    val b = Sketches.mergeSketches(fresh, Seq(col("event_type")))
+      .select(col("event_type"),
+        Sketches.estimate(col("nd_sketch")).as("nd_fresh"))
+    val exact = remaining.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n_exact"))
+    exact.join(a, "event_type").join(b, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("nd_refreshed") === col("nd_fresh")).as("eq_fresh"),
+        (abs(col("nd_refreshed") - col("n_exact")) <=
+          col("n_exact").cast("double") * 0.05).as("ok_bound"))
+      .orderBy("event_type")
+  }
+
+  private val sketchWindowRefreshOracle =
+    """SELECT event_type,
+      | CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact,
+      | TRUE AS eq_fresh, TRUE AS ok_bound
+      |FROM events WHERE user_id % 7 <> 0
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef("k6_sketch_window_refresh", sketchWindowRefresh,
+      Some(sketchWindowRefreshOracle)),
     QueryDef("k5_approx_intersection", approxIntersection,
       Some(approxIntersectionOracle)),
     QueryDef("k1_approx_distinct", approxDistinct, Some(approxDistinctOracle)),
