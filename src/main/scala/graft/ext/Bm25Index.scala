@@ -174,8 +174,14 @@ object Bm25Index {
       .where(col("term").isin(qs: _*))
     val qtf1 = deletes.fold(qtf0)(d =>
       qtf0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
-    // replay absorption on a query-sized frame (see class doc) — never
-    // a corpus-wide distinct
+    // replay absorption on the query-matched frame (see class doc) —
+    // never a corpus-wide distinct. For RARE query terms this is free;
+    // for a STOP-WORD term the matched frame is a corpus fraction and
+    // the dedup exchange adds a measured ~1.3x to the serve (zipf A/B
+    // at 150k docs, SCALEPROBE_r15) next to the per-doc aggregate the
+    // serve pays anyway — a constant factor kept UNCONDITIONALLY:
+    // correctness must not depend on whether a compact has run since
+    // the last replayed append.
     val qtf = qtf1.dropDuplicates("doc_id", "term")
     val statsRaw = spark.read.parquet(s"$root/stats.parquet")
       .dropDuplicates("batch_key", "n_docs", "n_toks")
