@@ -70,8 +70,12 @@ object Bm25Probe {
           .write.format("noop").mode("overwrite").save()
       }
       timed("delete(0.5%)") {
+        // % 200 === 1, NOT 0: ids divisible by 100 are excluded from
+        // `base` and re-keyed in `increment`, so a %200==0 takedown set
+        // would intersect the index NOWHERE and the delete/marker-serve
+        // steps would measure a no-op (the round-15 review catch)
         graft.ext.Bm25Index.delete(spark, root,
-          docs.where(col("doc_id") % 200 === 0).select(col("doc_id")),
+          docs.where(col("doc_id") % 200 === 1).select(col("doc_id")),
           "doc_id")
       }
       timed("search(with markers)") {

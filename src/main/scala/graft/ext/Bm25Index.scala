@@ -183,8 +183,15 @@ object Bm25Index {
     // correctness must not depend on whether a compact has run since
     // the last replayed append.
     val qtf = qtf1.dropDuplicates("doc_id", "term")
-    val statsRaw = spark.read.parquet(s"$root/stats.parquet")
+    // absorbed anti-join: a replayed append whose retry landed AFTER a
+    // compact carries a batch_key the compact retired — without this it
+    // would survive the distinct (the collapsed row has a different
+    // key) and double-count N/T
+    val statsInc = spark.read.parquet(s"$root/stats.parquet")
       .dropDuplicates("batch_key", "n_docs", "n_toks")
+    val statsRaw = readAbsorbed(spark, root)
+      .fold(statsInc)(a =>
+        statsInc.join(broadcast(a), Seq("batch_key"), "left_anti"))
       .select(col("n_docs"), col("n_toks"))
     val stats = deletes.fold(statsRaw) { d =>
       // marker-sized: count/sum only markers whose doc had postings
@@ -200,12 +207,30 @@ object Bm25Index {
     * and the duplicate rows replayed appends accrete, rebuild the stats
     * sidecar as ONE row derived from the compacted postings (the
     * accreted per-increment rows collapse), coalesce to
-    * `targetPartitions` files when > 0, swap via
-    * [[graft.io.StagedSwap]] (never zero copies on disk), and clear the
-    * markers AFTER the swap (a crash in between leaves markers for rows
-    * that no longer exist — the serve anti-join is then a no-op, never
-    * wrong). Serve is bit-identical before and after (the spec pins
-    * it). */
+    * `targetPartitions` files when > 0, and swap via
+    * [[graft.io.StagedSwap]] (never zero copies on disk). Serve is
+    * bit-identical before and after (the spec pins it).
+    *
+    * Two crash-safety details differ from the anti-join-only indexes
+    * (AnnIndex/minhash clear markers AFTER their swap — harmless there
+    * because stale markers are pure no-op anti-joins):
+    *
+    *  - BM25 markers also carry the NEGATIVE N/T correction, so a
+    *    marker surviving past the swap would double-subtract its doc
+    *    from the compacted stats on every serve. The marker table is
+    *    therefore cleared AS PART of the staged swap (an empty staged
+    *    copy swaps into place with the other tables; the empty live
+    *    table is dropped after — harmless at any crash point). A torn
+    *    MID-swap crash is the same manual-recovery scenario every
+    *    multi-table swap here has (backups + staging kept on disk).
+    *  - the pre-compact stats rows' batch_keys are recorded in an
+    *    `absorbed.parquet` sidecar (the compacted row's own key
+    *    excluded): an at-least-once append whose retry lands AFTER the
+    *    compact re-delivers a stats row under its ORIGINAL key, which
+    *    no longer matches the collapsed row — the serve drops absorbed
+    *    keys, so the retry cannot double-count N/T (its posting rows
+    *    are value-identical and collapse in the serve dedup as
+    *    always). */
   def compact(spark: SparkSession, root: String,
       targetPartitions: Int = 0): Unit = {
     open(spark, root)
@@ -218,6 +243,7 @@ object Bm25Index {
     val staging = s"$root/.compact-${java.util.UUID.randomUUID()}"
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    import spark.implicits._
     try {
       val live = undeleted(spark.read.parquet(s"$root/postings.parquet"))
         .dropDuplicates("doc_id", "term")
@@ -230,13 +256,44 @@ object Bm25Index {
         .agg(expr("bit_xor(h)").as("batch_key"),
           count(lit(1)).as("n_docs"), sum(col("dl")).as("n_toks"))
         .write.parquet(s"$staging/stats.parquet")
+      // retire the pre-compact increment keys (minus the collapsed
+      // row's own key: with ONE increment and no deletions they
+      // coincide — and then the rows are identical anyway, absorbed by
+      // the serve's distinct). Prior absorbed keys carry forward.
+      val newKey = spark.read.parquet(s"$staging/stats.parquet")
+        .select(col("batch_key")).as[java.lang.Long].head()
+      val priorKeys = spark.read.parquet(s"$root/stats.parquet")
+        .select(col("batch_key"))
+      val carried = readAbsorbed(spark, root)
+        .fold(priorKeys)(a => priorKeys.union(a))
+      carried.where(col("batch_key").isNotNull &&
+          col("batch_key") =!= lit(newKey))
+        .distinct().coalesce(1)
+        .write.parquet(s"$staging/absorbed.parquet")
+      if (deletes.isDefined)
+        spark.emptyDataset[(Long, java.lang.Long)]
+          .toDF("doc_id", "dl").coalesce(1)
+          .write.parquet(s"$staging/deletes.parquet")
     } catch { case e: Throwable =>
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       throw e
     }
     graft.io.StagedSwap.swapIn(fs, root, staging,
-      Seq("postings.parquet", "stats.parquet"))
+      Seq("postings.parquet", "stats.parquet", "absorbed.parquet") ++
+        (if (deletes.isDefined) Seq("deletes.parquet") else Nil))
+    // the live marker table is now EMPTY (swapped) — dropping it is
+    // cosmetic and harmless at any crash point
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes.parquet"), true)
+  }
+
+  /** Batch keys retired by past compacts; None before the first
+    * compact. */
+  private def readAbsorbed(spark: SparkSession,
+      root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/absorbed.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString).select("batch_key").distinct())
+    else None
   }
 
   /** Assert the index committed (meta.parquet is the build's LAST

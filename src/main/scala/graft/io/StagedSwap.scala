@@ -79,6 +79,7 @@ object StagedSwap {
         // table whose staged rename failed AFTER its live copy moved
         // aside — the case a placed-only rollback misses).
         val sacrificed = scala.collection.mutable.ListBuffer.empty[String]
+        val unrestored = scala.collection.mutable.ListBuffer.empty[String]
         tables.reverse.foreach { t =>
           if (placed(t) && fs.exists(live(t))) {
             // never delete a staged copy to make room: fall back to a
@@ -92,16 +93,23 @@ object StagedSwap {
               fs.delete(live(t), true)
             }
           }
-          if (aside(t) && fs.exists(backup(t)))
-            fs.rename(backup(t), live(t))
+          // a failed RESTORE leaves the live slot empty — the message
+          // must say so and name the backup, not claim a clean rollback
+          if (aside(t) && fs.exists(backup(t)) &&
+              !fs.rename(backup(t), live(t)))
+            unrestored += s"$t (backup kept at ${backup(t)})"
         }
         val lost = if (sacrificed.isEmpty) ""
           else s"; staged cop${if (sacrificed.size == 1) "y" else "ies"} of " +
             s"${sacrificed.mkString(", ")} could not be returned to " +
             "staging and were sacrificed to restore the old index"
+        val partial = if (unrestored.isEmpty) ""
+          else s"; ROLLBACK INCOMPLETE — restore by hand: " +
+            unrestored.mkString(", ")
         throw new IllegalStateException(
           s"StagedSwap: swap into $root failed and was rolled back; " +
-            s"the staged copy is KEPT at $staging for recovery$lost", e)
+            s"the staged copy is KEPT at $staging for recovery$lost$partial",
+          e)
     }
     tables.foreach(t => fs.delete(backup(t), true))
     fs.delete(new Path(staging), true)

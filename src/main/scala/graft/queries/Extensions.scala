@@ -2034,13 +2034,20 @@ object ExtensionQueries {
       name: String, mtime: Long): Unit = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_onefile_")
     df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = java.nio.file.Files.list(tmp)
-      .filter(p => p.getFileName.toString.startsWith("part-"))
-      .findFirst().get()
+    val listing = java.nio.file.Files.list(tmp)
+    val part = try listing
+        .filter(p => p.getFileName.toString.startsWith("part-"))
+        .findFirst().get()
+      finally listing.close()
     java.nio.file.Files.createDirectories(dir)
     val dst = dir.resolve(name)
     java.nio.file.Files.move(part, dst)
     dst.toFile.setLastModified(mtime)
+    // drop the crc/_SUCCESS leftovers with the temp dir itself
+    val rest = java.nio.file.Files.list(tmp)
+    try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
+    finally rest.close()
+    java.nio.file.Files.deleteIfExists(tmp)
     ()
   }
 

@@ -154,6 +154,17 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(serve() === before,
       "serve bit-identical before and after the physical removal")
 
+    // the compact-crash window (round-15 review catch): markers clear
+    // AS PART of the staged swap, so the only post-swap marker state a
+    // crash can leave is an EMPTY table — which must serve identically
+    // (the old post-swap-delete design could leave REAL markers whose
+    // dl would double-subtract from the compacted N/T)
+    spark.emptyDataset[(Long, java.lang.Long)].toDF("doc_id", "dl")
+      .write.parquet(s"$root/deletes.parquet")
+    assert(serve() === before,
+      "an empty marker table (the only reachable post-swap crash " +
+        "residue) serves bit-identically")
+
     // a takedown for an id never indexed is a no-op (dl null marker)
     Bm25Index.delete(spark, root, Seq(999L).toDF("doc_id"), "doc_id")
     assert(serve() === before)

@@ -250,6 +250,18 @@ class ReplayedAppendSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$root/stats.parquet").count() === 1)
     assert(serve() === want,
       "serve bit-identical after the physical dedup")
+
+    // the CROSS-COMPACT replay (round-15 review catch): a retry landing
+    // AFTER the compact re-delivers its stats row under the ORIGINAL
+    // batch_key, which no longer matches the collapsed row — the
+    // absorbed-keys sidecar must drop it or N/T double-count
+    Bm25Index.append(root, inc, "text", "doc_id")
+    assert(serve() === want,
+      "a replayed append delivered after a compact is absorbed: " +
+        "postings collapse in the serve dedup, its stats key is retired")
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    assert(serve() === want,
+      "and the second compact rebuilds the exactly-once index again")
   }
 
   // ------------------------------------------------------ StagedSwap
