@@ -230,7 +230,17 @@ object Bm25Index {
     *    no longer matches the collapsed row — the serve drops absorbed
     *    keys, so the retry cannot double-count N/T (its posting rows
     *    are value-identical and collapse in the serve dedup as
-    *    always). */
+    *    always). Pinned trade-off: a retry is indistinguishable from a
+    *    LEGAL re-ingest of content this same compact made physical
+    *    (delete → compact → re-append the exact same docs re-derives
+    *    the retired key), so that one path serves with N/T missing the
+    *    re-ingested docs until the NEXT compact rebuilds the sidecar
+    *    from the postings themselves. Both residuals — this
+    *    under-count and the double-count the sidecar prevents — only
+    *    arise when a retry straddles a compact (the steady state is
+    *    single-writer), and both self-heal at the next compact; the
+    *    sidecar picks the error that misprices scores over the one
+    *    that misprices them for every OTHER document too. */
   def compact(spark: SparkSession, root: String,
       targetPartitions: Int = 0): Unit = {
     open(spark, root)
@@ -266,9 +276,15 @@ object Bm25Index {
         .select(col("batch_key"))
       val carried = readAbsorbed(spark, root)
         .fold(priorKeys)(a => priorKeys.union(a))
-      carried.where(col("batch_key").isNotNull &&
-          col("batch_key") =!= lit(newKey))
-        .distinct().coalesce(1)
+      // a compact that emptied the index (everything taken down) keys
+      // its zero-row stats NULL and retires NOTHING: any later append
+      // of a retired increment is re-adding the only copy of its rows
+      // (re-ingest), so its stats row must count
+      val retired =
+        if (newKey == null) carried.where(lit(false))
+        else carried.where(col("batch_key").isNotNull &&
+          col("batch_key") =!= lit(newKey.longValue()))
+      retired.distinct().coalesce(1)
         .write.parquet(s"$staging/absorbed.parquet")
       if (deletes.isDefined)
         spark.emptyDataset[(Long, java.lang.Long)]

@@ -264,6 +264,40 @@ class ReplayedAppendSpec extends AnyFunSuite {
       "and the second compact rebuilds the exactly-once index again")
   }
 
+  test("Bm25Index: re-ingest after takedown+compact — docs findable " +
+      "immediately, N/T converge at the next compact (the documented " +
+      "absorbed-keys residual)") {
+    val docs = Seq(
+      (1L, "spark shuffles hash join tables under spark"),
+      (2L, "a hash join beats a sort merge join on small tables"),
+      (3L, "spark spark spark and nothing else spark"),
+      (4L, "hash partitioned spark join with broadcast hash side"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_reingest_bm25_")
+    val inc = docs.where(col("doc_id") > 2)
+    Bm25Index.build(root, docs.where(col("doc_id") <= 2), "text", "doc_id")
+    Bm25Index.append(root, inc, "text", "doc_id")
+    // takedown the increment, make it physical, then the exact same
+    // content arrives again (same ids, same text -> same batch_key as
+    // the RETIRED one — the ambiguous path)
+    Bm25Index.delete(spark, root, inc.select("doc_id"), "doc_id")
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    Bm25Index.append(root, inc, "text", "doc_id")
+
+    val q = Seq("spark", "join")
+    def serve() = Bm25Index.search(spark, root, q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(serve().map(_.getLong(0)).toSet === Set(1L, 2L, 3L, 4L),
+      "re-ingested docs are findable immediately (candidates never " +
+        "depend on the stats sidecar)")
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    val want = TextAnalysis.bm25Search(docs, "text", "doc_id", q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(serve() === want,
+      "the next compact rebuilds N/T from the postings — full " +
+        "convergence with a fresh index on the re-ingested corpus")
+  }
+
   // ------------------------------------------------------ StagedSwap
 
   test("StagedSwap: a failed swap rolls back to the OLD tables and keeps " +
