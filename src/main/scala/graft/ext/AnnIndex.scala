@@ -393,6 +393,13 @@ object AnnIndex {
     * (driver-side, KB-sized — three small jobs, paid once per server
     * lifetime instead of once per query batch). */
   def open(spark: SparkSession, root: String): Opened = {
+    // leftover .old-* backups mean a compact crashed MID-SWAP and the
+    // live tables may mix generations (new encoded rows against old
+    // centroids/codebook = silently wrong distances) — fail loudly
+    graft.io.StagedSwap.assertNotTorn(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root, "AnnIndex")
     val meta = spark.read.parquet(s"$root/meta.parquet").head
     val centRows = spark.read.parquet(s"$root/centroids.parquet")
       .orderBy("centroid_id").collect()

@@ -274,7 +274,7 @@ object Bm25Index {
         .select(col("batch_key")).as[java.lang.Long].head()
       val priorKeys = spark.read.parquet(s"$root/stats.parquet")
         .select(col("batch_key"))
-      val carried = readAbsorbed(spark, root)
+      val carried = readAbsorbed(spark, root, guard = false)
         .fold(priorKeys)(a => priorKeys.union(a))
       // a compact that emptied the index (everything taken down) keys
       // its zero-row stats NULL and retires NOTHING: any later append
@@ -287,8 +287,10 @@ object Bm25Index {
       retired.distinct().coalesce(1)
         .write.parquet(s"$staging/absorbed.parquet")
       if (deletes.isDefined)
-        spark.emptyDataset[(Long, java.lang.Long)]
-          .toDF("doc_id", "dl").coalesce(1)
+        // limit(0) of the LIVE table, not a hardcoded schema: the id
+        // column's type follows the corpus, and a type-mismatched
+        // empty file would brick later marker appends on this dir
+        spark.read.parquet(s"$root/deletes.parquet").limit(0).coalesce(1)
           .write.parquet(s"$staging/deletes.parquet")
     } catch { case e: Throwable =>
       fs.delete(new org.apache.hadoop.fs.Path(staging), true)
@@ -303,22 +305,37 @@ object Bm25Index {
   }
 
   /** Batch keys retired by past compacts; None before the first
-    * compact. */
+    * compact. The sidecar carries keys forward FOREVER (a retired key's
+    * retry could in principle arrive arbitrarily late), so it grows
+    * with lifetime increment count — 8 bytes/increment, broadcast per
+    * serve like the markers, and GUARDED by the same size limit: past
+    * `graft.takedown.maxMarkerBytes` serves fail loudly. The prune rule
+    * when the guard fires: keys older than the last writer restart
+    * cannot be re-delivered — during a quiesced window, confirm no
+    * retry is pending and delete absorbed.parquet (accepting the
+    * double-count risk only for in-flight batches, of which there are
+    * then none). */
   private def readAbsorbed(spark: SparkSession,
-      root: String): Option[DataFrame] = {
+      root: String, guard: Boolean = true): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/absorbed.parquet")
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      if (guard)
+        graft.io.TakedownGuard.check(spark, p, "Bm25Index absorbed-keys")
       Some(spark.read.parquet(p.toString).select("batch_key").distinct())
-    else None
+    } else None
   }
 
   /** Assert the index committed (meta.parquet is the build's LAST
-    * write). Cheap enough to run per call — one footer read. */
+    * write) and not TORN by a crashed compact swap (leftover `.old-*`
+    * backups mean live tables may mix generations — for THIS index
+    * that silently double-subtracts takedown N/T, so it must fail
+    * loudly). Two driver-side FS calls per API entry. */
   private def open(spark: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/meta.parquet")
-    require(
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p),
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p),
       s"Bm25Index: $root is not a committed index (no meta.parquet — " +
         "torn build?)")
+    graft.io.StagedSwap.assertNotTorn(fs, root, "Bm25Index")
   }
 }

@@ -419,6 +419,12 @@ object Dedup {
     * only the postings and fingerprint tables. */
   def openMinHashIndex(spark: org.apache.spark.sql.SparkSession,
       root: String): MinHashConfig = {
+    // leftover .old-* backups mean a compact crashed MID-SWAP and the
+    // live tables may mix generations — fail loudly (StagedSwap doc)
+    graft.io.StagedSwap.assertNotTorn(
+      new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      root, "MinHashIndex")
     val m = spark.read.parquet(s"$root/meta.parquet").head
     MinHashConfig(m.getAs[Int]("shingle_k"), m.getAs[Int]("num_hashes"),
       m.getAs[Int]("bands"), m.getAs[Double]("threshold"),

@@ -36,6 +36,29 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 object StagedSwap {
 
+  /** Detect a TORN swap: `.old-<tag>-*` backups under `root` exist only
+    * (a) during the seconds-long swap window — when concurrent reads
+    * are documented unsafe anyway — or (b) after a mid-swap process
+    * crash, when some tables are new and others old and every read
+    * would silently combine them. Index `open()` paths call this so a
+    * torn state fails LOUDLY with the recovery pointer instead of
+    * serving wrong answers (a dot-hidden `.compact-*` staging dir
+    * alone is NOT flagged: it exists for the whole harmless build
+    * phase, and a rolled-back swap keeps it on purpose while the live
+    * tables are consistent). One driver-side listStatus. */
+  def assertNotTorn(fs: FileSystem, root: String, what: String): Unit = {
+    val r = new Path(root)
+    if (!fs.exists(r)) return
+    val backups = fs.listStatus(r)
+      .map(_.getPath.getName).filter(_.startsWith(".old-"))
+    if (backups.nonEmpty)
+      throw new IllegalStateException(
+        s"$what: $root holds swap backups (${backups.mkString(", ")}) — " +
+          "a compact crashed MID-SWAP and the live tables may mix old " +
+          "and new copies; restore by hand from the backups and the " +
+          "kept .compact-* staging dir before serving")
+  }
+
   /** Swap `tables` from under `staging` into `root`. Every table must
     * exist under `staging`; a table missing under `root` (first
     * materialization) is swapped in without a backup. */

@@ -2043,11 +2043,16 @@ object ExtensionQueries {
     val dst = dir.resolve(name)
     java.nio.file.Files.move(part, dst)
     dst.toFile.setLastModified(mtime)
-    // drop the crc/_SUCCESS leftovers with the temp dir itself
-    val rest = java.nio.file.Files.list(tmp)
-    try rest.forEach(p => java.nio.file.Files.deleteIfExists(p))
-    finally rest.close()
-    java.nio.file.Files.deleteIfExists(tmp)
+    // drop the crc/_SUCCESS leftovers with the temp dir itself — purely
+    // cosmetic, so committer residue (e.g. a non-empty _temporary dir
+    // from a retried task) must never fail the gate: best-effort only
+    try {
+      val rest = java.nio.file.Files.list(tmp)
+      try rest.filter(p => !java.nio.file.Files.isDirectory(p))
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally rest.close()
+      java.nio.file.Files.deleteIfExists(tmp)
+    } catch { case _: java.io.IOException => () }
     ()
   }
 

@@ -386,6 +386,30 @@ class ReplayedAppendSpec extends AnyFunSuite {
       "no backup debris after rollback")
   }
 
+  test("assertNotTorn: leftover .old-* swap backups fail index opens " +
+      "loudly instead of serving mixed-generation tables") {
+    val docs = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val root = tmp("graft_torn_")
+    Bm25Index.build(root, docs, "text", "doc_id")
+    assert(Bm25Index.search(spark, root, Seq("alpha")).count() === 1)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a compact that died mid-swap: a backup left under root
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.old-tag-stats.parquet"))
+    val e = intercept[IllegalStateException] {
+      Bm25Index.search(spark, root, Seq("alpha")).count()
+    }
+    assert(e.getMessage.contains("MID-SWAP"))
+    // manual recovery (here: drop the backup) restores service
+    fs.delete(new org.apache.hadoop.fs.Path(s"$root/.old-tag-stats.parquet"),
+      true)
+    assert(Bm25Index.search(spark, root, Seq("alpha")).count() === 1)
+    // a dot-hidden staging dir alone (harmless build phase / kept
+    // recovery copy with a consistent live root) must NOT trip it
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$root/.compact-xyz"))
+    assert(Bm25Index.search(spark, root, Seq("alpha")).count() === 1)
+  }
+
   test("StagedSwap: rollback returns a FIRST-MATERIALIZATION table's new " +
       "copy to staging instead of leaving a mixed-version root") {
     val base = java.nio.file.Files.createTempDirectory("graft_swap_new_")
