@@ -78,6 +78,26 @@ object Bm25Probe {
           docs.where(col("doc_id") % 200 === 1).select(col("doc_id")),
           "doc_id")
       }
+      // Effect size NEXT TO the timings (the probe-design rule the
+      // %200==1 comment above works around once): a takedown set whose
+      // id arithmetic drifts off the index measures a believable no-op
+      // — marker count, dl coverage, and the query-term posting rows
+      // the serve will actually suppress make that self-evident here.
+      locally {
+        val markers = spark.read.parquet(s"$root/deletes.parquet")
+          .groupBy(col("doc_id")).agg(max(col("dl")).as("dl"))
+        val nMark = markers.count()
+        val nDlKnown = markers.where(col("dl").isNotNull).count()
+        val suppressed = spark.read.parquet(s"$root/postings.parquet")
+          .where(col("term").isin(query: _*))
+          .join(broadcast(markers.select("doc_id")), Seq("doc_id"),
+            "left_semi")
+          .count()
+        println(s"[bm25-probe] takedown effect: markers=$nMark " +
+          s"dl_known=$nDlKnown query_term_rows_suppressed=$suppressed" +
+          (if (nMark == 0 || suppressed == 0)
+            "  <-- NO-OP TAKEDOWN: timings below measure nothing" else ""))
+      }
       timed("search(with markers)") {
         graft.ext.Bm25Index.search(spark, root, query, k = 10)
           .write.format("noop").mode("overwrite").save()

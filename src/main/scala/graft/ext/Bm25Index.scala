@@ -96,11 +96,28 @@ object Bm25Index {
 
   /** Build the index from `docs` and persist under `root`. The id
     * column normalizes to `doc_id` in the layout; meta writes LAST as
-    * the build's commit marker (a torn build does not [[open]]). */
+    * the build's commit marker (a torn build does not [[open]]).
+    *
+    * Retrying after a TORN build is supported and is the documented
+    * recovery: meta.parquet is written last, so a meta-less root
+    * holding partial artifacts can only be a crashed build — those
+    * partials are cleared and the build runs fresh. A root that DID
+    * commit (meta present) is refused: rebuilding a live index is
+    * [[compact]]'s job, and silently overwriting one would discard
+    * appends and takedown markers. */
   def build(root: String, docs: DataFrame, text: String,
       id: String): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/meta.parquet")),
+      s"Bm25Index: $root is already a committed index — append()/delete()/" +
+        "compact() maintain it; to rebuild from scratch, delete the root " +
+        "first")
+    Seq("postings.parquet", "stats.parquet", "deletes.parquet",
+        "absorbed.parquet").foreach(t =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/$t"), true))
     writeIncrement(root, docs, text, id, "errorifexists")
     Seq(1).toDF("version")
       .write.mode("errorifexists").parquet(s"$root/meta.parquet")
@@ -112,7 +129,7 @@ object Bm25Index {
     * whole in one increment — [[TextAnalysis.bm25Index]]). */
   def append(root: String, docs: DataFrame, text: String,
       id: String): Unit = {
-    open(docs.sparkSession, root)
+    assertCommitted(docs.sparkSession, root)
     writeIncrement(root, docs, text, id, "append")
   }
 
@@ -124,7 +141,12 @@ object Bm25Index {
     * frame, `id` names the column. */
   def delete(spark: SparkSession, root: String, ids: DataFrame,
       id: String): Unit = {
-    open(spark, root)
+    assertCommitted(spark, root)
+    deleteImpl(spark, root, ids, id)
+  }
+
+  private def deleteImpl(spark: SparkSession, root: String, ids: DataFrame,
+      id: String): Unit = {
     val marks = ids.select(col(id).as("doc_id")).distinct()
     val dl = spark.read.parquet(s"$root/postings.parquet")
       .join(broadcast(marks), Seq("doc_id"), "left_semi")
@@ -166,7 +188,12 @@ object Bm25Index {
     * against the DuckDB oracle). Output: (doc_id, score, n_terms). */
   def search(spark: SparkSession, root: String, query: Seq[String],
       k: Int = 10): DataFrame = {
-    open(spark, root)
+    assertCommitted(spark, root)
+    searchImpl(spark, root, query, k)
+  }
+
+  private def searchImpl(spark: SparkSession, root: String,
+      query: Seq[String], k: Int): DataFrame = {
     require(query.nonEmpty, "Bm25Index.search: query must be non-empty")
     val deletes = readDeletes(spark, root)
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
@@ -243,7 +270,12 @@ object Bm25Index {
     *    that misprices them for every OTHER document too. */
   def compact(spark: SparkSession, root: String,
       targetPartitions: Int = 0): Unit = {
-    open(spark, root)
+    assertCommitted(spark, root)
+    compactImpl(spark, root, targetPartitions)
+  }
+
+  private def compactImpl(spark: SparkSession, root: String,
+      targetPartitions: Int): Unit = {
     val deletes = readDeletes(spark, root, guard = false)
     def undeleted(df: DataFrame): DataFrame =
       deletes.fold(df)(d =>
@@ -329,13 +361,54 @@ object Bm25Index {
     * write) and not TORN by a crashed compact swap (leftover `.old-*`
     * backups mean live tables may mix generations — for THIS index
     * that silently double-subtracts takedown N/T, so it must fail
-    * loudly). Two driver-side FS calls per API entry. */
-  private def open(spark: SparkSession, root: String): Unit = {
+    * loudly). Two driver-side FS calls per API entry; [[open]] pays
+    * them once for a server lifetime. */
+  private def assertCommitted(spark: SparkSession, root: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$root/meta.parquet")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p),
       s"Bm25Index: $root is not a committed index (no meta.parquet — " +
-        "torn build?)")
+        "torn build?). Recovery: retry build() (it clears the partial " +
+        "artifacts of a crashed build), or delete the root.")
     graft.io.StagedSwap.assertNotTorn(fs, root, "Bm25Index")
+  }
+
+  /** Pre-opened serve/maintenance handle — the [[AnnIndex.open]]
+    * ergonomic for the lexical index: the commit + torn-swap checks
+    * (two driver-side FS metadata calls) are paid ONCE per server
+    * lifetime instead of once per API call. Unlike the ANN handle this
+    * caches NO index content: every serve reads the live postings,
+    * stats, markers, and absorbed-keys tables, so appends, takedowns,
+    * and compacts — through this handle or any other writer — are
+    * visible to the very next [[Opened.search]] (the t60 gate and the
+    * st37/st38 stale-handle discipline). The torn-swap check is
+    * open-time only, same as the ANN handle: a long-lived server
+    * sharing a root with an EXTERNAL compactor should re-[[open]] on
+    * its own maintenance cadence. The [[graft.io.TakedownGuard]] still
+    * runs per serve (opt-in caching: `graft.takedown.guardCacheMs`). */
+  final class Opened private[Bm25Index] (
+      private val spark: SparkSession, val root: String) {
+    /** BM25 top-k over the live index — [[Bm25Index.search]] minus the
+      * per-call FS checks; plan-identical (PlanSpec pins the serve
+      * shape by construction since both paths share searchImpl). */
+    def search(query: Seq[String], k: Int = 10): DataFrame =
+      searchImpl(spark, root, query, k)
+    /** [[Bm25Index.append]] through the handle. */
+    def append(docs: DataFrame, text: String, id: String): Unit =
+      writeIncrement(root, docs, text, id, "append")
+    /** [[Bm25Index.delete]] through the handle. */
+    def delete(ids: DataFrame, id: String): Unit =
+      deleteImpl(spark, root, ids, id)
+    /** [[Bm25Index.compact]] through the handle. The handle stays
+      * valid: a compact it ran itself leaves no torn state to re-check. */
+    def compact(targetPartitions: Int = 0): Unit =
+      compactImpl(spark, root, targetPartitions)
+  }
+
+  /** Open a committed index for serving: run the commit + torn-swap
+    * checks once and return a handle whose calls skip them. */
+  def open(spark: SparkSession, root: String): Opened = {
+    assertCommitted(spark, root)
+    new Opened(spark, root)
   }
 }

@@ -28,6 +28,21 @@ object TakedownGuard {
   val confKey = "graft.takedown.maxMarkerBytes"
   val defaultMaxBytes: Long = 64L << 20
 
+  /** Opt-in PASS cache (ms). Default 0 = re-measure on every serve
+    * (exact semantics). On an object store the content summary is a
+    * LIST per serve plan — a deployment building thousands of plans/s
+    * sets this to its takedown cadence (say 60000) and accepts the
+    * bounded staleness: a marker table can outgrow the limit unseen
+    * for at most this window. Only PASSES are cached (a failure always
+    * re-measures, so compacting immediately un-bricks serving without
+    * waiting out the window), and only while the threshold conf is
+    * unchanged (a tightened limit invalidates prior passes). */
+  val cacheConfKey = "graft.takedown.guardCacheMs"
+
+  /** markerDir -> (pass time nanos, threshold the pass was against). */
+  private val passed =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
+
   /** Throw if the on-disk marker table under `markerDir` exceeds the
     * configured threshold. Callers invoke this AFTER establishing the
     * dir exists (the common no-deletions case pays nothing). `what`
@@ -35,6 +50,11 @@ object TakedownGuard {
   def check(spark: SparkSession, markerDir: Path, what: String): Unit = {
     val max = spark.conf.get(confKey, defaultMaxBytes.toString).toLong
     if (max <= 0L) return
+    val cacheMs = spark.conf.get(cacheConfKey, "0").toLong
+    val key = markerDir.toString
+    if (cacheMs > 0L) Option(passed.get(key)).foreach { case (t, m) =>
+      if (m == max && System.nanoTime() - t < cacheMs * 1000000L) return
+    }
     val fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(markerDir).getLength
     if (bytes > max)
@@ -43,5 +63,6 @@ object TakedownGuard {
           s"(> $max): a deletion set this large is a compact/rebuild, " +
           "not a broadcast marker list — run the index's compact to make " +
           s"the removals physical (or raise $confKey)")
+    if (cacheMs > 0L) passed.put(key, (System.nanoTime(), max))
   }
 }

@@ -695,6 +695,36 @@ object HygieneQueries {
     restricted
   }
 
+  /** t60: the pre-opened BM25 serve handle
+    * ([[graft.ext.Bm25Index.open]]) — the stale-handle trap st37 pins
+    * for ANN, in batch form: the handle opens while only the FIRST
+    * increment exists, then the append AND the takedown both flow
+    * through it, and the final serve (same handle) must equal a direct
+    * BM25 search over the remaining corpus integer-for-integer — a
+    * handle that snapshotted ANY table at open time (postings, stats,
+    * markers) is a row diff. Takedown set (%5==2) deliberately differs
+    * from t57's (%3==0) so the two gates cannot mask each other. */
+  def bm25OpenedServe(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_t60_")
+      .resolve("bm25_idx").toString
+    graft.ext.Bm25Index.build(root, docs.where(col("doc_id") < 250),
+      "text", "doc_id")
+    val ix = graft.ext.Bm25Index.open(s, root)
+    ix.append(docs.where(col("doc_id") >= 250), "text", "doc_id")
+    ix.delete(docs.where(col("doc_id") % 5 === 2).select(col("doc_id")),
+      "doc_id")
+    ix.search(query = Seq("spark", "hash", "join"), k = 10)
+  }
+
+  private[queries] val bm25OpenedOracle = {
+    val restricted = bm25Oracle.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 5 <> 2)")
+    require(restricted != bm25Oracle, "bm25 opened-serve oracle: corpus " +
+      "restriction failed to apply — bm25Oracle text changed?")
+    restricted
+  }
+
   // ------------------------------------------------- substring dedup
 
   /** Corpus for the exact-substring dedup gates: every 10th document
@@ -2097,6 +2127,8 @@ object HygieneQueries {
     QueryDef("t42_bm25_index", bm25FromIndex, Some(bm25Oracle)),
     QueryDef("t57_bm25_index_takedown", bm25IndexTakedown,
       Some(bm25TakedownOracle)),
+    QueryDef("t60_bm25_opened_serve", bm25OpenedServe,
+      Some(bm25OpenedOracle)),
     QueryDef("t43_chunk_search", chunkSearch, Some(chunkSearchOracle)),
     QueryDef("t12_html_clean", htmlClean, Some(htmlCleanOracle)),
     QueryDef("d13_dup_spans", dupSpans, Some(dupSpansOracle), bench = true),

@@ -186,6 +186,112 @@ class IndexDeleteSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException] {
       Bm25Index.delete(spark, root, docs.select("doc_id"), "doc_id")
     }
+    // retrying build() IS the documented recovery: meta is written last,
+    // so a meta-less root can only be a crashed build — the retry clears
+    // the partial artifacts (errorifexists would otherwise refuse the
+    // leftover postings.parquet) and commits
+    Bm25Index.build(root, docs, "text", "doc_id")
+    assert(Bm25Index.search(spark, root, Seq("alpha")).count() === 1)
+    // a COMMITTED root refuses build (rebuilding live state is
+    // compact's job; overwriting would discard appends + markers)
+    val e = intercept[IllegalArgumentException] {
+      Bm25Index.build(root, docs, "text", "doc_id")
+    }
+    assert(e.getMessage.contains("already a committed index"))
+  }
+
+  test("Bm25Index.open: the pre-opened handle serves the LIVE index — " +
+      "append/delete/compact through it are visible to the next search, " +
+      "and handle serve == static serve bit-for-bit") {
+    val docs = Seq(
+      (1L, "spark shuffles hash join tables under spark"),
+      (2L, "a hash join beats a sort merge join on small tables"),
+      (3L, "spark spark spark and nothing else spark"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "hash partitioned spark join with broadcast hash side"),
+      (6L, "join join join hash hash spark"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_bmopened_")
+    Bm25Index.build(root, docs.where($"doc_id" <= 3), "text", "doc_id")
+    val ix = Bm25Index.open(spark, root)
+    val q = Seq("spark", "join")
+    def handleServe() = ix.search(q, k = 10).orderBy("doc_id").collect().toSeq
+    def want(remaining: org.apache.spark.sql.DataFrame) =
+      TextAnalysis.bm25Search(remaining, "text", "doc_id", q, k = 10)
+        .orderBy("doc_id").collect().toSeq
+    assert(handleServe() === want(docs.where($"doc_id" <= 3)))
+
+    // append through the handle: the next serve must see it (no snapshot)
+    ix.append(docs.where($"doc_id" > 3), "text", "doc_id")
+    assert(handleServe() === want(docs))
+    // takedown through the handle: immediately visible, N/T folded
+    ix.delete(docs.where($"doc_id" % 2 === 0).select("doc_id"), "doc_id")
+    val remaining = docs.where($"doc_id" % 2 =!= 0)
+    assert(handleServe() === want(remaining))
+    // handle serve == static serve (same impl, no behavioral fork)
+    assert(handleServe() ===
+      Bm25Index.search(spark, root, q, k = 10)
+        .orderBy("doc_id").collect().toSeq)
+    // compact through the handle: the handle stays valid and the serve
+    // is bit-identical after the physical removal
+    val before = handleServe()
+    ix.compact(targetPartitions = 1)
+    assert(handleServe() === before)
+    assert(spark.read.parquet(s"$root/postings.parquet")
+      .where($"doc_id" % 2 === 0).count() === 0)
+  }
+
+  test("TakedownGuard cache (graft.takedown.guardCacheMs): a cached PASS " +
+      "skips re-measuring within the window; cacheMs=0 re-measures; a " +
+      "tightened threshold invalidates prior passes") {
+    val dir = new org.apache.hadoop.fs.Path(
+      tmp("graft_guardcache_"), "deletes.parquet")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    def fill(bytes: Int): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(dir, "part-0"), true)
+      out.write(new Array[Byte](bytes)); out.close()
+    }
+    def check() = graft.io.TakedownGuard.check(spark, dir, "cache-spec")
+    try {
+      spark.conf.set(graft.io.TakedownGuard.confKey, "100")
+      fill(10)
+      // no cache: every call re-measures, so growth past the limit throws
+      spark.conf.set(graft.io.TakedownGuard.cacheConfKey, "0")
+      check()
+      fill(1000)
+      assertThrows[IllegalStateException](check())
+      // cached pass: re-shrink, pass once with a long window, grow again
+      // — the stale PASS is honored (the documented bounded staleness)
+      fill(10)
+      spark.conf.set(graft.io.TakedownGuard.cacheConfKey, "600000")
+      check()
+      fill(1000)
+      check() // would throw without the cache
+      // a TIGHTENED threshold must not ride an old pass
+      spark.conf.set(graft.io.TakedownGuard.confKey, "5")
+      assertThrows[IllegalStateException](check())
+      // failures are never cached: on a FRESH dir (no prior pass in the
+      // window) an oversized table throws on every call, and a shrink
+      // (= the compact remedy) passes immediately — no wait-out-the-window
+      spark.conf.set(graft.io.TakedownGuard.confKey, "100")
+      val dir2 = new org.apache.hadoop.fs.Path(
+        tmp("graft_guardcache2_"), "deletes.parquet")
+      fs.mkdirs(dir2)
+      def fill2(bytes: Int): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(dir2, "part-0"), true)
+        out.write(new Array[Byte](bytes)); out.close()
+      }
+      def check2() = graft.io.TakedownGuard.check(spark, dir2, "cache-spec")
+      fill2(1000)
+      assertThrows[IllegalStateException](check2())
+      assertThrows[IllegalStateException](check2())
+      fill2(10)
+      check2()
+    } finally {
+      spark.conf.unset(graft.io.TakedownGuard.confKey)
+      spark.conf.unset(graft.io.TakedownGuard.cacheConfKey)
+    }
   }
 
   test("TakedownGuard: a marker table past graft.takedown.maxMarkerBytes " +
