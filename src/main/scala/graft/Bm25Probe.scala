@@ -110,6 +110,25 @@ object Bm25Probe {
         graft.ext.Bm25Index.search(spark, root, query, k = 10)
           .write.format("noop").mode("overwrite").save()
       }
+      // Pre-opened handle A/B (r16): N repeated serves through the
+      // static entry (2 driver-side FS checks per call) vs one Opened
+      // handle (checks paid once at open). On local FS the delta is
+      // expected to be ~noise — the handle's win is object-store RPCs
+      // and code ergonomics, and an honest probe should SAY so.
+      val serveReps = 5
+      timed(s"serve x$serveReps (static entry)") {
+        (1 to serveReps).foreach { _ =>
+          graft.ext.Bm25Index.search(spark, root, query, k = 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      val opened = graft.ext.Bm25Index.open(spark, root)
+      timed(s"serve x$serveReps (pre-opened handle)") {
+        (1 to serveReps).foreach { _ =>
+          opened.search(query, k = 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
     }
     spark.stop()
   }

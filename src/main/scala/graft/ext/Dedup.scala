@@ -904,11 +904,97 @@ object Dedup {
     * (`doc_id`, `sig`) by Hamming distance <= maxDist — the pigeonhole
     * chunk machinery behind [[simHashPairs]], reused as-is by the
     * perceptual image near-dup path ([[Multimodal.imageNearDup]]): the
-    * signature family changes, the candidate-generation plan does not. */
+    * signature family changes, the candidate-generation plan does not.
+    *
+    * Two plans by radius (recall EXACT in both — the ExtSpec brute-force
+    * check runs one radius of each):
+    *
+    *  - maxDist <= 3: the simple pigeonhole (d+1 disjoint chunks, one
+    *    must match exactly). Chunks stay >= 16 bits wide, so bucket
+    *    depth ~ N/2^16 and the in-bucket pair expansion is effectively
+    *    linear.
+    *  - 4 <= maxDist <= 8: the d+1-chunk layout would shrink chunks to
+    *    12..7 bits (<= 4096 distinct values), and bucket depth — hence
+    *    candidate PAIRS — grows as (N/2^w)^2 per value: the r16 10x
+    *    probe read m5 (radius 8, 7-bit chunks) at 16x for 10x data.
+    *    The generalized pigeonhole fixes the exponent: 3 chunks of
+    *    21/21/22 bits, where distance <= d guarantees SOME chunk
+    *    differs by <= e = ceil((d+1)/3)-1 <= 2 bits — and two values
+    *    within 2 bits share a MIDPOINT within 1 bit of each
+    *    (2 = 1+1, 1 = 1+0, 0 = 0+0), so EVERY row emits the <= 1-bit
+    *    ball of each chunk value (22/23 masks per chunk) and near
+    *    pairs meet in a common-variant bucket keyed by a 21-bit
+    *    value. The quadratic term persists (random collisions within
+    *    chunk distance 2: ~232/2^21 per chunk pair) but its
+    *    coefficient drops ~2^14 vs the 7-bit layout; the price is a
+    *    ~7x larger — LINEAR — emit/shuffle term (66 rows/signature vs
+    *    9), the right trade everywhere past toy corpora. Past ~10^8
+    *    signatures even that collision floor re-surfaces: the knob at
+    *    that scale is a LONGER signature (128/256-bit), not a
+    *    different join.
+    *  - maxDist 9..16: the simple layout, kept for API compatibility
+    *    (e would exceed 2 and the variant count explodes
+    *    combinatorially; radii past 8 on 64-bit signatures are
+    *    near-dup-semantics smell anyway). */
   private[ext] def hammingPairs64(sigs: DataFrame,
       maxDist: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 16,
       s"maxDist=$maxDist: chunks below 4 bits make the candidate join quadratic")
+    if (maxDist >= 4 && maxDist <= 8)
+      hammingPairsExpanded(sigs, maxDist, maxBucketSize)
+    else hammingPairsNarrow(sigs, maxDist, maxBucketSize)
+  }
+
+  /** Generalized-pigeonhole plan (see [[hammingPairs64]] doc): 3 wide
+    * chunks, SYMMETRIC <= 1-bit variant enumeration via ONE explode of
+    * a literal (chunk, mask) array — the signature projection is
+    * referenced once (the m5 PlanSpec pin), everything before the
+    * bucket window is codegen'd arithmetic, and the in-bucket pairing
+    * (all pairs, canonicalized, verified, distinct'd) is the same
+    * machinery as the narrow plan — a pair within chunk distance 2
+    * meets in its midpoint's bucket (possibly in several buckets; the
+    * final distinct collapses them, exactly as chunk multi-match does
+    * in the narrow plan). */
+  private def hammingPairsExpanded(sigs: DataFrame,
+      maxDist: Int, maxBucketSize: Int): DataFrame = {
+    val m = 3
+    val bounds = (0 to m).map(i => i * 64 / m)
+    def width(i: Int) = bounds(i + 1) - bounds(i)
+    // ball(1) masks per chunk: identity + each single bit of the chunk
+    val arms: Seq[(Int, Long)] = for {
+      i <- 0 until m
+      mk <- 0L +: (0 until width(i)).map(1L << _)
+    } yield (i, mk)
+    def cv(i: Int) = shiftrightunsigned(col("sig"), bounds(i))
+      .bitwiseAND(lit((1L << width(i)) - 1))
+    val cvExpr = (1 until m).foldLeft(when(col("chunk") === 0, cv(0))) {
+      (acc, i) => acc.when(col("chunk") === i, cv(i))
+    }
+    val rows = sigs
+      .select(col("doc_id"), col("sig"), explode(typedLit(arms)).as("cm"))
+      .select(col("doc_id"), col("sig"),
+        col("cm._1").as("chunk"), col("cm._2").as("mk"))
+      .select(col("doc_id"), col("sig"), col("chunk"),
+        cvExpr.bitwiseXOR(col("mk")).as("chunk_val"))
+    val es = col("es")
+    keepHotBuckets(rows, Seq("chunk", "chunk_val"), maxBucketSize)
+      .groupBy(col("chunk"), col("chunk_val"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("sig"))))
+        .as("es"))
+      .select(explode(flatten(transform(es, (x, i) =>
+        transform(slice(es, i + lit(2), size(es)), y => struct(
+          x.getField("doc_id").as("id_a"),
+          y.getField("doc_id").as("id_b"),
+          bit_count(x.getField("sig").bitwiseXOR(y.getField("sig")))
+            .as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .where(col("hamming") <= maxDist && col("id_a") =!= col("id_b"))
+      .distinct()
+  }
+
+  /** Simple-pigeonhole plan (see [[hammingPairs64]] doc). */
+  private def hammingPairsNarrow(sigs: DataFrame,
+      maxDist: Int, maxBucketSize: Int): DataFrame = {
     val k = maxDist + 1
     val bounds = (0 to k).map(i => i * 64 / k) // chunk i = bits [b(i), b(i+1))
     val chunkExprs = (0 until k).map { i =>
