@@ -64,7 +64,17 @@ object Graphs {
     val rawPairs = edges.select(
         least(col(src), col(dst)).as("u"), greatest(col(src), col(dst)).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
-    val e = rawPairs.distinct()
+    // The edge relation feeds FIVE downstream references (degree table,
+    // bloom build + sizing, both wedge arms, the closing semi-join) and
+    // its upstream is often expensive (g1's input is a basket
+    // self-join) — materialize it once instead of re-deriving it per
+    // reference. The r16 10x probe measured the un-materialized plan
+    // re-running the self-join + distinct repeatedly: 64.1 -> 33.3 s
+    // at 6M-row lineitem from these two checkpoints alone (and 6.2 ->
+    // 5.0 s at the bench scale). 16 bytes/edge; a cluster-scale run
+    // would swap localCheckpoint for a reliable checkpoint dir, same
+    // shape.
+    val e = rawPairs.distinct().localCheckpoint()
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -73,10 +83,12 @@ object Graphs {
     val ranked = e
       .join(deg.select(col("node").as("u"), struct(col("d"), col("node")).as("ru")), "u")
       .join(deg.select(col("node").as("v"), struct(col("d"), col("node")).as("rv")), "v")
+    // referenced three times (two wedge arms + closure); same 16 B/edge
     val oriented = ranked.select(
       when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
       when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
+      .localCheckpoint()
     val wedges = oriented.select(col("a"), col("b").as("y"), col("rb").as("ry"))
       .join(oriented.select(col("a"), col("b").as("z"), col("rb").as("rz")), "a")
       .where(col("ry") < col("rz"))
@@ -88,8 +100,12 @@ object Graphs {
     val prefiltered =
       if (closeBloomFpp <= 0.0) wedges
       else {
-        val nPairs = math.max(rawPairs.count(), 1L)
-        val bloom = Scale.keyBloom(rawPairs,
+        // sized and built from the MATERIALIZED distinct edge set (the
+        // bloom's content is set-valued anyway): before the checkpoint
+        // this count re-ran the whole upstream join once just to size
+        // the filter
+        val nPairs = math.max(e.count(), 1L)
+        val bloom = Scale.keyBloom(e,
           struct(col("u"), col("v")), nPairs, closeBloomFpp)
         wedges.where(Scale.mightContainKey(bloom,
           struct(least(col("y"), col("z")), greatest(col("y"), col("z")))))
