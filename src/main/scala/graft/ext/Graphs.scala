@@ -18,6 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
+  /** Lineage cut for the iterative/multi-reference plans here: a
+    * RELIABLE `checkpoint` when the SparkContext has a checkpoint dir
+    * configured (`spark.sparkContext.setCheckpointDir(...)` — the
+    * cluster deployment, where executor loss must not force a full
+    * recompute of an iteration chain), else `localCheckpoint`
+    * (executor-local storage, the single-box default — cheaper, and
+    * loss-tolerance is moot when there is one JVM). Always eager:
+    * every caller here cuts lineage exactly because the next step
+    * re-references the frame. */
+  private def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** Per-node triangle counts via degree-ordered orientation (the
     * classical O(m^1.5) bound): each undirected edge is stored ONCE,
     * directed from its lower-(degree, id) endpoint to its higher one.
@@ -47,14 +61,13 @@ object Graphs {
     * so the result is exact at any fpp. `closeBloomFpp = 0` disables
     * the pre-filter (plan-shape A/Bs).
     *
-    * NOTE: with the pre-filter on, building the bloom runs two EAGER
-    * jobs at call time (pair count for sizing + the bloom aggregate),
-    * so the call is not lazy like a plain DataFrame transform. The
-    * pairs are deliberately NOT cached across the two jobs: the pair
-    * frame is wedge-input sized, and materializing it (measured at
-    * 10x bench data) costs more than the second cheap count pass it
-    * would save — both jobs are trivial next to the wedge exchange
-    * the bloom exists to cut.
+    * NOTE: the call is not lazy like a plain DataFrame transform — the
+    * distinct edge set and the oriented edge list are EAGERLY
+    * materialized (they feed five downstream references; the r16 10x
+    * probe measured the un-materialized plan re-running the upstream
+    * basket self-join repeatedly, 64 -> 33 s from the two cuts), and
+    * with the pre-filter on the bloom build is a third eager job over
+    * the cached set.
     *
     * Output: (node, n_triangles), the `topK` nodes by
     * (n_triangles desc, node) — or all nodes when topK = 0.
@@ -71,10 +84,9 @@ object Graphs {
     // reference. The r16 10x probe measured the un-materialized plan
     // re-running the self-join + distinct repeatedly: 64.1 -> 33.3 s
     // at 6M-row lineitem from these two checkpoints alone (and 6.2 ->
-    // 5.0 s at the bench scale). 16 bytes/edge; a cluster-scale run
-    // would swap localCheckpoint for a reliable checkpoint dir, same
-    // shape.
-    val e = rawPairs.distinct().localCheckpoint()
+    // 5.0 s at the bench scale). 16 bytes/edge; `cut` upgrades to a
+    // reliable checkpoint when the context has a checkpoint dir.
+    val e = cut(rawPairs.distinct())
     val deg = e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -84,11 +96,10 @@ object Graphs {
       .join(deg.select(col("node").as("u"), struct(col("d"), col("node")).as("ru")), "u")
       .join(deg.select(col("node").as("v"), struct(col("d"), col("node")).as("rv")), "v")
     // referenced three times (two wedge arms + closure); same 16 B/edge
-    val oriented = ranked.select(
+    val oriented = cut(ranked.select(
       when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
-      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
-      .localCheckpoint()
+      when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb")))
     val wedges = oriented.select(col("a"), col("b").as("y"), col("rb").as("ry"))
       .join(oriented.select(col("a"), col("b").as("z"), col("rb").as("rz")), "a")
       .where(col("ry") < col("rz"))
@@ -187,7 +198,7 @@ object Graphs {
           .select(col("node"),
             (lit(base) +
               expr(s"($dampingPct * coalesce(__in, 0L)) div 100")).as("__r"))
-          .localCheckpoint()
+          .transform(cut)
       }
       val out = ranks.select(col("node"), col("__r").as("rank_e12"))
       if (topK > 0) out.orderBy(desc("rank_e12"), col("node")).limit(topK)
@@ -249,10 +260,10 @@ object Graphs {
     val und = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .repartition(p, col("u"))
-      .localCheckpoint(true)
+      .transform(cut)
     var labels = und.select(col("u").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
-      .localCheckpoint(true)
+      .transform(cut)
     for (_ <- 1 to iters) {
       labels = und
         .join(labels.select(col("node").as("v"), col("lbl")), Seq("v"))
@@ -260,7 +271,7 @@ object Graphs {
         .groupBy(col("u"))
         .agg(max(struct(col("cnt").as("c"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("u").as("node"), (-col("m.nl")).as("lbl"))
-        .localCheckpoint(true)
+        .transform(cut)
     }
     labels
   }
@@ -274,7 +285,7 @@ object Graphs {
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
       .distinct()
       .repartition(p, col("u"))
-      .localCheckpoint(true)
+      .transform(cut)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -287,7 +298,7 @@ object Graphs {
         e = e
           .join(doomed.withColumnRenamed("node", "u"), Seq("u"), "left_anti")
           .join(doomed.withColumnRenamed("node", "v"), Seq("v"), "left_anti")
-          .localCheckpoint(true)
+          .transform(cut)
         i += 1
       }
     }

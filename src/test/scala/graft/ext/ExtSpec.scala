@@ -309,6 +309,31 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
   }
 
+  test("hammingPairs64: a byte-identical signature flood is dropped by " +
+      "the bucket cap (bounded work, documented recall trade); pairs " +
+      "outside the flood are unaffected") {
+    // 300 identical signatures: every one of their variant buckets
+    // holds 300+ members > cap 100, so the flood contributes ZERO
+    // pairs instead of 300^2/2 — the keepHotBuckets contract ("run
+    // exact dedup first for byte-identical floods"). An outsider one
+    // bit away from the flood sig meets it ONLY in flood-sized buckets,
+    // so its pairs are dropped too — the documented collateral of the
+    // cap. A near pair far from the flood must still be found.
+    val floodSig = -1L
+    val flood = (100L until 400L).map(i => (i, floodSig))
+    val outsider = Seq((500L, floodSig ^ 1L))
+    val farPair = Seq((1L, 0x0FL), (2L, 0x0FL ^ 3L)) // hamming 2
+    val sigs = (flood ++ outsider ++ farPair).toDF("doc_id", "sig")
+    val got = Dedup.hammingPairs64(sigs, maxDist = 8, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 2L)))
+    // with the cap lifted the flood pairs (and the outsider's) appear
+    val full = Dedup.hammingPairs64(sigs, maxDist = 8,
+      maxBucketSize = 1000000).count()
+    assert(full === 300L * 299L / 2 + 300L + 1L,
+      "flood all-pairs + outsider-x-flood + the far pair")
+  }
+
   test("ShingleJaccard equals the composite array_distinct/intersect plan") {
     val docs = Seq(
       ("the quick brown fox", "the quick brown fox"),      // identical -> 1.0

@@ -56,6 +56,29 @@ class GraphsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("graph lineage cuts upgrade to RELIABLE checkpoints when the " +
+      "context has a checkpoint dir (cluster deployments); results " +
+      "identical") {
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (4L, 6L), (5L, 6L)).toDF("src", "dst")
+    val before = Graphs.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt_").toString
+    // context-level setting; it stays on for the rest of the JVM, which
+    // only makes later graph tests use reliable checkpoints too
+    spark.sparkContext.setCheckpointDir(dir)
+    assert(Graphs.triangleCounts(edges, "src", "dst")
+      .orderBy("node").as[(Long, Long)].collect().toSeq === before)
+    assert(Graphs.pageRank(edges, "src", "dst", iters = 3, topK = 3)
+      .collect().nonEmpty)
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(written > 0, "reliable checkpoint files were written under " +
+      "the configured dir")
+  }
+
   // -------------------------------------------------------- pagerank
 
   test("kCore: pendant chain peels transitively, the triangle core survives " +
