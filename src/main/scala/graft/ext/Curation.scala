@@ -67,7 +67,7 @@ object Curation {
     // localCheckpoint spills to executor-local storage (disk-backed),
     // the same tactic Graphs.pageRank uses per iteration.
     val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
-      .localCheckpoint(true)
+      .transform(Scale.cut)
 
     // 2b. optional fuzzy near-dup: MinHash LSH pairs over the
     // exact-deduped survivors, transitive min-id component keep. The
@@ -80,7 +80,7 @@ object Curation {
       case Some(conf) =>
         val pairs = Dedup.minHashPairs(afterDedup, text, id, conf)
         Dedup.dropFromPairsTransitive(afterDedup, id, pairs)
-          .localCheckpoint(true)
+          .transform(Scale.cut)
     }
 
     // 3. decontamination — drop documents sharing an n-gram with the
@@ -93,7 +93,7 @@ object Curation {
     // not the decontam join.
     val sampled = Sampling.temperatureSample(
       afterDecontam, lang, col(id), alpha = alpha, seed = seed)
-      .localCheckpoint(true)
+      .transform(Scale.cut)
 
     // 5. shard assignment in deterministic id order; lang rides the
     // prefix-sum shuffle as a carry column (no corpus-sized join).
@@ -487,7 +487,7 @@ object Curation {
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") <= maxPerHost)
       .drop("__rn")
-      .localCheckpoint(true)
+      .transform(Scale.cut)
     val qIds = TextAnalysis.gopherQuality(capped, bodyCol, id,
         minWords = minWords, minStopHits = minStopHits)
       .where(col("is_quality")).select(col(id))

@@ -700,7 +700,7 @@ object Dedup {
     try {
       var labels = edges.select(col("src").as("id")).distinct()
         .withColumn("label", col("id"))
-        .localCheckpoint(true)
+        .transform(Scale.cut)
       var converged = false
       var i = 0
       while (!converged && i < maxIter) {
@@ -709,7 +709,7 @@ object Dedup {
           .select(col("dst").as("id"), col("label"))
         val next = labels.union(msgs)
           .groupBy(col("id")).agg(min(col("label")).as("label"))
-          .localCheckpoint(true)
+          .transform(Scale.cut)
         converged = next.as("n")
           .join(labels.select(col("id"), col("label").as("old")), Seq("id"))
           .where(col("label") =!= col("old"))
@@ -756,12 +756,12 @@ object Dedup {
     val allIds = pairs.select(col(a).as("id"))
       .union(pairs.select(col(b).as("id")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Scale.cut)
     var edges = pairs
       .select(greatest(col(a), col(b)).as("u"), least(col(a), col(b)).as("v"))
       .where(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(Scale.cut)
     var converged = edges.isEmpty
     var i = 0
     while (!converged && i < maxIter) {
@@ -782,7 +782,7 @@ object Dedup {
         .where(col("nu") =!= col("nv"))
         .select(col("nu").as("u"), col("nv").as("v"))
         .distinct()
-        .localCheckpoint(true)
+        .transform(Scale.cut)
       converged = next.count() == edges.count() && next.except(edges).isEmpty
       edges = next
       i += 1

@@ -27,10 +27,7 @@ object Graphs {
     * loss-tolerance is moot when there is one JVM). Always eager:
     * every caller here cuts lineage exactly because the next step
     * re-references the frame. */
-  private def cut(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(true)
-    else df.localCheckpoint(true)
+  private def cut(df: DataFrame): DataFrame = Scale.cut(df)
 
   /** Per-node triangle counts via degree-ordered orientation (the
     * classical O(m^1.5) bound): each undirected edge is stored ONCE,

@@ -94,6 +94,9 @@ object Packing {
   private[ext] def materializeOnce(df: DataFrame,
       checkpointDir: Option[String]): DataFrame = checkpointDir match {
     case None =>
+      // deliberately NOT Scale.cut: this branch's contract is pinned
+      // executor blocks tracked for releaseLocalCheckpoints; reliable
+      // checkpointing is this function's OWN explicit knob above
       val out = df.localCheckpoint()
       org.apache.spark.sql.graftbridge.DatasetBridge.backingRdd(out)
         .foreach(currentScope.value.register)

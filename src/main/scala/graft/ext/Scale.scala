@@ -18,6 +18,27 @@ object Scale {
 
   import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
 
+  /** Lineage cut for iterative / multi-reference plans (connected-
+    * component rounds, Lloyd rounds, frames feeding several downstream
+    * references): a RELIABLE `checkpoint` when the SparkContext has a
+    * checkpoint dir configured (`setCheckpointDir` — the cluster
+    * deployment, where executor loss must not force a recompute of an
+    * iteration chain), else `localCheckpoint` (executor-local storage,
+    * the single-box default — cheaper, and loss-tolerance is moot with
+    * one JVM). Always eager: callers cut lineage exactly because the
+    * next step re-references the frame.
+    *
+    * Lifecycle: reliable-path files persist under the dir after the
+    * job (standard Spark semantics) — deployments rotate the dir or
+    * set `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    * [[Packing.materializeOnce]] deliberately does NOT route here: its
+    * local branch tracks pinned blocks for explicit release and its
+    * reliable branch is a per-call knob with scoped cleanup. */
+  private[ext] def cut(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(true)
+    else df.localCheckpoint(true)
+
   /** xxhash64 rejects map-typed inputs at analysis time (maps have no
     * canonical element order); nested arrays/structs are hashable only if
     * their element types are. */

@@ -285,7 +285,7 @@ object Similarity {
       cent = cent.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"),
           coalesce(col("new_vec"), col("centroid_vec")).as("centroid_vec"))
-        .localCheckpoint(true)
+        .transform(Scale.cut)
     }
     cent
   }

@@ -654,7 +654,7 @@ object TextAnalysis {
     // keeps the upstream subtree — often a full-corpus knCounts — from
     // re-executing per consumer. Model-sized rows, so the checkpoint
     // is small (same storage caveat as Packing.groupRank).
-    val tri = triModel.where(col("c3") >= minCount).localCheckpoint()
+    val tri = triModel.where(col("c3") >= minCount).transform(Scale.cut)
     val ctx = tri.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c3")).as("c2"), count(lit(1)).as("n3d"))
     val cont = tri.groupBy(col("w2"), col("w3"))
@@ -1788,7 +1788,7 @@ object TextAnalysis {
     // in the join); a localCheckpoint materializes it exactly once —
     // a model is reference-set-sized, so the checkpoint is small.
     val tokenCountsEff =
-      if (broadcastModel.isEmpty) tokenCounts.localCheckpoint(true)
+      if (broadcastModel.isEmpty) tokenCounts.transform(Scale.cut)
       else tokenCounts
     val doBroadcast = broadcastModel.getOrElse {
       val threshold = broadcastThresholdBytes(docs.sparkSession)
