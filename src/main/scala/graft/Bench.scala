@@ -154,6 +154,10 @@ object Bench {
     val insessionFill = Option(new java.io.File(".").listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(_.getName.matches(s"BENCH_r${roundNum}_insession\\w*\\.json"))
+      // deterministic merge order: listFiles order is unspecified, and
+      // with several in-session records (r16 ships three) the LAST map
+      // folded wins overlapping keys — sort so the newest suffix does
+      .sortBy(_.getName)
       .flatMap { f =>
         val t = try new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
