@@ -18,15 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object Graphs {
 
-  /** Lineage cut for the iterative/multi-reference plans here: a
-    * RELIABLE `checkpoint` when the SparkContext has a checkpoint dir
-    * configured (`spark.sparkContext.setCheckpointDir(...)` — the
-    * cluster deployment, where executor loss must not force a full
-    * recompute of an iteration chain), else `localCheckpoint`
-    * (executor-local storage, the single-box default — cheaper, and
-    * loss-tolerance is moot when there is one JVM). Always eager:
-    * every caller here cuts lineage exactly because the next step
-    * re-references the frame. */
+  /** [[Scale.cut]] — reliable checkpoint when the context has a
+    * checkpoint dir, localCheckpoint otherwise; see its doc. */
   private def cut(df: DataFrame): DataFrame = Scale.cut(df)
 
   /** Per-node triangle counts via degree-ordered orientation (the

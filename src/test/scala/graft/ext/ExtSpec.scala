@@ -374,9 +374,9 @@ class ExtSpec extends AnyFunSuite {
     val df = docs.toDF("doc_id", "text")
     val sigs = df.select($"doc_id", GraftFunctions.simhashSig(lower($"text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // 3 = narrow plan; 6 and 8 = the generalized-pigeonhole expansion
-    // plan (8 at e=2 is the m5 image radius)
-    for (maxDist <- Seq(3, 6, 8)) {
+    // 3 = narrow plan; 4 (the dispatch boundary), 6 and 8 (the m5
+    // image radius) = the generalized-pigeonhole expansion plan
+    for (maxDist <- Seq(3, 4, 6, 8)) {
       val expected = (for {
         a <- docs.map(_._1); b <- docs.map(_._1) if a < b
         if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxDist
