@@ -730,6 +730,56 @@ object Similarity {
       .select(col(id), col("rrf_e9"), col("lex_rank"), col("dense_rank"))
   }
 
+  /** Hybrid RRF retrieval served ENTIRELY from the two persisted index
+    * families — the production serve shape: the lexical list comes from
+    * a pre-opened [[Bm25Index.Opened]] handle (query-term-filtered
+    * postings scan, takedown markers broadcast-anti-joined, N/T folded
+    * as the marker-sized negative stats increment — the t57/t60
+    * contract) and the dense list from a pre-opened
+    * [[AnnIndex.Opened]] handle (nprobe-pruned ADC scan over the
+    * encoded table, its own delete markers anti-joined — the s30
+    * contract). NOTHING corpus-shaped is rebuilt, re-tokenized, or
+    * re-encoded per query; both component serves read only their
+    * persisted index, and takedowns on EITHER side are reflected in
+    * the fused list (a taken-down document can contribute neither
+    * rank).
+    *
+    * Exactness contract, inherited per side: the lexical list always
+    * equals fresh BM25 over the remaining corpus (integer scoring);
+    * the dense list is exact at nprobe = nlist with rerank ≥ the live
+    * corpus size (the s9 full-probing equality) — the s31 gate pins
+    * the fused list hash-exactly at those settings against a
+    * remaining-corpus oracle — and at pruned settings the fusion
+    * inherits the ANN tier's recall-tolerance contract
+    * ([[hybridFromLists]] doc).
+    *
+    * Scale shape: both serves are index-only and query-sized after
+    * their pruned scans; the fusion itself is [[hybridFromLists]]'s
+    * bounded full-outer join over ≤ kLex + kDense rows. `queryVec` is
+    * ONE (qid, qvec) row — enforced eagerly, same trap as
+    * [[hybridTopK]]. Output (doc_id, rrf_e9, lex_rank, dense_rank). */
+  def hybridFromPersisted(bm25: Bm25Index.Opened, ann: AnnIndex.Opened,
+      termQuery: Seq[String], queryVec: DataFrame,
+      nprobe: Int, rerank: Int, k: Int = 10,
+      kLex: Int = 50, kDense: Int = 50,
+      rrfK: Long = 60L, scale: Long = 1000000000L): DataFrame = {
+    require(kLex >= 1 && kDense >= 1,
+      s"hybridFromPersisted: kLex=$kLex kDense=$kDense")
+    val nq = queryVec.limit(2).count()
+    require(nq == 1L,
+      s"hybridFromPersisted: queryVec must contain exactly ONE query " +
+        s"row, got ${if (nq == 0) "0" else ">= 2"}; for multi-query " +
+        "fusion call hybridFromLists per query")
+    val lex = rankLex(bm25.search(termQuery, kLex), "doc_id")
+    // excludeSelf=false: hybrid fuses an EXTERNAL query's two views of
+    // the corpus — a corpus vector that happens to share the query's id
+    // is still a legitimate dense hit (the s14 convention)
+    val dense = AnnIndex.queryIvfPq(ann, queryVec, kDense, nprobe,
+        rerank, excludeSelf = false)
+      .select(col("corpus_id").as("doc_id"), col("rank").as("dense_rank"))
+    hybridFromLists(lex, dense, "doc_id", k, rrfK, scale)
+  }
+
   /** Index-tuning recall evaluation: per-query recall@k of an
     * approximate result list against the exact one — THE metric every
     * nlist/nprobe/rerank knob on the ANN ladder is tuned by. Both

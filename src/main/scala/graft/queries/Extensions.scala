@@ -1625,6 +1625,63 @@ object ExtensionQueries {
       |FROM (SELECT * FROM fused ORDER BY rrf_e9 DESC, doc_id LIMIT 10) z
       |ORDER BY doc_id""".stripMargin
 
+  /** s31: hybrid RRF served ENTIRELY from the persisted indexes
+    * ([[graft.ext.Similarity.hybridFromPersisted]]) — the production
+    * retrieval shape that closes the r15/r16 capability gap: the
+    * lexical side comes from a pre-opened [[graft.ext.Bm25Index]]
+    * handle (build → open → append → TAKEDOWN all through the handle,
+    * the t60 staleness discipline) and the dense side from a
+    * pre-opened [[graft.ext.AnnIndex]] IVF-PQ handle with its own
+    * takedown markers — BOTH sides have deletions applied
+    * (doc_id/vec_id % 7 == 1, a modulus no other gate uses), and the
+    * fused top-10 must hash-match the oracle's RRF over a fresh BM25
+    * ranking and a fresh exact-cosine ranking each restricted to the
+    * REMAINING corpus: a marker leak on either side (candidates, df,
+    * the N/T stats fold, the encoded-table anti-join) is a row diff.
+    * Dense side exact by the s9 full-probing contract (nprobe = nlist,
+    * rerank ≥ corpus). PlanSpec pins the serve plan: term filter
+    * pushed to the postings scan, both marker tables broadcast
+    * anti-joined, never shuffled. */
+  def hybridPersisted(s: SparkSession, d: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft_s31_")
+    val bmRoot = base.resolve("bm25_idx").toString
+    val annRoot = base.resolve("ann_idx").toString
+    val docs = Tables.documents(s, d)
+    graft.ext.Bm25Index.build(bmRoot, docs.where(col("doc_id") < 250),
+      "text", "doc_id")
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = annRoot, m = 8, codes = 16, refineIters = 2)
+    val bm = graft.ext.Bm25Index.open(s, bmRoot)
+    val ann = graft.ext.AnnIndex.open(s, annRoot)
+    bm.append(docs.where(col("doc_id") >= 250), "text", "doc_id")
+    bm.delete(docs.where(col("doc_id") % 7 === 1).select(col("doc_id")),
+      "doc_id")
+    graft.ext.AnnIndex.deleteFromIvfPq(s, annRoot,
+      Tables.embeddings(s, d).where(col("vec_id") % 7 === 1)
+        .select(col("vec_id").as("cid")))
+    Similarity.hybridFromPersisted(bm, ann, Seq("spark", "hash", "join"),
+        queriesDf(s, d).where(col("qid") === 3),
+        nprobe = 20, rerank = 2100)
+      .orderBy("doc_id")
+  }
+
+  /** The s14 oracle with BOTH component corpora restricted to the
+    * remaining (post-takedown) rows — text-derived from
+    * [[hybridRrfOracle]] with eager guards so a reworded base oracle
+    * cannot silently un-restrict a side (the t57 pattern). */
+  private lazy val hybridPersistedOracle = {
+    val lexCut = hybridRrfOracle.replace("FROM documents)",
+      "FROM documents WHERE doc_id % 7 <> 1)")
+    require(lexCut != hybridRrfOracle, "s31 oracle: lexical corpus " +
+      "restriction failed to apply — hybridRrfOracle text changed?")
+    val bothCut = lexCut.replace("FROM embeddings cc,",
+      "FROM (SELECT vec_id, embedding FROM embeddings " +
+        "WHERE vec_id % 7 <> 1) cc,")
+    require(bothCut != lexCut, "s31 oracle: dense corpus restriction " +
+      "failed to apply — hybridRrfOracle text changed?")
+    bothCut
+  }
+
   /** Per-label mean embedding (class prototypes): exact scaled-integer
     * sums make the doubles bit-identical to the DuckDB replay — see
     * Vectors.groupCentroids' scaladoc for the shuffle audit. */
@@ -3348,6 +3405,8 @@ object ExtensionQueries {
     QueryDef("s18_recall_floors", recallFloors, Some(recallFloorsOracle)),
     QueryDef("s19_recall_scaled", recallScaled, Some(recallScaledOracle)),
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
+    QueryDef("s31_hybrid_persisted", hybridPersisted,
+      Some(hybridPersistedOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s29_index_compact", knnIvfPqCompact, Some(knnIvfPqOracle)),

@@ -832,4 +832,21 @@ class PlanSpec extends AnyFunSuite {
     assert(del.contains("BroadcastHashJoin") && del.contains("LeftAnti"),
       s"markers must anti-join BROADCAST, never shuffled\n$del")
   }
+
+  test("s31 hybrid persisted serve: term filter pushed to the postings " +
+      "scan; takedown markers broadcast anti-joined on BOTH sides") {
+    val df = ExtensionQueries.hybridPersisted(spark, sf)
+    val s = planString(df)
+    // the lexical subtree stays query-sized only if the term filter
+    // reaches the postings parquet reader
+    assert(s.contains("PushedFilters: [In(term"),
+      s"term filter not pushed to the postings scan\n$s")
+    // two marker tables are live (BM25 doc_id markers, ANN cid
+    // markers) — both must anti-join as broadcasts, never shuffled
+    val antis = s.linesIterator.filter(_.contains("LeftAnti")).toList
+    assert(antis.size >= 2,
+      s"expected BM25 + ANN marker anti-joins, found ${antis.size}\n$s")
+    antis.foreach(l => assert(l.contains("BroadcastHashJoin"),
+      s"marker anti-join not broadcast: $l\n$s"))
+  }
 }
