@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * SPARK_GRAFT_SF_DIR and prints the official compact JSON line LAST
   * (sized to fit the driver's ~2 KB output-tail capture window — the
   * r10/r11 records outgrew it and parsed as null), preceded by a full
-  * detail line (per-query disk stamps, task skew, contention reruns)
+  * detail line (per-query disk + CPU stamps, task skew, contention reruns)
   * that is also written to BENCH_DETAIL.json. Results are fully
   * materialized through the noop sink (a bare .count() lets Spark skip
   * column materialization for scan-shaped queries).
@@ -87,6 +87,41 @@ object Bench {
     * run before every query, coarse but monotone with the big check. */
   private def diskStamp(): Double = diskMbps(32L << 20)
 
+  @volatile private var cpuSink: Long = 0L
+
+  /** Per-query CPU contention stamp (wall ms for a FIXED amount of
+    * work): every available core runs the same integer mixing loop and
+    * the stamp is the wall time until ALL finish — on an idle box that
+    * is ~the single-thread loop time, while concurrent CPU load (the
+    * round driver's own processes, a parallel judge re-run) descheds
+    * some threads and stretches the reading roughly in proportion to
+    * the stolen cores. Exists because the r16 official record carried
+    * a 3.01x g2_pagerank regression at a HIGH disk stamp: the harness
+    * stamped disk only, so un-stamped CPU contention could not be told
+    * from a real plan regression in-record (VERDICT r16 finding #2).
+    * The work is fixed (not time-boxed) so readings compare across
+    * sessions; the result feeds the same suspect/rerun machinery as
+    * the disk stamp. ~15-40 ms uncontended. */
+  private def cpuStampMs(): Double = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val t0 = System.nanoTime()
+    val threads = (0 until n).map { seed =>
+      val t = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + seed
+        var i = 0
+        while (i < 8000000) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          x ^= x >>> 33
+          i += 1
+        }
+        cpuSink ^= x // observable side effect: the loop cannot be DCE'd
+      })
+      t.start(); t
+    }
+    threads.foreach(_.join())
+    (System.nanoTime() - t0) / 1e6
+  }
+
   /** Previous OFFICIAL record (the round driver's BENCH_r{N}.json in
     * the working dir — `_insession` builder records excluded): per-query
     * times and, when the captured tail kept them, per-query disk
@@ -99,8 +134,10 @@ object Bench {
     * truncated detail line (the driver keeps only the last ~2 KB of
     * output) degrades to the compact slowest-12 map instead of failing. */
   private def loadPrevOfficial(sfDir: String)
-      : (String, Map[String, Double], Map[String, Double]) = {
-    val empty = ("", Map.empty[String, Double], Map.empty[String, Double])
+      : (String, Map[String, Double], Map[String, Double],
+         Map[String, Double]) = {
+    val empty = ("", Map.empty[String, Double], Map.empty[String, Double],
+      Map.empty[String, Double])
     // SPARK_GRAFT_BENCH_ROUND=N: the CURRENT round number — exclude
     // BENCH_r{N}.json and newer so a bench run AFTER the driver commits
     // this round's record (a judge re-run, an in-session run late in
@@ -156,8 +193,15 @@ object Bench {
       .filter(_.getName.matches(s"BENCH_r${roundNum}_insession\\w*\\.json"))
       // deterministic merge order: listFiles order is unspecified, and
       // with several in-session records (r16 ships three) the LAST map
-      // folded wins overlapping keys — sort so the newest suffix does
-      .sortBy(_.getName)
+      // folded wins overlapping keys — sort by the NUMERIC suffix
+      // (empty suffix = 0) so the newest record wins even past 10,
+      // where a lexicographic sort would put "insession10" before
+      // "insession2"; non-numeric suffixes sort as 0 by name
+      .sortBy(f => (
+        "insession(\\d+)".r.findFirstMatchIn(f.getName)
+          .flatMap(m => scala.util.Try(m.group(1).toInt).toOption)
+          .getOrElse(0),
+        f.getName))
       .flatMap { f =>
         val t = try new String(java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8).replace("\\\"", "\"")
@@ -168,7 +212,10 @@ object Bench {
     val stamps = "\"query_disk_mbps\"\\s*:\\s*\\{([^{}]*)\\}".r
       .findFirstMatchIn(txt).map(m => pairs(m.group(1)))
       .getOrElse(Map.empty[String, Double])
-    (newest.getName, insessionFill ++ times, stamps)
+    val cpu = "\"query_cpu_ms\"\\s*:\\s*\\{([^{}]*)\\}".r
+      .findFirstMatchIn(txt).map(m => pairs(m.group(1)))
+      .getOrElse(Map.empty[String, Double])
+    (newest.getName, insessionFill ++ times, stamps, cpu)
   }
 
   def main(args: Array[String]): Unit = {
@@ -203,6 +250,11 @@ object Bench {
       mbps = diskMbps()
     }
     val quiesced = mbps >= floor
+    // session-start CPU stamp (see cpuStampMs): one JIT-warming throwaway
+    // first — the first invocation pays C2 compilation of the loop body
+    // and would read 2-3x the steady level, poisoning the session median
+    cpuStampMs()
+    val cpuMs = cpuStampMs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -271,10 +323,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     val stamps = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val cpuStamps = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results0 = benchDefs.map { q =>
       setSizing(q.name)
       stamps(q.name) = diskStamp()
+      cpuStamps(q.name) = cpuStampMs()
       skew.reset()
       val times = (1 to runs).map(_ => timeOnce(q))
       if (wantSkew) skew.worst().foreach { case (mx, _, r) =>
@@ -299,6 +353,16 @@ object Bench {
       val ss = (stamps.values ++ Seq(mbps)).toSeq.sorted
       ss(ss.size / 2)
     }
+    // CPU reference: the session MEDIAN cpu stamp (same shape as the
+    // disk median — one GC pause or page-cache burst must not drag
+    // every reading into rerun). A query whose pre-query cpu stamp
+    // read > 2x the median ran inside a CPU-contention window the disk
+    // stamp cannot see (the r16 g2_pagerank blind spot) and joins the
+    // rerun set.
+    val cpuRef = {
+      val cs = (cpuStamps.values ++ Seq(cpuMs)).toSeq.sorted
+      cs(cs.size / 2)
+    }
     // Prior-round comparison (the r14 lesson): the 0.5x-median stamp
     // guard cannot see UNIFORM degradation — a session whose every
     // stamp is depressed has a depressed median, so a query reading
@@ -308,7 +372,7 @@ object Bench {
     // measurement is annotated in the detail JSON with both rounds'
     // disk stamps so the judge reads contention-vs-real off the
     // record instead of re-deriving it.
-    val (prevName, prevTimes, prevStamps) = loadPrevOfficial(sfDir)
+    val (prevName, prevTimes, prevStamps, prevCpu) = loadPrevOfficial(sfDir)
     // Round-12 audit: 13 reruns fired but re-measured INSIDE the same
     // contended stretch, so the kept min was still 1.4-1.9x above the
     // quiesced record. The rerun now WAITS for a clean disk window
@@ -323,19 +387,25 @@ object Bench {
     val rerunDeadline = System.nanoTime() + 5L * 60L * 1000000000L
     val results = if (!retry) results0 else results0.map { case (name, t) =>
       val suspect = stamps(name) < 0.5 * refStamp || spreads(name) > 2.0 ||
+        cpuStamps(name) > 2.0 * cpuRef ||
         prevTimes.get(name).exists(pt => t > 1.5 * pt)
       if (!suspect) name -> t
       else {
         val q = benchDefs.find(_.name == name).get
         setSizing(name)
         var st = diskStamp()
-        while (st < 0.8 * refStamp && System.nanoTime() < rerunDeadline) {
+        var cst = cpuStampMs()
+        while ((st < 0.8 * refStamp || cst > 1.5 * cpuRef) &&
+            System.nanoTime() < rerunDeadline) {
           System.err.println(f"[bench] rerun $name: disk stamp $st%.1f " +
-            f"still under 0.8x median ${refStamp}%.1f - sleeping 15s")
+            f"(median ${refStamp}%.1f) cpu $cst%.1f ms (median " +
+            f"$cpuRef%.1f) still contended - sleeping 15s")
           Thread.sleep(15000)
           st = diskStamp()
+          cst = cpuStampMs()
         }
         stamps(name) = math.max(stamps(name), st)
+        cpuStamps(name) = math.min(cpuStamps(name), cst)
         val t2 = timeOnce(q)
         reruns(name) = reruns.getOrElse(name, 0) + 1
         name -> math.min(t, t2)
@@ -360,19 +430,24 @@ object Bench {
     val stampJson = stamps.map { case (k, v) =>
       "\"" + k + "\":" + math.rint(v * 10) / 10 }
       .mkString(",\"query_disk_mbps\":{", ",", "}")
+    val cpuJson = cpuStamps.map { case (k, v) =>
+      "\"" + k + "\":" + math.rint(v * 10) / 10 }
+      .mkString(",\"query_cpu_ms\":{", ",", "}")
     val rerunJson = reruns.map { case (k, n) => "\"" + k + "\":" + n }
       .mkString(",\"contention_reruns\":{", ",", "}")
     // regressions surviving the clean-window rerun, vs the previous
     // official record — each with both rounds' per-query disk stamps
     val regressions = results.flatMap { case (name, t) =>
       prevTimes.get(name).filter(pt => t > 1.5 * pt).map { pt =>
-        val prevDisk = prevStamps.get(name)
+        def opt(m: Map[String, Double]) = m.get(name)
           .map(v => math.rint(v * 10) / 10).map(_.toString)
           .getOrElse("null")
         "\"" + name + "\":{\"ratio\":" + math.rint(t / pt * 100) / 100 +
           ",\"prev_s\":" + pt +
-          ",\"prev_disk_mbps\":" + prevDisk +
-          ",\"disk_mbps\":" + math.rint(stamps(name) * 10) / 10 + "}"
+          ",\"prev_disk_mbps\":" + opt(prevStamps) +
+          ",\"disk_mbps\":" + math.rint(stamps(name) * 10) / 10 +
+          ",\"prev_cpu_ms\":" + opt(prevCpu) +
+          ",\"cpu_ms\":" + math.rint(cpuStamps(name) * 10) / 10 + "}"
       }
     }
     val regressJson =
@@ -381,7 +456,8 @@ object Bench {
         ",\"prev_record\":\"" + prevName + "\",\"prev_regressions\":{",
         ",", "}")
     val mbpsR = math.rint(mbps * 10) / 10
-    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR,"quiesced":$quiesced,"quiesce_waits":$quiesceWaits$skewJson$stampJson$rerunJson$regressJson,"sf":"$sfDir"}"""
+    val cpuMsR = math.rint(cpuMs * 10) / 10
+    val detail = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"disk_mbps":$mbpsR,"cpu_ms":$cpuMsR,"quiesced":$quiesced,"quiesce_waits":$quiesceWaits$skewJson$stampJson$cpuJson$rerunJson$regressJson,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(
       java.nio.file.Paths.get("BENCH_DETAIL.json"),
       (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
@@ -396,7 +472,7 @@ object Bench {
     val qsSlow = results.sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + round3(v) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlow,"n_queries":${results.size},"disk_mbps":$mbpsR,"quiesced":$quiesced,"n_reruns":${reruns.size},"n_prev_regressions":${regressions.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qsSlow,"n_queries":${results.size},"disk_mbps":$mbpsR,"cpu_ms":$cpuMsR,"quiesced":$quiesced,"n_reruns":${reruns.size},"n_prev_regressions":${regressions.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
