@@ -104,7 +104,13 @@ object Bm25Index {
     * partials are cleared and the build runs fresh. A root that DID
     * commit (meta present) is refused: rebuilding a live index is
     * [[compact]]'s job, and silently overwriting one would discard
-    * appends and takedown markers. */
+    * appends and takedown markers. Note the retry path's partial-
+    * artifact clearing means TWO CONCURRENT builds on one uncommitted
+    * root are undefined (each may wipe the other's in-flight tables
+    * and race to commit meta) rather than failed-fast as a bare
+    * errorifexists would be — acceptable under the documented
+    * single-writer contract, called out here because it differs from
+    * the pre-recovery behavior. */
   def build(root: String, docs: DataFrame, text: String,
       id: String): Unit = {
     val spark = docs.sparkSession
@@ -301,22 +307,48 @@ object Bm25Index {
       // retire the pre-compact increment keys (minus the collapsed
       // row's own key: with ONE increment and no deletions they
       // coincide — and then the rows are identical anyway, absorbed by
-      // the serve's distinct). Prior absorbed keys carry forward.
+      // the serve's distinct). Retired keys are EPOCH-STAMPED with
+      // this compact's generation and aged out automatically: a key
+      // retired >= `absorbedEpochs` compacts ago is dropped, so the
+      // sidecar is bounded by the increments of the last few
+      // compact-to-compact windows however long the index lives (the
+      // r15/r16 "manual prune when the guard fires" rule, automated).
+      // The trade-off this pins: a replayed append whose retry lands
+      // AFTER its key aged out double-counts N/T until the NEXT
+      // compact rebuilds stats from the postings (self-healing, and
+      // score-only — candidates never depend on the sidecar). The
+      // default horizon of 2 supports any retry that lands before the
+      // second subsequent compact; operators with slower retry
+      // horizons raise `graft.bm25.absorbedEpochs`.
       val newKey = spark.read.parquet(s"$staging/stats.parquet")
         .select(col("batch_key")).as[java.lang.Long].head()
       val priorKeys = spark.read.parquet(s"$root/stats.parquet")
         .select(col("batch_key"))
-      val carried = readAbsorbed(spark, root, guard = false)
-        .fold(priorKeys)(a => priorKeys.union(a))
+      val absorbed0 = readAbsorbedRaw(spark, root)
+      val horizon = math.max(1L, spark.conf
+        .getOption("graft.bm25.absorbedEpochs").map(_.toLong)
+        .getOrElse(2L))
+      val newEpoch = absorbed0
+        .flatMap(a => Option(a.agg(max(col("epoch"))).head.get(0))
+          .map(_.asInstanceOf[Long]))
+        .getOrElse(0L) + 1L
+      val freshRetired = priorKeys
+        .select(col("batch_key"), lit(newEpoch).as("epoch"))
+      val carried = absorbed0
+        .fold(freshRetired)(a => freshRetired.union(
+          a.where(col("epoch") > lit(newEpoch - horizon))))
       // a compact that emptied the index (everything taken down) keys
-      // its zero-row stats NULL and retires NOTHING: any later append
-      // of a retired increment is re-adding the only copy of its rows
-      // (re-ingest), so its stats row must count
+      // its zero-row stats NULL and retires NOTHING — the sidecar is
+      // CLEARED: any later append of a retired increment is re-adding
+      // the only copy of its rows (re-ingest), so its stats row must
+      // count
       val retired =
         if (newKey == null) carried.where(lit(false))
         else carried.where(col("batch_key").isNotNull &&
           col("batch_key") =!= lit(newKey.longValue()))
-      retired.distinct().coalesce(1)
+      // a key re-retired by a later compact keeps its NEWEST epoch
+      retired.groupBy(col("batch_key"))
+        .agg(max(col("epoch")).as("epoch")).coalesce(1)
         .write.parquet(s"$staging/absorbed.parquet")
       if (deletes.isDefined)
         // limit(0) of the LIVE table, not a hardcoded schema: the id
@@ -336,17 +368,18 @@ object Bm25Index {
     fs.delete(new org.apache.hadoop.fs.Path(s"$root/deletes.parquet"), true)
   }
 
-  /** Batch keys retired by past compacts; None before the first
-    * compact. The sidecar carries keys forward FOREVER (a retired key's
-    * retry could in principle arrive arbitrarily late), so it grows
-    * with lifetime increment count — 8 bytes/increment, broadcast per
-    * serve like the markers, and GUARDED by the same size limit: past
-    * `graft.takedown.maxMarkerBytes` serves fail loudly. The prune rule
-    * when the guard fires: keys older than the last writer restart
-    * cannot be re-delivered — during a quiesced window, confirm no
-    * retry is pending and delete absorbed.parquet (accepting the
-    * double-count risk only for in-flight batches, of which there are
-    * then none). */
+  /** Batch keys retired by recent compacts; None before the first
+    * compact. Rows are (batch_key, epoch): each compact stamps the
+    * keys it retires with its own generation and drops keys retired
+    * >= `graft.bm25.absorbedEpochs` (default 2) compacts ago, so the
+    * sidecar is bounded by the last few compact windows' increment
+    * count however long the index lives — it stays under
+    * [[graft.io.TakedownGuard]] with no manual deletion (the
+    * AbsorbedPruneSpec lifetime loop pins it). Still guarded per
+    * serve: a pathological append cadence between compacts can
+    * outgrow the broadcast premise, and the fix is a compact, not a
+    * bigger broadcast. Legacy (pre-epoch) sidecars read as epoch 0
+    * and age out on the next compact. */
   private def readAbsorbed(spark: SparkSession,
       root: String, guard: Boolean = true): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$root/absorbed.parquet")
@@ -354,6 +387,19 @@ object Bm25Index {
       if (guard)
         graft.io.TakedownGuard.check(spark, p, "Bm25Index absorbed-keys")
       Some(spark.read.parquet(p.toString).select("batch_key").distinct())
+    } else None
+  }
+
+  /** The sidecar WITH epochs (compaction's view); legacy epoch-less
+    * rows surface as epoch 0 so they age out at the next compact. */
+  private def readAbsorbedRaw(spark: SparkSession,
+      root: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/absorbed.parquet")
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)) {
+      val df = spark.read.parquet(p.toString)
+      Some(if (df.columns.contains("epoch"))
+        df.select(col("batch_key"), col("epoch").cast(LongType).as("epoch"))
+      else df.select(col("batch_key"), lit(0L).as("epoch")))
     } else None
   }
 

@@ -264,6 +264,57 @@ class ReplayedAppendSpec extends AnyFunSuite {
       "and the second compact rebuilds the exactly-once index again")
   }
 
+  test("Bm25Index absorbed-keys epoch prune: a lifetime of replayed " +
+      "append+compact cycles keeps the sidecar bounded with NO manual " +
+      "deletion; a beyond-horizon replay double-counts N/T until the " +
+      "next compact heals it") {
+    val docs = (1L to 8L).map(i =>
+        (i, s"spark join document number $i with hash spark terms"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_absorbed_prune_")
+    Bm25Index.build(root, docs.where(col("doc_id") <= 2), "text", "doc_id")
+    val q = Seq("spark", "join")
+    // six compact generations, each retiring its pre-compact stats keys
+    // (the collapsed row's + one replayed increment's); lifetime retired
+    // keys grow to ~12, but the epoch horizon (default 2) must hold the
+    // sidecar at <= 4 rows — under TakedownGuard forever, no operator
+    // intervention (the r15 item-4 / r16 item-3 automation)
+    for (i <- 3L to 8L) {
+      val inc = docs.where(col("doc_id") === i)
+      Bm25Index.append(root, inc, "text", "doc_id")
+      Bm25Index.append(root, inc, "text", "doc_id") // at-least-once retry
+      Bm25Index.compact(spark, root, targetPartitions = 1)
+      val absorbed = spark.read.parquet(s"$root/absorbed.parquet")
+      assert(absorbed.columns.toSet === Set("batch_key", "epoch"))
+      assert(absorbed.count() <= 4,
+        s"cycle $i: sidecar must stay bounded by the epoch horizon, " +
+          s"got ${absorbed.count()} rows")
+    }
+    def serve() = Bm25Index.search(spark, root, q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    val want = TextAnalysis.bm25Search(docs, "text", "doc_id", q, k = 10)
+      .orderBy("doc_id").collect().toSeq
+    assert(serve() === want,
+      "within-horizon replays all absorbed across the whole lifetime")
+    // BEYOND-horizon replay (the pinned trade-off): doc 3's increment
+    // key was retired at the third compact and has aged out, so its
+    // re-delivered stats row is NOT dropped — N/T double-count doc 3
+    // (scores shift for every document) until the next compact rebuilds
+    // stats from the postings. Candidates stay exact throughout: the
+    // posting rows are byte-identical and collapse in the serve dedup.
+    Bm25Index.append(root, docs.where(col("doc_id") === 3L),
+      "text", "doc_id")
+    val stale = serve()
+    assert(stale.map(_.getLong(0)) === want.map(_.getLong(0)),
+      "a beyond-horizon replay never perturbs the candidate set")
+    assert(stale !== want,
+      "its stats row double-counts N/T (the documented score-only " +
+        "residual of the bounded sidecar)")
+    Bm25Index.compact(spark, root, targetPartitions = 1)
+    assert(serve() === want,
+      "the next compact rebuilds stats from the postings — healed")
+  }
+
   test("Bm25Index: re-ingest after takedown+compact — docs findable " +
       "immediately, N/T converge at the next compact (the documented " +
       "absorbed-keys residual)") {
