@@ -64,8 +64,10 @@ object Curation {
     // window), and Catalyst does not reuse a common scan across
     // subtrees — without the cut, the whole upstream chain re-executes
     // ~4x (measured 11.3 s -> the checkpointed plan at sf0.1).
-    // localCheckpoint spills to executor-local storage (disk-backed),
-    // the same tactic Graphs.pageRank uses per iteration.
+    // The cut goes through Scale.cut: a RELIABLE checkpoint to the
+    // configured dir when one is set (cluster deployments), else a
+    // disk-backed localCheckpoint — the same tactic Graphs.pageRank
+    // uses per iteration.
     val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
       .transform(Scale.cut)
 

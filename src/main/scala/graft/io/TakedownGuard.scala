@@ -34,10 +34,22 @@ object TakedownGuard {
     * sets this to its takedown cadence (say 60000) and accepts the
     * bounded staleness: a marker table can outgrow the limit unseen
     * for at most this window. Only PASSES are cached (a failure always
-    * re-measures, so compacting immediately un-bricks serving without
-    * waiting out the window), and only while the threshold conf is
-    * unchanged (a tightened limit invalidates prior passes). */
+    * re-measures AND evicts the entry, so compacting immediately
+    * un-bricks serving without waiting out the window), and only while
+    * the threshold conf is unchanged (a tightened limit invalidates
+    * prior passes). Same-path-reuse caveat: the cache keys on the dir
+    * PATH, so an index torn down and rebuilt at the same path inherits
+    * the old index's PASS for up to the window — the same bounded
+    * staleness the window already grants, stated explicitly. Expired
+    * and failed entries are evicted as they are seen, and the map is
+    * cleared outright past a size backstop, so a long-lived JVM
+    * serving many distinct index dirs cannot grow it unboundedly. */
   val cacheConfKey = "graft.takedown.guardCacheMs"
+
+  /** Size backstop for the PASS cache: far above any real count of
+    * concurrently-served index dirs; clearing (rather than LRU) keeps
+    * the degenerate case trivial and only costs re-measures. */
+  private val maxCacheEntries = 4096
 
   /** markerDir -> (pass time nanos, threshold the pass was against). */
   private val passed =
@@ -54,15 +66,21 @@ object TakedownGuard {
     val key = markerDir.toString
     if (cacheMs > 0L) Option(passed.get(key)).foreach { case (t, m) =>
       if (m == max && System.nanoTime() - t < cacheMs * 1000000L) return
+      passed.remove(key) // expired, or the threshold conf changed
     }
     val fs = markerDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(markerDir).getLength
-    if (bytes > max)
+    if (bytes > max) {
+      passed.remove(key) // a failed dir must never serve a stale PASS
       throw new IllegalStateException(
         s"$what: takedown marker table $markerDir is $bytes bytes " +
           s"(> $max): a deletion set this large is a compact/rebuild, " +
           "not a broadcast marker list — run the index's compact to make " +
           s"the removals physical (or raise $confKey)")
-    if (cacheMs > 0L) passed.put(key, (System.nanoTime(), max))
+    }
+    if (cacheMs > 0L) {
+      if (passed.size > maxCacheEntries) passed.clear()
+      passed.put(key, (System.nanoTime(), max))
+    }
   }
 }
