@@ -932,38 +932,58 @@ object Dedup {
     *    signatures even that collision floor re-surfaces: the knob at
     *    that scale is a LONGER signature (128/256-bit), not a
     *    different join.
-    *  - maxDist 9..16: the simple layout, kept for API compatibility
-    *    (e would exceed 2 and the variant count explodes
-    *    combinatorially; radii past 8 on 64-bit signatures are
-    *    near-dup-semantics smell anyway). */
+    *  - maxDist 9..16: the SAME generalized plan with the ball radius
+    *    derived from the pigeonhole bound (r16 verdict item 8 — these
+    *    radii used to fall back to the simple layout, whose 4..6-bit
+    *    chunks are quadratic past toy corpora): some chunk differs by
+    *    <= t = floor(d/3) <= 5, caught by symmetric ball(r) expansion
+    *    with r = ceil(t/2) (two values within 2r share a midpoint
+    *    within r). Arms grow to 232 masks/chunk at r = 2 (d <= 14)
+    *    and 1562 at r = 3 (d = 15..16), and the random-collision
+    *    coefficient grows with |ball(2r)|/2^21 (~0.4% at 2r = 4,
+    *    ~3.9% at 2r = 6) — the linear emit term dominates to ~10^6
+    *    signatures, past which the honest knob is a LONGER signature.
+    *    Radii >= 9 on 64-bit signatures remain near-dup-semantics
+    *    smell (the doc'd caveat stands); they just no longer dispatch
+    *    to a quadratic plan. */
   private[ext] def hammingPairs64(sigs: DataFrame,
       maxDist: Int, maxBucketSize: Int): DataFrame = {
     require(maxDist >= 0 && maxDist <= 16,
-      s"maxDist=$maxDist: chunks below 4 bits make the candidate join quadratic")
-    if (maxDist >= 4 && maxDist <= 8)
-      hammingPairsExpanded(sigs, maxDist, maxBucketSize)
+      s"maxDist=$maxDist: past 16 of 64 bits, 'near'-duplicate has no " +
+        "meaning and no banding scheme beats a longer signature")
+    if (maxDist >= 4) hammingPairsExpanded(sigs, maxDist, maxBucketSize)
     else hammingPairsNarrow(sigs, maxDist, maxBucketSize)
   }
 
   /** Generalized-pigeonhole plan (see [[hammingPairs64]] doc): 3 wide
-    * chunks, SYMMETRIC <= 1-bit variant enumeration via ONE explode of
-    * a literal (chunk, mask) array — the signature projection is
-    * referenced once (the m5 PlanSpec pin), everything before the
-    * bucket window is codegen'd arithmetic, and the in-bucket pairing
-    * (all pairs, canonicalized, verified, distinct'd) is the same
-    * machinery as the narrow plan — a pair within chunk distance 2
-    * meets in its midpoint's bucket (possibly in several buckets; the
-    * final distinct collapses them, exactly as chunk multi-match does
-    * in the narrow plan). */
+    * chunks, SYMMETRIC <= r-bit variant enumeration (r = 1 for radii
+    * 4..8, 2 for 9..14, 3 for 15..16) via ONE explode of a literal
+    * (chunk, mask) array — the signature projection is referenced once
+    * (the m5 PlanSpec pin), everything before the bucket window is
+    * codegen'd arithmetic, and the in-bucket pairing (all pairs,
+    * canonicalized, verified, distinct'd) is the same machinery as the
+    * narrow plan — a pair within chunk distance 2r meets in its
+    * midpoint's bucket (possibly in several buckets; the final
+    * distinct collapses them, exactly as chunk multi-match does in
+    * the narrow plan). */
   private def hammingPairsExpanded(sigs: DataFrame,
       maxDist: Int, maxBucketSize: Int): DataFrame = {
     val m = 3
     val bounds = (0 to m).map(i => i * 64 / m)
     def width(i: Int) = bounds(i + 1) - bounds(i)
-    // ball(1) masks per chunk: identity + each single bit of the chunk
+    // pigeonhole: some chunk differs by <= t; symmetric ball(r)
+    // expansion meets in a midpoint bucket whenever 2r >= t
+    val t = maxDist / 3
+    val r = (t + 1) / 2
+    // ball(r) masks per chunk: every mask of popcount <= r (identity +
+    // each 1..r-bit flip set); r = 1 reproduces the original 22/23-arm
+    // layout exactly
+    def ballMasks(w: Int): Seq[Long] =
+      (0 to r).flatMap(k => (0 until w).combinations(k)
+        .map(_.foldLeft(0L)((acc, b) => acc | (1L << b))).toSeq)
     val arms: Seq[(Int, Long)] = for {
       i <- 0 until m
-      mk <- 0L +: (0 until width(i)).map(1L << _)
+      mk <- ballMasks(width(i))
     } yield (i, mk)
     def cv(i: Int) = shiftrightunsigned(col("sig"), bounds(i))
       .bitwiseAND(lit((1L << width(i)) - 1))

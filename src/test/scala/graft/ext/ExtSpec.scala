@@ -362,7 +362,8 @@ class ExtSpec extends AnyFunSuite {
     assert(fused(0) === 1.0 && fused(3) === 0.0)
   }
 
-  test("Dedup.simHashPairs recall equals brute-force Hamming join (maxDist 3 and 6)") {
+  test("Dedup.simHashPairs recall equals brute-force Hamming join " +
+      "(radii 3..16 across all three ball expansions)") {
     // 60 docs over a moderate vocab: brute force over signatures is the
     // ground truth; the chunk-banded join must return exactly the pairs
     // with hamming <= maxDist — incl. maxDist > 3, where the chunk count
@@ -375,8 +376,9 @@ class ExtSpec extends AnyFunSuite {
     val sigs = df.select($"doc_id", GraftFunctions.simhashSig(lower($"text")).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // 3 = narrow plan; 4 (the dispatch boundary), 6 and 8 (the m5
-    // image radius) = the generalized-pigeonhole expansion plan
-    for (maxDist <- Seq(3, 4, 6, 8)) {
+    // image radius) = ball(1) expansion; 12 = ball(2); 16 = ball(3)
+    // (the r16 item-8 radii, formerly the quadratic narrow fallback)
+    for (maxDist <- Seq(3, 4, 6, 8, 12, 16)) {
       val expected = (for {
         a <- docs.map(_._1); b <- docs.map(_._1) if a < b
         if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxDist
