@@ -18,13 +18,24 @@ import org.apache.spark.sql.functions._
   *   5. SEARCH again with markers (the anti-join + negative-stats
   *      overhead — should be unmeasurable).
   *
-  * Usage: runMain graft.Bm25Probe <corpusDir> [rounds]
+  * Usage: runMain graft.Bm25Probe <corpusDir> [rounds] [smallDeletes]
+  *
+  * `smallDeletes` > 0 adds the DELETE-CADENCE section (VERDICT r16
+  * item 4, mirroring NearDupProbe's smallAppends): that many
+  * consecutive ~0.05%-of-corpus takedowns through one opened handle,
+  * each timed — the per-call cost is the marker-restricted postings
+  * scan the dl lookup pays (Bm25Index.delete), so the ladder measures
+  * whether a busy takedown cadence should batch its ids per call
+  * (K scans vs 1) or whether per-call is fine at the deployment's
+  * rate. Effect sizes (marker rows added per call) print next to the
+  * timings.
   */
 object Bm25Probe {
 
   def main(args: Array[String]): Unit = {
     val corpusDir = args(0)
     val rounds = if (args.length > 1) args(1).toInt else 2
+    val smallDeletes = if (args.length > 2) args(2).toInt else 0
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -125,6 +136,41 @@ object Bm25Probe {
       val opened = graft.ext.Bm25Index.open(spark, root)
       timed(s"serve x$serveReps (pre-opened handle)") {
         (1 to serveReps).foreach { _ =>
+          opened.search(query, k = 10)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+
+      // DELETE-CADENCE ladder (r16 item 4): K consecutive small
+      // takedowns, each paying its own marker-restricted dl-lookup
+      // postings scan. Disjoint ~0.05% slices (residues 3, 7, 11, ...
+      // mod 2000 — all odd, so none re-hits the %200==1 set above or
+      // the re-keyed increment) with per-call effect sizes; a batched
+      // single call over the union closes the A/B: K scans vs one.
+      if (smallDeletes > 0) {
+        def slice(j: Int) = docs
+          .where(col("doc_id") % 2000 === (3 + 4 * j))
+          .select(col("doc_id"))
+        var markerRows = spark.read.parquet(s"$root/deletes.parquet").count()
+        for (j <- 0 until smallDeletes) {
+          val ids = slice(j)
+          timed(f"delete-cadence call ${j + 1}/$smallDeletes") {
+            opened.delete(ids, "doc_id")
+          }
+          val now = spark.read.parquet(s"$root/deletes.parquet").count()
+          println(s"[bm25-probe] cadence effect: +${now - markerRows} " +
+            s"marker rows (requested ${ids.count()})" +
+            (if (now == markerRows)
+              "  <-- NO-OP DELETE: slice missed the index" else ""))
+          markerRows = now
+        }
+        timed(s"delete-cadence batched x$smallDeletes (one call, " +
+            "union of equal-sized fresh slices)") {
+          opened.delete(
+            (smallDeletes until 2 * smallDeletes).map(slice)
+              .reduce(_ unionByName _), "doc_id")
+        }
+        timed("search(after cadence)") {
           opened.search(query, k = 10)
             .write.format("noop").mode("overwrite").save()
         }

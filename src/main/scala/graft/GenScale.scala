@@ -225,6 +225,44 @@ object GenScale {
           .otherwise(col("embedding")))
     })
 
+    // Dup-heavy media table (zipf only): the image-corpus hot-key
+    // hazard a crawl actually has — recrawled/hotlinked BYTE-IDENTICAL
+    // payloads — which the id-derived m5 fixture deliberately lacks.
+    // 40% of rows (dense rank % 5 in {1, 2}) share ONE payload, so
+    // every chunk bucket of that dHash floods past the m5 cap and the
+    // probe can watch keepHotBuckets engage; ranks % 5 == {0, 4} keep
+    // the fixture's planted 3-bit-flip near-dup pairs (dense ranks
+    // make the pair partner always present, which the zipf id remap's
+    // sparse id space would not). The m5 gate reads this table via
+    // the imageFixture media.parquet override; ImageDupProbe prints
+    // the effect sizes. Dense rank via one single-partition window:
+    // dev tooling over row counts this box generates, not a prod path.
+    if (zipf) {
+      import spark.implicits._
+      val w = org.apache.spark.sql.expressions.Window.orderBy("doc_id")
+      spark.read.parquet(s"$outDir/documents.parquet")
+        .select(col("doc_id"))
+        .withColumn("mid", row_number().over(w).cast("long") - 1L)
+        .select(col("doc_id"), col("mid")).as[(Long, Long)]
+        .map { case (docId, mid) =>
+          val img = graft.ext.Multimodal.SyntheticImages
+          val content =
+            if (mid % 5 == 1 || mid % 5 == 2)
+              img.bmpGradient(0x5DEECE66DL, topDown = false) // the flood
+            else {
+              val base = mid - mid % 5
+              val raw = img.avalanche(if (mid % 5 == 4) base else mid)
+              val sig =
+                if (mid % 5 == 4) raw ^ ((1L << 1) | (1L << 20) | (1L << 40))
+                else raw
+              img.bmpGradient(sig, topDown = mid % 2 == 1)
+            }
+          (docId, content)
+        }.toDF("media_id", "content")
+        .write.mode("overwrite").parquet(s"$outDir/media.parquet")
+      println("[genscale] media written (zipf dup-heavy: 40% one payload)")
+    }
+
     spark.stop()
   }
 }

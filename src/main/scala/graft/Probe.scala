@@ -25,6 +25,12 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CHECKPOINT_DIR upgrades every Scale.cut in the probed
+    // queries from localCheckpoint to a RELIABLE checkpoint (the
+    // cluster deployment's configuration) — the g1/g2 multi-TB
+    // checkpoint-cost A/B runs the same gate with and without it.
+    sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR")
+      .foreach(spark.sparkContext.setCheckpointDir)
     val skew = new StageSkewListener
     spark.sparkContext.addSparkListener(skew)
     names.zipWithIndex.foreach { case (n, i) =>

@@ -2981,8 +2981,17 @@ object ExtensionQueries {
 
   /** Renders the m5 BMP corpus for `d` to a content-stable temp dir on
     * first use (atomic publish via rename; losers of a cross-process
-    * race reuse the winner's dir). Returns the parquet path. */
-  private def imageFixture(s: SparkSession, d: String): String = {
+    * race reuse the winner's dir). Returns the parquet path.
+    *
+    * A data dir that CARRIES a `media.parquet` table of its own is used
+    * as-is instead (same (media_id, content) schema): GenScale's zipf
+    * mode writes a dup-heavy one (~40% byte-identical payloads) so the
+    * scale probes exercise the hot-bucket cap end-to-end. The driver
+    * testdata dirs carry none, so gate correctness derives the
+    * deterministic fixture below unchanged. */
+  private[queries] def imageFixture(s: SparkSession, d: String): String = {
+    val provided = java.nio.file.Paths.get(d, "media.parquet")
+    if (java.nio.file.Files.exists(provided)) return provided.toString
     import s.implicits._
     val key = java.lang.Long.toHexString(
       d.hashCode.toLong << 32 | Tables.documents(s, d).count())
