@@ -151,13 +151,21 @@ object Bm25Probe {
         def slice(j: Int) = docs
           .where(col("doc_id") % 2000 === (3 + 4 * j))
           .select(col("doc_id"))
-        var markerRows = spark.read.parquet(s"$root/deletes.parquet").count()
+        // the compact above DROPPED the marker table — read 0 for a
+        // missing path rather than crashing the cadence baseline
+        def markerCount(): Long = {
+          val p = new org.apache.hadoop.fs.Path(s"$root/deletes.parquet")
+          if (p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .exists(p)) spark.read.parquet(p.toString).count()
+          else 0L
+        }
+        var markerRows = markerCount()
         for (j <- 0 until smallDeletes) {
           val ids = slice(j)
           timed(f"delete-cadence call ${j + 1}/$smallDeletes") {
             opened.delete(ids, "doc_id")
           }
-          val now = spark.read.parquet(s"$root/deletes.parquet").count()
+          val now = markerCount()
           println(s"[bm25-probe] cadence effect: +${now - markerRows} " +
             s"marker rows (requested ${ids.count()})" +
             (if (now == markerRows)

@@ -93,10 +93,16 @@ object ImageDupProbe {
       (pairs.count(), fl)
     }
 
-    val capped = graft.ext.Multimodal
-      .imageNearDup(media, "media_id", "content", maxDist = 8)
-      .localCheckpoint()
-    timed("neardup(capped)") { capped.count() }
+    // the eager localCheckpoint IS the materialization — it must sit
+    // INSIDE the timed block or the wall measures a cached count (the
+    // probe-design trap this file exists to avoid)
+    var capped: org.apache.spark.sql.DataFrame = null
+    timed("neardup(capped)") {
+      capped = graft.ext.Multimodal
+        .imageNearDup(media, "media_id", "content", maxDist = 8)
+        .localCheckpoint()
+      capped.count()
+    }
     val (total, fl) = floodSplit(capped)
     println(s"[imagedup-probe] capped effect: pairs=$total " +
       s"flood_internal=$fl planted_or_chance=${total - fl}" +
@@ -106,10 +112,13 @@ object ImageDupProbe {
         "  <-- NO SURVIVING PAIRS: planted structure missing?" else ""))
 
     if (uncapped) {
-      val free = graft.ext.Multimodal.imageNearDup(media, "media_id",
-        "content", maxDist = 8, maxBucketSize = Int.MaxValue)
-        .localCheckpoint()
-      timed("neardup(uncapped)") { free.count() }
+      var free: org.apache.spark.sql.DataFrame = null
+      timed("neardup(uncapped)") {
+        free = graft.ext.Multimodal.imageNearDup(media, "media_id",
+          "content", maxDist = 8, maxBucketSize = Int.MaxValue)
+          .localCheckpoint()
+        free.count()
+      }
       val (ft, ffl) = floodSplit(free)
       println(s"[imagedup-probe] uncapped effect: pairs=$ft " +
         s"flood_internal=$ffl (the quadratic term the cap removes)")

@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   * the pruned-read wall, and the matched row count (the effect size:
   * identical across layouts or the probe measured different queries).
   *
-  * Usage: runMain graft.ZOrderProbe <sfDir> [files] [bandPct]
+  * Usage: runMain graft.ZOrderProbe <sfDir> [files] [bandPct] [dimA] [dimB]
+  *
+  * Default dims (l_partkey, l_suppkey) are CORRELATED in the synthetic
+  * data (suppkey derives from partkey), so the lex layout partially
+  * prunes the second dim too — run a second pass with an independent
+  * pair (l_partkey, l_orderkey) for the uncorrelated-dimension case
+  * the z-order claim is really about.
   */
 object ZOrderProbe {
 
@@ -26,6 +32,8 @@ object ZOrderProbe {
     val src = args(0)
     val nFiles = if (args.length > 1) args(1).toInt else 64
     val bandPct = if (args.length > 2) args(2).toInt else 2
+    val dimA = if (args.length > 3) args(3) else "l_partkey"
+    val dimB = if (args.length > 4) args(4) else "l_suppkey"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -39,8 +47,8 @@ object ZOrderProbe {
     val li = spark.read.parquet(s"$src/lineitem.parquet")
       .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
         col("l_quantity"))
-    val (pkMax, skMax) = {
-      val r = li.agg(max("l_partkey"), max("l_suppkey")).head
+    val (aMax, bMax) = {
+      val r = li.agg(max(dimA), max(dimB)).head
       (r.getLong(0), r.getLong(1))
     }
     val base = java.nio.file.Files.createTempDirectory("graft_zorder_")
@@ -53,12 +61,12 @@ object ZOrderProbe {
       (out, (System.nanoTime() - t0) / 1e9)
     }
     val (_, wLex) = timedS {
-      li.repartitionByRange(nFiles, col("l_partkey"), col("l_suppkey"))
-        .sortWithinPartitions("l_partkey", "l_suppkey")
+      li.repartitionByRange(nFiles, col(dimA), col(dimB))
+        .sortWithinPartitions(dimA, dimB)
         .write.parquet(lexDir)
     }
     val (_, wZ) = timedS {
-      graft.ext.Scale.zOrderBy(li, Seq("l_partkey", "l_suppkey"),
+      graft.ext.Scale.zOrderBy(li, Seq(dimA, dimB),
           bits = 16, numPartitions = Some(nFiles))
         .drop("z_value").write.parquet(zDir)
     }
@@ -79,7 +87,7 @@ object ZOrderProbe {
       (total, keep)
     }
 
-    for ((column, maxV) <- Seq("l_partkey" -> pkMax, "l_suppkey" -> skMax)) {
+    for ((column, maxV) <- Seq(dimA -> aMax, dimB -> bMax)) {
       val lo = maxV * 40 / 100
       val hi = lo + math.max(1L, maxV * bandPct / 100) - 1
       for ((name, dir) <- Seq("lex" -> lexDir, "zorder" -> zDir)) {
