@@ -205,8 +205,6 @@ object Bm25Index {
     val qs = query.map(_.toLowerCase(java.util.Locale.ROOT))
     val qtf0 = spark.read.parquet(s"$root/postings.parquet")
       .where(col("term").isin(qs: _*))
-    val qtf1 = deletes.fold(qtf0)(d =>
-      qtf0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
     // replay absorption on the query-matched frame (see class doc) —
     // never a corpus-wide distinct. For RARE query terms this is free;
     // for a STOP-WORD term the matched frame is a corpus fraction and
@@ -214,26 +212,82 @@ object Bm25Index {
     // at 150k docs, SCALEPROBE_r15) next to the per-doc aggregate the
     // serve pays anyway — a constant factor kept UNCONDITIONALLY:
     // correctness must not depend on whether a compact has run since
-    // the last replayed append.
-    val qtf = qtf1.dropDuplicates("doc_id", "term")
-    // absorbed anti-join: a replayed append whose retry landed AFTER a
-    // compact carries a batch_key the compact retired — without this it
-    // would survive the distinct (the collapsed row has a different
-    // key) and double-count N/T
+    // the last replayed append. liveStats additionally drops absorbed
+    // keys (cross-compact replays) and folds the marker-sized negative
+    // N/T increment (dl non-null only — a takedown for an id never
+    // indexed is a no-op).
+    TextAnalysis.bm25SearchIndex(liveFiltered(qtf0, deletes), "doc_id",
+      query, k, stats = liveStats(spark, root, deletes))
+  }
+
+  /** Multi-query serve from the persisted index — the training-set-
+    * scale twin of [[search]] ([[TextAnalysis.bm25SearchIndexMany]]
+    * over the LIVE view): `queries` is a (qid, term) relation, and
+    * every query's top-k comes out of one plan with markers, replay
+    * dedup, absorbed keys, and the negative N/T stats fold applied
+    * exactly as the single-query serve applies them — so each query's
+    * list equals its own [[search]] call (the s32 gate pins the batch
+    * against per-query remaining-corpus oracles).
+    *
+    * Scan pruning is VOCABULARY-ADAPTIVE: the postings filter needs
+    * the batch's distinct terms, and HOW it is applied decides the
+    * scan cost. Up to `pushDownTerms` distinct terms (one queries-
+    * sized distinct+collect, paid per serve call) they become an
+    * `isin` literal pushed into the parquet reader — the single-query
+    * plan shape, footer-pruned. Past that (mining passes whose query
+    * vocabulary approaches the corpus vocabulary) the filter becomes
+    * a broadcast semi-join: the postings scan reads every row ONCE —
+    * which is the honest cost when most terms are queried anyway —
+    * and nothing downstream changes. */
+  def searchMany(spark: SparkSession, root: String, queries: DataFrame,
+      k: Int = 10, pushDownTerms: Int = 1000): DataFrame = {
+    assertCommitted(spark, root)
+    searchManyImpl(spark, root, queries, k, pushDownTerms)
+  }
+
+  private def searchManyImpl(spark: SparkSession, root: String,
+      queries: DataFrame, k: Int, pushDownTerms: Int): DataFrame = {
+    require(pushDownTerms >= 0, s"searchMany: pushDownTerms=$pushDownTerms")
+    val deletes = readDeletes(spark, root)
+    val qterms = queries
+      .select(col("qid"), lower(col("term")).as("term")).distinct()
+    val vocab = qterms.select(col("term")).distinct()
+    val postings = spark.read.parquet(s"$root/postings.parquet")
+    val smallVocab = vocab.limit(pushDownTerms + 1)
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect()
+    val qtf0 =
+      if (smallVocab.length <= pushDownTerms)
+        postings.where(col("term").isin(smallVocab.toSeq: _*))
+      else postings.join(broadcast(vocab), Seq("term"), "left_semi")
+    TextAnalysis.bm25SearchIndexMany(liveFiltered(qtf0, deletes),
+      "doc_id", qterms, k, stats = liveStats(spark, root, deletes))
+  }
+
+  /** Markers anti-joined + replay dedup over a term-filtered postings
+    * frame — the shared live-view half of both serve paths (see
+    * [[search]]'s doc for why the dedup is unconditional). */
+  private def liveFiltered(qtf0: DataFrame,
+      deletes: Option[DataFrame]): DataFrame =
+    deletes.fold(qtf0)(d =>
+        qtf0.join(broadcast(d.select("doc_id")), Seq("doc_id"), "left_anti"))
+      .dropDuplicates("doc_id", "term")
+
+  /** Live corpus scalars: distinct'd stats increments, absorbed keys
+    * dropped, the marker-sized NEGATIVE increment folded — shared by
+    * both serve paths (see the class doc for each piece's contract). */
+  private def liveStats(spark: SparkSession, root: String,
+      deletes: Option[DataFrame]): DataFrame = {
     val statsInc = spark.read.parquet(s"$root/stats.parquet")
       .dropDuplicates("batch_key", "n_docs", "n_toks")
     val statsRaw = readAbsorbed(spark, root)
       .fold(statsInc)(a =>
         statsInc.join(broadcast(a), Seq("batch_key"), "left_anti"))
       .select(col("n_docs"), col("n_toks"))
-    val stats = deletes.fold(statsRaw) { d =>
-      // marker-sized: count/sum only markers whose doc had postings
-      // (dl non-null — a takedown for an id never indexed is a no-op)
+    deletes.fold(statsRaw) { d =>
       statsRaw.union(d.agg(
         (count(col("dl")) * lit(-1L)).as("n_docs"),
         (coalesce(sum(col("dl")), lit(0L)) * lit(-1L)).as("n_toks")))
     }
-    TextAnalysis.bm25SearchIndex(qtf, "doc_id", query, k, stats = stats)
   }
 
   /** Compact IN PLACE: physically remove taken-down documents' postings
@@ -439,6 +493,11 @@ object Bm25Index {
       * shape by construction since both paths share searchImpl). */
     def search(query: Seq[String], k: Int = 10): DataFrame =
       searchImpl(spark, root, query, k)
+    /** [[Bm25Index.searchMany]] through the handle — the mining-loop
+      * shape: one handle, many query batches, live reads. */
+    def searchMany(queries: DataFrame, k: Int = 10,
+        pushDownTerms: Int = 1000): DataFrame =
+      searchManyImpl(spark, root, queries, k, pushDownTerms)
     /** [[Bm25Index.append]] through the handle. */
     def append(docs: DataFrame, text: String, id: String): Unit =
       writeIncrement(root, docs, text, id, "append")

@@ -780,6 +780,57 @@ object Similarity {
     hybridFromLists(lex, dense, "doc_id", k, rrfK, scale)
   }
 
+  /** Hybrid retrieval MINING at training-set scale, served from both
+    * persisted indexes — [[hybridFromPersisted]] for a DISTRIBUTED
+    * query relation: `termQueries` (qid, term) rows feed the batch
+    * lexical serve ([[Bm25Index.Opened.searchMany]] — one pass of the
+    * vocabulary-filtered live postings for every query at once) and
+    * `vecQueries` (qid, qvec) rows feed [[AnnIndex.mineTopK]] (the
+    * never-broadcast bucket-join dense path), so the "queries" can be
+    * the training corpus itself — the DPR shape where every training
+    * example mines its own fused candidate list. Takedowns on either
+    * index apply to every query's list, exactly as in the single-query
+    * serve.
+    *
+    * Fusion is per-qid RRF in exact integer arithmetic: both component
+    * lists are ≤ k-deep PER QUERY, so the full-outer join and the
+    * qid-partitioned rank window move Q·(kLex + kDense) rows — query-
+    * set-linear, never corpus × queries. Exactness inherits per side
+    * (lexical always exact; dense exact at nprobe = nlist with
+    * rerank ≥ live corpus — the s32 gate pins the fused output
+    * hash-exactly at those settings against per-query remaining-corpus
+    * oracles; pruned settings inherit the ANN tier's recall
+    * tolerance).
+    *
+    * Output: (qid, doc_id, rrf_e9, lex_rank, dense_rank, rrf_rank),
+    * rrf_rank 1..k per qid by (rrf_e9 desc, doc_id). */
+  def hybridMineFromPersisted(bm25: Bm25Index.Opened,
+      ann: AnnIndex.Opened, termQueries: DataFrame,
+      vecQueries: DataFrame, nprobe: Int, rerank: Int, k: Int = 10,
+      kLex: Int = 50, kDense: Int = 50, rrfK: Long = 60L,
+      scale: Long = 1000000000L, pushDownTerms: Int = 1000): DataFrame = {
+    require(k >= 1 && kLex >= 1 && kDense >= 1 && rrfK >= 0L && scale >= 1L,
+      s"hybridMineFromPersisted: bad params k=$k kLex=$kLex " +
+        s"kDense=$kDense rrfK=$rrfK scale=$scale")
+    val lex = bm25.searchMany(termQueries, kLex, pushDownTerms)
+      .select(col("qid"), col("doc_id"), col("lex_rank"))
+    val dense = AnnIndex.mineTopK(ann, vecQueries, kDense, nprobe,
+        rerank, excludeSelf = false)
+      .select(col("query_id").as("qid"), col("corpus_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+    lex.join(dense, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_e9",
+        expr(s"coalesce(${scale}L div (${rrfK}L + lex_rank), 0L) + " +
+          s"coalesce(${scale}L div (${rrfK}L + dense_rank), 0L)"))
+      .withColumn("rrf_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("rrf_e9").desc, col("doc_id").asc))
+        .cast(org.apache.spark.sql.types.LongType))
+      .where(col("rrf_rank") <= k)
+      .select(col("qid"), col("doc_id"), col("rrf_e9"),
+        col("lex_rank"), col("dense_rank"), col("rrf_rank"))
+  }
+
   /** Index-tuning recall evaluation: per-query recall@k of an
     * approximate result list against the exact one — THE metric every
     * nlist/nprobe/rerank knob on the ANN ladder is tuned by. Both

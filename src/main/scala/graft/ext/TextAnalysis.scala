@@ -913,6 +913,76 @@ object TextAnalysis {
       .select(col(id), col("score").cast(LongType).as("score"), col("n_terms"))
   }
 
+  /** Multi-query BM25 top-k — the training-set-scale twin of
+    * [[bm25SearchIndex]]: queries arrive as a RELATION of (qid, term)
+    * rows (a DPR-style mining pass scores a query per training
+    * example, a set as large as the corpus — the shape the
+    * driver-side `Seq[String]` API cannot serve), and every query's
+    * top-k comes out of ONE plan over ONE pass of the term-filtered
+    * postings. Scoring integers are identical to the single-query
+    * path per (qid, doc, term) — same k1/b rationals, same scaled
+    * floor division — so each query's list equals its own
+    * [[bm25SearchIndex]] call row-for-row (the s32 gate pins it
+    * against a per-query oracle replay).
+    *
+    * Plan shape: `index` arrives ALREADY term-filtered by the caller
+    * (the persisted path filters to the query vocabulary before
+    * markers — [[graft.ext.Bm25Index.searchMany]]); df per term and
+    * the corpus scalars are computed once for the whole batch (df is
+    * query-independent — it counts docs per term over the live index,
+    * exactly as the single-query path does); the only per-query work
+    * is the (postings ⋈ queries) term join, the per-(qid, doc) sum,
+    * and a qid-partitioned rank window — candidate-sized, never
+    * corpus × queries. Hot query terms skew the term join; AQE's
+    * skew-join splitting handles it (the join is an exchange join by
+    * construction once `queries` outgrows the broadcast threshold).
+    *
+    * Duplicate (qid, term) rows are SET-deduped first — the same bag
+    * semantics as the single-query `isin`. Output: (qid, id, score,
+    * n_terms, lex_rank) with lex_rank 1..k per qid (score desc, id
+    * asc — the deterministic tie-break every ranked list here uses). */
+  def bm25SearchIndexMany(index: DataFrame, id: String,
+      queries: DataFrame, k: Int = 10,
+      stats: DataFrame = null): DataFrame = {
+    require(k >= 1, s"bm25SearchIndexMany: k=$k")
+    val dec = DecimalType(38, 0)
+    def d(c: Column): Column = c.cast(dec)
+    val qterms = queries
+      .select(col("qid"), lower(col("term")).as("term")).distinct()
+    val corpus =
+      if (stats != null)
+        stats.agg(sum(col("n_docs")).as("n_docs"),
+          sum(col("n_toks")).as("n_toks"))
+      else index.groupBy().agg(
+        countDistinct(col(id)).as("n_docs"), sum(col("tf")).as("n_toks"))
+    // df once per TERM for the whole batch (query-independent), via the
+    // same partial-aggregated shape as the single-query path
+    val qdf = index.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val ranked = index
+      .join(qterms, "term")
+      .join(qdf, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("num",
+        d(lit(22000000L)) * d(col("tf")) * d(col("n_toks")) *
+          (d(lit(2)) * (d(col("n_docs")) - d(col("df"))) + d(lit(1))))
+      .withColumn("den",
+        (d(lit(10)) * d(col("n_toks")) * d(col("tf")) +
+          d(lit(3)) * d(col("n_toks")) +
+          d(lit(9)) * d(col("dl")) * d(col("n_docs"))) *
+          (d(lit(2)) * d(col("df")) + d(lit(1))))
+      .withColumn("term_score", expr("num div den"))
+      .groupBy(col("qid"), col(id))
+      .agg(sum(col("term_score")).as("score"),
+        count(lit(1)).cast(LongType).as("n_terms"))
+      .withColumn("lex_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col(id).asc)).cast(LongType))
+      .where(col("lex_rank") <= k)
+    ranked.select(col("qid"), col(id),
+      col("score").cast(LongType).as("score"), col("n_terms"),
+      col("lex_rank"))
+  }
+
   /** Strip HTML/markup down to visible text (the C4/CommonCrawl-style
     * pre-clean): drop <script>/<style> blocks wholesale, remove all
     * remaining tags, single-decode the six ubiquitous entities (&amp;

@@ -1682,6 +1682,113 @@ object ExtensionQueries {
     bothCut
   }
 
+  /** The s32 query batch: five queries, each a 2-term lexical side
+    * ('spark' + one frequent synthetic-vocab word) and the embedding
+    * of vec_id = qid as the dense side. Shared by the gate and its
+    * oracle text so they cannot drift. */
+  private val mineTermQueries: Seq[(Long, String)] = {
+    val w = Seq("row", "batch", "scan", "column", "filter")
+    (0 until 5).flatMap(q => Seq(q.toLong -> "spark", q.toLong -> w(q)))
+  }
+
+  /** s32: hybrid retrieval MINING from both persisted indexes
+    * ([[graft.ext.Similarity.hybridMineFromPersisted]] — the
+    * training-set-scale closure of s31): FIVE queries flow as
+    * relations through the batch lexical serve
+    * (Bm25Index.searchMany, one pass of the vocabulary-filtered live
+    * postings) and the distributed dense mining path
+    * (AnnIndex.mineTopK — bucket joins, queries never broadcast),
+    * with takedowns applied on BOTH indexes (doc_id/vec_id % 8 == 3,
+    * a modulus no other gate uses), fused per query by exact-integer
+    * RRF. Every query's 10-deep fused list must hash-match the
+    * oracle's per-query replay over the remaining corpora — a marker
+    * leak, a batch-df divergence from per-query df, or a rank window
+    * crossing query boundaries is a row diff. Dense side exact by the
+    * s9 full-probing contract. */
+  def hybridMinePersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft_s32_")
+    val bmRoot = base.resolve("bm25_idx").toString
+    val annRoot = base.resolve("ann_idx").toString
+    val docs = Tables.documents(s, d)
+    graft.ext.Bm25Index.build(bmRoot, docs, "text", "doc_id")
+    graft.ext.AnnIndex.buildIvfPq(corpus(s, d), dim = 64, nlist = 20,
+      root = annRoot, m = 8, codes = 16, refineIters = 2)
+    val bm = graft.ext.Bm25Index.open(s, bmRoot)
+    val ann = graft.ext.AnnIndex.open(s, annRoot)
+    bm.delete(docs.where(col("doc_id") % 8 === 3).select(col("doc_id")),
+      "doc_id")
+    graft.ext.AnnIndex.deleteFromIvfPq(s, annRoot,
+      Tables.embeddings(s, d).where(col("vec_id") % 8 === 3)
+        .select(col("vec_id").as("cid")))
+    Similarity.hybridMineFromPersisted(bm, ann,
+        mineTermQueries.toDF("qid", "term"),
+        Tables.embeddings(s, d).where(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+        nprobe = 20, rerank = 2100, k = 10)
+      .orderBy("qid", "doc_id")
+  }
+
+  private lazy val hybridMineOracle = {
+    val values = mineTermQueries
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $values) AS v(qid, term)),
+       |toks AS (
+       | SELECT doc_id, unnest(list_filter(
+       |   string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS term
+       | FROM documents WHERE doc_id % 8 <> 3),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dld AS (
+       | SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+       | FROM tf),
+       |c AS (
+       | SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n,
+       |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+       |q AS (
+       | SELECT doc_id, term, CAST(tf AS HUGEINT) AS tf,
+       |        CAST(dl AS HUGEINT) AS dl,
+       |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+       | FROM dld WHERE term IN (SELECT term FROM qt)),
+       |sc AS (
+       | SELECT qt.qid, q.doc_id,
+       |  (22000000 * tf * t * (2 * (n - df) + 1))
+       |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+       | FROM q JOIN qt USING (term), c),
+       |agg AS (
+       | SELECT qid, doc_id, sum(term_score) AS score FROM sc GROUP BY 1, 2),
+       |lex AS (
+       | SELECT qid, doc_id, lex_rank FROM (
+       |  SELECT qid, doc_id, CAST(row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT)
+       |    AS lex_rank
+       |  FROM agg) t WHERE lex_rank <= 50),
+       |dense AS (
+       | SELECT qid, doc_id, dense_rank FROM (
+       |  SELECT qq.vec_id AS qid, cc.vec_id AS doc_id,
+       |   CAST(row_number() OVER (PARTITION BY qq.vec_id
+       |     ORDER BY list_cosine_similarity(qq.embedding, cc.embedding)
+       |       DESC, cc.vec_id) AS BIGINT) AS dense_rank
+       |  FROM embeddings qq, embeddings cc
+       |  WHERE qq.vec_id < 5 AND cc.vec_id % 8 <> 3) t
+       | WHERE dense_rank <= 50),
+       |fused AS (
+       | SELECT coalesce(lex.qid, dense.qid) AS qid,
+       |  coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+       |  lex.lex_rank, dense.dense_rank,
+       |  coalesce(1000000000 // (60 + lex.lex_rank), 0)
+       |   + coalesce(1000000000 // (60 + dense.dense_rank), 0) AS rrf_e9
+       | FROM lex FULL JOIN dense
+       |  ON lex.qid = dense.qid AND lex.doc_id = dense.doc_id),
+       |rkf AS (
+       | SELECT qid, doc_id, rrf_e9, lex_rank, dense_rank,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY rrf_e9 DESC, doc_id) AS BIGINT) AS rrf_rank
+       | FROM fused)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       | CAST(rrf_e9 AS BIGINT) AS rrf_e9, lex_rank, dense_rank, rrf_rank
+       |FROM rkf WHERE rrf_rank <= 10 ORDER BY qid, doc_id""".stripMargin
+  }
+
   /** Per-label mean embedding (class prototypes): exact scaled-integer
     * sums make the doubles bit-identical to the DuckDB replay — see
     * Vectors.groupCentroids' scaladoc for the shuffle audit. */
@@ -3416,6 +3523,8 @@ object ExtensionQueries {
     QueryDef("s17_hybrid_approx", hybridRrfApprox, Some(hybridRrfApproxOracle)),
     QueryDef("s31_hybrid_persisted", hybridPersisted,
       Some(hybridPersistedOracle)),
+    QueryDef("s32_hybrid_mine", hybridMinePersisted,
+      Some(hybridMineOracle)),
     QueryDef("st17_ann_index_stream", knnIvfPqStreamAppend, Some(knnOracle)),
     QueryDef("s10_knn_ivfpq_append", knnIvfPqAppend, Some(knnOracle)),
     QueryDef("s29_index_compact", knnIvfPqCompact, Some(knnIvfPqOracle)),

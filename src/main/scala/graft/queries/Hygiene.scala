@@ -717,6 +717,83 @@ object HygieneQueries {
     ix.search(query = Seq("spark", "hash", "join"), k = 10)
   }
 
+  /** The t61 query batch, shared by the gate and its oracle text so
+    * the two cannot drift: ten 2-term queries, each 'spark' plus one
+    * frequent synthetic-vocab word. */
+  private val manyQueryTerms: Seq[(Long, String)] = {
+    val w = Seq("row", "batch", "scan", "column", "filter",
+      "merge", "vector", "stream", "window", "sort")
+    (0 until 10).flatMap(q => Seq(q.toLong -> "spark", q.toLong -> w(q)))
+  }
+
+  /** t61: MULTI-QUERY serve from the persisted BM25 index
+    * ([[graft.ext.Bm25Index.searchMany]] — the training-set-scale
+    * lexical twin of AnnIndex.mineTopK): ten (qid, term) queries flow
+    * through ONE plan over one pass of the term-filtered live
+    * postings, with a takedown (%9==2 — a modulus no other gate uses)
+    * applied mid-lifecycle through the same pre-opened handle. Every
+    * query's 5-deep ranked list must equal a fresh per-query BM25 over
+    * the remaining corpus integer-for-integer — df computed once for
+    * the batch must equal per-query df, the shared N/T marker fold
+    * must land in every query's normalization, and the qid-partitioned
+    * rank window must reproduce each query's (score desc, doc_id)
+    * tie-break. The spec additionally pins batch == per-query serve
+    * and pushdown-mode == semi-join-mode equality. */
+  def bm25SearchManyPersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, d)
+    val root = java.nio.file.Files.createTempDirectory("graft_t61_")
+      .resolve("bm25_idx").toString
+    graft.ext.Bm25Index.build(root, docs.where(col("doc_id") < 250),
+      "text", "doc_id")
+    val ix = graft.ext.Bm25Index.open(s, root)
+    ix.append(docs.where(col("doc_id") >= 250), "text", "doc_id")
+    ix.delete(docs.where(col("doc_id") % 9 === 2).select(col("doc_id")),
+      "doc_id")
+    ix.searchMany(manyQueryTerms.toDF("qid", "term"), k = 5)
+      .orderBy("qid", "doc_id")
+  }
+
+  private[queries] val bm25ManyOracle = {
+    val values = manyQueryTerms
+      .map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+    s"""WITH qt AS (SELECT * FROM (VALUES $values) AS v(qid, term)),
+       |toks AS (
+       | SELECT doc_id, unnest(list_filter(
+       |   string_split_regex(lower(text), '\\s+'), t -> len(t) > 0)) AS term
+       | FROM documents WHERE doc_id % 9 <> 2),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+       |dld AS (
+       | SELECT doc_id, term, tf, sum(tf) OVER (PARTITION BY doc_id) AS dl
+       | FROM tf),
+       |c AS (
+       | SELECT CAST(count(DISTINCT doc_id) AS HUGEINT) AS n,
+       |        CAST(sum(tf) AS HUGEINT) AS t FROM tf),
+       |q AS (
+       | SELECT doc_id, term, CAST(tf AS HUGEINT) AS tf,
+       |        CAST(dl AS HUGEINT) AS dl,
+       |        CAST(count(*) OVER (PARTITION BY term) AS HUGEINT) AS df
+       | FROM dld WHERE term IN (SELECT term FROM qt)),
+       |sc AS (
+       | SELECT qt.qid, q.doc_id,
+       |  (22000000 * tf * t * (2 * (n - df) + 1))
+       |   // ((10 * t * tf + 3 * t + 9 * dl * n) * (2 * df + 1)) AS term_score
+       | FROM q JOIN qt USING (term), c),
+       |agg AS (
+       | SELECT qid, doc_id, sum(term_score) AS score,
+       |  count(*) AS n_terms
+       | FROM sc GROUP BY 1, 2),
+       |rk AS (
+       | SELECT qid, doc_id, score, n_terms, row_number() OVER (
+       |   PARTITION BY qid ORDER BY score DESC, doc_id) AS lex_rank
+       | FROM agg)
+       |SELECT CAST(qid AS BIGINT) AS qid, doc_id,
+       | CAST(score AS BIGINT) AS score,
+       | CAST(n_terms AS BIGINT) AS n_terms,
+       | CAST(lex_rank AS BIGINT) AS lex_rank
+       |FROM rk WHERE lex_rank <= 5 ORDER BY qid, doc_id""".stripMargin
+  }
+
   private[queries] val bm25OpenedOracle = {
     val restricted = bm25Oracle.replace("FROM documents)",
       "FROM documents WHERE doc_id % 5 <> 2)")
@@ -2127,6 +2204,8 @@ object HygieneQueries {
     QueryDef("t42_bm25_index", bm25FromIndex, Some(bm25Oracle)),
     QueryDef("t57_bm25_index_takedown", bm25IndexTakedown,
       Some(bm25TakedownOracle)),
+    QueryDef("t61_bm25_search_many", bm25SearchManyPersisted,
+      Some(bm25ManyOracle)),
     QueryDef("t60_bm25_opened_serve", bm25OpenedServe,
       Some(bm25OpenedOracle)),
     QueryDef("t43_chunk_search", chunkSearch, Some(chunkSearchOracle)),

@@ -170,6 +170,50 @@ class IndexDeleteSpec extends AnyFunSuite {
     assert(serve() === before)
   }
 
+  test("Bm25Index.searchMany: batch == per-query serve row-for-row; " +
+      "pushdown and semi-join filter modes identical; markers honored") {
+    val docs = Seq(
+      (1L, "spark shuffles hash join tables under spark"),
+      (2L, "a hash join beats a sort merge join on small tables"),
+      (3L, "spark spark spark and nothing else spark"),
+      (4L, "the quick brown fox jumps over the lazy dog"),
+      (5L, "hash partitioned spark join with broadcast hash side"),
+      (6L, "join join join hash hash spark"))
+      .toDF("doc_id", "text")
+    val root = tmp("graft_bmmany_")
+    Bm25Index.build(root, docs, "text", "doc_id")
+    Bm25Index.delete(spark, root, Seq(4L).toDF("doc_id"), "doc_id")
+    val ix = Bm25Index.open(spark, root)
+    val batches = Seq(
+      0L -> Seq("spark", "tables"),
+      1L -> Seq("hash", "join"),
+      2L -> Seq("merge", "broadcast"))
+    val queries = batches
+      .flatMap { case (q, ts) => ts.map(q -> _) }.toDF("qid", "term")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("qid", "doc_id").collect().toSeq
+    val pushed = rows(ix.searchMany(queries, k = 10))
+    assert(pushed === rows(ix.searchMany(queries, k = 10,
+        pushDownTerms = 0)),
+      "isin-pushdown and broadcast-semi-join vocabulary filters must " +
+        "serve identically")
+    // per-query equivalence: each qid's (doc, score, n_terms) equals
+    // its own single-query serve, and lex_rank equals that serve's
+    // rank order
+    batches.foreach { case (qid, terms) =>
+      val single = ix.search(terms, k = 10)
+        .orderBy(col("score").desc, col("doc_id"))
+        .collect().toSeq
+      val mine = pushed.filter(_.getLong(0) == qid)
+        .sortBy(_.getLong(4)) // lex_rank
+      assert(mine.map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+          === single.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))),
+        s"qid=$qid: batch serve diverged from the single-query serve")
+    }
+    assert(!pushed.exists(_.getLong(1) == 4L),
+      "a taken-down doc must appear in NO query's list")
+  }
+
   test("Bm25Index: a torn build (no meta) does not open; delete/append/" +
       "search all refuse it") {
     val root = tmp("graft_bmtorn_")
