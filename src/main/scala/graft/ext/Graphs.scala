@@ -172,19 +172,39 @@ object Graphs {
       .distinct()
       .repartition(p, col("node"))
       .cache()
+    // Out-degrees are a pure function of the static edge set — computed
+    // and CACHED once (partitioning pinned like e/nodes), not re-
+    // aggregated from e's cache every round as before (5 rounds paid 5
+    // degree aggregations + 5 extra joins; the r17 stage profile read
+    // each round's join stage at ~10 s of task time, dominated by the
+    // per-round SMJ sort of the edge frame plus the redundant agg).
+    val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
+      .repartition(p, col("__s"))
+      .cache()
     try {
       val n = nodes.count()
       require(n > 0, "pageRank: empty graph")
       val base = (100L - dampingPct) * Scale / (100L * n)
-      val outdeg = e.groupBy(col("__s")).agg(count(lit(1)).as("__od"))
       var ranks = nodes.withColumn("__r", lit(Scale / n))
       for (_ <- 1 to iters) {
+        // contrib(u) = rank(u) div outdeg(u) is a function of the NODE,
+        // so it is computed on the node-sized frame (one div per node,
+        // not per edge) and the edge join ships one long per row.
+        // Both joins take SHUFFLED-HASH hints (guide §3.1): the node-
+        // sized build sides fit per-partition at any scale that fits
+        // the cluster, while the default sort-merge re-SORTED the
+        // static cached edge frame every round — sorts that dominated
+        // the g2 bench profile. The left join's build side (per-node
+        // contribution sums) is likewise node-sized.
+        val perNode = ranks
+          .join(outdeg.hint("shuffle_hash"),
+            ranks("node") === outdeg("__s"))
+          .select(col("node").as("__s"), expr("__r div __od").as("__c"))
         val contrib = e
-          .join(ranks.select(col("node").as("__s"), col("__r")), "__s")
-          .join(outdeg, "__s")
-          .select(col("__d").as("node"), expr("__r div __od").as("__c"))
+          .join(perNode.hint("shuffle_hash"), "__s")
+          .select(col("__d").as("node"), col("__c"))
           .groupBy("node").agg(sum(col("__c")).as("__in"))
-        ranks = nodes.join(contrib, Seq("node"), "left")
+        ranks = nodes.join(contrib.hint("shuffle_hash"), Seq("node"), "left")
           .select(col("node"),
             (lit(base) +
               expr(s"($dampingPct * coalesce(__in, 0L)) div 100")).as("__r"))
@@ -195,11 +215,12 @@ object Graphs {
       else out
     } finally {
       // the eager localCheckpoint makes the final ranks independent of
-      // both caches, so dropping them here leaks nothing to the caller —
+      // the caches, so dropping them here leaks nothing to the caller —
       // without this, repeated invocations accumulate cached blocks for
       // the life of the session.
       e.unpersist()
       nodes.unpersist()
+      outdeg.unpersist()
     }
   }
 
