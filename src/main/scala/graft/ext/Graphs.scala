@@ -82,14 +82,30 @@ object Graphs {
       .groupBy("node").agg(count(lit(1)).as("d"))
     // Orientation rank rides along as a (degree, id) struct; struct
     // comparison is lexicographic, giving the total order directly.
+    // Degree attachment and the wedge/closing joins below all take
+    // SHUFFLED-HASH hints (guide §3.1): sort-merge — the planner default
+    // — SORTS every input, and the wedge frame is the one superlinear
+    // relation in the plan (Θ(Σ d_out²) rows); sorting it, and sorting
+    // the edge frame three times, dominated the r17 g1 stage profile
+    // (22.8 s + 14.4 s of task time in the two SMJ stages). Build sides
+    // are the degree table / oriented edge list — per-partition
+    // edge-linear, never wedge-sized, so the hash relations stay
+    // bounded at any scale where partition counts track data volume.
     val ranked = e
-      .join(deg.select(col("node").as("u"), struct(col("d"), col("node")).as("ru")), "u")
-      .join(deg.select(col("node").as("v"), struct(col("d"), col("node")).as("rv")), "v")
+      .join(deg.select(col("node").as("u"), struct(col("d"), col("node")).as("ru"))
+        .hint("shuffle_hash"), "u")
+      .join(deg.select(col("node").as("v"), struct(col("d"), col("node")).as("rv"))
+        .hint("shuffle_hash"), "v")
     // referenced three times (two wedge arms + closure); same 16 B/edge
     val oriented = cut(ranked.select(
       when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
       when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
       when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb")))
+    // The wedge SELF-join stays sort-merge deliberately: an A/B with a
+    // shuffle_hash hint read 22.8 -> 24.4 s of stage task time (+2.2 s
+    // GC) — the per-task hash relation over an arm of the edge list
+    // costs more than sorting the arms, because the join's OUTPUT
+    // (wedges) dwarfs both inputs either way.
     val wedges = oriented.select(col("a"), col("b").as("y"), col("rb").as("ry"))
       .join(oriented.select(col("a"), col("b").as("z"), col("rb").as("rz")), "a")
       .where(col("ry") < col("rz"))
@@ -106,13 +122,22 @@ object Graphs {
         // this count re-ran the whole upstream join once just to size
         // the filter
         val nPairs = math.max(e.count(), 1L)
-        val bloom = Scale.keyBloom(e,
-          struct(col("u"), col("v")), nPairs, closeBloomFpp)
-        wedges.where(Scale.mightContainKey(bloom,
-          struct(least(col("y"), col("z")), greatest(col("y"), col("z")))))
+        // multi-column key form: the probe runs once per RAW wedge
+        // (tens of millions of evaluations), so it must not pay a
+        // per-row struct materialization — xxhash64 folds the two
+        // longs directly in codegen
+        val bloom = Scale.keyBloomCols(e,
+          Seq(col("u"), col("v")), nPairs, closeBloomFpp)
+        wedges.where(Scale.mightContainKeyCols(bloom,
+          Seq(least(col("y"), col("z")), greatest(col("y"), col("z")))))
       }
+    // The closing check probes the (bloom-prefiltered) wedge stream
+    // against the edge list: shuffled-hash keeps the WEDGE side stream-
+    // only — the sort-merge default sorted it, and it is the largest
+    // relation in the whole query.
     val triangles = prefiltered.join(
-      oriented.select(col("a").as("y"), col("b").as("z")), Seq("y", "z"), "left_semi")
+      oriented.select(col("a").as("y"), col("b").as("z")).hint("shuffle_hash"),
+      Seq("y", "z"), "left_semi")
     val counts = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_triangles"))

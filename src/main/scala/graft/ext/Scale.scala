@@ -206,6 +206,30 @@ object Scale {
     column(BloomFilterMightContain(
       Literal(bloom, BinaryType), expression(xxhash64(key))))
 
+  /** Multi-column variants of [[keyBloom]]/[[mightContainKey]]: the key
+    * is hashed as xxhash64(c1, c2, ...) DIRECTLY — no struct wrapper —
+    * so a probe evaluated once per row of a huge stream (g1 evaluates
+    * one per RAW WEDGE) skips the per-row struct materialization the
+    * single-column form pays. Build and probe must use the same column
+    * arity/order; a hash collision is just a false positive, which the
+    * callers' exact re-check already absorbs. */
+  def keyBloomCols(df: DataFrame, keys: Seq[Column], expectedItems: Long,
+      fpp: Double = 0.03, maxBits: Long = 1L << 26): Array[Byte] = {
+    require(keys.nonEmpty, "keyBloomCols: need at least one key column")
+    require(expectedItems > 0, s"expectedItems=$expectedItems must be > 0")
+    require(fpp > 0.0 && fpp < 1.0, s"fpp=$fpp out of (0,1)")
+    val numBits = math.min(
+      org.apache.spark.util.sketch.BloomFilter.optimalNumOfBits(expectedItems, fpp),
+      maxBits)
+    val agg = new BloomFilterAggregate(
+      expression(xxhash64(keys: _*)), Literal(expectedItems), Literal(numBits))
+    df.select(column(agg.toAggregateExpression())).head().getAs[Array[Byte]](0)
+  }
+
+  def mightContainKeyCols(bloom: Array[Byte], keys: Seq[Column]): Column =
+    column(BloomFilterMightContain(
+      Literal(bloom, BinaryType), expression(xxhash64(keys: _*))))
+
   // ------------------------------------------------ z-order clustering
 
   /** Morton (Z-order) value over integer dimensions: each value is
