@@ -47,17 +47,36 @@ object Curation {
       alpha: Double = 0.5, shardTokens: Long = 2048L,
       gramN: Int = 8, seed: Long = 0L,
       nearDup: Option[Dedup.MinHashConfig] = None): DataFrame = {
-    // 1. quality — keep ids whose metrics clear the (parametrized)
-    // Gopher rules.
-    val qualityIds = TextAnalysis
-      .gopherQuality(docs, text, id, minWords = minWords,
-        minStopHits = minStopHits)
-      .where(col("is_quality")).select(col(id))
-    val afterQuality = docs.join(qualityIds, Seq(id), "left_semi")
+    // 1. quality — keep rows whose metrics clear the (parametrized)
+    // Gopher rules, as an INLINE narrow filter (the [[curateStream]]
+    // shape): the previous gopherQuality + id-semi-join formulation
+    // cost two exchanges AND evaluated the metric expressions twice
+    // per document (once in each join subtree). With unique ids —
+    // every caller's contract, and what the gates' oracles replay —
+    // the per-row verdict is the same relation. r17 measurement: each
+    // exchange is an AQE stage-job plus a 50-150 ms driver gap, and
+    // the composed pipelines are gap-bound, so exchange count is the
+    // cost that matters here (guide §2.4).
+    val metrics = TextAnalysis.gopherMetricCols(col(text))
+    metrics.map(_._1).foreach(n =>
+      require(!docs.columns.exists(_.equalsIgnoreCase(n)),
+        s"curate: input already has a column named '$n'"))
+    val flagged = metrics.foldLeft(docs) {
+      case (df, (n, c)) => df.withColumn(n, c)
+    }
+    val afterQuality = flagged
+      .where(TextAnalysis.gopherVerdict(minWords, 100000L, minStopHits))
+      .drop(metrics.map(_._1): _*)
 
-    // 2. exact dedup — first-seen (min id) representative per text.
-    val reps = afterQuality.groupBy(col(text))
-      .agg(min(col(id)).as(id)).select(col(id))
+    // 2. exact dedup — first-seen (min id) representative per text, as
+    // ONE partial-aggregated exchange: min over a struct whose first
+    // field is the id picks the min-id row whole (ids are unique, so
+    // the comparison never reaches the other fields), replacing the
+    // old groupBy(text).agg(min(id)) + id-semi-join — three exchanges
+    // and a second evaluation of the upstream — with a single shuffle
+    // keyed on text. Partial aggregation still collapses a
+    // byte-identical flood map-side (the skew-ladder property the
+    // semi-join form had).
     // Materialize the filter+dedup front half ONCE: the stages below
     // each reference their input from two plan subtrees (decontam =
     // grams + anti-join, mixing = counts + filter, sharding = totals +
@@ -68,7 +87,14 @@ object Curation {
     // configured dir when one is set (cluster deployments), else a
     // disk-backed localCheckpoint — the same tactic Graphs.pageRank
     // uses per iteration.
-    val afterDedup = afterQuality.join(reps, Seq(id), "left_semi")
+    val others = docs.columns.filterNot(c => c == id || c == text)
+    val afterDedup = afterQuality
+      .groupBy(col(text))
+      .agg(min(struct((col(id) +: others.map(col)): _*)).as("__rep"))
+      .select(docs.columns.map {
+        case c if c == text => col(text)
+        case c => col("__rep").getField(c).as(c)
+      }: _*)
       .transform(Scale.cut)
 
     // 2b. optional fuzzy near-dup: MinHash LSH pairs over the
@@ -86,9 +112,15 @@ object Curation {
     }
 
     // 3. decontamination — drop documents sharing an n-gram with the
-    // benchmark.
+    // benchmark, via the join-free [[Decontam.cleanInline]] probe (the
+    // st12 machinery, result-identical to [[Decontam.clean]] per its
+    // spec): the exploded-gram + anti-join form cost a corpus gram
+    // explosion and two more exchanges; the inline form is one
+    // stateless narrow filter, at the price of collecting the
+    // BENCHMARK gram set once (bounded by the eval-sets-are-MBs
+    // premise the operator already rests on).
     val afterDecontam =
-      Decontam.clean(afterNearDup, text, id, benchmark, benchText, gramN)
+      Decontam.cleanInline(afterNearDup, text, id, benchmark, benchText, gramN)
 
     // 4. temperature-scaled mixing over the surviving distribution;
     // checkpoint again so sharding's two passes replay cached blocks,
