@@ -510,9 +510,19 @@ object Curation {
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(maxPerHost >= 1, s"maxPerHost=$maxPerHost")
     val canon = TextAnalysis.urlCanonicalize(records, urlCol)
-    val reps = canon.groupBy(col("url_canon")).agg(min(col(id)).as(id))
-      .select(col(id))
-    val afterUrl = canon.join(reps, Seq(id), "left_semi")
+    // first-seen (min id) representative per canonical URL in ONE
+    // partial-aggregated exchange (the [[curate]] exact-dedup shape):
+    // min over an id-led struct picks the min-id row whole, replacing
+    // the old agg + id-semi-join (three exchanges, upstream evaluated
+    // twice)
+    val canonCols = canon.columns
+    val othersC = canonCols.filterNot(c => c == id || c == "url_canon")
+    val afterUrl = canon.groupBy(col("url_canon"))
+      .agg(min(struct((col(id) +: othersC.map(col)): _*)).as("__rep"))
+      .select(canonCols.map {
+        case c if c == "url_canon" => col("url_canon")
+        case c => col("__rep").getField(c).as(c)
+      }: _*)
       .withColumn("host",
         regexp_extract(col("url_canon"), "^[a-z][a-z0-9+.-]*://([^/:?#]*)", 1))
     val w = org.apache.spark.sql.expressions.Window
@@ -522,10 +532,17 @@ object Curation {
       .where(col("__rn") <= maxPerHost)
       .drop("__rn")
       .transform(Scale.cut)
-    val qIds = TextAnalysis.gopherQuality(capped, bodyCol, id,
-        minWords = minWords, minStopHits = minStopHits)
-      .where(col("is_quality")).select(col(id))
-    val afterQ = capped.join(qIds, Seq(id), "left_semi")
+    // inline Gopher filter (the [[curate]] quality shape): one narrow
+    // filter instead of gopherQuality + id-semi-join
+    val qMetrics = TextAnalysis.gopherMetricCols(col(bodyCol))
+    qMetrics.map(_._1).foreach(n =>
+      require(!capped.columns.exists(_.equalsIgnoreCase(n)),
+        s"curateCrawl: input already has a column named '$n'"))
+    val afterQ = qMetrics.foldLeft(capped) {
+        case (df, (n, c)) => df.withColumn(n, c)
+      }
+      .where(TextAnalysis.gopherVerdict(minWords, 100000L, minStopHits))
+      .drop(qMetrics.map(_._1): _*)
     val sharded = Packing.shardByTokens(afterQ, id,
       TextAnalysis.tokenCount(col(bodyCol)), shardTokens,
       carry = Seq("host"))
