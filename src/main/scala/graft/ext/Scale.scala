@@ -39,6 +39,23 @@ object Scale {
       df.checkpoint(true)
     else df.localCheckpoint(true)
 
+  /** Actual storage footprint of a [[cut]]-materialized frame (mem +
+    * disk bytes of the backing localCheckpoint RDD), when known. The
+    * point: a frame that went through [[cut]] has a REAL size, unlike
+    * the Long.MaxValue default stats a LogicalRDD reports to the
+    * planner — so callers can make size-gated plan choices (broadcast
+    * vs shuffle join) from measurement instead of estimates. Returns
+    * None for reliable-checkpoint frames (files, not blocks) and
+    * anything not RDD-backed — callers must treat None as "assume
+    * big". */
+  private[ext] def materializedBytes(df: DataFrame): Option[Long] =
+    org.apache.spark.sql.graftbridge.DatasetBridge.backingRdd(df)
+      .flatMap { r =>
+        df.sparkSession.sparkContext.getRDDStorageInfo
+          .find(_.id == r.id)
+          .map(i => i.memSize + i.diskSize)
+      }
+
   /** xxhash64 rejects map-typed inputs at analysis time (maps have no
     * canonical element order); nested arrays/structs are hashable only if
     * their element types are. */

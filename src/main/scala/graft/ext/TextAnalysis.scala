@@ -690,14 +690,30 @@ object TextAnalysis {
         s"$bound at scale=$scale (2^63 / (dDen*scale)) — use a smaller " +
         "scale (terms only need ordering resolution)")
 
+    // Size-gated broadcast of the model sides: tri is eagerly
+    // materialized by the cut above, so its REAL storage size is
+    // known (Scale.materializedBytes) — when it fits the session's
+    // autoBroadcastJoinThreshold, all five model joins broadcast and
+    // the scoring pass is ONE codegen stage over the exploded
+    // trigrams (the default was five sort-merge joins with their
+    // exchanges, because a LogicalRDD reports Long.MaxValue stats and
+    // can never auto-broadcast). A web-scale model keeps the shuffle
+    // path: the gate is measured bytes, not a local-mode constant.
+    // The derived frames (ctx/cont/mid/uni) are group-bys of tri and
+    // strictly smaller.
+    val bcThresh =
+      docs.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val modelFits = bcThresh > 0 &&
+      Scale.materializedBytes(tri).exists(_ <= bcThresh)
+    def side(m: DataFrame): DataFrame = if (modelFits) broadcast(m) else m
     docs.select(col(id), explode(lmTrigrams(text)).as("t"))
       .select(col(id), col("t.w1").as("w1"), col("t.w2").as("w2"),
         col("t.w3").as("w3"))
-      .join(tri, Seq("w1", "w2", "w3"), "left")
-      .join(ctx, Seq("w1", "w2"), "left")
-      .join(cont, Seq("w2", "w3"), "left")
-      .join(mid, Seq("w2"), "left")
-      .join(uni, Seq("w3"), "left")
+      .join(side(tri), Seq("w1", "w2", "w3"), "left")
+      .join(side(ctx), Seq("w1", "w2"), "left")
+      .join(side(cont), Seq("w2", "w3"), "left")
+      .join(side(mid), Seq("w2"), "left")
+      .join(side(uni), Seq("w3"), "left")
       .withColumn("bsz", lit(bsz))
       .withColumn("pcont",
         expr(s"coalesce(cn1, 0L) * ${scale}L div bsz"))
