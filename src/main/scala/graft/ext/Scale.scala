@@ -56,6 +56,34 @@ object Scale {
           .map(i => i.memSize + i.diskSize)
       }
 
+  /** Parallelism floor for a CPU-heavy narrow stage (gram explosion,
+    * signature computation, tokenization): when the frame's planned
+    * partition count is below the session's default parallelism, add
+    * one round-robin exchange so the per-row work spreads across every
+    * core; otherwise return the frame unchanged. The byte-based split
+    * sizing (maxPartitionBytes / AQE advisory bytes) under-parallelizes
+    * these operators by orders of magnitude — a 1 MB document batch
+    * explodes into ~50x its size in grams and burns CPU, not I/O — so
+    * the floor is cores, not bytes. The guard keeps it scale-adaptive
+    * at both ends: a 100 TB scan already has >> parallelism splits and
+    * passes through untouched, while a side input smaller than the
+    * cluster's core count pays one small exchange to engage every
+    * core. Round-robin (not hash-on-key) spreads uniformly regardless
+    * of key distribution and is retry-deterministic via Spark's
+    * sort-before-repartition.
+    *
+    * The partition probe reads the NON-adaptive physical plan (lazy
+    * RDD lineage — no job, no AQE stage materialization); frames whose
+    * plan cannot build an RDD (streaming sources, commands) pass
+    * through unchanged. */
+  private[ext] def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val parts =
+      try df.queryExecution.sparkPlan.execute().getNumPartitions
+      catch { case scala.util.control.NonFatal(_) => Int.MaxValue }
+    if (parts < target) df.repartition(target) else df
+  }
+
   /** xxhash64 rejects map-typed inputs at analysis time (maps have no
     * canonical element order); nested arrays/structs are hashable only if
     * their element types are. */

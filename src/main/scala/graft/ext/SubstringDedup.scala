@@ -54,7 +54,10 @@ object SubstringDedup {
       df: DataFrame, text: String, id: String, k: Int,
       hashed: Boolean): DataFrame = {
     val ts = col("__ts")
-    val grams = df
+    // The k-gram explosion multiplies rows ~(tokens)x and its cost is
+    // CPU, not bytes — fan the narrow input out to the core count
+    // (no-op when the scan already has enough splits).
+    val grams = Scale.fanOut(df.select(col(id), col(text)))
       .select(col(id), toksCol(col(text)).as("__ts"))
       .select(col(id), explode(transform(
         sequence(lit(0), greatest(size(ts) - k, lit(0))),
@@ -119,7 +122,7 @@ object SubstringDedup {
       lit(null).cast("string").as("__tok"),
       col("end").cast("long").as("__cov"),
       lit(0).as("__istok"))
-    val tokens = df
+    val tokens = Scale.fanOut(df.select(col(id), col(text)))
       .select(col(id), posexplode(toksCol(col(text))).as(Seq("__p0", "__tok")))
       .select(col(id), (col("__p0") + 1).as("pos"), col("__tok"),
         lit(null).cast("long").as("__cov"), lit(1).as("__istok"))
