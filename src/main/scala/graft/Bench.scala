@@ -260,6 +260,15 @@ object Bench {
       .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", "true")
+      // AQE coalesce floor, env-pinnable for A/B runs. The measured
+      // default stays Spark's 1 MB: a 64 KB floor un-collapsed the
+      // CPU-heavy small shuffles (d16 3.47 -> 1.93) but taxed every
+      // many-exchange pipeline with swarms of sub-ms tasks (p8
+      // 9.4 -> 12.4, g1 6.6 -> 8.4 in the same windows) - a net loss;
+      // the hot single-task expansions are fixed at the operator
+      // instead (Dedup.bucketPairs' explicit key repartition).
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

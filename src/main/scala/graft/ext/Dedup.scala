@@ -385,8 +385,14 @@ object Dedup {
       id: String, conf: MinHashConfig): Unit = {
     val spark = df.sparkSession
     val tombs = readTombstones(spark, root)
-    val incBands = bandsOf(df, text, id, conf)
-      .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti")
+    // Three consumers read the increment's postings (the touched-key
+    // probe inside the tombstone count, the union side of that same
+    // count, and the final write) — without a cut each one replans the
+    // codegen'd minhashSig pass over the whole increment, the append's
+    // single largest term. Materialize it once; increment-sized rows,
+    // so the checkpoint is batch-sized, not index-sized.
+    val incBands = Scale.cut(bandsOf(df, text, id, conf)
+      .join(broadcast(tombs), Seq("band", "band_hash"), "left_anti"))
     val touched = incBands.select(col("band"), col("band_hash")).distinct()
     // distinct-doc union count per touched bucket; the broadcast
     // semi-join keeps the postings scan restricted to increment keys
