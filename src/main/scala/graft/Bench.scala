@@ -264,9 +264,15 @@ object Bench {
       // default stays Spark's 1 MB: a 64 KB floor un-collapsed the
       // CPU-heavy small shuffles (d16 3.47 -> 1.93) but taxed every
       // many-exchange pipeline with swarms of sub-ms tasks (p8
-      // 9.4 -> 12.4, g1 6.6 -> 8.4 in the same windows) - a net loss;
-      // the hot single-task expansions are fixed at the operator
-      // instead (Dedup.bucketPairs' explicit key repartition).
+      // 9.4 -> 12.4, g1 6.6 -> 8.4 in the same windows) - a net loss,
+      // so this knob stays a deployment-level tuning point. An
+      // operator-level fix was attempted and REVERTED: an explicit
+      // REPARTITION_BY_NUM key-repartition ahead of the bucketPairs
+      // expansion still came out coalesced at runtime in the gate's
+      // plan shape (1 task at the 1 MB floor, 5 at 64 KB, 32 with
+      // coalescing disabled - i.e. the floor governed regardless),
+      // while isolated reproductions of the same subtree respect it;
+      // see OPTIMIZATION_r17.md "Not yet optimized".
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "1048576"))
       .config("spark.sql.session.timeZone", "UTC")
