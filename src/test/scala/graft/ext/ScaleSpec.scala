@@ -493,4 +493,55 @@ class ScaleSpec extends AnyFunSuite {
     assert(none.count() === 0)
     assert(none.schema.fieldNames.toSeq === Seq("k", "x", "s"))
   }
+
+  test("fanOut: widens a below-parallelism frame, passes a wide one through") {
+    val target = spark.sparkContext.defaultParallelism
+    // One-partition CPU-heavy-shaped input: fanOut must spread it.
+    val narrow = spark.range(0, 1000, 1, numPartitions = 1)
+      .select(col("id"), concat(lit("doc "), col("id")).as("text"))
+    val widened = Scale.fanOut(narrow)
+    assert(widened.rdd.getNumPartitions === target,
+      "below-parallelism input must widen to defaultParallelism")
+    // Content preserved exactly (round-robin is a pure redistribution).
+    assert(widened.collect().map(_.toSeq).toSet ===
+      narrow.collect().map(_.toSeq).toSet)
+    // An input already at/above parallelism is returned unchanged —
+    // the 100-TB-scan case must not pay a repartition.
+    val wide = spark.range(0, 1000, 1, numPartitions = target + 3).toDF()
+    assert(Scale.fanOut(wide) eq wide,
+      "at-or-above-parallelism input must pass through untouched")
+  }
+
+  test("keyBloomCols: multi-column build/probe agree, no false negatives") {
+    val present = (0 until 300).map(i => (s"host$i", i.toLong))
+    val df = present.toDF("h", "p")
+    val bloom = Scale.keyBloomCols(df, Seq(col("h"), col("p")),
+      expectedItems = 300)
+    // Every inserted composite key must probe true (blooms never have
+    // false negatives) via the same xxhash64(cols...) the build used.
+    val hits = df.where(Scale.mightContainKeyCols(bloom, Seq(col("h"), col("p"))))
+      .count()
+    assert(hits === 300L)
+    // Disjoint keys are mostly rejected (fpp 0.03 over 300 probes
+    // leaves generous slack); this fails loudly if probe and build
+    // ever hash different column arities.
+    val absent = (0 until 300).map(i => (s"other$i", (i + 1000000).toLong))
+      .toDF("h", "p")
+    val fps = absent
+      .where(Scale.mightContainKeyCols(bloom, Seq(col("h"), col("p"))))
+      .count()
+    assert(fps <= 60L, s"false-positive count $fps is way over fpp=0.03")
+  }
+
+  test("materializedBytes: known size for a materialized frame, None otherwise") {
+    // The knScoreModel broadcast gate rests on this: a localCheckpoint-
+    // backed frame reports its true storage size; anything else reports
+    // None (and the caller must keep the shuffle path).
+    val plain = spark.range(0, 2000).select(col("id"), lit("x").as("s"))
+    assert(Scale.materializedBytes(plain).isEmpty)
+    val mat = plain.localCheckpoint()
+    val bytes = Scale.materializedBytes(mat)
+    assert(bytes.exists(_ > 0L), s"expected Some(>0), got $bytes")
+    mat.unpersist(blocking = true)
+  }
 }
